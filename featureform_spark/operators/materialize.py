@@ -1,0 +1,125 @@
+"""Materialization: latest-value-per-entity snapshot of a feature.
+
+Reference semantics (provider/queries/materialize_ts.sql:1-9,
+materialize_no_ts.sql:1-33, offline_test.go:281-410 truth tables):
+
+- latest row per entity by timestamp; missing timestamp defaults to
+  epoch 0;
+- duplicate (entity, ts) rows → last *written* wins, so an explicit
+  ingestion order must break ties (Spark has no insertion order — callers
+  pass ``order_col``, or we derive one);
+- output table is (entity, value, ts) plus an optional dense ``row_number``
+  used by the reference for chunked offline→online copy.
+
+Spark-first design: the reference computes this with
+``ROW_NUMBER() OVER (PARTITION BY entity ORDER BY ts DESC)`` — a full
+shuffle *and sort* of every row. We instead aggregate
+``max(struct(ts, ord, value))`` per entity: lexicographic struct max is
+exactly "latest ts, then latest write", and Catalyst executes it as a
+hash aggregate with map-side partial aggregation — one shuffle, no sort,
+and the shuffled data is one pre-combined row per (partition, entity)
+rather than every input row. At 100 TB that difference is the job.
+
+The reference's global ``row_number() OVER (ORDER BY entity)`` chunk
+addressing (provider/sql.go:1832) is a single-partition window — a
+scalability trap called out in SURVEY §4. ``with_row_index`` instead
+computes per-partition counts in one cheap pass and offsets each
+partition (zipWithIndex-style) entirely in the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EPOCH0 = "1970-01-01 00:00:00"
+
+
+def _ts_or_epoch(df: DataFrame, ts_col: str | None) -> Column:
+    if ts_col is None:
+        return F.lit(EPOCH0).cast("timestamp")
+    return F.coalesce(F.col(ts_col).cast("timestamp"), F.lit(EPOCH0).cast("timestamp"))
+
+
+def materialize_latest(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    ts_col: str | None = None,
+    order_col: str | None = None,
+    out_entity: str = "entity",
+    out_value: str = "value",
+    out_ts: str = "ts",
+) -> DataFrame:
+    """Latest value per entity (A1/A2), last-write-wins on ties.
+
+    ``order_col``: explicit ingestion index used to break equal-timestamp
+    ties (and to define "latest" when ``ts_col`` is None). When absent we
+    fall back to ``monotonically_increasing_id()``, which reproduces
+    file/partition order for freshly-read data — the same "implicit
+    ordering" contract the reference leans on (materialize_no_ts.sql:3).
+    """
+    ord_expr = (
+        F.col(order_col).cast("long")
+        if order_col is not None
+        else F.monotonically_increasing_id()
+    )
+    packed = df.select(
+        F.col(entity_col).alias(out_entity),
+        F.struct(
+            _ts_or_epoch(df, ts_col).alias("ts"),
+            ord_expr.alias("ord"),
+            F.col(value_col).alias("value"),
+        ).alias("_m"),
+    )
+    latest = packed.groupBy(out_entity).agg(F.max("_m").alias("_m"))
+    return latest.select(
+        out_entity,
+        F.col("_m.value").alias(out_value),
+        F.col("_m.ts").alias(out_ts),
+    )
+
+
+def with_row_index(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    index_col: str = "row_number",
+    start: int = 1,
+) -> DataFrame:
+    """Attach a dense global row index without a single-partition window.
+
+    If ``order_cols`` is given the index follows that global ordering via a
+    range repartition (sort happens *within* partitions only; offsets come
+    from per-partition counts — two narrow passes instead of one giant
+    window). Without ``order_cols`` the index follows current partition
+    order (cheapest; suitable for chunk addressing where any stable order
+    works).
+    """
+    if order_cols:
+        df = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(
+            *order_cols
+        )
+    pid = F.spark_partition_id()
+    w_in = Window.partitionBy(pid).orderBy(F.monotonically_increasing_id())
+    with_local = df.withColumn("_pid", pid).withColumn(
+        "_local", F.row_number().over(w_in)
+    )
+    # per-partition counts are tiny (one row per partition) → broadcast join
+    counts = with_local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        with_local.join(F.broadcast(offsets), "_pid")
+        .withColumn(index_col, F.col("_local") + F.col("_offset") + F.lit(start - 1))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def iterate_segment(df: DataFrame, start: int, end: int, index_col: str = "row_number") -> DataFrame:
+    """Rows with ``start < row_number <= end`` (provider/sql.go:1939-1942).
+
+    Chunk unit in the reference is 100k rows (offline.go:46).
+    """
+    return df.filter((F.col(index_col) > start) & (F.col(index_col) <= end))

@@ -1,0 +1,197 @@
+"""Point-in-time (as-of) training-set join — the engine's signature operator.
+
+Semantics replicated from the reference (provider/spark.go:105-248,
+provider/tsquery/tsquery.go:191-350, truth tables
+provider/offline_test.go:1010-1240):
+
+- for each label row, each feature contributes its latest value with
+  ``feature.ts <= label.ts`` (ties at equal ts INCLUDE the feature; equal
+  feature ts duplicates → last-written wins);
+- feature with no timestamp → plain latest-per-entity equi join (J4);
+- label with no timestamp → features evaluated at +infinity, i.e. overall
+  latest per entity (J5);
+- lag features: the join bound shifts to ``feature.ts + lag <= label.ts``
+  (J6) — implemented by shifting feature timestamps before the join;
+- multi-entity labels: each feature matches on its own label column (J10).
+
+Spark-first design: the reference emits N left-outer inequality joins plus
+a de-dup window — on Spark an inequality join is a broadcast-nested-loop
+(or a row-exploding range join) and each feature adds a shuffle. We
+instead UNION label and feature rows on (entity, ts) and run ONE window
+pass with ``last(value_i, ignorenulls=True)`` over
+``rowsBetween(unboundedPreceding, currentRow)``: every feature value is
+carried forward to the label rows that follow it in (ts, is_label, ord)
+order. N features against one label = ONE shuffle + sort, independent of
+N (one pass per distinct entity join-key for multi-entity labels). This
+is the standard scalable as-of join formulation (same shape Spark itself
+uses for stream-stream interval joins).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# label-without-timestamp sentinel: evaluate features "as of +infinity"
+MAX_TS = "9999-12-31 23:59:59"
+EPOCH0 = "1970-01-01 00:00:00"
+
+
+@dataclass
+class FeatureInput:
+    """One feature table entering the PIT join."""
+
+    name: str                      # output column name
+    df: DataFrame = None
+    entity_col: str = "entity"
+    value_col: str = "value"
+    ts_col: str | None = None
+    lag_seconds: float = 0.0       # J6: feature.ts + lag <= label.ts
+    order_col: str | None = None   # ingestion index for last-write-wins
+    label_entity_col: str | None = None  # J10: which label column to join on
+
+
+def _ts_expr(ts_col: str | None, default: str) -> Column:
+    if ts_col is None:
+        return F.lit(default).cast("timestamp")
+    return F.coalesce(F.col(ts_col).cast("timestamp"), F.lit(default).cast("timestamp"))
+
+
+def point_in_time_join(
+    label: DataFrame,
+    features: list[FeatureInput],
+    label_entity_col: str = "entity",
+    label_value_col: str = "value",
+    label_ts_col: str | None = None,
+    label_cols: list[str] | None = None,
+    out_entity: str = "entity",
+    out_label: str = "label",
+    out_ts: str = "label_ts",
+    dedup: bool = False,
+    sort_by_ts: bool = False,
+) -> DataFrame:
+    """As-of join N feature tables against a label table.
+
+    Returns (entity, <feature_1..N>, label[, label_ts][, extra label_cols]).
+    ``dedup`` collapses duplicate (entity, label, label_ts) output rows like
+    the reference's training-set window (provider/spark.go:233-246).
+    """
+    extra = list(label_cols or [])
+
+    # ---- label side: one row per output row -------------------------------
+    label_ts = _ts_expr(label_ts_col, MAX_TS)
+    out_ts_expr = (
+        F.col(label_ts_col).cast("timestamp") if label_ts_col else F.lit(None).cast("timestamp")
+    )
+    current = label.select(
+        F.col(label_entity_col).alias(out_entity),
+        *[F.col(c) for c in extra],
+        F.col(label_value_col).alias(out_label),
+        out_ts_expr.alias(out_ts),
+        label_ts.alias("_ts"),
+        F.lit(1).alias("_is_label"),
+        F.lit(None).cast("long").alias("_ord"),
+        *[
+            F.col(f.label_entity_col).alias(f"_join_{f.label_entity_col}")
+            for f in features
+            if f.label_entity_col and f.label_entity_col != label_entity_col
+        ],
+    )
+
+    # group features by the label column they join on (J10); each group is
+    # one union+window pass that carries previously-computed columns through
+    groups: dict[str, list[FeatureInput]] = {}
+    for f in features:
+        key = f.label_entity_col or label_entity_col
+        groups.setdefault(key, []).append(f)
+
+    done_cols: list[str] = []
+    for join_col, group in groups.items():
+        part_key = (
+            out_entity if join_col == label_entity_col else f"_join_{join_col}"
+        )
+        current = _asof_pass(current, group, part_key, out_entity, out_label, out_ts, extra, done_cols)
+        done_cols.extend(f.name for f in group)
+
+    result = current.select(
+        out_entity,
+        *extra,
+        *[f.name for f in features],
+        out_label,
+        *([out_ts] if label_ts_col else []),
+    )
+    if dedup:
+        result = result.dropDuplicates()
+    if sort_by_ts and label_ts_col:
+        result = result.orderBy(out_ts)
+    return result
+
+
+def _asof_pass(
+    current: DataFrame,
+    group: list[FeatureInput],
+    part_key: str,
+    out_entity: str,
+    out_label: str,
+    out_ts: str,
+    extra: list[str],
+    done_cols: list[str],
+) -> DataFrame:
+    """One union+window pass computing the columns for ``group``."""
+    carry = [c for c in current.columns if c not in {"_ts", "_is_label", "_ord"}]
+    new_names = [f.name for f in group]
+
+    label_part = current.select(
+        *[F.col(c) for c in carry],
+        F.col("_ts"),
+        F.col("_is_label"),
+        F.col("_ord"),
+        *[F.lit(None).alias(n) for n in new_names],
+    )
+
+    parts = [label_part]
+    for f in group:
+        ord_expr = (
+            F.col(f.order_col).cast("long")
+            if f.order_col is not None
+            else F.monotonically_increasing_id()
+        )
+        fts = _ts_expr(f.ts_col, EPOCH0)
+        if f.lag_seconds:
+            # shift the feature's effective time forward: it becomes
+            # visible to labels only once label_ts >= ts + lag
+            fts = fts + F.expr(f"INTERVAL {f.lag_seconds} SECONDS")
+        fpart = f.df.filter(F.col(f.entity_col).isNotNull()).select(
+            F.col(f.entity_col).alias(part_key),
+            *[F.lit(None).cast(current.schema[c].dataType).alias(c) for c in carry if c != part_key],
+            fts.alias("_ts"),
+            F.lit(0).alias("_is_label"),
+            ord_expr.alias("_ord"),
+            *[
+                (F.col(f.value_col) if g is f else F.lit(None)).alias(g.name)
+                for g in group
+            ],
+        )
+        parts.append(fpart)
+
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+
+    # order: time asc; at equal ts features (0) before labels (1) → `<=`
+    # inclusive; among equal-ts feature rows the highest ord wins last()
+    w = (
+        Window.partitionBy(part_key)
+        .orderBy(F.col("_ts").asc(), F.col("_is_label").asc(), F.col("_ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in carry],
+        "_ts",
+        "_is_label",
+        "_ord",
+        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in new_names],
+    )
+    return filled.filter(F.col("_is_label") == 1)

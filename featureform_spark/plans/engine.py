@@ -1,0 +1,120 @@
+"""Engine: resolves registry resources into DataFrames and runs the
+generated query patterns over them.
+
+This collapses the reference's coordinator→provider→spark-submit pipeline
+(SURVEY §3: client/apply → coordinator tasks → SparkExecutor → runner)
+into direct in-process calls on one SparkSession. Transformations resolve
+recursively (a transformation can be the input of another — the reference's
+chained-transformation tests, provider/offline_test.go:2882).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from featureform_spark.operators.batch_features import batch_features
+from featureform_spark.operators.materialize import materialize_latest
+from featureform_spark.operators.training_set import FeatureInput, point_in_time_join
+from featureform_spark.plans.templates import substitute_template
+from featureform_spark.registry import (
+    FeatureVariant,
+    LabelVariant,
+    LagFeature,
+    Registry,
+    SourceVariant,
+    TrainingSetVariant,
+)
+from featureform_spark.sources.readers import read_location
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, registry: Registry | None = None):
+        self.spark = spark
+        self.registry = registry or Registry()
+        self._cache: dict[str, DataFrame] = {}
+
+    # -- source resolution ---------------------------------------------------
+
+    def source_df(self, ref: str) -> DataFrame:
+        """Resolve ``name.variant`` to a DataFrame (recursively for
+        transformations). Results are cached per engine instance: the plan
+        (not the data) is reused, so Catalyst still sees one tree."""
+        if ref in self._cache:
+            return self._cache[ref]
+        src = self.registry.get("source", ref)
+        assert isinstance(src, SourceVariant)
+        df = self._resolve_source(src)
+        self._cache[ref] = df
+        return df
+
+    def _resolve_source(self, src: SourceVariant) -> DataFrame:
+        if src.location is not None:
+            return read_location(self.spark, src.location, self.registry)
+        if src.sql is not None:
+            sql, refs = substitute_template(src.sql)
+            for i, ref in enumerate(refs):
+                self.source_df(ref).createOrReplaceTempView(f"source_{i}")
+            out = self.spark.sql(sql)
+            _validate_output(out)
+            return out
+        if src.fn_name is not None:
+            fn = self.registry.function(src.fn_name)
+            inputs = [self.source_df(ref) for ref in src.inputs]
+            out = fn(*inputs)
+            _validate_output(out)
+            return out
+        raise ValueError(f"source {src.name}.{src.variant} has no location/sql/fn")
+
+    # -- generated query patterns --------------------------------------------
+
+    def materialize(self, feature_ref: str) -> DataFrame:
+        feat = self.registry.get("feature", feature_ref)
+        assert isinstance(feat, FeatureVariant)
+        df = self.source_df(feat.source)
+        return materialize_latest(
+            df, feat.entity_column, feat.value_column, feat.timestamp_column
+        )
+
+    def _feature_input(self, ref: str, lag: LagFeature | None = None) -> FeatureInput:
+        feat = self.registry.get("feature", ref)
+        assert isinstance(feat, FeatureVariant)
+        name = lag.column_name() if lag else ref.replace(".", "_")
+        return FeatureInput(
+            name=name,
+            df=self.source_df(feat.source),
+            entity_col=feat.entity_column,
+            value_col=feat.value_column,
+            ts_col=feat.timestamp_column,
+            lag_seconds=lag.lag_seconds if lag else 0.0,
+        )
+
+    def training_set(self, ts_ref: str, dedup: bool = True, sort_by_ts: bool = False) -> DataFrame:
+        ts = self.registry.get("training_set", ts_ref)
+        assert isinstance(ts, TrainingSetVariant)
+        label = self.registry.get("label", ts.label)
+        assert isinstance(label, LabelVariant)
+        inputs = [self._feature_input(ref) for ref in ts.features]
+        for lag_dict in ts.lag_features:
+            lag = LagFeature(**lag_dict)
+            inputs.append(self._feature_input(lag.feature, lag))
+        return point_in_time_join(
+            self.source_df(label.source),
+            inputs,
+            label_entity_col=label.entity_column,
+            label_value_col=label.value_column,
+            label_ts_col=label.timestamp_column,
+            dedup=dedup,
+            sort_by_ts=sort_by_ts,
+        )
+
+    def batch_features(self, feature_refs: Iterable[str]) -> DataFrame:
+        mats = {ref.replace(".", "_"): self.materialize(ref) for ref in feature_refs}
+        return batch_features(mats)
+
+
+def _validate_output(df) -> None:
+    """P3: a transformation must return a non-None DataFrame."""
+    if df is None or not isinstance(df, DataFrame):
+        raise TypeError(f"transformation must return a DataFrame, got {type(df)}")

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target local[N] testing but the knobs are the ones that matter on
+a real cluster too: AQE for runtime re-planning (skew joins, partition
+coalescing), Arrow for any pandas exchange, UTC session time zone so
+timestamp semantics are stable across engines (the DuckDB oracle runs
+naive/UTC timestamps).
+
+Unlike the reference runner (offline_store_spark_runner.py:1420-1433) we
+keep the vectorized Parquet reader ON and standardize on Spark's native
+TimestampType end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # read TIMESTAMP(NANOS) parquet as long; loaders convert to µs
+    # timestamps (same truncation DuckDB applies), see sources/testdata.py
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
+
+def get_spark(
+    app_name: str = "featureform_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count: at local[32]
+    with test-scale data a 200-partition shuffle is pure overhead, while on
+    a real cluster callers pass an explicit value (or rely on AQE
+    coalescing to shrink oversized shuffles).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = SparkSession.builder.master(master).appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,81 @@
+"""Sinks: timestamped directory versioning + file/catalog writers.
+
+Reproduces the reference's artifact versioning (S9:
+offline_store_spark_runner.py:896-909 writes to
+``outdir/YYYY-MM-DD-HH-MM-SS-ffffff``; readers pick the newest
+subdirectory, provider/spark.go:336-345). Daily partitioned writes follow
+S13 (add date col, sortWithinPartitions(ts), partitionBy(date)).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_VERSION_RE = re.compile(r"^\d{4}-\d{2}-\d{2}-\d{2}-\d{2}-\d{2}-\d{6}$")
+
+
+def _version_stamp() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%d-%H-%M-%S-%f")
+
+
+def latest_version_dir(path: str) -> str:
+    """If ``path`` contains timestamped version subdirs, return the newest.
+
+    Otherwise return ``path`` unchanged (plain table dir / single file).
+    Mirrors filestore.DateTimeDirectoryGrouping newest-first resolution.
+    """
+    p = Path(path)
+    if not p.is_dir():
+        return path
+    versions = sorted(
+        (c for c in p.iterdir() if c.is_dir() and _VERSION_RE.match(c.name)),
+        key=lambda c: c.name,
+        reverse=True,
+    )
+    return str(versions[0]) if versions else path
+
+
+def write_versioned(
+    df: DataFrame,
+    outdir: str,
+    file_format: str = "parquet",
+    partition_ts_col: str | None = None,
+    headers: bool = True,
+) -> str:
+    """S9/S10/S13: write a new timestamped version dir under ``outdir``.
+
+    With ``partition_ts_col`` the output is daily-partitioned by a derived
+    ``date`` column with rows sorted by ts within each partition — this is
+    what makes downstream time-range scans partition-prunable.
+    """
+    target = str(Path(outdir) / _version_stamp())
+    write_file(df, target, file_format, partition_ts_col, headers)
+    return target
+
+
+def write_file(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    partition_ts_col: str | None = None,
+    headers: bool = True,
+) -> None:
+    if partition_ts_col:
+        df = df.withColumn("date", F.date_format(F.col(partition_ts_col), "yyyy-MM-dd"))
+        writer = df.sortWithinPartitions(partition_ts_col).write.partitionBy("date")
+    else:
+        writer = df.write
+    writer = writer.mode("overwrite")
+    if file_format == "parquet":
+        writer.parquet(path)
+    elif file_format == "csv":
+        writer.option("header", str(headers).lower()).csv(path)
+    elif file_format == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported file format: {file_format}")

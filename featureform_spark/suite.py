@@ -1,0 +1,410 @@
+"""The declared query suite: every operator exposed to the driver.
+
+Each entry pairs a Spark implementation (built on the engine's operators)
+with an equivalent ANSI-SQL oracle that DuckDB runs on the same parquet
+tables. The driver hash-compares values column-name-sorted, so every
+computed column is aliased identically on both sides, and every
+aggregation over doubles goes through DECIMAL (exact in both engines)
+before a final cast to DOUBLE — floating-point sum order can never cause
+a hash mismatch.
+
+Determinism rules used throughout:
+- ties in "latest" semantics always broken by a unique ingestion column
+  (event_id / o_orderkey);
+- any randomness (splits, minhash, LSH) is md5-based — identical hex in
+  Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featureform_spark.operators.batch_features import batch_features
+from featureform_spark.operators.materialize import materialize_latest, with_row_index, iterate_segment
+from featureform_spark.operators.split import with_split_column
+from featureform_spark.operators.training_set import FeatureInput, point_in_time_join
+from featureform_spark.sources.testdata import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — materialization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "materialize_latest",
+    """
+    SELECT entity, value, ts FROM (
+      SELECT user_id AS entity, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def materialize_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return materialize_latest(events, "user_id", "value", "ts", order_col="event_id")
+
+
+@query(
+    "materialize_no_ts",
+    """
+    SELECT entity, value, TIMESTAMP '1970-01-01 00:00:00' AS ts FROM (
+      SELECT user_id AS entity, event_type AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def materialize_no_ts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return materialize_latest(events, "user_id", "event_type", None, order_col="event_id")
+
+
+@query(
+    "segment_iteration",
+    """
+    SELECT entity, value, row_number FROM (
+      SELECT entity, value,
+             row_number() OVER (ORDER BY entity) AS row_number
+      FROM (
+        SELECT user_id AS entity, value FROM (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x WHERE rn = 1) m) t
+    WHERE row_number > 3 AND row_number <= 10
+    """,
+)
+def segment_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mat = materialize_latest(events, "user_id", "value", "ts", order_col="event_id")
+    idx = with_row_index(mat.select("entity", "value"), order_cols=["entity"])
+    return iterate_segment(idx, 3, 10)
+
+
+# ---------------------------------------------------------------------------
+# J1/J4/J5/J6 — point-in-time training sets
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+    WITH click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1),
+    err AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error') t WHERE rn = 1)
+    SELECT l.user_id AS entity,
+           c.v AS f_click,
+           er.v AS f_error,
+           l.value AS label,
+           l.ts AS label_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts
+    ASOF LEFT JOIN err er ON l.user_id = er.e AND l.ts >= er.ts
+"""
+
+
+@query("training_set_pit", _PIT_ORACLE)
+def training_set_pit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    label = events.filter(F.col("event_type") == "purchase")
+    feats = [
+        FeatureInput(
+            name=f"f_{t}",
+            df=events.filter(F.col("event_type") == t),
+            entity_col="user_id",
+            value_col="value",
+            ts_col="ts",
+            order_col="event_id",
+        )
+        for t in ("click", "error")
+    ]
+    return point_in_time_join(
+        label, feats, label_entity_col="user_id", label_value_col="value", label_ts_col="ts"
+    )
+
+
+@query(
+    "training_set_lag",
+    """
+    WITH click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1),
+    lagged AS (SELECT e, v, ts + INTERVAL 1 HOUR AS ts FROM click)
+    SELECT l.user_id AS entity,
+           c.v AS f_click,
+           g.v AS f_click_lag_3600s,
+           l.value AS label,
+           l.ts AS label_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts
+    ASOF LEFT JOIN lagged g ON l.user_id = g.e AND l.ts >= g.ts
+    """,
+)
+def training_set_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    label = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    feats = [
+        FeatureInput(
+            name="f_click", df=clicks, entity_col="user_id",
+            value_col="value", ts_col="ts", order_col="event_id",
+        ),
+        FeatureInput(
+            name="f_click_lag_3600s", df=clicks, entity_col="user_id",
+            value_col="value", ts_col="ts", order_col="event_id", lag_seconds=3600,
+        ),
+    ]
+    return point_in_time_join(
+        label, feats, label_entity_col="user_id", label_value_col="value", label_ts_col="ts"
+    )
+
+
+@query(
+    "training_set_label_no_ts",
+    """
+    WITH f AS (
+      SELECT o_custkey AS e, o_totalprice AS v FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1)
+    SELECT c.c_custkey AS entity,
+           f.v AS last_order_price,
+           c.c_acctbal AS label
+    FROM customer c LEFT JOIN f ON c.c_custkey = f.e
+    """,
+)
+def training_set_label_no_ts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    feats = [
+        FeatureInput(
+            name="last_order_price", df=orders, entity_col="o_custkey",
+            value_col="o_totalprice", ts_col="o_orderdate", order_col="o_orderkey",
+        )
+    ]
+    return point_in_time_join(
+        customer, feats, label_entity_col="c_custkey",
+        label_value_col="c_acctbal", label_ts_col=None,
+    )
+
+
+@query(
+    "training_set_feature_no_ts",
+    """
+    SELECT o.o_custkey AS entity,
+           c.c_mktsegment AS segment,
+           o.o_totalprice AS label,
+           o.o_orderdate AS label_ts
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def training_set_feature_no_ts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    feats = [
+        FeatureInput(
+            name="segment", df=customer, entity_col="c_custkey",
+            value_col="c_mktsegment", ts_col=None, order_col="c_custkey",
+        )
+    ]
+    return point_in_time_join(
+        orders, feats, label_entity_col="o_custkey",
+        label_value_col="o_totalprice", label_ts_col="o_orderdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — batch features
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "batch_features",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view', 'purchase')) t
+      WHERE rn = 1)
+    SELECT user_id AS entity,
+           max(CASE WHEN event_type = 'click' THEN value END) AS f_click,
+           max(CASE WHEN event_type = 'view' THEN value END) AS f_view,
+           max(CASE WHEN event_type = 'purchase' THEN value END) AS f_purchase
+    FROM latest GROUP BY user_id
+    """,
+)
+def batch_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mats = {
+        f"f_{t}": materialize_latest(
+            events.filter(F.col("event_type") == t),
+            "user_id", "value", "ts", order_col="event_id",
+        ).select("entity", "value")
+        for t in ("click", "view", "purchase")
+    }
+    return batch_features(mats)
+
+
+# ---------------------------------------------------------------------------
+# O4 — deterministic train/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_test_split",
+    """
+    SELECT event_id,
+           CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || '#42'), 1, 8)
+                     < '33333333'
+                THEN 1 ELSE 0 END AS is_test
+    FROM events
+    """,
+)
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return with_split_column(
+        events, ["event_id"], test_fraction=0.2, seed=42
+    ).select("event_id", "is_test")
+
+
+# ---------------------------------------------------------------------------
+# U3 — pass-through SQL transformations (user-SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "transformation_avg_order",
+    """
+    SELECT o_custkey AS user_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def transformation_avg_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("src_orders")
+    # the reference's canonical avg-per-entity transformation
+    # (client/src/featureform/register.py:562-565), decimal-exact
+    return spark.sql(
+        """
+        SELECT o_custkey AS user_id,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_spend
+        FROM src_orders GROUP BY o_custkey
+        """
+    )
+
+
+@query(
+    "transformation_daily_agg",
+    """
+    SELECT event_type,
+           CAST(ts AS DATE) AS date,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def transformation_daily_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("date")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_per_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)
