@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Three tiers, all shuffle-frugal and oracle-replicable:
+
+- **exact**: one hash-groupBy on the content fingerprint — one shuffle,
+  map-side combine; the canonical keep is min(id).
+- **MinHash + LSH**: shingle → k min-hashes → b bands → bucket join.
+  The "random permutations" are lexicographic minima of
+  ``md5(shingle || '#seed_i')`` — md5 hex strings order identically in
+  every engine, so the whole pipeline (signature, banding, candidate
+  pairs, exact-Jaccard verify) is reproducible by the DuckDB oracle.
+  Scale shape: candidate generation is a self-equi-join on band keys
+  (hash join, no n² blowup); exact verification touches only candidates.
+- **SimHash**: 32-bit fingerprint from per-token md5 hex digits — near-dup
+  buckets via exact fingerprint match (or prefix bands at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.text import tokens_expr
+
+
+def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles, space-joined (same as DuckDB
+    list_transform(range(0, len-n+1), i -> array_to_string(list_slice(w,
+    i+1, i+n), ' ')))."""
+    toks = tokens_expr(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # Spark's sequence(0, negative) counts DOWN — guard short docs to an
+    # empty shingle set (DuckDB's range() is already empty there)
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized content: one row per distinct text,
+    keeping the lowest id; ``dup_count`` = group size."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_expr(text_col, shingle_n))).alias("shingle")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): k md5-minima over the distinct shingle set.
+
+    One explode + one groupBy (k min() aggregates, map-side combined).
+    Documents with no shingles (shorter than n words) are dropped, same
+    as a null signature.
+    """
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+
+    1. signature (k minhashes) per doc;
+    2. band keys: md5 over each band's signature slice → candidate pairs
+       = docs sharing ≥1 band bucket (equi-join on band key — the scale
+       path: no pairwise comparison outside buckets);
+    3. exact shingle-set Jaccard on candidates only; keep >= threshold.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+
+    buckets = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    candidates = (
+        left.join(right, "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    shing = _exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = shing.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a_sh = shing.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b_sh = shing.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    a_sz = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    b_sz = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jacc = (
+        inter.join(a_sz, "id_a")
+        .join(b_sz, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jacc.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash fingerprint as a '0'/'1' string.
+
+    Bit j of a token = LSB of hex digit j of md5(token); fingerprint bit
+    j = sign of the ±1 sum over tokens (with multiplicity). Exploding
+    tokens once and summing 32 small ints per row keeps everything in
+    whole-stage codegen — no 32× row blowup, one groupBy.
+    """
+    assert bits <= 32
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
+    ).withColumn("h", F.md5(F.col("token")))
+    # instr() via expr: the PySpark wrapper only takes a literal needle
+    digit = lambda j: F.expr(
+        f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1"
+    )
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum((digit(j) % 2) * 2 - 1).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+    )
+    bit_str = F.concat(
+        *[
+            F.when(F.col(f"v_{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(bits)
+        ]
+    )
+    return sums.select(F.col(id_col), bit_str.alias("simhash"))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring what a vector store does (the reference serves
+Nearest() via RediSearch KNN / hnswlib, provider/redis.go:454-508):
+
+- **brute-force cosine top-k** — the exact baseline. The dot product is a
+  sequential left-fold over doubles (``F.aggregate``), bit-identical to
+  DuckDB's ``list_reduce``; top-k goes through ``orderBy().limit(k)``
+  which Spark executes as a distributed TakeOrderedAndProject (per
+  partition heap + driver merge — no global sort, no single-partition
+  window).
+- **hyperplane LSH buckets** — the scale path: 16 md5-seeded random
+  hyperplanes → 16-bit bucket signature; ANN probes only the query's
+  bucket. Hyperplane signs are Python-computed md5 constants baked into
+  the plan (and into the oracle SQL) — no RNG, no cross-engine drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic double order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float] | DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one query vector.
+
+    ``query_vec``: a Python list, or a 1-row DataFrame with ``vec_col``
+    (broadcast-joined so the plan stays fully distributed).
+    """
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if isinstance(query_vec, DataFrame):
+        q = query_vec.select(_as_double(F.col(vec_col)).alias("_q"))
+        joined = base.crossJoin(F.broadcast(q))
+    else:
+        joined = base.withColumn(
+            "_q", F.array(*[F.lit(float(x)) for x in query_vec])
+        )
+    scored = joined.select(
+        F.col(id_col), cosine_expr(F.col("_v"), F.col("_q")).alias("score")
+    )
+    # TakeOrderedAndProject: per-partition heaps, no global sort
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — reproducible anywhere."""
+    planes = []
+    for p in range(num_planes):
+        hex_chars = ""
+        blk = 0
+        while len(hex_chars) < dim:
+            hex_chars += hashlib.md5(f"plane-{p}-{blk}".encode()).hexdigest()
+            blk += 1
+        planes.append(
+            [1.0 if int(c, 16) % 2 == 1 else -1.0 for c in hex_chars[:dim]]
+        )
+    return planes
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign each vector a bit-string bucket from hyperplane signs."""
+    signs = hyperplane_signs(num_planes, dim)
+    v = _as_double(F.col(vec_col))
+    bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(s) for s in signs[p]])
+        proj = dot_expr(v, plane)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.concat(*bits).alias(out_col))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At scale the bucket column is a partition/cluster key, so the probe
+    prunes to ~1/2^planes of the data before any scoring.
+    """
+    dim = len(query_vec)
+    buckets = hyperplane_lsh_buckets(df, dim, num_planes, id_col, vec_col)
+    signs = hyperplane_signs(num_planes, dim)
+    qbits = "".join(
+        "1" if sum(s * x for s, x in zip(plane, query_vec)) >= 0 else "0"
+        for plane in signs
+    )
+    candidates = df.join(
+        buckets.filter(F.col("bucket") == qbits).select(id_col), id_col
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

@@ -1,0 +1,117 @@
+"""Text analysis for training-data pipelines: token stats, quality
+scoring, language ID, document fingerprinting.
+
+All expressions are JVM-side built-ins (split/filter/transform/md5 —
+whole-stage-codegen'd, no Python UDFs), so these run at full scan speed
+over 100 TB of documents. Every operator is deterministic and
+SQL-expressible so the DuckDB oracle can replicate it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small marker-word lists for the n-gram/stopword language heuristic.
+# Plain Python constants: the suite bakes the same literals into the
+# oracle SQL, so both engines score identically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in", "it")
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Whitespace tokens, empties dropped (same as DuckDB
+    list_filter(string_split(text, ' '), x -> x <> ''))."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_expr(text_col))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring stats per document.
+
+    n_tokens, distinct tokens, char length, avg token length, stopword
+    ratio, and a quality score in [0, 1] combining them (deterministic
+    double arithmetic — identical in any engine).
+    """
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    # chars in tokens / token count (spaces removed the same way both sides)
+    avg_token_len = (
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens.cast("double")
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / n_tokens.cast("double")
+    )
+    diversity = n_distinct.cast("double") / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + diversity * F.lit(0.4)
+        + stop_ratio * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_chars.alias("n_chars_actual"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Marker-word language heuristic: per-language hit counts over
+    tokens (with multiplicity); argmax with fixed precedence order.
+
+    Emits per-language scores plus ``lang_pred`` ('und' when no marker
+    hits at all).
+    """
+    markers = markers or LANG_MARKERS
+    toks = tokens_expr(text_col)
+
+    def _score(words: tuple[str, ...]):
+        # single-arg lambda: a 2-arg one would be treated as (elem, idx)
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    scores = {lang: _score(words) for lang, words in markers.items()}
+    langs = list(markers)
+    # fixed precedence: first language in dict order wins ties
+    pred = F.lit("und")
+    best = F.lit(-1).cast("long")
+    for lang in langs:
+        better = scores[lang] > best
+        pred = F.when(better & (scores[lang] > 0), F.lit(lang)).otherwise(pred)
+        best = F.when(better, scores[lang]).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic content fingerprint: md5 of the normalized text."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+    )

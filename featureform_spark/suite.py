@@ -403,8 +403,15 @@ def revenue_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
+    _load_extensions()
     return dict(ORACLES)
+
+
+def _load_extensions() -> None:
+    """Import sibling suites (they self-register via @query)."""
+    import featureform_spark.suite_llm  # noqa: F401

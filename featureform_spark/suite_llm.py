@@ -1,0 +1,279 @@
+"""LLM-training-data suite entries: dedup, text analysis, similarity.
+
+Oracle SQL is generated programmatically so the md5-based determinism
+tricks (lexicographic min-md5 minhash, md5-hex-digit simhash bits,
+Python-precomputed hyperplane signs, list_prepend(0.0) to mirror Spark's
+fold init) stay in exact lockstep with the Spark implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash,
+)
+from featureform_spark.functions.similarity import (
+    cosine_topk,
+    hyperplane_lsh_buckets,
+    hyperplane_signs,
+)
+from featureform_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    text_stats,
+)
+from featureform_spark.sources.testdata import load_table
+from featureform_spark.suite import query
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sql_in(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+           length(text)::BIGINT AS n_chars_actual,
+           length(replace(text, ' ', ''))::DOUBLE / len(toks)::DOUBLE AS avg_token_len,
+           len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS)})))::DOUBLE
+               / len(toks)::DOUBLE AS stopword_ratio,
+           least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+             + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 0.4
+             + (len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS)})))::DOUBLE
+                / len(toks)::DOUBLE) * 0.2 AS quality_score
+    FROM t
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    scores = ",\n           ".join(
+        f"len(list_filter(toks, x -> x IN ({_sql_in(LANG_MARKERS[l])})))::BIGINT AS score_{l}"
+        for l in langs
+    )
+    # same precedence as the Spark loop: earlier language wins ties,
+    # later language needs strictly greater score
+    cases = []
+    for i, l in enumerate(langs):
+        conds = [f"score_{l} > 0"]
+        conds += [f"score_{l} > score_{p}" for p in langs[:i]]
+        conds += [f"score_{l} >= score_{n}" for n in langs[i + 1 :]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+           {scores}
+    FROM t)
+    SELECT doc_id, {', '.join(f'score_{l}' for l in langs)}, {case_sql} AS lang_pred
+    FROM s
+    """
+
+
+@query("lang_id", _lang_id_oracle())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLES_CTE = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle
+      FROM t)
+"""
+
+_NUM_HASHES = 16
+# 8 bands × 2 rows: LSH s-curve threshold ≈ (1/8)^(1/2) ≈ 0.35 — right for
+# near-dup detection; 4×4 misses ~18% of 0.77-Jaccard pairs
+_BANDS = 8
+
+
+def _sig_cols() -> str:
+    return ",\n             ".join(
+        f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(_NUM_HASHES)
+    )
+
+
+@query(
+    "minhash_signature",
+    f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_id,
+             {_sig_cols()}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs_oracle(threshold: float) -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_exprs = []
+    for b in range(_BANDS):
+        parts = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_exprs.append(f"'{b}:' || md5({parts})")
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    buckets AS (SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bucket FROM sig),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE >= {threshold}
+    """
+
+
+@query("minhash_lsh_dedup", _minhash_pairs_oracle(0.2))
+def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ",\n             ".join(
+        f"SUM(((instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) % 2) * 2 - 1) AS v_{j}"
+        for j in range(bits)
+    )
+    concat = " || ".join(
+        f"(CASE WHEN v_{j} >= 0 THEN '1' ELSE '0' END)" for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    h AS (SELECT doc_id, md5(token) AS h FROM tok),
+    s AS (SELECT doc_id,
+             {sums}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, {concat} AS simhash FROM s
+    """
+
+
+@query("simhash_dedup", _simhash_oracle())
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+# fold shapes mirror Spark's F.aggregate(..., 0.0, (a,x) -> a+x) exactly:
+# list_prepend(0.0, products) makes DuckDB's no-init list_reduce identical
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}), "
+    "i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _topk_oracle(k: int = 10) -> str:
+    dot = _DOT.format(n=_DIM + 1, a="v", b="qv")
+    nv = _NORM.format(a="v")
+    nq = _NORM.format(a="qv")
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id,
+             {dot} / ({nv} * {nq}) AS score
+      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings) e, q)
+    SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@query("embedding_topk", _topk_oracle())
+def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return cosine_topk(emb, qdf, k=10)
+
+
+def _lsh_bucket_oracle(num_planes: int = 16) -> str:
+    signs = hyperplane_signs(num_planes, _DIM)
+    bits = []
+    for p in range(num_planes):
+        arr = "[" + ", ".join(f"{s:.1f}" for s in signs[p]) + "]"
+        proj = _DOT.format(n=_DIM + 1, a="v", b=f"{arr}")
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    concat = " || ".join(bits)
+    return f"""
+    SELECT vec_id, {concat} AS bucket
+    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings) e
+    """
+
+
+@query("embedding_lsh_buckets", _lsh_bucket_oracle())
+def embedding_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hyperplane_lsh_buckets(
+        load_table(spark, sf_dir, "embeddings"), dim=_DIM, num_planes=16
+    )

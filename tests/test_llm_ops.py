@@ -1,0 +1,114 @@
+"""Behavioral tests for the LLM-data-pipeline operators: planted
+duplicates must be found, distinct content must not collide."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash,
+)
+from featureform_spark.functions.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+)
+from featureform_spark.functions.text import language_id, text_stats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+OTHER = (
+    "completely different content about spark execution engines and "
+    "distributed shuffle strategies for petabyte scale analytics jobs"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact_groups_identical(spark, docs):
+    out = dedup_exact(docs).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 3 identical, keep min id
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
+    }
+    assert pairs[(0, 3)] == 1.0          # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # near dup
+    assert not any(2 in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(spark, docs):
+    sigs = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(16))
+            for r in minhash_signature(docs).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[0] == fps[3]
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(fps[0], fps[1]) <= 6      # near dup → close fingerprints
+    assert ham(fps[0], fps[2]) > 6       # distinct → far
+
+
+def test_cosine_topk_self_first(spark):
+    vecs = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, [1.0, 0, 0, 0, 0, 0, 0, 0.1], k=3).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["score"] > 0.9
+
+
+def test_lsh_bucket_groups_similar(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    perturbed = [x + rng.gauss(0, 0.01) for x in base]
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, perturbed), (2, far)],
+        "vec_id long, embedding array<float>",
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in
+               hyperplane_lsh_buckets(df, dim=16, num_planes=8).collect()}
+    assert buckets[0] == buckets[1]
+    assert buckets[0] != buckets[2]
+    ann = ann_topk_lsh(df, base, k=2, num_planes=8)
+    got = [r["vec_id"] for r in ann.collect()]
+    assert got[0] == 0 and 2 not in got
+
+
+def test_text_stats_ranges(spark, docs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    for r in out.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_distinct_tokens"] <= r["n_tokens"]
+    assert out[0]["stopword_ratio"] > out[2]["stopword_ratio"]
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is of the house and it is big"),
+         (1, "el gato es de la casa y es grande"),
+         (2, "xyzzy plugh qwerty")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "und"
