@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery (schemas, batch iteration, partition-parallel
+decode fan-out) is real and tested; the actual media decode is stubbed —
+the codec libraries aren't in this container — behind ``decoder=``
+hooks. ``deterministic_fake_decoder`` stands in for tests: it derives
+stable pseudo-content from the bytes so downstream feature extraction is
+verifiable. Swap in a real decoder (PIL/ffmpeg) without touching the
+Spark plumbing.
+
+Byte-level feature extraction (size, entropy-ish histogram stats,
+content hash) is real — computed vectorized over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def real_decoder(content: bytes, media_type: str) -> tuple[int, int]:
+    """Decode media and return (width, height) — NOT IMPLEMENTED here:
+    media codecs (PIL / ffmpeg) are not available in this container.
+    """
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this "
+        "container; inject deterministic_fake_decoder or a real decoder"
+    )
+
+
+def deterministic_fake_decoder(content: bytes, media_type: str) -> tuple[int, int]:
+    """Stable fake 'decode': dimensions derived from a content hash."""
+    h = hashlib.md5(content).digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def extract_media_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], tuple[int, int]] = real_decoder,
+) -> DataFrame:
+    """Per-media features via mapInPandas (Arrow batches, partition
+    parallel). Byte stats are real; width/height come from ``decoder``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_hash": pdf["content"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "byte_mean": pdf["content"].map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                }
+            )
+            dims = [
+                decoder(c, t)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            out["width"] = pd.Series([d[0] for d in dims], dtype="int32")
+            out["height"] = pd.Series([d[1] for d in dims], dtype="int32")
+            yield out
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    index. Frame decode itself is the stubbed step; the explode keeps
+    per-frame work partition-parallel downstream."""
+    n_frames = (F.length(F.col("content")) / 1024).cast("int") + 1  # fake frame count
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("frame_index"),
+    )

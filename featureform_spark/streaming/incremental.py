@@ -1,0 +1,160 @@
+"""Incremental + streaming refresh of materializations.
+
+The reference's "streaming" is incremental batch: Delta CDF reads since
+the last processed version (S5, offline_store_spark_runner.py:1076-1136)
+plus Kafka-fed feature tables upserted per batch (ST1). This module
+expresses both as Structured Streaming over files — the same shape as a
+Kafka source (swap ``readStream.format``), using ``Trigger.AvailableNow``
+for catch-up-then-stop semantics and ``foreachBatch`` for the merge.
+
+The merge itself re-uses ``materialize_latest`` over (previous snapshot ∪
+new rows): last-write-wins is carried by an explicit ingestion index, so
+replays and out-of-order arrivals converge to the same snapshot — the
+CDF-overwrite-detection problem the reference solves by rejecting
+non-append writes is sidestepped by idempotent recompute per key.
+
+Net-new beyond the reference (SURVEY §2.7 notes it has no watermarks or
+event-time windows): ``windowed_aggregate`` adds tumbling/sliding
+event-time aggregation with late-data watermarks — free capability on
+Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featureform_spark.operators.materialize import materialize_latest
+
+
+class IncrementalMaterializer:
+    """Keeps a latest-per-entity snapshot up to date from a growing
+    file directory (stand-in for a Delta CDF / Kafka feed).
+
+    ``refresh()`` runs one AvailableNow pass: new files since the last
+    checkpoint are folded into the snapshot. State (checkpoint +
+    snapshot) lives under ``work_dir``; re-running after a crash is
+    safe because the fold is idempotent per (entity, ts, ord).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        work_dir: str,
+        schema: str,
+        entity_col: str,
+        value_col: str,
+        ts_col: str | None = None,
+        order_col: str | None = None,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.work = Path(work_dir)
+        self.schema = schema
+        self.entity_col = entity_col
+        self.value_col = value_col
+        self.ts_col = ts_col
+        self.order_col = order_col
+        self._snapshot_dir = str(self.work / "snapshot")
+        self._checkpoint_dir = str(self.work / "checkpoint")
+
+    def snapshot(self) -> DataFrame | None:
+        if not Path(self._snapshot_dir).exists():
+            return None
+        return self.spark.read.parquet(self._snapshot_dir)
+
+    def _merge_batch(self, batch: DataFrame, _batch_id: int) -> None:
+        new_mat = materialize_latest(
+            batch, self.entity_col, self.value_col, self.ts_col, self.order_col
+        )
+        prev = self.snapshot()
+        if prev is not None:
+            # previous snapshot rows carry ord=-1 so genuinely newer
+            # (ts, ord) inputs win; equal-ts re-delivery keeps the new row
+            merged = materialize_latest(
+                prev.select("entity", "value", "ts", F.lit(-1).cast("long").alias("_o"))
+                .unionByName(
+                    new_mat.select(
+                        "entity", "value", "ts", F.lit(0).cast("long").alias("_o")
+                    )
+                ),
+                "entity",
+                "value",
+                "ts",
+                "_o",
+            )
+        else:
+            merged = new_mat
+        tmp = str(self.work / "snapshot_next")
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self._snapshot_dir)
+
+    def refresh(self) -> None:
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(self.source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", self._checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def stream_materialize(
+    stream_df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    ts_col: str,
+    queryName: str = "feature_mat",
+):
+    """ST1: continuous latest-per-entity feature table from a stream.
+
+    Complete-mode in-memory sink keyed by entity (max_by keeps the
+    newest value) — the foreachBatch/Delta-MERGE shape without needing a
+    table format in the test container.
+    """
+    agg = stream_df.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.max_by(F.col(value_col), F.col(ts_col)).alias("value"),
+        F.max(F.col(ts_col)).alias("ts"),
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+
+
+def windowed_aggregate(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+    agg_value_col: str | None = None,
+):
+    """Event-time tumbling/sliding window aggregation with a watermark.
+
+    Returns a DataFrame (streaming or batch — same expression works on
+    both, which is how the suite oracle-checks the batch equivalent).
+    """
+    wm = stream_df.withWatermark(ts_col, watermark) if stream_df.isStreaming else stream_df
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    keys = [win.alias("window")] + [F.col(c) for c in (group_cols or [])]
+    aggs = [F.count("*").alias("n")]
+    if agg_value_col:
+        aggs.append(
+            F.sum(F.col(agg_value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return wm.groupBy(*keys).agg(*aggs)

@@ -402,6 +402,31 @@ def revenue_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_agg_hourly",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS window_start,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def window_agg_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window agg — the same expression runs on a
+    stream with a watermark (tests/test_streaming.py); here it's checked
+    in batch mode against the oracle."""
+    from featureform_spark.streaming.incremental import windowed_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_aggregate(
+        events, "ts", "1 hour", group_cols=["event_type"], agg_value_col="value"
+    )
+    return out.select(
+        "event_type", F.col("window.start").alias("window_start"), "n", "total_value"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return dict(QUERIES)

@@ -1,0 +1,50 @@
+"""Multimodal binary-column plumbing (decode stubbed, plumbing real)."""
+
+import hashlib
+
+import pytest
+
+from featureform_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    deterministic_fake_decoder,
+    extract_media_features,
+    frame_sample_plan,
+    real_decoder,
+)
+
+
+def media_df(spark):
+    rows = [
+        (0, b"\x89PNG fake image bytes", "image", {"src": "cam1"}),
+        (1, b"RIFF fake audio bytes padded", "audio", {"src": "mic"}),
+        (2, b"\x00\x00\x01\xba fake video" * 300, "video", {}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"x", "image")
+
+
+def test_extract_features_fake_decoder(spark):
+    df = media_df(spark)
+    out = {r["media_id"]: r for r in
+           extract_media_features(df, deterministic_fake_decoder).collect()}
+    assert out[0]["n_bytes"] == len(b"\x89PNG fake image bytes")
+    assert out[0]["content_hash"] == hashlib.md5(b"\x89PNG fake image bytes").hexdigest()
+    # fake decoder is deterministic: same content → same dims across runs
+    w, h = deterministic_fake_decoder(b"\x89PNG fake image bytes", "image")
+    assert (out[0]["width"], out[0]["height"]) == (w, h)
+    assert 0.0 < out[1]["byte_mean"] < 255.0
+
+
+def test_frame_sample_plan_explodes(spark):
+    df = media_df(spark)
+    frames = frame_sample_plan(df, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert by_id[0] == [0]                       # tiny file → 1 frame
+    assert by_id[2][0] == 0 and len(by_id[2]) > 1  # video → multiple sampled frames
+    assert all(i % 2 == 0 for i in by_id[2])

@@ -1,0 +1,111 @@
+"""Incremental + streaming materialization."""
+
+import time
+from datetime import datetime
+
+import pytest
+
+from featureform_spark.streaming.incremental import (
+    IncrementalMaterializer,
+    stream_materialize,
+    windowed_aggregate,
+)
+
+SCHEMA = "entity string, value double, ts timestamp, ord long"
+
+
+def t(day):
+    return datetime(2024, 1, day)
+
+
+def test_incremental_materializer_folds_new_files(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    inc = IncrementalMaterializer(
+        spark, str(src), str(tmp_path / "work"), SCHEMA,
+        "entity", "value", "ts", "ord",
+    )
+
+    batch1 = spark.createDataFrame(
+        [("a", 1.0, t(1), 0), ("b", 2.0, t(1), 1)], SCHEMA
+    )
+    batch1.write.mode("append").parquet(str(src))
+    inc.refresh()
+    snap = {r["entity"]: r["value"] for r in inc.snapshot().collect()}
+    assert snap == {"a": 1.0, "b": 2.0}
+
+    # new file: a updated (later ts), c added; b untouched
+    batch2 = spark.createDataFrame(
+        [("a", 9.0, t(5), 2), ("c", 3.0, t(2), 3)], SCHEMA
+    )
+    batch2.write.mode("append").parquet(str(src))
+    inc.refresh()
+    snap = {r["entity"]: r["value"] for r in inc.snapshot().collect()}
+    assert snap == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+    # out-of-order late arrival must NOT override the newer value
+    batch3 = spark.createDataFrame([("a", 0.5, t(2), 4)], SCHEMA)
+    batch3.write.mode("append").parquet(str(src))
+    inc.refresh()
+    snap = {r["entity"]: r["value"] for r in inc.snapshot().collect()}
+    assert snap["a"] == 9.0
+
+
+def test_stream_materialize_rate_source(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .selectExpr("CAST(value % 3 AS STRING) AS entity", "CAST(value AS DOUBLE) AS v", "timestamp AS ts")
+    )
+    q = stream_materialize(stream, "entity", "v", "ts", queryName="mat_test")
+    try:
+        deadline = time.time() + 30
+        rows = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = {r["entity"]: r["value"] for r in spark.sql("SELECT * FROM mat_test").collect()}
+            if len(rows) == 3:
+                break
+            time.sleep(0.5)
+        assert len(rows) == 3
+        # latest value per entity ≡ max(value) for a monotonically increasing stream
+        got = spark.sql("SELECT max(value) AS m FROM mat_test").collect()[0]["m"]
+        assert got == max(rows.values())
+    finally:
+        q.stop()
+
+
+def test_windowed_aggregate_batch_equivalence(spark):
+    df = spark.createDataFrame(
+        [("click", datetime(2024, 1, 1, 0, 10), 1.0),
+         ("click", datetime(2024, 1, 1, 0, 50), 2.0),
+         ("click", datetime(2024, 1, 1, 1, 10), 4.0),
+         ("view", datetime(2024, 1, 1, 0, 20), 8.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    out = windowed_aggregate(df, "ts", "1 hour", group_cols=["event_type"], agg_value_col="value")
+    rows = {(r["event_type"], r["window"]["start"].hour): (r["n"], r["total_value"])
+            for r in out.collect()}
+    assert rows[("click", 0)] == (2, 3.0)
+    assert rows[("click", 1)] == (1, 4.0)
+    assert rows[("view", 0)] == (1, 8.0)
+
+
+def test_windowed_aggregate_streaming_with_watermark(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("click", datetime(2024, 1, 1, 0, 10), 1.0),
+         ("click", datetime(2024, 1, 1, 2, 10), 2.0)],
+        "event_type string, ts timestamp, value double",
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(str(src))
+    agg = windowed_aggregate(stream, "ts", "1 hour", watermark="30 minutes",
+                             group_cols=["event_type"], agg_value_col="value")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_test").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT count(*) AS n FROM win_test").collect()[0]["n"]
+    assert rows == 2
