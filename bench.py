@@ -27,6 +27,10 @@ def main() -> None:
 
     spark = get_spark("featureform_spark_bench")
 
+    # warm up the JVM + parquet reader so the first query isn't charged
+    # for session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     queries = all_queries()
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):

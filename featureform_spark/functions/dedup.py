@@ -55,7 +55,11 @@ def dedup_exact(
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    return df.select(
+    # spread docs across all cores BEFORE the explode: a doc corpus often
+    # arrives as few dense files (locally: one partition), and the
+    # shingle×hash work downstream is ~100× the cost of shuffling the raw
+    # text — without this the whole pipeline runs single-threaded
+    return df.repartition(F.col(id_col)).select(
         F.col(id_col), F.explode(F.array_distinct(shingles_expr(text_col, shingle_n))).alias("shingle")
     )
 
@@ -64,7 +68,7 @@ def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 16,
+    num_hashes: int = 24,
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): k md5-minima over the distinct shingle set.
@@ -85,7 +89,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 16,
+    num_hashes: int = 24,
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
@@ -99,9 +103,26 @@ def minhash_lsh_pairs(
     3. exact shingle-set Jaccard on candidates only; keep >= threshold.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Banding defaults (24 hashes, 8 bands × 3 rows → s-curve threshold
+    ≈ 0.5): corpora with a shared small vocabulary have baseline pair
+    similarity ~0.04, and r=2 bands would admit ~j² · pairs false
+    candidates — the verify join, not the signatures, is what explodes.
+    r=3 keeps the candidate rate at j=0.04 near 8·6e-5 while missing
+    <1% of true 0.77-Jaccard near-dups.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    # the exploded shingle set feeds the signature, both sides of the
+    # verify join, and the size table — persist it once instead of
+    # re-tokenizing the corpus four times (MEMORY_AND_DISK: spills, never
+    # recomputes; at cluster scale this is the difference between one
+    # corpus scan and four)
+    shing = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shing.groupBy(id_col).agg(*aggs)
 
     band_cols = []
     for b in range(bands):
@@ -128,7 +149,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shing = _exploded_shingles(df, id_col, text_col, shingle_n)
     sizes = shing.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     a_sh = shing.select(F.col(id_col).alias("id_a"), F.col("shingle"))
@@ -170,7 +190,7 @@ def simhash(
     whole-stage codegen — no 32× row blowup, one groupBy.
     """
     assert bits <= 32
-    tok = df.select(
+    tok = df.repartition(F.col(id_col)).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
     ).withColumn("h", F.md5(F.col("token")))
     # instr() via expr: the PySpark wrapper only takes a literal needle

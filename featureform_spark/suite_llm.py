@@ -132,9 +132,9 @@ _SHINGLES_CTE = f"""
       FROM t)
 """
 
-_NUM_HASHES = 16
-# 8 bands × 2 rows: LSH s-curve threshold ≈ (1/8)^(1/2) ≈ 0.35 — right for
-# near-dup detection; 4×4 misses ~18% of 0.77-Jaccard pairs
+_NUM_HASHES = 24
+# 8 bands × 3 rows: s-curve threshold ≈ 0.5; r=2 floods the verify join
+# with false candidates on shared-vocabulary corpora (see dedup.py)
 _BANDS = 8
 
 
@@ -186,10 +186,13 @@ def _minhash_pairs_oracle(threshold: float) -> str:
     """
 
 
-@query("minhash_lsh_dedup", _minhash_pairs_oracle(0.2))
+@query("minhash_lsh_dedup", _minhash_pairs_oracle(0.01))
 def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.01 ⇒ output = every LSH candidate pair with its exact
+    # Jaccard (this corpus has no true near-dups — max pair j ≈ 0.04 —
+    # so a dedup-level threshold would make the oracle compare vacuous)
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.01
     )
 
 

@@ -54,7 +54,7 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 
 def test_minhash_signature_identical_for_identical_docs(spark, docs):
-    sigs = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(16))
+    sigs = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(24))
             for r in minhash_signature(docs).collect()}
     assert sigs[0] == sigs[3]
     assert sigs[0] != sigs[2]
