@@ -403,6 +403,102 @@ def revenue_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_set_multi_entity",
+    """
+    SELECT l.l_orderkey AS order_key,
+           l.l_linenumber AS line_number,
+           s.s_acctbal AS supplier_balance,
+           p.p_retailprice AS part_price,
+           l.l_extendedprice AS label,
+           l.l_shipdate AS label_ts
+    FROM lineitem l
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def training_set_multi_entity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: label with two entity mappings — each feature joins on its
+    own label column (supplier vs part), ts-less features."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    feats = [
+        FeatureInput(
+            name="supplier_balance", df=supplier, entity_col="s_suppkey",
+            value_col="s_acctbal", ts_col=None, order_col="s_suppkey",
+            label_entity_col="l_suppkey",
+        ),
+        FeatureInput(
+            name="part_price", df=part, entity_col="p_partkey",
+            value_col="p_retailprice", ts_col=None, order_col="p_partkey",
+            label_entity_col="l_partkey",
+        ),
+    ]
+    out = point_in_time_join(
+        li, feats,
+        label_entity_col="l_orderkey",
+        label_value_col="l_extendedprice",
+        label_ts_col="l_shipdate",
+        label_cols=["l_linenumber"],
+        out_entity="order_key",
+    )
+    return out.select(
+        "order_key",
+        F.col("l_linenumber").alias("line_number"),
+        "supplier_balance",
+        "part_price",
+        "label",
+        F.col("label_ts"),
+    )
+
+
+@query(
+    "transformation_chained",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(s.total AS DECIMAL(18,4))) AS DOUBLE) AS segment_spend
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    WHERE s.n_orders >= 2
+    GROUP BY c.c_mktsegment
+    """,
+)
+def transformation_chained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 + chained transformations through the actual Registry/Engine
+    machinery (transformation-as-source-of-transformation,
+    provider/offline_test.go:2882)."""
+    from featureform_spark.plans.engine import Engine
+    from featureform_spark.registry import Registry
+
+    reg = Registry()
+    eng = Engine(spark, reg)
+    reg.register_dataframe("orders", load_table(spark, sf_dir, "orders"))
+    reg.register_dataframe("customer", load_table(spark, sf_dir, "customer"))
+    reg.register_sql_transformation(
+        "spend",
+        """SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                  count(*) AS n_orders
+           FROM {{orders}} GROUP BY o_custkey""",
+    )
+    reg.register_sql_transformation(
+        "segment_spend",
+        """SELECT c.c_mktsegment AS segment,
+                  count(*) AS n_customers,
+                  CAST(SUM(CAST(s.total AS DECIMAL(18,4))) AS DOUBLE) AS segment_spend
+           FROM {{spend}} s JOIN {{customer}} c ON s.o_custkey = c.c_custkey
+           WHERE s.n_orders >= 2
+           GROUP BY c.c_mktsegment""",
+    )
+    return eng.source_df("segment_spend.default")
+
+
+@query(
     "window_agg_hourly",
     """
     SELECT event_type,

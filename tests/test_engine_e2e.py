@@ -1,0 +1,104 @@
+"""End-to-end quickstart flow through Registry + Engine (SURVEY §7.1):
+register source → SQL transformation → feature + label → materialize →
+PIT training set → split → online serve. The reference's own quickstart
+(avg transaction amount per user) re-expressed over the events table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.plans.engine import Engine
+from featureform_spark.registry import (
+    FeatureVariant,
+    LabelVariant,
+    Registry,
+    TrainingSetVariant,
+)
+from featureform_spark.serving.dataset import Dataset
+from featureform_spark.serving.online import InMemoryOnlineStore, materialize_to_online
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    reg = Registry()
+    eng = Engine(spark, reg)
+    from featureform_spark.sources.testdata import load_table
+
+    reg.register_dataframe("events", load_table(spark, sf_dir, "events"))
+    reg.register_sql_transformation(
+        "avg_purchase",
+        """SELECT user_id, avg(value) AS avg_amt, max(ts) AS last_ts
+           FROM {{events}} WHERE event_type = 'purchase' GROUP BY user_id""",
+    )
+    reg.register(FeatureVariant(
+        name="avg_amt", source="avg_purchase.default", entity="user",
+        entity_column="user_id", value_column="avg_amt",
+        timestamp_column="last_ts",
+    ))
+    reg.register(FeatureVariant(
+        name="click_value", source="clicks.default", entity="user",
+        entity_column="user_id", value_column="value", timestamp_column="ts",
+    ))
+    reg.register_df_transformation(
+        "clicks",
+        lambda ev: ev.filter(F.col("event_type") == "click"),
+        inputs=["events.default"],
+    )
+    reg.register(LabelVariant(
+        name="purchase_label", source="events.default", entity="user",
+        entity_column="user_id", value_column="value", timestamp_column="ts",
+    ))
+    reg.register(TrainingSetVariant(
+        name="purchase_ts", label="purchase_label.default",
+        features=["avg_amt.default", "click_value.default"],
+        lag_features=[{"feature": "click_value.default", "lag_seconds": 3600.0}],
+    ))
+    return eng
+
+
+def test_transformation_resolves(engine):
+    df = engine.source_df("avg_purchase.default")
+    assert set(df.columns) == {"user_id", "avg_amt", "last_ts"}
+    assert df.count() > 0
+
+
+def test_materialize_feature(engine):
+    mat = engine.materialize("avg_amt.default")
+    assert mat.columns == ["entity", "value", "ts"]
+    # one row per entity
+    assert mat.count() == mat.select("entity").distinct().count()
+
+
+def test_training_set_with_lag(engine):
+    ts = engine.training_set("purchase_ts.default")
+    cols = ts.columns
+    assert "avg_amt_default" in cols and "click_value_default" in cols
+    assert "click_value_default_lag_3600s" in cols
+    assert "label" in cols
+    assert ts.count() > 0
+
+
+def test_batch_features_via_engine(engine):
+    bf = engine.batch_features(["avg_amt.default", "click_value.default"])
+    assert set(bf.columns) == {"entity", "avg_amt_default", "click_value_default"}
+
+
+def test_serve_flow(engine):
+    mat = engine.materialize("avg_amt.default")
+    store = InMemoryOnlineStore()
+    materialize_to_online(mat, store, "avg_amt")
+    some_entity = mat.first()["entity"]
+    assert store.get("avg_amt", some_entity) is not None
+
+    ts = engine.training_set("purchase_ts.default")
+    train, test = Dataset(ts).split(["entity", "label_ts"], 0.25, seed=3)
+    n_train = train.dataframe().count()
+    n_test = test.dataframe().count()
+    assert n_train + n_test == ts.count()
+
+
+def test_ondemand_feature(engine):
+    engine.registry.register_ondemand(
+        "price_bucket", lambda value: "high" if value > 100 else "low"
+    )
+    fn = engine.registry.function("ondemand/price_bucket.default")
+    assert fn(150.0) == "high" and fn(3.0) == "low"
