@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the scale properties that make these
+operators viable at 100 TB, locked in as tests so regressions show up as
+failures, not as cluster bills.
+
+- predicate pushdown reaches the parquet scan (PushedFilters);
+- column pruning reaches the scan (ReadSchema excludes unused cols);
+- PIT join: N features = ONE shuffle exchange (union+window), never a
+  per-feature join cascade;
+- materialization aggregates partially before its single exchange;
+- dimension joins broadcast (no shuffle of the fact side).
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from featureform_spark.operators.materialize import materialize_latest
+from featureform_spark.operators.training_set import FeatureInput, point_in_time_join
+from featureform_spark.sources.testdata import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def count_nodes(plan: str, node: str) -> int:
+    """Count physical nodes via their detail headers '(N) <node>' —
+    the tree section prints every node a second time."""
+    return len(re.findall(rf"^\(\d+\) {node}\s*$", plan, flags=re.M))
+
+
+def shuffle_exchanges(plan: str) -> int:
+    return count_nodes(plan, "Exchange")
+
+
+def test_materialize_partial_agg_single_exchange(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(materialize_latest(events, "user_id", "value", "ts", "event_id"))
+    assert shuffle_exchanges(plan) == 1
+    assert "partial_max" in plan  # map-side combine before the shuffle
+    assert "Window" not in plan   # no sort-everything window formulation
+
+
+def test_materialize_prunes_columns(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(materialize_latest(events, "user_id", "value", "ts", "event_id"))
+    scan = plan[plan.index("ReadSchema"):]
+    line = scan[: scan.index("\n")]
+    assert "event_type" not in line and "props" not in line
+
+
+def test_pit_join_one_exchange_for_n_features(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    label = events.filter(F.col("event_type") == "purchase")
+    feats = [
+        FeatureInput(
+            name=f"f_{t}",
+            df=events.filter(F.col("event_type") == t),
+            entity_col="user_id", value_col="value",
+            ts_col="ts", order_col="event_id",
+        )
+        for t in ("click", "error", "view", "signup")
+    ]
+    out = point_in_time_join(label, feats, "user_id", "value", "ts")
+    plan = plan_of(out)
+    # 4 features joined point-in-time with exactly one shuffle + one window
+    assert shuffle_exchanges(plan) == 1
+    assert count_nodes(plan, "Window") == 1
+    # filters pushed into each scan branch
+    assert plan.count("PushedFilters") >= 5
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_pit_join_pushdown_per_branch(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    label = events.filter(F.col("event_type") == "purchase")
+    feat = FeatureInput(
+        name="f", df=events.filter(F.col("event_type") == "click"),
+        entity_col="user_id", value_col="value", ts_col="ts", order_col="event_id",
+    )
+    plan = plan_of(point_in_time_join(label, [feat], "user_id", "value", "ts"))
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = plan_of(joined)
+    assert count_nodes(plan, r"BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
