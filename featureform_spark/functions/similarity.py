@@ -103,6 +103,41 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col), F.concat(*bits).alias(out_col))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    cosine_threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidates = vectors sharing an LSH bucket (equi-join — at 100 TB the
+    bucket is a clustering key and this is the only non-linear step);
+    exact cosine computed on candidates only. Output (id_a, id_b, cosine)
+    with id_a < id_b.
+    """
+    buckets = hyperplane_lsh_buckets(df, dim, num_planes, id_col, vec_col)
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).join(
+        buckets, id_col
+    )
+    left = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+    )
+    return pairs.filter(F.col("cosine") >= cosine_threshold)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

@@ -115,3 +115,20 @@ def doc_fingerprint(
         F.col(id_col),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the classic GPT-2-style split shape, restricted to constructs that RE2
+# (DuckDB) and Java regex (Spark) interpret identically
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    toks = tokens_expr(text_col)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )

@@ -113,6 +113,34 @@ class Engine:
         mats = {ref.replace(".", "_"): self.materialize(ref) for ref in feature_refs}
         return batch_features(mats)
 
+    def create_training_set(
+        self, ts_ref: str, output_dir: str | None = None
+    ) -> DataFrame:
+        """ST4: honor the training-set type (snowflake_queries.go:61-107).
+
+        - VIEW → registered temp view over the lazy plan;
+        - DYNAMIC → the lazy DataFrame itself (Spark-native "target lag
+          0": every action re-evaluates against current sources);
+        - STATIC → materialized versioned-parquet snapshot, read back.
+        """
+        ts = self.registry.get("training_set", ts_ref)
+        assert isinstance(ts, TrainingSetVariant)
+        df = self.training_set(ts_ref)
+        if ts.ts_type == "view":
+            view = f"__ff_ts_{ts.name}_{ts.variant}"
+            df.createOrReplaceTempView(view)
+            return self.spark.table(view)
+        if ts.ts_type == "dynamic":
+            return df
+        if ts.ts_type == "static":
+            if output_dir is None:
+                raise ValueError("static training set requires output_dir")
+            from featureform_spark.sources.writers import latest_version_dir, write_versioned
+
+            write_versioned(df, output_dir)
+            return self.spark.read.parquet(latest_version_dir(output_dir))
+        raise ValueError(f"unknown training-set type: {ts.ts_type}")
+
 
 def _validate_output(df) -> None:
     """P3: a transformation must return a non-None DataFrame."""

@@ -260,6 +260,57 @@ def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qdf, k=10)
 
 
+@query(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from featureform_spark.functions.text import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _bucket_case_sql(var: str, num_planes: int) -> str:
+    signs = hyperplane_signs(num_planes, _DIM)
+    bits = []
+    for p in range(num_planes):
+        arr = "[" + ", ".join(f"{s:.1f}" for s in signs[p]) + "]"
+        proj = _DOT.format(n=_DIM + 1, a=var, b=arr)
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _near_dup_oracle(num_planes: int = 8, threshold: float = 0.2) -> str:
+    dot = _DOT.format(n=_DIM + 1, a="l.v", b="r.v")
+    nl = _NORM.format(a="l.v")
+    nr = _NORM.format(a="r.v")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_case_sql('v', num_planes)} AS bucket FROM e),
+    pairs AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             {dot} / ({nl} * {nr}) AS cosine
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+    """
+
+
+@query("embedding_near_dup", _near_dup_oracle())
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from featureform_spark.functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), dim=_DIM,
+        num_planes=8, cosine_threshold=0.2,
+    )
+
+
 def _lsh_bucket_oracle(num_planes: int = 16) -> str:
     signs = hyperplane_signs(num_planes, _DIM)
     bits = []
