@@ -79,3 +79,47 @@ def write_file(
         writer.json(path)
     else:
         raise ValueError(f"unsupported file format: {file_format}")
+
+
+def write_catalog_table(df: DataFrame, table: str, table_format: str = "delta") -> None:
+    """S11/S12: createOrReplace a Delta/Iceberg catalog table.
+
+    Requires the delta-spark / iceberg-spark-runtime connector on the
+    classpath; raises a clear error when absent (this test container
+    ships neither — the versioned-parquet path above is the tested
+    equivalent, same createOrReplace semantics).
+    """
+    try:
+        df.writeTo(table).using(table_format).createOrReplace()
+    except Exception as e:  # connector missing → actionable message
+        raise RuntimeError(
+            f"writing {table_format} table {table!r} requires the "
+            f"{table_format} Spark connector on the classpath"
+        ) from e
+
+
+def write_kafka_topic(
+    df: DataFrame, topic: str, bootstrap_servers: str, checkpoint: str | None = None
+):
+    """S8/ST2: write a (streaming or batch) DataFrame to a Kafka topic.
+
+    Expects ``key``/``value`` binary columns per Spark's Kafka contract;
+    needs the spark-sql-kafka connector + a broker (neither is in this
+    container — the file-source streaming path in streaming/ is the
+    tested equivalent).
+    """
+    if df.isStreaming:
+        w = (
+            df.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+        )
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        return w.start()
+    return (
+        df.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
