@@ -1,0 +1,138 @@
+"""Property-based semantics checks (hypothesis): the engine operators
+must agree with a naive Python reference implementation on arbitrary
+small inputs — this covers the edge-case lattice (duplicate timestamps,
+missing timestamps, unseen entities, empty features) far beyond the
+hand-written truth tables.
+
+Example counts are kept small: each example is a Spark job.
+"""
+
+from collections import Counter
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from featureform_spark.operators.materialize import materialize_latest
+from featureform_spark.operators.training_set import FeatureInput, point_in_time_join
+
+EPOCH0 = datetime(1970, 1, 1)
+BASE = datetime(2021, 1, 1)
+
+entities = st.sampled_from(["a", "b", "c"])
+# None = missing timestamp; ints become BASE + days
+ts_days = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+values = st.integers(min_value=-5, max_value=5)
+
+rows_strategy = st.lists(st.tuples(entities, values, ts_days), max_size=8)
+
+SCHEMA = "entity string, value long, ts timestamp, ord long"
+
+
+def to_spark_rows(rows):
+    return [
+        (e, v, None if d is None else BASE + timedelta(days=d), i)
+        for i, (e, v, d) in enumerate(rows)
+    ]
+
+
+def eff_ts(d, default):
+    return default if d is None else BASE + timedelta(days=d)
+
+
+def naive_latest(rows):
+    best = {}
+    for i, (e, v, d) in enumerate(rows):
+        key = (eff_ts(d, EPOCH0), i)
+        if e not in best or key > best[e][0]:
+            best[e] = (key, v)
+    return {e: (v, k[0]) for e, (k, v) in best.items()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_strategy)
+def test_materialize_matches_naive(spark, rows):
+    df = spark.createDataFrame(to_spark_rows(rows), SCHEMA)
+    got = {
+        r["entity"]: (r["value"], r["ts"])
+        for r in materialize_latest(df, "entity", "value", "ts", "ord").collect()
+    }
+    assert got == naive_latest(rows)
+
+
+def naive_pit(label_rows, feat_rows, lag_days=0):
+    out = []
+    for le, lv, ld in label_rows:
+        lts = eff_ts(ld, datetime(9999, 12, 31))
+        best = None
+        for i, (fe, fv, fd) in enumerate(feat_rows):
+            if fe != le:
+                continue
+            fts = eff_ts(fd, EPOCH0) + timedelta(days=lag_days)
+            if fts <= lts:
+                key = (fts, i)
+                if best is None or key > best[0]:
+                    best = (key, fv)
+        out.append((le, None if best is None else best[1], lv))
+    return Counter(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(label_rows=rows_strategy, feat_rows=rows_strategy)
+def test_pit_join_matches_naive(spark, label_rows, feat_rows):
+    label = spark.createDataFrame(to_spark_rows(label_rows), SCHEMA)
+    feat = FeatureInput(
+        name="f", df=spark.createDataFrame(to_spark_rows(feat_rows), SCHEMA),
+        entity_col="entity", value_col="value", ts_col="ts", order_col="ord",
+    )
+    out = point_in_time_join(label, [feat], "entity", "value", "ts")
+    got = Counter((r["entity"], r["f"], r["label"]) for r in out.collect())
+    assert got == naive_pit(label_rows, feat_rows)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(label_rows=rows_strategy, feat_rows=rows_strategy,
+       lag=st.integers(min_value=1, max_value=3))
+def test_pit_lag_matches_naive(spark, label_rows, feat_rows, lag):
+    label = spark.createDataFrame(to_spark_rows(label_rows), SCHEMA)
+    feat = FeatureInput(
+        name="f", df=spark.createDataFrame(to_spark_rows(feat_rows), SCHEMA),
+        entity_col="entity", value_col="value", ts_col="ts", order_col="ord",
+        lag_seconds=lag * 86400.0,
+    )
+    out = point_in_time_join(label, [feat], "entity", "value", "ts")
+    got = Counter((r["entity"], r["f"], r["label"]) for r in out.collect())
+    assert got == naive_pit(label_rows, feat_rows, lag_days=lag)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(label_rows=rows_strategy, feat_rows=rows_strategy)
+def test_pit_label_no_ts_matches_naive(spark, label_rows, feat_rows):
+    """Label without a timestamp column → features as of +infinity."""
+    label = spark.createDataFrame(to_spark_rows(label_rows), SCHEMA)
+    feat = FeatureInput(
+        name="f", df=spark.createDataFrame(to_spark_rows(feat_rows), SCHEMA),
+        entity_col="entity", value_col="value", ts_col="ts", order_col="ord",
+    )
+    out = point_in_time_join(label, [feat], "entity", "value", None)
+    got = Counter((r["entity"], r["f"], r["label"]) for r in out.collect())
+    expected = naive_pit([(e, v, None) for e, v, _ in label_rows], feat_rows)
+    assert got == expected
+
+
+def test_split_assignment_is_pure_function_of_key(spark):
+    import hashlib
+
+    from featureform_spark.operators.split import threshold_hex, with_split_column
+
+    df = spark.range(500).selectExpr("id")
+    out = {r["id"]: r["is_test"]
+           for r in with_split_column(df, ["id"], 0.2, seed=9).collect()}
+    thr = threshold_hex(0.2)
+    for i in range(500):
+        h = hashlib.md5(f"{i}#9".encode()).hexdigest()[:8]
+        assert out[i] == (1 if h < thr else 0)
