@@ -499,6 +499,111 @@ def transformation_chained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_tolerance",
+    """
+    WITH click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1),
+    m AS (
+      SELECT l.event_id, l.user_id, l.value, l.ts,
+             c.v AS click_value, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts)
+    SELECT event_id, user_id, value, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN click_value END AS click_value,
+           CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN click_ts END AS ts_right
+    FROM m
+    """,
+)
+def asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join with a 1-hour tolerance window."""
+    from featureform_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("value").alias("click_value"), F.col("ts")
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        value_cols=["click_value"], tolerance_seconds=3600,
+    )
+
+
+@query(
+    "sessionize",
+    """
+    SELECT event_id,
+           user_id || '#' || CAST(
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS VARCHAR) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events) t
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30 min) over the event stream."""
+    from featureform_spark.operators.asof import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(
+        events, "user_id", "ts", gap_seconds=1800, order_col="event_id"
+    ).select("event_id", "session_id")
+
+
+@query(
+    "event_type_pivot",
+    """
+    SELECT user_id AS entity,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        events.groupBy(F.col("user_id").alias("entity"))
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+
+
+@query(
+    "distinct_users_daily",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def distinct_users_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("ts").cast("date").alias("date")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
     "window_agg_hourly",
     """
     SELECT event_type,
