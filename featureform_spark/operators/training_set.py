@@ -71,12 +71,23 @@ def point_in_time_join(
     out_ts: str = "label_ts",
     dedup: bool = False,
     sort_by_ts: bool = False,
+    time_bucket: str | None = None,
 ) -> DataFrame:
     """As-of join N feature tables against a label table.
 
     Returns (entity, <feature_1..N>, label[, label_ts][, extra label_cols]).
     ``dedup`` collapses duplicate (entity, label, label_ts) output rows like
     the reference's training-set window (provider/spark.go:233-246).
+
+    ``time_bucket`` (e.g. ``"30 days"``, any ``date_trunc``-compatible
+    unit via ``"unit:N"`` is not needed — pass a Spark interval string
+    understood by ``window()``): enables the skew-resistant segmented
+    formulation — rows partition by (entity, time-bucket) so one hot
+    entity's history splits across buckets instead of one sort
+    partition; carry-in values between buckets come from a second
+    window over the per-bucket finals (rows ≈ entities × buckets — tiny
+    relative to the input). Identical semantics, two narrow shuffles
+    instead of one wide one; use when entity skew is the bottleneck.
     """
     extra = list(label_cols or [])
 
@@ -112,7 +123,10 @@ def point_in_time_join(
         part_key = (
             out_entity if join_col == label_entity_col else f"_join_{join_col}"
         )
-        current = _asof_pass(current, group, part_key, out_entity, out_label, out_ts, extra, done_cols)
+        current = _asof_pass(
+            current, group, part_key, out_entity, out_label, out_ts, extra,
+            done_cols, time_bucket,
+        )
         done_cols.extend(f.name for f in group)
 
     result = current.select(
@@ -138,6 +152,7 @@ def _asof_pass(
     out_ts: str,
     extra: list[str],
     done_cols: list[str],
+    time_bucket: str | None = None,
 ) -> DataFrame:
     """One union+window pass computing the columns for ``group``."""
     carry = [c for c in current.columns if c not in {"_ts", "_is_label", "_ord"}]
@@ -182,16 +197,71 @@ def _asof_pass(
 
     # order: time asc; at equal ts features (0) before labels (1) → `<=`
     # inclusive; among equal-ts feature rows the highest ord wins last()
-    w = (
-        Window.partitionBy(part_key)
-        .orderBy(F.col("_ts").asc(), F.col("_is_label").asc(), F.col("_ord").asc())
+    order = (F.col("_ts").asc(), F.col("_is_label").asc(), F.col("_ord").asc())
+
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(part_key)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.select(
+            *[F.col(c) for c in carry],
+            "_ts",
+            "_is_label",
+            "_ord",
+            *[F.last(n, ignorenulls=True).over(w).alias(n) for n in new_names],
+        )
+        return filled.filter(F.col("_is_label") == 1)
+
+    # segmented (skew-resistant) formulation: partition by (entity,
+    # time bucket) so a hot entity's history splits across buckets; the
+    # value a label inherits from earlier buckets ("carry-in") comes from
+    # a per-bucket finals table that is ~entities × buckets rows
+    b = unioned.withColumn("_bkt", F.window(F.col("_ts"), time_bucket).getField("start"))
+    w_in = (
+        Window.partitionBy(part_key, "_bkt")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
+    within = b.select(
         *[F.col(c) for c in carry],
         "_ts",
         "_is_label",
-        "_ord",
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in new_names],
+        "_bkt",
+        *[F.last(n, ignorenulls=True).over(w_in).alias(n) for n in new_names],
+    ).filter(F.col("_is_label") == 1)
+
+    # per-bucket final feature values: max(ts, ord) feature row per bucket
+    finals = b.groupBy(part_key, "_bkt").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(n).isNotNull(),
+                    F.struct(F.col("_ts").alias("t"), F.col("_ord").alias("o"), F.col(n).alias("v")),
+                )
+            ).alias(f"_fin_{n}")
+            for n in new_names
+        ]
     )
-    return filled.filter(F.col("_is_label") == 1)
+    w_carry = (
+        Window.partitionBy(part_key)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = finals.select(
+        part_key,
+        "_bkt",
+        *[
+            F.last(f"_fin_{n}", ignorenulls=True).over(w_carry).getField("v").alias(f"_carry_{n}")
+            for n in new_names
+        ],
+    )
+    joined = within.join(carry_in, [part_key, "_bkt"], "left")
+    return joined.select(
+        *[F.col(c) for c in carry],
+        "_ts",
+        "_is_label",
+        F.lit(None).cast("long").alias("_ord"),
+        *[F.coalesce(F.col(n), F.col(f"_carry_{n}")).alias(n) for n in new_names],
+    )
