@@ -311,6 +311,73 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_clean",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, lang, source,
+             len({_TOKS})::BIGINT AS n_tokens,
+             len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS})::DOUBLE AS diversity,
+             md5(lower(trim(text))) AS fingerprint
+      FROM documents),
+    kept AS (
+      SELECT * FROM stats WHERE n_tokens >= 30 AND diversity >= 0.3),
+    dedup AS (
+      SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY fingerprint)
+    SELECT k.doc_id, k.lang, k.source, k.n_tokens
+    FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+    """,
+)
+def corpus_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality filter → exact dedup →
+    cleaned corpus (the shape of a real pretraining-data job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    stats = docs.select(
+        "doc_id", "lang", "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks).cast("double")).alias("diversity"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+    kept = stats.filter((F.col("n_tokens") >= 30) & (F.col("diversity") >= 0.3))
+    keep_ids = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(keep_ids, ["fingerprint", "doc_id"]).select(
+        "doc_id", "lang", "source", "n_tokens"
+    )
+
+
+def _ann_topk_oracle(num_planes: int = 8, k: int = 10) -> str:
+    dot = _DOT.format(n=_DIM + 1, a="v", b="qv")
+    nv = _NORM.format(a="v")
+    nq = _NORM.format(a="qv")
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv,
+             {_bucket_case_sql("list_transform(embedding, x -> x::DOUBLE)", num_planes)} AS qbucket
+      FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             {_bucket_case_sql("list_transform(embedding, x -> x::DOUBLE)", num_planes)} AS bucket
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, {dot} / ({nv} * {nq}) AS score
+      FROM e, q WHERE e.bucket = q.qbucket)
+    SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@query("embedding_ann_topk", _ann_topk_oracle())
+def embedding_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: probe only the query's LSH bucket, then exact
+    top-k inside it."""
+    from featureform_spark.functions.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_topk_lsh(emb, qvec, k=10, num_planes=8)
+
+
 def _lsh_bucket_oracle(num_planes: int = 16) -> str:
     signs = hyperplane_signs(num_planes, _DIM)
     bits = []
