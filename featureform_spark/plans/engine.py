@@ -73,9 +73,17 @@ class Engine:
         feat = self.registry.get("feature", feature_ref)
         assert isinstance(feat, FeatureVariant)
         df = self.source_df(feat.source)
-        return materialize_latest(
+        mat = materialize_latest(
             df, feat.entity_column, feat.value_column, feat.timestamp_column
         )
+        # enforce the declared value type (reference casts via its
+        # ValueConverter plane, fftypes/value_converter.go)
+        from pyspark.sql import functions as F
+
+        from featureform_spark import types as fftypes
+
+        spark_type = fftypes.parse(feat.value_type).to_spark()
+        return mat.withColumn("value", F.col("value").cast(spark_type))
 
     def _feature_input(self, ref: str, lag: LagFeature | None = None) -> FeatureInput:
         feat = self.registry.get("feature", ref)

@@ -28,12 +28,22 @@ class InMemoryOnlineStore:
 
     def __init__(self):
         self._tables: dict[str, dict[Any, Any]] = {}
+        self._timestamps: dict[str, dict[Any, Any]] = {}
         self._vectors: dict[str, DataFrame] = {}
 
     # -- table plane ---------------------------------------------------------
 
     def set(self, table: str, entity: Any, value: Any) -> None:
         self._tables.setdefault(table, {})[entity] = value
+
+    def set_if_newer(self, table: str, entity: Any, value: Any, ts: Any) -> None:
+        """Upsert that ignores stale writes (out-of-order stream batches)."""
+        t = self._tables.setdefault(table, {})
+        ts_table = self._timestamps.setdefault(table, {})
+        prev = ts_table.get(entity)
+        if prev is None or (ts is not None and ts >= prev):
+            t[entity] = value
+            ts_table[entity] = ts
 
     def get(self, table: str, entity: Any) -> Any:
         return self._tables[table].get(entity)

@@ -108,6 +108,82 @@ class IncrementalMaterializer:
         q.awaitTermination()
 
 
+class IncrementalTransformation:
+    """ST3: re-run a transformation over NEW source files only, appending
+    results to a growing output table.
+
+    The reference gates this on Delta CDF + overwrite rejection
+    (offline_store_spark_runner.py:1076-1136); a checkpointed file
+    stream gives the same "rows since last run" contract. Correctness
+    caveat (same as the reference): the transformation must be
+    increment-safe (per-row maps/filters, or aggregations the caller
+    merges downstream).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        work_dir: str,
+        schema: str,
+        transform,  # Callable[[DataFrame], DataFrame]
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.work = Path(work_dir)
+        self.schema = schema
+        self.transform = transform
+        self._out_dir = str(self.work / "out")
+        self._checkpoint_dir = str(self.work / "checkpoint")
+
+    def output(self) -> DataFrame | None:
+        if not Path(self._out_dir).exists():
+            return None
+        return self.spark.read.parquet(self._out_dir)
+
+    def refresh(self) -> None:
+        stream = self.spark.readStream.schema(self.schema).parquet(self.source_dir)
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            self.transform(batch).write.mode("append").parquet(self._out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", self._checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def stream_to_online(
+    stream_df: DataFrame,
+    store,
+    table: str,
+    entity_col: str,
+    value_col: str,
+    ts_col: str,
+    checkpoint: str,
+):
+    """ST1 full loop: stream → per-batch latest-per-entity → online store
+    upsert. Cross-batch out-of-order arrivals resolve via ts-compare in
+    the store (``set_if_newer``), so replays converge.
+    """
+    from featureform_spark.operators.materialize import materialize_latest
+
+    def upsert(batch: DataFrame, _bid: int) -> None:
+        mat = materialize_latest(batch, entity_col, value_col, ts_col)
+        for row in mat.collect():
+            store.set_if_newer(table, row["entity"], row["value"], row["ts"])
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_materialize(
     stream_df: DataFrame,
     entity_col: str,

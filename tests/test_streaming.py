@@ -109,3 +109,59 @@ def test_windowed_aggregate_streaming_with_watermark(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("SELECT count(*) AS n FROM win_test").collect()[0]["n"]
     assert rows == 2
+
+
+def test_incremental_transformation_appends_new_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from featureform_spark.streaming.incremental import IncrementalTransformation
+
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    inc = IncrementalTransformation(
+        spark, str(src), str(tmp_path / "twork"),
+        "entity string, value double, ts timestamp, ord long",
+        lambda df: df.filter(F.col("value") > 0).withColumn(
+            "doubled", F.col("value") * 2),
+    )
+    spark.createDataFrame(
+        [("a", 1.0, t(1), 0), ("b", -5.0, t(1), 1)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+    inc.refresh()
+    assert {r["entity"] for r in inc.output().collect()} == {"a"}
+
+    spark.createDataFrame(
+        [("c", 2.0, t(2), 2)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+    inc.refresh()
+    rows = {r["entity"]: r["doubled"] for r in inc.output().collect()}
+    assert rows == {"a": 2.0, "c": 4.0}   # a not reprocessed/duplicated
+
+
+def test_stream_to_online_upsert_converges(spark, tmp_path):
+    from featureform_spark.serving.online import InMemoryOnlineStore
+    from featureform_spark.streaming.incremental import stream_to_online
+
+    src = tmp_path / "osrc"
+    src.mkdir()
+    store = InMemoryOnlineStore()
+    spark.createDataFrame(
+        [("a", 1.0, t(5), 0), ("b", 2.0, t(1), 1)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        q = stream_to_online(
+            stream, store, "feat", "entity", "value", "ts",
+            str(tmp_path / "ockpt"))
+        q.awaitTermination(60)
+
+    run()
+    assert store.get("feat", "a") == 1.0
+    # late out-of-order batch must NOT clobber the newer value for a
+    spark.createDataFrame(
+        [("a", 0.5, t(2), 2), ("c", 3.0, t(1), 3)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+    run()
+    assert store.get("feat", "a") == 1.0   # stale write ignored
+    assert store.get("feat", "c") == 3.0
