@@ -56,9 +56,10 @@ def real_decoder(content: bytes, media_type: str) -> tuple[int, int]:
 
 
 def deterministic_fake_decoder(content: bytes, media_type: str) -> tuple[int, int]:
-    """Stable fake 'decode': dimensions derived from a content hash."""
-    h = hashlib.md5(content).digest()
-    return 16 + h[0] % 64, 16 + h[1] % 64
+    """Stable fake 'decode': dimensions derived from the md5 hexdigest
+    (hex-char arithmetic so a SQL oracle can reproduce it exactly)."""
+    h = hashlib.md5(content).hexdigest()
+    return 16 + int(h[0:2], 16) % 64, 16 + int(h[2:4], 16) % 64
 
 
 def extract_media_features(

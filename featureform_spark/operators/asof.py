@@ -26,15 +26,18 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     right_on: str | None = None,
+    right_order_col: str | None = None,
     suffix: str = "_right",
 ) -> DataFrame:
     """For each left row, the nearest right row at-or-before (backward)
     or at-or-after (forward) its ``on`` time, matching on ``by`` keys.
 
-    Ties (equal right ``on``) resolve to the last-written right row
-    (highest ingestion order). With ``tolerance_seconds`` matches further
-    than the tolerance are nulled out. Output = left columns + matched
-    ``value_cols`` (suffixed on collision) + ``<on><suffix>`` matched ts.
+    Ties (equal right ``on``) resolve to the last-written right row —
+    pass ``right_order_col`` (an ingestion index) to make that fully
+    deterministic across runs/partitionings; otherwise file order is
+    used. With ``tolerance_seconds`` matches further than the tolerance
+    are nulled out. Output = left columns + matched ``value_cols``
+    (suffixed on collision) + ``<on><suffix>`` matched ts.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -68,7 +71,11 @@ def asof_join(
           for c in left.columns if c not in by],
         F.col(right_on).cast("timestamp").alias("_t"),
         F.lit(0).alias("_is_left"),
-        F.monotonically_increasing_id().alias("_ord"),
+        (
+            F.col(right_order_col).cast("long")
+            if right_order_col
+            else F.monotonically_increasing_id()
+        ).alias("_ord"),
         F.struct(
             *[F.col(c).alias(oc) for c, oc in out_cols],
             F.col(right_on).cast("timestamp").alias(matched_ts),

@@ -528,11 +528,13 @@ def asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value", "ts"
     )
     clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("user_id"), F.col("value").alias("click_value"), F.col("ts")
+        F.col("user_id"), F.col("value").alias("click_value"), F.col("ts"),
+        F.col("event_id").alias("click_event_id"),
     )
     return asof_join(
         purchases, clicks, on="ts", by="user_id",
         value_cols=["click_value"], tolerance_seconds=3600,
+        right_order_col="click_event_id",
     )
 
 

@@ -378,6 +378,43 @@ def embedding_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, qvec, k=10, num_planes=8)
 
 
+_HEXV = "(strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1)"
+
+
+@query(
+    "media_features",
+    f"""
+    SELECT doc_id AS media_id,
+           length(text)::BIGINT AS n_bytes,
+           md5(text) AS content_hash,
+           list_sum(list_transform(range(1, length(text) + 1),
+                                   i -> ord(substr(text, i, 1))))::DOUBLE
+             / length(text)::DOUBLE AS byte_mean,
+           CAST(16 + ({_HEXV.format(a=1)} * 16 + {_HEXV.format(a=2)}) % 64 AS INT) AS width,
+           CAST(16 + ({_HEXV.format(a=3)} * 16 + {_HEXV.format(a=4)}) % 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under oracle check: documents' text bytes as
+    opaque binary content driven through the Arrow mapInPandas feature
+    extractor with the deterministic fake decoder. The ASCII corpus
+    makes the byte-level stats SQL-reproducible."""
+    from featureform_spark.functions.multimodal import (
+        deterministic_fake_decoder,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("image").alias("media_type"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    return extract_media_features(media, deterministic_fake_decoder)
+
+
 def _lsh_bucket_oracle(num_planes: int = 16) -> str:
     signs = hyperplane_signs(num_planes, _DIM)
     bits = []
