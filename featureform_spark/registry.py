@@ -336,6 +336,25 @@ class Registry:
     def dataframe(self, view: str) -> DataFrame:
         return self._dataframes[view]
 
+    def dependencies(self, rtype: str, ref: str) -> list[tuple[str, str]]:
+        """Direct upstream (rtype, ref) edges of a resource — the lineage
+        graph the reference's metadata server maintains."""
+        res = self.get(rtype, ref)
+        deps: list[tuple[str, str]] = []
+        if isinstance(res, SourceVariant):
+            if res.sql:
+                from featureform_spark.plans.templates import template_refs
+
+                deps += [("source", r) for r in template_refs(res.sql)]
+            deps += [("source", r) for r in res.inputs]
+        elif isinstance(res, (FeatureVariant, LabelVariant)):
+            deps.append(("source", res.source))
+        elif isinstance(res, TrainingSetVariant):
+            deps.append(("label", res.label))
+            deps += [("feature", f) for f in res.features]
+            deps += [("feature", lf["feature"]) for lf in res.lag_features]
+        return deps
+
     def list(self, rtype: str | None = None) -> list[Resource]:
         return [
             r

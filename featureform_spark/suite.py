@@ -606,6 +606,77 @@ def distinct_users_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey AS entity, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) t
+    WHERE rk <= 3
+    """,
+)
+def top_orders_per_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("o_custkey").alias("entity"), "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "customers_without_early_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate < TIMESTAMP '1996-01-01')
+    """,
+)
+def customers_without_early_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — filtered so the result is non-empty at
+    every sf (every customer has *some* order in this data)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "nation_keys_union",
+    """
+    SELECT n_nationkey AS k FROM nation
+    UNION
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def nation_keys_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.select(F.col("n_nationkey").alias("k"))
+        .union(customer.select(F.col("c_nationkey").alias("k")))
+        .union(supplier.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+    )
+
+
+@query(
     "window_agg_hourly",
     """
     SELECT event_type,

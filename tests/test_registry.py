@@ -56,3 +56,18 @@ def test_template_machinery():
     assert out == "SELECT * FROM source_0 JOIN source_1 ON x JOIN source_0 t2 ON y"
     with pytest.raises(ValueError):
         substitute_template("SELECT {{x.y}} {{")
+
+
+def test_lineage_dependencies():
+    reg = Registry()
+    reg.register(SourceVariant(name="raw", variant="v1", location={"kind": "file", "path": "/x", "file_format": "parquet"}))
+    reg.register(SourceVariant(name="agg", sql="SELECT * FROM {{raw.v1}} JOIN {{dim}} USING (k)"))
+    reg.register(FeatureVariant(name="f", source="agg.default", entity_column="e", value_column="v"))
+    reg.register(TrainingSetVariant(
+        name="ts", label="lab.default", features=["f.default"],
+        lag_features=[{"feature": "f.default", "lag_seconds": 5.0}]))
+    assert reg.dependencies("source", "agg") == [("source", "raw.v1"), ("source", "dim.default")]
+    assert reg.dependencies("feature", "f") == [("source", "agg.default")]
+    assert reg.dependencies("training_set", "ts") == [
+        ("label", "lab.default"), ("feature", "f.default"), ("feature", "f.default")]
+    assert reg.dependencies("source", "raw.v1") == []
