@@ -625,7 +625,7 @@ def top_orders_per_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select(F.col("o_custkey").alias("entity"), "o_orderkey", "o_totalprice", "rk")
     )
