@@ -677,6 +677,42 @@ def nation_keys_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "transformation_df_fn",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events WHERE value > 100 GROUP BY event_type
+    """,
+)
+def transformation_df_fn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: a Python DataFrame-function transformation registered and
+    resolved through the engine (the reference's dill-pickled DF path,
+    executed in-process)."""
+    from featureform_spark.plans.engine import Engine
+    from featureform_spark.registry import Registry
+
+    reg = Registry()
+    eng = Engine(spark, reg)
+    reg.register_dataframe("events", load_table(spark, sf_dir, "events"))
+
+    def big_events_summary(events: DataFrame) -> DataFrame:
+        return (
+            events.filter(F.col("value") > 100)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+            )
+        )
+
+    reg.register_df_transformation(
+        "big_events", big_events_summary, inputs=["events.default"]
+    )
+    return eng.source_df("big_events.default")
+
+
+@query(
     "window_agg_hourly",
     """
     SELECT event_type,

@@ -196,6 +196,49 @@ def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jaccard_vs_doc0",
+    f"""
+    WITH {_SHINGLES_CTE},
+    q AS (SELECT shingle FROM sh WHERE doc_id = 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    qsize AS (SELECT count(*) AS nq FROM q),
+    inter AS (
+      SELECT s.doc_id, count(*) AS ni
+      FROM sh s JOIN q ON s.shingle = q.shingle
+      WHERE s.doc_id <> 0
+      GROUP BY s.doc_id)
+    SELECT i.doc_id,
+           i.ni::DOUBLE / (z.n + qs.nq - i.ni)::DOUBLE AS jaccard
+    FROM inter i JOIN sizes z ON z.doc_id = i.doc_id, qsize qs
+    """,
+)
+def jaccard_vs_doc0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone exact n-gram Jaccard against one probe document —
+    linear in corpus size via an inverted-index join on the probe's
+    shingle set (broadcast at scale). Docs with zero overlap excluded."""
+    from featureform_spark.functions.dedup import _exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs, "doc_id", "text", 3)
+    q = sh.filter(F.col("doc_id") == 0).select("shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nq = q.count()
+    inter = (
+        sh.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ni"))
+    )
+    return inter.join(sizes, "doc_id").select(
+        "doc_id",
+        (
+            F.col("ni").cast("double")
+            / (F.col("n") + F.lit(nq) - F.col("ni")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     sums = ",\n             ".join(
         f"SUM(((instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) % 2) * 2 - 1) AS v_{j}"

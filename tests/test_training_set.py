@@ -153,3 +153,16 @@ def test_dedup_collapses_duplicate_label_rows(spark):
     )
     out = point_in_time_join(label, [feat], "entity", "value", "ts", dedup=True)
     assert out.count() == 1
+
+
+def test_null_entity_label_kept_with_null_features(spark):
+    """Left-join semantics: a label row with NULL entity is kept and never
+    matches any feature (features with NULL entity are dropped)."""
+    feat = fi(spark, "f1", [("a", "x", t(1), 0), (None, "ghost", t(1), 1)])
+    label = spark.createDataFrame(
+        [("a", "La", t(5), 0), (None, "Lnull", t(5), 1)],
+        "entity string, value string, ts timestamp, ord long",
+    )
+    out = point_in_time_join(label, [feat], "entity", "value", "ts")
+    rows = out_rows(out, ["entity", "f1", "label"])
+    assert rows == {("a", "x", "La"), (None, None, "Lnull")}
