@@ -19,9 +19,9 @@ import hashlib
 import json
 from dataclasses import dataclass, field, asdict
 from pathlib import Path
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 # ---------------------------------------------------------------------------
 # Locations (discriminated union, mirrors provider/location/location.go:24-31)

