@@ -64,6 +64,24 @@ def _exploded_shingles(
     )
 
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _minhash_agg_exprs(num_hashes: int) -> list:
+    """k min() aggregates from ONE md5 per shingle via double hashing
+    (Kirsch-Mitzenmacher): h_i = (h1 + i*h2) mod P with h1/h2 the two
+    32-bit halves of md5(shingle). 24 hash functions cost one digest +
+    24 integer fma-mods instead of 24 digests — and the signature
+    shuffles as longs, not 32-char strings."""
+    h = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return [
+        F.min((h1 + F.lit(i) * h2) % F.lit(MINHASH_P)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -71,18 +89,15 @@ def minhash_signature(
     num_hashes: int = 24,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}): k md5-minima over the distinct shingle set.
+    """(id, sig_0..sig_{k-1}): k integer minhashes over the distinct
+    shingle set.
 
     One explode + one groupBy (k min() aggregates, map-side combined).
     Documents with no shingles (shorter than n words) are dropped, same
     as a null signature.
     """
     ex = _exploded_shingles(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return ex.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -118,11 +133,7 @@ def minhash_lsh_pairs(
     # recomputes; at cluster scale this is the difference between one
     # corpus scan and four)
     shing = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shing.groupBy(id_col).agg(*aggs)
+    sig = shing.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
 
     band_cols = []
     for b in range(bands):

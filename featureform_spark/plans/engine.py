@@ -34,6 +34,7 @@ class Engine:
         self.spark = spark
         self.registry = registry or Registry()
         self._cache: dict[str, DataFrame] = {}
+        self._resolving: list[str] = []
 
     # -- source resolution ---------------------------------------------------
 
@@ -41,11 +42,20 @@ class Engine:
         """Resolve ``name.variant`` to a DataFrame (recursively for
         transformations). Results are cached per engine instance: the plan
         (not the data) is reused, so Catalyst still sees one tree."""
+        if "." not in ref:
+            ref = f"{ref}.default"
         if ref in self._cache:
             return self._cache[ref]
+        if ref in self._resolving:
+            cycle = " -> ".join(self._resolving + [ref])
+            raise ValueError(f"cyclic transformation reference: {cycle}")
         src = self.registry.get("source", ref)
         assert isinstance(src, SourceVariant)
-        df = self._resolve_source(src)
+        self._resolving.append(ref)
+        try:
+            df = self._resolve_source(src)
+        finally:
+            self._resolving.pop()
         self._cache[ref] = df
         return df
 

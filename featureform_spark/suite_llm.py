@@ -138,19 +138,38 @@ _NUM_HASHES = 24
 _BANDS = 8
 
 
+def _hex_to_int_sql(start: int) -> str:
+    """BIGINT from 8 hex chars of column ``h`` starting at 1-based
+    ``start`` — DuckDB's portable stand-in for Spark's conv(x, 16, 10)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(h, {start + j}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _sig_cols() -> str:
+    h1, h2 = _hex_to_int_sql(1), _hex_to_int_sql(9)
     return ",\n             ".join(
-        f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(_NUM_HASHES)
+        f"min(({h1} + {i} * {h2}) % 2147483647) AS sig_{i}"
+        for i in range(_NUM_HASHES)
     )
+
+
+_SIG_CTE = f"""
+    hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    sig AS (SELECT doc_id,
+             {_sig_cols()}
+            FROM hx GROUP BY doc_id)
+"""
 
 
 @query(
     "minhash_signature",
     f"""
-    WITH {_SHINGLES_CTE}
-    SELECT doc_id,
-             {_sig_cols()}
-    FROM sh GROUP BY doc_id
+    WITH {_SHINGLES_CTE},
+    {_SIG_CTE}
+    SELECT * FROM sig
     """,
 )
 def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,11 +180,13 @@ def _minhash_pairs_oracle(threshold: float) -> str:
     rows = _NUM_HASHES // _BANDS
     band_exprs = []
     for b in range(_BANDS):
-        parts = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        parts = " || '|' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         band_exprs.append(f"'{b}:' || md5({parts})")
     return f"""
     WITH {_SHINGLES_CTE},
-    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    {_SIG_CTE},
     buckets AS (SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bucket FROM sig),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -221,7 +242,11 @@ def jaccard_vs_doc0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = _exploded_shingles(docs, "doc_id", "text", 3)
-    q = sh.filter(F.col("doc_id") == 0).select("shingle")
+    # probe shingles from the one probe doc only — not a full-corpus
+    # explode + filter (the probe set is what gets broadcast)
+    q = _exploded_shingles(
+        docs.filter(F.col("doc_id") == 0), "doc_id", "text", 3
+    ).select("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     nq = q.count()
     inter = (

@@ -102,3 +102,13 @@ def test_ondemand_feature(engine):
     )
     fn = engine.registry.function("ondemand/price_bucket.default")
     assert fn(150.0) == "high" and fn(3.0) == "low"
+
+
+def test_cyclic_transformation_detected(spark):
+    from featureform_spark.registry import Registry
+    reg = Registry()
+    eng = Engine(spark, reg)
+    reg.register_sql_transformation("a", "SELECT * FROM {{b}}")
+    reg.register_sql_transformation("b", "SELECT * FROM {{a}}")
+    with pytest.raises(ValueError, match="cyclic"):
+        eng.source_df("a.default")
