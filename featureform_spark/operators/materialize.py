@@ -80,6 +80,46 @@ def materialize_latest(
     )
 
 
+def wide_materialize(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    feature_key_col: str,
+    keys: list,
+    ts_col: str | None = None,
+    order_col: str | None = None,
+    out_entity: str = "entity",
+    prefix: str = "f_",
+) -> DataFrame:
+    """Latest-per-entity for N features keyed by a column, in ONE pass.
+
+    The wide-feature-table shape (reference benchmark: hundreds of
+    features over one source): instead of N materializations unioned or
+    joined, one scan + one shuffle with N filtered ``max(struct)``
+    aggregates — feature count changes the projection width, not the
+    number of jobs. Output: (entity, <prefix><key>...).
+    """
+    ord_expr = (
+        F.col(order_col).cast("long")
+        if order_col is not None
+        else F.monotonically_increasing_id()
+    )
+    packed = F.struct(
+        _ts_or_epoch(df, ts_col).alias("ts"),
+        ord_expr.alias("ord"),
+        F.col(value_col).alias("value"),
+    )
+    aggs = [
+        F.max(F.when(F.col(feature_key_col) == k, packed)).getField("value").alias(f"{prefix}{k}")
+        for k in keys
+    ]
+    return (
+        df.filter(F.col(feature_key_col).isin(keys))
+        .groupBy(F.col(entity_col).alias(out_entity))
+        .agg(*aggs)
+    )
+
+
 def with_row_index(
     df: DataFrame,
     order_cols: list[str] | None = None,

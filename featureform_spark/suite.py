@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from featureform_spark.operators.batch_features import batch_features
-from featureform_spark.operators.materialize import materialize_latest, with_row_index, iterate_segment
+from featureform_spark.operators.materialize import (
+    iterate_segment,
+    materialize_latest,
+    wide_materialize,
+    with_row_index,
+)
 from featureform_spark.operators.split import with_split_column
 from featureform_spark.operators.training_set import FeatureInput, point_in_time_join
 from featureform_spark.sources.testdata import load_table
@@ -710,6 +715,58 @@ def transformation_df_fn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "big_events", big_events_summary, inputs=["events.default"]
     )
     return eng.source_df("big_events.default")
+
+
+
+_WIDE_MAT_ORACLE = """
+    WITH tagged AS (
+      SELECT user_id, value, CAST(event_id % 20 AS INT) AS fkey, ts, event_id
+      FROM events),
+    latest AS (
+      SELECT user_id, fkey, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, fkey
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM tagged) t WHERE rn = 1)
+    SELECT user_id AS entity,
+           max(CASE WHEN fkey = 0 THEN value END) AS f_0,
+           max(CASE WHEN fkey = 1 THEN value END) AS f_1,
+           max(CASE WHEN fkey = 2 THEN value END) AS f_2,
+           max(CASE WHEN fkey = 3 THEN value END) AS f_3,
+           max(CASE WHEN fkey = 4 THEN value END) AS f_4,
+           max(CASE WHEN fkey = 5 THEN value END) AS f_5,
+           max(CASE WHEN fkey = 6 THEN value END) AS f_6,
+           max(CASE WHEN fkey = 7 THEN value END) AS f_7,
+           max(CASE WHEN fkey = 8 THEN value END) AS f_8,
+           max(CASE WHEN fkey = 9 THEN value END) AS f_9,
+           max(CASE WHEN fkey = 10 THEN value END) AS f_10,
+           max(CASE WHEN fkey = 11 THEN value END) AS f_11,
+           max(CASE WHEN fkey = 12 THEN value END) AS f_12,
+           max(CASE WHEN fkey = 13 THEN value END) AS f_13,
+           max(CASE WHEN fkey = 14 THEN value END) AS f_14,
+           max(CASE WHEN fkey = 15 THEN value END) AS f_15,
+           max(CASE WHEN fkey = 16 THEN value END) AS f_16,
+           max(CASE WHEN fkey = 17 THEN value END) AS f_17,
+           max(CASE WHEN fkey = 18 THEN value END) AS f_18,
+           max(CASE WHEN fkey = 19 THEN value END) AS f_19
+    FROM latest GROUP BY user_id
+"""
+
+
+@query(
+    "wide_materialize",
+    _WIDE_MAT_ORACLE,
+)
+def wide_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide feature table: 20 latest-value features keyed by
+    event_id % 20, one scan + one shuffle (reference benchmark shape:
+    hundreds of features over one source)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "fkey", (F.col("event_id") % 20).cast("int")
+    )
+    return wide_materialize(
+        events, "user_id", "value", "fkey", list(range(20)),
+        ts_col="ts", order_col="event_id",
+    )
 
 
 @query(

@@ -110,3 +110,18 @@ def test_row_index_dense_and_unique_at_scale(spark, sf_dir):
         "count(distinct row_number) u", "min(row_number) lo", "max(row_number) hi"
     ).collect()[0]
     assert (stats["u"], stats["lo"], stats["hi"]) == (n, 1, n)
+
+
+def test_wide_materialize_one_pass(spark):
+    from featureform_spark.operators.materialize import wide_materialize
+
+    df = spark.createDataFrame(
+        [("a", 1, t(1), 0, "x"), ("a", 2, t(2), 1, "x"),
+         ("a", 9, t(1), 2, "y"), ("b", 5, t(1), 3, "x"),
+         ("a", 7, t(3), 4, "z")],  # key z not requested → ignored
+        "entity string, value int, ts timestamp, ord long, k string",
+    )
+    out = wide_materialize(df, "entity", "value", "k", ["x", "y"],
+                           ts_col="ts", order_col="ord")
+    rows = {r["entity"]: (r["f_x"], r["f_y"]) for r in out.collect()}
+    assert rows == {"a": (2, 9), "b": (5, None)}
