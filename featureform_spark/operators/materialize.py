@@ -109,15 +109,19 @@ def wide_materialize(
         ord_expr.alias("ord"),
         F.col(value_col).alias("value"),
     )
+    # project the (possibly non-deterministic) packed struct BEFORE the
+    # aggregation — Spark rejects monotonically_increasing_id inside
+    # aggregate expressions
+    projected = df.filter(F.col(feature_key_col).isin(keys)).select(
+        F.col(entity_col).alias(out_entity),
+        F.col(feature_key_col).alias("_fk"),
+        packed.alias("_p"),
+    )
     aggs = [
-        F.max(F.when(F.col(feature_key_col) == k, packed)).getField("value").alias(f"{prefix}{k}")
+        F.max(F.when(F.col("_fk") == k, F.col("_p"))).getField("value").alias(f"{prefix}{k}")
         for k in keys
     ]
-    return (
-        df.filter(F.col(feature_key_col).isin(keys))
-        .groupBy(F.col(entity_col).alias(out_entity))
-        .agg(*aggs)
-    )
+    return projected.groupBy(out_entity).agg(*aggs)
 
 
 def with_row_index(

@@ -14,7 +14,6 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from featureform_spark.operators.batch_features import batch_features
 from featureform_spark.operators.materialize import materialize_latest
 from featureform_spark.operators.training_set import FeatureInput, point_in_time_join
 from featureform_spark.plans.templates import substitute_template
@@ -128,8 +127,57 @@ class Engine:
         )
 
     def batch_features(self, feature_refs: Iterable[str]) -> DataFrame:
-        mats = {ref.replace(".", "_"): self.materialize(ref) for ref in feature_refs}
-        return batch_features(mats)
+        """Align latest values of N features on entity.
+
+        Features sharing (source, entity_column, timestamp_column) are
+        computed in ONE scan+shuffle via filtered aggregates (J7-style
+        source dedup, generalized); only distinct source groups pay a
+        union branch.
+        """
+        from pyspark.sql import functions as F
+
+        refs = list(feature_refs)
+        groups: dict[tuple, list[tuple[str, FeatureVariant]]] = {}
+        for ref in refs:
+            feat = self.registry.get("feature", ref)
+            assert isinstance(feat, FeatureVariant)
+            key = (feat.source, feat.entity_column, feat.timestamp_column)
+            groups.setdefault(key, []).append((ref.replace(".", "_"), feat))
+
+        frames: list[DataFrame] = []
+        for (source, entity_col, ts_col), members in groups.items():
+            df = self.source_df(source)
+            ts_expr = (
+                F.coalesce(F.col(ts_col).cast("timestamp"),
+                           F.lit("1970-01-01").cast("timestamp"))
+                if ts_col
+                else F.lit("1970-01-01").cast("timestamp")
+            )
+            # non-deterministic ord must be projected BEFORE the agg
+            # (Spark rejects it inside aggregate expressions)
+            projected = df.select(
+                F.col(entity_col).alias("entity"),
+                *[
+                    F.struct(
+                        ts_expr.alias("ts"),
+                        F.monotonically_increasing_id().alias("ord"),
+                        F.col(feat.value_column).alias("value"),
+                    ).alias(f"_p_{name}")
+                    for name, feat in members
+                ],
+            )
+            frames.append(
+                projected.groupBy("entity").agg(
+                    *[
+                        F.max(f"_p_{name}").getField("value").alias(name)
+                        for name, _ in members
+                    ]
+                )
+            )
+        result = frames[0]
+        for frame in frames[1:]:
+            result = result.join(frame, "entity", "outer")
+        return result
 
     def create_training_set(
         self, ts_ref: str, output_dir: str | None = None

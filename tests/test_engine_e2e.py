@@ -112,3 +112,31 @@ def test_cyclic_transformation_detected(spark):
     reg.register_sql_transformation("b", "SELECT * FROM {{a}}")
     with pytest.raises(ValueError, match="cyclic"):
         eng.source_df("a.default")
+
+
+def test_batch_features_shared_source_single_scan(engine, spark):
+    """Features on the same (source, entity, ts) collapse into ONE
+    aggregation pass — no per-feature scan branches (J7 generalized)."""
+    from featureform_spark.registry import FeatureVariant
+    import io
+    from contextlib import redirect_stdout
+
+    engine.registry.register(FeatureVariant(
+        name="ev_value", source="events.default", entity="user",
+        entity_column="user_id", value_column="value", timestamp_column="ts"))
+    engine.registry.register(FeatureVariant(
+        name="ev_type", source="events.default", entity="user",
+        entity_column="user_id", value_column="event_type",
+        timestamp_column="ts", value_type="string"))
+    bf = engine.batch_features(["ev_value.default", "ev_type.default"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bf.explain(mode="formatted")
+    plan = buf.getvalue()
+    # one source group → no outer join, single aggregate over one scan
+    assert "Join" not in plan
+    rows = {r["entity"]: r for r in bf.collect()}
+    assert len(rows) > 0
+    some = next(iter(rows.values()))
+    assert some["ev_value_default"] is not None
+    assert some["ev_type_default"] in ("click", "view", "purchase", "signup", "error")

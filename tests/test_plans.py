@@ -101,3 +101,36 @@ def test_dim_joins_broadcast(spark, sf_dir):
     plan = plan_of(joined)
     assert count_nodes(plan, r"BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    from featureform_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value", "ts")
+    right = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("cv"), "ts")
+    plan = plan_of(asof_join(left, right, on="ts", by="user_id", value_cols=["cv"]))
+    assert shuffle_exchanges(plan) == 1
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    from featureform_spark.operators.asof import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(sessionize(events, "user_id", "ts", order_col="event_id"))
+    # lag + running sum share one partitioning: exactly one shuffle
+    assert shuffle_exchanges(plan) == 1
+
+
+def test_wide_materialize_single_exchange_partial_agg(spark, sf_dir):
+    from featureform_spark.operators.materialize import wide_materialize
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "fkey", (F.col("event_id") % 10).cast("int"))
+    plan = plan_of(wide_materialize(
+        events, "user_id", "value", "fkey", list(range(10)),
+        ts_col="ts", order_col="event_id"))
+    assert shuffle_exchanges(plan) == 1
+    assert "partial_max" in plan
