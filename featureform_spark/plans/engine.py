@@ -94,10 +94,18 @@ class Engine:
         spark_type = fftypes.parse(feat.value_type).to_spark()
         return mat.withColumn("value", F.col("value").cast(spark_type))
 
-    def _feature_input(self, ref: str, lag: LagFeature | None = None) -> FeatureInput:
+    def _feature_input(
+        self,
+        ref: str,
+        lag: LagFeature | None = None,
+        entity_to_label_col: dict[str, str] | None = None,
+    ) -> FeatureInput:
         feat = self.registry.get("feature", ref)
         assert isinstance(feat, FeatureVariant)
         name = lag.column_name() if lag else ref.replace(".", "_")
+        label_entity_col = (
+            entity_to_label_col.get(feat.entity) if entity_to_label_col else None
+        )
         return FeatureInput(
             name=name,
             df=self.source_df(feat.source),
@@ -105,6 +113,7 @@ class Engine:
             value_col=feat.value_column,
             ts_col=feat.timestamp_column,
             lag_seconds=lag.lag_seconds if lag else 0.0,
+            label_entity_col=label_entity_col,
         )
 
     def training_set(self, ts_ref: str, dedup: bool = True, sort_by_ts: bool = False) -> DataFrame:
@@ -112,14 +121,31 @@ class Engine:
         assert isinstance(ts, TrainingSetVariant)
         label = self.registry.get("label", ts.label)
         assert isinstance(label, LabelVariant)
-        inputs = [self._feature_input(ref) for ref in ts.features]
+        # J10: multi-entity labels map each feature's entity namespace to
+        # its own label column (metadata.proto EntityMappings :372-381)
+        mapping: dict[str, str] = {
+            m["entity"]: m["column"] for m in label.entity_mappings
+        }
+        label_entity_col = label.entity_column or (
+            next(iter(mapping.values())) if mapping else ""
+        )
+        # the primary label column needs no per-feature override
+        entity_to_label_col = {
+            e: c for e, c in mapping.items() if c != label_entity_col
+        }
+        inputs = [
+            self._feature_input(ref, entity_to_label_col=entity_to_label_col)
+            for ref in ts.features
+        ]
         for lag_dict in ts.lag_features:
             lag = LagFeature(**lag_dict)
-            inputs.append(self._feature_input(lag.feature, lag))
+            inputs.append(
+                self._feature_input(lag.feature, lag, entity_to_label_col)
+            )
         return point_in_time_join(
             self.source_df(label.source),
             inputs,
-            label_entity_col=label.entity_column,
+            label_entity_col=label_entity_col,
             label_value_col=label.value_column,
             label_ts_col=label.timestamp_column,
             dedup=dedup,
