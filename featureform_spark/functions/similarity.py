@@ -138,6 +138,101 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= cosine_threshold)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF "coarse quantizer": pick ``num_centroids`` vectors
+    from the data itself, ordered by ``md5(id)`` — a reproducible uniform
+    sample (no RNG, identical in any engine). Real IVF would k-means these;
+    the sampled-seed variant is the standard k-means|| init and is already
+    a valid coarse quantizer. Output: (cid, cv).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    ids = df.select(F.col(id_col), h.alias("_h")).orderBy("_h", id_col).limit(
+        num_centroids
+    )
+    return (
+        df.join(F.broadcast(ids.select(id_col)), id_col)
+        .select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid.
+
+    Broadcast cross-join against the tiny centroid table, then a window
+    ranked (score DESC, cid ASC) — deterministic even on score ties. At
+    100 TB the output's ``cell`` column is the partition/cluster key the
+    probe prunes on; the only wide exchange is the per-vector window,
+    which AQE coalesces (vec_id is unique, so no skew).
+    """
+    scored = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.col("cid"),
+            cosine_expr(F.col("_v"), F.col("cv")).alias("_cs"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_v"), F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` cells whose
+    centroids are closest to the query, exact cosine inside them.
+
+    The scale path next to LSH (`ann_topk_lsh`): centroid assignment is
+    precomputable/persistable, the probe is a broadcast semi-join on the
+    cell key, and scored candidates go through TakeOrderedAndProject —
+    no global sort anywhere.
+    """
+    cents = ivf_centroids(df, num_centroids, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(_as_double(F.col(vec_col)).alias("_q"))
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine_expr(F.col("cv"), F.col("_q")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("cell"))
+    )
+    candidates = assigned.join(F.broadcast(probe), "cell")
+    scored = candidates.crossJoin(F.broadcast(q)).select(
+        F.col(id_col), cosine_expr(F.col("_v"), F.col("_q")).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

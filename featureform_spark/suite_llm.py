@@ -446,6 +446,50 @@ def embedding_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, qvec, k=10, num_planes=8)
 
 
+def _ivf_topk_oracle(num_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    cos_vc = (
+        _DOT.format(n=_DIM + 1, a="v", b="cv")
+        + " / (" + _NORM.format(a="v") + " * " + _NORM.format(a="cv") + ")"
+    )
+    cos_cq = (
+        _DOT.format(n=_DIM + 1, a="cv", b="qv")
+        + " / (" + _NORM.format(a="cv") + " * " + _NORM.format(a="qv") + ")"
+    )
+    cos_vq = (
+        _DOT.format(n=_DIM + 1, a="v", b="qv")
+        + " / (" + _NORM.format(a="v") + " * " + _NORM.format(a="qv") + ")"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {num_centroids}),
+    a AS (SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY {cos_vc} DESC, cid) AS rn
+          FROM e, c),
+    asn AS (SELECT vec_id, v, cid AS cell FROM a WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid AS cell FROM c, q
+              ORDER BY {cos_cq} DESC, cid LIMIT {nprobe}),
+    s AS (SELECT vec_id, {cos_vq} AS score
+          FROM asn JOIN probe USING (cell), q)
+    SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@query("embedding_ivf_topk", _ivf_topk_oracle())
+def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic md5-sampled coarse quantizer, nearest-cell
+    assignment, nprobe-cell probe, exact cosine inside probed cells."""
+    from featureform_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, num_centroids=16, nprobe=4,
+    )
+
+
 _HEXV = "(strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1)"
 
 

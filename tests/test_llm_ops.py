@@ -95,6 +95,35 @@ def test_lsh_bucket_groups_similar(spark):
     assert got[0] == 0 and 2 not in got
 
 
+def test_ivf_full_probe_equals_exact(spark):
+    """Probing every cell must reduce IVF to exact brute-force top-k."""
+    import random
+
+    from featureform_spark.functions.similarity import ivf_topk
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = [r["vec_id"] for r in
+             cosine_topk(df, [float(x) for x in vecs[5][1]], k=5).collect()]
+    full = ivf_topk(df, query_id=5, k=5, num_centroids=4, nprobe=4)
+    assert [r["vec_id"] for r in full.collect()] == exact
+
+
+def test_ivf_probe_subset_contains_query(spark):
+    """nprobe < num_centroids: the query's own cell is always probed, so
+    the query vector itself must rank first."""
+    import random
+
+    from featureform_spark.functions.similarity import ivf_topk
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = ivf_topk(df, query_id=7, k=3, num_centroids=8, nprobe=2).collect()
+    assert out[0]["vec_id"] == 7 and out[0]["score"] > 0.999
+
+
 def test_text_stats_ranges(spark, docs):
     out = {r["doc_id"]: r for r in text_stats(docs).collect()}
     for r in out.values():
