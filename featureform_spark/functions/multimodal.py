@@ -94,6 +94,57 @@ def extract_media_features(
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer: Callable[[bytes, str, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize pass over a media table via mapInPandas — same MEDIA_SCHEMA
+    out as in, so resize stages compose with decode/extract stages.
+
+    ``resizer(content, media_type, w, h) -> bytes`` is the pluggable codec
+    step. Default is the deterministic fake (md5-tagged truncation) so the
+    pipeline is testable without codec libraries; swap a PIL/ffmpeg-backed
+    callable in production. Metadata records the target dims so downstream
+    stages can trust them without re-decoding.
+    """
+
+    if resizer is None:
+        resizer = deterministic_fake_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [
+                resizer(c, t, target_w, target_h)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            out["metadata"] = [
+                {**(m or {}), "width": str(target_w), "height": str(target_h)}
+                for m in pdf["metadata"]
+            ]
+            yield out
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def deterministic_fake_resizer(
+    content: bytes, media_type: str, w: int, h: int
+) -> bytes:
+    """Stand-in 'resize': output bytes sized ~w*h, deterministic from the
+    input (md5 keystream) — exercises the real Spark plumbing (binary
+    column rewrite, Arrow round-trip, output sizing) without codecs."""
+    need = max(1, (w * h) // 64)
+    out = bytearray()
+    block = 0
+    seed = hashlib.md5(content).digest()
+    while len(out) < need:
+        out.extend(hashlib.md5(seed + block.to_bytes(4, "big")).digest())
+        block += 1
+    return bytes(out[:need])
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, id_col: str = "media_id"
 ) -> DataFrame:

@@ -29,6 +29,12 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # managed-table home for bucketed feature tables (write_bucketed);
+    # local-mode default keeps saveAsTable out of the repo checkout — on a
+    # cluster the deployment's metastore/warehouse config wins
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/featureform_spark_warehouse"
+    ),
 }
 
 

@@ -81,6 +81,40 @@ def write_file(
         raise ValueError(f"unsupported file format: {file_format}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+    file_format: str = "parquet",
+) -> None:
+    """Bucketed + sorted managed table on the join/agg key.
+
+    The 100 TB co-location path: two tables bucketed on the same key with
+    the same bucket count join with ZERO Exchange (and with ``sort=True``
+    plus ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` zero
+    Sort) — the shuffle is paid once at write time and amortized over
+    every subsequent join, PIT lookup, or groupBy on that key. This is how
+    a materialized feature table should be laid out so that training-set
+    joins against it never reshuffle the big side.
+    `tests/test_plans.py::test_bucketed_join_no_exchange` asserts the plan.
+    """
+    # one file per bucket: repartition on the bucket hash so each write
+    # task owns exactly one bucket — Spark's scan only honors the sortBy
+    # metadata (Sort-free merge joins) when a bucket is a single file,
+    # and it's the small-files-safe layout regardless
+    df = df.repartition(num_buckets, F.col(bucket_col))
+    writer = (
+        df.write.format(file_format)
+        .mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def write_catalog_table(df: DataFrame, table: str, table_format: str = "delta") -> None:
     """S11/S12: createOrReplace a Delta/Iceberg catalog table.
 

@@ -247,20 +247,24 @@ def jaccard_vs_doc0_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _exploded_shingles(
         docs.filter(F.col("doc_id") == 0), "doc_id", "text", 3
     ).select("shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     nq = q.count()
-    inter = (
+    # single pass: broadcast left-join marks probe hits, then ONE groupBy
+    # yields both |doc| and |doc ∩ probe| — the corpus is exploded and
+    # shuffled once, not twice (shingles are per-doc distinct, so the
+    # 1:≤1 join cannot multiply rows)
+    return (
         sh.filter(F.col("doc_id") != 0)
-        .join(F.broadcast(q), "shingle")
+        .join(F.broadcast(q.withColumn("_hit", F.lit(1))), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("ni"))
-    )
-    return inter.join(sizes, "doc_id").select(
-        "doc_id",
-        (
-            F.col("ni").cast("double")
-            / (F.col("n") + F.lit(nq) - F.col("ni")).cast("double")
-        ).alias("jaccard"),
+        .agg(F.count("*").alias("n"), F.count("_hit").alias("ni"))
+        .filter(F.col("ni") > 0)
+        .select(
+            "doc_id",
+            (
+                F.col("ni").cast("double")
+                / (F.col("n") + F.lit(nq) - F.col("ni")).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 

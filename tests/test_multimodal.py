@@ -39,6 +39,33 @@ def test_extract_features_fake_decoder(spark):
     assert 0.0 < out[1]["byte_mean"] < 255.0
 
 
+def test_resize_media_plumbing(spark):
+    from featureform_spark.functions.multimodal import (
+        deterministic_fake_resizer,
+        resize_media,
+    )
+
+    df = media_df(spark)
+    out = {r["media_id"]: r for r in resize_media(df, 32, 32).collect()}
+    assert set(out) == {0, 1, 2}
+    for mid, row in out.items():
+        assert len(row["content"]) == (32 * 32) // 64
+        assert row["metadata"]["width"] == "32"
+        assert row["metadata"]["height"] == "32"
+    # deterministic: same input bytes → same resized bytes
+    assert out[0]["content"] == deterministic_fake_resizer(
+        b"\x89PNG fake image bytes", "image", 32, 32
+    )
+    # original metadata keys survive the rewrite
+    assert out[0]["metadata"]["src"] == "cam1"
+    # stages compose: resized table feeds the feature extractor unchanged
+    feats = extract_media_features(
+        resize_media(df, 32, 32), deterministic_fake_decoder
+    ).collect()
+    assert {r["media_id"] for r in feats} == {0, 1, 2}
+    assert all(r["n_bytes"] == 16 for r in feats)
+
+
 def test_frame_sample_plan_explodes(spark):
     df = media_df(spark)
     frames = frame_sample_plan(df, every_n=2).collect()

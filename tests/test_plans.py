@@ -134,3 +134,44 @@ def test_wide_materialize_single_exchange_partial_agg(spark, sf_dir):
         ts_col="ts", order_col="event_id"))
     assert shuffle_exchanges(plan) == 1
     assert "partial_max" in plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Two tables bucketed+sorted on the same key join with ZERO shuffle
+    and ZERO sort — the write-once/join-forever layout for materialized
+    feature tables."""
+    from featureform_spark.sources.writers import write_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    feat = materialize_latest(events, "user_id", "value", "ts", "event_id")
+    dim = events.groupBy(F.col("user_id").alias("entity")).agg(
+        F.count("*").alias("n_events")
+    )
+    try:
+        write_bucketed(feat, "t_feat_bkt", "entity", num_buckets=4)
+        write_bucketed(dim, "t_dim_bkt", "entity", num_buckets=4)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # sortBy metadata → Sort-free merge join (requires the one-file-
+        # per-bucket layout write_bucketed guarantees + this opt-in conf,
+        # SPARK-28616 made it opt-in in 3.0)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        try:
+            joined = spark.table("t_feat_bkt").join(
+                spark.table("t_dim_bkt"), "entity"
+            )
+            plan = plan_of(joined)
+            assert shuffle_exchanges(plan) == 0
+            assert count_nodes(plan, "Sort") == 0
+            assert "SortMergeJoin" in plan
+            assert joined.count() == feat.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_feat_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_dim_bkt")
