@@ -209,6 +209,30 @@ def stream_materialize(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication on ``key_cols``.
+
+    With ``ts_col`` the state store only retains keys inside the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the only
+    formulation whose state doesn't grow without bound on an infinite
+    stream, which is what a continuously-ingesting training-data pipeline
+    needs. Without ``ts_col`` it falls back to global-state
+    ``dropDuplicates`` (bounded keyspaces only). Works on batch frames
+    too (same expression, no watermark), so the semantics are
+    batch-testable.
+    """
+    if ts_col and stream_df.isStreaming:
+        return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return stream_df.dropDuplicates(key_cols)
+
+
 def windowed_aggregate(
     stream_df: DataFrame,
     ts_col: str,

@@ -381,6 +381,102 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_order_totals",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal aggregation (rollup) — one shuffle; Spark
+    expands grouping sets map-side, so partial aggregation still applies."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantity_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. l_quantity holds small integers,
+    so the linear-interpolation midpoints (x.0/.25/.5/.75) are exact in
+    binary — both engines produce bit-identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("p75"),
+    )
+
+
+@query(
+    "rolling_user_spend",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS n_7d
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def rolling_user_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window feature (7-day trailing spend per user)
+    — the classic sliding-window feature pattern; one shuffle, range
+    frame over epoch seconds."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+@query(
     "revenue_per_nation",
     """
     SELECT n.n_name AS nation,
@@ -404,6 +500,73 @@ def revenue_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
+    )
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def json_props_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction (get_json_object stays in
+    codegen — no Python in the path), filter on the extracted value,
+    grouped integer aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "salted_lineitem_join",
+    """
+    SELECT s.s_nationkey AS nation_key,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def salted_lineitem_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path proof: the salted fact⋈dim join must be row-identical to
+    the plain join the oracle runs — salting only changes the physical
+    distribution. (In production this shape is for a dim too big to
+    broadcast over a hot-keyed fact; semantics are what's locked here.)"""
+    from featureform_spark.operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey")
+    )
+    joined = salted_join(lineitem, supplier, on="l_suppkey", num_salts=8)
+    return joined.groupBy(F.col("s_nationkey").alias("nation_key")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
     )
 
 
@@ -539,6 +702,41 @@ def asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on="ts", by="user_id",
         value_cols=["click_value"], tolerance_seconds=3600,
+        right_order_col="click_event_id",
+    )
+
+
+@query(
+    "asof_forward",
+    """
+    WITH click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1)
+    SELECT l.event_id, l.user_id, l.value, l.ts,
+           c.v AS click_value, c.ts AS ts_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts <= c.ts
+    """,
+)
+def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: nearest right row at-or-AFTER each left timestamp
+    (e.g. next-click-after-purchase attribution). Same union + one-window
+    machinery, time walked descending."""
+    from featureform_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("value").alias("click_value"), F.col("ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        value_cols=["click_value"], direction="forward",
         right_order_col="click_event_id",
     )
 

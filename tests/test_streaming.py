@@ -111,6 +111,32 @@ def test_windowed_aggregate_streaming_with_watermark(spark, tmp_path):
     assert rows == 2
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from featureform_spark.streaming.incremental import stream_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "doc_id long, fingerprint string, ts timestamp"
+    spark.createDataFrame(
+        [(0, "fp-a", datetime(2024, 1, 1, 0, 0)),
+         (1, "fp-a", datetime(2024, 1, 1, 0, 5)),   # dup inside horizon
+         (2, "fp-b", datetime(2024, 1, 1, 0, 6)),
+         (3, "fp-a", datetime(2024, 1, 1, 0, 7))],  # dup inside horizon
+        schema,
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_dedup(stream, ["fingerprint"], ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_test").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT fingerprint FROM dedup_test").collect()
+    assert sorted(r["fingerprint"] for r in rows) == ["fp-a", "fp-b"]
+    # batch frames run through the same call (no watermark path)
+    batch = spark.read.parquet(str(src))
+    assert stream_dedup(batch, ["fingerprint"]).count() == 2
+
+
 def test_incremental_transformation_appends_new_only(spark, tmp_path):
     from pyspark.sql import functions as F
 
