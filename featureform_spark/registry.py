@@ -64,6 +64,21 @@ class StreamLocation:
 
 
 @dataclass(frozen=True)
+class JDBCLocation:
+    """A JDBC-addressable warehouse table (Snowflake / BigQuery / Postgres
+    — the reference's S6/S7 offline stores; provider/snowflake.go,
+    provider/bigquery.go). Reads go through Spark's JDBC source with
+    predicate pushdown + partitioned parallel reads; requires the vendor
+    JDBC driver jar on the classpath (not shipped in this container)."""
+
+    url: str
+    table: str  # table name or "(subquery) alias"
+    partition_column: str = ""
+    num_partitions: int = 0
+    kind: str = "jdbc"
+
+
+@dataclass(frozen=True)
 class DataFrameLocation:
     """An in-process DataFrame registered directly (test/dev convenience)."""
 
@@ -71,13 +86,17 @@ class DataFrameLocation:
     kind: str = "dataframe"
 
 
-Location = FileLocation | CatalogLocation | SQLLocation | StreamLocation | DataFrameLocation
+Location = (
+    FileLocation | CatalogLocation | SQLLocation | StreamLocation
+    | JDBCLocation | DataFrameLocation
+)
 
 _LOCATION_KINDS = {
     "file": FileLocation,
     "catalog": CatalogLocation,
     "sql": SQLLocation,
     "stream": StreamLocation,
+    "jdbc": JDBCLocation,
     "dataframe": DataFrameLocation,
 }
 

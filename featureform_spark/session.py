@@ -38,6 +38,42 @@ _DEFAULTS = {
 }
 
 
+def conf_for_scale(
+    input_bytes: int,
+    executor_cores: int = 4,
+    num_executors: int = 1000,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    shuffle_fraction: float = 0.5,
+) -> dict[str, str]:
+    """Spill-aware sizing for a given input volume.
+
+    Rules of thumb encoded:
+    - scan partitions ≈ input / 128 MB (``maxPartitionBytes``);
+    - shuffle partitions sized so a post-shuffle partition holds
+      ~``target_partition_bytes`` of the shuffled fraction of input
+      (``shuffle_fraction`` — aggregations typically shuffle far less
+      than they scan thanks to partial aggregation), floored at 2× total
+      cores so every slot has work and AQE coalescing has room to merge;
+    - AQE advisory size pinned to the same target so runtime coalescing
+      aims at the same partition weight.
+
+    At 100 TB / 1000 × 4-core executors this yields ~400k scan tasks and
+    a six-figure shuffle-partition count — far from the 200 default that
+    would OOM; at test scale it collapses to the core count.
+    """
+    total_cores = max(1, executor_cores * num_executors)
+    shuffle_bytes = int(input_bytes * shuffle_fraction)
+    by_size = shuffle_bytes // target_partition_bytes + 1
+    shuffle_partitions = max(by_size, 2 * total_cores)
+    return {
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_bytes
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "featureform_spark",
     master: str | None = None,

@@ -450,6 +450,45 @@ def embedding_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, qvec, k=10, num_planes=8)
 
 
+def _knn_vote_oracle(k: int = 10) -> str:
+    dot = _DOT.format(n=_DIM + 1, a="v", b="qv")
+    nv = _NORM.format(a="v")
+    nq = _NORM.format(a="qv")
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, {dot} / ({nv} * {nq}) AS score
+      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings WHERE vec_id <> 0) e, q),
+    topk AS (
+      SELECT vec_id FROM s ORDER BY score DESC, vec_id LIMIT {k})
+    SELECT e.label AS predicted_label, count(*) AS n_votes
+    FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id
+    GROUP BY e.label
+    ORDER BY n_votes DESC, e.label
+    LIMIT 1
+    """
+
+
+@query("knn_label_vote", _knn_vote_oracle())
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embedding column: the
+    serving-side 'predict from neighbors' pattern, end-to-end in one
+    plan (exact top-k → label join → vote)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select("embedding")
+    topk = cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, k=10)
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy(F.col("label").alias("predicted_label"))
+        .agg(F.count("*").alias("n_votes"))
+        .orderBy(F.col("n_votes").desc(), F.col("predicted_label"))
+        .limit(1)
+    )
+
+
 def _ivf_topk_oracle(num_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
     cos_vc = (
         _DOT.format(n=_DIM + 1, a="v", b="cv")

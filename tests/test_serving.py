@@ -66,3 +66,15 @@ def test_nearest(spark):
     store.register_vectors("emb", vecs)
     got = store.nearest("emb", [1.0, 0.0], k=2)
     assert [g[0] for g in got] == [0, 2]
+
+
+def test_conf_for_scale_sizing():
+    from featureform_spark.session import conf_for_scale
+
+    # 100 TB on 1000 x 4-core executors: six-figure shuffle partitions
+    big = conf_for_scale(100 * 1024**4, executor_cores=4, num_executors=1000)
+    assert int(big["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
+    assert int(big["spark.sql.shuffle.partitions"]) > 100_000
+    # test scale: collapses to the core floor, never the 200 default
+    small = conf_for_scale(10 * 1024**2, executor_cores=4, num_executors=1)
+    assert int(small["spark.sql.shuffle.partitions"]) == 8

@@ -3,6 +3,8 @@ roundtrip, wide feature-table upsert, Arrow streamer, row appends."""
 
 import time
 
+import pytest
+
 import pyarrow as pa
 
 from featureform_spark.sources.feature_table import WideFeatureTable
@@ -70,3 +72,17 @@ def test_append_rows(spark, tmp_path):
     append_rows(spark, path, [(2, "y")], "id long, v string")
     df = spark.read.parquet(path)
     assert {r["id"] for r in df.collect()} == {1, 2}
+
+
+def test_jdbc_location_gated_with_clear_error(spark):
+    from featureform_spark.registry import JDBCLocation, _LOCATION_KINDS
+    from featureform_spark.sources.readers import read_jdbc, _from_dict
+
+    loc = JDBCLocation(url="jdbc:postgresql://db:5432/x", table="features")
+    with pytest.raises(RuntimeError, match="JDBC driver jar"):
+        read_jdbc(spark, loc)
+    # dict round-trip through the location registry
+    assert _from_dict(
+        {"kind": "jdbc", "url": loc.url, "table": loc.table}
+    ) == loc
+    assert _LOCATION_KINDS["jdbc"] is JDBCLocation
