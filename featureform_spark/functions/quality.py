@@ -1,0 +1,149 @@
+"""Gopher/C4-style document quality signals and PII redaction.
+
+Repetition ratios (duplicate lines / duplicate bigrams), symbol and
+alpha-word ratios, bullet/ellipsis line ratios, and a combined
+keep/drop verdict in the spirit of the Gopher rules (Rae et al. 2021)
+and C4 cleaning (Raffel et al. 2020). Everything is built from
+JVM-side array/regexp expressions (whole-stage codegen, no Python
+UDFs) so a quality pass over 100 TB of documents runs at scan speed,
+and every signal is replicated bit-for-bit by the DuckDB oracle.
+
+Reference parity note: featureform has no text-quality surface; this
+is part of the beyond-reference LLM-data-pipeline layer (SURVEY.md
+§8.10) alongside functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.text import tokens_expr
+
+# Patterns restricted to constructs RE2 (DuckDB) and Java regex (Spark)
+# interpret identically: character classes, bounded repeats, no
+# backrefs / lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def _lines(text_col: str) -> Column:
+    # trimmed so duplicate-line detection ignores leading/trailing space
+    # NB: single-arg lambda — a bare F.trim would be seen as a
+    # two-parameter (elem, idx) lambda and trim index digits
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def quality_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/shape signals + keep verdict.
+
+    - dup_line_frac: 1 - distinct/total over non-blank lines
+    - dup_bigram_frac: 1 - distinct/total over token bigrams
+    - symbol_ratio: non-alphanumeric, non-space chars / chars
+    - alpha_word_ratio: tokens containing a letter / tokens
+    - bullet_line_frac / ellipsis_line_frac: lines starting with a
+      bullet mark / ending with '...'
+    - keep: Gopher-style verdict combining the above
+    """
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks).cast("long")
+    lines = _lines(text_col)
+    n_lines = F.size(lines).cast("long")
+
+    dup_line_frac = F.when(n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    # bigrams via 1-indexed element_at — identical semantics in DuckDB.
+    # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark, so the
+    # <2-token case short-circuits to an empty array.
+    bigrams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (n_tokens - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams).cast("long")
+    dup_bigram_frac = F.when(n_bigrams > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bigrams.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_symbol = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    symbol_ratio = F.when(n_chars > 0,
+        n_symbol.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    alpha_word_ratio = F.when(n_tokens > 0,
+        alpha_words.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike("^[-*•]"))
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike("\\.\\.\\.$"))
+    ).cast("long")
+    bullet_line_frac = F.when(n_lines > 0,
+        bullet_lines.cast("double") / n_lines.cast("double")).otherwise(F.lit(0.0))
+    ellipsis_line_frac = F.when(n_lines > 0,
+        ellipsis_lines.cast("double") / n_lines.cast("double")).otherwise(F.lit(0.0))
+
+    mean_word_len = F.when(n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        .cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    keep = (
+        (n_tokens >= 10)
+        & (n_tokens <= 100000)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 12.0)
+        & (symbol_ratio < 0.2)
+        & (alpha_word_ratio > 0.6)
+        & (dup_line_frac < 0.5)
+        & (dup_bigram_frac < 0.5)
+    )
+
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        mean_word_len.alias("mean_word_len"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """C4-style PII scrub: replace emails, IPv4s, and international
+    phone numbers with placeholder tokens. Order matters (emails
+    before phones so digits in addresses aren't half-eaten); the
+    oracle applies the same order.
+    """
+    out = out or text_col
+    scrubbed = F.regexp_replace(F.col(text_col), EMAIL_RE, email_token)
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, ip_token)
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, phone_token)
+    return df.withColumn(out, scrubbed)

@@ -1005,3 +1005,58 @@ def all_oracles() -> dict[str, str]:
 def _load_extensions() -> None:
     """Import sibling suites (they self-register via @query)."""
     import featureform_spark.suite_llm  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join — beyond-reference (SURVEY §8.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "range_join_orders",
+    """
+    SELECT w.o_orderkey AS window_orderkey,
+           count(*) AS n_in_window,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS window_spend
+    FROM orders o JOIN orders w
+      ON o.o_custkey = w.o_custkey
+     AND o.o_orderdate >= w.o_orderdate
+     AND o.o_orderdate < w.o_orderdate + INTERVAL 30 DAY
+     AND o.o_orderkey <> w.o_orderkey
+    GROUP BY w.o_orderkey
+    """,
+)
+def range_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed within 30 days after another order by the same
+    customer: a self range-join executed as a bucketed hash equi-join
+    (operators/range_join.py) instead of the O(n·m) theta join the
+    oracle runs — same rows, scale-safe plan."""
+    from featureform_spark.operators.range_join import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    wins = orders.select(
+        F.col("o_orderkey").alias("window_orderkey"),
+        "o_custkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
+    )
+    joined = range_join(
+        orders,
+        wins,
+        left_ts="o_orderdate",
+        start_col="win_start",
+        end_col="win_end",
+        on=["o_custkey"],
+        bucket_seconds=30 * 86400,
+    )
+    return (
+        joined.filter(F.col("o_orderkey") != F.col("window_orderkey"))
+        .groupBy("window_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("window_spend"),
+        )
+    )

@@ -590,3 +590,113 @@ def embedding_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_buckets(
         load_table(spark, sf_dir, "embeddings"), dim=_DIM, num_planes=16
     )
+
+
+# ---------------------------------------------------------------------------
+# quality filtering + PII redaction (functions/quality.py)
+# ---------------------------------------------------------------------------
+
+_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),"
+    " l -> l <> '')"
+)
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks, {_LINES} AS lines
+  FROM documents
+), b AS (
+  SELECT doc_id, text, toks, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM t
+), s AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(lines) > 0
+         THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)::DOUBLE
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(bigrams) > 0
+         THEN 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)::DOUBLE
+         ELSE 0.0 END AS dup_bigram_frac,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+              / length(text)::DOUBLE
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))::DOUBLE
+              / len(toks)::DOUBLE
+         ELSE 0.0 END AS alpha_word_ratio,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))::DOUBLE
+              / len(lines)::DOUBLE
+         ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))::DOUBLE
+              / len(lines)::DOUBLE
+         ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, tk -> length(tk)))::DOUBLE
+              / len(toks)::DOUBLE
+         ELSE 0.0 END AS mean_word_len
+  FROM b
+)
+SELECT doc_id, n_tokens, dup_line_frac, dup_bigram_frac, symbol_ratio,
+       alpha_word_ratio, bullet_line_frac, ellipsis_line_frac, mean_word_len,
+       CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                  AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                  AND symbol_ratio < 0.2 AND alpha_word_ratio > 0.6
+                  AND dup_line_frac < 0.5 AND dup_bigram_frac < 0.5
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
+
+@query("quality_signals", _QUALITY_ORACLE)
+def quality_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from featureform_spark.functions.quality import quality_signals
+
+    return quality_signals(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    from featureform_spark.functions.quality import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 call +1 202 555 01' || CAST(doc_id % 10 AS VARCHAR)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {synth} AS text FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{IPV4_RE}', '<IP>', 'g'),
+        '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """
+
+
+@query("pii_redact", _pii_oracle())
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docs table has no live PII, so both sides append the same
+    synthetic email/IP/phone suffix before scrubbing — the redaction
+    regexes are exercised on every row."""
+    from featureform_spark.functions.quality import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 202 555 01"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", F.col("text").alias("redacted"))

@@ -175,3 +175,20 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_feat_bkt")
         spark.sql("DROP TABLE IF EXISTS t_dim_bkt")
+
+
+def test_range_join_is_hash_equi_join(spark, sf_dir):
+    """The bucketed range join must plan as a hash/sort-merge equi-join
+    on (bucket, key) — never a nested-loop/cartesian theta join."""
+    from featureform_spark.suite import all_queries
+
+    df = all_queries()["range_join_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert (
+        count_nodes(plan, "BroadcastHashJoin")
+        + count_nodes(plan, "SortMergeJoin")
+        + count_nodes(plan, "ShuffledHashJoin")
+        >= 1
+    )

@@ -1,0 +1,122 @@
+"""Quality signals, PII redaction, and range join semantics on
+synthetic inputs richer than the generated documents table (newlines,
+bullets, duplicate lines, live PII strings)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.quality import quality_signals, redact_pii
+from featureform_spark.operators.range_join import range_join
+
+
+def test_quality_signals_repetition_and_shape(spark):
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, two identical after trim; third starts with a bullet
+            (1, "aa bb cc\n  aa bb cc  \n- dd ee ff"),
+            # single token (bigram guard)
+            (2, "hello"),
+            # ellipsis line + symbols
+            (3, "wait for it...\n$$$ %% @@"),
+            # repeated bigram on one line: 6 tokens, 5 bigrams, 2 distinct
+            (4, "x y x y x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in quality_signals(docs).collect()}
+
+    r1 = rows[1]
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(r1["bullet_line_frac"] - 1 / 3) < 1e-12
+
+    r2 = rows[2]
+    assert r2["n_tokens"] == 1
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["keep"] == 0  # too short
+
+    r3 = rows[3]
+    assert abs(r3["ellipsis_line_frac"] - 1 / 2) < 1e-12
+    assert r3["symbol_ratio"] > 0.2
+    assert r3["keep"] == 0
+
+    assert abs(rows[4]["dup_bigram_frac"] - 3 / 5) < 1e-12
+
+
+def test_quality_signals_keep_on_clean_doc(spark):
+    # fully distinct tokens -> zero repetition, all-alpha words
+    text = " ".join(f"wa{i} wb{i} wc{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = quality_signals(docs).collect()[0]
+    assert row["keep"] == 1
+    assert row["alpha_word_ratio"] == 1.0
+    assert row["dup_bigram_frac"] == 0.0
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.1 port 80"),
+            (3, "call +1 (415) 555-0100 today"),
+            (4, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> port 80"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text with no pii at all"
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    events = spark.createDataFrame(
+        [(i, _ts(1 + i % 28, i % 24), i % 5) for i in range(200)],
+        ["eid", "ets", "key"],
+    )
+    # intervals of widely varying width, incl. bucket-straddling ones
+    intervals = spark.createDataFrame(
+        [
+            (100 + j, _ts(1 + j % 20), _ts(1 + j % 20 + (j % 3) * 3, 12), j % 5)
+            for j in range(40)
+        ],
+        ["iid", "start", "end", "key"],
+    )
+
+    fast = range_join(
+        events, intervals, "ets", "start", "end", on=["key"], bucket_seconds=86400
+    )
+    naive = events.join(
+        intervals.withColumnRenamed("key", "k2"),
+        on=[
+            F.col("key") == F.col("k2"),
+            F.col("ets") >= F.col("start"),
+            F.col("ets") < F.col("end"),
+        ],
+    ).select("eid", "iid")
+
+    fast_pairs = sorted((r["eid"], r["iid"]) for r in fast.select("eid", "iid").collect())
+    naive_pairs = sorted((r["eid"], r["iid"]) for r in naive.collect())
+    assert fast_pairs == naive_pairs
+    assert len(fast_pairs) > 0
+
+
+def test_range_join_exclusive_end_on_bucket_boundary(spark):
+    # interval ends exactly at a bucket boundary: the end bucket must not
+    # be probed, and a probe exactly at end must not match
+    events = spark.createDataFrame(
+        [(1, _ts(2)), (2, _ts(1, 12)), (3, _ts(1))], ["eid", "ets"]
+    )
+    intervals = spark.createDataFrame([(10, _ts(1), _ts(2))], ["iid", "start", "end"])
+    got = sorted(
+        r["eid"]
+        for r in range_join(
+            events, intervals, "ets", "start", "end", bucket_seconds=86400
+        ).collect()
+    )
+    assert got == [2, 3]
