@@ -1,0 +1,76 @@
+"""Connected components over a pair/edge table — the clustering step
+of a dedup pipeline (LSH/fingerprint pairs -> duplicate groups with a
+canonical representative per group).
+
+Algorithm: iterative min-label propagation with one hop of pointer
+compression per round (label <- parent's label), which converges in
+O(log(diameter)) rounds instead of O(diameter). Each round is two hash
+joins + a partial-aggregated groupBy; lineage is truncated with
+localCheckpoint so plans stay flat across iterations (the classic
+iterative-Spark trap). Convergence is detected by the monotonically
+decreasing label sum — one cheap agg per round instead of a join-diff.
+
+At 100 TB scale the same loop holds (this is the alternating-star
+family of MapReduce CC algorithms); the per-round shuffle is keyed by
+node id, so AQE handles skewed super-nodes.
+
+No reference parity: featureform has no graph surface; this backs the
+beyond-reference dedup layer (SURVEY.md §8.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``edges``; cluster_id is the
+    minimum node id in the component."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=False)
+
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=False)
+
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(sym["a"].alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_label", labels["label"])
+                ).alias("label"),
+            )
+        )
+        # pointer compression: follow one parent hop (labels are node
+        # ids, so the parent row always exists)
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        labels = (
+            stepped.join(parent, stepped["label"] == parent["pid"], "left")
+            .select(
+                stepped["id"],
+                F.coalesce("plabel", stepped["label"]).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -132,3 +132,50 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.size(toks).cast("long").alias("n_ws_tokens"),
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf ranking.
+
+    The idf factor is the *rational* form ``(N + 1) / (df + 1)`` rather
+    than its logarithm — it up-weights rare terms the same way and, at
+    equal tf, ranks identically (monotone in df); where tf and df
+    trade off, the rational form penalizes common terms harder than
+    log-idf would. Chosen because it is bit-exact across engines:
+    ln()'s last-ulp behavior differs between libm implementations,
+    which would break hash-compared oracles. Ties broken by term
+    ascending.
+
+    Plan shape: explode -> two partial-aggregated groupBys -> shuffle
+    join on term -> broadcast of the single-row corpus count -> per-doc
+    window. Everything JVM-side; scales linearly in corpus size.
+    """
+    toks = tokens_expr(text_col)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + F.lit(1.0))
+            / (F.col("df_docs") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(id_col, "term", "tf", "df_docs", "score")
+    )

@@ -59,3 +59,28 @@ def train_test_split(
         tagged.filter(F.col("is_test") == 0).drop("is_test"),
         tagged.filter(F.col("is_test") == 1).drop("is_test"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5
+    hash-bucket falls under the stratum's fraction.
+
+    Unlike ``df.sampleBy`` (rand()-based, run-dependent), assignment is
+    a pure function of (key, seed): stable across retries, partitions,
+    and engines — the DuckDB oracle reproduces it exactly. Strata absent
+    from ``fractions`` are dropped (fraction 0).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.substring(F.md5(F.concat(key, F.lit(f"#{seed}"))), 1, 8)
+    thr = F.lit("00000000")
+    for stratum, frac in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(h < thr)

@@ -700,3 +700,100 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return redact_pii(docs).select("doc_id", F.col("text").alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# tf-idf, dedup clustering, stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*)::BIGINT AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+             tf.tf::DOUBLE * (n.n_docs + 1.0) / (dfq.df_docs + 1.0) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf::DOUBLE * (n.n_docs + 1.0)
+                                         / (dfq.df_docs + 1.0) DESC,
+                                         tf.term ASC) AS rn
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_docs, score FROM scored WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from featureform_spark.functions.text import tf_idf
+
+    return tf_idf(load_table(spark, sf_dir, "documents"), top_k=3)
+
+
+@query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 10 < 3
+    ), sym AS (
+      SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+    ), reach(id, r) AS (
+      SELECT a AS id, a AS r FROM sym
+      UNION
+      SELECT s.a AS id, reach.r FROM sym s JOIN reach ON reach.id = s.b
+    )
+    SELECT id AS doc_id, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering: deterministic synthetic near-dup
+    chains (doc i ~ doc i+1 when i%10<3 -> components of <=4 docs) fed
+    through the generic connected-components operator; the oracle
+    computes the same transitive closure with a recursive CTE."""
+    from featureform_spark.functions.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    right = docs.select(F.col("doc_id").alias("b"))
+    edges = (
+        docs.filter(F.col("doc_id") % 10 < 3)
+        .select(F.col("doc_id").alias("a"))
+        .join(right, F.col("b") == F.col("a") + 1)
+    )
+    out = connected_components(edges, "a", "b")
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR) || '#7'), 1, 8) <
+          CASE event_type
+            WHEN 'click' THEN '80000000'
+            WHEN 'view' THEN '19999999'
+            ELSE '00000000' END
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: 50% of clicks, 10% of views,
+    0% of everything else — md5-keyed so any engine reproduces the
+    exact row set."""
+    from featureform_spark.operators.split import stratified_sample
+
+    events = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        events,
+        "event_type",
+        {"click": 0.5, "view": 0.1},
+        key_cols=["event_id"],
+        seed=7,
+    ).select("event_id", "event_type")
