@@ -27,7 +27,15 @@ def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles, space-joined (same as DuckDB
     list_transform(range(0, len-n+1), i -> array_to_string(list_slice(w,
     i+1, i+n), ' ')))."""
-    toks = tokens_expr(text_col)
+    return _shingles_of(tokens_expr(text_col), n)
+
+
+def _shingles_of(toks: Column, n: int) -> Column:
+    """Shingles from an already-computed token array. Pass an attribute
+    (projected column), not an expression: slice(toks, …) sits inside
+    the transform lambda, where codegen CSE cannot deduplicate — an
+    inline tokens expression would re-split the text once per shingle
+    index (O(n²) per doc)."""
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
@@ -59,23 +67,43 @@ def _exploded_shingles(
     # arrives as few dense files (locally: one partition), and the
     # shingle×hash work downstream is ~100× the cost of shuffling the raw
     # text — without this the whole pipeline runs single-threaded
-    return df.repartition(F.col(id_col)).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_expr(text_col, shingle_n))).alias("shingle")
+    return (
+        df.repartition(F.col(id_col))
+        .withColumn("__toks", tokens_expr(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(_shingles_of(F.col("__toks"), shingle_n))
+            ).alias("shingle"),
+        )
     )
 
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
 
+def _with_hash_halves(ex: DataFrame) -> DataFrame:
+    """Project the two 32-bit halves of md5(shingle) as real columns:
+    24 aggregate update expressions referencing the digest inline would
+    each recompute md5+conv per row (aggregate codegen has no CSE
+    across update functions); attributes evaluate once."""
+    h = F.md5(F.col("shingle"))
+    return ex.withColumns(
+        {
+            "__h1": F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+            "__h2": F.conv(F.substring(h, 9, 8), 16, 10).cast("long"),
+        }
+    )
+
+
 def _minhash_agg_exprs(num_hashes: int) -> list:
     """k min() aggregates from ONE md5 per shingle via double hashing
     (Kirsch-Mitzenmacher): h_i = (h1 + i*h2) mod P with h1/h2 the two
-    32-bit halves of md5(shingle). 24 hash functions cost one digest +
-    24 integer fma-mods instead of 24 digests — and the signature
-    shuffles as longs, not 32-char strings."""
-    h = F.md5(F.col("shingle"))
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    32-bit halves of md5(shingle) (see _with_hash_halves). 24 hash
+    functions cost one digest + 24 integer fma-mods instead of 24
+    digests — and the signature shuffles as longs, not 32-char
+    strings."""
+    h1, h2 = F.col("__h1"), F.col("__h2")
     return [
         F.min((h1 + F.lit(i) * h2) % F.lit(MINHASH_P)).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -96,7 +124,7 @@ def minhash_signature(
     Documents with no shingles (shorter than n words) are dropped, same
     as a null signature.
     """
-    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    ex = _with_hash_halves(_exploded_shingles(df, id_col, text_col, shingle_n))
     return ex.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
 
 
@@ -133,7 +161,11 @@ def minhash_lsh_pairs(
     # recomputes; at cluster scale this is the difference between one
     # corpus scan and four)
     shing = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
-    sig = shing.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
+    sig = (
+        _with_hash_halves(shing)
+        .groupBy(id_col)
+        .agg(*_minhash_agg_exprs(num_hashes))
+    )
 
     band_cols = []
     for b in range(bands):
