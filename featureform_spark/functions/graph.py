@@ -7,8 +7,11 @@ compression per round (label <- parent's label), which converges in
 O(log(diameter)) rounds instead of O(diameter). Each round is two hash
 joins + a partial-aggregated groupBy; lineage is truncated with
 localCheckpoint so plans stay flat across iterations (the classic
-iterative-Spark trap). Convergence is detected by the monotonically
-decreasing label sum — one cheap agg per round instead of a join-diff.
+iterative-Spark trap). Convergence is detected by counting rows whose
+label changed this round (the old label rides along as a column, so
+the check is a filter+count on the frame we just checkpointed — no
+extra join, and it works for ANY node id type, unlike a numeric
+label-sum which NULLs out on string ids).
 
 At 100 TB scale the same loop holds (this is the alternating-star
 family of MapReduce CC algorithms); the per-round shuffle is keyed by
@@ -40,7 +43,6 @@ def connected_components(
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=False)
 
-    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -51,6 +53,7 @@ def connected_components(
             labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
             .select(
                 labels["id"],
+                labels["label"].alias("_old"),
                 F.least(
                     labels["label"], F.coalesce("nbr_label", labels["label"])
                 ).alias("label"),
@@ -65,12 +68,13 @@ def connected_components(
             stepped.join(parent, stepped["label"] == parent["pid"], "left")
             .select(
                 stepped["id"],
+                stepped["_old"],
                 F.coalesce("plabel", stepped["label"]).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = labels.filter(F.col("label") != F.col("_old")).count()
+        labels = labels.drop("_old")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

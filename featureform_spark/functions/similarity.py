@@ -170,29 +170,37 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest (max-cosine) centroid.
 
-    Broadcast cross-join against the tiny centroid table, then a window
-    ranked (score DESC, cid ASC) — deterministic even on score ties. At
-    100 TB the output's ``cell`` column is the partition/cluster key the
-    probe prunes on; the only wide exchange is the per-vector window,
-    which AQE coalesces (vec_id is unique, so no skew).
+    The centroid table is aggregated into ONE row holding an
+    array<struct<cid,cv>>, broadcast, and the per-vector argmax is a pure
+    expression: ``array_max`` over ``struct(score, -cid, cid)`` (struct
+    comparison is field-by-field, so ties on score fall to the smallest
+    cid — same ordering the old window used). Zero exchange: the whole
+    assignment is a broadcast of one row plus a projection, instead of a
+    whole-corpus shuffle for a per-row decision over <=16 centroids.
+    Requires a numeric ``cid`` (vec_id ids) for the tie-break negation.
     """
-    scored = (
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            F.col(id_col),
-            F.col("_v"),
-            F.col("cid"),
-            cosine_expr(F.col("_v"), F.col("cv")).alias("_cs"),
+    packed = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents")
+    )
+    # per-row vector norm hoisted out of the lambda (computed once, not
+    # once per centroid); score stays the full cosine so it is bit-equal
+    # to the oracle's formulation
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (dot_expr(F.col("_v"), c["cv"]) / (F.col("_nv") * norm_expr(c["cv"])))
+                .alias("s"),
+                (-c["cid"].cast("double")).alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cid"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col("_v"), F.col("cid").alias("cell"))
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_nv", norm_expr(F.col("_v")))
+        .crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.col("_v"), best["cid"].alias("cell"))
     )
 
 

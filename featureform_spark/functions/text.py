@@ -85,14 +85,24 @@ def language_id(
     hits at all).
     """
     markers = markers or LANG_MARKERS
-    toks = tokens_expr(text_col)
+    # project the token array ONCE; inlining tokens_expr into every
+    # per-language score would re-split the text once per language per
+    # row (same trap measured in quality.py: 36 s -> 2 s)
+    tokd = df.withColumn("__toks", tokens_expr(text_col))
+    toks = F.col("__toks")
 
     def _score(words: tuple[str, ...]):
         # single-arg lambda: a 2-arg one would be treated as (elem, idx)
         return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
-    scores = {lang: _score(words) for lang, words in markers.items()}
     langs = list(markers)
+    # project each score once as a real column: the argmax when-chain
+    # below references every score several times, and inlined filter
+    # expressions would be re-evaluated at each reference
+    tokd = tokd.withColumns(
+        {f"score_{lang}": _score(words) for lang, words in markers.items()}
+    )
+    scores = {lang: F.col(f"score_{lang}") for lang in langs}
     # fixed precedence: first language in dict order wins ties
     pred = F.lit("und")
     best = F.lit(-1).cast("long")
@@ -100,9 +110,9 @@ def language_id(
         better = scores[lang] > best
         pred = F.when(better & (scores[lang] > 0), F.lit(lang)).otherwise(pred)
         best = F.when(better, scores[lang]).otherwise(best)
-    return df.select(
+    return tokd.select(
         F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        *[F.col(f"score_{lang}") for lang in langs],
         pred.alias("lang_pred"),
     )
 

@@ -40,7 +40,18 @@ def range_join(
     the containment predicate. ``end_col`` is exclusive. Interval and
     probe timestamps may be DATE or TIMESTAMP; both are compared at
     microsecond precision after an implicit cast.
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    exploded one row per spanned bucket, so right/full outer shapes
+    would surface each unmatched interval once per bucket as duplicate
+    null-extended rows (same guard as ``salted_join``).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}: the "
+            "bucket-exploded right side would duplicate unmatched rows "
+            "in right/full outer joins"
+        )
     on = on or []
     lts = F.col(left_ts).cast("timestamp")
     start = F.col(start_col).cast("timestamp")

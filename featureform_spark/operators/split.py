@@ -28,7 +28,17 @@ def hash_bucket(key: Column, seed: int = 42) -> Column:
 
 
 def threshold_hex(frac: float) -> str:
-    """Hex threshold t such that P(md5_prefix < t) == frac (8 hex chars)."""
+    """Hex threshold t such that P(md5_prefix < t) == frac (8 hex chars).
+
+    Clamped at the edges: frac >= 1.0 returns 'g' (lexicographically
+    above every hex digit, so ``prefix < t`` keeps ALL rows — the naive
+    9-char '100000000' would keep only hashes starting with '0'), and
+    frac <= 0 returns '00000000' (keeps none).
+    """
+    if frac >= 1.0:
+        return "g"
+    if frac <= 0.0:
+        return "00000000"
     return format(int(frac * 16**8), "08x")
 
 

@@ -69,6 +69,87 @@ class InMemoryOnlineStore:
         return [(r["vec_id"], r["score"]) for r in out.collect()]
 
 
+class FileBackedOnlineStore:
+    """KV store backed by a spool directory of append-only JSON batch
+    segments — the shared write surface a real Dynamo/Redis endpoint
+    provides, so **executor processes** can write to it directly
+    (``partition_writer`` below plugs into ``foreach_partition_write``,
+    matching the reference's executor-side Dynamo pattern,
+    offline_store_spark_runner.py:420-485). Reads fold segments in write
+    order with the same newer-or-equal-wins rule as
+    ``InMemoryOnlineStore.set_if_newer``.
+
+    Timestamps are JSON-serialized via ``str`` (ISO-like), which
+    compares lexicographically in time order — adequate for the
+    last-write-wins fold; a real store compares native timestamps.
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self._root = str(root)
+        os.makedirs(self._root, exist_ok=True)
+
+    def _table_dir(self, table: str) -> str:
+        import os
+
+        d = os.path.join(self._root, table)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def partition_writer(self, table: str):
+        """Picklable executor-side writer factory for
+        ``foreach_partition_write``: each batch lands as one atomic
+        segment file (tmp + rename), filename-prefixed with a
+        nanosecond clock so the read fold replays write order."""
+        root = self._table_dir(table)
+
+        def factory():
+            import json
+            import os
+            import time
+            import uuid
+
+            def write_batch(rows):
+                name = f"{time.time_ns():020d}-{uuid.uuid4().hex}.json"
+                tmp = os.path.join(root, name + ".tmp")
+                with open(tmp, "w") as f:
+                    json.dump(rows, f, default=str)
+                os.replace(tmp, os.path.join(root, name))
+
+            return write_batch
+
+        return factory
+
+    def _fold(self, table: str) -> dict[Any, Any]:
+        import json
+        import os
+
+        d = self._table_dir(table)
+        values: dict[Any, Any] = {}
+        stamps: dict[Any, Any] = {}
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(d, name)) as f:
+                for row in json.load(f):
+                    e, v, ts = row["entity"], row["value"], row.get("ts")
+                    prev = stamps.get(e)
+                    if prev is None or (ts is not None and str(ts) >= str(prev)):
+                        values[e] = v
+                        stamps[e] = ts
+        return values
+
+    def get(self, table: str, entity: Any) -> Any:
+        return self._fold(table).get(entity)
+
+    def serve_features(self, tables: list[str], entity: Any) -> list[Any]:
+        return [self.get(t, entity) for t in tables]
+
+    def table_size(self, table: str) -> int:
+        return len(self._fold(table))
+
+
 def materialize_to_online(
     mat: DataFrame,
     store: InMemoryOnlineStore,

@@ -59,27 +59,49 @@ def _footer_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     name = col.path_in_schema
                     st = col.statistics
                     if st is None or not st.has_min_max:
+                        # a row group without stats makes the file's
+                        # [min,max] unprovable — mark so pruning keeps it
+                        # (zone maps must be conservative)
+                        acc = per_col.setdefault(
+                            name,
+                            {"min": None, "max": None, "nulls": 0, "kind": "other",
+                             "covered": 0},
+                        )
                         continue
                     mn, mx = st.min, st.max
                     nulls = st.null_count if st.null_count is not None else 0
                     if isinstance(mn, bytes):
                         mn = mn.decode("utf-8", "replace")
                         mx = mx.decode("utf-8", "replace")
-                    kind = (
-                        "numeric"
-                        if isinstance(mn, (int, float))
-                        else "string" if isinstance(mn, str) else "other"
-                    )
+                    # bool is an int subclass but float('True') crashes;
+                    # temporal stats stringify non-comparably — both are
+                    # 'other' (never pruned on)
+                    if isinstance(mn, bool):
+                        kind = "other"
+                    elif isinstance(mn, (int, float)):
+                        kind = "numeric"
+                    elif isinstance(mn, str):
+                        kind = "string"
+                    else:
+                        kind = "other"
                     acc = per_col.get(name)
                     if acc is None:
                         per_col[name] = {
-                            "min": mn, "max": mx, "nulls": nulls, "kind": kind
+                            "min": mn, "max": mx, "nulls": nulls, "kind": kind,
+                            "covered": 1,
                         }
                     else:
-                        acc["min"] = min(acc["min"], mn)
-                        acc["max"] = max(acc["max"], mx)
+                        acc["covered"] += 1
+                        if acc["min"] is None:
+                            acc["min"], acc["max"], acc["kind"] = mn, mx, kind
+                        else:
+                            acc["min"] = min(acc["min"], mn)
+                            acc["max"] = max(acc["max"], mx)
                         acc["nulls"] += nulls
             for name, acc in per_col.items():
+                # only a file where EVERY row group carried stats gets a
+                # prunable kind; partial coverage -> 'uncovered' (kept)
+                kind = acc["kind"] if acc["covered"] == md.num_row_groups else "uncovered"
                 rows.append(
                     {
                         "file": path,
@@ -88,7 +110,7 @@ def _footer_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "min_val": str(acc["min"]),
                         "max_val": str(acc["max"]),
                         "null_count": acc["nulls"],
-                        "kind": acc["kind"],
+                        "kind": kind,
                     }
                 )
         yield pd.DataFrame(
@@ -117,9 +139,11 @@ def prune_files(
 ) -> list[str]:
     """Files whose [min, max] for ``column`` intersects [lo, hi].
 
-    Files with no statistics row for the column are conservatively
-    kept (cannot prove they don't match). String comparison for
-    string-kind stats, float for numeric.
+    Conservative by construction: files with no statistics row for the
+    column, rows marked 'uncovered' (some row group lacked stats), and
+    non-comparable kinds (bool/temporal/'other') are ALL kept — pruning
+    only ever acts on fully-covered numeric (float compare) or string
+    (str compare) stats.
     """
     all_files = manifest_pdf["file"].unique().tolist()
     stats = manifest_pdf[manifest_pdf["column"] == column]
@@ -130,9 +154,13 @@ def prune_files(
             mn, mx = float(r["min_val"]), float(r["max_val"])
             lo_c = float(lo) if lo is not None else None
             hi_c = float(hi) if hi is not None else None
-        else:
+        elif r["kind"] == "string":
             mn, mx = r["min_val"], r["max_val"]
-            lo_c, hi_c = lo, hi
+            lo_c = str(lo) if lo is not None else None
+            hi_c = str(hi) if hi is not None else None
+        else:
+            keep.append(r["file"])
+            continue
         if (lo_c is None or mx >= lo_c) and (hi_c is None or mn <= hi_c):
             keep.append(r["file"])
     return keep

@@ -167,14 +167,27 @@ def stream_to_online(
 ):
     """ST1 full loop: stream → per-batch latest-per-entity → online store
     upsert. Cross-batch out-of-order arrivals resolve via ts-compare in
-    the store (``set_if_newer``), so replays converge.
+    the store (newer-or-equal wins), so replays converge.
+
+    Stores exposing ``partition_writer(table)`` (any real KV endpoint;
+    ``FileBackedOnlineStore`` in tests) get the executor-side path: each
+    batch's materialization ships through ``foreach_partition_write`` —
+    batched, retrying, never touching the driver (the reference's Dynamo
+    pattern, offline_store_spark_runner.py:420-485). In-process dict
+    stores have no cross-process write surface, so they fall back to a
+    bounded ``toLocalIterator`` drain (test/demo only — documented as
+    the non-scale path).
     """
     from featureform_spark.operators.materialize import materialize_latest
+    from featureform_spark.serving.writer import foreach_partition_write
 
     def upsert(batch: DataFrame, _bid: int) -> None:
         mat = materialize_latest(batch, entity_col, value_col, ts_col)
-        for row in mat.collect():
-            store.set_if_newer(table, row["entity"], row["value"], row["ts"])
+        if hasattr(store, "partition_writer"):
+            foreach_partition_write(mat, store.partition_writer(table))
+        else:
+            for row in mat.toLocalIterator():
+                store.set_if_newer(table, row["entity"], row["value"], row["ts"])
 
     return (
         stream_df.writeStream.foreachBatch(upsert)

@@ -71,3 +71,39 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     assert got1 == got2  # pure function of (key, seed)
     assert all(k % 2 == 0 for k in got1)  # stratum 'b' dropped (frac 0)
     assert 0.2 < len(got1) / 1000 < 0.4  # ~30% of the 1000 'a' rows
+
+
+def test_stratified_sample_fraction_one_keeps_all(spark):
+    """ADVICE r01: frac >= 1.0 must keep the WHOLE stratum (the naive
+    9-char hex threshold kept only hashes starting with '0')."""
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = stratified_sample(df, "g", {"a": 1.0, "b": 0.0}, ["k"], seed=9)
+    got = sorted(r["k"] for r in out.collect())
+    assert got == [k for k in range(200) if k % 2 == 0]
+
+
+def test_threshold_hex_clamps():
+    from featureform_spark.operators.split import threshold_hex
+
+    assert threshold_hex(1.0) == "g"
+    assert threshold_hex(1.5) == "g"
+    assert threshold_hex(0.0) == "00000000"
+    assert threshold_hex(-0.1) == "00000000"
+    assert threshold_hex(0.5) == "80000000"
+
+
+def test_connected_components_string_ids(spark):
+    """ADVICE r01: convergence must not rely on numeric label sums —
+    string node ids NULLed the decimal cast and broke the loop after
+    one iteration, silently returning unconverged clusters."""
+    from featureform_spark.functions.graph import connected_components
+
+    # a chain long enough to need >1 round: a-b-c-d-e-f, plus x-y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("x", "y")],
+        ["src", "dst"],
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert {out[n] for n in "abcdef"} == {"a"}
+    assert {out[n] for n in "xy"} == {"x"}

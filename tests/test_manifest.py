@@ -71,3 +71,52 @@ def test_prune_files_string_stats():
     )
     assert prune_files(pdf, "s", lo="banana", hi="cherry") == ["a"]
     assert sorted(prune_files(pdf, "s", lo="m")) == ["a", "b"]
+
+
+def test_prune_keeps_uncovered_and_other_kinds():
+    """ADVICE r01: partial row-group stats coverage and non-comparable
+    kinds (bool/temporal) must be kept — zone maps are conservative."""
+    pdf = pd.DataFrame(
+        [
+            {"file": "a", "n_rows": 1, "column": "k", "min_val": "0",
+             "max_val": "10", "null_count": 0, "kind": "uncovered"},
+            {"file": "b", "n_rows": 1, "column": "k", "min_val": "True",
+             "max_val": "True", "null_count": 0, "kind": "other"},
+            {"file": "c", "n_rows": 1, "column": "k", "min_val": "50",
+             "max_val": "60", "null_count": 0, "kind": "numeric"},
+        ]
+    )
+    # range [100, 200]: numeric file c provably excluded; a & b kept
+    assert sorted(prune_files(pdf, "k", lo=100, hi=200)) == ["a", "b"]
+
+
+def test_manifest_bool_column_no_crash(spark, tmp_path):
+    """bool stats used to be classified numeric (bool is int) and crash
+    float('True'); they must land as non-prunable 'other'."""
+    path = str(tmp_path / "boolcol")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag")
+    ).write.parquet(path)
+    pdf = build_manifest(spark, path).toPandas()
+    flag = pdf[pdf["column"] == "flag"]
+    assert (flag["kind"] == "other").all()
+    # pruning on the bool column keeps everything (no crash)
+    all_files = pdf["file"].unique().tolist()
+    assert sorted(prune_files(pdf, "flag", lo=False, hi=True)) == sorted(all_files)
+
+
+def test_manifest_timestamp_column_kept_conservatively(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "tscol")
+    spark.sql(
+        "SELECT id AS k, timestamp'2024-01-01' + make_interval(0,0,0,CAST(id AS INT)) AS ts "
+        "FROM range(0, 100)"
+    ).write.parquet(path)
+    pdf = build_manifest(spark, path).toPandas()
+    ts = pdf[pdf["column"] == "ts"]
+    assert len(ts) >= 1
+    # temporal stats are 'other' → never pruned on, never compared
+    assert set(ts["kind"]) <= {"other", "uncovered"}
+    kept = prune_files(pdf, "ts", lo=datetime.datetime(2030, 1, 1))
+    assert set(kept) == set(pdf["file"].unique())
