@@ -71,6 +71,42 @@ def train_test_split(
     )
 
 
+def train_test_split_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    test_fraction: float = 0.2,
+    seed: int = 42,
+    out_col: str = "is_test",
+) -> DataFrame:
+    """Exact-count split matching the reference
+    (provider/clickhouse.go:1278-1331): ``testRows = int(total * frac)``,
+    rows ranked by a seeded hash, rank <= testRows -> test. Unlike
+    ``with_split_column`` (fractional-in-expectation), the test set has
+    EXACTLY ``int(total * frac)`` rows.
+
+    Scale shape: one count pass, then a rank over the seeded hash via
+    ``with_row_index`` — a range repartition with per-partition sorts and
+    a broadcast of per-partition offsets, not a single-partition global
+    window (the reference's ClickHouse ``row_number() OVER (ORDER BY
+    cityHash64(...))`` implies the same distributed sort). Assignment is
+    deterministic per key: stable under retries and reproducible by the
+    DuckDB oracle via the same md5 ordering.
+    """
+    from featureform_spark.operators.materialize import with_row_index
+
+    total = df.count()
+    test_rows = int(total * test_fraction)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    tagged = df.withColumn("__h", F.md5(F.concat(key, F.lit(f"#{seed}"))))
+    indexed = with_row_index(tagged, order_cols=["__h"], index_col="__rn")
+    return (
+        indexed.withColumn(
+            out_col, F.when(F.col("__rn") <= test_rows, 1).otherwise(0)
+        )
+        .drop("__h", "__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

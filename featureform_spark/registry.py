@@ -86,14 +86,27 @@ class DataFrameLocation:
     kind: str = "dataframe"
 
 
+@dataclass(frozen=True)
+class DeltaliteLocation:
+    """A deltalite transaction-log table (sources/deltalite.py): the
+    in-repo table format giving snapshot isolation, time travel, CDF and
+    copy-on-write MERGE over plain parquet. ``version`` selects a
+    historical snapshot (time travel); None = latest."""
+
+    path: str
+    version: int | None = None
+    kind: str = "deltalite"
+
+
 Location = (
     FileLocation | CatalogLocation | SQLLocation | StreamLocation
-    | JDBCLocation | DataFrameLocation
+    | JDBCLocation | DataFrameLocation | DeltaliteLocation
 )
 
 _LOCATION_KINDS = {
     "file": FileLocation,
     "catalog": CatalogLocation,
+    "deltalite": DeltaliteLocation,
     "sql": SQLLocation,
     "stream": StreamLocation,
     "jdbc": JDBCLocation,

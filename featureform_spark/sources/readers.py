@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from featureform_spark.registry import (
     CatalogLocation,
     DataFrameLocation,
+    DeltaliteLocation,
     FileLocation,
     JDBCLocation,
     Location,
@@ -49,6 +50,10 @@ def read_location(spark: SparkSession, loc: Location | dict, registry: Registry 
         return read_file(spark, path, loc.file_format)
     if isinstance(loc, CatalogLocation):
         return spark.read.format(loc.table_format).table(loc.table)
+    if isinstance(loc, DeltaliteLocation):
+        from featureform_spark.sources.deltalite import DeltaliteTable
+
+        return DeltaliteTable(spark, loc.path).snapshot(loc.version)
     if isinstance(loc, SQLLocation):
         return spark.table(loc.table)
     if isinstance(loc, StreamLocation):

@@ -132,6 +132,26 @@ def write_catalog_table(df: DataFrame, table: str, table_format: str = "delta") 
         ) from e
 
 
+def write_deltalite(
+    df: DataFrame, path: str, mode: str = "append", properties: dict | None = None
+):
+    """S11/S12 in-repo equivalent: sink into a deltalite transaction-log
+    table (snapshot isolation, time travel, CDF, copy-on-write MERGE —
+    sources/deltalite.py). ``mode``: append | overwrite | errorifexists.
+    Returns the committed version."""
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    t = DeltaliteTable(df.sparkSession, path)
+    if not t.exists():
+        t.create(df, properties=properties or {})
+        return 0
+    if mode == "append":
+        return t.append(df)
+    if mode == "overwrite":
+        return t.overwrite(df)
+    raise ValueError(f"deltalite table already exists at {path}")
+
+
 def write_kafka_topic(
     df: DataFrame, topic: str, bootstrap_servers: str, checkpoint: str | None = None
 ):

@@ -298,6 +298,35 @@ def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "is_test")
 
 
+@query(
+    "train_test_split_exact",
+    """
+    WITH ranked AS (
+        SELECT event_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(event_id AS VARCHAR) || '#42')
+               ) AS rn,
+               COUNT(*) OVER () AS total
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN rn <= CAST(FLOOR(total * 0.2) AS BIGINT)
+                THEN 1 ELSE 0 END AS is_test
+    FROM ranked
+    """,
+)
+def train_test_split_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count variant (provider/clickhouse.go:1278-1331): the test
+    set is EXACTLY int(total * 0.2) rows, assigned by seeded-hash rank
+    (distributed range-sort + broadcast offsets — no global window)."""
+    from featureform_spark.operators.split import train_test_split_exact
+
+    events = load_table(spark, sf_dir, "events")
+    return train_test_split_exact(
+        events, ["event_id"], test_fraction=0.2, seed=42
+    ).select("event_id", "is_test")
+
+
 # ---------------------------------------------------------------------------
 # U3 — pass-through SQL transformations (user-SQL surface)
 # ---------------------------------------------------------------------------
@@ -1004,6 +1033,7 @@ def all_oracles() -> dict[str, str]:
 
 def _load_extensions() -> None:
     """Import sibling suites (they self-register via @query)."""
+    import featureform_spark.suite_delta  # noqa: F401
     import featureform_spark.suite_llm  # noqa: F401
 
 

@@ -1,0 +1,118 @@
+"""Suite queries exercising the deltalite table format end-to-end:
+MERGE-based wide feature tables and CDF incremental reads — the table
+surface the reference gates on Delta/Iceberg
+(offline_store_spark_runner.py:688-765, :1076-1136), oracle-checked
+against DuckDB like every other operator.
+
+Each query materializes a deltalite table under a per-sf temp dir
+(wiped at query start so re-runs are deterministic), then returns a
+DataFrame whose values an ANSI-SQL oracle reproduces directly from the
+source parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.testdata import load_table
+from featureform_spark.suite import query
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    p = Path(tempfile.gettempdir()) / "ffspark_delta" / tag / name
+    shutil.rmtree(p, ignore_errors=True)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return str(p)
+
+
+@query(
+    "wide_merge_upsert",
+    oracle="""
+    SELECT c.c_custkey AS entity,
+           o.total     AS f_total_spend,
+           o.cnt       AS f_order_count,
+           c.c_acctbal AS f_acctbal
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def wide_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: three feature registrations MERGEd into one wide table.
+
+    Each ``upsert_feature`` is a deltalite copy-on-write MERGE (only
+    files holding matched entities are rewritten); the third
+    materialization (account balance, ALL customers) inserts the
+    customers with no orders, leaving their spend features NULL —
+    exactly the reference's WHEN NOT MATCHED INSERT behavior.
+    """
+    from featureform_spark.sources.feature_table import WideFeatureTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    spend = orders.groupBy(F.col("o_custkey").alias("entity")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value")
+    )
+    counts = orders.groupBy(F.col("o_custkey").alias("entity")).agg(
+        F.count(F.lit(1)).alias("value")
+    )
+    acctbal = customer.select(
+        F.col("c_custkey").alias("entity"), F.col("c_acctbal").alias("value")
+    )
+
+    ft = WideFeatureTable(spark, _scratch(sf_dir, "wide_merge"))
+    ft.upsert_feature("f_total_spend", spend)
+    ft.upsert_feature("f_order_count", counts)
+    snap = ft.upsert_feature("f_acctbal", acctbal)
+    return snap.select("entity", "f_total_spend", "f_order_count", "f_acctbal")
+
+
+@query(
+    "delta_cdf_incremental",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value,
+           'insert' AS _change_type,
+           CASE WHEN event_id % 5 = 3 THEN 1 ELSE 2 END AS _commit_version
+    FROM events WHERE event_id % 5 IN (3, 4)
+    """,
+)
+def delta_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: CDF incremental read with the reference's contract — only the
+    rows appended after the last processed version come back, tagged
+    with change type and commit version
+    (offline_store_spark_runner.py:1076-1136; overwrite detection and
+    the enableChangeDataFeed gate are unit-tested in
+    tests/test_deltalite.py)."""
+    from featureform_spark.sources.deltalite import (
+        DeltaliteTable,
+        incremental_records,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    t = DeltaliteTable(spark, _scratch(sf_dir, "cdf_events"))
+    t.create(
+        events.filter(F.col("event_id") % 5 < 3),
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(events.filter(F.col("event_id") % 5 == 3))   # v1
+    t.append(events.filter(F.col("event_id") % 5 == 4))   # v2
+
+    return incremental_records(t, last_run_version=0).withColumn(
+        "_commit_version", F.col("_commit_version").cast("long")
+    )

@@ -136,3 +136,29 @@ def test_split_assignment_is_pure_function_of_key(spark):
     for i in range(500):
         h = hashlib.md5(f"{i}#9".encode()).hexdigest()[:8]
         assert out[i] == (1 if h < thr else 0)
+
+
+def test_exact_split_counts_and_determinism(spark):
+    """Exact-count contract (provider/clickhouse.go:1299-1305): the test
+    set is EXACTLY int(total * frac) rows, and assignment equals the
+    hash-rank computed independently in Python."""
+    import hashlib
+
+    from featureform_spark.operators.split import train_test_split_exact
+
+    n, frac = 503, 0.3          # 503 * 0.3 = 150.9 → exactly 150 test rows
+    df = spark.range(n).selectExpr("id")
+    out = {r["id"]: r["is_test"]
+           for r in train_test_split_exact(df, ["id"], frac, seed=7).collect()}
+    assert sum(out.values()) == int(n * frac) == 150
+
+    ranked = sorted(range(n), key=lambda i: hashlib.md5(f"{i}#7".encode()).hexdigest())
+    expect_test = set(ranked[: int(n * frac)])
+    for i in range(n):
+        assert out[i] == (1 if i in expect_test else 0)
+
+    # deterministic under re-partitioning
+    out2 = {r["id"]: r["is_test"]
+            for r in train_test_split_exact(
+                df.repartition(13), ["id"], frac, seed=7).collect()}
+    assert out2 == out
