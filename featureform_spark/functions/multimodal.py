@@ -46,13 +46,15 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def real_decoder(content: bytes, media_type: str) -> tuple[int, int]:
-    """Decode media and return (width, height) — NOT IMPLEMENTED here:
-    media codecs (PIL / ffmpeg) are not available in this container.
-    """
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this "
-        "container; inject deterministic_fake_decoder or a real decoder"
-    )
+    """Decode media and return (width, height).
+
+    Genuinely decodes uncompressed public formats (BMP/PPM header parse,
+    WAV RIFF chunk walk — functions/media_codecs.py, pure numpy/struct).
+    Compressed formats (JPEG/PNG/MP4/...) raise NotImplementedError: those
+    codecs (PIL/ffmpeg) are not available in this container."""
+    from featureform_spark.functions.media_codecs import sniff_decoder
+
+    return sniff_decoder(content, media_type)
 
 
 def deterministic_fake_decoder(content: bytes, media_type: str) -> tuple[int, int]:
@@ -127,6 +129,19 @@ def resize_media(
             yield out
 
     return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def real_resizer(content: bytes, media_type: str, w: int, h: int) -> bytes:
+    """Genuine resize for BMP (decode → numpy nearest-neighbor → re-encode,
+    functions/media_codecs.py); other formats raise — inject
+    deterministic_fake_resizer for them in tests."""
+    from featureform_spark.functions.media_codecs import bmp_resize
+
+    if content[:2] == b"BM":
+        return bmp_resize(content, w, h)
+    raise NotImplementedError(
+        f"real resize only implemented for BMP bytes (media_type={media_type!r})"
+    )
 
 
 def deterministic_fake_resizer(

@@ -570,6 +570,56 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media, deterministic_fake_decoder)
 
 
+@query(
+    "media_decode_real",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+           CAST(54 + ((3 * (16 + doc_id % 48) + 3) // 4) * 4
+                     * (16 + (doc_id * 7) % 48) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def media_decode_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode: synthesize a valid 24-bit BMP per document
+    (functions/media_codecs.py, pure numpy), then recover width/height by
+    genuinely parsing the BMP header inside the Arrow mapInPandas
+    extractor. The oracle derives the same dims from doc_id metadata and
+    checks n_bytes against the BMP row-padding formula — proving the
+    encoder wrote a spec-correct file and the decoder actually read it.
+    """
+    from featureform_spark.functions.media_codecs import synth_bmp
+    from featureform_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        real_decoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_media(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        synth_bmp(16 + int(i) % 48, 16 + (int(i) * 7) % 48, int(i))
+                        for i in ids
+                    ],
+                    "media_type": "image",
+                    "metadata": [{} for _ in ids],
+                }
+            )
+
+    media = docs.mapInPandas(make_media, MEDIA_SCHEMA)
+    feats = extract_media_features(media, decoder=real_decoder)
+    return feats.select("media_id", "width", "height", "n_bytes")
+
+
 def _lsh_bucket_oracle(num_planes: int = 16) -> str:
     signs = hyperplane_signs(num_planes, _DIM)
     bits = []
