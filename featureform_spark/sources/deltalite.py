@@ -134,7 +134,9 @@ class DeltaliteTable:
         if not os.path.isdir(self._log_path):
             return []
         return sorted(
-            f for f in os.listdir(self._log_path) if f.endswith(".json")
+            f
+            for f in os.listdir(self._log_path)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
         )
 
     def commits(self, until_version: int | None = None) -> list[Commit]:
@@ -222,6 +224,7 @@ class DeltaliteTable:
         Explicit-schema read: files written before a schema evolution
         yield NULL for later columns.
         """
+        self._check_vacuum_horizon(version)
         schema = self.schema(version)
         files = self._active_files(version)
         if not files:
@@ -229,11 +232,107 @@ class DeltaliteTable:
         paths = [os.path.join(self.path, f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _active_actions(self, until_version: int | None = None) -> list[dict]:
+        files: dict[str, dict] = {}
+        for c in self.commits(until_version):
+            for r in c.remove:
+                files.pop(r, None)
+            for a in c.add:
+                files[a["file"]] = a
+        return list(files.values())
+
+    def snapshot_pruned(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read that PLANS FROM THE LOG: files whose zone map
+        for ``col`` falls entirely outside [lo, hi] are skipped without
+        opening a single footer (Delta data skipping). Files lacking
+        stats for ``col`` are conservatively kept. The residual range
+        filter is still applied, so results equal
+        ``snapshot().filter(lo <= col <= hi)`` exactly.
+        """
+        schema = self.schema(version)
+        actions = self._active_actions(version)
+        keep = []
+        for a in actions:
+            s = a.get("stats", {}).get(col)
+            if s is None:
+                keep.append(a)  # uncovered → must read
+                continue
+            fmin, fmax = s
+            if lo is not None and fmax < lo:
+                continue
+            if hi is not None and fmin > hi:
+                continue
+            keep.append(a)
+        self._last_prune = {"files_total": len(actions), "files_read": len(keep)}
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, a["file"]) for a in keep]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def last_prune_stats(self) -> dict | None:
+        return getattr(self, "_last_prune", None)
+
     # ------------------------------------------------------------ writes
+
+    @staticmethod
+    def _file_stats(pf) -> dict:
+        """Per-file zone maps from the parquet footer: {col: [min, max]}
+        for int/float/string columns where EVERY row group carries stats
+        (conservative — a partially-covered column is omitted, so pruning
+        can never drop matching rows). Temporal/bool/nested are omitted:
+        their orderings are format-subtle and pruning them conservatively
+        means not pruning at all."""
+        md = pf.metadata
+        schema = pf.schema_arrow
+        import pyarrow as pa
+
+        ok_types = {}
+        for field in schema:
+            t = field.type
+            if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_string(t):
+                ok_types[field.name] = t
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        covered = dict.fromkeys(ok_types, True)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in ok_types:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    covered[name] = False
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        covered[name] = False
+                        continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return {
+            c: [mins[c], maxs[c]]
+            for c in ok_types
+            if covered[c] and c in mins
+        }
 
     def _write_files(self, df: DataFrame, version_hint: int) -> list[dict]:
         """Write df as immutable part files; return add-actions with
-        per-file row counts read from parquet footers (metadata only)."""
+        per-file row counts AND zone-map stats read from parquet footers
+        (metadata only) — the log doubles as a data-skipping index, so
+        pruned reads plan from a log fold without opening any footer."""
         import pyarrow.parquet as pq
 
         staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
@@ -243,14 +342,16 @@ class DeltaliteTable:
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
                 continue
-            rows = pq.ParquetFile(os.path.join(staging, name)).metadata.num_rows
+            pf = pq.ParquetFile(os.path.join(staging, name))
+            rows = pf.metadata.num_rows
             if rows == 0:
                 continue
+            stats = self._file_stats(pf)
             final = f"part-{version_hint:05d}-{n:05d}-{uuid.uuid4().hex[:8]}.parquet"
             os.replace(
                 os.path.join(staging, name), os.path.join(self.path, final)
             )
-            actions.append({"file": final, "rows": rows})
+            actions.append({"file": final, "rows": rows, "stats": stats})
             n += 1
         # clear staging leftovers (_SUCCESS etc.)
         for name in os.listdir(staging):
@@ -308,23 +409,36 @@ class DeltaliteTable:
         )
         return evolved, aligned
 
-    def append(self, df: DataFrame) -> int:
-        """Blind append: no reads of existing data."""
-        v = self._next_version()
+    def append(self, df: DataFrame, max_retries: int = 5) -> int:
+        """Blind append: no reads of existing data.
+
+        Optimistic concurrency: on a lost commit race the data files are
+        already safely on disk and referenced by nobody, so the retry
+        only re-reads the log tail and re-targets the next version slot
+        — a blind append conflicts with nothing (Delta's own
+        no-reconciliation fast path for isBlindAppend)."""
         evolved, aligned = self._evolve_schema(df)
+        v = self._next_version()
         adds = self._write_files(aligned, v)
-        self._commit(
-            Commit(
-                version=v,
-                operation="append",
-                is_blind_append=True,
-                add=adds,
-                remove=[],
-                schema_json=json.dumps(evolved.jsonValue()),
-                timestamp=time.time(),
-            )
-        )
-        return v
+        for attempt in range(max_retries + 1):
+            try:
+                self._commit(
+                    Commit(
+                        version=v,
+                        operation="append",
+                        is_blind_append=True,
+                        add=adds,
+                        remove=[],
+                        schema_json=json.dumps(evolved.jsonValue()),
+                        timestamp=time.time(),
+                    )
+                )
+                return v
+            except DeltaliteError:
+                if attempt == max_retries:
+                    raise
+                v = self._next_version()  # refreshed log tail
+        raise AssertionError("unreachable")
 
     def overwrite(self, df: DataFrame) -> int:
         v = self._next_version()
@@ -478,6 +592,84 @@ class DeltaliteTable:
             "rows_inserted": n_ins,
         }
 
+    # ------------------------------------------------- maintenance ops
+
+    def optimize(self, target_rows_per_file: int = 1_000_000) -> dict:
+        """Compaction (Delta OPTIMIZE): bin-pack small files into
+        ~``target_rows_per_file`` chunks. Streams of small appends are
+        the small-file problem at scale — every downstream scan pays a
+        task per file until compaction folds them.
+
+        Physical-only: the data is byte-identical, the commit is an
+        ``optimize`` op carrying add+remove, the change feed emits
+        NOTHING for it, and ``incremental_records`` does not treat it as
+        an overwrite. Files at-or-above the target are left untouched.
+        """
+        active = self._active_actions()
+        small = [a for a in active if a["rows"] < target_rows_per_file]
+        if len(small) < 2:
+            return {"files_compacted": 0, "files_written": 0}
+        v = self._next_version()
+        paths = [os.path.join(self.path, a["file"]) for a in small]
+        total_rows = sum(a["rows"] for a in small)
+        n_out = max(1, -(-total_rows // target_rows_per_file))  # ceil
+        df = (
+            self.spark.read.schema(self.schema()).parquet(*paths)
+            .coalesce(n_out)
+        )
+        adds = self._write_files(df, v)
+        self._commit(
+            Commit(
+                version=v,
+                operation="optimize",
+                is_blind_append=False,
+                add=adds,
+                remove=[a["file"] for a in small],
+                schema_json=json.dumps(self.schema().jsonValue()),
+                timestamp=time.time(),
+            )
+        )
+        return {
+            "version": v,
+            "files_compacted": len(small),
+            "files_written": len(adds),
+        }
+
+    def vacuum(self, retain_versions: int = 0) -> dict:
+        """Delete data files referenced ONLY by versions older than
+        ``latest - retain_versions`` (Delta VACUUM with a version-count
+        retention instead of hours). Time travel to vacuumed versions
+        stops working — ``snapshot`` detects the missing files and
+        raises a clear error instead of a Spark read failure.
+        """
+        latest = self.latest_version()
+        cutoff = latest - retain_versions
+        live: set[str] = set()
+        for version in range(cutoff, latest + 1):
+            live.update(a["file"] for a in self._active_actions(version))
+        deleted = []
+        for name in os.listdir(self.path):
+            if name.endswith(".parquet") and name not in live:
+                os.remove(os.path.join(self.path, name))
+                deleted.append(name)
+        if deleted:
+            marker = {"vacuumed_below_version": cutoff, "timestamp": time.time()}
+            with open(os.path.join(self._log_path, "_vacuum.json"), "w") as f:
+                json.dump(marker, f)
+        return {"files_deleted": len(deleted), "cutoff_version": cutoff}
+
+    def _check_vacuum_horizon(self, version: int | None) -> None:
+        marker_path = os.path.join(self._log_path, "_vacuum.json")
+        if version is None or not os.path.exists(marker_path):
+            return
+        cutoff = json.load(open(marker_path))["vacuumed_below_version"]
+        if version < cutoff:
+            raise DeltaliteError(
+                f"version {version} of {self.path} was vacuumed "
+                f"(retention horizon is version {cutoff}); time travel "
+                "below the horizon is no longer possible"
+            )
+
     # ------------------------------------------------------ change feed
 
     def change_feed(self, starting_version: int) -> DataFrame:
@@ -498,6 +690,13 @@ class DeltaliteTable:
                 if not c.add:
                     continue
                 paths = [os.path.join(self.path, a["file"]) for a in c.add]
+                missing = [p for p in paths if not os.path.exists(p)]
+                if missing:
+                    raise DeltaliteError(
+                        f"change feed for version {c.version} references "
+                        f"vacuumed files (e.g. {os.path.basename(missing[0])}); "
+                        "advance the starting version past the vacuum horizon"
+                    )
                 parts.append(
                     self.spark.read.schema(schema).parquet(*paths)
                     .withColumn("_change_type", F.lit("insert"))

@@ -1,0 +1,88 @@
+"""Warehouse connector option mapping (S6/S7): Snowflake and BigQuery.
+
+The reference hands each warehouse its vendor Spark-connector option set
+(provider/scripts/spark/offline_store_spark_runner.py:990-1031):
+Snowflake `format("snowflake")` with sfURL/sfUser/sfPassword/
+sfWarehouse/sfDatabase/sfSchema/dbtable; BigQuery `format("bigquery")`
+with credentials/parentProject/viewsEnabled/table. This module
+reproduces that mapping — validation included — as pure functions, and
+gates the actual ``load()`` on the vendor jar being present (same
+posture as ``read_jdbc``). The option builders are contract-tested
+without a warehouse; the read path raises an actionable error when the
+connector jar is absent.
+
+Scale note: both vendor connectors parallelize server-side (Snowflake
+result-set partitioning, BigQuery storage-read streams), so unlike the
+generic JDBC hook no manual range partitioning is needed — pushdown of
+filters/projections is the connector's job and happens automatically
+when the plan is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def snowflake_options(credentials: dict, database: str, schema: str, table: str) -> dict:
+    """Exact option set for ``format("snowflake")``
+    (offline_store_spark_runner.py:992-1000)."""
+    required = ["sfURL", "sfUser", "sfPassword", "sfWarehouse"]
+    missing = [c for c in required if not credentials.get(c)]
+    if missing:
+        raise ValueError(
+            f"Missing required Snowflake credentials: {', '.join(missing)}"
+        )
+    if not table or not table.strip():
+        raise ValueError("Snowflake table name cannot be empty")
+    return {
+        "sfURL": credentials["sfURL"],
+        "sfUser": credentials["sfUser"],
+        "sfPassword": credentials["sfPassword"],
+        "sfWarehouse": credentials["sfWarehouse"],
+        "sfDatabase": database,
+        "sfSchema": schema,
+        "dbtable": table,
+    }
+
+
+def bigquery_options(credentials: dict, table: str) -> dict:
+    """Exact option set for ``format("bigquery")``
+    (offline_store_spark_runner.py:1005-1026), including the reference's
+    required-credential validation and fully-qualified table id."""
+    required = ["bqProjectId", "bqDatasetId", "bqCreds"]
+    missing = [c for c in required if not credentials.get(c)]
+    if missing:
+        raise ValueError(
+            f"Missing required BigQuery credentials: {', '.join(missing)}"
+        )
+    if not table or not table.strip():
+        raise ValueError("BigQuery table name cannot be empty")
+    proj, dataset = credentials["bqProjectId"], credentials["bqDatasetId"]
+    return {
+        "credentials": credentials["bqCreds"],
+        "parentProject": proj,
+        "viewsEnabled": "true",
+        "table": f"{proj}.{dataset}.{table}",
+    }
+
+
+def _gated_load(spark: SparkSession, fmt: str, options: dict) -> DataFrame:
+    try:
+        return spark.read.format(fmt).options(**options).load()
+    except Exception as e:
+        raise RuntimeError(
+            f"reading via format({fmt!r}) requires the vendor Spark "
+            "connector jar on the classpath"
+        ) from e
+
+
+def read_snowflake(
+    spark: SparkSession, credentials: dict, database: str, schema: str, table: str
+) -> DataFrame:
+    return _gated_load(
+        spark, "snowflake", snowflake_options(credentials, database, schema, table)
+    )
+
+
+def read_bigquery(spark: SparkSession, credentials: dict, table: str) -> DataFrame:
+    return _gated_load(spark, "bigquery", bigquery_options(credentials, table))

@@ -151,6 +151,68 @@ def training_set_pit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIT_SKEW_ORACLE = """
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+             event_id, ts, event_type, value
+      FROM events),
+    click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM ev WHERE event_type = 'click') t WHERE rn = 1)
+    SELECT l.user_id AS entity,
+           c.v AS f_click,
+           l.value AS label,
+           l.ts AS label_ts
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts
+"""
+
+
+def _skewed_events(spark: SparkSession, sf_dir: str):
+    """Synthetic hot entity: half of all users collapse onto user 0 —
+    the skew profile (one entity holding ~50% of a fact table) that
+    breaks per-entity windows at scale."""
+    events = load_table(spark, sf_dir, "events")
+    return events.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+
+
+def _pit_on_skewed(spark, sf_dir, time_bucket):
+    ev = _skewed_events(spark, sf_dir)
+    label = ev.filter(F.col("event_type") == "purchase")
+    feat = FeatureInput(
+        name="f_click", df=ev.filter(F.col("event_type") == "click"),
+        entity_col="user_id", value_col="value", ts_col="ts",
+        order_col="event_id",
+    )
+    return point_in_time_join(
+        label, [feat], label_entity_col="user_id", label_value_col="value",
+        label_ts_col="ts", time_bucket=time_bucket,
+    )
+
+
+@query("training_set_pit_skew_bucketed", _PIT_SKEW_ORACLE)
+def training_set_pit_skew_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT over a synthetically hot entity via the segmented time_bucket
+    formulation: the hot entity's rows split across (entity, bucket)
+    groups, so no single reducer sorts 50% of the table. Same oracle as
+    the plain path — the two queries' timings in BENCH compare the skew
+    escape hatch against the default (scripts/bench_skew.py stresses the
+    same pair at 5M rows)."""
+    return _pit_on_skewed(spark, sf_dir, time_bucket="7 days")
+
+
+@query("training_set_pit_skew_plain", _PIT_SKEW_ORACLE)
+def training_set_pit_skew_plain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control: the default single-window PIT on the same hot-entity
+    input (its per-entity window serializes the hot entity)."""
+    return _pit_on_skewed(spark, sf_dir, time_bucket=None)
+
+
 @query(
     "training_set_lag",
     """

@@ -82,6 +82,57 @@ def wide_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_time_travel",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel: v0 is created, then overwritten
+    twice; reading snapshot(0) reproduces the original rows exactly even
+    though the CURRENT table holds different data — the log carries both
+    states simultaneously (Delta VERSION AS OF)."""
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = DeltaliteTable(spark, _scratch(sf_dir, "time_travel"))
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))          # v0
+    t.overwrite(orders.filter(F.col("o_orderkey") % 3 == 1))       # v1
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))          # v2
+    return t.snapshot(0)
+
+
+@query(
+    "delta_zone_prune",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+    """,
+)
+def delta_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-carried zone maps: the table is written as key-ranged files
+    (range repartition + sort), so a range read plans from the log and
+    skips disjoint files without opening a footer (Delta data skipping).
+    Values must equal the plain SQL range filter; the file-skip count is
+    asserted in tests/test_deltalite.py."""
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = DeltaliteTable(spark, _scratch(sf_dir, "zone_prune"))
+    t.create(orders)
+    return t.snapshot_pruned("o_orderkey", lo=1000, hi=3000)
+
+
+@query(
     "delta_cdf_incremental",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value,

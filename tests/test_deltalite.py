@@ -207,6 +207,118 @@ def test_deltalite_incremental_transformation(spark, tmp_path):
     }
 
 
+def test_append_retries_past_concurrent_commit(spark, tmp_path):
+    """Losing the version-slot race retargets the append at the new log
+    tail instead of failing (blind appends conflict with nothing)."""
+    import json
+
+    from featureform_spark.sources.deltalite import Commit
+
+    t = mk(spark, tmp_path, [(1, "a")], ["k", "v"])
+    orig_write = t._write_files
+
+    def write_then_get_raced(df, version_hint):
+        adds = orig_write(df, version_hint)
+        if not getattr(t, "_raced", False):  # thief commits v1 mid-flight
+            t._raced = True
+            t._commit(Commit(
+                version=1, operation="append", is_blind_append=True,
+                add=[], remove=[],
+                schema_json=json.dumps(t.schema().jsonValue()),
+            ))
+        return adds
+
+    t._write_files = write_then_get_raced
+    v = t.append(spark.createDataFrame([(9, "z")], ["k", "v"]))
+    assert v == 2                                # targeted v1, lost, retried
+    assert {r["k"] for r in t.snapshot().collect()} == {1, 9}
+
+
+def test_optimize_compacts_without_logical_change(spark, tmp_path):
+    t = mk(
+        spark, tmp_path, [(1, 1.0)], ["k", "v"],
+        properties={"enableChangeDataFeed": "true"},
+    )
+    for i in range(2, 7):
+        t.append(spark.createDataFrame([(i, float(i))], ["k", "v"]).coalesce(1))
+    before = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    n_before = len(t._active_files())
+    assert n_before >= 6
+
+    stats = t.optimize(target_rows_per_file=1000)
+    assert stats["files_compacted"] == n_before
+    assert stats["files_written"] < n_before
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == before
+    assert t.row_count() == 6
+
+    # physical-only: no change-feed rows, not an overwrite for incrementals
+    feed = incremental_records(t, last_run_version=5)
+    assert feed.count() == 0 or all(
+        r["_commit_version"] <= 5 for r in feed.collect()
+    )
+    assert [h["operation"] for h in t.history()][0] == "optimize"
+
+
+def test_vacuum_deletes_unreferenced_and_guards_time_travel(spark, tmp_path):
+    t = mk(spark, tmp_path, [(1, "a"), (2, "b")], ["k", "v"])
+    t.overwrite(spark.createDataFrame([(9, "z")], ["k", "v"]))
+
+    all_parquet = [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    live = set(t._active_files())
+    assert set(all_parquet) - live  # v0 files still on disk
+
+    stats = t.vacuum(retain_versions=0)
+    assert stats["files_deleted"] == len(set(all_parquet) - live)
+    assert [r["k"] for r in t.snapshot().collect()] == [9]  # current intact
+
+    with pytest.raises(DeltaliteError, match="vacuum"):
+        t.snapshot(0)  # time travel below the horizon → clear error
+
+
+def test_zone_map_pruned_snapshot(spark, tmp_path):
+    """Pruned read plans from the log: disjoint-range files are skipped
+    without opening footers; results equal the unpruned filter."""
+    t = DeltaliteTable(spark, str(tmp_path / "zm"))
+    t.create(spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 100)], ["k", "v"]).coalesce(1))
+    for lo in (100, 200, 300):
+        t.append(spark.createDataFrame(
+            [(i, f"r{i}") for i in range(lo, lo + 100)], ["k", "v"]).coalesce(1))
+    assert len(t._active_files()) == 4
+
+    got = t.snapshot_pruned("k", lo=150, hi=250)
+    expect = t.snapshot().filter((F.col("k") >= 150) & (F.col("k") <= 250))
+    assert {r["k"] for r in got.collect()} == {r["k"] for r in expect.collect()}
+    prune = t.last_prune_stats()
+    assert prune == {"files_total": 4, "files_read": 2}
+
+    # open-ended ranges and fully-out-of-range prunes
+    t.snapshot_pruned("k", lo=350)
+    assert t.last_prune_stats()["files_read"] == 1
+    assert t.snapshot_pruned("k", lo=1000).count() == 0
+    assert t.last_prune_stats()["files_read"] == 0
+
+    # string column zone maps work too (lexicographic)
+    got_s = t.snapshot_pruned("v", lo="r100", hi="r199")
+    assert got_s.count() == spark.createDataFrame(
+        [(f"r{i}",) for i in range(0, 400)], ["v"]
+    ).filter((F.col("v") >= "r100") & (F.col("v") <= "r199")).count()
+
+
+def test_zone_maps_survive_merge_and_optimize(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "zm2"))
+    t.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], ["k", "v"]).coalesce(1))
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 110)], ["k", "v"]).coalesce(1))
+    t.merge(spark.createDataFrame([(5, 55.0)], ["k", "v"]), key="k")
+    t.optimize(target_rows_per_file=1000)
+    for a in t._active_actions():
+        assert "stats" in a and "k" in a["stats"]
+    got = t.snapshot_pruned("k", lo=0, hi=10)
+    assert {r["v"] for r in got.filter(F.col("k") == 5).collect()} == {55.0}
+
+
 def test_deltalite_location_dispatch(spark, tmp_path):
     from featureform_spark.registry import DeltaliteLocation
     from featureform_spark.sources.readers import read_location

@@ -22,8 +22,16 @@ def media_df(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_real_decoder_is_explicit_stub():
+def test_real_decoder_decodes_uncompressed_and_gates_compressed():
+    """real_decoder genuinely parses uncompressed formats (round 2,
+    functions/media_codecs.py) and keeps the honest NotImplementedError
+    gate for compressed ones (no PIL/ffmpeg in this container)."""
+    from featureform_spark.functions.media_codecs import synth_bmp
+
+    assert real_decoder(synth_bmp(24, 18, 5), "image") == (24, 18)
     with pytest.raises(NotImplementedError):
+        real_decoder(b"\x89PNG\r\n\x1a\nrest", "image")
+    with pytest.raises(ValueError):
         real_decoder(b"x", "image")
 
 
