@@ -50,7 +50,16 @@ def nano_ts_columns(path: str) -> tuple[str, ...]:
 
 
 def convert_nano_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    from pyspark.sql import types as T
+
+    dtypes = dict(df.dtypes)
     for c in cols:
+        # only convert columns that actually arrived as int64 nanos —
+        # Spark can read its own ns-annotated parquet natively as
+        # TIMESTAMP (then nanosAsLong does not apply), while pyarrow
+        # still reports the footer unit as ns
+        if dtypes.get(c) != "bigint":
+            continue
         # integer div, not float: 2024 epoch-nanos exceed double precision
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df

@@ -225,6 +225,125 @@ class DeltaliteIncrementalTransformation:
         return n
 
 
+class IncrementalSQLTransformation:
+    """ST3 with the reference's full shape: a SQL transformation whose
+    ``ff.incremental``-wrapped sources bind to ONLY their new rows each
+    run (SQLTransformation proto ``is_incremental`` +
+    ``incremental_source``, metadata/proto/metadata.proto:605-615).
+
+    Per ``refresh()``: every incremental ref binds a temp view over its
+    deltalite change feed since the last processed version (insert rows;
+    overwrites rejected by the CDF contract), every other ref binds the
+    current full snapshot, the template SQL runs once, and the result is
+    appended to an output deltalite table. Version cursors persist in
+    ``work_dir`` — re-runs resume, at-least-once on mid-append failure
+    (the reference's contract).
+
+    Semantics note (same as the reference's): the SQL must be
+    distributive over the incremental sources' rows — per-row transforms
+    and incremental-append joins against dimension snapshots qualify;
+    whole-table aggregations do not (use a full recompute for those).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sql: str,
+        sources: dict[str, object],       # "name.variant" -> DeltaliteTable | DataFrame
+        incremental: list[str],
+        work_dir: str,
+    ):
+        from featureform_spark.plans.templates import template_refs
+
+        self.spark = spark
+        self.sql = sql
+        self.sources = {
+            (r if "." in r else f"{r}.default"): v for r, v in sources.items()
+        }
+        self.incremental = {
+            r if "." in r else f"{r}.default" for r in incremental
+        }
+        refs = set(template_refs(sql))
+        unknown = refs - set(self.sources)
+        if unknown:
+            raise ValueError(f"template refs without sources: {sorted(unknown)}")
+        bad = self.incremental - refs
+        if bad:
+            raise ValueError(f"incremental refs not in template: {sorted(bad)}")
+        for r in self.incremental:
+            if not hasattr(self.sources[r], "change_feed"):
+                raise TypeError(
+                    f"incremental source {r!r} must be a DeltaliteTable "
+                    "(needs a change feed)"
+                )
+        self.work = Path(work_dir)
+        self.work.mkdir(parents=True, exist_ok=True)
+        self._cursor_file = self.work / "cursors.json"
+        self._out_path = str(self.work / "out")
+
+    def _cursors(self) -> dict[str, int]:
+        import json
+
+        if self._cursor_file.exists():
+            return json.loads(self._cursor_file.read_text())
+        return {}
+
+    def output(self) -> DataFrame | None:
+        from featureform_spark.sources.deltalite import DeltaliteTable
+
+        out = DeltaliteTable(self.spark, self._out_path)
+        return out.snapshot() if out.exists() else None
+
+    def refresh(self) -> int:
+        """One incremental pass; returns rows appended (0 = caught up)."""
+        import json
+
+        from featureform_spark.plans.templates import substitute_template
+        from featureform_spark.sources.deltalite import (
+            DeltaliteTable,
+            incremental_records,
+        )
+
+        cursors = self._cursors()
+        new_cursors = dict(cursors)
+        any_new = False
+        frames: dict[str, DataFrame] = {}
+        for ref in self.incremental:
+            t = self.sources[ref]
+            last = cursors.get(ref, -1)
+            latest = t.latest_version()
+            if latest > last:
+                any_new = True
+                frames[ref] = incremental_records(t, last).drop(
+                    "_change_type", "_commit_version"
+                )
+            else:
+                frames[ref] = t.snapshot().limit(0)
+            new_cursors[ref] = latest
+        if not any_new:
+            return 0
+
+        sql, refs = substitute_template(self.sql)
+        for i, ref in enumerate(refs):
+            src = self.sources[ref]
+            df = (
+                frames[ref]
+                if ref in frames
+                else (src.snapshot() if hasattr(src, "snapshot") else src)
+            )
+            df.createOrReplaceTempView(f"source_{i}")
+        result = self.spark.sql(sql)
+
+        out = DeltaliteTable(self.spark, self._out_path)
+        if out.exists():
+            out.append(result)
+        else:
+            out.create(result)
+        n = result.count()
+        self._cursor_file.write_text(json.dumps(new_cursors))
+        return n
+
+
 def stream_to_online(
     stream_df: DataFrame,
     store,

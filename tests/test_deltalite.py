@@ -319,6 +319,64 @@ def test_zone_maps_survive_merge_and_optimize(spark, tmp_path):
     assert {r["v"] for r in got.filter(F.col("k") == 5).collect()} == {55.0}
 
 
+def test_incremental_sql_transformation(spark, tmp_path):
+    """ff.incremental semantics (SQLTransformation proto is_incremental +
+    incremental_source): the incremental ref binds only NEW rows per
+    refresh; the dimension ref binds its full snapshot every time."""
+    from featureform_spark.streaming.incremental import IncrementalSQLTransformation
+
+    ev = mk(
+        spark, tmp_path, [(1, "click", 10.0), (2, "view", 20.0)],
+        ["user_id", "etype", "value"], name="ev",
+        properties={"enableChangeDataFeed": "true"},
+    )
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 3.0)], ["etype", "weight"]
+    )
+
+    inc = IncrementalSQLTransformation(
+        spark,
+        """SELECT e.user_id, e.value * d.weight AS score
+           FROM {{ev}} e JOIN {{dim}} d ON e.etype = d.etype""",
+        sources={"ev": ev, "dim": dim},
+        incremental=["ev"],
+        work_dir=str(tmp_path / "inc_sql"),
+    )
+    assert inc.refresh() == 2
+    assert {(r["user_id"], r["score"]) for r in inc.output().collect()} == {
+        (1, 20.0), (2, 60.0)
+    }
+    assert inc.refresh() == 0                    # caught up
+
+    ev.append(spark.createDataFrame([(3, "click", 5.0)], ["user_id", "etype", "value"]))
+    assert inc.refresh() == 1                    # only the new row joined
+    assert {(r["user_id"], r["score"]) for r in inc.output().collect()} == {
+        (1, 20.0), (2, 60.0), (3, 10.0)
+    }
+
+
+def test_incremental_sql_transformation_validation(spark, tmp_path):
+    from featureform_spark.streaming.incremental import IncrementalSQLTransformation
+
+    ev = mk(spark, tmp_path, [(1, 1.0)], ["k", "v"], name="vev")
+    df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    with pytest.raises(ValueError, match="without sources"):
+        IncrementalSQLTransformation(
+            spark, "SELECT * FROM {{missing}}", {"ev": ev}, ["ev"],
+            str(tmp_path / "w1"),
+        )
+    with pytest.raises(ValueError, match="not in template"):
+        IncrementalSQLTransformation(
+            spark, "SELECT * FROM {{ev}}", {"ev": ev, "x": df}, ["x"],
+            str(tmp_path / "w2"),
+        )
+    with pytest.raises(TypeError, match="change feed"):
+        IncrementalSQLTransformation(
+            spark, "SELECT * FROM {{plain}}", {"plain": df}, ["plain"],
+            str(tmp_path / "w3"),
+        )
+
+
 def test_deltalite_location_dispatch(spark, tmp_path):
     from featureform_spark.registry import DeltaliteLocation
     from featureform_spark.sources.readers import read_location
