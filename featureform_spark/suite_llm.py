@@ -847,3 +847,76 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["event_id"],
         seed=7,
     ).select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8
+# deterministic benchmark/corpus split both engines can recompute
+_BENCH_PRED = "doc_id % 23 = 0"
+
+_NGRAMS_CTE = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_DECON_N} + 2, 1)),
+                   i -> array_to_string(toks[i:i + {_DECON_N - 1}], ' ')
+                 ))) AS ngram
+          FROM t)
+"""
+
+
+@query(
+    "decontaminate",
+    f"""
+    WITH {_NGRAMS_CTE},
+    bg AS (SELECT DISTINCT ngram FROM g WHERE {_BENCH_PRED}),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_overlap
+      FROM g JOIN bg USING (ngram)
+      WHERE NOT ({_BENCH_PRED.replace('doc_id', 'g.doc_id')})
+      GROUP BY g.doc_id)
+    SELECT c.doc_id,
+           COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap,
+           (COALESCE(h.n_overlap, 0) > 0)::BIGINT AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE NOT ({_BENCH_PRED})) c
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 23 == 0 act as the
+    held-out eval set; every other doc is scored by how many of its
+    distinct 8-grams appear in that set. Broadcast benchmark n-grams →
+    corpus side never shuffles its explode."""
+    from featureform_spark.functions.decontaminate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate(corpus, bench, n=_DECON_N)
+
+
+@query(
+    "contamination_top_ngrams",
+    f"""
+    WITH {_NGRAMS_CTE},
+    bg AS (SELECT DISTINCT ngram FROM g WHERE {_BENCH_PRED})
+    SELECT g.ngram, count(*)::BIGINT AS n_docs
+    FROM g JOIN bg USING (ngram)
+    WHERE NOT ({_BENCH_PRED.replace('doc_id', 'g.doc_id')})
+    GROUP BY g.ngram
+    ORDER BY n_docs DESC, g.ngram
+    LIMIT 20
+    """,
+)
+def contamination_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit companion to `decontaminate`: which benchmark n-grams leak
+    most; TakeOrderedAndProject over the small hit set, no global sort."""
+    from featureform_spark.functions.decontaminate import contamination_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return contamination_ngrams(corpus, bench, n=_DECON_N, top_k=20)
