@@ -19,6 +19,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -80,8 +81,13 @@ def extract_media_features(
                     "content_hash": pdf["content"].map(
                         lambda b: hashlib.md5(b).hexdigest()
                     ),
+                    # np.frombuffer, not python sum(): the content column
+                    # is the whole data volume, a per-byte python loop
+                    # here dominated the entire suite at 10x scale
                     "byte_mean": pdf["content"].map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                        lambda b: float(np.frombuffer(b, dtype=np.uint8).mean())
+                        if len(b)
+                        else 0.0
                     ),
                 }
             )

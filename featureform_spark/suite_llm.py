@@ -920,3 +920,87 @@ def contamination_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     corpus = docs.filter(F.col("doc_id") % 23 != 0)
     return contamination_ngrams(corpus, bench, n=_DECON_N, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 4
+_PACK_STRIDE = (1 << 40) // _PACK_BUDGET
+
+
+def _md5_bucket_sql(n: int) -> str:
+    d1 = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+    d2 = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+    return f"((({d1}) * 16 + ({d2})) % {n})"
+
+
+_PACK_CTE = f"""
+    t AS (SELECT doc_id,
+                 len({_TOKS})::BIGINT AS n_tokens,
+                 {_md5_bucket_sql(_PACK_BUCKETS)}::INT AS bucket
+          FROM documents),
+    p AS (SELECT doc_id, bucket, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS pack_offset
+          FROM t),
+    packed AS (SELECT doc_id, bucket, n_tokens, pack_offset,
+                      (bucket::BIGINT * {_PACK_STRIDE}
+                       + pack_offset // {_PACK_BUDGET})::BIGINT AS pack_id
+               FROM p)
+"""
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from featureform_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"size(filter(split(text, ' '), x -> x != ''))").cast("long").alias("n_tokens")
+    )
+    md5_bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int") % _PACK_BUCKETS
+    return pack_sequences(
+        docs,
+        budget=_PACK_BUDGET,
+        n_buckets=_PACK_BUCKETS,
+        bucket_expr=md5_bucket,
+    )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH {_PACK_CTE}
+    SELECT doc_id, bucket, n_tokens, pack_offset, pack_id FROM packed
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing into 512-token training packs: docs
+    hash-bucketed (md5 here so the oracle reproduces the layout), one
+    per-bucket running-sum window = one shuffle, no global sort."""
+    return _packed_docs(spark, sf_dir).select(
+        "doc_id", "bucket", "n_tokens", "pack_offset", "pack_id"
+    )
+
+
+@query(
+    "packing_efficiency",
+    f"""
+    WITH {_PACK_CTE}
+    SELECT pack_id, count(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS n_tokens,
+           (SUM(n_tokens)::DOUBLE / {_PACK_BUDGET}) AS fill_ratio
+    FROM packed GROUP BY pack_id
+    """,
+)
+def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack fill report over the packed layout (map-side partial
+    agg; pack count is corpus_tokens/512, tiny vs the corpus)."""
+    from featureform_spark.operators.packing import packing_efficiency
+
+    return packing_efficiency(_packed_docs(spark, sf_dir), budget=_PACK_BUDGET)
