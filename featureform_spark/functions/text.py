@@ -189,3 +189,41 @@ def tf_idf(
         .filter(F.col("rn") <= top_k)
         .select(id_col, "term", "tf", "df_docs", "score")
     )
+
+
+def token_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity / repetition signals:
+    ``[id, n_tokens, n_distinct, simpson_diversity, top_token_ratio]``.
+
+    ``simpson_diversity`` is the Gini-Simpson index ``1 - sum(c_i^2)/n^2``
+    (probability two sampled tokens differ) and ``top_token_ratio`` is
+    ``max(c_i)/n`` — both deliberately transcendental-free: Shannon
+    entropy's ln() differs in the last ulp across libm implementations
+    and would break hash-exact cross-engine oracles, while these stay in
+    exact integer arithmetic until one final IEEE division.
+
+    Plan shape: explode -> groupBy(id, token) -> groupBy(id), both with
+    map-side partial aggregation; no windows, no joins. Low-diversity
+    (spammy) docs are exactly the skewed groups, but the first groupBy
+    keys on (id, token) so even a one-token 10 GB document splits across
+    the token dimension's hash range only as far as its distinct tokens —
+    the second groupBy then sees one row per (id, token), already tiny.
+    """
+    exploded = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t"))
+    counts = exploded.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        # n*n in double space (n^2 overflows int64 for multi-billion-token
+        # docs); sum(c^2) stays exact-integer
+        (
+            F.lit(1.0)
+            - F.sum(F.col("__c") * F.col("__c")).cast("double")
+            / (F.sum("__c").cast("double") * F.sum("__c").cast("double"))
+        ).alias("simpson_diversity"),
+        (F.max("__c").cast("double") / F.sum("__c").cast("double")).alias(
+            "top_token_ratio"
+        ),
+    )

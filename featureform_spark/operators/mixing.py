@@ -1,0 +1,99 @@
+"""Corpus mixing: downsample a multi-source corpus to target mixture
+proportions — the "data mixing" step of LLM pre-training pipelines
+(e.g. 60% web / 30% code / 10% books from unbalanced raw sources).
+
+Weights are *integer parts* (``{"web": 6, "code": 3, "books": 1}``),
+not floats: the kept-per-source quota and the md5 keep-threshold are
+then computed in exact integer arithmetic, so the selection is a pure
+function of (key, seed, weights, per-source counts) that any engine
+reproduces bit-exactly — the DuckDB oracle re-derives the same
+thresholds from the same counts in SQL.
+
+Semantics: let ``W = sum(parts)``, ``n_s`` the observed rows of source
+``s``. The largest feasible mixed corpus keeping exact proportions is
+``K = min_s floor(n_s * W / w_s)`` total rows; each source keeps rows
+whose 32-bit md5 prefix falls below ``t_s = floor(2^32 * w_s * K /
+(W * n_s))`` — fractional-in-expectation per source (same contract as
+``train_test_split``), proportions exact in expectation. Sources
+absent from ``weights`` are dropped.
+
+Scale design (100 TB corpus):
+- One tiny groupBy(source) count (map-side combined, #sources rows),
+  a single-row global min, then two broadcast joins back onto the
+  corpus — the data-sized path is one scan + filter, zero wide
+  shuffles of the corpus itself.
+- Threshold math runs in decimal(38,0) (HUGEINT in the oracle), so
+  ``2^32 * w * K`` cannot overflow at any realistic corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_u32(key: Column, seed: int = 42) -> Column:
+    """First 8 hex chars of md5(key#seed) as an integer in [0, 2^32)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, int],
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Rows of ``df`` downsampled to the ``weights`` mixture (columns
+    unchanged). Deterministic per (key, seed): stable under retries,
+    partitioning, and engines."""
+    if not weights or any(w <= 0 or w != int(w) for w in weights.values()):
+        raise ValueError("weights must be positive integer parts")
+    total_w = sum(weights.values())
+    w_expr = F.lit(None)
+    for s, w in weights.items():
+        w_expr = F.when(F.col(source_col) == s, F.lit(int(w))).otherwise(w_expr)
+
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", w_expr.cast("long"))
+        .filter(F.col("__w").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    k_total = counts.agg(
+        F.min(
+            F.expr(f"cast(__n as {dec}) * {total_w} div cast(__w as {dec})")
+        ).alias("__k")
+    )
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    threshold = F.expr(
+        f"cast(4294967296 as {dec}) * __w * __k div ({total_w} * cast(__n as {dec}))"
+    )
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(k_total))
+        .filter(md5_u32(key, seed) < threshold)
+        .drop("__n", "__w", "__k")
+    )
+
+
+def mix_summary(
+    df: DataFrame, source_col: str, weights: dict[str, int], key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Achieved mixture report: ``[source, n_kept, achieved_frac]``."""
+    mixed = mix_corpus(df, source_col, weights, key_cols, seed)
+    counts = mixed.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_kept"))
+    total = counts.agg(F.sum("n_kept").alias("__tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_kept").cast("double") / F.col("__tot").cast("double")).alias(
+                "achieved_frac"
+            ),
+        )
+    )

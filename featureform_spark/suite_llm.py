@@ -1004,3 +1004,125 @@ def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from featureform_spark.operators.packing import packing_efficiency
 
     return packing_efficiency(_packed_docs(spark, sf_dir), budget=_PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# chunking / diversity / corpus mixing
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                      (greatest(len(toks) - {_CHUNK_OVERLAP}, 1)
+                       + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE} AS nc
+               FROM t),
+         x AS (SELECT doc_id, toks, unnest(range(nc)) AS i FROM c)
+    SELECT doc_id, i::BIGINT AS chunk_id,
+           len(toks[(i*{_CHUNK_STRIDE}+1)::INT : (i*{_CHUNK_STRIDE}+{_CHUNK_SIZE})::INT])::BIGINT
+             AS n_chunk_tokens,
+           array_to_string(
+             toks[(i*{_CHUNK_STRIDE}+1)::INT : (i*{_CHUNK_STRIDE}+{_CHUNK_SIZE})::INT], ' ')
+             AS chunk_text
+    FROM x
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks (RAG / context-window prep):
+    zero-shuffle posexplode + slice, integer-exact chunk-count math."""
+    from featureform_spark.functions.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+@query(
+    "token_diversity",
+    f"""
+    WITH e AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+         c AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM e GROUP BY doc_id, t)
+    SELECT doc_id,
+           SUM(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_distinct,
+           1.0::DOUBLE - SUM(c*c)::DOUBLE / (SUM(c)::DOUBLE * SUM(c)::DOUBLE)
+             AS simpson_diversity,
+           MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_token_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def token_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson lexical diversity + top-token repetition ratio —
+    transcendental-free so the oracle hash-matches bit-exactly."""
+    from featureform_spark.functions.text import token_diversity
+
+    return token_diversity(load_table(spark, sf_dir, "documents"))
+
+
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}
+_MIX_W_TOTAL = sum(_MIX_WEIGHTS.values())
+
+
+def _mix_cte() -> str:
+    src_in = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+    w_case = " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())
+    md5_u32 = (
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    c AS (SELECT source, count(*)::HUGEINT AS n FROM documents
+          WHERE source IN ({src_in}) GROUP BY source),
+    w AS (SELECT source, n, (CASE source {w_case} END)::HUGEINT AS w FROM c),
+    k AS (SELECT MIN(n * {_MIX_W_TOTAL} // w) AS k FROM w),
+    thr AS (SELECT source, 4294967296::HUGEINT * w * k // ({_MIX_W_TOTAL} * n) AS t
+            FROM w, k),
+    mixed AS (SELECT d.doc_id, d.source
+              FROM documents d JOIN thr ON d.source = thr.source
+              WHERE {md5_u32} < thr.t)
+    """
+
+
+@query(
+    "corpus_mix",
+    f"WITH {_mix_cte()} SELECT doc_id, source FROM mixed",
+)
+def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture downsampling to 5:3:2 source proportions;
+    exact-integer thresholds so DuckDB re-derives the identical set."""
+    from featureform_spark.operators.mixing import mix_corpus
+
+    return mix_corpus(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        _MIX_WEIGHTS,
+        ["doc_id"],
+    ).select("doc_id", "source")
+
+
+@query(
+    "corpus_mix_summary",
+    f"""
+    WITH {_mix_cte()},
+    kept AS (SELECT source, count(*)::BIGINT AS n_kept FROM mixed GROUP BY source)
+    SELECT source, n_kept,
+           n_kept::DOUBLE / (SELECT SUM(n_kept) FROM kept)::DOUBLE AS achieved_frac
+    FROM kept
+    """,
+)
+def corpus_mix_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achieved-mixture report over the mixed corpus."""
+    from featureform_spark.operators.mixing import mix_summary
+
+    return mix_summary(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        _MIX_WEIGHTS,
+        ["doc_id"],
+    )

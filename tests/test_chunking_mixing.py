@@ -1,0 +1,118 @@
+"""Chunking, token diversity, and corpus mixing semantics + plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.chunking import chunk_documents
+from featureform_spark.functions.text import token_diversity
+from featureform_spark.operators.mixing import mix_corpus, mix_summary
+from tests.test_plans import plan_of, shuffle_exchanges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_chunk_exact_multiple(spark):
+    # 10 tokens, chunk 4 overlap 2 (stride 2): starts 0,2,4,6 -> ceil(8/2)=4
+    df = _docs(spark, [" ".join(f"t{i}" for i in range(10))])
+    out = chunk_documents(df, chunk_size=4, overlap=2).orderBy("chunk_id").collect()
+    assert [r["chunk_text"] for r in out] == [
+        "t0 t1 t2 t3",
+        "t2 t3 t4 t5",
+        "t4 t5 t6 t7",
+        "t6 t7 t8 t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 4]
+
+
+def test_chunk_partial_tail_and_short_doc(spark):
+    df = _docs(spark, ["a b c d e", "x", ""])
+    out = chunk_documents(df, chunk_size=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # 5 tokens, stride 3: ceil(4/3)=2 chunks; tail has 2 tokens
+    assert rows[(0, 0)]["chunk_text"] == "a b c d"
+    assert rows[(0, 1)]["chunk_text"] == "d e"
+    # short and empty docs still yield exactly one chunk
+    assert rows[(1, 0)]["chunk_text"] == "x"
+    assert rows[(2, 0)]["chunk_text"] == ""
+    assert len(rows) == 4
+
+
+def test_chunk_validation(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, ["a"]), chunk_size=4, overlap=4)
+
+
+def test_chunk_zero_shuffle_plan(spark):
+    df = _docs(spark, ["a b c"] * 5)
+    assert shuffle_exchanges(plan_of(chunk_documents(df, 8, 2))) == 0
+
+
+def test_token_diversity_math(spark):
+    # "a a a b": n=4, distinct=2, sum c^2 = 9+1 -> simpson 1-10/16, top 3/4
+    df = _docs(spark, ["a a a b"])
+    [r] = token_diversity(df).collect()
+    assert (r["n_tokens"], r["n_distinct"]) == (4, 2)
+    assert r["simpson_diversity"] == pytest.approx(1 - 10 / 16)
+    assert r["top_token_ratio"] == pytest.approx(3 / 4)
+
+
+def _corpus(spark, sizes):
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_mix_proportions_and_determinism(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    weights = {"s0": 6, "s1": 3, "s2": 1}
+    a = mix_corpus(df, "source", weights, ["doc_id"])
+    counts = {r["source"]: r["n"] for r in
+              a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # binding source is s0 (needs 60%): kept in full, others thresholded
+    assert counts["s0"] == 1000
+    assert counts["s1"] == pytest.approx(500, abs=80)
+    assert counts["s2"] == pytest.approx(167, abs=60)
+    # deterministic: second run identical
+    b = mix_corpus(df, "source", weights, ["doc_id"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_mix_drops_unlisted_sources(spark):
+    df = _corpus(spark, {"keep": 10, "drop": 10})
+    out = mix_corpus(df, "source", {"keep": 1}, ["doc_id"])
+    assert {r["source"] for r in out.select("source").distinct().collect()} == {"keep"}
+    assert out.count() == 10  # single listed source -> kept whole
+
+
+def test_mix_validation(spark):
+    df = _corpus(spark, {"a": 1})
+    with pytest.raises(ValueError, match="integer parts"):
+        mix_corpus(df, "source", {"a": 0}, ["doc_id"])
+    with pytest.raises(ValueError, match="integer parts"):
+        mix_corpus(df, "source", {}, ["doc_id"])
+
+
+def test_mix_summary_fracs_sum_to_one(spark):
+    df = _corpus(spark, {"a": 40, "b": 40})
+    out = mix_summary(df, "source", {"a": 1, "b": 1}, ["doc_id"]).collect()
+    assert sum(r["achieved_frac"] for r in out) == pytest.approx(1.0)
+
+
+def test_mix_no_wide_shuffle_of_corpus(spark):
+    # the corpus-sized path must be scan+filter with broadcast joins only;
+    # the only exchanges allowed are for the tiny counts/min aggregates
+    df = _corpus(spark, {"a": 50, "b": 50})
+    plan = plan_of(mix_corpus(df, "source", {"a": 1, "b": 1}, ["doc_id"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
