@@ -253,3 +253,38 @@ def simhash(
         ]
     )
     return sums.select(F.col(id_col), bit_str.alias("simhash"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dup removal: keep one representative per
+    duplicate cluster, untouched docs pass through.
+
+    ``pairs`` is any near-dup pair set (e.g. ``minhash_lsh_pairs``
+    output). Pairs are clustered transitively via
+    ``connected_components`` (min-id label), and every doc whose
+    cluster label differs from its own id is dropped — so each cluster
+    survives exactly once, as its minimum-id member, and docs that
+    appear in no pair are kept as-is.
+
+    Scale shape: the clustering runs on the *pair* graph (tiny vs the
+    corpus); the corpus-sized step is one left-anti hash join against
+    the loser set — broadcastable whenever dup volume is small, and a
+    plain shuffled anti join otherwise. No corpus self-join anywhere.
+    """
+    from featureform_spark.functions.graph import connected_components
+
+    clusters = connected_components(
+        pairs.select(F.col(pair_a).alias("a"), F.col(pair_b).alias("b")), "a", "b"
+    )
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == losers["__loser"], "left_anti"
+    )

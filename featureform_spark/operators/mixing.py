@@ -97,3 +97,52 @@ def mix_summary(
             ),
         )
     )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    source_col: str,
+    epochs: dict[str, float],
+    key_cols: list[str],
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Repeat rows per-source by a (possibly fractional) epoch count —
+    the upsampling half of LLM data mixing (e.g. books at 2.5 epochs,
+    web at 1.0). Each row appears ``floor(e)`` times, plus once more iff
+    its md5 hash-bucket falls under ``frac(e)`` — deterministic per
+    (key, seed), so the fractional epoch picks the *same* stable subset
+    every run. Output gains a 0-based ``epoch_col``; sources absent
+    from ``epochs`` are dropped.
+
+    Scale shape: pure narrow ops (hash + sequence + explode) — zero
+    shuffles; output volume is the weighted sum of inputs.
+    """
+    from featureform_spark.operators.split import threshold_hex
+
+    if not epochs or any(e < 0 for e in epochs.values()):
+        raise ValueError("epochs must be non-negative")
+    n_full = F.lit(None)
+    thr = F.lit(None)
+    for s, e in epochs.items():
+        whole, frac = int(e), e - int(e)
+        n_full = F.when(F.col(source_col) == s, F.lit(whole)).otherwise(n_full)
+        thr = F.when(
+            F.col(source_col) == s, F.lit(threshold_hex(frac))
+        ).otherwise(thr)
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h8 = F.substring(F.md5(F.concat(key, F.lit(f"#{seed}"))), 1, 8)
+    n_rep = (n_full + F.when(h8 < thr, 1).otherwise(0)).cast("int")
+    # sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+    # n_rep == 0 case with an empty array so explode drops the row
+    reps = F.when(
+        n_rep >= 1,
+        F.sequence(F.lit(0).cast("long"), (n_rep - 1).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.withColumn("__reps", reps)
+        .filter(n_full.isNotNull())
+        .withColumn(epoch_col, F.explode("__reps"))
+        .drop("__reps")
+    )

@@ -176,7 +176,9 @@ def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_pairs_oracle(threshold: float) -> str:
+def _minhash_pairs_cte(threshold: float) -> str:
+    """CTE chain ending in ``lsh_pairs(id_a, id_b, jaccard)`` — shared by
+    the pair query and the keep-canonical closure oracle."""
     rows = _NUM_HASHES // _BANDS
     band_exprs = []
     for b in range(_BANDS):
@@ -185,7 +187,7 @@ def _minhash_pairs_oracle(threshold: float) -> str:
         )
         band_exprs.append(f"'{b}:' || md5({parts})")
     return f"""
-    WITH {_SHINGLES_CTE},
+    {_SHINGLES_CTE},
     {_SIG_CTE},
     buckets AS (SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bucket FROM sig),
     cand AS (
@@ -197,13 +199,21 @@ def _minhash_pairs_oracle(threshold: float) -> str:
       FROM cand c
       JOIN sh a ON a.doc_id = c.id_a
       JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      GROUP BY c.id_a, c.id_b)
-    SELECT i.id_a, i.id_b,
-           i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE >= {threshold}
+      GROUP BY c.id_a, c.id_b),
+    lsh_pairs AS (
+      SELECT i.id_a, i.id_b,
+             i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE >= {threshold})
+    """
+
+
+def _minhash_pairs_oracle(threshold: float) -> str:
+    return f"""
+    WITH {_minhash_pairs_cte(threshold)}
+    SELECT id_a, id_b, jaccard FROM lsh_pairs
     """
 
 
@@ -1126,3 +1136,73 @@ def corpus_mix_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MIX_WEIGHTS,
         ["doc_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical near-dup removal + epoch upsampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_cte(0.01)},
+    sym AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+            UNION ALL SELECT id_b, id_a FROM lsh_pairs),
+    reach(id, r) AS (
+      SELECT a AS id, a AS r FROM sym
+      UNION
+      SELECT s.a AS id, reach.r FROM sym s JOIN reach ON reach.id = s.b),
+    labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    losers AS (SELECT id FROM labels WHERE id <> cluster_id)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN losers ON d.doc_id = losers.id
+    WHERE losers.id IS NULL
+    """,
+)
+def dedup_keep_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidate pairs -> transitive
+    clusters -> keep each cluster's min-id member; untouched docs pass
+    through. The oracle replays the full pipeline (same md5 minhash
+    lockstep) plus a recursive-CTE closure."""
+    from featureform_spark.functions.dedup import keep_canonical, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.01)
+    return keep_canonical(docs, pairs).select("doc_id", "source")
+
+
+_EPOCHS = {"src0": 2.5, "src1": 0.5, "src3": 1.0}
+
+
+def _upsample_oracle() -> str:
+    from featureform_spark.operators.split import threshold_hex
+
+    src_in = ", ".join(f"'{s}'" for s in _EPOCHS)
+    whole = " ".join(f"WHEN '{s}' THEN {int(e)}" for s, e in _EPOCHS.items())
+    thr = " ".join(
+        f"WHEN '{s}' THEN '{threshold_hex(e - int(e))}'" for s, e in _EPOCHS.items()
+    )
+    return f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             (CASE source {whole} END)
+             + CASE WHEN substr(md5(doc_id::VARCHAR || '#42'), 1, 8)
+                         < (CASE source {thr} END)
+                    THEN 1 ELSE 0 END AS n_rep
+      FROM documents WHERE source IN ({src_in}))
+    SELECT doc_id, source, unnest(range(n_rep))::BIGINT AS epoch
+    FROM r WHERE n_rep > 0
+    """
+
+
+@query("upsample_epochs", _upsample_oracle())
+def upsample_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (src0 x2.5, src1 x0.5, src3 x1.0,
+    rest dropped): floor(e) full repeats + a deterministic md5-selected
+    extra; zero-shuffle narrow explode."""
+    from featureform_spark.operators.mixing import upsample_epochs
+
+    return upsample_epochs(
+        load_table(spark, sf_dir, "documents"), "source", _EPOCHS, ["doc_id"]
+    ).select("doc_id", "source", "epoch")

@@ -116,3 +116,65 @@ def test_mix_no_wide_shuffle_of_corpus(spark):
     plan = plan_of(mix_corpus(df, "source", {"a": 1, "b": 1}, ["doc_id"]))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_keep_canonical_clusters(spark):
+    from featureform_spark.functions.dedup import keep_canonical
+
+    docs = _docs(spark, ["a", "b", "c", "d", "e"])  # ids 0..4
+    # chain 0-1-2 and pair 3-4 -> keep 0, 3; doc ids not in pairs pass
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in keep_canonical(docs, pairs).collect()
+    )
+    assert kept == [0, 3]
+
+
+def test_keep_canonical_untouched_pass_through(spark):
+    from featureform_spark.functions.dedup import keep_canonical
+
+    docs = _docs(spark, ["a", "b", "c"])
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    assert sorted(
+        r["doc_id"] for r in keep_canonical(docs, pairs).collect()
+    ) == [0, 2]
+
+
+def test_upsample_whole_epochs_exact(spark):
+    from featureform_spark.operators.mixing import upsample_epochs
+
+    df = _corpus(spark, {"a": 10, "b": 10, "c": 10})
+    out = upsample_epochs(df, "source", {"a": 3.0, "b": 1.0}, ["doc_id"])
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 30, "b": 10}  # c dropped entirely
+    epochs = {r["epoch"] for r in out.filter(F.col("source") == "a")
+              .select("epoch").distinct().collect()}
+    assert epochs == {0, 1, 2}
+
+
+def test_upsample_fractional_deterministic(spark):
+    from featureform_spark.operators.mixing import upsample_epochs
+
+    df = _corpus(spark, {"a": 400})
+    a = upsample_epochs(df, "source", {"a": 1.5}, ["doc_id"])
+    n = a.count()
+    assert 400 < n < 800 and abs(n - 600) < 80
+    b = upsample_epochs(df, "source", {"a": 1.5}, ["doc_id"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # sub-1.0 epochs downsample
+    half = upsample_epochs(df, "source", {"a": 0.5}, ["doc_id"])
+    assert 0 < half.count() < 400
+    assert half.select("epoch").distinct().collect()[0]["epoch"] == 0
+
+
+def test_upsample_validation_and_plan(spark):
+    from featureform_spark.operators.mixing import upsample_epochs
+
+    df = _corpus(spark, {"a": 5})
+    with pytest.raises(ValueError, match="non-negative"):
+        upsample_epochs(df, "source", {"a": -1.0}, ["doc_id"])
+    plan = plan_of(upsample_epochs(df, "source", {"a": 2.0}, ["doc_id"]))
+    assert shuffle_exchanges(plan) == 0
