@@ -393,3 +393,76 @@ def test_deltalite_location_dispatch(spark, tmp_path):
     # dict-shaped location (driver/registry serialization path)
     d = read_location(spark, {"kind": "deltalite", "path": path})
     assert d.count() == 2
+
+
+def test_zorder_reclusters_for_multi_column_pruning(spark, tmp_path):
+    """Before zorder: files are tight on x only (append order), so a
+    y-filter reads everything. After OPTIMIZE ZORDER BY (x, y): files
+    cover z-curve octants, so single-column filters on EITHER column
+    prune, and conjunctive filters multiply."""
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "zo"))
+    # 8 x-sorted files: x tight per file, y spans full range everywhere
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    t.create(spark.createDataFrame(rows[:512], ["x", "y"]).coalesce(1))
+    for i in range(1, 8):
+        t.append(
+            spark.createDataFrame(rows[512 * i : 512 * (i + 1)], ["x", "y"])
+            .coalesce(1)
+        )
+    before = t.snapshot()
+    before_rows = sorted((r["x"], r["y"]) for r in before.collect())
+
+    t.snapshot_pruned("y", lo=0, hi=7).count()
+    assert t.last_prune_stats()["files_read"] == 8  # y-prune useless
+
+    res = t.optimize_zorder(["x", "y"], target_rows_per_file=512)
+    assert res["files_clustered"] == 8 and res["files_written"] >= 4
+
+    # row set byte-identical
+    after_rows = sorted((r["x"], r["y"]) for r in t.snapshot().collect())
+    assert after_rows == before_rows
+    # change feed silent for the physical-only commit
+    assert t.change_feed(res["version"]).count() == 0
+
+    got = t.snapshot_pruned("y", lo=0, hi=7)
+    assert sorted((r["x"], r["y"]) for r in got.collect()) == sorted(
+        (x, y) for x in range(64) for y in range(8)
+    )
+    y_prune = t.last_prune_stats()
+    assert y_prune["files_read"] < y_prune["files_total"]
+
+    t.snapshot_pruned("x", lo=0, hi=7).count()
+    x_prune = t.last_prune_stats()
+    assert x_prune["files_read"] < x_prune["files_total"]
+
+    # conjunctive multi-column prune: strictly stronger than either alone
+    got2 = t.snapshot_pruned_multi({"x": (0, 7), "y": (0, 7)})
+    assert sorted((r["x"], r["y"]) for r in got2.collect()) == sorted(
+        (x, y) for x in range(8) for y in range(8)
+    )
+    both = t.last_prune_stats()
+    assert both["files_read"] <= min(x_prune["files_read"], y_prune["files_read"])
+
+
+def test_zorder_validation_and_nulls(spark, tmp_path):
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "zv"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b", 5), (None, "c", 6)],
+            "x int, s string, y int",
+        )
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        t.optimize_zorder(["s"])
+    with pytest.raises(ValueError, match="unknown"):
+        t.optimize_zorder(["nope"])
+    res = t.optimize_zorder(["x", "y"], target_rows_per_file=10)
+    assert res["files_clustered"] >= 1
+    got = sorted(
+        ((r["x"], r["s"], r["y"]) for r in t.snapshot().collect()), key=str
+    )
+    assert len(got) == 3  # nulls survive re-clustering
