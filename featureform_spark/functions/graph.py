@@ -35,8 +35,12 @@ def connected_components(
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``edges``; cluster_id is the
     minimum node id in the component."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Eagerly materialize the edge projection BEFORE symmetrizing: the
+    # union below reads it from both branches, and edge inputs are
+    # typically expensive lineages (LSH candidate pipelines) that must
+    # not be evaluated twice.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=False)
 
     labels = (

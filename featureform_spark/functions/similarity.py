@@ -93,14 +93,21 @@ def hyperplane_lsh_buckets(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Assign each vector a bit-string bucket from hyperplane signs."""
+    return df.select(
+        F.col(id_col), bucket_expr(_as_double(F.col(vec_col)), dim, num_planes).alias(out_col)
+    )
+
+
+def bucket_expr(vec: Column, dim: int, num_planes: int) -> Column:
+    """Hyperplane-sign bucket as a pure expression over a double-array
+    column — usable inline so callers never need a join to attach it."""
     signs = hyperplane_signs(num_planes, dim)
-    v = _as_double(F.col(vec_col))
     bits = []
     for p in range(num_planes):
         plane = F.array(*[F.lit(s) for s in signs[p]])
-        proj = dot_expr(v, plane)
+        proj = dot_expr(vec, plane)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(F.col(id_col), F.concat(*bits).alias(out_col))
+    return F.concat(*bits)
 
 
 def embedding_near_dup_pairs(
@@ -117,22 +124,38 @@ def embedding_near_dup_pairs(
     bucket is a clustering key and this is the only non-linear step);
     exact cosine computed on candidates only. Output (id_a, id_b, cosine)
     with id_a < id_b.
+
+    Single-scan design: bucket and vector norm are inline expressions on
+    the one projection (no join to attach the bucket, which would be a
+    whole-corpus shuffle), so the per-candidate-pair work after the
+    bucket equi-join is just the dot product — the norms ride along
+    precomputed. ``dot/(na*nb)`` preserves the exact fp operation order
+    of ``cosine_expr``, so results are bit-identical to the oracle.
     """
-    buckets = hyperplane_lsh_buckets(df, dim, num_planes, id_col, vec_col)
-    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).join(
-        buckets, id_col
+    v = _as_double(F.col(vec_col))
+    base = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        norm_expr(v).alias("_n"),
+        bucket_expr(v, dim, num_planes).alias("bucket"),
     )
     left = base.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket",
     )
     right = base.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket",
     )
     pairs = (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine")
+            "id_a",
+            "id_b",
+            (dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
         )
     )
     return pairs.filter(F.col("cosine") >= cosine_threshold)

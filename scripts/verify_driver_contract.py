@@ -2,7 +2,8 @@
 SparkSession, smoke entry(), then run every queries() entry against its
 oracle_sql() via DuckDB (row count + column names + sorted-row hash).
 
-Usage: python scripts/verify_driver_contract.py [sf_dir]
+Usage: python scripts/verify_driver_contract.py [sf_dir] [query ...]
+(trailing args restrict the run to the named queries)
 """
 import sys, hashlib
 sys.path.insert(0, "/root/repo")
@@ -41,6 +42,11 @@ def value_hash(pdf):
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 qs, oracles = E.queries(), E.oracle_sql()
+only = set(sys.argv[2:])
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f"unknown queries: {sorted(unknown)}"
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 for name in sorted(qs):
     sdf = qs[name](spark, SF).toPandas()
