@@ -16,6 +16,10 @@ from featureform_spark.functions.similarity import (
     hyperplane_lsh_buckets,
     ann_topk_lsh,
 )
+from featureform_spark.functions.lm import (
+    bigram_model,
+    ngram_lm_score,
+)
 
 __all__ = [
     "with_tokens",
@@ -30,4 +34,6 @@ __all__ = [
     "cosine_topk",
     "hyperplane_lsh_buckets",
     "ann_topk_lsh",
+    "bigram_model",
+    "ngram_lm_score",
 ]

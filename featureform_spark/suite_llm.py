@@ -1076,6 +1076,48 @@ def token_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_diversity(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "ngram_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> [toks[i], toks[i + 1]])) AS bg
+          FROM t),
+    e AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM g),
+    docbg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS n_occ
+              FROM e GROUP BY doc_id, w1, w2),
+    docw AS (SELECT doc_id, w1, SUM(n_occ)::BIGINT AS d_w1
+             FROM docbg GROUP BY doc_id, w1),
+    cbg AS (SELECT w1, w2, SUM(n_occ)::BIGINT AS c_bg
+            FROM docbg GROUP BY w1, w2),
+    cw AS (SELECT w1, SUM(c_bg)::BIGINT AS c_w1 FROM cbg GROUP BY w1),
+    j AS (SELECT db.doc_id, db.n_occ, cbg.c_bg, cw.c_w1, dw.d_w1
+          FROM docbg db
+          JOIN cbg USING (w1, w2)
+          JOIN cw USING (w1)
+          JOIN docw dw ON db.doc_id = dw.doc_id AND db.w1 = dw.w1)
+    SELECT doc_id,
+           SUM(n_occ)::BIGINT AS n_bigrams,
+           SUM(n_occ * (c_bg - n_occ))::BIGINT AS xdoc_bigram_support,
+           SUM(n_occ * (c_w1 - d_w1))::BIGINT AS xdoc_context_support,
+           CASE WHEN SUM(n_occ * (c_w1 - d_w1)) > 0
+                THEN SUM(n_occ * (c_bg - n_occ))::DOUBLE
+                     / SUM(n_occ * (c_w1 - d_w1))::DOUBLE
+                ELSE 0.0 END AS lm_fit_score
+    FROM j GROUP BY doc_id
+    """,
+)
+def ngram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram-LM quality score (CCNet/Gopher perplexity-filter
+    family), leave-one-out so self-induced transitions don't self-score;
+    transcendental-free: exact int64 support sums, one final IEEE
+    division — see functions/lm.py for the 100 TB plan shape."""
+    from featureform_spark.functions.lm import ngram_lm_score
+
+    return ngram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
 _MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}
 _MIX_W_TOTAL = sum(_MIX_WEIGHTS.values())
 
