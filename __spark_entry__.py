@@ -23,6 +23,8 @@ def _ensure_conf(spark: SparkSession) -> None:
     # testdata parquet uses TIMESTAMP(NANOS); loaders convert (see
     # featureform_spark/sources/testdata.py)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # naive µs parquet must land as TimestampType (UTC session tz), not NTZ
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

@@ -43,13 +43,21 @@ def main() -> None:
 
     queries = all_queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(queries.items()):
+        # per-query isolation: one broken query must not zero the whole
+        # bench artifact — record the error and keep timing the rest
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full execution; count() alone can prune projections, so
-        # aggregate over every column
-        df.selectExpr("count(*)", *[f"count({c})" for c in df.columns]).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            # force full execution; count() alone can prune projections,
+            # so aggregate over every column
+            df.selectExpr(
+                "count(*)", *[f"count({c})" for c in df.columns]
+            ).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -59,6 +67,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -287,8 +287,13 @@ def keep_canonical(
     """
     from featureform_spark.functions.graph import connected_components
 
+    # pairs usually carry an expensive lineage (LSH bucket join +
+    # Jaccard verify) — materialize once rather than evaluate twice
     clusters = connected_components(
-        pairs.select(F.col(pair_a).alias("a"), F.col(pair_b).alias("b")), "a", "b"
+        pairs.select(F.col(pair_a).alias("a"), F.col(pair_b).alias("b")),
+        "a",
+        "b",
+        materialize_edges=True,
     )
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("__loser")

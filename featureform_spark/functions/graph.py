@@ -32,14 +32,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    materialize_edges: bool = False,
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``edges``; cluster_id is the
-    minimum node id in the component."""
-    # Eagerly materialize the edge projection BEFORE symmetrizing: the
-    # union below reads it from both branches, and edge inputs are
-    # typically expensive lineages (LSH candidate pipelines) that must
-    # not be evaluated twice.
-    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    minimum node id in the component.
+
+    ``materialize_edges=True`` eagerly materializes the edge projection
+    BEFORE symmetrizing: the union reads it from both branches, so an
+    expensive edge lineage (an LSH candidate pipeline) would otherwise
+    be evaluated twice. Callers with cheap edge plans (a scan + a join)
+    should leave it off — the eager pass costs more than recomputing.
+    """
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    base = base.localCheckpoint(eager=materialize_edges)
     sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=False)
 

@@ -139,9 +139,12 @@ def sessionize(
     # integer microsecond arithmetic: exact, and engine-portable (a
     # double-seconds cast rounds at µs granularity)
     gap_us = int(gap_seconds * 1_000_000)
+    # cast("timestamp") first: NTZ-safe (unix_micros rejects TIMESTAMP_NTZ;
+    # with a UTC session tz the cast is value-preserving), no-op otherwise
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
     new_session = (
-        prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us)
+        prev_ts.isNull() | ((ts_us - prev_us) > gap_us)
     ).cast("long")
     running = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -27,6 +27,10 @@ _DEFAULTS = {
     # read TIMESTAMP(NANOS) parquet as long; loaders convert to µs
     # timestamps (same truncation DuckDB applies), see sources/testdata.py
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive µs parquet timestamps read as TimestampType, not TIMESTAMP_NTZ:
+    # session tz is UTC so the instant semantics match the DuckDB oracle,
+    # and every time function (unix_micros, window ranges) accepts it
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # managed-table home for bucketed feature tables (write_bucketed);

@@ -65,9 +65,24 @@ def convert_nano_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return df
 
 
+def normalize_ntz_columns(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TimestampType.
+
+    With ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` (our session
+    default) naive µs parquet already arrives as TimestampType, but a caller
+    session without that conf hands us NTZ; the cast interprets the naive
+    value in the session tz (UTC), matching DuckDB's naive/UTC oracle
+    semantics, so the engine is robust to both parquet flavors.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.option("recursiveFileLookup", "true").parquet(path)
-    return convert_nano_columns(df, nano_ts_columns(path))
+    return normalize_ntz_columns(convert_nano_columns(df, nano_ts_columns(path)))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -552,7 +552,7 @@ def rolling_user_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
     )
     return events.select(
@@ -1083,9 +1083,71 @@ def window_agg_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness harness caps oracle checks at the FIRST 50
+# entries of queries(); order one representative per operator family
+# (SURVEY.md §2 + §8.10) ahead of its variants so every family gets a
+# driver row every round. Variants (skew_plain vs skew_bucketed,
+# *_summary/*_efficiency companions, building-block queries subsumed by
+# their pipelines) sit past the cap — still pytest-oracle-covered.
+PRIORITY: tuple[str, ...] = (
+    "materialize_latest",
+    "materialize_no_ts",
+    "segment_iteration",
+    "training_set_pit",
+    "training_set_pit_skew_bucketed",
+    "training_set_lag",
+    "training_set_label_no_ts",
+    "training_set_feature_no_ts",
+    "training_set_multi_entity",
+    "batch_features",
+    "train_test_split",
+    "transformation_chained",
+    "transformation_df_fn",
+    "pricing_summary",
+    "rollup_order_totals",
+    "quantity_percentiles",
+    "rolling_user_spend",
+    "revenue_per_nation",
+    "asof_tolerance",
+    "sessionize",
+    "range_join_orders",
+    "wide_merge_upsert",
+    "delta_time_travel",
+    "delta_zone_prune",
+    "delta_cdf_incremental",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "embedding_topk",
+    "token_count",
+    "embedding_near_dup",
+    "corpus_clean",
+    "embedding_ann_topk",
+    "knn_label_vote",
+    "embedding_ivf_topk",
+    "media_decode_real",
+    "quality_signals",
+    "pii_redact",
+    "tfidf_top_terms",
+    "dedup_clusters",
+    "decontaminate",
+    "sequence_packing",
+    "doc_chunks",
+    "token_diversity",
+    "ngram_lm_score",
+    "corpus_mix",
+    "dedup_keep_canonical",
+)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    return ordered
 
 
 def all_oracles() -> dict[str, str]:
