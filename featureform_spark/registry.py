@@ -75,6 +75,7 @@ class JDBCLocation:
     table: str  # table name or "(subquery) alias"
     partition_column: str = ""
     num_partitions: int = 0
+    driver: str = ""  # JDBC driver class; empty → DriverManager SPI lookup
     kind: str = "jdbc"
 
 
@@ -343,6 +344,25 @@ class Registry:
         self._functions[fn_name] = fn
         return self.register(
             SourceVariant(name=name, variant=variant, fn_name=fn_name, inputs=inputs, **kw)
+        )
+
+    def register_pickled_transformation(
+        self,
+        name: str,
+        blob: bytes,
+        inputs: list[str],
+        variant: str = "default",
+        **kw,
+    ) -> SourceVariant:
+        """DF transformation from a pickled-function blob — the
+        reference's submit-boundary wire format (dill bytes,
+        offline_store_spark_runner.py:1139-1257). Rehydrates via
+        ``plans.transport.load_function`` and registers like an
+        in-process function."""
+        from featureform_spark.plans.transport import load_function
+
+        return self.register_df_transformation(
+            name, load_function(blob), inputs, variant=variant, **kw
         )
 
     def register_ondemand(

@@ -79,27 +79,39 @@ def read_jdbc(spark: SparkSession, loc: JDBCLocation) -> DataFrame:
     range-bounded parallel queries (bounds probed with one min/max query)
     instead of one single-threaded cursor — mandatory at warehouse scale.
     Filters and projections push down into the remote SQL automatically.
-    Gated: needs the vendor's JDBC driver jar on the classpath.
+    Integration-tested for real against the in-container Derby embedded
+    driver (tests/test_jdbc_derby.py); vendor warehouses need their
+    driver jar on the classpath.
     """
     reader = spark.read.format("jdbc").option("url", loc.url).option(
         "dbtable", loc.table
     )
+    if getattr(loc, "driver", ""):
+        reader = reader.option("driver", loc.driver)
     if loc.partition_column and loc.num_partitions:
-        bounds_df = (
+        # ANSI-quote the probe column: Spark's JDBC dialects create
+        # tables with quoted (case-preserved) identifiers, so an
+        # unquoted name would fold to the DB's default case (Derby/
+        # Postgres/Snowflake all honor ""; MySQL needs its dialect's
+        # backticks — callers there pass a "(subquery) alias" table)
+        qcol = '"' + loc.partition_column.replace('"', '""') + '"'
+        bounds = (
             spark.read.format("jdbc")
             .option("url", loc.url)
             .option(
                 "dbtable",
-                f"(SELECT MIN({loc.partition_column}) AS lo, "
-                f"MAX({loc.partition_column}) AS hi FROM {loc.table}) b",
+                f"(SELECT MIN({qcol}) AS lo, MAX({qcol}) AS hi "
+                f"FROM {loc.table}) b",
             )
-            .load()
         )
-        row = bounds_df.first()
+        if getattr(loc, "driver", ""):
+            bounds = bounds.option("driver", loc.driver)
+        # positional: unquoted aliases case-fold per DB (Derby → LO/HI)
+        row = bounds.load().first()
         reader = (
             reader.option("partitionColumn", loc.partition_column)
-            .option("lowerBound", str(row["lo"]))
-            .option("upperBound", str(row["hi"]))
+            .option("lowerBound", str(row[0]))
+            .option("upperBound", str(row[1]))
             .option("numPartitions", str(loc.num_partitions))
         )
     try:

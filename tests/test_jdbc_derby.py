@@ -1,0 +1,89 @@
+"""Real-rows integration test for the generic JDBC source path.
+
+The sandbox ships no vendor warehouse drivers, but Spark bundles Apache
+Derby (its Hive-metastore store), whose embedded JDBC driver runs
+in-process — so ``read_jdbc`` can be exercised END TO END against a real
+database: write rows over JDBC, read them back range-partitioned, verify
+filter pushdown reaches the remote SQL. This is the same code path a
+Snowflake/BigQuery/Postgres location takes (reference:
+provider/scripts/spark/offline_store_spark_runner.py:990-1031); only the
+url/driver pair differs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from featureform_spark.registry import JDBCLocation
+from featureform_spark.sources.readers import read_jdbc, read_location
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "db"
+    return f"jdbc:derby:{db};create=true"
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, derby_url):
+    df = spark.range(1000).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "events_jdbc")
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    return derby_url
+
+
+def test_read_jdbc_partitioned_real_rows(spark, seeded):
+    loc = JDBCLocation(
+        url=seeded,
+        table="events_jdbc",
+        partition_column="id",
+        num_partitions=4,
+        driver=DERBY_DRIVER,
+    )
+    df = read_jdbc(spark, loc)
+    assert df.rdd.getNumPartitions() == 4  # range-partitioned fan-out
+    assert df.count() == 1000
+    total = df.selectExpr("CAST(sum(id) AS BIGINT) AS s").first()["s"]
+    assert total == 999 * 1000 // 2
+
+
+def test_read_jdbc_unpartitioned_and_dispatch(spark, seeded):
+    loc = JDBCLocation(url=seeded, table="events_jdbc", driver=DERBY_DRIVER)
+    df = read_location(spark, loc)
+    assert df.count() == 1000
+
+
+def test_read_jdbc_filter_pushdown(spark, seeded):
+    loc = JDBCLocation(
+        url=seeded,
+        table="events_jdbc",
+        partition_column="id",
+        num_partitions=2,
+        driver=DERBY_DRIVER,
+    )
+    df = read_jdbc(spark, loc).filter("grp = 3").select("id", "grp")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter must reach the JDBC scan, not run Spark-side
+    assert "PushedFilters" in plan and "grp" in plan.split("PushedFilters")[1][:200]
+    rows = df.count()
+    assert rows == sum(1 for i in range(1000) if i % 7 == 3)
+
+
+def test_read_jdbc_subquery_table(spark, seeded):
+    loc = JDBCLocation(
+        url=seeded,
+        table='(SELECT "grp", COUNT(*) AS n FROM events_jdbc GROUP BY "grp") g',
+        driver=DERBY_DRIVER,
+    )
+    df = read_jdbc(spark, loc)
+    assert df.count() == 7
