@@ -86,3 +86,44 @@ def read_snowflake(
 
 def read_bigquery(spark: SparkSession, credentials: dict, table: str) -> DataFrame:
     return _gated_load(spark, "bigquery", bigquery_options(credentials, table))
+
+
+def snowflake_jdbc_url(credentials: dict, database: str, schema: str) -> str:
+    """Snowflake JDBC url from the same credential dict the vendor
+    connector takes — `jdbc:snowflake://<sfURL>/?db=...&schema=...`."""
+    host = credentials["sfURL"].removeprefix("https://").removeprefix("http://")
+    return (
+        f"jdbc:snowflake://{host}/?db={database}&schema={schema}"
+        f"&warehouse={credentials['sfWarehouse']}"
+        f"&user={credentials['sfUser']}&password={credentials['sfPassword']}"
+    )
+
+
+def read_snowflake_jdbc(
+    spark: SparkSession,
+    credentials: dict,
+    database: str,
+    schema: str,
+    table: str,
+    partition_column: str = "",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """Snowflake over the GENERIC JDBC path — fallback when the vendor
+    Spark connector jar is absent but the (much smaller) Snowflake JDBC
+    driver is on the classpath. Routes through ``read_jdbc``, whose
+    range-partitioned fan-out and pushdown are integration-tested for
+    real against Derby (tests/test_jdbc_derby.py); only the url/driver
+    pair differs here."""
+    # reuse the vendor-path validation so both paths reject alike
+    snowflake_options(credentials, database, schema, table)
+    from featureform_spark.registry import JDBCLocation
+    from featureform_spark.sources.readers import read_jdbc
+
+    loc = JDBCLocation(
+        url=snowflake_jdbc_url(credentials, database, schema),
+        table=table,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        driver="net.snowflake.client.jdbc.SnowflakeDriver",
+    )
+    return read_jdbc(spark, loc)

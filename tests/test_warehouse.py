@@ -61,3 +61,19 @@ def test_reads_gated_without_connector_jar(spark):
         read_snowflake(spark, SF_CREDS, "db", "s", "t")
     with pytest.raises(RuntimeError, match="bigquery"):
         read_bigquery(spark, BQ_CREDS, "t")
+
+
+def test_snowflake_jdbc_url_and_validation():
+    from featureform_spark.sources.warehouse import (
+        read_snowflake_jdbc,
+        snowflake_jdbc_url,
+    )
+
+    url = snowflake_jdbc_url(SF_CREDS, "db", "public")
+    assert url.startswith("jdbc:snowflake://acct.snowflakecomputing.com/?")
+    assert "db=db" in url and "schema=public" in url and "warehouse=wh" in url
+    # same validation as the vendor path
+    with pytest.raises(ValueError, match="Snowflake credentials"):
+        read_snowflake_jdbc(None, {"sfURL": "x"}, "db", "public", "t")
+    with pytest.raises(ValueError, match="table name"):
+        read_snowflake_jdbc(None, SF_CREDS, "db", "public", " ")
