@@ -128,6 +128,87 @@ def minhash_signature(
     return ex.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, bucket) — one row per document per LSH band; ``bucket`` is
+    ``"<band>:" || md5(band signature slice)``. Two docs are near-dup
+    *candidates* iff they share ≥1 bucket. This is the persistable half
+    of the LSH pipeline: a signature store keeps exactly these rows
+    (bands, not raw shingles), so incremental dedup of a new batch is a
+    bucket equi-join against the store."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        _with_hash_halves(_exploded_shingles(df, id_col, text_col, shingle_n))
+        .groupBy(id_col)
+        .agg(*_minhash_agg_exprs(num_hashes))
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+
+
+def incremental_lsh_flags(
+    new_docs: DataFrame,
+    store_buckets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag each new-batch document as a near-dup CANDIDATE of the
+    already-accepted corpus: ``[id_col, is_dup]``, one row per new doc,
+    ``is_dup = 1`` iff the doc shares ≥1 LSH band bucket with any stored
+    doc.
+
+    This is the continuous-ingestion shape of MinHash dedup: the
+    historical corpus is represented only by its band buckets (8 rows ×
+    ~40 bytes per doc — ~0.3 KB/doc regardless of document size), so
+    the store for a billion accepted docs is a few hundred GB that
+    bucket-partitions cleanly; the per-batch cost is one explode over
+    the batch plus one equi-join against the store — never a rescan of
+    the corpus text. Candidate semantics (no exact-Jaccard verify)
+    because the store holds no shingles; at the default banding the
+    false-positive rate is the LSH s-curve's, and callers needing exact
+    verification keep text for flagged docs only.
+    """
+    nb = lsh_band_buckets(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    hits = (
+        nb.join(
+            store_buckets.select(F.col("bucket")).distinct(),
+            "bucket",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__hit"), F.lit(0)).cast("long").alias("is_dup"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -154,27 +235,7 @@ def minhash_lsh_pairs(
     r=3 keeps the candidate rate at j=0.04 near 8·6e-5 while missing
     <1% of true 0.77-Jaccard near-dups.
     """
-    rows_per_band = num_hashes // bands
-    sig = (
-        _with_hash_halves(_exploded_shingles(df, id_col, text_col, shingle_n))
-        .groupBy(id_col)
-        .agg(*_minhash_agg_exprs(num_hashes))
-    )
-
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = sig.select(F.col(id_col), *band_cols)
-
-    buckets = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)
-            ])
-        ).alias("bucket"),
-    )
+    buckets = lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     left = buckets.alias("l")
     right = buckets.alias("r")
     candidates = (
@@ -300,4 +361,101 @@ def keep_canonical(
     )
     return df.join(
         losers, df[id_col] == losers["__loser"], "left_anti"
+    )
+
+
+def dedup_blocks(
+    df: DataFrame,
+    block_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-block dedup: split every document into
+    non-overlapping ``block_tokens``-token blocks; any block text that
+    occurs more than once corpus-wide (across documents OR repeated
+    within one) survives only at its first occurrence in
+    ``(doc_id, block_idx)`` order, and documents are reassembled from
+    their surviving blocks.
+
+    This is the block-quantized form of the ExactSubstr dedup from the
+    public "Deduplicating Training Data Makes Language Models Better"
+    recipe (suffix-array exact dedup): the suffix array finds arbitrary
+    repeated spans; quantizing to fixed token blocks makes the same
+    removal a pair of hash shuffles — no suffix structure, so it shards
+    on any cluster size.
+
+    Returns ``[id_col, text_clean, n_kept, n_blocks]`` — one row per
+    input document (a fully-duplicated document keeps its row with
+    ``text_clean = ''``).
+
+    Scale shape: tokenize/posexplode/slice are narrow codegen
+    expressions; one shuffle groups by block text (at 100 TB swap the
+    group key for ``xxhash64(btext)``+verify to keep shuffle rows
+    narrow), one shuffle reassembles by doc id. First-occurrence choice
+    is a ``min(struct(doc_id, block_idx))`` — partial-aggregated, no
+    window over the full block table.
+    """
+    from featureform_spark.functions.text import tokens_expr
+
+    B = int(block_tokens)
+    if B < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    base = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    blocks = (
+        base.filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr(f"int((__n + {B - 1}) div {B}) - 1")
+                )
+            ).alias("bid"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("bid").cast("long").alias("bid"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("bid").cast("int") * B + 1, B), " "
+            ).alias("btext"),
+        )
+    )
+    winners = blocks.groupBy("btext").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("bid").alias("b"))).alias(
+            "__w"
+        )
+    )
+    kept_flag = (F.col(id_col) == F.col("__w.d")) & (F.col("bid") == F.col("__w.b"))
+    marked = blocks.join(winners, "btext").select(
+        F.col(id_col), "bid", "btext", kept_flag.alias("__keep")
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("bid"), F.col("btext")),
+                        )
+                    )
+                ),
+                lambda s: s["btext"],
+            ),
+        ).alias("text_clean"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long").alias("n_blocks"),
+        )
     )

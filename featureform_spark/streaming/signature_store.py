@@ -1,0 +1,110 @@
+"""Persistent MinHash-LSH signature store for continuous-ingestion dedup.
+
+A training-data pipeline that ingests continuously cannot re-run corpus
+dedup from scratch per batch: at 100 TB the corpus rescan alone dwarfs
+the batch. The standard fix (public MinHash/LSH literature, e.g. the
+Mining of Massive Datasets LSH chapter) is to persist per-document band
+buckets and dedup each new batch against that store:
+
+- the store holds ``(doc_id, bucket)`` rows — ``bands`` rows of ~40
+  bytes per accepted document, independent of document size;
+- flagging a batch = one bucket equi-join (batch side exploded, store
+  side scanned pruned to the join key);
+- accepting a batch = appending its buckets, an O(batch) write.
+
+Backed by :class:`~featureform_spark.sources.deltalite.DeltaliteTable`
+so the store gets atomic commits, time travel (re-run a batch against
+the store as of any version), and OPTIMIZE compaction of small batch
+appends. No reference-repo counterpart (featureform has no corpus ops);
+this backs the beyond-reference dedup layer (SURVEY.md §8.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from featureform_spark.functions.dedup import incremental_lsh_flags, lsh_band_buckets
+from featureform_spark.sources.deltalite import DeltaliteTable
+
+
+class SignatureStore:
+    """LSH band-bucket store with flag/ingest lifecycle.
+
+    ``flag(batch)`` marks batch docs sharing a bucket with any accepted
+    doc; ``ingest(batch)`` flags, then appends the buckets of the CLEAN
+    docs (dups are not admitted, so later near-dups of a rejected doc
+    are caught via its accepted original). All LSH parameters are fixed
+    at construction and persisted as table properties — mixing banding
+    schemes in one store would silently miss duplicates.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 24,
+        bands: int = 8,
+        shingle_n: int = 3,
+    ):
+        self.spark = spark
+        self.table = DeltaliteTable(spark, path)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.params = dict(
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        )
+        if self.table.exists():
+            props = self.table.properties()
+            for k, v in self.params.items():
+                stored = props.get(f"lsh.{k}")
+                if stored is not None and int(stored) != v:
+                    raise ValueError(
+                        f"store at {path} was built with {k}={stored}, "
+                        f"got {k}={v} — banding schemes cannot be mixed"
+                    )
+
+    def _buckets(self, docs: DataFrame) -> DataFrame:
+        return lsh_band_buckets(
+            docs, self.id_col, self.text_col, **self.params
+        )
+
+    def stored_buckets(self) -> DataFrame:
+        if not self.table.exists():
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, bucket string"
+            )
+        return self.table.snapshot()
+
+    def flag(self, batch: DataFrame) -> DataFrame:
+        """[id_col, is_dup] for every batch doc, vs accepted docs only
+        (batch-internal dups are the caller's in-batch dedup problem)."""
+        return incremental_lsh_flags(
+            batch,
+            self.stored_buckets(),
+            self.id_col,
+            self.text_col,
+            **self.params,
+        )
+
+    def ingest(self, batch: DataFrame) -> DataFrame:
+        """Flag the batch, admit the clean docs' buckets, return flags.
+
+        The returned flags frame is materialized (the flag join must see
+        the store BEFORE this batch's buckets land)."""
+        flags = self.flag(batch).localCheckpoint()
+        clean = batch.join(
+            flags.filter("is_dup = 0").select(self.id_col), self.id_col
+        )
+        new_buckets = self._buckets(clean)
+        if self.table.exists():
+            self.table.append(new_buckets)
+        else:
+            self.table.create(
+                new_buckets,
+                properties={
+                    f"lsh.{k}": str(v) for k, v in self.params.items()
+                },
+            )
+        return flags

@@ -1248,3 +1248,99 @@ def upsample_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsample_epochs(
         load_table(spark, sf_dir, "documents"), "source", _EPOCHS, ["doc_id"]
     ).select("doc_id", "source", "epoch")
+
+
+# ---------------------------------------------------------------------------
+# exact substring-block dedup
+# ---------------------------------------------------------------------------
+
+_BLOCK_B = 8
+
+
+@query(
+    "dedup_blocks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         b AS (SELECT doc_id, toks,
+                      unnest(range((n + {_BLOCK_B - 1})//{_BLOCK_B})) AS bid
+               FROM n WHERE n > 0),
+         x AS (SELECT doc_id, bid,
+                      array_to_string(
+                        toks[(bid*{_BLOCK_B}+1)::INT:(bid*{_BLOCK_B}+{_BLOCK_B})::INT],
+                        ' ') AS btext
+               FROM b),
+         k AS (SELECT doc_id, bid, btext,
+                      row_number() OVER (PARTITION BY btext
+                                         ORDER BY doc_id, bid) AS rn
+               FROM x),
+         agg AS (SELECT doc_id,
+                        coalesce(string_agg(btext, ' ' ORDER BY bid)
+                                   FILTER (WHERE rn = 1), '') AS text_clean,
+                        count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+                        count(*)::BIGINT AS n_blocks
+                 FROM k GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(a.n_blocks, 0)::BIGINT AS n_blocks
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-block dedup (block-quantized ExactSubstr): every
+    8-token block occurring more than once corpus-wide survives only at
+    its first (doc_id, block) occurrence; docs reassembled from
+    surviving blocks. Two hash shuffles, min(struct) first-occurrence —
+    no window over the block table, no suffix structure."""
+    from featureform_spark.functions.dedup import dedup_blocks
+
+    return dedup_blocks(
+        load_table(spark, sf_dir, "documents"), block_tokens=_BLOCK_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup vs a signature store
+# ---------------------------------------------------------------------------
+
+
+def _incremental_dedup_oracle() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_exprs = []
+    for b in range(_BANDS):
+        parts = " || '|' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_exprs.append(f"'{b}:' || md5({parts})")
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS (SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bucket FROM sig),
+    hits AS (
+      SELECT DISTINCT n.doc_id
+      FROM buckets n JOIN buckets o ON n.bucket = o.bucket
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+    SELECT d.doc_id,
+           (CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    """
+
+
+@query("incremental_dedup", _incremental_dedup_oracle())
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup flagging: docs with doc_id % 5 == 0
+    arrive as a new batch and are flagged against the band buckets of
+    the already-accepted corpus (the rest). One explode over the batch
+    + one bucket semi-join against the store — the corpus text is never
+    rescanned, which is the property that matters at 100 TB."""
+    from featureform_spark.functions.dedup import (
+        incremental_lsh_flags,
+        lsh_band_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    accepted = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_lsh_flags(batch, lsh_band_buckets(accepted))

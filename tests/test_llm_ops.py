@@ -141,3 +141,35 @@ def test_language_id_markers(spark):
     )
     out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
     assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+
+def test_dedup_blocks_first_occurrence_wins(spark):
+    from featureform_spark.functions.dedup import dedup_blocks
+
+    rows = [
+        (1, "a b c d"),       # block "a b" and "c d" (B=2)
+        (2, "a b x y"),       # "a b" duplicates doc 1 -> dropped
+        (3, "c d c d"),       # within-doc repeat: second "c d" dropped too
+        (4, ""),              # empty doc keeps its row
+        (5, "a b"),           # fully duplicated -> text_clean == ""
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_blocks"])
+        for r in dedup_blocks(df, block_tokens=2).collect()
+    }
+    assert out[1] == ("a b c d", 2, 2)
+    assert out[2] == ("x y", 1, 2)
+    assert out[3] == ("", 0, 2)        # both "c d" blocks lose to doc 1
+    assert out[4] == ("", 0, 0)
+    assert out[5] == ("", 0, 1)
+
+
+def test_dedup_blocks_partial_tail_block(spark):
+    from featureform_spark.functions.dedup import dedup_blocks
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    row = dedup_blocks(df, block_tokens=2).first()
+    assert row["n_blocks"] == 2 and row["text_clean"] == "a b c"
+    with pytest.raises(ValueError):
+        dedup_blocks(df, block_tokens=0)
