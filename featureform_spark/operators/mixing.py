@@ -146,3 +146,36 @@ def upsample_epochs(
         .withColumn(epoch_col, F.explode("__reps"))
         .drop("__reps")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    key_cols: list[str],
+    seed: int = 42,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Importance sampling by a per-row quality score: row ``i`` is kept
+    with probability ``clamp(score_i * scale, 0, 1)`` — the
+    quality-weighted data-selection step of LLM pipelines (public
+    DSIR / quality-classifier-resampling recipes), where high-quality
+    documents are retained and low-quality ones are thinned rather than
+    hard-filtered.
+
+    Deterministic per (key, seed): the Bernoulli draw is
+    ``md5_u32(key) < floor(p * 2^32)``, a pure function any engine
+    reproduces bit-exactly when ``score_col`` itself is bit-exact
+    (IEEE multiply + floor). ``scale`` rescales scores (e.g. 2.0 keeps
+    everything above 0.5 surely, thins below proportionally).
+
+    Scale shape: a scan + filter — zero shuffles, zero driver state;
+    composes with any upstream score (text_stats quality_score, a
+    classifier margin, a perplexity bucket).
+    """
+    p = F.least(
+        F.greatest(F.col(score_col) * F.lit(float(scale)), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    thr = F.floor(p * F.lit(4294967296.0)).cast("long")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(md5_u32(key, seed) < thr)

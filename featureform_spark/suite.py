@@ -1104,10 +1104,10 @@ PRIORITY: tuple[str, ...] = (
     "transformation_chained",
     "transformation_df_fn",
     "pricing_summary",
-    "rollup_order_totals",
-    "quantity_percentiles",
+    "dedup_blocks",
+    "incremental_dedup",
     "rolling_user_spend",
-    "revenue_per_nation",
+    "quality_sample",
     "asof_tolerance",
     "sessionize",
     "range_join_orders",

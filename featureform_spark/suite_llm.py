@@ -1344,3 +1344,41 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return incremental_lsh_flags(batch, lsh_band_buckets(accepted))
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+_QS_SCALE = 1.2
+
+
+@query(
+    "quality_sample",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id,
+                      least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+                        + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 0.4
+                        + (len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS)})))::DOUBLE
+                           / len(toks)::DOUBLE) * 0.2 AS quality_score
+               FROM t)
+    SELECT doc_id, quality_score
+    FROM s
+    WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8)) AS BIGINT)
+          < floor(least(greatest(quality_score * {_QS_SCALE}, 0.0), 1.0)
+                  * 4294967296.0)::BIGINT
+    """,
+)
+def quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (public DSIR-style data
+    selection): keep probability = clamp(quality_score * 1.2, 0, 1) via
+    a deterministic md5 Bernoulli draw — scan + filter, zero shuffles,
+    composes with any upstream score."""
+    from featureform_spark.functions.text import text_stats
+    from featureform_spark.operators.mixing import quality_weighted_sample
+
+    scored = text_stats(load_table(spark, sf_dir, "documents"))
+    return quality_weighted_sample(
+        scored, "quality_score", ["doc_id"], scale=_QS_SCALE
+    ).select("doc_id", "quality_score")

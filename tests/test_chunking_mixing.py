@@ -178,3 +178,22 @@ def test_upsample_validation_and_plan(spark):
         upsample_epochs(df, "source", {"a": -1.0}, ["doc_id"])
     plan = plan_of(upsample_epochs(df, "source", {"a": 2.0}, ["doc_id"]))
     assert shuffle_exchanges(plan) == 0
+
+
+def test_quality_weighted_sample_props(spark):
+    from featureform_spark.operators.mixing import quality_weighted_sample
+
+    rows = [(i, 1.0 if i < 50 else (0.0 if i < 100 else 0.5)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "q"])
+    kept = quality_weighted_sample(df, "q", ["id"]).select("id").collect()
+    ids = {r["id"] for r in kept}
+    assert all(i in ids for i in range(50))          # p=1 -> always kept
+    assert all(i not in ids for i in range(50, 100))  # p=0 -> always dropped
+    mid = sum(1 for i in ids if i >= 100)
+    assert 25 <= mid <= 75                            # p=0.5 on 100 rows
+    # deterministic under re-evaluation
+    again = {r["id"] for r in quality_weighted_sample(df, "q", ["id"]).select("id").collect()}
+    assert ids == again
+    # scale=2 keeps everything at q >= 0.5 surely
+    scaled = {r["id"] for r in quality_weighted_sample(df, "q", ["id"], scale=2.0).select("id").collect()}
+    assert all(i in scaled for i in list(range(50)) + list(range(100, 200)))
