@@ -108,3 +108,60 @@ class SignatureStore:
                 },
             )
         return flags
+
+
+class ContinuousDedup:
+    """End-to-end continuous dedup: a deltalite documents table is the
+    ingest feed; each ``refresh()`` reads ONLY the rows committed since
+    the last processed version (the reference's CDF incremental
+    contract — gate, overwrite rejection, version cursor — via
+    ``incremental_records``) and runs them through the
+    :class:`SignatureStore` flag/ingest lifecycle.
+
+    Output of each refresh: ``[id_col, is_dup]`` for the batch. The
+    version cursor persists next to the store so re-runs resume; the
+    at-least-once caveat of the CDF path applies (a crash between
+    flagging and cursor write reprocesses the batch — idempotent here,
+    because a reprocessed clean doc collides only with its own buckets).
+    """
+
+    def __init__(self, source_table, store: SignatureStore, work_dir: str):
+        from pathlib import Path
+
+        self.source = source_table
+        self.store = store
+        self.work = Path(work_dir)
+        self.work.mkdir(parents=True, exist_ok=True)
+        self._cursor_file = self.work / "dedup_cursor.json"
+
+    def _cursor(self) -> int:
+        import json
+
+        if self._cursor_file.exists():
+            return json.loads(self._cursor_file.read_text())["last_version"]
+        return -1
+
+    def refresh(self) -> DataFrame | None:
+        """Flag+ingest rows committed since the cursor; None when
+        caught up."""
+        import json
+
+        from featureform_spark.sources.deltalite import (
+            DeltaliteError,
+            incremental_records,
+        )
+
+        last = self._cursor()
+        latest = self.source.latest_version()
+        if latest <= last:
+            return None
+        try:
+            changes = incremental_records(self.source, last)
+        except DeltaliteError as e:
+            if "no new" in str(e).lower():
+                return None
+            raise
+        batch = changes.drop("_change_type", "_commit_version")
+        flags = self.store.ingest(batch)
+        self._cursor_file.write_text(json.dumps({"last_version": latest}))
+        return flags

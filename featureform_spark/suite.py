@@ -1083,6 +1083,26 @@ def window_agg_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_profile")  # rows-only: sketch internals aren't SQL-replicable
+def sketch_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate profiling sketches per event type — the dashboard/
+    data-quality pass a 100 TB pipeline runs where exact distincts and
+    percentiles would shuffle every value: HyperLogLog++ distinct users
+    (`approx_count_distinct`, rsd 2%) and a KLL/GK quantile sketch
+    (`percentile_approx`, accuracy 10k) both partial-aggregate — only
+    fixed-size sketch buffers cross the wire, never values. Error
+    bounds vs exact are asserted in tests/test_sketches.py; no SQL
+    oracle because sketch estimates are implementation-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx(
+            "value", [0.5, 0.9, 0.99], 10_000
+        ).alias("value_quantiles"),
+    )
+
+
 # The driver's correctness harness caps oracle checks at the FIRST 50
 # entries of queries(); order one representative per operator family
 # (SURVEY.md §2 + §8.10) ahead of its variants so every family gets a

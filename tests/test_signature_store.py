@@ -67,3 +67,31 @@ def test_flag_persists_across_reopen(spark, tmp_path):
         ).collect()
     }
     assert flags == {9: 1, 10: 0}
+
+
+def test_continuous_dedup_cdf_pipeline(spark, tmp_path):
+    from featureform_spark.sources.deltalite import DeltaliteTable
+    from featureform_spark.streaming.signature_store import ContinuousDedup
+
+    feed = DeltaliteTable(spark, str(tmp_path / "docs"))
+    feed.create(
+        spark.createDataFrame([(1, DOC_A), (2, DOC_C)], ["doc_id", "text"]),
+        properties={"enableChangeDataFeed": "true"},
+    )
+    cd = ContinuousDedup(
+        feed, _store(spark, tmp_path), str(tmp_path / "work")
+    )
+
+    f1 = {r["doc_id"]: r["is_dup"] for r in cd.refresh().collect()}
+    assert f1 == {1: 0, 2: 0}
+    assert cd.refresh() is None  # caught up
+
+    feed.append(spark.createDataFrame([(3, DOC_B), (4, DOC_D)], ["doc_id", "text"]))
+    f2 = {r["doc_id"]: r["is_dup"] for r in cd.refresh().collect()}
+    assert f2 == {3: 1, 4: 0}  # only the NEW batch is processed
+
+    # cursor survives a reopen
+    cd2 = ContinuousDedup(
+        feed, _store(spark, tmp_path), str(tmp_path / "work")
+    )
+    assert cd2.refresh() is None
