@@ -179,3 +179,41 @@ def quality_weighted_sample(
     thr = F.floor(p * F.lit(4294967296.0)).cast("long")
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     return df.filter(md5_u32(key, seed) < thr)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``min(k, group size)`` rows per group, chosen by a
+    deterministic hash ranking — balanced eval subsets, per-domain
+    audits, "k docs per source" style selections where Bernoulli
+    sampling's variance is unacceptable.
+
+    Rows rank within their group by ``(md5_u32(key), key)`` (the key
+    tiebreak makes hash collisions deterministic too), so the selection
+    is a pure function of (group, key, seed): stable under
+    re-partitioning, re-runs, and engines.
+
+    Scale shape: one shuffle on ``group_col``; the per-group window sort
+    is the k-selection. Groups here are domains/sources (thousands at
+    most), so per-group volume — not group count — bounds the sort; for
+    a pathologically hot group pre-filter with
+    ``quality_weighted_sample`` to ~k·10 candidates first.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(group_col).orderBy(
+        md5_u32(key, seed).asc(), key.asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

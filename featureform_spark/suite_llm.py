@@ -1382,3 +1382,28 @@ def quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_weighted_sample(
         scored, "quality_score", ["doc_id"], scale=_QS_SCALE
     ).select("doc_id", "quality_score")
+
+
+@query(
+    "sample_k_per_source",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8))
+                             AS BIGINT),
+                        doc_id::VARCHAR) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 15
+    """,
+)
+def sample_k_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 15 docs per source by deterministic hash ranking —
+    balanced per-domain selection with zero sampling variance; one
+    shuffle on source."""
+    from featureform_spark.operators.mixing import sample_k_per_group
+
+    return sample_k_per_group(
+        load_table(spark, sf_dir, "documents"), "source", 15, ["doc_id"]
+    ).select("doc_id", "source")

@@ -197,3 +197,21 @@ def test_quality_weighted_sample_props(spark):
     # scale=2 keeps everything at q >= 0.5 surely
     scaled = {r["id"] for r in quality_weighted_sample(df, "q", ["id"], scale=2.0).select("id").collect()}
     assert all(i in scaled for i in list(range(50)) + list(range(100, 200)))
+
+
+def test_sample_k_per_group_exact_counts(spark):
+    from featureform_spark.operators.mixing import sample_k_per_group
+
+    rows = [(i, "big" if i < 100 else "small") for i in range(110)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = sample_k_per_group(df, "grp", 20, ["id"])
+    sizes = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 20, "small": 10}  # min(k, group size)
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in sample_k_per_group(df, "grp", 20, ["id"]).collect()}
+    assert a == b  # deterministic
+    c = {r["id"] for r in sample_k_per_group(df, "grp", 20, ["id"], seed=7).collect()}
+    assert a != c  # seed changes the selection
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sample_k_per_group(df, "grp", 0, ["id"])
