@@ -1,0 +1,205 @@
+"""Distributed k-means (Lloyd) and SemDeDup semantic deduplication.
+
+The IVF coarse quantizer in ``similarity.py`` stops at the sampled-seed
+init; this module adds the Lloyd refinement loop and the
+cluster-then-dedup pattern (SemDeDup, Abbas et al. 2023) built on it —
+the standard way to semantically deduplicate an embedding corpus at
+scale: cluster once (cheap, k centroids broadcast), then compare pairs
+only *within* a cluster, never across the whole corpus.
+
+Everything is deterministic and engine-portable:
+
+- init picks the ``k`` corpus vectors with the smallest ``md5(id)`` —
+  a reproducible uniform sample, no RNG (same trick as
+  ``ivf_centroids``);
+- assignment is a broadcast of ONE packed centroid row + a pure
+  ``array_max`` argmax expression — zero exchange per iteration beyond
+  the tiny centroid aggregation (same shape as ``ivf_assign``);
+- refined centroids are per-dimension means **rounded to 6 decimals**,
+  which pins the floating point across engines: Spark's and DuckDB's
+  AVG may sum in different orders, and rounding collapses the ulp-level
+  drift before it can flip a downstream argmax;
+- cosine scores reuse the sequential-fold ``dot_expr`` so Spark and the
+  DuckDB oracle produce bit-identical similarity values.
+
+Scale notes (100 TB): each Lloyd iteration is one corpus scan + one
+groupBy(cluster) with ``dim`` partially-aggregated AVG columns
+(map-side combine, only k×dim doubles cross the wire) + one broadcast.
+The corpus is never self-joined; SemDeDup's pairwise stage is bounded
+by the largest cluster, which the caller controls via ``k``.
+
+Reference parity: the reference has no clustering operator — this is
+part of the beyond-reference LLM-pipeline surface (SURVEY.md §8.10);
+its vector serving (provider/redis.go:454-508) only does point KNN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.similarity import (
+    _as_double,
+    dot_expr,
+    norm_expr,
+)
+
+
+def kmeans_init(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed centroids: the ``k`` vectors with the smallest
+    ``md5(id)`` (uniform, engine-reproducible). Output ``(cid, cv)``
+    where ``cid`` is the seed row's numeric id."""
+    h = F.md5(F.col(id_col).cast("string"))
+    ids = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    return df.join(F.broadcast(ids.select(id_col)), id_col).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (spherical k-means
+    assignment). One broadcast of a single packed row; the per-vector
+    argmax is a pure expression — no shuffle, no per-row join.
+
+    Ties on the (rounded) cosine fall to the smallest ``cid`` via
+    struct comparison, mirroring the oracle's ``ORDER BY score DESC,
+    cid`` tie-break. Output: ``(id, _v, cluster)``.
+    """
+    packed = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    dot_expr(F.col("_v"), c["cv"])
+                    / (F.col("_nv") * norm_expr(c["cv"]))
+                ).alias("s"),
+                (-c["cid"].cast("double")).alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_nv", norm_expr(F.col("_v")))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.col("_nv"),
+            best["cid"].alias("cluster"),
+        )
+    )
+
+
+def refine_centroids(
+    assigned: DataFrame, dim: int, round_digits: int = 6
+) -> DataFrame:
+    """One Lloyd update: new centroid = per-dimension mean of the
+    cluster's members, rounded to pin cross-engine floats.
+
+    ``dim`` AVG aggregates over one groupBy — map-side partial
+    aggregation means only ``k × dim`` doubles ever cross the shuffle,
+    regardless of corpus size. Clusters that lose every member simply
+    drop out (standard Lloyd behavior with hard assignment).
+    """
+    avgs = [
+        F.round(F.avg(F.col("_v")[i]), round_digits).alias(f"_d{i}")
+        for i in range(dim)
+    ]
+    return (
+        assigned.groupBy(F.col("cluster").alias("cid"))
+        .agg(*avgs)
+        .select(
+            "cid", F.array(*[F.col(f"_d{i}") for i in range(dim)]).alias("cv")
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's algorithm: md5-seeded init + ``iters`` refinement rounds.
+
+    Returns the final assignment ``(id, _v, cluster)``. Cost per round:
+    one scan + one k-row groupBy + one broadcast; the lineage stays a
+    flat chain (each round's centroid table is tiny), so no checkpoint
+    is needed for small ``iters``.
+    """
+    cents = kmeans_init(df, k, id_col, vec_col)
+    assigned = kmeans_assign(df, cents, id_col, vec_col)
+    for _ in range(iters):
+        cents = refine_centroids(assigned, dim)
+        assigned = kmeans_assign(df, cents, id_col, vec_col)
+    return assigned
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    threshold: float,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means the embeddings, then inside each cluster drop
+    every vector that has a higher-priority (smaller-id) near-duplicate
+    at cosine ≥ ``threshold``. Survivors keep their cluster label.
+
+    The pairwise stage joins the corpus to itself ONLY on the cluster
+    key — candidate volume is Σ|cluster|², bounded by the caller's
+    choice of ``k``, never |corpus|². The keep rule is the greedy
+    min-id rule (drop b iff ∃ a<b in the same cluster with cos≥τ):
+    single anti-join, no iteration — the transitive-closure variant
+    lives in ``dedup.dedup_keep_canonical`` for when cluster-chains
+    matter. Output: ``(id, cluster)`` of survivors.
+    """
+    assigned = kmeans_fit(df, k, dim, iters, id_col, vec_col)
+    left = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_nv").alias("_na"),
+    )
+    right = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_nv").alias("_nb"),
+    )
+    dropped = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot_expr(F.col("_va"), F.col("_vb"))
+            / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        F.col(id_col), F.col("cluster")
+    )

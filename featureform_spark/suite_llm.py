@@ -1407,3 +1407,95 @@ def sample_k_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_k_per_group(
         load_table(spark, sf_dir, "documents"), "source", 15, ["doc_id"]
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering + SemDeDup (functions/clustering.py)
+# ---------------------------------------------------------------------------
+
+_KM_COS_VC = (
+    _DOT.format(n=_DIM + 1, a="e.v", b="c.cv")
+    + " / (" + _NORM.format(a="e.v") + " * " + _NORM.format(a="c.cv") + ")"
+)
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """WITH-clause chain replicating kmeans_fit: md5-seeded init (a0),
+    then ``iters`` rounds of (rounded per-dim AVG centroids -> argmax
+    re-assignment). Ends at a{iters} = (vec_id, v, cluster)."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
+    ]
+    for r in range(iters + 1):
+        if r > 0:
+            parts.append(
+                f"c{r} AS (SELECT cluster AS cid, list(av ORDER BY ord) AS cv"
+                f" FROM (SELECT cluster, i AS ord, round(avg(v[i]), 6) AS av"
+                f" FROM a{r - 1}, range(1, {_DIM + 1}) t(i)"
+                f" GROUP BY cluster, i) GROUP BY cluster)"
+            )
+        parts.append(
+            f"a{r} AS (SELECT vec_id, v, cid AS cluster FROM ("
+            f" SELECT e.vec_id, e.v, c.cid,"
+            f" row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {_KM_COS_VC} DESC, c.cid) AS rn"
+            f" FROM e, c{r} c) WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    return f"""
+    {_kmeans_ctes(k, iters)}
+    SELECT vec_id, cluster FROM a{iters}
+    """
+
+
+@query("kmeans_clusters", _kmeans_oracle())
+def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (spherical assignment): md5-seeded init,
+    2 refinement rounds. Per round: one scan, one k-row groupBy with
+    dim partial-agg AVGs, one single-row broadcast — the corpus never
+    shuffles on anything but the k-row centroid key. Centroids rounded
+    to 6 decimals to pin cross-engine floats."""
+    from featureform_spark.functions.clustering import kmeans_fit
+
+    return kmeans_fit(
+        load_table(spark, sf_dir, "embeddings"), k=8, dim=_DIM, iters=2
+    ).select("vec_id", "cluster")
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 2, threshold: float = 0.4
+) -> str:
+    cos_ab = (
+        _DOT.format(n=_DIM + 1, a="a.v", b="b.v")
+        + " / (" + _NORM.format(a="a.v") + " * " + _NORM.format(a="b.v") + ")"
+    )
+    return f"""
+    {_kmeans_ctes(k, iters)},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a{iters} a JOIN a{iters} b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {threshold})
+    SELECT vec_id, cluster FROM a{iters}
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings, drop within-cluster near-dups
+    (cos >= 0.4, greedy min-id keep). The pairwise join runs ONLY on
+    the cluster key, so candidate volume is bounded by cluster sizes,
+    never corpus^2."""
+    from featureform_spark.functions.clustering import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        k=8, dim=_DIM, threshold=0.4, iters=2,
+    )
