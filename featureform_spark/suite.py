@@ -860,6 +860,56 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_agg",
+    """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation — Spark's built-in merging
+    session operator (the batch twin of the streaming stateful session
+    path in ``streaming/stateful.py``). One shuffle on the group key;
+    sessions merge while the gap is <= 30 min, and ``end`` is
+    last-event-ts + gap. The oracle replicates the merge rule with a
+    lag/running-sum window, which is exactly what ``session_window``
+    computes internally (semantics pinned by the boundary probe in
+    tests/test_asof.py::test_session_window_matches_sessionize)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "event_type_pivot",
     """
     SELECT user_id AS entity,
@@ -1114,7 +1164,6 @@ PRIORITY: tuple[str, ...] = (
     "materialize_no_ts",
     "segment_iteration",
     "training_set_pit",
-    "training_set_pit_skew_bucketed",
     "training_set_lag",
     "training_set_label_no_ts",
     "training_set_feature_no_ts",
@@ -1133,7 +1182,6 @@ PRIORITY: tuple[str, ...] = (
     "range_join_orders",
     "wide_merge_upsert",
     "delta_time_travel",
-    "delta_zone_prune",
     "delta_cdf_incremental",
     "text_stats",
     "lang_id",
@@ -1156,10 +1204,12 @@ PRIORITY: tuple[str, ...] = (
     "decontaminate",
     "sequence_packing",
     "doc_chunks",
-    "token_diversity",
     "ngram_lm_score",
     "corpus_mix",
     "dedup_keep_canonical",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "session_window_agg",
 )
 
 

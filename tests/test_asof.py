@@ -71,3 +71,38 @@ def test_sessionize_gap_semantics(spark):
     assert out[1] == out[2] == "u#1"
     assert out[3] == "u#2"
     assert out[4] == "v#1"
+
+
+def test_session_window_matches_sessionize():
+    """Pin the native session_window boundary rule to sessionize's:
+    an event at exactly prev_ts + gap MERGES (new session only when the
+    gap is strictly exceeded), and window end = last_ts + gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from featureform_spark.session import get_spark
+
+    spark = get_spark("featureform_spark_tests", shuffle_partitions=4)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (2, base + dt.timedelta(minutes=30)),        # exactly gap → merges
+        (3, base + dt.timedelta(minutes=60, seconds=1)),  # > gap → new
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("session_window.start")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [2, 1]
+    assert out[0]["session_window"]["end"] == base + dt.timedelta(minutes=60)
+    # same grouping as the gap-arithmetic sessionize operator
+    sess = sessionize(
+        df.withColumn("user", F.lit("u")), "user", "ts", 1800,
+        order_col="event_id",
+    ).collect()
+    by_id = {r["event_id"]: r["session_id"] for r in sess}
+    assert by_id[1] == by_id[2] and by_id[3] != by_id[1]
