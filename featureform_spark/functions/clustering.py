@@ -143,14 +143,16 @@ def kmeans_fit(
     """Lloyd's algorithm: md5-seeded init + ``iters`` refinement rounds.
 
     Returns the final assignment ``(id, _v, cluster)``. Cost per round:
-    one scan + one k-row groupBy + one broadcast; the lineage stays a
-    flat chain (each round's centroid table is tiny), so no checkpoint
-    is needed for small ``iters``.
+    one scan + one k-row groupBy + one broadcast. Each round's centroid
+    table (k rows) is lazily ``localCheckpoint``-ed so round r+1's plan
+    starts from a flat k-row parent instead of re-nesting every prior
+    round — without it the plan (and the recompute on any reuse) grows
+    O(iters²) in scans.
     """
     cents = kmeans_init(df, k, id_col, vec_col)
     assigned = kmeans_assign(df, cents, id_col, vec_col)
     for _ in range(iters):
-        cents = refine_centroids(assigned, dim)
+        cents = refine_centroids(assigned, dim).localCheckpoint(eager=False)
         assigned = kmeans_assign(df, cents, id_col, vec_col)
     return assigned
 
@@ -176,7 +178,12 @@ def semantic_dedup(
     lives in ``dedup.dedup_keep_canonical`` for when cluster-chains
     matter. Output: ``(id, cluster)`` of survivors.
     """
-    assigned = kmeans_fit(df, k, dim, iters, id_col, vec_col)
+    # materialize the assignment once: the pairwise stage reads it twice
+    # (both join sides) and the final anti-join a third time — lazy
+    # checkpoint turns three recomputes of the Lloyd chain into one
+    assigned = kmeans_fit(df, k, dim, iters, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     left = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
