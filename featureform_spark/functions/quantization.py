@@ -1,0 +1,229 @@
+"""Product Quantization (PQ) for embedding columns.
+
+The memory-bound path for ANN at 100 TB: instead of scanning 256 B+ of
+floats per vector, train per-subspace codebooks once, encode every
+vector as ``m`` small integer codes (here 8 bytes), and answer queries
+by scanning only the codes with an asymmetric-distance (ADC) lookup
+table (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011). Squared-L2 throughout, as in the paper.
+
+Determinism / engine portability (same tricks as ``clustering.py``):
+
+- codebook init: the ``ksub`` corpus vectors with the smallest
+  ``md5(id)`` seed every subspace — no RNG;
+- one Lloyd round per subspace; refined centroids are per-dimension
+  means rounded to 6 decimals, pinning cross-engine floats;
+- every argmin ties to the smallest centroid id via struct/ORDER BY
+  comparison;
+- the ADC score is a **fixed-order fold** over subspaces (not a
+  groupBy SUM), so Spark and DuckDB add the same doubles in the same
+  order — bit-identical scores, no rounding needed.
+
+Scale design:
+
+- training shuffles the exploded (vector × subspace) table once per
+  Lloyd round on the (subspace, centroid) key — bounded output
+  (m × ksub rows); at real scale you train on a sample anyway
+  (``df.sample`` upstream, the API takes any DataFrame);
+- **encoding is zero-shuffle**: the whole m-codebook set is ONE packed
+  broadcast row and the per-vector code array is a pure nested-HOF
+  expression — the 100 TB scan never exchanges;
+- query scoring reads codes + one broadcast m×ksub lookup table and
+  ends in TakeOrderedAndProject (per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.similarity import _as_double
+
+
+def l2sq_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left-fold (deterministic
+    summation order, mirrored by the DuckDB oracle's list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(df: DataFrame, m: int, sub_dim: int, id_col: str, vec_col: str) -> DataFrame:
+    """Explode each vector into its m subvectors: (id, s, sv)."""
+    slices = F.array(
+        *[F.slice(_as_double(F.col(vec_col)), s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("s", "sv")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks: md5-seeded init + one Lloyd round.
+
+    Output ``(s, code, cv)`` with ``code`` densely renumbered 0..<count
+    within each subspace (ORDER BY seed id) — ADC tables index by it.
+    The only corpus-sized shuffle is the refine groupBy on
+    (subspace, centroid); its output is m × ksub rows.
+    """
+    sub_dim = dim // m
+    sub = _subvectors(df, m, sub_dim, id_col, vec_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    seeds = (
+        df.select(F.col(id_col), h.alias("_h")).orderBy("_h", id_col).limit(ksub)
+    )
+    c0 = sub.join(F.broadcast(seeds.select(id_col)), id_col).select(
+        F.col("s"), F.col(id_col).alias("cid"), F.col("sv").alias("cv")
+    )
+    a0 = _assign_sub(sub, c0)
+    avgs = [
+        F.round(F.avg(F.col("sv")[i]), 6).alias(f"_d{i}") for i in range(sub_dim)
+    ]
+    c1 = (
+        a0.groupBy("s", "cid")
+        .agg(*avgs)
+        .select(
+            "s",
+            "cid",
+            F.array(*[F.col(f"_d{i}") for i in range(sub_dim)]).alias("cv"),
+        )
+    )
+    # dense renumber (a seed centroid can lose every member); 128-row table
+    w = Window.partitionBy("s").orderBy("cid")
+    return c1.select(
+        "s", (F.row_number().over(w) - 1).alias("code"), "cv"
+    ).localCheckpoint(eager=False)
+
+
+def _assign_sub(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Assign each (id, s, sv) row to its min-L2 centroid of subspace s.
+    Per-subspace packed rows (m rows total) broadcast-joined on s —
+    the exploded corpus never shuffles."""
+    packed = codebook.groupBy("s").agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                l2sq_expr(F.col("sv"), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return sub.join(F.broadcast(packed), "s").select(
+        sub["*"], best["cid"].alias("cid")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as an array of m codes — ZERO shuffle.
+
+    The full codebook collapses to one packed broadcast row; the code
+    array is a nested-HOF expression (per subspace: filter the packed
+    codebook to s, argmin squared-L2 against the subvector slice).
+    Output ``(id, codes array<int>)`` — the 8-byte index record.
+    """
+    sub_dim = dim // m
+    packed = codebook.agg(
+        F.collect_list(F.struct(F.col("s"), F.col("code"), F.col("cv"))).alias(
+            "_cb"
+        )
+    )
+    v = _as_double(F.col(vec_col))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.filter(F.col("_cb"), lambda c: c["s"] == s),
+                lambda c: F.struct(
+                    l2sq_expr(
+                        F.slice(v, s * sub_dim + 1, sub_dim), c["cv"]
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"],
+    )
+    return df.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: train, encode, then score every vector as a
+    fixed-order fold over its codes against the query's m×ksub
+    distance-lookup table. Returns ``(id, adc_dist)`` ascending.
+
+    The scan side touches only (id, codes); the float math happens once
+    per (subspace, centroid) in the tiny broadcast table — this is the
+    plan shape that survives a 100 TB corpus.
+    """
+    sub_dim = dim // m
+    codebook = pq_train(df, dim, m, ksub, id_col, vec_col)
+    encoded = pq_encode(df, codebook, dim, m, id_col, vec_col)
+    q = df.filter(F.col(id_col) == query_id).select(
+        _as_double(F.col(vec_col)).alias("_q")
+    )
+    # per-subspace distance lists ordered by code, then a list of lists
+    # ordered by s — ragged-safe positional lookup dtab[s][code]
+    dt = codebook.crossJoin(F.broadcast(q)).select(
+        "s",
+        "code",
+        l2sq_expr(
+            F.col("cv"),
+            F.slice(F.col("_q"), F.col("s") * sub_dim + 1, sub_dim),
+        ).alias("d"),
+    )
+    dtab = (
+        dt.groupBy("s")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("code", "d"))),
+                lambda x: x["d"],
+            ).alias("ds")
+        )
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "ds"))),
+                lambda x: x["ds"],
+            ).alias("_dtab")
+        )
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_dtab"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = encoded.crossJoin(F.broadcast(dtab)).select(
+        F.col(id_col), score.alias("adc_dist")
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

@@ -1185,7 +1185,6 @@ PRIORITY: tuple[str, ...] = (
     "delta_cdf_incremental",
     "text_stats",
     "lang_id",
-    "doc_fingerprint",
     "dedup_exact",
     "minhash_lsh_dedup",
     "simhash_dedup",
@@ -1210,6 +1209,7 @@ PRIORITY: tuple[str, ...] = (
     "kmeans_clusters",
     "semantic_dedup",
     "session_window_agg",
+    "pq_ann_topk",
 )
 
 

@@ -1499,3 +1499,77 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         k=8, dim=_DIM, threshold=0.4, iters=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization ANN (functions/quantization.py)
+# ---------------------------------------------------------------------------
+
+_L2 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+)
+
+
+def _pq_oracle(m: int = 8, ksub: int = 16, k: int = 10) -> str:
+    sd = _DIM // m
+    l2_a0 = _L2.format(n=sd + 1, a="sub.sv", b="c.cv")
+    l2_asg = _L2.format(n=sd + 1, a="sub.sv", b="cb.cv")
+    l2_dt = _L2.format(n=sd + 1, a="cb.cv", b="q.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    sub AS (SELECT vec_id, s, v[(s*{sd}+1):(s*{sd}+{sd})] AS sv
+            FROM e, range(0, {m}) t(s)),
+    seeds AS (SELECT vec_id FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub}),
+    c0 AS (SELECT sub.s, sub.vec_id AS cid, sub.sv AS cv
+           FROM sub JOIN seeds USING (vec_id)),
+    a0 AS (SELECT vec_id, s, sv, cid FROM (
+             SELECT sub.vec_id, sub.s, sub.sv, c.cid,
+                    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                       ORDER BY {l2_a0} ASC, c.cid) AS rn
+             FROM sub JOIN c0 c ON sub.s = c.s) WHERE rn = 1),
+    c1 AS (SELECT s, cid, list(av ORDER BY ord) AS cv FROM (
+             SELECT s, cid, i AS ord, round(avg(sv[i]), 6) AS av
+             FROM a0, range(1, {sd + 1}) t(i) GROUP BY s, cid, i)
+           GROUP BY s, cid),
+    cb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY cid) - 1 AS code, cv
+           FROM c1),
+    asg AS (SELECT vec_id, s, code FROM (
+              SELECT sub.vec_id, sub.s, cb.code,
+                     row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                        ORDER BY {l2_asg} ASC, cb.code) AS rn
+              FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+    codes AS (SELECT vec_id, list(code ORDER BY s) AS codes
+              FROM asg GROUP BY vec_id),
+    q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+    dt AS (SELECT cb.s, cb.code, {l2_dt} AS d
+           FROM cb JOIN q ON cb.s = q.s),
+    dtab AS (SELECT list(ds ORDER BY s) AS t FROM (
+               SELECT s, list(d ORDER BY code) AS ds FROM dt GROUP BY s) g),
+    scored AS (SELECT vec_id,
+                      list_reduce(list_prepend(0.0,
+                        list_transform(range(0, {m}),
+                                       s -> t[s+1][codes[s+1]+1])),
+                        (acc, x) -> acc + x) AS adc_dist
+               FROM codes, dtab)
+    SELECT vec_id, adc_dist FROM scored
+    ORDER BY adc_dist ASC, vec_id LIMIT {k}
+    """
+
+
+@query("pq_ann_topk", _pq_oracle())
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ADC top-k: md5-seeded one-round-Lloyd
+    codebooks per subspace, ZERO-shuffle encode (one packed broadcast
+    row + nested-HOF argmin), fixed-order fold over the m×ksub
+    distance table (bit-identical cross-engine, no groupBy sum). The
+    scan side touches 8 bytes of codes per vector — the memory-bound
+    ANN path at 100 TB."""
+    from featureform_spark.functions.quantization import pq_topk
+
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, dim=_DIM, m=8, ksub=16,
+    )

@@ -1,0 +1,90 @@
+"""Product Quantization: code validity, zero-shuffle encode plan,
+ADC-vs-exact recall, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.quantization import (
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+DIM, M, KSUB = 64, 8, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from featureform_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def codebook(emb):
+    return pq_train(emb, dim=DIM, m=M, ksub=KSUB)
+
+
+def test_codebook_shape(codebook):
+    rows = codebook.collect()
+    assert len(rows) <= M * KSUB
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r.s, []).append(r.code)
+        assert len(r.cv) == DIM // M
+    assert set(by_s) == set(range(M))
+    for s, cs in by_s.items():
+        assert sorted(cs) == list(range(len(cs)))  # dense 0..n-1
+
+
+def test_encode_is_total_and_in_range(emb, codebook):
+    enc = pq_encode(emb, codebook, dim=DIM, m=M)
+    assert enc.count() == emb.count()
+    bad = enc.filter(
+        (F.size("codes") != M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= KSUB) | c.isNull())
+    )
+    assert bad.count() == 0
+
+
+def test_encode_plan_has_no_shuffle_of_corpus(emb, codebook):
+    enc = pq_encode(emb, codebook, dim=DIM, m=M)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must reach the project through broadcast only —
+    # no Exchange between the parquet scan and the code projection
+    assert "BroadcastNestedLoopJoin" in plan
+    scan_side = plan.split("BroadcastNestedLoopJoin")[1]
+    assert "Exchange hashpartitioning" not in scan_side.split("BroadcastExchange")[0]
+
+
+def test_adc_topk_recall_vs_exact(emb):
+    """ADC is approximate; on 64-dim data with 8x compression the true
+    nearest neighbors should still dominate the PQ top-k."""
+    from featureform_spark.functions.similarity import _as_double
+    from featureform_spark.functions.quantization import l2sq_expr
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("_q")
+    )
+    exact = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", l2sq_expr(F.col("_v"), F.col("_q")).alias("d"))
+        .orderBy(F.col("d").asc(), "vec_id")
+        .limit(20)
+    )
+    exact_ids = {r.vec_id for r in exact.collect()}
+    pq_ids = {r.vec_id for r in pq_topk(emb, 0, k=10, dim=DIM, m=M, ksub=KSUB).collect()}
+    assert 0 in pq_ids  # the query itself has ADC distance ~0
+    # chance overlap of a random 10-pick with the exact top-20 is
+    # 10*20/500 = 0.4 ids; require >= 3 (≈8x over chance) — PQ with 16
+    # codewords/subspace is coarse on near-random synthetic vectors
+    assert len(pq_ids & exact_ids) >= 3
+
+
+def test_pq_topk_deterministic(emb):
+    a = pq_topk(emb, 0, k=10, dim=DIM, m=M, ksub=KSUB).collect()
+    b = pq_topk(emb, 0, k=10, dim=DIM, m=M, ksub=KSUB).collect()
+    assert [(r.vec_id, r.adc_dist) for r in a] == [
+        (r.vec_id, r.adc_dist) for r in b
+    ]
