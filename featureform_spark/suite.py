@@ -1284,3 +1284,45 @@ def range_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("window_spend"),
         )
     )
+
+
+@query(
+    "feature_scaling",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             count(*) AS _n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS _sum,
+             SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS _sumsq,
+             MIN(CAST(value AS DECIMAL(18,4))) AS _min,
+             MAX(CAST(value AS DECIMAL(18,4))) AS _max
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE)
+              - CAST(s._sum AS DOUBLE) / CAST(s._n AS DOUBLE))
+             / sqrt(NULLIF((CAST(s._sumsq AS DOUBLE)
+                              - CAST(s._sum AS DOUBLE) * CAST(s._sum AS DOUBLE)
+                                / CAST(s._n AS DOUBLE))
+                             / NULLIF(CAST(s._n AS DOUBLE) - 1.0, 0.0), 0.0))
+             AS zscore,
+           (CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE)
+              - CAST(s._min AS DOUBLE))
+             / NULLIF(CAST(s._max AS DOUBLE) - CAST(s._min AS DOUBLE), 0.0)
+             AS minmax
+    FROM events e JOIN stats s USING (event_type)
+    """,
+)
+def feature_scaling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score + min-max scaling via one stats groupBy and a
+    broadcast join back — the fact table is never shuffled on the group
+    key (a per-group Window would sort every row). DECIMAL-exact sums;
+    double expressions mirror the oracle's shape exactly."""
+    from featureform_spark.operators.scaling import feature_scale
+
+    events = load_table(spark, sf_dir, "events")
+    return feature_scale(
+        events.select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+        id_cols=["event_id"],
+    )
