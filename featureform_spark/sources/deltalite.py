@@ -136,7 +136,9 @@ class DeltaliteTable:
         return sorted(
             f
             for f in os.listdir(self._log_path)
-            if f.endswith(".json") and f.split(".")[0].isdigit()
+            if f.endswith(".json")
+            and not f.endswith(".checkpoint.json")
+            and f.split(".")[0].isdigit()
         )
 
     def commits(self, until_version: int | None = None) -> list[Commit]:
@@ -149,6 +151,143 @@ class DeltaliteTable:
                 break
             out.append(c)
         return out
+
+    # ---------------------------------------------------- log checkpoints
+    #
+    # Delta-style checkpointing: every `deltalite.checkpoint.interval`
+    # commits (default 10) the fully-folded state (active file actions +
+    # schema + properties) is written to {version}.checkpoint.json, and
+    # every subsequent state read folds checkpoint + tail instead of the
+    # whole log — O(interval) driver work per read regardless of table
+    # age. `vacuum_log` then mirrors Delta's log retention: commit JSONs
+    # below the newest checkpoint can be deleted, with time travel and
+    # CDF below that horizon raising a clear error.
+    # (Delta: _last_checkpoint + N-commit checkpoint parquet,
+    # delta-io PROTOCOL.md "Checkpoints"; same contract, JSON-simple.)
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self._log_path):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._log_path)
+            if f.endswith(".checkpoint.json") and f.split(".")[0].isdigit()
+        )
+
+    def _log_horizon(self) -> int:
+        """First version whose commit JSON is guaranteed present."""
+        marker = os.path.join(self._log_path, "_log_horizon.json")
+        if not os.path.exists(marker):
+            return 0
+        return json.load(open(marker))["log_horizon_version"]
+
+    def checkpoint(self, version: int | None = None) -> dict:
+        """Write the folded state at ``version`` (default: latest) to
+        the log. Idempotent; atomic via tmp + os.replace."""
+        if version is None:
+            version = self.latest_version()
+        files, schema_json, props = self._fold_state(version)
+        payload = json.dumps(
+            {
+                "version": version,
+                "actions": sorted(files.values(), key=lambda a: a["file"]),
+                "schema": schema_json,
+                "properties": props,
+            },
+            sort_keys=True,
+        )
+        slot = os.path.join(self._log_path, f"{version:020d}.checkpoint.json")
+        tmp = slot + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, slot)
+        return {"version": version, "files": len(files)}
+
+    def _maybe_auto_checkpoint(self, version: int) -> None:
+        try:
+            interval = int(
+                self.properties().get("deltalite.checkpoint.interval", "10")
+            )
+        except (ValueError, DeltaliteError):
+            interval = 10
+        if interval > 0 and version > 0 and version % interval == 0:
+            try:
+                self.checkpoint(version)
+            except OSError:
+                pass  # best-effort; next interval retries
+
+    def vacuum_log(self) -> dict:
+        """Delete commit JSONs strictly below the newest checkpoint
+        (Delta log retention). State reads are unaffected (they start
+        from the checkpoint); time travel / CDF below the horizon then
+        raises instead of silently mis-folding."""
+        cps = self._checkpoint_versions()
+        if not cps:
+            return {"commits_deleted": 0, "log_horizon_version": 0}
+        horizon = cps[-1]
+        deleted = 0
+        for name in self._commit_files():
+            if int(name.split(".")[0]) < horizon:
+                os.remove(os.path.join(self._log_path, name))
+                deleted += 1
+        if deleted:
+            marker = os.path.join(self._log_path, "_log_horizon.json")
+            with open(marker, "w") as f:
+                json.dump({"log_horizon_version": horizon}, f)
+        return {"commits_deleted": deleted, "log_horizon_version": horizon}
+
+    def _fold_state(
+        self, until_version: int | None = None
+    ) -> tuple[dict[str, dict], str, dict[str, str]]:
+        """Folded (active-file actions, schema_json, properties) at a
+        version: newest checkpoint ≤ version, plus the commit tail."""
+        base_version = -1
+        files: dict[str, dict] = {}
+        schema_json = ""
+        props: dict[str, str] = {}
+        cps = [
+            v
+            for v in self._checkpoint_versions()
+            if until_version is None or v <= until_version
+        ]
+        if cps:
+            cp = json.load(
+                open(
+                    os.path.join(
+                        self._log_path, f"{cps[-1]:020d}.checkpoint.json"
+                    )
+                )
+            )
+            base_version = cp["version"]
+            files = {a["file"]: a for a in cp["actions"]}
+            schema_json = cp["schema"]
+            props = dict(cp["properties"])
+        elif (h := self._log_horizon()) > 0 and (
+            until_version is not None and until_version < h
+        ):
+            raise DeltaliteError(
+                f"version {until_version} of {self.path} is below the log "
+                f"retention horizon (version {h}); its commit metadata "
+                "was removed by vacuum_log"
+            )
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v <= base_version:
+                continue
+            if until_version is not None and v > until_version:
+                break
+            c = Commit.from_json(
+                open(os.path.join(self._log_path, name)).read()
+            )
+            for r in c.remove:
+                files.pop(r, None)
+            for a in c.add:
+                files[a["file"]] = a
+            schema_json = c.schema_json
+            props.update(c.properties)
+        if not files and not schema_json:
+            raise DeltaliteError(f"no deltalite table at {self.path}")
+        return files, schema_json, props
 
     def latest_version(self) -> int:
         files = self._commit_files()
@@ -184,39 +323,28 @@ class DeltaliteTable:
         with open(tmp, "w") as f:
             f.write(commit.to_json())
         os.replace(tmp, slot)
+        self._maybe_auto_checkpoint(commit.version)
 
     # ------------------------------------------------------------- state
 
     def _active_files(self, until_version: int | None = None) -> list[str]:
-        files: dict[str, dict] = {}
-        for c in self.commits(until_version):
-            for r in c.remove:
-                files.pop(r, None)
-            for a in c.add:
-                files[a["file"]] = a
+        files, _, _ = self._fold_state(until_version)
         return list(files)
 
     def schema(self, until_version: int | None = None) -> T.StructType:
-        cs = self.commits(until_version)
-        if not cs:
+        _, schema_json, _ = self._fold_state(until_version)
+        if not schema_json:
             raise DeltaliteError(f"no deltalite table at {self.path}")
-        return T.StructType.fromJson(json.loads(cs[-1].schema_json))
+        return T.StructType.fromJson(json.loads(schema_json))
 
     def properties(self) -> dict[str, str]:
-        props: dict[str, str] = {}
-        for c in self.commits():
-            props.update(c.properties)
+        _, _, props = self._fold_state()
         return props
 
     def row_count(self, until_version: int | None = None) -> int:
         """Log fold — no data scan (the manifest carries row counts)."""
-        files: dict[str, int] = {}
-        for c in self.commits(until_version):
-            for r in c.remove:
-                files.pop(r, None)
-            for a in c.add:
-                files[a["file"]] = a["rows"]
-        return sum(files.values())
+        files, _, _ = self._fold_state(until_version)
+        return sum(a["rows"] for a in files.values())
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Table state at ``version`` (time travel); latest if None.
@@ -233,12 +361,7 @@ class DeltaliteTable:
         return self.spark.read.schema(schema).parquet(*paths)
 
     def _active_actions(self, until_version: int | None = None) -> list[dict]:
-        files: dict[str, dict] = {}
-        for c in self.commits(until_version):
-            for r in c.remove:
-                files.pop(r, None)
-            for a in c.add:
-                files[a["file"]] = a
+        files, _, _ = self._fold_state(until_version)
         return list(files.values())
 
     def snapshot_pruned(
@@ -796,6 +919,13 @@ class DeltaliteTable:
         recorded change files; overwrite raises (handled by
         ``incremental_records`` below — direct callers see changes only
         for append/merge)."""
+        horizon = self._log_horizon()
+        if starting_version < horizon:
+            raise DeltaliteError(
+                f"change feed from version {starting_version} of {self.path} "
+                f"is below the log retention horizon (version {horizon}); "
+                "the commit metadata was removed by vacuum_log"
+            )
         schema = self.schema()
         parts: list[DataFrame] = []
         for c in self.commits():
