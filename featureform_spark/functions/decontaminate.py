@@ -94,19 +94,27 @@ def contamination_ngrams(
     """Audit view: the benchmark n-grams leaking into the corpus most
     often — ``[ngram, n_docs]``, top_k by document count then ngram.
 
-    Same broadcast shape as :func:`decontaminate`; the final top-k is a
-    TakeOrderedAndProject over the (small) distinct-hit-ngram set, not a
-    global sort of the corpus.
+    Unlike :func:`decontaminate` (which needs per-document ids), the
+    audit only needs per-ngram counts — so the corpus side partially
+    aggregates FIRST (map-side combine collapses duplicate grams before
+    anything shuffles or joins), and the broadcast join against the
+    benchmark set runs over the far smaller (ngram, n_docs) table. The
+    final top-k is a TakeOrderedAndProject, not a global sort. The
+    join-then-group order used previously probed every exploded corpus
+    row against the broadcast while holding wide strings — GC-unstable
+    at 10× scale (2-80s swings); this shape is flat.
     """
     grams = ngram_array(text_col, n)
     bench_grams = (
         benchmark.select(F.explode(grams).alias("ngram")).distinct()
     )
-    doc_grams = corpus.select(F.col(id_col), F.explode(grams).alias("ngram"))
-    return (
-        doc_grams.join(F.broadcast(bench_grams), "ngram")
+    gram_counts = (
+        corpus.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        gram_counts.join(F.broadcast(bench_grams), "ngram")
         .orderBy(F.desc("n_docs"), "ngram")
         .limit(top_k)
     )

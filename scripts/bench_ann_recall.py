@@ -1,0 +1,94 @@
+"""Measure recall@k of the three ANN paths (LSH bucket probe, IVF
+nprobe, PQ ADC) against exact cosine/L2 top-k, over a sample of query
+vectors. Prints one JSON line; run at any sf dir.
+
+Usage: python scripts/bench_ann_recall.py [sf_dir] [n_queries] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    from pyspark.sql import functions as F
+
+    from featureform_spark.functions.quantization import pq_topk
+    from featureform_spark.functions.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+        ivf_topk,
+    )
+    from featureform_spark.session import get_spark
+    from featureform_spark.sources.testdata import load_table
+
+    spark = get_spark("ann_recall")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    query_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
+
+    recalls = {"lsh": [], "ivf": [], "pq": []}
+    for qid in query_ids:
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        exact = {
+            r.vec_id for r in cosine_topk(emb, qvec, k=k).collect()
+        }
+        # PQ ranks by squared L2, so grade it against the exact-L2 top-k
+        from featureform_spark.functions.quantization import l2sq_expr
+        from featureform_spark.functions.similarity import _as_double
+
+        q1 = emb.filter(F.col("vec_id") == qid).select(
+            _as_double(F.col("embedding")).alias("_q")
+        )
+        exact_l2 = {
+            r.vec_id
+            for r in emb.select(
+                "vec_id", _as_double(F.col("embedding")).alias("_v")
+            )
+            .crossJoin(F.broadcast(q1))
+            .select("vec_id", l2sq_expr(F.col("_v"), F.col("_q")).alias("d"))
+            .orderBy(F.col("d").asc(), "vec_id")
+            .limit(k)
+            .collect()
+        }
+        lsh = {
+            r.vec_id
+            for r in ann_topk_lsh(emb, qvec, k=k, num_planes=8).collect()
+        }
+        ivf = {
+            r.vec_id
+            for r in ivf_topk(emb, qid, k=k, num_centroids=16, nprobe=4).collect()
+        }
+        pq = {r.vec_id for r in pq_topk(emb, qid, k=k).collect()}
+        recalls["lsh"].append(len(lsh & exact) / k)
+        recalls["ivf"].append(len(ivf & exact) / k)
+        recalls["pq"].append(len(pq & exact_l2) / k)
+
+    out = {
+        "metric": "ann_recall_at_k",
+        "k": k,
+        "n_vectors": n,
+        "n_queries": n_queries,
+        "recall": {
+            m: round(sum(v) / len(v), 3) for m, v in recalls.items()
+        },
+        "sf_dir": sf_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
