@@ -271,11 +271,17 @@ def ann_topk_lsh(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
 
-    At scale the bucket column is a partition/cluster key, so the probe
-    prunes to ~1/2^planes of the data before any scoring.
+    ``hamming_radius`` > 0 enables multi-probe LSH (Lv et al., VLDB'07):
+    also probe every bucket within that Hamming distance of the query's
+    — radius 1 turns 1 probed bucket into 1+planes, trading a linear
+    candidate increase for a large recall gain (a near neighbor that
+    falls on the wrong side of ONE hyperplane is recovered). The probe
+    set is precomputed driver-side (it depends only on the query) and
+    pushed as an IN filter, so at scale it stays a partition-prune.
     """
     dim = len(query_vec)
     buckets = hyperplane_lsh_buckets(df, dim, num_planes, id_col, vec_col)
@@ -284,7 +290,15 @@ def ann_topk_lsh(
         "1" if sum(s * x for s, x in zip(plane, query_vec)) >= 0 else "0"
         for plane in signs
     )
+    probe = {qbits}
+    for _ in range(hamming_radius):
+        probe |= {
+            b[:i] + ("0" if b[i] == "1" else "1") + b[i + 1 :]
+            for b in list(probe)
+            for i in range(num_planes)
+        }
     candidates = df.join(
-        buckets.filter(F.col("bucket") == qbits).select(id_col), id_col
+        buckets.filter(F.col("bucket").isin(sorted(probe))).select(id_col),
+        id_col,
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)

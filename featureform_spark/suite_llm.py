@@ -1573,3 +1573,37 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         query_id=0, k=10, dim=_DIM, m=8, ksub=16,
     )
+
+
+def _ann_multiprobe_oracle(num_planes: int = 8, k: int = 10, radius: int = 1) -> str:
+    dot = _DOT.format(n=_DIM + 1, a="v", b="qv")
+    nv = _NORM.format(a="v")
+    nq = _NORM.format(a="qv")
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv,
+             {_bucket_case_sql("list_transform(embedding, x -> x::DOUBLE)", num_planes)} AS qbucket
+      FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             {_bucket_case_sql("list_transform(embedding, x -> x::DOUBLE)", num_planes)} AS bucket
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, {dot} / ({nv} * {nq}) AS score
+      FROM e, q WHERE hamming(e.bucket, q.qbucket) <= {radius})
+    SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@query("embedding_ann_multiprobe", _ann_multiprobe_oracle())
+def embedding_ann_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): also probe every
+    bucket at Hamming distance 1 from the query's — 9 buckets instead
+    of 1 here, recovering neighbors that fall on the wrong side of one
+    hyperplane. The probe set is query-only metadata pushed as an IN
+    filter (partition prune at scale)."""
+    from featureform_spark.functions.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_topk_lsh(emb, qvec, k=10, num_planes=8, hamming_radius=1)

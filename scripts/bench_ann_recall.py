@@ -37,7 +37,7 @@ def main() -> None:
     n = emb.count()
     query_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
 
-    recalls = {"lsh": [], "ivf": [], "pq": []}
+    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": []}
     for qid in query_ids:
         qvec = [
             float(x)
@@ -68,12 +68,19 @@ def main() -> None:
             r.vec_id
             for r in ann_topk_lsh(emb, qvec, k=k, num_planes=8).collect()
         }
+        lsh_mp = {
+            r.vec_id
+            for r in ann_topk_lsh(
+                emb, qvec, k=k, num_planes=8, hamming_radius=1
+            ).collect()
+        }
         ivf = {
             r.vec_id
             for r in ivf_topk(emb, qid, k=k, num_centroids=16, nprobe=4).collect()
         }
         pq = {r.vec_id for r in pq_topk(emb, qid, k=k).collect()}
         recalls["lsh"].append(len(lsh & exact) / k)
+        recalls["lsh_mp1"].append(len(lsh_mp & exact) / k)
         recalls["ivf"].append(len(ivf & exact) / k)
         recalls["pq"].append(len(pq & exact_l2) / k)
 

@@ -173,3 +173,18 @@ def test_dedup_blocks_partial_tail_block(spark):
     assert row["n_blocks"] == 2 and row["text_clean"] == "a b c"
     with pytest.raises(ValueError):
         dedup_blocks(df, block_tokens=0)
+
+
+def test_multiprobe_lsh_superset_of_single_probe(spark, sf_dir):
+    from featureform_spark.functions.similarity import ann_topk_lsh
+    from featureform_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    single = ann_topk_lsh(emb, qvec, k=1000, num_planes=8)
+    multi = ann_topk_lsh(emb, qvec, k=1000, num_planes=8, hamming_radius=1)
+    s_ids = {r.vec_id for r in single.collect()}
+    m_ids = {r.vec_id for r in multi.collect()}
+    assert s_ids <= m_ids          # probe set only grows
+    assert len(m_ids) > len(s_ids)  # and actually recovers more candidates
