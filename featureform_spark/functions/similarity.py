@@ -235,9 +235,15 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` cells whose
     centroids are closest to the query, exact cosine inside them.
+
+    ``lloyd_iters`` > 0 refines the sampled coarse quantizer with that
+    many k-means rounds (``functions.clustering``) before assignment —
+    better-balanced cells, higher recall per probed cell, at one extra
+    scan + tiny groupBy per round.
 
     The scale path next to LSH (`ann_topk_lsh`): centroid assignment is
     precomputable/persistable, the probe is a broadcast semi-join on the
@@ -245,6 +251,19 @@ def ivf_topk(
     no global sort anywhere.
     """
     cents = ivf_centroids(df, num_centroids, id_col, vec_col)
+    if lloyd_iters > 0:
+        from featureform_spark.functions.clustering import (
+            kmeans_assign,
+            refine_centroids,
+        )
+
+        dim = len(df.select(vec_col).first()[0])
+        assigned_r = kmeans_assign(df, cents, id_col, vec_col)
+        for _ in range(lloyd_iters):
+            cents = refine_centroids(assigned_r, dim).localCheckpoint(
+                eager=False
+            )
+            assigned_r = kmeans_assign(df, cents, id_col, vec_col)
     assigned = ivf_assign(df, cents, id_col, vec_col)
     q = (
         df.filter(F.col(id_col) == query_id)

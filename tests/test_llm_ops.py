@@ -188,3 +188,18 @@ def test_multiprobe_lsh_superset_of_single_probe(spark, sf_dir):
     m_ids = {r.vec_id for r in multi.collect()}
     assert s_ids <= m_ids          # probe set only grows
     assert len(m_ids) > len(s_ids)  # and actually recovers more candidates
+
+
+def test_ivf_lloyd_refined_path(spark, sf_dir):
+    from featureform_spark.functions.similarity import ivf_topk
+    from featureform_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, 0, k=10, num_centroids=8, nprobe=2, lloyd_iters=1)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0  # the query itself is its own nearest
+    again = ivf_topk(emb, 0, k=10, num_centroids=8, nprobe=2, lloyd_iters=1)
+    assert [(r.vec_id, r.score) for r in again.collect()] == [
+        (r.vec_id, r.score) for r in rows
+    ]
