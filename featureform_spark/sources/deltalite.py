@@ -579,6 +579,56 @@ class DeltaliteTable:
                 v = self._next_version()  # refreshed log tail
         raise AssertionError("unreachable")
 
+    def txn_version(self, app_id: str) -> int:
+        """Highest transaction version recorded for ``app_id``
+        (Delta's SetTransaction lookup); -1 if none."""
+        return int(self.properties().get(f"txn.{app_id}", "-1"))
+
+    def append_idempotent(
+        self, df: DataFrame, app_id: str, version: int
+    ) -> int | None:
+        """Exactly-once append for replayable writers (Delta's
+        SetTransaction / `txnAppId`+`txnVersion` contract, which
+        Structured Streaming uses per foreachBatch batchId).
+
+        If ``version`` <= the last committed version for ``app_id`` the
+        append is a recorded no-op (returns None) — a replayed
+        micro-batch after a sink failure cannot double-write. The
+        (app_id, version) watermark rides the commit's properties, so
+        it is atomic with the data it covers and survives log
+        checkpointing like any other table property.
+        """
+        if version <= self.txn_version(app_id):
+            return None
+        evolved, aligned = self._evolve_schema(df)
+        v = self._next_version()
+        adds = self._write_files(aligned, v)
+        max_retries = 5
+        for attempt in range(max_retries + 1):
+            if version <= self.txn_version(app_id):
+                # lost a race against our own replay: data files are
+                # unreferenced garbage, nothing was double-committed
+                return None
+            try:
+                self._commit(
+                    Commit(
+                        version=v,
+                        operation="append",
+                        is_blind_append=True,
+                        add=adds,
+                        remove=[],
+                        schema_json=json.dumps(evolved.jsonValue()),
+                        properties={f"txn.{app_id}": str(version)},
+                        timestamp=time.time(),
+                    )
+                )
+                return v
+            except DeltaliteError:
+                if attempt == max_retries:
+                    raise
+                v = self._next_version()
+        raise AssertionError("unreachable")
+
     def overwrite(self, df: DataFrame) -> int:
         v = self._next_version()
         removed = self._active_files()

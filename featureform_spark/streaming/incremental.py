@@ -459,3 +459,38 @@ def windowed_aggregate(
             .alias("total_value")
         )
     return wm.groupBy(*keys).agg(*aggs)
+
+
+def stream_to_deltalite(
+    stream_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    checkpoint: str,
+    transform=None,
+):
+    """Exactly-once streaming sink into a deltalite table.
+
+    foreachBatch delivers each micro-batch at-least-once after failures;
+    the write goes through ``append_idempotent(app_id, batchId)``
+    (Delta's SetTransaction / txnAppId+txnVersion contract), so a
+    replayed batch is a recorded no-op and the table never double-counts
+    — end-to-end exactly-once on top of an at-least-once channel.
+    ``transform`` optionally maps each batch DataFrame before the write.
+    """
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform is not None else batch
+        table = DeltaliteTable(batch.sparkSession, table_path)
+        if not table.exists():
+            # first batch creates the table; creation + watermark must
+            # be atomic, so create empty then append idempotently
+            table.create(out.limit(0))
+        table.append_idempotent(out, app_id, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -70,3 +70,67 @@ def test_properties_and_schema_survive_checkpoint(spark, tmp_path):
     t.vacuum_log()
     assert t.properties()["deltalite.checkpoint.interval"] == "5"
     assert [f.name for f in t.schema().fields] == ["id", "v"]
+
+
+def test_idempotent_append_exactly_once(spark, tmp_path):
+    """SetTransaction contract: a replayed (app_id, version) append is a
+    no-op, including across log checkpoints."""
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(0, "seed")], "id long, v string"),
+        properties={"deltalite.checkpoint.interval": "3"},
+    )
+    batch = spark.createDataFrame([(1, "b0")], "id long, v string")
+    assert t.append_idempotent(batch, "streamA", 0) is not None
+    assert t.append_idempotent(batch, "streamA", 0) is None  # replay
+    assert t.row_count() == 2
+    # later batch goes through; stale batch after it is still rejected
+    assert t.append_idempotent(
+        spark.createDataFrame([(2, "b1")], "id long, v string"), "streamA", 1
+    ) is not None
+    assert t.append_idempotent(batch, "streamA", 0) is None
+    assert t.txn_version("streamA") == 1
+    # a different writer id has its own watermark
+    assert t.append_idempotent(batch, "streamB", 0) is not None
+    assert t.row_count() == 4
+    # watermark survives checkpoint + log vacuum (rides properties)
+    for i in range(3, 7):
+        t.append(spark.createDataFrame([(10 + i, "x")], "id long, v string"))
+    t.vacuum_log()
+    assert t.txn_version("streamA") == 1
+    assert t.append_idempotent(batch, "streamA", 1) is None
+
+
+def test_stream_to_deltalite_exactly_once(spark, tmp_path):
+    """File stream -> deltalite with SetTransaction idempotence: a
+    second run over the same source (fresh checkpoint, same app_id and
+    batch ids) must not duplicate rows."""
+    import os
+
+    from featureform_spark.streaming.incremental import stream_to_deltalite
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.parquet(str(src / "p0"))
+
+    schema = "id long, v string"
+    def run(cp):
+        stream = (
+            spark.readStream.schema(schema).parquet(str(src / "p0"))
+        )
+        q = stream_to_deltalite(
+            stream, str(tmp_path / "tbl"), "ingestA", str(tmp_path / cp)
+        )
+        q.awaitTermination(60)
+
+    run("cp1")
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "tbl"))
+    assert t.row_count() == 2
+    # replay: same source, NEW checkpoint -> same batch ids re-delivered
+    run("cp2")
+    assert t.row_count() == 2  # no double-write
+    assert t.txn_version("ingestA") == 0
