@@ -321,3 +321,59 @@ def ann_topk_lsh(
         id_col,
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def hard_negatives(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most-similar vectors with a DIFFERENT label — the pairs a
+    retrieval/embedding model most needs to learn to separate.
+
+    Candidates come from the anchor's LSH bucket only (same bucketed
+    equi-join as ``embedding_near_dup_pairs`` — never corpus²); ranking
+    is a per-anchor window over that bounded candidate set. Output:
+    ``(anchor_id, negative_id, cosine, rank)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_b", bucket_expr(F.col("_v"), dim, num_planes))
+    a = base.select(
+        F.col("_b"),
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_la"),
+        F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        F.col("_b"),
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("_lb"),
+        F.col("_v").alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )

@@ -1607,3 +1607,41 @@ def embedding_ann_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ann_topk_lsh(emb, qvec, k=10, num_planes=8, hamming_radius=1)
+
+
+def _hard_negatives_oracle(num_planes: int = 8, k: int = 3) -> str:
+    dot = _DOT.format(n=_DIM + 1, a="a.v", b="b.v")
+    na = _NORM.format(a="a.v")
+    nb = _NORM.format(a="b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bkt AS (SELECT vec_id, label, v,
+                   {_bucket_case_sql('v', num_planes)} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+             {dot} / ({na} * {nb}) AS cosine
+      FROM bkt a JOIN bkt b
+        ON a.bucket = b.bucket AND a.label <> b.label),
+    ranked AS (
+      SELECT anchor_id, negative_id, cosine,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, negative_id) AS rank
+      FROM pairs)
+    SELECT anchor_id, negative_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("hard_negatives", _hard_negatives_oracle())
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data curation: per anchor, the k most
+    similar different-label vectors from its LSH bucket — bucketed
+    equi-join candidates (never corpus^2), per-anchor window rank over
+    the bounded set."""
+    from featureform_spark.functions.similarity import hard_negatives
+
+    return hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), dim=_DIM, k=3, num_planes=8
+    )

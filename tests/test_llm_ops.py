@@ -203,3 +203,21 @@ def test_ivf_lloyd_refined_path(spark, sf_dir):
     assert [(r.vec_id, r.score) for r in again.collect()] == [
         (r.vec_id, r.score) for r in rows
     ]
+
+
+def test_hard_negatives_labels_differ_and_rank_bounded(spark, sf_dir):
+    from featureform_spark.functions.similarity import hard_negatives
+    from featureform_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, dim=64, k=3, num_planes=8).collect()
+    assert out, "bucketed candidates should yield at least some pairs"
+    per_anchor = {}
+    for r in out:
+        assert labels[r.anchor_id] != labels[r.negative_id]
+        assert 1 <= r.rank <= 3
+        per_anchor.setdefault(r.anchor_id, []).append(r)
+    for rows in per_anchor.values():
+        cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)  # rank order == similarity order
