@@ -1,7 +1,8 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, mirroring what a vector store does (the reference serves
-Nearest() via RediSearch KNN / hnswlib, provider/redis.go:454-508):
+The ANN ladder, mirroring what a vector store does (the reference
+serves Nearest() via RediSearch KNN / hnswlib,
+provider/redis.go:454-508):
 
 - **brute-force cosine top-k** — the exact baseline. The dot product is a
   sequential left-fold over doubles (``F.aggregate``), bit-identical to
@@ -9,10 +10,20 @@ Nearest() via RediSearch KNN / hnswlib, provider/redis.go:454-508):
   which Spark executes as a distributed TakeOrderedAndProject (per
   partition heap + driver merge — no global sort, no single-partition
   window).
-- **hyperplane LSH buckets** — the scale path: 16 md5-seeded random
-  hyperplanes → 16-bit bucket signature; ANN probes only the query's
-  bucket. Hyperplane signs are Python-computed md5 constants baked into
-  the plan (and into the oracle SQL) — no RNG, no cross-engine drift.
+- **hyperplane LSH buckets** — md5-seeded random hyperplanes → bit-string
+  bucket signature; ANN probes the query's bucket, optionally expanded
+  to a Hamming-radius probe set (multi-probe LSH). Hyperplane signs are
+  Python-computed md5 constants baked into the plan (and into the
+  oracle SQL) — no RNG, no cross-engine drift.
+- **IVF** — sampled coarse quantizer (optionally Lloyd-refined via
+  ``functions.clustering``), broadcast argmax assignment, nprobe-cell
+  probe.
+- **hard-negative mining** — bucketed different-label top-k pairs for
+  contrastive training-data curation.
+
+Product-Quantization ADC (8-byte codes instead of vectors on the scan
+side) lives in ``functions.quantization``; measured recall per path in
+``scripts/bench_ann_recall.py`` / SCALING.md.
 """
 
 from __future__ import annotations
