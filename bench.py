@@ -58,6 +58,19 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            # a long-lived session accumulates storage blocks from
+            # queries that localCheckpoint lineage internally (k-means
+            # rounds, CC, PQ codebooks); left in place they squeeze
+            # execution memory and the later queries in the run pay a
+            # 5-15x GC/spill tax. Drop them so every query is measured
+            # against a clean heap, same as the driver's per-query
+            # isolation.
+            spark.catalog.clearCache()
+            for rdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).values():
+                rdd.unpersist()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

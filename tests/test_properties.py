@@ -162,3 +162,72 @@ def test_exact_split_counts_and_determinism(spark):
             for r in train_test_split_exact(
                 df.repartition(13), ["id"], frac, seed=7).collect()}
     assert out2 == out
+
+
+# --------------------------------------------------------------------------
+# round-3 ops: session_window ≡ sessionize grouping; PQ partition-invariance
+# --------------------------------------------------------------------------
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # entity
+        st.integers(min_value=0, max_value=7200),         # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_event_rows)
+def test_session_window_groups_match_sessionize(spark, rows):
+    """For ANY event set, the native session_window partitions events
+    into exactly the same (entity, session) groups as the gap-arithmetic
+    sessionize operator (both use merge-while-gap<=g semantics)."""
+    from pyspark.sql import functions as F
+
+    from featureform_spark.operators.asof import sessionize
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, e, base + timedelta(seconds=s)) for i, (e, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, entity long, ts timestamp")
+    gap = 600  # 10 min
+
+    native = (
+        df.groupBy("entity", F.session_window("ts", f"{gap} seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("entity", "n")
+    )
+    native_sizes = sorted((r.entity, r.n) for r in native.collect())
+
+    ours = (
+        sessionize(df, "entity", "ts", gap, order_col="event_id")
+        .groupBy("entity", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("entity", "n")
+    )
+    ours_sizes = sorted((r.entity, r.n) for r in ours.collect())
+    assert native_sizes == ours_sizes
+
+
+def test_pq_encode_partition_invariant(spark, sf_dir):
+    """Codes must not depend on physical row layout — repartitioning the
+    corpus yields identical (id, codes)."""
+    from featureform_spark.functions.quantization import pq_encode, pq_train
+    from featureform_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, dim=64, m=8, ksub=16)
+    a = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, cb, dim=64, m=8).collect()
+    }
+    cb2 = pq_train(emb.repartition(7), dim=64, m=8, ksub=16)
+    b = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb.repartition(5), cb2, dim=64, m=8).collect()
+    }
+    assert a == b
