@@ -334,6 +334,97 @@ def ann_topk_lsh(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k per query for a batch of queries in ONE corpus scan.
+
+    The query set is broadcast (eval sets are small by construction), so
+    scoring never shuffles the corpus; the per-query rank is a window on
+    ``query_id``, which shuffles the Q×N scored rows. That makes this the
+    ground-truth/eval tool — for serving-scale batches run
+    ``ann_topk_lsh_batch`` instead, whose window only sees the bounded
+    LSH candidate set. ``exclude_self`` drops rows where the corpus id
+    equals the query id (self-matches poison retrieval ground truth).
+
+    Output: ``(query_id, id_col, score, rank)`` with rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    corpus = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("_q")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col("_v"), F.col("_q")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_topk_lsh_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k for MANY queries at once — the serving shape.
+
+    Corpus and queries get the same inline hyperplane bucket expression;
+    candidates come from ONE bucket equi-join (queries broadcast), so the
+    corpus is scanned once and never shuffled, and the per-query ranking
+    window runs over the bounded candidate set only — never Q×N. This is
+    the plan that survives 100 TB: scan + broadcast-hash-join + a window
+    whose input is proportional to bucket occupancy, not corpus size.
+
+    Output: ``(query_id, id_col, score, rank)`` with rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    corpus = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_b", bucket_expr(F.col("_v"), dim, num_planes))
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("_q")
+    ).withColumn("_b", bucket_expr(F.col("_q"), dim, num_planes))
+    cand = corpus.join(F.broadcast(q), "_b")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col("_v"), F.col("_q")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     dim: int,

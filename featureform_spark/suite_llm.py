@@ -1645,3 +1645,123 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         load_table(spark, sf_dir, "embeddings"), dim=_DIM, k=3, num_planes=8
     )
+
+
+# ---------------------------------------------------------------------------
+# batched retrieval + IR evaluation (recall@k / MRR / NDCG)
+# ---------------------------------------------------------------------------
+
+_EVAL_Q = 16  # eval queries: vec_id < 16
+_EVAL_K = 10
+
+
+def _batch_ann_sql(num_planes: int = 8, k: int = _EVAL_K) -> str:
+    """CTEs shared by the batch-ANN query and the retrieval-eval oracle:
+    e (double vectors), q (eval queries), b/qb (bucketed), retr (per-query
+    LSH top-k), exact (per-query exact top-k ground truth)."""
+    cosb = (
+        _DOT.format(n=_DIM + 1, a="b.v", b="qb.qv")
+        + " / (" + _NORM.format(a="b.v") + " * " + _NORM.format(a="qb.qv") + ")"
+    )
+    cose = (
+        _DOT.format(n=_DIM + 1, a="e.v", b="q.qv")
+        + " / (" + _NORM.format(a="e.v") + " * " + _NORM.format(a="q.qv") + ")"
+    )
+    return f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_EVAL_Q}),
+    b AS (SELECT vec_id, v, {_bucket_case_sql('v', num_planes)} AS bucket FROM e),
+    qb AS (SELECT query_id, qv, {_bucket_case_sql('qv', num_planes)} AS bucket
+           FROM q),
+    retr AS (
+      SELECT query_id, vec_id, score, rank FROM (
+        SELECT qb.query_id, b.vec_id, {cosb} AS score,
+               ROW_NUMBER() OVER (PARTITION BY qb.query_id
+                                  ORDER BY {cosb} DESC, b.vec_id) AS rank
+        FROM qb JOIN b ON qb.bucket = b.bucket AND b.vec_id <> qb.query_id)
+      WHERE rank <= {k}),
+    exact AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cose} DESC, e.vec_id) AS rank
+        FROM q, e WHERE e.vec_id <> q.query_id)
+      WHERE rank <= {k})
+    """
+
+
+@query(
+    "embedding_batch_ann",
+    f"WITH {_batch_ann_sql()} SELECT query_id, vec_id AS item_id, score, rank FROM retr",
+)
+def embedding_batch_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN — the serving shape: MANY queries resolved in ONE
+    corpus scan via a broadcast bucket equi-join; the ranking window sees
+    only the bounded candidate set (bucket occupancy), never Q x N."""
+    from featureform_spark.functions.similarity import ann_topk_lsh_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _EVAL_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_lsh_batch(
+        emb, queries, dim=_DIM, k=_EVAL_K, num_planes=8, exclude_self=True
+    ).select("query_id", F.col("vec_id").alias("item_id"), "score", "rank")
+
+
+def _retrieval_eval_oracle(k: int = _EVAL_K) -> str:
+    from featureform_spark.functions.retrieval import (
+        dcg_gain_table,
+        idcg_prefix_table,
+    )
+
+    # Python-computed literals, cast to DOUBLE[] so DuckDB's decimal
+    # literal parsing can't perturb the values — bit-identical to the
+    # F.lit doubles on the Spark side
+    gains = "[" + ", ".join(repr(g) for g in dcg_gain_table(k)) + "]::DOUBLE[]"
+    idcg = "[" + ", ".join(repr(v) for v in idcg_prefix_table(k)) + "]::DOUBLE[]"
+    return f"""
+    WITH {_batch_ann_sql(k=k)},
+    tpq AS (SELECT query_id, count(*) AS n_truth FROM exact GROUP BY query_id),
+    hits AS (SELECT r.query_id, r.rank
+             FROM retr r JOIN exact t
+               ON r.query_id = t.query_id AND r.vec_id = t.vec_id),
+    hpq AS (SELECT query_id, count(*) AS n_hits, min(rank) AS first_rank,
+                   list_reduce(
+                     list_prepend(0.0, list_transform(
+                       list_sort(list(rank)), r -> ({gains})[r])),
+                     (acc, x) -> acc + x) AS dcg
+            FROM hits GROUP BY query_id)
+    SELECT t.query_id, t.n_truth,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / least({k}, t.n_truth), 6) AS recall_at_k,
+           round(coalesce(1.0 / h.first_rank, 0.0), 6) AS mrr,
+           round(coalesce(h.dcg / ({idcg})[least({k}, t.n_truth)], 0.0), 6) AS ndcg
+    FROM tpq t LEFT JOIN hpq h USING (query_id)
+    """
+
+
+@query("retrieval_eval", _retrieval_eval_oracle())
+def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation closing the ANN loop: per-query recall@10, MRR and
+    NDCG@10 of batched LSH ANN against exact cosine ground truth. All
+    metric folds use Python-injected gain tables and rank-sorted
+    aggregation, so the doubles are bit-identical cross-engine."""
+    from featureform_spark.functions.retrieval import retrieval_metrics
+    from featureform_spark.functions.similarity import (
+        ann_topk_lsh_batch,
+        cosine_topk_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _EVAL_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk_batch(
+        emb, queries, k=_EVAL_K, exclude_self=True
+    ).select("query_id", F.col("vec_id").alias("item_id"))
+    retrieved = ann_topk_lsh_batch(
+        emb, queries, dim=_DIM, k=_EVAL_K, num_planes=8, exclude_self=True
+    ).select("query_id", F.col("vec_id").alias("item_id"), "rank")
+    return retrieval_metrics(retrieved, truth, k=_EVAL_K)
