@@ -1765,3 +1765,34 @@ def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, dim=_DIM, k=_EVAL_K, num_planes=8, exclude_self=True
     ).select("query_id", F.col("vec_id").alias("item_id"), "rank")
     return retrieval_metrics(retrieved, truth, k=_EVAL_K)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (two-pass frequent n-grams)
+# ---------------------------------------------------------------------------
+
+_HH_FRAC = 0.0002
+
+
+@query(
+    "frequent_ngrams",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    g AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+          FROM t),
+    tot AS (SELECT count(*) AS n FROM g),
+    c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram)
+    SELECT ngram, cnt FROM c, tot WHERE cnt >= ceil({_HH_FRAC}::DOUBLE * n)
+    """,
+)
+def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: EXACT corpus-wide heavy-hitter
+    trigrams via the two-pass recipe — JVM-native freqItems candidate
+    sketch (O(1/support) output regardless of corpus size) + broadcast
+    semi-join exact verify. The naive full n-gram shuffle never happens."""
+    from featureform_spark.functions.heavy_hitters import frequent_ngrams
+
+    return frequent_ngrams(
+        load_table(spark, sf_dir, "documents"), n=3, min_frac=_HH_FRAC
+    )

@@ -1,0 +1,67 @@
+"""Two-pass exact heavy hitters: guarantees, edges, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.heavy_hitters import (
+    frequent_items,
+    frequent_ngrams,
+    ngrams_expr,
+)
+
+
+def test_exact_counts_with_planted_heavy_items(spark):
+    # 300 rows of "hot" + 200 of "warm" + 500 singletons
+    rows = (
+        [("hot",)] * 300 + [("warm",)] * 200 + [(f"cold{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "item string")
+    out = {
+        r["item"]: r["cnt"]
+        for r in frequent_items(df, "item", min_frac=0.1).collect()
+    }
+    # N=1000, threshold ceil(100) -> hot and warm only, with EXACT counts
+    assert out == {"hot": 300, "warm": 200}
+
+
+def test_threshold_boundary_item_is_kept(spark):
+    # item sitting exactly on min_frac*N must be found (support < min_frac
+    # keeps the strict superset guarantee covering the boundary)
+    rows = [("edge",)] * 10 + [(f"x{i}",) for i in range(90)]
+    df = spark.createDataFrame(rows, "item string")
+    out = frequent_items(df, "item", min_frac=0.1).collect()
+    assert {r["item"] for r in out} == {"edge"}
+
+
+def test_support_must_be_below_min_frac(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        frequent_items(df, "item", min_frac=0.1, support=0.1)
+
+
+def test_ngrams_expr_short_docs_empty(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "text string"
+    )
+    from featureform_spark.functions.text import tokens_expr
+
+    rows = df.select(ngrams_expr(tokens_expr("text"), 3).alias("g")).collect()
+    assert rows[0]["g"] == ["a b c", "b c d"]
+    assert rows[1]["g"] == []  # shorter than n
+    assert rows[2]["g"] == []
+
+
+def test_plan_broadcasts_candidates(spark, sf_dir):
+    from featureform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        frequent_ngrams(docs, n=3, min_frac=0.0002)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # candidate semi-join and the total-count row are broadcast; the
+    # only shuffle left is the partial-aggregated candidate count
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
