@@ -227,3 +227,71 @@ def token_diversity(
             "top_token_ratio"
         ),
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction: adjacent-token pairs ranked by PMI lift.
+
+    lift = P(w1 w2) / (P(w1) * P(w2)) with bigram probability over the
+    bigram total and unigram probabilities over the token total — the
+    classic corpus-linguistics statistic for multi-word expressions
+    ("New York", "machine learning") and, in LLM-data work, for spotting
+    templated word pairs that survive token-level dedup.
+
+    Determinism: counts stay exact integers until ONE final double
+    expression (explicit double casts — a bigint product c_xy * N
+    overflows int64 at corpus scale and DuckDB would silently widen to
+    HUGEINT, diverging from double math); lift is rounded to 6dp.
+    Plan: two partial-aggregated groupBys (bigram + unigram), unigram
+    vocab broadcast back twice, TakeOrderedAndProject for the top-n —
+    the corpus shuffles nothing but (pair, count) partials.
+    """
+    toks = tokens_expr(text_col)
+    pairs = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            )
+        ).alias("__p")
+    ).select(F.col("__p.0").alias("w1"), F.col("__p.1").alias("w2"))
+    uni = df.select(F.explode(toks).alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("__n_uni"))
+    bi_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("__n_bi"))
+    enriched = (
+        bi_counts.filter(F.col("pair_count") >= min_count)
+        .join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w1"), F.col("__c").alias("w1_count"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w2"), F.col("__c").alias("w2_count"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    p_xy = F.col("pair_count").cast("double") / F.col("__n_bi").cast("double")
+    p_x = F.col("w1_count").cast("double") / F.col("__n_uni").cast("double")
+    p_y = F.col("w2_count").cast("double") / F.col("__n_uni").cast("double")
+    return (
+        enriched.select(
+            "w1",
+            "w2",
+            "pair_count",
+            "w1_count",
+            "w2_count",
+            F.round(p_xy / (p_x * p_y), 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+    )

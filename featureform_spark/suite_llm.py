@@ -1796,3 +1796,85 @@ def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_ngrams(
         load_table(spark, sf_dir, "documents"), n=3, min_frac=_HH_FRAC
     )
+
+
+# ---------------------------------------------------------------------------
+# collocations (PMI) + one-scan corpus report (CUBE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "collocations_pmi",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    g AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2 FROM t),
+    u AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+    nu AS (SELECT count(*) AS n_uni FROM u),
+    bc AS (SELECT w1, w2, count(*) AS pair_count FROM g GROUP BY w1, w2),
+    nb AS (SELECT count(*) AS n_bi FROM g)
+    SELECT w1, w2, pair_count, u1.c AS w1_count, u2.c AS w2_count,
+           round((pair_count::DOUBLE / n_bi::DOUBLE)
+                 / ((u1.c::DOUBLE / n_uni::DOUBLE)
+                    * (u2.c::DOUBLE / n_uni::DOUBLE)), 6) AS lift
+    FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, nu, nb
+    WHERE pair_count >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def collocations_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word-expression mining: adjacent-pair PMI lift, exact
+    integer counts until one final double expression; two partial-agg
+    groupBys + broadcast vocab joins + TakeOrderedAndProject top-n."""
+    from featureform_spark.functions.text import collocations
+
+    return collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, top_n=50
+    )
+
+
+@query(
+    "corpus_report",
+    f"""
+    WITH t AS (SELECT source, lang, length(text)::BIGINT AS n_chars,
+                      len({_TOKS})::BIGINT AS n_toks
+               FROM documents)
+    SELECT coalesce(source, '(all)') AS source,
+           coalesce(lang, '(all)') AS lang,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(n_toks)::BIGINT AS total_tokens
+    FROM t GROUP BY CUBE(source, lang)
+    """,
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup in ONE scan: doc/char/token totals at every
+    (source x lang) granularity plus marginals and the grand total via
+    CUBE grouping sets — four aggregation levels for the price of one
+    shuffle (Spark expands grouping sets map-side, partial-aggregated).
+    Integer-only metrics so every cell is cross-engine exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    from featureform_spark.functions.text import tokens_expr
+
+    base = docs.select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens_expr("text")).cast("long").alias("n_toks"),
+    )
+    return (
+        base.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+        )
+    )
