@@ -1208,8 +1208,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_keep_canonical",
     "kmeans_clusters",
     "semantic_dedup",
-    "session_window_agg",
-    "pq_ann_topk",
+    # retrieval_eval subsumes embedding_batch_ann + exact ground truth
+    # (its oracle recomputes both); frequent_ngrams is the heavy-hitter
+    # family rep. session_window_agg (native variant of sessionize) and
+    # pq_ann_topk (4th ANN rep) moved past the cap — pytest-oracle-covered.
+    "retrieval_eval",
+    "frequent_ngrams",
 )
 
 
