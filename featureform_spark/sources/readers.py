@@ -36,6 +36,10 @@ def read_file(spark: SparkSession, path: str, file_format: str = "parquet") -> D
         return reader.option("header", "true").option("inferSchema", "true").csv(path)
     if file_format == "json":
         return reader.json(path)
+    if file_format == "orc":
+        # Spark-native columnar alternative to parquet: same predicate
+        # pushdown / column pruning / vectorized read path
+        return reader.orc(path)
     raise ValueError(f"unsupported file format: {file_format}")
 
 

@@ -77,6 +77,8 @@ def write_file(
         writer.option("header", str(headers).lower()).csv(path)
     elif file_format == "json":
         writer.json(path)
+    elif file_format == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported file format: {file_format}")
 

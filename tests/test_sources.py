@@ -36,6 +36,19 @@ def test_csv_roundtrip(spark, tmp_path):
     assert df.count() == 2 and set(df.columns) == {"id", "tag"}
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    out = str(tmp_path / "orc_table")
+    write_versioned(small_df(spark, "x"), out, file_format="orc")
+    df = read_file(spark, latest_version_dir(out), "orc")
+    assert df.count() == 2 and set(df.columns) == {"id", "tag"}
+    # ORC goes through the same vectorized scan: filters reach the reader
+    plan = (
+        df.filter(df.id == 1).select("id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,1)]" in plan
+
+
 def test_wide_feature_table_merge_semantics(spark, tmp_path):
     ft = WideFeatureTable(spark, str(tmp_path / "wide"))
     m1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "entity string, value double")
