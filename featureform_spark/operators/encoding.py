@@ -1,0 +1,132 @@
+"""Feature-engineering encoders: equi-depth binning, target encoding,
+and a key-skew diagnostic.
+
+The classic tabular-ML transforms a feature platform serves next to
+scaling (operators/scaling.py). Cross-engine determinism rules used
+throughout this repo apply: exact integer/decimal accumulation wherever
+a sum crosses an unordered aggregation, doubles only in final per-row
+expressions, cutpoints rounded to 6dp before use.
+
+Scale shapes:
+- binning: one exact-percentile aggregate (single reduce to cutpoints),
+  then a broadcast of the tiny cutpoint array into a scan-side
+  expression — the fact table never shuffles for assignment;
+- target encoding: one partial-agg groupBy per category + a 1-row
+  global prior, both broadcast back;
+- skew report: one partial-agg count groupBy + TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_depth_cutpoints(
+    df: DataFrame, value_col: str, n_bins: int
+) -> DataFrame:
+    """1-row DataFrame with `cuts`: n_bins-1 interior cutpoints from the
+    EXACT percentile (linear interpolation — matches DuckDB's
+    quantile_cont bit-for-bit; verified in tests), rounded to 6dp so a
+    value landing on a boundary bins identically in any engine."""
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    return df.agg(
+        F.transform(
+            F.percentile(value_col, F.array(*[F.lit(f) for f in fracs])),
+            lambda c: F.round(c, 6),
+        ).alias("cuts")
+    )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 8,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Assign each row an equi-depth bin 1..n_bins.
+
+    bin = 1 + #cutpoints strictly below the value; NULL values get a
+    NULL bin. The cutpoint row is broadcast — assignment is a pure
+    scan-side expression."""
+    cuts = equi_depth_cutpoints(df, value_col, n_bins)
+    v = F.col(value_col)
+    return df.crossJoin(F.broadcast(cuts)).withColumn(
+        out_col,
+        F.when(
+            v.isNotNull(),
+            F.size(F.filter(F.col("cuts"), lambda c: v > c)) + F.lit(1),
+        ),
+    ).drop("cuts")
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    alpha: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean-label) encoding per category:
+
+        enc = (sum_label + prior_mean * alpha) / (n + alpha)
+
+    — the additive-smoothing estimator that shrinks rare categories
+    toward the global mean instead of memorizing them. Label sums
+    accumulate as DECIMAL(38,6) (exact, order-independent) and convert
+    to double only in the final per-category expression, so the output
+    is bit-identical regardless of partitioning or engine.
+
+    Output: (category_col, n, target_enc) — join it back to the fact
+    table as a broadcast to encode rows."""
+    dec = F.col(label_col).cast("decimal(38,6)")
+    per_cat = df.groupBy(category_col).agg(
+        F.sum(dec).alias("_s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = df.agg(
+        F.sum(dec).alias("_gs"), F.count(F.lit(1)).alias("_gn")
+    )
+    prior = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        category_col,
+        "n",
+        F.round(
+            (F.col("_s").cast("double") + prior * F.lit(float(alpha)))
+            / (F.col("n") + F.lit(float(alpha))),
+            6,
+        ).alias("target_enc"),
+    )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Partition-design diagnostic: the top-k hottest keys with their
+    share of all rows and the hot/average ratio — exactly the numbers
+    that decide whether a join on this key needs salting or AQE skew
+    handling. One partial-agg groupBy; heads through a top-k heap.
+
+    Output: (rank, key, cnt, share, hot_ratio) where hot_ratio is
+    cnt / (total/n_keys), the multiple of a perfectly uniform key."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    summary = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(summary))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("cnt") / (F.col("_total") / F.col("_nkeys")), 6
+        ).alias("hot_ratio"),
+    )

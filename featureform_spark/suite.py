@@ -1330,3 +1330,89 @@ def feature_scaling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         id_cols=["event_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-engineering encoders + skew diagnostics
+# ---------------------------------------------------------------------------
+
+_BIN_FRACS = ", ".join(str(i / 8) for i in range(1, 8))
+
+
+@query(
+    "feature_binning",
+    f"""
+    WITH cuts AS (
+      SELECT list_transform(quantile_cont(l_extendedprice, [{_BIN_FRACS}]),
+                            c -> round(c, 6)) AS cuts
+      FROM lineitem),
+    b AS (SELECT l_extendedprice AS v,
+                 len(list_filter(cuts, c -> v > c)) + 1 AS bin
+          FROM lineitem, cuts)
+    SELECT bin, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+    FROM b GROUP BY bin
+    """,
+)
+def feature_binning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning: EXACT percentile cutpoints (one
+    reduce, bit-identical to quantile_cont), broadcast into a scan-side
+    bin expression — the fact table never shuffles for assignment.
+    Output folds to per-bin count/min/max so the check covers every
+    row's assignment compactly."""
+    from featureform_spark.operators.encoding import equi_depth_bins
+
+    binned = equi_depth_bins(load_table(spark, sf_dir, "lineitem"),
+                             "l_extendedprice", n_bins=8)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+@query(
+    "target_encoding",
+    """
+    WITH pc AS (SELECT event_type, sum(CAST(value AS DECIMAL(38,6))) AS s,
+                       count(*) AS n
+                FROM events GROUP BY event_type),
+    g AS (SELECT sum(CAST(value AS DECIMAL(38,6))) AS gs, count(*) AS gn
+          FROM events)
+    SELECT event_type, n,
+           round((s::DOUBLE + (gs::DOUBLE / gn::DOUBLE) * 10.0::DOUBLE)
+                 / (n::DOUBLE + 10.0::DOUBLE), 6) AS target_enc
+    FROM pc, g
+    """,
+)
+def target_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-label encoding per category: DECIMAL(38,6) label
+    sums (exact, order-independent) shrunk toward the global prior by
+    alpha=10 — rare categories regularize instead of memorizing. One
+    partial-agg groupBy + a broadcast 1-row prior."""
+    from featureform_spark.operators.encoding import target_encode
+
+    return target_encode(
+        load_table(spark, sf_dir, "events"), "event_type", "value", alpha=10.0
+    )
+
+
+@query(
+    "skew_report",
+    """
+    WITH c AS (SELECT user_id AS key, count(*) AS cnt
+               FROM events GROUP BY user_id),
+    s AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS nkeys FROM c),
+    t AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank, key, cnt,
+           round(cnt / total, 6) AS share,
+           round(cnt / (total::DOUBLE / nkeys::DOUBLE), 6) AS hot_ratio
+    FROM t, s
+    """,
+)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-design diagnostic: hottest keys, their row share and
+    hot/uniform ratio — the numbers that decide salting vs AQE skew
+    join. One partial-agg groupBy + top-k heap."""
+    from featureform_spark.operators.encoding import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id", top_k=10)

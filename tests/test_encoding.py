@@ -1,0 +1,69 @@
+"""Feature encoders: binning, target encoding, skew report."""
+
+from pyspark.sql import functions as F
+
+from featureform_spark.operators.encoding import (
+    equi_depth_bins,
+    skew_report,
+    target_encode,
+)
+
+
+def test_equi_depth_bins_balanced_and_ordered(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    out = equi_depth_bins(df, "v", n_bins=4)
+    counts = {
+        r["bin"]: r["cnt"]
+        for r in out.groupBy("bin").agg(F.count("*").alias("cnt")).collect()
+    }
+    # 100 uniform values into 4 equi-depth bins: ~25 each
+    assert set(counts) == {1, 2, 3, 4}
+    assert all(20 <= c <= 30 for c in counts.values())
+    # bin is monotone in v
+    rows = out.orderBy("v").collect()
+    assert all(a["bin"] <= b["bin"] for a, b in zip(rows, rows[1:]))
+
+
+def test_bins_null_values_get_null_bin(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (3.0,)], "v double"
+    )
+    rows = equi_depth_bins(df, "v", n_bins=2).collect()
+    assert any(r["bin"] is None for r in rows if r["v"] is None)
+
+
+def test_bin_assignment_is_broadcast_no_fact_shuffle(spark, sf_dir):
+    from featureform_spark.sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = (
+        equi_depth_bins(li, "l_extendedprice", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    # common category: 100 rows of label 10; rare: 1 row of label 0
+    rows = [("common", 10.0)] * 100 + [("rare", 0.0)]
+    df = spark.createDataFrame(rows, "cat string, label double")
+    out = {r["cat"]: r["target_enc"] for r in target_encode(df, "cat", "label", alpha=10.0).collect()}
+    prior = (100 * 10.0 + 0.0) / 101
+    assert abs(out["common"] - (1000 + prior * 10) / 110) < 1e-6
+    # the rare category lands near the prior, not at its own mean (0)
+    assert abs(out["rare"] - (0 + prior * 10) / 11) < 1e-6
+    assert out["rare"] > 5.0
+
+
+def test_skew_report_flags_hot_key(spark):
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top_k=3).collect()
+    assert out[0]["key"] == "hot" and out[0]["rank"] == 1
+    assert out[0]["cnt"] == 90
+    assert abs(out[0]["share"] - 0.9) < 1e-6
+    # 11 distinct keys, uniform would be 100/11 rows: ratio = 90/(100/11)
+    assert abs(out[0]["hot_ratio"] - 90 / (100 / 11)) < 1e-4
