@@ -191,22 +191,30 @@ def semantic_dedup(
         F.col("_nv").alias("_na"),
     )
     right = assigned.select(
-        F.col("cluster"),
+        F.col("cluster").alias("cluster_b"),
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
         F.col("_nv").alias("_nb"),
     )
-    dropped = (
-        left.join(right, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            dot_expr(F.col("_va"), F.col("_vb"))
-            / (F.col("_na") * F.col("_nb"))
-            >= threshold
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    # EXISTS-style left_semi: a vector is dropped iff SOME smaller-id
+    # cluster-mate clears the threshold. Versus materializing all
+    # qualifying pairs + distinct, the semi join (a) never builds the
+    # pair rows, (b) short-circuits per probe row at the first match —
+    # most duplicates find their dominator early — and (c) removes the
+    # distinct's extra shuffle. Exact same fold arithmetic, same result.
+    dropped = right.join(
+        left,
+        on=(
+            (F.col("cluster_b") == F.col("cluster"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (
+                dot_expr(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+                >= threshold
+            )
+        ),
+        how="left_semi",
+    ).select(F.col("id_b").alias(id_col))
     return assigned.join(dropped, id_col, "left_anti").select(
         F.col(id_col), F.col("cluster")
     )
