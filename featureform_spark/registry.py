@@ -88,6 +88,20 @@ class DataFrameLocation:
 
 
 @dataclass(frozen=True)
+class DeltaPathLocation:
+    """A REAL Delta Lake table addressed by filesystem path
+    (sources/delta_protocol.py): read through the vendor connector when
+    its jar is present (the reference's spark.read.format("delta"),
+    offline_store_spark_runner.py:981-987), else through the in-repo
+    implementation of the public Delta transaction protocol — JSON
+    commit log + parquet checkpoints. ``version`` = VERSION AS OF."""
+
+    path: str
+    version: int | None = None
+    kind: str = "delta"
+
+
+@dataclass(frozen=True)
 class DeltaliteLocation:
     """A deltalite transaction-log table (sources/deltalite.py): the
     in-repo table format giving snapshot isolation, time travel, CDF and
@@ -102,11 +116,13 @@ class DeltaliteLocation:
 Location = (
     FileLocation | CatalogLocation | SQLLocation | StreamLocation
     | JDBCLocation | DataFrameLocation | DeltaliteLocation
+    | DeltaPathLocation
 )
 
 _LOCATION_KINDS = {
     "file": FileLocation,
     "catalog": CatalogLocation,
+    "delta": DeltaPathLocation,
     "deltalite": DeltaliteLocation,
     "sql": SQLLocation,
     "stream": StreamLocation,

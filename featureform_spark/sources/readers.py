@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from featureform_spark.registry import (
     CatalogLocation,
     DataFrameLocation,
+    DeltaPathLocation,
     DeltaliteLocation,
     FileLocation,
     JDBCLocation,
@@ -54,6 +55,10 @@ def read_location(spark: SparkSession, loc: Location | dict, registry: Registry 
         return read_file(spark, path, loc.file_format)
     if isinstance(loc, CatalogLocation):
         return spark.read.format(loc.table_format).table(loc.table)
+    if isinstance(loc, DeltaPathLocation):
+        from featureform_spark.sources.delta_protocol import read_delta_path
+
+        return read_delta_path(spark, loc.path, loc.version)
     if isinstance(loc, DeltaliteLocation):
         from featureform_spark.sources.deltalite import DeltaliteTable
 

@@ -1182,6 +1182,7 @@ PRIORITY: tuple[str, ...] = (
     "range_join_orders",
     "wide_merge_upsert",
     "delta_time_travel",
+    "delta_protocol_read",
     "delta_cdf_incremental",
     "text_stats",
     "lang_id",
@@ -1194,7 +1195,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_clean",
     "embedding_ann_topk",
     "knn_label_vote",
-    "embedding_ivf_topk",
     "media_decode_real",
     "quality_signals",
     "pii_redact",
@@ -1210,8 +1210,10 @@ PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     # retrieval_eval subsumes embedding_batch_ann + exact ground truth
     # (its oracle recomputes both); frequent_ngrams is the heavy-hitter
-    # family rep. session_window_agg (native variant of sessionize) and
-    # pq_ann_topk (4th ANN rep) moved past the cap — pytest-oracle-covered.
+    # family rep. session_window_agg (native variant of sessionize),
+    # pq_ann_topk and embedding_ivf_topk (4th/5th ANN reps — exact, LSH
+    # and retrieval_eval stay in) moved past the cap for
+    # delta_protocol_read; all pytest-oracle-covered.
     "retrieval_eval",
     "frequent_ngrams",
 )

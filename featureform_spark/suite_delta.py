@@ -133,6 +133,41 @@ def delta_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_protocol_read",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 4 <= 2
+    """,
+)
+def delta_protocol_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Delta Lake table (public transaction protocol, no vendor
+    jar): partitioned create + blind append + parquet checkpoint + log
+    retention, then a VERSION AS OF read that folds checkpoint-only
+    state and recovers partition columns from Hive paths in ONE scan
+    (sources/delta_protocol.py). v2 appends more rows AFTER the read
+    version, so time travel — not just the latest fold — is what the
+    oracle certifies. The log this writer emits is minReaderVersion=1 /
+    minWriterVersion=2, readable by delta-spark/delta-rs as-is
+    (the reference's spark.read.format("delta"),
+    offline_store_spark_runner.py:981-987)."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "protocol_events"))
+    t.create(
+        events.filter(F.col("event_id") % 4 <= 1),
+        partition_by=["event_type"],
+    )                                                           # v0
+    t.append(events.filter(F.col("event_id") % 4 == 2))         # v1
+    t.checkpoint()
+    t.clean_log()   # commits 0-1 now live only in the checkpoint
+    t.append(events.filter(F.col("event_id") % 4 == 3))         # v2
+    return t.snapshot(1).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
     "delta_cdf_incremental",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value,
