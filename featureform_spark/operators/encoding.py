@@ -22,19 +22,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def exact_percentiles(
+    df: DataFrame, value_col: str, fracs: list[float]
+) -> DataFrame:
+    """1-row DataFrame with ``cuts``: EXACT interpolated percentiles
+    (quantile_cont semantics: v[floor(p)] + (v[ceil(p)] - v[floor(p)])
+    * (p - floor(p)) at p = f*(N-1)), computed DISTRIBUTED.
+
+    Spark's ``percentile`` aggregate merges a value->count map of every
+    distinct value onto ONE reducer — a single-node sort of the whole
+    fact column that stops scaling (and OOMs) long before 100 TB. Here
+    the order statistics come from range-partitioned rank selection
+    instead: range-repartition the bare value column, sort within
+    partitions, attach global ranks from per-partition count offsets
+    (with_row_index — no global window), then keep only the <=2*k rows
+    whose rank is a floor/ceil target. Every stage is parallel; the
+    final interpolation folds a <=2*k-entry map on one row. The row
+    count N rides a broadcast 1-row aggregate, so the plan stays fully
+    declarative (no driver-side count action)."""
+    from featureform_spark.operators.materialize import with_row_index
+
+    vals = df.select(F.col(value_col).cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    n_row = vals.agg(F.count(F.lit(1)).alias("_n"))
+    indexed = with_row_index(vals, order_cols=["_v"], index_col="_idx").select(
+        (F.col("_idx") - 1).alias("_i"), "_v"
+    )
+
+    def _p(f: float):
+        return F.lit(float(f)) * (F.col("_n") - F.lit(1))
+
+    want = None
+    for f in fracs:
+        hit = (F.col("_i") == F.floor(_p(f))) | (F.col("_i") == F.ceil(_p(f)))
+        want = hit if want is None else (want | hit)
+    picked = (
+        indexed.join(F.broadcast(n_row))
+        .filter(want)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_i"), F.col("_v")))
+            ).alias("_m")
+        )
+        .join(F.broadcast(n_row))
+    )
+
+    def _interp(f: float):
+        p = _p(f)
+        lo = F.element_at(F.col("_m"), F.floor(p))
+        hi = F.element_at(F.col("_m"), F.ceil(p))
+        return F.round(lo + (hi - lo) * (p - F.floor(p)), 6)
+
+    return picked.select(F.array(*[_interp(f) for f in fracs]).alias("cuts"))
+
+
 def equi_depth_cutpoints(
     df: DataFrame, value_col: str, n_bins: int
 ) -> DataFrame:
     """1-row DataFrame with `cuts`: n_bins-1 interior cutpoints from the
     EXACT percentile (linear interpolation — matches DuckDB's
     quantile_cont bit-for-bit; verified in tests), rounded to 6dp so a
-    value landing on a boundary bins identically in any engine."""
-    fracs = [i / n_bins for i in range(1, n_bins)]
-    return df.agg(
-        F.transform(
-            F.percentile(value_col, F.array(*[F.lit(f) for f in fracs])),
-            lambda c: F.round(c, 6),
-        ).alias("cuts")
+    value landing on a boundary bins identically in any engine.
+    Computed via distributed rank selection (exact_percentiles), never
+    a single-reducer percentile map."""
+    return exact_percentiles(
+        df, value_col, [i / n_bins for i in range(1, n_bins)]
     )
 
 
