@@ -102,6 +102,21 @@ class DeltaPathLocation:
 
 
 @dataclass(frozen=True)
+class IcebergPathLocation:
+    """A REAL Apache Iceberg v2 table addressed by filesystem path
+    (sources/iceberg_protocol.py): read through the vendor connector
+    when its jar is present (the reference's IcebergSource scan,
+    offline_store_spark_runner.py:966-980), else through the in-repo
+    implementation of the public table format — metadata JSON + Avro
+    manifest lists/manifests over parquet. ``snapshot_id`` = time
+    travel."""
+
+    path: str
+    snapshot_id: int | None = None
+    kind: str = "iceberg"
+
+
+@dataclass(frozen=True)
 class DeltaliteLocation:
     """A deltalite transaction-log table (sources/deltalite.py): the
     in-repo table format giving snapshot isolation, time travel, CDF and
@@ -116,13 +131,14 @@ class DeltaliteLocation:
 Location = (
     FileLocation | CatalogLocation | SQLLocation | StreamLocation
     | JDBCLocation | DataFrameLocation | DeltaliteLocation
-    | DeltaPathLocation
+    | DeltaPathLocation | IcebergPathLocation
 )
 
 _LOCATION_KINDS = {
     "file": FileLocation,
     "catalog": CatalogLocation,
     "delta": DeltaPathLocation,
+    "iceberg": IcebergPathLocation,
     "deltalite": DeltaliteLocation,
     "sql": SQLLocation,
     "stream": StreamLocation,

@@ -269,18 +269,21 @@ def write_container(
     records: list[dict],
     codec: str = "deflate",
     sync: bytes = b"\x00" * 16,
+    metadata: dict[str, str] | None = None,
 ) -> None:
     """Write an Avro object container file readable by any Avro
-    implementation (and by read_container)."""
+    implementation (and by read_container). ``metadata`` adds extra
+    file-metadata entries (Iceberg manifests carry their table schema
+    and partition spec this way)."""
     w = _Writer()
     w.write(MAGIC)
-    w.encode(
-        {"type": "map", "values": "bytes"},
-        {
-            "avro.schema": json.dumps(schema).encode("utf-8"),
-            "avro.codec": codec.encode("utf-8"),
-        },
-    )
+    file_meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    for k, v in (metadata or {}).items():
+        file_meta[k] = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    w.encode({"type": "map", "values": "bytes"}, file_meta)
     w.write(sync)
     body = _Writer()
     for rec in records:

@@ -18,6 +18,7 @@ from featureform_spark.registry import (
     DeltaPathLocation,
     DeltaliteLocation,
     FileLocation,
+    IcebergPathLocation,
     JDBCLocation,
     Location,
     Registry,
@@ -59,6 +60,12 @@ def read_location(spark: SparkSession, loc: Location | dict, registry: Registry 
         from featureform_spark.sources.delta_protocol import read_delta_path
 
         return read_delta_path(spark, loc.path, loc.version)
+    if isinstance(loc, IcebergPathLocation):
+        from featureform_spark.sources.iceberg_protocol import (
+            read_iceberg_path,
+        )
+
+        return read_iceberg_path(spark, loc.path, loc.snapshot_id)
     if isinstance(loc, DeltaliteLocation):
         from featureform_spark.sources.deltalite import DeltaliteTable
 

@@ -134,6 +134,31 @@ def write_catalog_table(df: DataFrame, table: str, table_format: str = "delta") 
         ) from e
 
 
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list | None = None,
+):
+    """S11 without the vendor jar: sink into a REAL Apache Iceberg v2
+    table via the in-repo table-format implementation
+    (sources/iceberg_protocol.py) — format-v2 metadata JSON + Avro
+    manifest lists/manifests any Iceberg engine can read. ``mode``:
+    append | overwrite | errorifexists. Returns the snapshot id."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    t = IcebergProtocolTable(df.sparkSession, path)
+    if not t.exists():
+        return t.create(df, partition_by=partition_by)
+    if mode == "append":
+        return t.append(df)
+    if mode == "overwrite":
+        return t.overwrite(df)
+    raise ValueError(f"iceberg table already exists at {path}")
+
+
 def write_deltalite(
     df: DataFrame, path: str, mode: str = "append", properties: dict | None = None
 ):

@@ -1184,38 +1184,37 @@ PRIORITY: tuple[str, ...] = (
     "delta_time_travel",
     "delta_protocol_read",
     "delta_cdf_incremental",
+    "iceberg_protocol_read",
+    "iceberg_scan_planning",
     "text_stats",
     "lang_id",
     "dedup_exact",
     "minhash_lsh_dedup",
-    "simhash_dedup",
     "embedding_topk",
-    "token_count",
-    "embedding_near_dup",
     "corpus_clean",
     "embedding_ann_topk",
-    "knn_label_vote",
     "media_decode_real",
-    "quality_signals",
-    "pii_redact",
     "tfidf_top_terms",
-    "dedup_clusters",
     "decontaminate",
     "sequence_packing",
     "doc_chunks",
-    "ngram_lm_score",
-    "corpus_mix",
-    "dedup_keep_canonical",
     "kmeans_clusters",
     "semantic_dedup",
-    # retrieval_eval subsumes embedding_batch_ann + exact ground truth
-    # (its oracle recomputes both); frequent_ngrams is the heavy-hitter
-    # family rep. session_window_agg (native variant of sessionize),
-    # pq_ann_topk and embedding_ivf_topk (4th/5th ANN reps — exact, LSH
-    # and retrieval_eval stay in) moved past the cap for
-    # delta_protocol_read; all pytest-oracle-covered.
     "retrieval_eval",
     "frequent_ngrams",
+    # Round-4 rotation (verdict #6): the back-half cohort below has
+    # never had a driver oracle row; the r3-green rows they displace
+    # (simhash_dedup, token_count, embedding_near_dup, knn_label_vote,
+    # quality_signals, pii_redact, dedup_clusters, ngram_lm_score,
+    # corpus_mix, dedup_keep_canonical) remain pytest-oracle-covered.
+    "pq_ann_topk",
+    "session_window_agg",
+    "embedding_ann_multiprobe",
+    "collocations_pmi",
+    "corpus_report",
+    "feature_binning",
+    "target_encoding",
+    "hard_negatives",
 )
 
 

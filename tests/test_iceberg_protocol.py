@@ -1,0 +1,264 @@
+"""Iceberg table-format protocol: round-trip, time travel, pruning,
+gates. Mirrors the read surface of the reference's IcebergSource scan
+(offline_store_spark_runner.py:966-980) and pyiceberg streamer
+(streamer/iceberg_streamer.py:17-106) without the vendor jar."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.avro_codec import read_container
+from featureform_spark.sources.iceberg_protocol import (
+    IcebergCatalog,
+    IcebergProtocolError,
+    IcebergProtocolTable,
+    UnsupportedIcebergFeatureError,
+    decode_bound,
+    encode_bound,
+    read_iceberg_path,
+)
+
+
+def _orders(spark, sf_dir):
+    from featureform_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "orders")
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_roundtrip_append_overwrite_time_travel(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+
+    first = orders.filter(F.col("o_orderkey") % 3 == 0)
+    s0 = t.create(first)
+    assert t.exists()
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(first)
+    assert t.snapshot().schema == first.schema
+
+    second = orders.filter(F.col("o_orderkey") % 3 == 1)
+    s1 = t.append(second)
+    both = first.unionByName(second)
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(both)
+
+    # time travel: by snapshot id and by snapshot-log ordinal
+    assert _sorted_rows(t.snapshot(snapshot_id=s0)) == _sorted_rows(first)
+    assert _sorted_rows(t.snapshot(ordinal=0)) == _sorted_rows(first)
+    assert _sorted_rows(t.snapshot(ordinal=1)) == _sorted_rows(both)
+
+    third = orders.limit(10)
+    s2 = t.overwrite(third)
+    assert t.snapshot().count() == 10
+    assert _sorted_rows(t.snapshot(snapshot_id=s1)) == _sorted_rows(both)
+    assert [h["snapshot-id"] for h in t.history()] == [s0, s1, s2]
+
+    with pytest.raises(IcebergProtocolError):
+        t.create(orders.limit(1))
+
+
+def test_metadata_layout_conforms_to_spec(spark, sf_dir, tmp_path):
+    """The on-disk layout must be what the public spec says: v2
+    metadata JSON with schemas/specs/snapshots, Avro manifest list with
+    spec field names, Avro manifest whose entries carry field-id-keyed
+    stats."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(100))
+
+    meta_dir = tmp_path / "t" / "metadata"
+    assert (meta_dir / "version-hint.text").read_text() == "1"
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    assert md["format-version"] == 2
+    assert md["current-schema-id"] == 0
+    names = [f["name"] for f in md["schemas"][0]["fields"]]
+    assert names == orders.columns
+    ids = [f["id"] for f in md["schemas"][0]["fields"]]
+    assert ids == sorted(set(ids))  # unique, assigned
+    assert md["last-column-id"] == max(ids)
+    # name mapping property for engines that resolve by field-id
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0] for m in nm} == set(names)
+
+    snap = md["snapshots"][0]
+    ml_schema, manifests = read_container(snap["manifest-list"])
+    assert ml_schema["name"] == "manifest_file"
+    assert len(manifests) == 1
+    m = manifests[0]
+    assert m["content"] == 0 and m["added_files_count"] >= 1
+
+    entry_schema, entries = read_container(m["manifest_path"])
+    assert entry_schema["name"] == "manifest_entry"
+    total = sum(e["data_file"]["record_count"] for e in entries)
+    assert total == 100
+    e0 = entries[0]["data_file"]
+    lb = {kv["key"]: kv["value"] for kv in e0["lower_bounds"]}
+    ub = {kv["key"]: kv["value"] for kv in e0["upper_bounds"]}
+    okey_id = names.index("o_orderkey") + 1
+    assert decode_bound("long", lb[okey_id]) <= decode_bound(
+        "long", ub[okey_id]
+    )
+
+
+def test_partitioned_write_keeps_source_columns_in_files(
+    spark, sf_dir, tmp_path
+):
+    """Identity partitioning: per spec the source column stays IN the
+    data files; each data file holds exactly one partition tuple."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "p"))
+    t.create(orders, partition_by=["o_orderstatus"])
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(orders)
+
+    md = t.metadata()
+    spec = t.partition_spec(md)
+    assert spec[0]["transform"] == "identity"
+    snap = t.current_snapshot(md)
+    _, manifests = read_container(snap["manifest-list"])
+    _, entries = read_container(manifests[0]["manifest_path"])
+    statuses = {e["data_file"]["partition"]["o_orderstatus"] for e in entries}
+    assert statuses == {
+        r["o_orderstatus"]
+        for r in orders.select("o_orderstatus").distinct().collect()
+    }
+    # every data file physically contains the partition source column
+    import pyarrow.parquet as pq
+
+    one = entries[0]["data_file"]["file_path"]
+    assert "o_orderstatus" in pq.read_schema(one).names
+
+
+def test_scan_planning_prunes_from_log_stats(spark, sf_dir, tmp_path):
+    """File skipping must come from log-carried bounds (no footer
+    reads): a narrow o_orderkey range over a table appended in key
+    ranges reads a strict subset of files."""
+    orders = _orders(spark, sf_dir)
+    lo_df = orders.filter(F.col("o_orderkey") < 1000)
+    hi_df = orders.filter(F.col("o_orderkey") >= 1000)
+    t = IcebergProtocolTable(spark, str(tmp_path / "s"))
+    t.create(lo_df.coalesce(1))
+    t.append(hi_df.coalesce(1))
+
+    got = t.scan_planned("o_orderkey", 0, 500)
+    expect = orders.filter(
+        (F.col("o_orderkey") >= 0) & (F.col("o_orderkey") <= 500)
+    )
+    assert _sorted_rows(got) == _sorted_rows(expect)
+    assert t._last_prune["files_read"] < t._last_prune["files_total"]
+
+
+def test_partition_summary_prunes_whole_manifests(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "m"))
+    t.create(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        partition_by=["o_orderstatus"],
+    )
+    t.append(orders.filter(F.col("o_orderstatus") == "O"))
+    got = t.scan_planned("o_orderstatus", "O", "O")
+    assert got.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+    assert t._last_prune["files_read"] < t._last_prune["files_total"]
+
+
+def test_delete_file_gate(spark, sf_dir, tmp_path):
+    """A delete manifest (content=1) must refuse, never return deleted
+    rows — the honest-gate contract."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "d"))
+    t.create(orders.limit(20))
+    md = t.metadata()
+    snap = t.current_snapshot(md)
+    from featureform_spark.sources.avro_codec import write_container
+    from featureform_spark.sources.iceberg_protocol import (
+        MANIFEST_LIST_SCHEMA,
+    )
+
+    ml = snap["manifest-list"]
+    _, manifests = read_container(ml)
+    fake = dict(manifests[0])
+    fake["content"] = 1  # delete manifest
+    write_container(ml, MANIFEST_LIST_SCHEMA, manifests + [fake])
+    with pytest.raises(UnsupportedIcebergFeatureError):
+        t.snapshot()
+
+
+def test_format_version_gate(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "fv"))
+    t.create(orders.limit(5))
+    p = tmp_path / "fv" / "metadata" / "v1.metadata.json"
+    md = json.loads(p.read_text())
+    md["format-version"] = 3
+    p.write_text(json.dumps(md))
+    with pytest.raises(UnsupportedIcebergFeatureError):
+        t.snapshot()
+
+
+def test_catalog_addressing(spark, sf_dir, tmp_path):
+    """ff_catalog.<namespace>.<table> shape from the reference runner."""
+    orders = _orders(spark, sf_dir)
+    cat = IcebergCatalog(spark, str(tmp_path / "wh"))
+    assert not cat.table_exists("featureform.orders")
+    cat.create_table("featureform.orders", orders.limit(50))
+    assert cat.table_exists("featureform.orders")
+    got = cat.load_table("featureform.orders").snapshot()
+    assert got.count() == 50
+    with pytest.raises(IcebergProtocolError):
+        cat.load_table("featureform.missing")
+
+
+def test_read_iceberg_path_fallback(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "rp"))
+    s0 = t.create(orders.limit(30))
+    got = read_iceberg_path(spark, str(tmp_path / "rp"))
+    assert got.count() == 30
+    assert read_iceberg_path(
+        spark, str(tmp_path / "rp"), snapshot_id=s0
+    ).count() == 30
+
+
+def test_bound_serialization_roundtrip():
+    import datetime
+    from decimal import Decimal
+
+    cases = [
+        ("int", 42),
+        ("int", -7),
+        ("long", 1 << 40),
+        ("double", 3.5),
+        ("float", 1.25),
+        ("string", "héllo"),
+        ("boolean", True),
+        ("date", datetime.date(2024, 3, 1)),
+        ("timestamptz", datetime.datetime(2024, 3, 1, 12, 30, 0, 250)),
+        ("decimal(10,2)", Decimal("123.45")),
+    ]
+    for t, v in cases:
+        out = decode_bound(t, encode_bound(t, v))
+        if t == "date":
+            assert out == v
+        elif t == "float":
+            assert abs(out - v) < 1e-6
+        else:
+            assert out == v or str(out) == str(v)
+
+
+def test_schema_with_timestamp_roundtrips(spark, sf_dir, tmp_path):
+    """orders has a timestamptz column — type mapping must round-trip
+    through metadata JSON exactly."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "ts"))
+    t.create(orders.limit(10))
+    assert t.spark_schema() == orders.schema
+    ice = t.schema()
+    types = {f["name"]: f["type"] for f in ice["fields"]}
+    assert types["o_orderdate"] == "timestamptz"
+    assert types["o_orderkey"] == "long"
+    assert types["o_totalprice"] == "double"
