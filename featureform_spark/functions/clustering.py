@@ -132,6 +132,85 @@ def refine_centroids(
     )
 
 
+def _assign_vectorized(
+    df: DataFrame,
+    cents_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kmeans_assign against COLLECTED centroids via one Arrow-batched
+    mapInPandas pass — bit-identical to the HOF expression, ~10× less
+    constant cost (the HOF lambda interpreter charges ~µs per element;
+    numpy charges ~ns).
+
+    Bit-exactness argument: ``dot_expr`` is the sequential left fold
+    ``((0 + a0·b0) + a1·b1) + …`` in float64. Iterating DIMENSIONS in
+    order and accumulating column-vectors (``acc += V[:,d]·c[d]``)
+    performs, for every row, exactly that scalar sequence in the same
+    order — IEEE 754 ops are deterministic, so the floats match the JVM
+    to the last ulp (equality asserted in tests/test_clustering.py).
+    The (score desc, cid asc) argmax tie-break replicates the
+    ``array_max(struct(s, -cid, cid))`` comparison with the same float
+    equality. Embarrassingly parallel: centroids ride the closure
+    (k×dim doubles), the corpus never shuffles.
+    """
+    import numpy as np
+
+    cents = [
+        (int(r["cid"]), np.asarray(r["cv"], dtype=np.float64))
+        for r in cents_rows
+    ]
+    nc = {}
+    for cid, cv in cents:
+        acc = 0.0
+        for x in cv:  # sequential fold, matches norm_expr
+            acc = acc + float(x) * float(x)
+        nc[cid] = float(np.sqrt(acc))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n, dim = V.shape
+            acc = np.zeros(n)
+            for d in range(dim):
+                acc = acc + V[:, d] * V[:, d]
+            nv = np.sqrt(acc)
+            best_s = np.full(n, -np.inf)
+            best_neg = np.full(n, -np.inf)
+            best_cid = np.zeros(n, dtype=np.int64)
+            for cid, cv in cents:
+                dot = np.zeros(n)
+                for d in range(dim):
+                    dot = dot + V[:, d] * cv[d]
+                s = dot / (nv * nc[cid])
+                neg = -np.float64(cid)
+                take = (s > best_s) | ((s == best_s) & (neg > best_neg))
+                best_s = np.where(take, s, best_s)
+                best_neg = np.where(take, neg, best_neg)
+                best_cid = np.where(take, cid, best_cid)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "_v": [row for row in V],
+                    "_nv": nv,
+                    "cluster": best_cid,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {id_type}, _v array<double>, _nv double, "
+        "cluster bigint",
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -142,18 +221,23 @@ def kmeans_fit(
 ) -> DataFrame:
     """Lloyd's algorithm: md5-seeded init + ``iters`` refinement rounds.
 
-    Returns the final assignment ``(id, _v, cluster)``. Cost per round:
-    one scan + one k-row groupBy + one broadcast. Each round's centroid
-    table (k rows) is lazily ``localCheckpoint``-ed so round r+1's plan
-    starts from a flat k-row parent instead of re-nesting every prior
-    round — without it the plan (and the recompute on any reuse) grows
-    O(iters²) in scans.
+    Returns the final assignment ``(id, _v, _nv, cluster)``. Cost per
+    round: one scan + one k-row groupBy. The k-row centroid table is
+    COLLECTED between rounds (k×dim doubles — metadata scale,
+    independent of corpus size) and rides the next round's assignment
+    closure, so every round plans a flat scan → mapInPandas →
+    partial-agg tree instead of the previous rounds' nested HOF
+    lineage, and the per-element HOF interpreter is replaced by the
+    bit-identical numpy kernel (``_assign_vectorized``). Values are
+    identical: collected centroids are the 6-dp-rounded means, and the
+    kernel reproduces the fold arithmetic to the last ulp.
     """
-    cents = kmeans_init(df, k, id_col, vec_col)
-    assigned = kmeans_assign(df, cents, id_col, vec_col)
+    cents_rows = kmeans_init(df, k, id_col, vec_col).collect()
+    assigned = _assign_vectorized(df, cents_rows, id_col, vec_col)
     for _ in range(iters):
-        cents = refine_centroids(assigned, dim).localCheckpoint(eager=False)
-        assigned = kmeans_assign(df, cents, id_col, vec_col)
+        # k rows — same scale as a top-k fetch
+        cents_rows = refine_centroids(assigned, dim).collect()
+        assigned = _assign_vectorized(df, cents_rows, id_col, vec_col)
     return assigned
 
 

@@ -33,6 +33,14 @@ _DEFAULTS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # ~100 suite queries × whole-stage-codegen classes overflow the JVM's
+    # default 240 MB code cache in one long-lived session; once it fills,
+    # the JIT stops compiling (or flush-thrashes) and later queries run
+    # interpreted at 5-10× cost. 512 MB + explicit flushing keeps every
+    # query's generated code compiled (Spark's own tuning guidance for
+    # codegen-heavy workloads).
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m "
+    "-XX:+UseCodeCacheFlushing",
     # managed-table home for bucketed feature tables (write_bucketed);
     # local-mode default keeps saveAsTable out of the repo checkout — on a
     # cluster the deployment's metastore/warehouse config wins

@@ -102,3 +102,27 @@ def test_semantic_dedup_survivors_keep_cluster_labels(emb):
     assert kept.columns == ["vec_id", "cluster"]
     assert kept.count() <= emb.count()
     assert kept.select("cluster").distinct().count() <= 8
+
+
+def test_vectorized_assign_bit_identical_to_hof(spark, sf_dir):
+    """_assign_vectorized must reproduce the HOF expression exactly —
+    same floats to the last ulp, same argmax tie-break."""
+    from featureform_spark.functions.clustering import (
+        _assign_vectorized,
+        kmeans_assign,
+        kmeans_init,
+    )
+    from featureform_spark.sources.testdata import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_init(df, 8)
+    hof = kmeans_assign(df, cents).orderBy("vec_id").collect()
+    vec = (
+        _assign_vectorized(df, cents.collect()).orderBy("vec_id").collect()
+    )
+    assert len(hof) == len(vec) > 0
+    for a, b in zip(hof, vec):
+        assert a["vec_id"] == b["vec_id"]
+        assert a["cluster"] == b["cluster"]
+        assert a["_nv"] == b["_nv"]          # exact float equality
+        assert list(a["_v"]) == list(b["_v"])
