@@ -46,6 +46,15 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass  # optional table absent at this sf
+    # fork the Python worker pool + import pandas/numpy in every worker
+    # up front: the first mapInPandas query otherwise pays ~15s of
+    # 32-way cold start that has nothing to do with its own plan
+    try:
+        spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+    except Exception:
+        pass
 
     queries = all_queries()
     timings: dict[str, float] = {}

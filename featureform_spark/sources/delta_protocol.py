@@ -515,6 +515,12 @@ class DeltaProtocolTable:
         import pyarrow.parquet as pq
 
         staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+        if partition_by:
+            # cluster rows by partition key first: without this every
+            # input task emits a file per live partition value
+            # (tasks × values small files, and the driver-side footer
+            # stat pass scales with file count)
+            df = df.repartition(*[F.col(c) for c in partition_by])
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -1070,6 +1070,59 @@ class IcebergProtocolTable:
         self._commit_metadata(md, version)
         return snapshot_id
 
+    def evolve_schema(self, new_schema: T.StructType) -> int:
+        """Spec-conformant additive schema evolution: existing columns
+        keep their field-ids (matched by name, type must be unchanged —
+        this writer does not do type promotion), new columns get fresh
+        ids past last-column-id; a new schema entry is appended and
+        current-schema-id advances. Old data files simply lack the new
+        columns and read as NULL (per spec). Returns the new schema-id.
+        """
+        md = self.metadata()
+        cur = self.schema(md)
+        by_name = {f["name"]: f for f in cur["fields"]}
+        ids = _IdGen(int(md.get("last-column-id", 0)))
+        fields = []
+        for f in new_schema.fields:
+            old = by_name.get(f.name)
+            ice_t = spark_type_to_iceberg(f.dataType, ids)
+            if old is not None:
+                if old["type"] != ice_t:
+                    raise UnsupportedIcebergFeatureError(
+                        f"type change {old['type']!r} -> {ice_t!r} for "
+                        f"column {f.name!r} is not supported"
+                    )
+                fields.append(old)
+            else:
+                fields.append(
+                    {
+                        "id": ids.next(),
+                        "name": f.name,
+                        "required": False,  # new columns must be optional
+                        "type": ice_t,
+                    }
+                )
+        missing = set(by_name) - {f.name for f in new_schema.fields}
+        if missing:
+            raise UnsupportedIcebergFeatureError(
+                f"dropping columns {sorted(missing)} is not supported"
+            )
+        new_id = max(s.get("schema-id", 0) for s in md["schemas"]) + 1
+        entry = {"type": "struct", "schema-id": new_id, "fields": fields}
+        version = max(v for v, _ in self._metadata_files()) + 1
+        md = dict(md)
+        md["schemas"] = md["schemas"] + [entry]
+        md["current-schema-id"] = new_id
+        md["last-column-id"] = max(
+            int(md.get("last-column-id", 0)), ids.last
+        )
+        md["last-updated-ms"] = int(time.time() * 1000)
+        props = dict(md.get("properties") or {})
+        props["schema.name-mapping.default"] = self._name_mapping(entry)
+        md["properties"] = props
+        self._commit_metadata(md, version)
+        return new_id
+
     def append(self, df: DataFrame) -> int:
         md = self.metadata()
         ice_schema = self.schema(md)

@@ -262,3 +262,40 @@ def test_schema_with_timestamp_roundtrips(spark, sf_dir, tmp_path):
     assert types["o_orderdate"] == "timestamptz"
     assert types["o_orderkey"] == "long"
     assert types["o_totalprice"] == "double"
+
+
+def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    """Additive evolution: existing field-ids survive by name, new
+    column gets a fresh id, old files read the new column as NULL."""
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "ev"))
+    t.create(orders.limit(20))
+    old_ids = {f["name"]: f["id"] for f in t.schema()["fields"]}
+
+    evolved = orders.limit(10).withColumn(
+        "priority", F.lit("HIGH")
+    )
+    t.evolve_schema(evolved.schema)
+    t.append(evolved)
+
+    new_fields = {f["name"]: f["id"] for f in t.schema()["fields"]}
+    for name, fid in old_ids.items():
+        assert new_fields[name] == fid            # ids stable by name
+    assert new_fields["priority"] == max(old_ids.values()) + 1
+
+    got = t.snapshot()
+    assert got.count() == 30
+    assert got.filter(F.col("priority").isNull()).count() == 20
+    assert got.filter(F.col("priority") == "HIGH").count() == 10
+
+    # type change + column drop both gate
+    with pytest.raises(UnsupportedIcebergFeatureError):
+        t.evolve_schema(
+            orders.limit(1)
+            .withColumn("priority", F.lit(1))
+            .schema
+        )
+    with pytest.raises(UnsupportedIcebergFeatureError):
+        t.evolve_schema(orders.limit(1).schema)
