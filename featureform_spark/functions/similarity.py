@@ -53,6 +53,123 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+# --------------------------------------------------------------------------
+# Arrow-vectorized kernels, bit-identical to the fold expressions above.
+#
+# The HOF expressions (aggregate/zip_with/transform) are evaluated by
+# Spark's interpreted lambda evaluator — ~µs per array ELEMENT — which
+# makes them the constant-cost ceiling of every batch ANN path. These
+# pandas UDFs replace them on the high-volume sites only (pair scoring,
+# bucket signatures), keeping the EXACT float semantics: each kernel
+# iterates dimensions in fold order and accumulates column vectors, so
+# every row sees precisely the scalar sequence ((0+x0)+x1)+… the fold
+# computes; IEEE 754 ops are deterministic, so results match the JVM —
+# and therefore the DuckDB oracle — to the last ulp (equality asserted
+# in tests/test_llm_ops.py::test_pandas_kernels_bit_identical).
+# --------------------------------------------------------------------------
+
+
+def _rows_matrix(series):
+    import numpy as np
+
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def dot_pandas() -> "Column":
+    """pandas_udf: fold-exact dot product of two array<double> cols."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot(a, b):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _rows_matrix(a), _rows_matrix(b)
+        acc = np.zeros(len(a))
+        for d in range(A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return pd.Series(acc)
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would otherwise hand pyspark unresolvable strings
+    _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot, "double")
+
+
+def cosine_pandas() -> "Column":
+    """pandas_udf: fold-exact cosine of two array<double> cols —
+    dot/(norm_a*norm_b) with the same op order as cosine_expr."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _rows_matrix(a), _rows_matrix(b)
+        n = len(a)
+        dot, na, nb = np.zeros(n), np.zeros(n), np.zeros(n)
+        for d in range(A.shape[1]):
+            dot = dot + A[:, d] * B[:, d]
+            na = na + A[:, d] * A[:, d]
+            nb = nb + B[:, d] * B[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
+def norm_pandas() -> "Column":
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(a):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = _rows_matrix(a)
+        acc = np.zeros(len(a))
+        for d in range(A.shape[1]):
+            acc = acc + A[:, d] * A[:, d]
+        return pd.Series(np.sqrt(acc))
+
+    _norm.__annotations__ = {"a": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm, "double")
+
+
+def bucket_pandas(dim: int, num_planes: int) -> "Column":
+    """pandas_udf: hyperplane-sign bucket string, fold-exact per plane
+    (same md5 hyperplanes and projection order as bucket_expr)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    signs = hyperplane_signs(num_planes, dim)
+
+    def _bucket(a):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        A = _rows_matrix(a)
+        n = len(a)
+        bits = []
+        for plane in signs:
+            acc = np.zeros(n)
+            for d in range(A.shape[1]):
+                acc = acc + A[:, d] * plane[d]
+            bits.append(np.where(acc >= 0, "1", "0"))
+        out = bits[0]
+        for b in bits[1:]:
+            out = np.char.add(out, b)
+        return pd.Series(out)
+
+    _bucket.__annotations__ = {"a": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "string")
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float] | DataFrame,
@@ -103,9 +220,16 @@ def hyperplane_lsh_buckets(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Assign each vector a bit-string bucket from hyperplane signs."""
+    """Assign each vector a bit-string bucket from hyperplane signs.
+
+    Corpus-wide, so the signature rides the Arrow kernel
+    (``bucket_pandas``) instead of planes×dim interpreted HOF lambdas
+    per row — bit-identical (see kernel block above)."""
     return df.select(
-        F.col(id_col), bucket_expr(_as_double(F.col(vec_col)), dim, num_planes).alias(out_col)
+        F.col(id_col),
+        bucket_pandas(dim, num_planes)(
+            _as_double(F.col(vec_col))
+        ).alias(out_col),
     )
 
 
@@ -147,8 +271,8 @@ def embedding_near_dup_pairs(
     base = df.select(
         F.col(id_col),
         v.alias("_v"),
-        norm_expr(v).alias("_n"),
-        bucket_expr(v, dim, num_planes).alias("bucket"),
+        norm_pandas()(v).alias("_n"),
+        bucket_pandas(dim, num_planes)(v).alias("bucket"),
     )
     left = base.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
@@ -164,9 +288,10 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
-                "cosine"
-            ),
+            (
+                dot_pandas()(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
         )
     )
     return pairs.filter(F.col("cosine") >= cosine_threshold)
@@ -367,7 +492,7 @@ def cosine_topk_batch(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_expr(F.col("_v"), F.col("_q")).alias("score"),
+        cosine_pandas()(F.col("_v"), F.col("_q")).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)
@@ -404,17 +529,17 @@ def ann_topk_lsh_batch(
 
     corpus = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_b", bucket_expr(F.col("_v"), dim, num_planes))
+    ).withColumn("_b", bucket_pandas(dim, num_planes)(F.col("_v")))
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_q")
-    ).withColumn("_b", bucket_expr(F.col("_q"), dim, num_planes))
+    ).withColumn("_b", bucket_pandas(dim, num_planes)(F.col("_q")))
     cand = corpus.join(F.broadcast(q), "_b")
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_expr(F.col("_v"), F.col("_q")).alias("score"),
+        cosine_pandas()(F.col("_v"), F.col("_q")).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)
@@ -449,7 +574,7 @@ def hard_negatives(
         F.col(id_col),
         F.col(label_col),
         _as_double(F.col(vec_col)).alias("_v"),
-    ).withColumn("_b", bucket_expr(F.col("_v"), dim, num_planes))
+    ).withColumn("_b", bucket_pandas(dim, num_planes)(F.col("_v")))
     a = base.select(
         F.col("_b"),
         F.col(id_col).alias("anchor_id"),
@@ -468,7 +593,7 @@ def hard_negatives(
         .select(
             "anchor_id",
             "negative_id",
-            cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"),
+            cosine_pandas()(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(

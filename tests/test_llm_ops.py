@@ -221,3 +221,44 @@ def test_hard_negatives_labels_differ_and_rank_bounded(spark, sf_dir):
     for rows in per_anchor.values():
         cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)  # rank order == similarity order
+
+
+def test_pandas_kernels_bit_identical(spark, sf_dir):
+    """The Arrow kernels must reproduce the HOF fold expressions to the
+    last ulp — exact float equality, not approx."""
+    from pyspark.sql import functions as F
+
+    from featureform_spark.functions.similarity import (
+        _as_double,
+        bucket_expr,
+        bucket_pandas,
+        cosine_expr,
+        cosine_pandas,
+        dot_expr,
+        dot_pandas,
+        norm_expr,
+        norm_pandas,
+    )
+    from featureform_spark.sources.testdata import load_table
+
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("a")
+    ).withColumn("b", F.reverse(F.col("a")))
+
+    got = df.select(
+        "vec_id",
+        dot_expr(F.col("a"), F.col("b")).alias("dot_h"),
+        dot_pandas()(F.col("a"), F.col("b")).alias("dot_p"),
+        cosine_expr(F.col("a"), F.col("b")).alias("cos_h"),
+        cosine_pandas()(F.col("a"), F.col("b")).alias("cos_p"),
+        norm_expr(F.col("a")).alias("n_h"),
+        norm_pandas()(F.col("a")).alias("n_p"),
+        bucket_expr(F.col("a"), 64, 8).alias("b_h"),
+        bucket_pandas(64, 8)(F.col("a")).alias("b_p"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["dot_h"] == r["dot_p"]
+        assert r["cos_h"] == r["cos_p"]
+        assert r["n_h"] == r["n_p"]
+        assert r["b_h"] == r["b_p"]
