@@ -28,9 +28,13 @@ in-repo Avro container codec (sources/avro_codec.py):
   snapshot history with sequence numbers, and a
   ``schema.name-mapping.default`` property so engines that want
   parquet field-ids can resolve columns by name (spec §Name Mapping).
-- **Honest gates**: delete files (position/equality), non-identity
-  partition transforms on write, format-version 3 — all raise instead
-  of returning wrong rows.
+- **Merge-on-read**: v2 position deletes are APPLIED on read (data
+  scan with Spark's ``_metadata.row_index`` anti-joined against the
+  delete set, sequence-number-scoped per spec) and PRODUCED by
+  ``delete_rows`` — row-level DELETE without rewriting data files.
+- **Honest gates**: equality delete files, non-identity partition
+  transforms on write, format-version 3 — all raise instead of
+  returning wrong rows.
 
 Scale note: metadata handling is driver-side over KB–MB Avro/JSON
 (file-count scale — the same O(#manifests) planning real Iceberg does);
@@ -547,18 +551,19 @@ class IcebergProtocolTable:
             return self._snapshot_by(log[ordinal]["snapshot-id"], md=md)
         return self.current_snapshot(md)
 
-    def _live_entries(self, snap: dict) -> list[dict]:
-        """Manifest list → manifests → live (non-deleted) data-file
-        entries. Delete manifests / delete files gate hard."""
+    def _live_entries(
+        self, snap: dict
+    ) -> tuple[list[dict], list[dict]]:
+        """Manifest list → manifests → live (non-deleted) entries,
+        split into (data_entries, position_delete_entries). Equality
+        deletes gate hard (this reader cannot apply them); position
+        deletes are APPLIED in the scan (merge-on-read, see
+        ``_read_with_deletes``)."""
         ml_path = self._resolve_path(snap["manifest-list"])
         _, manifests = read_container(ml_path)
-        entries: list[dict] = []
+        data_entries: list[dict] = []
+        delete_entries: list[dict] = []
         for m in manifests:
-            if int(m.get("content", 0)) != 0:
-                raise UnsupportedIcebergFeatureError(
-                    "table has delete manifests (row-level deletes); this "
-                    "reader would return deleted rows — refusing"
-                )
             man_path = self._resolve_path(m["manifest_path"])
             _, recs = read_container(man_path)
             man_seq = m.get("sequence_number")
@@ -566,14 +571,19 @@ class IcebergProtocolTable:
                 if int(e.get("status", 1)) == 2:  # DELETED
                     continue
                 df_ = e["data_file"]
-                if int(df_.get("content", 0)) != 0:
-                    raise UnsupportedIcebergFeatureError(
-                        "table has position/equality delete files — refusing"
-                    )
+                content = int(df_.get("content", 0))
                 if e.get("sequence_number") is None and man_seq is not None:
                     e["sequence_number"] = man_seq  # v2 inheritance
-                entries.append(e)
-        return entries
+                if content == 0:
+                    data_entries.append(e)
+                elif content == 1:
+                    delete_entries.append(e)
+                else:
+                    raise UnsupportedIcebergFeatureError(
+                        "table has equality delete files — refusing "
+                        "(this reader would return deleted rows)"
+                    )
+        return data_entries, delete_entries
 
     def _read_files(self, schema: T.StructType, paths: list[str]) -> DataFrame:
         if not paths:
@@ -584,20 +594,102 @@ class IcebergProtocolTable:
             .select(*[f.name for f in schema.fields])
         )
 
+    @staticmethod
+    def _strip_scheme(col):
+        # `_metadata.file_path` yields file:/abs/... while manifests
+        # record plain absolute paths — normalize both join sides
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    def _read_with_deletes(
+        self,
+        schema: T.StructType,
+        data_entries: list[dict],
+        delete_entries: list[dict],
+    ) -> DataFrame:
+        """Merge-on-read: scan data files with Spark's `_metadata`
+        row positions, anti-join the position-delete set. A delete file
+        applies to a data file iff the data file's sequence number is
+        <= the delete file's (spec §Scan Planning); that scoping is a
+        broadcast of the (path, seq) map — file-count scale. The data
+        scan stays ONE distributed parquet read; the delete set is a
+        broadcast-able side input (delete files are small by
+        construction)."""
+        paths = sorted(
+            self._resolve_path(e["data_file"]["file_path"])
+            for e in data_entries
+        )
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        cols = [f.name for f in schema.fields]
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .select(
+                *cols,
+                self._strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+        seq_rows = [
+            (
+                self._resolve_path(e["data_file"]["file_path"]),
+                int(e.get("sequence_number") or 0),
+            )
+            for e in data_entries
+        ]
+        seq_df = self.spark.createDataFrame(
+            seq_rows, "path string, data_seq long"
+        )
+        dels = None
+        for e in delete_entries:
+            dpath = self._resolve_path(e["data_file"]["file_path"])
+            d = (
+                self.spark.read.parquet(dpath)
+                .select(
+                    self._strip_scheme(F.col("file_path")).alias("path"),
+                    F.col("pos").cast("long").alias("pos"),
+                )
+                .withColumn(
+                    "del_seq",
+                    F.lit(int(e.get("sequence_number") or 0)),
+                )
+            )
+            dels = d if dels is None else dels.unionByName(d)
+        applicable = (
+            dels.join(F.broadcast(seq_df), "path")
+            .filter(F.col("del_seq") >= F.col("data_seq"))
+            .select("path", "pos")
+        )
+        return (
+            df.join(
+                F.broadcast(applicable),
+                (df["__fp"] == applicable["path"])
+                & (df["__pos"] == applicable["pos"]),
+                "left_anti",
+            ).select(*cols)
+        )
+
     def snapshot(
         self, snapshot_id: int | None = None, ordinal: int | None = None
     ) -> DataFrame:
         """The table at a snapshot (latest if None) as one native
         parquet scan — identity-partition source columns live in the
-        data files per spec, so no partition-column reattachment."""
+        data files per spec, so no partition-column reattachment.
+        Position deletes (v2 merge-on-read) are applied; equality
+        deletes gate."""
         md = self.metadata()
         snap = self._snapshot_by(snapshot_id, ordinal, md)
         schema = self.spark_schema(md)
         if snap is None:
             return self.spark.createDataFrame([], schema)
+        data_entries, delete_entries = self._live_entries(snap)
+        if delete_entries:
+            return self._read_with_deletes(
+                schema, data_entries, delete_entries
+            )
         paths = [
             self._resolve_path(e["data_file"]["file_path"])
-            for e in self._live_entries(snap)
+            for e in data_entries
         ]
         return self._read_files(schema, sorted(paths))
 
@@ -631,12 +723,24 @@ class IcebergProtocolTable:
         ml_path = self._resolve_path(snap["manifest-list"])
         _, manifests = read_container(ml_path)
         total_files = 0
-        keep_paths: list[str] = []
+        keep_entries: list[dict] = []
+        delete_entries: list[dict] = []
         for m in manifests:
             if int(m.get("content", 0)) != 0:
-                raise UnsupportedIcebergFeatureError(
-                    "table has delete manifests — refusing"
-                )
+                man_path = self._resolve_path(m["manifest_path"])
+                _, recs = read_container(man_path)
+                man_seq = m.get("sequence_number")
+                for e in recs:
+                    if int(e.get("status", 1)) == 2:
+                        continue
+                    if int(e["data_file"].get("content", 0)) == 2:
+                        raise UnsupportedIcebergFeatureError(
+                            "table has equality delete files — refusing"
+                        )
+                    if e.get("sequence_number") is None and man_seq is not None:
+                        e["sequence_number"] = man_seq
+                    delete_entries.append(e)
+                continue
             if part_pos is not None and m.get("partitions"):
                 summaries = m["partitions"]
                 if part_pos < len(summaries):
@@ -657,27 +761,35 @@ class IcebergProtocolTable:
                         continue
             man_path = self._resolve_path(m["manifest_path"])
             _, recs = read_container(man_path)
+            man_seq = m.get("sequence_number")
             for e in recs:
                 if int(e.get("status", 1)) == 2:
                     continue
                 df_ = e["data_file"]
-                if int(df_.get("content", 0)) != 0:
-                    raise UnsupportedIcebergFeatureError(
-                        "table has delete files — refusing"
-                    )
                 total_files += 1
+                if e.get("sequence_number") is None and man_seq is not None:
+                    e["sequence_number"] = man_seq
                 lbs = _as_int_map(df_.get("lower_bounds"))
                 ubs = _as_int_map(df_.get("upper_bounds"))
                 fmn = decode_bound(ice_type, lbs.get(fid))
                 fmx = decode_bound(ice_type, ubs.get(fid))
                 if fmn is not None and fmx is not None and (fmx < lo or fmn > hi):
                     continue
-                keep_paths.append(self._resolve_path(df_["file_path"]))
+                keep_entries.append(e)
         self._last_prune = {
             "files_total": total_files,
-            "files_read": len(keep_paths),
+            "files_read": len(keep_entries),
         }
-        df = self._read_files(schema, sorted(keep_paths))
+        if delete_entries:
+            df = self._read_with_deletes(schema, keep_entries, delete_entries)
+        else:
+            df = self._read_files(
+                schema,
+                sorted(
+                    self._resolve_path(e["data_file"]["file_path"])
+                    for e in keep_entries
+                ),
+            )
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     # ------------------------------------------------------------ write
@@ -851,9 +963,11 @@ class IcebergProtocolTable:
         spec_id: int,
         snapshot_id: int,
         seq: int,
+        content: int = 0,
     ) -> dict:
         """Write one manifest Avro file; return its manifest_file
-        record (for the manifest list) with partition summaries."""
+        record (for the manifest list) with partition summaries.
+        ``content``: 0 = data manifest, 1 = (position) delete manifest."""
         part_fields = self._partition_avro_fields(ice_schema, spec_fields)
         schema = manifest_entry_schema(part_fields)
         path = os.path.join(
@@ -870,7 +984,7 @@ class IcebergProtocolTable:
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(spec_id),
                 "format-version": "2",
-                "content": "data",
+                "content": "data" if content == 0 else "deletes",
             },
         )
         by_id = {f["id"]: f for f in ice_schema["fields"]}
@@ -899,7 +1013,7 @@ class IcebergProtocolTable:
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": spec_id,
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(
                 [e.get("sequence_number") or seq for e in entries] or [seq]
@@ -1032,11 +1146,18 @@ class IcebergProtocolTable:
         return snapshot_id
 
     def _advance(
-        self, md: dict, new_manifests: list[dict], operation: str, nfiles: int, nrecords: int
+        self,
+        md: dict,
+        new_manifests: list[dict],
+        operation: str,
+        nfiles: int,
+        nrecords: int,
+        snapshot_id: int | None = None,
     ) -> int:
         now = int(time.time() * 1000)
         seq = int(md.get("last-sequence-number", 0)) + 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        if snapshot_id is None:
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
         ml_path = os.path.join(
             self.metadata_path, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
         )
@@ -1159,7 +1280,115 @@ class IcebergProtocolTable:
         )
         return self._advance(
             md, prev_manifests + [manifest], "append", len(files),
-            sum(f["record_count"] for f in files),
+            sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
+        )
+
+    def delete_rows(self, condition) -> int:
+        """Row-level DELETE via v2 position deletes (merge-on-read):
+        rows matching ``condition`` have their (file_path, pos) written
+        as position-delete parquet + a delete manifest; data files are
+        untouched — the reader anti-joins the delete set
+        (``_read_with_deletes``). The position scan uses Spark's
+        `_metadata.row_index`, so match discovery is one distributed
+        scan. Returns the new snapshot id (or -1 when nothing matched).
+
+        Note: per spec the delete-file columns carry reserved field-ids
+        (2147483546/2147483545); Spark parquet writes no field-ids, so
+        cross-engine readers resolve them by name — both columns use
+        the spec names ``file_path``/``pos``."""
+        md = self.metadata()
+        schema = self.spark_schema(md)
+        snap = self.current_snapshot(md)
+        if snap is None:
+            return -1
+        data_entries, old_deletes = self._live_entries(snap)
+        if not data_entries:
+            return -1
+        paths = sorted(
+            self._resolve_path(e["data_file"]["file_path"])
+            for e in data_entries
+        )
+        cols = [f.name for f in schema.fields]
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .select(
+                *cols,
+                self._strip_scheme(F.col("_metadata.file_path")).alias(
+                    "file_path"
+                ),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        matched = scan.filter(condition).select("file_path", "pos")
+        if old_deletes:
+            # don't re-delete already-deleted positions
+            prev = None
+            for e in old_deletes:
+                d = self.spark.read.parquet(
+                    self._resolve_path(e["data_file"]["file_path"])
+                ).select(
+                    self._strip_scheme(F.col("file_path")).alias("file_path"),
+                    F.col("pos").cast("long").alias("pos"),
+                )
+                prev = d if prev is None else prev.unionByName(d)
+            matched = matched.join(prev, ["file_path", "pos"], "left_anti")
+        matched = matched.orderBy("file_path", "pos")
+
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+        matched.write.mode("overwrite").parquet(staging)
+        ice_schema = self.schema(md)
+        spec_fields = self.partition_spec(md)
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        entries = []
+        for dirpath, _dirs, files in sorted(os.walk(staging)):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                pf = pq.ParquetFile(src)
+                if pf.metadata.num_rows == 0:
+                    continue
+                fname = f"{uuid.uuid4().hex}-deletes.parquet"
+                final_abs = os.path.join(self.path, DATA_DIR, fname)
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.replace(src, final_abs)
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": final_abs,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": pf.metadata.num_rows,
+                            "file_size_in_bytes": os.path.getsize(final_abs),
+                        },
+                    }
+                )
+        for dirpath, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(dirpath, name))
+            os.rmdir(dirpath)
+        if not entries:
+            return -1
+        manifest = self._write_manifest(
+            entries, ice_schema, spec_fields, md.get("default-spec-id", 0),
+            snapshot_id, seq, content=1,
+        )
+        _, prev_manifests = read_container(
+            self._resolve_path(snap["manifest-list"])
+        )
+        n_del = sum(e["data_file"]["record_count"] for e in entries)
+        return self._advance(
+            md, prev_manifests + [manifest], "delete", len(entries), -n_del,
+            snapshot_id=snapshot_id,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -1189,7 +1418,7 @@ class IcebergProtocolTable:
         )
         return self._advance(
             md, [manifest], "overwrite", len(files),
-            sum(f["record_count"] for f in files),
+            sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
         )
 
 

@@ -1173,7 +1173,7 @@ PRIORITY: tuple[str, ...] = (
     "transformation_chained",
     "transformation_df_fn",
     "pricing_summary",
-    "dedup_blocks",
+    "iceberg_position_delete",
     "incremental_dedup",
     "rolling_user_spend",
     "quality_sample",

@@ -269,3 +269,35 @@ def iceberg_scan_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_orders"))
     t.create(orders)
     return t.scan_planned("o_orderkey", 1000, 3000)
+
+
+@query(
+    "iceberg_position_delete",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id % 4 <= 2 AND NOT (event_type = 'click' AND event_id % 4 = 0)
+    """,
+)
+def iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read: row-level DELETE as position-delete
+    files (sources/iceberg_protocol.py:delete_rows) — data files are
+    never rewritten; the reader scans them with Spark's
+    _metadata.row_index and anti-joins the sequence-scoped delete set.
+    The delete lands BETWEEN two appends, so both the MOR application
+    and its sequence-number scoping (the later append must not lose
+    rows to the earlier delete) are what the oracle certifies."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_mor"))
+    t.create(events.filter(F.col("event_id") % 4 <= 1))
+    t.delete_rows(
+        (F.col("event_type") == "click") & (F.col("event_id") % 4 == 0)
+    )
+    t.append(events.filter(F.col("event_id") % 4 == 2))
+    return t.snapshot().select("event_id", "user_id", "event_type", "value")

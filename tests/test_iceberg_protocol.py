@@ -166,9 +166,10 @@ def test_partition_summary_prunes_whole_manifests(spark, sf_dir, tmp_path):
     assert t._last_prune["files_read"] < t._last_prune["files_total"]
 
 
-def test_delete_file_gate(spark, sf_dir, tmp_path):
-    """A delete manifest (content=1) must refuse, never return deleted
-    rows — the honest-gate contract."""
+def test_equality_delete_gate(spark, sf_dir, tmp_path):
+    """Equality delete files (data_file.content=2) must refuse, never
+    return deleted rows — position deletes (content=1) are applied by
+    the MOR reader instead (test_position_delete_merge_on_read)."""
     orders = _orders(spark, sf_dir)
     t = IcebergProtocolTable(spark, str(tmp_path / "d"))
     t.create(orders.limit(20))
@@ -177,12 +178,35 @@ def test_delete_file_gate(spark, sf_dir, tmp_path):
     from featureform_spark.sources.avro_codec import write_container
     from featureform_spark.sources.iceberg_protocol import (
         MANIFEST_LIST_SCHEMA,
+        manifest_entry_schema,
     )
 
+    eq_manifest = os.path.join(t.metadata_path, "eqdel-m0.avro")
+    write_container(
+        eq_manifest,
+        manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap["snapshot-id"],
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": "eq-deletes.parquet",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": 10,
+                },
+            }
+        ],
+    )
     ml = snap["manifest-list"]
     _, manifests = read_container(ml)
     fake = dict(manifests[0])
-    fake["content"] = 1  # delete manifest
+    fake["content"] = 1
+    fake["manifest_path"] = eq_manifest
     write_container(ml, MANIFEST_LIST_SCHEMA, manifests + [fake])
     with pytest.raises(UnsupportedIcebergFeatureError):
         t.snapshot()
@@ -299,3 +323,62 @@ def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
         )
     with pytest.raises(UnsupportedIcebergFeatureError):
         t.evolve_schema(orders.limit(1).schema)
+
+
+def test_position_delete_merge_on_read(spark, sf_dir, tmp_path):
+    """Row-level DELETE via v2 position deletes: data files untouched,
+    reader applies the delete set; second delete composes; time travel
+    to the pre-delete snapshot still sees every row."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "mor"))
+    s0 = t.create(orders.limit(200))
+    n_files_before = len(
+        [f for f in os.listdir(tmp_path / "mor" / "data")]
+    )
+
+    s1 = t.delete_rows(F.col("o_orderstatus") == "F")
+    expect = orders.limit(200).filter(F.col("o_orderstatus") != "F")
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(expect)
+    # data files were NOT rewritten — only delete files were added
+    data_files = [
+        f for f in os.listdir(tmp_path / "mor" / "data")
+        if not f.endswith("-deletes.parquet")
+    ]
+    assert len(data_files) == n_files_before
+    # pre-delete snapshot unchanged
+    assert t.snapshot(snapshot_id=s0).count() == 200
+    assert [h["snapshot-id"] for h in t.history()] == [s0, s1]
+
+    # composing second delete
+    t.delete_rows(F.col("o_orderkey") % 2 == 0)
+    expect2 = expect.filter(F.col("o_orderkey") % 2 != 0)
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(expect2)
+
+    # delete of nothing is a no-op
+    assert t.delete_rows(F.lit(False)) == -1
+
+
+def test_position_delete_scopes_by_sequence_number(
+    spark, sf_dir, tmp_path
+):
+    """A data file appended AFTER a delete (higher sequence number)
+    must not lose rows to that older delete even if positions collide."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    t = IcebergProtocolTable(spark, str(tmp_path / "seq"))
+    batch = orders.limit(50).coalesce(1)
+    t.create(batch)                                  # seq 1
+    t.delete_rows(F.lit(True))                       # seq 2: delete all
+    assert t.snapshot().count() == 0
+    t.append(batch)                                  # seq 3: same rows
+    # the seq-2 delete does NOT apply to the seq-3 file
+    assert t.snapshot().count() == 50
+
+
+def test_scan_planned_applies_deletes(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "sp"))
+    t.create(orders.limit(100).coalesce(1))
+    t.delete_rows(F.col("o_orderkey") % 3 == 0)
+    got = t.scan_planned("o_orderkey", -10**9, 10**9)
+    expect = orders.limit(100).filter(F.col("o_orderkey") % 3 != 0)
+    assert _sorted_rows(got) == _sorted_rows(expect)
