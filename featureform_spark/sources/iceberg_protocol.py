@@ -693,6 +693,50 @@ class IcebergProtocolTable:
         ]
         return self._read_files(schema, sorted(paths))
 
+    def incremental_append_scan(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows appended AFTER ``from_snapshot_id`` (exclusive) up to
+        ``to_snapshot_id`` (inclusive; latest if None) — the Iceberg
+        incremental-read contract the reference's isIncremental path
+        uses for Delta (offline_store_spark_runner.py:1076-1136),
+        re-expressed over snapshot lineage: data files whose committing
+        snapshot sits strictly after the cursor. Overwrite/delete
+        snapshots in the range raise (an append-only incremental read
+        over them would be wrong) — same refusal the reference's CDF
+        path encodes."""
+        md = self.metadata()
+        snaps = self.snapshots(md)
+        order = {s["snapshot-id"]: i for i, s in enumerate(snaps)}
+        if from_snapshot_id not in order:
+            raise IcebergProtocolError(
+                f"unknown from snapshot {from_snapshot_id}"
+            )
+        to_snap = self._snapshot_by(to_snapshot_id, md=md)
+        if to_snap is None:
+            return self.spark.createDataFrame([], self.spark_schema(md))
+        lo, hi = order[from_snapshot_id], order[to_snap["snapshot-id"]]
+        if hi < lo:
+            raise IcebergProtocolError("to-snapshot precedes from-snapshot")
+        in_range = {
+            s["snapshot-id"]: s for s in snaps[lo + 1 : hi + 1]
+        }
+        for s in in_range.values():
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op not in ("append",):
+                raise IcebergProtocolError(
+                    f"snapshot {s['snapshot-id']} is {op!r}, not append — "
+                    "incremental append scan would return wrong rows"
+                )
+        schema = self.spark_schema(md)
+        data_entries, _deletes = self._live_entries(to_snap)
+        paths = sorted(
+            self._resolve_path(e["data_file"]["file_path"])
+            for e in data_entries
+            if int(e.get("snapshot_id") or -1) in in_range
+        )
+        return self._read_files(schema, paths)
+
     def scan_planned(
         self, col: str, lo: Any, hi: Any, snapshot_id: int | None = None
     ) -> DataFrame:

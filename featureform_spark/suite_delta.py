@@ -301,3 +301,30 @@ def iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append(events.filter(F.col("event_id") % 4 == 2))
     return t.snapshot().select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "iceberg_incremental_scan",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 4 IN (1, 2)
+    """,
+)
+def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 for Iceberg: incremental append scan over snapshot lineage —
+    only files committed after the cursor snapshot come back
+    (sources/iceberg_protocol.py:incremental_append_scan), mirroring
+    the reference's isIncremental source reads
+    (offline_store_spark_runner.py:1076-1136)."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_inc"))
+    s0 = t.create(events.filter(F.col("event_id") % 4 == 0))
+    t.append(events.filter(F.col("event_id") % 4 == 1))
+    t.append(events.filter(F.col("event_id") % 4 == 2))
+    return t.incremental_append_scan(s0)

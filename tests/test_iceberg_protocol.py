@@ -382,3 +382,26 @@ def test_scan_planned_applies_deletes(spark, sf_dir, tmp_path):
     got = t.scan_planned("o_orderkey", -10**9, 10**9)
     expect = orders.limit(100).filter(F.col("o_orderkey") % 3 != 0)
     assert _sorted_rows(got) == _sorted_rows(expect)
+
+
+def test_incremental_append_scan(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    t = IcebergProtocolTable(spark, str(tmp_path / "inc"))
+    s0 = t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    s1 = t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    s2 = t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+
+    inc = t.incremental_append_scan(s0)
+    expect = orders.filter(F.col("o_orderkey") % 3 != 0)
+    assert _sorted_rows(inc) == _sorted_rows(expect)
+    # bounded range: only the middle append
+    mid = t.incremental_append_scan(s0, to_snapshot_id=s1)
+    assert _sorted_rows(mid) == _sorted_rows(
+        orders.filter(F.col("o_orderkey") % 3 == 1)
+    )
+    # empty range
+    assert t.incremental_append_scan(s2).count() == 0
+    # an overwrite in range refuses
+    t.overwrite(orders.limit(5))
+    with pytest.raises(IcebergProtocolError, match="not append"):
+        t.incremental_append_scan(s0)
