@@ -28,12 +28,14 @@ in-repo Avro container codec (sources/avro_codec.py):
   snapshot history with sequence numbers, and a
   ``schema.name-mapping.default`` property so engines that want
   parquet field-ids can resolve columns by name (spec §Name Mapping).
-- **Merge-on-read**: v2 position deletes are APPLIED on read (data
-  scan with Spark's ``_metadata.row_index`` anti-joined against the
-  delete set, sequence-number-scoped per spec) and PRODUCED by
-  ``delete_rows`` — row-level DELETE without rewriting data files.
-- **Honest gates**: equality delete files, non-identity partition
-  transforms on write, format-version 3 — all raise instead of
+- **Merge-on-read**: v2 position AND equality deletes are APPLIED on
+  read (data scan with Spark's ``_metadata.row_index``, anti-joins
+  against the delete sets, sequence-number-scoped per spec) and
+  PRODUCED by ``delete_rows`` (position) / ``delete_by_keys``
+  (equality, the streaming-upsert shape) — row-level DELETE without
+  rewriting data files.
+- **Honest gates**: non-identity partition transforms on write,
+  format-version 3, unknown data_file content — all raise instead of
   returning wrong rows.
 
 Scale note: metadata handling is driver-side over KB–MB Avro/JSON
@@ -555,10 +557,9 @@ class IcebergProtocolTable:
         self, snap: dict
     ) -> tuple[list[dict], list[dict]]:
         """Manifest list → manifests → live (non-deleted) entries,
-        split into (data_entries, position_delete_entries). Equality
-        deletes gate hard (this reader cannot apply them); position
-        deletes are APPLIED in the scan (merge-on-read, see
-        ``_read_with_deletes``)."""
+        split into (data_entries, delete_entries). Both position
+        (content=1) and equality (content=2) deletes are APPLIED in the
+        scan (merge-on-read, see ``_read_with_deletes``)."""
         ml_path = self._resolve_path(snap["manifest-list"])
         _, manifests = read_container(ml_path)
         data_entries: list[dict] = []
@@ -576,12 +577,11 @@ class IcebergProtocolTable:
                     e["sequence_number"] = man_seq  # v2 inheritance
                 if content == 0:
                     data_entries.append(e)
-                elif content == 1:
+                elif content in (1, 2):
                     delete_entries.append(e)
                 else:
                     raise UnsupportedIcebergFeatureError(
-                        "table has equality delete files — refusing "
-                        "(this reader would return deleted rows)"
+                        f"unknown data_file content {content} — refusing"
                     )
         return data_entries, delete_entries
 
@@ -607,12 +607,14 @@ class IcebergProtocolTable:
         delete_entries: list[dict],
     ) -> DataFrame:
         """Merge-on-read: scan data files with Spark's `_metadata`
-        row positions, anti-join the position-delete set. A delete file
-        applies to a data file iff the data file's sequence number is
-        <= the delete file's (spec §Scan Planning); that scoping is a
-        broadcast of the (path, seq) map — file-count scale. The data
-        scan stays ONE distributed parquet read; the delete set is a
-        broadcast-able side input (delete files are small by
+        row positions, then anti-join the delete sets. Scoping per spec
+        §Scan Planning: a POSITION delete applies to data files with
+        data_seq <= delete_seq; an EQUALITY delete applies strictly
+        earlier files (data_seq < delete_seq), matching on the delete
+        schema's ``equality_ids`` columns with null-safe equality. The
+        (path, seq) map rides a broadcast — file-count scale; the data
+        scan stays ONE distributed parquet read; delete sets are
+        broadcast-able side inputs (delete files are small by
         construction)."""
         paths = sorted(
             self._resolve_path(e["data_file"]["file_path"])
@@ -640,34 +642,75 @@ class IcebergProtocolTable:
         seq_df = self.spark.createDataFrame(
             seq_rows, "path string, data_seq long"
         )
-        dels = None
-        for e in delete_entries:
-            dpath = self._resolve_path(e["data_file"]["file_path"])
-            d = (
-                self.spark.read.parquet(dpath)
-                .select(
-                    self._strip_scheme(F.col("file_path")).alias("path"),
-                    F.col("pos").cast("long").alias("pos"),
+        pos_entries = [
+            e for e in delete_entries
+            if int(e["data_file"].get("content", 0)) == 1
+        ]
+        eq_entries = [
+            e for e in delete_entries
+            if int(e["data_file"].get("content", 0)) == 2
+        ]
+        if pos_entries:
+            dels = None
+            for e in pos_entries:
+                dpath = self._resolve_path(e["data_file"]["file_path"])
+                d = (
+                    self.spark.read.parquet(dpath)
+                    .select(
+                        self._strip_scheme(F.col("file_path")).alias("path"),
+                        F.col("pos").cast("long").alias("pos"),
+                    )
+                    .withColumn(
+                        "del_seq",
+                        F.lit(int(e.get("sequence_number") or 0)),
+                    )
                 )
-                .withColumn(
-                    "del_seq",
-                    F.lit(int(e.get("sequence_number") or 0)),
-                )
+                dels = d if dels is None else dels.unionByName(d)
+            applicable = (
+                dels.join(F.broadcast(seq_df), "path")
+                .filter(F.col("del_seq") >= F.col("data_seq"))
+                .select("path", "pos")
             )
-            dels = d if dels is None else dels.unionByName(d)
-        applicable = (
-            dels.join(F.broadcast(seq_df), "path")
-            .filter(F.col("del_seq") >= F.col("data_seq"))
-            .select("path", "pos")
-        )
-        return (
-            df.join(
+            df = df.join(
                 F.broadcast(applicable),
                 (df["__fp"] == applicable["path"])
                 & (df["__pos"] == applicable["pos"]),
                 "left_anti",
-            ).select(*cols)
-        )
+            )
+        if eq_entries:
+            by_id = {
+                f["id"]: f["name"]
+                for f in self.schema()["fields"]
+            }
+            df = df.join(
+                F.broadcast(seq_df),
+                df["__fp"] == seq_df["path"],
+            ).drop("path")
+            for e in eq_entries:
+                df_ = e["data_file"]
+                eq_ids = df_.get("equality_ids") or []
+                if not eq_ids:
+                    raise UnsupportedIcebergFeatureError(
+                        "equality delete file without equality_ids"
+                    )
+                try:
+                    eq_cols = [by_id[int(i)] for i in eq_ids]
+                except KeyError as exc:
+                    raise UnsupportedIcebergFeatureError(
+                        f"equality delete on unknown field id {exc}"
+                    ) from None
+                del_seq = int(e.get("sequence_number") or 0)
+                dpath = self._resolve_path(df_["file_path"])
+                drows = self.spark.read.parquet(dpath).select(
+                    *[F.col(c).alias(f"__d_{c}") for c in eq_cols]
+                )
+                cond = F.lit(True)
+                for c in eq_cols:
+                    # spec: null values match in equality deletes
+                    cond = cond & df[c].eqNullSafe(drows[f"__d_{c}"])
+                cond = cond & (df["data_seq"] < F.lit(del_seq))
+                df = df.join(F.broadcast(drows), cond, "left_anti")
+        return df.select(*cols)
 
     def snapshot(
         self, snapshot_id: int | None = None, ordinal: int | None = None
@@ -675,8 +718,8 @@ class IcebergProtocolTable:
         """The table at a snapshot (latest if None) as one native
         parquet scan — identity-partition source columns live in the
         data files per spec, so no partition-column reattachment.
-        Position deletes (v2 merge-on-read) are applied; equality
-        deletes gate."""
+        Position AND equality deletes (v2 merge-on-read) are applied,
+        sequence-scoped per spec."""
         md = self.metadata()
         snap = self._snapshot_by(snapshot_id, ordinal, md)
         schema = self.spark_schema(md)
@@ -777,10 +820,6 @@ class IcebergProtocolTable:
                 for e in recs:
                     if int(e.get("status", 1)) == 2:
                         continue
-                    if int(e["data_file"].get("content", 0)) == 2:
-                        raise UnsupportedIcebergFeatureError(
-                            "table has equality delete files — refusing"
-                        )
                     if e.get("sequence_number") is None and man_seq is not None:
                         e["sequence_number"] = man_seq
                     delete_entries.append(e)
@@ -1365,10 +1404,14 @@ class IcebergProtocolTable:
             )
         )
         matched = scan.filter(condition).select("file_path", "pos")
-        if old_deletes:
+        old_pos = [
+            e for e in old_deletes
+            if int(e["data_file"].get("content", 0)) == 1
+        ]
+        if old_pos:
             # don't re-delete already-deleted positions
             prev = None
-            for e in old_deletes:
+            for e in old_pos:
                 d = self.spark.read.parquet(
                     self._resolve_path(e["data_file"]["file_path"])
                 ).select(
@@ -1432,6 +1475,82 @@ class IcebergProtocolTable:
         n_del = sum(e["data_file"]["record_count"] for e in entries)
         return self._advance(
             md, prev_manifests + [manifest], "delete", len(entries), -n_del,
+            snapshot_id=snapshot_id,
+        )
+
+    def delete_by_keys(self, keys_df: DataFrame, key_cols: list[str]) -> int:
+        """Row-level DELETE via v2 EQUALITY deletes: every current row
+        whose ``key_cols`` tuple appears in ``keys_df`` is deleted —
+        without scanning the data at all (the streaming-upsert shape;
+        Flink's Iceberg sink emits exactly these). The delete file
+        carries just the distinct key tuples + ``equality_ids``;
+        application happens at read time, scoped to files with
+        data_seq < delete_seq. Returns the new snapshot id."""
+        md = self.metadata()
+        ice_schema = self.schema(md)
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        missing = [c for c in key_cols if c not in by_name]
+        if missing:
+            raise IcebergProtocolError(f"unknown key columns {missing}")
+        eq_ids = [int(by_name[c]["id"]) for c in key_cols]
+        snap = self.current_snapshot(md)
+        if snap is None:
+            return -1
+
+        import pyarrow.parquet as pq
+
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+        keys_df.select(*key_cols).distinct().write.mode(
+            "overwrite"
+        ).parquet(staging)
+        entries = []
+        for dirpath, _dirs, files in sorted(os.walk(staging)):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                pf = pq.ParquetFile(src)
+                if pf.metadata.num_rows == 0:
+                    continue
+                fname = f"{uuid.uuid4().hex}-eqdeletes.parquet"
+                final_abs = os.path.join(self.path, DATA_DIR, fname)
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.replace(src, final_abs)
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 2,
+                            "file_path": final_abs,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": pf.metadata.num_rows,
+                            "file_size_in_bytes": os.path.getsize(final_abs),
+                            "equality_ids": eq_ids,
+                        },
+                    }
+                )
+        for dirpath, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(dirpath, name))
+            os.rmdir(dirpath)
+        if not entries:
+            return -1
+        manifest = self._write_manifest(
+            entries, ice_schema, self.partition_spec(md),
+            md.get("default-spec-id", 0), snapshot_id, seq, content=1,
+        )
+        _, prev_manifests = read_container(
+            self._resolve_path(snap["manifest-list"])
+        )
+        return self._advance(
+            md, prev_manifests + [manifest], "delete", len(entries),
+            -sum(e["data_file"]["record_count"] for e in entries),
             snapshot_id=snapshot_id,
         )
 

@@ -166,60 +166,63 @@ def test_partition_summary_prunes_whole_manifests(spark, sf_dir, tmp_path):
     assert t._last_prune["files_read"] < t._last_prune["files_total"]
 
 
-def test_equality_delete_gate(spark, sf_dir, tmp_path):
-    """Equality delete files (data_file.content=2) must refuse, never
-    return deleted rows — position deletes (content=1) are applied by
-    the MOR reader instead (test_position_delete_merge_on_read)."""
+def test_equality_delete_merge_on_read(spark, sf_dir, tmp_path):
+    """Equality deletes (the streaming-upsert shape): delete_by_keys
+    writes key tuples + equality_ids; the reader drops matching rows
+    from files with data_seq < delete_seq — later appends with the same
+    keys survive."""
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "eq"))
+    t.create(orders.limit(100))
+    keys = orders.limit(100).filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    n_del = keys.count()
+    t.delete_by_keys(keys, ["o_orderkey"])
+    got = t.snapshot()
+    assert got.count() == 100 - n_del
+    assert got.filter(F.col("o_orderstatus") == "F").count() == 0
+    # re-appending a deleted key AFTER the delete survives (strict <)
+    one = orders.limit(100).filter(F.col("o_orderstatus") == "F").limit(1)
+    t.append(one)
+    assert t.snapshot().count() == 100 - n_del + 1
+    # multi-column keys with the same machinery
+    t2 = IcebergProtocolTable(spark, str(tmp_path / "eq2"))
+    t2.create(orders.limit(50))
+    k2 = orders.limit(50).select("o_orderkey", "o_custkey").limit(7)
+    t2.delete_by_keys(k2, ["o_orderkey", "o_custkey"])
+    assert t2.snapshot().count() == 43
+    # position + equality deletes compose
+    t2.delete_rows(F.col("o_orderstatus") == "O")
+    expect = (
+        orders.limit(50)
+        .join(k2, ["o_orderkey", "o_custkey"], "left_anti")
+        .filter(F.col("o_orderstatus") != "O")
+    )
+    assert _sorted_rows(t2.snapshot()) == _sorted_rows(expect)
+
+
+def test_unknown_content_gate(spark, sf_dir, tmp_path):
+    """An unknown data_file content id must refuse (future delete
+    encodings must not silently read as data)."""
     orders = _orders(spark, sf_dir)
     t = IcebergProtocolTable(spark, str(tmp_path / "d"))
     t.create(orders.limit(20))
     md = t.metadata()
     snap = t.current_snapshot(md)
     from featureform_spark.sources.avro_codec import write_container
-    from featureform_spark.sources.iceberg_protocol import (
-        MANIFEST_LIST_SCHEMA,
-        manifest_entry_schema,
+
+    man = t._resolve_path(
+        read_container(t._resolve_path(snap["manifest-list"]))[1][0][
+            "manifest_path"
+        ]
     )
-
-    eq_manifest = os.path.join(t.metadata_path, "eqdel-m0.avro")
-    write_container(
-        eq_manifest,
-        manifest_entry_schema([]),
-        [
-            {
-                "status": 1,
-                "snapshot_id": snap["snapshot-id"],
-                "sequence_number": 1,
-                "file_sequence_number": 1,
-                "data_file": {
-                    "content": 2,  # equality deletes
-                    "file_path": "eq-deletes.parquet",
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": 1,
-                    "file_size_in_bytes": 10,
-                },
-            }
-        ],
-    )
-    ml = snap["manifest-list"]
-    _, manifests = read_container(ml)
-    fake = dict(manifests[0])
-    fake["content"] = 1
-    fake["manifest_path"] = eq_manifest
-    write_container(ml, MANIFEST_LIST_SCHEMA, manifests + [fake])
-    with pytest.raises(UnsupportedIcebergFeatureError):
-        t.snapshot()
-
-
-def test_format_version_gate(spark, sf_dir, tmp_path):
-    orders = _orders(spark, sf_dir)
-    t = IcebergProtocolTable(spark, str(tmp_path / "fv"))
-    t.create(orders.limit(5))
-    p = tmp_path / "fv" / "metadata" / "v1.metadata.json"
-    md = json.loads(p.read_text())
-    md["format-version"] = 3
-    p.write_text(json.dumps(md))
+    schema, recs = read_container(man)
+    for r in recs:
+        r["data_file"]["content"] = 7
+    write_container(man, schema, recs)
     with pytest.raises(UnsupportedIcebergFeatureError):
         t.snapshot()
 
