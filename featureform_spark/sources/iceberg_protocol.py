@@ -1554,6 +1554,48 @@ class IcebergProtocolTable:
             snapshot_id=snapshot_id,
         )
 
+    def rewrite_data_files(self) -> int:
+        """Compaction (the spec's rewrite-data-files maintenance
+        action): materialize the current merge-on-read state into fresh
+        data files and commit a snapshot whose manifest list carries
+        ONLY the new manifest — applied position/equality deletes are
+        folded in and their files age out of scope, so subsequent reads
+        pay zero delete-join cost. Row-identical to ``snapshot()`` by
+        construction (it IS the write of that DataFrame); time travel
+        to pre-compaction snapshots still resolves the old manifests.
+        Returns the new snapshot id (or -1 for an empty/absent table).
+        """
+        md = self.metadata()
+        snap = self.current_snapshot(md)
+        if snap is None:
+            return -1
+        current = self.snapshot()
+        ice_schema = self.schema(md)
+        spec_fields = self.partition_spec(md)
+        by_id = {f["id"]: f for f in ice_schema["fields"]}
+        partition_by = [by_id[pf["source-id"]]["name"] for pf in spec_fields]
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        files = self._write_data_files(current, ice_schema, partition_by)
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": r,
+            }
+            for r in files
+        ]
+        manifest = self._write_manifest(
+            entries, ice_schema, spec_fields, md.get("default-spec-id", 0),
+            snapshot_id, seq,
+        )
+        return self._advance(
+            md, [manifest], "replace", len(files),
+            sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
+        )
+
     def overwrite(self, df: DataFrame) -> int:
         """Full-table overwrite: the new snapshot's manifest list
         carries only the new manifest (old files age out of scope)."""

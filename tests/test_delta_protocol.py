@@ -292,3 +292,42 @@ def test_dv_add_in_checkpoint_refuses(spark, sf_dir, tmp_path):
     t.clean_log()  # force state to fold from the checkpoint
     with pytest.raises(UnsupportedTableFeatureError):
         t.snapshot()
+
+
+def test_merge_copy_on_write(spark, sf_dir, tmp_path):
+    """MERGE on the real-protocol table: only files holding matched
+    keys are rewritten; unmatched keys insert; new source columns
+    evolve the schema (old rows NULL); untouched files carry by
+    reference across the commit."""
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "mg"))
+    # key-ranged files so the touched-file set is a strict subset
+    t.create(
+        orders.limit(300).repartitionByRange(6, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    base = {r["o_orderkey"]: r for r in t.snapshot().collect()}
+    some_keys = sorted(base)[:20]
+
+    src = spark.createDataFrame(
+        [(k, 999.5, "touched") for k in some_keys]
+        + [(10**9 + 1, 1.0, "new"), (10**9 + 2, 2.0, "new")],
+        "o_orderkey long, o_totalprice double, tag string",
+    )
+    out = t.merge(src, key="o_orderkey")
+    assert 0 < out["files_rewritten"] < out["files_total"]
+
+    got = {r["o_orderkey"]: r for r in t.snapshot().collect()}
+    assert len(got) == 302
+    for k in some_keys:
+        assert got[k]["o_totalprice"] == 999.5        # updated
+        assert got[k]["tag"] == "touched"             # evolved col
+        assert got[k]["o_custkey"] == base[k]["o_custkey"]  # kept
+    assert got[10**9 + 1]["tag"] == "new"             # inserted
+    untouched = [k for k in base if k not in set(some_keys)][0]
+    assert got[untouched]["o_totalprice"] == base[untouched]["o_totalprice"]
+    assert got[untouched]["tag"] is None              # old rows NULL
+    # pre-merge version still readable (time travel across MERGE)
+    assert t.snapshot(0).count() == 300

@@ -408,3 +408,20 @@ def test_incremental_append_scan(spark, sf_dir, tmp_path):
     t.overwrite(orders.limit(5))
     with pytest.raises(IcebergProtocolError, match="not append"):
         t.incremental_append_scan(s0)
+
+
+def test_rewrite_data_files_folds_deletes(spark, sf_dir, tmp_path):
+    """Compaction: after rewrite_data_files the table reads identically
+    but from fresh files with no delete joins; old snapshots still
+    time-travel."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    t = IcebergProtocolTable(spark, str(tmp_path / "rw"))
+    s0 = t.create(orders.limit(100))
+    t.delete_rows(F.col("o_orderstatus") == "F")
+    expect = _sorted_rows(t.snapshot())
+    s_c = t.rewrite_data_files()
+    assert _sorted_rows(t.snapshot()) == expect
+    data_e, del_e = t._live_entries(t.current_snapshot())
+    assert del_e == []            # deletes folded away
+    assert all(e["snapshot_id"] == s_c for e in data_e)
+    assert t.snapshot(snapshot_id=s0).count() == 100   # time travel
