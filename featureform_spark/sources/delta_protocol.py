@@ -875,3 +875,45 @@ def read_delta_path(
         if not connector_absent:
             raise
         return DeltaProtocolTable(spark, path).snapshot(version)
+
+
+def incremental_adds(
+    table: DeltaProtocolTable, last_version: int
+) -> DataFrame:
+    """Rows appended after ``last_version`` (exclusive): fold the add
+    actions of versions (last_version, latest] and scan only those
+    files — the blind-append incremental-read shape of the reference's
+    isIncremental sources (offline_store_spark_runner.py:1076-1136).
+    Commits in range that remove files (overwrite/MERGE) raise: an
+    append-only incremental read over them would be wrong (deltalite's
+    CDF covers those — sources/deltalite.py:change_feed)."""
+    latest = table.version()
+    if last_version >= latest:
+        return table.spark.createDataFrame([], table.state().schema)
+    have = set(table._commit_versions())
+    missing = [
+        v for v in range(last_version + 1, latest + 1) if v not in have
+    ]
+    if missing:
+        raise DeltaProtocolError(
+            f"commits {missing} were cleaned; incremental read from "
+            f"{last_version} is no longer possible"
+        )
+    st = table.state()  # for schema/partition layout
+    adds: dict[str, dict] = {}
+    for v in range(last_version + 1, latest + 1):
+        for a in table._read_commit(v):
+            if "remove" in a:
+                raise DeltaProtocolError(
+                    f"version {v} removes files (not a blind append); "
+                    "incremental add-scan would return wrong rows"
+                )
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+    sub = _State(
+        version=latest,
+        metadata=st.metadata,
+        protocol=st.protocol,
+        adds=adds,
+    )
+    return table._read_files(sub, table._data_paths(sub))

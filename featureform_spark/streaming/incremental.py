@@ -494,3 +494,33 @@ def stream_to_deltalite(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_delta_protocol(
+    stream_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    checkpoint: str,
+    transform=None,
+):
+    """Exactly-once streaming sink into a REAL Delta-protocol table
+    (sources/delta_protocol.py) — same contract as
+    ``stream_to_deltalite`` but the log it writes is readable by any
+    Delta engine: foreachBatch replays go through the table's
+    SetTransaction (``txn`` action) check, so a redelivered batch is a
+    recorded no-op and the table never double-counts."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform is not None else batch
+        table = DeltaProtocolTable(batch.sparkSession, table_path)
+        if not table.exists():
+            table.create(out.limit(0))
+        table.append(out, txn=(app_id, int(batch_id)))
+
+    return (
+        stream_df.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -267,3 +267,67 @@ def test_streaming_sessionize_state_across_batches(spark, tmp_path):
     by_id = {r["session_id"]: r for r in rows}
     assert by_id["u#1"]["closed"] is True and by_id["u#1"]["event_count"] == 2
     assert by_id["u#2"]["closed"] is False and by_id["u#2"]["event_count"] == 1
+
+
+def test_stream_to_delta_protocol_exactly_once(spark, sf_dir, tmp_path):
+    """File-source stream → foreachBatch → REAL Delta-protocol table
+    with SetTransaction idempotence: a replayed batch id is a recorded
+    no-op, so the at-least-once channel becomes exactly-once."""
+    import pyspark.sql.functions as F
+
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+    from featureform_spark.sources.testdata import load_table
+    from featureform_spark.streaming.incremental import (
+        stream_to_delta_protocol,
+    )
+
+    src_dir = tmp_path / "src"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    events.limit(200).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(src_dir))
+    )
+    q = stream_to_delta_protocol(
+        stream,
+        str(tmp_path / "tbl"),
+        app_id="stream-x",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    t = DeltaProtocolTable(spark, str(tmp_path / "tbl"))
+    n = t.snapshot().count()
+    assert n == 200
+    # replay the same batch id manually: SetTransaction makes it a no-op
+    assert t.append(events.limit(50), txn=("stream-x", 0)) == -1
+    assert t.snapshot().count() == n
+
+
+def test_delta_protocol_incremental_adds(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from featureform_spark.sources.delta_protocol import (
+        DeltaProtocolError,
+        DeltaProtocolTable,
+        incremental_adds,
+    )
+    from featureform_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "i"))
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    inc = incremental_adds(t, 0)
+    assert inc.count() == orders.filter(F.col("o_orderkey") % 3 != 0).count()
+    assert incremental_adds(t, t.version()).count() == 0
+    t.overwrite(orders.limit(3))
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaProtocolError, match="not a blind append"):
+        incremental_adds(t, 0)
