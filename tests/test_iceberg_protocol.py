@@ -425,3 +425,27 @@ def test_rewrite_data_files_folds_deletes(spark, sf_dir, tmp_path):
     assert del_e == []            # deletes folded away
     assert all(e["snapshot_id"] == s_c for e in data_e)
     assert t.snapshot(snapshot_id=s0).count() == 100   # time travel
+
+
+def test_pushdown_reaches_scan_through_protocol_reader(
+    spark, sf_dir, tmp_path
+):
+    """The protocol reader returns a plain native parquet relation, so
+    Catalyst pushdown/pruning must work through it: a filter on the
+    snapshot lands in PushedFilters and a 2-column projection prunes
+    ReadSchema."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "pd"))
+    t.create(orders)
+    df = (
+        t.snapshot()
+        .filter(F.col("o_orderkey") > 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema  # pruned

@@ -50,11 +50,12 @@ def test_encode_is_total_and_in_range(emb, codebook):
 def test_encode_plan_has_no_shuffle_of_corpus(emb, codebook):
     enc = pq_encode(emb, codebook, dim=DIM, m=M)
     plan = enc._jdf.queryExecution().executedPlan().toString()
-    # the corpus side must reach the project through broadcast only —
-    # no Exchange between the parquet scan and the code projection
-    assert "BroadcastNestedLoopJoin" in plan
-    scan_side = plan.split("BroadcastNestedLoopJoin")[1]
-    assert "Exchange hashpartitioning" not in scan_side.split("BroadcastExchange")[0]
+    # zero-shuffle encode: scan → Arrow kernel → project; the codebook
+    # rides the closure (no join node at all), and the corpus never
+    # exchanges
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_adc_topk_recall_vs_exact(emb):
