@@ -63,19 +63,53 @@ def dedup_exact(
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    # spread docs across all cores BEFORE the explode: a doc corpus often
-    # arrives as few dense files (locally: one partition), and the
-    # shingle×hash work downstream is ~100× the cost of shuffling the raw
-    # text — without this the whole pipeline runs single-threaded
+    """(id, shingle) rows, per-doc distinct — the shared front end of
+    minhash/LSH/Jaccard.
+
+    Tokenization stays the JVM ``tokens_expr`` (byte-identical to the
+    oracle's regexp); the slide-join-dedup runs in an Arrow kernel that
+    emits exploded rows directly. The HOF formulation charged one
+    interpreted ``array_join(slice(...))`` lambda PER SHINGLE (~1M
+    calls at sf0.1) — the kernel produces identical strings (same
+    single-space join of the same token slices), so every downstream
+    md5 is unchanged. Docs are spread across cores BEFORE the kernel: a
+    doc corpus often arrives as few dense files, and the shingle×hash
+    work downstream is ~100× the cost of shuffling the raw text.
+    """
+    import pandas as pd
+
+    n = shingle_n
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            for i, toks in zip(pdf[id_col].values, pdf["__toks"]):
+                if toks is None:  # NULL text: explode(NULL) drops the row
+                    continue
+                t = list(toks)
+                if len(t) < n:
+                    continue
+                seen = set()
+                for j in range(len(t) - n + 1):
+                    s = " ".join(t[j : j + n])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(i)
+                        shs.append(s)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="object"),
+                    "shingle": pd.Series(shs, dtype="object"),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
     return (
         df.repartition(F.col(id_col))
         .withColumn("__toks", tokens_expr(text_col))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(_shingles_of(F.col("__toks"), shingle_n))
-            ).alias("shingle"),
-        )
+        .select(id_col, "__toks")
+        .mapInPandas(gen, schema=f"{id_col} {id_type}, shingle string")
     )
 
 
