@@ -290,6 +290,152 @@ def decode_bound(ice_type: str, b: bytes | None) -> Any:
     return None
 
 
+# ------------------------------------------------------------ transforms
+# Partition transforms per spec §Partition Transforms. Bucket uses the
+# spec's 32-bit Murmur3 (x86 variant, seed 0) over the single-value
+# binary encoding with int/date widened to long — test vectors from the
+# spec appendix are asserted in tests/test_iceberg_protocol.py.
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit (public algorithm, Austin Appleby)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    length = len(data)
+    rounded = length - (length % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_hash(ice_type: str, val: Any) -> int:
+    """Spec §Appendix B hash: int/long/date/timestamp hash as 8-byte
+    little-endian LONG; strings as UTF-8 bytes."""
+    if val is None:
+        raise ValueError("bucket hash of null")
+    if ice_type in ("int", "long", "date"):
+        data = struct.pack("<q", int(val))
+    elif ice_type in ("timestamp", "timestamptz"):
+        import datetime
+
+        if isinstance(val, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+            val = int((val - epoch).total_seconds() * 1_000_000)
+        data = struct.pack("<q", int(val))
+    elif ice_type == "string":
+        data = str(val).encode("utf-8")
+    elif ice_type == "binary":
+        data = bytes(val)
+    else:
+        raise UnsupportedIcebergFeatureError(
+            f"bucket transform on type {ice_type!r} unsupported"
+        )
+    return murmur3_32(data)
+
+
+def bucket_value(ice_type: str, val: Any, n: int) -> int | None:
+    if val is None:
+        return None
+    return (bucket_hash(ice_type, val) & 0x7FFFFFFF) % n
+
+
+def _parse_transform(spec: str) -> tuple[str, int | None, str]:
+    """'col' | 'day(col)' | 'bucket(16, col)' → (transform, param, col).
+    Transform string follows the metadata-JSON convention
+    ('bucket[16]', 'truncate[4]', 'day', …)."""
+    s = spec.strip()
+    if "(" not in s:
+        return "identity", None, s
+    fn, _, rest = s.partition("(")
+    args = [a.strip() for a in rest.rstrip(")").split(",")]
+    fn = fn.strip().lower()
+    if fn in ("day", "hour", "month", "year"):
+        return fn, None, args[0]
+    if fn in ("bucket", "truncate"):
+        return f"{fn}[{int(args[0])}]", int(args[0]), args[1]
+    raise UnsupportedIcebergFeatureError(f"unknown transform {fn!r}")
+
+
+def _transform_result_type(transform: str, src_type: str) -> str:
+    if transform == "identity":
+        return src_type
+    if transform == "day":
+        return "date"
+    if transform in ("hour", "month", "year"):
+        return "int"
+    if transform.startswith("bucket["):
+        return "int"
+    if transform.startswith("truncate["):
+        return src_type
+    raise UnsupportedIcebergFeatureError(f"unknown transform {transform!r}")
+
+
+def _transform_expr(transform: str, src_type: str, col):
+    """Spark expression computing a partition-transform value. Bucket
+    rides an Arrow kernel (spec murmur3 has no Spark builtin — F.hash
+    is Murmur3 over Spark's internal row format, a different function).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if transform == "identity":
+        return c
+    if transform in ("day", "hour"):
+        div = 86_400_000_000 if transform == "day" else 3_600_000_000
+        if src_type == "date":
+            return F.datediff(c, F.lit("1970-01-01").cast("date"))
+        return F.floor(F.unix_micros(c) / div).cast("int")
+    if transform == "month":
+        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("int")
+    if transform == "year":
+        return (F.year(c) - 1970).cast("int")
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if src_type == "string":
+            return F.substring(c, 1, w)
+        # floor semantics for negatives: v - (((v % W) + W) % W)
+        return c - (((c % w) + w) % w)
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _bucket(a):
+            return pd.Series(
+                [
+                    None if v is None else bucket_value(src_type, v, n)
+                    for v in a
+                ],
+                dtype="object",
+            )
+
+        _bucket.__annotations__ = {"a": pd.Series, "return": pd.Series}
+        return pandas_udf(_bucket, "int")(c)
+    raise UnsupportedIcebergFeatureError(f"unknown transform {transform!r}")
+
+
 # --------------------------------------------------------- avro schemas
 # v2 manifest-list / manifest-entry schemas per the Iceberg spec, with
 # the spec's field-ids attached so real readers resolve columns.
@@ -926,32 +1072,62 @@ class IcebergProtocolTable:
                     lower[fid], upper[fid] = lb, ub
         return md.num_rows, value_counts, null_counts, lower, upper
 
+    def _part_fields_info(
+        self, ice_schema: dict, spec_fields: list[dict]
+    ) -> list[dict]:
+        """Resolve metadata spec fields → {name, transform, src_name,
+        src_type, result_type} for the write path."""
+        by_id = {f["id"]: f for f in ice_schema["fields"]}
+        out = []
+        for pf in spec_fields:
+            src = by_id[pf["source-id"]]
+            out.append(
+                {
+                    "name": pf["name"],
+                    "transform": pf["transform"],
+                    "src_name": src["name"],
+                    "src_type": src["type"],
+                    "result_type": _transform_result_type(
+                        pf["transform"], src["type"]
+                    ),
+                }
+            )
+        return out
+
     def _write_data_files(
-        self, df: DataFrame, ice_schema: dict, partition_cols: list[str]
+        self, df: DataFrame, ice_schema: dict, spec_fields: list[dict]
     ) -> list[dict]:
         """Write immutable parquet data files (one partition tuple per
         file) and return manifest data_file records with footer stats.
 
-        Partition columns are DUPLICATED into shadow ``_p_`` columns
-        for the directory split so the source columns stay inside the
+        Partition values are computed into shadow ``_p_`` columns
+        (identity or any supported transform — see module transforms)
+        for the directory split, so the source columns stay inside the
         data files, as the Iceberg spec requires (directories are
         convention; column values come from the files)."""
         import pyarrow.parquet as pq
 
+        infos = self._part_fields_info(ice_schema, spec_fields)
         staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
         w = df
-        if partition_cols:
-            for c in partition_cols:
-                w = w.withColumn(f"_p_{c}", F.col(c))
-            w = w.repartition(*[F.col(f"_p_{c}") for c in partition_cols])
-            w.write.mode("overwrite").partitionBy(
-                *[f"_p_{c}" for c in partition_cols]
-            ).parquet(staging)
+        if infos:
+            for i in infos:
+                w = w.withColumn(
+                    f"_p_{i['name']}",
+                    _transform_expr(
+                        i["transform"], i["src_type"], i["src_name"]
+                    ),
+                )
+            shadow = [f"_p_{i['name']}" for i in infos]
+            # partitionBy consumes the shadow columns into the directory
+            # layout; the source columns stay in the files
+            w = w.repartition(*[F.col(c) for c in shadow])
+            w.write.mode("overwrite").partitionBy(*shadow).parquet(staging)
         else:
             w.write.mode("overwrite").parquet(staging)
 
         name_to_field = {f["name"]: f for f in ice_schema["fields"]}
-        field_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+        result_types = {i["name"]: i["result_type"] for i in infos}
         records: list[dict] = []
         for dirpath, _dirs, files in sorted(os.walk(staging)):
             for name in sorted(files):
@@ -977,16 +1153,20 @@ class IcebergProtocolTable:
                             pv[col] = None
                             continue
                         raw = urllib.parse.unquote(raw)
-                        t = field_types[col]
+                        t = result_types[col]
                         if t in ("int", "long"):
                             pv[col] = int(raw)
                         elif t == "date":
                             import datetime
 
-                            pv[col] = (
-                                datetime.date.fromisoformat(raw)
-                                - datetime.date(1970, 1, 1)
-                            ).days
+                            try:
+                                # day-transform shadow values are ints
+                                pv[col] = int(raw)
+                            except ValueError:
+                                pv[col] = (
+                                    datetime.date.fromisoformat(raw)
+                                    - datetime.date(1970, 1, 1)
+                                ).days
                         else:
                             pv[col] = raw
                 fname = f"{uuid.uuid4().hex}.parquet"
@@ -1033,8 +1213,9 @@ class IcebergProtocolTable:
         out = []
         for pf in spec_fields:
             src = by_id[pf["source-id"]]
+            rt = _transform_result_type(pf["transform"], src["type"])
             out.append(
-                _f(pf["name"], _opt(_AVRO.get(src["type"], "string")), pf["field-id"], default=None)
+                _f(pf["name"], _opt(_AVRO.get(rt, "string")), pf["field-id"], default=None)
             )
         return out
 
@@ -1073,7 +1254,9 @@ class IcebergProtocolTable:
         by_id = {f["id"]: f for f in ice_schema["fields"]}
         summaries = []
         for pf in spec_fields:
-            ice_type = by_id[pf["source-id"]]["type"]
+            ice_type = _transform_result_type(
+                pf["transform"], by_id[pf["source-id"]]["type"]
+            )
             vals = [
                 e["data_file"]["partition"].get(pf["name"]) for e in entries
             ]
@@ -1140,37 +1323,55 @@ class IcebergProtocolTable:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
     ) -> int:
-        """CTAS: v2 metadata + first snapshot. ``partition_by`` columns
-        become identity partition fields (other transforms gate)."""
+        """CTAS: v2 metadata + first snapshot. ``partition_by`` entries
+        are either plain column names (identity) or transform specs —
+        ``"day(ts)"``, ``"hour(ts)"``, ``"month(ts)"``, ``"year(ts)"``,
+        ``"bucket(16, col)"`` (spec murmur3), ``"truncate(4, col)"``."""
         if self.exists():
             raise IcebergProtocolError(f"table already exists: {self.path}")
         partition_by = list(partition_by or [])
         ice_schema = spark_schema_to_iceberg(df.schema)
         last_col_id = ice_schema.pop("_last_column_id")
         by_name = {f["name"]: f for f in ice_schema["fields"]}
-        for c in partition_by:
+        _VALID_SRC = {
+            "identity": {"int", "long", "string", "date"},
+            "day": {"timestamp", "timestamptz", "date"},
+            "hour": {"timestamp", "timestamptz"},
+            "month": {"timestamp", "timestamptz", "date"},
+            "year": {"timestamp", "timestamptz", "date"},
+            "bucket": {"int", "long", "string", "date", "timestamp",
+                       "timestamptz"},
+            "truncate": {"int", "long", "string"},
+        }
+        spec_fields = []
+        for i, spec in enumerate(partition_by):
+            transform, _param, c = _parse_transform(spec)
             if c not in by_name:
-                raise IcebergProtocolError(f"partition column {c!r} not in schema")
-            if not isinstance(by_name[c]["type"], str) or by_name[c]["type"] not in (
-                "int", "long", "string", "date"
-            ):
+                raise IcebergProtocolError(
+                    f"partition column {c!r} not in schema"
+                )
+            src_t = by_name[c]["type"]
+            base = transform.split("[", 1)[0]
+            if not isinstance(src_t, str) or src_t not in _VALID_SRC[base]:
                 raise UnsupportedIcebergFeatureError(
-                    f"identity partitioning on type {by_name[c]['type']!r} "
+                    f"{base} partitioning on type {src_t!r} "
                     "is not supported by this writer"
                 )
-        spec_fields = [
-            {
-                "source-id": by_name[c]["id"],
-                "field-id": 1000 + i,
-                "name": c,
-                "transform": "identity",
-            }
-            for i, c in enumerate(partition_by)
-        ]
+            name = c if transform == "identity" else (
+                f"{c}_{'trunc' if base == 'truncate' else base}"
+            )
+            spec_fields.append(
+                {
+                    "source-id": by_name[c]["id"],
+                    "field-id": 1000 + i,
+                    "name": name,
+                    "transform": transform,
+                }
+            )
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         now = int(time.time() * 1000)
         os.makedirs(self.path, exist_ok=True)
-        files = self._write_data_files(df, ice_schema, partition_by)
+        files = self._write_data_files(df, ice_schema, spec_fields)
         entries = [
             {
                 "status": 1,
@@ -1331,13 +1532,6 @@ class IcebergProtocolTable:
         md = self.metadata()
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
-        for pf in spec_fields:
-            if pf.get("transform") != "identity":
-                raise UnsupportedIcebergFeatureError(
-                    f"write with transform {pf.get('transform')!r} unsupported"
-                )
-        by_id = {f["id"]: f for f in ice_schema["fields"]}
-        partition_by = [by_id[pf["source-id"]]["name"] for pf in spec_fields]
         seq = int(md.get("last-sequence-number", 0)) + 1
         snap_prev = self.current_snapshot(md)
         prev_manifests = []
@@ -1346,7 +1540,7 @@ class IcebergProtocolTable:
                 self._resolve_path(snap_prev["manifest-list"])
             )
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        files = self._write_data_files(df, ice_schema, partition_by)
+        files = self._write_data_files(df, ice_schema, spec_fields)
         entries = [
             {
                 "status": 1,
@@ -1572,11 +1766,9 @@ class IcebergProtocolTable:
         current = self.snapshot()
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
-        by_id = {f["id"]: f for f in ice_schema["fields"]}
-        partition_by = [by_id[pf["source-id"]]["name"] for pf in spec_fields]
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        files = self._write_data_files(current, ice_schema, partition_by)
+        files = self._write_data_files(current, ice_schema, spec_fields)
         entries = [
             {
                 "status": 1,
@@ -1602,11 +1794,9 @@ class IcebergProtocolTable:
         md = self.metadata()
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
-        by_id = {f["id"]: f for f in ice_schema["fields"]}
-        partition_by = [by_id[pf["source-id"]]["name"] for pf in spec_fields]
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        files = self._write_data_files(df, ice_schema, partition_by)
+        files = self._write_data_files(df, ice_schema, spec_fields)
         entries = [
             {
                 "status": 1,

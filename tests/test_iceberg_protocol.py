@@ -449,3 +449,79 @@ def test_pushdown_reaches_scan_through_protocol_reader(
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_totalprice" in read_schema
     assert "o_orderdate" not in read_schema  # pruned
+
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec Appendix B bucket-hash test vectors (signed int32
+    view of our unsigned result)."""
+    import datetime
+
+    from featureform_spark.sources.iceberg_protocol import (
+        bucket_hash,
+        bucket_value,
+        murmur3_32,
+    )
+
+    def signed(v):
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    assert signed(bucket_hash("int", 34)) == 2017239379
+    assert signed(bucket_hash("long", 34)) == 2017239379
+    assert signed(bucket_hash("string", "iceberg")) == 1210000089
+    ts = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert signed(bucket_hash("timestamp", ts)) == -2047944441
+    days = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert signed(bucket_hash("date", days)) == -653330422
+    assert 0 <= bucket_value("long", 34, 16) < 16
+
+
+def test_partition_transforms_roundtrip(spark, sf_dir, tmp_path):
+    """day + bucket + truncate partitioning: rows unchanged, manifests
+    carry the TRANSFORMED partition values, appends keep working, and
+    source columns stay in the data files."""
+    import datetime
+
+    from featureform_spark.sources.iceberg_protocol import bucket_value
+
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus",
+        "o_totalprice",
+    )
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    t = IcebergProtocolTable(spark, str(tmp_path / "tr"))
+    t.create(
+        half_a,
+        partition_by=[
+            "month(o_orderdate)",
+            "bucket(4, o_custkey)",
+            "truncate(1, o_orderstatus)",
+        ],
+    )
+    t.append(half_b)
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(orders)
+
+    spec = t.partition_spec()
+    assert [pf["transform"] for pf in spec] == [
+        "month", "bucket[4]", "truncate[1]"
+    ]
+    snap = t.current_snapshot()
+    _, manifests = read_container(snap["manifest-list"])
+    _, entries = read_container(manifests[0]["manifest_path"])
+    pv = entries[0]["data_file"]["partition"]
+    assert set(pv) == {
+        "o_orderdate_month", "o_custkey_bucket", "o_orderstatus_trunc"
+    }
+    assert 0 <= pv["o_custkey_bucket"] < 4
+    assert pv["o_orderstatus_trunc"] in ("F", "O", "P")
+    # month value is months-since-epoch of some real order date
+    assert 300 <= pv["o_orderdate_month"] <= 1000
+
+    # the recorded bucket matches the spec murmur3 of an actual row
+    # in that file
+    import pyarrow.parquet as pq
+
+    fpath = entries[0]["data_file"]["file_path"]
+    tbl = pq.read_table(fpath, columns=["o_custkey"])
+    for v in tbl["o_custkey"].to_pylist()[:20]:
+        assert bucket_value("long", v, 4) == pv["o_custkey_bucket"]

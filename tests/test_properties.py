@@ -231,3 +231,84 @@ def test_pq_encode_partition_invariant(spark, sf_dir):
         for r in pq_encode(emb.repartition(5), cb2, dim=64, m=8).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------- avro codec
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=-(2**62), max_value=2**62),
+                "name": st.text(max_size=40),
+                "score": st.floats(allow_nan=False, allow_infinity=False),
+                "tags": st.lists(st.text(max_size=8), max_size=5),
+                "props": st.dictionaries(
+                    st.text(min_size=1, max_size=6),
+                    st.integers(min_value=-(2**31), max_value=2**31),
+                    max_size=4,
+                ),
+                "blob": st.one_of(st.none(), st.binary(max_size=20)),
+            }
+        ),
+        max_size=30,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_avro_container_roundtrip_property(records, codec):
+    """write_container → read_container is identity for arbitrary
+    records over the full type surface the Iceberg metadata path uses
+    (long/string/double/array/map/union-null/bytes)."""
+    import os
+    import tempfile
+
+    from featureform_spark.sources.avro_codec import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "blob", "type": ["null", "bytes"]},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_container(p, schema, records, codec=codec)
+        got_schema, got = read_container(p)
+    assert got_schema == schema
+    assert got == records
+
+
+@given(
+    st.one_of(
+        st.tuples(st.just("int"), st.integers(-(2**31), 2**31 - 1)),
+        st.tuples(st.just("long"), st.integers(-(2**63), 2**63 - 1)),
+        st.tuples(
+            st.just("double"),
+            st.floats(allow_nan=False, allow_infinity=False),
+        ),
+        st.tuples(st.just("string"), st.text(max_size=60)),
+        st.tuples(st.just("boolean"), st.booleans()),
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_iceberg_bound_roundtrip_property(tv):
+    """encode_bound → decode_bound is identity across the single-value
+    binary serialization (Iceberg spec)."""
+    from featureform_spark.sources.iceberg_protocol import (
+        decode_bound,
+        encode_bound,
+    )
+
+    t, v = tv
+    assert decode_bound(t, encode_bound(t, v)) == v
