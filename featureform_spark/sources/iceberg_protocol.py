@@ -394,6 +394,47 @@ def _transform_result_type(transform: str, src_type: str) -> str:
     raise UnsupportedIcebergFeatureError(f"unknown transform {transform!r}")
 
 
+def apply_transform_py(transform: str, src_type: str, v: Any) -> Any:
+    """Driver-side transform of a literal — used to push a filter on
+    the SOURCE column through a transformed partition (Iceberg's hidden
+    partitioning). Only monotonic transforms belong here (bucket is
+    deliberately absent: it is not order-preserving, so range filters
+    cannot prune through it)."""
+    import datetime
+
+    if transform == "identity":
+        return v
+    if isinstance(v, datetime.datetime):
+        d = v.date()
+    elif isinstance(v, datetime.date):
+        d = v
+    else:
+        d = None
+    if transform == "day":
+        return d  # decode_bound('date') yields datetime.date
+    if transform == "hour":
+        micros = int(
+            (v - datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)).total_seconds()
+            * 1_000_000
+        )
+        return micros // 3_600_000_000
+    if transform == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if transform == "year":
+        return d.year - 1970
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if isinstance(v, str):
+            return v[:w]
+        return int(v) - (((int(v) % w) + w) % w)
+    raise UnsupportedIcebergFeatureError(
+        f"cannot push a range filter through transform {transform!r}"
+    )
+
+
+_MONOTONIC_TRANSFORMS = ("identity", "day", "hour", "month", "year")
+
+
 def _transform_expr(transform: str, src_type: str, col):
     """Spark expression computing a partition-transform value. Bucket
     rides an Arrow kernel (spec murmur3 has no Spark builtin — F.hash
@@ -947,12 +988,26 @@ class IcebergProtocolTable:
                 fid, ice_type = f["id"], f["type"]
         if fid is None or not isinstance(ice_type, str):
             raise IcebergProtocolError(f"no atomic column {col!r}")
-        # manifest-level pruning via partition summaries
+        # manifest-level pruning via partition summaries — including
+        # THROUGH monotonic transforms (hidden partitioning: a filter
+        # on ts prunes a day(ts)-partitioned table's manifests)
         spec = self.partition_spec(md)
         part_pos = None
+        part_transform = "identity"
+        part_rtype = ice_type
         for i, pf in enumerate(spec):
-            if pf.get("source-id") == fid and pf.get("transform") == "identity":
+            tr = pf.get("transform", "identity")
+            base = tr.split("[", 1)[0]
+            if pf.get("source-id") == fid and (
+                base in _MONOTONIC_TRANSFORMS or base == "truncate"
+            ):
                 part_pos = i
+                part_transform = tr
+                part_rtype = _transform_result_type(tr, ice_type)
+        plo, phi = lo, hi
+        if part_pos is not None and part_transform != "identity":
+            plo = apply_transform_py(part_transform, ice_type, lo)
+            phi = apply_transform_py(part_transform, ice_type, hi)
         ml_path = self._resolve_path(snap["manifest-list"])
         _, manifests = read_container(ml_path)
         total_files = 0
@@ -974,13 +1029,13 @@ class IcebergProtocolTable:
                 summaries = m["partitions"]
                 if part_pos < len(summaries):
                     s = summaries[part_pos]
-                    smn = decode_bound(ice_type, s.get("lower_bound"))
-                    smx = decode_bound(ice_type, s.get("upper_bound"))
+                    smn = decode_bound(part_rtype, s.get("lower_bound"))
+                    smx = decode_bound(part_rtype, s.get("upper_bound"))
                     if (
                         smn is not None
                         and smx is not None
                         and not s.get("contains_null", False)
-                        and (smx < lo or smn > hi)
+                        and (smx < plo or smn > phi)
                     ):
                         # judge-visible pruning accounting still needs
                         # the file count of skipped manifests

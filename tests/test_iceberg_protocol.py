@@ -525,3 +525,29 @@ def test_partition_transforms_roundtrip(spark, sf_dir, tmp_path):
     tbl = pq.read_table(fpath, columns=["o_custkey"])
     for v in tbl["o_custkey"].to_pylist()[:20]:
         assert bucket_value("long", v, 4) == pv["o_custkey_bucket"]
+
+
+def test_hidden_partitioning_prunes_through_day_transform(
+    spark, sf_dir, tmp_path
+):
+    """A range filter on the SOURCE timestamp column must prune
+    manifests of a day(ts)-partitioned table — Iceberg's hidden
+    partitioning contract (the user never mentions the partition
+    column)."""
+    orders = _orders(spark, sf_dir)
+    early = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    late = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    t = IcebergProtocolTable(spark, str(tmp_path / "hp"))
+    t.create(early, partition_by=["day(o_orderdate)"])
+    t.append(late)
+
+    import datetime
+
+    lo = datetime.datetime(1996, 6, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    got = t.scan_planned("o_orderdate", lo, hi)
+    expect = orders.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    assert _sorted_rows(got) == _sorted_rows(expect)
+    assert t._last_prune["files_read"] < t._last_prune["files_total"]
