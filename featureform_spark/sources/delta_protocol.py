@@ -24,9 +24,13 @@ directly:
   put-if-absent commit files (O_EXCL — the same primitive Delta's
   LogStore contract requires), parquet checkpoints, SetTransaction
   idempotence (`txn` actions).
-- **Honest gates**: deletion vectors, column mapping, v2 checkpoints,
-  and unknown reader table-features raise instead of silently
-  returning wrong rows.
+- **Column mapping** (mode name/id, reader v2): data files store
+  columns under physical names; the reader scans the physical schema
+  and aliases back to logical names (top-level; nested-mapped and
+  partitioned+mapped tables gate).
+- **Honest gates**: deletion vectors, v2 checkpoints, nested/
+  partitioned column mapping, and unknown reader table-features raise
+  instead of silently returning wrong rows.
 
 Tables written here carry only `minReaderVersion=1` /
 `minWriterVersion=2`, so any real Delta implementation (delta-spark,
@@ -88,6 +92,40 @@ class _State:
     @property
     def partition_columns(self) -> list[str]:
         return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def column_mapping(self) -> list[tuple[str, str]] | None:
+        """[(physical, logical)] when delta.columnMapping is active
+        (mode name/id — data files store columns under physical names),
+        else None. Nested mapped fields gate (top-level only)."""
+        mode = (self.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode in ("none", None):
+            return None
+        sj = json.loads(self.metadata["schemaString"])
+        pairs = []
+        for f in sj["fields"]:
+            md = f.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            if isinstance(f.get("type"), dict) and json.dumps(
+                f["type"]
+            ).find("physicalName") >= 0:
+                raise UnsupportedTableFeatureError(
+                    "column mapping on nested fields is not supported"
+                )
+            pairs.append((phys or f["name"], f["name"]))
+        return pairs
+
+    @property
+    def physical_schema(self) -> T.StructType:
+        sj = json.loads(self.metadata["schemaString"])
+        mapping = self.column_mapping
+        if not mapping:
+            return self.schema
+        for f, (phys, _logical) in zip(sj["fields"], mapping):
+            f["name"] = phys
+        return T.StructType.fromJson(sj)
 
 
 def _commit_name(version: int) -> str:
@@ -283,9 +321,16 @@ class DeltaProtocolTable:
         mapping = (metadata.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if reader >= 2 and mapping not in ("none", None):
+        if mapping not in ("none", None, "name", "id"):
             raise UnsupportedTableFeatureError(
                 f"column mapping mode {mapping!r} is not supported"
+            )
+        if mapping in ("name", "id") and (
+            metadata.get("partitionColumns") or []
+        ):
+            raise UnsupportedTableFeatureError(
+                "column mapping on a PARTITIONED table is not supported "
+                "(physical partition directory names)"
             )
 
     def state(self, version: int | None = None) -> _State:
@@ -368,6 +413,22 @@ class DeltaProtocolTable:
         parts = st.partition_columns
         if not paths:
             return self.spark.createDataFrame([], schema)
+        mapping = st.column_mapping
+        if mapping:
+            # column mapping (mode name/id): data files store columns
+            # under PHYSICAL names; read the physical schema and alias
+            # back to the logical names (partitioned+mapped gates in
+            # _check_protocol)
+            return (
+                self.spark.read.schema(st.physical_schema)
+                .parquet(*paths)
+                .select(
+                    *[
+                        F.col(phys).alias(logical)
+                        for phys, logical in mapping
+                    ]
+                )
+            )
         if not parts:
             return self.spark.read.schema(schema).parquet(*paths).select(
                 *[f.name for f in schema.fields]
@@ -792,6 +853,64 @@ class DeltaProtocolTable:
         return v
 
     # ------------------------------------------------------ checkpoint
+
+    def version_at_timestamp(self, ts_millis: int) -> int:
+        """TIMESTAMP AS OF: the newest version whose commit timestamp
+        is <= ``ts_millis`` (commitInfo carries it; falls back to file
+        mtime for commits written without one)."""
+        best = None
+        for v in self._commit_versions():
+            t = None
+            for a in self._read_commit(v):
+                if "commitInfo" in a:
+                    t = a["commitInfo"].get("timestamp")
+                    break
+            if t is None:
+                t = int(
+                    os.path.getmtime(
+                        os.path.join(self.log_path, _commit_name(v))
+                    )
+                    * 1000
+                )
+            if t <= ts_millis:
+                best = v
+        if best is None:
+            raise DeltaProtocolError(
+                f"no commit at or before timestamp {ts_millis}"
+            )
+        return best
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """OPTIMIZE bin-packing: rewrite the current file set into
+        fewer, larger files and commit remove+add with
+        ``dataChange=false`` (readers see identical rows; streams must
+        not re-emit them — the Delta OPTIMIZE contract). Partitioned
+        tables re-cluster per partition via the normal write path."""
+        st = self.state()
+        n_rows = 0
+        for add in st.adds.values():
+            stats = add.get("stats")
+            if stats:
+                n_rows += int(json.loads(stats).get("numRecords", 0))
+        df = self.snapshot()
+        if not st.partition_columns:
+            n_files = max(1, -(-n_rows // target_rows_per_file))
+            df = df.coalesce(n_files)
+        adds = self._write_files(df, st.partition_columns)
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+            for p in sorted(st.adds)
+        ] + [{"add": {**a, "dataChange": False}} for a in adds]
+        v = st.version + 1
+        self._commit(v, actions, "OPTIMIZE")
+        return v
 
     def checkpoint(self) -> int:
         """Write a classic single-file parquet checkpoint at the

@@ -923,6 +923,21 @@ class IcebergProtocolTable:
         ]
         return self._read_files(schema, sorted(paths))
 
+    def snapshot_as_of_timestamp(self, ts_millis: int) -> DataFrame:
+        """TIMESTAMP AS OF over the snapshot log: the newest snapshot
+        whose timestamp-ms is <= the given instant."""
+        md = self.metadata()
+        log = md.get("snapshot-log") or []
+        best = None
+        for e in log:
+            if int(e["timestamp-ms"]) <= ts_millis:
+                best = e["snapshot-id"]
+        if best is None:
+            raise IcebergProtocolError(
+                f"no snapshot at or before timestamp {ts_millis}"
+            )
+        return self.snapshot(snapshot_id=best)
+
     def incremental_append_scan(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> DataFrame:

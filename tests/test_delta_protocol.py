@@ -184,10 +184,11 @@ def test_feature_gates(spark, sf_dir, tmp_path):
         t.snapshot()
     os.remove(log / ("%020d.json" % 1))
 
-    # column mapping gate
+    # unknown column-mapping mode gate (name/id are supported —
+    # test_column_mapping_read covers the read path)
     st = t.state()
     meta = dict(st.metadata)
-    meta["configuration"] = {"delta.columnMapping.mode": "name"}
+    meta["configuration"] = {"delta.columnMapping.mode": "weird"}
     (log / ("%020d.json" % 1)).write_text(
         json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
         + "\n" + json.dumps({"metaData": meta}) + "\n"
@@ -331,3 +332,95 @@ def test_merge_copy_on_write(spark, sf_dir, tmp_path):
     assert got[untouched]["tag"] is None              # old rows NULL
     # pre-merge version still readable (time travel across MERGE)
     assert t.snapshot(0).count() == 300
+
+
+def test_column_mapping_read(spark, sf_dir, tmp_path):
+    """A table written with delta.columnMapping (mode=name — what
+    delta-spark emits after a column rename): data files carry
+    PHYSICAL column names; the reader must return LOGICAL names with
+    the right values."""
+    import json as _json
+
+    path = tmp_path / "cm"
+    # physical data files
+    phys = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(50)],
+        "`col-9a8b` long, `col-1c2d` double",
+    )
+    data_dir = path / "d"
+    phys.coalesce(1).write.mode("overwrite").parquet(str(data_dir))
+    parts = [
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    ]
+    for f in parts:
+        os.replace(data_dir / f, path / f)
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "order_id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-9a8b",
+                },
+            },
+            {
+                "name": "amount",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-1c2d",
+                },
+            },
+        ],
+    }
+    log = path / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "x",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": 0,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f,
+                "partitionValues": {},
+                "size": os.path.getsize(path / f),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for f in parts
+    ]
+    (log / ("%020d.json" % 0)).write_text(
+        "\n".join(_json.dumps(a) for a in actions) + "\n"
+    )
+
+    t = DeltaProtocolTable(spark, str(path))
+    got = t.snapshot()
+    assert got.columns == ["order_id", "amount"]
+    rows = sorted(map(tuple, got.collect()))
+    assert rows[:3] == [(0, 0.0), (1, 1.5), (2, 3.0)]
+    assert len(rows) == 50
+
+    # partitioned + mapped still gates
+    md = t.state().metadata
+    md2 = dict(md)
+    md2["partitionColumns"] = ["order_id"]
+    (log / ("%020d.json" % 1)).write_text(
+        _json.dumps({"metaData": md2}) + "\n"
+    )
+    with pytest.raises(UnsupportedTableFeatureError, match="PARTITIONED"):
+        t.snapshot()

@@ -194,3 +194,61 @@ def test_unknown_codec_raises(tmp_path):
         f.write(data)
     with pytest.raises(AvroError):
         read_container(path)
+
+
+def test_timestamp_as_of_and_optimize(spark, sf_dir, tmp_path):
+    import time as _time
+
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = DeltaProtocolTable(spark, str(tmp_path / "ts"))
+    t.create(orders.limit(100))
+    _time.sleep(0.05)
+    mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(orders.limit(50))
+    assert t.version_at_timestamp(mid) == 0
+    assert t.snapshot(t.version_at_timestamp(mid)).count() == 100
+    import pytest as _p
+
+    with _p.raises(DeltaProtocolError):
+        t.version_at_timestamp(0)
+
+    # OPTIMIZE: fewer files, identical rows, dataChange=false actions
+    before = t.snapshot().count()
+    n_files_before = len(t.state().adds)
+    v = t.compact()
+    st = t.state()
+    assert t.snapshot().count() == before
+    assert len(st.adds) <= n_files_before
+    acts = t._read_commit(v)
+    changed = [
+        a for a in acts
+        if ("add" in a and a["add"]["dataChange"])
+        or ("remove" in a and a["remove"]["dataChange"])
+    ]
+    assert changed == []
+
+
+def test_iceberg_snapshot_as_of_timestamp(spark, sf_dir, tmp_path):
+    import time as _time
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolError,
+        IcebergProtocolTable,
+    )
+
+    orders = _orders(spark, sf_dir).select("o_orderkey")
+    t = IcebergProtocolTable(spark, str(tmp_path / "its"))
+    t.create(orders.limit(80))
+    _time.sleep(0.05)
+    mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(orders.limit(20))
+    assert t.snapshot_as_of_timestamp(mid).count() == 80
+    assert t.snapshot_as_of_timestamp(
+        int(_time.time() * 1000)
+    ).count() == 100
+    import pytest as _p
+
+    with _p.raises(IcebergProtocolError):
+        t.snapshot_as_of_timestamp(0)
