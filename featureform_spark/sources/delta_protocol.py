@@ -955,6 +955,41 @@ class DeltaProtocolTable:
         os.replace(tmp, os.path.join(self.log_path, LAST_CHECKPOINT))
         return st.version
 
+    def vacuum(self, retain_versions: int = 0) -> dict:
+        """Delete data files no longer referenced by any retained
+        version: files referenced by the versions within
+        ``retain_versions`` of latest (plus the checkpoint fold base)
+        survive; everything else under the table dir goes. Time travel
+        below the retention horizon stops working — same contract as
+        Delta VACUUM. Returns {"deleted", "kept"}."""
+        latest = self.version()
+        horizon = max(0, latest - retain_versions)
+        keep: set[str] = set()
+        versions = [v for v in self._commit_versions() if v >= horizon]
+        cps = [v for v in self._checkpoint_versions() if v <= horizon]
+        candidates = sorted(set(versions + ([max(cps)] if cps else [])))
+        for v in candidates or [latest]:
+            try:
+                st = self.state(v)
+            except DeltaProtocolError:
+                continue
+            keep.update(
+                os.path.relpath(p, self.path) for p in self._data_paths(st)
+            )
+        deleted = 0
+        for dirpath, _dirs, files in os.walk(self.path):
+            if LOG_DIR in dirpath or STAGING_DIR in dirpath:
+                continue
+            for name in files:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                if rel.startswith(LOG_DIR) or not name.endswith(".parquet"):
+                    continue
+                if rel not in keep:
+                    os.remove(full)
+                    deleted += 1
+        return {"deleted": deleted, "kept": len(keep)}
+
     def clean_log(self) -> int:
         """Delete JSON commits at or below the newest checkpoint (Delta
         log retention); state reads fold checkpoint + tail only."""

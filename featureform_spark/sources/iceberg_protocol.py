@@ -923,6 +923,60 @@ class IcebergProtocolTable:
         ]
         return self._read_files(schema, sorted(paths))
 
+    def expire_snapshots(self, retain_last: int = 1) -> dict:
+        """Snapshot expiration (the spec's maintenance action): keep
+        the last ``retain_last`` snapshots, drop the rest from metadata
+        and delete files (data, delete, manifest, manifest-list) that
+        only those expired snapshots reference. Time travel below the
+        horizon stops working. Returns {"expired", "files_deleted"}."""
+        md = self.metadata()
+        snaps = self.snapshots(md)
+        if len(snaps) <= retain_last:
+            return {"expired": 0, "files_deleted": 0}
+        keep_snaps = snaps[-retain_last:]
+        expired = snaps[: -retain_last]
+
+        def _referenced(snapshots: list[dict]) -> set[str]:
+            refs: set[str] = set()
+            for s in snapshots:
+                ml = self._resolve_path(s["manifest-list"])
+                refs.add(ml)
+                try:
+                    _, manifests = read_container(ml)
+                except Exception:
+                    continue
+                for m in manifests:
+                    mp = self._resolve_path(m["manifest_path"])
+                    refs.add(mp)
+                    try:
+                        _, recs = read_container(mp)
+                    except Exception:
+                        continue
+                    for e in recs:
+                        refs.add(
+                            self._resolve_path(e["data_file"]["file_path"])
+                        )
+            return refs
+
+        keep_refs = _referenced(keep_snaps)
+        dead_refs = _referenced(expired) - keep_refs
+        deleted = 0
+        for p in sorted(dead_refs):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted += 1
+        version = max(v for v, _ in self._metadata_files()) + 1
+        keep_ids = {s["snapshot-id"] for s in keep_snaps}
+        md = dict(md)
+        md["snapshots"] = keep_snaps
+        md["snapshot-log"] = [
+            e for e in (md.get("snapshot-log") or [])
+            if e["snapshot-id"] in keep_ids
+        ]
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md, version)
+        return {"expired": len(expired), "files_deleted": deleted}
+
     def snapshot_as_of_timestamp(self, ts_millis: int) -> DataFrame:
         """TIMESTAMP AS OF over the snapshot log: the newest snapshot
         whose timestamp-ms is <= the given instant."""

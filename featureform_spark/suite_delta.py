@@ -328,3 +328,41 @@ def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(events.filter(F.col("event_id") % 4 == 1))
     t.append(events.filter(F.col("event_id") % 4 == 2))
     return t.incremental_append_scan(s0)
+
+
+@query(
+    "iceberg_hidden_partitioning",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+      AND o_orderdate <= TIMESTAMP '1997-01-01'
+    """,
+)
+def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg hidden partitioning: the table is day(ts)-partitioned
+    (transform computed by the writer — spec murmur3/day machinery in
+    sources/iceberg_protocol.py); the reader's range filter on the
+    SOURCE timestamp prunes manifests through the transform without the
+    user ever naming a partition column. Pruning counts asserted in
+    tests; the oracle certifies row-exactness."""
+    import datetime
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_hidden"))
+    t.create(
+        orders.filter(F.col("o_orderdate") < "1996-01-01"),
+        partition_by=["month(o_orderdate)"],
+    )
+    t.append(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
+    return t.scan_planned(
+        "o_orderdate",
+        datetime.datetime(1996, 6, 1),
+        datetime.datetime(1997, 1, 1),
+    )

@@ -252,3 +252,41 @@ def test_iceberg_snapshot_as_of_timestamp(spark, sf_dir, tmp_path):
 
     with _p.raises(IcebergProtocolError):
         t.snapshot_as_of_timestamp(0)
+
+
+def test_delta_vacuum_unreferenced_files(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = DeltaProtocolTable(spark, str(tmp_path / "v"))
+    t.create(orders.limit(100))            # v0 files
+    t.overwrite(orders.limit(40))          # v1: v0 files unreferenced
+    n_before = sum(
+        1 for _d, _s, fs in os.walk(tmp_path / "v")
+        for f in fs if f.endswith(".parquet") and "_delta_log" not in _d
+    )
+    out = t.vacuum(retain_versions=0)
+    assert out["deleted"] > 0
+    assert t.snapshot().count() == 40      # current state intact
+    n_after = sum(
+        1 for _d, _s, fs in os.walk(tmp_path / "v")
+        for f in fs if f.endswith(".parquet") and "_delta_log" not in _d
+    )
+    assert n_after == n_before - out["deleted"]
+
+
+def test_iceberg_expire_snapshots(spark, sf_dir, tmp_path):
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolError,
+        IcebergProtocolTable,
+    )
+
+    orders = _orders(spark, sf_dir).select("o_orderkey")
+    t = IcebergProtocolTable(spark, str(tmp_path / "ex"))
+    s0 = t.create(orders.limit(100))
+    t.overwrite(orders.limit(30))
+    out = t.expire_snapshots(retain_last=1)
+    assert out["expired"] == 1 and out["files_deleted"] > 0
+    assert t.snapshot().count() == 30
+    import pytest as _p
+
+    with _p.raises(IcebergProtocolError):
+        t.snapshot(snapshot_id=s0)   # expired: time travel refuses
