@@ -747,8 +747,7 @@ class IcebergProtocolTable:
         split into (data_entries, delete_entries). Both position
         (content=1) and equality (content=2) deletes are APPLIED in the
         scan (merge-on-read, see ``_read_with_deletes``)."""
-        ml_path = self._resolve_path(snap["manifest-list"])
-        _, manifests = read_container(ml_path)
+        manifests = self._manifest_files(snap)
         data_entries: list[dict] = []
         delete_entries: list[dict] = []
         for m in manifests:
@@ -771,6 +770,20 @@ class IcebergProtocolTable:
                         f"unknown data_file content {content} — refusing"
                     )
         return data_entries, delete_entries
+
+    def _manifest_files(self, snap: dict) -> list[dict]:
+        """The snapshot's manifest_file records — from the Avro
+        manifest list (v2 / modern v1), or synthesized from the legacy
+        v1 inline ``manifests`` path list."""
+        if snap.get("manifest-list"):
+            ml_path = self._resolve_path(snap["manifest-list"])
+            _, manifests = read_container(ml_path)
+            return manifests
+        # pre-manifest-list v1 snapshots embed manifest paths directly
+        return [
+            {"manifest_path": p, "content": 0, "sequence_number": 0}
+            for p in (snap.get("manifests") or [])
+        ]
 
     def _read_files(self, schema: T.StructType, paths: list[str]) -> DataFrame:
         if not paths:
@@ -1077,8 +1090,7 @@ class IcebergProtocolTable:
         if part_pos is not None and part_transform != "identity":
             plo = apply_transform_py(part_transform, ice_type, lo)
             phi = apply_transform_py(part_transform, ice_type, hi)
-        ml_path = self._resolve_path(snap["manifest-list"])
-        _, manifests = read_container(ml_path)
+        manifests = self._manifest_files(snap)
         total_files = 0
         keep_entries: list[dict] = []
         delete_entries: list[dict] = []

@@ -551,3 +551,47 @@ def test_hidden_partitioning_prunes_through_day_transform(
     )
     assert _sorted_rows(got) == _sorted_rows(expect)
     assert t._last_prune["files_read"] < t._last_prune["files_total"]
+
+
+def test_legacy_v1_metadata_layout_reads(spark, sf_dir, tmp_path):
+    """Format-version 1 tables: single 'schema' field (no schemas
+    list), 'partition-spec' field list, and snapshots that embed the
+    'manifests' path list instead of a manifest-list file."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "v1"))
+    t.create(orders.limit(60))
+
+    meta_dir = tmp_path / "v1" / "metadata"
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    snap = md["snapshots"][0]
+    _, manifests = read_container(snap["manifest-list"])
+    legacy = {
+        "format-version": 1,
+        "table-uuid": md["table-uuid"],
+        "location": md["location"],
+        "last-updated-ms": md["last-updated-ms"],
+        "last-column-id": md["last-column-id"],
+        "schema": {k: v for k, v in md["schemas"][0].items()
+                   if k != "schema-id"},
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": snap["snapshot-id"],
+        "snapshots": [
+            {
+                "snapshot-id": snap["snapshot-id"],
+                "timestamp-ms": snap["timestamp-ms"],
+                "manifests": [m["manifest_path"] for m in manifests],
+            }
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": snap["timestamp-ms"],
+             "snapshot-id": snap["snapshot-id"]}
+        ],
+    }
+    (meta_dir / "v2.metadata.json").write_text(json.dumps(legacy))
+    (meta_dir / "version-hint.text").write_text("2")
+
+    got = t.snapshot()
+    assert got.count() == 60
+    assert got.columns == ["o_orderkey", "o_totalprice"]
+    assert t.scan_planned("o_orderkey", 0, 10**9).count() == 60
