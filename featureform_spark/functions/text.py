@@ -295,3 +295,49 @@ def collocations(
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(top_n)
     )
+
+
+def dedup_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+) -> DataFrame:
+    """Within-document repeated-sentence removal — the CLEANUP
+    counterpart of the repetition quality signals (quality.py's
+    dup_line_frac flags boilerplate; this strips it): keep the FIRST
+    occurrence of each sentence, preserve original order, rejoin.
+
+    Shape: split → posexplode → (doc, sentence) min-pos groupBy →
+    per-doc ordered re-aggregation. Both shuffles key on the doc id
+    (the second piggybacks on the first's partitioning), nothing is
+    quadratic in document length, and no Python runs. Output
+    ``(id, clean_text, n_sentences, n_removed)``.
+    """
+    import re
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("pos", "sent"),
+    )
+    firsts = parts.groupBy(id_col, "sent").agg(
+        F.min("pos").alias("pos"), F.count("*").alias("n")
+    )
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("sent")))
+                    ),
+                    lambda x: x["sent"],
+                ),
+            ).alias("clean_text"),
+            F.sum("n").alias("n_sentences"),
+            (F.sum("n") - F.count("*")).alias("n_removed"),
+        )
+    )

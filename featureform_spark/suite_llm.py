@@ -1878,3 +1878,35 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+@query(
+    "dedup_sentences",
+    """
+    WITH parts AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS sent,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ), firsts AS (
+      SELECT doc_id, sent, MIN(pos) AS pos, COUNT(*) AS n
+      FROM parts GROUP BY doc_id, sent
+    )
+    SELECT doc_id,
+           string_agg(sent, ' ' ORDER BY pos) AS clean_text,
+           CAST(SUM(n) AS BIGINT) AS n_sentences,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removed
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def dedup_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-segment removal (functions/text.py:
+    dedup_sentences): first occurrence kept, order preserved — the
+    boilerplate scrubber of LLM cleaning pipelines (real corpora split
+    on sentence/line separators; the synthetic docs have none, so the
+    suite exercises the machinery at token granularity)."""
+    from featureform_spark.functions.text import dedup_sentences
+
+    return dedup_sentences(
+        load_table(spark, sf_dir, "documents"), sep=" "
+    )

@@ -262,3 +262,28 @@ def test_pandas_kernels_bit_identical(spark, sf_dir):
         assert r["cos_h"] == r["cos_p"]
         assert r["n_h"] == r["n_p"]
         assert r["b_h"] == r["b_p"]
+
+
+def test_dedup_sentences_semantics(spark):
+    """First occurrence kept, order preserved, counts right — on text
+    WITH real sentence separators."""
+    from featureform_spark.functions.text import dedup_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now. great deal. buy now. limited time. great deal"),
+            (2, "unique one. unique two"),
+            (3, "same. same. same"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup_sentences(df, sep=". ").collect()
+    }
+    assert got[1]["clean_text"] == "buy now. great deal. limited time"
+    assert got[1]["n_sentences"] == 5 and got[1]["n_removed"] == 2
+    assert got[2]["clean_text"] == "unique one. unique two"
+    assert got[2]["n_removed"] == 0
+    assert got[3]["clean_text"] == "same"
+    assert got[3]["n_removed"] == 2
