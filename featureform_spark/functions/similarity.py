@@ -337,29 +337,19 @@ def ivf_assign(
     assignment is a broadcast of one row plus a projection, instead of a
     whole-corpus shuffle for a per-row decision over <=16 centroids.
     Requires a numeric ``cid`` (vec_id ids) for the tie-break negation.
+
+    Runs on the shared bit-identical Arrow kernel
+    (clustering._assign_vectorized — same struct-comparison tie-break,
+    same fold floats); the ≤16-row centroid table is collected and
+    rides the closure, so the corpus side is scan → kernel → project
+    with no join at all.
     """
-    packed = centroids.agg(
-        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents")
-    )
-    # per-row vector norm hoisted out of the lambda (computed once, not
-    # once per centroid); score stays the full cosine so it is bit-equal
-    # to the oracle's formulation
-    best = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (dot_expr(F.col("_v"), c["cv"]) / (F.col("_nv") * norm_expr(c["cv"])))
-                .alias("s"),
-                (-c["cid"].cast("double")).alias("negcid"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
-    return (
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-        .withColumn("_nv", norm_expr(F.col("_v")))
-        .crossJoin(F.broadcast(packed))
-        .select(F.col(id_col), F.col("_v"), best["cid"].alias("cell"))
+    from featureform_spark.functions.clustering import _assign_vectorized
+
+    rows = centroids.select("cid", "cv").collect()
+    assigned = _assign_vectorized(df, rows, id_col, vec_col)
+    return assigned.select(
+        F.col(id_col), F.col("_v"), F.col("cluster").alias("cell")
     )
 
 

@@ -712,7 +712,6 @@ class IcebergProtocolTable:
                 if "/" in p and not p.startswith("/"):
                     p = p[p.index("/") :]
                 break
-        marker = f"/{METADATA_DIR}/"
         if not os.path.exists(p):
             for marker in (f"/{METADATA_DIR}/", f"/{DATA_DIR}/"):
                 if marker in p:
