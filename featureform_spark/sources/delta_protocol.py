@@ -955,6 +955,42 @@ class DeltaProtocolTable:
         os.replace(tmp, os.path.join(self.log_path, LAST_CHECKPOINT))
         return st.version
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF: commit a new version whose
+        state equals the target version's — removes files not in it,
+        re-adds files it had (by reference; no data is rewritten or
+        copied). History is preserved: the restore is itself a commit,
+        so the pre-restore state stays time-travelable."""
+        target = self.state(version)
+        cur = self.state()
+        now = int(time.time() * 1000)
+        actions: list[dict] = []
+        if json.dumps(target.metadata, sort_keys=True) != json.dumps(
+            cur.metadata, sort_keys=True
+        ):
+            actions.append({"metaData": target.metadata})
+        for p in sorted(set(cur.adds) - set(target.adds)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for p in sorted(set(target.adds) - set(cur.adds)):
+            full = os.path.join(self.path, urllib.parse.unquote(p))
+            if not os.path.exists(full):
+                raise DeltaProtocolError(
+                    f"cannot RESTORE to version {version}: data file "
+                    f"{p!r} was vacuumed"
+                )
+            actions.append({"add": target.adds[p]})
+        v = cur.version + 1
+        self._commit(v, actions, "RESTORE")
+        return v
+
     def vacuum(self, retain_versions: int = 0) -> dict:
         """Delete data files no longer referenced by any retained
         version: files referenced by the versions within

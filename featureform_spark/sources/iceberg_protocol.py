@@ -935,6 +935,38 @@ class IcebergProtocolTable:
         ]
         return self._read_files(schema, sorted(paths))
 
+    def create_ref(
+        self, name: str, kind: str = "tag", snapshot_id: int | None = None
+    ) -> int:
+        """Branching/tagging (spec §refs): record a named snapshot
+        reference in metadata. ``kind``: 'tag' (immutable pointer) or
+        'branch'. Defaults to the current snapshot."""
+        if kind not in ("tag", "branch"):
+            raise IcebergProtocolError(f"ref kind {kind!r} invalid")
+        md = self.metadata()
+        snap = self._snapshot_by(snapshot_id, md=md)
+        if snap is None:
+            raise IcebergProtocolError("no snapshot to reference")
+        version = max(v for v, _ in self._metadata_files()) + 1
+        md = dict(md)
+        refs = dict(md.get("refs") or {})
+        refs[name] = {
+            "snapshot-id": snap["snapshot-id"],
+            "type": kind,
+        }
+        md["refs"] = refs
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md, version)
+        return snap["snapshot-id"]
+
+    def snapshot_ref(self, name: str) -> DataFrame:
+        """Read a named tag/branch (VERSION AS OF 'name')."""
+        md = self.metadata()
+        refs = md.get("refs") or {}
+        if name not in refs:
+            raise IcebergProtocolError(f"unknown ref {name!r}")
+        return self.snapshot(snapshot_id=refs[name]["snapshot-id"])
+
     def expire_snapshots(self, retain_last: int = 1) -> dict:
         """Snapshot expiration (the spec's maintenance action): keep
         the last ``retain_last`` snapshots, drop the rest from metadata

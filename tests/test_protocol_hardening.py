@@ -290,3 +290,40 @@ def test_iceberg_expire_snapshots(spark, sf_dir, tmp_path):
 
     with _p.raises(IcebergProtocolError):
         t.snapshot(snapshot_id=s0)   # expired: time travel refuses
+
+
+def test_delta_restore(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = DeltaProtocolTable(spark, str(tmp_path / "rs"))
+    t.create(orders.limit(100))          # v0
+    t.overwrite(orders.limit(30))        # v1
+    v = t.restore(0)                     # v2 == v0 state
+    assert t.snapshot().count() == 100
+    assert t.snapshot(1).count() == 30   # pre-restore state preserved
+    assert v == 2
+    # restore to a vacuumed version refuses instead of breaking reads
+    t.overwrite(orders.limit(10))        # v3
+    t.vacuum(retain_versions=0)          # v0/v1 files gone
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        t.restore(1)
+
+
+def test_iceberg_refs(spark, sf_dir, tmp_path):
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolError,
+        IcebergProtocolTable,
+    )
+
+    orders = _orders(spark, sf_dir).select("o_orderkey")
+    t = IcebergProtocolTable(spark, str(tmp_path / "rf"))
+    t.create(orders.limit(100))
+    t.create_ref("v1.0", kind="tag")
+    t.overwrite(orders.limit(25))
+    assert t.snapshot().count() == 25
+    assert t.snapshot_ref("v1.0").count() == 100   # tag pins old state
+    md = t.metadata()
+    assert md["refs"]["v1.0"]["type"] == "tag"
+    import pytest as _p
+
+    with _p.raises(IcebergProtocolError):
+        t.snapshot_ref("nope")
