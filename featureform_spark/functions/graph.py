@@ -33,9 +33,20 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     materialize_edges: bool = False,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``edges``; cluster_id is the
     minimum node id in the component.
+
+    **Small-graph fast path**: dedup pair graphs are usually tiny
+    (bounded by near-duplicate count, not corpus size), and each
+    distributed label-propagation round costs 2 joins + an action of
+    fixed overhead. When the edge list fits under
+    ``small_graph_threshold`` rows (probed with a bounded
+    limit-collect, so the check never pulls more than threshold+1
+    rows), CC runs as driver-side union-find — exact same min-label
+    result, one job instead of O(log d) rounds. Bigger graphs take the
+    distributed loop below, which holds at any scale.
 
     ``materialize_edges=True`` eagerly materializes the edge projection
     BEFORE symmetrizing: the union reads it from both branches, so an
@@ -43,8 +54,41 @@ def connected_components(
     be evaluated twice. Callers with cheap edge plans (a scan + a join)
     should leave it off — the eager pass costs more than recomputing.
     """
+    from pyspark.sql import types as T
+
     base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     base = base.localCheckpoint(eager=materialize_edges)
+
+    if small_graph_threshold > 0:
+        probe = base.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in probe:
+                a, b = row["a"], row["b"]
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo  # min id stays the root
+            nodes = {v for row in probe for v in (row["a"], row["b"])}
+            dtype = base.schema["a"].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("id", dtype),
+                    T.StructField("cluster_id", dtype),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                [(n, find(n)) for n in sorted(nodes)], out_schema
+            )
     sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=False)
 

@@ -107,3 +107,31 @@ def test_connected_components_string_ids(spark):
     out = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert {out[n] for n in "abcdef"} == {"a"}
     assert {out[n] for n in "xy"} == {"x"}
+
+
+def test_cc_distributed_path_matches_union_find(spark):
+    """Force the distributed label-propagation loop
+    (small_graph_threshold=0) and assert identical components to the
+    driver union-find fast path on an awkward shape (chain + star +
+    singleton-pair + cycle)."""
+    from featureform_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30)]            # long chain
+        + [(100, 100 + i) for i in range(1, 8)]       # star
+        + [(200, 201)]                                # pair
+        + [(300, 301), (301, 302), (302, 300)],       # cycle
+        "src long, dst long",
+    )
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    assert ({(i, 0) for i in range(31)}) <= fast
