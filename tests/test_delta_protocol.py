@@ -424,3 +424,31 @@ def test_column_mapping_read(spark, sf_dir, tmp_path):
     )
     with pytest.raises(UnsupportedTableFeatureError, match="PARTITIONED"):
         t.snapshot()
+
+
+def test_merge_matched_only_and_partitioned(spark, sf_dir, tmp_path):
+    """insert=False drops unmatched source rows; MERGE on a PARTITIONED
+    table recovers partition columns through the basePath scan and
+    rewrites within the Hive layout."""
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = DeltaProtocolTable(spark, str(tmp_path / "mp"))
+    t.create(orders.limit(200), partition_by=["o_orderstatus"])
+    base = {r["o_orderkey"]: r for r in t.snapshot().collect()}
+    keys = sorted(base)[:10]
+
+    src = spark.createDataFrame(
+        [(k, 111.0) for k in keys] + [(10**9, 1.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    t.merge(src, key="o_orderkey", insert=False)
+    got = {r["o_orderkey"]: r for r in t.snapshot().collect()}
+    assert len(got) == 200                      # unmatched NOT inserted
+    assert 10**9 not in got
+    for k in keys:
+        assert got[k]["o_totalprice"] == 111.0
+        # partition column survived the rewrite
+        assert got[k]["o_orderstatus"] == base[k]["o_orderstatus"]
+    untouched = [k for k in base if k not in set(keys)][0]
+    assert got[untouched]["o_totalprice"] == base[untouched]["o_totalprice"]

@@ -595,3 +595,18 @@ def test_legacy_v1_metadata_layout_reads(spark, sf_dir, tmp_path):
     assert got.count() == 60
     assert got.columns == ["o_orderkey", "o_totalprice"]
     assert t.scan_planned("o_orderkey", 0, 10**9).count() == 60
+
+
+def test_equality_delete_null_keys_match(spark, sf_dir, tmp_path):
+    """Spec: null values MATCH in equality deletes — a NULL key tuple
+    deletes rows whose key is NULL (eqNullSafe join)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)],
+        "id long, k string",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "nk"))
+    t.create(df)
+    keys = spark.createDataFrame([(None,)], "k string")
+    t.delete_by_keys(keys, ["k"])
+    got = sorted(r["id"] for r in t.snapshot().collect())
+    assert got == [1, 3]
