@@ -927,7 +927,11 @@ class DeltaProtocolTable:
             {"txn": {"appId": k, "version": v, "lastUpdated": None}}
             for k, v in sorted(st.txns.items())
         ]
-        cp_df = self.spark.createDataFrame(
+        # metadata-scale write: pyarrow directly on the driver — a
+        # Spark job for a <file-count>-row local relation with nested
+        # types costs ~5s of fixed Python-serialization overhead and
+        # buys nothing (real Delta checkpoints are single files anyway)
+        self._write_checkpoint_parquet(
             [
                 {
                     k: r.get(k)
@@ -935,20 +939,8 @@ class DeltaProtocolTable:
                 }
                 for r in rows
             ],
-            _CHECKPOINT_SCHEMA,
-        ).coalesce(1)
-        staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
-        cp_df.write.mode("overwrite").parquet(staging)
-        part = next(
-            n for n in sorted(os.listdir(staging)) if n.endswith(".parquet")
-        )
-        os.replace(
-            os.path.join(staging, part),
             os.path.join(self.log_path, _checkpoint_name(st.version)),
         )
-        for name in os.listdir(staging):
-            os.remove(os.path.join(staging, name))
-        os.rmdir(staging)
         tmp = os.path.join(self.log_path, f".{LAST_CHECKPOINT}.tmp")
         with open(tmp, "w") as f:
             json.dump({"version": st.version, "size": len(rows)}, f)
@@ -1025,6 +1017,64 @@ class DeltaProtocolTable:
                     os.remove(full)
                     deleted += 1
         return {"deleted": deleted, "kept": len(keep)}
+
+    @staticmethod
+    def _write_checkpoint_parquet(rows: list[dict], target: str) -> None:
+        """Write checkpoint rows as parquet via pyarrow with the exact
+        arrow rendering of _CHECKPOINT_SCHEMA (maps as map<string,
+        string>, structs nested) so both this reader's
+        spark.read.schema(...) scan and real engines parse it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import types as T
+
+        def to_arrow(dt):
+            if isinstance(dt, T.StructType):
+                return pa.struct(
+                    [pa.field(f.name, to_arrow(f.dataType)) for f in dt.fields]
+                )
+            if isinstance(dt, T.MapType):
+                return pa.map_(to_arrow(dt.keyType), to_arrow(dt.valueType))
+            if isinstance(dt, T.StringType):
+                return pa.string()
+            if isinstance(dt, T.LongType):
+                return pa.int64()
+            if isinstance(dt, T.IntegerType):
+                return pa.int32()
+            if isinstance(dt, T.BooleanType):
+                return pa.bool_()
+            if isinstance(dt, T.ArrayType):
+                return pa.list_(to_arrow(dt.elementType))
+            raise TypeError(f"unmapped checkpoint type {dt}")
+
+        def to_py(dt, v):
+            # pyarrow wants maps as item lists
+            if v is None:
+                return None
+            if isinstance(dt, T.StructType):
+                return {
+                    f.name: to_py(f.dataType, v.get(f.name))
+                    for f in dt.fields
+                }
+            if isinstance(dt, T.MapType):
+                return list(v.items())
+            return v
+
+        schema = pa.schema(
+            [
+                pa.field(f.name, to_arrow(f.dataType))
+                for f in _CHECKPOINT_SCHEMA.fields
+            ]
+        )
+        cols = {
+            f.name: [to_py(f.dataType, r.get(f.name)) for r in rows]
+            for f in _CHECKPOINT_SCHEMA.fields
+        }
+        table = pa.Table.from_pydict(cols, schema=schema)
+        tmp = target + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, target)
 
     def clean_log(self) -> int:
         """Delete JSON commits at or below the newest checkpoint (Delta
