@@ -947,6 +947,110 @@ class DeltaProtocolTable:
         os.replace(tmp, os.path.join(self.log_path, LAST_CHECKPOINT))
         return st.version
 
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed read over versions (from_version,
+        to_version] — the real Delta CDF contract
+        (spark.read.format("delta").option("readChangeFeed")):
+
+        - commits carrying explicit ``cdc`` actions yield exactly those
+          files' rows (they already embed ``_change_type``);
+        - commits without cdc derive changes per PROTOCOL.md: adds with
+          dataChange=true are inserts, removes with dataChange=true are
+          deletes of that file's full row set (the file is read as it
+          still exists until VACUUM);
+        - dataChange=false actions (OPTIMIZE/compaction) contribute
+          nothing.
+
+        Output: table columns + (_change_type, _commit_version).
+        Raises when a removed file was already vacuumed (the feed would
+        silently lose deletes)."""
+        latest = self.version()
+        if to_version is None:
+            to_version = latest
+        have = set(self._commit_versions())
+        missing = [
+            v for v in range(from_version + 1, to_version + 1)
+            if v not in have
+        ]
+        if missing:
+            raise DeltaProtocolError(
+                f"commits {missing} were cleaned; change feed from "
+                f"{from_version} is no longer possible"
+            )
+        st = self.state()  # schema for reads
+        schema = st.schema
+        pieces: list[DataFrame] = []
+
+        def _files_df(adds: list[dict], change: str, v: int) -> DataFrame:
+            paths = []
+            for a in adds:
+                full = os.path.join(
+                    self.path, urllib.parse.unquote(a["path"])
+                )
+                if not os.path.exists(full):
+                    raise DeltaProtocolError(
+                        f"file {a['path']!r} of version {v} was vacuumed; "
+                        "change feed would lose rows"
+                    )
+                paths.append(full)
+            sub = _State(
+                version=v, metadata=st.metadata, protocol=st.protocol,
+                adds={a["path"]: a for a in adds},
+            )
+            return (
+                self._read_files(sub, self._data_paths(sub))
+                .withColumn("_change_type", F.lit(change))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+
+        for v in range(from_version + 1, to_version + 1):
+            actions = self._read_commit(v)
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            if cdc:
+                paths = [
+                    os.path.join(self.path, urllib.parse.unquote(c["path"]))
+                    for c in cdc
+                ]
+                cdf_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField("_change_type", T.StringType())]
+                )
+                pieces.append(
+                    self.spark.read.schema(cdf_schema)
+                    .parquet(*paths)
+                    .withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+                continue
+            adds = [
+                a["add"] for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"] for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if adds:
+                pieces.append(_files_df(adds, "insert", v))
+            if removes:
+                pieces.append(_files_df(removes, "delete", v))
+        if not pieces:
+            out_schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], out_schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION AS OF: commit a new version whose
         state equals the target version's — removes files not in it,

@@ -452,3 +452,65 @@ def test_merge_matched_only_and_partitioned(spark, sf_dir, tmp_path):
         assert got[k]["o_orderstatus"] == base[k]["o_orderstatus"]
     untouched = [k for k in base if k not in set(keys)][0]
     assert got[untouched]["o_totalprice"] == base[untouched]["o_totalprice"]
+
+
+def test_table_changes_cdf(spark, sf_dir, tmp_path):
+    """Real-protocol CDF: appends derive inserts, overwrites derive
+    delete+insert, OPTIMIZE (dataChange=false) contributes nothing,
+    vacuumed files refuse, and explicit cdc actions are honored."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "cdf"))
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    t.create(a)                     # v0
+    t.append(b)                     # v1: inserts
+    t.overwrite(orders.limit(10))   # v2: deletes (a+b) + inserts (10)
+    t.compact()                     # v3: dataChange=false -> silent
+
+    ch = t.table_changes(0)
+    na, nb = a.count(), b.count()
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert by == {
+        (1, "insert"): nb,
+        (2, "delete"): na + nb,
+        (2, "insert"): 10,
+    }
+    # bounded range
+    assert t.table_changes(0, 1).count() == nb
+    assert t.table_changes(3).count() == 0
+
+    # explicit cdc action wins over derivation
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cdc_rows = orders.limit(3).toPandas()
+    cdc_rows["_change_type"] = "update_postimage"
+    cdc_path = tmp_path / "cdf" / "_change_data"
+    os.makedirs(cdc_path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(cdc_rows, preserve_index=False),
+        str(cdc_path / "c0.parquet"),
+    )
+    t._commit(
+        4,
+        [{"cdc": {"path": "_change_data/c0.parquet", "partitionValues": {},
+                  "size": 1, "dataChange": False}}],
+        "MERGE",
+    )
+    got = t.table_changes(3)
+    assert got.count() == 3
+    assert {r["_change_type"] for r in got.collect()} == {
+        "update_postimage"
+    }
+
+    # vacuum kills the feed honestly
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "cdf2"))
+    t2.create(a.limit(20))
+    t2.overwrite(b.limit(5))
+    t2.vacuum(retain_versions=0)
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        t2.table_changes(0).count()
