@@ -366,3 +366,30 @@ def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         datetime.datetime(1996, 6, 1),
         datetime.datetime(1997, 1, 1),
     )
+
+
+@query(
+    "delta_protocol_cdf",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           'insert' AS _change_type,
+           CASE WHEN event_id % 5 = 3 THEN 1 ELSE 2 END AS _commit_version
+    FROM events WHERE event_id % 5 IN (3, 4)
+    """,
+)
+def delta_protocol_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 on the REAL Delta protocol: table_changes derives the change
+    feed from the commit log itself (adds with dataChange=true ->
+    inserts tagged with their commit version) — no side-band CDF store,
+    and the same log a real engine would read
+    (sources/delta_protocol.py:table_changes)."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "protocol_cdf"))
+    t.create(events.filter(F.col("event_id") % 5 < 3))     # v0
+    t.append(events.filter(F.col("event_id") % 5 == 3))    # v1
+    t.append(events.filter(F.col("event_id") % 5 == 4))    # v2
+    return t.table_changes(0)
