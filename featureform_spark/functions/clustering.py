@@ -77,19 +77,27 @@ def kmeans_assign(
 
     Ties on the (rounded) cosine fall to the smallest ``cid`` via
     struct comparison, mirroring the oracle's ``ORDER BY score DESC,
-    cid`` tie-break. Output: ``(id, _v, cluster)``.
+    cid`` tie-break. Zero-norm (degenerate) vectors or centroids score
+    0.0 against everything — cosine is undefined there, and a plain
+    division would raise DIVIDE_BY_ZERO under ANSI mode — so the
+    tie-break assigns them to the smallest cid, deterministically.
+    Output: ``(id, _v, cluster)``.
     """
     packed = centroids.agg(
         F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents")
     )
+
+    def _score(c):
+        denom = F.col("_nv") * norm_expr(c["cv"])
+        return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot_expr(F.col("_v"), c["cv"]) / denom
+        )
+
     best = F.array_max(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                (
-                    dot_expr(F.col("_v"), c["cv"])
-                    / (F.col("_nv") * norm_expr(c["cv"]))
-                ).alias("s"),
+                _score(c).alias("s"),
                 (-c["cid"].cast("double")).alias("negcid"),
                 c["cid"].alias("cid"),
             ),
@@ -182,16 +190,35 @@ def _assign_vectorized(
                 acc = acc + V[:, d] * V[:, d]
             nv = np.sqrt(acc)
             best_s = np.full(n, -np.inf)
+            best_nan = np.zeros(n, dtype=bool)
             best_neg = np.full(n, -np.inf)
             best_cid = np.zeros(n, dtype=np.int64)
             for cid, cv in cents:
                 dot = np.zeros(n)
                 for d in range(dim):
                     dot = dot + V[:, d] * cv[d]
-                s = dot / (nv * nc[cid])
+                denom = nv * nc[cid]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.where(denom == 0.0, 0.0, dot / denom)
+                # Spark's total ordering puts NaN ABOVE every double
+                # (array_max picks a NaN score over any real one, and
+                # NaN == NaN falls through to the cid tie-break). numpy
+                # NaN comparisons are all False, which would silently
+                # keep the initialized cid 0 for zero-norm vectors —
+                # compare (is_nan, score, -cid) lexicographically
+                # instead so degenerate vectors match the HOF result.
+                isn = np.isnan(s)
+                s_cmp = np.where(isn, np.inf, s)
                 neg = -np.float64(cid)
-                take = (s > best_s) | ((s == best_s) & (neg > best_neg))
-                best_s = np.where(take, s, best_s)
+                take = (isn & ~best_nan) | (
+                    (isn == best_nan)
+                    & (
+                        (s_cmp > best_s)
+                        | ((s_cmp == best_s) & (neg > best_neg))
+                    )
+                )
+                best_s = np.where(take, s_cmp, best_s)
+                best_nan = np.where(take, isn, best_nan)
                 best_neg = np.where(take, neg, best_neg)
                 best_cid = np.where(take, cid, best_cid)
             yield pd.DataFrame(

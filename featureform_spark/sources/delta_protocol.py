@@ -24,13 +24,16 @@ directly:
   put-if-absent commit files (O_EXCL — the same primitive Delta's
   LogStore contract requires), parquet checkpoints, SetTransaction
   idempotence (`txn` actions).
-- **Column mapping** (mode name/id, reader v2): data files store
-  columns under physical names; the reader scans the physical schema
-  and aliases back to logical names (top-level; nested-mapped and
-  partitioned+mapped tables gate).
-- **Honest gates**: deletion vectors, v2 checkpoints, nested/
-  partitioned column mapping, and unknown reader table-features raise
-  instead of silently returning wrong rows.
+- **Column mapping** (mode name/id, reader v2): data files, partition
+  directories and partitionValues keys carry PHYSICAL names; the
+  reader scans the physical schema and aliases back to logical names,
+  and every write path (create/append/merge/overwrite/compact) renames
+  logical→physical before writing — including partitioned tables and
+  MERGE schema evolution (fresh physical names + field ids).
+  Top-level only; nested-mapped fields gate.
+- **Honest gates**: v2 checkpoints, nested column mapping, unknown
+  deletion-vector storage types, and unknown reader table-features
+  raise instead of silently returning wrong rows.
 
 Tables written here carry only `minReaderVersion=1` /
 `minWriterVersion=2`, so any real Delta implementation (delta-spark,
@@ -325,13 +328,6 @@ class DeltaProtocolTable:
             raise UnsupportedTableFeatureError(
                 f"column mapping mode {mapping!r} is not supported"
             )
-        if mapping in ("name", "id") and (
-            metadata.get("partitionColumns") or []
-        ):
-            raise UnsupportedTableFeatureError(
-                "column mapping on a PARTITIONED table is not supported "
-                "(physical partition directory names)"
-            )
 
     def state(self, version: int | None = None) -> _State:
         """Fold checkpoint (if any) + JSON tail into table state at
@@ -415,19 +411,36 @@ class DeltaProtocolTable:
             return self.spark.createDataFrame([], schema)
         mapping = st.column_mapping
         if mapping:
-            # column mapping (mode name/id): data files store columns
-            # under PHYSICAL names; read the physical schema and alias
-            # back to the logical names (partitioned+mapped gates in
-            # _check_protocol)
-            return (
-                self.spark.read.schema(st.physical_schema)
-                .parquet(*paths)
-                .select(
-                    *[
-                        F.col(phys).alias(logical)
-                        for phys, logical in mapping
-                    ]
-                )
+            # column mapping (mode name/id): data files store columns —
+            # and partition DIRECTORIES — under PHYSICAL names; read the
+            # physical schema (+ basePath so Spark recovers physical
+            # partition dirs) and alias back to the logical names.
+            phys_by_logical = {lo: ph for ph, lo in mapping}
+            r = self.spark.read.schema(st.physical_schema)
+            if parts:
+                phys_parts = [phys_by_logical[c] for c in parts]
+                rel = [os.path.relpath(p, self.path) for p in paths]
+                if all(
+                    all(
+                        f"{c}=" in s.replace("%3D", "=")
+                        for c in phys_parts
+                    )
+                    for s in rel
+                ):
+                    r = r.option("basePath", self.path)
+                else:
+                    # non-Hive layout: group by partitionValues
+                    # (physical keys per spec) and attach literals
+                    return self._read_grouped(
+                        st, paths, st.physical_schema, phys_parts
+                    ).select(
+                        *[
+                            F.col(ph).alias(lo)
+                            for ph, lo in mapping
+                        ]
+                    )
+            return r.parquet(*paths).select(
+                *[F.col(phys).alias(logical) for phys, logical in mapping]
             )
         if not parts:
             return self.spark.read.schema(schema).parquet(*paths).select(
@@ -447,6 +460,20 @@ class DeltaProtocolTable:
                 .select(*[f.name for f in schema.fields])
             )
         # Fallback: group files by partitionValues, attach literals.
+        return self._read_grouped(st, paths, schema, parts)
+
+    def _read_grouped(
+        self,
+        st: _State,
+        paths: list[str],
+        schema: T.StructType,
+        parts: list[str],
+    ) -> DataFrame:
+        """Non-Hive-layout partitioned read: group files by the log's
+        ``partitionValues`` and attach partition literals. ``schema``
+        and ``parts`` name columns in the same namespace as the add
+        actions' partitionValues keys (physical under column mapping,
+        logical otherwise)."""
         by_pv: dict[tuple, list[str]] = {}
         for p in sorted(st.adds):
             pv = st.adds[p].get("partitionValues") or {}
@@ -569,11 +596,38 @@ class DeltaProtocolTable:
         return json.dumps(out)
 
     def _write_files(
-        self, df: DataFrame, partition_by: list[str]
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        mapping: list[tuple[str, str]] | None = None,
     ) -> list[dict]:
         """Write immutable part files (Hive layout when partitioned);
-        return protocol add-actions with footer-derived stats."""
+        return protocol add-actions with footer-derived stats.
+
+        ``mapping`` ([(physical, logical)], from _State.column_mapping)
+        makes this a column-mapped write: the df arrives with LOGICAL
+        names and is renamed to physical before writing, so data files,
+        partition directories, partitionValues keys and stats all carry
+        physical names — the delta column-mapping contract. Without
+        this, files written under logical names read back as all-NULL
+        through the physical-schema scan."""
         import pyarrow.parquet as pq
+
+        if mapping:
+            phys_by_logical = {lo: ph for ph, lo in mapping}
+            missing = [c for c in df.columns if c not in phys_by_logical]
+            if missing:
+                raise DeltaProtocolError(
+                    f"columns {missing} have no column-mapping physical "
+                    "name; evolve the table metadata first"
+                )
+            df = df.select(
+                *[
+                    F.col(c).alias(phys_by_logical[c])
+                    for c in df.columns
+                ]
+            )
+            partition_by = [phys_by_logical[c] for c in partition_by]
 
         staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
         if partition_by:
@@ -660,13 +714,31 @@ class DeltaProtocolTable:
         partition_by: list[str],
         properties: dict[str, str] | None,
     ) -> dict:
+        props = dict(properties or {})
+        schema_json = schema.jsonValue()
+        if props.get("delta.columnMapping.mode") in ("name", "id"):
+            # assign physical names + field ids at table creation (what
+            # delta-spark's mapping-enabled CREATE does); data files are
+            # then written under the physical names
+            for i, f in enumerate(schema_json["fields"], start=1):
+                md_f = dict(f.get("metadata") or {})
+                md_f.setdefault("delta.columnMapping.id", i)
+                md_f.setdefault(
+                    "delta.columnMapping.physicalName",
+                    f"col-{uuid.uuid4().hex[:8]}",
+                )
+                f["metadata"] = md_f
+            props.setdefault(
+                "delta.columnMapping.maxColumnId",
+                str(len(schema_json["fields"])),
+            )
         return {
             "metaData": {
                 "id": uuid.uuid4().hex,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": json.dumps(schema.jsonValue()),
+                "schemaString": json.dumps(schema_json),
                 "partitionColumns": partition_by,
-                "configuration": dict(properties or {}),
+                "configuration": props,
                 "createdTime": int(time.time() * 1000),
             }
         }
@@ -681,10 +753,23 @@ class DeltaProtocolTable:
             raise DeltaProtocolError(f"table already exists: {self.path}")
         partition_by = list(partition_by or [])
         os.makedirs(self.path, exist_ok=True)
-        adds = self._write_files(df, partition_by)
+        meta_action = self._metadata_action(df.schema, partition_by, properties)
+        # derive the mapping from the metadata just built so the first
+        # write already uses physical names
+        probe = _State(
+            version=0, metadata=meta_action["metaData"], protocol={}
+        )
+        adds = self._write_files(df, partition_by, probe.column_mapping)
+        mapped = probe.column_mapping is not None
+        protocol = (
+            # column mapping requires reader v2 / writer v5 per PROTOCOL.md
+            {"minReaderVersion": 2, "minWriterVersion": 5}
+            if mapped
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-            self._metadata_action(df.schema, partition_by, properties),
+            {"protocol": protocol},
+            meta_action,
         ] + [{"add": a} for a in adds]
         self._commit(0, actions, "CREATE TABLE AS SELECT")
         return 0
@@ -700,7 +785,7 @@ class DeltaProtocolTable:
             app_id, tv = txn
             if int(tv) <= int(st.txns.get(app_id, -1)):
                 return -1
-        adds = self._write_files(df, st.partition_columns)
+        adds = self._write_files(df, st.partition_columns, st.column_mapping)
         actions: list[dict] = [{"add": a} for a in adds]
         if txn is not None:
             actions.append(
@@ -736,26 +821,76 @@ class DeltaProtocolTable:
         """
         st = self.state()
         schema = st.schema
+        mapping = st.column_mapping
         have = set(schema.fieldNames())
         extra = [f for f in source.schema.fields if f.name not in have]
-        evolved = T.StructType(
-            list(schema.fields)
-            + [T.StructField(f.name, f.dataType, True) for f in extra]
-        )
+        new_meta: dict | None = None
+        if extra and mapping:
+            # schema evolution on a column-mapped table: new columns
+            # get fresh physical names + field ids in the metaData
+            sj = json.loads(st.metadata["schemaString"])
+            conf = dict(st.metadata.get("configuration") or {})
+            max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+            for f in sj["fields"]:
+                md_f = f.get("metadata") or {}
+                if "delta.columnMapping.id" in md_f:
+                    max_id = max(max_id, int(md_f["delta.columnMapping.id"]))
+            extra_struct = []
+            for f_ in extra:
+                max_id += 1
+                phys = f"col-{uuid.uuid4().hex[:8]}"
+                extra_struct.append(
+                    T.StructField(
+                        f_.name,
+                        f_.dataType,
+                        True,
+                        {
+                            "delta.columnMapping.id": max_id,
+                            "delta.columnMapping.physicalName": phys,
+                        },
+                    )
+                )
+                mapping = mapping + [(phys, f_.name)]
+            conf["delta.columnMapping.maxColumnId"] = str(max_id)
+            evolved = T.StructType(list(schema.fields) + extra_struct)
+            new_meta = dict(st.metadata)
+            # preserve existing fields' mapping metadata verbatim
+            sj["fields"] += [f.jsonValue() for f in extra_struct]
+            new_meta["schemaString"] = json.dumps(sj)
+            new_meta["configuration"] = conf
+        else:
+            evolved = T.StructType(
+                list(schema.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in extra]
+            )
         update_cols = update_cols or [c for c in source.columns if c != key]
 
         rel_by_abs = {
             os.path.join(self.path, urllib.parse.unquote(p)): p
             for p in st.adds
         }
-        reader = self.spark.read.schema(schema)
+        read_schema = st.physical_schema if mapping else schema
+        reader = self.spark.read.schema(read_schema)
         if st.partition_columns:
             reader = reader.option("basePath", self.path)
+        to_logical = (
+            (lambda d: d.select(
+                *[
+                    F.col(ph).alias(lo)
+                    for ph, lo in st.column_mapping
+                ]
+            ))
+            if mapping
+            else (lambda d: d)
+        )
+        phys_key = (
+            {lo: ph for ph, lo in mapping}[key] if mapping else key
+        )
         src_keys = source.select(key).distinct()
         matched_abs: list[str] = []
         if rel_by_abs:
             tagged = reader.parquet(*sorted(rel_by_abs)).select(
-                F.col(key),
+                F.col(phys_key).alias(key),
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^file:/+", "/"
                 ).alias("__file"),
@@ -769,7 +904,7 @@ class DeltaProtocolTable:
             )
 
         if matched_abs:
-            target = reader.parquet(*matched_abs)
+            target = to_logical(reader.parquet(*matched_abs))
         else:
             target = self.spark.createDataFrame([], schema)
         target = target.select(
@@ -780,16 +915,20 @@ class DeltaProtocolTable:
                 for f in evolved.fields
             ]
         )
+        # Row-origin marker: key nullness cannot distinguish "source-only
+        # row" from "target row whose merge key IS NULL" — a NULL-key row
+        # colocated in a rewritten file must survive the rewrite untouched.
+        target = target.withColumn("__t_origin", F.lit(True))
         src_pref = source.select(
             *[F.col(c).alias(f"__src_{c}") for c in source.columns]
-        )
+        ).withColumn("__s_origin", F.lit(True))
         joined = target.join(
             src_pref, target[key] == src_pref[f"__src_{key}"], "full_outer"
         )
         is_matched = (
-            target[key].isNotNull() & src_pref[f"__src_{key}"].isNotNull()
+            F.col("__t_origin").isNotNull() & F.col("__s_origin").isNotNull()
         )
-        is_insert = target[key].isNull()
+        is_insert = F.col("__t_origin").isNull()
         out_cols = []
         for f_ in evolved.fields:
             c = f_.name
@@ -809,12 +948,13 @@ class DeltaProtocolTable:
             else joined.filter(~is_insert).select(*out_cols)
         )
 
-        adds = self._write_files(merged, st.partition_columns)
+        adds = self._write_files(merged, st.partition_columns, mapping)
         now = int(time.time() * 1000)
         actions: list[dict] = []
         if extra:
-            meta = dict(st.metadata)
-            meta["schemaString"] = json.dumps(evolved.jsonValue())
+            meta = new_meta or dict(st.metadata)
+            if new_meta is None:
+                meta["schemaString"] = json.dumps(evolved.jsonValue())
             actions.append({"metaData": meta})
         actions += [
             {
@@ -836,7 +976,7 @@ class DeltaProtocolTable:
 
     def overwrite(self, df: DataFrame) -> int:
         st = self.state()
-        adds = self._write_files(df, st.partition_columns)
+        adds = self._write_files(df, st.partition_columns, st.column_mapping)
         now = int(time.time() * 1000)
         actions = [
             {
@@ -896,7 +1036,7 @@ class DeltaProtocolTable:
         if not st.partition_columns:
             n_files = max(1, -(-n_rows // target_rows_per_file))
             df = df.coalesce(n_files)
-        adds = self._write_files(df, st.partition_columns)
+        adds = self._write_files(df, st.partition_columns, st.column_mapping)
         now = int(time.time() * 1000)
         actions = [
             {
@@ -1228,9 +1368,13 @@ def incremental_adds(
     actions of versions (last_version, latest] and scan only those
     files — the blind-append incremental-read shape of the reference's
     isIncremental sources (offline_store_spark_runner.py:1076-1136).
-    Commits in range that remove files (overwrite/MERGE) raise: an
-    append-only incremental read over them would be wrong (deltalite's
-    CDF covers those — sources/deltalite.py:change_feed)."""
+    Commits in range that remove files with dataChange=true
+    (overwrite/MERGE) raise: an append-only incremental read over them
+    would be wrong (deltalite's CDF covers those —
+    sources/deltalite.py:change_feed). dataChange=false actions
+    (OPTIMIZE/compaction) are skipped entirely — per the Delta
+    contract, streams must ignore them, so a compact() never breaks
+    blind-append incremental reads."""
     latest = table.version()
     if last_version >= latest:
         return table.spark.createDataFrame([], table.state().schema)
@@ -1248,11 +1392,15 @@ def incremental_adds(
     for v in range(last_version + 1, latest + 1):
         for a in table._read_commit(v):
             if "remove" in a:
+                if not a["remove"].get("dataChange", True):
+                    continue  # OPTIMIZE rewrite — no logical change
                 raise DeltaProtocolError(
                     f"version {v} removes files (not a blind append); "
                     "incremental add-scan would return wrong rows"
                 )
             if "add" in a:
+                if not a["add"].get("dataChange", True):
+                    continue  # re-added by OPTIMIZE — rows already seen
                 adds[a["add"]["path"]] = a["add"]
     sub = _State(
         version=latest,

@@ -712,14 +712,21 @@ class DeltaliteTable:
         else:
             target = self.spark.createDataFrame([], evolved)
 
+        # Explicit row-origin markers: key nullness misclassifies a
+        # NULL-key target row (colocated in a rewritten file) as an
+        # insert and nulls out its columns. Real MERGE leaves
+        # non-matching rows in rewritten files untouched.
+        target = target.withColumn("__t_origin", F.lit(True))
         src_pref = src.select(
             *[F.col(c).alias(f"__src_{c}") for c in src.columns]
-        )
+        ).withColumn("__s_origin", F.lit(True))
         joined = target.join(
             src_pref, target[key] == src_pref[f"__src_{key}"], "full_outer"
         )
-        is_matched = target[key].isNotNull() & src_pref[f"__src_{key}"].isNotNull()
-        is_insert = target[key].isNull()
+        is_matched = (
+            F.col("__t_origin").isNotNull() & F.col("__s_origin").isNotNull()
+        )
+        is_insert = F.col("__t_origin").isNull()
 
         out_cols = []
         for f_ in evolved.fields:

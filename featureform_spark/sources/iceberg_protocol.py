@@ -34,9 +34,13 @@ in-repo Avro container codec (sources/avro_codec.py):
   PRODUCED by ``delete_rows`` (position) / ``delete_by_keys``
   (equality, the streaming-upsert shape) — row-level DELETE without
   rewriting data files.
-- **Honest gates**: non-identity partition transforms on write,
-  format-version 3, unknown data_file content — all raise instead of
-  returning wrong rows.
+- **Partition transforms**: identity / bucket[N] (spec murmur3,
+  Appendix B vectors asserted) / truncate[W] / year / month / day /
+  hour are computed on BOTH read (hidden-partition pruning through the
+  transform) and write (transform values into partition summaries +
+  data_file partition structs).
+- **Honest gates**: format-version 3 and unknown data_file content
+  raise instead of returning wrong rows.
 
 Scale note: metadata handling is driver-side over KB–MB Avro/JSON
 (file-count scale — the same O(#manifests) planning real Iceberg does);
@@ -977,8 +981,19 @@ class IcebergProtocolTable:
         snaps = self.snapshots(md)
         if len(snaps) <= retain_last:
             return {"expired": 0, "files_deleted": 0}
-        keep_snaps = snaps[-retain_last:]
-        expired = snaps[: -retain_last]
+        # Snapshots pinned by tags/branches survive expiration (real
+        # Iceberg's ref retention): expiring them would leave dangling
+        # refs whose snapshot_ref() reads fail on deleted files.
+        ref_ids = {
+            r["snapshot-id"] for r in (md.get("refs") or {}).values()
+        }
+        keep_snaps = [
+            s
+            for s in snaps
+            if s in snaps[-retain_last:] or s["snapshot-id"] in ref_ids
+        ]
+        keep_ids_set = {s["snapshot-id"] for s in keep_snaps}
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids_set]
 
         def _referenced(snapshots: list[dict]) -> set[str]:
             refs: set[str] = set()

@@ -126,3 +126,30 @@ def test_vectorized_assign_bit_identical_to_hof(spark, sf_dir):
         assert a["cluster"] == b["cluster"]
         assert a["_nv"] == b["_nv"]          # exact float equality
         assert list(a["_v"]) == list(b["_v"])
+
+
+def test_vectorized_assign_matches_hof_for_zero_norm_vectors(spark, sf_dir):
+    """Degenerate (all-zero) vectors score NaN against every centroid;
+    Spark's total ordering ranks NaN above every double and ties break
+    to the smallest cid — the numpy kernel must reproduce that instead
+    of keeping its initialized cid (r4 ADVICE bug)."""
+    from featureform_spark.functions.clustering import (
+        _assign_vectorized,
+        kmeans_assign,
+        kmeans_init,
+    )
+    from featureform_spark.sources.testdata import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    dim = len(df.select("embedding").first()["embedding"])
+    zero = spark.createDataFrame(
+        [(10_000_000 + i, [0.0] * dim) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    mixed = df.select("vec_id", "embedding").unionByName(zero)
+    cents = kmeans_init(df, 5)
+    hof = kmeans_assign(mixed, cents).orderBy("vec_id").collect()
+    vec = _assign_vectorized(mixed, cents.collect()).orderBy("vec_id").collect()
+    assert len(hof) == len(vec)
+    for a, b in zip(hof, vec):
+        assert (a["vec_id"], a["cluster"]) == (b["vec_id"], b["cluster"])

@@ -415,15 +415,75 @@ def test_column_mapping_read(spark, sf_dir, tmp_path):
     assert rows[:3] == [(0, 0.0), (1, 1.5), (2, 3.0)]
     assert len(rows) == 50
 
-    # partitioned + mapped still gates
-    md = t.state().metadata
-    md2 = dict(md)
-    md2["partitionColumns"] = ["order_id"]
-    (log / ("%020d.json" % 1)).write_text(
-        _json.dumps({"metaData": md2}) + "\n"
+
+def test_column_mapping_write_roundtrip(spark, tmp_path):
+    """Writes into a column-mapped table go under PHYSICAL names so
+    they read back correctly (r4: logical-name writes read as
+    all-NULL). create → append → overwrite → compact, partitioned."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(40)],
+        "k long, part string, v double",
     )
-    with pytest.raises(UnsupportedTableFeatureError, match="PARTITIONED"):
-        t.snapshot()
+    t = DeltaProtocolTable(spark, str(tmp_path / "cmw"))
+    t.create(
+        df,
+        partition_by=["part"],
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    # physical names in the metadata, logical on read
+    st = t.state()
+    assert st.column_mapping is not None
+    phys_names = [ph for ph, _lo in st.column_mapping]
+    assert all(ph.startswith("col-") for ph in phys_names)
+    got = t.snapshot()
+    assert got.columns == ["k", "part", "v"]
+    assert got.count() == 40
+    # data files + partition dirs carry physical names only
+    import urllib.parse
+
+    ph_part = {lo: ph for ph, lo in st.column_mapping}["part"]
+    for p in st.adds:
+        assert "part=" not in p
+        assert f"{ph_part}=" in urllib.parse.unquote(p)
+    # append reads back with values (the r4 bug returned NULLs)
+    extra = spark.createDataFrame(
+        [(100 + i, "s9", -1.0) for i in range(5)],
+        "k long, part string, v double",
+    )
+    t.append(extra)
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert len(rows) == 45
+    assert rows[100]["part"] == "s9" and rows[100]["v"] == -1.0
+    # merge updates through the mapping
+    src = spark.createDataFrame(
+        [(0, "s0", 999.0)], "k long, part string, v double"
+    )
+    t.merge(src, key="k")
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert rows[0]["v"] == 999.0 and len(rows) == 45
+    # compact must NOT corrupt the table
+    t.compact()
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert len(rows) == 45 and rows[0]["v"] == 999.0 and rows[3]["v"] == 3.0
+
+
+def test_merge_leaves_null_key_rows_untouched(spark, tmp_path):
+    """A target row whose merge key IS NULL, colocated in a rewritten
+    file, must survive a MERGE on unrelated keys verbatim (r4 bug:
+    key-nullness origin detection replaced it with the null source
+    side)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "keepme")], "k long, v string"
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "nk"))
+    t.create(df.coalesce(1))  # one file: the NULL-key row is colocated
+    src = spark.createDataFrame([(2, "b2"), (7, "new")], "k long, v string")
+    t.merge(src, key="k")
+    rows = sorted(
+        ((r["k"], r["v"]) for r in t.snapshot().collect()),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert rows == [(1, "a"), (2, "b2"), (7, "new"), (None, "keepme")]
 
 
 def test_merge_matched_only_and_partitioned(spark, sf_dir, tmp_path):

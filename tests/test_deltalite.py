@@ -87,6 +87,26 @@ def test_merge_rewrites_only_matched_files(spark, tmp_path):
     assert got[99] == 999.0                        # inserted
 
 
+def test_merge_leaves_null_key_rows_untouched(spark, tmp_path):
+    """NULL-key target rows colocated in rewritten files survive a
+    MERGE on other keys (origin markers, not key nullness)."""
+    t = DeltaliteTable(spark, str(tmp_path / "nk"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "keepme")], "k long, v string"
+        ).coalesce(1)
+    )
+    t.merge(
+        spark.createDataFrame([(2, "b2"), (7, "new")], "k long, v string"),
+        key="k",
+    )
+    rows = sorted(
+        ((r["k"], r["v"]) for r in t.snapshot().collect()),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert rows == [(1, "a"), (2, "b2"), (7, "new"), (None, "keepme")]
+
+
 def test_merge_schema_evolution_adds_column(spark, tmp_path):
     """ALTER ADD COLUMNS analog (reference :719-731): a new source
     column appears on the table; pre-evolution rows read as NULL."""

@@ -331,3 +331,35 @@ def test_delta_protocol_incremental_adds(spark, sf_dir, tmp_path):
 
     with _pytest.raises(DeltaProtocolError, match="not a blind append"):
         incremental_adds(t, 0)
+
+
+def test_incremental_adds_survives_compact(spark, sf_dir, tmp_path):
+    """OPTIMIZE commits carry dataChange=false — per the Delta
+    contract, streams must ignore them, not fail. A compact() between
+    the cursor and head must neither break the incremental read nor
+    duplicate rows."""
+    import pyspark.sql.functions as F
+
+    from featureform_spark.sources.delta_protocol import (
+        DeltaProtocolTable,
+        incremental_adds,
+    )
+    from featureform_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    c = orders.filter(F.col("o_orderkey") % 3 == 2)
+    t = DeltaProtocolTable(spark, str(tmp_path / "ic"))
+    t.create(a)
+    t.append(b)          # v1
+    t.compact()          # v2: dataChange=false remove+add
+    t.append(c)          # v3
+    inc = incremental_adds(t, 0)
+    # exactly the appended rows, no dupes from the compaction re-adds
+    assert inc.count() == b.count() + c.count()
+    assert inc.select("o_orderkey").distinct().count() == inc.count()
+    # cursor after the compact also works
+    assert incremental_adds(t, 2).count() == c.count()
