@@ -65,7 +65,11 @@ STAGING_DIR = ".staging"
 
 # Reader table features (protocol v3) this implementation actually
 # honors. Anything else listed in readerFeatures → hard gate.
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "columnMapping",
+    "deletionVectors",
+}
 
 
 class DeltaProtocolError(Exception):
@@ -316,7 +320,7 @@ class DeltaProtocolTable:
             )
         feats = set(protocol.get("readerFeatures") or [])
         if reader == 3:
-            unknown = feats - _SUPPORTED_READER_FEATURES - {"deletionVectors"}
+            unknown = feats - _SUPPORTED_READER_FEATURES
             if unknown:
                 raise UnsupportedTableFeatureError(
                     f"unsupported reader features: {sorted(unknown)}"
@@ -364,10 +368,12 @@ class DeltaProtocolTable:
                 st.metadata = a["metaData"]
             elif "add" in a:
                 add = a["add"]
-                if add.get("deletionVector"):
+                dv = add.get("deletionVector")
+                if dv and dv.get("storageType") not in ("u", "i", "p"):
                     raise UnsupportedTableFeatureError(
-                        "table has deletion vectors; this reader would "
-                        "return deleted rows — refusing"
+                        "deletion vector with unknown storageType "
+                        f"{dv.get('storageType')!r} — refusing rather "
+                        "than returning deleted rows"
                     )
                 st.adds[add["path"]] = add
             elif "remove" in a:
@@ -404,11 +410,125 @@ class DeltaProtocolTable:
             for p in sorted(st.adds)
         ]
 
+    def _dv_blob(self, dv: dict) -> bytes:
+        """Resolve a deletionVector descriptor to its raw bitmap blob
+        (PROTOCOL.md §Deletion Vector Descriptor Schema): storageType
+        'i' = inline z85 bytes; 'u' = z85-encoded UUID (optionally
+        behind a random path prefix) naming
+        <table>/<prefix>/deletion_vector_<uuid>.bin; 'p' = absolute
+        path. On-disk blobs are CRC-framed (dv_bitmap.read_dv_from_file)."""
+        from featureform_spark.sources.dv_bitmap import (
+            read_dv_from_file,
+            z85_decode,
+        )
+
+        stype = dv["storageType"]
+        if stype == "i":
+            return z85_decode(dv["pathOrInlineDv"])
+        if stype == "p":
+            path = dv["pathOrInlineDv"]
+            if path.startswith("file:"):
+                path = "/" + path.split(":", 1)[1].lstrip("/")
+        elif stype == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, uuid_enc = enc[:-20], enc[-20:]
+            u = uuid.UUID(bytes=z85_decode(uuid_enc))
+            base = os.path.join(self.path, prefix) if prefix else self.path
+            path = os.path.join(base, f"deletion_vector_{u}.bin")
+        else:
+            raise UnsupportedTableFeatureError(
+                f"deletion vector storageType {stype!r}"
+            )
+        return read_dv_from_file(
+            path, int(dv["offset"]), int(dv["sizeInBytes"])
+        )
+
+    def _dv_positions(self, dv: dict):
+        """Deleted row indexes (sorted uint64 numpy array) for one
+        descriptor; cardinality cross-checked against the bitmap."""
+        from featureform_spark.sources.dv_bitmap import decode_rbm_array
+
+        pos = decode_rbm_array(self._dv_blob(dv))
+        card = dv.get("cardinality")
+        if card is not None and int(card) != len(pos):
+            raise DeltaProtocolError(
+                f"deletion vector cardinality {card} != decoded "
+                f"{len(pos)} positions"
+            )
+        return pos
+
     def _read_files(self, st: _State, paths: list[str]) -> DataFrame:
+        """Scan ``paths`` and apply any deletion vectors carried by
+        their add actions: files with a DV are read with Spark's
+        ``_metadata.row_index`` and the deleted (file, position) pairs
+        are removed with one broadcast anti-join — the same
+        merge-on-read shape as iceberg_protocol position deletes. DV
+        decode is driver-side and cardinality-scale (the blobs are a
+        few MB for millions of deleted rows), never data-scale."""
+        schema = st.schema
+        dv_files: dict[str, dict] = {}
+        path_set = set(paths)
+        for p, a in st.adds.items():
+            dv = a.get("deletionVector")
+            if dv:
+                abs_p = os.path.join(self.path, urllib.parse.unquote(p))
+                if abs_p in path_set:
+                    dv_files[abs_p] = dv
+        if not dv_files:
+            return self._read_files_plain(st, paths)
+        import pandas as pd
+
+        frames = [
+            pd.DataFrame(
+                {
+                    "__dv_file": abs_p,
+                    "__dv_pos": self._dv_positions(dv).astype("int64"),
+                }
+            )
+            for abs_p, dv in sorted(dv_files.items())
+        ]
+        deleted = self.spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            "__dv_file string, __dv_pos long",
+        )
+        base = self._read_files_plain(st, paths, with_pos=True)
+        return (
+            base.join(
+                F.broadcast(deleted),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            )
+            .select(*[f.name for f in schema.fields])
+        )
+
+    def _read_files_plain(
+        self, st: _State, paths: list[str], with_pos: bool = False
+    ) -> DataFrame:
         schema = st.schema
         parts = st.partition_columns
+        meta = (
+            [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            ]
+            if with_pos
+            else []
+        )
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            out_schema = (
+                T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("__dv_file", T.StringType()),
+                        T.StructField("__dv_pos", T.LongType()),
+                    ]
+                )
+                if with_pos
+                else schema
+            )
+            return self.spark.createDataFrame([], out_schema)
         mapping = st.column_mapping
         if mapping:
             # column mapping (mode name/id): data files store columns —
@@ -432,19 +552,23 @@ class DeltaProtocolTable:
                     # non-Hive layout: group by partitionValues
                     # (physical keys per spec) and attach literals
                     return self._read_grouped(
-                        st, paths, st.physical_schema, phys_parts
+                        st, paths, st.physical_schema, phys_parts,
+                        with_pos=with_pos,
                     ).select(
-                        *[
-                            F.col(ph).alias(lo)
-                            for ph, lo in mapping
-                        ]
+                        *[F.col(ph).alias(lo) for ph, lo in mapping],
+                        *(
+                            [F.col("__dv_file"), F.col("__dv_pos")]
+                            if with_pos
+                            else []
+                        ),
                     )
             return r.parquet(*paths).select(
-                *[F.col(phys).alias(logical) for phys, logical in mapping]
+                *[F.col(phys).alias(logical) for phys, logical in mapping],
+                *meta,
             )
         if not parts:
             return self.spark.read.schema(schema).parquet(*paths).select(
-                *[f.name for f in schema.fields]
+                *[f.name for f in schema.fields], *meta
             )
         # Hive-style layout (what this writer and delta-spark both
         # produce): one scan with explicit schema + basePath — Spark
@@ -457,10 +581,10 @@ class DeltaProtocolTable:
                 self.spark.read.schema(schema)
                 .option("basePath", self.path)
                 .parquet(*paths)
-                .select(*[f.name for f in schema.fields])
+                .select(*[f.name for f in schema.fields], *meta)
             )
         # Fallback: group files by partitionValues, attach literals.
-        return self._read_grouped(st, paths, schema, parts)
+        return self._read_grouped(st, paths, schema, parts, with_pos=with_pos)
 
     def _read_grouped(
         self,
@@ -468,6 +592,7 @@ class DeltaProtocolTable:
         paths: list[str],
         schema: T.StructType,
         parts: list[str],
+        with_pos: bool = False,
     ) -> DataFrame:
         """Non-Hive-layout partitioned read: group files by the log's
         ``partitionValues`` and attach partition literals. ``schema``
@@ -485,6 +610,16 @@ class DeltaProtocolTable:
             [f for f in schema.fields if f.name not in parts]
         )
         types = {f.name: f.dataType for f in schema.fields}
+        meta = (
+            [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            ]
+            if with_pos
+            else []
+        )
         out = None
         for key, group in sorted(by_pv.items(), key=lambda kv: str(kv[0])):
             df = self.spark.read.schema(data_schema).parquet(*group)
@@ -495,7 +630,7 @@ class DeltaProtocolTable:
                     if raw is not None
                     else F.lit(None).cast(types[c]),
                 )
-            df = df.select(*[f.name for f in schema.fields])
+            df = df.select(*[f.name for f in schema.fields], *meta)
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -873,16 +1008,6 @@ class DeltaProtocolTable:
         reader = self.spark.read.schema(read_schema)
         if st.partition_columns:
             reader = reader.option("basePath", self.path)
-        to_logical = (
-            (lambda d: d.select(
-                *[
-                    F.col(ph).alias(lo)
-                    for ph, lo in st.column_mapping
-                ]
-            ))
-            if mapping
-            else (lambda d: d)
-        )
         phys_key = (
             {lo: ph for ph, lo in mapping}[key] if mapping else key
         )
@@ -904,7 +1029,21 @@ class DeltaProtocolTable:
             )
 
         if matched_abs:
-            target = to_logical(reader.parquet(*matched_abs))
+            # through _read_files so deletion vectors apply: rewriting a
+            # DV'd file materializes the deletes (the new file carries
+            # no DV) instead of resurrecting deleted rows
+            abs_set = set(matched_abs)
+            sub = _State(
+                version=st.version,
+                metadata=st.metadata,
+                protocol=st.protocol,
+                adds={
+                    rel: st.adds[rel]
+                    for ab, rel in rel_by_abs.items()
+                    if ab in abs_set
+                },
+            )
+            target = self._read_files(sub, matched_abs)
         else:
             target = self.spark.createDataFrame([], schema)
         target = target.select(
@@ -956,6 +1095,69 @@ class DeltaProtocolTable:
             if new_meta is None:
                 meta["schemaString"] = json.dumps(evolved.jsonValue())
             actions.append({"metaData": meta})
+
+        # CDF: when delta.enableChangeDataFeed is set, emit a cdc
+        # action carrying update_preimage / update_postimage / insert
+        # rows — the exact _change_type vocabulary the reference
+        # consumes (offline_store_spark_runner.py:1076-1136). Readers
+        # then use the cdc file INSTEAD of deriving whole-file
+        # insert+delete churn from the add/remove actions (PROTOCOL.md
+        # §Change Data Files). Column-mapped tables skip the cdc file
+        # (derived CDF still works) to keep one canonical cdc schema.
+        cdf_on = (
+            (st.metadata.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed"
+            )
+            == "true"
+            and not mapping
+        )
+        if cdf_on:
+            pre = joined.filter(is_matched).select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in evolved.fields
+                ],
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            post = joined.filter(is_matched).select(
+                *out_cols, F.lit("update_postimage").alias("_change_type")
+            )
+            changes = pre.unionByName(post)
+            if insert:
+                ins = joined.filter(is_insert).select(
+                    *out_cols, F.lit("insert").alias("_change_type")
+                )
+                changes = changes.unionByName(ins)
+            cdc_dir = os.path.join(self.path, "_change_data")
+            os.makedirs(cdc_dir, exist_ok=True)
+            staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+            changes.write.mode("overwrite").parquet(staging)
+            for name in sorted(os.listdir(staging)):
+                if not name.endswith(".parquet"):
+                    continue
+                src_f = os.path.join(staging, name)
+                import pyarrow.parquet as pq
+
+                if pq.ParquetFile(src_f).metadata.num_rows == 0:
+                    continue
+                fname = f"cdc-{uuid.uuid4().hex}.parquet"
+                final = os.path.join(cdc_dir, fname)
+                os.replace(src_f, final)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": f"_change_data/{fname}",
+                            "partitionValues": {},
+                            "size": os.path.getsize(final),
+                            "dataChange": False,
+                        }
+                    }
+                )
+            for dirpath, _dirs, files in os.walk(staging, topdown=False):
+                for name in files:
+                    os.remove(os.path.join(dirpath, name))
+                os.rmdir(dirpath)
+
         actions += [
             {
                 "remove": {
@@ -972,6 +1174,121 @@ class DeltaProtocolTable:
             "version": v,
             "files_rewritten": len(matched_abs),
             "files_total": len(st.adds),
+        }
+
+    def delete_where(self, condition) -> dict:
+        """Row-level ``DELETE WHERE`` via deletion vectors — the
+        merge-on-read path modern delta-spark uses by default for DML:
+        no data file is rewritten; matching rows' positions are encoded
+        as roaring bitmaps (dv_bitmap.encode_rbm_array), framed into a
+        ``deletion_vector_<uuid>.bin`` file, and each touched file's
+        add action is re-committed carrying the DV descriptor
+        (storageType 'u'). Files whose every row is deleted are plainly
+        removed. Re-deleting from an already-DV'd file unions the
+        position sets. The first DV upgrades the table protocol to
+        readerVersion 3 / writerVersion 7 with the deletionVectors
+        table feature, exactly as the spec requires.
+
+        Scale: ONE distributed scan finds matching positions; only the
+        (file, position) hit set — cardinality-scale, not data-scale —
+        comes back to the driver for bitmap encoding."""
+        from featureform_spark.sources.dv_bitmap import (
+            append_dv_to_file,
+            encode_rbm_array,
+            z85_encode,
+        )
+        import numpy as np
+
+        st = self.state()
+        base = self._read_files_plain(st, self._data_paths(st), with_pos=True)
+        hits = (
+            base.filter(condition)
+            .select("__dv_file", "__dv_pos")
+            .toPandas()
+        )
+        rel_by_abs = {
+            os.path.join(self.path, urllib.parse.unquote(p)): p
+            for p in st.adds
+        }
+        now = int(time.time() * 1000)
+        actions: list[dict] = []
+
+        feats = set(st.protocol.get("readerFeatures") or [])
+        if "deletionVectors" not in feats:
+            extra_feats = {"deletionVectors"} | (
+                {"columnMapping"} if st.column_mapping else set()
+            )
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(feats | extra_feats),
+                        "writerFeatures": sorted(
+                            set(st.protocol.get("writerFeatures") or [])
+                            | {"appendOnly", "invariants"}
+                            | extra_feats
+                        ),
+                    }
+                }
+            )
+
+        rows_deleted = 0
+        files_touched = 0
+        if len(hits):
+            u = uuid.uuid4()
+            dv_rel = f"deletion_vector_{u}.bin"
+            dv_enc = z85_encode(u.bytes)
+            with open(os.path.join(self.path, dv_rel), "wb") as fh:
+                fh.write(b"\x01")  # DV file format version
+                for abs_p, grp in sorted(hits.groupby("__dv_file")):
+                    rel = rel_by_abs[abs_p]
+                    add = dict(st.adds[rel])
+                    old = add.get("deletionVector")
+                    old_pos = (
+                        self._dv_positions(old)
+                        if old
+                        else np.empty(0, dtype=np.uint64)
+                    )
+                    new_pos = np.union1d(
+                        old_pos,
+                        grp["__dv_pos"].to_numpy().astype(np.uint64),
+                    )
+                    rows_deleted += len(new_pos) - len(old_pos)
+                    files_touched += 1
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": rel,
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                    n_rec = None
+                    if add.get("stats"):
+                        n_rec = json.loads(add["stats"]).get("numRecords")
+                    if n_rec is not None and int(n_rec) == len(new_pos):
+                        continue  # whole file deleted: plain remove
+                    offset, size = append_dv_to_file(
+                        fh, encode_rbm_array(new_pos)
+                    )
+                    add["deletionVector"] = {
+                        "storageType": "u",
+                        "pathOrInlineDv": dv_enc,
+                        "offset": offset,
+                        "sizeInBytes": size,
+                        "cardinality": len(new_pos),
+                    }
+                    add["dataChange"] = True
+                    actions.append({"add": add})
+
+        v = st.version + 1
+        self._commit(v, actions, "DELETE")
+        return {
+            "version": v,
+            "files_touched": files_touched,
+            "rows_deleted": int(rows_deleted),
         }
 
     def overwrite(self, df: DataFrame) -> int:
@@ -1097,9 +1414,14 @@ class DeltaProtocolTable:
         - commits carrying explicit ``cdc`` actions yield exactly those
           files' rows (they already embed ``_change_type``);
         - commits without cdc derive changes per PROTOCOL.md: adds with
-          dataChange=true are inserts, removes with dataChange=true are
-          deletes of that file's full row set (the file is read as it
-          still exists until VACUUM);
+          dataChange=true are inserts (minus their deletion vector),
+          removes with dataChange=true are deletes of that file's LIVE
+          row set at removal time (file minus the DV it carried — the
+          file is read as it still exists until VACUUM);
+        - a remove+re-add of the same path with a changed deletion
+          vector (delete_where / delta-spark DV DML) yields delete rows
+          for exactly the newly-deleted positions (and insert rows for
+          any restored positions), not whole-file churn;
         - dataChange=false actions (OPTIMIZE/compaction) contribute
           nothing.
 
@@ -1122,19 +1444,29 @@ class DeltaProtocolTable:
         st = self.state()  # schema for reads
         schema = st.schema
         pieces: list[DataFrame] = []
+        # rolling path -> add fold so each version knows the DV a file
+        # carried BEFORE the commit (one state fold, then O(1) updates)
+        try:
+            cur_adds: dict[str, dict] = dict(self.state(from_version).adds)
+        except DeltaProtocolError:
+            # base version no longer reconstructable (cleaned log with a
+            # later checkpoint); the (from, to] range itself was already
+            # verified present above, so only pre-range DV context is
+            # lost — treat files as DV-less at the base
+            cur_adds = {}
+
+        def _check_exists(rel: str, v: int) -> str:
+            full = os.path.join(self.path, urllib.parse.unquote(rel))
+            if not os.path.exists(full):
+                raise DeltaProtocolError(
+                    f"file {rel!r} of version {v} was vacuumed; "
+                    "change feed would lose rows"
+                )
+            return full
 
         def _files_df(adds: list[dict], change: str, v: int) -> DataFrame:
-            paths = []
             for a in adds:
-                full = os.path.join(
-                    self.path, urllib.parse.unquote(a["path"])
-                )
-                if not os.path.exists(full):
-                    raise DeltaProtocolError(
-                        f"file {a['path']!r} of version {v} was vacuumed; "
-                        "change feed would lose rows"
-                    )
-                paths.append(full)
+                _check_exists(a["path"], v)
             sub = _State(
                 version=v, metadata=st.metadata, protocol=st.protocol,
                 adds={a["path"]: a for a in adds},
@@ -1145,9 +1477,56 @@ class DeltaProtocolTable:
                 .withColumn("_commit_version", F.lit(v).cast("long"))
             )
 
+        def _rows_at_positions(
+            rel: str, positions, change: str, v: int
+        ) -> DataFrame:
+            """Rows of one file at the given indexes, tagged."""
+            import pandas as pd
+
+            full = _check_exists(rel, v)
+            bare = {
+                k: val
+                for k, val in cur_adds.get(rel, {"path": rel}).items()
+                if k != "deletionVector"
+            }
+            sub = _State(
+                version=v, metadata=st.metadata, protocol=st.protocol,
+                adds={rel: bare},
+            )
+            base = self._read_files_plain(sub, [full], with_pos=True)
+            want = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "__dv_file": full,
+                        "__dv_pos": positions.astype("int64"),
+                    }
+                ),
+                "__dv_file string, __dv_pos long",
+            )
+            return (
+                base.join(
+                    F.broadcast(want),
+                    on=["__dv_file", "__dv_pos"],
+                    how="left_semi",
+                )
+                .select(*[f.name for f in schema.fields])
+                .withColumn("_change_type", F.lit(change))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+
+        import numpy as np
+
         for v in range(from_version + 1, to_version + 1):
             actions = self._read_commit(v)
             cdc = [a["cdc"] for a in actions if "cdc" in a]
+            adds_d = {
+                a["add"]["path"]: a["add"] for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            }
+            removes_d = {
+                a["remove"]["path"]: a["remove"] for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
             if cdc:
                 paths = [
                     os.path.join(self.path, urllib.parse.unquote(c["path"]))
@@ -1164,19 +1543,59 @@ class DeltaProtocolTable:
                         "_commit_version", F.lit(v).cast("long")
                     )
                 )
-                continue
-            adds = [
-                a["add"] for a in actions
-                if "add" in a and a["add"].get("dataChange", True)
-            ]
-            removes = [
-                a["remove"] for a in actions
-                if "remove" in a and a["remove"].get("dataChange", True)
-            ]
-            if adds:
-                pieces.append(_files_df(adds, "insert", v))
-            if removes:
-                pieces.append(_files_df(removes, "delete", v))
+            else:
+                dv_updates = [p for p in adds_d if p in removes_d]
+                plain_adds = [
+                    adds_d[p] for p in adds_d if p not in removes_d
+                ]
+                plain_removes = []
+                for p in removes_d:
+                    if p in adds_d:
+                        continue
+                    # a removed file's live rows = file minus the DV it
+                    # carried going INTO this commit
+                    prior = cur_adds.get(p)
+                    r = dict(removes_d[p])
+                    if prior and prior.get("deletionVector"):
+                        r["deletionVector"] = prior["deletionVector"]
+                    plain_removes.append(r)
+                for p in dv_updates:
+                    old_dv = (cur_adds.get(p) or {}).get("deletionVector")
+                    new_dv = adds_d[p].get("deletionVector")
+                    old_pos = (
+                        self._dv_positions(old_dv)
+                        if old_dv
+                        else np.empty(0, dtype=np.uint64)
+                    )
+                    new_pos = (
+                        self._dv_positions(new_dv)
+                        if new_dv
+                        else np.empty(0, dtype=np.uint64)
+                    )
+                    newly_deleted = np.setdiff1d(new_pos, old_pos)
+                    restored = np.setdiff1d(old_pos, new_pos)
+                    if len(newly_deleted):
+                        pieces.append(
+                            _rows_at_positions(p, newly_deleted, "delete", v)
+                        )
+                    if len(restored):
+                        pieces.append(
+                            _rows_at_positions(p, restored, "insert", v)
+                        )
+                if plain_adds:
+                    pieces.append(_files_df(plain_adds, "insert", v))
+                if plain_removes:
+                    pieces.append(_files_df(plain_removes, "delete", v))
+            # advance the rolling fold (cdc commits still carry actions)
+            for a in actions:
+                if "add" in a:
+                    cur_adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    # a same-commit re-add keeps the path live
+                    if a["remove"]["path"] not in {
+                        ad["add"]["path"] for ad in actions if "add" in ad
+                    }:
+                        cur_adds.pop(a["remove"]["path"], None)
         if not pieces:
             out_schema = T.StructType(
                 list(schema.fields)

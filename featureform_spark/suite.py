@@ -1199,22 +1199,26 @@ PRIORITY: tuple[str, ...] = (
     "sequence_packing",
     "doc_chunks",
     "kmeans_clusters",
-    "semantic_dedup",
-    "retrieval_eval",
-    "frequent_ngrams",
-    # Round-4 rotation (verdict #6): the back-half cohort below has
-    # never had a driver oracle row; the r3-green rows they displace
-    # (simhash_dedup, token_count, embedding_near_dup, knn_label_vote,
-    # quality_signals, pii_redact, dedup_clusters, ngram_lm_score,
-    # corpus_mix, dedup_keep_canonical) remain pytest-oracle-covered.
-    "pq_ann_topk",
-    "session_window_agg",
-    "embedding_ann_multiprobe",
-    "collocations_pmi",
-    "corpus_report",
-    "feature_binning",
-    "target_encoding",
-    "hard_negatives",
+    # Round-5 rotation (verdict r4 #4): slots 40-50 carry the new
+    # deletion-vector query plus ten never-driver-checked queries; the
+    # r4-green rows they displace (semantic_dedup, retrieval_eval,
+    # frequent_ngrams, pq_ann_topk, session_window_agg,
+    # embedding_ann_multiprobe, collocations_pmi, corpus_report,
+    # feature_binning, target_encoding, hard_negatives) remain
+    # pytest-oracle-covered. Still never checked after this round:
+    # contamination_top_ngrams, corpus_mix_summary, packing_efficiency,
+    # sample_k_per_source, sketch_profile (rows-only by design).
+    "delta_dv_read",
+    "delta_protocol_cdf",
+    "iceberg_hidden_partitioning",
+    "iceberg_incremental_scan",
+    "dedup_sentences",
+    "embedding_batch_ann",
+    "feature_scaling",
+    "stratified_sample",
+    "token_diversity",
+    "skew_report",
+    "upsample_epochs",
 )
 
 

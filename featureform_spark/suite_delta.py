@@ -369,27 +369,83 @@ def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_dv_read",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 <= 2
+      AND NOT (o_orderkey % 4 = 0 AND o_custkey % 3 = 0)
+    """,
+)
+def delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta merge-on-read DELETE via deletion vectors — the DML shape
+    modern delta-spark emits by default (the reference reads such
+    tables through the vendor connector,
+    offline_store_spark_runner.py:981-987). ``delete_where`` encodes
+    matching positions as roaring bitmaps in a
+    ``deletion_vector_*.bin`` file and re-commits the touched adds with
+    DV descriptors; no data file is rewritten. The reader applies the
+    DVs with one broadcast anti-join on ``_metadata.row_index``
+    (sources/delta_protocol.py, sources/dv_bitmap.py). The delete lands
+    BETWEEN two appends, so both the MOR application and its commit
+    scoping (the later append must not lose rows) are what the oracle
+    certifies."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "protocol_dv"))
+    t.create(orders.filter(F.col("o_orderkey") % 4 <= 1))          # v0
+    t.delete_where(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_custkey") % 3 == 0)
+    )                                                              # v1
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 2))          # v2
+    return t.snapshot()
+
+
+@query(
     "delta_protocol_cdf",
     oracle="""
     SELECT event_id, user_id, event_type, value,
            'insert' AS _change_type,
            CASE WHEN event_id % 5 = 3 THEN 1 ELSE 2 END AS _commit_version
     FROM events WHERE event_id % 5 IN (3, 4)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'update_preimage' AS _change_type, 3 AS _commit_version
+    FROM events WHERE event_id % 5 = 4 AND event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, value + 100.0,
+           'update_postimage' AS _change_type, 3 AS _commit_version
+    FROM events WHERE event_id % 5 = 4 AND event_id % 3 = 0
     """,
 )
 def delta_protocol_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 on the REAL Delta protocol: table_changes derives the change
-    feed from the commit log itself (adds with dataChange=true ->
-    inserts tagged with their commit version) — no side-band CDF store,
-    and the same log a real engine would read
-    (sources/delta_protocol.py:table_changes)."""
+    """S5 on the REAL Delta protocol: appends derive inserts from the
+    commit log itself; a MERGE with CDF enabled writes cdc actions
+    carrying update_preimage/update_postimage rows — the exact
+    _change_type vocabulary the reference consumes
+    (offline_store_spark_runner.py:1076-1136) — and table_changes
+    prefers those cdc files over whole-file derivation
+    (sources/delta_protocol.py:merge, :table_changes)."""
     from featureform_spark.sources.delta_protocol import DeltaProtocolTable
 
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     t = DeltaProtocolTable(spark, _scratch(sf_dir, "protocol_cdf"))
-    t.create(events.filter(F.col("event_id") % 5 < 3))     # v0
+    t.create(
+        events.filter(F.col("event_id") % 5 < 3),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )                                                      # v0
     t.append(events.filter(F.col("event_id") % 5 == 3))    # v1
     t.append(events.filter(F.col("event_id") % 5 == 4))    # v2
+    t.merge(                                               # v3: updates only
+        events.filter(
+            (F.col("event_id") % 5 == 4) & (F.col("event_id") % 3 == 0)
+        ).withColumn("value", F.col("value") + 100.0),
+        key="event_id",
+        insert=False,
+    )
     return t.table_changes(0)

@@ -1,0 +1,377 @@
+"""Delta deletion vectors (sources/delta_protocol.py + dv_bitmap.py):
+merge-on-read DELETE without rewriting data files — the DML shape
+modern delta-spark produces by default (the reference reads such
+tables through the vendor connector,
+offline_store_spark_runner.py:981-987). Covers the roaring-bitmap
+portable codec, all three descriptor storage types, protocol feature
+upgrade, time travel across deletes, checkpoint folds, CDF derivation
+of DV commits, MERGE/compact interaction, and corruption gates."""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.delta_protocol import (
+    DeltaProtocolError,
+    DeltaProtocolTable,
+    UnsupportedTableFeatureError,
+)
+from featureform_spark.sources.dv_bitmap import (
+    DV_MAGIC,
+    DvFormatError,
+    decode_rbm_array,
+    encode_rbm_array,
+    read_dv_from_file,
+    z85_decode,
+    z85_encode,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ------------------------------------------------------------- codec
+
+
+def test_roaring_codec_roundtrip_shapes():
+    rng = np.random.default_rng(11)
+    cases = [
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([0, 1, 2, 65535, 65536, 65537], dtype=np.uint64),
+        rng.choice(1_000_000, size=20_000, replace=False).astype(np.uint64),
+        # >4096 per 16-bit chunk -> bitmap containers
+        np.arange(0, 60_000, dtype=np.uint64),
+        # multiple 32-bit buckets
+        np.array([5, 2**32 + 7, 2**33, 2**40 + 123], dtype=np.uint64),
+    ]
+    for arr in cases:
+        assert np.array_equal(
+            decode_rbm_array(encode_rbm_array(arr)), np.unique(arr)
+        )
+
+
+def test_roaring_decodes_run_containers():
+    """Other writers may emit run containers (cookie 12347); the
+    decoder must handle them even though our encoder never emits them."""
+    # one bucket (high=0), one run container: values 10..19 and 50..52
+    runs = struct.pack("<H", 2) + struct.pack("<HHHH", 10, 9, 50, 2)
+    cookie = struct.pack("<I", 12347 | (0 << 16))  # 1 container
+    run_flags = bytes([0b1])
+    desc = struct.pack("<HH", 0, 12)  # key 0, card-1 = 12
+    bitmap32 = cookie + run_flags + desc + runs  # <4 containers: no offsets
+    blob = (
+        struct.pack("<I", DV_MAGIC)
+        + struct.pack("<Q", 1)
+        + struct.pack("<I", 0)
+        + bitmap32
+    )
+    got = decode_rbm_array(blob)
+    assert got.tolist() == list(range(10, 20)) + [50, 51, 52]
+
+
+def test_z85_known_vector():
+    # ZeroMQ RFC 32 reference vector
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+
+
+def test_dv_file_corruption_gates(tmp_path):
+    p = str(tmp_path / "dv.bin")
+    blob = encode_rbm_array(np.array([1, 2, 3], dtype=np.uint64))
+    framed = (
+        struct.pack(">I", len(blob))
+        + blob
+        + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+    )
+    open(p, "wb").write(b"\x01" + framed)
+    assert read_dv_from_file(p, 1, len(blob)) == blob
+    with pytest.raises(DvFormatError, match="size mismatch"):
+        read_dv_from_file(p, 1, len(blob) - 1)
+    bad = bytearray(b"\x01" + framed)
+    bad[8] ^= 0xFF  # flip a bitmap byte
+    open(p, "wb").write(bytes(bad))
+    with pytest.raises(DvFormatError, match="checksum"):
+        read_dv_from_file(p, 1, len(blob))
+
+
+# ----------------------------------------------------- delete_where
+
+
+def test_delete_where_basic(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "d"))
+    t.create(orders.limit(200))
+    files_before = set(t.state().adds)
+    res = t.delete_where(F.col("o_orderkey") % 10 == 3)
+    assert res["version"] == 1 and res["rows_deleted"] > 0
+
+    expect = sorted(
+        tuple(r)
+        for r in orders.limit(200)
+        .filter(F.col("o_orderkey") % 10 != 3)
+        .collect()
+    )
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == expect
+    # merge-on-read: data file paths unchanged, DV descriptors attached
+    st = t.state()
+    assert set(st.adds) == files_before
+    assert any(a.get("deletionVector") for a in st.adds.values())
+    # protocol upgraded to table features
+    assert st.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in st.protocol["readerFeatures"]
+    # time travel to before the delete still sees every row
+    assert t.snapshot(0).count() == 200
+
+
+def test_delete_where_unions_positions(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "u"))
+    t.create(orders.limit(100))
+    t.delete_where(F.col("o_orderkey") % 7 == 1)
+    t.delete_where(F.col("o_orderkey") % 7 == 2)
+    expect = sorted(
+        r["o_orderkey"]
+        for r in orders.limit(100).collect()
+        if r["o_orderkey"] % 7 not in (1, 2)
+    )
+    got = sorted(r["o_orderkey"] for r in t.snapshot().collect())
+    assert got == expect
+    # intermediate version sees only the first delete
+    mid = {r["o_orderkey"] for r in t.snapshot(1).collect()}
+    assert all(k % 7 != 1 for k in mid) and any(k % 7 == 2 for k in mid)
+
+
+def test_delete_where_whole_file_becomes_remove(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "w"))
+    t.create(orders.limit(50))
+    t.append(orders.limit(100).subtract(orders.limit(50)))
+    st0 = t.state()
+    assert len(st0.adds) >= 2
+    t.delete_where(F.lit(True))
+    st = t.state()
+    assert st.adds == {}  # fully-deleted files are plainly removed
+    assert t.snapshot().count() == 0
+
+
+def test_delete_on_partitioned_table(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "p"))
+    t.create(events, partition_by=["event_type"])
+    t.delete_where((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+    expect = events.filter(
+        ~((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+    )
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == sorted(
+        tuple(r) for r in expect.collect()
+    )
+    # partition pruning still applies DVs
+    clicks = t.snapshot_where({"event_type": "click"})
+    assert clicks.count() == events.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 2 == 1)
+    ).count()
+
+
+def test_delete_on_column_mapped_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "k long, v double"
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "cm"))
+    t.create(df, properties={"delta.columnMapping.mode": "name"})
+    t.delete_where(F.col("k") % 3 == 0)
+    got = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == [i for i in range(60) if i % 3]
+    feats = set(t.state().protocol["readerFeatures"])
+    assert {"deletionVectors", "columnMapping"} <= feats
+
+
+def test_inline_and_absolute_path_dv(spark, sf_dir, tmp_path):
+    """storageType 'i' (inline z85) and 'p' (absolute path) read paths,
+    exercised by hand-writing the descriptor forms delta-spark/
+    delta-rs can emit."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "i"))
+    t.create(orders.limit(30).coalesce(1))
+    st = t.state()
+    (rel,) = list(st.adds)
+    # delete positions 0,2,4 inline
+    blob = encode_rbm_array(np.array([0, 2, 4], dtype=np.uint64))
+    add = dict(st.adds[rel])
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * ((-len(blob)) % 4)),
+        "sizeInBytes": len(blob),
+        "cardinality": 3,
+    }
+    log = os.path.join(t.log_path, "%020d.json" % 1)
+    with open(log, "w") as f:
+        f.write(json.dumps({"remove": {"path": rel, "dataChange": True}}) + "\n")
+        f.write(json.dumps({"add": add}) + "\n")
+    assert t.snapshot().count() == 27
+
+    # absolute-path form: framed file + 'p' descriptor
+    dv_abs = str(tmp_path / "i" / "abs_dv.bin")
+    blob2 = encode_rbm_array(np.array([1, 3], dtype=np.uint64))
+    with open(dv_abs, "wb") as f:
+        f.write(b"\x01")
+        f.write(struct.pack(">I", len(blob2)))
+        f.write(blob2)
+        f.write(struct.pack(">I", zlib.crc32(blob2) & 0xFFFFFFFF))
+    add2 = dict(st.adds[rel])
+    add2["deletionVector"] = {
+        "storageType": "p",
+        "pathOrInlineDv": dv_abs,
+        "offset": 1,
+        "sizeInBytes": len(blob2),
+        "cardinality": 2,
+    }
+    with open(os.path.join(t.log_path, "%020d.json" % 2), "w") as f:
+        f.write(json.dumps({"remove": {"path": rel, "dataChange": True}}) + "\n")
+        f.write(json.dumps({"add": add2}) + "\n")
+    assert t.snapshot().count() == 28  # only positions 1,3 deleted now
+
+
+def test_inline_dv_padding_tolerated(spark, sf_dir, tmp_path):
+    """Inline z85 must be 4-byte aligned; decode must honor sizeInBytes
+    and a cardinality mismatch must raise, not silently mis-read."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "pad"))
+    t.create(orders.limit(10).coalesce(1))
+    st = t.state()
+    (rel,) = list(st.adds)
+    blob = encode_rbm_array(np.array([0], dtype=np.uint64))
+    add = dict(st.adds[rel])
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * ((-len(blob)) % 4)),
+        "sizeInBytes": len(blob),
+        "cardinality": 99,  # wrong on purpose
+    }
+    with open(os.path.join(t.log_path, "%020d.json" % 1), "w") as f:
+        f.write(json.dumps({"remove": {"path": rel, "dataChange": True}}) + "\n")
+        f.write(json.dumps({"add": add}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="cardinality"):
+        t.snapshot().count()
+
+
+# --------------------------------------------- interop with other ops
+
+
+def test_merge_on_dv_table_does_not_resurrect(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "m"))
+    t.create(orders.limit(100).coalesce(2))
+    dead = [r["o_orderkey"] for r in t.snapshot().limit(5).collect()]
+    t.delete_where(F.col("o_orderkey").isin(dead))
+    live_key = next(
+        r["o_orderkey"]
+        for r in t.snapshot().collect()
+        if r["o_orderkey"] not in dead
+    )
+    src = orders.filter(F.col("o_orderkey") == live_key).withColumn(
+        "o_custkey", F.lit(-1).cast("long")
+    )
+    t.merge(src, key="o_orderkey")
+    keys = {r["o_orderkey"] for r in t.snapshot().collect()}
+    assert not (keys & set(dead))           # deletes stay deleted
+    assert live_key in keys and len(keys) == 95
+
+
+def test_compact_materializes_deletes(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "c"))
+    t.create(orders.limit(80))
+    t.delete_where(F.col("o_orderkey") % 2 == 0)
+    before = sorted(tuple(r) for r in t.snapshot().collect())
+    t.compact()
+    st = t.state()
+    assert not any(a.get("deletionVector") for a in st.adds.values())
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == before
+
+
+def test_table_changes_derives_dv_deletes(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "cdf"))
+    t.create(orders.limit(60))
+    t.delete_where(F.col("o_orderkey") % 5 == 0)          # v1
+    t.delete_where(F.col("o_orderkey") % 5 == 1)          # v2
+    ch = t.table_changes(0).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r["_commit_version"], []).append(r)
+    assert set(by_ver) <= {1, 2}
+    v1 = by_ver.get(1, [])
+    assert all(r["_change_type"] == "delete" for r in v1)
+    assert {r["o_orderkey"] % 5 for r in v1} == {0}
+    v2 = by_ver.get(2, [])
+    assert all(r["_change_type"] == "delete" for r in v2)
+    assert {r["o_orderkey"] % 5 for r in v2} == {1}
+    # exactly the deleted rows, no whole-file churn
+    n0 = orders.limit(60).filter(F.col("o_orderkey") % 5 == 0).count()
+    n1 = orders.limit(60).filter(F.col("o_orderkey") % 5 == 1).count()
+    assert (len(v1), len(v2)) == (n0, n1)
+
+
+def test_merge_writes_cdc_update_images(spark, sf_dir, tmp_path):
+    """With delta.enableChangeDataFeed, MERGE commits cdc actions whose
+    rows carry update_preimage/update_postimage/insert — and
+    table_changes uses them instead of whole-file insert+delete churn
+    (the delta-spark CDF contract the reference consumes)."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "cdc"))
+    t.create(
+        orders.limit(50),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    keys = sorted(r["o_orderkey"] for r in t.snapshot().limit(3).collect())
+    src = orders.filter(F.col("o_orderkey").isin(keys)).withColumn(
+        "o_custkey", F.lit(-7).cast("long")
+    )
+    new_key_src = spark.createDataFrame(
+        [(-1, -2, None)], "o_orderkey long, o_custkey long, o_totalprice string"
+    ).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice").cast(dict(orders.dtypes)["o_totalprice"]),
+    )
+    t.merge(src.unionByName(new_key_src), key="o_orderkey")
+
+    ch = t.table_changes(0).filter(F.col("_commit_version") == 1).collect()
+    kinds = {}
+    for r in ch:
+        kinds.setdefault(r["_change_type"], []).append(r)
+    assert sorted(r["o_orderkey"] for r in kinds["update_preimage"]) == keys
+    assert all(
+        r["o_custkey"] != -7 for r in kinds["update_preimage"]
+    )
+    assert sorted(r["o_orderkey"] for r in kinds["update_postimage"]) == keys
+    assert all(r["o_custkey"] == -7 for r in kinds["update_postimage"])
+    assert [r["o_orderkey"] for r in kinds["insert"]] == [-1]
+    # NOT whole-file churn: exactly 2*3 update rows + 1 insert
+    assert len(ch) == 7
+    # cdc actions are committed with dataChange=false
+    acts = t._read_commit(1)
+    assert any("cdc" in a for a in acts)
+
+
+def test_checkpoint_preserves_dv(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "cp"))
+    t.create(orders.limit(40))
+    t.delete_where(F.col("o_orderkey") % 4 == 0)
+    expect = sorted(tuple(r) for r in t.snapshot().collect())
+    t.checkpoint()
+    t.clean_log()
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == expect

@@ -174,10 +174,12 @@ def test_feature_gates(spark, sf_dir, tmp_path):
     t.create(orders.limit(10))
     log = tmp_path / "g" / "_delta_log"
 
-    # a deletion-vector add must refuse, not return deleted rows
+    # a deletion vector with an UNKNOWN storage type must refuse, not
+    # return deleted rows (u/i/p are supported — test_delta_dv covers
+    # the read path)
     dv = {"add": {"path": "nope.parquet", "partitionValues": {},
                   "size": 1, "modificationTime": 0, "dataChange": True,
-                  "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                  "deletionVector": {"storageType": "z", "pathOrInlineDv": "x",
                                      "offset": 1, "sizeInBytes": 1, "cardinality": 1}}}
     (log / ("%020d.json" % 1)).write_text(json.dumps(dv) + "\n")
     with pytest.raises(UnsupportedTableFeatureError):
@@ -244,55 +246,24 @@ def test_exists_after_checkpoint_only_log(spark, sf_dir, tmp_path):
         t.create(orders.limit(5))
 
 
-def test_dv_add_in_checkpoint_refuses(spark, sf_dir, tmp_path):
-    """Regression (judge HIGH): a deletion-vector add folded from a
-    parquet CHECKPOINT (not a JSON commit) must hit the same gate —
-    the checkpoint add schema now carries the deletionVector struct."""
-    import pyspark.sql.functions as F
-
-    orders = _orders(spark, sf_dir)
+def test_dv_add_survives_checkpoint_fold(spark, sf_dir, tmp_path):
+    """A deletion-vector add folded from a parquet CHECKPOINT (not a
+    JSON commit) must keep applying the DV — checkpoints written by
+    real delta-spark carry the descriptor in the add struct (r4: this
+    path refused; now it reads correct rows)."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
     t = DeltaProtocolTable(spark, str(tmp_path / "dv"))
-    t.create(orders.limit(5))
+    t.create(orders.limit(50))
+    keys = [r["o_orderkey"] for r in t.snapshot().limit(7).collect()]
+    t.delete_where(F.col("o_orderkey").isin(keys))
+    expect = {
+        r["o_orderkey"] for r in t.snapshot().collect()
+    }
     t.checkpoint()
-    # Rewrite the checkpoint, attaching a DV descriptor to every add —
-    # simulating a checkpoint written by real delta-spark over a table
-    # with deletes.
-    cp = os.path.join(t.log_path, "%020d.checkpoint.parquet" % 0)
-    df = spark.read.parquet(cp)
-    dv = F.when(
-        F.col("add").isNotNull(),
-        F.struct(
-            F.lit("u").alias("storageType"),
-            F.lit("ab").alias("pathOrInlineDv"),
-            F.lit(1).alias("offset"),
-            F.lit(10).alias("sizeInBytes"),
-            F.lit(2).cast("long").alias("cardinality"),
-        ),
-    )
-    df = df.withColumn(
-        "add",
-        F.when(
-            F.col("add").isNotNull(),
-            F.struct(
-                F.col("add.path").alias("path"),
-                F.col("add.partitionValues").alias("partitionValues"),
-                F.col("add.size").alias("size"),
-                F.col("add.modificationTime").alias("modificationTime"),
-                F.col("add.dataChange").alias("dataChange"),
-                F.col("add.stats").alias("stats"),
-                dv.alias("deletionVector"),
-            ),
-        ),
-    )
-    tmp_out = str(tmp_path / "cp_rewrite")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-    part = next(
-        n for n in sorted(os.listdir(tmp_out)) if n.endswith(".parquet")
-    )
-    os.replace(os.path.join(tmp_out, part), cp)
-    t.clean_log()  # force state to fold from the checkpoint
-    with pytest.raises(UnsupportedTableFeatureError):
-        t.snapshot()
+    t.clean_log()  # force state to fold from the checkpoint only
+    assert t._commit_versions() == []
+    got = {r["o_orderkey"] for r in t.snapshot().collect()}
+    assert got == expect and len(got) == 43
 
 
 def test_merge_copy_on_write(spark, sf_dir, tmp_path):
