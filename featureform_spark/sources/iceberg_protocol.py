@@ -336,6 +336,131 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def _mm3_mix_k(k):
+    import numpy as np
+
+    k = k * np.uint32(0xCC9E2D51)
+    k = (k << np.uint32(15)) | (k >> np.uint32(17))
+    return k * np.uint32(0x1B873593)
+
+
+def _mm3_step(h, k):
+    import numpy as np
+
+    h = h ^ _mm3_mix_k(k)
+    h = (h << np.uint32(13)) | (h >> np.uint32(19))
+    return h * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _mm3_final(h, lengths):
+    import numpy as np
+
+    h = h ^ lengths.astype(np.uint32)
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    return h ^ (h >> np.uint32(16))
+
+
+def murmur3_32_longs_vec(vals) -> "Any":
+    """Vectorized spec murmur3 over int64 values encoded as 8-byte
+    little-endian (the Appendix B encoding for int/long/date/
+    timestamp): two fixed mix rounds on the low/high words — the exact
+    scalar sequence of murmur3_32, column-vectorized (uint32 wraps are
+    numpy's native modular arithmetic). Equality with the scalar
+    implementation is asserted in tests."""
+    import numpy as np
+
+    v = np.ascontiguousarray(np.asarray(vals, dtype=np.int64)).view(np.uint64)
+    h = np.zeros(len(v), dtype=np.uint32)
+    h = _mm3_step(h, (v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    h = _mm3_step(h, (v >> np.uint64(32)).astype(np.uint32))
+    return _mm3_final(h, np.full(len(v), 8, dtype=np.uint32))
+
+
+def murmur3_32_bytes_vec(buffers: list) -> "Any":
+    """Vectorized spec murmur3 over variable-length byte strings
+    (string/binary bucket keys): rows are scattered into one
+    offset-indexed byte matrix, word rounds run masked across all rows
+    (round w touches only rows with >= 4(w+1) bytes), and the 0-3-byte
+    tail is gathered per row — no per-value Python in the hash loop."""
+    import numpy as np
+
+    n = len(buffers)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    lens = np.fromiter((len(b) for b in buffers), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    width = ((maxlen // 4) + 1) * 4  # room so tail gathers never run off
+    mat = np.zeros((n, width), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(buffers), dtype=np.uint8)
+    col = np.arange(width)
+    mat[col[None, :] < lens[:, None]] = flat  # row-major == concat order
+    words = mat.view("<u4")
+    h = np.zeros(n, dtype=np.uint32)
+    nwords = lens // 4
+    for w in range(int(nwords.max())):
+        m = nwords > w
+        h = np.where(m, _mm3_step(h, words[:, w].astype(np.uint32)), h)
+    rounded = (nwords * 4).astype(np.int64)
+    tail_len = lens - rounded
+    b0 = np.take_along_axis(mat, rounded[:, None], axis=1)[:, 0].astype(np.uint32)
+    b1 = np.take_along_axis(mat, (rounded + 1)[:, None], axis=1)[:, 0].astype(np.uint32)
+    b2 = np.take_along_axis(mat, (rounded + 2)[:, None], axis=1)[:, 0].astype(np.uint32)
+    k = np.zeros(n, dtype=np.uint32)
+    k = np.where(tail_len >= 3, k ^ (b2 << np.uint32(16)), k)
+    k = np.where(tail_len >= 2, k ^ (b1 << np.uint32(8)), k)
+    has_tail = tail_len >= 1
+    k = np.where(has_tail, k ^ b0, k)
+    h = np.where(has_tail, h ^ _mm3_mix_k(k), h)
+    return _mm3_final(h, lens)
+
+
+def bucket_values_vec(ice_type: str, series, n: int):
+    """Bucket-transform a pandas Series without per-value Python in the
+    hash path: nulls masked out, non-null values hashed by the
+    vectorized murmur3 kernels, result returned as an object Series of
+    int/None (the pandas_udf int32 carrier)."""
+    import numpy as np
+    import pandas as pd
+
+    m = series.notna().to_numpy()
+    out = np.full(len(series), None, dtype=object)
+    if not m.any():
+        return pd.Series(out)
+    sub = series[m]
+    if ice_type in ("int", "long"):
+        h = murmur3_32_longs_vec(sub.to_numpy().astype(np.int64))
+    elif ice_type == "date":
+        days = (
+            pd.to_datetime(sub)
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        h = murmur3_32_longs_vec(days)
+    elif ice_type in ("timestamp", "timestamptz"):
+        micros = (
+            pd.to_datetime(sub)
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        h = murmur3_32_longs_vec(micros)
+    elif ice_type == "string":
+        h = murmur3_32_bytes_vec(sub.astype(str).str.encode("utf-8").tolist())
+    elif ice_type == "binary":
+        h = murmur3_32_bytes_vec([bytes(v) for v in sub])
+    else:
+        raise UnsupportedIcebergFeatureError(
+            f"bucket transform on type {ice_type!r} unsupported"
+        )
+    buckets = (h & np.uint32(0x7FFFFFFF)).astype(np.int64) % n
+    out[m] = buckets.astype(object)
+    return pd.Series(out)
+
+
 def bucket_hash(ice_type: str, val: Any) -> int:
     """Spec §Appendix B hash: int/long/date/timestamp hash as 8-byte
     little-endian LONG; strings as UTF-8 bytes."""
@@ -468,13 +593,7 @@ def _transform_expr(transform: str, src_type: str, col):
         from pyspark.sql.functions import pandas_udf
 
         def _bucket(a):
-            return pd.Series(
-                [
-                    None if v is None else bucket_value(src_type, v, n)
-                    for v in a
-                ],
-                dtype="object",
-            )
+            return bucket_values_vec(src_type, a, n)
 
         _bucket.__annotations__ = {"a": pd.Series, "return": pd.Series}
         return pandas_udf(_bucket, "int")(c)

@@ -475,6 +475,105 @@ def test_murmur3_spec_vectors():
     assert 0 <= bucket_value("long", 34, 16) < 16
 
 
+def test_vectorized_murmur3_matches_scalar():
+    """The numpy bucket kernels (murmur3_32_longs_vec / _bytes_vec /
+    bucket_values_vec) must equal the scalar spec implementation bit
+    for bit on every supported key type — including negatives, empty
+    strings, multi-byte UTF-8, all tail lengths, and nulls."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from featureform_spark.sources.iceberg_protocol import (
+        bucket_value,
+        bucket_values_vec,
+        murmur3_32,
+        murmur3_32_bytes_vec,
+        murmur3_32_longs_vec,
+    )
+    import struct as _struct
+
+    rng = np.random.default_rng(3)
+    longs = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, size=2000),
+            np.array([0, 1, -1, 34, 2**62, -(2**62)]),
+        ]
+    ).astype(np.int64)
+    got = murmur3_32_longs_vec(longs)
+    for v, h in zip(longs.tolist(), got.tolist()):
+        assert murmur3_32(_struct.pack("<q", v)) == h
+
+    strs = [
+        "", "a", "ab", "abc", "abcd", "abcde", "iceberg",
+        "naïve—utf8✓", "x" * 100, "\x00embedded\x00nulls",
+    ] + ["s%d" % i for i in range(500)]
+    bufs = [s.encode("utf-8") for s in strs]
+    got_b = murmur3_32_bytes_vec(bufs)
+    for b, h in zip(bufs, got_b.tolist()):
+        assert murmur3_32(b) == h
+
+    # full bucket path incl. nulls, dates, timestamps
+    n = 16
+    s_long = pd.Series([3, None, -7, 2**40], dtype="object")
+    assert bucket_values_vec("long", s_long, n).tolist() == [
+        bucket_value("long", v, n) if v is not None else None
+        for v in s_long
+    ]
+    dates = pd.Series(
+        [datetime.date(2017, 11, 16), None, datetime.date(1969, 12, 31)]
+    )
+    expect = [
+        None
+        if d is None
+        else bucket_value(
+            "date", (d - datetime.date(1970, 1, 1)).days, n
+        )
+        for d in dates
+    ]
+    assert bucket_values_vec("date", dates, n).tolist() == expect
+    tss = pd.Series(
+        [datetime.datetime(2017, 11, 16, 22, 31, 8), pd.NaT,
+         datetime.datetime(1970, 1, 1)]
+    )
+    expect_ts = [
+        None if pd.isna(t) else bucket_value("timestamp", t, n)
+        for t in tss
+    ]
+    assert bucket_values_vec("timestamp", tss, n).tolist() == expect_ts
+    s_str = pd.Series(["iceberg", None, "", "naïve"])
+    assert bucket_values_vec("string", s_str, n).tolist() == [
+        None if v is None else bucket_value("string", v, n) for v in s_str
+    ]
+
+
+def test_vectorized_murmur3_throughput():
+    """The write-path kernel must be vectorized-fast: >=5x the scalar
+    loop on 1M long keys (typically ~100x; 5x guards against timer
+    noise without flaking)."""
+    import time
+
+    import numpy as np
+
+    from featureform_spark.sources.iceberg_protocol import (
+        bucket_value,
+        murmur3_32_longs_vec,
+    )
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(-(2**60), 2**60, size=1_000_000).astype(np.int64)
+    t0 = time.perf_counter()
+    murmur3_32_longs_vec(keys)
+    vec_s = time.perf_counter() - t0
+    sample = keys[:20_000].tolist()
+    t0 = time.perf_counter()
+    for v in sample:
+        bucket_value("long", v, 16)
+    scalar_s = (time.perf_counter() - t0) * (len(keys) / len(sample))
+    assert scalar_s > 5 * vec_s, (scalar_s, vec_s)
+
+
 def test_partition_transforms_roundtrip(spark, sf_dir, tmp_path):
     """day + bucket + truncate partitioning: rows unchanged, manifests
     carry the TRANSFORMED partition values, appends keep working, and
