@@ -1322,6 +1322,140 @@ class IcebergProtocolTable:
             )
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
+    def scan_planned_eq(
+        self, col: str, value: Any, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Equality scan planning — prunes through ANY partition
+        transform on the probed column, including non-order-preserving
+        ``bucket[N]`` (which range planning deliberately can't use):
+        the literal is pushed through each transform
+        (``bucket_value(literal)`` / truncate / day-family), manifests
+        whose partition summary range excludes the transformed value
+        are skipped whole, then each surviving entry's ``partition``
+        tuple and per-file source-column bounds are checked. NULL
+        partition rows can never satisfy an equality probe, so
+        ``contains_null`` does not block a skip. Zero footer reads."""
+        import datetime
+
+        md = self.metadata()
+        snap = self._snapshot_by(snapshot_id, md=md)
+        schema = self.spark_schema(md)
+        if snap is None:
+            return self.spark.createDataFrame([], schema)
+        ice_schema = self.schema(md)
+        fid = None
+        ice_type = None
+        for f in ice_schema["fields"]:
+            if f["name"] == col:
+                fid, ice_type = f["id"], f["type"]
+        if fid is None or not isinstance(ice_type, str):
+            raise IcebergProtocolError(f"no atomic column {col!r}")
+
+        hv = value
+        if ice_type == "date" and isinstance(value, datetime.date):
+            hv = (value - datetime.date(1970, 1, 1)).days
+        # (pos, name, result_type, tv, tv_raw): tv lives in the decoded
+        # summary-bound domain (dates as datetime.date); tv_raw in the
+        # partition-tuple storage domain (dates as epoch-day ints)
+        probes: list[tuple[int, str, str, Any, Any]] = []
+        for i, pf in enumerate(self.partition_spec(md)):
+            if pf.get("source-id") != fid:
+                continue
+            tr = pf.get("transform", "identity")
+            base = tr.split("[", 1)[0]
+            if base == "bucket":
+                n = int(tr[len("bucket[") : -1])
+                tv = bucket_value(ice_type, hv, n)
+            elif base in _MONOTONIC_TRANSFORMS or base == "truncate":
+                tv = apply_transform_py(tr, ice_type, value)
+            else:
+                continue
+            rtype = _transform_result_type(tr, ice_type)
+            tv_raw = (
+                (tv - datetime.date(1970, 1, 1)).days
+                if rtype == "date" and isinstance(tv, datetime.date)
+                else tv
+            )
+            probes.append((i, pf["name"], rtype, tv, tv_raw))
+
+        total_files = 0
+        keep_entries: list[dict] = []
+        delete_entries: list[dict] = []
+        for m in self._manifest_files(snap):
+            if int(m.get("content", 0)) != 0:
+                man_path = self._resolve_path(m["manifest_path"])
+                _, recs = read_container(man_path)
+                man_seq = m.get("sequence_number")
+                for e in recs:
+                    if int(e.get("status", 1)) == 2:
+                        continue
+                    if e.get("sequence_number") is None and man_seq is not None:
+                        e["sequence_number"] = man_seq
+                    delete_entries.append(e)
+                continue
+            summaries = m.get("partitions") or []
+            skip = False
+            for pos, _name, rtype, tv, _tv_raw in probes:
+                if pos >= len(summaries):
+                    continue
+                s = summaries[pos]
+                smn = decode_bound(rtype, s.get("lower_bound"))
+                smx = decode_bound(rtype, s.get("upper_bound"))
+                if smn is not None and smx is not None and (
+                    tv < smn or tv > smx
+                ):
+                    skip = True
+                    break
+            if skip:
+                total_files += int(
+                    m.get("added_files_count", m.get("added_data_files_count", 0)) or 0
+                ) + int(m.get("existing_files_count", 0) or 0)
+                continue
+            man_path = self._resolve_path(m["manifest_path"])
+            _, recs = read_container(man_path)
+            man_seq = m.get("sequence_number")
+            for e in recs:
+                if int(e.get("status", 1)) == 2:
+                    continue
+                df_ = e["data_file"]
+                total_files += 1
+                if e.get("sequence_number") is None and man_seq is not None:
+                    e["sequence_number"] = man_seq
+                part = df_.get("partition") or {}
+                if any(
+                    name in part
+                    and part[name] is not None
+                    and part[name] != tv_raw
+                    for _pos, name, _rtype, _tv, tv_raw in probes
+                ):
+                    continue
+                lbs = _as_int_map(df_.get("lower_bounds"))
+                ubs = _as_int_map(df_.get("upper_bounds"))
+                fmn = decode_bound(ice_type, lbs.get(fid))
+                fmx = decode_bound(ice_type, ubs.get(fid))
+                if (
+                    fmn is not None
+                    and fmx is not None
+                    and (value < fmn or value > fmx)
+                ):
+                    continue
+                keep_entries.append(e)
+        self._last_prune = {
+            "files_total": total_files,
+            "files_read": len(keep_entries),
+        }
+        if delete_entries:
+            df = self._read_with_deletes(schema, keep_entries, delete_entries)
+        else:
+            df = self._read_files(
+                schema,
+                sorted(
+                    self._resolve_path(e["data_file"]["file_path"])
+                    for e in keep_entries
+                ),
+            )
+        return df.filter(F.col(col) == F.lit(value))
+
     # ------------------------------------------------------------ write
 
     def _footer_stats(

@@ -369,6 +369,33 @@ def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_bucket_pruning",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_custkey = 1
+    """,
+)
+def iceberg_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality probe through bucket[8] hidden partitioning: the
+    reader pushes the literal through the spec murmur3 bucket transform
+    and skips manifests/files of every other bucket — the pruning path
+    range planning deliberately can't use (bucket is not
+    order-preserving). Skip counts asserted in
+    tests/test_iceberg_protocol.py; the oracle certifies rows
+    (sources/iceberg_protocol.py:scan_planned_eq)."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_beq"))
+    t.create(orders, partition_by=["bucket(8, o_custkey)"])
+    return t.scan_planned_eq("o_custkey", 1)
+
+
+@query(
     "delta_dv_read",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -475,6 +475,59 @@ def test_murmur3_spec_vectors():
     assert 0 <= bucket_value("long", 34, 16) < 16
 
 
+def test_equality_pruning_through_bucket_partitioning(spark, sf_dir, tmp_path):
+    """Hidden partitioning for equality probes: a bucket[N]-partitioned
+    table prunes files for `col = literal` via bucket_value(literal)
+    against partition summaries and per-file partition tuples — the
+    pruning path range planning can't use (bucket is not
+    order-preserving). Values must equal a plain filter."""
+    import pyspark.sql.functions as F
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "beq"))
+    t.create(orders, partition_by=["bucket(8, o_custkey)"])
+    probe = orders.select("o_custkey").first()["o_custkey"]
+    got = t.scan_planned_eq("o_custkey", int(probe))
+    expect = orders.filter(F.col("o_custkey") == int(probe))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in expect.collect()
+    )
+    pr = t._last_prune
+    assert pr["files_read"] < pr["files_total"]  # real skips
+    assert pr["files_read"] >= 1
+    # a value hashing to an absent bucket still returns correct (empty)
+    # rows rather than scanning everything
+    missing = int(orders.agg(F.max("o_custkey")).first()[0]) + 10**6
+    assert t.scan_planned_eq("o_custkey", missing).count() == 0
+
+
+def test_equality_pruning_through_truncate_partitioning(spark, sf_dir, tmp_path):
+    """truncate[W] string partitioning prunes equality probes through
+    the transform (prefix compare), incl. per-file tuple checks."""
+    import pyspark.sql.functions as F
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "teq"))
+    t.create(orders, partition_by=["truncate(1, o_orderstatus)"])
+    got = t.scan_planned_eq("o_orderstatus", "F")
+    expect = orders.filter(F.col("o_orderstatus") == "F")
+    assert got.count() == expect.count() > 0
+    pr = t._last_prune
+    assert pr["files_read"] < pr["files_total"]
+
+
 def test_vectorized_murmur3_matches_scalar():
     """The numpy bucket kernels (murmur3_32_longs_vec / _bytes_vec /
     bucket_values_vec) must equal the scalar spec implementation bit
