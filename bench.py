@@ -111,8 +111,16 @@ def main() -> None:
             if t1 > retime_threshold or regressed:
                 _cleanup()
                 t2 = _run_once(fn)
+                best = min(t1, t2)
+                # one more attempt if still regressed vs prior — a
+                # retime pair landing inside the same GC/memory-pressure
+                # window reports the same outlier twice (observed r5:
+                # two back-to-back 5.8s runs of a 2.6s query)
+                if name in prior and best > 1.5 * float(prior[name]):
+                    _cleanup()
+                    best = min(best, _run_once(fn))
                 first_run[name] = t1
-                timings[name] = min(t1, t2)
+                timings[name] = best
                 if regressed:
                     retimed_vs_prior.append(name)
             else:
