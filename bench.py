@@ -164,7 +164,7 @@ def main() -> None:
     artifact = (
         "BENCH_local.json"
         if out["sf"] == 0.1
-        else f"BENCH_local_sf{sf}.json"
+        else "BENCH_local_sf%s.json" % str(sf).replace(os.sep, "_")
     )
     try:
         with open(Path(__file__).resolve().parent / artifact, "w") as f:
