@@ -71,6 +71,20 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
 }
 
+# Writer table features (protocol v7) this implementation actually
+# ENFORCES on write (_write_guard). generatedColumns/identityColumns
+# etc. are deliberately absent: writing without computing them would
+# corrupt the table's contract, so they hard-gate writes.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "columnMapping",
+    "deletionVectors",
+    "changeDataFeed",
+    "timestampNtz",
+}
+
 
 class DeltaProtocolError(Exception):
     pass
@@ -388,6 +402,125 @@ class DeltaProtocolTable:
             raise DeltaProtocolError("log has no metaData action")
         self._check_protocol(st.protocol, st.metadata)
         return st
+
+    def _write_guard(
+        self, st: _State, df: DataFrame | None, operation: str
+    ) -> None:
+        """The writer-side mirror of _check_protocol — a conformant
+        Delta writer must refuse to write into a table whose writer
+        requirements it cannot honor (PROTOCOL.md §Writer Requirements),
+        and must ENFORCE the ones it claims:
+
+        - protocol gate: minWriterVersion > 7 or unknown writerFeatures
+          refuse (we cannot know what invariant we'd break);
+        - ``delta.appendOnly``: any operation that removes or modifies
+          existing rows (overwrite / MERGE / DELETE / RESTORE) raises;
+          blind appends and dataChange=false OPTIMIZE remain legal;
+        - CHECK constraints (``delta.constraints.*``): the rows being
+          written are validated with one aggregate pass — a row where
+          the expression evaluates to FALSE (NULL passes, SQL CHECK
+          semantics) aborts the commit;
+        - legacy column invariants (``delta.invariants`` field
+          metadata): enforced the same way.
+
+        ``df`` is the data being committed (None for metadata-only /
+        position-delete commits, which still get the protocol +
+        append-only checks)."""
+        proto = st.protocol or {}
+        writer = int(proto.get("minWriterVersion", 1))
+        if writer > 7:
+            raise UnsupportedTableFeatureError(
+                f"minWriterVersion={writer} is beyond protocol v7; "
+                "refusing to write"
+            )
+        feats = set(proto.get("writerFeatures") or [])
+        unknown = feats - _SUPPORTED_WRITER_FEATURES
+        if writer == 7 and unknown:
+            raise UnsupportedTableFeatureError(
+                f"unsupported writer features: {sorted(unknown)} — "
+                "writing could break an invariant this engine does not "
+                "implement"
+            )
+        conf = st.metadata.get("configuration") or {}
+        if conf.get("delta.appendOnly") == "true" and operation in (
+            "WRITE-OVERWRITE", "MERGE", "DELETE", "RESTORE"
+        ):
+            raise DeltaProtocolError(
+                f"table is delta.appendOnly=true; {operation} would "
+                "remove or modify existing rows"
+            )
+        if df is None:
+            return
+        checks: list[tuple[str, str]] = [
+            (k[len("delta.constraints.") :], v)
+            for k, v in conf.items()
+            if k.startswith("delta.constraints.")
+        ]
+        for f in st.schema.fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if inv:
+                try:
+                    expr = json.loads(inv)["expression"]["expression"]
+                except (ValueError, KeyError, TypeError):
+                    raise UnsupportedTableFeatureError(
+                        f"unparseable invariant on column {f.name!r}: "
+                        f"{inv!r}"
+                    ) from None
+                checks.append((f"invariant({f.name})", expr))
+        if not checks:
+            return
+        # one aggregate pass over the written rows for ALL constraints
+        aggs = [
+            F.sum(
+                F.when(F.expr(expr) == False, 1).otherwise(0)  # noqa: E712
+            ).alias(f"_c{i}")
+            for i, (_n, expr) in enumerate(checks)
+        ]
+        row = df.agg(*aggs).first()
+        for i, (name, expr) in enumerate(checks):
+            bad = row[f"_c{i}"]
+            if bad:
+                raise DeltaProtocolError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{bad} row(s); commit aborted"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT: validates EXISTING rows against
+        ``expr`` (one scan), then commits the constraint into table
+        configuration so every subsequent write enforces it."""
+        st = self.state()
+        key = f"delta.constraints.{name}"
+        if key in (st.metadata.get("configuration") or {}):
+            raise DeltaProtocolError(f"constraint {name!r} already exists")
+        bad = self.snapshot().filter(
+            F.expr(expr) == False  # noqa: E712 — NULL passes, like SQL CHECK
+        ).count()
+        if bad:
+            raise DeltaProtocolError(
+                f"cannot add constraint {name!r}: {bad} existing row(s) "
+                "violate it"
+            )
+        meta = dict(st.metadata)
+        conf = dict(meta.get("configuration") or {})
+        conf[key] = expr
+        meta["configuration"] = conf
+        v = st.version + 1
+        self._commit(v, [{"metaData": meta}], "ADD CONSTRAINT")
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        st = self.state()
+        key = f"delta.constraints.{name}"
+        conf = dict(st.metadata.get("configuration") or {})
+        if key not in conf:
+            raise DeltaProtocolError(f"no constraint {name!r}")
+        conf.pop(key)
+        meta = dict(st.metadata)
+        meta["configuration"] = conf
+        v = st.version + 1
+        self._commit(v, [{"metaData": meta}], "DROP CONSTRAINT")
+        return v
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: commitInfo per version, newest first."""
@@ -894,6 +1027,8 @@ class DeltaProtocolTable:
         probe = _State(
             version=0, metadata=meta_action["metaData"], protocol={}
         )
+        # constraints passed via properties bind from the first commit
+        self._write_guard(probe, df, "CREATE")
         adds = self._write_files(df, partition_by, probe.column_mapping)
         mapped = probe.column_mapping is not None
         protocol = (
@@ -916,6 +1051,7 @@ class DeltaProtocolTable:
         SetTransaction for exactly-once ingestion; a replay with
         version <= the recorded one is a no-op returning -1."""
         st = self.state()
+        self._write_guard(st, df, "WRITE")
         if txn is not None:
             app_id, tv = txn
             if int(tv) <= int(st.txns.get(app_id, -1)):
@@ -955,6 +1091,7 @@ class DeltaProtocolTable:
         "files_total"}.
         """
         st = self.state()
+        self._write_guard(st, None, "MERGE")  # fail fast pre-join
         schema = st.schema
         mapping = st.column_mapping
         have = set(schema.fieldNames())
@@ -1087,6 +1224,7 @@ class DeltaProtocolTable:
             else joined.filter(~is_insert).select(*out_cols)
         )
 
+        self._write_guard(st, merged, "MERGE")  # CHECK constraints
         adds = self._write_files(merged, st.partition_columns, mapping)
         now = int(time.time() * 1000)
         actions: list[dict] = []
@@ -1200,6 +1338,7 @@ class DeltaProtocolTable:
         import numpy as np
 
         st = self.state()
+        self._write_guard(st, None, "DELETE")
         base = self._read_files_plain(st, self._data_paths(st), with_pos=True)
         hits = (
             base.filter(condition)
@@ -1293,6 +1432,7 @@ class DeltaProtocolTable:
 
     def overwrite(self, df: DataFrame) -> int:
         st = self.state()
+        self._write_guard(st, df, "WRITE-OVERWRITE")
         adds = self._write_files(df, st.partition_columns, st.column_mapping)
         now = int(time.time() * 1000)
         actions = [
@@ -1344,6 +1484,7 @@ class DeltaProtocolTable:
         not re-emit them — the Delta OPTIMIZE contract). Partitioned
         tables re-cluster per partition via the normal write path."""
         st = self.state()
+        self._write_guard(st, None, "OPTIMIZE")  # legal under appendOnly
         n_rows = 0
         for add in st.adds.values():
             stats = add.get("stats")
@@ -1618,6 +1759,7 @@ class DeltaProtocolTable:
         so the pre-restore state stays time-travelable."""
         target = self.state(version)
         cur = self.state()
+        self._write_guard(cur, None, "RESTORE")
         now = int(time.time() * 1000)
         actions: list[dict] = []
         if json.dumps(target.metadata, sort_keys=True) != json.dumps(
