@@ -254,6 +254,30 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # v2-checkpoint actions (PROTOCOL.md §V2 Spec Checkpoints):
+        # the manifest carries sidecar pointers whose parquet files hold
+        # the add/remove actions; classic checkpoints read NULL here.
+        T.StructField(
+            "sidecar",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("sizeInBytes", T.LongType()),
+                    T.StructField("modificationTime", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "checkpointMetadata",
+            T.StructType(
+                [
+                    T.StructField("version", T.LongType()),
+                    T.StructField(
+                        "tags", T.MapType(T.StringType(), T.StringType())
+                    ),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -287,17 +311,58 @@ class DeltaProtocolTable:
                     continue
         return sorted(out)
 
-    def _checkpoint_versions(self) -> list[int]:
+    def _checkpoint_files(self) -> dict[int, dict]:
+        """Discover every checkpoint form a real Delta writer emits
+        (PROTOCOL.md §Checkpoints): classic single-file
+        ``n.checkpoint.parquet``, multi-part classic
+        ``n.checkpoint.o.p.parquet`` (kept only when all p parts are
+        present), and v2 UUID-named ``n.checkpoint.<uuid>.parquet`` /
+        ``.json`` manifests (sidecar pointers resolved at read time).
+        Returns {version: {"kind", "paths"}}; when a version has
+        several forms, classic wins (cheapest read), then v2, then
+        multi-part."""
         if not os.path.isdir(self.log_path):
-            return []
-        out = []
+            return {}
+        classic: dict[int, list[str]] = {}
+        v2: dict[int, list[str]] = {}
+        parts: dict[int, dict[int, tuple[int, str]]] = {}
         for name in os.listdir(self.log_path):
-            if name.endswith(".checkpoint.parquet"):
+            bits = name.split(".")
+            if len(bits) < 3 or bits[1] != "checkpoint":
+                continue
+            try:
+                v = int(bits[0])
+            except ValueError:
+                continue
+            full = os.path.join(self.log_path, name)
+            if len(bits) == 3 and bits[2] == "parquet":
+                classic[v] = [full]
+            elif len(bits) == 5 and bits[4] == "parquet":
                 try:
-                    out.append(int(name.split(".", 1)[0]))
+                    o, p = int(bits[2]), int(bits[3])
                 except ValueError:
                     continue
-        return sorted(out)
+                parts.setdefault(v, {})[o] = (p, full)
+            elif len(bits) == 4 and bits[3] in ("parquet", "json"):
+                v2.setdefault(v, []).append(full)
+        out: dict[int, dict] = {}
+        for v, by_part in parts.items():
+            total = {p for p, _ in by_part.values()}
+            if len(total) == 1 and set(by_part) == set(
+                range(1, next(iter(total)) + 1)
+            ):
+                out[v] = {
+                    "kind": "multipart",
+                    "paths": [by_part[i][1] for i in sorted(by_part)],
+                }
+        for v, paths in v2.items():
+            out[v] = {"kind": "v2", "paths": sorted(paths)[:1]}
+        for v, paths in classic.items():
+            out[v] = {"kind": "classic", "paths": paths}
+        return out
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(self._checkpoint_files())
 
     def version(self) -> int:
         versions = self._commit_versions()
@@ -311,14 +376,48 @@ class DeltaProtocolTable:
             return [json.loads(line) for line in f if line.strip()]
 
     def _read_checkpoint(self, version: int) -> list[dict]:
-        """Checkpoint parquet → action dicts (metadata-scale collect)."""
-        cp = os.path.join(self.log_path, _checkpoint_name(version))
-        rows = (
-            self.spark.read.schema(_CHECKPOINT_SCHEMA).parquet(cp).collect()
-        )
+        """Checkpoint → action dicts (metadata-scale collect), handling
+        every discovered form: classic single-file, multi-part classic
+        (parts concatenated), and v2 manifests whose ``sidecar``
+        pointers are resolved against ``_delta_log/_sidecars/``."""
+        info = self._checkpoint_files().get(version)
+        if info is None:
+            raise DeltaProtocolError(f"no checkpoint at version {version}")
+
+        def _rows_of(paths: list[str]) -> list[dict]:
+            out = []
+            for p in paths:
+                if p.endswith(".json"):
+                    with open(p) as f:
+                        out.extend(
+                            json.loads(line) for line in f if line.strip()
+                        )
+                else:
+                    out.extend(
+                        r.asDict(recursive=True)
+                        for r in self.spark.read.schema(_CHECKPOINT_SCHEMA)
+                        .parquet(p)
+                        .collect()
+                    )
+            return out
+
+        rows = _rows_of(info["paths"])
+        sidecars = [
+            d["sidecar"]["path"]
+            for d in rows
+            if d.get("sidecar") is not None and d["sidecar"].get("path")
+        ]
+        if sidecars:
+            rows.extend(
+                _rows_of(
+                    [
+                        os.path.join(self.log_path, "_sidecars", s)
+                        for s in sidecars
+                    ]
+                )
+            )
         actions = []
-        for r in rows:
-            d = r.asDict(recursive=True)
+        for d in rows:
             for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if d.get(key) is not None:
                     actions.append(

@@ -266,6 +266,94 @@ def test_dv_add_survives_checkpoint_fold(spark, sf_dir, tmp_path):
     assert got == expect and len(got) == 43
 
 
+def test_multipart_classic_checkpoint_read(spark, sf_dir, tmp_path):
+    """Multi-part classic checkpoints (n.checkpoint.o.p.parquet — what
+    delta-spark writes for large tables) fold identically to the
+    single-file form; an incomplete part set is ignored rather than
+    half-read."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "mp"))
+    t.create(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.checkpoint()
+    expect = _sorted_rows(t.snapshot())
+    # split the classic checkpoint's actions across two parts
+    cp = os.path.join(t.log_path, "%020d.checkpoint.parquet" % 1)
+    acts = t._read_checkpoint(1)
+    half = len(acts) // 2
+    t._write_checkpoint_parquet(
+        [
+            {k: a.get(k) for k in ("protocol", "metaData", "add", "remove", "txn")}
+            for a in acts[:half]
+        ],
+        os.path.join(t.log_path, "%020d.checkpoint.%010d.%010d.parquet" % (1, 1, 2)),
+    )
+    t._write_checkpoint_parquet(
+        [
+            {k: a.get(k) for k in ("protocol", "metaData", "add", "remove", "txn")}
+            for a in acts[half:]
+        ],
+        os.path.join(t.log_path, "%020d.checkpoint.%010d.%010d.parquet" % (1, 2, 2)),
+    )
+    os.remove(cp)
+    t.clean_log()
+    assert t._commit_versions() == []
+    info = t._checkpoint_files()[1]
+    assert info["kind"] == "multipart" and len(info["paths"]) == 2
+    assert _sorted_rows(t.snapshot()) == expect
+    # an incomplete part set must not be treated as a checkpoint
+    os.remove(info["paths"][1])
+    assert 1 not in t._checkpoint_files()
+
+
+def test_v2_checkpoint_with_sidecars_read(spark, sf_dir, tmp_path):
+    """V2 UUID-named checkpoint manifests: protocol/metaData +
+    checkpointMetadata live in the manifest; add actions live in
+    sidecar parquet files under _delta_log/_sidecars/ (the layout the
+    v2Checkpoint table feature produces)."""
+    import uuid as _uuid
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "v2"))
+    t.create(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.checkpoint()
+    expect = _sorted_rows(t.snapshot())
+    acts = t._read_checkpoint(1)
+    adds = [a for a in acts if "add" in a]
+    rest = [a for a in acts if "add" not in a]
+    side_dir = os.path.join(t.log_path, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    side_names = []
+    half = len(adds) // 2 or 1
+    for i, chunk in enumerate([adds[:half], adds[half:]]):
+        name = f"{_uuid.uuid4().hex}.parquet"
+        t._write_checkpoint_parquet(
+            [{"add": a["add"]} for a in chunk],
+            os.path.join(side_dir, name),
+        )
+        side_names.append(name)
+    manifest_rows = [
+        {k: a.get(k) for k in ("protocol", "metaData", "txn")} for a in rest
+    ]
+    manifest_rows.append({"checkpointMetadata": {"version": 1, "tags": None}})
+    manifest_rows += [
+        {"sidecar": {"path": n, "sizeInBytes": 1, "modificationTime": 0}}
+        for n in side_names
+    ]
+    t._write_checkpoint_parquet(
+        manifest_rows,
+        os.path.join(
+            t.log_path, "%020d.checkpoint.%s.parquet" % (1, _uuid.uuid4())
+        ),
+    )
+    os.remove(os.path.join(t.log_path, "%020d.checkpoint.parquet" % 1))
+    t.clean_log()
+    assert t._commit_versions() == []
+    assert t._checkpoint_files()[1]["kind"] == "v2"
+    assert _sorted_rows(t.snapshot()) == expect
+
+
 def test_merge_copy_on_write(spark, sf_dir, tmp_path):
     """MERGE on the real-protocol table: only files holding matched
     keys are rewritten; unmatched keys insert; new source columns
