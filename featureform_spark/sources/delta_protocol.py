@@ -83,6 +83,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "changeDataFeed",
     "timestampNtz",
+    "inCommitTimestamp",  # _commit maintains the monotonic chain
 }
 
 
@@ -1057,19 +1058,39 @@ class DeltaProtocolTable:
     def _commit(self, version: int, actions: list[dict], op: str) -> None:
         """Atomic put-if-absent commit — the primitive Delta's LogStore
         contract requires; O_EXCL makes concurrent writers lose cleanly
-        (retry at the next version) instead of corrupting the log."""
+        (retry at the next version) instead of corrupting the log.
+
+        When the table runs in-commit timestamps (the feature exists
+        because file mtimes lie after a log copy), the chain is
+        continued monotonically: max(now, previous + 1)."""
         os.makedirs(self.log_path, exist_ok=True)
-        lines = [
-            json.dumps(
-                {
-                    "commitInfo": {
-                        "timestamp": int(time.time() * 1000),
-                        "operation": op,
-                        "engineInfo": "featureform-spark-deltaprotocol",
-                    }
-                }
-            )
-        ] + [json.dumps(a) for a in actions]
+        now = int(time.time() * 1000)
+        ci = {
+            "timestamp": now,
+            "operation": op,
+            "engineInfo": "featureform-spark-deltaprotocol",
+        }
+        prev_ict = None
+        if version > 0:
+            try:
+                for a in self._read_commit(version - 1):
+                    if "commitInfo" in a:
+                        prev_ict = a["commitInfo"].get("inCommitTimestamp")
+                        break
+            except FileNotFoundError:
+                pass
+        enable = prev_ict is not None
+        for a in actions:
+            md = a.get("metaData")
+            if md and (md.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps"
+            ) == "true":
+                enable = True
+        if enable:
+            ci["inCommitTimestamp"] = max(now, (prev_ict or 0) + 1)
+        lines = [json.dumps({"commitInfo": ci})] + [
+            json.dumps(a) for a in actions
+        ]
         target = os.path.join(self.log_path, _commit_name(version))
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
@@ -1552,14 +1573,19 @@ class DeltaProtocolTable:
 
     def version_at_timestamp(self, ts_millis: int) -> int:
         """TIMESTAMP AS OF: the newest version whose commit timestamp
-        is <= ``ts_millis`` (commitInfo carries it; falls back to file
-        mtime for commits written without one)."""
+        is <= ``ts_millis``. Tables with the inCommitTimestamp feature
+        carry the authoritative monotonic timestamp INSIDE commitInfo
+        (file mtimes lie after a log copy/restore — that is the
+        feature's whole point), so it wins over the plain field; plain
+        ``timestamp`` next; file mtime last for commits written without
+        either."""
         best = None
         for v in self._commit_versions():
             t = None
             for a in self._read_commit(v):
                 if "commitInfo" in a:
-                    t = a["commitInfo"].get("timestamp")
+                    ci = a["commitInfo"]
+                    t = ci.get("inCommitTimestamp", ci.get("timestamp"))
                     break
             if t is None:
                 t = int(

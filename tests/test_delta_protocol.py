@@ -266,6 +266,40 @@ def test_dv_add_survives_checkpoint_fold(spark, sf_dir, tmp_path):
     assert got == expect and len(got) == 43
 
 
+def test_in_commit_timestamps(spark, sf_dir, tmp_path):
+    """delta.enableInCommitTimestamps: commits carry a monotonically
+    increasing inCommitTimestamp in commitInfo (the feature exists
+    because file mtimes lie after a log copy), and TIMESTAMP AS OF
+    prefers it over the plain timestamp field."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "ict"))
+    t.create(
+        orders.limit(10),
+        properties={"delta.enableInCommitTimestamps": "true"},
+    )
+    t.append(orders.limit(20).subtract(orders.limit(10)))
+    t.append(orders.limit(25).subtract(orders.limit(20)))
+    icts = []
+    for v in t._commit_versions():
+        for a in t._read_commit(v):
+            if "commitInfo" in a:
+                icts.append(a["commitInfo"]["inCommitTimestamp"])
+    assert len(icts) == 3 and icts == sorted(icts)
+    assert len(set(icts)) == 3  # strictly increasing even when same ms
+    # TIMESTAMP AS OF reads the in-commit value, not the file clock:
+    # rewrite v1's commitInfo with a far-future plain timestamp — ict
+    # must still win
+    path = os.path.join(t.log_path, "%020d.json" % 1)
+    lines = open(path).read().splitlines()
+    ci = json.loads(lines[0])["commitInfo"]
+    ci["timestamp"] = ci["inCommitTimestamp"] + 10**10
+    lines[0] = json.dumps({"commitInfo": ci})
+    os.remove(path)
+    open(path, "w").write("\n".join(lines) + "\n")
+    assert t.version_at_timestamp(icts[1]) == 1
+    assert t.version_at_timestamp(icts[2]) == 2
+
+
 def test_multipart_classic_checkpoint_read(spark, sf_dir, tmp_path):
     """Multi-part classic checkpoints (n.checkpoint.o.p.parquet — what
     delta-spark writes for large tables) fold identically to the

@@ -312,3 +312,80 @@ def test_iceberg_bound_roundtrip_property(tv):
 
     t, v = tv
     assert decode_bound(t, encode_bound(t, v)) == v
+
+
+# ---------------------------------------------------------------------------
+# deletion-vector roaring codec (sources/dv_bitmap.py)
+# ---------------------------------------------------------------------------
+
+_dv_positions = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=200_000),       # dense-ish lows
+        st.integers(min_value=0, max_value=2**40),         # multi-bucket
+    ),
+    max_size=300,
+)
+
+
+@given(positions=_dv_positions)
+@settings(max_examples=200, deadline=None)
+def test_dv_roaring_roundtrip_property(positions):
+    """encode→decode is identity on the position SET for arbitrary
+    mixes of array containers, bitmap containers, and 32-bit buckets."""
+    import numpy as np
+
+    from featureform_spark.sources.dv_bitmap import (
+        decode_rbm_array,
+        encode_rbm_array,
+    )
+
+    arr = np.array(sorted(set(positions)), dtype=np.uint64)
+    assert np.array_equal(decode_rbm_array(encode_rbm_array(arr)), arr)
+
+
+@given(data=st.binary(min_size=0, max_size=64).map(lambda b: b + b"\x00" * ((-len(b)) % 4)))
+@settings(max_examples=200, deadline=None)
+def test_z85_roundtrip_property(data):
+    from featureform_spark.sources.dv_bitmap import z85_decode, z85_encode
+
+    enc = z85_encode(data)
+    assert len(enc) == len(data) // 4 * 5
+    assert z85_decode(enc) == data
+
+
+@given(
+    positions=st.lists(
+        st.integers(min_value=0, max_value=2**33), max_size=50
+    ),
+    flip=st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=50, deadline=None)
+def test_dv_file_framing_rejects_corruption(tmp_path_factory, positions, flip):
+    """A framed DV whose payload is bit-flipped must fail the CRC, not
+    decode to silently-wrong deleted rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from featureform_spark.sources.dv_bitmap import (
+        DvFormatError,
+        encode_rbm_array,
+        read_dv_from_file,
+    )
+
+    blob = encode_rbm_array(np.array(sorted(set(positions)), dtype=np.uint64))
+    framed = (
+        b"\x01"
+        + struct.pack(">I", len(blob))
+        + blob
+        + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+    )
+    p = tmp_path_factory.mktemp("dv") / "dv.bin"
+    p.write_bytes(framed)
+    assert read_dv_from_file(str(p), 1, len(blob)) == blob
+    corrupt = bytearray(framed)
+    corrupt[5 + (flip % len(blob))] ^= 0xA5
+    p.write_bytes(bytes(corrupt))
+    with pytest.raises(DvFormatError):
+        read_dv_from_file(str(p), 1, len(blob))
