@@ -1926,6 +1926,9 @@ class DeltaProtocolTable:
         versions = [v for v in self._commit_versions() if v >= horizon]
         cps = [v for v in self._checkpoint_versions() if v <= horizon]
         candidates = sorted(set(versions + ([max(cps)] if cps else [])))
+        # deletion-vector files referenced by any retained version also
+        # survive; orphaned deletion_vector_*.bin go with the data files
+        keep_dv: set[str] = set()
         for v in candidates or [latest]:
             try:
                 st = self.state(v)
@@ -1934,6 +1937,21 @@ class DeltaProtocolTable:
             keep.update(
                 os.path.relpath(p, self.path) for p in self._data_paths(st)
             )
+            for a in st.adds.values():
+                dv = a.get("deletionVector")
+                if dv and dv.get("storageType") == "u":
+                    from featureform_spark.sources.dv_bitmap import z85_decode
+
+                    enc = dv["pathOrInlineDv"]
+                    prefix, uuid_enc = enc[:-20], enc[-20:]
+                    u = uuid.UUID(bytes=z85_decode(uuid_enc))
+                    keep_dv.add(
+                        os.path.normpath(
+                            os.path.join(
+                                prefix or ".", f"deletion_vector_{u}.bin"
+                            )
+                        )
+                    )
         deleted = 0
         for dirpath, _dirs, files in os.walk(self.path):
             if LOG_DIR in dirpath or STAGING_DIR in dirpath:
@@ -1941,11 +1959,18 @@ class DeltaProtocolTable:
             for name in files:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
-                if rel.startswith(LOG_DIR) or not name.endswith(".parquet"):
+                if rel.startswith(LOG_DIR):
                     continue
-                if rel not in keep:
-                    os.remove(full)
-                    deleted += 1
+                if name.endswith(".parquet"):
+                    if rel not in keep:
+                        os.remove(full)
+                        deleted += 1
+                elif name.startswith("deletion_vector_") and name.endswith(
+                    ".bin"
+                ):
+                    if os.path.normpath(rel) not in keep_dv:
+                        os.remove(full)
+                        deleted += 1
         return {"deleted": deleted, "kept": len(keep)}
 
     @staticmethod

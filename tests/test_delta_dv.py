@@ -366,6 +366,47 @@ def test_merge_writes_cdc_update_images(spark, sf_dir, tmp_path):
     assert any("cdc" in a for a in acts)
 
 
+def test_vacuum_collects_orphaned_dv_files(spark, sf_dir, tmp_path):
+    """Compaction materializes deletes and drops the DV references; a
+    subsequent VACUUM must collect the now-orphaned
+    deletion_vector_*.bin alongside the dead data files — while a
+    referenced DV survives."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "vac"))
+    t.create(orders.limit(60))
+    t.delete_where(F.col("o_orderkey") % 3 == 0)
+
+    def dv_files():
+        return sorted(
+            n
+            for n in os.listdir(tmp_path / "vac")
+            if n.startswith("deletion_vector_")
+        )
+
+    assert len(dv_files()) == 1
+    # still referenced at the latest version: retained by vacuum
+    t.vacuum(retain_versions=0)
+    assert len(dv_files()) == 1
+    expect = sorted(tuple(r) for r in t.snapshot().collect())
+    t.compact()              # deletes materialized; DV unreferenced
+    t.vacuum(retain_versions=0)
+    assert dv_files() == []  # orphan collected
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == expect
+
+
+def test_dv_anti_join_is_broadcast(spark, sf_dir, tmp_path):
+    """The DV application must plan as a BROADCAST anti-join against
+    the native parquet scan — the deleted-position set is
+    cardinality-scale and must never shuffle the corpus."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "plan"))
+    t.create(orders.limit(100))
+    t.delete_where(F.col("o_orderkey") % 4 == 0)
+    plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_checkpoint_preserves_dv(spark, sf_dir, tmp_path):
     orders = _orders(spark, sf_dir)
     t = DeltaProtocolTable(spark, str(tmp_path / "cp"))
