@@ -23,6 +23,12 @@ Two paths share one parse pipeline:
   difference, which is the point: tests drive the full
   topic → parse → stream_to_online loop end-to-end without a broker,
   and swapping in the real source changes only the reader call.
+- ``filetopic_datasource``: the emulator lifted into a REGISTERED
+  Spark data source (Spark 4 Python Data Source API) —
+  ``spark.readStream.format("filetopic")`` runs genuine Structured
+  Streaming per-partition offset progression (startingOffsets,
+  maxOffsetsPerTrigger, checkpointed exactly-once restarts) rather
+  than file discovery.
 
 Offsets are per-partition append counters; keys hash-route to
 partitions like Kafka's default partitioner (murmur-ish stability is
