@@ -97,6 +97,13 @@ class UnsupportedTableFeatureError(DeltaProtocolError):
     Raised instead of returning silently-wrong rows."""
 
 
+class ConcurrentCommitError(DeltaProtocolError):
+    """A non-commuting operation (MERGE/overwrite/DELETE/…) lost the
+    commit race: its snapshot is stale against the winning commit, so
+    blind retry could drop the winner's rows — the caller must re-run
+    against the new state (Delta's ConcurrentModificationException)."""
+
+
 @dataclass
 class _State:
     """Folded table state at a version."""
@@ -1092,7 +1099,14 @@ class DeltaProtocolTable:
             json.dumps(a) for a in actions
         ]
         target = os.path.join(self.log_path, _commit_name(version))
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently; this "
+                "operation's snapshot is stale — re-run against the new "
+                "state (blind appends retry automatically)"
+            ) from None
         with os.fdopen(fd, "w") as f:
             f.write("\n".join(lines) + "\n")
 
@@ -1169,7 +1183,15 @@ class DeltaProtocolTable:
     ) -> int:
         """Blind append. ``txn=(app_id, version)`` records a
         SetTransaction for exactly-once ingestion; a replay with
-        version <= the recorded one is a no-op returning -1."""
+        version <= the recorded one is a no-op returning -1.
+
+        Optimistic concurrency: blind appends commute with every other
+        commit, so losing the O_EXCL race is resolved by re-reading the
+        log and retrying at the next version — Delta's
+        winningCommit-then-retry protocol for AddFile-only
+        transactions. The SetTransaction watermark is re-checked per
+        attempt so a concurrent replay of the same stream batch still
+        no-ops. Data files are written once; only the commit retries."""
         st = self.state()
         self._write_guard(st, df, "WRITE")
         if txn is not None:
@@ -1188,9 +1210,21 @@ class DeltaProtocolTable:
                     }
                 }
             )
-        v = st.version + 1
-        self._commit(v, actions, "WRITE")
-        return v
+        for _attempt in range(20):
+            v = st.version + 1
+            try:
+                self._commit(v, actions, "WRITE")
+                return v
+            except ConcurrentCommitError:
+                st = self.state()  # conflict: fold the winner, retry
+                self._write_guard(st, None, "WRITE")
+                if txn is not None and int(txn[1]) <= int(
+                    st.txns.get(txn[0], -1)
+                ):
+                    return -1  # the winner was our own replay
+        raise DeltaProtocolError(
+            "append lost the commit race 20 times; giving up"
+        )
 
     def merge(
         self,
@@ -2047,18 +2081,36 @@ class DeltaProtocolTable:
 
 
 def read_delta_path(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_millis: int | None = None,
 ) -> DataFrame:
     """Read a real Delta table at a filesystem path. Tries the vendor
     connector first (identical to the reference's
     spark.read.format("delta"), offline_store_spark_runner.py:981-987);
     falls back to the protocol reader ONLY when the jar is absent —
     genuine read failures with the connector present (corrupt table,
-    unsupported feature, bad versionAsOf) propagate unmasked."""
+    unsupported feature, bad versionAsOf) propagate unmasked.
+    ``timestamp_millis`` is TIMESTAMP AS OF (mutually exclusive with
+    ``version``, like the connector's options)."""
+    if version is not None and timestamp_millis is not None:
+        raise DeltaProtocolError(
+            "versionAsOf and timestampAsOf are mutually exclusive"
+        )
     try:
         r = spark.read.format("delta")
         if version is not None:
             r = r.option("versionAsOf", str(version))
+        if timestamp_millis is not None:
+            import datetime
+
+            r = r.option(
+                "timestampAsOf",
+                datetime.datetime.fromtimestamp(
+                    timestamp_millis / 1000
+                ).strftime("%Y-%m-%d %H:%M:%S"),
+            )
         return r.load(path)
     except Exception as e:  # noqa: BLE001 — filtered below
         msg = str(e)
@@ -2069,7 +2121,10 @@ def read_delta_path(
         )
         if not connector_absent:
             raise
-        return DeltaProtocolTable(spark, path).snapshot(version)
+        t = DeltaProtocolTable(spark, path)
+        if timestamp_millis is not None:
+            version = t.version_at_timestamp(timestamp_millis)
+        return t.snapshot(version)
 
 
 def incremental_adds(

@@ -211,12 +211,50 @@ def test_feature_gates(spark, sf_dir, tmp_path):
 def test_concurrent_commit_loses_cleanly(spark, sf_dir, tmp_path):
     """Two writers racing to the same version: O_EXCL makes the second
     put-if-absent fail (Delta LogStore contract) instead of clobbering."""
+    from featureform_spark.sources.delta_protocol import ConcurrentCommitError
+
     orders = _orders(spark, sf_dir)
     t = DeltaProtocolTable(spark, str(tmp_path / "r"))
     t.create(orders.limit(10))
     t._commit(1, [], "WRITE")
-    with pytest.raises(FileExistsError):
+    with pytest.raises(ConcurrentCommitError):
         t._commit(1, [], "WRITE")
+
+
+def test_append_retries_past_concurrent_commit(spark, sf_dir, tmp_path):
+    """A blind append that loses the O_EXCL race folds the winning
+    commit and retries at the next version (appends commute); a
+    non-commuting overwrite surfaces ConcurrentCommitError instead."""
+    from featureform_spark.sources.delta_protocol import ConcurrentCommitError
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "occ"))
+    t.create(orders.limit(10))
+    # simulate a winner landing at the version append will try first
+    t._commit(1, [], "NOOP")
+    b = orders.limit(20).subtract(orders.limit(10))
+    v = t.append(b)
+    assert v == 2
+    assert t.snapshot().count() == 20
+    # SetTransaction replay still no-ops across a retry
+    t._commit(3, [], "NOOP")
+    assert t.append(b, txn=("app", 5)) == 4
+    t._commit(5, [], "NOOP")
+    assert t.append(b, txn=("app", 5)) == -1
+    # an overwrite must NOT silently retry
+    real_commit = t._commit
+    calls = {"n": 0}
+
+    def racing_commit(version, actions, op):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            real_commit(version, [], "RACER")
+        return real_commit(version, actions, op)
+
+    t._commit = racing_commit
+    with pytest.raises(ConcurrentCommitError):
+        t.overwrite(orders.limit(3))
+    t._commit = real_commit
 
 
 def test_exists_with_only_version_zero(spark, sf_dir, tmp_path):
