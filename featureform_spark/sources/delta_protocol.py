@@ -392,6 +392,17 @@ class DeltaProtocolTable:
         if info is None:
             raise DeltaProtocolError(f"no checkpoint at version {version}")
 
+        def _fix_maps(obj):
+            # pyarrow to_pylist renders map<string,string> as a list of
+            # (k, v) tuples; the action consumers expect dicts
+            if isinstance(obj, list) and all(
+                isinstance(e, tuple) and len(e) == 2 for e in obj
+            ):
+                return dict(obj)
+            if isinstance(obj, dict):
+                return {k: _fix_maps(v) for k, v in obj.items()}
+            return obj
+
         def _rows_of(paths: list[str]) -> list[dict]:
             out = []
             for p in paths:
@@ -400,6 +411,14 @@ class DeltaProtocolTable:
                         out.extend(
                             json.loads(line) for line in f if line.strip()
                         )
+                elif self.spark is None:
+                    # sessionless fold (Python Data Source drivers):
+                    # checkpoints are metadata-scale, pyarrow suffices
+                    import pyarrow.parquet as pq
+
+                    out.extend(
+                        _fix_maps(d) for d in pq.read_table(p).to_pylist()
+                    )
                 else:
                     out.extend(
                         r.asDict(recursive=True)

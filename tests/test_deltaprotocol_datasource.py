@@ -1,0 +1,152 @@
+"""The registered deltaprotocol data source: batch parity with the
+native snapshot reader, and REAL Structured Streaming over commit
+versions — checkpointed resume, OPTIMIZE transparency, change-commit
+refusal/skip — the delta streaming-source contract without the vendor
+jar."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+from featureform_spark.sources.deltaprotocol_datasource import register
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@pytest.fixture()
+def reg(spark):
+    register(spark)
+    return spark
+
+
+def test_batch_read_matches_snapshot(reg, spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "b"))
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    via_ds = spark.read.format("deltaprotocol").options(
+        path=str(tmp_path / "b")
+    ).load()
+    assert via_ds.columns == t.snapshot().columns
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, t.snapshot().collect())
+    )
+
+
+def test_batch_read_partitioned_table(reg, spark, sf_dir, tmp_path):
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "value")
+    t = DeltaProtocolTable(spark, str(tmp_path / "p"))
+    t.create(events, partition_by=["event_type"])
+    via_ds = spark.read.format("deltaprotocol").options(
+        path=str(tmp_path / "p")
+    ).load()
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, events.collect())
+    )
+
+
+def test_stream_commit_version_offsets_and_resume(
+    reg, spark, sf_dir, tmp_path
+):
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "s")
+    t = DeltaProtocolTable(spark, tdir)
+    t.create(orders.filter(F.col("o_orderkey") % 4 == 0))       # v0
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 1))       # v1
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("deltaprotocol")
+            .options(path=tdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    n01 = orders.filter(F.col("o_orderkey") % 4 <= 1).count()
+    assert drain().count() == n01
+    # OPTIMIZE between batches is transparent (dataChange=false)
+    t.compact()                                                  # v2
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 2))        # v3
+    got = drain()
+    n = orders.filter(F.col("o_orderkey") % 4 <= 2).count()
+    assert got.count() == n
+    # no row emitted twice across the compaction
+    assert got.distinct().count() == n
+
+
+def test_stream_refuses_change_commits_unless_skipped(
+    reg, spark, sf_dir, tmp_path
+):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "c")
+    t = DeltaProtocolTable(spark, tdir)
+    t.create(orders.limit(100))
+    dead = [r["o_orderkey"] for r in t.snapshot().limit(3).collect()]
+    t.merge(
+        orders.filter(F.col("o_orderkey").isin(dead)).withColumn(
+            "o_custkey", F.lit(-1).cast("long")
+        ),
+        key="o_orderkey",
+    )                                                            # v1 rewrites
+
+    def run(extra_opts):
+        q = (
+            spark.readStream.format("deltaprotocol")
+            .options(path=tdir, **extra_opts)
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"dp_{len(extra_opts)}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        run({})
+    assert "skipChangeCommits" in str(ei.value)
+    run({"skipChangeCommits": "true"})  # v1 skipped, v0 streams
+    n = spark.sql("SELECT count(*) c FROM dp_1").first()["c"]
+    assert n == 100  # the initial snapshot only
+
+
+def test_stream_starting_version(reg, spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "sv")
+    t = DeltaProtocolTable(spark, tdir)
+    t.create(orders.filter(F.col("o_orderkey") % 4 == 0))        # v0
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 1))        # v1
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 2))        # v2
+    q = (
+        spark.readStream.format("deltaprotocol")
+        .options(path=tdir, startingVersion="1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dp_sv")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dp_sv")
+    assert got.count() == orders.filter(
+        F.col("o_orderkey") % 4 == 1
+    ).count() + orders.filter(F.col("o_orderkey") % 4 == 2).count()
+    assert got.filter(F.col("o_orderkey") % 4 == 0).count() == 0
