@@ -1,0 +1,107 @@
+"""The registered icebergprotocol data source: batch parity with the
+native snapshot reader and Structured Streaming over snapshot-lineage
+ordinals — the reference's iceberg streamer contract
+(streamer/iceberg_streamer.py) on Spark's own offset machinery."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.iceberg_protocol import IcebergProtocolTable
+from featureform_spark.sources.icebergprotocol_datasource import register
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@pytest.fixture()
+def reg(spark):
+    register(spark)
+    return spark
+
+
+def test_batch_read_matches_snapshot(reg, spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "b"))
+    t.create(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        partition_by=["bucket(4, o_custkey)"],
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    via_ds = spark.read.format("icebergprotocol").options(
+        path=str(tmp_path / "b")
+    ).load()
+    native = t.snapshot().select(*via_ds.columns)
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, native.collect())
+    )
+
+
+def test_stream_snapshot_ordinal_offsets_and_resume(
+    reg, spark, sf_dir, tmp_path
+):
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "s")
+    t = IcebergProtocolTable(spark, tdir)
+    t.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("icebergprotocol")
+            .options(path=tdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    assert drain().count() == orders.filter(
+        F.col("o_orderkey") % 4 <= 1
+    ).count()
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+    got = drain()
+    n = orders.filter(F.col("o_orderkey") % 4 <= 2).count()
+    assert got.count() == n and got.distinct().count() == n
+
+
+def test_stream_refuses_change_snapshots_unless_skipped(
+    reg, spark, sf_dir, tmp_path
+):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "c")
+    t = IcebergProtocolTable(spark, tdir)
+    t.create(orders.limit(80))
+    t.rewrite_data_files()  # 'replace' snapshot: not an append
+
+    def run(name, extra):
+        q = (
+            spark.readStream.format("icebergprotocol")
+            .options(path=tdir, **extra)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        run("ip_fail", {})
+    assert "skipChangeSnapshots" in str(ei.value)
+    run("ip_ok", {"skipChangeSnapshots": "true"})
+    n = spark.sql("SELECT count(*) c FROM ip_ok").first()["c"]
+    assert n == 80  # the initial append only; the rewrite is skipped
