@@ -369,6 +369,67 @@ def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "deltaprotocol_source_read",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <= 1
+    """,
+)
+def deltaprotocol_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED deltaprotocol data source (Spark 4 Python Data
+    Source API): spark.read.format("deltaprotocol") plans one input
+    partition per data file on the driver-side log fold and streams
+    executor-side pyarrow record batches — certifying the same rows as
+    the native snapshot reader through a completely different data
+    path (sources/deltaprotocol_datasource.py)."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+    from featureform_spark.sources.deltaprotocol_datasource import register
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "dp_source")
+    t = DeltaProtocolTable(spark, path)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    return spark.read.format("deltaprotocol").options(path=path).load()
+
+
+@query(
+    "icebergprotocol_source_read",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <= 1
+    """,
+)
+def icebergprotocol_source_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REGISTERED icebergprotocol data source over a
+    bucket-partitioned Iceberg table: batch read through Spark's data
+    source machinery with per-file arrow partitions
+    (sources/icebergprotocol_datasource.py)."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+    from featureform_spark.sources.icebergprotocol_datasource import register
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "ip_source")
+    t = IcebergProtocolTable(spark, path)
+    t.create(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        partition_by=["bucket(4, o_custkey)"],
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    return spark.read.format("icebergprotocol").options(path=path).load()
+
+
+@query(
     "iceberg_bucket_pruning",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
