@@ -1081,6 +1081,44 @@ class DeltaProtocolTable:
             os.rmdir(dirpath)
         return actions
 
+    def _write_cdc_files(self, changes: DataFrame) -> list[dict]:
+        """Write a change-data file set under ``_change_data/`` and
+        return the cdc actions for the commit (PROTOCOL.md §Change Data
+        Files — dataChange=false; CDF readers use these INSTEAD of
+        deriving from the add/remove actions). ``changes`` carries the
+        table columns plus ``_change_type``."""
+        import pyarrow.parquet as pq
+
+        cdc_dir = os.path.join(self.path, "_change_data")
+        os.makedirs(cdc_dir, exist_ok=True)
+        staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+        changes.write.mode("overwrite").parquet(staging)
+        actions: list[dict] = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            src_f = os.path.join(staging, name)
+            if pq.ParquetFile(src_f).metadata.num_rows == 0:
+                continue
+            fname = f"cdc-{uuid.uuid4().hex}.parquet"
+            final = os.path.join(cdc_dir, fname)
+            os.replace(src_f, final)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": f"_change_data/{fname}",
+                        "partitionValues": {},
+                        "size": os.path.getsize(final),
+                        "dataChange": False,
+                    }
+                }
+            )
+        for dirpath, _dirs, files in os.walk(staging, topdown=False):
+            for nm in files:
+                os.remove(os.path.join(dirpath, nm))
+            os.rmdir(dirpath)
+        return actions
+
     def _commit(self, version: int, actions: list[dict], op: str) -> None:
         """Atomic put-if-absent commit — the primitive Delta's LogStore
         contract requires; O_EXCL makes concurrent writers lose cleanly
@@ -1439,35 +1477,7 @@ class DeltaProtocolTable:
                     *out_cols, F.lit("insert").alias("_change_type")
                 )
                 changes = changes.unionByName(ins)
-            cdc_dir = os.path.join(self.path, "_change_data")
-            os.makedirs(cdc_dir, exist_ok=True)
-            staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
-            changes.write.mode("overwrite").parquet(staging)
-            for name in sorted(os.listdir(staging)):
-                if not name.endswith(".parquet"):
-                    continue
-                src_f = os.path.join(staging, name)
-                import pyarrow.parquet as pq
-
-                if pq.ParquetFile(src_f).metadata.num_rows == 0:
-                    continue
-                fname = f"cdc-{uuid.uuid4().hex}.parquet"
-                final = os.path.join(cdc_dir, fname)
-                os.replace(src_f, final)
-                actions.append(
-                    {
-                        "cdc": {
-                            "path": f"_change_data/{fname}",
-                            "partitionValues": {},
-                            "size": os.path.getsize(final),
-                            "dataChange": False,
-                        }
-                    }
-                )
-            for dirpath, _dirs, files in os.walk(staging, topdown=False):
-                for name in files:
-                    os.remove(os.path.join(dirpath, name))
-                os.rmdir(dirpath)
+            actions += self._write_cdc_files(changes)
 
         actions += [
             {
@@ -1547,6 +1557,14 @@ class DeltaProtocolTable:
 
         rows_deleted = 0
         files_touched = 0
+        cdf_on = (
+            (st.metadata.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed"
+            )
+            == "true"
+            and not st.column_mapping
+        )
+        newly_deleted_frames: list = []
         if len(hits):
             u = uuid.uuid4()
             dv_rel = f"deletion_vector_{u}.bin"
@@ -1566,6 +1584,18 @@ class DeltaProtocolTable:
                         old_pos,
                         grp["__dv_pos"].to_numpy().astype(np.uint64),
                     )
+                    if cdf_on:
+                        import pandas as pd
+
+                        fresh = np.setdiff1d(new_pos, old_pos)
+                        newly_deleted_frames.append(
+                            pd.DataFrame(
+                                {
+                                    "__dv_file": abs_p,
+                                    "__dv_pos": fresh.astype("int64"),
+                                }
+                            )
+                        )
                     rows_deleted += len(new_pos) - len(old_pos)
                     files_touched += 1
                     actions.append(
@@ -1594,6 +1624,27 @@ class DeltaProtocolTable:
                     }
                     add["dataChange"] = True
                     actions.append({"add": add})
+
+        if newly_deleted_frames:
+            # CDF: emit the deleted rows as a cdc action (delta-spark's
+            # DV-DML shape) so table_changes serves them from the cdc
+            # file instead of deriving from DV diffs
+            import pandas as pd
+
+            want = self.spark.createDataFrame(
+                pd.concat(newly_deleted_frames, ignore_index=True),
+                "__dv_file string, __dv_pos long",
+            )
+            deleted_rows = (
+                base.join(
+                    F.broadcast(want),
+                    on=["__dv_file", "__dv_pos"],
+                    how="left_semi",
+                )
+                .select(*[f.name for f in st.schema.fields])
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            actions += self._write_cdc_files(deleted_rows)
 
         v = st.version + 1
         self._commit(v, actions, "DELETE")

@@ -407,6 +407,32 @@ def test_dv_anti_join_is_broadcast(spark, sf_dir, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_delete_where_writes_cdc_when_cdf_enabled(spark, sf_dir, tmp_path):
+    """With delta.enableChangeDataFeed, delete_where emits a cdc action
+    carrying exactly the newly-deleted rows (the delta-spark DV-DML
+    shape); table_changes serves those instead of deriving from DV
+    diffs — and re-deleting already-deleted rows emits nothing new."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "dcdc"))
+    t.create(
+        orders.limit(60),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.delete_where(F.col("o_orderkey") % 5 == 0)            # v1
+    t.delete_where(F.col("o_orderkey") % 5 <= 1)            # v2: %5==1 new
+    acts1 = t._read_commit(1)
+    assert any("cdc" in a for a in acts1)
+    ch = t.table_changes(0)
+    v1 = ch.filter(F.col("_commit_version") == 1).collect()
+    v2 = ch.filter(F.col("_commit_version") == 2).collect()
+    assert all(r["_change_type"] == "delete" for r in v1 + v2)
+    assert {r["o_orderkey"] % 5 for r in v1} == {0}
+    assert {r["o_orderkey"] % 5 for r in v2} == {1}  # %5==0 NOT re-emitted
+    n0 = orders.limit(60).filter(F.col("o_orderkey") % 5 == 0).count()
+    n1 = orders.limit(60).filter(F.col("o_orderkey") % 5 == 1).count()
+    assert (len(v1), len(v2)) == (n0, n1)
+
+
 def test_checkpoint_preserves_dv(spark, sf_dir, tmp_path):
     orders = _orders(spark, sf_dir)
     t = DeltaProtocolTable(spark, str(tmp_path / "cp"))
