@@ -99,6 +99,39 @@ def snowflake_jdbc_url(credentials: dict, database: str, schema: str) -> str:
     )
 
 
+def register_jdbc_catalog(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    driver: str = "",
+    options: dict | None = None,
+) -> None:
+    """Register a warehouse as a DSv2 JDBC CATALOG — the read path
+    where Spark's aggregate/limit/filter pushdown all reach the remote
+    SQL (``spark.table(f"{name}.<schema>.<table>")`` /
+    ``spark.sql(...)``). ``spark.read.format("jdbc")`` is the V1
+    relation: filters push down but aggregates run Spark-side; at
+    warehouse scale a ``GROUP BY`` over a fact table must execute
+    remotely, which only the catalog path
+    (JDBCTableCatalog, pushDownAggregate/pushDownLimit) provides.
+    Integration-tested against embedded Derby
+    (tests/test_jdbc_derby.py); vendor warehouses differ only in
+    url/driver."""
+    prefix = f"spark.sql.catalog.{name}"
+    spark.conf.set(
+        prefix,
+        "org.apache.spark.sql.execution.datasources.v2.jdbc."
+        "JDBCTableCatalog",
+    )
+    spark.conf.set(f"{prefix}.url", url)
+    if driver:
+        spark.conf.set(f"{prefix}.driver", driver)
+    spark.conf.set(f"{prefix}.pushDownAggregate", "true")
+    spark.conf.set(f"{prefix}.pushDownLimit", "true")
+    for k, v in (options or {}).items():
+        spark.conf.set(f"{prefix}.{k}", str(v))
+
+
 def read_snowflake_jdbc(
     spark: SparkSession,
     credentials: dict,
