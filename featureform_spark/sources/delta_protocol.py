@@ -2060,6 +2060,11 @@ class DeltaProtocolTable:
         for dirpath, _dirs, files in os.walk(self.path):
             if LOG_DIR in dirpath or STAGING_DIR in dirpath:
                 continue
+            # a UniForm Iceberg mirror (sources/uniform.py) keeps its
+            # manifests + position-delete parquet under metadata/ —
+            # not Delta data files, never vacuum targets
+            if os.path.sep + "metadata" in dirpath:
+                continue
             for name in files:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)

@@ -1,0 +1,297 @@
+"""Delta UniForm: metadata-only Iceberg mirroring of a Delta table.
+
+Delta's UniForm feature asynchronously writes Iceberg metadata next to
+the Delta log so Iceberg readers can consume the SAME parquet data
+files — no data is copied (delta-io PROTOCOL.md / Delta 3.x UniForm;
+the reference reads both formats through vendor connectors,
+offline_store_spark_runner.py:966-987, so a UniForm table serves both
+of its read paths from one storage footprint). ``sync_uniform``
+implements that conversion over the two in-repo format
+implementations:
+
+- the Delta state (sources/delta_protocol.py) is folded and each live
+  data file becomes an Iceberg data_file entry with footer-derived
+  stats (record_count, value/null counts, bounds keyed by field-id) —
+  the files themselves are REFERENCED, never rewritten;
+- deletion vectors convert to Iceberg v2 POSITION DELETES: the
+  roaring bitmaps decode to (file_path, pos) rows written as one
+  sorted delete parquet + delete manifest, so Iceberg's merge-on-read
+  yields exactly the Delta table's live rows;
+- each sync commits one Iceberg snapshot reflecting the Delta version
+  (recorded in the ``delta.uniform.delta-version`` table property);
+  re-syncing an unchanged table is a no-op.
+
+Honest gates: column-mapped tables (physical names would need schema
+surgery on both sides) and Hive-partitioned tables (Spark's
+partitioned writes keep partition values only in directory names,
+while this Iceberg reader expects source columns in the files) raise.
+
+Scale: driver-side metadata + footer reads (file-count scale) plus a
+cardinality-scale DV decode — the same costs the real UniForm
+conversion pays; the data plane is untouched.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.parse
+import uuid
+
+from featureform_spark.sources.delta_protocol import (
+    DeltaProtocolTable,
+    UnsupportedTableFeatureError,
+)
+from featureform_spark.sources.iceberg_protocol import (
+    IcebergProtocolTable,
+    MANIFEST_LIST_SCHEMA,
+    spark_schema_to_iceberg,
+)
+from featureform_spark.sources.avro_codec import write_container
+
+DELTA_VERSION_PROP = "delta.uniform.delta-version"
+
+
+def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
+    import pyarrow.parquet as pq
+
+    name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+    records = []
+    for rel in sorted(st.adds):
+        abs_p = os.path.join(ice.path, urllib.parse.unquote(rel))
+        pf = pq.ParquetFile(abs_p)
+        nrec, vcounts, ncounts, lower, upper = ice._footer_stats(
+            pf, name_to_field
+        )
+        records.append(
+            {
+                "content": 0,
+                "file_path": abs_p,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(abs_p),
+                "value_counts": [
+                    {"key": k, "value": v} for k, v in sorted(vcounts.items())
+                ],
+                "null_value_counts": [
+                    {"key": k, "value": v} for k, v in sorted(ncounts.items())
+                ],
+                "lower_bounds": [
+                    {"key": k, "value": v} for k, v in sorted(lower.items())
+                ],
+                "upper_bounds": [
+                    {"key": k, "value": v} for k, v in sorted(upper.items())
+                ],
+            }
+        )
+    return records
+
+
+def _dv_delete_record(delta: DeltaProtocolTable, st) -> dict | None:
+    """All deletion-vector positions as ONE sorted position-delete
+    parquet (spec column names file_path/pos); None when no DVs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths: list[str] = []
+    poss: list[int] = []
+    for rel in sorted(st.adds):
+        dv = st.adds[rel].get("deletionVector")
+        if not dv:
+            continue
+        abs_p = os.path.join(delta.path, urllib.parse.unquote(rel))
+        for p in delta._dv_positions(dv).tolist():
+            paths.append(abs_p)
+            poss.append(int(p))
+    if not paths:
+        return None
+    tbl = pa.table(
+        {
+            "file_path": pa.array(paths, type=pa.string()),
+            "pos": pa.array(poss, type=pa.int64()),
+        }
+    )
+    out_dir = os.path.join(delta.path, "metadata")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"uniform-delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, out)
+    return {
+        "content": 1,
+        "file_path": out,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": len(paths),
+        "file_size_in_bytes": os.path.getsize(out),
+        "value_counts": [],
+        "null_value_counts": [],
+        "lower_bounds": [],
+        "upper_bounds": [],
+    }
+
+
+def sync_uniform(spark, path: str) -> int:
+    """Convert the Delta table at ``path`` to (or advance) its Iceberg
+    mirror; returns the committed Iceberg snapshot id (-1 when already
+    in sync)."""
+    delta = DeltaProtocolTable(spark, path)
+    st = delta.state()
+    if st.column_mapping:
+        raise UnsupportedTableFeatureError(
+            "UniForm on a column-mapped table is not supported"
+        )
+    if st.partition_columns:
+        raise UnsupportedTableFeatureError(
+            "UniForm on a Hive-partitioned table is not supported "
+            "(partition values live only in directory names)"
+        )
+    ice = IcebergProtocolTable(spark, path)
+    ice_schema = spark_schema_to_iceberg(st.schema)
+    last_col_id = ice_schema.pop("_last_column_id")
+
+    if ice.exists():
+        md = ice.metadata()
+        synced = (md.get("properties") or {}).get(DELTA_VERSION_PROP)
+        if synced is not None and int(synced) == st.version:
+            return -1
+        if (
+            self_schema := ice.schema(md)
+        ) and [f["name"] for f in self_schema["fields"]] != [
+            f["name"] for f in ice_schema["fields"]
+        ]:
+            ice.evolve_schema(st.schema)
+            md = ice.metadata()
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        records = _data_records(ice, ice.schema(md), st)
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": r,
+            }
+            for r in records
+        ]
+        manifests = [
+            ice._write_manifest(
+                entries, ice.schema(md), [], 0, snapshot_id, seq
+            )
+        ]
+        dv_rec = _dv_delete_record(delta, st)
+        if dv_rec is not None:
+            manifests.append(
+                ice._write_manifest(
+                    [
+                        {
+                            "status": 1,
+                            "snapshot_id": snapshot_id,
+                            "sequence_number": seq,
+                            "file_sequence_number": seq,
+                            "data_file": dv_rec,
+                        }
+                    ],
+                    ice.schema(md),
+                    [],
+                    0,
+                    snapshot_id,
+                    seq,
+                    content=1,
+                )
+            )
+        props = dict(md.get("properties") or {})
+        props[DELTA_VERSION_PROP] = str(st.version)
+        md = dict(md)
+        md["properties"] = props
+        # full-state replacement: the manifest list holds ONLY the new
+        # manifests, so the snapshot equals the Delta version exactly
+        return ice._advance(
+            md,
+            manifests,
+            "replace",
+            len(records),
+            sum(r["record_count"] for r in records),
+            snapshot_id=snapshot_id,
+        )
+
+    # first sync: create the Iceberg metadata referencing delta's files
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now = int(time.time() * 1000)
+    records = _data_records(ice, ice_schema, st)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": r,
+        }
+        for r in records
+    ]
+    manifests = [
+        ice._write_manifest(entries, ice_schema, [], 0, snapshot_id, 1)
+    ]
+    dv_rec = _dv_delete_record(delta, st)
+    if dv_rec is not None:
+        manifests.append(
+            ice._write_manifest(
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": 1,
+                        "file_sequence_number": 1,
+                        "data_file": dv_rec,
+                    }
+                ],
+                ice_schema,
+                [],
+                0,
+                snapshot_id,
+                1,
+                content=1,
+            )
+        )
+    ml_path = os.path.join(
+        ice.metadata_path, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_container(ml_path, MANIFEST_LIST_SCHEMA, manifests)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": 1,
+        "timestamp-ms": now,
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(records)),
+            "added-records": str(sum(r["record_count"] for r in records)),
+        },
+        "schema-id": 0,
+    }
+    md = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": ice.path,
+        "last-sequence-number": 1,
+        "last-updated-ms": now,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "write.format.default": "parquet",
+            "schema.name-mapping.default": ice._name_mapping(ice_schema),
+            DELTA_VERSION_PROP: str(st.version),
+        },
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [snap],
+        "snapshot-log": [{"timestamp-ms": now, "snapshot-id": snapshot_id}],
+        "metadata-log": [],
+    }
+    ice._commit_metadata(md, 1)
+    return snapshot_id

@@ -369,6 +369,38 @@ def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_uniform_iceberg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 0
+    """,
+)
+def delta_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UniForm: after writes + a deletion-vector DELETE on the
+    Delta table, sync_uniform commits Iceberg metadata over the SAME
+    parquet files (DVs converted to Iceberg position deletes) — and
+    the ICEBERG reader returns exactly the Delta table's live rows
+    (sources/uniform.py). One storage footprint, both formats."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+    from featureform_spark.sources.uniform import sync_uniform
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "uniform")
+    d = DeltaProtocolTable(spark, path)
+    d.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    d.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    d.delete_where(F.col("o_orderkey") % 5 == 0)
+    sync_uniform(spark, path)
+    return IcebergProtocolTable(spark, path).snapshot()
+
+
+@query(
     "deltaprotocol_source_read",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -1,0 +1,95 @@
+"""Delta UniForm (sources/uniform.py): the Iceberg mirror must read
+the exact live rows of the Delta table from the SAME parquet files —
+including deletion vectors converted to Iceberg position deletes —
+and re-sync incrementally by Delta version."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.delta_protocol import (
+    DeltaProtocolTable,
+    UnsupportedTableFeatureError,
+)
+from featureform_spark.sources.iceberg_protocol import IcebergProtocolTable
+from featureform_spark.sources.uniform import sync_uniform
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_uniform_mirror_reads_same_rows(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "u")
+    d = DeltaProtocolTable(spark, path)
+    d.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    d.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    snap_id = sync_uniform(spark, path)
+    assert snap_id > 0
+    ice = IcebergProtocolTable(spark, path)
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
+    # no data copied: the iceberg entries point at delta's part files
+    n_parquet = sum(
+        1
+        for n in os.listdir(path)
+        if n.endswith(".parquet")
+    )
+    assert ice.snapshot().count() == d.snapshot().count()
+    assert n_parquet == len(d.state().adds)  # nothing rewritten
+
+
+def test_uniform_converts_deletion_vectors(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "dv")
+    d = DeltaProtocolTable(spark, path)
+    d.create(orders.limit(100))
+    d.delete_where(F.col("o_orderkey") % 4 == 0)
+    sync_uniform(spark, path)
+    ice = IcebergProtocolTable(spark, path)
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
+    assert ice.snapshot().filter(F.col("o_orderkey") % 4 == 0).count() == 0
+
+
+def test_uniform_resync_advances_with_delta(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "rs")
+    d = DeltaProtocolTable(spark, path)
+    d.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    sync_uniform(spark, path)
+    assert sync_uniform(spark, path) == -1  # already in sync: no-op
+    d.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    d.delete_where(F.col("o_orderkey") % 9 == 0)
+    snap2 = sync_uniform(spark, path)
+    assert snap2 > 0
+    ice = IcebergProtocolTable(spark, path)
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
+    # both snapshots remain time-travelable on the iceberg side
+    assert len(ice.snapshots(ice.metadata())) == 2
+    # delta vacuum must not collect the iceberg mirror's files
+    d.vacuum(retain_versions=0)
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
+
+
+def test_uniform_gates(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    p1 = str(tmp_path / "part")
+    DeltaProtocolTable(spark, p1).create(events, partition_by=["event_type"])
+    with pytest.raises(UnsupportedTableFeatureError, match="partitioned"):
+        sync_uniform(spark, p1)
+    p2 = str(tmp_path / "cm")
+    DeltaProtocolTable(spark, p2).create(
+        orders.limit(10), properties={"delta.columnMapping.mode": "name"}
+    )
+    with pytest.raises(UnsupportedTableFeatureError, match="column-mapped"):
+        sync_uniform(spark, p2)
