@@ -1218,7 +1218,9 @@ PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "token_diversity",
     "skew_report",
-    "upsample_epochs",
+    # round-5 flagship: UniForm delta→iceberg conversion incl. the
+    # DV→position-delete path (upsample_epochs stays pytest-covered)
+    "delta_uniform_iceberg",
 )
 
 

@@ -244,6 +244,42 @@ def test_inline_and_absolute_path_dv(spark, sf_dir, tmp_path):
     assert t.snapshot().count() == 28  # only positions 1,3 deleted now
 
 
+def test_dv_u_storage_with_random_prefix(spark, sf_dir, tmp_path):
+    """delta-spark may place DV files behind a random path prefix:
+    pathOrInlineDv = '<prefix><z85 uuid>' with the file at
+    <table>/<prefix>/deletion_vector_<uuid>.bin. The last 20 chars are
+    the uuid; everything before is the directory."""
+    import uuid as _uuid
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "pref"))
+    t.create(orders.limit(30).coalesce(1))
+    st = t.state()
+    (rel,) = list(st.adds)
+    u = _uuid.uuid4()
+    prefix = "ab"
+    dv_dir = tmp_path / "pref" / prefix
+    dv_dir.mkdir()
+    blob = encode_rbm_array(np.array([0, 1, 2, 3, 4], dtype=np.uint64))
+    with open(dv_dir / f"deletion_vector_{u}.bin", "wb") as f:
+        f.write(b"\x01")
+        f.write(struct.pack(">I", len(blob)))
+        f.write(blob)
+        f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+    add = dict(st.adds[rel])
+    add["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(blob),
+        "cardinality": 5,
+    }
+    with open(os.path.join(t.log_path, "%020d.json" % 1), "w") as f:
+        f.write(json.dumps({"remove": {"path": rel, "dataChange": True}}) + "\n")
+        f.write(json.dumps({"add": add}) + "\n")
+    assert t.snapshot().count() == 25
+
+
 def test_inline_dv_padding_tolerated(spark, sf_dir, tmp_path):
     """Inline z85 must be 4-byte aligned; decode must honor sizeInBytes
     and a cardinality mismatch must raise, not silently mis-read."""
