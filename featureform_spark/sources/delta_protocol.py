@@ -1706,12 +1706,25 @@ class DeltaProtocolTable:
             )
         return best
 
-    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+    def compact(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE bin-packing: rewrite the current file set into
         fewer, larger files and commit remove+add with
         ``dataChange=false`` (readers see identical rows; streams must
         not re-emit them — the Delta OPTIMIZE contract). Partitioned
-        tables re-cluster per partition via the normal write path."""
+        tables re-cluster per partition via the normal write path.
+
+        ``zorder_by`` = OPTIMIZE ZORDER BY: the rewrite clusters rows
+        on a Morton curve over the listed numeric/temporal columns
+        (deltalite.zorder_cluster — one sampled quantile pass + one
+        range shuffle), so the log-carried zone maps prune range scans
+        on ANY listed dimension, not just a lexicographic leading
+        column. Unpartitioned tables only (real Delta z-orders within
+        partitions; this writer raises rather than silently
+        un-clustering)."""
         st = self.state()
         self._write_guard(st, None, "OPTIMIZE")  # legal under appendOnly
         n_rows = 0
@@ -1720,8 +1733,32 @@ class DeltaProtocolTable:
             if stats:
                 n_rows += int(json.loads(stats).get("numRecords", 0))
         df = self.snapshot()
-        if not st.partition_columns:
-            n_files = max(1, -(-n_rows // target_rows_per_file))
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        if zorder_by:
+            if st.partition_columns:
+                raise UnsupportedTableFeatureError(
+                    "ZORDER BY on a partitioned table is not supported "
+                    "(the partition re-clustering would undo the curve)"
+                )
+            ok = {"byte", "short", "integer", "long", "float", "double",
+                  "date", "timestamp"}
+            for c in zorder_by:
+                f_ = next(
+                    (f for f in st.schema.fields if f.name == c), None
+                )
+                if f_ is None:
+                    raise DeltaProtocolError(f"unknown column {c!r}")
+                if f_.dataType.typeName() not in ok:
+                    raise DeltaProtocolError(
+                        f"zorder supports numeric/temporal columns, "
+                        f"{c!r} is {f_.dataType.simpleString()}"
+                    )
+            from featureform_spark.sources.deltalite import zorder_cluster
+
+            df = zorder_cluster(df, zorder_by, n_files).select(
+                *[f.name for f in st.schema.fields]
+            )
+        elif not st.partition_columns:
             df = df.coalesce(n_files)
         adds = self._write_files(df, st.partition_columns, st.column_mapping)
         now = int(time.time() * 1000)

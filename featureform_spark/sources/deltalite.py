@@ -62,6 +62,56 @@ CDF_DIR = "_cdf"
 STAGING_DIR = "_staging"
 
 
+def zorder_cluster(
+    df, cols: list[str], n_out: int, bits_per_col: int = 8
+):
+    """Cluster ``df`` on a Z-order (Morton) curve over ``cols``: each
+    column ranks into a 2^bits quantile bucket (one sampled
+    approxQuantile pass — the driver gets boundary literals, not data),
+    bucket ids bit-interleave into one z-value, and the frame is
+    range-repartitioned + sorted on it — the cost of a plain
+    repartitionByRange write, producing files that cover tight
+    hyper-rectangles in ALL listed dimensions. Shared by
+    DeltaliteTable.optimize_zorder and delta_protocol OPTIMIZE ZORDER.
+    Output keeps df's columns (callers drop the helper columns via
+    their own select)."""
+    ncols = len(cols)
+    nb = 1 << bits_per_col
+    casted = df.select(
+        "*",
+        *[F.col(c).cast("double").alias(f"__q{i}") for i, c in enumerate(cols)],
+    )
+    probs = [i / nb for i in range(1, nb)]
+    quantiles = casted.stat.approxQuantile(
+        [f"__q{i}" for i in range(ncols)], probs, 1.0 / (4 * nb)
+    )
+
+    def _bucket_rank(bnds: list[float], qcol: str):
+        # bucket = #boundaries <= value; NULL compares to nothing -> 0
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        return F.size(F.filter(arr, lambda b: b <= F.col(qcol))).cast("int")
+
+    ranked = casted
+    for i, qs in enumerate(quantiles):
+        ranked = ranked.withColumn(
+            f"__b{i}", _bucket_rank(sorted(set(qs)), f"__q{i}")
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for i in range(ncols):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(f"__b{i}"), bit)
+                .bitwiseAND(F.lit(1))
+                .cast("long"),
+                bit * ncols + i,
+            )
+    return (
+        ranked.withColumn("__z", z)
+        .repartitionByRange(n_out, F.col("__z"))
+        .sortWithinPartitions("__z")
+    )
+
+
 class DeltaliteError(Exception):
     pass
 
@@ -874,41 +924,10 @@ class DeltaliteTable:
             return {"files_clustered": 0, "files_written": 0}
 
         df = self.snapshot()
-        ncols = len(cols)
-        nb = 1 << bits_per_col
-        casted = df.select(
-            "*", *[F.col(c).cast("double").alias(f"__q{i}") for i, c in enumerate(cols)]
-        )
-        probs = [i / nb for i in range(1, nb)]
-        quantiles = casted.stat.approxQuantile(
-            [f"__q{i}" for i in range(ncols)], probs, 1.0 / (4 * nb)
-        )
-        def _bucket_rank(bnds: list[float], qcol: str):
-            # bucket = #boundaries <= value; NULL compares to nothing -> 0
-            arr = F.array(*[F.lit(float(b)) for b in bnds])
-            return F.size(F.filter(arr, lambda b: b <= F.col(qcol))).cast("int")
-
-        ranked = casted
-        for i, qs in enumerate(quantiles):
-            ranked = ranked.withColumn(
-                f"__b{i}", _bucket_rank(sorted(set(qs)), f"__q{i}")
-            )
-        z = F.lit(0).cast("long")
-        for bit in range(bits_per_col):
-            for i in range(ncols):
-                z = z + F.shiftleft(
-                    F.shiftright(F.col(f"__b{i}"), bit).bitwiseAND(F.lit(1)).cast(
-                        "long"
-                    ),
-                    bit * ncols + i,
-                )
         total_rows = sum(a["rows"] for a in active)
         n_out = max(1, -(-total_rows // target_rows_per_file))  # ceil
-        clustered = (
-            ranked.withColumn("__z", z)
-            .repartitionByRange(n_out, F.col("__z"))
-            .sortWithinPartitions("__z")
-            .select(*[f.name for f in schema.fields])
+        clustered = zorder_cluster(df, cols, n_out, bits_per_col).select(
+            *[f.name for f in schema.fields]
         )
         v = self._next_version()
         adds = self._write_files(clustered, v)

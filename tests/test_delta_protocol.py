@@ -304,6 +304,39 @@ def test_dv_add_survives_checkpoint_fold(spark, sf_dir, tmp_path):
     assert got == expect and len(got) == 43
 
 
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on the real-protocol table: identical rows,
+    dataChange=false commit, and the log-carried zone maps prune range
+    probes on BOTH clustered columns — which no lexicographic sort can
+    provide."""
+    import random
+
+    random.seed(5)
+    rows = [
+        (i, random.randrange(10_000), random.randrange(10_000))
+        for i in range(40_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long").repartition(8)
+    t = DeltaProtocolTable(spark, str(tmp_path / "z"))
+    t.create(df)
+    before = sorted(r["id"] for r in t.snapshot().collect())
+    v = t.compact(target_rows_per_file=5_000, zorder_by=["a", "b"])
+    assert sorted(r["id"] for r in t.snapshot().collect()) == before
+    # physical-only: dataChange=false on every add/remove
+    for act in t._read_commit(v):
+        for k in ("add", "remove"):
+            if k in act:
+                assert act[k]["dataChange"] is False
+    for col in ("a", "b"):
+        t.snapshot_pruned(col, 100, 400).collect()
+        pr = t._last_prune
+        assert pr["files_read"] < pr["files_total"], (col, pr)
+    # incremental reads survive the z-order rewrite (dataChange=false)
+    from featureform_spark.sources.delta_protocol import incremental_adds
+
+    assert incremental_adds(t, 0).count() == 0
+
+
 def test_in_commit_timestamps(spark, sf_dir, tmp_path):
     """delta.enableInCommitTimestamps: commits carry a monotonically
     increasing inCommitTimestamp in commitInfo (the feature exists
