@@ -1351,6 +1351,11 @@ class IcebergProtocolTable:
         if fid is None or not isinstance(ice_type, str):
             raise IcebergProtocolError(f"no atomic column {col!r}")
 
+        if value is None:
+            # SQL equality with NULL matches nothing — empty scan, no
+            # file reads (col IS NULL is a different predicate)
+            self._last_prune = {"files_total": 0, "files_read": 0}
+            return self.spark.createDataFrame([], schema)
         hv = value
         if ice_type == "date" and isinstance(value, datetime.date):
             hv = (value - datetime.date(1970, 1, 1)).days

@@ -505,6 +505,9 @@ def test_equality_pruning_through_bucket_partitioning(spark, sf_dir, tmp_path):
     # rows rather than scanning everything
     missing = int(orders.agg(F.max("o_custkey")).first()[0]) + 10**6
     assert t.scan_planned_eq("o_custkey", missing).count() == 0
+    # SQL equality with NULL matches nothing, and reads nothing
+    assert t.scan_planned_eq("o_custkey", None).count() == 0
+    assert t._last_prune == {"files_total": 0, "files_read": 0}
 
 
 def test_equality_pruning_through_truncate_partitioning(spark, sf_dir, tmp_path):
