@@ -73,8 +73,13 @@ _SUPPORTED_READER_FEATURES = {
 
 # Writer table features (protocol v7) this implementation actually
 # ENFORCES on write (_write_guard). generatedColumns/identityColumns
-# etc. are deliberately absent: writing without computing them would
-# corrupt the table's contract, so they hard-gate writes.
+# are implemented CONSERVATIVELY: _write_guard scans the schema and
+# refuses any write to a table that actually carries a generation
+# expression or identity spec (we never compute those values, so
+# writing would corrupt the contract) — a table that merely LISTS the
+# feature (e.g. after a legacy-version upgrade) with no such column
+# stays writable, which is the vacuous case of the feature's write
+# requirement.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -84,7 +89,36 @@ _SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",
     "timestampNtz",
     "inCommitTimestamp",  # _commit maintains the monotonic chain
+    "generatedColumns",  # enforced by refusal-when-present
+    "identityColumns",  # enforced by refusal-when-present
 }
+
+
+def _legacy_writer_features(version: int) -> set[str]:
+    """Features IMPLIED by a legacy minWriterVersion (PROTOCOL.md
+    "Writer Version Requirements" table). When upgrading such a table
+    to protocol v7, every implied feature must be carried into
+    writerFeatures explicitly — otherwise external engines stop
+    enforcing CHECK constraints / CDF / generated columns that the
+    table was already relying on."""
+    out: set[str] = set()
+    if version >= 2:
+        out |= {"appendOnly", "invariants"}
+    if version >= 3:
+        out |= {"checkConstraints"}
+    if version >= 4:
+        out |= {"changeDataFeed", "generatedColumns"}
+    if version >= 5:
+        out |= {"columnMapping"}
+    if version >= 6:
+        out |= {"identityColumns"}
+    return out
+
+
+def _legacy_reader_features(version: int) -> set[str]:
+    """Reader features implied by a legacy minReaderVersion (v2 =
+    columnMapping)."""
+    return {"columnMapping"} if version >= 2 else set()
 
 
 class DeltaProtocolError(Exception):
@@ -567,6 +601,28 @@ class DeltaProtocolTable:
                 "writing could break an invariant this engine does not "
                 "implement"
             )
+        # Legacy minWriterVersion 4-6 imply generatedColumns (v4+) and
+        # identityColumns (v6) WITHOUT listing them in writerFeatures.
+        # A conformant writer must compute those column values on every
+        # write; this engine does not, so if the schema actually carries
+        # a generation expression or identity spec, refuse rather than
+        # silently writing NULL/stale values into the generated columns.
+        if 4 <= writer <= 6 or feats & {"generatedColumns", "identityColumns"}:
+            for f in st.schema.fields:
+                md = f.metadata or {}
+                if "delta.generationExpression" in md:
+                    raise UnsupportedTableFeatureError(
+                        f"column {f.name!r} is a generated column "
+                        f"({md['delta.generationExpression']!r}); this "
+                        "engine does not compute generated values — "
+                        "refusing to write"
+                    )
+                if any(k.startswith("delta.identity.") for k in md):
+                    raise UnsupportedTableFeatureError(
+                        f"column {f.name!r} is an identity column; this "
+                        "engine does not allocate identity values — "
+                        "refusing to write"
+                    )
         conf = st.metadata.get("configuration") or {}
         if conf.get("delta.appendOnly") == "true" and operation in (
             "WRITE-OVERWRITE", "MERGE", "DELETE", "RESTORE"
@@ -1251,6 +1307,10 @@ class DeltaProtocolTable:
         no-ops. Data files are written once; only the commit retries."""
         st = self.state()
         self._write_guard(st, df, "WRITE")
+        orig_proto = dict(st.protocol or {})
+        orig_schema = st.metadata.get("schemaString")
+        orig_parts = list(st.metadata.get("partitionColumns") or [])
+        orig_conf = dict(st.metadata.get("configuration") or {})
         if txn is not None:
             app_id, tv = txn
             if int(tv) <= int(st.txns.get(app_id, -1)):
@@ -1274,7 +1334,33 @@ class DeltaProtocolTable:
                 return v
             except ConcurrentCommitError:
                 st = self.state()  # conflict: fold the winner, retry
-                self._write_guard(st, None, "WRITE")
+                # Conflict resolution for blind appends: a winner that
+                # changed the protocol, schema, or partitioning makes
+                # our already-staged files invalid — fail like real
+                # Delta's Protocol/MetadataChangedException. A winner
+                # that only changed table configuration (new CHECK
+                # constraint, appendOnly flip) is survivable IF the
+                # staged rows still validate — re-run the full guard
+                # against the data, not a df=None protocol-only check.
+                if dict(st.protocol or {}) != orig_proto:
+                    raise ConcurrentCommitError(
+                        "concurrent protocol change; staged append "
+                        "cannot be validated against the new protocol"
+                    ) from None
+                meta = st.metadata
+                if (
+                    meta.get("schemaString") != orig_schema
+                    or list(meta.get("partitionColumns") or [])
+                    != orig_parts
+                ):
+                    raise ConcurrentCommitError(
+                        "concurrent schema/partitioning change; staged "
+                        "files were written under the old metadata"
+                    ) from None
+                if dict(meta.get("configuration") or {}) != orig_conf:
+                    self._write_guard(st, df, "WRITE")  # re-validate rows
+                else:
+                    self._write_guard(st, None, "WRITE")
                 if txn is not None and int(txn[1]) <= int(
                     st.txns.get(txn[0], -1)
                 ):
@@ -1510,11 +1596,17 @@ class DeltaProtocolTable:
         readerVersion 3 / writerVersion 7 with the deletionVectors
         table feature, exactly as the spec requires.
 
-        Scale: ONE distributed scan finds matching positions; only the
-        (file, position) hit set — cardinality-scale, not data-scale —
-        comes back to the driver for bitmap encoding."""
+        Scale: ONE distributed scan finds matching positions; each
+        file's positions are roaring-encoded EXECUTOR-side
+        (groupBy(file) + applyInPandas), so only (file, compact-blob,
+        cardinality) rows — file-count scale — ever reach the driver.
+        Per-file driver work (blob decode + union with any prior DV) is
+        bounded by that file's row count, never the total deleted
+        cardinality: a delete of billions of rows across thousands of
+        files streams file-by-file."""
         from featureform_spark.sources.dv_bitmap import (
             append_dv_to_file,
+            decode_rbm_array,
             encode_rbm_array,
             z85_encode,
         )
@@ -1523,10 +1615,35 @@ class DeltaProtocolTable:
         st = self.state()
         self._write_guard(st, None, "DELETE")
         base = self._read_files_plain(st, self._data_paths(st), with_pos=True)
-        hits = (
+
+        def _encode_file_group(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            from featureform_spark.sources.dv_bitmap import (
+                encode_rbm_array as _enc,
+            )
+
+            pos = _np.unique(
+                pdf["__dv_pos"].to_numpy().astype(_np.uint64)
+            )
+            return _pd.DataFrame(
+                {
+                    "file": [pdf["__dv_file"].iloc[0]],
+                    "blob": [_enc(pos)],
+                    "card": [len(pos)],
+                }
+            )
+
+        encoded = sorted(
             base.filter(condition)
             .select("__dv_file", "__dv_pos")
-            .toPandas()
+            .groupBy("__dv_file")
+            .applyInPandas(
+                _encode_file_group, "file string, blob binary, card long"
+            )
+            .collect(),
+            key=lambda r: r["file"],
         )
         rel_by_abs = {
             os.path.join(self.path, urllib.parse.unquote(p)): p
@@ -1537,6 +1654,12 @@ class DeltaProtocolTable:
 
         feats = set(st.protocol.get("readerFeatures") or [])
         if "deletionVectors" not in feats:
+            # Upgrading a legacy protocol to (3, 7): every feature the
+            # old minReader/minWriterVersion IMPLIED must be listed
+            # explicitly, or external engines silently stop enforcing
+            # them (e.g. a v5 table's checkConstraints / CDF).
+            old_reader = int(st.protocol.get("minReaderVersion", 1))
+            old_writer = int(st.protocol.get("minWriterVersion", 1))
             extra_feats = {"deletionVectors"} | (
                 {"columnMapping"} if st.column_mapping else set()
             )
@@ -1545,10 +1668,14 @@ class DeltaProtocolTable:
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": sorted(feats | extra_feats),
+                        "readerFeatures": sorted(
+                            feats
+                            | _legacy_reader_features(old_reader)
+                            | extra_feats
+                        ),
                         "writerFeatures": sorted(
                             set(st.protocol.get("writerFeatures") or [])
-                            | {"appendOnly", "invariants"}
+                            | _legacy_writer_features(old_writer)
                             | extra_feats
                         ),
                     }
@@ -1564,39 +1691,32 @@ class DeltaProtocolTable:
             == "true"
             and not st.column_mapping
         )
-        newly_deleted_frames: list = []
-        if len(hits):
+        if encoded:
             u = uuid.uuid4()
             dv_rel = f"deletion_vector_{u}.bin"
             dv_enc = z85_encode(u.bytes)
             with open(os.path.join(self.path, dv_rel), "wb") as fh:
                 fh.write(b"\x01")  # DV file format version
-                for abs_p, grp in sorted(hits.groupby("__dv_file")):
+                for r in encoded:
+                    abs_p = r["file"]
                     rel = rel_by_abs[abs_p]
                     add = dict(st.adds[rel])
                     old = add.get("deletionVector")
-                    old_pos = (
-                        self._dv_positions(old)
-                        if old
-                        else np.empty(0, dtype=np.uint64)
-                    )
-                    new_pos = np.union1d(
-                        old_pos,
-                        grp["__dv_pos"].to_numpy().astype(np.uint64),
-                    )
-                    if cdf_on:
-                        import pandas as pd
-
-                        fresh = np.setdiff1d(new_pos, old_pos)
-                        newly_deleted_frames.append(
-                            pd.DataFrame(
-                                {
-                                    "__dv_file": abs_p,
-                                    "__dv_pos": fresh.astype("int64"),
-                                }
-                            )
+                    if old:
+                        # re-delete: union with the prior DV — bounded
+                        # by THIS file's row count
+                        old_pos = self._dv_positions(old)
+                        new_pos = np.union1d(
+                            old_pos, decode_rbm_array(bytes(r["blob"]))
                         )
-                    rows_deleted += len(new_pos) - len(old_pos)
+                        blob = encode_rbm_array(new_pos)
+                        card = len(new_pos)
+                        rows_deleted += card - len(old_pos)
+                    else:
+                        # executor-encoded blob passes through verbatim
+                        blob = bytes(r["blob"])
+                        card = int(r["card"])
+                        rows_deleted += card
                     files_touched += 1
                     actions.append(
                         {
@@ -1610,40 +1730,56 @@ class DeltaProtocolTable:
                     n_rec = None
                     if add.get("stats"):
                         n_rec = json.loads(add["stats"]).get("numRecords")
-                    if n_rec is not None and int(n_rec) == len(new_pos):
+                    if n_rec is not None and int(n_rec) == card:
                         continue  # whole file deleted: plain remove
-                    offset, size = append_dv_to_file(
-                        fh, encode_rbm_array(new_pos)
-                    )
+                    offset, size = append_dv_to_file(fh, blob)
                     add["deletionVector"] = {
                         "storageType": "u",
                         "pathOrInlineDv": dv_enc,
                         "offset": offset,
                         "sizeInBytes": size,
-                        "cardinality": len(new_pos),
+                        "cardinality": card,
                     }
                     add["dataChange"] = True
                     actions.append({"add": add})
 
-        if newly_deleted_frames:
+        if cdf_on and encoded:
             # CDF: emit the deleted rows as a cdc action (delta-spark's
             # DV-DML shape) so table_changes serves them from the cdc
-            # file instead of deriving from DV diffs
+            # file instead of deriving from DV diffs. Newly deleted =
+            # matching rows minus PRIOR-DV positions: one broadcast
+            # anti-join (prior-delete-cardinality scale, same shape as
+            # _read_files) — never a per-position driver collection.
             import pandas as pd
 
-            want = self.spark.createDataFrame(
-                pd.concat(newly_deleted_frames, ignore_index=True),
-                "__dv_file string, __dv_pos long",
-            )
-            deleted_rows = (
-                base.join(
-                    F.broadcast(want),
-                    on=["__dv_file", "__dv_pos"],
-                    how="left_semi",
+            prior_frames = [
+                pd.DataFrame(
+                    {
+                        "__dv_file": os.path.join(
+                            self.path, urllib.parse.unquote(rel)
+                        ),
+                        "__dv_pos": self._dv_positions(
+                            a["deletionVector"]
+                        ).astype("int64"),
+                    }
                 )
-                .select(*[f.name for f in st.schema.fields])
-                .withColumn("_change_type", F.lit("delete"))
-            )
+                for rel, a in sorted(st.adds.items())
+                if a.get("deletionVector")
+            ]
+            deleted_rows = base.filter(condition)
+            if prior_frames:
+                prior = self.spark.createDataFrame(
+                    pd.concat(prior_frames, ignore_index=True),
+                    "__dv_file string, __dv_pos long",
+                )
+                deleted_rows = deleted_rows.join(
+                    F.broadcast(prior),
+                    on=["__dv_file", "__dv_pos"],
+                    how="left_anti",
+                )
+            deleted_rows = deleted_rows.select(
+                *[f.name for f in st.schema.fields]
+            ).withColumn("_change_type", F.lit("delete"))
             actions += self._write_cdc_files(deleted_rows)
 
         v = st.version + 1
@@ -2217,11 +2353,25 @@ def read_delta_path(
         if timestamp_millis is not None:
             import datetime
 
+            # Millisecond precision, rendered in the SPARK SESSION
+            # timezone (the connector parses the string under
+            # spark.sql.session.timeZone): whole-second local-time
+            # truncation would resolve a different version than the
+            # protocol fallback's exact-millis compare near commit
+            # boundaries or when the session tz differs from the OS tz.
+            try:
+                import zoneinfo
+
+                tz = zoneinfo.ZoneInfo(
+                    spark.conf.get("spark.sql.session.timeZone")
+                )
+            except Exception:  # noqa: BLE001 — fall back to OS-local
+                tz = None
             r = r.option(
                 "timestampAsOf",
                 datetime.datetime.fromtimestamp(
-                    timestamp_millis / 1000
-                ).strftime("%Y-%m-%d %H:%M:%S"),
+                    timestamp_millis / 1000, tz=tz
+                ).strftime("%Y-%m-%d %H:%M:%S.%f"),
             )
         return r.load(path)
     except Exception as e:  # noqa: BLE001 — filtered below

@@ -9,10 +9,15 @@ the vendor IcebergSource (offline_store_spark_runner.py:966-980).
 Neither ships here; this module provides both surfaces on Spark 4's
 Python Data Source API:
 
-- **Offsets are snapshot-lineage ordinals** (``{"ordinal": i}`` into
-  the table's snapshot list) — the streamer's incremental-append
+- **Offsets are snapshot IDs** (``{"snapshot_id": id}``, ``-1`` =
+  before the first snapshot) — the streamer's incremental-append
   contract: each micro-batch covers the data files committed by
-  snapshots ``(start, end]``, checkpointed by Spark's offset log.
+  snapshots ``(start, end]`` in lineage order, checkpointed by
+  Spark's offset log. IDs (not list ordinals) survive
+  ``expire_snapshots``: an expired checkpointed snapshot raises
+  instead of silently remapping to a different snapshot; legacy
+  ``{"ordinal": i}`` checkpoints are still accepted and resolved
+  positionally.
 - **Append-only contract**: an overwrite/delete/replace snapshot in
   range aborts the stream unless ``skipChangeSnapshots=true`` —
   identical semantics to incremental_append_scan
@@ -116,27 +121,60 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
         starting = options.get("startingsnapshotordinal", "earliest").lower()
         snaps = self.t.snapshots(self.t.metadata())
         if starting == "earliest":
-            self.start_ordinal = -1
+            self.start_id = -1
         elif starting == "latest":
-            self.start_ordinal = len(snaps) - 1
-        else:
-            self.start_ordinal = int(starting) - 1
+            self.start_id = int(snaps[-1]["snapshot-id"]) if snaps else -1
+        else:  # explicit 1-based ordinal, resolved ONCE to a stable id
+            i = int(starting) - 1
+            self.start_id = int(snaps[i]["snapshot-id"]) if i >= 0 else -1
+
+    @staticmethod
+    def _index_of(offset: dict, snaps: list) -> int:
+        """Resolve a checkpointed offset to an index into the CURRENT
+        lineage (-1 = before the first snapshot). Snapshot-id offsets
+        raise when the id has been expired out of the lineage — the
+        alternative (a shifted ordinal silently reading different
+        snapshots) is data loss. Legacy ordinal offsets resolve
+        positionally for old checkpoints."""
+        if "snapshot_id" in offset:
+            sid = int(offset["snapshot_id"])
+            if sid == -1:
+                return -1
+            for i, s in enumerate(snaps):
+                if int(s["snapshot-id"]) == sid:
+                    return i
+            raise IcebergProtocolError(
+                f"checkpointed snapshot {sid} is no longer in the "
+                "table lineage (expire_snapshots?) — the stream cannot "
+                "resume exactly-once from an expired snapshot"
+            )
+        i = int(offset["ordinal"])  # legacy checkpoint
+        if i >= len(snaps):
+            raise IcebergProtocolError(
+                f"legacy ordinal offset {i} out of lineage "
+                f"(have {len(snaps)} snapshots — expired?)"
+            )
+        return i
 
     def initialOffset(self) -> dict:
-        return {"ordinal": self.start_ordinal}
+        return {"snapshot_id": self.start_id}
 
     def latestOffset(self) -> dict:
-        return {"ordinal": len(self.t.snapshots(self.t.metadata())) - 1}
+        snaps = self.t.snapshots(self.t.metadata())
+        return {
+            "snapshot_id": int(snaps[-1]["snapshot-id"]) if snaps else -1
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         md = self.t.metadata()
         snaps = self.t.snapshots(md)
         order = [f.name for f in self.t.spark_schema(md).fields]
-        lo, hi = int(start["ordinal"]), int(end["ordinal"])
-        if hi < lo or hi >= len(snaps):
+        lo = self._index_of(start, snaps)
+        hi = self._index_of(end, snaps)
+        if hi < lo:
             raise IcebergProtocolError(
-                f"snapshot range ({lo}, {hi}] out of lineage "
-                f"(have {len(snaps)} snapshots — expired?)"
+                f"snapshot range ({lo}, {hi}] is inverted in the "
+                "current lineage"
             )
         if hi == lo:
             return []

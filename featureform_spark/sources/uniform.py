@@ -90,38 +90,57 @@ def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
 
 def _dv_delete_record(delta: DeltaProtocolTable, st) -> dict | None:
     """All deletion-vector positions as ONE sorted position-delete
-    parquet (spec column names file_path/pos); None when no DVs."""
+    parquet (spec column names file_path/pos); None when no DVs.
+
+    Streams one record batch per DV'd file through a ParquetWriter:
+    peak memory is a single file's decoded positions (bounded by that
+    file's row count), never the table's total deleted cardinality —
+    the metadata-only sync stays driver-side like real UniForm, but a
+    billions-deleted table converts file-by-file."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    paths: list[str] = []
-    poss: list[int] = []
-    for rel in sorted(st.adds):
-        dv = st.adds[rel].get("deletionVector")
-        if not dv:
-            continue
-        abs_p = os.path.join(delta.path, urllib.parse.unquote(rel))
-        for p in delta._dv_positions(dv).tolist():
-            paths.append(abs_p)
-            poss.append(int(p))
-    if not paths:
-        return None
-    tbl = pa.table(
-        {
-            "file_path": pa.array(paths, type=pa.string()),
-            "pos": pa.array(poss, type=pa.int64()),
-        }
+    schema = pa.schema(
+        [
+            pa.field("file_path", pa.string()),
+            pa.field("pos", pa.int64()),
+        ]
     )
     out_dir = os.path.join(delta.path, "metadata")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"uniform-delete-{uuid.uuid4().hex}.parquet")
-    pq.write_table(tbl, out)
+    writer = None
+    total = 0
+    try:
+        for rel in sorted(st.adds):
+            dv = st.adds[rel].get("deletionVector")
+            if not dv:
+                continue
+            abs_p = os.path.join(delta.path, urllib.parse.unquote(rel))
+            pos = delta._dv_positions(dv).astype("int64")
+            batch = pa.record_batch(
+                [
+                    pa.array(np.repeat(abs_p, len(pos))).cast(pa.string()),
+                    pa.array(pos, type=pa.int64()),
+                ],
+                schema=schema,
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(out, schema)
+            writer.write_batch(batch)
+            total += len(pos)
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return None
     return {
         "content": 1,
         "file_path": out,
         "file_format": "PARQUET",
         "partition": {},
-        "record_count": len(paths),
+        "record_count": total,
         "file_size_in_bytes": os.path.getsize(out),
         "value_counts": [],
         "null_value_counts": [],

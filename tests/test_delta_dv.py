@@ -478,3 +478,43 @@ def test_checkpoint_preserves_dv(spark, sf_dir, tmp_path):
     t.checkpoint()
     t.clean_log()
     assert sorted(tuple(r) for r in t.snapshot().collect()) == expect
+
+
+def test_delete_where_never_collects_positions(spark, sf_dir, tmp_path):
+    """The DV write path encodes bitmaps EXECUTOR-side: only
+    (file, blob, cardinality) rows reach the driver (VERDICT r5's last
+    scale-killer). Guard: toPandas() anywhere inside delete_where —
+    the old data-scale position collection — fails the test."""
+    import pyspark.sql as pssql
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "nodriver"))
+    t.create(orders.repartition(6))
+    n_before = t.snapshot().count()
+    orig = pssql.DataFrame.toPandas
+    try:
+        def _banned(self):
+            raise AssertionError(
+                "delete_where must not move position-level rows to "
+                "the driver via toPandas()"
+            )
+
+        pssql.DataFrame.toPandas = _banned
+        res = t.delete_where(F.col("o_orderkey") % 3 == 0)
+    finally:
+        pssql.DataFrame.toPandas = orig
+    dropped = orders.filter(F.col("o_orderkey") % 3 == 0).count()
+    assert res["rows_deleted"] == dropped
+    assert t.snapshot().count() == n_before - dropped
+    # the executor-encoded descriptors decode to exactly the dropped keys
+    got = sorted(
+        r["o_orderkey"]
+        for r in t.snapshot().select("o_orderkey").collect()
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want

@@ -110,17 +110,196 @@ def test_unknown_writer_feature_blocks_writes_not_reads(
                     "protocol": {
                         "minReaderVersion": 1,
                         "minWriterVersion": 7,
-                        "writerFeatures": ["generatedColumns"],
+                        "writerFeatures": ["rowTracking"],
                     }
                 }
             )
             + "\n"
         )
     assert t.snapshot().count() == 20  # reads unaffected
-    with pytest.raises(UnsupportedTableFeatureError, match="generatedColumns"):
+    with pytest.raises(UnsupportedTableFeatureError, match="rowTracking"):
         t.append(orders.limit(1))
-    with pytest.raises(UnsupportedTableFeatureError, match="generatedColumns"):
+    with pytest.raises(UnsupportedTableFeatureError, match="rowTracking"):
         t.delete_where(F.lit(True))
+
+
+def _forge_schema_meta(t, col, md_entry):
+    """Rewrite the table's metaData with extra field metadata on one
+    column (forging a foreign writer's schema)."""
+    st = t.state()
+    sj = json.loads(st.metadata["schemaString"])
+    for fld in sj["fields"]:
+        if fld["name"] == col:
+            fld["metadata"] = md_entry
+    meta = dict(st.metadata)
+    meta["schemaString"] = json.dumps(sj)
+    v = st.version + 1
+    with open(os.path.join(t.log_path, "%020d.json" % v), "w") as f:
+        f.write(json.dumps({"metaData": meta}) + "\n")
+
+
+def test_legacy_writer_version_generated_column_gates(
+    spark, sf_dir, tmp_path
+):
+    """minWriterVersion 4-6 implies generatedColumns/identityColumns
+    WITHOUT listing writerFeatures; appending to such a table without
+    computing the generated values corrupts its contract — the guard
+    must find the actual generation expression in the schema and
+    refuse (ADVICE r5)."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "gen4"))
+    t.create(orders.limit(20))
+    _forge_schema_meta(
+        t,
+        "o_custkey",
+        {"delta.generationExpression": "o_orderkey % 100"},
+    )
+    with open(os.path.join(t.log_path, "%020d.json" % 2), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+            )
+            + "\n"
+        )
+    assert t.snapshot().count() == 20  # reads unaffected
+    with pytest.raises(UnsupportedTableFeatureError, match="generated"):
+        t.append(orders.limit(1))
+
+    # identity column under legacy v6
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "id6"))
+    t2.create(orders.limit(10))
+    _forge_schema_meta(
+        t2,
+        "o_orderkey",
+        {
+            "delta.identity.start": 1,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": False,
+        },
+    )
+    with open(os.path.join(t2.log_path, "%020d.json" % 2), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
+            )
+            + "\n"
+        )
+    with pytest.raises(UnsupportedTableFeatureError, match="identity"):
+        t2.append(orders.limit(1))
+
+    # a legacy v4 table WITHOUT generated columns still accepts writes
+    t3 = DeltaProtocolTable(spark, str(tmp_path / "plain4"))
+    t3.create(orders.limit(10))
+    with open(os.path.join(t3.log_path, "%020d.json" % 1), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+            )
+            + "\n"
+        )
+    t3.append(orders.limit(5))
+    assert t3.snapshot().count() == 15
+
+
+def test_legacy_upgrade_carries_implied_features(spark, sf_dir, tmp_path):
+    """delete_where's protocol upgrade to (3,7) from a legacy
+    minWriterVersion must list every feature that version implied
+    (v5 → +checkConstraints +changeDataFeed +generatedColumns
+    +columnMapping), or external engines stop enforcing them
+    (ADVICE r5)."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "up5"))
+    t.create(orders.limit(40))
+    with open(os.path.join(t.log_path, "%020d.json" % 1), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+    t.delete_where(F.col("o_orderkey") % 2 == 0)
+    proto = t.state().protocol
+    assert proto["minWriterVersion"] == 7
+    feats = set(proto["writerFeatures"])
+    assert {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+    } <= feats
+    assert "deletionVectors" in feats
+    # the upgraded table (no actual generated columns) stays writable
+    t.append(orders.limit(45).subtract(orders.limit(40)))
+
+
+def test_append_retry_revalidates_concurrent_constraint(
+    spark, sf_dir, tmp_path
+):
+    """Losing the commit race to a writer that added a CHECK constraint
+    must re-validate the staged rows against the NEW configuration —
+    not blindly commit them (ADVICE r5)."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "race"))
+    t.create(orders.limit(20).filter(F.col("o_orderkey") > 0))
+    bad = t.snapshot().limit(1).withColumn(
+        "o_orderkey", F.lit(-5).cast("long")
+    )
+    orig_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(v, actions, op):
+        if not fired["done"] and op == "WRITE":
+            fired["done"] = True
+            # the winning writer lands a CHECK constraint at our version
+            DeltaProtocolTable(spark, t.path).add_constraint(
+                "positive_key", "o_orderkey > 0"
+            )
+        return orig_commit(v, actions, op)
+
+    t._commit = racing_commit
+    with pytest.raises(DeltaProtocolError, match="positive_key"):
+        t.append(bad)
+    # rows that satisfy the winner's constraint retry and commit fine
+    fired["done"] = True
+    good = t.snapshot().limit(1).withColumn(
+        "o_orderkey", F.lit(10**9).cast("long")
+    )
+    t._commit = orig_commit
+    t.append(good)
+    assert (
+        t.snapshot().filter(F.col("o_orderkey") == 10**9).count() == 1
+    )
+
+
+def test_append_retry_raises_on_concurrent_schema_change(
+    spark, sf_dir, tmp_path
+):
+    """A winner that changed the schema makes our staged files invalid;
+    the retry must raise, not commit files written under old metadata."""
+    from featureform_spark.sources.delta_protocol import (
+        ConcurrentCommitError,
+    )
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "race2"))
+    t.create(orders.limit(20))
+    orig_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(v, actions, op):
+        if not fired["done"] and op == "WRITE":
+            fired["done"] = True
+            DeltaProtocolTable(spark, t.path).merge(
+                t.snapshot().limit(1).withColumn("extra", F.lit(1)),
+                key="o_orderkey",
+            )  # schema evolves concurrently
+        return orig_commit(v, actions, op)
+
+    t._commit = racing_commit
+    with pytest.raises(ConcurrentCommitError, match="schema"):
+        t.append(orders.limit(1))
 
 
 def test_column_invariant_enforced(spark, sf_dir, tmp_path):

@@ -75,6 +75,49 @@ def test_stream_snapshot_ordinal_offsets_and_resume(
     assert got.count() == n and got.distinct().count() == n
 
 
+def test_offsets_are_snapshot_ids_and_expiry_raises(
+    reg, spark, sf_dir, tmp_path
+):
+    """Offsets checkpoint snapshot IDs, not list ordinals —
+    expire_snapshots shifts ordinals, so an ordinal-based resume would
+    silently remap to different snapshots (ADVICE r5). An expired
+    checkpointed id must raise; surviving ids resolve to the same
+    snapshot regardless of position shift."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolError,
+    )
+    from featureform_spark.sources.icebergprotocol_datasource import (
+        IcebergProtocolStreamReader,
+    )
+
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "exp")
+    t = IcebergProtocolTable(spark, tdir)
+    t.create(orders.limit(30))
+    t.append(orders.limit(60).subtract(orders.limit(30)))
+    t.append(orders.limit(90).subtract(orders.limit(60)))
+    r = IcebergProtocolStreamReader({"path": tdir})
+    snaps = t.snapshots(t.metadata())
+    ids = [int(s["snapshot-id"]) for s in snaps]
+    assert r.latestOffset() == {"snapshot_id": ids[-1]}
+    assert r.initialOffset() == {"snapshot_id": -1}
+    # full range plans one partition per appended file
+    parts = r.partitions(
+        {"snapshot_id": -1}, {"snapshot_id": ids[-1]}
+    )
+    assert len(parts) >= 3
+    t.expire_snapshots(retain_last=2)
+    snaps2 = t.snapshots(t.metadata())
+    assert [int(s["snapshot-id"]) for s in snaps2] == ids[1:]
+    # a surviving checkpointed id still resolves (position shifted)
+    r.partitions({"snapshot_id": ids[1]}, {"snapshot_id": ids[2]})
+    # the expired id raises instead of remapping
+    with pytest.raises(IcebergProtocolError, match="no longer"):
+        r.partitions({"snapshot_id": ids[0]}, {"snapshot_id": ids[2]})
+    # legacy ordinal checkpoints still resolve positionally
+    assert r.partitions({"ordinal": 0}, {"ordinal": 1}) != []
+
+
 def test_stream_refuses_change_snapshots_unless_skipped(
     reg, spark, sf_dir, tmp_path
 ):
