@@ -1,0 +1,152 @@
+"""S18 completed: a REAL Arrow Flight gRPC endpoint serving table
+scans as record-batch streams (reference:
+streamer/iceberg_streamer.py:17-106 — JSON ticket naming the table,
+do_get -> RecordBatchStream, 2M default cap). The serving path here is
+sessionless (pyarrow, no Spark/JVM): round-trips below run a localhost
+server and compare client-read rows against the native Spark scans."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+fl = pytest.importorskip("pyarrow.flight")
+
+from featureform_spark.serving.flight_server import (  # noqa: E402
+    DatasetStreamerServer,
+    scan_table_arrow,
+)
+from featureform_spark.sources.delta_protocol import (  # noqa: E402
+    DeltaProtocolTable,
+)
+from featureform_spark.sources.iceberg_protocol import (  # noqa: E402
+    IcebergProtocolTable,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@pytest.fixture(scope="module")
+def served(spark, sf_dir, tmp_path_factory):
+    """One server over a catalog root holding a delta table (with a
+    DV), an iceberg table (with a position delete), and a parquet dir."""
+    root = tmp_path_factory.mktemp("flight_catalog")
+    ns = root / "ns"
+    ns.mkdir()
+    orders = _orders(spark, sf_dir)
+
+    dt = DeltaProtocolTable(spark, str(ns / "orders_delta"))
+    dt.create(orders.limit(500).repartition(4))
+    dt.delete_where(F.col("o_orderkey") % 7 == 0)
+
+    it = IcebergProtocolTable(spark, str(ns / "orders_ice"))
+    it.create(orders.limit(400).repartition(3))
+    it.delete_rows(F.col("o_orderkey") % 5 == 0)
+
+    orders.limit(300).write.parquet(str(ns / "orders_pq"))
+
+    server = DatasetStreamerServer({"default": str(root)})
+    yield spark, server, dt, it, orders
+    server.shutdown()
+
+
+def _client_read(server, ticket: dict) -> pa.Table:
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        return client.do_get(
+            fl.Ticket(json.dumps(ticket).encode())
+        ).read_all()
+    finally:
+        client.close()
+
+
+def test_delta_with_dv_roundtrip(served):
+    spark, server, dt, _it, _orders = served
+    got = _client_read(
+        server, {"namespace": "ns", "table": "orders_delta"}
+    )
+    native = dt.snapshot()
+    assert sorted(tuple(r.values()) for r in got.to_pylist()) == sorted(
+        map(tuple, native.collect())
+    )
+    assert got.schema.names == native.columns
+
+
+def test_iceberg_with_position_deletes_roundtrip(served):
+    spark, server, _dt, it, _orders = served
+    got = _client_read(server, {"namespace": "ns", "table": "orders_ice"})
+    native = it.snapshot()
+    assert sorted(tuple(r.values()) for r in got.to_pylist()) == sorted(
+        map(tuple, native.collect())
+    )
+
+
+def test_parquet_dir_and_limit_cap(served):
+    _spark, server, _dt, _it, orders = served
+    got = _client_read(server, {"namespace": "ns", "table": "orders_pq"})
+    assert got.num_rows == 300
+    capped = _client_read(
+        server, {"namespace": "ns", "table": "orders_pq", "limit": 57}
+    )
+    assert capped.num_rows == 57
+
+
+def test_get_flight_info_schema(served):
+    _spark, server, dt, _it, _orders = served
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        info = client.get_flight_info(
+            fl.FlightDescriptor.for_command(
+                json.dumps(
+                    {"namespace": "ns", "table": "orders_delta"}
+                ).encode()
+            )
+        )
+        assert info.schema.names == dt.snapshot().columns
+        # the endpoint's ticket replays through do_get
+        got = client.do_get(info.endpoints[0].ticket).read_all()
+        assert got.num_rows == dt.snapshot().count()
+    finally:
+        client.close()
+
+
+def test_bad_tickets_surface_errors(served):
+    _spark, server, *_ = served
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        with pytest.raises((fl.FlightServerError, pa.ArrowInvalid), match="invalid JSON"):
+            client.do_get(fl.Ticket(b"not json")).read_all()
+    finally:
+        client.close()
+    with pytest.raises((fl.FlightServerError, pa.ArrowInvalid), match="missing required"):
+        _client_read(server, {"namespace": "ns"})
+    with pytest.raises((fl.FlightServerError, pa.ArrowInvalid), match="unknown catalog"):
+        _client_read(
+            server, {"catalog": "nope", "namespace": "ns", "table": "x"}
+        )
+    with pytest.raises((fl.FlightServerError, pa.ArrowInvalid), match="limit"):
+        _client_read(
+            server, {"namespace": "ns", "table": "orders_pq", "limit": -3}
+        )
+
+
+def test_direct_path_ticket_and_2m_default_cap(served, tmp_path):
+    """A {"path": ...} ticket and the default-cap contract: the capped
+    reader never materializes more than `limit` rows."""
+    _spark, server, _dt, _it, _orders = served
+    # scan_table_arrow cap unit check without a 2M-row table
+    reader = scan_table_arrow(
+        server._resolve({"namespace": "ns", "table": "orders_pq"}), 10
+    )
+    assert reader.read_all().num_rows == 10
+    got = _client_read(
+        server,
+        {"path": server._resolve({"namespace": "ns", "table": "orders_pq"})},
+    )
+    assert got.num_rows == 300
