@@ -1197,29 +1197,28 @@ PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "decontaminate",
     "sequence_packing",
-    "doc_chunks",
-    "kmeans_clusters",
-    # Round-5 rotation (verdict r4 #4): slots 40-50 carry the new
-    # deletion-vector query plus ten never-driver-checked queries; the
-    # r4-green rows they displace (semantic_dedup, retrieval_eval,
-    # frequent_ngrams, pq_ann_topk, session_window_agg,
-    # embedding_ann_multiprobe, collocations_pmi, corpus_report,
-    # feature_binning, target_encoding, hard_negatives) remain
-    # pytest-oracle-covered. Still never checked after this round:
-    # contamination_top_ngrams, corpus_mix_summary, packing_efficiency,
-    # sample_k_per_source, sketch_profile (rows-only by design).
+    # Round-6 rotation (verdict r5 #3): slots 39-50 carry the LAST
+    # eight never-driver-checked rotatable queries
+    # (contamination_top_ngrams, corpus_mix_summary, packing_efficiency,
+    # sample_k_per_source, upsample_epochs, deltaprotocol_source_read,
+    # icebergprotocol_source_read, iceberg_bucket_pruning) — after this
+    # round every oracle-paired suite query has had >=1 green driver
+    # row (sketch_profile exempt, rows-only by design). Displaced
+    # r5-green rows (dedup_sentences, embedding_batch_ann,
+    # feature_scaling, stratified_sample, token_diversity, skew_report,
+    # doc_chunks, kmeans_clusters) remain pytest-oracle-covered.
     "delta_dv_read",
     "delta_protocol_cdf",
     "iceberg_hidden_partitioning",
     "iceberg_incremental_scan",
-    "dedup_sentences",
-    "embedding_batch_ann",
-    "feature_scaling",
-    "stratified_sample",
-    "token_diversity",
-    "skew_report",
-    # round-5 flagship: UniForm delta→iceberg conversion incl. the
-    # DV→position-delete path (upsample_epochs stays pytest-covered)
+    "contamination_top_ngrams",
+    "corpus_mix_summary",
+    "packing_efficiency",
+    "sample_k_per_source",
+    "upsample_epochs",
+    "deltaprotocol_source_read",
+    "icebergprotocol_source_read",
+    "iceberg_bucket_pruning",
     "delta_uniform_iceberg",
 )
 
