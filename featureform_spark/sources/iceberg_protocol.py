@@ -916,6 +916,135 @@ class IcebergProtocolTable:
             .select(*[f.name for f in schema.fields])
         )
 
+    def _identity_patch(
+        self, md: dict, data_entries: list[dict]
+    ) -> tuple[list[tuple], list[str]] | None:
+        """(attach_rows, column_names) for identity-partition columns
+        whose values may live only in the manifest ``partition`` tuple,
+        not the data files — UniForm mirrors of Hive-partitioned Delta
+        tables and migrated Hive tables. Per spec, readers source
+        identity partition values from metadata when the column is
+        absent from a file. None when the spec has no identity fields
+        or no entry carries a value (the common all-columns-in-file
+        case pays nothing). Activated by table property — the v2 spec
+        requires native writers to put partition source columns IN the
+        data files, so only metadata-mirror tables (UniForm,
+        ``delta.uniform.delta-version``) or tables explicitly marked
+        ``featureform.partition-values-from-metadata=true`` (e.g.
+        migrated Hive imports) pay the broadcast reattach join."""
+        import datetime
+
+        props = md.get("properties") or {}
+        if (
+            props.get("featureform.partition-values-from-metadata")
+            != "true"
+            and "delta.uniform.delta-version" not in props
+        ):
+            return None
+        spec = self.partition_spec(md)
+        by_id = {
+            f["id"]: (f["name"], f["type"])
+            for f in self.schema(md)["fields"]
+        }
+        names = [
+            (pf["name"], *by_id[pf["source-id"]])
+            for pf in spec
+            if pf.get("transform", "identity") == "identity"
+            and pf.get("source-id") in by_id
+        ]
+        if not names:
+            return None
+
+        def _as_cast_str(v, ice_type):
+            # storage domain -> a string Spark can cast to the column
+            # type (dates ride as epoch days, timestamps as micros)
+            if v is None:
+                return None
+            if ice_type == "date":
+                return (
+                    datetime.date(1970, 1, 1)
+                    + datetime.timedelta(days=int(v))
+                ).isoformat()
+            if isinstance(ice_type, str) and ice_type.startswith(
+                "timestamp"
+            ):
+                return (
+                    datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(microseconds=int(v))
+                ).strftime("%Y-%m-%d %H:%M:%S.%f")
+            return str(v)
+
+        rows: list[tuple] = []
+        any_val = False
+        for e in data_entries:
+            part = e["data_file"].get("partition") or {}
+            vals = [
+                _as_cast_str(part.get(pn), t) for pn, _c, t in names
+            ]
+            if any(v is not None for v in vals):
+                any_val = True
+            rows.append(
+                (
+                    self._resolve_path(e["data_file"]["file_path"]),
+                    *vals,
+                )
+            )
+        if not any_val:
+            return None
+        return rows, [c for _pn, c, _t in names]
+
+    def _apply_identity_patch(
+        self, df: DataFrame, patch: tuple[list[tuple], list[str]],
+        schema: T.StructType,
+    ) -> DataFrame:
+        """Coalesce identity-partition columns with manifest partition
+        values: one broadcast (file-count scale) join on the scan's
+        ``__fp`` file path. A non-null stored value always wins — by
+        identity partitioning it necessarily equals the tuple value."""
+        rows, cols = patch
+        attach_schema = "__pf string" + "".join(
+            f", __pv_{i} string" for i in range(len(cols))
+        )
+        adf = self.spark.createDataFrame(rows, attach_schema)
+        types = {f.name: f.dataType for f in schema.fields}
+        df = df.join(
+            F.broadcast(adf), df["__fp"] == adf["__pf"], "left"
+        ).drop("__pf")
+        for i, c in enumerate(cols):
+            df = df.withColumn(
+                c,
+                F.coalesce(F.col(c), F.col(f"__pv_{i}").cast(types[c])),
+            ).drop(f"__pv_{i}")
+        return df
+
+    def _read_files_patched(
+        self,
+        schema: T.StructType,
+        data_entries: list[dict],
+        patch: tuple[list[tuple], list[str]] | None,
+    ) -> DataFrame:
+        """Plain scan with identity-partition reattachment when needed."""
+        paths = sorted(
+            self._resolve_path(e["data_file"]["file_path"])
+            for e in data_entries
+        )
+        if patch is None:
+            return self._read_files(schema, paths)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        cols = [f.name for f in schema.fields]
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .select(
+                *cols,
+                self._strip_scheme(F.col("_metadata.file_path")).alias(
+                    "__fp"
+                ),
+            )
+        )
+        return self._apply_identity_patch(df, patch, schema).select(*cols)
+
     @staticmethod
     def _strip_scheme(col):
         # `_metadata.file_path` yields file:/abs/... while manifests
@@ -927,6 +1056,7 @@ class IcebergProtocolTable:
         schema: T.StructType,
         data_entries: list[dict],
         delete_entries: list[dict],
+        patch: tuple[list[tuple], list[str]] | None = None,
     ) -> DataFrame:
         """Merge-on-read: scan data files with Spark's `_metadata`
         row positions, then anti-join the delete sets. Scoping per spec
@@ -954,6 +1084,10 @@ class IcebergProtocolTable:
                 F.col("_metadata.row_index").alias("__pos"),
             )
         )
+        if patch is not None:
+            # reattach BEFORE equality-delete matching: a delete keyed
+            # on a partition column must see the manifest value
+            df = self._apply_identity_patch(df, patch, schema)
         seq_rows = [
             (
                 self._resolve_path(e["data_file"]["file_path"]),
@@ -1038,25 +1172,24 @@ class IcebergProtocolTable:
         self, snapshot_id: int | None = None, ordinal: int | None = None
     ) -> DataFrame:
         """The table at a snapshot (latest if None) as one native
-        parquet scan — identity-partition source columns live in the
-        data files per spec, so no partition-column reattachment.
-        Position AND equality deletes (v2 merge-on-read) are applied,
-        sequence-scoped per spec."""
+        parquet scan. Identity-partition source columns normally live
+        in the data files per spec; when a file omits one (UniForm
+        mirror of a Hive-partitioned Delta table), the value is
+        reattached from the manifest partition tuple via a broadcast
+        file-path join. Position AND equality deletes (v2
+        merge-on-read) are applied, sequence-scoped per spec."""
         md = self.metadata()
         snap = self._snapshot_by(snapshot_id, ordinal, md)
         schema = self.spark_schema(md)
         if snap is None:
             return self.spark.createDataFrame([], schema)
         data_entries, delete_entries = self._live_entries(snap)
+        patch = self._identity_patch(md, data_entries)
         if delete_entries:
             return self._read_with_deletes(
-                schema, data_entries, delete_entries
+                schema, data_entries, delete_entries, patch
             )
-        paths = [
-            self._resolve_path(e["data_file"]["file_path"])
-            for e in data_entries
-        ]
-        return self._read_files(schema, sorted(paths))
+        return self._read_files_patched(schema, data_entries, patch)
 
     def create_ref(
         self, name: str, kind: str = "tag", snapshot_id: int | None = None
@@ -1449,16 +1582,13 @@ class IcebergProtocolTable:
             "files_total": total_files,
             "files_read": len(keep_entries),
         }
+        patch = self._identity_patch(md, keep_entries)
         if delete_entries:
-            df = self._read_with_deletes(schema, keep_entries, delete_entries)
-        else:
-            df = self._read_files(
-                schema,
-                sorted(
-                    self._resolve_path(e["data_file"]["file_path"])
-                    for e in keep_entries
-                ),
+            df = self._read_with_deletes(
+                schema, keep_entries, delete_entries, patch
             )
+        else:
+            df = self._read_files_patched(schema, keep_entries, patch)
         return df.filter(F.col(col) == F.lit(value))
 
     # ------------------------------------------------------------ write

@@ -21,10 +21,13 @@ implementations:
   (recorded in the ``delta.uniform.delta-version`` table property);
   re-syncing an unchanged table is a no-op.
 
-Honest gates: column-mapped tables (physical names would need schema
-surgery on both sides) and Hive-partitioned tables (Spark's
-partitioned writes keep partition values only in directory names,
-while this Iceberg reader expects source columns in the files) raise.
+Hive-partitioned Delta tables sync with an IDENTITY partition spec:
+partition values (which live only in directory names on the Delta
+side) are converted to typed Iceberg partition tuples per data file,
+and the Iceberg reader reattaches them from metadata at scan time
+(``_identity_patch``, triggered by the UniForm table property).
+Honest gate: column-mapped tables raise (physical names would need
+schema surgery on both sides).
 
 Scale: driver-side metadata + footer reads (file-count scale) plus a
 cardinality-scale DV decode — the same costs the real UniForm
@@ -52,6 +55,47 @@ from featureform_spark.sources.avro_codec import write_container
 DELTA_VERSION_PROP = "delta.uniform.delta-version"
 
 
+def _typed_partition_value(raw: str | None, ice_type: str):
+    """Delta partitionValues string -> the Iceberg partition-tuple
+    storage domain (dates as epoch days, timestamps as micros)."""
+    if raw is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type in ("float", "double"):
+        return float(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    if ice_type == "date":
+        import datetime
+
+        return (
+            datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
+        ).days
+    if ice_type.startswith("timestamp"):
+        import datetime
+
+        dt = datetime.datetime.fromisoformat(raw)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+        return int((dt - epoch).total_seconds() * 1_000_000)
+    return raw
+
+
+def _identity_spec(ice_schema: dict, partition_columns: list[str]) -> list:
+    """Identity partition-spec fields for the Delta table's Hive
+    partition columns (spec field ids from 1000 per convention)."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    return [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_columns)
+    ]
+
+
 def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
     import pyarrow.parquet as pq
 
@@ -59,6 +103,13 @@ def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
     records = []
     for rel in sorted(st.adds):
         abs_p = os.path.join(ice.path, urllib.parse.unquote(rel))
+        part = {
+            c: _typed_partition_value(
+                (st.adds[rel].get("partitionValues") or {}).get(c),
+                name_to_field[c]["type"],
+            )
+            for c in st.partition_columns
+        }
         pf = pq.ParquetFile(abs_p)
         nrec, vcounts, ncounts, lower, upper = ice._footer_stats(
             pf, name_to_field
@@ -68,7 +119,7 @@ def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
                 "content": 0,
                 "file_path": abs_p,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": part,
                 "record_count": nrec,
                 "file_size_in_bytes": os.path.getsize(abs_p),
                 "value_counts": [
@@ -159,14 +210,14 @@ def sync_uniform(spark, path: str) -> int:
         raise UnsupportedTableFeatureError(
             "UniForm on a column-mapped table is not supported"
         )
-    if st.partition_columns:
-        raise UnsupportedTableFeatureError(
-            "UniForm on a Hive-partitioned table is not supported "
-            "(partition values live only in directory names)"
-        )
     ice = IcebergProtocolTable(spark, path)
     ice_schema = spark_schema_to_iceberg(st.schema)
     last_col_id = ice_schema.pop("_last_column_id")
+    # Hive-partitioned Delta: partition values live only in directory
+    # names, so the mirror carries an IDENTITY partition spec and
+    # per-file partition tuples; the Iceberg reader reattaches the
+    # values from metadata (triggered by DELTA_VERSION_PROP).
+    spec_fields = _identity_spec(ice_schema, st.partition_columns)
 
     if ice.exists():
         md = ice.metadata()
@@ -193,9 +244,11 @@ def sync_uniform(spark, path: str) -> int:
             }
             for r in records
         ]
+        spec_id = md.get("default-spec-id", 0)
+        cur_spec = ice.partition_spec(md) or spec_fields
         manifests = [
             ice._write_manifest(
-                entries, ice.schema(md), [], 0, snapshot_id, seq
+                entries, ice.schema(md), cur_spec, spec_id, snapshot_id, seq
             )
         ]
         dv_rec = _dv_delete_record(delta, st)
@@ -212,8 +265,8 @@ def sync_uniform(spark, path: str) -> int:
                         }
                     ],
                     ice.schema(md),
-                    [],
-                    0,
+                    cur_spec,
+                    spec_id,
                     snapshot_id,
                     seq,
                     content=1,
@@ -249,7 +302,9 @@ def sync_uniform(spark, path: str) -> int:
         for r in records
     ]
     manifests = [
-        ice._write_manifest(entries, ice_schema, [], 0, snapshot_id, 1)
+        ice._write_manifest(
+            entries, ice_schema, spec_fields, 0, snapshot_id, 1
+        )
     ]
     dv_rec = _dv_delete_record(delta, st)
     if dv_rec is not None:
@@ -265,7 +320,7 @@ def sync_uniform(spark, path: str) -> int:
                     }
                 ],
                 ice_schema,
-                [],
+                spec_fields,
                 0,
                 snapshot_id,
                 1,
@@ -298,8 +353,8 @@ def sync_uniform(spark, path: str) -> int:
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
