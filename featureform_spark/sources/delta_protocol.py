@@ -69,6 +69,7 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "columnMapping",
     "deletionVectors",
+    "v2Checkpoint",  # _read_checkpoint resolves manifests + sidecars
 }
 
 # Writer table features (protocol v7) this implementation actually
@@ -91,6 +92,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "inCommitTimestamp",  # _commit maintains the monotonic chain
     "generatedColumns",  # enforced by refusal-when-present
     "identityColumns",  # enforced by refusal-when-present
+    "v2Checkpoint",  # checkpoint() honors delta.checkpointPolicy=v2
 }
 
 
@@ -1284,6 +1286,24 @@ class DeltaProtocolTable:
             if mapped
             else {"minReaderVersion": 1, "minWriterVersion": 2}
         )
+        if (properties or {}).get("delta.checkpointPolicy") == "v2":
+            # v2 checkpoints are a (3, 7) table feature per PROTOCOL.md
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    _legacy_reader_features(
+                        int(protocol["minReaderVersion"])
+                    )
+                    | {"v2Checkpoint"}
+                ),
+                "writerFeatures": sorted(
+                    _legacy_writer_features(
+                        int(protocol["minWriterVersion"])
+                    )
+                    | {"v2Checkpoint"}
+                ),
+            }
         actions = [
             {"protocol": protocol},
             meta_action,
@@ -1913,37 +1933,82 @@ class DeltaProtocolTable:
         return v
 
     def checkpoint(self) -> int:
-        """Write a classic single-file parquet checkpoint at the
-        current version + the `_last_checkpoint` pointer, enabling
-        O(interval) state reads and log retention."""
+        """Write a checkpoint at the current version + the
+        `_last_checkpoint` pointer, enabling O(interval) state reads
+        and log retention. Classic single-file parquet by default;
+        table property ``delta.checkpointPolicy=v2`` writes the V2
+        Spec Checkpoint form (PROTOCOL.md §V2 Spec Checkpoints): a
+        UUID-named manifest holding checkpointMetadata + protocol /
+        metaData / txn actions and ``sidecar`` pointers, with the add
+        actions — including any deletion-vector descriptors — in
+        ``_delta_log/_sidecars/<uuid>.parquet`` files. Both forms
+        round-trip through the same reader (_read_checkpoint)."""
         st = self.state()
-        rows: list[dict] = [
+        meta_rows: list[dict] = [
             {"protocol": st.protocol or
                 {"minReaderVersion": 1, "minWriterVersion": 2}},
             {"metaData": st.metadata},
         ]
-        rows += [{"add": st.adds[p]} for p in sorted(st.adds)]
-        rows += [
+        add_rows = [{"add": st.adds[p]} for p in sorted(st.adds)]
+        txn_rows = [
             {"txn": {"appId": k, "version": v, "lastUpdated": None}}
             for k, v in sorted(st.txns.items())
         ]
-        # metadata-scale write: pyarrow directly on the driver — a
+        policy = (st.metadata.get("configuration") or {}).get(
+            "delta.checkpointPolicy", "classic"
+        )
+        # metadata-scale writes: pyarrow directly on the driver — a
         # Spark job for a <file-count>-row local relation with nested
         # types costs ~5s of fixed Python-serialization overhead and
         # buys nothing (real Delta checkpoints are single files anyway)
-        self._write_checkpoint_parquet(
-            [
-                {
-                    k: r.get(k)
-                    for k in ("protocol", "metaData", "add", "remove", "txn")
-                }
-                for r in rows
-            ],
-            os.path.join(self.log_path, _checkpoint_name(st.version)),
-        )
+        if policy == "v2":
+            side_dir = os.path.join(self.log_path, "_sidecars")
+            os.makedirs(side_dir, exist_ok=True)
+            side_name = f"{uuid.uuid4().hex}.parquet"
+            side_path = os.path.join(side_dir, side_name)
+            self._write_checkpoint_parquet(add_rows, side_path)
+            manifest_rows = (
+                [
+                    {
+                        "checkpointMetadata": {
+                            "version": st.version,
+                            "tags": None,
+                        }
+                    }
+                ]
+                + meta_rows
+                + txn_rows
+                + [
+                    {
+                        "sidecar": {
+                            "path": side_name,
+                            "sizeInBytes": os.path.getsize(side_path),
+                            "modificationTime": int(
+                                os.path.getmtime(side_path) * 1000
+                            ),
+                        }
+                    }
+                ]
+            )
+            self._write_checkpoint_parquet(
+                manifest_rows,
+                os.path.join(
+                    self.log_path,
+                    "%020d.checkpoint.%s.parquet"
+                    % (st.version, uuid.uuid4().hex),
+                ),
+            )
+            n_rows = len(manifest_rows) + len(add_rows)
+        else:
+            rows = meta_rows + add_rows + txn_rows
+            self._write_checkpoint_parquet(
+                rows,
+                os.path.join(self.log_path, _checkpoint_name(st.version)),
+            )
+            n_rows = len(rows)
         tmp = os.path.join(self.log_path, f".{LAST_CHECKPOINT}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"version": st.version, "size": len(rows)}, f)
+            json.dump({"version": st.version, "size": n_rows}, f)
         os.replace(tmp, os.path.join(self.log_path, LAST_CHECKPOINT))
         return st.version
 

@@ -199,10 +199,11 @@ def test_feature_gates(spark, sf_dir, tmp_path):
         t.snapshot()
     os.remove(log / ("%020d.json" % 1))
 
-    # unknown reader feature gate (protocol v3)
+    # unknown reader feature gate (protocol v3) — v2Checkpoint became
+    # supported in round 6, so probe with a feature we genuinely lack
     (log / ("%020d.json" % 1)).write_text(
         json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                                 "readerFeatures": ["v2Checkpoint"]}}) + "\n"
+                                 "readerFeatures": ["typeWidening"]}}) + "\n"
     )
     with pytest.raises(UnsupportedTableFeatureError):
         t.snapshot()
@@ -738,3 +739,53 @@ def test_table_changes_cdf(spark, sf_dir, tmp_path):
     t2.vacuum(retain_versions=0)
     with pytest.raises(DeltaProtocolError, match="vacuumed"):
         t2.table_changes(0).count()
+
+
+def test_v2_checkpoint_write_roundtrip(spark, sf_dir, tmp_path):
+    """Round-6 (verdict r5 #5): checkpoint() writes the V2 Spec
+    Checkpoint form when delta.checkpointPolicy=v2 — UUID manifest with
+    checkpointMetadata + sidecar pointers, adds (incl. DV descriptors)
+    in _delta_log/_sidecars/ — and the existing reader folds it back,
+    including after clean_log and sessionless."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "v2w")
+    t = DeltaProtocolTable(spark, path)
+    t.create(
+        orders.limit(80).repartition(3),
+        properties={"delta.checkpointPolicy": "v2"},
+    )
+    proto = t.state().protocol
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    t.append(orders.limit(120).subtract(orders.limit(80)))
+    t.delete_where(F.col("o_orderkey") % 6 == 0)  # DV descriptor
+    expect = sorted(tuple(r) for r in t.snapshot().collect())
+    v = t.checkpoint()
+    info = t._checkpoint_files()[v]
+    assert info["kind"] == "v2"
+    assert len(info["paths"]) == 1 and ".checkpoint." in info["paths"][0]
+    side_dir = os.path.join(t.log_path, "_sidecars")
+    assert os.path.isdir(side_dir) and os.listdir(side_dir)
+    # the manifest itself carries NO add actions — they live in sidecars
+    import pyarrow.parquet as pq
+
+    man = pq.read_table(info["paths"][0]).to_pylist()
+    assert all(r.get("add") is None for r in man)
+    assert any(r.get("sidecar") is not None for r in man)
+    assert any(r.get("checkpointMetadata") is not None for r in man)
+    t.clean_log()
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == expect
+    # DV descriptor survived the v2 fold
+    assert any(
+        a.get("deletionVector") for a in t.state().adds.values()
+    )
+    # sessionless fold (Python Data Source schema path)
+    t2 = DeltaProtocolTable(None, path)
+    st2 = t2.state()
+    assert len(st2.adds) == len(t.state().adds)
+    # further commits + a second v2 checkpoint keep working
+    t.append(orders.limit(130).subtract(orders.limit(120)))
+    v2 = t.checkpoint()
+    assert t._checkpoint_files()[v2]["kind"] == "v2"
+    t.clean_log()
+    assert t.snapshot().count() == len(expect) + 10
