@@ -698,6 +698,10 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
             _f("split_offsets", _opt({"type": "array", "items": "long"}), 132, default=None),
             _f("equality_ids", _opt({"type": "array", "items": "int"}), 135, default=None),
             _f("sort_order_id", _opt("int"), 140, default=None),
+            # v3 deletion-vector references (optional; null in v2)
+            _f("referenced_data_file", _opt("string"), 143, default=None),
+            _f("content_offset", _opt("long"), 144, default=None),
+            _f("content_size_in_bytes", _opt("long"), 145, default=None),
         ],
     }
     return {
@@ -776,10 +780,19 @@ class IcebergProtocolTable:
         with open(self._current_metadata_file()) as f:
             md = json.load(f)
         fv = md.get("format-version", 1)
-        if fv > 2:
+        if fv > 3:
             raise UnsupportedIcebergFeatureError(
-                f"format-version {fv} is beyond v2"
+                f"format-version {fv} is beyond v3"
             )
+        if fv == 3:
+            # v3 is accepted for the constructs this reader implements
+            # (deletion vectors referenced from delete manifests, the
+            # v2 metadata layout). Row lineage would silently change
+            # row-id semantics — gate it explicitly.
+            if md.get("row-lineage") or md.get("next-row-id"):
+                raise UnsupportedIcebergFeatureError(
+                    "format-version 3 row lineage is not supported"
+                )
         return md
 
     def schema(self, md: dict | None = None) -> dict:
@@ -1098,15 +1111,28 @@ class IcebergProtocolTable:
         seq_df = self.spark.createDataFrame(
             seq_rows, "path string, data_seq long"
         )
+        def _is_dv(df_: dict) -> bool:
+            # v3 deletion vector: a puffin blob referenced from the
+            # delete manifest instead of a (file_path, pos) parquet
+            return bool(df_.get("referenced_data_file")) or (
+                str(df_.get("file_format", "")).upper() == "PUFFIN"
+            )
+
         pos_entries = [
             e for e in delete_entries
             if int(e["data_file"].get("content", 0)) == 1
+            and not _is_dv(e["data_file"])
+        ]
+        dv_entries = [
+            e for e in delete_entries
+            if int(e["data_file"].get("content", 0)) == 1
+            and _is_dv(e["data_file"])
         ]
         eq_entries = [
             e for e in delete_entries
             if int(e["data_file"].get("content", 0)) == 2
         ]
-        if pos_entries:
+        if pos_entries or dv_entries:
             dels = None
             for e in pos_entries:
                 dpath = self._resolve_path(e["data_file"]["file_path"])
@@ -1122,6 +1148,57 @@ class IcebergProtocolTable:
                     )
                 )
                 dels = d if dels is None else dels.unionByName(d)
+            if dv_entries:
+                # v3 DVs: the SAME framed roaring-portable blobs this
+                # repo codecs for Delta (dv_bitmap) — Iceberg v3 adopted
+                # Delta's layout for cross-format interop. Decode is
+                # driver-side and cardinality-scale; application joins
+                # the same broadcast anti-join as parquet deletes.
+                import pandas as pd
+
+                from featureform_spark.sources.dv_bitmap import (
+                    decode_rbm_array,
+                    read_dv_from_file,
+                )
+
+                frames = []
+                for e in dv_entries:
+                    df_ = e["data_file"]
+                    if not df_.get("referenced_data_file"):
+                        raise UnsupportedIcebergFeatureError(
+                            "puffin delete file without "
+                            "referenced_data_file"
+                        )
+                    blob = read_dv_from_file(
+                        self._resolve_path(df_["file_path"]),
+                        int(df_["content_offset"]),
+                        int(df_["content_size_in_bytes"]),
+                    )
+                    pos = decode_rbm_array(blob)
+                    card = df_.get("record_count")
+                    if card is not None and int(card) != len(pos):
+                        raise IcebergProtocolError(
+                            f"deletion vector cardinality {card} != "
+                            f"decoded {len(pos)} positions"
+                        )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "path": self._resolve_path(
+                                    df_["referenced_data_file"]
+                                ),
+                                "pos": pos.astype("int64"),
+                                "del_seq": int(
+                                    e.get("sequence_number") or 0
+                                ),
+                            }
+                        )
+                    )
+                dvdf = self.spark.createDataFrame(
+                    pd.concat(frames, ignore_index=True),
+                    "path string, pos long, del_seq long",
+                )
+                dels = dvdf if dels is None else dels.unionByName(dvdf)
             applicable = (
                 dels.join(F.broadcast(seq_df), "path")
                 .filter(F.col("del_seq") >= F.col("data_seq"))

@@ -765,3 +765,105 @@ def test_equality_delete_null_keys_match(spark, sf_dir, tmp_path):
     t.delete_by_keys(keys, ["k"])
     got = sorted(r["id"] for r in t.snapshot().collect())
     assert got == [1, 3]
+
+
+def test_v3_deletion_vector_read(spark, sf_dir, tmp_path):
+    """Round-6 stretch (verdict r5 #8): Iceberg v3 deletion vectors —
+    framed roaring-portable puffin blobs referenced from a delete
+    manifest via referenced_data_file/content_offset — decode with the
+    SAME codec as Delta DVs (dv_bitmap) and apply through the broadcast
+    anti-join. The format-version gate narrows to the genuinely
+    unsupported rest of v3 (row lineage)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from featureform_spark.sources.dv_bitmap import (
+        append_dv_to_file,
+        encode_rbm_array,
+    )
+
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "v3")
+    t = IcebergProtocolTable(spark, path)
+    t.create(orders.limit(100).repartition(2))
+    md = t.metadata()
+    snap = t._snapshot_by(None, md=md)
+    data_entries, _ = t._live_entries(snap)
+    files = sorted(
+        t._resolve_path(e["data_file"]["file_path"]) for e in data_entries
+    )
+    assert len(files) == 2
+    target = files[0]
+    n = pq.read_metadata(target).num_rows
+    pos = np.arange(0, n, 2, dtype=np.uint64)  # delete even positions
+
+    # a (minimal) puffin file: header magic + the framed DV blob
+    puffin = os.path.join(path, "metadata", "dv.puffin")
+    with open(puffin, "wb") as fh:
+        fh.write(b"PFA1\x00\x00\x00\x00")
+        offset, size = append_dv_to_file(fh, encode_rbm_array(pos))
+
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snapshot_id = 424242
+    dv_file = {
+        "content": 1,
+        "file_path": puffin,
+        "file_format": "PUFFIN",
+        "partition": {},
+        "record_count": len(pos),
+        "file_size_in_bytes": os.path.getsize(puffin),
+        "value_counts": [],
+        "null_value_counts": [],
+        "lower_bounds": [],
+        "upper_bounds": [],
+        "referenced_data_file": target,
+        "content_offset": offset,
+        "content_size_in_bytes": size,
+    }
+    del_manifest = t._write_manifest(
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": dv_file,
+            }
+        ],
+        t.schema(md),
+        [],
+        0,
+        snapshot_id,
+        seq,
+        content=1,
+    )
+    manifests = t._manifest_files(snap) + [del_manifest]
+    t._advance(md, manifests, "delete", 0, 0, snapshot_id=snapshot_id)
+
+    # a modern writer would stamp format-version 3 — do the same
+    md3 = t.metadata()
+    md3["format-version"] = 3
+    v = max(ver for ver, _ in t._metadata_files()) + 1
+    t._commit_metadata(md3, v)
+
+    got = t.snapshot()
+    base = spark.read.parquet(*files).select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            "__fp"
+        ),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    keep = base.filter(
+        (F.col("__fp") != target) | (F.col("__pos") % 2 == 1)
+    ).drop("__fp", "__pos")
+    assert _sorted_rows(got) == _sorted_rows(keep.select(*got.columns))
+    assert got.count() == 100 - len(pos)
+
+    # the v3 gate still refuses row lineage
+    md_rl = t.metadata()
+    md_rl["format-version"] = 3
+    md_rl["row-lineage"] = True
+    t._commit_metadata(md_rl, v + 1)
+    with pytest.raises(UnsupportedIcebergFeatureError, match="lineage"):
+        t.metadata()
