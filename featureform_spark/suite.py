@@ -1194,7 +1194,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_clean",
     "embedding_ann_topk",
     "media_decode_real",
-    "tfidf_top_terms",
+    # round-6 flagship: Arrow Flight gRPC round-trip over a DV'd Delta
+    # table (tfidf_top_terms r5-green, stays pytest-oracle-covered)
+    "flight_stream_read",
     "decontaminate",
     "sequence_packing",
     # Round-6 rotation (verdict r5 #3): slots 39-50 carry the LAST

@@ -569,3 +569,58 @@ def delta_protocol_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert=False,
     )
     return t.table_changes(0)
+
+
+@query(
+    "flight_stream_read",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 <= 1 AND NOT o_orderkey % 7 = 0
+    """,
+)
+def flight_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 completed (round 6): a REAL Arrow Flight gRPC round-trip —
+    the reference's dataset streamer surface
+    (streamer/iceberg_streamer.py:17-106: JSON ticket naming the table,
+    do_get -> record-batch stream, 2M cap). A localhost
+    DatasetStreamerServer serves a deletion-vector'd Delta table with
+    NO Spark session on the serving path (sessionless pyarrow scan,
+    DV applied via per-file row-index masks); the Flight client's
+    batches land back in Spark as one Arrow-backed DataFrame. The
+    oracle certifies the full loop: protocol write + DV encode +
+    sessionless masked scan + gRPC transport."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.flight as fl
+
+    from featureform_spark.serving.flight_server import (
+        DatasetStreamerServer,
+    )
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _scratch(sf_dir, "flight_root")
+    _os.makedirs(_os.path.join(root, "ns"), exist_ok=True)
+    t = DeltaProtocolTable(spark, _os.path.join(root, "ns", "orders_d"))
+    t.create(orders.filter(F.col("o_orderkey") % 3 <= 1))
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    server = DatasetStreamerServer({"default": root})
+    try:
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        try:
+            table = client.do_get(
+                fl.Ticket(
+                    _json.dumps(
+                        {"namespace": "ns", "table": "orders_d"}
+                    ).encode()
+                )
+            ).read_all()
+        finally:
+            client.close()
+    finally:
+        server.shutdown()
+    return spark.createDataFrame(table.to_pandas())
