@@ -717,6 +717,14 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
     }
 
 
+def _is_dv_file(df_: dict) -> bool:
+    """v3 deletion vector: a puffin blob referenced from the delete
+    manifest instead of a (file_path, pos) parquet."""
+    return bool(df_.get("referenced_data_file")) or (
+        str(df_.get("file_format", "")).upper() == "PUFFIN"
+    )
+
+
 def _as_int_map(v: Any) -> dict[int, Any]:
     """Normalize an Iceberg int-keyed map decoded from Avro: either a
     list of {key, value} records (spec layout) or a str-keyed map."""
@@ -1111,22 +1119,15 @@ class IcebergProtocolTable:
         seq_df = self.spark.createDataFrame(
             seq_rows, "path string, data_seq long"
         )
-        def _is_dv(df_: dict) -> bool:
-            # v3 deletion vector: a puffin blob referenced from the
-            # delete manifest instead of a (file_path, pos) parquet
-            return bool(df_.get("referenced_data_file")) or (
-                str(df_.get("file_format", "")).upper() == "PUFFIN"
-            )
-
         pos_entries = [
             e for e in delete_entries
             if int(e["data_file"].get("content", 0)) == 1
-            and not _is_dv(e["data_file"])
+            and not _is_dv_file(e["data_file"])
         ]
         dv_entries = [
             e for e in delete_entries
             if int(e["data_file"].get("content", 0)) == 1
-            and _is_dv(e["data_file"])
+            and _is_dv_file(e["data_file"])
         ]
         eq_entries = [
             e for e in delete_entries
@@ -2245,22 +2246,67 @@ class IcebergProtocolTable:
             )
         )
         matched = scan.filter(condition).select("file_path", "pos")
-        old_pos = [
+        old_parquet = [
             e for e in old_deletes
             if int(e["data_file"].get("content", 0)) == 1
+            and not _is_dv_file(e["data_file"])
         ]
-        if old_pos:
-            # don't re-delete already-deleted positions
-            prev = None
-            for e in old_pos:
-                d = self.spark.read.parquet(
-                    self._resolve_path(e["data_file"]["file_path"])
-                ).select(
-                    self._strip_scheme(F.col("file_path")).alias("file_path"),
-                    F.col("pos").cast("long").alias("pos"),
+        old_dvs = [
+            e for e in old_deletes
+            if int(e["data_file"].get("content", 0)) == 1
+            and _is_dv_file(e["data_file"])
+        ]
+        prev = None
+        for e in old_parquet:
+            d = self.spark.read.parquet(
+                self._resolve_path(e["data_file"]["file_path"])
+            ).select(
+                self._strip_scheme(F.col("file_path")).alias("file_path"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+            prev = d if prev is None else prev.unionByName(d)
+        if old_dvs:
+            # decode existing v3 DVs driver-side (cardinality-scale)
+            import pandas as pd
+
+            from featureform_spark.sources.dv_bitmap import (
+                decode_rbm_array,
+                read_dv_from_file,
+            )
+
+            frames = [
+                pd.DataFrame(
+                    {
+                        "file_path": self._resolve_path(
+                            e["data_file"]["referenced_data_file"]
+                        ),
+                        "pos": decode_rbm_array(
+                            read_dv_from_file(
+                                self._resolve_path(
+                                    e["data_file"]["file_path"]
+                                ),
+                                int(e["data_file"]["content_offset"]),
+                                int(
+                                    e["data_file"][
+                                        "content_size_in_bytes"
+                                    ]
+                                ),
+                            )
+                        ).astype("int64"),
+                    }
                 )
-                prev = d if prev is None else prev.unionByName(d)
+                for e in old_dvs
+            ]
+            dvdf = self.spark.createDataFrame(
+                pd.concat(frames, ignore_index=True),
+                "file_path string, pos long",
+            )
+            prev = dvdf if prev is None else prev.unionByName(dvdf)
+        if prev is not None:
+            # don't re-delete already-deleted positions
             matched = matched.join(prev, ["file_path", "pos"], "left_anti")
+        if int(md.get("format-version", 2)) >= 3:
+            return self._delete_rows_v3(md, snap, matched, prev)
         matched = matched.orderBy("file_path", "pos")
 
         import pyarrow.parquet as pq
@@ -2318,6 +2364,168 @@ class IcebergProtocolTable:
             md, prev_manifests + [manifest], "delete", len(entries), -n_del,
             snapshot_id=snapshot_id,
         )
+
+    def _delete_rows_v3(
+        self, md: dict, snap: dict, matched: DataFrame,
+        prev: DataFrame | None,
+    ) -> int:
+        """format-version 3 DELETE: per-file deletion vectors in ONE
+        puffin file instead of position-delete parquet (v3 forbids
+        writing new position deletes). Maintains the spec's one-DV-per-
+        file invariant: prior DV state for every touched file is folded
+        into the new vector and the superseded DV entries are dropped
+        from the carried delete manifests (rewritten in place at their
+        original sequence numbers); prior PARQUET position deletes are
+        folded in too, and their manifests stay carried — their rows
+        are a subset of the new DV, so union-applying readers remain
+        exact.
+
+        Scale: matched positions are roaring-encoded EXECUTOR-side
+        (groupBy(file) + applyInPandas, the same shape as
+        delta_protocol.delete_where); only (file, blob, cardinality)
+        rows reach the driver."""
+        from featureform_spark.sources.dv_bitmap import append_dv_to_file
+
+        ice_schema = self.schema(md)
+        spec_fields = self.partition_spec(md)
+        spec_id = md.get("default-spec-id", 0)
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+
+        touched = matched.select("file_path").distinct()
+        fresh = matched.count()
+        if fresh == 0:
+            return -1
+        all_del = matched
+        if prev is not None:
+            all_del = all_del.unionByName(
+                prev.join(F.broadcast(touched), "file_path", "left_semi")
+            )
+
+        def _encode_group(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            from featureform_spark.sources.dv_bitmap import (
+                encode_rbm_array as _enc,
+            )
+
+            pos = _np.unique(pdf["pos"].to_numpy().astype(_np.uint64))
+            return _pd.DataFrame(
+                {
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "blob": [_enc(pos)],
+                    "card": [len(pos)],
+                }
+            )
+
+        encoded = sorted(
+            all_del.groupBy("file_path")
+            .applyInPandas(
+                _encode_group, "file_path string, blob binary, card long"
+            )
+            .collect(),
+            key=lambda r: r["file_path"],
+        )
+        os.makedirs(os.path.join(self.path, DATA_DIR), exist_ok=True)
+        puffin = os.path.join(
+            self.path, DATA_DIR, f"{uuid.uuid4().hex}-deletes.puffin"
+        )
+        entries = []
+        with open(puffin, "wb") as fh:
+            fh.write(b"PFA1\x00\x00\x00\x00")
+            for r in encoded:
+                offset, size = append_dv_to_file(fh, bytes(r["blob"]))
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": puffin,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": int(r["card"]),
+                            "file_size_in_bytes": 0,  # patched below
+                            "referenced_data_file": r["file_path"],
+                            "content_offset": offset,
+                            "content_size_in_bytes": size,
+                        },
+                    }
+                )
+        fsize = os.path.getsize(puffin)
+        for e in entries:
+            e["data_file"]["file_size_in_bytes"] = fsize
+        touched_set = {r["file_path"] for r in encoded}
+        _, prev_manifests = read_container(
+            self._resolve_path(snap["manifest-list"])
+        )
+        carried = []
+        for m in prev_manifests:
+            if int(m.get("content", 0)) != 1:
+                carried.append(m)
+                continue
+            man_path = self._resolve_path(m["manifest_path"])
+            _, recs = read_container(man_path)
+            keep = [
+                e
+                for e in recs
+                if not (
+                    _is_dv_file(e["data_file"])
+                    and self._resolve_path(
+                        e["data_file"]["referenced_data_file"]
+                    )
+                    in touched_set
+                )
+            ]
+            if len(keep) == len(recs):
+                carried.append(m)
+            elif keep:
+                carried.append(
+                    self._write_manifest(
+                        keep,
+                        ice_schema,
+                        spec_fields,
+                        spec_id,
+                        m["added_snapshot_id"],
+                        m["sequence_number"],
+                        content=1,
+                    )
+                )
+            # else: every entry superseded — drop the manifest
+        delete_manifest = self._write_manifest(
+            entries, ice_schema, spec_fields, spec_id, snapshot_id, seq,
+            content=1,
+        )
+        return self._advance(
+            md,
+            carried + [delete_manifest],
+            "delete",
+            len(entries),
+            -fresh,
+            snapshot_id=snapshot_id,
+        )
+
+    def upgrade_format_version(self, version: int) -> None:
+        """ALTER TABLE upgrade: v2 -> v3. After the upgrade,
+        delete_rows writes puffin deletion vectors instead of
+        position-delete parquet (v3 forbids new position deletes);
+        existing v2 delete files keep applying on read."""
+        md = self.metadata()
+        cur = int(md.get("format-version", 1))
+        if version == cur:
+            return
+        if not (cur == 2 and version == 3):
+            raise IcebergProtocolError(
+                f"unsupported format-version upgrade {cur} -> {version}"
+            )
+        md2 = dict(md)
+        md2["format-version"] = 3
+        md2["last-updated-ms"] = int(time.time() * 1000)
+        v = max(ver for ver, _ in self._metadata_files()) + 1
+        self._commit_metadata(md2, v)
 
     def delete_by_keys(self, keys_df: DataFrame, key_cols: list[str]) -> int:
         """Row-level DELETE via v2 EQUALITY deletes: every current row

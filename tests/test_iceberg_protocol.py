@@ -867,3 +867,81 @@ def test_v3_deletion_vector_read(spark, sf_dir, tmp_path):
     t._commit_metadata(md_rl, v + 1)
     with pytest.raises(UnsupportedIcebergFeatureError, match="lineage"):
         t.metadata()
+
+
+def test_v3_deletion_vector_write(spark, sf_dir, tmp_path):
+    """v3 DV WRITES: after upgrade_format_version(3), delete_rows emits
+    puffin deletion vectors (executor-side roaring encode, no new
+    position-delete parquet), folds prior DV state per file, and keeps
+    the one-DV-per-file invariant by rewriting superseded delete
+    manifest entries."""
+    import pyspark.sql as pssql
+
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "v3w")
+    t = IcebergProtocolTable(spark, path)
+    t.create(orders.limit(120).repartition(3))
+    t.upgrade_format_version(3)
+    assert t.metadata()["format-version"] == 3
+
+    # no position-level toPandas on the write path
+    orig = pssql.DataFrame.toPandas
+    try:
+        pssql.DataFrame.toPandas = lambda self: (_ for _ in ()).throw(
+            AssertionError("v3 delete must not collect positions")
+        )
+        sid = t.delete_rows(F.col("o_orderkey") % 5 == 0)
+    finally:
+        pssql.DataFrame.toPandas = orig
+    assert sid > 0
+    expect1 = _sorted_rows(
+        orders.limit(120).filter(F.col("o_orderkey") % 5 != 0)
+    )
+    assert _sorted_rows(t.snapshot()) == expect1
+    # the delete landed as puffin DVs, not parquet position deletes
+    snap = t._snapshot_by(None, md=t.metadata())
+    _, deletes = t._live_entries(snap)
+    assert deletes and all(
+        str(e["data_file"]["file_format"]).upper() == "PUFFIN"
+        for e in deletes
+    )
+    n_dvs_1 = len(deletes)
+
+    # re-delete: per-file DVs merge, superseded entries are dropped —
+    # at most one live DV per referenced data file
+    t.delete_rows(F.col("o_orderkey") % 5 == 1)
+    snap = t._snapshot_by(None, md=t.metadata())
+    _, deletes = t._live_entries(snap)
+    refs = [
+        t._resolve_path(e["data_file"]["referenced_data_file"])
+        for e in deletes
+    ]
+    assert len(refs) == len(set(refs)), "multiple live DVs for one file"
+    expect2 = _sorted_rows(
+        orders.limit(120).filter(F.col("o_orderkey") % 5 >= 2)
+    )
+    assert _sorted_rows(t.snapshot()) == expect2
+    # deleting rows already deleted is a no-op
+    assert t.delete_rows(F.col("o_orderkey") % 5 == 0) == -1
+    # time travel across the DV snapshots still works
+    snaps = t.snapshots(t.metadata())
+    assert _sorted_rows(
+        t.snapshot(snapshot_id=snaps[-2]["snapshot-id"])
+    ) == expect1
+
+
+def test_v3_upgrade_folds_v2_position_deletes(spark, sf_dir, tmp_path):
+    """A v2 table with parquet position deletes upgraded to v3: new DVs
+    fold the old parquet rows for touched files (union-exact), old
+    manifests stay carried, reads remain exact."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "v3up")
+    t = IcebergProtocolTable(spark, path)
+    t.create(orders.limit(100).repartition(2))
+    t.delete_rows(F.col("o_orderkey") % 4 == 0)  # v2 parquet deletes
+    t.upgrade_format_version(3)
+    t.delete_rows(F.col("o_orderkey") % 4 == 1)  # v3 puffin DVs
+    expect = _sorted_rows(
+        orders.limit(100).filter(F.col("o_orderkey") % 4 >= 2)
+    )
+    assert _sorted_rows(t.snapshot()) == expect
