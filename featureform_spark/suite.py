@@ -1197,7 +1197,9 @@ PRIORITY: tuple[str, ...] = (
     # round-6 flagship: Arrow Flight gRPC round-trip over a DV'd Delta
     # table (tfidf_top_terms r5-green, stays pytest-oracle-covered)
     "flight_stream_read",
-    "decontaminate",
+    # round-6 flagship: iceberg v3 deletion vectors (decontaminate
+    # r5-green, stays pytest-oracle-covered)
+    "iceberg_v3_dv",
     "sequence_packing",
     # Round-6 rotation (verdict r5 #3): slots 39-50 carry the LAST
     # eight never-driver-checked rotatable queries

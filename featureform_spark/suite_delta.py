@@ -624,3 +624,37 @@ def flight_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.shutdown()
     return spark.createDataFrame(table.to_pandas())
+
+
+@query(
+    "iceberg_v3_dv",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id % 4 <= 2
+      AND NOT (event_id % 4 <= 1 AND event_id % 6 = 0)
+      AND NOT (event_id % 4 <= 1 AND event_type = 'view')
+    """,
+)
+def iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-version 3 deletion vectors (round 6): after
+    upgrade_format_version(3), delete_rows writes puffin DV blobs
+    (executor-side roaring encode) instead of position-delete parquet;
+    a second delete merges per-file vectors keeping the one-DV-per-file
+    invariant, and a later append is sequence-scoped out of both. The
+    reader decodes the same framed roaring-portable codec as Delta DVs
+    (sources/dv_bitmap.py) and applies one broadcast anti-join."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_v3dv"))
+    t.create(events.filter(F.col("event_id") % 4 <= 1))
+    t.upgrade_format_version(3)
+    t.delete_rows(F.col("event_id") % 6 == 0)              # DV write
+    t.delete_rows(F.col("event_type") == "view")           # DV merge
+    t.append(events.filter(F.col("event_id") % 4 == 2))    # seq-scoped
+    return t.snapshot().select("event_id", "user_id", "event_type", "value")
