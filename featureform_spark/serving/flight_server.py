@@ -200,6 +200,14 @@ def _iceberg_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
     def _schema() -> pa.Schema:
         if data_files:
             fs = pq.read_schema(data_files[0][0])
+            missing = [n for n in order if n not in fs.names]
+            if missing:
+                raise UnsupportedIcebergFeatureError(
+                    f"flight streamer: columns {missing} are not stored "
+                    "under their logical names (name-mapped / "
+                    "metadata-partitioned table) — served by the native "
+                    "Spark reader"
+                )
             return pa.schema([fs.field(n) for n in order])
         return pa.schema([])
 

@@ -1038,33 +1038,105 @@ class IcebergProtocolTable:
             ).drop(f"__pv_{i}")
         return df
 
+    def _nm_resolution(
+        self, md: dict, data_entries: list[dict]
+    ) -> list[tuple[str, str]] | None:
+        """(physical, logical) column renames from
+        ``schema.name-mapping.default`` when the data files store
+        columns under alternate names (spec §Column Projection: files
+        without Iceberg field ids resolve through the name mapping) —
+        e.g. a UniForm mirror of a column-mapped Delta table. None in
+        the native case: the one sample-footer read happens only when a
+        mapping with alternate names exists."""
+        import pyarrow.parquet as pq
+
+        props = md.get("properties") or {}
+        nm = props.get("schema.name-mapping.default")
+        if not nm or not data_entries:
+            return None
+        try:
+            mapping = json.loads(nm)
+        except ValueError:
+            return None
+        if not any(len(e.get("names") or []) > 1 for e in mapping):
+            return None  # identity mapping only — nothing to resolve
+        sample = self._resolve_path(
+            data_entries[0]["data_file"]["file_path"]
+        )
+        file_cols = set(pq.read_schema(sample).names)
+        by_id = {f["id"]: f["name"] for f in self.schema(md)["fields"]}
+        out: list[tuple[str, str]] = []
+        changed = False
+        for e in mapping:
+            logical = by_id.get(e.get("field-id"))
+            if logical is None:
+                continue
+            if logical in file_cols:
+                out.append((logical, logical))
+                continue
+            phys = next(
+                (n for n in e.get("names") or [] if n in file_cols), None
+            )
+            if phys is not None:
+                out.append((phys, logical))
+                changed = True
+        return out if changed else None
+
+    @staticmethod
+    def _nm_read_plan(
+        schema: T.StructType, nm: list[tuple[str, str]] | None
+    ) -> tuple[T.StructType, list]:
+        """(physical read schema, aliased select list) for a scan that
+        must rename file columns back to logical names."""
+        if nm is None:
+            return schema, [f.name for f in schema.fields]
+        phys_by_logical = {lo: ph for ph, lo in nm}
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    phys_by_logical.get(f.name, f.name), f.dataType
+                )
+                for f in schema.fields
+            ]
+        )
+        sel = [
+            F.col(phys_by_logical.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        return read_schema, sel
+
     def _read_files_patched(
         self,
         schema: T.StructType,
         data_entries: list[dict],
         patch: tuple[list[tuple], list[str]] | None,
+        nm: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
-        """Plain scan with identity-partition reattachment when needed."""
+        """Plain scan with identity-partition reattachment and/or
+        name-mapping renames when needed."""
         paths = sorted(
             self._resolve_path(e["data_file"]["file_path"])
             for e in data_entries
         )
-        if patch is None:
+        if patch is None and nm is None:
             return self._read_files(schema, paths)
         if not paths:
             return self.spark.createDataFrame([], schema)
         cols = [f.name for f in schema.fields]
+        read_schema, sel = self._nm_read_plan(schema, nm)
         df = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(read_schema)
             .parquet(*paths)
             .select(
-                *cols,
+                *sel,
                 self._strip_scheme(F.col("_metadata.file_path")).alias(
                     "__fp"
                 ),
             )
         )
-        return self._apply_identity_patch(df, patch, schema).select(*cols)
+        if patch is not None:
+            df = self._apply_identity_patch(df, patch, schema)
+        return df.select(*cols)
 
     @staticmethod
     def _strip_scheme(col):
@@ -1078,6 +1150,7 @@ class IcebergProtocolTable:
         data_entries: list[dict],
         delete_entries: list[dict],
         patch: tuple[list[tuple], list[str]] | None = None,
+        nm: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
         """Merge-on-read: scan data files with Spark's `_metadata`
         row positions, then anti-join the delete sets. Scoping per spec
@@ -1096,11 +1169,12 @@ class IcebergProtocolTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         cols = [f.name for f in schema.fields]
+        read_schema, sel = self._nm_read_plan(schema, nm)
         df = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(read_schema)
             .parquet(*paths)
             .select(
-                *cols,
+                *sel,
                 self._strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
@@ -1263,11 +1337,12 @@ class IcebergProtocolTable:
             return self.spark.createDataFrame([], schema)
         data_entries, delete_entries = self._live_entries(snap)
         patch = self._identity_patch(md, data_entries)
+        nm = self._nm_resolution(md, data_entries)
         if delete_entries:
             return self._read_with_deletes(
-                schema, data_entries, delete_entries, patch
+                schema, data_entries, delete_entries, patch, nm
             )
-        return self._read_files_patched(schema, data_entries, patch)
+        return self._read_files_patched(schema, data_entries, patch, nm)
 
     def create_ref(
         self, name: str, kind: str = "tag", snapshot_id: int | None = None
@@ -1418,12 +1493,17 @@ class IcebergProtocolTable:
                 )
         schema = self.spark_schema(md)
         data_entries, _deletes = self._live_entries(to_snap)
-        paths = sorted(
-            self._resolve_path(e["data_file"]["file_path"])
+        in_entries = [
+            e
             for e in data_entries
             if int(e.get("snapshot_id") or -1) in in_range
+        ]
+        return self._read_files_patched(
+            schema,
+            in_entries,
+            self._identity_patch(md, in_entries),
+            self._nm_resolution(md, in_entries),
         )
-        return self._read_files(schema, paths)
 
     def scan_planned(
         self, col: str, lo: Any, hi: Any, snapshot_id: int | None = None
@@ -1521,16 +1601,14 @@ class IcebergProtocolTable:
             "files_total": total_files,
             "files_read": len(keep_entries),
         }
+        patch = self._identity_patch(md, keep_entries)
+        nm = self._nm_resolution(md, keep_entries)
         if delete_entries:
-            df = self._read_with_deletes(schema, keep_entries, delete_entries)
-        else:
-            df = self._read_files(
-                schema,
-                sorted(
-                    self._resolve_path(e["data_file"]["file_path"])
-                    for e in keep_entries
-                ),
+            df = self._read_with_deletes(
+                schema, keep_entries, delete_entries, patch, nm
             )
+        else:
+            df = self._read_files_patched(schema, keep_entries, patch, nm)
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def scan_planned_eq(
@@ -1661,12 +1739,13 @@ class IcebergProtocolTable:
             "files_read": len(keep_entries),
         }
         patch = self._identity_patch(md, keep_entries)
+        nm = self._nm_resolution(md, keep_entries)
         if delete_entries:
             df = self._read_with_deletes(
-                schema, keep_entries, delete_entries, patch
+                schema, keep_entries, delete_entries, patch, nm
             )
         else:
-            df = self._read_files_patched(schema, keep_entries, patch)
+            df = self._read_files_patched(schema, keep_entries, patch, nm)
         return df.filter(F.col(col) == F.lit(value))
 
     # ------------------------------------------------------------ write

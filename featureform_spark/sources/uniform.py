@@ -26,8 +26,12 @@ partition values (which live only in directory names on the Delta
 side) are converted to typed Iceberg partition tuples per data file,
 and the Iceberg reader reattaches them from metadata at scan time
 (``_identity_patch``, triggered by the UniForm table property).
-Honest gate: column-mapped tables raise (physical names would need
-schema surgery on both sides).
+COLUMN-MAPPED Delta tables sync via Iceberg name mapping (spec
+§Column Projection): the mirror's ``schema.name-mapping.default``
+lists the Delta physical column names as alternates, and the Iceberg
+reader resolves file columns back to the logical schema
+(``_nm_resolution``) — exactly how real UniForm handles column
+mapping.
 
 Scale: driver-side metadata + footer reads (file-count scale) plus a
 cardinality-scale DV decode — the same costs the real UniForm
@@ -96,17 +100,50 @@ def _identity_spec(ice_schema: dict, partition_columns: list[str]) -> list:
     ]
 
 
+def _uniform_name_mapping(ice_schema: dict, column_mapping) -> str:
+    """Iceberg name mapping (spec §Column Projection) with the Delta
+    PHYSICAL column names as alternates for column-mapped tables — the
+    data files store physical names, and any name-mapping-aware reader
+    (including iceberg_protocol._nm_resolution) resolves them back to
+    the logical schema."""
+    import json
+
+    phys_by_logical = {lo: ph for ph, lo in (column_mapping or [])}
+    return json.dumps(
+        [
+            {
+                "field-id": f["id"],
+                "names": [f["name"]]
+                + (
+                    [phys_by_logical[f["name"]]]
+                    if f["name"] in phys_by_logical
+                    else []
+                ),
+            }
+            for f in ice_schema["fields"]
+        ]
+    )
+
+
 def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
     import pyarrow.parquet as pq
 
-    name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+    phys_by_logical = {lo: ph for ph, lo in (st.column_mapping or [])}
+    # footer columns carry PHYSICAL names on column-mapped tables;
+    # Delta partitionValues keys are physical too
+    name_to_field = {
+        phys_by_logical.get(f["name"], f["name"]): f
+        for f in ice_schema["fields"]
+    }
     records = []
     for rel in sorted(st.adds):
         abs_p = os.path.join(ice.path, urllib.parse.unquote(rel))
         part = {
             c: _typed_partition_value(
-                (st.adds[rel].get("partitionValues") or {}).get(c),
-                name_to_field[c]["type"],
+                (st.adds[rel].get("partitionValues") or {}).get(
+                    phys_by_logical.get(c, c)
+                ),
+                name_to_field[phys_by_logical.get(c, c)]["type"],
             )
             for c in st.partition_columns
         }
@@ -206,10 +243,6 @@ def sync_uniform(spark, path: str) -> int:
     in sync)."""
     delta = DeltaProtocolTable(spark, path)
     st = delta.state()
-    if st.column_mapping:
-        raise UnsupportedTableFeatureError(
-            "UniForm on a column-mapped table is not supported"
-        )
     ice = IcebergProtocolTable(spark, path)
     ice_schema = spark_schema_to_iceberg(st.schema)
     last_col_id = ice_schema.pop("_last_column_id")
@@ -359,7 +392,9 @@ def sync_uniform(spark, path: str) -> int:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
             "write.format.default": "parquet",
-            "schema.name-mapping.default": ice._name_mapping(ice_schema),
+            "schema.name-mapping.default": _uniform_name_mapping(
+                ice_schema, st.column_mapping
+            ),
             DELTA_VERSION_PROP: str(st.version),
         },
         "current-snapshot-id": snapshot_id,

@@ -116,11 +116,54 @@ def test_uniform_partitioned_table_identity_spec(spark, sf_dir, tmp_path):
     assert ice._last_prune["files_read"] <= ice._last_prune["files_total"]
 
 
-def test_uniform_gates(spark, sf_dir, tmp_path):
+def test_uniform_column_mapped_name_mapping(spark, sf_dir, tmp_path):
+    """Round-6: column-mapped Delta tables mirror via Iceberg name
+    mapping — the data files store PHYSICAL column names; the mirror
+    lists them as name-mapping alternates and the reader resolves back
+    to the logical schema. With a DV on top."""
+    import json as _json
+
     orders = _orders(spark, sf_dir)
     p2 = str(tmp_path / "cm")
-    DeltaProtocolTable(spark, p2).create(
-        orders.limit(10), properties={"delta.columnMapping.mode": "name"}
+    d = DeltaProtocolTable(spark, p2)
+    d.create(
+        orders.limit(200), properties={"delta.columnMapping.mode": "name"}
     )
-    with pytest.raises(UnsupportedTableFeatureError, match="column-mapped"):
-        sync_uniform(spark, p2)
+    d.delete_where(F.col("o_orderkey") % 3 == 0)
+    sync_uniform(spark, p2)
+    ice = IcebergProtocolTable(spark, p2)
+    nm = _json.loads(
+        ice.metadata()["properties"]["schema.name-mapping.default"]
+    )
+    assert all(len(e["names"]) == 2 for e in nm)  # logical + physical
+    got = ice.snapshot()
+    assert got.columns == d.snapshot().columns  # logical names
+    assert _rows(got) == _rows(d.snapshot())
+    # resync after more DML stays exact
+    d.append(
+        orders.limit(260).subtract(orders.limit(200))
+    )
+    sync_uniform(spark, p2)
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
+
+
+def test_uniform_column_mapped_partitioned(spark, sf_dir, tmp_path):
+    """The combined case: column-mapped AND Hive-partitioned — physical
+    partition dirs + identity spec + name mapping all compose."""
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    p3 = str(tmp_path / "cmp")
+    d = DeltaProtocolTable(spark, p3)
+    d.create(
+        events.limit(300),
+        partition_by=["event_type"],
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    sync_uniform(spark, p3)
+    ice = IcebergProtocolTable(spark, p3)
+    got = ice.snapshot().select("event_id", "event_type", "value")
+    assert _rows(got) == _rows(
+        d.snapshot().select("event_id", "event_type", "value")
+    )
+    assert got.filter(F.col("event_type").isNull()).count() == 0
