@@ -101,6 +101,14 @@ class IcebergProtocolBatchReader(DataSourceReader):
                 "icebergprotocol source: tables with live deletes are "
                 "served by IcebergProtocolTable.snapshot() (merge-on-read)"
             )
+        if self.t._nm_resolution(md, data_entries) or self.t._identity_patch(
+            md, data_entries
+        ):
+            raise UnsupportedIcebergFeatureError(
+                "icebergprotocol source: name-mapped / metadata-"
+                "partitioned tables (UniForm mirrors) are served by "
+                "IcebergProtocolTable.snapshot()"
+            )
         return [
             _IceSlice(
                 self.t._resolve_path(e["data_file"]["file_path"]), order
