@@ -167,3 +167,25 @@ def test_uniform_column_mapped_partitioned(spark, sf_dir, tmp_path):
         d.snapshot().select("event_id", "event_type", "value")
     )
     assert got.filter(F.col("event_type").isNull()).count() == 0
+
+
+def test_identity_patch_join_is_broadcast(spark, sf_dir, tmp_path):
+    """Scale check: partition-value reattachment on UniForm mirrors is
+    a BROADCAST join on the file path (file-count-scale side input) —
+    never a shuffle of the fact scan."""
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "bplan")
+    d = DeltaProtocolTable(spark, path)
+    d.create(events.limit(200), partition_by=["event_type"])
+    sync_uniform(spark, path)
+    plan = (
+        IcebergProtocolTable(spark, path)
+        .snapshot()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
