@@ -23,11 +23,13 @@ without the jar, on Spark 4's Python Data Source API:
   into Spark's Arrow channel (no per-row Python), with Hive partition
   values attached as constant columns.
 
-Honest gates: column-mapped tables and deletion-vector adds raise —
-the native ``DeltaProtocolTable`` reader handles both through the JVM
-scan path (sources/delta_protocol.py), which remains the 100-TB path;
-this source exists to run the REAL Structured Streaming offset
-machinery over the log.
+Honest gates: column-mapped tables raise everywhere; deletion-vector
+adds raise on the STREAM path only (they arrive via change commits,
+which the append-only contract already refuses) — the batch reader
+applies DVs executor-side: the compact roaring blob ships with each
+input partition and masks rows by file-relative index during the
+Arrow read. The native ``DeltaProtocolTable`` reader (JVM scan +
+broadcast anti-join) remains the 100-TB path.
 
 Options: ``path`` (table root), ``startingVersion`` (int or
 ``earliest`` [default] / ``latest``), ``skipChangeCommits``.
@@ -78,12 +80,13 @@ def _gate(st) -> None:
 class _FileSlice(InputPartition):
     def __init__(
         self, abs_path: str, part_values: dict, part_types: dict,
-        field_order: list,
+        field_order: list, dv_blob: bytes | None = None,
     ):
         self.abs_path = abs_path
         self.part_values = part_values   # {col: raw string or None}
         self.part_types = part_types     # {col: spark simpleString}
         self.field_order = field_order   # full logical column order
+        self.dv_blob = dv_blob           # roaring DV blob (compact) or None
 
 
 def _pa_scalar_type(simple: str):
@@ -130,12 +133,32 @@ def _py_partition_value(raw: str | None, simple: str):
 
 def _read_slice(part: _FileSlice) -> Iterator:
     """Executor-side: the parquet file's record batches with partition
-    literals attached, reordered to the logical schema."""
+    literals attached, reordered to the logical schema. Deletion
+    vectors (shipped as the compact roaring blob, decoded HERE on the
+    executor) mask rows by file-relative index while streaming."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    deleted = None
+    if part.dv_blob is not None:
+        from featureform_spark.sources.dv_bitmap import decode_rbm_array
+
+        deleted = decode_rbm_array(part.dv_blob)
     pf = pq.ParquetFile(part.abs_path)
+    row_offset = 0
     for batch in pf.iter_batches():
+        if deleted is not None and len(deleted):
+            nrows = batch.num_rows
+            lo = np.searchsorted(deleted, row_offset)
+            hi = np.searchsorted(deleted, row_offset + nrows)
+            row_offset += nrows
+            if hi > lo:
+                keep = np.ones(nrows, dtype=bool)
+                keep[(deleted[lo:hi] - (row_offset - nrows)).astype(np.int64)] = False
+                batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                continue
         n = batch.num_rows
         cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
         arrays = []
@@ -169,7 +192,11 @@ class DeltaProtocolBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         st = self.t.state()
-        _gate(st)
+        if st.column_mapping:
+            raise UnsupportedTableFeatureError(
+                "deltaprotocol source: column-mapped tables are served "
+                "by DeltaProtocolTable.snapshot() (native scan)"
+            )
         parts = st.partition_columns
         types = {f.name: f.dataType.simpleString() for f in st.schema.fields}
         order = [f.name for f in st.schema.fields]
@@ -179,12 +206,15 @@ class DeltaProtocolBatchReader(DataSourceReader):
             pv = {
                 c: (a.get("partitionValues") or {}).get(c) for c in parts
             }
+            dv = a.get("deletionVector")
             out.append(
                 _FileSlice(
                     os.path.join(self.t.path, urllib.parse.unquote(rel)),
                     pv,
                     {c: types[c] for c in parts},
                     order,
+                    # ship the COMPACT blob; decode happens executor-side
+                    self.t._dv_blob(dv) if dv else None,
                 )
             )
         return out

@@ -150,3 +150,35 @@ def test_stream_starting_version(reg, spark, sf_dir, tmp_path):
         F.col("o_orderkey") % 4 == 1
     ).count() + orders.filter(F.col("o_orderkey") % 4 == 2).count()
     assert got.filter(F.col("o_orderkey") % 4 == 0).count() == 0
+
+
+def test_batch_read_applies_deletion_vectors(reg, spark, sf_dir, tmp_path):
+    """Round 6: the batch reader no longer gates DV'd tables — each
+    input partition ships the compact roaring blob and the executor
+    masks rows by file-relative index during the Arrow read. Streams
+    still refuse (DVs arrive via change commits)."""
+    from featureform_spark.sources.delta_protocol import (
+        UnsupportedTableFeatureError,
+    )
+
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "dv")
+    t = DeltaProtocolTable(spark, tdir)
+    t.create(orders.limit(300).repartition(3))
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    t.append(orders.limit(340).subtract(orders.limit(300)))
+    via_ds = spark.read.format("deltaprotocol").options(path=tdir).load()
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, t.snapshot().collect())
+    )
+    # partitioned + DV'd composes (partition literals AND masks)
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "value")
+    pdir = str(tmp_path / "pdv")
+    p = DeltaProtocolTable(spark, pdir)
+    p.create(events.limit(400), partition_by=["event_type"])
+    p.delete_where(F.col("event_id") % 3 == 0)
+    got = spark.read.format("deltaprotocol").options(path=pdir).load()
+    assert sorted(map(tuple, got.select(*p.snapshot().columns).collect())) \
+        == sorted(map(tuple, p.snapshot().collect()))
