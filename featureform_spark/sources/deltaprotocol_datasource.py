@@ -32,7 +32,12 @@ Arrow read. The native ``DeltaProtocolTable`` reader (JVM scan +
 broadcast anti-join) remains the 100-TB path.
 
 Options: ``path`` (table root), ``startingVersion`` (int or
-``earliest`` [default] / ``latest``), ``skipChangeCommits``.
+``earliest`` [default] / ``latest``), ``skipChangeCommits``,
+``readChangeFeed=true`` (round 6) — the CDF streaming source: each
+micro-batch carries the change rows of commits (start, end] with
+``_change_type`` / ``_commit_version`` / ``_commit_timestamp``
+columns, served executor-side from cdc files (verbatim), blind
+appends (inserts), and whole-file removes (deletes, prior DV masked).
 """
 
 from __future__ import annotations
@@ -223,11 +228,30 @@ class DeltaProtocolBatchReader(DataSourceReader):
         return _read_slice(partition)
 
 
+_CDF_COLS = ["_change_type", "_commit_version", "_commit_timestamp"]
+
+
+def _cdf_schema(schema):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+            T.StructField("_commit_timestamp", T.TimestampType()),
+        ]
+    )
+
+
 class DeltaProtocolStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.t = _table(options)
         self.skip_change = (
             options.get("skipchangecommits", "false").lower() == "true"
+        )
+        self.cdf = (
+            options.get("readchangefeed", "false").lower() == "true"
         )
         starting = options.get("startingversion", "earliest").lower()
         if starting == "earliest":
@@ -244,12 +268,163 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"version": self.t.version()}
 
+    def _commit_ts_iso(self, v: int) -> str:
+        """Commit timestamp (inCommitTimestamp > plain > file mtime) as
+        an ISO string for the literal-attachment machinery."""
+        import datetime
+
+        t = None
+        for a in self.t._read_commit(v):
+            if "commitInfo" in a:
+                ci = a["commitInfo"]
+                t = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                break
+        if t is None:
+            t = int(
+                os.path.getmtime(
+                    os.path.join(
+                        self.t.log_path, "%020d.json" % v
+                    )
+                )
+                * 1000
+            )
+        return datetime.datetime.utcfromtimestamp(t / 1000).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+
+    def _cdf_partitions(
+        self, st, lo: int, hi: int
+    ) -> Sequence[InputPartition]:
+        """readChangeFeed=true: per-commit change rows, served straight
+        from files executor-side — cdc actions verbatim (the file
+        carries _change_type), blind-append adds as inserts, whole-file
+        removes as deletes with the file's PRIOR deletion vector masked
+        out (already-deleted rows are not re-emitted). DV remove+re-add
+        commits without cdc actions gate: under the CDF property,
+        delete_where/MERGE write cdc actions, so that shape only arises
+        on tables that enabled CDF after such DML — table_changes()
+        covers those."""
+        conf = st.metadata.get("configuration") or {}
+        if conf.get("delta.enableChangeDataFeed") != "true":
+            raise DeltaProtocolError(
+                "readChangeFeed requires delta.enableChangeDataFeed=true"
+            )
+        parts = st.partition_columns
+        types = {
+            f.name: f.dataType.simpleString() for f in st.schema.fields
+        }
+        types.update(
+            {
+                "_change_type": "string",
+                "_commit_version": "long",
+                "_commit_timestamp": "timestamp",
+            }
+        )
+        order = [f.name for f in st.schema.fields] + _CDF_COLS
+        try:
+            cur_adds = dict(self.t.state(lo).adds) if lo >= 0 else {}
+        except DeltaProtocolError:
+            cur_adds = {}
+        out: list[_FileSlice] = []
+        for v in range(lo + 1, hi + 1):
+            actions = self.t._read_commit(v)
+            ts = self._commit_ts_iso(v)
+            lits = {"_commit_version": str(v), "_commit_timestamp": ts}
+            cdc_paths = [a["cdc"]["path"] for a in actions if "cdc" in a]
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if cdc_paths:
+                for p in cdc_paths:
+                    out.append(
+                        _FileSlice(
+                            os.path.join(
+                                self.t.path, urllib.parse.unquote(p)
+                            ),
+                            dict(lits),  # _change_type is IN the file
+                            dict(types),
+                            order,
+                        )
+                    )
+            else:
+                re_added = {a["path"] for a in adds}
+                for r in removes:
+                    if r["path"] in re_added:
+                        raise UnsupportedTableFeatureError(
+                            f"version {v} rewrites {r['path']} without "
+                            "cdc actions (CDF enabled mid-history?) — "
+                            "use DeltaProtocolTable.table_changes()"
+                        )
+                    prior = cur_adds.get(r["path"])
+                    if prior is None:
+                        raise DeltaProtocolError(
+                            f"version {v} removes unknown file "
+                            f"{r['path']!r}"
+                        )
+                    abs_p = os.path.join(
+                        self.t.path, urllib.parse.unquote(r["path"])
+                    )
+                    if not os.path.exists(abs_p):
+                        raise DeltaProtocolError(
+                            f"file {r['path']!r} of version {v} was "
+                            "vacuumed; change feed would lose rows"
+                        )
+                    dv = prior.get("deletionVector")
+                    pv = {
+                        c: (prior.get("partitionValues") or {}).get(c)
+                        for c in parts
+                    }
+                    out.append(
+                        _FileSlice(
+                            abs_p,
+                            {**pv, **lits, "_change_type": "delete"},
+                            dict(types),
+                            order,
+                            self.t._dv_blob(dv) if dv else None,
+                        )
+                    )
+                for a in adds:
+                    if a.get("deletionVector"):
+                        raise UnsupportedTableFeatureError(
+                            f"version {v} adds a deletion-vector file "
+                            "without cdc actions — use table_changes()"
+                        )
+                    pv = {
+                        c: (a.get("partitionValues") or {}).get(c)
+                        for c in parts
+                    }
+                    out.append(
+                        _FileSlice(
+                            os.path.join(
+                                self.t.path,
+                                urllib.parse.unquote(a["path"]),
+                            ),
+                            {**pv, **lits, "_change_type": "insert"},
+                            dict(types),
+                            order,
+                        )
+                    )
+            for a in actions:  # roll the adds fold forward
+                if "add" in a:
+                    cur_adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    cur_adds.pop(a["remove"]["path"], None)
+        return out
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         st = self.t.state()
-        _gate(st)
-        parts = st.partition_columns
-        types = {f.name: f.dataType.simpleString() for f in st.schema.fields}
-        order = [f.name for f in st.schema.fields]
+        if st.column_mapping:
+            raise UnsupportedTableFeatureError(
+                "deltaprotocol source: column-mapped tables are served "
+                "by DeltaProtocolTable.snapshot() (native scan)"
+            )
         lo, hi = int(start["version"]), int(end["version"])
         have = set(self.t._commit_versions())
         missing = [v for v in range(lo + 1, hi + 1) if v not in have]
@@ -258,6 +433,12 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
                 f"commits {missing} were cleaned; stream from version "
                 f"{lo} is no longer possible"
             )
+        if self.cdf:
+            return self._cdf_partitions(st, lo, hi)
+        _gate(st)
+        parts = st.partition_columns
+        types = {f.name: f.dataType.simpleString() for f in st.schema.fields}
+        order = [f.name for f in st.schema.fields]
         out = []
         for v in range(lo + 1, hi + 1):
             actions = self.t._read_commit(v)
@@ -310,7 +491,10 @@ class DeltaProtocolDataSource(DataSource):
         return "deltaprotocol"
 
     def schema(self):
-        return _table(self.options).state().schema
+        schema = _table(self.options).state().schema
+        if self.options.get("readchangefeed", "false").lower() == "true":
+            return _cdf_schema(schema)
+        return schema
 
     def reader(self, schema) -> DataSourceReader:
         return DeltaProtocolBatchReader(self.options)

@@ -182,3 +182,73 @@ def test_batch_read_applies_deletion_vectors(reg, spark, sf_dir, tmp_path):
     got = spark.read.format("deltaprotocol").options(path=pdir).load()
     assert sorted(map(tuple, got.select(*p.snapshot().columns).collect())) \
         == sorted(map(tuple, p.snapshot().collect()))
+
+
+def test_stream_read_change_feed(reg, spark, sf_dir, tmp_path):
+    """readChangeFeed=true (round 6): the registered source streams CDF
+    rows — inserts derived from blind appends, deletes/updates served
+    from cdc files — with _change_type/_commit_version/_commit_timestamp
+    columns, checkpointed exactly-once across restarts."""
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "value")
+    tdir = str(tmp_path / "cdf")
+    t = DeltaProtocolTable(spark, tdir)
+    t.create(
+        events.filter(F.col("event_id") % 4 == 0).limit(100),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )                                                            # v0
+    t.append(events.filter(F.col("event_id") % 4 == 1).limit(80))  # v1
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("deltaprotocol")
+            .options(path=tdir, readChangeFeed="true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got1 = drain()
+    assert set(got1.columns) == set(
+        ["event_id", "event_type", "value",
+         "_change_type", "_commit_version", "_commit_timestamp"]
+    )
+    assert got1.count() == 180
+    assert set(
+        r["_change_type"] for r in got1.select("_change_type").distinct().collect()
+    ) == {"insert"}
+    # DV delete writes cdc actions; the resumed stream serves them
+    t.delete_where(F.col("event_id") % 8 == 0)                   # v2
+    got2 = drain()
+    dels = got2.filter(F.col("_change_type") == "delete")
+    n_del = (
+        events.filter(F.col("event_id") % 4 == 0)
+        .limit(100)
+        .filter(F.col("event_id") % 8 == 0)
+        .count()
+    )
+    assert dels.count() == n_del
+    assert set(
+        r["_commit_version"]
+        for r in dels.select("_commit_version").distinct().collect()
+    ) == {2}
+    # parity with the batch CDF read over the same range
+    batch = t.table_changes(1, 2).select(
+        "event_id", "event_type", "value", "_change_type"
+    )
+    stream_v2 = got2.filter(F.col("_commit_version") == 2).select(
+        "event_id", "event_type", "value", "_change_type"
+    )
+    assert sorted(map(tuple, stream_v2.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # no duplicate rows across the two drains (exactly-once resume)
+    assert got2.count() == got2.distinct().count()
