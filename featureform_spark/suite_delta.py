@@ -658,3 +658,43 @@ def iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_rows(F.col("event_type") == "view")           # DV merge
     t.append(events.filter(F.col("event_id") % 4 == 2))    # seq-scoped
     return t.snapshot().select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "iceberg_changelog",
+    """
+    SELECT event_id, user_id, event_type, value,
+           'insert' AS _change_type, 0 AS _change_ordinal
+    FROM events WHERE event_id % 4 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'insert' AS _change_type, 1 AS _change_ordinal
+    FROM events WHERE event_id % 4 = 1
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'delete' AS _change_type, 2 AS _change_ordinal
+    FROM events WHERE event_id % 4 <= 1 AND event_id % 6 = 0
+    """,
+)
+def iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg changelog / CDC scan (round 6): inserts from appends,
+    exact newly-deleted rows from position-delete files, nothing from
+    compaction — the vendor SparkChangelogTable surface
+    (IcebergProtocolTable.changelog_scan). The trailing
+    rewrite_data_files proves compaction contributes no changes."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_cl"))
+    t.create(events.filter(F.col("event_id") % 4 == 0))
+    t.append(events.filter(F.col("event_id") % 4 == 1))
+    t.delete_rows(F.col("event_id") % 6 == 0)
+    t.rewrite_data_files()
+    return t.changelog_scan().select(
+        "event_id", "user_id", "event_type", "value",
+        "_change_type", "_change_ordinal",
+    )

@@ -945,3 +945,64 @@ def test_v3_upgrade_folds_v2_position_deletes(spark, sf_dir, tmp_path):
         orders.limit(100).filter(F.col("o_orderkey") % 4 >= 2)
     )
     assert _sorted_rows(t.snapshot()) == expect
+
+
+def test_changelog_scan(spark, sf_dir, tmp_path):
+    """Iceberg changelog / CDC read: inserts from appends, deletes from
+    position deletes / equality deletes / v3 DV diffs, nothing from
+    compaction, delete+insert from overwrite — tagged with
+    _change_type/_change_ordinal/_commit_snapshot_id."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "cl")
+    t = IcebergProtocolTable(spark, path)
+    base = orders.limit(120)
+    t.create(base.filter(F.col("o_orderkey") % 3 == 0))           # s0
+    t.append(base.filter(F.col("o_orderkey") % 3 == 1))           # s1
+    t.delete_rows(F.col("o_orderkey") % 6 == 0)                   # s2 pos
+    t.rewrite_data_files()                                        # s3 replace
+    snaps = t.snapshots(t.metadata())
+    ch = t.changelog_scan()
+    k = lambda df: sorted(
+        (r["o_orderkey"], r["_change_type"], r["_change_ordinal"])
+        for r in df.collect()
+    )
+    got = k(ch)
+    expect = sorted(
+        [(r["o_orderkey"], "insert", 0)
+         for r in base.filter(F.col("o_orderkey") % 3 == 0).collect()]
+        + [(r["o_orderkey"], "insert", 1)
+           for r in base.filter(F.col("o_orderkey") % 3 == 1).collect()]
+        + [(r["o_orderkey"], "delete", 2)
+           for r in base.filter(
+               (F.col("o_orderkey") % 3 <= 1)
+               & (F.col("o_orderkey") % 6 == 0)
+           ).collect()]
+    )
+    assert got == expect
+    # incremental window: only s2's deletes
+    win = t.changelog_scan(
+        from_snapshot_id=snaps[1]["snapshot-id"],
+        to_snapshot_id=snaps[2]["snapshot-id"],
+    )
+    assert all(r["_change_type"] == "delete" for r in win.collect())
+    assert win.count() == base.filter(
+        (F.col("o_orderkey") % 3 <= 1) & (F.col("o_orderkey") % 6 == 0)
+    ).count()
+
+    # equality deletes + v3 DVs also produce exact delete rows
+    p2 = str(tmp_path / "cl2")
+    t2 = IcebergProtocolTable(spark, p2)
+    t2.create(base.limit(80))
+    keys = spark.createDataFrame(
+        [(r["o_orderkey"],) for r in base.limit(20).collect()],
+        "o_orderkey long",
+    )
+    t2.delete_by_keys(keys, ["o_orderkey"])                      # eq
+    t2.upgrade_format_version(3)
+    t2.delete_rows(F.col("o_orderkey") % 7 == 0)                 # v3 DV
+    ch2 = t2.changelog_scan()
+    live = t2.snapshot()
+    ins = ch2.filter(F.col("_change_type") == "insert").count()
+    dels = ch2.filter(F.col("_change_type") == "delete").count()
+    assert ins == 80
+    assert ins - dels == live.count()
