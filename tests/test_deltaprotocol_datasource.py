@@ -252,3 +252,46 @@ def test_stream_read_change_feed(reg, spark, sf_dir, tmp_path):
     )
     # no duplicate rows across the two drains (exactly-once resume)
     assert got2.count() == got2.distinct().count()
+
+
+def test_stream_cdf_partitioned_table(reg, spark, sf_dir, tmp_path):
+    """CDF streaming over a Hive-partitioned table: insert slices
+    attach partition literals, cdc files carry the columns in-file —
+    both shapes land in one stream with correct values."""
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "value")
+    tdir = str(tmp_path / "pcdf")
+    t = DeltaProtocolTable(spark, tdir)
+    t.create(
+        events.limit(200),
+        partition_by=["event_type"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.delete_where(F.col("event_id") % 4 == 0)  # cdc actions
+    q = (
+        spark.readStream.format("deltaprotocol")
+        .options(path=tdir, readChangeFeed="true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("pcdf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM pcdf")
+    assert got.filter(F.col("event_type").isNull()).count() == 0
+    ins = got.filter(F.col("_change_type") == "insert")
+    dels = got.filter(F.col("_change_type") == "delete")
+    assert ins.count() == 200
+    assert dels.count() == events.limit(200).filter(
+        F.col("event_id") % 4 == 0
+    ).count()
+    # partition values correct on BOTH shapes
+    expect = sorted(
+        (r["event_id"], r["event_type"])
+        for r in events.limit(200).collect()
+    )
+    assert sorted(
+        (r["event_id"], r["event_type"]) for r in ins.collect()
+    ) == expect
