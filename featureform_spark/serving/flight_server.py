@@ -308,6 +308,46 @@ class DatasetStreamerServer:
                     reader.schema, descriptor, [endpoint], -1, -1
                 )
 
+            def do_put(self, context, descriptor, reader, writer):
+                # Ingest: uploaded record batches append to the target
+                # table — a Delta table commits through the sessionless
+                # transaction-log writer (exactly-once via an optional
+                # {"app_id", "txn_version"} in the descriptor), a plain
+                # parquet dir gains one part file. No Spark on the pod.
+                req = outer._parse(descriptor.command)
+                path = outer._resolve(req)
+                table = reader.read_all()
+                if _detect_format(path) == "delta":
+                    from featureform_spark.sources.delta_protocol import (
+                        DeltaProtocolTable,
+                    )
+
+                    txn = None
+                    if req.get("app_id") is not None:
+                        txn = (
+                            str(req["app_id"]),
+                            int(req.get("txn_version", 0)),
+                        )
+                    DeltaProtocolTable(None, path).append_arrow(
+                        table, txn=txn
+                    )
+                elif _detect_format(path) == "iceberg":
+                    raise TicketError(
+                        "do_put into iceberg tables is not supported — "
+                        "write through IcebergProtocolTable.append"
+                    )
+                else:
+                    import uuid as _uuid
+
+                    import pyarrow.parquet as pq
+
+                    pq.write_table(
+                        table,
+                        os.path.join(
+                            path, f"part-{_uuid.uuid4().hex}.parquet"
+                        ),
+                    )
+
         self._server = _Server(location)
         self.port = self._server.port
 

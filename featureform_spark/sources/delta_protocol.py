@@ -1862,6 +1862,102 @@ class DeltaProtocolTable:
             )
         return best
 
+    def append_arrow(
+        self, table, txn: tuple[str, int] | None = None
+    ) -> int:
+        """Blind append of a pyarrow Table WITHOUT a Spark session —
+        the ingest primitive behind the Flight ``do_put`` surface: a
+        fleet of ingest pods can commit into the transaction log with
+        no JVM. Sessionless means no expression engine, so tables whose
+        writes require evaluation gate honestly: CHECK constraints /
+        invariants, column mapping, and Hive partitioning (routing rows
+        to partition dirs needs the engine) all raise — use
+        ``append`` through Spark for those. Same O_EXCL
+        commit + SetTransaction exactly-once semantics as append()."""
+        import pyarrow.parquet as pq
+
+        st = self.state()
+        self._write_guard(st, None, "WRITE")
+        conf = st.metadata.get("configuration") or {}
+        if st.column_mapping:
+            raise UnsupportedTableFeatureError(
+                "append_arrow: column-mapped tables need the Spark "
+                "write path (physical-name rename)"
+            )
+        if st.partition_columns:
+            raise UnsupportedTableFeatureError(
+                "append_arrow: partitioned tables need the Spark "
+                "write path (partition routing)"
+            )
+        if any(k.startswith("delta.constraints.") for k in conf) or any(
+            (f.metadata or {}).get("delta.invariants")
+            for f in st.schema.fields
+        ):
+            raise UnsupportedTableFeatureError(
+                "append_arrow: CHECK constraints/invariants need the "
+                "Spark write path (expression evaluation)"
+            )
+        want = [f.name for f in st.schema.fields]
+        if list(table.schema.names) != want:
+            if set(table.schema.names) == set(want):
+                table = table.select(want)
+            else:
+                raise DeltaProtocolError(
+                    f"append_arrow schema mismatch: table has "
+                    f"{list(table.schema.names)}, expected {want}"
+                )
+        if txn is not None and int(txn[1]) <= int(
+            st.txns.get(txn[0], -1)
+        ):
+            return -1
+        rel = f"part-{uuid.uuid4().hex}-arrow.parquet"
+        target = os.path.join(self.path, rel)
+        pq.write_table(table, target)
+        add = {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(target),
+            "modificationTime": int(os.path.getmtime(target) * 1000),
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": table.num_rows}),
+        }
+        actions: list[dict] = [{"add": add}]
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": int(txn[1]),
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                }
+            )
+        orig_proto = dict(st.protocol or {})
+        orig_meta = dict(st.metadata)
+        for _attempt in range(20):
+            v = st.version + 1
+            try:
+                self._commit(v, actions, "WRITE")
+                return v
+            except ConcurrentCommitError:
+                st = self.state()
+                if (
+                    dict(st.protocol or {}) != orig_proto
+                    or dict(st.metadata) != orig_meta
+                ):
+                    raise ConcurrentCommitError(
+                        "concurrent protocol/metadata change during "
+                        "sessionless append; staged file cannot be "
+                        "re-validated without Spark"
+                    ) from None
+                if txn is not None and int(txn[1]) <= int(
+                    st.txns.get(txn[0], -1)
+                ):
+                    return -1
+        raise DeltaProtocolError(
+            "append_arrow lost the commit race 20 times; giving up"
+        )
+
     def compact(
         self,
         target_rows_per_file: int = 1_000_000,

@@ -150,3 +150,45 @@ def test_direct_path_ticket_and_2m_default_cap(served, tmp_path):
         {"path": server._resolve({"namespace": "ns", "table": "orders_pq"})},
     )
     assert got.num_rows == 300
+
+
+def test_do_put_appends_to_delta_sessionless(served, spark):
+    """Flight ingest: uploaded batches commit into the Delta
+    transaction log with NO Spark on the serving path, exactly-once via
+    app_id/txn_version, and Spark reads them back."""
+    _spark, server, dt, _it, orders = served
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        n_before = dt.snapshot().count()
+        new_rows = orders.limit(520).subtract(orders.limit(500))
+        tbl = new_rows.toArrow()
+        desc = fl.FlightDescriptor.for_command(
+            json.dumps(
+                {
+                    "namespace": "ns",
+                    "table": "orders_delta",
+                    "app_id": "flight-test",
+                    "txn_version": 1,
+                }
+            ).encode()
+        )
+        writer, _meta = client.do_put(desc, tbl.schema)
+        writer.write_table(tbl)
+        writer.close()
+        assert dt.snapshot().count() == n_before + tbl.num_rows
+        # exactly-once: replaying the same txn version is a no-op
+        writer, _meta = client.do_put(desc, tbl.schema)
+        writer.write_table(tbl)
+        writer.close()
+        assert dt.snapshot().count() == n_before + tbl.num_rows
+        # round-trip: the appended rows come back through do_get
+        got = client.do_get(
+            fl.Ticket(
+                json.dumps(
+                    {"namespace": "ns", "table": "orders_delta"}
+                ).encode()
+            )
+        ).read_all()
+        assert got.num_rows == n_before + tbl.num_rows
+    finally:
+        client.close()
