@@ -308,6 +308,33 @@ class DatasetStreamerServer:
                     reader.schema, descriptor, [endpoint], -1, -1
                 )
 
+            def list_flights(self, context, criteria):
+                # enumerate <catalog>/<namespace>/<table> dirs as
+                # descriptors whose command replays through do_get
+                for cat, root in sorted(outer.catalogs.items()):
+                    if not os.path.isdir(root):
+                        continue
+                    for ns in sorted(os.listdir(root)):
+                        ns_dir = os.path.join(root, ns)
+                        if not os.path.isdir(ns_dir):
+                            continue
+                        for tbl in sorted(os.listdir(ns_dir)):
+                            if not os.path.isdir(
+                                os.path.join(ns_dir, tbl)
+                            ):
+                                continue
+                            cmd = json.dumps(
+                                {
+                                    "catalog": cat,
+                                    "namespace": ns,
+                                    "table": tbl,
+                                }
+                            ).encode()
+                            yield self.get_flight_info(
+                                context,
+                                fl.FlightDescriptor.for_command(cmd),
+                            )
+
             def do_put(self, context, descriptor, reader, writer):
                 # Ingest: uploaded record batches append to the target
                 # table — a Delta table commits through the sessionless

@@ -192,3 +192,20 @@ def test_do_put_appends_to_delta_sessionless(served, spark):
         assert got.num_rows == n_before + tbl.num_rows
     finally:
         client.close()
+
+
+def test_list_flights_enumerates_catalog(served):
+    _spark, server, _dt, _it, _orders = served
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        infos = list(client.list_flights())
+        names = sorted(
+            json.loads(i.descriptor.command.decode())["table"]
+            for i in infos
+        )
+        assert names == ["orders_delta", "orders_ice", "orders_pq"]
+        # each descriptor replays through do_get
+        got = client.do_get(infos[0].endpoints[0].ticket).read_all()
+        assert got.num_rows > 0
+    finally:
+        client.close()
