@@ -1550,6 +1550,17 @@ class IcebergProtocolTable:
                 T.StructField("_commit_snapshot_id", T.LongType()),
             ]
         )
+        cur = self._snapshot_by(None, md=md)
+        if cur is not None:
+            cur_entries, _cur_dels = self._live_entries(cur)
+            if self._nm_resolution(md, cur_entries) or self._identity_patch(
+                md, cur_entries
+            ):
+                raise UnsupportedIcebergFeatureError(
+                    "changelog_scan on a metadata-mirror table "
+                    "(UniForm) — consume the Delta CDF instead "
+                    "(table_changes / readChangeFeed)"
+                )
         ids = [s["snapshot-id"] for s in snaps]
         if from_snapshot_id is None:
             start = 0
@@ -2582,6 +2593,13 @@ class IcebergProtocolTable:
         data_entries, old_deletes = self._live_entries(snap)
         if not data_entries:
             return -1
+        if self._nm_resolution(md, data_entries) or self._identity_patch(
+            md, data_entries
+        ):
+            raise UnsupportedIcebergFeatureError(
+                "delete_rows on a metadata-mirror table (UniForm) — "
+                "write through the owning Delta side instead"
+            )
         cols = [f.name for f in schema.fields]
         if old_deletes:
             # match over the fully delete-APPLIED scan: rows removed by
