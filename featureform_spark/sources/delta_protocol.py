@@ -605,21 +605,30 @@ class DeltaProtocolTable:
             )
         # Legacy minWriterVersion 4-6 imply generatedColumns (v4+) and
         # identityColumns (v6) WITHOUT listing them in writerFeatures.
-        # A conformant writer must compute those column values on every
-        # write; this engine does not, so if the schema actually carries
-        # a generation expression or identity spec, refuse rather than
-        # silently writing NULL/stale values into the generated columns.
+        # Generated columns are COMPUTED/validated on the Spark write
+        # path (_apply_generated_columns, called by append/overwrite);
+        # MERGE does not recompute them, so it refuses when one exists.
+        # Identity values are never allocated by this engine — any
+        # row-writing operation on a table with an identity column
+        # refuses rather than breaking the high-water-mark contract.
         if 4 <= writer <= 6 or feats & {"generatedColumns", "identityColumns"}:
+            row_writing = operation in (
+                "WRITE", "WRITE-OVERWRITE", "CREATE", "MERGE"
+            )
             for f in st.schema.fields:
                 md = f.metadata or {}
-                if "delta.generationExpression" in md:
+                if (
+                    "delta.generationExpression" in md
+                    and operation == "MERGE"
+                ):
                     raise UnsupportedTableFeatureError(
                         f"column {f.name!r} is a generated column "
-                        f"({md['delta.generationExpression']!r}); this "
-                        "engine does not compute generated values — "
-                        "refusing to write"
+                        f"({md['delta.generationExpression']!r}); MERGE "
+                        "does not recompute generated values — refusing"
                     )
-                if any(k.startswith("delta.identity.") for k in md):
+                if row_writing and any(
+                    k.startswith("delta.identity.") for k in md
+                ):
                     raise UnsupportedTableFeatureError(
                         f"column {f.name!r} is an identity column; this "
                         "engine does not allocate identity values — "
@@ -1311,6 +1320,41 @@ class DeltaProtocolTable:
         self._commit(0, actions, "CREATE TABLE AS SELECT")
         return 0
 
+    def _apply_generated_columns(self, st: _State, df: DataFrame) -> DataFrame:
+        """Compute ``delta.generationExpression`` columns the writer
+        omitted and VALIDATE the ones it provided (one aggregate pass,
+        like CHECK constraints) — the writer requirement the
+        generatedColumns feature imposes (PROTOCOL.md)."""
+        gens = [
+            (f.name, (f.metadata or {}).get("delta.generationExpression"))
+            for f in st.schema.fields
+        ]
+        gens = [(n, g) for n, g in gens if g]
+        if not gens:
+            return df
+        missing = [(n, g) for n, g in gens if n not in df.columns]
+        present = [(n, g) for n, g in gens if n in df.columns]
+        for n, g in missing:
+            df = df.withColumn(n, F.expr(g))
+        if present:
+            aggs = [
+                F.sum(
+                    F.when(
+                        ~F.col(n).eqNullSafe(F.expr(g)), 1
+                    ).otherwise(0)
+                ).alias(f"_g{i}")
+                for i, (n, g) in enumerate(present)
+            ]
+            row = df.agg(*aggs).first()
+            for i, (n, g) in enumerate(present):
+                if row[f"_g{i}"]:
+                    raise DeltaProtocolError(
+                        f"generated column {n!r} received "
+                        f"{row[f'_g{i}']} value(s) inconsistent with "
+                        f"its expression {g!r}; commit aborted"
+                    )
+        return df.select(*[f.name for f in st.schema.fields])
+
     def append(
         self, df: DataFrame, txn: tuple[str, int] | None = None
     ) -> int:
@@ -1326,6 +1370,7 @@ class DeltaProtocolTable:
         attempt so a concurrent replay of the same stream batch still
         no-ops. Data files are written once; only the commit retries."""
         st = self.state()
+        df = self._apply_generated_columns(st, df)
         self._write_guard(st, df, "WRITE")
         orig_proto = dict(st.protocol or {})
         orig_schema = st.metadata.get("schemaString")
@@ -1812,6 +1857,7 @@ class DeltaProtocolTable:
 
     def overwrite(self, df: DataFrame) -> int:
         st = self.state()
+        df = self._apply_generated_columns(st, df)
         self._write_guard(st, df, "WRITE-OVERWRITE")
         adds = self._write_files(df, st.partition_columns, st.column_mapping)
         now = int(time.time() * 1000)
@@ -1883,6 +1929,14 @@ class DeltaProtocolTable:
             raise UnsupportedTableFeatureError(
                 "append_arrow: column-mapped tables need the Spark "
                 "write path (physical-name rename)"
+            )
+        if any(
+            (f.metadata or {}).get("delta.generationExpression")
+            for f in st.schema.fields
+        ):
+            raise UnsupportedTableFeatureError(
+                "append_arrow: generated columns need the Spark write "
+                "path (expression evaluation)"
             )
         if st.partition_columns:
             raise UnsupportedTableFeatureError(

@@ -142,10 +142,10 @@ def test_legacy_writer_version_generated_column_gates(
     spark, sf_dir, tmp_path
 ):
     """minWriterVersion 4-6 implies generatedColumns/identityColumns
-    WITHOUT listing writerFeatures; appending to such a table without
-    computing the generated values corrupts its contract — the guard
-    must find the actual generation expression in the schema and
-    refuse (ADVICE r5)."""
+    WITHOUT listing writerFeatures (ADVICE r5). Generated columns are
+    COMPUTED when omitted and VALIDATED when provided (round-6
+    upgrade); inconsistent values abort; identity columns still refuse
+    row writes; DELETE (writes no rows) stays legal on both."""
     orders = _orders(spark, sf_dir)
     t = DeltaProtocolTable(spark, str(tmp_path / "gen4"))
     t.create(orders.limit(20))
@@ -162,8 +162,31 @@ def test_legacy_writer_version_generated_column_gates(
             + "\n"
         )
     assert t.snapshot().count() == 20  # reads unaffected
-    with pytest.raises(UnsupportedTableFeatureError, match="generated"):
-        t.append(orders.limit(1))
+    # inconsistent provided values abort
+    bad = orders.limit(1).withColumn(
+        "o_custkey", F.col("o_orderkey") % 100 + 1
+    )
+    with pytest.raises(DeltaProtocolError, match="generated"):
+        t.append(bad)
+    # omitted generated column is computed by the writer
+    t.append(orders.limit(25).subtract(orders.limit(20)).drop("o_custkey"))
+    got = t.snapshot().filter(
+        F.col("o_custkey") != F.col("o_orderkey") % 100
+    )
+    assert got.count() == 20  # only the original (pre-forge) rows
+    # consistent provided values write fine
+    ok = (
+        orders.limit(30)
+        .subtract(orders.limit(25))
+        .withColumn("o_custkey", F.col("o_orderkey") % 100)
+    )
+    t.append(ok)
+    assert t.snapshot().count() == 30
+    # DELETE writes no rows: legal even on generated-column tables
+    t.delete_where(F.col("o_orderkey") % 2 == 0)
+    # MERGE does not recompute generated values: refuses
+    with pytest.raises(UnsupportedTableFeatureError, match="MERGE"):
+        t.merge(orders.limit(2), key="o_orderkey")
 
     # identity column under legacy v6
     t2 = DeltaProtocolTable(spark, str(tmp_path / "id6"))
