@@ -73,14 +73,13 @@ _SUPPORTED_READER_FEATURES = {
 }
 
 # Writer table features (protocol v7) this implementation actually
-# ENFORCES on write (_write_guard). generatedColumns/identityColumns
-# are implemented CONSERVATIVELY: _write_guard scans the schema and
-# refuses any write to a table that actually carries a generation
-# expression or identity spec (we never compute those values, so
-# writing would corrupt the contract) — a table that merely LISTS the
-# feature (e.g. after a legacy-version upgrade) with no such column
-# stays writable, which is the vacuous case of the feature's write
-# requirement.
+# ENFORCES on write (_write_guard). generatedColumns: append/overwrite
+# COMPUTE omitted generation-expression columns and VALIDATE provided
+# values (one aggregate pass); MERGE refuses (no recompute), the
+# sessionless arrow path refuses (no expression engine).
+# identityColumns: implemented conservatively — row-writing operations
+# refuse when an identity spec exists (we never allocate values);
+# DELETE/OPTIMIZE stay legal.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -90,8 +89,8 @@ _SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",
     "timestampNtz",
     "inCommitTimestamp",  # _commit maintains the monotonic chain
-    "generatedColumns",  # enforced by refusal-when-present
-    "identityColumns",  # enforced by refusal-when-present
+    "generatedColumns",  # computed/validated on the Spark write path
+    "identityColumns",  # enforced by refusal on row-writing ops
     "v2Checkpoint",  # checkpoint() honors delta.checkpointPolicy=v2
 }
 
