@@ -343,8 +343,8 @@ class DatasetStreamerServer:
                 # parquet dir gains one part file. No Spark on the pod.
                 req = outer._parse(descriptor.command)
                 path = outer._resolve(req)
-                table = reader.read_all()
-                if _detect_format(path) == "delta":
+                fmt = _detect_format(path)
+                if fmt == "delta":
                     from featureform_spark.sources.delta_protocol import (
                         DeltaProtocolTable,
                     )
@@ -355,10 +355,12 @@ class DatasetStreamerServer:
                             str(req["app_id"]),
                             int(req.get("txn_version", 0)),
                         )
+                    # to_reader(): the upload STREAMS into the part
+                    # file — never materialized in pod memory
                     DeltaProtocolTable(None, path).append_arrow(
-                        table, txn=txn
+                        reader.to_reader(), txn=txn
                     )
-                elif _detect_format(path) == "iceberg":
+                elif fmt == "iceberg":
                     raise TicketError(
                         "do_put into iceberg tables is not supported — "
                         "write through IcebergProtocolTable.append"
@@ -368,12 +370,23 @@ class DatasetStreamerServer:
 
                     import pyarrow.parquet as pq
 
-                    pq.write_table(
-                        table,
-                        os.path.join(
-                            path, f"part-{_uuid.uuid4().hex}.parquet"
-                        ),
+                    target = os.path.join(
+                        path, f"part-{_uuid.uuid4().hex}.parquet"
                     )
+                    pqw = None
+                    try:
+                        for chunk in reader:
+                            batch = chunk.data
+                            if batch is None:
+                                continue
+                            if pqw is None:
+                                pqw = pq.ParquetWriter(
+                                    target, batch.schema
+                                )
+                            pqw.write_batch(batch)
+                    finally:
+                        if pqw is not None:
+                            pqw.close()
 
         self._server = _Server(location)
         self.port = self._server.port

@@ -1950,29 +1950,52 @@ class DeltaProtocolTable:
                 "append_arrow: CHECK constraints/invariants need the "
                 "Spark write path (expression evaluation)"
             )
+        import pyarrow as pa
+
         want = [f.name for f in st.schema.fields]
-        if list(table.schema.names) != want:
-            if set(table.schema.names) == set(want):
-                table = table.select(want)
-            else:
-                raise DeltaProtocolError(
-                    f"append_arrow schema mismatch: table has "
-                    f"{list(table.schema.names)}, expected {want}"
-                )
+        in_schema = table.schema  # Table and RecordBatchReader both
+        if list(in_schema.names) != want and set(in_schema.names) != set(
+            want
+        ):
+            raise DeltaProtocolError(
+                f"append_arrow schema mismatch: table has "
+                f"{list(in_schema.names)}, expected {want}"
+            )
         if txn is not None and int(txn[1]) <= int(
             st.txns.get(txn[0], -1)
         ):
             return -1
         rel = f"part-{uuid.uuid4().hex}-arrow.parquet"
         target = os.path.join(self.path, rel)
-        pq.write_table(table, target)
+        # STREAM batches to the part file — an ingest upload never
+        # materializes in pod memory (do_put hands a RecordBatchReader)
+        batches = (
+            table.to_batches()
+            if isinstance(table, pa.Table)
+            else table
+        )
+        writer = None
+        n_rows = 0
+        try:
+            for batch in batches:
+                if list(batch.schema.names) != want:
+                    batch = batch.select(want)
+                if writer is None:
+                    writer = pq.ParquetWriter(target, batch.schema)
+                writer.write_batch(batch)
+                n_rows += batch.num_rows
+            if writer is None:  # empty upload: nothing to commit
+                return -1
+        finally:
+            if writer is not None:
+                writer.close()
         add = {
             "path": rel,
             "partitionValues": {},
             "size": os.path.getsize(target),
             "modificationTime": int(os.path.getmtime(target) * 1000),
             "dataChange": True,
-            "stats": json.dumps({"numRecords": table.num_rows}),
+            "stats": json.dumps({"numRecords": n_rows}),
         }
         actions: list[dict] = [{"add": add}]
         if txn is not None:
