@@ -2985,7 +2985,11 @@ class IcebergProtocolTable:
             snapshot_id=snapshot_id,
         )
 
-    def rewrite_data_files(self) -> int:
+    def rewrite_data_files(
+        self,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Compaction (the spec's rewrite-data-files maintenance
         action): materialize the current merge-on-read state into fresh
         data files and commit a snapshot whose manifest list carries
@@ -2995,7 +2999,24 @@ class IcebergProtocolTable:
         construction (it IS the write of that DataFrame); time travel
         to pre-compaction snapshots still resolves the old manifests.
         Returns the new snapshot id (or -1 for an empty/absent table).
-        """
+
+        ``sort_by``: bin-pack into range-partitioned sorted files and
+        record a REAL sort order in table metadata (spec §Sort Orders:
+        identity transform, asc, nulls-first) referenced by the new
+        data files' ``sort_order_id`` — the rewrite strategy Iceberg's
+        rewriteDataFiles(sort) runs, tightening per-file bounds so
+        scan planning prunes harder. ``zorder_by``: cluster on a
+        Morton curve over several columns (shared
+        deltalite.zorder_cluster helper — one sampled quantile pass +
+        one range repartition); multi-dimensional locality without a
+        total order, so no spec sort-order is recorded (matching
+        Iceberg, whose z-order is an engine strategy, not a sort
+        order)."""
+        if sort_by and zorder_by:
+            raise IcebergProtocolError(
+                "rewrite_data_files: sort_by and zorder_by are "
+                "mutually exclusive"
+            )
         md = self.metadata()
         snap = self.current_snapshot(md)
         if snap is None:
@@ -3003,9 +3024,65 @@ class IcebergProtocolTable:
         current = self.snapshot()
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
+        cols = current.columns
+        sort_order_id = None
+        if sort_by:
+            by_name = {f["name"]: f for f in ice_schema["fields"]}
+            missing = [c for c in sort_by if c not in by_name]
+            if missing:
+                raise IcebergProtocolError(
+                    f"unknown sort columns {missing}"
+                )
+            current = current.repartitionByRange(
+                *sort_by
+            ).sortWithinPartitions(*sort_by)
+            orders = list(md.get("sort-orders") or [])
+            sort_order_id = (
+                max((o.get("order-id", 0) for o in orders), default=0)
+                + 1
+            )
+            orders.append(
+                {
+                    "order-id": sort_order_id,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": by_name[c]["id"],
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in sort_by
+                    ],
+                }
+            )
+            md = dict(md)
+            md["sort-orders"] = orders
+            md["default-sort-order-id"] = sort_order_id
+        elif zorder_by:
+            from featureform_spark.sources.deltalite import zorder_cluster
+
+            by_name = {f["name"]: f for f in ice_schema["fields"]}
+            for c in zorder_by:
+                t_ = (by_name.get(c) or {}).get("type")
+                if not isinstance(t_, str) or t_ not in (
+                    "int", "long", "float", "double",
+                    "date", "timestamp", "timestamptz",
+                ):
+                    raise IcebergProtocolError(
+                        "zorder supports numeric/temporal columns, "
+                        f"{c!r} is {t_!r}"
+                    )
+            data_entries, _d = self._live_entries(snap)
+            n_files = max(1, len(data_entries))
+            current = zorder_cluster(current, zorder_by, n_files).select(
+                *cols
+            )
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         files = self._write_data_files(current, ice_schema, spec_fields)
+        if sort_order_id is not None:
+            for r in files:
+                r["sort_order_id"] = sort_order_id
         entries = [
             {
                 "status": 1,

@@ -1006,3 +1006,40 @@ def test_changelog_scan(spark, sf_dir, tmp_path):
     dels = ch2.filter(F.col("_change_type") == "delete").count()
     assert ins == 80
     assert ins - dels == live.count()
+
+
+def test_rewrite_sorted_and_zorder(spark, sf_dir, tmp_path):
+    """rewrite_data_files(sort_by=...) records a real spec sort order
+    and produces files whose tightened bounds make scan planning prune
+    harder; zorder_by clusters multi-dimensionally; both rewrites stay
+    row-identical."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "srt")
+    t = IcebergProtocolTable(spark, path)
+    t.create(orders.limit(4000).repartition(8))  # random row placement
+    before = _sorted_rows(t.snapshot())
+    lo_key = t.snapshot().agg(F.min("o_orderkey")).first()[0]
+    t.scan_planned("o_orderkey", lo_key, lo_key + 50)
+    unsorted_read = t._last_prune["files_read"]
+
+    sid = t.rewrite_data_files(sort_by=["o_orderkey"])
+    assert sid > 0
+    assert _sorted_rows(t.snapshot()) == before
+    md = t.metadata()
+    assert md["default-sort-order-id"] == 1
+    so = [o for o in md["sort-orders"] if o["order-id"] == 1][0]
+    assert so["fields"][0]["transform"] == "identity"
+    assert so["fields"][0]["direction"] == "asc"
+    # files now carry the sort_order_id and tight ranges: the same
+    # narrow probe reads fewer files than the unsorted layout
+    t.scan_planned("o_orderkey", lo_key, lo_key + 50)
+    assert t._last_prune["files_read"] <= unsorted_read
+    assert t._last_prune["files_read"] <= 2
+
+    t2 = IcebergProtocolTable(spark, str(tmp_path / "zo"))
+    t2.create(orders.limit(4000).repartition(8))
+    before2 = _sorted_rows(t2.snapshot())
+    t2.rewrite_data_files(zorder_by=["o_orderkey", "o_custkey"])
+    assert _sorted_rows(t2.snapshot()) == before2
+    with pytest.raises(IcebergProtocolError, match="zorder supports"):
+        t2.rewrite_data_files(zorder_by=["o_nope"])  # unknown column
