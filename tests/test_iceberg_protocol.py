@@ -1043,3 +1043,25 @@ def test_rewrite_sorted_and_zorder(spark, sf_dir, tmp_path):
     assert _sorted_rows(t2.snapshot()) == before2
     with pytest.raises(IcebergProtocolError, match="zorder supports"):
         t2.rewrite_data_files(zorder_by=["o_nope"])  # unknown column
+
+
+def test_v3_dv_puffin_expiry(spark, sf_dir, tmp_path):
+    """Superseded puffin DV files age out with expire_snapshots once no
+    kept snapshot references them; live DVs survive and reads stay
+    exact."""
+    import glob
+
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "pexp")
+    t = IcebergProtocolTable(spark, path)
+    t.create(orders.limit(100).repartition(2))
+    t.upgrade_format_version(3)
+    t.delete_rows(F.col("o_orderkey") % 4 == 0)   # puffin #1
+    t.delete_rows(F.col("o_orderkey") % 4 == 1)   # puffin #2 (merges #1)
+    assert len(glob.glob(os.path.join(path, "data", "*.puffin"))) == 2
+    expect = _sorted_rows(t.snapshot())
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired"] >= 2
+    left = glob.glob(os.path.join(path, "data", "*.puffin"))
+    assert len(left) == 1  # superseded vector collected
+    assert _sorted_rows(t.snapshot()) == expect
