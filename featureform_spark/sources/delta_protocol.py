@@ -750,6 +750,21 @@ class DeltaProtocolTable:
         stype = dv["storageType"]
         if stype == "i":
             return z85_decode(dv["pathOrInlineDv"])
+        path, offset, size = self._dv_file_location(dv)
+        return read_dv_from_file(path, offset, size)
+
+    def _dv_file_location(
+        self, dv: dict
+    ) -> tuple[str, int, int] | None:
+        """(absolute path, offset, sizeInBytes) of an ON-DISK deletion
+        vector blob; None for inline ('i') vectors. Lets UniForm
+        reference the same framed bytes from Iceberg v3 DV entries
+        without any conversion."""
+        from featureform_spark.sources.dv_bitmap import z85_decode
+
+        stype = dv["storageType"]
+        if stype == "i":
+            return None
         if stype == "p":
             path = dv["pathOrInlineDv"]
             if path.startswith("file:"):
@@ -764,9 +779,7 @@ class DeltaProtocolTable:
             raise UnsupportedTableFeatureError(
                 f"deletion vector storageType {stype!r}"
             )
-        return read_dv_from_file(
-            path, int(dv["offset"]), int(dv["sizeInBytes"])
-        )
+        return path, int(dv["offset"]), int(dv["sizeInBytes"])
 
     def _dv_positions(self, dv: dict):
         """Deleted row indexes (sorted uint64 numpy array) for one

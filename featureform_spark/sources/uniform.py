@@ -13,10 +13,12 @@ implementations:
   data file becomes an Iceberg data_file entry with footer-derived
   stats (record_count, value/null counts, bounds keyed by field-id) —
   the files themselves are REFERENCED, never rewritten;
-- deletion vectors convert to Iceberg v2 POSITION DELETES: the
-  roaring bitmaps decode to (file_path, pos) rows written as one
-  sorted delete parquet + delete manifest, so Iceberg's merge-on-read
-  yields exactly the Delta table's live rows;
+- deletion vectors: a v2 mirror converts them to POSITION DELETES
+  (bitmaps decode to (file_path, pos) rows in one delete parquet); a
+  v3 mirror (``iceberg_format_version=3``) references Delta's DV blob
+  BYTES in place as Iceberg deletion-vector entries — zero
+  conversion, the two formats share the framed roaring-portable
+  layout — so merge-on-read on either side applies the same vector;
 - each sync commits one Iceberg snapshot reflecting the Delta version
   (recorded in the ``delta.uniform.delta-version`` table property);
   re-syncing an unchanged table is a no-op.
@@ -176,6 +178,59 @@ def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
     return records
 
 
+def _dv_v3_records(delta: DeltaProtocolTable, st) -> list[dict] | None:
+    """Delta DV descriptors as Iceberg v3 deletion-vector entries
+    referencing the SAME on-disk bytes — zero conversion: both formats
+    frame the roaring-portable bitmap identically (4-byte BE length +
+    blob + CRC), so the Iceberg entry simply points
+    (file_path=<delta dv file>, content_offset, content_size_in_bytes)
+    at Delta's blob. None when any DV is inline ('i' storage — no file
+    to reference; caller falls back to the v2 position-delete parquet)."""
+    out: list[dict] = []
+    for rel in sorted(st.adds):
+        dv = st.adds[rel].get("deletionVector")
+        if not dv:
+            continue
+        loc = delta._dv_file_location(dv)
+        if loc is None:
+            return None
+        dv_path, off, size = loc
+        out.append(
+            {
+                "content": 1,
+                "file_path": dv_path,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": int(dv["cardinality"]),
+                "file_size_in_bytes": os.path.getsize(dv_path),
+                "value_counts": [],
+                "null_value_counts": [],
+                "lower_bounds": [],
+                "upper_bounds": [],
+                "referenced_data_file": os.path.join(
+                    delta.path, urllib.parse.unquote(rel)
+                ),
+                "content_offset": off,
+                "content_size_in_bytes": size,
+            }
+        )
+    return out
+
+
+def _dv_records(
+    delta: DeltaProtocolTable, st, format_version: int
+) -> list[dict]:
+    """Delete-file records for the sync: v3 mirrors reference Delta's
+    DV bytes in place; v2 (or inline DVs) convert to one
+    position-delete parquet."""
+    if format_version >= 3:
+        recs = _dv_v3_records(delta, st)
+        if recs is not None:
+            return recs
+    rec = _dv_delete_record(delta, st)
+    return [rec] if rec is not None else []
+
+
 def _dv_delete_record(delta: DeltaProtocolTable, st) -> dict | None:
     """All deletion-vector positions as ONE sorted position-delete
     parquet (spec column names file_path/pos); None when no DVs.
@@ -237,10 +292,20 @@ def _dv_delete_record(delta: DeltaProtocolTable, st) -> dict | None:
     }
 
 
-def sync_uniform(spark, path: str) -> int:
+def sync_uniform(
+    spark, path: str, iceberg_format_version: int = 2
+) -> int:
     """Convert the Delta table at ``path`` to (or advance) its Iceberg
     mirror; returns the committed Iceberg snapshot id (-1 when already
-    in sync)."""
+    in sync). ``iceberg_format_version=3`` mirrors deletion vectors as
+    v3 DV entries that reference Delta's blob BYTES in place (zero
+    conversion — the framed roaring layout is shared); 2 (default)
+    converts them to one position-delete parquet. Resyncs keep the
+    mirror's existing format version."""
+    if iceberg_format_version not in (2, 3):
+        raise UnsupportedTableFeatureError(
+            f"iceberg_format_version {iceberg_format_version} (2 or 3)"
+        )
     delta = DeltaProtocolTable(spark, path)
     st = delta.state()
     ice = IcebergProtocolTable(spark, path)
@@ -284,8 +349,10 @@ def sync_uniform(spark, path: str) -> int:
                 entries, ice.schema(md), cur_spec, spec_id, snapshot_id, seq
             )
         ]
-        dv_rec = _dv_delete_record(delta, st)
-        if dv_rec is not None:
+        dv_recs = _dv_records(
+            delta, st, int(md.get("format-version", 2))
+        )
+        if dv_recs:
             manifests.append(
                 ice._write_manifest(
                     [
@@ -294,8 +361,9 @@ def sync_uniform(spark, path: str) -> int:
                             "snapshot_id": snapshot_id,
                             "sequence_number": seq,
                             "file_sequence_number": seq,
-                            "data_file": dv_rec,
+                            "data_file": r,
                         }
+                        for r in dv_recs
                     ],
                     ice.schema(md),
                     cur_spec,
@@ -339,8 +407,8 @@ def sync_uniform(spark, path: str) -> int:
             entries, ice_schema, spec_fields, 0, snapshot_id, 1
         )
     ]
-    dv_rec = _dv_delete_record(delta, st)
-    if dv_rec is not None:
+    dv_recs = _dv_records(delta, st, iceberg_format_version)
+    if dv_recs:
         manifests.append(
             ice._write_manifest(
                 [
@@ -349,8 +417,9 @@ def sync_uniform(spark, path: str) -> int:
                         "snapshot_id": snapshot_id,
                         "sequence_number": 1,
                         "file_sequence_number": 1,
-                        "data_file": dv_rec,
+                        "data_file": r,
                     }
+                    for r in dv_recs
                 ],
                 ice_schema,
                 spec_fields,
@@ -377,7 +446,7 @@ def sync_uniform(spark, path: str) -> int:
         "schema-id": 0,
     }
     md = {
-        "format-version": 2,
+        "format-version": iceberg_format_version,
         "table-uuid": str(uuid.uuid4()),
         "location": ice.path,
         "last-sequence-number": 1,

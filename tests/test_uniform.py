@@ -189,3 +189,35 @@ def test_identity_patch_join_is_broadcast(spark, sf_dir, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_uniform_v3_references_delta_dv_bytes(spark, sf_dir, tmp_path):
+    """iceberg_format_version=3: the mirror's DV entries point at
+    Delta's deletion_vector_*.bin blobs IN PLACE (shared framed roaring
+    layout — no decode, no conversion file); reads apply them exactly,
+    and resyncs keep referencing the newest Delta vectors."""
+    import glob
+    import json as _json
+
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "u3")
+    d = DeltaProtocolTable(spark, path)
+    d.create(orders.limit(200).repartition(2))
+    d.delete_where(F.col("o_orderkey") % 3 == 0)
+    sync_uniform(spark, path, iceberg_format_version=3)
+    ice = IcebergProtocolTable(spark, path)
+    assert ice.metadata()["format-version"] == 3
+    # NO conversion parquet was written — the mirror references delta's
+    # dv file directly
+    assert not glob.glob(os.path.join(path, "metadata", "uniform-delete-*"))
+    snap = ice._snapshot_by(None, md=ice.metadata())
+    _data, deletes = ice._live_entries(snap)
+    assert deletes
+    dv_files = {e["data_file"]["file_path"] for e in deletes}
+    assert all("deletion_vector_" in p for p in dv_files)
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
+    # resync after another delete keeps the zero-conversion path
+    d.delete_where(F.col("o_orderkey") % 5 == 0)
+    sync_uniform(spark, path)
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
+    assert not glob.glob(os.path.join(path, "metadata", "uniform-delete-*"))
