@@ -1347,6 +1347,102 @@ class IcebergProtocolTable:
             )
         return self._read_files_patched(schema, data_entries, patch, nm)
 
+    def metadata_table(self, kind: str) -> DataFrame:
+        """Inspection tables (Iceberg's ``SELECT * FROM tbl.<kind>``
+        SQL surface): ``snapshots``, ``files``, ``delete_files``,
+        ``manifests``, ``history``, ``refs`` — metadata-scale local
+        relations built from the table's own metadata/manifests, no
+        data-file reads."""
+        md = self.metadata()
+        if kind == "snapshots":
+            rows = [
+                (
+                    int(s["snapshot-id"]),
+                    s.get("parent-snapshot-id"),
+                    int(s.get("sequence-number") or 0),
+                    int(s["timestamp-ms"]),
+                    (s.get("summary") or {}).get("operation", "append"),
+                    s["manifest-list"],
+                )
+                for s in self.snapshots(md)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, sequence_number long,"
+                " committed_at_ms long, operation string,"
+                " manifest_list string",
+            )
+        if kind == "history":
+            rows = [
+                (int(h["timestamp-ms"]), int(h["snapshot-id"]))
+                for h in (md.get("snapshot-log") or [])
+            ]
+            return self.spark.createDataFrame(
+                rows, "made_current_at_ms long, snapshot_id long"
+            )
+        if kind == "refs":
+            rows = [
+                (name_, r.get("type", "branch"), int(r["snapshot-id"]))
+                for name_, r in sorted((md.get("refs") or {}).items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long"
+            )
+        snap = self._snapshot_by(None, md=md)
+        if kind == "manifests":
+            manifests = self._manifest_files(snap) if snap else []
+            rows = [
+                (
+                    m["manifest_path"],
+                    int(m.get("manifest_length") or 0),
+                    int(m.get("partition_spec_id") or 0),
+                    int(m.get("content") or 0),
+                    int(m.get("added_files_count") or 0),
+                    int(m.get("existing_files_count") or 0),
+                    int(m.get("deleted_files_count") or 0),
+                )
+                for m in manifests
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "path string, length long, partition_spec_id int,"
+                " content int, added_data_files_count int,"
+                " existing_data_files_count int,"
+                " deleted_data_files_count int",
+            )
+        if kind in ("files", "delete_files"):
+            data_entries, delete_entries = (
+                self._live_entries(snap) if snap else ([], [])
+            )
+            entries = (
+                data_entries if kind == "files" else delete_entries
+            )
+            rows = [
+                (
+                    int(e["data_file"].get("content") or 0),
+                    self._resolve_path(e["data_file"]["file_path"]),
+                    str(e["data_file"].get("file_format", "PARQUET")),
+                    int(e["data_file"].get("record_count") or 0),
+                    int(e["data_file"].get("file_size_in_bytes") or 0),
+                    int(e.get("sequence_number") or 0),
+                    json.dumps(
+                        e["data_file"].get("partition") or {},
+                        default=str,
+                    ),
+                )
+                for e in entries
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "content int, file_path string, file_format string,"
+                " record_count long, file_size_in_bytes long,"
+                " sequence_number long, partition string",
+            )
+        raise IcebergProtocolError(
+            f"unknown metadata table {kind!r} (snapshots, files, "
+            "delete_files, manifests, history, refs)"
+        )
+
     def create_ref(
         self, name: str, kind: str = "tag", snapshot_id: int | None = None
     ) -> int:

@@ -1065,3 +1065,35 @@ def test_v3_dv_puffin_expiry(spark, sf_dir, tmp_path):
     left = glob.glob(os.path.join(path, "data", "*.puffin"))
     assert len(left) == 1  # superseded vector collected
     assert _sorted_rows(t.snapshot()) == expect
+
+
+def test_metadata_tables(spark, sf_dir, tmp_path):
+    """Inspection tables (tbl.snapshots / files / delete_files /
+    manifests / history / refs) — metadata-scale relations for ops
+    tooling, matching Iceberg's SQL inspection surface."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "meta"))
+    t.create(orders.limit(100).repartition(2))
+    t.append(orders.limit(150).subtract(orders.limit(100)))
+    t.delete_rows(F.col("o_orderkey") % 7 == 0)
+    t.create_ref("v1", "tag")
+    snaps = t.metadata_table("snapshots")
+    assert snaps.count() == 3
+    assert [r["operation"] for r in snaps.orderBy("committed_at_ms").collect()] \
+        == ["append", "append", "delete"]
+    files = t.metadata_table("files")
+    assert files.count() == len(
+        t._live_entries(t._snapshot_by(None, md=t.metadata()))[0]
+    )
+    assert files.filter(F.col("content") != 0).count() == 0
+    dels = t.metadata_table("delete_files")
+    assert dels.count() >= 1
+    assert set(r["content"] for r in dels.collect()) == {1}
+    mans = t.metadata_table("manifests")
+    assert mans.filter(F.col("content") == 1).count() >= 1
+    hist = t.metadata_table("history")
+    assert hist.count() == 3
+    refs = t.metadata_table("refs")
+    assert refs.collect()[0]["name"] == "v1"
+    with pytest.raises(IcebergProtocolError, match="unknown metadata"):
+        t.metadata_table("nope")
