@@ -727,6 +727,34 @@ class DeltaProtocolTable:
         """Latest SetTransaction version for app_id; -1 if none."""
         return int(self.state().txns.get(app_id, -1))
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one summary row of the current state —
+        format, id/location, file/byte counts, partition columns,
+        properties, protocol versions (delta-spark's surface)."""
+        st = self.state()
+        proto = st.protocol or {}
+        total_deleted = 0
+        for a in st.adds.values():
+            dv = a.get("deletionVector")
+            if dv:
+                total_deleted += int(dv.get("cardinality") or 0)
+        return {
+            "format": "delta",
+            "location": self.path,
+            "version": st.version,
+            "numFiles": len(st.adds),
+            "sizeInBytes": sum(
+                int(a.get("size") or 0) for a in st.adds.values()
+            ),
+            "numDeletedRecords": total_deleted,
+            "partitionColumns": list(st.partition_columns),
+            "properties": dict(st.metadata.get("configuration") or {}),
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": int(proto.get("minWriterVersion", 1)),
+            "readerFeatures": sorted(proto.get("readerFeatures") or []),
+            "writerFeatures": sorted(proto.get("writerFeatures") or []),
+        }
+
     # ------------------------------------------------------------ read
 
     def _data_paths(self, st: _State) -> list[str]:

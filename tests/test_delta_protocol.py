@@ -789,3 +789,25 @@ def test_v2_checkpoint_write_roundtrip(spark, sf_dir, tmp_path):
     assert t._checkpoint_files()[v2]["kind"] == "v2"
     t.clean_log()
     assert t.snapshot().count() == len(expect) + 10
+
+
+def test_describe_detail(spark, sf_dir, tmp_path):
+    """DESCRIBE DETAIL summary row: file/byte/deleted-record counts,
+    partitioning, properties, protocol versions."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "det"))
+    t.create(
+        orders.limit(100).repartition(2),
+        properties={"delta.appendOnly": "false"},
+    )
+    t.delete_where(F.col("o_orderkey") % 4 == 0)
+    d = t.detail()
+    assert d["format"] == "delta" and d["numFiles"] == 2
+    assert d["version"] == 1
+    assert d["numDeletedRecords"] == orders.limit(100).filter(
+        F.col("o_orderkey") % 4 == 0
+    ).count()
+    assert d["sizeInBytes"] > 0
+    assert d["minReaderVersion"] == 3  # DV upgrade
+    assert "deletionVectors" in d["readerFeatures"]
+    assert d["properties"]["delta.appendOnly"] == "false"
