@@ -811,3 +811,44 @@ def test_describe_detail(spark, sf_dir, tmp_path):
     assert d["minReaderVersion"] == 3  # DV upgrade
     assert "deletionVectors" in d["readerFeatures"]
     assert d["properties"]["delta.appendOnly"] == "false"
+
+
+def test_concurrent_sessionless_appends(spark, sf_dir, tmp_path):
+    """Eight threads blind-append via append_arrow simultaneously: the
+    O_EXCL commit race resolves by retry, every row lands exactly once,
+    and the log holds one commit per writer."""
+    import threading
+
+    import pyarrow as pa
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "ccr"))
+    t.create(orders.limit(10))
+    base = orders.limit(90).subtract(orders.limit(10)).toArrow()
+    chunks = [base.slice(i * 10, 10) for i in range(8)]
+    errs = []
+
+    def put(tbl):
+        try:
+            DeltaProtocolTable(None, str(tmp_path / "ccr")).append_arrow(
+                tbl
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=put, args=(c,)) for c in chunks]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.version() == 8  # create + 8 appends
+    assert t.snapshot().count() == 10 + sum(c.num_rows for c in chunks)
+    got = sorted(tuple(r) for r in t.snapshot().collect())
+    want = sorted(
+        tuple(r)
+        for r in orders.limit(10)
+        .unionByName(orders.limit(90).subtract(orders.limit(10)))
+        .collect()
+    )
+    assert got == want
