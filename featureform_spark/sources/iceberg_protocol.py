@@ -2697,10 +2697,14 @@ class IcebergProtocolTable:
                 "write through the owning Delta side instead"
             )
         cols = [f.name for f in schema.fields]
-        if old_deletes:
-            # match over the fully delete-APPLIED scan: rows removed by
-            # prior position/equality/DV deletes can never re-match (a
-            # raw-file scan would re-emit equality-deleted rows)
+        has_eq = any(
+            int(e["data_file"].get("content", 0)) == 2
+            for e in old_deletes
+        )
+        if has_eq:
+            # equality deletes have no (file, pos) identity, so only
+            # the fully delete-APPLIED scan keeps eq-deleted rows from
+            # re-matching (they would double-emit in the changelog)
             scan = self._read_with_deletes(
                 schema, data_entries, old_deletes, keep_pos=True
             ).select(
@@ -2709,6 +2713,8 @@ class IcebergProtocolTable:
                 F.col("__pos").alias("pos"),
             )
         else:
+            # position/DV-only prior state: raw scan + one broadcast
+            # anti-join below (cheaper plan than the applied scan)
             paths = sorted(
                 self._resolve_path(e["data_file"]["file_path"])
                 for e in data_entries
@@ -2781,8 +2787,12 @@ class IcebergProtocolTable:
                 "file_path string, pos long",
             )
             prev = dvdf if prev is None else prev.unionByName(dvdf)
-        # (matched already excludes prior-deleted rows — it filters the
-        # delete-applied scan; `prev` is kept for the v3 DV union)
+        if prev is not None and not has_eq:
+            # exclude already-deleted positions (the eq-delete path
+            # matched over the applied scan and needs no anti-join)
+            matched = matched.join(
+                F.broadcast(prev), ["file_path", "pos"], "left_anti"
+            )
         if int(md.get("format-version", 2)) >= 3:
             return self._delete_rows_v3(md, snap, matched, prev)
         matched = matched.orderBy("file_path", "pos")
