@@ -42,10 +42,9 @@ appends (inserts), and whole-file removes (deletes, prior DV masked).
 
 from __future__ import annotations
 
-import json
 import os
 import urllib.parse
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
