@@ -193,6 +193,7 @@ def _read_slice(part: _FileSlice) -> Iterator:
 class DeltaProtocolBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.t = _table(options)
+        self.options = options
 
     def partitions(self) -> Sequence[InputPartition]:
         st = self.t.state()
@@ -201,6 +202,17 @@ class DeltaProtocolBatchReader(DataSourceReader):
                 "deltaprotocol source: column-mapped tables are served "
                 "by DeltaProtocolTable.snapshot() (native scan)"
             )
+        if self.options.get("readchangefeed", "false").lower() == "true":
+            # batch CDF read (the connector's readChangeFeed +
+            # startingVersion/endingVersion): same per-commit change
+            # slices as the streaming source, over a fixed range
+            lo = int(self.options.get("startingversion", 0)) - 1
+            hi = int(
+                self.options.get("endingversion", self.t.version())
+            )
+            return DeltaProtocolStreamReader(
+                {"path": self.options["path"], "readchangefeed": "true"}
+            )._cdf_partitions(st, lo, hi)
         parts = st.partition_columns
         types = {f.name: f.dataType.simpleString() for f in st.schema.fields}
         order = [f.name for f in st.schema.fields]

@@ -295,3 +295,47 @@ def test_stream_cdf_partitioned_table(reg, spark, sf_dir, tmp_path):
     assert sorted(
         (r["event_id"], r["event_type"]) for r in ins.collect()
     ) == expect
+
+
+def test_batch_read_change_feed(reg, spark, sf_dir, tmp_path):
+    """Batch CDF through the registered source: readChangeFeed=true +
+    startingVersion/endingVersion mirror the connector's batch CDF
+    options; parity with table_changes over the same range."""
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "value")
+    tdir = str(tmp_path / "bcdf")
+    t = DeltaProtocolTable(spark, tdir)
+    t.create(
+        events.limit(100),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )                                                       # v0
+    t.append(events.limit(160).subtract(events.limit(100)))  # v1
+    t.delete_where(F.col("event_id") % 3 == 0)               # v2
+    got = (
+        spark.read.format("deltaprotocol")
+        .options(path=tdir, readChangeFeed="true", startingVersion="1")
+        .load()
+        .select("event_id", "event_type", "value",
+                "_change_type", "_commit_version")
+    )
+    want = t.table_changes(0).select(
+        "event_id", "event_type", "value",
+        "_change_type", "_commit_version",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # endingVersion bounds the range
+    only_v1 = (
+        spark.read.format("deltaprotocol")
+        .options(
+            path=tdir, readChangeFeed="true",
+            startingVersion="1", endingVersion="1",
+        )
+        .load()
+    )
+    assert set(
+        r["_commit_version"]
+        for r in only_v1.select("_commit_version").distinct().collect()
+    ) == {1}
