@@ -83,7 +83,14 @@ def _typed_partition_value(raw: str | None, ice_type: str):
 
         dt = datetime.datetime.fromisoformat(raw)
         epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
-        return int((dt - epoch).total_seconds() * 1_000_000)
+        d = dt - epoch
+        # exact integer micros: total_seconds() is a float and drops
+        # microseconds beyond ~2242 (2^53 ns)
+        return (
+            d.days * 86_400_000_000
+            + d.seconds * 1_000_000
+            + d.microseconds
+        )
     return raw
 
 

@@ -221,3 +221,74 @@ def test_uniform_v3_references_delta_dv_bytes(spark, sf_dir, tmp_path):
     sync_uniform(spark, path)
     assert _rows(ice.snapshot()) == _rows(d.snapshot())
     assert not glob.glob(os.path.join(path, "metadata", "uniform-delete-*"))
+
+
+def test_partition_value_storage_domain_roundtrip():
+    """Property: Delta partitionValues strings -> Iceberg storage
+    domain (_typed_partition_value) -> the reader's cast-string
+    (_as_cast_str equivalent) recovers the original value for every
+    supported type — dates ride as epoch days, timestamps as micros."""
+    import datetime
+
+    from hypothesis import given, settings, strategies as st_
+
+    from featureform_spark.sources.uniform import _typed_partition_value
+
+    def _reader_str(v, ice_type):
+        # mirror of iceberg_protocol._identity_patch._as_cast_str
+        if v is None:
+            return None
+        if ice_type == "date":
+            return (
+                datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+            ).isoformat()
+        if ice_type.startswith("timestamp"):
+            return (
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=int(v))
+            ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        return str(v)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st_.one_of(
+            st_.integers(min_value=-(2**62), max_value=2**62).map(
+                lambda i: ("long", str(i), str(i))
+            ),
+            st_.booleans().map(
+                lambda b: ("boolean", str(b).lower(), str(b))
+            ),
+            st_.dates(
+                min_value=datetime.date(1, 1, 1),
+                max_value=datetime.date(9999, 12, 31),
+            ).map(lambda d: ("date", d.isoformat(), d.isoformat())),
+            st_.datetimes(
+                min_value=datetime.datetime(1970, 1, 1),
+                max_value=datetime.datetime(9999, 12, 30),
+            ).map(
+                lambda t: (
+                    "timestamp",
+                    t.isoformat(sep=" "),
+                    t.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                )
+            ),
+            st_.text(min_size=0, max_size=40).map(
+                lambda s: ("string", s, s)
+            ),
+        )
+    )
+    def check(case):
+        ice_type, raw, expect = case
+        stored = _typed_partition_value(raw, ice_type)
+        back = _reader_str(stored, ice_type)
+        if ice_type == "date":
+            assert back == expect
+        elif ice_type == "timestamp":
+            assert back == expect
+        elif ice_type == "boolean":
+            assert back.lower() == expect.lower()
+        else:
+            assert back == expect
+        assert _typed_partition_value(None, ice_type) is None
+
+    check()
