@@ -173,6 +173,12 @@ def _iceberg_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
     # position deletes: (file_path, pos) parquet rows, applicable when
     # the delete's sequence number >= the data file's (same rule as
     # _read_with_deletes) — folded into per-file sorted position arrays
+    from featureform_spark.sources.iceberg_protocol import _is_dv_file
+    from featureform_spark.sources.dv_bitmap import (
+        decode_rbm_array,
+        read_dv_from_file,
+    )
+
     data_files = [
         (
             t._resolve_path(e["data_file"]["file_path"]),
@@ -184,8 +190,23 @@ def _iceberg_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
     del_by_path: dict[str, list[np.ndarray]] = {}
     for e in delete_entries:
         del_seq = int(e.get("sequence_number") or 0)
+        df_ = e["data_file"]
+        if _is_dv_file(df_):
+            # v3 deletion vector: decode the referenced puffin blob
+            ref = t._resolve_path(df_["referenced_data_file"])
+            if del_seq >= seq_by_path.get(ref, 0):
+                del_by_path.setdefault(ref, []).append(
+                    decode_rbm_array(
+                        read_dv_from_file(
+                            t._resolve_path(df_["file_path"]),
+                            int(df_["content_offset"]),
+                            int(df_["content_size_in_bytes"]),
+                        )
+                    )
+                )
+            continue
         dtbl = pq.read_table(
-            t._resolve_path(e["data_file"]["file_path"]),
+            t._resolve_path(df_["file_path"]),
             columns=["file_path", "pos"],
         )
         fp = dtbl.column("file_path").to_numpy(zero_copy_only=False)
@@ -412,7 +433,19 @@ class DatasetStreamerServer:
 
     def _resolve(self, req: dict) -> str:
         if req.get("path"):
-            path = req["path"]
+            # direct paths must live under a registered catalog root —
+            # a ticket is not a license to read arbitrary directories
+            path = os.path.realpath(req["path"])
+            roots = [
+                os.path.realpath(r) for r in self.catalogs.values()
+            ]
+            if not any(
+                path == r or path.startswith(r + os.sep) for r in roots
+            ):
+                raise TicketError(
+                    f"path {req['path']!r} is outside every registered "
+                    "catalog root"
+                )
         else:
             missing = [
                 f for f in ("namespace", "table") if not req.get(f)

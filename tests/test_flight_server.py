@@ -209,3 +209,34 @@ def test_list_flights_enumerates_catalog(served):
         assert got.num_rows > 0
     finally:
         client.close()
+
+
+def test_iceberg_v3_dv_roundtrip(served, spark, sf_dir, tmp_path):
+    """v3 deletion-vector tables serve over Flight too: the sessionless
+    scan decodes the referenced puffin blobs and masks rows. Direct
+    paths outside every registered catalog root refuse (tickets are
+    not a license to read arbitrary directories)."""
+    _spark0, server0, *_ = served
+    with pytest.raises((fl.FlightServerError, pa.ArrowInvalid),
+                       match="outside every registered"):
+        _client_read(server0, {"path": str(tmp_path)})
+    orders = _orders(spark, sf_dir)
+    root2 = tmp_path / "flightroot2"
+    (root2 / "ns").mkdir(parents=True)
+    tdir = str(root2 / "ns" / "v3f")
+    t = IcebergProtocolTable(spark, tdir)
+    t.create(orders.limit(200).repartition(2))
+    t.upgrade_format_version(3)
+    t.delete_rows(F.col("o_orderkey") % 3 == 0)
+    from featureform_spark.serving.flight_server import (
+        DatasetStreamerServer,
+    )
+
+    server = DatasetStreamerServer({"default": str(root2)})
+    try:
+        got = _client_read(server, {"path": tdir})
+    finally:
+        server.shutdown()
+    assert sorted(tuple(r.values()) for r in got.to_pylist()) == sorted(
+        map(tuple, t.snapshot().collect())
+    )
