@@ -382,9 +382,12 @@ class DatasetStreamerServer:
                         reader.to_reader(), txn=txn
                     )
                 elif fmt == "iceberg":
-                    raise TicketError(
-                        "do_put into iceberg tables is not supported — "
-                        "write through IcebergProtocolTable.append"
+                    from featureform_spark.sources.iceberg_protocol import (
+                        IcebergProtocolTable,
+                    )
+
+                    IcebergProtocolTable(None, path).append_arrow(
+                        reader.to_reader()
                     )
                 else:
                     import uuid as _uuid

@@ -1347,6 +1347,118 @@ class IcebergProtocolTable:
             )
         return self._read_files_patched(schema, data_entries, patch, nm)
 
+    def append_arrow(self, data) -> int:
+        """Blind append of a pyarrow Table or RecordBatchReader WITHOUT
+        a Spark session — the Flight ``do_put`` ingest primitive
+        (mirrors delta_protocol.append_arrow): batches stream through a
+        ParquetWriter into one data file, footer stats derive from the
+        written file, and the commit retries through the metadata
+        O_EXCL race. Partitioned tables gate (row routing needs the
+        engine)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        if self.partition_spec(md):
+            raise UnsupportedIcebergFeatureError(
+                "append_arrow: partitioned tables need the Spark "
+                "write path (partition routing)"
+            )
+        ice_schema = self.schema(md)
+        want = [f["name"] for f in ice_schema["fields"]]
+        in_names = list(data.schema.names)
+        if in_names != want and set(in_names) != set(want):
+            raise IcebergProtocolError(
+                f"append_arrow schema mismatch: got {in_names}, "
+                f"expected {want}"
+            )
+        os.makedirs(os.path.join(self.path, DATA_DIR), exist_ok=True)
+        target = os.path.join(
+            self.path, DATA_DIR, f"{uuid.uuid4().hex}-arrow.parquet"
+        )
+        batches = (
+            data.to_batches() if isinstance(data, pa.Table) else data
+        )
+        writer = None
+        try:
+            for batch in batches:
+                if list(batch.schema.names) != want:
+                    batch = batch.select(want)
+                if writer is None:
+                    writer = pq.ParquetWriter(target, batch.schema)
+                writer.write_batch(batch)
+            if writer is None:
+                return -1  # empty upload
+        finally:
+            if writer is not None:
+                writer.close()
+        name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+        nrec, vcounts, ncounts, lower, upper = self._footer_stats(
+            pq.ParquetFile(target), name_to_field
+        )
+        record = {
+            "content": 0,
+            "file_path": target,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": nrec,
+            "file_size_in_bytes": os.path.getsize(target),
+            "value_counts": [
+                {"key": k, "value": v} for k, v in sorted(vcounts.items())
+            ],
+            "null_value_counts": [
+                {"key": k, "value": v} for k, v in sorted(ncounts.items())
+            ],
+            "lower_bounds": [
+                {"key": k, "value": v} for k, v in sorted(lower.items())
+            ],
+            "upper_bounds": [
+                {"key": k, "value": v} for k, v in sorted(upper.items())
+            ],
+        }
+        for _attempt in range(20):
+            md = self.metadata()
+            snap = self.current_snapshot(md)
+            seq = int(md.get("last-sequence-number", 0)) + 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            manifest = self._write_manifest(
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": record,
+                    }
+                ],
+                self.schema(md),
+                self.partition_spec(md),
+                md.get("default-spec-id", 0),
+                snapshot_id,
+                seq,
+            )
+            prev = (
+                read_container(
+                    self._resolve_path(snap["manifest-list"])
+                )[1]
+                if snap
+                else []
+            )
+            try:
+                return self._advance(
+                    md,
+                    prev + [manifest],
+                    "append",
+                    1,
+                    nrec,
+                    snapshot_id=snapshot_id,
+                )
+            except FileExistsError:
+                continue  # lost the metadata O_EXCL race: refold, retry
+        raise IcebergProtocolError(
+            "append_arrow lost the commit race 20 times; giving up"
+        )
+
     def metadata_table(self, kind: str) -> DataFrame:
         """Inspection tables (Iceberg's ``SELECT * FROM tbl.<kind>``
         SQL surface): ``snapshots``, ``files``, ``delete_files``,

@@ -240,3 +240,36 @@ def test_iceberg_v3_dv_roundtrip(served, spark, sf_dir, tmp_path):
     assert sorted(tuple(r.values()) for r in got.to_pylist()) == sorted(
         map(tuple, t.snapshot().collect())
     )
+
+
+def test_do_put_appends_to_iceberg_sessionless(served, spark):
+    """Flight ingest into Iceberg: batches stream into a data file and
+    commit one append snapshot through the metadata O_EXCL race —
+    JVM-free, then Spark reads them back."""
+    _spark, server, _dt, it, orders = served
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        n_before = it.snapshot().count()
+        new_rows = orders.limit(430).subtract(orders.limit(400))
+        tbl = new_rows.toArrow()
+        desc = fl.FlightDescriptor.for_command(
+            json.dumps({"namespace": "ns", "table": "orders_ice"}).encode()
+        )
+        writer, _meta = client.do_put(desc, tbl.schema)
+        writer.write_table(tbl)
+        writer.close()
+        assert it.snapshot().count() == n_before + tbl.num_rows
+        snaps = it.snapshots(it.metadata())
+        assert (snaps[-1].get("summary") or {}).get("operation") == "append"
+        got = sorted(map(tuple, it.snapshot().collect()))
+        want = sorted(
+            map(
+                tuple,
+                it.snapshot(snapshot_id=snaps[-2]["snapshot-id"])
+                .unionByName(new_rows.select(*it.snapshot().columns))
+                .collect(),
+            )
+        )
+        assert got == want
+    finally:
+        client.close()
