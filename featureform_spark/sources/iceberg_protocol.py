@@ -784,8 +784,8 @@ class IcebergProtocolTable:
             raise IcebergProtocolError(f"not an iceberg table: {self.path}")
         return os.path.join(self.metadata_path, files[-1][1])
 
-    def metadata(self) -> dict:
-        with open(self._current_metadata_file()) as f:
+    def metadata(self, _file: str | None = None) -> dict:
+        with open(_file or self._current_metadata_file()) as f:
             md = json.load(f)
         fv = md.get("format-version", 1)
         if fv > 3:
@@ -1417,7 +1417,15 @@ class IcebergProtocolTable:
             ],
         }
         for _attempt in range(20):
-            md = self.metadata()
+            # fold from the NEWEST metadata file explicitly — the
+            # version-hint is only a reader optimization and can lag
+            # behind a concurrent commit, which would silently base
+            # this append on a stale manifest list
+            files = self._metadata_files()
+            base_version, fname = files[-1]
+            md = self.metadata(
+                os.path.join(self.metadata_path, fname)
+            )
             snap = self.current_snapshot(md)
             seq = int(md.get("last-sequence-number", 0)) + 1
             snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -1452,6 +1460,7 @@ class IcebergProtocolTable:
                     1,
                     nrec,
                     snapshot_id=snapshot_id,
+                    expect_version=base_version,
                 )
             except FileExistsError:
                 continue  # lost the metadata O_EXCL race: refold, retry
@@ -2524,10 +2533,22 @@ class IcebergProtocolTable:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             json.dump(md, f, indent=2)
-        tmp = os.path.join(self.metadata_path, f".{VERSION_HINT}.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(self.metadata_path, VERSION_HINT))
+        # monotonic hint: a lagging concurrent committer must not point
+        # readers back to an older version (the hint is an optimization
+        # only — correctness comes from the O_EXCL metadata files)
+        hint_path = os.path.join(self.metadata_path, VERSION_HINT)
+        try:
+            with open(hint_path) as f:
+                cur = int(f.read().strip())
+        except (OSError, ValueError):
+            cur = -1
+        if version > cur:
+            tmp = os.path.join(
+                self.metadata_path, f".{VERSION_HINT}.{uuid.uuid4().hex}.tmp"
+            )
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, hint_path)
 
     def _name_mapping(self, ice_schema: dict) -> str:
         return json.dumps(
@@ -2657,7 +2678,14 @@ class IcebergProtocolTable:
         nfiles: int,
         nrecords: int,
         snapshot_id: int | None = None,
+        expect_version: int | None = None,
     ) -> int:
+        """``expect_version`` pins the commit to the metadata version
+        the caller FOLDED (compare-and-swap): if another writer
+        committed meanwhile, v{expect+1} already exists and the O_EXCL
+        create raises FileExistsError instead of silently basing the
+        new snapshot on a stale manifest list — concurrent callers
+        (append_arrow) catch it, refold, retry."""
         now = int(time.time() * 1000)
         seq = int(md.get("last-sequence-number", 0)) + 1
         if snapshot_id is None:
@@ -2679,7 +2707,11 @@ class IcebergProtocolTable:
             },
             "schema-id": md.get("current-schema-id", 0),
         }
-        version = max(v for v, _ in self._metadata_files()) + 1
+        version = (
+            expect_version
+            if expect_version is not None
+            else max(v for v, _ in self._metadata_files())
+        ) + 1
         old_file = self._current_metadata_file()
         md = dict(md)
         md["last-sequence-number"] = seq

@@ -1097,3 +1097,32 @@ def test_metadata_tables(spark, sf_dir, tmp_path):
     assert refs.collect()[0]["name"] == "v1"
     with pytest.raises(IcebergProtocolError, match="unknown metadata"):
         t.metadata_table("nope")
+
+
+def test_concurrent_sessionless_iceberg_appends(spark, sf_dir, tmp_path):
+    """Six threads append_arrow simultaneously: the metadata O_EXCL
+    race resolves by refold+retry and every row lands exactly once."""
+    import threading
+
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "icc")
+    t = IcebergProtocolTable(spark, path)
+    t.create(orders.limit(10))
+    base = orders.limit(70).subtract(orders.limit(10)).toArrow()
+    chunks = [base.slice(i * 10, 10) for i in range(6)]
+    errs = []
+
+    def put(tbl):
+        try:
+            IcebergProtocolTable(None, path).append_arrow(tbl)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=put, args=(c,)) for c in chunks]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert len(t.snapshots(t.metadata())) == 7  # create + 6 appends
+    assert t.snapshot().count() == 10 + sum(c.num_rows for c in chunks)
