@@ -1644,8 +1644,20 @@ class IcebergProtocolTable:
 
         keep_refs = _referenced(keep_snaps)
         dead_refs = _referenced(expired) - keep_refs
+        # UniForm mirror: the DATA PLANE (parquet files, Delta DV
+        # blobs) belongs to the Delta side — its log may still
+        # reference files only old mirror snapshots point at, and
+        # VACUUM is the authority that collects them. Expiring mirror
+        # snapshots must only delete the mirror's OWN metadata
+        # artifacts (manifests, manifest lists, conversion parquets).
+        uniform = "delta.uniform.delta-version" in (
+            md.get("properties") or {}
+        )
+        meta_prefix = self.metadata_path.rstrip(os.sep) + os.sep
         deleted = 0
         for p in sorted(dead_refs):
+            if uniform and not p.startswith(meta_prefix):
+                continue
             if os.path.exists(p):
                 os.remove(p)
                 deleted += 1

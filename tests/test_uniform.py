@@ -292,3 +292,26 @@ def test_partition_value_storage_domain_roundtrip():
         assert _typed_partition_value(None, ice_type) is None
 
     check()
+
+
+def test_mirror_expiry_never_deletes_delta_files(spark, sf_dir, tmp_path):
+    """expire_snapshots on a UniForm mirror must not touch the DATA
+    plane — Delta's log may still reference files only old mirror
+    snapshots point at (VACUUM is the authority there); only the
+    mirror's own metadata artifacts are collected."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "mexp")
+    d = DeltaProtocolTable(spark, path)
+    d.create(orders.limit(100))
+    sync_uniform(spark, path, iceberg_format_version=3)
+    d.delete_where(F.col("o_orderkey") % 2 == 0)
+    sync_uniform(spark, path)      # mirror snapshot 2
+    d.overwrite(orders.limit(40))  # delta forgets the old files...
+    sync_uniform(spark, path)      # ...mirror snapshot 3
+    ice = IcebergProtocolTable(spark, path)
+    ice.expire_snapshots(retain_last=1)
+    # delta time travel across ALL prior versions still reads (no data
+    # or DV file was deleted by the mirror's expiry)
+    assert d.snapshot(version=0).count() == 100
+    assert d.snapshot(version=1).count() == 50
+    assert _rows(ice.snapshot()) == _rows(d.snapshot())
