@@ -56,23 +56,70 @@ from featureform_spark.sources.iceberg_protocol import (
 
 
 class _IceSlice(InputPartition):
-    def __init__(self, abs_path: str, field_order: list):
+    def __init__(
+        self,
+        abs_path: str,
+        field_order: list,
+        positions_blob: bytes | None = None,
+        literals: dict | None = None,
+    ):
         self.abs_path = abs_path
         self.field_order = field_order
+        # roaring-encoded row indexes to SELECT (CDF delete replay);
+        # None = whole file
+        self.positions_blob = positions_blob
+        # constant CDF columns: {name: (python value, pyarrow type key)}
+        self.literals = literals or {}
 
 
 def _read_ice_slice(part: _IceSlice) -> Iterator:
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    wanted = None
+    if part.positions_blob is not None:
+        from featureform_spark.sources.dv_bitmap import decode_rbm_array
+
+        wanted = decode_rbm_array(part.positions_blob)
+
+    def _lit_array(val, key, n):
+        typ = {
+            "string": pa.string(),
+            "int": pa.int32(),
+            "long": pa.int64(),
+        }[key]
+        return pa.array([val] * n, type=typ)
+
     pf = pq.ParquetFile(part.abs_path)
+    offset = 0
     for batch in pf.iter_batches():
+        n = batch.num_rows
+        if wanted is not None:
+            lo = np.searchsorted(wanted, offset)
+            hi = np.searchsorted(wanted, offset + n)
+            offset += n
+            if hi == lo:
+                continue
+            batch = batch.take(
+                pa.array(
+                    (wanted[lo:hi] - (offset - n)).astype(np.int64)
+                )
+            )
+            n = batch.num_rows
         cols = {
             name: batch.column(i)
             for i, name in enumerate(batch.schema.names)
         }
+        arrays = []
+        for name in part.field_order:
+            if name in part.literals:
+                val, key = part.literals[name]
+                arrays.append(_lit_array(val, key, n))
+            else:
+                arrays.append(cols[name])
         yield pa.RecordBatch.from_arrays(
-            [cols[n] for n in part.field_order], names=part.field_order
+            arrays, names=part.field_order
         )
 
 
@@ -120,9 +167,28 @@ class IcebergProtocolBatchReader(DataSourceReader):
         return _read_ice_slice(partition)
 
 
+_CDF_COLS = ["_change_type", "_change_ordinal", "_commit_snapshot_id"]
+
+
+def _cdf_schema(schema):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_change_ordinal", T.IntegerType()),
+            T.StructField("_commit_snapshot_id", T.LongType()),
+        ]
+    )
+
+
 class IcebergProtocolStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.t = _table(options)
+        self.cdf = (
+            options.get("readchangefeed", "false").lower() == "true"
+        )
         self.skip_change = (
             options.get("skipchangesnapshots", "false").lower() == "true"
         )
@@ -173,6 +239,148 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
             "snapshot_id": int(snaps[-1]["snapshot-id"]) if snaps else -1
         }
 
+    def _cdf_partitions(
+        self, md: dict, snaps: list, lo: int, hi: int
+    ) -> Sequence[InputPartition]:
+        """readChangeFeed=true: per-snapshot change slices, executor-
+        readable — appends as insert slices, delete snapshots replayed
+        by SELECTING the freshly-deleted row positions from the
+        referenced data files (parquet position-delete rows read
+        sessionless; v3 DV diffs vs the parent vector; positions ship
+        roaring-encoded). Equality deletes and overwrites gate to
+        changelog_scan (they need joins)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from featureform_spark.sources.dv_bitmap import (
+            decode_rbm_array,
+            encode_rbm_array,
+            read_dv_from_file,
+        )
+        from featureform_spark.sources.iceberg_protocol import (
+            _is_dv_file,
+        )
+
+        order = [f.name for f in self.t.spark_schema(md).fields] + _CDF_COLS
+        out: list[_IceSlice] = []
+        for ordinal, idx in enumerate(range(lo + 1, hi + 1)):
+            s = snaps[idx]
+            sid = int(s["snapshot-id"])
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction: no logical change
+            if op == "overwrite":
+                raise UnsupportedIcebergFeatureError(
+                    f"snapshot {sid} is an overwrite — consume "
+                    "IcebergProtocolTable.changelog_scan() for "
+                    "overwrite change rows"
+                )
+            data_entries, delete_entries = self.t._live_entries(s)
+            ins_lits = {
+                "_change_type": ("insert", "string"),
+                "_change_ordinal": (ordinal, "int"),
+                "_commit_snapshot_id": (sid, "long"),
+            }
+            for e in data_entries:
+                if int(e.get("snapshot_id") or -1) != sid:
+                    continue
+                out.append(
+                    _IceSlice(
+                        self.t._resolve_path(
+                            e["data_file"]["file_path"]
+                        ),
+                        order,
+                        None,
+                        ins_lits,
+                    )
+                )
+            added_del = [
+                e
+                for e in delete_entries
+                if int(e.get("snapshot_id") or -1) == sid
+            ]
+            if not added_del:
+                continue
+            parent_dv: dict[str, np.ndarray] = {}
+            if idx > 0:
+                _pe, pdel = self.t._live_entries(snaps[idx - 1])
+                for e in pdel:
+                    df_ = e["data_file"]
+                    if int(df_.get("content", 0)) == 1 and _is_dv_file(
+                        df_
+                    ):
+                        parent_dv[
+                            self.t._resolve_path(
+                                df_["referenced_data_file"]
+                            )
+                        ] = decode_rbm_array(
+                            read_dv_from_file(
+                                self.t._resolve_path(df_["file_path"]),
+                                int(df_["content_offset"]),
+                                int(df_["content_size_in_bytes"]),
+                            )
+                        )
+            fresh: dict[str, list[np.ndarray]] = {}
+            for e in added_del:
+                df_ = e["data_file"]
+                content = int(df_.get("content", 0))
+                if content == 2:
+                    raise UnsupportedIcebergFeatureError(
+                        "equality deletes in a streamed CDF range — "
+                        "consume changelog_scan() instead"
+                    )
+                if _is_dv_file(df_):
+                    ref = self.t._resolve_path(
+                        df_["referenced_data_file"]
+                    )
+                    cur = decode_rbm_array(
+                        read_dv_from_file(
+                            self.t._resolve_path(df_["file_path"]),
+                            int(df_["content_offset"]),
+                            int(df_["content_size_in_bytes"]),
+                        )
+                    )
+                    fresh.setdefault(ref, []).append(
+                        np.setdiff1d(
+                            cur,
+                            parent_dv.get(
+                                ref, np.empty(0, dtype=np.uint64)
+                            ),
+                        )
+                    )
+                else:
+                    dtbl = pq.read_table(
+                        self.t._resolve_path(df_["file_path"]),
+                        columns=["file_path", "pos"],
+                    )
+                    fp = dtbl.column("file_path").to_numpy(
+                        zero_copy_only=False
+                    )
+                    pos = dtbl.column("pos").to_numpy(
+                        zero_copy_only=False
+                    )
+                    for p in np.unique(fp):
+                        fresh.setdefault(str(p), []).append(
+                            pos[fp == p].astype(np.uint64)
+                        )
+            del_lits = {
+                "_change_type": ("delete", "string"),
+                "_change_ordinal": (ordinal, "int"),
+                "_commit_snapshot_id": (sid, "long"),
+            }
+            for ref in sorted(fresh):
+                merged = np.unique(np.concatenate(fresh[ref]))
+                if len(merged):
+                    out.append(
+                        _IceSlice(
+                            ref,
+                            order,
+                            encode_rbm_array(merged),
+                            del_lits,
+                        )
+                    )
+        return out
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         md = self.t.metadata()
         snaps = self.t.snapshots(md)
@@ -186,6 +394,8 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
             )
         if hi == lo:
             return []
+        if self.cdf:
+            return self._cdf_partitions(md, snaps, lo, hi)
         # files are collected from each append snapshot's OWN view (the
         # entries it added), not the range head's live set: a later
         # rewrite in range replaces earlier files, but the rows were
@@ -233,7 +443,10 @@ class IcebergProtocolDataSource(DataSource):
 
     def schema(self):
         t = _table(self.options)
-        return t.spark_schema(t.metadata())
+        schema = t.spark_schema(t.metadata())
+        if self.options.get("readchangefeed", "false").lower() == "true":
+            return _cdf_schema(schema)
+        return schema
 
     def reader(self, schema) -> DataSourceReader:
         return IcebergProtocolBatchReader(self.options)

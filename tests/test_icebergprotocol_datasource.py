@@ -148,3 +148,49 @@ def test_stream_refuses_change_snapshots_unless_skipped(
     run("ip_ok", {"skipChangeSnapshots": "true"})
     n = spark.sql("SELECT count(*) c FROM ip_ok").first()["c"]
     assert n == 80  # the initial append only; the rewrite is skipped
+
+
+def test_stream_read_change_feed(reg, spark, sf_dir, tmp_path):
+    """readChangeFeed=true on the registered iceberg source: inserts
+    from appends, delete replays SELECTING freshly-deleted positions
+    from the referenced files (v2 parquet deletes AND v3 DV diffs),
+    parity with changelog_scan, checkpointed resume."""
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "icdf")
+    t = IcebergProtocolTable(spark, tdir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.delete_rows(F.col("o_orderkey") % 6 == 0)   # v2 pos deletes
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("icebergprotocol")
+            .options(path=tdir, readChangeFeed="true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = drain()
+    want = t.changelog_scan().select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # resume: upgrade to v3, DV delete, drain only the new changes
+    t.upgrade_format_version(3)
+    t.delete_rows(F.col("o_orderkey") % 9 == 0)   # v3 DV
+    got2 = drain()
+    n_new = (
+        t.changelog_scan(
+            from_snapshot_id=t.snapshots(t.metadata())[-2]["snapshot-id"]
+        ).count()
+    )
+    assert got2.count() == got.count() + n_new
+    assert got2.count() == got2.distinct().count()
