@@ -698,3 +698,38 @@ def iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value",
         "_change_type", "_change_ordinal",
     )
+
+
+@query(
+    "delta_uniform_v3",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 <= 1
+      AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    """,
+)
+def delta_uniform_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm with a FORMAT-VERSION 3 mirror (round 6): two Delta
+    deletion-vector DELETEs, then sync_uniform(iceberg_format_version=3)
+    references Delta's DV blob BYTES in place as Iceberg v3
+    deletion-vector entries — zero conversion (shared framed
+    roaring-portable layout, sources/dv_bitmap.py); the Iceberg reader
+    decodes the same bytes and returns exactly the Delta live rows."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+    from featureform_spark.sources.uniform import sync_uniform
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "uniform_v3")
+    d = DeltaProtocolTable(spark, path)
+    d.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    d.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    d.delete_where(F.col("o_orderkey") % 5 == 0)
+    d.delete_where(F.col("o_orderkey") % 7 == 0)   # DV union
+    sync_uniform(spark, path, iceberg_format_version=3)
+    return IcebergProtocolTable(spark, path).snapshot()
