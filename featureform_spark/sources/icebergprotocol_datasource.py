@@ -135,9 +135,23 @@ def _table(options: dict) -> IcebergProtocolTable:
 class IcebergProtocolBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.t = _table(options)
+        self.options = options
 
     def partitions(self) -> Sequence[InputPartition]:
         md = self.t.metadata()
+        if self.options.get("readchangefeed", "false").lower() == "true":
+            # batch CDF over a snapshot-id range (mirrors the delta
+            # source's startingVersion/endingVersion contract)
+            snaps = self.t.snapshots(md)
+            ids = [int(s["snapshot-id"]) for s in snaps]
+            start = self.options.get("startingsnapshotid")
+            end = self.options.get("endingsnapshotid")
+            lo = ids.index(int(start)) if start is not None else -1
+            hi = ids.index(int(end)) if end is not None else len(ids) - 1
+            reader = IcebergProtocolStreamReader(
+                {"path": self.options["path"], "readchangefeed": "true"}
+            )
+            return reader._cdf_partitions(md, snaps, lo, hi)
         snap = self.t._snapshot_by(None, md=md)
         order = [f.name for f in self.t.spark_schema(md).fields]
         if snap is None:

@@ -194,3 +194,40 @@ def test_stream_read_change_feed(reg, spark, sf_dir, tmp_path):
     )
     assert got2.count() == got.count() + n_new
     assert got2.count() == got2.distinct().count()
+
+
+def test_batch_read_change_feed(reg, spark, sf_dir, tmp_path):
+    """Batch CDF via the registered source: snapshot-id range options
+    mirror the delta source's version options; parity with
+    changelog_scan over the same range."""
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "bicdf")
+    t = IcebergProtocolTable(spark, tdir)
+    t.create(orders.limit(100))
+    t.append(orders.limit(150).subtract(orders.limit(100)))
+    t.delete_rows(F.col("o_orderkey") % 5 == 0)
+    snaps = t.snapshots(t.metadata())
+    got = (
+        spark.read.format("icebergprotocol")
+        .options(path=tdir, readChangeFeed="true")
+        .load()
+    )
+    want = t.changelog_scan().select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # bounded range: only the delete snapshot's changes
+    rng = (
+        spark.read.format("icebergprotocol")
+        .options(
+            path=tdir,
+            readChangeFeed="true",
+            startingSnapshotId=str(snaps[1]["snapshot-id"]),
+            endingSnapshotId=str(snaps[2]["snapshot-id"]),
+        )
+        .load()
+    )
+    assert set(
+        r["_change_type"]
+        for r in rng.select("_change_type").distinct().collect()
+    ) == {"delete"}
