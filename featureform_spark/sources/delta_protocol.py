@@ -1263,16 +1263,26 @@ class DeltaProtocolTable:
             json.dumps(a) for a in actions
         ]
         target = os.path.join(self.log_path, _commit_name(version))
+        # stage + hard-link: atomic put-if-absent whose content is
+        # fully visible the instant the name exists (an O_EXCL create
+        # followed by an in-place write lets a concurrent log reader
+        # catch a partially-written commit file)
+        tmp = os.path.join(
+            self.log_path,
+            f".{_commit_name(version)}.{uuid.uuid4().hex}.tmp",
+        )
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)
         except FileExistsError:
+            os.unlink(tmp)
             raise ConcurrentCommitError(
                 f"version {version} was committed concurrently; this "
                 "operation's snapshot is stale — re-run against the new "
                 "state (blind appends retry automatically)"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        os.unlink(tmp)
 
     def _metadata_action(
         self,

@@ -1612,10 +1612,22 @@ class IcebergProtocolTable:
         ref_ids = {
             r["snapshot-id"] for r in (md.get("refs") or {}).values()
         }
+        # ``retain_last`` counts along the MAIN ancestry chain, not the
+        # raw snapshots list: staged (WAP) snapshots are appended to the
+        # list unreferenced, and counting them as "last" would expire
+        # main's own head. Unreferenced staged snapshots always expire.
+        by_id = {int(s["snapshot-id"]): s for s in snaps}
+        main_chain: list[int] = []
+        cur = md.get("current-snapshot-id")
+        while cur is not None and int(cur) in by_id:
+            main_chain.append(int(cur))
+            cur = by_id[int(cur)].get("parent-snapshot-id")
+        retained = set(main_chain[:retain_last])
         keep_snaps = [
             s
             for s in snaps
-            if s in snaps[-retain_last:] or s["snapshot-id"] in ref_ids
+            if s["snapshot-id"] in retained
+            or s["snapshot-id"] in ref_ids
         ]
         keep_ids_set = {s["snapshot-id"] for s in keep_snaps}
         expired = [s for s in snaps if s["snapshot-id"] not in keep_ids_set]
@@ -2541,10 +2553,25 @@ class IcebergProtocolTable:
             self.metadata_path, f"v{version}.metadata.json"
         )
         os.makedirs(self.metadata_path, exist_ok=True)
-        # O_EXCL put-if-absent: concurrent committers lose cleanly
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
+        # Atomic put-if-absent: the JSON is staged to a hidden temp
+        # file first, then hard-linked into place. link(2) fails with
+        # FileExistsError when the target exists (concurrent committers
+        # lose cleanly, same as O_EXCL) AND readers can never observe a
+        # partially-written metadata file — an O_EXCL create followed
+        # by an in-place write let a concurrent reader catch empty/
+        # truncated JSON (seen in the 6-writer append stress).
+        tmp = os.path.join(
+            self.metadata_path,
+            f".v{version}.{uuid.uuid4().hex}.tmp",
+        )
+        with open(tmp, "w") as f:
             json.dump(md, f, indent=2)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise
+        os.unlink(tmp)
         # monotonic hint: a lagging concurrent committer must not point
         # readers back to an older version (the hint is an optimization
         # only — correctness comes from the O_EXCL metadata files)
@@ -2691,13 +2718,24 @@ class IcebergProtocolTable:
         nrecords: int,
         snapshot_id: int | None = None,
         expect_version: int | None = None,
+        branch: str = "main",
+        stage_only: bool = False,
+        parent_snapshot_id: int | None = None,
+        extra_summary: dict[str, str] | None = None,
     ) -> int:
         """``expect_version`` pins the commit to the metadata version
         the caller FOLDED (compare-and-swap): if another writer
         committed meanwhile, v{expect+1} already exists and the O_EXCL
         create raises FileExistsError instead of silently basing the
         new snapshot on a stale manifest list — concurrent callers
-        (append_arrow) catch it, refold, retry."""
+        (append_arrow) catch it, refold, retry.
+
+        ``branch`` targets a named ref (spec §refs): the snapshot is
+        recorded and ``refs[branch]`` advances, but ``main``
+        (current-snapshot-id + snapshot-log) is untouched — the
+        write-audit-publish staging pattern. ``stage_only`` records the
+        snapshot without moving ANY ref (WAP ``wap.id`` staging);
+        publish later via :meth:`cherrypick_snapshot`."""
         now = int(time.time() * 1000)
         seq = int(md.get("last-sequence-number", 0)) + 1
         if snapshot_id is None:
@@ -2706,17 +2744,21 @@ class IcebergProtocolTable:
             self.metadata_path, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
         )
         write_container(ml_path, MANIFEST_LIST_SCHEMA, new_manifests)
+        if parent_snapshot_id is None:
+            parent_snapshot_id = md.get("current-snapshot-id")
+        summary = {
+            "operation": operation,
+            "added-data-files": str(nfiles),
+            "added-records": str(nrecords),
+        }
+        summary.update(extra_summary or {})
         snap = {
             "snapshot-id": snapshot_id,
-            "parent-snapshot-id": md.get("current-snapshot-id"),
+            "parent-snapshot-id": parent_snapshot_id,
             "sequence-number": seq,
             "timestamp-ms": now,
             "manifest-list": ml_path,
-            "summary": {
-                "operation": operation,
-                "added-data-files": str(nfiles),
-                "added-records": str(nrecords),
-            },
+            "summary": summary,
             "schema-id": md.get("current-schema-id", 0),
         }
         version = (
@@ -2728,11 +2770,31 @@ class IcebergProtocolTable:
         md = dict(md)
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = now
-        md["current-snapshot-id"] = snapshot_id
         md["snapshots"] = self.snapshots(md) + [snap]
-        md["snapshot-log"] = (md.get("snapshot-log") or []) + [
-            {"timestamp-ms": now, "snapshot-id": snapshot_id}
-        ]
+        if not stage_only:
+            if branch == "main":
+                md["current-snapshot-id"] = snapshot_id
+                md["snapshot-log"] = (md.get("snapshot-log") or []) + [
+                    {"timestamp-ms": now, "snapshot-id": snapshot_id}
+                ]
+                refs = dict(md.get("refs") or {})
+                if "main" in refs:
+                    refs["main"] = {
+                        "snapshot-id": snapshot_id, "type": "branch"
+                    }
+                    md["refs"] = refs
+            else:
+                refs = dict(md.get("refs") or {})
+                prior = refs.get(branch)
+                if prior is not None and prior.get("type") == "tag":
+                    raise IcebergProtocolError(
+                        f"cannot write to tag {branch!r} (tags are "
+                        "immutable pointers; use a branch)"
+                    )
+                refs[branch] = {
+                    "snapshot-id": snapshot_id, "type": "branch"
+                }
+                md["refs"] = refs
         md["metadata-log"] = (md.get("metadata-log") or []) + [
             {"timestamp-ms": now, "metadata-file": old_file}
         ]
@@ -2792,12 +2854,58 @@ class IcebergProtocolTable:
         self._commit_metadata(md, version)
         return new_id
 
-    def append(self, df: DataFrame) -> int:
+    def _branch_head(self, md: dict, branch: str) -> dict | None:
+        """Head snapshot of a named branch ('main' = current)."""
+        if branch == "main":
+            return self.current_snapshot(md)
+        ref = (md.get("refs") or {}).get(branch)
+        if ref is None:
+            return None
+        return self._snapshot_by(int(ref["snapshot-id"]), md=md)
+
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = "main",
+        wap_id: str | None = None,
+    ) -> int:
+        """Append rows. ``branch`` commits to a named branch ref
+        (created from main's head if absent) without touching main —
+        audit the branch, then :meth:`fast_forward` main to publish.
+        ``wap_id`` stages an UNREFERENCED snapshot tagged
+        ``wap.id`` (requires table property ``write.wap.enabled``);
+        publish via :meth:`cherrypick_snapshot`. Mirrors
+        write-audit-publish on Iceberg (SnapshotManager.cherrypick /
+        spark.wap.branch); the reference only writes through vendor
+        catalogs (offline_store_spark_runner.py:920-934)."""
         md = self.metadata()
+        if wap_id is not None:
+            if branch != "main":
+                raise IcebergProtocolError(
+                    "wap_id and branch are mutually exclusive"
+                )
+            props = md.get("properties") or {}
+            if str(props.get("write.wap.enabled", "")).lower() != "true":
+                raise IcebergProtocolError(
+                    "wap_id staging requires table property "
+                    "write.wap.enabled=true"
+                )
+            for s in self.snapshots(md):
+                summ = s.get("summary") or {}
+                if wap_id in (
+                    summ.get("wap.id"), summ.get("published-wap-id")
+                ):
+                    raise IcebergProtocolError(
+                        f"duplicate wap.id {wap_id!r}: already "
+                        f"staged/published by snapshot {s['snapshot-id']}"
+                    )
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
         seq = int(md.get("last-sequence-number", 0)) + 1
-        snap_prev = self.current_snapshot(md)
+        snap_prev = self._branch_head(md, branch)
+        if snap_prev is None and branch != "main":
+            # new branch forks from main's head
+            snap_prev = self.current_snapshot(md)
         prev_manifests = []
         if snap_prev is not None:
             _, prev_manifests = read_container(
@@ -2822,7 +2930,116 @@ class IcebergProtocolTable:
         return self._advance(
             md, prev_manifests + [manifest], "append", len(files),
             sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
+            branch=branch,
+            stage_only=wap_id is not None,
+            parent_snapshot_id=(
+                snap_prev["snapshot-id"] if snap_prev is not None else None
+            ),
+            extra_summary={"wap.id": wap_id} if wap_id is not None else None,
         )
+
+    def cherrypick_snapshot(self, snapshot_id: int) -> int:
+        """Publish a staged (WAP) append snapshot onto main: re-apply
+        the manifests the staged snapshot ADDED on top of main's
+        current head as a NEW snapshot (Iceberg's cherrypick semantics
+        for appends), stamping ``published-wap-id`` so the same wap.id
+        cannot publish twice. Only 'append' snapshots cherry-pick;
+        anything else raises (same restriction as Iceberg's
+        CherryPickOperation for non-fast-forward picks)."""
+        md = self.metadata()
+        staged = self._snapshot_by(snapshot_id, md=md)
+        if staged is None:
+            raise IcebergProtocolError(f"unknown snapshot {snapshot_id}")
+        summ = staged.get("summary") or {}
+        if summ.get("operation") != "append":
+            raise UnsupportedIcebergFeatureError(
+                "cherrypick_snapshot supports append snapshots only "
+                f"(got {summ.get('operation')!r})"
+            )
+        wap_id = summ.get("wap.id")
+        if wap_id is not None:
+            for s in self.snapshots(md):
+                if (s.get("summary") or {}).get(
+                    "published-wap-id"
+                ) == wap_id:
+                    raise IcebergProtocolError(
+                        f"wap.id {wap_id!r} already published by "
+                        f"snapshot {s['snapshot-id']}"
+                    )
+        _, staged_ml = read_container(
+            self._resolve_path(staged["manifest-list"])
+        )
+        added = [
+            m for m in staged_ml
+            if int(m.get("added_snapshot_id") or -1)
+            == int(staged["snapshot-id"])
+        ]
+        if not added:
+            raise IcebergProtocolError(
+                f"snapshot {snapshot_id} added no manifests; "
+                "nothing to cherry-pick"
+            )
+        head = self.current_snapshot(md)
+        head_manifests = []
+        if head is not None:
+            _, head_manifests = read_container(
+                self._resolve_path(head["manifest-list"])
+            )
+        extra = {"source-snapshot-id": str(staged["snapshot-id"])}
+        if wap_id is not None:
+            extra["published-wap-id"] = wap_id
+        return self._advance(
+            md, head_manifests + added, "append",
+            sum(int(m.get("added_files_count") or 0) for m in added),
+            sum(int(m.get("added_rows_count") or 0) for m in added),
+            extra_summary=extra,
+        )
+
+    def _is_ancestor(self, md: dict, ancestor_id: int, head_id: int) -> bool:
+        by_id = {
+            int(s["snapshot-id"]): s for s in self.snapshots(md)
+        }
+        cur: int | None = head_id
+        while cur is not None:
+            if cur == ancestor_id:
+                return True
+            cur = by_id.get(cur, {}).get("parent-snapshot-id")
+            cur = int(cur) if cur is not None else None
+        return False
+
+    def fast_forward(self, name: str, to_ref: str) -> int:
+        """Fast-forward ref ``name`` (e.g. 'main') to the head of
+        branch ``to_ref`` — publish step of branch-WAP. Requires
+        ``name``'s head to be an ancestor of ``to_ref``'s head (true
+        fast-forward; diverged branches raise)."""
+        md = self.metadata()
+        target = self._branch_head(md, to_ref)
+        if target is None:
+            raise IcebergProtocolError(f"unknown ref {to_ref!r}")
+        target_id = int(target["snapshot-id"])
+        cur = self._branch_head(md, name)
+        if cur is not None and not self._is_ancestor(
+            md, int(cur["snapshot-id"]), target_id
+        ):
+            raise IcebergProtocolError(
+                f"cannot fast-forward {name!r}: its head "
+                f"{cur['snapshot-id']} is not an ancestor of "
+                f"{to_ref!r}'s head {target_id}"
+            )
+        now = int(time.time() * 1000)
+        version = max(v for v, _ in self._metadata_files()) + 1
+        md = dict(md)
+        refs = dict(md.get("refs") or {})
+        refs[name] = {"snapshot-id": target_id, "type": "branch"}
+        md["refs"] = refs
+        if name == "main":
+            md["current-snapshot-id"] = target_id
+            md["snapshot-log"] = (md.get("snapshot-log") or []) + [
+                {"timestamp-ms": now, "snapshot-id": target_id}
+            ]
+        md["last-updated-ms"] = now
+        self._commit_metadata(md, version)
+        return target_id
 
     def delete_rows(self, condition) -> int:
         """Row-level DELETE via v2 position deletes (merge-on-read):

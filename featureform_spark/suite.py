@@ -1161,7 +1161,10 @@ def sketch_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their pipelines) sit past the cap — still pytest-oracle-covered.
 PRIORITY: tuple[str, ...] = (
     "materialize_latest",
-    "materialize_no_ts",
+    # round-6 late addition: write-audit-publish (branch writes,
+    # wap.id staging, cherry-pick publish). materialize_no_ts (green
+    # r1-r5) rotates out, stays pytest-oracle-covered.
+    "iceberg_wap_publish",
     "segment_iteration",
     "training_set_pit",
     "training_set_lag",

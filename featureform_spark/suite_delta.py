@@ -733,3 +733,47 @@ def delta_uniform_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.delete_where(F.col("o_orderkey") % 7 == 0)   # DV union
     sync_uniform(spark, path, iceberg_format_version=3)
     return IcebergProtocolTable(spark, path).snapshot()
+
+
+@query(
+    "iceberg_wap_publish",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 4 IN (0, 1, 2)
+    """,
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg write-audit-publish (round 6): the production pattern
+    for gating bad data out of a 100-TB table. One append lands on an
+    'audit' BRANCH (main untouched) and is published by fast_forward;
+    one is STAGED unreferenced under a wap.id and published by
+    cherrypick_snapshot; a third is staged and NEVER published — the
+    oracle certifies main contains exactly the published rows. Refs
+    per spec §refs (sources/iceberg_protocol.py:_advance); staging and
+    cherry-pick mirror Iceberg's SnapshotManager/spark.wap.id."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_wap"))
+    t.create(
+        events.filter(F.col("event_id") % 4 == 0),
+        properties={"write.wap.enabled": "true"},
+    )
+    # branch-WAP: write to 'audit', inspect, fast-forward main
+    t.append(events.filter(F.col("event_id") % 4 == 1), branch="audit")
+    assert t.snapshot_ref("audit").count() > t.snapshot().count()
+    t.fast_forward("main", "audit")
+    # wap.id staging: published via cherry-pick
+    sid = t.append(
+        events.filter(F.col("event_id") % 4 == 2), wap_id="batch-a"
+    )
+    t.cherrypick_snapshot(sid)
+    # staged but audit FAILED: never published, invisible on main
+    t.append(events.filter(F.col("event_id") % 4 == 3), wap_id="batch-b")
+    return t.snapshot().select(
+        "event_id", "user_id", "event_type", "value"
+    )

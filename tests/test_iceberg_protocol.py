@@ -1126,3 +1126,90 @@ def test_concurrent_sessionless_iceberg_appends(spark, sf_dir, tmp_path):
     assert not errs
     assert len(t.snapshots(t.metadata())) == 7  # create + 6 appends
     assert t.snapshot().count() == 10 + sum(c.num_rows for c in chunks)
+
+
+def test_branch_write_and_fast_forward(spark, sf_dir, tmp_path):
+    """Branch-WAP: append(branch=) advances only the branch ref; main
+    publishes via fast_forward; tags stay immutable; diverged
+    fast-forwards refuse."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(20))
+    t.append(orders.limit(30).subtract(orders.limit(20)), branch="audit")
+    assert t.snapshot().count() == 20          # main untouched
+    assert t.snapshot_ref("audit").count() == 30
+    # refs metadata table sees the branch
+    refs = {r[0]: r for r in t.metadata_table("refs").collect()}
+    assert refs["audit"][1] == "branch"
+    t.fast_forward("main", "audit")
+    assert t.snapshot().count() == 30
+    # second branch write on top of the new main
+    t.append(orders.limit(35).subtract(orders.limit(30)), branch="audit")
+    assert t.snapshot_ref("audit").count() == 35
+    # diverge main, then ff must refuse
+    t.append(orders.limit(40).subtract(orders.limit(35)))
+    with pytest.raises(IcebergProtocolError, match="not an ancestor"):
+        t.fast_forward("main", "audit")
+    # tags refuse writes
+    t.create_ref("v1", kind="tag")
+    with pytest.raises(IcebergProtocolError, match="tag"):
+        t.append(orders.limit(5), branch="v1")
+
+
+def test_wap_stage_and_cherrypick(spark, sf_dir, tmp_path):
+    """wap.id staging: snapshot recorded unreferenced, invisible on
+    main until cherrypick_snapshot re-applies its manifests; duplicate
+    wap ids refuse at stage AND publish; staging requires the table
+    property; non-append snapshots refuse cherry-pick."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(20),
+             properties={"write.wap.enabled": "true"})
+    staged = t.append(
+        orders.limit(30).subtract(orders.limit(20)), wap_id="w1"
+    )
+    assert t.snapshot().count() == 20
+    assert t.snapshot(snapshot_id=staged).count() == 30
+    with pytest.raises(IcebergProtocolError, match="duplicate wap.id"):
+        t.append(orders.limit(5), wap_id="w1")
+    # interleaved main commit BEFORE publish: cherry-pick re-applies
+    # the staged manifests on the new head (not the staged lineage)
+    t.append(orders.limit(45).subtract(orders.limit(30)))
+    t.cherrypick_snapshot(staged)
+    assert t.snapshot().count() == 45
+    rows = {r["o_orderkey"] for r in t.snapshot().collect()}
+    assert rows == {
+        r["o_orderkey"] for r in orders.limit(45).collect()
+    }
+    head = t.current_snapshot()
+    assert head["summary"]["published-wap-id"] == "w1"
+    with pytest.raises(IcebergProtocolError, match="already published"):
+        t.cherrypick_snapshot(staged)
+    # property gate
+    t2 = IcebergProtocolTable(spark, str(tmp_path / "t2"))
+    t2.create(orders.limit(5))
+    with pytest.raises(IcebergProtocolError, match="write.wap.enabled"):
+        t2.append(orders.limit(5), wap_id="w9")
+    # non-append snapshots refuse cherry-pick
+    t.delete_rows(F.col("o_orderkey") % 2 == 0)
+    with pytest.raises(UnsupportedIcebergFeatureError, match="append"):
+        t.cherrypick_snapshot(t.current_snapshot()["snapshot-id"])
+
+
+def test_unpublished_stage_expires_published_survives(spark, sf_dir,
+                                                      tmp_path):
+    """expire_snapshots drops an unreferenced staged snapshot (its
+    manifest list goes away) while published rows are unaffected."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(10),
+             properties={"write.wap.enabled": "true"})
+    t.append(orders.limit(20).subtract(orders.limit(10)))
+    staged = t.append(
+        orders.limit(25).subtract(orders.limit(20)), wap_id="dead"
+    )
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired"] == 2  # the create snapshot + the staged one
+    with pytest.raises(IcebergProtocolError):
+        t.snapshot(snapshot_id=staged)
+    assert t.snapshot().count() == 20
