@@ -92,6 +92,8 @@ _SUPPORTED_WRITER_FEATURES = {
     "generatedColumns",  # computed/validated on the Spark write path
     "identityColumns",  # enforced by refusal on row-writing ops
     "v2Checkpoint",  # checkpoint() honors delta.checkpointPolicy=v2
+    "rowTracking",  # baseRowId/defaultRowCommitVersion + materialization
+    "domainMetadata",  # folded into state, carried through checkpoints
 }
 
 
@@ -148,6 +150,38 @@ class _State:
     protocol: dict
     adds: dict = field(default_factory=dict)       # path -> add action
     txns: dict = field(default_factory=dict)       # appId -> version
+    domains: dict = field(default_factory=dict)    # domain -> config json
+
+    @property
+    def row_tracking(self) -> bool:
+        return (self.metadata.get("configuration") or {}).get(
+            "delta.enableRowTracking"
+        ) == "true"
+
+    @property
+    def row_id_high_water_mark(self) -> int:
+        """Highest row id ever assigned (domainMetadata
+        ``delta.rowTracking``), -1 when none."""
+        cfg = self.domains.get("delta.rowTracking")
+        if not cfg:
+            return -1
+        try:
+            return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            return -1
+
+    @property
+    def materialized_row_id_cols(self) -> tuple[str, str] | None:
+        """(row-id column, row-commit-version column) physical names
+        used to materialize row ids into REWRITTEN files (rows a
+        rewrite carries keep their ids; NULL means fresh-from-
+        baseRowId per PROTOCOL.md §Row Tracking)."""
+        conf = self.metadata.get("configuration") or {}
+        a = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        b = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        return (a, b) if a and b else None
 
     @property
     def schema(self) -> T.StructType:
@@ -210,6 +244,15 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    # (3, 7) tables list features; omitting them here
+                    # would strip the lists at checkpoint time and
+                    # disarm both gates on post-checkpoint reads
+                    T.StructField(
+                        "readerFeatures", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "writerFeatures", T.ArrayType(T.StringType())
+                    ),
                 ]
             ),
         ),
@@ -257,6 +300,11 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
                     T.StructField("stats", T.StringType()),
+                    # row tracking: identity survives checkpointing
+                    T.StructField("baseRowId", T.LongType()),
+                    T.StructField(
+                        "defaultRowCommitVersion", T.LongType()
+                    ),
                     # Read the DV descriptor if present so checkpoints
                     # written by real delta-spark can't smuggle deleted
                     # rows past the per-add gate in state().
@@ -318,6 +366,16 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField(
                         "tags", T.MapType(T.StringType(), T.StringType())
                     ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "domainMetadata",
+            T.StructType(
+                [
+                    T.StructField("domain", T.StringType()),
+                    T.StructField("configuration", T.StringType()),
+                    T.StructField("removed", T.BooleanType()),
                 ]
             ),
         ),
@@ -480,7 +538,10 @@ class DeltaProtocolTable:
             )
         actions = []
         for d in rows:
-            for key in ("protocol", "metaData", "add", "remove", "txn"):
+            for key in (
+                "protocol", "metaData", "add", "remove", "txn",
+                "domainMetadata",
+            ):
                 if d.get(key) is not None:
                     actions.append(
                         {key: {k: v for k, v in d[key].items() if v is not None}}
@@ -558,7 +619,13 @@ class DeltaProtocolTable:
                 st.txns[t["appId"]] = max(
                     int(t["version"]), int(st.txns.get(t["appId"], -1))
                 )
-            # commitInfo / cdc / domainMetadata do not affect state
+            elif "domainMetadata" in a:
+                dm = a["domainMetadata"]
+                if dm.get("removed"):
+                    st.domains.pop(dm["domain"], None)
+                else:
+                    st.domains[dm["domain"]] = dm.get("configuration", "")
+            # commitInfo / cdc do not affect state
         if not st.metadata:
             raise DeltaProtocolError("log has no metaData action")
         self._check_protocol(st.protocol, st.metadata)
@@ -823,14 +890,20 @@ class DeltaProtocolTable:
             )
         return pos
 
-    def _read_files(self, st: _State, paths: list[str]) -> DataFrame:
+    def _read_files(
+        self, st: _State, paths: list[str], keep_pos: bool = False
+    ) -> DataFrame:
         """Scan ``paths`` and apply any deletion vectors carried by
         their add actions: files with a DV are read with Spark's
         ``_metadata.row_index`` and the deleted (file, position) pairs
         are removed with one broadcast anti-join — the same
         merge-on-read shape as iceberg_protocol position deletes. DV
         decode is driver-side and cardinality-scale (the blobs are a
-        few MB for millions of deleted rows), never data-scale."""
+        few MB for millions of deleted rows), never data-scale.
+
+        ``keep_pos`` keeps ``__dv_file``/``__dv_pos`` (absolute file
+        path + ORIGINAL row index, i.e. pre-DV position) in the output
+        — what row-id computation needs."""
         schema = st.schema
         dv_files: dict[str, dict] = {}
         path_set = set(paths)
@@ -841,7 +914,7 @@ class DeltaProtocolTable:
                 if abs_p in path_set:
                     dv_files[abs_p] = dv
         if not dv_files:
-            return self._read_files_plain(st, paths)
+            return self._read_files_plain(st, paths, with_pos=keep_pos)
         import pandas as pd
 
         frames = [
@@ -858,14 +931,123 @@ class DeltaProtocolTable:
             "__dv_file string, __dv_pos long",
         )
         base = self._read_files_plain(st, paths, with_pos=True)
-        return (
-            base.join(
-                F.broadcast(deleted),
-                on=["__dv_file", "__dv_pos"],
-                how="left_anti",
-            )
-            .select(*[f.name for f in schema.fields])
+        out = base.join(
+            F.broadcast(deleted),
+            on=["__dv_file", "__dv_pos"],
+            how="left_anti",
         )
+        if keep_pos:
+            return out
+        return out.select(*[f.name for f in schema.fields])
+
+    def _assign_row_ids(
+        self, st: _State, adds: list[dict], commit_version: int
+    ) -> dict | None:
+        """Row tracking writer duty (PROTOCOL.md §Row Tracking): stamp
+        each new add action with ``baseRowId`` (fresh ids start past
+        the high-water mark) and ``defaultRowCommitVersion``, and
+        return the ``delta.rowTracking`` domainMetadata action carrying
+        the advanced mark. Mutates ``adds`` in place; None when the
+        table does not track rows. Safe to call again on a commit
+        retry (re-reads the winner's mark and restamps)."""
+        if not st.row_tracking:
+            return None
+        hwm = st.row_id_high_water_mark
+        for a in adds:
+            if not a.get("stats"):
+                raise DeltaProtocolError(
+                    "row tracking requires numRecords stats on every "
+                    f"written file (missing for {a['path']!r})"
+                )
+            n = int(json.loads(a["stats"])["numRecords"])
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = commit_version
+            hwm += n
+        return {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}
+                ),
+                "removed": False,
+            }
+        }
+
+    def _scan_with_row_ids(
+        self, st: _State, paths: list[str]
+    ) -> DataFrame:
+        """Table scan carrying ``_row_id`` / ``_row_commit_version``:
+        ``coalesce(materialized column, baseRowId + original row
+        index)`` per the spec — one per-file-metadata broadcast join on
+        top of the ordinary (DV-applying) scan; files that predate a
+        rewrite simply lack the materialized columns and read NULL."""
+        mat = st.materialized_row_id_cols
+        if mat is None:
+            raise DeltaProtocolError(
+                "table does not materialize row ids "
+                "(delta.rowTracking.materialized*ColumnName unset)"
+            )
+        sj = json.loads(st.metadata["schemaString"])
+        for name in mat:
+            sj["fields"].append(
+                {
+                    "name": name,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+        ext_md = dict(st.metadata)
+        ext_md["schemaString"] = json.dumps(sj)
+        path_set = set(paths)
+        sub_adds = {
+            rel: a
+            for rel, a in st.adds.items()
+            if os.path.join(self.path, urllib.parse.unquote(rel))
+            in path_set
+        }
+        sub = _State(
+            version=st.version,
+            metadata=ext_md,
+            protocol=st.protocol,
+            adds=sub_adds,
+            domains=st.domains,
+        )
+        base = self._read_files(sub, paths, keep_pos=True)
+        info = self.spark.createDataFrame(
+            [
+                (
+                    os.path.join(self.path, urllib.parse.unquote(rel)),
+                    a.get("baseRowId"),
+                    a.get("defaultRowCommitVersion"),
+                )
+                for rel, a in sorted(sub_adds.items())
+            ],
+            "__dv_file string, __rt_base long, __rt_dcv long",
+        )
+        cols = [f.name for f in st.schema.fields]
+        return base.join(F.broadcast(info), "__dv_file", "left").select(
+            *cols,
+            F.coalesce(
+                F.col(mat[0]), F.col("__rt_base") + F.col("__dv_pos")
+            ).alias("_row_id"),
+            F.coalesce(F.col(mat[1]), F.col("__rt_dcv")).alias(
+                "_row_commit_version"
+            ),
+        )
+
+    def snapshot_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` with two extra columns, ``_row_id``
+        and ``_row_commit_version`` — Delta row tracking's stable row
+        identity (survives DV deletes untouched and rewrites via
+        materialized columns). Requires delta.enableRowTracking."""
+        st = self.state(version)
+        if not st.row_tracking:
+            raise DeltaProtocolError(
+                "delta.enableRowTracking is not set on this table"
+            )
+        paths = self._data_paths(st)
+        return self._scan_with_row_ids(st, paths)
 
     def _read_files_plain(
         self, st: _State, paths: list[str], with_pos: bool = False
@@ -1329,6 +1511,28 @@ class DeltaProtocolTable:
             raise DeltaProtocolError(f"table already exists: {self.path}")
         partition_by = list(partition_by or [])
         os.makedirs(self.path, exist_ok=True)
+        row_tracked = (properties or {}).get(
+            "delta.enableRowTracking"
+        ) == "true"
+        if row_tracked:
+            properties = dict(properties or {})
+            if properties.get("delta.columnMapping.mode") not in (
+                None, "none",
+            ):
+                raise UnsupportedTableFeatureError(
+                    "row tracking + column mapping is not supported by "
+                    "this writer (materialized row-id columns would "
+                    "need physical-name surgery)"
+                )
+            properties.setdefault(
+                "delta.rowTracking.materializedRowIdColumnName",
+                f"_row-id-col-{uuid.uuid4().hex[:8]}",
+            )
+            properties.setdefault(
+                "delta.rowTracking."
+                "materializedRowCommitVersionColumnName",
+                f"_row-commit-version-col-{uuid.uuid4().hex[:8]}",
+            )
         meta_action = self._metadata_action(df.schema, partition_by, properties)
         # derive the mapping from the metadata just built so the first
         # write already uses physical names
@@ -1345,28 +1549,49 @@ class DeltaProtocolTable:
             if mapped
             else {"minReaderVersion": 1, "minWriterVersion": 2}
         )
+        # table features force the (3, 7) form; every legacy-implied
+        # feature must then be listed explicitly
+        extra_writer: set[str] = set()
+        extra_reader: set[str] = set()
         if (properties or {}).get("delta.checkpointPolicy") == "v2":
-            # v2 checkpoints are a (3, 7) table feature per PROTOCOL.md
-            protocol = {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(
-                    _legacy_reader_features(
-                        int(protocol["minReaderVersion"])
-                    )
-                    | {"v2Checkpoint"}
+            extra_writer |= {"v2Checkpoint"}
+            extra_reader |= {"v2Checkpoint"}
+        if row_tracked:
+            # rowTracking depends on domainMetadata (writer features
+            # only — readers without the feature still read correctly)
+            extra_writer |= {"rowTracking", "domainMetadata"}
+        if extra_writer:
+            new_proto = {
+                "minReaderVersion": (
+                    # readerFeatures exist only at minReaderVersion 3;
+                    # writer-only features leave the reader bar alone
+                    3 if extra_reader
+                    else int(protocol["minReaderVersion"])
                 ),
+                "minWriterVersion": 7,
                 "writerFeatures": sorted(
                     _legacy_writer_features(
                         int(protocol["minWriterVersion"])
                     )
-                    | {"v2Checkpoint"}
+                    | extra_writer
                 ),
             }
+            if extra_reader:
+                new_proto["readerFeatures"] = sorted(
+                    _legacy_reader_features(
+                        int(protocol["minReaderVersion"])
+                    )
+                    | extra_reader
+                )
+            protocol = new_proto
         actions = [
             {"protocol": protocol},
             meta_action,
         ] + [{"add": a} for a in adds]
+        probe.protocol = protocol
+        dm = self._assign_row_ids(probe, adds, 0)
+        if dm is not None:
+            actions.append(dm)
         self._commit(0, actions, "CREATE TABLE AS SELECT")
         return 0
 
@@ -1432,6 +1657,9 @@ class DeltaProtocolTable:
                 return -1
         adds = self._write_files(df, st.partition_columns, st.column_mapping)
         actions: list[dict] = [{"add": a} for a in adds]
+        dm = self._assign_row_ids(st, adds, st.version + 1)
+        if dm is not None:
+            actions.append(dm)
         if txn is not None:
             actions.append(
                 {
@@ -1480,6 +1708,13 @@ class DeltaProtocolTable:
                     st.txns.get(txn[0], -1)
                 ):
                     return -1  # the winner was our own replay
+                # restamp row ids against the winner's high-water mark
+                # and the new commit version (duplicate ids otherwise)
+                if dm is not None:
+                    actions.remove(dm)
+                dm = self._assign_row_ids(st, adds, st.version + 1)
+                if dm is not None:
+                    actions.append(dm)
         raise DeltaProtocolError(
             "append lost the commit race 20 times; giving up"
         )
@@ -1577,6 +1812,8 @@ class DeltaProtocolTable:
                 .collect()
             )
 
+        rt = st.row_tracking
+        mat = st.materialized_row_id_cols if rt else None
         if matched_abs:
             # through _read_files so deletion vectors apply: rewriting a
             # DV'd file materializes the deletes (the new file carries
@@ -1591,17 +1828,32 @@ class DeltaProtocolTable:
                     for ab, rel in rel_by_abs.items()
                     if ab in abs_set
                 },
+                domains=st.domains,
             )
-            target = self._read_files(sub, matched_abs)
+            if rt:
+                # rewritten rows must KEEP their row ids: scan with
+                # _row_id/_row_commit_version and materialize them into
+                # the new files (spec §Row Tracking)
+                target = self._scan_with_row_ids(sub, matched_abs)
+                target = target.withColumnRenamed(
+                    "_row_id", "__rt_id"
+                ).withColumnRenamed("_row_commit_version", "__rt_rcv")
+            else:
+                target = self._read_files(sub, matched_abs)
         else:
             target = self.spark.createDataFrame([], schema)
+            if rt:
+                target = target.withColumn(
+                    "__rt_id", F.lit(None).cast("long")
+                ).withColumn("__rt_rcv", F.lit(None).cast("long"))
         target = target.select(
             *[
                 F.col(f.name)
                 if f.name in target.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in evolved.fields
-            ]
+            ],
+            *([F.col("__rt_id"), F.col("__rt_rcv")] if rt else []),
         )
         # Row-origin marker: key nullness cannot distinguish "source-only
         # row" from "target row whose merge key IS NULL" — a NULL-key row
@@ -1630,6 +1882,24 @@ class DeltaProtocolTable:
                 )
                 val = F.when(is_insert, src_side).otherwise(F.col(c))
             out_cols.append(val.cast(f_.dataType).alias(c))
+        if rt:
+            # materialized row identity: carried AND updated rows keep
+            # their _row_id; inserted rows read NULL (fresh id from the
+            # new file's baseRowId). The commit version column stays
+            # only for CARRIED rows — an update re-versions the row via
+            # the new file's defaultRowCommitVersion.
+            out_cols.append(
+                F.when(is_insert, F.lit(None).cast("long"))
+                .otherwise(F.col("__rt_id"))
+                .alias(mat[0])
+            )
+            out_cols.append(
+                F.when(
+                    is_insert | is_matched, F.lit(None).cast("long")
+                )
+                .otherwise(F.col("__rt_rcv"))
+                .alias(mat[1])
+            )
         merged = (
             joined.select(*out_cols)
             if insert
@@ -1669,13 +1939,23 @@ class DeltaProtocolTable:
                 ],
                 F.lit("update_preimage").alias("_change_type"),
             )
-            post = joined.filter(is_matched).select(
-                *out_cols, F.lit("update_postimage").alias("_change_type")
+            post = (
+                joined.filter(is_matched)
+                .select(*out_cols)
+                .select(  # drop materialized row-id cols from cdc rows
+                    *[f.name for f in evolved.fields],
+                    F.lit("update_postimage").alias("_change_type"),
+                )
             )
             changes = pre.unionByName(post)
             if insert:
-                ins = joined.filter(is_insert).select(
-                    *out_cols, F.lit("insert").alias("_change_type")
+                ins = (
+                    joined.filter(is_insert)
+                    .select(*out_cols)
+                    .select(
+                        *[f.name for f in evolved.fields],
+                        F.lit("insert").alias("_change_type"),
+                    )
                 )
                 changes = changes.unionByName(ins)
             actions += self._write_cdc_files(changes)
@@ -1691,6 +1971,9 @@ class DeltaProtocolTable:
             for p in matched_abs
         ] + [{"add": a} for a in adds]
         v = st.version + 1
+        dm = self._assign_row_ids(st, adds, v)
+        if dm is not None:
+            actions.append(dm)
         self._commit(v, actions, "MERGE")
         return {
             "version": v,
@@ -1922,6 +2205,9 @@ class DeltaProtocolTable:
             for p in sorted(st.adds)
         ] + [{"add": a} for a in adds]
         v = st.version + 1
+        dm = self._assign_row_ids(st, adds, v)
+        if dm is not None:
+            actions.append(dm)
         self._commit(v, actions, "WRITE")
         return v
 
@@ -2049,6 +2335,9 @@ class DeltaProtocolTable:
             "stats": json.dumps({"numRecords": n_rows}),
         }
         actions: list[dict] = [{"add": add}]
+        dm = self._assign_row_ids(st, [add], st.version + 1)
+        if dm is not None:
+            actions.append(dm)
         if txn is not None:
             actions.append(
                 {
@@ -2081,6 +2370,11 @@ class DeltaProtocolTable:
                     st.txns.get(txn[0], -1)
                 ):
                     return -1
+                if dm is not None:
+                    actions.remove(dm)
+                dm = self._assign_row_ids(st, [add], st.version + 1)
+                if dm is not None:
+                    actions.append(dm)
         raise DeltaProtocolError(
             "append_arrow lost the commit race 20 times; giving up"
         )
@@ -2111,7 +2405,18 @@ class DeltaProtocolTable:
             stats = add.get("stats")
             if stats:
                 n_rows += int(json.loads(stats).get("numRecords", 0))
-        df = self.snapshot()
+        mat = st.materialized_row_id_cols if st.row_tracking else None
+        if mat is not None:
+            # OPTIMIZE carries every row: materialize each row's id and
+            # commit version into the rewritten files so identity
+            # survives the rewrite (spec §Row Tracking)
+            df = self._scan_with_row_ids(
+                st, self._data_paths(st)
+            ).withColumnsRenamed(
+                {"_row_id": mat[0], "_row_commit_version": mat[1]}
+            )
+        else:
+            df = self.snapshot()
         n_files = max(1, -(-n_rows // target_rows_per_file))
         if zorder_by:
             if st.partition_columns:
@@ -2135,11 +2440,14 @@ class DeltaProtocolTable:
             from featureform_spark.sources.deltalite import zorder_cluster
 
             df = zorder_cluster(df, zorder_by, n_files).select(
-                *[f.name for f in st.schema.fields]
+                *[f.name for f in st.schema.fields],
+                *(list(mat) if mat is not None else []),
             )
         elif not st.partition_columns:
             df = df.coalesce(n_files)
         adds = self._write_files(df, st.partition_columns, st.column_mapping)
+        v = st.version + 1
+        dm = self._assign_row_ids(st, adds, v)
         now = int(time.time() * 1000)
         actions = [
             {
@@ -2151,7 +2459,8 @@ class DeltaProtocolTable:
             }
             for p in sorted(st.adds)
         ] + [{"add": {**a, "dataChange": False}} for a in adds]
-        v = st.version + 1
+        if dm is not None:
+            actions.append(dm)
         self._commit(v, actions, "OPTIMIZE")
         return v
 
@@ -2176,6 +2485,18 @@ class DeltaProtocolTable:
         txn_rows = [
             {"txn": {"appId": k, "version": v, "lastUpdated": None}}
             for k, v in sorted(st.txns.items())
+        ]
+        # live domainMetadata (row-tracking high-water mark et al.)
+        # must survive log truncation past the checkpoint
+        txn_rows += [
+            {
+                "domainMetadata": {
+                    "domain": d,
+                    "configuration": c,
+                    "removed": False,
+                }
+            }
+            for d, c in sorted(st.domains.items())
         ]
         policy = (st.metadata.get("configuration") or {}).get(
             "delta.checkpointPolicy", "classic"

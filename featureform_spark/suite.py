@@ -1165,7 +1165,10 @@ PRIORITY: tuple[str, ...] = (
     # wap.id staging, cherry-pick publish). materialize_no_ts (green
     # r1-r5) rotates out, stays pytest-oracle-covered.
     "iceberg_wap_publish",
-    "segment_iteration",
+    # round-6 late addition: stable row identity across rewrites.
+    # segment_iteration (green r1-r5) rotates out, stays
+    # pytest-oracle-covered.
+    "delta_row_tracking",
     "training_set_pit",
     "training_set_lag",
     "training_set_label_no_ts",

@@ -777,3 +777,65 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "delta_row_tracking",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE event_id % 3 IN (0, 1) AND event_type <> 'click'
+    ),
+    src AS (
+        SELECT event_id, user_id, event_type, value + 1000 AS value
+        FROM events
+        WHERE event_id % 3 = 2 OR event_id % 6 = 1
+    )
+    SELECT COALESCE(s.event_id, b.event_id) AS event_id,
+           COALESCE(s.user_id, b.user_id)   AS user_id,
+           COALESCE(s.event_type, b.event_type) AS event_type,
+           COALESCE(s.value, b.value)       AS value
+    FROM base b FULL OUTER JOIN src s ON b.event_id = s.event_id
+    """,
+)
+def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta row tracking (round 6): stable row identity through
+    append → DV delete → MERGE. Every surviving row keeps its
+    ``_row_id`` (baseRowId + index for untouched files, materialized
+    columns in rewritten ones — sources/delta_protocol.py
+    _assign_row_ids/_scan_with_row_ids); the in-query asserts certify
+    identity stability and global uniqueness, the oracle certifies the
+    data. At 100 TB this is what lets an incremental consumer track
+    rows across rewrites without whole-file diffing."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "row_tracking"))
+    t.create(
+        events.filter(F.col("event_id") % 3 == 0),
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.append(events.filter(F.col("event_id") % 3 == 1))
+    t.delete_where(F.col("event_type") == "click")
+    before = t.snapshot_with_row_ids().select(
+        "event_id", F.col("_row_id").alias("__before_id")
+    )
+    src = events.filter(
+        (F.col("event_id") % 3 == 2) | (F.col("event_id") % 6 == 1)
+    ).withColumn("value", F.col("value") + 1000)
+    t.merge(src, "event_id")
+    after = t.snapshot_with_row_ids()
+    # identity: survivors keep ids, ids globally unique
+    stats = after.join(before, "event_id", "left").agg(
+        F.sum(
+            (
+                F.col("__before_id").isNotNull()
+                & (F.col("__before_id") != F.col("_row_id"))
+            ).cast("int")
+        ).alias("moved"),
+        (F.count("*") - F.countDistinct("_row_id")).alias("dups"),
+    ).first()
+    assert stats["moved"] == 0 and stats["dups"] == 0, stats
+    return after.select("event_id", "user_id", "event_type", "value")

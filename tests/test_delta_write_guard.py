@@ -110,16 +110,16 @@ def test_unknown_writer_feature_blocks_writes_not_reads(
                     "protocol": {
                         "minReaderVersion": 1,
                         "minWriterVersion": 7,
-                        "writerFeatures": ["rowTracking"],
+                        "writerFeatures": ["liquidClustering"],
                     }
                 }
             )
             + "\n"
         )
     assert t.snapshot().count() == 20  # reads unaffected
-    with pytest.raises(UnsupportedTableFeatureError, match="rowTracking"):
+    with pytest.raises(UnsupportedTableFeatureError, match="liquidClustering"):
         t.append(orders.limit(1))
-    with pytest.raises(UnsupportedTableFeatureError, match="rowTracking"):
+    with pytest.raises(UnsupportedTableFeatureError, match="liquidClustering"):
         t.delete_where(F.lit(True))
 
 
