@@ -149,6 +149,89 @@ def quality_signals(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Gopher-style n-gram CHARACTER-fraction repetition rules (Rae et
+    al. 2021 §A1.1 "repetitious documents") — the char-weighted
+    complement of quality_signals' count-based dup fractions:
+
+    - ``top{n}_char_frac`` (n in ``top_ns``): characters covered by the
+      single most character-covering word n-gram (occurrences ×
+      n-gram length), over total characters across all of the doc's
+      n-gram occurrences. Catches "the same slogan 500 times".
+    - ``dup{n}_char_frac`` (n in ``dup_ns``): characters covered by
+      ALL n-grams occurring more than once, over the same total
+      (overlap between occurrences is not discounted — the standard
+      reimplementation approximation). Catches long boilerplate runs.
+    - ``keep_repetition``: 1 when every signal is under Gopher's
+      published thresholds (0.20 / 0.18 for top-2/3; 0.15 for dup-5).
+
+    Scale shape: one explode + two partial-agg groupBys PER n, all
+    keyed on ``id_col`` (the joins after the first agg reuse the same
+    hash partitioning); no window over the corpus, no driver
+    collection. Docs shorter than n tokens contribute 0.
+    """
+    from featureform_spark.functions.text import tokens_expr
+
+    thresholds = {2: 0.20, 3: 0.18, 4: 0.16, 5: 0.15, 6: 0.14,
+                  7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    base = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    out = base.select(id_col).distinct()
+    signal_cols: list[str] = []
+    for n, mode in [(n, "top") for n in top_ns] + [
+        (n, "dup") for n in dup_ns
+    ]:
+        # guard short docs: sequence(0, negative) counts DOWN in Spark,
+        # which would fabricate n-grams from negative slice offsets
+        grams = base.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(__toks) >= {n} THEN "
+                    f"transform(sequence(0, size(__toks) - {n}), "
+                    f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))) "
+                    f"ELSE array() END"
+                )
+            ).alias("__ng"),
+        )
+        counts = grams.groupBy(id_col, "__ng").agg(
+            F.count(F.lit(1)).alias("__occ")
+        )
+        chars = F.col("__occ") * F.length("__ng")
+        name = f"{mode}{n}_char_frac"
+        if mode == "top":
+            agg = counts.groupBy(id_col).agg(
+                (
+                    F.max(chars).cast("double")
+                    / F.sum(chars).cast("double")
+                ).alias(name)
+            )
+        else:
+            agg = counts.groupBy(id_col).agg(
+                (
+                    F.sum(F.when(F.col("__occ") > 1, chars).otherwise(0))
+                    .cast("double")
+                    / F.sum(chars).cast("double")
+                ).alias(name)
+            )
+        out = out.join(agg, id_col, "left")
+        signal_cols.append(name)
+    out = out.select(
+        id_col,
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in signal_cols],
+    )
+    keep = F.lit(True)
+    for c in signal_cols:
+        n = int("".join(ch for ch in c.split("_")[0] if ch.isdigit()))
+        keep = keep & (F.col(c) < F.lit(thresholds[n]))
+    return out.withColumn("keep_repetition", keep.cast("long"))
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -1175,7 +1175,10 @@ PRIORITY: tuple[str, ...] = (
     "training_set_feature_no_ts",
     "training_set_multi_entity",
     "batch_features",
-    "train_test_split",
+    # round-6 late addition: Gopher char-fraction repetition rules.
+    # train_test_split (green r1-r5) rotates out, stays
+    # pytest-oracle-covered.
+    "repetition_signals",
     "transformation_chained",
     "transformation_df_fn",
     "pricing_summary",

@@ -1910,3 +1910,62 @@ def dedup_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_sentences(
         load_table(spark, sf_dir, "documents"), sep=" "
     )
+
+
+@query(
+    "repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g2 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> concat_ws(' ', toks[i], toks[i + 1]))) AS ng
+           FROM t WHERE len(toks) >= 2),
+    c2 AS (SELECT doc_id, ng, count(*)::BIGINT AS occ, length(ng) AS ch
+           FROM g2 GROUP BY doc_id, ng),
+    a2 AS (SELECT doc_id,
+                  MAX(occ * ch)::DOUBLE / SUM(occ * ch)::DOUBLE AS top2
+           FROM c2 GROUP BY doc_id),
+    g3 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 1),
+                         i -> concat_ws(' ', toks[i], toks[i + 1],
+                                        toks[i + 2]))) AS ng
+           FROM t WHERE len(toks) >= 3),
+    c3 AS (SELECT doc_id, ng, count(*)::BIGINT AS occ, length(ng) AS ch
+           FROM g3 GROUP BY doc_id, ng),
+    a3 AS (SELECT doc_id,
+                  MAX(occ * ch)::DOUBLE / SUM(occ * ch)::DOUBLE AS top3
+           FROM c3 GROUP BY doc_id),
+    g5 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 3),
+                         i -> concat_ws(' ', toks[i], toks[i + 1],
+                                        toks[i + 2], toks[i + 3],
+                                        toks[i + 4]))) AS ng
+           FROM t WHERE len(toks) >= 5),
+    c5 AS (SELECT doc_id, ng, count(*)::BIGINT AS occ, length(ng) AS ch
+           FROM g5 GROUP BY doc_id, ng),
+    a5 AS (SELECT doc_id,
+                  SUM(CASE WHEN occ > 1 THEN occ * ch ELSE 0 END)::DOUBLE
+                  / SUM(occ * ch)::DOUBLE AS dup5
+           FROM c5 GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a2.top2, 0.0) AS top2_char_frac,
+           COALESCE(a3.top3, 0.0) AS top3_char_frac,
+           COALESCE(a5.dup5, 0.0) AS dup5_char_frac,
+           (COALESCE(a2.top2, 0.0) < 0.20
+            AND COALESCE(a3.top3, 0.0) < 0.18
+            AND COALESCE(a5.dup5, 0.0) < 0.15)::BIGINT AS keep_repetition
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN a2 USING (doc_id)
+    LEFT JOIN a3 USING (doc_id)
+    LEFT JOIN a5 USING (doc_id)
+    """,
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher char-fraction repetition rules (round 6): top-2/3-gram
+    and duplicated-5-gram character coverage + keep verdict
+    (functions/quality.py:repetition_signals). Complements the
+    count-based quality_signals; the filter Gopher applies before
+    training-set admission."""
+    from featureform_spark.functions.quality import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))

@@ -120,3 +120,53 @@ def test_range_join_exclusive_end_on_bucket_boundary(spark):
         ).collect()
     )
     assert got == [2, 3]
+
+
+def test_repetition_signals_exact_fractions(spark):
+    """Hand-computed Gopher char fractions on a crafted doc."""
+    from featureform_spark.functions.quality import repetition_signals
+
+    # doc a: "x y x y x y" -> bigrams: "x y"(3), "y x"(2)
+    #   chars: 3*3 + 2*3 = 15, top = 9 -> top2 = 0.6
+    # doc b: no repetition; doc c: 1 token (no bigrams at all)
+    df = spark.createDataFrame(
+        [
+            ("a", "x y x y x y"),
+            ("b", "all tokens here are fresh words"),
+            ("c", "solo"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_signals(df).collect()
+    }
+    assert abs(got["a"]["top2_char_frac"] - 9 / 15) < 1e-12
+    # tokens [x,y,x,y,x,y] -> 5-grams: "x y x y x"(1), "y x y x y"(1)
+    assert got["a"]["dup5_char_frac"] == 0.0
+    assert got["a"]["keep_repetition"] == 0  # top2 0.6 >= 0.20
+    # doc b bigram chars: 10+11+8+9+11 = 49, max 11 ("tokens here" /
+    # "fresh words" tie on product) -> 11/49; tiny docs legitimately
+    # exceed the Gopher thresholds (they are tuned for real documents;
+    # the n_tokens >= 10 shape rule handles shorts)
+    assert abs(got["b"]["top2_char_frac"] - 11 / 49) < 1e-12
+    assert got["c"]["top2_char_frac"] == 0.0
+    assert got["c"]["keep_repetition"] == 1
+    # a long clean doc passes every threshold
+    clean = " ".join(f"word{i:03d}" for i in range(200))
+    r = repetition_signals(
+        spark.createDataFrame(
+            [("e", clean)], "doc_id string, text string"
+        )
+    ).collect()[0]
+    assert r["top2_char_frac"] < 0.20 and r["keep_repetition"] == 1
+
+    # duplicated 5-gram coverage: "a b c d e" twice + unique tail
+    df2 = spark.createDataFrame(
+        [("d", "a b c d e a b c d e")], "doc_id string, text string"
+    )
+    r = repetition_signals(df2).collect()[0]
+    # 5-grams (6): positions 0..5; "a b c d e" occurs at 0 and 5 ->
+    # occ=2, ch=9 -> dup chars 18; total = 18 + 4*9 = 54
+    assert abs(r["dup5_char_frac"] - 18 / 54) < 1e-12
+    assert r["keep_repetition"] == 0  # dup5 0.33 >= 0.15
