@@ -650,6 +650,8 @@ MANIFEST_LIST_SCHEMA = {
             default=None,
         ),
         _f("key_metadata", _opt("bytes"), 519, default=None),
+        # v3 row lineage: first row id assigned to this manifest
+        _f("first_row_id", _opt("long"), 520, default=None),
     ],
 }
 
@@ -702,6 +704,9 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
             _f("referenced_data_file", _opt("string"), 143, default=None),
             _f("content_offset", _opt("long"), 144, default=None),
             _f("content_size_in_bytes", _opt("long"), 145, default=None),
+            # v3 row lineage: rows read ids first_row_id + position
+            # unless the file materializes a _row_id column
+            _f("first_row_id", _opt("long"), 142, default=None),
         ],
     }
     return {
@@ -792,15 +797,10 @@ class IcebergProtocolTable:
             raise UnsupportedIcebergFeatureError(
                 f"format-version {fv} is beyond v3"
             )
-        if fv == 3:
-            # v3 is accepted for the constructs this reader implements
-            # (deletion vectors referenced from delete manifests, the
-            # v2 metadata layout). Row lineage would silently change
-            # row-id semantics — gate it explicitly.
-            if md.get("row-lineage") or md.get("next-row-id"):
-                raise UnsupportedIcebergFeatureError(
-                    "format-version 3 row lineage is not supported"
-                )
+        # v3 is accepted for deletion vectors referenced from delete
+        # manifests, row lineage (next-row-id / first-row-id / data-file
+        # first_row_id, read via snapshot_with_row_ids), and the v2
+        # metadata layout.
         return md
 
     def schema(self, md: dict | None = None) -> dict:
@@ -1429,22 +1429,26 @@ class IcebergProtocolTable:
             snap = self.current_snapshot(md)
             seq = int(md.get("last-sequence-number", 0)) + 1
             snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            entry = {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": record,
+            }
+            # lineage restamps per attempt: the refolded metadata
+            # carries the winner's advanced next-row-id
+            lineage = self._assign_first_row_ids(md, [entry])
             manifest = self._write_manifest(
-                [
-                    {
-                        "status": 1,
-                        "snapshot_id": snapshot_id,
-                        "sequence_number": seq,
-                        "file_sequence_number": seq,
-                        "data_file": record,
-                    }
-                ],
+                [entry],
                 self.schema(md),
                 self.partition_spec(md),
                 md.get("default-spec-id", 0),
                 snapshot_id,
                 seq,
             )
+            if lineage is not None:
+                manifest["first_row_id"] = lineage[0]
             prev = (
                 read_container(
                     self._resolve_path(snap["manifest-list"])
@@ -1461,6 +1465,7 @@ class IcebergProtocolTable:
                     nrec,
                     snapshot_id=snapshot_id,
                     expect_version=base_version,
+                    lineage=lineage,
                 )
             except FileExistsError:
                 continue  # lost the metadata O_EXCL race: refold, retry
@@ -1595,6 +1600,74 @@ class IcebergProtocolTable:
         if name not in refs:
             raise IcebergProtocolError(f"unknown ref {name!r}")
         return self.snapshot(snapshot_id=refs[name]["snapshot-id"])
+
+    def snapshot_with_row_ids(
+        self, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """v3 row lineage read: the table plus ``_row_id`` /
+        ``_last_updated_sequence_number`` — per spec,
+        ``coalesce(materialized column, first_row_id + position)`` and
+        ``coalesce(materialized column, data sequence number)``. Files
+        written before the v3 upgrade have neither and read NULL until
+        rewritten. One broadcast per-file-metadata join over the
+        ordinary delete-applying scan; stable across DV deletes and
+        (via rewrite materialization) compactions — the Iceberg mirror
+        of delta_protocol.snapshot_with_row_ids."""
+        md = self.metadata()
+        if (
+            int(md.get("format-version", 1)) < 3
+            or "next-row-id" not in md
+        ):
+            raise UnsupportedIcebergFeatureError(
+                "row lineage requires format-version 3 "
+                "(upgrade_format_version(3))"
+            )
+        snap = self._snapshot_by(snapshot_id, md=md)
+        if snap is None:
+            raise IcebergProtocolError("table has no snapshot")
+        data_entries, deletes = self._live_entries(snap)
+        if self._nm_resolution(md, data_entries) or self._identity_patch(
+            md, data_entries
+        ):
+            raise UnsupportedIcebergFeatureError(
+                "row-id reads on a metadata-mirror table (UniForm) — "
+                "read row ids through the owning Delta side instead"
+            )
+        schema = self.spark_schema(md)
+        ext = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType()),
+                T.StructField(
+                    "_last_updated_sequence_number", T.LongType()
+                ),
+            ]
+        )
+        if not data_entries:
+            return self.spark.createDataFrame([], ext)
+        base = self._read_with_deletes(
+            ext, data_entries, deletes, keep_pos=True
+        )
+        info = self.spark.createDataFrame(
+            [
+                (
+                    self._resolve_path(e["data_file"]["file_path"]),
+                    e["data_file"].get("first_row_id"),
+                    int(e.get("sequence_number") or 0),
+                )
+                for e in data_entries
+            ],
+            "__fp string, __rl_first long, __rl_seq long",
+        )
+        return base.join(F.broadcast(info), "__fp", "left").select(
+            *[f.name for f in schema.fields],
+            F.coalesce(
+                F.col("_row_id"), F.col("__rl_first") + F.col("__pos")
+            ).alias("_row_id"),
+            F.coalesce(
+                F.col("_last_updated_sequence_number"), F.col("__rl_seq")
+            ).alias("_last_updated_sequence_number"),
+        )
 
     def expire_snapshots(self, retain_last: int = 1) -> dict:
         """Snapshot expiration (the spec's maintenance action): keep
@@ -2722,6 +2795,7 @@ class IcebergProtocolTable:
         stage_only: bool = False,
         parent_snapshot_id: int | None = None,
         extra_summary: dict[str, str] | None = None,
+        lineage: tuple[int, int] | None = None,
     ) -> int:
         """``expect_version`` pins the commit to the metadata version
         the caller FOLDED (compare-and-swap): if another writer
@@ -2761,6 +2835,10 @@ class IcebergProtocolTable:
             "summary": summary,
             "schema-id": md.get("current-schema-id", 0),
         }
+        if lineage is not None:
+            # v3 row lineage: this snapshot's row-id range + the
+            # advanced table-wide enumeration mark
+            snap["first-row-id"] = lineage[0]
         version = (
             expect_version
             if expect_version is not None
@@ -2770,6 +2848,8 @@ class IcebergProtocolTable:
         md = dict(md)
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = now
+        if lineage is not None:
+            md["next-row-id"] = lineage[1]
         md["snapshots"] = self.snapshots(md) + [snap]
         if not stage_only:
             if branch == "main":
@@ -2854,6 +2934,26 @@ class IcebergProtocolTable:
         self._commit_metadata(md, version)
         return new_id
 
+    def _assign_first_row_ids(
+        self, md: dict, entries: list[dict]
+    ) -> tuple[int, int] | None:
+        """v3 row lineage writer duty: stamp ``first_row_id`` on each
+        ADDED data-file entry (ids enumerate from the table's
+        ``next-row-id``) and return (first, next) for the snapshot /
+        metadata fields. None on v2 tables or v3 tables that predate
+        lineage. Mutates ``entries`` in place; safe to re-run on a
+        commit-race refold."""
+        if int(md.get("format-version", 1)) < 3 or "next-row-id" not in md:
+            return None
+        nxt = int(md["next-row-id"])
+        first = nxt
+        for e in entries:
+            df_ = e["data_file"]
+            if int(df_.get("content", 0)) == 0:
+                df_["first_row_id"] = nxt
+                nxt += int(df_["record_count"])
+        return (first, nxt)
+
     def _branch_head(self, md: dict, branch: str) -> dict | None:
         """Head snapshot of a named branch ('main' = current)."""
         if branch == "main":
@@ -2923,14 +3023,18 @@ class IcebergProtocolTable:
             }
             for r in files
         ]
+        lineage = self._assign_first_row_ids(md, entries)
         manifest = self._write_manifest(
             entries, ice_schema, spec_fields, md.get("default-spec-id", 0),
             snapshot_id, seq,
         )
+        if lineage is not None:
+            manifest["first_row_id"] = lineage[0]
         return self._advance(
             md, prev_manifests + [manifest], "append", len(files),
             sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
             branch=branch,
+            lineage=lineage,
             stage_only=wap_id is not None,
             parent_snapshot_id=(
                 snap_prev["snapshot-id"] if snap_prev is not None else None
@@ -3384,6 +3488,10 @@ class IcebergProtocolTable:
             )
         md2 = dict(md)
         md2["format-version"] = 3
+        # v3 row lineage starts enumerating at the upgrade: files
+        # written BEFORE it carry no first_row_id and read NULL row
+        # ids until rewritten (the spec's upgrade semantics)
+        md2.setdefault("next-row-id", 0)
         md2["last-updated-ms"] = int(time.time() * 1000)
         v = max(ver for ver, _ in self._metadata_files()) + 1
         self._commit_metadata(md2, v)
@@ -3500,7 +3608,17 @@ class IcebergProtocolTable:
         snap = self.current_snapshot(md)
         if snap is None:
             return -1
-        current = self.snapshot()
+        if (
+            int(md.get("format-version", 1)) >= 3
+            and "next-row-id" in md
+        ):
+            # v3 row lineage: a rewrite must PRESERVE each carried
+            # row's id — materialize _row_id/_last_updated_sequence_
+            # number columns into the new files (reserved names; the
+            # row-id read coalesces them ahead of first_row_id+pos)
+            current = self.snapshot_with_row_ids()
+        else:
+            current = self.snapshot()
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
         cols = current.columns
@@ -3572,13 +3690,17 @@ class IcebergProtocolTable:
             }
             for r in files
         ]
+        lineage = self._assign_first_row_ids(md, entries)
         manifest = self._write_manifest(
             entries, ice_schema, spec_fields, md.get("default-spec-id", 0),
             snapshot_id, seq,
         )
+        if lineage is not None:
+            manifest["first_row_id"] = lineage[0]
         return self._advance(
             md, [manifest], "replace", len(files),
             sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
+            lineage=lineage,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -3600,13 +3722,17 @@ class IcebergProtocolTable:
             }
             for r in files
         ]
+        lineage = self._assign_first_row_ids(md, entries)
         manifest = self._write_manifest(
             entries, ice_schema, spec_fields, md.get("default-spec-id", 0),
             snapshot_id, seq,
         )
+        if lineage is not None:
+            manifest["first_row_id"] = lineage[0]
         return self._advance(
             md, [manifest], "overwrite", len(files),
             sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
+            lineage=lineage,
         )
 
 

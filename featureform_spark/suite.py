@@ -1180,7 +1180,10 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered.
     "repetition_signals",
     "transformation_chained",
-    "transformation_df_fn",
+    # round-6 late addition: Iceberg v3 row lineage (mirror of
+    # delta_row_tracking). transformation_df_fn (green r1-r5) rotates
+    # out, stays pytest-oracle-covered.
+    "iceberg_row_lineage",
     "pricing_summary",
     "iceberg_position_delete",
     "incremental_dedup",

@@ -839,3 +839,54 @@ def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     assert stats["moved"] == 0 and stats["dups"] == 0, stats
     return after.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "iceberg_row_lineage",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id % 3 IN (0, 1) AND event_type <> 'click'
+    """,
+)
+def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 row lineage (round 6): the Iceberg mirror of
+    delta_row_tracking. Ids enumerate from the table's next-row-id
+    (first_row_id + position per file); the pre-upgrade file reads
+    NULL ids until the rewrite lazily assigns them; the DV delete and
+    the rewrite never move a live id (rewritten files materialize
+    _row_id / _last_updated_sequence_number columns —
+    sources/iceberg_protocol.py:_assign_first_row_ids,
+    snapshot_with_row_ids). In-query asserts certify identity
+    stability + uniqueness; the oracle certifies the data."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "row_lineage"))
+    t.create(events.filter(F.col("event_id") % 3 == 0))
+    t.upgrade_format_version(3)
+    t.append(events.filter(F.col("event_id") % 3 == 1))
+    t.delete_rows(F.col("event_type") == "click")
+    before = t.snapshot_with_row_ids().select(
+        "event_id", F.col("_row_id").alias("__before_id")
+    )
+    t.rewrite_data_files()
+    after = t.snapshot_with_row_ids()
+    stats = after.join(before, "event_id", "left").agg(
+        F.sum(
+            (
+                F.col("__before_id").isNotNull()
+                & (F.col("__before_id") != F.col("_row_id"))
+            ).cast("int")
+        ).alias("moved"),
+        (F.count("*") - F.countDistinct("_row_id")).alias("dups"),
+        F.sum(F.col("_row_id").isNull().cast("int")).alias("nulls"),
+    ).first()
+    # post-rewrite every live row has a unique id; none moved
+    assert (
+        stats["moved"] == 0 and stats["dups"] == 0 and stats["nulls"] == 0
+    ), stats
+    return after.select("event_id", "user_id", "event_type", "value")

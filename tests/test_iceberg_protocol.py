@@ -860,13 +860,14 @@ def test_v3_deletion_vector_read(spark, sf_dir, tmp_path):
     assert _sorted_rows(got) == _sorted_rows(keep.select(*got.columns))
     assert got.count() == 100 - len(pos)
 
-    # the v3 gate still refuses row lineage
+    # row-lineage metadata is ACCEPTED since round 6 (read via
+    # snapshot_with_row_ids); plain reads are unchanged by it
     md_rl = t.metadata()
     md_rl["format-version"] = 3
-    md_rl["row-lineage"] = True
+    md_rl["next-row-id"] = 0
     t._commit_metadata(md_rl, v + 1)
-    with pytest.raises(UnsupportedIcebergFeatureError, match="lineage"):
-        t.metadata()
+    assert t.snapshot().count() == 100 - len(pos)
+    assert t.snapshot_with_row_ids().count() == 100 - len(pos)
 
 
 def test_v3_deletion_vector_write(spark, sf_dir, tmp_path):
@@ -1213,3 +1214,85 @@ def test_unpublished_stage_expires_published_survives(spark, sf_dir,
     with pytest.raises(IcebergProtocolError):
         t.snapshot(snapshot_id=staged)
     assert t.snapshot().count() == 20
+
+
+def test_v3_row_lineage_lifecycle(spark, sf_dir, tmp_path):
+    """v3 row lineage (spec §Row Lineage): ids enumerate from
+    next-row-id; pre-upgrade files read NULL until rewritten; DV
+    deletes never move ids; rewrites materialize carried ids and
+    assign fresh ones to previously-NULL rows; sessionless appends
+    reserve ranges through the CAS retry."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(10))
+    with pytest.raises(UnsupportedIcebergFeatureError, match="format-version 3"):
+        t.snapshot_with_row_ids()
+    t.upgrade_format_version(3)
+    assert t.metadata()["next-row-id"] == 0
+
+    def ids():
+        pdf = (
+            t.snapshot_with_row_ids()
+            .toPandas()
+            .set_index("o_orderkey")
+            .sort_index()
+        )
+        nn = pdf["_row_id"].dropna()
+        assert nn.nunique() == len(nn), "duplicate row ids"
+        return pdf
+
+    s0 = ids()
+    assert s0["_row_id"].isna().all()  # pre-upgrade file: no lineage
+    t.append(orders.limit(20).subtract(orders.limit(10)))
+    s1 = ids()
+    added = s1["_row_id"].dropna()
+    assert set(added) == set(range(10))
+    assert t.metadata()["next-row-id"] == 10
+    # DV delete: ids stable
+    t.delete_rows(F.col("o_orderkey") % 2 == 0)
+    s2 = ids()
+    live = s2["_row_id"].dropna()
+    assert (live == s1.loc[live.index, "_row_id"]).all()
+    # rewrite: carried ids preserved (materialized), NULL rows get
+    # fresh ids (the spec's lazy assignment), enumeration advances
+    t.rewrite_data_files()
+    s3 = ids()
+    assert (s3.loc[live.index, "_row_id"] == live).all()
+    assert s3["_row_id"].notna().all()
+    assert t.metadata()["next-row-id"] == 10 + len(s3)
+    # sessionless append reserves a fresh range
+    t2 = IcebergProtocolTable(None, str(tmp_path / "t"))
+    t2.append_arrow(
+        orders.limit(23).subtract(orders.limit(20)).toArrow()
+    )
+    s4 = ids()
+    assert s4["_row_id"].notna().all()
+    # _last_updated_sequence_number tracks the writing commit
+    assert s4["_last_updated_sequence_number"].max() == max(
+        int(s.get("sequence-number", 0))
+        for s in t.metadata()["snapshots"]
+    )
+
+
+def test_v3_row_lineage_wap_reserves_ranges(spark, sf_dir, tmp_path):
+    """WAP staging on a lineage table reserves the id range AT STAGE
+    TIME, so interleaved main commits and the later cherry-pick never
+    collide ids; an abandoned stage leaves a gap (ids unique, not
+    dense — spec-permitted)."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(
+        orders.limit(5), properties={"write.wap.enabled": "true"}
+    )
+    t.upgrade_format_version(3)
+    staged = t.append(
+        orders.limit(10).subtract(orders.limit(5)), wap_id="w1"
+    )
+    after_stage = t.metadata()["next-row-id"]
+    assert after_stage == 5  # range reserved while unreferenced
+    t.append(orders.limit(15).subtract(orders.limit(10)))
+    t.cherrypick_snapshot(staged)
+    pdf = t.snapshot_with_row_ids().toPandas()
+    nn = pdf["_row_id"].dropna()
+    assert nn.nunique() == len(nn)
+    assert len(nn) == 10  # the two post-upgrade appends
