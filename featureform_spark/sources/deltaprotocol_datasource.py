@@ -85,12 +85,16 @@ class _FileSlice(InputPartition):
     def __init__(
         self, abs_path: str, part_values: dict, part_types: dict,
         field_order: list, dv_blob: bytes | None = None,
+        row_info: tuple | None = None,
     ):
         self.abs_path = abs_path
         self.part_values = part_values   # {col: raw string or None}
         self.part_types = part_types     # {col: spark simpleString}
         self.field_order = field_order   # full logical column order
         self.dv_blob = dv_blob           # roaring DV blob (compact) or None
+        # row tracking: (baseRowId, defaultRowCommitVersion,
+        # materialized-row-id col, materialized-rcv col) or None
+        self.row_info = row_info
 
 
 def _pa_scalar_type(simple: str):
@@ -152,17 +156,25 @@ def _read_slice(part: _FileSlice) -> Iterator:
     pf = pq.ParquetFile(part.abs_path)
     row_offset = 0
     for batch in pf.iter_batches():
+        nrows = batch.num_rows
+        # ORIGINAL file-relative indexes (pre-DV) — what row ids key on
+        orig_idx = (
+            np.arange(row_offset, row_offset + nrows, dtype=np.int64)
+            if part.row_info is not None
+            else None
+        )
         if deleted is not None and len(deleted):
-            nrows = batch.num_rows
             lo = np.searchsorted(deleted, row_offset)
             hi = np.searchsorted(deleted, row_offset + nrows)
-            row_offset += nrows
             if hi > lo:
                 keep = np.ones(nrows, dtype=bool)
-                keep[(deleted[lo:hi] - (row_offset - nrows)).astype(np.int64)] = False
+                keep[(deleted[lo:hi] - row_offset).astype(np.int64)] = False
                 batch = batch.filter(pa.array(keep))
-            if batch.num_rows == 0:
-                continue
+                if orig_idx is not None:
+                    orig_idx = orig_idx[keep]
+        row_offset += nrows
+        if batch.num_rows == 0:
+            continue
         n = batch.num_rows
         cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
         arrays = []
@@ -187,6 +199,26 @@ def _read_slice(part: _FileSlice) -> Iterator:
             else:
                 arrays.append(cols[name])
             fields.append(name)
+        if part.row_info is not None:
+            import pyarrow.compute as pc
+
+            base, dcv, mat_id, mat_rcv = part.row_info
+            fresh = pa.array(base + orig_idx, type=pa.int64())
+            mid = cols.get(mat_id)
+            arrays.append(
+                pc.coalesce(pc.cast(mid, pa.int64()), fresh)
+                if mid is not None
+                else fresh
+            )
+            fields.append("_row_id")
+            dflt = pa.array(np.full(n, dcv, dtype=np.int64))
+            mrc = cols.get(mat_rcv)
+            arrays.append(
+                pc.coalesce(pc.cast(mrc, pa.int64()), dflt)
+                if mrc is not None
+                else dflt
+            )
+            fields.append("_row_commit_version")
         yield pa.RecordBatch.from_arrays(arrays, names=fields)
 
 
@@ -213,6 +245,16 @@ class DeltaProtocolBatchReader(DataSourceReader):
             return DeltaProtocolStreamReader(
                 {"path": self.options["path"], "readchangefeed": "true"}
             )._cdf_partitions(st, lo, hi)
+        with_row_ids = (
+            self.options.get("withrowids", "false").lower() == "true"
+        )
+        mat = None
+        if with_row_ids:
+            if not st.row_tracking:
+                raise UnsupportedTableFeatureError(
+                    "withRowIds requires delta.enableRowTracking"
+                )
+            mat = st.materialized_row_id_cols or ("", "")
         parts = st.partition_columns
         types = {f.name: f.dataType.simpleString() for f in st.schema.fields}
         order = [f.name for f in st.schema.fields]
@@ -223,6 +265,14 @@ class DeltaProtocolBatchReader(DataSourceReader):
                 c: (a.get("partitionValues") or {}).get(c) for c in parts
             }
             dv = a.get("deletionVector")
+            row_info = None
+            if with_row_ids:
+                row_info = (
+                    int(a.get("baseRowId", 0)),
+                    int(a.get("defaultRowCommitVersion", 0)),
+                    mat[0],
+                    mat[1],
+                )
             out.append(
                 _FileSlice(
                     os.path.join(self.t.path, urllib.parse.unquote(rel)),
@@ -231,6 +281,7 @@ class DeltaProtocolBatchReader(DataSourceReader):
                     order,
                     # ship the COMPACT blob; decode happens executor-side
                     self.t._dv_blob(dv) if dv else None,
+                    row_info=row_info,
                 )
             )
         return out
@@ -502,9 +553,25 @@ class DeltaProtocolDataSource(DataSource):
         return "deltaprotocol"
 
     def schema(self):
+        from pyspark.sql import types as T
+
         schema = _table(self.options).state().schema
-        if self.options.get("readchangefeed", "false").lower() == "true":
+        cdf = self.options.get("readchangefeed", "false").lower() == "true"
+        rid = self.options.get("withrowids", "false").lower() == "true"
+        if cdf and rid:
+            raise ValueError(
+                "withRowIds and readChangeFeed are mutually exclusive"
+            )
+        if cdf:
             return _cdf_schema(schema)
+        if rid:
+            return T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField("_row_commit_version", T.LongType()),
+                ]
+            )
         return schema
 
     def reader(self, schema) -> DataSourceReader:

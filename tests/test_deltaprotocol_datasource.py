@@ -339,3 +339,54 @@ def test_batch_read_change_feed(reg, spark, sf_dir, tmp_path):
         r["_commit_version"]
         for r in only_v1.select("_commit_version").distinct().collect()
     ) == {1}
+
+
+def test_batch_read_with_row_ids(spark, sf_dir, tmp_path):
+    """withRowIds=true: the registered source computes
+    _row_id/_row_commit_version executor-side (baseRowId + original
+    file index, DV-filtered, materialized columns win) and matches the
+    native snapshot_with_row_ids scan exactly."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    path = str(tmp_path / "rt")
+    t = DeltaProtocolTable(spark, path)
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.create(df.limit(25), properties={"delta.enableRowTracking": "true"})
+    t.append(df.subtract(df.limit(25)))
+    t.delete_where(F.col("k") % 4 == 0)         # DV: ids must hold
+    t.merge(
+        spark.range(35, 45).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        "k",
+    )                                            # materialized ids
+    got = (
+        spark.read.format("deltaprotocol")
+        .option("path", path)
+        .option("withRowIds", "true")
+        .load()
+    )
+    assert got.columns == ["k", "v", "_row_id", "_row_commit_version"]
+    native = t.snapshot_with_row_ids().select(
+        "k", "v",
+        F.col("_row_id").cast("long").alias("_row_id"),
+        F.col("_row_commit_version").cast("long").alias(
+            "_row_commit_version"
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, native.collect())
+    )
+    # untracked table refuses; CDF combination refuses
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "plain"))
+    t2.create(df.limit(5))
+    with pytest.raises(Exception, match="enableRowTracking"):
+        (
+            spark.read.format("deltaprotocol")
+            .option("path", str(tmp_path / "plain"))
+            .option("withRowIds", "true")
+            .load()
+            .collect()
+        )
