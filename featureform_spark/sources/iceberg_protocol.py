@@ -1669,12 +1669,17 @@ class IcebergProtocolTable:
             ).alias("_last_updated_sequence_number"),
         )
 
-    def expire_snapshots(self, retain_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, retain_last: int = 1, older_than_ms: int | None = None
+    ) -> dict:
         """Snapshot expiration (the spec's maintenance action): keep
         the last ``retain_last`` snapshots, drop the rest from metadata
         and delete files (data, delete, manifest, manifest-list) that
         only those expired snapshots reference. Time travel below the
-        horizon stops working. Returns {"expired", "files_deleted"}."""
+        horizon stops working. ``older_than_ms`` (absolute epoch
+        millis, Iceberg's expireOlderThan): snapshots at or after the
+        cutoff ALSO survive — only history older than the cutoff is
+        eligible. Returns {"expired", "files_deleted"}."""
         md = self.metadata()
         snaps = self.snapshots(md)
         if len(snaps) <= retain_last:
@@ -1696,6 +1701,12 @@ class IcebergProtocolTable:
             main_chain.append(int(cur))
             cur = by_id[int(cur)].get("parent-snapshot-id")
         retained = set(main_chain[:retain_last])
+        if older_than_ms is not None:
+            retained |= {
+                int(s["snapshot-id"])
+                for s in snaps
+                if int(s.get("timestamp-ms") or 0) >= older_than_ms
+            }
         keep_snaps = [
             s
             for s in snaps
@@ -1757,6 +1768,149 @@ class IcebergProtocolTable:
         md["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(md, version)
         return {"expired": len(expired), "files_deleted": deleted}
+
+    def rewrite_manifests(self) -> int:
+        """Manifest compaction (Iceberg's rewriteManifests maintenance
+        action): every commit appends one manifest to the list, so a
+        long-lived table folds N manifests per scan — at 100 TB the
+        metadata fold itself becomes the planning bottleneck. This
+        combines all default-spec DATA manifests into ONE manifest of
+        status=0 (existing) entries that KEEP their original
+        snapshot_id / sequence numbers (delete-file scoping and row
+        lineage are untouched — no data file moves), and commits a
+        'replace' snapshot whose list carries the combined manifest +
+        the delete manifests verbatim. Returns the new snapshot id, or
+        -1 when there is nothing to combine."""
+        md = self.metadata()
+        snap = self.current_snapshot(md)
+        if snap is None:
+            return -1
+        manifests = self._manifest_files(snap)
+        spec_id = md.get("default-spec-id", 0)
+        combinable = [
+            m for m in manifests
+            if int(m.get("content", 0)) == 0
+            and int(m.get("partition_spec_id", 0)) == spec_id
+        ]
+        passthrough = [m for m in manifests if m not in combinable]
+        if len(combinable) <= 1:
+            return -1
+        entries: list[dict] = []
+        for m in combinable:
+            _, recs = read_container(
+                self._resolve_path(m["manifest_path"])
+            )
+            for e in recs:
+                if int(e.get("status", 1)) == 2:
+                    continue  # deleted entries drop out of the rewrite
+                entries.append(
+                    {
+                        "status": 0,  # existing: lineage/seq preserved
+                        "snapshot_id": e.get("snapshot_id"),
+                        # inherited sequence numbers resolve from the
+                        # carrying manifest before the rewrite breaks
+                        # the inheritance chain
+                        "sequence_number": (
+                            e.get("sequence_number")
+                            if e.get("sequence_number") is not None
+                            else int(m.get("sequence_number") or 0)
+                        ),
+                        "file_sequence_number": (
+                            e.get("file_sequence_number")
+                            if e.get("file_sequence_number") is not None
+                            else int(m.get("sequence_number") or 0)
+                        ),
+                        "data_file": e["data_file"],
+                    }
+                )
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        combined = self._write_manifest(
+            entries, self.schema(md), self.partition_spec(md), spec_id,
+            snapshot_id, seq,
+        )
+        if all(
+            m.get("first_row_id") is not None for m in combinable
+        ) and combinable:
+            combined["first_row_id"] = min(
+                int(m["first_row_id"]) for m in combinable
+            )
+        return self._advance(
+            md, [combined] + passthrough, "replace", 0, 0,
+            snapshot_id=snapshot_id,
+        )
+
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> dict:
+        """Delete files under the table location that NO metadata
+        version references (Iceberg's removeOrphanFiles): crashed
+        writes, abandoned staging output. The keep set is every
+        metadata JSON + every snapshot's manifest list, manifests,
+        data/delete/puffin files across ALL metadata versions, plus
+        the version hint. ``older_than_ms`` (epoch millis) spares
+        young files — the guard real Iceberg defaults to 3 days so an
+        in-flight writer's staging files survive. Returns
+        {"deleted", "kept"}."""
+        keep: set[str] = {
+            os.path.join(self.metadata_path, name)
+            for _v, name in self._metadata_files()
+        }
+        keep.add(os.path.join(self.metadata_path, VERSION_HINT))
+        seen_md: set[str] = set()
+        for _v, name in self._metadata_files():
+            f = os.path.join(self.metadata_path, name)
+            if f in seen_md:
+                continue
+            seen_md.add(f)
+            try:
+                md = self.metadata(f)
+            except Exception:
+                continue
+            for s in self.snapshots(md):
+                ml = s.get("manifest-list")
+                if not ml:
+                    continue
+                ml = self._resolve_path(ml)
+                keep.add(ml)
+                try:
+                    _, manifests = read_container(ml)
+                except Exception:
+                    continue
+                for m in manifests:
+                    mp = self._resolve_path(m["manifest_path"])
+                    keep.add(mp)
+                    try:
+                        _, recs = read_container(mp)
+                    except Exception:
+                        continue
+                    for e in recs:
+                        keep.add(
+                            self._resolve_path(
+                                e["data_file"]["file_path"]
+                            )
+                        )
+        deleted = 0
+        kept = 0
+        for dirpath, dirs, files in os.walk(self.path, topdown=True):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                if full in keep or name.startswith("."):
+                    kept += 1
+                    continue
+                if older_than_ms is not None and (
+                    os.path.getmtime(full) * 1000 >= older_than_ms
+                ):
+                    kept += 1
+                    continue
+                os.remove(full)
+                deleted += 1
+        # prune now-empty staging dirs
+        for dirpath, dirs, files in os.walk(self.path, topdown=False):
+            if not dirs and not files and dirpath != self.path:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {"deleted": deleted, "kept": kept}
 
     def snapshot_as_of_timestamp(self, ts_millis: int) -> DataFrame:
         """TIMESTAMP AS OF over the snapshot log: the newest snapshot

@@ -1296,3 +1296,99 @@ def test_v3_row_lineage_wap_reserves_ranges(spark, sf_dir, tmp_path):
     nn = pdf["_row_id"].dropna()
     assert nn.nunique() == len(nn)
     assert len(nn) == 10  # the two post-upgrade appends
+
+
+def test_rewrite_manifests_combines_without_moving_data(
+    spark, sf_dir, tmp_path
+):
+    """rewrite_manifests: N per-commit manifests fold to ONE; entries
+    keep their snapshot/sequence identity so delete scoping and row
+    lineage hold; data files are untouched (no rewrite)."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(10))
+    for lo, hi in [(10, 20), (20, 30), (30, 40)]:
+        t.append(orders.limit(hi).subtract(orders.limit(lo)))
+    t.delete_rows(F.col("o_orderkey") % 2 == 0)
+    before_rows = _sorted_rows(t.snapshot())
+    snap = t.current_snapshot()
+    pre = t._manifest_files(snap)
+    pre_data = [m for m in pre if int(m.get("content", 0)) == 0]
+    assert len(pre_data) == 4
+    data_files_before = {
+        r["file_path"]
+        for r in t.metadata_table("files").collect()
+    }
+    assert t.rewrite_manifests() != -1
+    post = t._manifest_files(t.current_snapshot())
+    post_data = [m for m in post if int(m.get("content", 0)) == 0]
+    assert len(post_data) == 1
+    assert post_data[0]["existing_files_count"] >= 4
+    assert post_data[0]["added_files_count"] == 0
+    # same rows, same physical files, deletes still scoped right
+    assert _sorted_rows(t.snapshot()) == before_rows
+    assert {
+        r["file_path"] for r in t.metadata_table("files").collect()
+    } == data_files_before
+    # nothing further to combine
+    assert t.rewrite_manifests() == -1
+
+
+def test_rewrite_manifests_preserves_row_lineage(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(10))
+    t.upgrade_format_version(3)
+    t.append(orders.limit(20).subtract(orders.limit(10)))
+    t.append(orders.limit(30).subtract(orders.limit(20)))
+    before = (
+        t.snapshot_with_row_ids()
+        .toPandas()
+        .set_index("o_orderkey")["_row_id"]
+        .sort_index()
+    )
+    assert t.rewrite_manifests() != -1
+    after = (
+        t.snapshot_with_row_ids()
+        .toPandas()
+        .set_index("o_orderkey")["_row_id"]
+        .sort_index()
+    )
+    assert (
+        before.isna() == after.isna()
+    ).all() and (before.dropna() == after.dropna()).all()
+    assert t.metadata()["next-row-id"] == 20
+
+
+def test_remove_orphan_files_and_time_based_expiry(
+    spark, sf_dir, tmp_path
+):
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(10))
+    t.append(orders.limit(20).subtract(orders.limit(10)))
+    rows = _sorted_rows(t.snapshot())
+    # plant orphans: abandoned staging + stray data file
+    stray = os.path.join(str(tmp_path / "t"), "data", "stray.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    staging = os.path.join(str(tmp_path / "t"), ".staging", "x", "y.parquet")
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    with open(staging, "wb") as f:
+        f.write(b"junk")
+    # young-file guard: nothing deleted with a past cutoff
+    res = t.remove_orphan_files(older_than_ms=0)
+    assert res["deleted"] == 0 and os.path.exists(stray)
+    res = t.remove_orphan_files()
+    assert res["deleted"] >= 1
+    assert not os.path.exists(stray)
+    assert _sorted_rows(t.snapshot()) == rows  # table unharmed
+    # time-based expiry: cutoff between the two snapshots
+    snaps = t.metadata()["snapshots"]
+    assert len(snaps) == 2
+    cut = int(snaps[1]["timestamp-ms"])
+    res = t.expire_snapshots(retain_last=1, older_than_ms=cut + 1)
+    # head survives via retain_last even though it's past the cutoff
+    assert res["expired"] == 1
+    assert _sorted_rows(t.snapshot()) == rows
