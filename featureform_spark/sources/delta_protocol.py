@@ -487,11 +487,18 @@ class DeltaProtocolTable:
 
         def _fix_maps(obj):
             # pyarrow to_pylist renders map<string,string> as a list of
-            # (k, v) tuples; the action consumers expect dicts
-            if isinstance(obj, list) and all(
+            # (k, v) tuples; the action consumers expect dicts. An
+            # EMPTY list must stay a list — [] is ambiguous between an
+            # empty map and an empty array (partitionColumns), and
+            # turning it into {} corrupts array fields when the folded
+            # state is re-checkpointed (empty-map consumers coalesce
+            # falsy values, so a [] where {} was meant is harmless).
+            if isinstance(obj, list) and obj and all(
                 isinstance(e, tuple) and len(e) == 2 for e in obj
             ):
                 return dict(obj)
+            if isinstance(obj, list):
+                return [_fix_maps(e) for e in obj]
             if isinstance(obj, dict):
                 return {k: _fix_maps(v) for k, v in obj.items()}
             return obj
@@ -1466,6 +1473,23 @@ class DeltaProtocolTable:
             ) from None
         os.unlink(tmp)
 
+    def _maybe_auto_checkpoint(self, version: int, st: _State) -> None:
+        """Honor ``delta.checkpointInterval``: after committing
+        ``version``, write a checkpoint when the interval divides it —
+        the cadence delta-spark runs so the log folds in O(interval).
+        Sessionless-safe (the checkpoint writer is pyarrow)."""
+        raw = (st.metadata.get("configuration") or {}).get(
+            "delta.checkpointInterval"
+        )
+        if not raw:
+            return
+        try:
+            interval = int(raw)
+        except ValueError:
+            return
+        if interval > 0 and version > 0 and version % interval == 0:
+            self.checkpoint()
+
     def _metadata_action(
         self,
         schema: T.StructType,
@@ -1674,6 +1698,7 @@ class DeltaProtocolTable:
             v = st.version + 1
             try:
                 self._commit(v, actions, "WRITE")
+                self._maybe_auto_checkpoint(v, st)
                 return v
             except ConcurrentCommitError:
                 st = self.state()  # conflict: fold the winner, retry
@@ -1975,6 +2000,7 @@ class DeltaProtocolTable:
         if dm is not None:
             actions.append(dm)
         self._commit(v, actions, "MERGE")
+        self._maybe_auto_checkpoint(v, st)
         return {
             "version": v,
             "files_rewritten": len(matched_abs),
@@ -2182,6 +2208,7 @@ class DeltaProtocolTable:
 
         v = st.version + 1
         self._commit(v, actions, "DELETE")
+        self._maybe_auto_checkpoint(v, st)
         return {
             "version": v,
             "files_touched": files_touched,
@@ -2209,6 +2236,7 @@ class DeltaProtocolTable:
         if dm is not None:
             actions.append(dm)
         self._commit(v, actions, "WRITE")
+        self._maybe_auto_checkpoint(v, st)
         return v
 
     # ------------------------------------------------------ checkpoint
@@ -2354,6 +2382,7 @@ class DeltaProtocolTable:
             v = st.version + 1
             try:
                 self._commit(v, actions, "WRITE")
+                self._maybe_auto_checkpoint(v, st)
                 return v
             except ConcurrentCommitError:
                 st = self.state()
@@ -2462,6 +2491,7 @@ class DeltaProtocolTable:
         if dm is not None:
             actions.append(dm)
         self._commit(v, actions, "OPTIMIZE")
+        self._maybe_auto_checkpoint(v, st)
         return v
 
     def checkpoint(self) -> int:
@@ -2904,7 +2934,9 @@ class DeltaProtocolTable:
                     for f in dt.fields
                 }
             if isinstance(dt, T.MapType):
-                return list(v.items())
+                # a sessionless-folded empty map arrives as [] (the
+                # _fix_maps ambiguity) — already item-list shaped
+                return v if isinstance(v, list) else list(v.items())
             return v
 
         schema = pa.schema(

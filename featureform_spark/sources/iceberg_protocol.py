@@ -3184,7 +3184,7 @@ class IcebergProtocolTable:
         )
         if lineage is not None:
             manifest["first_row_id"] = lineage[0]
-        return self._advance(
+        sid = self._advance(
             md, prev_manifests + [manifest], "append", len(files),
             sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
             branch=branch,
@@ -3195,6 +3195,25 @@ class IcebergProtocolTable:
             ),
             extra_summary={"wap.id": wap_id} if wap_id is not None else None,
         )
+        # commit.manifest-merge.enabled + min-count-to-merge: when a
+        # long append chain has accumulated enough manifests, fold them
+        # as a follow-on 'replace' commit (real Iceberg merges during
+        # the commit; the follow-on form keeps this writer's commits
+        # single-purpose). Main-branch plain appends only.
+        if branch == "main" and wap_id is None:
+            props = md.get("properties") or {}
+            if str(
+                props.get("commit.manifest-merge.enabled", "")
+            ).lower() == "true":
+                try:
+                    min_count = int(
+                        props.get("commit.manifest.min-count-to-merge", 100)
+                    )
+                except ValueError:
+                    min_count = 100
+                if len(prev_manifests) + 1 >= min_count:
+                    self.rewrite_manifests()
+        return sid
 
     def cherrypick_snapshot(self, snapshot_id: int) -> int:
         """Publish a staged (WAP) append snapshot onto main: re-apply

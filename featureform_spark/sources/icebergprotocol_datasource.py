@@ -152,7 +152,18 @@ class IcebergProtocolBatchReader(DataSourceReader):
                 {"path": self.options["path"], "readchangefeed": "true"}
             )
             return reader._cdf_partitions(md, snaps, lo, hi)
-        snap = self.t._snapshot_by(None, md=md)
+        sid = self.options.get("snapshotid")
+        ref = self.options.get("ref")
+        if sid is not None and ref is not None:
+            raise ValueError("snapshotId and ref are mutually exclusive")
+        if ref is not None:
+            refs = md.get("refs") or {}
+            if ref not in refs:
+                raise IcebergProtocolError(f"unknown ref {ref!r}")
+            sid = refs[ref]["snapshot-id"]
+        snap = self.t._snapshot_by(
+            int(sid) if sid is not None else None, md=md
+        )
         order = [f.name for f in self.t.spark_schema(md).fields]
         if snap is None:
             return []

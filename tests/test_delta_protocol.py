@@ -852,3 +852,29 @@ def test_concurrent_sessionless_appends(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_auto_checkpoint_interval(spark, sf_dir, tmp_path):
+    """delta.checkpointInterval: every Nth commit writes a checkpoint
+    without an explicit call — sessionless appends included."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    path = str(tmp_path / "t")
+    t = DeltaProtocolTable(spark, path)
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t.create(df, properties={"delta.checkpointInterval": "2"})
+    assert t._checkpoint_versions() == []
+    t.append(df)            # v1
+    assert t._checkpoint_versions() == []
+    t.append(df)            # v2 -> checkpoint
+    assert t._checkpoint_versions() == [2]
+    t.delete_where(F.col("k") > 8)   # v3
+    t.compact()                      # v4 -> checkpoint
+    assert t._checkpoint_versions() == [2, 4]
+    # sessionless path honors it too
+    t2 = DeltaProtocolTable(None, path)
+    t2.append_arrow(df.toArrow())    # v5
+    t2.append_arrow(df.toArrow())    # v6 -> checkpoint
+    assert t._checkpoint_versions() == [2, 4, 6]
+    # the folded state still reads right
+    assert t.snapshot().count() == 47

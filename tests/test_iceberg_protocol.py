@@ -1392,3 +1392,44 @@ def test_remove_orphan_files_and_time_based_expiry(
     # head survives via retain_last even though it's past the cutoff
     assert res["expired"] == 1
     assert _sorted_rows(t.snapshot()) == rows
+
+
+def test_auto_manifest_merge_and_ref_source_reads(spark, sf_dir, tmp_path):
+    """commit.manifest-merge.enabled folds manifests once the append
+    chain reaches min-count; the registered source reads branches/
+    snapshots via option('ref'/'snapshotId')."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(
+        orders.limit(5),
+        properties={
+            "commit.manifest-merge.enabled": "true",
+            "commit.manifest.min-count-to-merge": "3",
+        },
+    )
+    t.append(orders.limit(10).subtract(orders.limit(5)))
+    t.append(orders.limit(15).subtract(orders.limit(10)))  # triggers
+    post = t._manifest_files(t.current_snapshot())
+    assert len([m for m in post if int(m.get("content", 0)) == 0]) == 1
+    assert t.snapshot().count() == 15
+    # ref reads through the registered source
+    from featureform_spark.sources.icebergprotocol_datasource import (
+        register,
+    )
+
+    register(spark)
+    t.append(orders.limit(20).subtract(orders.limit(15)), branch="audit")
+    main_n = (
+        spark.read.format("icebergprotocol")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .count()
+    )
+    audit_n = (
+        spark.read.format("icebergprotocol")
+        .option("path", str(tmp_path / "t"))
+        .option("ref", "audit")
+        .load()
+        .count()
+    )
+    assert (main_n, audit_n) == (15, 20)
