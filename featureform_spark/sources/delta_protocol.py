@@ -788,6 +788,95 @@ class DeltaProtocolTable:
         self._commit(v, [{"metaData": meta}], "DROP CONSTRAINT")
         return v
 
+    def _require_mapping(self, st: _State, op: str) -> None:
+        if st.column_mapping is None:
+            raise UnsupportedTableFeatureError(
+                f"{op} requires delta.columnMapping (mode name/id): "
+                "without stable physical names the data files would "
+                "stop resolving — enable mapping at create"
+            )
+
+    def _col_referenced_by(self, st: _State, name: str) -> list[str]:
+        """Table machinery that names the column: CHECK constraints,
+        invariants, generation expressions, partition columns."""
+        import re
+
+        hits: list[str] = []
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        conf = st.metadata.get("configuration") or {}
+        for k, expr in conf.items():
+            if k.startswith("delta.constraints.") and pat.search(expr):
+                hits.append(f"constraint {k.split('.', 2)[2]!r}")
+        for f in st.schema.fields:
+            md = f.metadata or {}
+            gen = md.get("delta.generationExpression")
+            if gen and pat.search(gen):
+                hits.append(f"generated column {f.name!r}")
+            if f.name != name and md.get("delta.invariants") and pat.search(
+                md["delta.invariants"]
+            ):
+                hits.append(f"invariant on {f.name!r}")
+        if name in st.partition_columns:
+            hits.append("partitioning")
+        return hits
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only under column
+        mapping (the physical name and field id never change, so every
+        existing data file keeps resolving; this is WHY Delta requires
+        mapping for rename)."""
+        st = self.state()
+        self._require_mapping(st, "RENAME COLUMN")
+        self._write_guard(st, None, "WRITE")
+        sj = json.loads(st.metadata["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        if old not in names:
+            raise DeltaProtocolError(f"no column {old!r}")
+        if new in names:
+            raise DeltaProtocolError(f"column {new!r} already exists")
+        hits = self._col_referenced_by(st, old)
+        if hits:
+            raise DeltaProtocolError(
+                f"cannot rename {old!r}: referenced by "
+                + ", ".join(hits)
+            )
+        for f in sj["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        meta = dict(st.metadata)
+        meta["schemaString"] = json.dumps(sj)
+        v = st.version + 1
+        self._commit(v, [{"metaData": meta}], "RENAME COLUMN")
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only under column
+        mapping: the field leaves the schema, the physical column
+        stays in the files (unreadable — its physical name is no
+        longer mapped). A later add of the same LOGICAL name gets a
+        fresh field id + physical name, so dropped data can never
+        resurrect."""
+        st = self.state()
+        self._require_mapping(st, "DROP COLUMN")
+        self._write_guard(st, None, "WRITE")
+        sj = json.loads(st.metadata["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        if name not in names:
+            raise DeltaProtocolError(f"no column {name!r}")
+        if len(names) == 1:
+            raise DeltaProtocolError("cannot drop the last column")
+        hits = self._col_referenced_by(st, name)
+        if hits:
+            raise DeltaProtocolError(
+                f"cannot drop {name!r}: referenced by " + ", ".join(hits)
+            )
+        sj["fields"] = [f for f in sj["fields"] if f["name"] != name]
+        meta = dict(st.metadata)
+        meta["schemaString"] = json.dumps(sj)
+        v = st.version + 1
+        self._commit(v, [{"metaData": meta}], "DROP COLUMN")
+        return v
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: commitInfo per version, newest first."""
         out = []

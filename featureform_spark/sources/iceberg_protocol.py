@@ -3048,15 +3048,35 @@ class IcebergProtocolTable:
         by_name = {f["name"]: f for f in cur["fields"]}
         ids = _IdGen(int(md.get("last-column-id", 0)))
         fields = []
+        def _promotable(from_t, to_t) -> bool:
+            """Spec §Schema Evolution type promotion: int->long,
+            float->double, decimal(P,S)->decimal(P',S) with P'>=P."""
+            if not (isinstance(from_t, str) and isinstance(to_t, str)):
+                return False
+            if (from_t, to_t) in (("int", "long"), ("float", "double")):
+                return True
+            if from_t.startswith("decimal(") and to_t.startswith(
+                "decimal("
+            ):
+                p0, s0 = from_t[8:-1].split(",")
+                p1, s1 = to_t[8:-1].split(",")
+                return int(s0) == int(s1) and int(p1) >= int(p0)
+            return False
+
         for f in new_schema.fields:
             old = by_name.get(f.name)
             ice_t = spark_type_to_iceberg(f.dataType, ids)
             if old is not None:
-                if old["type"] != ice_t:
+                if old["type"] != ice_t and not _promotable(
+                    old["type"], ice_t
+                ):
                     raise UnsupportedIcebergFeatureError(
                         f"type change {old['type']!r} -> {ice_t!r} for "
                         f"column {f.name!r} is not supported"
                     )
+                if old["type"] != ice_t:
+                    old = dict(old)
+                    old["type"] = ice_t  # promoted, same field id
                 fields.append(old)
             else:
                 fields.append(

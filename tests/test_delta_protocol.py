@@ -878,3 +878,64 @@ def test_auto_checkpoint_interval(spark, sf_dir, tmp_path):
     assert t._checkpoint_versions() == [2, 4, 6]
     # the folded state still reads right
     assert t.snapshot().count() == 47
+
+
+def test_rename_drop_column_mapping(spark, sf_dir, tmp_path):
+    """RENAME/DROP COLUMN are metadata-only under column mapping:
+    physical names and field ids never change, so existing files keep
+    resolving; a re-added logical name gets a fresh physical name and
+    can NEVER resurrect dropped data (the contract that makes mapping
+    a writer requirement for these ops)."""
+    from featureform_spark.sources.delta_protocol import (
+        DeltaProtocolTable,
+        UnsupportedTableFeatureError,
+    )
+
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"),
+        F.lit("x").alias("c"),
+    )
+    t.create(df, properties={"delta.columnMapping.mode": "name"})
+    t.rename_column("b", "bb")
+    got = t.snapshot()
+    assert got.columns == ["a", "bb", "c"]
+    assert got.agg(F.sum("bb")).first()[0] == 90  # old files resolve
+    t.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("bb"),
+            F.lit("y").alias("c"),
+        )
+    )
+    assert t.snapshot().count() == 12
+    t.drop_column("c")
+    assert t.snapshot().columns == ["a", "bb"]
+    # re-add 'c' via merge schema evolution: fresh physical name
+    t.merge(
+        spark.range(5).select(
+            F.col("id").alias("a"), F.lit(0).cast("long").alias("bb"),
+            F.lit("NEW").alias("c"),
+        ),
+        "a",
+    )
+    old_row = t.snapshot().filter(F.col("a") == 7).select("c").first()
+    assert old_row[0] is None  # dropped data never resurrects
+    assert (
+        t.snapshot().filter(F.col("a") == 3).select("c").first()[0]
+        == "NEW"
+    )
+    # guards: unmapped tables refuse; referenced columns refuse
+    p = DeltaProtocolTable(spark, str(tmp_path / "plain"))
+    p.create(spark.range(3).select(F.col("id").alias("a"), F.lit(1).alias("z")))
+    with pytest.raises(UnsupportedTableFeatureError, match="columnMapping"):
+        p.rename_column("a", "aa")
+    g = DeltaProtocolTable(spark, str(tmp_path / "guard"))
+    g.create(
+        spark.range(3).select(F.col("id").alias("a"), F.lit(1).alias("z")),
+        properties={
+            "delta.columnMapping.mode": "name",
+            "delta.constraints.pos": "a >= 0",
+        },
+    )
+    with pytest.raises(DeltaProtocolError, match="constraint"):
+        g.drop_column("a")

@@ -1433,3 +1433,40 @@ def test_auto_manifest_merge_and_ref_source_reads(spark, sf_dir, tmp_path):
         .count()
     )
     assert (main_n, audit_n) == (15, 20)
+
+
+def test_type_promotion_evolution(spark, sf_dir, tmp_path):
+    """Spec §Schema Evolution type promotion: int->long and
+    float->double keep the field id; old int32/float files read
+    correctly under the widened schema; unsupported changes still
+    refuse."""
+    from pyspark.sql import types as T
+
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.range(10).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("v"),
+        )
+    )
+    old_ids = {f["name"]: f["id"] for f in t.schema()["fields"]}
+    new = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    t.evolve_schema(new)
+    assert {f["name"]: f["id"] for f in t.schema()["fields"]} == old_ids
+    t.append(spark.createDataFrame([(2**40, 1.5)], new))
+    out = t.snapshot()
+    assert out.schema.simpleString() == "struct<k:bigint,v:double>"
+    assert out.count() == 11
+    assert out.agg(F.max("k")).first()[0] == 2**40
+    assert abs(out.agg(F.sum("v")).first()[0] - (45.0 + 1.5)) < 1e-9
+    with pytest.raises(UnsupportedIcebergFeatureError, match="type change"):
+        t.evolve_schema(
+            T.StructType(
+                [
+                    T.StructField("k", T.StringType()),
+                    T.StructField("v", T.DoubleType()),
+                ]
+            )
+        )
