@@ -1415,10 +1415,22 @@ class DeltaProtocolTable:
             # (tasks × values small files, and the driver-side footer
             # stat pass scales with file count)
             df = df.repartition(*[F.col(c) for c in partition_by])
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(staging)
+        # INT96 (Spark's default parquet timestamp) carries no column
+        # statistics — write micros so timestamp zone maps exist
+        conf = self.spark.conf
+        prev_ts = conf.get(
+            "spark.sql.parquet.outputTimestampType", "INT96"
+        )
+        conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(staging)
+        finally:
+            conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
         actions = []
         for dirpath, _dirs, files in sorted(os.walk(staging)):

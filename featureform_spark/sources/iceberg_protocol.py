@@ -2281,24 +2281,45 @@ class IcebergProtocolTable:
             raise IcebergProtocolError(f"no atomic column {col!r}")
         # manifest-level pruning via partition summaries — including
         # THROUGH monotonic transforms (hidden partitioning: a filter
-        # on ts prunes a day(ts)-partitioned table's manifests)
-        spec = self.partition_spec(md)
-        part_pos = None
-        part_transform = "identity"
-        part_rtype = ice_type
-        for i, pf in enumerate(spec):
-            tr = pf.get("transform", "identity")
-            base = tr.split("[", 1)[0]
-            if pf.get("source-id") == fid and (
-                base in _MONOTONIC_TRANSFORMS or base == "truncate"
-            ):
-                part_pos = i
-                part_transform = tr
-                part_rtype = _transform_result_type(tr, ice_type)
-        plo, phi = lo, hi
-        if part_pos is not None and part_transform != "identity":
-            plo = apply_transform_py(part_transform, ice_type, lo)
-            phi = apply_transform_py(part_transform, ice_type, hi)
+        # on ts prunes a day(ts)-partitioned table's manifests).
+        # Summaries are positional in the manifest's OWN spec, so each
+        # spec-id resolves independently (partition evolution).
+        import datetime as _dt
+
+        def _raw(v, rt):
+            # partition tuples store dates as epoch-day ints
+            return (
+                (v - _dt.date(1970, 1, 1)).days
+                if rt == "date" and isinstance(v, _dt.date)
+                else v
+            )
+
+        per_spec: dict[int, tuple] = {}
+        for sid, spec in self._spec_fields_by_id(md).items():
+            pos = None
+            tr = "identity"
+            name = None
+            for i, pf in enumerate(spec):
+                t_ = pf.get("transform", "identity")
+                base = t_.split("[", 1)[0]
+                if pf.get("source-id") == fid and (
+                    base in _MONOTONIC_TRANSFORMS or base == "truncate"
+                ):
+                    pos, tr, name = i, t_, pf["name"]
+            if pos is None:
+                continue
+            rt = _transform_result_type(tr, ice_type)
+            plo, phi = (
+                (
+                    apply_transform_py(tr, ice_type, lo),
+                    apply_transform_py(tr, ice_type, hi),
+                )
+                if tr != "identity"
+                else (lo, hi)
+            )
+            per_spec[sid] = (
+                pos, rt, plo, phi, name, _raw(plo, rt), _raw(phi, rt)
+            )
         manifests = self._manifest_files(snap)
         total_files = 0
         keep_entries: list[dict] = []
@@ -2315,7 +2336,9 @@ class IcebergProtocolTable:
                         e["sequence_number"] = man_seq
                     delete_entries.append(e)
                 continue
-            if part_pos is not None and m.get("partitions"):
+            sp = per_spec.get(int(m.get("partition_spec_id") or 0))
+            if sp is not None and m.get("partitions"):
+                part_pos, part_rtype, plo, phi = sp[:4]
                 summaries = m["partitions"]
                 if part_pos < len(summaries):
                     s = summaries[part_pos]
@@ -2343,6 +2366,20 @@ class IcebergProtocolTable:
                 total_files += 1
                 if e.get("sequence_number") is None and man_seq is not None:
                     e["sequence_number"] = man_seq
+                # partition-tuple range pruning (raw storage domain):
+                # a month(ts) file whose tuple is outside the probed
+                # month range skips without any column stats — the
+                # pruning real Iceberg plans partitioned scans with
+                if sp is not None:
+                    pname, plo_raw, phi_raw = sp[4], sp[5], sp[6]
+                    pv = (df_.get("partition") or {}).get(pname)
+                    try:
+                        if pv is not None and (
+                            pv < plo_raw or pv > phi_raw
+                        ):
+                            continue
+                    except TypeError:
+                        pass  # mixed tuple domains: bounds still apply
                 lbs = _as_int_map(df_.get("lower_bounds"))
                 ubs = _as_int_map(df_.get("upper_bounds"))
                 fmn = decode_bound(ice_type, lbs.get(fid))
@@ -2403,27 +2440,33 @@ class IcebergProtocolTable:
             hv = (value - datetime.date(1970, 1, 1)).days
         # (pos, name, result_type, tv, tv_raw): tv lives in the decoded
         # summary-bound domain (dates as datetime.date); tv_raw in the
-        # partition-tuple storage domain (dates as epoch-day ints)
-        probes: list[tuple[int, str, str, Any, Any]] = []
-        for i, pf in enumerate(self.partition_spec(md)):
-            if pf.get("source-id") != fid:
-                continue
-            tr = pf.get("transform", "identity")
-            base = tr.split("[", 1)[0]
-            if base == "bucket":
-                n = int(tr[len("bucket[") : -1])
-                tv = bucket_value(ice_type, hv, n)
-            elif base in _MONOTONIC_TRANSFORMS or base == "truncate":
-                tv = apply_transform_py(tr, ice_type, value)
-            else:
-                continue
-            rtype = _transform_result_type(tr, ice_type)
-            tv_raw = (
-                (tv - datetime.date(1970, 1, 1)).days
-                if rtype == "date" and isinstance(tv, datetime.date)
-                else tv
-            )
-            probes.append((i, pf["name"], rtype, tv, tv_raw))
+        # partition-tuple storage domain (dates as epoch-day ints).
+        # Probes resolve PER SPEC — a manifest's summaries and its
+        # entries' partition tuples follow its own spec-id (partition
+        # evolution), and field names may repeat across specs.
+        probes_by_spec: dict[int, list[tuple[int, str, str, Any, Any]]] = {}
+        for sid, spec in self._spec_fields_by_id(md).items():
+            probes: list[tuple[int, str, str, Any, Any]] = []
+            for i, pf in enumerate(spec):
+                if pf.get("source-id") != fid:
+                    continue
+                tr = pf.get("transform", "identity")
+                base = tr.split("[", 1)[0]
+                if base == "bucket":
+                    n = int(tr[len("bucket[") : -1])
+                    tv = bucket_value(ice_type, hv, n)
+                elif base in _MONOTONIC_TRANSFORMS or base == "truncate":
+                    tv = apply_transform_py(tr, ice_type, value)
+                else:
+                    continue
+                rtype = _transform_result_type(tr, ice_type)
+                tv_raw = (
+                    (tv - datetime.date(1970, 1, 1)).days
+                    if rtype == "date" and isinstance(tv, datetime.date)
+                    else tv
+                )
+                probes.append((i, pf["name"], rtype, tv, tv_raw))
+            probes_by_spec[sid] = probes
 
         total_files = 0
         keep_entries: list[dict] = []
@@ -2440,6 +2483,9 @@ class IcebergProtocolTable:
                         e["sequence_number"] = man_seq
                     delete_entries.append(e)
                 continue
+            probes = probes_by_spec.get(
+                int(m.get("partition_spec_id") or 0), []
+            )
             summaries = m.get("partitions") or []
             skip = False
             for pos, _name, rtype, tv, _tv_raw in probes:
@@ -2589,6 +2635,16 @@ class IcebergProtocolTable:
 
         infos = self._part_fields_info(ice_schema, spec_fields)
         staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+        # Spark's default INT96 timestamps carry NO parquet column
+        # statistics, which silently disables timestamp file-bound
+        # pruning in scan planning — write spec-standard micros
+        conf = self.spark.conf
+        prev_ts = conf.get(
+            "spark.sql.parquet.outputTimestampType", "INT96"
+        )
+        conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         w = df
         if infos:
             for i in infos:
@@ -2602,9 +2658,21 @@ class IcebergProtocolTable:
             # partitionBy consumes the shadow columns into the directory
             # layout; the source columns stay in the files
             w = w.repartition(*[F.col(c) for c in shadow])
-            w.write.mode("overwrite").partitionBy(*shadow).parquet(staging)
+            try:
+                w.write.mode("overwrite").partitionBy(*shadow).parquet(
+                    staging
+                )
+            finally:
+                conf.set(
+                    "spark.sql.parquet.outputTimestampType", prev_ts
+                )
         else:
-            w.write.mode("overwrite").parquet(staging)
+            try:
+                w.write.mode("overwrite").parquet(staging)
+            finally:
+                conf.set(
+                    "spark.sql.parquet.outputTimestampType", prev_ts
+                )
 
         name_to_field = {f["name"]: f for f in ice_schema["fields"]}
         result_types = {i["name"]: i["result_type"] for i in infos}
@@ -2775,6 +2843,117 @@ class IcebergProtocolTable:
             "key_metadata": None,
         }
 
+    def _build_spec_fields(
+        self,
+        ice_schema: dict,
+        partition_by: list[str],
+        next_field_id: int = 1000,
+        reuse_from: list[dict] | None = None,
+    ) -> tuple[list[dict], int]:
+        """Validate transform specs and build partition-spec fields.
+        ``reuse_from`` (all fields of prior specs): a (source-id,
+        transform) pair that existed before KEEPS its field id and
+        name, per spec §Partition Evolution. Returns (fields,
+        last_assigned_field_id)."""
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        _VALID_SRC = {
+            "identity": {"int", "long", "string", "date"},
+            "day": {"timestamp", "timestamptz", "date"},
+            "hour": {"timestamp", "timestamptz"},
+            "month": {"timestamp", "timestamptz", "date"},
+            "year": {"timestamp", "timestamptz", "date"},
+            "bucket": {"int", "long", "string", "date", "timestamp",
+                       "timestamptz"},
+            "truncate": {"int", "long", "string"},
+        }
+        prior = {
+            (pf["source-id"], pf["transform"]): pf
+            for pf in (reuse_from or [])
+        }
+        spec_fields = []
+        last = next_field_id - 1
+        for spec in partition_by:
+            transform, _param, c = _parse_transform(spec)
+            if c not in by_name:
+                raise IcebergProtocolError(
+                    f"partition column {c!r} not in schema"
+                )
+            src_t = by_name[c]["type"]
+            base = transform.split("[", 1)[0]
+            if not isinstance(src_t, str) or src_t not in _VALID_SRC[base]:
+                raise UnsupportedIcebergFeatureError(
+                    f"{base} partitioning on type {src_t!r} "
+                    "is not supported by this writer"
+                )
+            reused = prior.get((by_name[c]["id"], transform))
+            if reused is not None:
+                spec_fields.append(dict(reused))
+                continue
+            name = c if transform == "identity" else (
+                f"{c}_{'trunc' if base == 'truncate' else base}"
+            )
+            last += 1
+            spec_fields.append(
+                {
+                    "source-id": by_name[c]["id"],
+                    "field-id": last,
+                    "name": name,
+                    "transform": transform,
+                }
+            )
+        return spec_fields, last
+
+    def _spec_fields_by_id(self, md: dict) -> dict[int, list[dict]]:
+        """Every partition spec in metadata, keyed by spec-id (v1
+        layout degrades to {0: spec})."""
+        if "partition-specs" in md:
+            return {
+                int(s.get("spec-id", 0)): s.get("fields", [])
+                for s in md["partition-specs"]
+            }
+        return {0: md.get("partition-spec", [])}
+
+    def update_spec(self, partition_by: list[str]) -> int:
+        """Partition spec EVOLUTION (spec §Partition Evolution, the
+        capability hidden partitioning exists for): register a new
+        default spec without rewriting a single data file. Old
+        manifests keep their spec-id and are planned under it; new
+        writes partition under the new spec; rewrite_data_files
+        migrates old files when wanted. (source-id, transform) pairs
+        that existed in ANY prior spec keep their field id + name."""
+        md = self.metadata()
+        ice_schema = self.schema(md)
+        specs = md.get("partition-specs") or [
+            {"spec-id": 0, "fields": md.get("partition-spec", [])}
+        ]
+        all_prior = [pf for s in specs for pf in s.get("fields", [])]
+        next_fid = max(
+            [int(md.get("last-partition-id", 999))]
+            + [int(pf["field-id"]) for pf in all_prior]
+        ) + 1
+        fields, last = self._build_spec_fields(
+            ice_schema, list(partition_by), next_field_id=next_fid,
+            reuse_from=all_prior,
+        )
+        cur_default = self.partition_spec(md)
+        if [
+            (f["source-id"], f["transform"]) for f in fields
+        ] == [(f["source-id"], f["transform"]) for f in cur_default]:
+            return int(md.get("default-spec-id", 0))  # no-op
+        new_id = max(int(s.get("spec-id", 0)) for s in specs) + 1
+        md2 = dict(md)
+        md2["partition-specs"] = specs + [
+            {"spec-id": new_id, "fields": fields}
+        ]
+        md2["default-spec-id"] = new_id
+        md2["last-partition-id"] = max(
+            int(md.get("last-partition-id", 999)), last
+        )
+        md2["last-updated-ms"] = int(time.time() * 1000)
+        v = max(ver for ver, _ in self._metadata_files()) + 1
+        self._commit_metadata(md2, v)
+        return new_id
+
     def _commit_metadata(self, md: dict, version: int) -> None:
         target = os.path.join(
             self.metadata_path, f"v{version}.metadata.json"
@@ -2839,42 +3018,9 @@ class IcebergProtocolTable:
         partition_by = list(partition_by or [])
         ice_schema = spark_schema_to_iceberg(df.schema)
         last_col_id = ice_schema.pop("_last_column_id")
-        by_name = {f["name"]: f for f in ice_schema["fields"]}
-        _VALID_SRC = {
-            "identity": {"int", "long", "string", "date"},
-            "day": {"timestamp", "timestamptz", "date"},
-            "hour": {"timestamp", "timestamptz"},
-            "month": {"timestamp", "timestamptz", "date"},
-            "year": {"timestamp", "timestamptz", "date"},
-            "bucket": {"int", "long", "string", "date", "timestamp",
-                       "timestamptz"},
-            "truncate": {"int", "long", "string"},
-        }
-        spec_fields = []
-        for i, spec in enumerate(partition_by):
-            transform, _param, c = _parse_transform(spec)
-            if c not in by_name:
-                raise IcebergProtocolError(
-                    f"partition column {c!r} not in schema"
-                )
-            src_t = by_name[c]["type"]
-            base = transform.split("[", 1)[0]
-            if not isinstance(src_t, str) or src_t not in _VALID_SRC[base]:
-                raise UnsupportedIcebergFeatureError(
-                    f"{base} partitioning on type {src_t!r} "
-                    "is not supported by this writer"
-                )
-            name = c if transform == "identity" else (
-                f"{c}_{'trunc' if base == 'truncate' else base}"
-            )
-            spec_fields.append(
-                {
-                    "source-id": by_name[c]["id"],
-                    "field-id": 1000 + i,
-                    "name": name,
-                    "transform": transform,
-                }
-            )
+        spec_fields, _last_pid = self._build_spec_fields(
+            ice_schema, partition_by, next_field_id=1000
+        )
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         now = int(time.time() * 1000)
         os.makedirs(self.path, exist_ok=True)

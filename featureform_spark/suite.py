@@ -1187,7 +1187,10 @@ PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "iceberg_position_delete",
     "incremental_dedup",
-    "rolling_user_spend",
+    # round-6 late addition: partition spec evolution (mixed-spec
+    # planning). rolling_user_spend (green r1-r5) rotates out, stays
+    # pytest-oracle-covered.
+    "iceberg_partition_evolution",
     "quality_sample",
     "asof_tolerance",
     "sessionize",

@@ -890,3 +890,46 @@ def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats["moved"] == 0 and stats["dups"] == 0 and stats["nulls"] == 0
     ), stats
     return after.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "iceberg_partition_evolution",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+      AND o_orderdate <= TIMESTAMP '1997-10-01'
+    """,
+)
+def iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition spec EVOLUTION (round 6): the table starts
+    unpartitioned, update_spec switches the default to
+    month(o_orderdate) with ZERO data rewrite, and a later append
+    lands under the new spec. scan_planned then plans each manifest
+    under its OWN spec-id — partition-tuple range pruning on the new
+    files, file bounds on the old — and the in-query assert certifies
+    files were actually skipped (sources/iceberg_protocol.py:
+    update_spec,_spec_fields_by_id). The oracle certifies exactness
+    over the mixed-spec scan."""
+    import datetime
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "spec_evo"))
+    t.create(orders.filter(F.col("o_orderdate") < "1997-01-01"))
+    t.update_spec(["month(o_orderdate)"])
+    t.append(orders.filter(F.col("o_orderdate") >= "1997-01-01"))
+    out = t.scan_planned(
+        "o_orderdate",
+        datetime.datetime(1997, 3, 1),
+        datetime.datetime(1997, 10, 1),
+    )
+    assert t._last_prune["files_read"] < t._last_prune["files_total"], (
+        t._last_prune
+    )
+    return out

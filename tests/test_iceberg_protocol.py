@@ -1470,3 +1470,75 @@ def test_type_promotion_evolution(spark, sf_dir, tmp_path):
                 ]
             )
         )
+
+
+def test_partition_spec_evolution(spark, sf_dir, tmp_path):
+    """Spec §Partition Evolution: update_spec registers a new default
+    spec with NO data rewrite; old manifests plan under their own
+    spec-id; scans stay exact across mixed specs and pruning works in
+    both (monotonic range + bucket equality); (source, transform)
+    pairs reuse field ids; re-declaring the current spec is a no-op."""
+    import datetime
+
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.filter(F.col("o_orderdate") < "1996-01-01"))
+    sid = t.update_spec(["month(o_orderdate)"])
+    assert sid == 1 and t.metadata()["default-spec-id"] == 1
+    t.append(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(orders)
+    got = t.scan_planned(
+        "o_orderdate",
+        datetime.datetime(1996, 6, 1),
+        datetime.datetime(1997, 1, 1),
+    )
+    exp = orders.filter(
+        (F.col("o_orderdate") >= "1996-06-01")
+        & (F.col("o_orderdate") <= "1997-01-01")
+    )
+    assert _sorted_rows(got) == _sorted_rows(exp)
+    assert t._last_prune["files_read"] < t._last_prune["files_total"]
+
+    # second evolution: bucket on the key; equality planning prunes
+    sid2 = t.update_spec(["bucket(8, o_orderkey)"])
+    assert sid2 == 2
+    extra = orders.limit(50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    t.append(extra)
+    probe = int(extra.agg(F.min("o_orderkey")).first()[0])
+    got2 = t.scan_planned_eq("o_orderkey", probe)
+    assert got2.count() == 1
+    assert t._last_prune["files_read"] < t._last_prune["files_total"]
+    assert t.snapshot().count() == orders.count() + 50
+    # no-op re-declare; (source, transform) reuse keeps the field id
+    assert t.update_spec(["bucket(8, o_orderkey)"]) == 2
+    sid3 = t.update_spec(["month(o_orderdate)"])
+    specs = {s["spec-id"]: s["fields"] for s in t.metadata()["partition-specs"]}
+    assert specs[sid3][0]["field-id"] == specs[1][0]["field-id"]
+    # rewrite migrates everything under the current (month) spec
+    t.rewrite_data_files()
+    assert t.snapshot().count() == orders.count() + 50
+    post = t._manifest_files(t.current_snapshot())
+    assert {int(m.get("partition_spec_id") or 0) for m in post} == {sid3}
+
+
+def test_timestamp_file_bounds_written(spark, sf_dir, tmp_path):
+    """Data files carry timestamp column bounds (Spark's default INT96
+    has NO parquet stats — the writer forces micros), so timestamp
+    range planning prunes at file level even without partitioning."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_orderdate")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.filter(F.col("o_orderdate") < "1998-01-01").coalesce(1))
+    t.append(orders.filter(F.col("o_orderdate") >= "1998-01-01").coalesce(1))
+    import datetime
+
+    got = t.scan_planned(
+        "o_orderdate",
+        datetime.datetime(1995, 1, 1),
+        datetime.datetime(1996, 1, 1),
+    )
+    assert got.count() > 0
+    assert t._last_prune == {"files_total": 2, "files_read": 1}
