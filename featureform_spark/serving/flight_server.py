@@ -79,10 +79,13 @@ def _mask_batches(
             yield batch
 
 
-def _delta_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
+def _delta_batches(
+    path: str, with_row_ids: bool = False
+) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
     import pyarrow.parquet as pq
 
     from featureform_spark.sources.delta_protocol import (
+        DeltaProtocolError,
         DeltaProtocolTable,
         UnsupportedTableFeatureError,
     )
@@ -99,6 +102,13 @@ def _delta_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
             "flight streamer: column-mapped Delta tables are served by "
             "the native Spark reader, not the sessionless scan"
         )
+    mat = None
+    if with_row_ids:
+        if not st.row_tracking:
+            raise DeltaProtocolError(
+                "with_row_ids requires delta.enableRowTracking"
+            )
+        mat = st.materialized_row_id_cols or ("", "")
     parts = st.partition_columns
     types = {f.name: f.dataType.simpleString() for f in st.schema.fields}
     order = [f.name for f in st.schema.fields]
@@ -108,8 +118,30 @@ def _delta_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
     for rel in sorted(st.adds):
         a = st.adds[rel]
         dv = a.get("deletionVector")
-        pos = t._dv_positions(dv) if dv else None
         pv = {c: (a.get("partitionValues") or {}).get(c) for c in parts}
+        if with_row_ids:
+            # _read_slice tracks ORIGINAL row indexes through its own
+            # DV mask, which row ids key on — ship the compact blob
+            slices.append(
+                (
+                    _FileSlice(
+                        os.path.join(t.path, urllib.parse.unquote(rel)),
+                        pv,
+                        {c: types[c] for c in parts},
+                        order,
+                        dv_blob=t._dv_blob(dv) if dv else None,
+                        row_info=(
+                            int(a.get("baseRowId", 0)),
+                            int(a.get("defaultRowCommitVersion", 0)),
+                            mat[0],
+                            mat[1],
+                        ),
+                    ),
+                    None,
+                )
+            )
+            continue
+        pos = t._dv_positions(dv) if dv else None
         slices.append(
             (
                 _FileSlice(
@@ -133,10 +165,16 @@ def _delta_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
                     )
                 else:
                     fields.append(file_schema.field(name))
-            return pa.schema(fields)
-        return pa.schema(
-            [pa.field(n, _pa_scalar_type(types[n])) for n in order]
-        )
+        else:
+            fields = [
+                pa.field(n, _pa_scalar_type(types[n])) for n in order
+            ]
+        if with_row_ids:
+            fields += [
+                pa.field("_row_id", pa.int64()),
+                pa.field("_row_commit_version", pa.int64()),
+            ]
+        return pa.schema(fields)
 
     def _gen() -> Iterator[pa.RecordBatch]:
         for sl, pos in slices:
@@ -266,16 +304,28 @@ def _parquet_batches(path: str) -> tuple[pa.Schema, Iterator[pa.RecordBatch]]:
 
 
 def scan_table_arrow(
-    path: str, limit: int = TWO_MILLION_RECORD_LIMIT
+    path: str,
+    limit: int = TWO_MILLION_RECORD_LIMIT,
+    with_row_ids: bool = False,
 ) -> pa.RecordBatchReader:
     """Sessionless capped scan of a table directory as a
-    RecordBatchReader — the payload ``do_get`` streams."""
+    RecordBatchReader — the payload ``do_get`` streams.
+    ``with_row_ids`` appends _row_id/_row_commit_version on
+    row-tracked Delta tables (ticket key ``with_row_ids``)."""
     fmt = _detect_format(path)
     if fmt == "delta":
-        schema, gen = _delta_batches(path)
+        schema, gen = _delta_batches(path, with_row_ids=with_row_ids)
     elif fmt == "iceberg":
+        if with_row_ids:
+            raise TicketError(
+                "with_row_ids is served for Delta row-tracked tables; "
+                "Iceberg v3 row lineage reads go through "
+                "snapshot_with_row_ids"
+            )
         schema, gen = _iceberg_batches(path)
     else:
+        if with_row_ids:
+            raise TicketError("with_row_ids requires a Delta table")
         schema, gen = _parquet_batches(path)
 
     def _capped() -> Iterator[pa.RecordBatch]:
@@ -316,12 +366,18 @@ class DatasetStreamerServer:
             def do_get(self, context, ticket):
                 req = outer._parse(ticket.ticket)
                 limit = outer._limit(req)
-                reader = scan_table_arrow(outer._resolve(req), limit)
+                reader = scan_table_arrow(
+                    outer._resolve(req), limit,
+                    with_row_ids=bool(req.get("with_row_ids")),
+                )
                 return fl.RecordBatchStream(reader)
 
             def get_flight_info(self, context, descriptor):
                 req = outer._parse(descriptor.command)
-                reader = scan_table_arrow(outer._resolve(req), 0)
+                reader = scan_table_arrow(
+                    outer._resolve(req), 0,
+                    with_row_ids=bool(req.get("with_row_ids")),
+                )
                 endpoint = fl.FlightEndpoint(
                     fl.Ticket(descriptor.command), []
                 )

@@ -820,6 +820,47 @@ class DeltaProtocolTable:
             hits.append("partitioning")
         return hits
 
+    def add_columns(self, new_fields: T.StructType) -> int:
+        """ALTER TABLE ADD COLUMNS: append nullable fields as a
+        metadata-only commit — existing files simply lack them and
+        read NULL. Column-mapped tables assign a fresh field id +
+        physical name (same rule as MERGE schema evolution, so a
+        previously-dropped logical name can never resurrect old
+        data)."""
+        st = self.state()
+        self._write_guard(st, None, "WRITE")
+        sj = json.loads(st.metadata["schemaString"])
+        have = {f["name"] for f in sj["fields"]}
+        conf = dict(st.metadata.get("configuration") or {})
+        mapped = st.column_mapping is not None
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+        for f in sj["fields"]:
+            md_f = f.get("metadata") or {}
+            if "delta.columnMapping.id" in md_f:
+                max_id = max(max_id, int(md_f["delta.columnMapping.id"]))
+        for f_ in new_fields.fields:
+            if f_.name in have:
+                raise DeltaProtocolError(
+                    f"column {f_.name!r} already exists"
+                )
+            fj = T.StructField(f_.name, f_.dataType, True).jsonValue()
+            if mapped:
+                max_id += 1
+                fj["metadata"] = {
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName":
+                        f"col-{uuid.uuid4().hex[:8]}",
+                }
+            sj["fields"].append(fj)
+        meta = dict(st.metadata)
+        meta["schemaString"] = json.dumps(sj)
+        if mapped:
+            conf["delta.columnMapping.maxColumnId"] = str(max_id)
+            meta["configuration"] = conf
+        v = st.version + 1
+        self._commit(v, [{"metaData": meta}], "ADD COLUMNS")
+        return v
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column
         mapping (the physical name and field id never change, so every

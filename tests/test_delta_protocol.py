@@ -939,3 +939,38 @@ def test_rename_drop_column_mapping(spark, sf_dir, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="constraint"):
         g.drop_column("a")
+
+
+def test_add_columns_metadata_only(spark, sf_dir, tmp_path):
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+    from pyspark.sql import types as T
+
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(5).select(F.col("id").alias("a")))
+    t.add_columns(T.StructType([T.StructField("b", T.LongType())]))
+    got = t.snapshot()
+    assert got.columns == ["a", "b"]
+    assert got.filter(F.col("b").isNull()).count() == 5  # old files NULL
+    t.append(
+        spark.range(2).select(
+            F.col("id").alias("a"), (F.col("id") + 100).alias("b")
+        )
+    )
+    assert t.snapshot().filter(F.col("b").isNotNull()).count() == 2
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        t.add_columns(T.StructType([T.StructField("b", T.LongType())]))
+    # mapped table: fresh id + physical name assigned
+    m = DeltaProtocolTable(spark, str(tmp_path / "m"))
+    m.create(
+        spark.range(3).select(F.col("id").alias("a")),
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    m.add_columns(T.StructType([T.StructField("z", T.StringType())]))
+    pairs = dict(m.state().column_mapping)
+    assert "z" in pairs.values()
+    phys = [p for p, lo in pairs.items() if lo == "z"][0]
+    assert phys.startswith("col-")
+    m.append(
+        spark.range(2).select(F.col("id").alias("a"), F.lit("q").alias("z"))
+    )
+    assert m.snapshot().filter(F.col("z") == "q").count() == 2

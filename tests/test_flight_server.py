@@ -273,3 +273,45 @@ def test_do_put_appends_to_iceberg_sessionless(served, spark):
         assert got == want
     finally:
         client.close()
+
+
+def test_do_get_with_row_ids(served):
+    """Tickets with with_row_ids stream _row_id/_row_commit_version
+    computed in the sessionless scan (DV-masked original indexes,
+    materialized columns win) — matching the native Spark scan."""
+    spark, server, dt, _it, _orders = served
+    root = os.path.dirname(os.path.dirname(dt.path))
+    path = os.path.join(root, "ns", "rt")
+    t = DeltaProtocolTable(spark, path)
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.create(df, properties={"delta.enableRowTracking": "true"})
+    t.delete_where(F.col("k") % 5 == 0)
+    t.merge(
+        spark.range(25, 35).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        "k",
+    )
+    got = _client_read(
+        server,
+        {
+            "catalog": "default", "namespace": "ns", "table": "rt",
+            "with_row_ids": True,
+        },
+    ).to_pandas()
+    assert list(got.columns) == ["k", "v", "_row_id", "_row_commit_version"]
+    native = t.snapshot_with_row_ids().toPandas()
+    a = got.sort_values("k").reset_index(drop=True)
+    b = native.sort_values("k").reset_index(drop=True).astype(a.dtypes)
+    assert a.equals(b)
+    # untracked tables refuse the flag
+    with pytest.raises(Exception, match="enableRowTracking"):
+        _client_read(
+            server,
+            {
+                "catalog": "default", "namespace": "ns",
+                "table": "orders_delta", "with_row_ids": True,
+            },
+        )
