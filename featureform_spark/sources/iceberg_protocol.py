@@ -1896,6 +1896,16 @@ class IcebergProtocolTable:
                 if full in keep or name.startswith("."):
                     kept += 1
                     continue
+                rel = os.path.relpath(full, self.path)
+                if rel.split(os.sep)[0] == STAGING_DIR and (
+                    older_than_ms is None
+                ):
+                    # a CONCURRENT writer's staging output looks
+                    # orphaned until its commit lands — only an
+                    # explicit age cutoff may collect staging files
+                    # (the guard real Iceberg defaults to 3 days)
+                    kept += 1
+                    continue
                 if older_than_ms is not None and (
                     os.path.getmtime(full) * 1000 >= older_than_ms
                 ):

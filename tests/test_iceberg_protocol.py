@@ -1380,9 +1380,15 @@ def test_remove_orphan_files_and_time_based_expiry(
     # young-file guard: nothing deleted with a past cutoff
     res = t.remove_orphan_files(older_than_ms=0)
     assert res["deleted"] == 0 and os.path.exists(stray)
+    # no cutoff: stray orphans go, but STAGING survives (a concurrent
+    # writer's output looks orphaned until its commit lands)
     res = t.remove_orphan_files()
     assert res["deleted"] >= 1
     assert not os.path.exists(stray)
+    assert os.path.exists(staging)
+    # an explicit future cutoff collects abandoned staging too
+    t.remove_orphan_files(older_than_ms=2**60)
+    assert not os.path.exists(staging)
     assert _sorted_rows(t.snapshot()) == rows  # table unharmed
     # time-based expiry: cutoff between the two snapshots
     snaps = t.metadata()["snapshots"]
