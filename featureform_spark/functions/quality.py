@@ -180,6 +180,12 @@ def repetition_signals(
 
     thresholds = {2: 0.20, 3: 0.18, 4: 0.16, 5: 0.15, 6: 0.14,
                   7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    bad = [n for n in (*top_ns, *dup_ns) if n not in thresholds]
+    if bad:
+        raise ValueError(
+            f"n-gram sizes {bad} have no Gopher threshold (supported: "
+            f"{sorted(thresholds)})"
+        )
     base = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     out = base.select(id_col).distinct()
     signal_cols: list[str] = []

@@ -131,8 +131,13 @@ def _delta_batches(
                         order,
                         dv_blob=t._dv_blob(dv) if dv else None,
                         row_info=(
-                            int(a.get("baseRowId", 0)),
-                            int(a.get("defaultRowCommitVersion", 0)),
+                            int(a["baseRowId"])
+                            if a.get("baseRowId") is not None
+                            else None,
+                            int(a["defaultRowCommitVersion"])
+                            if a.get("defaultRowCommitVersion")
+                            is not None
+                            else None,
                             mat[0],
                             mat[1],
                         ),

@@ -543,6 +543,25 @@ class DeltaProtocolTable:
                     ]
                 )
             )
+        def _norm_maps(dt, v):
+            # type-driven: [] is ambiguous between an empty arrow map
+            # and an empty array in the pyarrow fold — the checkpoint
+            # SCHEMA knows which fields are maps, and actions that get
+            # re-serialized into JSON commits must carry real dicts
+            # there (spec: configuration/partitionValues are objects)
+            if v is None:
+                return None
+            if isinstance(dt, T.MapType):
+                return dict(v) if isinstance(v, list) else v
+            if isinstance(dt, T.StructType) and isinstance(v, dict):
+                by_name = {f.name: f.dataType for f in dt.fields}
+                return {
+                    k: _norm_maps(by_name[k], x) if k in by_name else x
+                    for k, x in v.items()
+                }
+            return v
+
+        top = {f.name: f.dataType for f in _CHECKPOINT_SCHEMA.fields}
         actions = []
         for d in rows:
             for key in (
@@ -550,9 +569,10 @@ class DeltaProtocolTable:
                 "domainMetadata",
             ):
                 if d.get(key) is not None:
-                    actions.append(
-                        {key: {k: v for k, v in d[key].items() if v is not None}}
-                    )
+                    body = {
+                        k: v for k, v in d[key].items() if v is not None
+                    }
+                    actions.append({key: _norm_maps(top[key], body)})
         return actions
 
     def _check_protocol(self, protocol: dict, metadata: dict) -> None:
@@ -876,6 +896,15 @@ class DeltaProtocolTable:
         if new in names:
             raise DeltaProtocolError(f"column {new!r} already exists")
         hits = self._col_referenced_by(st, old)
+        # the column's OWN invariant names it too: renaming would leave
+        # the expression referencing the old name, bricking every
+        # future write's guard evaluation (drop_column is different —
+        # the metadata leaves with the field)
+        for f_ in st.schema.fields:
+            if f_.name == old and (f_.metadata or {}).get(
+                "delta.invariants"
+            ):
+                hits.append(f"its own invariant")
         if hits:
             raise DeltaProtocolError(
                 f"cannot rename {old!r}: referenced by "
@@ -1630,7 +1659,13 @@ class DeltaProtocolTable:
         except ValueError:
             return
         if interval > 0 and version > 0 and version % interval == 0:
-            self.checkpoint()
+            try:
+                self.checkpoint()
+            except Exception:  # noqa: BLE001
+                # the commit is already durable; a failed checkpoint is
+                # a lost optimization, not a failed write — surfacing
+                # it would invite a retry that duplicates the commit
+                pass
 
     def _metadata_action(
         self,

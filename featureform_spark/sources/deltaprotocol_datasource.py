@@ -203,7 +203,14 @@ def _read_slice(part: _FileSlice) -> Iterator:
             import pyarrow.compute as pc
 
             base, dcv, mat_id, mat_rcv = part.row_info
-            fresh = pa.array(base + orig_idx, type=pa.int64())
+            # a foreign add action without baseRowId (written while the
+            # feature was supported-but-unenabled) has NO fresh ids —
+            # NULL, exactly like the Spark-session scan's coalesce
+            fresh = (
+                pa.array(base + orig_idx, type=pa.int64())
+                if base is not None
+                else pa.nulls(n, pa.int64())
+            )
             mid = cols.get(mat_id)
             arrays.append(
                 pc.coalesce(pc.cast(mid, pa.int64()), fresh)
@@ -211,7 +218,11 @@ def _read_slice(part: _FileSlice) -> Iterator:
                 else fresh
             )
             fields.append("_row_id")
-            dflt = pa.array(np.full(n, dcv, dtype=np.int64))
+            dflt = (
+                pa.array(np.full(n, dcv, dtype=np.int64))
+                if dcv is not None
+                else pa.nulls(n, pa.int64())
+            )
             mrc = cols.get(mat_rcv)
             arrays.append(
                 pc.coalesce(pc.cast(mrc, pa.int64()), dflt)
@@ -267,9 +278,11 @@ class DeltaProtocolBatchReader(DataSourceReader):
             dv = a.get("deletionVector")
             row_info = None
             if with_row_ids:
+                b_ = a.get("baseRowId")
+                d_ = a.get("defaultRowCommitVersion")
                 row_info = (
-                    int(a.get("baseRowId", 0)),
-                    int(a.get("defaultRowCommitVersion", 0)),
+                    int(b_) if b_ is not None else None,
+                    int(d_) if d_ is not None else None,
                     mat[0],
                     mat[1],
                 )

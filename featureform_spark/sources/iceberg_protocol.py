@@ -1648,11 +1648,12 @@ class IcebergProtocolTable:
         base = self._read_with_deletes(
             ext, data_entries, deletes, keep_pos=True
         )
+        inh = self._inherited_first_row_ids(snap)
         info = self.spark.createDataFrame(
             [
                 (
                     self._resolve_path(e["data_file"]["file_path"]),
-                    e["data_file"].get("first_row_id"),
+                    inh.get(e["data_file"]["file_path"]),
                     int(e.get("sequence_number") or 0),
                 )
                 for e in data_entries
@@ -1707,6 +1708,20 @@ class IcebergProtocolTable:
                 for s in snaps
                 if int(s.get("timestamp-ms") or 0) >= older_than_ms
             }
+        # a BRANCH ref needs its ancestry back to a retained snapshot:
+        # fast_forward's is-ancestor walk (and branch time travel)
+        # breaks if an intermediate branch commit is expired out of
+        # md['snapshots']. Tags pin their head only.
+        for r in (md.get("refs") or {}).values():
+            if r.get("type") == "tag":
+                continue
+            cur_id = int(r["snapshot-id"])
+            while cur_id in by_id and cur_id not in retained:
+                retained.add(cur_id)
+                parent = by_id[cur_id].get("parent-snapshot-id")
+                if parent is None:
+                    break
+                cur_id = int(parent)
         keep_snaps = [
             s
             for s in snaps
@@ -1795,6 +1810,10 @@ class IcebergProtocolTable:
         passthrough = [m for m in manifests if m not in combinable]
         if len(combinable) <= 1:
             return -1
+        # the rewrite breaks manifest-level first_row_id inheritance
+        # (spec §Row Lineage), so inherited values must materialize
+        # into the carried entries
+        inh = self._inherited_first_row_ids(snap)
         entries: list[dict] = []
         for m in combinable:
             _, recs = read_container(
@@ -1803,6 +1822,12 @@ class IcebergProtocolTable:
             for e in recs:
                 if int(e.get("status", 1)) == 2:
                     continue  # deleted entries drop out of the rewrite
+                if e["data_file"].get("first_row_id") is None:
+                    v = inh.get(e["data_file"]["file_path"])
+                    if v is not None:
+                        e["data_file"] = dict(
+                            e["data_file"], first_row_id=v
+                        )
                 entries.append(
                     {
                         "status": 0,  # existing: lineage/seq preserved
@@ -1847,9 +1872,15 @@ class IcebergProtocolTable:
         metadata JSON + every snapshot's manifest list, manifests,
         data/delete/puffin files across ALL metadata versions, plus
         the version hint. ``older_than_ms`` (epoch millis) spares
-        young files — the guard real Iceberg defaults to 3 days so an
-        in-flight writer's staging files survive. Returns
-        {"deleted", "kept"}."""
+        younger files and DEFAULTS to now minus 3 days, real Iceberg's
+        guard: a concurrent writer's output (staging, moved data
+        files, manifest avros) looks orphaned until its metadata
+        commit lands, and collecting it mid-commit corrupts that
+        write. Returns {"deleted", "kept"}."""
+        if older_than_ms is None:
+            older_than_ms = int(
+                (time.time() - 3 * 24 * 3600) * 1000
+            )
         keep: set[str] = {
             os.path.join(self.metadata_path, name)
             for _v, name in self._metadata_files()
@@ -1896,19 +1927,7 @@ class IcebergProtocolTable:
                 if full in keep or name.startswith("."):
                     kept += 1
                     continue
-                rel = os.path.relpath(full, self.path)
-                if rel.split(os.sep)[0] == STAGING_DIR and (
-                    older_than_ms is None
-                ):
-                    # a CONCURRENT writer's staging output looks
-                    # orphaned until its commit lands — only an
-                    # explicit age cutoff may collect staging files
-                    # (the guard real Iceberg defaults to 3 days)
-                    kept += 1
-                    continue
-                if older_than_ms is not None and (
-                    os.path.getmtime(full) * 1000 >= older_than_ms
-                ):
+                if os.path.getmtime(full) * 1000 >= older_than_ms:
                     kept += 1
                     continue
                 os.remove(full)
@@ -2668,21 +2687,13 @@ class IcebergProtocolTable:
             # partitionBy consumes the shadow columns into the directory
             # layout; the source columns stay in the files
             w = w.repartition(*[F.col(c) for c in shadow])
-            try:
-                w.write.mode("overwrite").partitionBy(*shadow).parquet(
-                    staging
-                )
-            finally:
-                conf.set(
-                    "spark.sql.parquet.outputTimestampType", prev_ts
-                )
-        else:
-            try:
-                w.write.mode("overwrite").parquet(staging)
-            finally:
-                conf.set(
-                    "spark.sql.parquet.outputTimestampType", prev_ts
-                )
+        try:
+            writer = w.write.mode("overwrite")
+            if infos:
+                writer = writer.partitionBy(*shadow)
+            writer.parquet(staging)
+        finally:
+            conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
         name_to_field = {f["name"]: f for f in ice_schema["fields"]}
         result_types = {i["name"]: i["result_type"] for i in infos}
@@ -3283,6 +3294,34 @@ class IcebergProtocolTable:
                 df_["first_row_id"] = nxt
                 nxt += int(df_["record_count"])
         return (first, nxt)
+
+    def _inherited_first_row_ids(self, snap: dict) -> dict[str, int]:
+        """file_path -> effective first_row_id with the spec's
+        MANIFEST-LEVEL inheritance applied: spec-compliant external v3
+        writers leave data_file.first_row_id null and derive it as the
+        manifest's first_row_id plus the cumulative record counts of
+        preceding inheriting entries; explicit entry values win and do
+        not consume from the running assignment."""
+        out: dict[str, int] = {}
+        for m in self._manifest_files(snap):
+            if int(m.get("content", 0)) != 0:
+                continue
+            running = m.get("first_row_id")
+            running = int(running) if running is not None else None
+            _, recs = read_container(
+                self._resolve_path(m["manifest_path"])
+            )
+            for e in recs:
+                if int(e.get("status", 1)) == 2:
+                    continue
+                df_ = e["data_file"]
+                explicit = df_.get("first_row_id")
+                if explicit is not None:
+                    out[df_["file_path"]] = int(explicit)
+                elif running is not None:
+                    out[df_["file_path"]] = running
+                    running += int(df_["record_count"])
+        return out
 
     def _branch_head(self, md: dict, branch: str) -> dict | None:
         """Head snapshot of a named branch ('main' = current)."""

@@ -974,3 +974,66 @@ def test_add_columns_metadata_only(spark, sf_dir, tmp_path):
         spark.range(2).select(F.col("id").alias("a"), F.lit("q").alias("z"))
     )
     assert m.snapshot().filter(F.col("z") == "q").count() == 2
+
+
+def test_checkpoint_fold_reserializes_valid_json_actions(
+    spark, sf_dir, tmp_path
+):
+    """After a SESSIONLESS checkpoint fold, re-committed actions must
+    carry real JSON objects for map fields (configuration,
+    partitionValues) — the pyarrow fold renders empty maps as [] and
+    that shape must not leak into the log (review r6)."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    path = str(tmp_path / "t")
+    t = DeltaProtocolTable(spark, path)
+    t.create(spark.range(6).select(F.col("id").alias("k")))
+    t.checkpoint()
+    t.clean_log()
+    # sessionless fold -> metadata-rewriting commit
+    t2 = DeltaProtocolTable(None, path)
+    st = t2.state()
+    assert isinstance(st.metadata.get("configuration", {}), dict)
+    assert all(
+        isinstance(a.get("partitionValues", {}), dict)
+        for a in st.adds.values()
+    )
+    # a commit writing folded state back must serialize dicts
+    t3 = DeltaProtocolTable(spark, path)
+    t3.delete_where(F.col("k") > 4)
+    import json as _json
+
+    with open(
+        os.path.join(path, "_delta_log", "%020d.json" % t3.version())
+    ) as f:
+        for line in f:
+            a = _json.loads(line)
+            if "add" in a:
+                assert isinstance(a["add"]["partitionValues"], dict)
+            if "metaData" in a:
+                assert isinstance(a["metaData"]["configuration"], dict)
+    assert t3.snapshot().count() == 5
+
+
+def test_rename_refuses_own_invariant(spark, sf_dir, tmp_path):
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.range(3).select(F.col("id").alias("a")),
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    # forge an invariant on 'a' (legacy writer form)
+    st = t.state()
+    sj = json.loads(st.metadata["schemaString"])
+    sj["fields"][0]["metadata"]["delta.invariants"] = json.dumps(
+        {"expression": {"expression": "a >= 0"}}
+    )
+    meta = dict(st.metadata)
+    meta["schemaString"] = json.dumps(sj)
+    with open(
+        os.path.join(t.log_path, "%020d.json" % (st.version + 1)), "w"
+    ) as f:
+        f.write(json.dumps({"metaData": meta}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="own invariant"):
+        t.rename_column("a", "b")

@@ -1377,17 +1377,17 @@ def test_remove_orphan_files_and_time_based_expiry(
     os.makedirs(os.path.dirname(staging), exist_ok=True)
     with open(staging, "wb") as f:
         f.write(b"junk")
-    # young-file guard: nothing deleted with a past cutoff
+    # the DEFAULT cutoff is now-3-days (real Iceberg's guard): fresh
+    # files — including a concurrent writer's in-flight output —
+    # survive a default collection even when unreferenced
+    res = t.remove_orphan_files()
+    assert res["deleted"] == 0 and os.path.exists(stray)
     res = t.remove_orphan_files(older_than_ms=0)
     assert res["deleted"] == 0 and os.path.exists(stray)
-    # no cutoff: stray orphans go, but STAGING survives (a concurrent
-    # writer's output looks orphaned until its commit lands)
-    res = t.remove_orphan_files()
-    assert res["deleted"] >= 1
+    # an explicit future cutoff collects everything unreferenced
+    res = t.remove_orphan_files(older_than_ms=2**60)
+    assert res["deleted"] >= 2
     assert not os.path.exists(stray)
-    assert os.path.exists(staging)
-    # an explicit future cutoff collects abandoned staging too
-    t.remove_orphan_files(older_than_ms=2**60)
     assert not os.path.exists(staging)
     assert _sorted_rows(t.snapshot()) == rows  # table unharmed
     # time-based expiry: cutoff between the two snapshots
@@ -1548,3 +1548,76 @@ def test_timestamp_file_bounds_written(spark, sf_dir, tmp_path):
     )
     assert got.count() > 0
     assert t._last_prune == {"files_total": 2, "files_read": 1}
+
+
+def test_expire_retains_branch_ancestry(spark, sf_dir, tmp_path):
+    """Intermediate branch commits survive expiration: fast_forward's
+    ancestry walk (and branch reads) need the chain back to a retained
+    snapshot (review r6)."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(5))
+    t.append(orders.limit(10).subtract(orders.limit(5)), branch="audit")
+    t.append(orders.limit(15).subtract(orders.limit(10)), branch="audit")
+    t.expire_snapshots(retain_last=1)
+    # publish still fast-forwards through the intermediate commit
+    t.fast_forward("main", "audit")
+    assert t.snapshot().count() == 15
+
+
+def test_v3_row_lineage_manifest_inheritance(spark, sf_dir, tmp_path):
+    """Spec-compliant EXTERNAL v3 writers leave data_file.first_row_id
+    null and rely on manifest-level inheritance — the reader derives
+    manifest.first_row_id + cumulative record counts, and
+    rewrite_manifests materializes the inherited values."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(10).coalesce(2))
+    t.upgrade_format_version(3)
+    t.append(orders.limit(20).subtract(orders.limit(10)).coalesce(2))
+    # forge the external form: null the entry-level ids, keep the
+    # manifest-level first_row_id
+    from featureform_spark.sources.avro_codec import (
+        read_container,
+        write_container,
+    )
+    from featureform_spark.sources.iceberg_protocol import (
+        MANIFEST_LIST_SCHEMA,
+    )
+
+    before = (
+        t.snapshot_with_row_ids()
+        .toPandas()
+        .set_index("o_orderkey")["_row_id"]
+        .sort_index()
+    )
+    snap = t.current_snapshot()
+    ml = t._resolve_path(snap["manifest-list"])
+    _, manifests = read_container(ml)
+    for m in manifests:
+        mp = t._resolve_path(m["manifest_path"])
+        schema, recs = read_container(mp)
+        for e in recs:
+            e["data_file"]["first_row_id"] = None
+        write_container(mp, schema, recs)
+    write_container(ml, MANIFEST_LIST_SCHEMA, manifests)
+    after = (
+        t.snapshot_with_row_ids()
+        .toPandas()
+        .set_index("o_orderkey")["_row_id"]
+        .sort_index()
+    )
+    # inherited ids must equal the explicit ones our writer assigned
+    # (same enumeration: file order x record counts)
+    assert (before.isna() == after.isna()).all()
+    assert (before.dropna() == after.dropna()).all()
+    # rewrite_manifests materializes the inherited values
+    assert t.rewrite_manifests() != -1
+    post = (
+        t.snapshot_with_row_ids()
+        .toPandas()
+        .set_index("o_orderkey")["_row_id"]
+        .sort_index()
+    )
+    assert (post.isna() == before.isna()).all()
+    assert (post.dropna() == before.dropna()).all()
