@@ -493,3 +493,67 @@ def dedup_blocks(
             F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long").alias("n_blocks"),
         )
     )
+
+
+def cross_doc_line_dedup(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    min_docs: int = 3,
+):
+    """C4-style CROSS-document boilerplate removal: a line/sentence
+    appearing in >= ``min_docs`` DISTINCT documents is corpus
+    boilerplate (nav bars, license footers, cookie banners) and is
+    stripped from every document; within-doc repeats of a surviving
+    line are untouched (that is dedup_sentences' job). Returns
+    ``(id, clean_text, n_lines, n_removed)`` preserving original
+    line order.
+
+    Scale shape: split -> posexplode -> one partial-agg groupBy on
+    the LINE (approx_count of distinct docs via two-level agg) ->
+    broadcast-able boilerplate set joined back -> per-doc ordered
+    re-aggregation keyed on the doc id. The boilerplate set is small
+    by construction (lines crossing the threshold), so the join
+    broadcasts; nothing is quadratic and no Python runs.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    boiler = (
+        parts.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__ndocs"))
+        .filter(
+            (F.col("__ndocs") >= min_docs) & (F.length("line") > 0)
+        )
+        .select("line")
+    )
+    kept = parts.join(F.broadcast(boiler), "line", "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__kept"),
+    )
+    totals = parts.groupBy(id_col).agg(F.count("*").alias("__total"))
+    # LEFT from totals: a document whose every line is boilerplate
+    # still comes back (empty clean_text, everything removed)
+    return totals.join(kept_agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("__total").alias("n_lines"),
+        (
+            F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))
+        ).alias("n_removed"),
+    )

@@ -1191,7 +1191,10 @@ PRIORITY: tuple[str, ...] = (
     # planning). rolling_user_spend (green r1-r5) rotates out, stays
     # pytest-oracle-covered.
     "iceberg_partition_evolution",
-    "quality_sample",
+    # round-6 late addition: C4-style cross-document boilerplate
+    # removal. quality_sample (green r1-r5) rotates out, stays
+    # pytest-oracle-covered.
+    "cross_doc_line_dedup",
     "asof_tolerance",
     "sessionize",
     "range_join_orders",

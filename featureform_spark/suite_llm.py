@@ -1969,3 +1969,46 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from featureform_spark.functions.quality import repetition_signals
 
     return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "cross_doc_line_dedup",
+    """
+    WITH c AS (
+        SELECT text, COUNT(DISTINCT doc_id) AS nd
+        FROM documents GROUP BY text
+    )
+    SELECT d.doc_id,
+           CASE WHEN c.nd >= 3 AND length(d.text) > 0
+                THEN '' ELSE d.text END AS clean_text,
+           (CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT
+               AS n_lines,
+           (CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 2 END
+            - CASE WHEN c.nd >= 3 AND length(d.text) > 0
+                   THEN 0 ELSE 1 END)::BIGINT AS n_removed
+    FROM documents d JOIN c USING (text)
+    """,
+)
+def cross_doc_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style CROSS-document boilerplate removal (round 6,
+    functions/dedup.py:cross_doc_line_dedup): lines appearing in >= 3
+    distinct documents are corpus boilerplate and are stripped from
+    every doc. The synthetic docs carry no shared lines, so the query
+    plants the classic shape — a footer on every doc and a cookie
+    banner on half — and the operator must remove exactly those while
+    each doc's own (unique) body survives; the oracle derives the
+    expected output analytically (including the degenerate case of a
+    body duplicated across >= 3 docs)."""
+    from featureform_spark.functions.dedup import cross_doc_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". copyright footer 2024"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(". cookie banner")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cross_doc_line_dedup(docs, min_docs=3)

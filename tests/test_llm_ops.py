@@ -287,3 +287,36 @@ def test_dedup_sentences_semantics(spark):
     assert got[2]["n_removed"] == 0
     assert got[3]["clean_text"] == "same"
     assert got[3]["n_removed"] == 2
+
+
+def test_cross_doc_line_dedup_exact(spark):
+    """Handcrafted corpus: the shared footer (3 docs) goes, unique
+    bodies stay in order, within-doc repeats of surviving lines are
+    untouched, and a fully-boilerplate doc comes back empty."""
+    from featureform_spark.functions.dedup import cross_doc_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha one. FOOTER. alpha two"),
+            ("b", "beta one. beta one. FOOTER"),
+            ("c", "gamma. FOOTER. gamma"),
+            ("d", "FOOTER"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cross_doc_line_dedup(df, min_docs=3).collect()
+    }
+    assert got["a"]["clean_text"] == "alpha one. alpha two"
+    assert got["a"]["n_lines"] == 3 and got["a"]["n_removed"] == 1
+    # within-doc repeat of a NON-boilerplate line survives twice
+    assert got["b"]["clean_text"] == "beta one. beta one"
+    # so does a repeat around the removed footer
+    assert got["c"]["clean_text"] == "gamma. gamma"
+    # fully-boilerplate doc: present, empty, all removed
+    assert got["d"]["clean_text"] == ""
+    assert got["d"]["n_lines"] == 1 and got["d"]["n_removed"] == 1
+    # below threshold nothing is touched
+    unchanged = cross_doc_line_dedup(df, min_docs=5)
+    assert unchanged.filter(F.col("n_removed") > 0).count() == 0
