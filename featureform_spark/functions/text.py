@@ -341,3 +341,36 @@ def dedup_sentences(
             (F.sum("n") - F.count("*")).alias("n_removed"),
         )
     )
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode SCRIPT composition per document — the signal language
+    filters use before any model-based lang-ID: ratio of Latin,
+    Cyrillic, CJK (unified ideographs), Arabic, and digit characters
+    over total characters, plus ``keep_latin`` (>= 50% Latin — the
+    corpus gate for a Latin-script pipeline). Pure codegen: one
+    ``length - length(regexp_replace(class, ''))`` count per class,
+    no explode, no Python; scale cost is a single projection."""
+    n = F.length(F.col(text_col))
+
+    def ratio(rng: str) -> Column:
+        cnt = n - F.length(
+            F.regexp_replace(F.col(text_col), f"[{rng}]", "")
+        )
+        return F.when(n > 0, cnt.cast("double") / n.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    latin = ratio("A-Za-z")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        latin.alias("latin_ratio"),
+        ratio("Ѐ-ӿ").alias("cyrillic_ratio"),
+        ratio("一-鿿").alias("cjk_ratio"),
+        ratio("؀-ۿ").alias("arabic_ratio"),
+        ratio("0-9").alias("digit_ratio"),
+        (latin >= 0.5).cast("long").alias("keep_latin"),
+    )

@@ -1196,7 +1196,10 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered.
     "cross_doc_line_dedup",
     "asof_tolerance",
-    "sessionize",
+    # round-6 late addition: unicode script composition (cross-engine
+    # regex-range agreement). sessionize (green r1-r5) rotates out,
+    # stays pytest-oracle-covered.
+    "script_profile",
     "range_join_orders",
     "wide_merge_upsert",
     "delta_time_travel",

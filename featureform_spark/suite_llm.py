@@ -2012,3 +2012,54 @@ def cross_doc_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return cross_doc_line_dedup(docs, min_docs=3)
+
+
+@query(
+    "script_profile",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                            THEN ' привет мир данные'
+                            WHEN doc_id % 3 = 1
+                            THEN ' 数据处理流水线'
+                            ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE AS latin_ratio,
+           (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE AS cyrillic_ratio,
+           (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE AS cjk_ratio,
+           (length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE AS arabic_ratio,
+           (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE AS digit_ratio,
+           ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE >= 0.5)::BIGINT AS keep_latin
+    FROM t
+    """,
+)
+def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script composition (round 6, functions/text.py:
+    script_profile) — the pre-lang-ID signal corpus filters gate on.
+    The synthetic docs are pure ASCII, so the query plants Cyrillic
+    on every third doc and CJK on the next third; the oracle runs the
+    same per-class character counting in DuckDB (RE2) against Spark's
+    Java regex — cross-engine agreement on the unicode ranges is the
+    point of the check."""
+    from featureform_spark.functions.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир данные"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" 数据处理流水线"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(docs)

@@ -320,3 +320,21 @@ def test_cross_doc_line_dedup_exact(spark):
     # below threshold nothing is touched
     unchanged = cross_doc_line_dedup(df, min_docs=5)
     assert unchanged.filter(F.col("n_removed") > 0).count() == 0
+
+
+def test_script_profile_exact(spark):
+    from featureform_spark.functions.text import script_profile
+
+    df = spark.createDataFrame(
+        [("a", "abc привет 12"), ("b", "数据"), ("c", "")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    a = got["a"]
+    assert a["n_chars"] == 13
+    assert abs(a["latin_ratio"] - 3 / 13) < 1e-12
+    assert abs(a["cyrillic_ratio"] - 6 / 13) < 1e-12
+    assert abs(a["digit_ratio"] - 2 / 13) < 1e-12
+    assert a["keep_latin"] == 0
+    assert got["b"]["cjk_ratio"] == 1.0
+    assert got["c"]["n_chars"] == 0 and got["c"]["latin_ratio"] == 0.0
