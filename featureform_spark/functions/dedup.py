@@ -510,16 +510,16 @@ def cross_doc_line_dedup(
     ``(id, clean_text, n_lines, n_removed)`` preserving original
     line order.
 
-    Scale shape: split -> posexplode -> one partial-agg groupBy on
-    the LINE (approx_count of distinct docs via two-level agg) ->
-    broadcast-able boilerplate set joined back -> per-doc ordered
-    re-aggregation keyed on the doc id. The boilerplate set is small
-    by construction (lines crossing the threshold), so the join
-    broadcasts; nothing is quadratic and no Python runs.
+    Scale shape: two corpus passes — one line-keyed partial-agg
+    groupBy discovering the boilerplate set (small by construction:
+    lines crossing the threshold), then one broadcast marker join
+    feeding a SINGLE doc-keyed groupBy that computes clean_text,
+    totals and removals together (no per-doc re-join, no third
+    pass). Nothing is quadratic and no Python runs; the line
+    split/reassembly expressions mirror text.py's dedup_sentences
+    and must stay in lockstep (both oracle-checked).
     """
     import re
-
-    from pyspark.sql import functions as F
 
     parts = df.select(
         F.col(id_col),
@@ -533,27 +533,28 @@ def cross_doc_line_dedup(
         .filter(
             (F.col("__ndocs") >= min_docs) & (F.length("line") > 0)
         )
-        .select("line")
+        .select("line", F.lit(True).alias("__boiler"))
     )
-    kept = parts.join(F.broadcast(boiler), "line", "left_anti")
-    kept_agg = kept.groupBy(id_col).agg(
+    marked = parts.join(F.broadcast(boiler), "line", "left")
+    # one pass: a fully-boilerplate document still comes back (empty
+    # clean_text, everything removed)
+    return marked.groupBy(id_col).agg(
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", "line", "__boiler")
+                        )
+                    ),
+                    lambda s: s["__boiler"].isNull(),
+                ),
                 lambda s: s["line"],
             ),
         ).alias("clean_text"),
-        F.count("*").alias("__kept"),
-    )
-    totals = parts.groupBy(id_col).agg(F.count("*").alias("__total"))
-    # LEFT from totals: a document whose every line is boilerplate
-    # still comes back (empty clean_text, everything removed)
-    return totals.join(kept_agg, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.col("__total").alias("n_lines"),
-        (
-            F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))
-        ).alias("n_removed"),
-    )
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("__boiler").isNotNull().cast("long")).alias(
+            "n_removed"
+        ),
+    ).select(id_col, "clean_text", "n_lines", "n_removed")

@@ -1991,6 +1991,11 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cross_doc_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style CROSS-document boilerplate removal (round 6,
+    ORACLE INVARIANTS: the analytic n_lines=3/2 shape assumes no
+    document text contains '. ', even doc_ids number >= min_docs, and
+    the planted footer/banner strings never appear in a body — all
+    verified true for every shipped sf and preserved by
+    make_scaled_sf.py's per-copy suffixing;
     functions/dedup.py:cross_doc_line_dedup): lines appearing in >= 3
     distinct documents are corpus boilerplate and are stripped from
     every doc. The synthetic docs carry no shared lines, so the query
@@ -2028,18 +2033,24 @@ def cross_doc_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            length(text)::BIGINT AS n_chars,
-           (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
-               / length(text)::DOUBLE AS latin_ratio,
-           (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))::DOUBLE
-               / length(text)::DOUBLE AS cyrillic_ratio,
-           (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))::DOUBLE
-               / length(text)::DOUBLE AS cjk_ratio,
-           (length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')))::DOUBLE
-               / length(text)::DOUBLE AS arabic_ratio,
-           (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-               / length(text)::DOUBLE AS digit_ratio,
-           ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
-               / length(text)::DOUBLE >= 0.5)::BIGINT AS keep_latin
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE END AS latin_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE END AS cyrillic_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE END AS cjk_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE END AS arabic_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE END AS digit_ratio,
+           (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+               / length(text)::DOUBLE END >= 0.5)::BIGINT AS keep_latin
     FROM t
     """,
 )
