@@ -520,8 +520,19 @@ class DatasetStreamerServer:
                     + ", ".join(missing)
                 )
             cat = req.get("catalog", "default")
-            root = self._catalog_root(cat)
-            path = os.path.join(root, req["namespace"], req["table"])
+            root = os.path.realpath(self._catalog_root(cat))
+            # namespace/table are single path components, not paths —
+            # realpath-confine the join so "../..", absolute names, or
+            # symlink hops cannot escape the catalog root (same check
+            # as the direct-path branch above)
+            path = os.path.realpath(
+                os.path.join(root, req["namespace"], req["table"])
+            )
+            if not path.startswith(root + os.sep):
+                raise TicketError(
+                    f"namespace/table {req['namespace']!r}/"
+                    f"{req['table']!r} escapes catalog root"
+                )
         if not os.path.isdir(path):
             raise TicketError(f"no table directory at {path}")
         return path

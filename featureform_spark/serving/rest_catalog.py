@@ -86,7 +86,13 @@ class IcebergRestCatalogServer:
                 return (None, None, None)
 
             def _table_dir(self, ns: str, name: str) -> str | None:
-                p = os.path.join(outer.root, ns, name)
+                # ns/name come straight off the URL — realpath-confine
+                # the join so "..", absolute components, or symlink
+                # hops cannot address tables outside the catalog root
+                root = os.path.realpath(outer.root)
+                p = os.path.realpath(os.path.join(root, ns, name))
+                if not p.startswith(root + os.sep):
+                    return None
                 return p if _is_iceberg_table(p) else None
 
             def do_GET(self):
@@ -105,7 +111,10 @@ class IcebergRestCatalogServer:
                         200, {"namespaces": [[d] for d in out]}
                     )
                 if kind == "tables":
-                    ns_dir = os.path.join(outer.root, ns)
+                    root = os.path.realpath(outer.root)
+                    ns_dir = os.path.realpath(os.path.join(root, ns))
+                    if not ns_dir.startswith(root + os.sep):
+                        return self._error(404, f"namespace {ns!r}")
                     if not os.path.isdir(ns_dir):
                         return self._error(404, f"namespace {ns!r}")
                     idents = [

@@ -253,9 +253,12 @@ class DeltaProtocolBatchReader(DataSourceReader):
             hi = int(
                 self.options.get("endingversion", self.t.version())
             )
-            return DeltaProtocolStreamReader(
-                {"path": self.options["path"], "readchangefeed": "true"}
-            )._cdf_partitions(st, lo, hi)
+            sub = {"path": self.options["path"], "readchangefeed": "true"}
+            if self.options.get("sessiontimezone"):
+                sub["sessiontimezone"] = self.options["sessiontimezone"]
+            return DeltaProtocolStreamReader(sub)._cdf_partitions(
+                st, lo, hi
+            )
         with_row_ids = (
             self.options.get("withrowids", "false").lower() == "true"
         )
@@ -322,6 +325,7 @@ def _cdf_schema(schema):
 class DeltaProtocolStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.t = _table(options)
+        self.options = options
         self.skip_change = (
             options.get("skipchangecommits", "false").lower() == "true"
         )
@@ -345,8 +349,24 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
 
     def _commit_ts_iso(self, v: int) -> str:
         """Commit timestamp (inCommitTimestamp > plain > file mtime) as
-        an ISO string for the literal-attachment machinery."""
+        an ISO string for the literal-attachment machinery. The string
+        becomes a NAIVE timestamp that Spark interprets under
+        spark.sql.session.timeZone, so it must be rendered in that
+        zone, not UTC (session tz defaults to the JVM/OS local zone;
+        pass sessionTimeZone=<zone> in the read options when the
+        session overrides it) — same fix as read_delta_path's
+        timestampAsOf (delta_protocol.py:3173)."""
         import datetime
+
+        tz = None
+        tz_name = self.options.get("sessiontimezone")
+        if tz_name:
+            try:
+                import zoneinfo
+
+                tz = zoneinfo.ZoneInfo(tz_name)
+            except Exception:  # noqa: BLE001 — fall back to OS-local
+                tz = None
 
         t = None
         for a in self.t._read_commit(v):
@@ -363,7 +383,7 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
                 )
                 * 1000
             )
-        return datetime.datetime.utcfromtimestamp(t / 1000).strftime(
+        return datetime.datetime.fromtimestamp(t / 1000, tz=tz).strftime(
             "%Y-%m-%d %H:%M:%S.%f"
         )
 

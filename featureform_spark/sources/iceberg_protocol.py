@@ -1876,7 +1876,18 @@ class IcebergProtocolTable:
         guard: a concurrent writer's output (staging, moved data
         files, manifest avros) looks orphaned until its metadata
         commit lands, and collecting it mid-commit corrupts that
-        write. Returns {"deleted", "kept"}."""
+        write. Returns {"deleted", "kept"}.
+
+        UniForm mirror guard (same rule as expire_snapshots): when the
+        table is a UniForm mirror (``delta.uniform.delta-version``
+        property, or a ``_delta_log`` directory shares the table
+        location), the directory is OWNED by the Delta table — its
+        commit JSONs, ``_last_checkpoint``, checkpoint parquets,
+        ``_change_data`` CDC files and deletion-vector blobs are
+        invisible to the Iceberg keep set and would be destroyed by an
+        unrestricted walk. On a mirror, only files under the mirror's
+        own ``metadata/`` prefix are eligible for deletion; Delta
+        VACUUM is the authority for everything else."""
         if older_than_ms is None:
             older_than_ms = int(
                 (time.time() - 3 * 24 * 3600) * 1000
@@ -1919,12 +1930,25 @@ class IcebergProtocolTable:
                                 e["data_file"]["file_path"]
                             )
                         )
+        try:
+            props = self.metadata().get("properties") or {}
+        except Exception:
+            props = {}
+        uniform = (
+            "delta.uniform.delta-version" in props
+            or os.path.isdir(os.path.join(self.path, "_delta_log"))
+        )
+        meta_prefix = self.metadata_path.rstrip(os.sep) + os.sep
+        walk_root = self.metadata_path if uniform else self.path
         deleted = 0
         kept = 0
-        for dirpath, dirs, files in os.walk(self.path, topdown=True):
+        for dirpath, dirs, files in os.walk(walk_root, topdown=True):
             for name in files:
                 full = os.path.join(dirpath, name)
                 if full in keep or name.startswith("."):
+                    kept += 1
+                    continue
+                if uniform and not full.startswith(meta_prefix):
                     kept += 1
                     continue
                 if os.path.getmtime(full) * 1000 >= older_than_ms:
@@ -1933,7 +1957,7 @@ class IcebergProtocolTable:
                 os.remove(full)
                 deleted += 1
         # prune now-empty staging dirs
-        for dirpath, dirs, files in os.walk(self.path, topdown=False):
+        for dirpath, dirs, files in os.walk(walk_root, topdown=False):
             if not dirs and not files and dirpath != self.path:
                 try:
                     os.rmdir(dirpath)
@@ -1969,7 +1993,7 @@ class IcebergProtocolTable:
         over them would be wrong) — same refusal the reference's CDF
         path encodes."""
         md = self.metadata()
-        snaps = self.snapshots(md)
+        snaps = self.main_lineage(md)
         order = {s["snapshot-id"]: i for i, s in enumerate(snaps)}
         if from_snapshot_id not in order:
             raise IcebergProtocolError(
@@ -1978,6 +2002,11 @@ class IcebergProtocolTable:
         to_snap = self._snapshot_by(to_snapshot_id, md=md)
         if to_snap is None:
             return self.spark.createDataFrame([], self.spark_schema(md))
+        if to_snap["snapshot-id"] not in order:
+            raise IcebergProtocolError(
+                f"to snapshot {to_snap['snapshot-id']} is not on main's "
+                "ancestry (staged/branch snapshot)"
+            )
         lo, hi = order[from_snapshot_id], order[to_snap["snapshot-id"]]
         if hi < lo:
             raise IcebergProtocolError("to-snapshot precedes from-snapshot")
@@ -1993,10 +2022,17 @@ class IcebergProtocolTable:
                 )
         schema = self.spark_schema(md)
         data_entries, _deletes = self._live_entries(to_snap)
+        # appended files = to-snapshot's live set minus from-snapshot's
+        # (not a snapshot_id-stamp filter: cherry-picked WAP publishes
+        # keep the staged snapshot's id on their entries)
+        from_entries, _f_dels = self._live_entries(snaps[lo])
+        from_files = {
+            e["data_file"]["file_path"] for e in from_entries
+        }
         in_entries = [
             e
             for e in data_entries
-            if int(e.get("snapshot_id") or -1) in in_range
+            if e["data_file"]["file_path"] not in from_files
         ]
         return self._read_files_patched(
             schema,
@@ -2036,7 +2072,11 @@ class IcebergProtocolTable:
         )
 
         md = self.metadata()
-        snaps = self.snapshots(md)
+        # main ancestry only: the raw snapshots list carries WAP-staged
+        # and branch snapshots — emitting them would report changes
+        # that never reached main, and ids[idx-1] would pick a staged
+        # snapshot as a DV-diff parent (ADVICE r6)
+        snaps = self.main_lineage(md)
         schema = self.spark_schema(md)
         cols = [f.name for f in schema.fields]
         out_schema = T.StructType(
@@ -2100,6 +2140,14 @@ class IcebergProtocolTable:
             )
 
         pieces: list[DataFrame] = []
+        live_memo: dict[int, tuple] = {}
+
+        def _live(snap: dict) -> tuple:
+            k = int(snap["snapshot-id"])
+            if k not in live_memo:
+                live_memo[k] = self._live_entries(snap)
+            return live_memo[k]
+
         for ordinal, idx in enumerate(range(start, end + 1)):
             s = snaps[idx]
             sid = int(s["snapshot-id"])
@@ -2120,11 +2168,22 @@ class IcebergProtocolTable:
                 else:
                     pieces.append(_tag(cur, "insert", ordinal, sid))
                 continue
-            data_entries, delete_entries = self._live_entries(s)
+            data_entries, delete_entries = _live(s)
+            # added files = live set minus the lineage parent's live
+            # set, NOT entries stamped snapshot_id == sid: cherry-pick
+            # publish re-applies staged manifests verbatim, so a
+            # published commit's entries still carry the STAGED
+            # snapshot's id
+            parent_files: set[str] = set()
+            if parent_id is not None:
+                p_entries, _p_dels = _live(snaps[idx - 1])
+                parent_files = {
+                    e["data_file"]["file_path"] for e in p_entries
+                }
             added_data = [
                 e
                 for e in data_entries
-                if int(e.get("snapshot_id") or -1) == sid
+                if e["data_file"]["file_path"] not in parent_files
             ]
             if added_data:
                 pieces.append(
@@ -2155,7 +2214,7 @@ class IcebergProtocolTable:
             # parent DV positions per referenced file, for diffing
             parent_dv: dict[str, np.ndarray] = {}
             if parent_id is not None:
-                _pd_entries, pdeletes = self._live_entries(snaps[idx - 1])
+                _pd_entries, pdeletes = _live(snaps[idx - 1])
                 for e in pdeletes:
                     df_ = e["data_file"]
                     if int(df_.get("content", 0)) == 1 and _is_dv_file(
@@ -3486,6 +3545,29 @@ class IcebergProtocolTable:
             sum(int(m.get("added_rows_count") or 0) for m in added),
             extra_summary=extra,
         )
+
+    def main_lineage(self, md: dict | None = None) -> list[dict]:
+        """Snapshots on MAIN's ancestry chain, oldest → newest — the
+        commit history change readers must walk. ``md['snapshots']``
+        is an unordered append log that also holds WAP-staged and
+        branch snapshots (unreferenced by main); treating it as
+        lineage emits unpublished data as changes and picks staged
+        snapshots as diff parents. Walking parent-snapshot-id from
+        current-snapshot-id (the same walk expire_snapshots uses for
+        retain_last) yields exactly the published history."""
+        if md is None:
+            md = self.metadata()
+        by_id = {
+            int(s["snapshot-id"]): s for s in self.snapshots(md)
+        }
+        chain: list[dict] = []
+        cur = md.get("current-snapshot-id")
+        while cur is not None and int(cur) in by_id:
+            s = by_id[int(cur)]
+            chain.append(s)
+            cur = s.get("parent-snapshot-id")
+        chain.reverse()
+        return chain
 
     def _is_ancestor(self, md: dict, ancestor_id: int, head_id: int) -> bool:
         by_id = {

@@ -142,7 +142,7 @@ class IcebergProtocolBatchReader(DataSourceReader):
         if self.options.get("readchangefeed", "false").lower() == "true":
             # batch CDF over a snapshot-id range (mirrors the delta
             # source's startingVersion/endingVersion contract)
-            snaps = self.t.snapshots(md)
+            snaps = self.t.main_lineage(md)
             ids = [int(s["snapshot-id"]) for s in snaps]
             start = self.options.get("startingsnapshotid")
             end = self.options.get("endingsnapshotid")
@@ -218,7 +218,7 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
             options.get("skipchangesnapshots", "false").lower() == "true"
         )
         starting = options.get("startingsnapshotordinal", "earliest").lower()
-        snaps = self.t.snapshots(self.t.metadata())
+        snaps = self.t.main_lineage(self.t.metadata())
         if starting == "earliest":
             self.start_id = -1
         elif starting == "latest":
@@ -259,7 +259,7 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self.start_id}
 
     def latestOffset(self) -> dict:
-        snaps = self.t.snapshots(self.t.metadata())
+        snaps = self.t.main_lineage(self.t.metadata())
         return {
             "snapshot_id": int(snaps[-1]["snapshot-id"]) if snaps else -1
         }
@@ -301,13 +301,23 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                     "overwrite change rows"
                 )
             data_entries, delete_entries = self.t._live_entries(s)
+            # added files = live set minus the lineage parent's live
+            # set (cherry-picked WAP publishes keep the STAGED
+            # snapshot's id on their entries, so a sid-stamp filter
+            # would drop them)
+            parent_files: set = set()
+            if idx > 0:
+                _ppe, _ppd = self.t._live_entries(snaps[idx - 1])
+                parent_files = {
+                    pe["data_file"]["file_path"] for pe in _ppe
+                }
             ins_lits = {
                 "_change_type": ("insert", "string"),
                 "_change_ordinal": (ordinal, "int"),
                 "_commit_snapshot_id": (sid, "long"),
             }
             for e in data_entries:
-                if int(e.get("snapshot_id") or -1) != sid:
+                if e["data_file"]["file_path"] in parent_files:
                     continue
                 out.append(
                     _IceSlice(
@@ -408,7 +418,7 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         md = self.t.metadata()
-        snaps = self.t.snapshots(md)
+        snaps = self.t.main_lineage(md)
         order = [f.name for f in self.t.spark_schema(md).fields]
         lo = self._index_of(start, snaps)
         hi = self._index_of(end, snaps)
@@ -429,10 +439,25 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
         # snapshots from swallowing prior appends
         out: list[_IceSlice] = []
         seen: set[str] = set()
-        for s in snaps[lo + 1 : hi + 1]:
+        # each snapshot's added files = its live set minus its lineage
+        # parent's (cherry-picked WAP publishes keep the staged
+        # snapshot's id on their entries — a sid-stamp filter drops
+        # their rows)
+        parent_files: set[str] | None = None
+        for i in range(lo + 1, hi + 1):
+            s = snaps[i]
             op = (s.get("summary") or {}).get("operation", "append")
+            if parent_files is None:
+                if i > 0:
+                    _pe, _pd = self.t._live_entries(snaps[i - 1])
+                    parent_files = {
+                        pe["data_file"]["file_path"] for pe in _pe
+                    }
+                else:
+                    parent_files = set()
             if op != "append":
                 if self.skip_change:
+                    parent_files = None  # recompute vs the skipped snap
                     continue
                 raise IcebergProtocolError(
                     f"snapshot {s['snapshot-id']} is {op!r}, not append — "
@@ -444,14 +469,17 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                     "live position/equality deletes in streamed range — "
                     "use IcebergProtocolTable.snapshot() (merge-on-read)"
                 )
-            sid = s["snapshot-id"]
+            cur_files = {
+                e["data_file"]["file_path"] for e in data_entries
+            }
             for e in data_entries:
-                if int(e.get("snapshot_id") or -1) != sid:
+                if e["data_file"]["file_path"] in parent_files:
                     continue
                 p = self.t._resolve_path(e["data_file"]["file_path"])
                 if p not in seen:
                     seen.add(p)
                     out.append(_IceSlice(p, order))
+            parent_files = cur_files
         return out
 
     def read(self, partition: _IceSlice) -> Iterator:

@@ -315,3 +315,32 @@ def test_do_get_with_row_ids(served):
                 "table": "orders_delta", "with_row_ids": True,
             },
         )
+
+
+def test_namespace_traversal_escapes_refuse(served, tmp_path):
+    """namespace/table are single path components off an untrusted
+    ticket: '..' hops and absolute components must not escape the
+    registered catalog root (ADVICE r6 — without the realpath
+    containment, {"namespace": "../.."} read arbitrary directories
+    and do_put wrote to arbitrary locations)."""
+    _spark, server, *_ = served
+    for ns, tbl in [
+        ("..", ".."),
+        ("../..", "etc"),
+        (os.sep + "tmp", "x"),
+        ("ns", "../../.."),
+    ]:
+        with pytest.raises(
+            (fl.FlightServerError, pa.ArrowInvalid),
+            match="escapes catalog root|no table directory",
+        ):
+            _client_read(server, {"namespace": ns, "table": tbl})
+    # the in-process resolver refuses before touching the filesystem
+    from featureform_spark.serving.flight_server import TicketError
+
+    with pytest.raises(TicketError, match="escapes catalog root"):
+        server._resolve({"namespace": "..", "table": "x"})
+    with pytest.raises(TicketError, match="escapes catalog root"):
+        server._resolve({"namespace": "a", "table": "../../b"})
+    # legitimate lookups still resolve
+    assert server._resolve({"namespace": "ns", "table": "orders_pq"})

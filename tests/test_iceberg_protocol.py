@@ -1621,3 +1621,55 @@ def test_v3_row_lineage_manifest_inheritance(spark, sf_dir, tmp_path):
     )
     assert (post.isna() == before.isna()).all()
     assert (post.dropna() == before.dropna()).all()
+
+
+def test_changelog_and_streams_ignore_staged_wap(spark, sf_dir, tmp_path):
+    """md['snapshots'] carries WAP-staged snapshots unreferenced by
+    main; change readers must walk main's ancestry instead (ADVICE
+    r6): changelog_scan must not emit unpublished wap.id data, must
+    not pick a staged snapshot as a diff parent, and the streaming
+    source's latestOffset must not advance to a staged id."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "wapcl")
+    t = IcebergProtocolTable(spark, path)
+    t.create(orders.limit(20),
+             properties={"write.wap.enabled": "true"})
+    t.append(orders.limit(30).subtract(orders.limit(20)))
+    staged = t.append(
+        orders.limit(40).subtract(orders.limit(30)), wap_id="w1"
+    )
+    head_id = int(t.current_snapshot()["snapshot-id"])
+    assert head_id != staged
+    # changelog: only the two published commits, no staged rows
+    ch = t.changelog_scan()
+    keys = {r["o_orderkey"] for r in ch.collect()}
+    assert keys == {r["o_orderkey"] for r in orders.limit(30).collect()}
+    assert ch.count() == 30
+    sids = {r["_commit_snapshot_id"] for r in ch.collect()}
+    assert staged not in sids
+    # incremental append scan refuses a staged 'to' snapshot
+    first = int(t.main_lineage()[0]["snapshot-id"])
+    with pytest.raises(IcebergProtocolError, match="not on main"):
+        t.incremental_append_scan(first, staged)
+    # streaming source: latestOffset is main's head, not the staged id
+    from featureform_spark.sources.icebergprotocol_datasource import (
+        IcebergProtocolStreamReader,
+    )
+
+    r = IcebergProtocolStreamReader({"path": path})
+    assert r.latestOffset() == {"snapshot_id": head_id}
+    # after publish, the cherry-picked rows appear as a NEW commit
+    t.cherrypick_snapshot(staged)
+    ch2 = t.changelog_scan()
+    assert ch2.count() == 40
+    pub = int(t.current_snapshot()["snapshot-id"])
+    pub_rows = {
+        r["o_orderkey"]
+        for r in ch2.filter(
+            F.col("_commit_snapshot_id") == pub
+        ).collect()
+    }
+    assert pub_rows == {
+        r["o_orderkey"]
+        for r in orders.limit(40).subtract(orders.limit(30)).collect()
+    }

@@ -83,3 +83,28 @@ def test_head_and_errors(catalog):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/v1/namespaces/ghost/tables")
     assert ei.value.code == 404
+
+
+def test_path_traversal_refuses(catalog, tmp_path):
+    """ns/name come straight off the URL: '..' components must not
+    address tables outside the catalog root (ADVICE r6). The raw
+    request is sent over a socket — urllib would normalize the
+    dot-segments client-side."""
+    import http.client
+
+    server, _t = catalog
+    # a real iceberg table OUTSIDE the catalog root
+    outside = tmp_path / "outside_tbl"
+    (outside / "metadata").mkdir(parents=True)
+    (outside / "metadata" / "v1.metadata.json").write_text("{}")
+    for raw in (
+        "/v1/namespaces/../tables/outside_tbl",
+        "/v1/namespaces/..%2F..%2Ftmp/tables/x",
+        "/v1/namespaces/../tables",
+    ):
+        conn = http.client.HTTPConnection("127.0.0.1", server.port)
+        try:
+            conn.request("GET", raw)
+            assert conn.getresponse().status in (400, 404)
+        finally:
+            conn.close()

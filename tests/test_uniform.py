@@ -315,3 +315,41 @@ def test_mirror_expiry_never_deletes_delta_files(spark, sf_dir, tmp_path):
     assert d.snapshot(version=0).count() == 100
     assert d.snapshot(version=1).count() == 50
     assert _rows(ice.snapshot()) == _rows(d.snapshot())
+
+
+def test_remove_orphan_files_uniform_guard(spark, sf_dir, tmp_path):
+    """remove_orphan_files on a UniForm mirror must not touch the
+    Delta side's artifacts (ADVICE r6): _delta_log commits,
+    _last_checkpoint, checkpoint parquets, CDC files and DV blobs are
+    invisible to the Iceberg keep set — an unrestricted walk would
+    destroy the owning Delta table. On a mirror, only files under the
+    mirror's own metadata/ prefix are eligible."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "og")
+    d = DeltaProtocolTable(spark, path)
+    d.create(
+        orders.limit(100),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    d.delete_where(F.col("o_orderkey") % 4 == 0)  # DV blob + CDC file
+    d.checkpoint()  # checkpoint parquet + _last_checkpoint
+    before = _rows(d.snapshot())
+    sync_uniform(spark, path)
+    ice = IcebergProtocolTable(spark, path)
+    # a stray file inside the mirror's own metadata dir IS collected
+    stray = os.path.join(path, "metadata", "stray.avro")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    res = ice.remove_orphan_files(older_than_ms=2**60)
+    assert res["deleted"] >= 1
+    assert not os.path.exists(stray)
+    # the delta table is unharmed: log, checkpoint, CDC, DV all intact
+    assert os.path.isdir(os.path.join(path, "_delta_log"))
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", "_last_checkpoint")
+    )
+    d2 = DeltaProtocolTable(spark, path)
+    assert _rows(d2.snapshot()) == before
+    assert _rows(d2.table_changes(0, d2.version())) != []
+    # the mirror still reads too
+    assert _rows(ice.snapshot()) == before
