@@ -67,6 +67,7 @@ def pq_train(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks: md5-seeded init + one Lloyd round.
 
@@ -74,12 +75,26 @@ def pq_train(
     within each subspace (ORDER BY seed id) — ADC tables index by it.
     The only corpus-sized shuffle is the refine groupBy on
     (subspace, centroid); its output is m × ksub rows.
+
+    ``seed_exclude`` (single ``id_col`` column) drops ids from seed
+    eligibility. IVFADC needs it: the coarse quantizer samples by the
+    SAME md5 order, so without the exclusion every residual-codebook
+    seed would be a cell centroid whose residual is the zero vector —
+    ksub identical seeds, and the one Lloyd round collapses the
+    codebook to a single code.
     """
     sub_dim = dim // m
     sub = _subvectors(df, m, sub_dim, id_col, vec_col)
     h = F.md5(F.col(id_col).cast("string"))
+    pool = df
+    if seed_exclude is not None:
+        pool = df.join(
+            F.broadcast(seed_exclude.select(id_col)), id_col, "left_anti"
+        )
     seeds = (
-        df.select(F.col(id_col), h.alias("_h")).orderBy("_h", id_col).limit(ksub)
+        pool.select(F.col(id_col), h.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(ksub)
     )
     c0 = sub.join(F.broadcast(seeds.select(id_col)), id_col).select(
         F.col("s"), F.col(id_col).alias("cid"), F.col("sv").alias("cv")
@@ -131,6 +146,7 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as an array of m codes — ZERO shuffle.
 
@@ -183,7 +199,9 @@ def pq_encode(
     _enc.__annotations__ = {"a": pd.Series, "return": pd.Series}
     enc = pandas_udf(_enc, "array<int>")
     return df.select(
-        F.col(id_col), enc(_as_double(F.col(vec_col))).alias("codes")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        enc(_as_double(F.col(vec_col))).alias("codes"),
     )
 
 
@@ -249,3 +267,144 @@ def pq_topk(
         F.col(id_col), score.alias("adc_dist")
     )
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dim: int = 64,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, §V): the production composition of
+    the two halves this module and ``similarity`` already ship —
+    IVF coarse cells bound the scan to ``nprobe`` inverted lists,
+    and a PQ codebook trained on the RESIDUALS (vector minus its
+    cell centroid) scores candidates from 8-byte codes via one
+    asymmetric-distance table per probed cell. This is the recall
+    role the reference's embeddinghub fills with an hnswlib
+    ``HierarchicalNSW`` index (embeddinghub/embeddingstore/
+    index.h:19-33), at a scale a single-node graph index can't reach.
+
+    Residuals concentrate the quantizer's dynamic range around each
+    cell, so the same m×ksub code budget yields materially lower
+    quantization error than PQ over raw vectors — one SHARED residual
+    codebook across cells, per the paper.
+
+    Determinism (cross-engine hash parity): coarse cells are the
+    md5-sampled quantizer of ``ivf_centroids``; assignment runs the
+    bit-identical Arrow kernel; residual subtraction is elementwise;
+    PQ train/encode reuse the fixed-fold-order kernels; the per-cell
+    ADC score is a fixed-order fold over subspaces.
+
+    Scale shape: one bounded shuffle to train the codebook (exploded
+    residual × subspace, m×ksub output), ZERO-shuffle encode (packed
+    broadcast codebook), and a query side that is broadcast joins on
+    the cell key ending in TakeOrderedAndProject — no corpus shuffle,
+    no global sort. The scan reads (id, cell, codes): ~12 bytes per
+    vector instead of dim×8.
+    """
+    from featureform_spark.functions.similarity import (
+        cosine_expr,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    sub_dim = dim // m
+    cents = ivf_centroids(df, num_cells, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)  # (id, _v, cell)
+    cmap = cents.select(F.col("cid").alias("cell"), F.col("cv"))
+    res = assigned.join(F.broadcast(cmap), "cell").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with("_v", "cv", lambda x, y: x - y).alias("_r"),
+    )
+    codebook = pq_train(
+        res, dim, m, ksub, id_col, "_r",
+        seed_exclude=cents.select(F.col("cid").alias(id_col)),
+    )
+    encoded = pq_encode(
+        res, codebook, dim, m, id_col, "_r", carry=("cell",)
+    )
+    q = df.filter(F.col(id_col) == query_id).select(
+        _as_double(F.col(vec_col)).alias("_q")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid", "cv",
+            cosine_expr(F.col("cv"), F.col("_q")).alias("_cs"),
+        )
+        .orderBy(F.desc("_cs"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("cell"), "cv")
+    )
+    # per-probed-cell query residual → one ADC lookup table per cell
+    # (nprobe × m × ksub doubles — metadata scale, broadcast)
+    qres = probe.crossJoin(F.broadcast(q)).select(
+        "cell", F.zip_with("_q", "cv", lambda x, y: x - y).alias("_qr")
+    )
+    dt = codebook.crossJoin(F.broadcast(qres)).select(
+        "cell",
+        "s",
+        "code",
+        l2sq_expr(
+            F.col("cv"),
+            F.slice(F.col("_qr"), F.col("s") * sub_dim + 1, sub_dim),
+        ).alias("d"),
+    )
+    dtab = (
+        dt.groupBy("cell", "s")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("code", "d"))),
+                lambda x: x["d"],
+            ).alias("ds")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "ds"))),
+                lambda x: x["ds"],
+            ).alias("_dtab")
+        )
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_dtab"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = encoded.join(F.broadcast(dtab), "cell").select(
+        F.col(id_col), score.alias("adc_dist")
+    )
+    if rerank <= 0:
+        return scored.orderBy(
+            F.col("adc_dist").asc(), F.col(id_col)
+        ).limit(k)
+    # IVFADC-R (paper §V-D): exact re-rank of the top-``rerank`` ADC
+    # candidates recovers most of the recall the quantizer loses —
+    # the exact math runs on ≤R rows (broadcast semi-join back to the
+    # corpus scan), so the code-only scan economics are unchanged
+    cand = (
+        scored.orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(max(rerank, k))
+        .select(id_col)
+    )
+    exact = df.join(F.broadcast(cand), id_col).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    rescored = exact.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        l2sq_expr(F.col("_v"), F.col("_q")).alias("dist"),
+    )
+    return rescored.orderBy(F.col("dist").asc(), F.col(id_col)).limit(k)

@@ -1,5 +1,5 @@
-"""Measure recall@k of the three ANN paths (LSH bucket probe, IVF
-nprobe, PQ ADC) against exact cosine/L2 top-k, over a sample of query
+"""Measure recall@k of the four ANN paths (LSH bucket probe, IVF
+nprobe, PQ ADC, IVFADC) against exact cosine/L2 top-k, over a sample of query
 vectors. Prints one JSON line; run at any sf dir.
 
 Usage: python scripts/bench_ann_recall.py [sf_dir] [n_queries] [k]
@@ -23,7 +23,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     from pyspark.sql import functions as F
 
-    from featureform_spark.functions.quantization import pq_topk
+    from featureform_spark.functions.quantization import ivfpq_topk, pq_topk
     from featureform_spark.functions.similarity import (
         ann_topk_lsh,
         cosine_topk,
@@ -37,7 +37,7 @@ def main() -> None:
     n = emb.count()
     query_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
 
-    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": []}
+    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": []}
     for qid in query_ids:
         qvec = [
             float(x)
@@ -79,10 +79,22 @@ def main() -> None:
             for r in ivf_topk(emb, qid, k=k, num_centroids=16, nprobe=4).collect()
         }
         pq = {r.vec_id for r in pq_topk(emb, qid, k=k).collect()}
+        # IVFADC-R production config: same 4-of-16 cells as IVF,
+        # 6-bit residual codes, exact re-rank of the ADC top-200 —
+        # reaches the probed-cell ceiling (= IVF-alone's recall) while
+        # scanning codes, not floats. Graded against exact-L2 like PQ.
+        ivfpq = {
+            r.vec_id
+            for r in ivfpq_topk(
+                emb, qid, k=k, num_cells=16, nprobe=4, ksub=64,
+                rerank=200,
+            ).collect()
+        }
         recalls["lsh"].append(len(lsh & exact) / k)
         recalls["lsh_mp1"].append(len(lsh_mp & exact) / k)
         recalls["ivf"].append(len(ivf & exact) / k)
         recalls["pq"].append(len(pq & exact_l2) / k)
+        recalls["ivfpq"].append(len(ivfpq & exact_l2) / k)
 
     out = {
         "metric": "ann_recall_at_k",

@@ -89,3 +89,84 @@ def test_pq_topk_deterministic(emb):
     assert [(r.vec_id, r.adc_dist) for r in a] == [
         (r.vec_id, r.adc_dist) for r in b
     ]
+
+
+def _exact_l2_ids(emb, qid: int, k: int) -> set:
+    from featureform_spark.functions.quantization import l2sq_expr
+    from featureform_spark.functions.similarity import _as_double
+
+    q = emb.filter(F.col("vec_id") == qid).select(
+        _as_double(F.col("embedding")).alias("_q")
+    )
+    return {
+        r.vec_id
+        for r in (
+            emb.select(
+                "vec_id", _as_double(F.col("embedding")).alias("_v")
+            )
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id", l2sq_expr(F.col("_v"), F.col("_q")).alias("d")
+            )
+            .orderBy(F.col("d").asc(), "vec_id")
+            .limit(k)
+        ).collect()
+    }
+
+
+def test_ivfpq_topk_residuals_and_recall(emb):
+    """IVFADC: residual codebook must not collapse (the coarse sampler
+    and the PQ seeder use the same md5 order — without seed exclusion
+    every seed is a zero residual), candidates come only from probed
+    cells, and residual quantization beats raw-vector PQ on recall
+    aggregated over queries."""
+    from featureform_spark.functions.quantization import ivfpq_topk
+    from featureform_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    got = ivfpq_topk(emb, 0, k=10, dim=DIM, num_cells=16, nprobe=4)
+    rows = got.collect()
+    assert len(rows) == 10
+    # non-degenerate: distances are not all equal (the collapsed-
+    # codebook failure mode scored every vector in a cell identically)
+    assert len({r.adc_dist for r in rows}) > 5
+    assert rows[0].vec_id == 0  # the query's own residual re-encodes best
+    # candidates only from probed cells
+    cents = ivf_centroids(emb, 16)
+    cells = {
+        r["cell"]
+        for r in ivf_assign(emb, cents)
+        .filter(F.col("vec_id").isin([r.vec_id for r in rows]))
+        .select("cell")
+        .collect()
+    }
+    assert len(cells) <= 4
+    # recall vs exact L2, aggregated over queries: residual codes must
+    # be at least as good as raw-vector PQ with the same m/ksub budget
+    # *given that IVFADC only sees nprobe/16 of the corpus*
+    qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    ivfpq_hits = pq_hits = 0
+    for qid in qids:
+        exact = _exact_l2_ids(emb, qid, 10)
+        ivfpq_ids = {
+            r.vec_id for r in ivfpq_topk(emb, qid, k=10, dim=DIM).collect()
+        }
+        pq_ids = {
+            r.vec_id
+            for r in pq_topk(emb, qid, k=10, dim=DIM, m=M, ksub=KSUB).collect()
+        }
+        ivfpq_hits += len(ivfpq_ids & exact)
+        pq_hits += len(pq_ids & exact)
+    assert ivfpq_hits >= pq_hits
+
+
+def test_ivfpq_topk_deterministic(emb):
+    from featureform_spark.functions.quantization import ivfpq_topk
+
+    a = ivfpq_topk(emb, 0, k=10, dim=DIM).collect()
+    b = ivfpq_topk(emb, 0, k=10, dim=DIM).collect()
+    assert [(r.vec_id, r.adc_dist) for r in a] == [
+        (r.vec_id, r.adc_dist) for r in b
+    ]
