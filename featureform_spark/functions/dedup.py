@@ -495,6 +495,173 @@ def dedup_blocks(
     )
 
 
+def dedup_substrings(
+    df: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """True ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): any ``min_tokens``-token span
+    whose text occurs more than once corpus-wide is removed everywhere
+    except its first ``(doc_id, pos)`` occurrence — INCLUDING duplicated
+    spans that straddle fixed block boundaries, which the block-quantized
+    ``dedup_blocks`` misses. No suffix array: every token position emits
+    one rolling ``min_tokens``-token shingle, so alignment never matters.
+
+    Mechanics: one shuffle groups shingles by text (winner =
+    ``min(struct(doc, pos))`` — partial-aggregated, no global window);
+    every non-winner occurrence of a duplicated shingle marks its L
+    covered token positions; one doc-keyed shuffle collects the marked
+    starts, and a codegen fold merges them into intervals, complements
+    against ``[0, n)``, and reassembles the kept text — O(n + intervals)
+    per doc, never O(n x dups).
+
+    Returns ``[id_col, text_clean, n_kept, n_tokens]`` — one row per
+    input document; ``n_kept`` counts surviving tokens.
+
+    Scale shape: the shingle table is one row per token position (~same
+    cardinality as the token stream; at 100 TB swap the group key for
+    ``xxhash64(stext)`` + collision verify to keep shuffle rows ~16
+    bytes); the mark table is bounded by duplicate volume; the doc-side
+    reassembly is a single groupBy. No corpus self-join, no window over
+    the shingle table.
+    """
+    from featureform_spark.functions.text import tokens_expr
+
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    base = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("long"))
+    sh = (
+        base.filter(F.col("__n") >= L)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("__n") - L)
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("pos").cast("int") + 1, L), " "
+            ).alias("stext"),
+        )
+    )
+    g = sh.groupBy("stext").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__w"
+        ),
+    )
+    dup = (
+        sh.join(g, "stext")
+        .filter(
+            (F.col("__cnt") > 1)
+            & ~(
+                (F.col(id_col) == F.col("__w.d"))
+                & (F.col("pos") == F.col("__w.p"))
+            )
+        )
+        .select(F.col(id_col), F.col("pos"))
+    )
+    starts = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__starts")
+    )
+    joined = base.join(starts, id_col, "left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<long>"))
+    )
+    # merge sorted fixed-length-L intervals [s, s+L): successor end is
+    # always >= predecessor end, so merging only extends the tail
+    iv_t = "array<struct<a:bigint,b:bigint>>"
+    merged = F.aggregate(
+        F.col("__starts"),
+        F.expr(f"cast(array() as {iv_t})"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["b"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["a"].alias("a"),
+                        (s + F.lit(L)).cast("long").alias("b"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("long").alias("a"),
+                        (s + F.lit(L)).cast("long").alias("b"),
+                    )
+                ),
+            )
+        ),
+    )
+    # complement of the removed intervals within [0, n) = kept spans
+    kept = F.aggregate(
+        merged,
+        F.struct(
+            F.lit(0).cast("long").alias("cur"),
+            F.expr(f"cast(array() as {iv_t})").alias("ivs"),
+        ),
+        lambda acc, iv: F.struct(
+            iv["b"].alias("cur"),
+            F.when(
+                iv["a"] > acc["cur"],
+                F.concat(
+                    acc["ivs"],
+                    F.array(
+                        F.struct(
+                            acc["cur"].alias("a"), iv["a"].alias("b")
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc["ivs"])
+            .alias("ivs"),
+        ),
+        lambda acc: F.when(
+            F.col("__n") > acc["cur"],
+            F.concat(
+                acc["ivs"],
+                F.array(
+                    F.struct(acc["cur"].alias("a"), F.col("__n").alias("b"))
+                ),
+            ),
+        ).otherwise(acc["ivs"]),
+    )
+    out = joined.withColumn("__kept", kept).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.col("__kept"),
+                    lambda iv: F.slice(
+                        F.col("__toks"),
+                        (iv["a"] + 1).cast("int"),
+                        (iv["b"] - iv["a"]).cast("int"),
+                    ),
+                )
+            ),
+        ).alias("text_clean"),
+        F.aggregate(
+            F.col("__kept"),
+            F.lit(0).cast("long"),
+            lambda acc, iv: acc + (iv["b"] - iv["a"]),
+        ).alias("n_kept"),
+        F.col("__n").alias("n_tokens"),
+    )
+    return out
+
+
 def cross_doc_line_dedup(
     df,
     id_col: str = "doc_id",

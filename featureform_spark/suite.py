@@ -1236,15 +1236,24 @@ PRIORITY: tuple[str, ...] = (
     "delta_protocol_cdf",
     "iceberg_hidden_partitioning",
     "iceberg_incremental_scan",
-    "contamination_top_ngrams",
     "corpus_mix_summary",
     "packing_efficiency",
     "sample_k_per_source",
-    "upsample_epochs",
     "deltaprotocol_source_read",
     "icebergprotocol_source_read",
-    "iceberg_bucket_pruning",
-    "delta_uniform_iceberg",
+    # Round-7 rotation (verdict r6 #1): the two late-r6 queries that
+    # had never had a CORRECTNESS row, plus the round-7 flagship
+    # IVFADC composition (verdict r6 #2). Displaced r6-green rows
+    # (iceberg_bucket_pruning, upsample_epochs) remain
+    # pytest-oracle-covered.
+    "delta_uniform_v3",
+    "iceberg_changelog",
+    "embedding_ivfpq_topk",
+    # Round-7: true ExactSubstr dedup (rolling shingles catch
+    # boundary-straddling duplicates dedup_blocks misses; verdict r6
+    # #3). Displaced r6-green rows (contamination_top_ngrams,
+    # delta_uniform_iceberg) remain pytest-oracle-covered.
+    "dedup_substr",
 )
 
 

@@ -1300,6 +1300,64 @@ def dedup_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_L = 8
+
+
+@query(
+    "dedup_substr",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         s AS (SELECT doc_id, toks,
+                      unnest(range(n - {_SUBSTR_L} + 1)) AS pos
+               FROM n WHERE n >= {_SUBSTR_L}),
+         x AS (SELECT doc_id, pos,
+                      array_to_string(
+                        toks[(pos+1)::INT:(pos+{_SUBSTR_L})::INT], ' ')
+                        AS stext
+               FROM s),
+         k AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY stext) AS cnt,
+                      row_number() OVER (PARTITION BY stext
+                                         ORDER BY doc_id, pos) AS rn
+               FROM x),
+         dup AS (SELECT doc_id, pos FROM k WHERE cnt > 1 AND rn > 1),
+         cov AS (SELECT DISTINCT doc_id, pos + i AS tok
+                 FROM dup, range(0, {_SUBSTR_L}) g(i)),
+         tok AS (SELECT doc_id, toks, unnest(range(n)) AS i
+                 FROM n WHERE n > 0),
+         kept AS (SELECT tok.doc_id, tok.i, tok.toks[(tok.i+1)::INT] AS w
+                  FROM tok LEFT JOIN cov
+                    ON tok.doc_id = cov.doc_id AND tok.i = cov.tok
+                  WHERE cov.tok IS NULL),
+         agg AS (SELECT doc_id,
+                        string_agg(w, ' ' ORDER BY i) AS text_clean,
+                        count(*)::BIGINT AS n_kept
+                 FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(n.n, 0)::BIGINT AS n_tokens
+    FROM documents d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN n USING (doc_id)
+    """,
+)
+def dedup_substr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ExactSubstr dedup (Lee et al. 2022): every 8-token ROLLING
+    shingle occurring more than once corpus-wide is removed at all but
+    its first (doc_id, pos) occurrence — catching duplicated spans that
+    straddle dedup_blocks' fixed 8-token boundaries. One shingle-text
+    shuffle (min-struct winner, no global window), one doc-keyed
+    reassembly via interval merge + complement in codegen folds; no
+    suffix structure, no corpus self-join."""
+    from featureform_spark.functions.dedup import dedup_substrings
+
+    return dedup_substrings(
+        load_table(spark, sf_dir, "documents"), min_tokens=_SUBSTR_L
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup vs a signature store
 # ---------------------------------------------------------------------------
@@ -1572,6 +1630,110 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         load_table(spark, sf_dir, "embeddings"),
         query_id=0, k=10, dim=_DIM, m=8, ksub=16,
+    )
+
+
+def _ivfpq_oracle(
+    num_cells: int = 16, nprobe: int = 4, m: int = 8, ksub: int = 16,
+    k: int = 10,
+) -> str:
+    sd = _DIM // m
+    cos_vc = (
+        _DOT.format(n=_DIM + 1, a="e.v", b="c.ccv")
+        + " / (" + _NORM.format(a="e.v") + " * " + _NORM.format(a="c.ccv") + ")"
+    )
+    cos_cq = (
+        _DOT.format(n=_DIM + 1, a="c.ccv", b="q.qv")
+        + " / (" + _NORM.format(a="c.ccv") + " * " + _NORM.format(a="q.qv") + ")"
+    )
+    l2_a0 = _L2.format(n=sd + 1, a="sub.sv", b="c0.cv")
+    l2_asg = _L2.format(n=sd + 1, a="sub.sv", b="cb.cv")
+    l2_dt = _L2.format(n=sd + 1, a="cb.cv", b="qsub.qsv")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS ccid, v AS ccv FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {num_cells}),
+    a AS (SELECT e.vec_id, e.v, c.ccid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {cos_vc} DESC, c.ccid) AS rn
+          FROM e, c),
+    asn AS (SELECT vec_id, v, ccid AS cell FROM a WHERE rn = 1),
+    res AS (SELECT asn.vec_id, asn.cell,
+                   list_transform(range(1, {_DIM + 1}),
+                                  i -> asn.v[i] - c.ccv[i]) AS r
+            FROM asn JOIN c ON asn.cell = c.ccid),
+    sub AS (SELECT vec_id, cell, s, r[(s*{sd}+1):(s*{sd}+{sd})] AS sv
+            FROM res, range(0, {m}) t(s)),
+    seeds AS (SELECT vec_id FROM e
+              WHERE vec_id NOT IN (SELECT ccid FROM c)
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub}),
+    c0 AS (SELECT sub.s, sub.vec_id AS cid, sub.sv AS cv
+           FROM sub JOIN seeds USING (vec_id)),
+    a0 AS (SELECT vec_id, s, sv, cid FROM (
+             SELECT sub.vec_id, sub.s, sub.sv, c0.cid,
+                    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                       ORDER BY {l2_a0} ASC, c0.cid) AS rn
+             FROM sub JOIN c0 ON sub.s = c0.s) WHERE rn = 1),
+    c1 AS (SELECT s, cid, list(av ORDER BY ord) AS cv FROM (
+             SELECT s, cid, i AS ord, round(avg(sv[i]), 6) AS av
+             FROM a0, range(1, {sd + 1}) t(i) GROUP BY s, cid, i)
+           GROUP BY s, cid),
+    cb AS (SELECT s,
+                  row_number() OVER (PARTITION BY s ORDER BY cid) - 1 AS code,
+                  cv
+           FROM c1),
+    asg AS (SELECT vec_id, s, code FROM (
+              SELECT sub.vec_id, sub.s, cb.code,
+                     row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                        ORDER BY {l2_asg} ASC, cb.code) AS rn
+              FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+    codes AS (SELECT vec_id, list(code ORDER BY s) AS codes
+              FROM asg GROUP BY vec_id),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT c.ccid AS cell, c.ccv FROM c, q
+              ORDER BY {cos_cq} DESC, c.ccid LIMIT {nprobe}),
+    qres AS (SELECT probe.cell,
+                    list_transform(range(1, {_DIM + 1}),
+                                   i -> q.qv[i] - probe.ccv[i]) AS qr
+             FROM probe, q),
+    qsub AS (SELECT cell, s, qr[(s*{sd}+1):(s*{sd}+{sd})] AS qsv
+             FROM qres, range(0, {m}) t(s)),
+    dt AS (SELECT qsub.cell, cb.s, cb.code, {l2_dt} AS d
+           FROM cb JOIN qsub ON cb.s = qsub.s),
+    dtab AS (SELECT cell, list(ds ORDER BY s) AS t FROM (
+               SELECT cell, s, list(d ORDER BY code) AS ds
+               FROM dt GROUP BY cell, s) g GROUP BY cell),
+    cellmap AS (SELECT vec_id, cell FROM res),
+    scored AS (SELECT codes.vec_id,
+                      list_reduce(list_prepend(0.0,
+                        list_transform(range(0, {m}),
+                                       s -> t[s+1][codes.codes[s+1]+1])),
+                        (acc, x) -> acc + x) AS adc_dist
+               FROM codes
+               JOIN cellmap cm ON codes.vec_id = cm.vec_id
+               JOIN dtab ON cm.cell = dtab.cell)
+    SELECT vec_id, adc_dist FROM scored
+    ORDER BY adc_dist ASC, vec_id LIMIT {k}
+    """
+
+
+@query("embedding_ivfpq_topk", _ivfpq_oracle())
+def embedding_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): IVF coarse cells bound the scan to
+    nprobe inverted lists; a PQ codebook trained on cell RESIDUALS
+    scores candidates from 8-byte codes via one ADC table per probed
+    cell. The production-standard composition of embedding_ivf_topk's
+    cells and pq_ann_topk's codes — the recall role the reference's
+    embeddinghub fills with an hnswlib HierarchicalNSW graph
+    (embeddinghub/embeddingstore/index.h:19-33) at a scale a
+    single-node graph can't reach. One bounded training shuffle,
+    zero-shuffle encode, broadcast-join probe, TakeOrderedAndProject."""
+    from featureform_spark.functions.quantization import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, dim=_DIM, num_cells=16, nprobe=4, m=8, ksub=16,
     )
 
 

@@ -175,6 +175,54 @@ def test_dedup_blocks_partial_tail_block(spark):
         dedup_blocks(df, block_tokens=0)
 
 
+def test_dedup_substrings_catches_straddling_duplicates(spark):
+    """A duplicated span NOT aligned to block boundaries: dedup_blocks
+    (fixed 8-token blocks) misses it entirely, dedup_substrings
+    (rolling shingles) removes the later copy and keeps the first."""
+    from featureform_spark.functions.dedup import dedup_blocks, dedup_substrings
+
+    span = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens
+    rows = [
+        (1, "p0 p1 p2 " + span + " p3"),  # span at offset 3
+        (2, span + " q0 q1"),             # same span at offset 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    blocks = {
+        r["doc_id"]: r["n_kept"] for r in dedup_blocks(df, 8).collect()
+    }
+    # block-quantized form sees no duplicate 8-token block (misaligned)
+    assert blocks[1] == 2 and blocks[2] == 2  # all blocks kept
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_tokens"])
+        for r in dedup_substrings(df, min_tokens=8).collect()
+    }
+    # doc 1 is the first occurrence -> untouched
+    assert out[1] == ("p0 p1 p2 " + span + " p3", 16, 16)
+    # doc 2 loses the 12 straddling tokens, keeps its unique tail
+    assert out[2] == ("q0 q1", 2, 14)
+
+
+def test_dedup_substrings_within_doc_and_edge_cases(spark):
+    from featureform_spark.functions.dedup import dedup_substrings
+
+    span = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (1, span + " mid " + span),  # within-doc repeat: 2nd copy removed
+        (2, "short text only"),      # under min_tokens: untouched
+        (3, ""),                     # empty doc keeps its row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_tokens"])
+        for r in dedup_substrings(df, min_tokens=8).collect()
+    }
+    assert out[1] == (span + " mid", 9, 17)
+    assert out[2] == ("short text only", 3, 3)
+    assert out[3] == ("", 0, 0)
+    with pytest.raises(ValueError):
+        dedup_substrings(df, min_tokens=0)
+
+
 def test_multiprobe_lsh_superset_of_single_probe(spark, sf_dir):
     from featureform_spark.functions.similarity import ann_topk_lsh
     from featureform_spark.sources.testdata import load_table
