@@ -1,0 +1,233 @@
+"""Trained character-n-gram Naive Bayes language ID.
+
+The marker-word heuristic in ``text.language_id`` is the fast path the
+reference-style pipelines start with; real corpus pipelines (CCNet and
+successors) use a trained character-n-gram classifier (fastText's
+langid is the public standard). This module trains a multinomial
+Naive Bayes over character trigrams on in-repo fixture paragraphs —
+public-knowledge sample sentences written for this repo — and scores
+documents entirely JVM-side: the log-probability table is a
+constant-folded map literal ``trigram -> array<double>`` (one slot per
+language), and the per-document score is a single codegen fold over
+the trigram sequence. No Python runs per row, no shuffle at all — the
+scoring stage is a narrow projection.
+
+Determinism / cross-engine parity: every model weight is rounded to 6
+decimals at train time, and both engines fold the SAME quantized
+doubles over the SAME trigram sequence left-to-right (Spark
+``aggregate``, DuckDB ``list_reduce``), so the sums are bit-identical
+IEEE doubles — the oracle hash-matches without tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Training fixtures: a short paragraph per language, written for this
+# repo (ordinary sample prose; no external corpus). Held-out evaluation
+# sentences live in tests/test_llm_ops.py.
+LANG_FIXTURES: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and runs into the "
+        "forest where it finds a quiet river with clear water "
+        "every morning the children walk to school along the old road "
+        "and they talk about the books they are reading this week "
+        "when the weather is good people like to sit outside in the "
+        "garden and drink tea while the sun goes down behind the hills "
+        "history shows that small ideas can change the world if someone "
+        "is willing to work hard and share what they have learned"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y corre "
+        "hacia el bosque donde encuentra un rio tranquilo con agua clara "
+        "cada manana los ninos caminan a la escuela por el viejo camino "
+        "y hablan de los libros que estan leyendo esta semana "
+        "cuando hace buen tiempo a la gente le gusta sentarse fuera en "
+        "el jardin y tomar te mientras el sol se pone detras de las colinas "
+        "la historia muestra que las ideas pequenas pueden cambiar el "
+        "mundo si alguien esta dispuesto a trabajar duro y compartir lo "
+        "que ha aprendido"
+    ),
+    "fr": (
+        "le renard brun rapide saute par dessus le chien paresseux et "
+        "court vers la foret ou il trouve une riviere calme avec une eau claire "
+        "chaque matin les enfants marchent vers l ecole le long de la "
+        "vieille route et ils parlent des livres qu ils lisent cette semaine "
+        "quand il fait beau les gens aiment s asseoir dehors dans le "
+        "jardin et boire du the pendant que le soleil se couche derriere les collines "
+        "l histoire montre que de petites idees peuvent changer le monde "
+        "si quelqu un est pret a travailler dur et a partager ce qu il a appris"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und "
+        "laeuft in den wald wo er einen ruhigen fluss mit klarem wasser findet "
+        "jeden morgen gehen die kinder die alte strasse entlang zur "
+        "schule und sie sprechen ueber die buecher die sie diese woche lesen "
+        "wenn das wetter gut ist sitzen die leute gern draussen im "
+        "garten und trinken tee waehrend die sonne hinter den huegeln untergeht "
+        "die geschichte zeigt dass kleine ideen die welt veraendern "
+        "koennen wenn jemand bereit ist hart zu arbeiten und zu teilen "
+        "was er gelernt hat"
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e corre verso "
+        "il bosco dove trova un fiume tranquillo con acqua chiara "
+        "ogni mattina i bambini camminano verso la scuola lungo la "
+        "vecchia strada e parlano dei libri che stanno leggendo questa settimana "
+        "quando il tempo e bello alla gente piace sedersi fuori in "
+        "giardino e bere il te mentre il sole tramonta dietro le colline "
+        "la storia mostra che le piccole idee possono cambiare il mondo "
+        "se qualcuno e disposto a lavorare sodo e a condividere cio che "
+        "ha imparato"
+    ),
+}
+
+
+def _normalize(text: str) -> str:
+    return " " + re.sub(r"\s+", " ", text.lower()).strip() + " "
+
+
+def _char_ngrams(text: str, n: int) -> list[str]:
+    s = _normalize(text)
+    if len(s) < n:
+        return []
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def train_char_ngram_nb(
+    fixtures: dict[str, str] | None = None,
+    n: int = 3,
+    top_k: int = 300,
+) -> dict:
+    """Train the multinomial NB model: per-language trigram counts with
+    Laplace smoothing; keep the union of each language's ``top_k`` most
+    frequent trigrams; everything else scores the per-language floor
+    ``log(1 / (total + V))``. All weights rounded to 6 decimals so
+    cross-engine fold sums are bit-identical.
+
+    Returns ``{"n", "langs", "prior", "floor", "logp"}`` where ``logp``
+    maps trigram -> [logp per lang, in ``langs`` order].
+    """
+    fixtures = fixtures or LANG_FIXTURES
+    langs = sorted(fixtures)
+    counts: dict[str, dict[str, int]] = {}
+    totals: dict[str, int] = {}
+    vocab: set[str] = set()
+    for lang in langs:
+        c: dict[str, int] = {}
+        grams = _char_ngrams(fixtures[lang], n)
+        for g in grams:
+            c[g] = c.get(g, 0) + 1
+        counts[lang] = c
+        totals[lang] = len(grams)
+        vocab.update(c)
+    V = len(vocab)
+    kept: set[str] = set()
+    for lang in langs:
+        top = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))
+        kept.update(g for g, _ in top[:top_k])
+    floor = {
+        lang: round(math.log(1.0 / (totals[lang] + V)), 6) for lang in langs
+    }
+    logp = {
+        g: [
+            round(
+                math.log((counts[lang].get(g, 0) + 1.0) / (totals[lang] + V)),
+                6,
+            )
+            for lang in langs
+        ]
+        for g in sorted(kept)
+    }
+    prior = {lang: round(math.log(1.0 / len(langs)), 6) for lang in langs}
+    return {
+        "n": n,
+        "langs": langs,
+        "prior": prior,
+        "floor": floor,
+        "logp": logp,
+    }
+
+
+def _trigrams_expr(text_col: str, n: int) -> Column:
+    """Codegen trigram sequence over the normalized, space-padded text;
+    empty array when the padded text is shorter than ``n`` (guards
+    Spark's descending ``sequence(1, 0)``)."""
+    padded = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        F.lit(" "),
+    )
+    ln = F.length(padded)
+    return F.when(
+        ln >= n,
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: padded.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_id_model(
+    df: DataFrame,
+    model: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against the NB model JVM-side.
+
+    The weight table enters the plan as a constant-foldable
+    ``create_map`` literal (trigram -> array<double>); the score is one
+    ``aggregate`` fold over the trigram sequence accumulating the
+    per-language log-prob array via ``zip_with``; argmax is
+    ``array_position(scores, array_max(scores))`` — first language in
+    sorted order wins exact ties, same rule both engines. Documents
+    with no trigrams predict 'und' with score 0.
+
+    Returns ``[id_col, lang_pred, nb_score]`` (score rounded to 6dp —
+    weights are 6dp-quantized, so both engines' left folds agree
+    bit-for-bit and the rounding is grid-exact).
+    """
+    model = model or train_char_ngram_nb()
+    langs = model["langs"]
+    n = model["n"]
+    prior0 = F.array(
+        *[F.lit(float(model["prior"][lang])) for lang in langs]
+    )
+    floors = F.array(
+        *[F.lit(float(model["floor"][lang])) for lang in langs]
+    )
+    map_args: list[Column] = []
+    for g, lps in model["logp"].items():
+        map_args.append(F.lit(g))
+        map_args.append(F.array(*[F.lit(float(x)) for x in lps]))
+    table = F.create_map(*map_args)
+    tris = _trigrams_expr(text_col, n)
+    scored = df.select(
+        F.col(id_col), tris.alias("__tris")
+    ).withColumn(
+        "__scores",
+        F.aggregate(
+            F.col("__tris"),
+            prior0,
+            lambda acc, t: F.zip_with(
+                acc,
+                F.coalesce(F.try_element_at(table, t), floors),
+                lambda a, b: a + b,
+            ),
+        ),
+    )
+    idx = F.array_position(F.col("__scores"), F.array_max(F.col("__scores")))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return scored.select(
+        F.col(id_col),
+        F.when(F.size("__tris") == 0, F.lit("und"))
+        .otherwise(F.element_at(lang_arr, idx.cast("int")))
+        .alias("lang_pred"),
+        F.when(F.size("__tris") == 0, F.lit(0.0))
+        .otherwise(F.round(F.element_at(F.col("__scores"), idx.cast("int")), 6))
+        .alias("nb_score"),
+    )

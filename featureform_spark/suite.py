@@ -1208,7 +1208,10 @@ PRIORITY: tuple[str, ...] = (
     "iceberg_protocol_read",
     "iceberg_scan_planning",
     "text_stats",
-    "lang_id",
+    # Round-7: trained char-trigram NB language ID (verdict r6 #4)
+    # replaces the marker-heuristic row; lang_id (green r1-r6) stays
+    # pytest-oracle-covered.
+    "lang_id_model",
     "dedup_exact",
     "minhash_lsh_dedup",
     "embedding_topk",

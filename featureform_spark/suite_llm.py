@@ -96,6 +96,76 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
 
+def _lang_id_model_oracle() -> str:
+    from featureform_spark.functions.langid_model import train_char_ngram_nb
+
+    m = train_char_ngram_nb()
+    langs = m["langs"]
+
+    def arr(vals) -> str:
+        return "[" + ",".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    for g in m["logp"]:
+        assert "'" not in g, f"trigram needs SQL escaping: {g!r}"
+    maplit = (
+        "MAP {"
+        + ",".join(f"'{g}': {arr(lps)}" for g, lps in m["logp"].items())
+        + "}"
+    )
+    priors = arr([m["prior"][lang] for lang in langs])
+    floors = arr([m["floor"][lang] for lang in langs])
+    lang_arr = "[" + ",".join(f"'{lang}'" for lang in langs) + "]"
+    addv = (
+        "["
+        + ",".join(f"a[{i + 1}]+x[{i + 1}]" for i in range(len(langs)))
+        + "]"
+    )
+    # the map literal MUST be hoisted into a one-row CTE: inlined in
+    # the lambda, DuckDB rebuilds the ~1000-entry map once per list
+    # element (measured 243 s -> 0.4 s at sf0.01)
+    return f"""
+    WITH mdl AS (SELECT {maplit} AS mp),
+    t AS (SELECT doc_id,
+                 ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                 || ' ' AS s
+               FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN length(s) >= 3
+                 THEN list_transform(range(1, length(s) - 1),
+                                     i -> s[i:i+2])
+                 ELSE []::VARCHAR[] END AS tris
+          FROM t),
+    sc AS (SELECT doc_id, len(tris) AS nt,
+             list_reduce(list_prepend({priors},
+               list_transform(tris,
+                 t -> coalesce((mdl.mp[t])[1], {floors}))),
+               (a, x) -> {addv}) AS scores
+           FROM g, mdl)
+    SELECT doc_id,
+      CASE WHEN nt = 0 THEN 'und'
+           ELSE {lang_arr}[list_position(scores, list_max(scores))]
+      END AS lang_pred,
+      CASE WHEN nt = 0 THEN 0.0
+           ELSE round(scores[list_position(scores, list_max(scores))], 6)
+      END AS nb_score
+    FROM sc
+    """
+
+
+@query("lang_id_model", _lang_id_model_oracle())
+def lang_id_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained char-trigram Naive Bayes language ID (the CCNet-style
+    upgrade over lang_id's marker heuristic; fastText is the public
+    standard). The 6dp-quantized log-prob table rides the plan as a
+    constant-folded map literal; scoring is ONE codegen fold per doc —
+    no Python, no shuffle, a narrow projection. The oracle inlines the
+    same weights and folds them in the same left-to-right order
+    (list_reduce), so sums are bit-identical IEEE doubles."""
+    from featureform_spark.functions.langid_model import lang_id_model
+
+    return lang_id_model(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "doc_fingerprint",
     "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",

@@ -143,6 +143,50 @@ def test_language_id_markers(spark):
     assert out[0] == "en" and out[1] == "es" and out[2] == "und"
 
 
+def test_lang_id_model_beats_heuristic(spark):
+    """Held-out sentences (not in the training fixtures) across the five
+    model languages: the trained char-trigram NB must classify all of
+    them; the marker heuristic has no Italian markers and misses
+    marker-free phrasing, so NB accuracy is strictly higher."""
+    from featureform_spark.functions.langid_model import lang_id_model
+
+    eval_rows = [
+        (0, "en", "she opened the window and looked at the bright morning sky"),
+        (1, "en", "nobody remembered where that narrow path finally ended"),
+        (2, "es", "abrio la ventana y miro el cielo brillante de la manana"),
+        (3, "es", "nadie recordaba donde terminaba finalmente aquel camino estrecho"),
+        (4, "fr", "elle a ouvert la fenetre et regarde le ciel clair du matin"),
+        (5, "fr", "personne ne savait ou ce chemin etroit finissait vraiment"),
+        (6, "de", "sie oeffnete das fenster und sah den hellen morgenhimmel"),
+        (7, "de", "niemand wusste wo dieser schmale weg wirklich endete"),
+        (8, "it", "apri la finestra e guardo il cielo luminoso del mattino"),
+        (9, "it", "nessuno ricordava dove finiva davvero quel sentiero stretto"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in eval_rows], ["doc_id", "text"]
+    )
+    truth = {i: lang for i, lang, _ in eval_rows}
+    nb = {r["doc_id"]: r["lang_pred"] for r in lang_id_model(df).collect()}
+    heur = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    nb_acc = sum(nb[i] == truth[i] for i in truth) / len(truth)
+    heur_acc = sum(heur[i] == truth[i] for i in truth) / len(truth)
+    assert nb_acc == 1.0
+    assert nb_acc > heur_acc
+
+
+def test_lang_id_model_edge_cases(spark):
+    from featureform_spark.functions.langid_model import lang_id_model
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "the weather is good and the garden is quiet")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["lang_pred"], r["nb_score"]) for r in lang_id_model(df).collect()}
+    assert out[0] == ("und", 0.0)  # no trigrams at all
+    assert out[1][0] in {"und", "de", "en", "es", "fr", "it"}  # ' ab ' has trigrams
+    assert out[2][0] == "en" and out[2][1] < 0.0
+
+
 def test_dedup_blocks_first_occurrence_wins(spark):
     from featureform_spark.functions.dedup import dedup_blocks
 
