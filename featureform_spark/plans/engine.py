@@ -91,7 +91,12 @@ class Engine:
         assert isinstance(feat, FeatureVariant)
         df = self.source_df(feat.source)
         mat = materialize_latest(
-            df, feat.entity_column, feat.value_column, feat.timestamp_column
+            df,
+            feat.entity_column,
+            feat.value_column,
+            # the reference's no-ts configs say source_timestamp: ""
+            # (client/tests/serving_cases.py) — treat "" as absent
+            feat.timestamp_column or None,
         )
         # enforce the declared value type (reference casts via its
         # ValueConverter plane, fftypes/value_converter.go)

@@ -168,6 +168,9 @@ def materialize_to_online(
     """
     n = mat.count()
     chunks = max(1, math.ceil(n / rows_per_chunk))
+    # an empty materialization still deploys an (empty) table — serving
+    # it returns misses, not "unknown table" (serving_cases.py "Empty")
+    store._tables.setdefault(table, {})
     for row in mat.select(entity_col, value_col).toLocalIterator():
         store.set(table, row[entity_col], row[value_col])
     return chunks
