@@ -18,21 +18,130 @@ discover and load tables this engine wrote:
 
 Like the Flight streamer (serving/flight_server.py), the serving path
 holds no Spark session: table metadata is read with plain file IO, so
-catalog pods are JVM-free. Writes (createTable/commit) are out of
-scope — tables commit through their own O_EXCL metadata log; the
-catalog is a discovery/load surface.
+catalog pods are JVM-free.
+
+Commits (spec ``POST /v1/namespaces/{ns}/tables/{name}`` with a
+``CommitTableRequest`` of requirements + updates) are served through
+the same O_EXCL metadata log the sessionless writers use: requirements
+are validated against the CURRENT metadata, updates applied to a copy,
+and the new version hard-linked into place — a concurrent committer
+loses the link(2) race and gets the spec's 409 CommitFailedException,
+exactly the compare-and-swap a real catalog performs on its metadata
+pointer. External engines can therefore append through the catalog
+while in-process writers commit directly, with one linearization point.
 """
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def _is_iceberg_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "metadata"))
+
+
+class CommitConflict(Exception):
+    """A CommitTableRequest requirement failed against current metadata."""
+
+
+def _check_requirements(md: dict, reqs: list[dict]) -> None:
+    refs = md.get("refs") or {}
+    for r in reqs:
+        t = r.get("type")
+        if t == "assert-table-uuid":
+            if md.get("table-uuid") != r.get("uuid"):
+                raise CommitConflict(
+                    f"table uuid changed: {md.get('table-uuid')}"
+                )
+        elif t == "assert-ref-snapshot-id":
+            ref = r.get("ref")
+            want = r.get("snapshot-id")
+            have = (refs.get(ref) or {}).get("snapshot-id")
+            if ref == "main" and have is None:
+                have = md.get("current-snapshot-id")
+                if have in (None, -1):
+                    have = None
+            if want is None:
+                if have is not None:
+                    raise CommitConflict(
+                        f"ref {ref!r} exists at snapshot {have}"
+                    )
+            elif have != want:
+                raise CommitConflict(
+                    f"ref {ref!r} at snapshot {have}, expected {want}"
+                )
+        elif t == "assert-current-schema-id":
+            if md.get("current-schema-id") != r.get("current-schema-id"):
+                raise CommitConflict("current-schema-id changed")
+        elif t == "assert-default-spec-id":
+            if md.get("default-spec-id") != r.get("default-spec-id"):
+                raise CommitConflict("default-spec-id changed")
+        elif t == "assert-last-assigned-field-id":
+            if md.get("last-column-id") != r.get("last-assigned-field-id"):
+                raise CommitConflict("last-assigned-field-id changed")
+        elif t == "assert-last-assigned-partition-id":
+            if md.get("last-partition-id") != r.get(
+                "last-assigned-partition-id"
+            ):
+                raise CommitConflict("last-assigned-partition-id changed")
+        else:
+            raise ValueError(f"unsupported requirement type {t!r}")
+
+
+def _apply_updates(md: dict, updates: list[dict], now_ms: int) -> dict:
+    md = copy.deepcopy(md)
+    for u in updates:
+        a = u.get("action")
+        if a == "assign-uuid":
+            md["table-uuid"] = u["uuid"]
+        elif a == "set-properties":
+            props = dict(md.get("properties") or {})
+            props.update(u["updates"])
+            md["properties"] = props
+        elif a == "remove-properties":
+            props = dict(md.get("properties") or {})
+            for k in u.get("removals", []):
+                props.pop(k, None)
+            md["properties"] = props
+        elif a == "add-snapshot":
+            snap = u["snapshot"]
+            md["snapshots"] = list(md.get("snapshots") or []) + [snap]
+            seq = int(snap.get("sequence-number", 0))
+            if seq > int(md.get("last-sequence-number", 0)):
+                md["last-sequence-number"] = seq
+        elif a == "set-snapshot-ref":
+            name = u["ref-name"]
+            sid = u["snapshot-id"]
+            ids = {
+                s["snapshot-id"] for s in (md.get("snapshots") or [])
+            }
+            if sid not in ids:
+                raise ValueError(
+                    f"set-snapshot-ref: unknown snapshot {sid}"
+                )
+            refs = dict(md.get("refs") or {})
+            refs[name] = {
+                "snapshot-id": sid,
+                "type": u.get("type", "branch"),
+            }
+            md["refs"] = refs
+            if name == "main":
+                md["current-snapshot-id"] = sid
+                md["snapshot-log"] = list(
+                    md.get("snapshot-log") or []
+                ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+        elif a == "remove-snapshot-ref":
+            refs = dict(md.get("refs") or {})
+            refs.pop(u["ref-name"], None)
+            md["refs"] = refs
+        else:
+            raise ValueError(f"unsupported update action {a!r}")
+    return md
 
 
 class IcebergRestCatalogServer:
@@ -146,6 +255,76 @@ class IcebergRestCatalogServer:
                         },
                     )
                 return self._error(400, f"unknown route {self.path}")
+
+            def do_POST(self):
+                kind, ns, name = self._route()
+                if kind != "table":
+                    return self._error(400, f"unknown route {self.path}")
+                tdir = self._table_dir(ns, name)
+                if tdir is None:
+                    return self._error(404, f"table {ns}.{name} not found")
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    return self._error(400, "invalid CommitTableRequest")
+                from featureform_spark.sources.iceberg_protocol import (
+                    IcebergProtocolTable,
+                )
+
+                t = IcebergProtocolTable(None, tdir)
+                cur_version = max(v for v, _ in t._metadata_files())
+                old_file = t._current_metadata_file()
+                with open(old_file) as f:
+                    md = json.load(f)
+                now_ms = int(time.time() * 1000)
+                try:
+                    _check_requirements(md, req.get("requirements") or [])
+                    new_md = _apply_updates(
+                        md, req.get("updates") or [], now_ms
+                    )
+                except CommitConflict as exc:
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": str(exc),
+                                "type": "CommitFailedException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                except (ValueError, KeyError, TypeError) as exc:
+                    return self._error(400, f"bad commit request: {exc}")
+                new_md["last-updated-ms"] = now_ms
+                new_md["metadata-log"] = list(
+                    md.get("metadata-log") or []
+                ) + [{"timestamp-ms": now_ms, "metadata-file": old_file}]
+                try:
+                    t._commit_metadata(new_md, cur_version + 1)
+                except FileExistsError:
+                    # lost the link(2) race to a concurrent committer —
+                    # the spec's retryable commit conflict
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": (
+                                    f"metadata version {cur_version + 1} "
+                                    "was committed concurrently"
+                                ),
+                                "type": "CommitFailedException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                return self._json(
+                    200,
+                    {
+                        "metadata-location": t._current_metadata_file(),
+                        "metadata": new_md,
+                    },
+                )
 
             def do_HEAD(self):
                 kind, ns, name = self._route()

@@ -108,3 +108,179 @@ def test_path_traversal_refuses(catalog, tmp_path):
             assert conn.getresponse().status in (400, 404)
         finally:
             conn.close()
+
+
+# ---------------------------------------------------------------------------
+# commit endpoint (CommitTableRequest: requirements + updates, CAS)
+# ---------------------------------------------------------------------------
+
+
+def _post(server, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_commit_set_properties_round_trip(catalog):
+    server, t = catalog
+    md0 = _get(server, "/v1/namespaces/analytics/tables/orders")["metadata"]
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {
+            "requirements": [
+                {"type": "assert-table-uuid", "uuid": md0["table-uuid"]}
+            ],
+            "updates": [
+                {"action": "set-properties",
+                 "updates": {"owner": "etl", "comment": "via rest"}},
+            ],
+        },
+    )
+    assert code == 200, res
+    assert res["metadata"]["properties"]["owner"] == "etl"
+    # durable: a fresh load sees the committed version
+    md1 = _get(server, "/v1/namespaces/analytics/tables/orders")["metadata"]
+    assert md1["properties"]["comment"] == "via rest"
+    # the superseded metadata file is recorded in the metadata-log
+    assert md1["metadata-log"][-1]["metadata-file"].endswith(
+        ".metadata.json"
+    )
+    # remove-properties round-trip
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [
+            {"action": "remove-properties", "removals": ["comment"]}]},
+    )
+    assert code == 200
+    assert "comment" not in res["metadata"]["properties"]
+
+
+def test_commit_add_snapshot_and_set_ref(catalog, spark):
+    """Metadata-only snapshot commit (the rollback/cherry-pick shape):
+    add-snapshot pointing at an existing manifest list + set-snapshot-ref
+    main, guarded by assert-ref-snapshot-id. Scans keep working; the
+    snapshot log grows."""
+    server, t = catalog
+    md0 = _get(server, "/v1/namespaces/analytics/tables/orders")["metadata"]
+    cur = md0["current-snapshot-id"]
+    snap0 = next(
+        s for s in md0["snapshots"] if s["snapshot-id"] == cur
+    )
+    new_id = cur + 1
+    snap = dict(
+        snap0,
+        **{
+            "snapshot-id": new_id,
+            "parent-snapshot-id": cur,
+            "sequence-number": int(md0["last-sequence-number"]) + 1,
+            "summary": {"operation": "append", "added-data-files": "0",
+                        "added-records": "0"},
+        },
+    )
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {
+            "requirements": [
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": cur},
+            ],
+            "updates": [
+                {"action": "add-snapshot", "snapshot": snap},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch", "snapshot-id": new_id},
+            ],
+        },
+    )
+    assert code == 200, res
+    md1 = res["metadata"]
+    assert md1["current-snapshot-id"] == new_id
+    assert md1["snapshot-log"][-1]["snapshot-id"] == new_id
+    assert int(md1["last-sequence-number"]) == snap["sequence-number"]
+    # the table still scans (same manifest list) through the protocol
+    n = t.snapshot().count()
+    assert n > 0
+    # stale CAS: the same requirement now fails with the spec's 409
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {
+            "requirements": [
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": cur},
+            ],
+            "updates": [
+                {"action": "set-properties", "updates": {"x": "y"}},
+            ],
+        },
+    )
+    assert code == 409
+    assert res["error"]["type"] == "CommitFailedException"
+    # the failed commit left no new metadata version behind
+    md2 = _get(server, "/v1/namespaces/analytics/tables/orders")["metadata"]
+    assert "x" not in (md2.get("properties") or {})
+
+
+def test_commit_concurrent_version_conflict(catalog, monkeypatch):
+    """A committer that lands between the server's metadata fold and
+    its link(2) wins the O_EXCL race: the REST commit must observe
+    FileExistsError and return the spec's 409, not overwrite. The race
+    window is forced by having the winner commit (a valid no-op
+    version) right before the server's own link."""
+    import featureform_spark.sources.iceberg_protocol as ip
+
+    server, t = catalog
+    orig = ip.IcebergProtocolTable._commit_metadata
+
+    def racing(self, md, version):
+        target = os.path.join(
+            self.metadata_path, f"v{version}.metadata.json"
+        )
+        if not os.path.exists(target):  # the concurrent winner
+            with open(target, "w") as f:
+                json.dump(t.metadata(), f)
+        return orig(self, md, version)
+
+    monkeypatch.setattr(ip.IcebergProtocolTable, "_commit_metadata", racing)
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [
+            {"action": "set-properties", "updates": {"z": "1"}}]},
+    )
+    assert code == 409
+    assert res["error"]["type"] == "CommitFailedException"
+    # the lost commit's properties never landed
+    md = _get(server, "/v1/namespaces/analytics/tables/orders")["metadata"]
+    assert "z" not in (md.get("properties") or {})
+
+
+def test_commit_bad_requests(catalog):
+    server, _t = catalog
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [{"action": "no-such-action"}]},
+    )
+    assert code == 400
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [{"action": "set-snapshot-ref", "ref-name": "main",
+                      "type": "branch", "snapshot-id": 999999}]},
+    )
+    assert code == 400  # unknown snapshot id
+    code, _res = _post(
+        server, "/v1/namespaces/analytics/tables/nope", {"updates": []}
+    )
+    assert code == 404
