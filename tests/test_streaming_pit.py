@@ -1,0 +1,147 @@
+"""Streaming PIT training sets: replaying the label + feature streams
+through streaming_point_in_time equals the batch point_in_time_join
+over the same data (the test_stream_join.py pattern applied to the
+training-set generator)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from featureform_spark.operators.training_set import (
+    FeatureInput,
+    point_in_time_join,
+)
+from featureform_spark.streaming.pit import streaming_point_in_time
+
+SCHEMA_F = "user long, ts timestamp, value double, ord long"
+SCHEMA_L = "user long, ts timestamp, value double"
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+# ord = arrival order (the batch join's last-write-wins tiebreak)
+FEATURES = [
+    (1, _mins(0), 10.0, 0),
+    (1, _mins(20), 11.0, 1),
+    (1, _mins(20), 12.0, 2),   # same-ts rewrite: later arrival wins
+    (2, _mins(30), 20.0, 3),
+    (3, _mins(90), 30.0, 4),   # after entity 3's only label
+]
+LABELS = [
+    (1, _mins(5), 100.0),      # sees 10.0
+    (1, _mins(20), 101.0),     # at-or-before: sees the 12.0 rewrite
+    (1, _mins(60), 102.0),     # sees 12.0
+    (2, _mins(25), 200.0),     # before entity 2's feature: NULL
+    (2, _mins(45), 201.0),     # sees 20.0
+    (3, _mins(50), 300.0),     # feature arrives later in event time: NULL
+]
+
+
+def _batch_expected(spark):
+    fdf = spark.createDataFrame(FEATURES, SCHEMA_F)
+    ldf = spark.createDataFrame(LABELS, SCHEMA_L)
+    out = point_in_time_join(
+        ldf,
+        [FeatureInput(name="feature", df=fdf, entity_col="user",
+                      value_col="value", ts_col="ts", order_col="ord")],
+        label_entity_col="user",
+        label_value_col="value",
+        label_ts_col="ts",
+    )
+    return sorted(
+        (r["entity"], r["label_ts"], r["label"], r["feature"])
+        for r in out.collect()
+    )
+
+
+def _run_stream(spark, tmp_path, chunks):
+    """Replay (features, labels) chunks one availableNow pass each,
+    sharing a checkpoint — each pass is its own micro-batch set with
+    per-entity state carried across restarts."""
+    fdir, ldir = tmp_path / "f", tmp_path / "l"
+    all_rows = []
+
+    def sink(batch, _bid):
+        all_rows.extend(batch.collect())
+
+    for fc, lc in chunks:
+        spark.createDataFrame(fc, SCHEMA_F).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(fdir))
+        spark.createDataFrame(lc, SCHEMA_L).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(ldir))
+        out = streaming_point_in_time(
+            spark.readStream.schema(SCHEMA_L).parquet(str(ldir)),
+            spark.readStream.schema(SCHEMA_F).parquet(str(fdir)),
+            entity_col="user",
+            ts_col="ts",
+        )
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return sorted(
+        (int(r["entity"]), r["label_ts"], r["label"], r["feature"])
+        for r in all_rows
+    )
+
+
+def test_streaming_pit_parity_single_replay(spark, tmp_path):
+    got = _run_stream(spark, tmp_path, [(FEATURES, LABELS)])
+    assert got == _batch_expected(spark)
+
+
+def test_streaming_pit_parity_ordered_chunks(spark, tmp_path):
+    """Two event-time-ordered arrival chunks (everything <= 25 min,
+    then the rest): per-entity state carries across micro-batches and
+    the replay still equals batch."""
+    cut = _mins(25)
+    chunk1 = (
+        [f for f in FEATURES if f[1] <= cut],
+        [l for l in LABELS if l[1] <= cut],
+    )
+    chunk2 = (
+        [f for f in FEATURES if f[1] > cut],
+        [l for l in LABELS if l[1] > cut],
+    )
+    got = _run_stream(spark, tmp_path, [chunk1, chunk2])
+    assert got == _batch_expected(spark)
+
+
+def test_streaming_pit_state_pruning(spark, tmp_path):
+    """retain_seconds bounds state: old history is pruned but one
+    at-or-before value is kept so in-horizon labels still resolve."""
+    feats = [(1, _mins(0), 1.0, 0), (1, _mins(5), 2.0, 1),
+             (1, _mins(60), 3.0, 2)]
+    labels = [(1, _mins(62), 9.0)]
+    spark.createDataFrame(feats, SCHEMA_F).coalesce(1).write.parquet(
+        str(tmp_path / "f")
+    )
+    spark.createDataFrame(labels, SCHEMA_L).coalesce(1).write.parquet(
+        str(tmp_path / "l")
+    )
+    out = streaming_point_in_time(
+        spark.readStream.schema(SCHEMA_L).parquet(str(tmp_path / "l")),
+        spark.readStream.schema(SCHEMA_F).parquet(str(tmp_path / "f")),
+        entity_col="user",
+        ts_col="ts",
+        retain_seconds=600.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_prune")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM pit_prune").collect()
+    assert len(rows) == 1 and rows[0]["feature"] == 3.0
