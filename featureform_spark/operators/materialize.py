@@ -35,6 +35,29 @@ from pyspark.sql import functions as F
 EPOCH0 = "1970-01-01 00:00:00"
 
 
+def _ord_or_warn(order_col: str | None, ts_col: str | None, what: str) -> Column:
+    """Explicit ingestion index, or the partition-layout fallback WITH a
+    warning — ids from monotonically_increasing_id follow partition
+    layout, so 'latest' (no ts) / equal-ts ties (with ts) can resolve
+    differently across retries and repartitions."""
+    if order_col is not None:
+        return F.col(order_col).cast("long")
+    import warnings
+
+    warnings.warn(
+        f"{what}: no order_col given; "
+        + (
+            "'latest' follows partition layout"
+            if ts_col is None
+            else "equal-timestamp ties resolve by partition layout"
+        )
+        + " (monotonically_increasing_id) and may differ across retries "
+        "— pass order_col for deterministic results",
+        stacklevel=3,
+    )
+    return F.monotonically_increasing_id()
+
+
 def _ts_or_epoch(df: DataFrame, ts_col: str | None) -> Column:
     if ts_col is None:
         return F.lit(EPOCH0).cast("timestamp")
@@ -59,11 +82,7 @@ def materialize_latest(
     file/partition order for freshly-read data — the same "implicit
     ordering" contract the reference leans on (materialize_no_ts.sql:3).
     """
-    ord_expr = (
-        F.col(order_col).cast("long")
-        if order_col is not None
-        else F.monotonically_increasing_id()
-    )
+    ord_expr = _ord_or_warn(order_col, ts_col, "materialize_latest")
     packed = df.select(
         F.col(entity_col).alias(out_entity),
         F.struct(
@@ -99,11 +118,7 @@ def wide_materialize(
     aggregates — feature count changes the projection width, not the
     number of jobs. Output: (entity, <prefix><key>...).
     """
-    ord_expr = (
-        F.col(order_col).cast("long")
-        if order_col is not None
-        else F.monotonically_increasing_id()
-    )
+    ord_expr = _ord_or_warn(order_col, ts_col, "materialize_wide")
     packed = F.struct(
         _ts_or_epoch(df, ts_col).alias("ts"),
         ord_expr.alias("ord"),

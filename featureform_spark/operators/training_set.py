@@ -168,11 +168,23 @@ def _asof_pass(
 
     parts = [label_part]
     for f in group:
-        ord_expr = (
-            F.col(f.order_col).cast("long")
-            if f.order_col is not None
-            else F.monotonically_increasing_id()
-        )
+        if f.order_col is not None:
+            ord_expr = F.col(f.order_col).cast("long")
+        else:
+            # ids follow partition layout, so equal-ts duplicate feature
+            # rows can resolve differently across retries/repartitions —
+            # surface it instead of silently picking an order
+            import warnings
+
+            warnings.warn(
+                f"feature {f.name!r}: no order_col given; equal-timestamp "
+                "duplicate rows tie-break by partition layout "
+                "(monotonically_increasing_id) and may differ across "
+                "retries — pass order_col for deterministic "
+                "last-write-wins",
+                stacklevel=2,
+            )
+            ord_expr = F.monotonically_increasing_id()
         fts = _ts_expr(f.ts_col, EPOCH0)
         if f.lag_seconds:
             # shift the feature's effective time forward: it becomes
