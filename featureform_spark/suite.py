@@ -1212,7 +1212,10 @@ PRIORITY: tuple[str, ...] = (
     # replaces the marker-heuristic row; lang_id (green r1-r6) stays
     # pytest-oracle-covered.
     "lang_id_model",
-    "dedup_exact",
+    # Round-7: trained quality classifier scored in-plan (the model
+    # stage after rule filters). dedup_exact (green r1-r6) rotates
+    # out, stays pytest-oracle-covered.
+    "quality_model",
     "minhash_lsh_dedup",
     "embedding_topk",
     "corpus_clean",

@@ -166,6 +166,58 @@ def lang_id_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_model(load_table(spark, sf_dir, "documents"))
 
 
+def _quality_model_oracle() -> str:
+    from featureform_spark.functions.quality_model import (
+        STOPWORDS,
+        train_quality_model,
+    )
+
+    m = train_quality_model()
+    w = [repr(float(x)) for x in m["w"]]
+    b = repr(float(m["b"]))
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    logit = (
+        f"{b} + {w[0]}*len_norm + {w[1]}*distinct_ratio"
+        f" + {w[2]}*stop_ratio + {w[3]}*avg_norm"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    f AS (SELECT doc_id,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE least(len(toks)::DOUBLE / 50.0, 1.0) END AS len_norm,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_distinct(toks))::DOUBLE
+                      / len(toks)::DOUBLE END AS distinct_ratio,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_filter(toks, x -> x IN ({stops})))::DOUBLE
+                      / len(toks)::DOUBLE END AS stop_ratio,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE least((list_reduce(list_prepend(0.0,
+                        list_transform(toks, x -> length(x)::DOUBLE)),
+                        (a, b) -> a + b) / len(toks)::DOUBLE) / 10.0,
+                      1.0) END AS avg_norm
+          FROM t)
+    SELECT doc_id,
+           ({logit}) AS quality_logit,
+           ({logit}) > 0 AS keep
+    FROM f
+    """
+
+
+@query("quality_model", _quality_model_oracle())
+def quality_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained model-based quality scoring (the DCLM/FineWeb-style
+    stage after rule filters): logistic regression trained on in-repo
+    good-prose/boilerplate fixtures, scored as ONE narrow codegen
+    projection — quantized weight literals, fixed-order dot product,
+    no Python, no shuffle. The logit (not the sigmoid) is emitted so
+    both engines produce bit-identical doubles (libm exp may differ in
+    the last ulp); keep = logit > 0 is the same decision boundary."""
+    from featureform_spark.functions.quality_model import quality_model_score
+
+    return quality_model_score(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "doc_fingerprint",
     "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",

@@ -187,6 +187,45 @@ def test_lang_id_model_edge_cases(spark):
     assert out[2][0] == "en" and out[2][1] < 0.0
 
 
+def test_quality_model_separates_heldout(spark):
+    """The trained classifier must separate HELD-OUT prose from
+    boilerplate (not just its training fixtures) and agree with its
+    pure-python training-time twin bit-for-bit."""
+    from featureform_spark.functions.quality_model import (
+        _py_features,
+        quality_model_score,
+        train_quality_model,
+    )
+
+    heldout = [
+        (0, 1, "the long road through the forest finally opened onto a "
+               "field of tall grass where the children had built a small "
+               "wooden bridge over the stream"),
+        (1, 1, "careful observation over many seasons showed that the "
+               "birds returned to the same nesting sites and raised "
+               "their young in the same order each year"),
+        (2, 0, "sale sale sale buy buy buy cheap cheap cheap now now now"),
+        (3, 0, "link link link click click click free free free"),
+        (4, 0, ""),  # empty: all-zero features -> bias only
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in heldout], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["quality_logit"], r["keep"])
+           for r in quality_model_score(df).collect()}
+    for i, label, _t in heldout[:4]:
+        assert out[i][1] == (label == 1), (i, out[i])
+    m = train_quality_model()
+    for i, _label, t in heldout:
+        x = _py_features(t)
+        # fold in the engine's order: ((((b + w0x0) + w1x1) + ...)
+        expect = m["b"]
+        for w, xi in zip(m["w"], x):
+            expect = expect + w * xi
+        assert out[i][0] == expect  # bit-exact, no tolerance
+    assert out[4][1] is False  # empty doc: negative bias
+
+
 def test_dedup_blocks_first_occurrence_wins(spark):
     from featureform_spark.functions.dedup import dedup_blocks
 
