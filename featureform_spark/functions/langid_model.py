@@ -200,11 +200,22 @@ def lang_id_model(
     floors = F.array(
         *[F.lit(float(model["floor"][lang])) for lang in langs]
     )
-    map_args: list[Column] = []
+    # TWO-LEVEL map literal (first char -> sub-map of trigrams):
+    # GetMapValue on a map literal is a LINEAR key scan, so a flat
+    # ~1000-entry map costs ~500 string compares per lookup — measured
+    # 24 s over sf0.1; bucketing by first char cuts it to ~30 (1.6 s).
+    by_first: dict[str, list] = {}
     for g, lps in model["logp"].items():
-        map_args.append(F.lit(g))
-        map_args.append(F.array(*[F.lit(float(x)) for x in lps]))
-    table = F.create_map(*map_args)
+        by_first.setdefault(g[0], []).append((g, lps))
+    outer_args: list[Column] = []
+    for c in sorted(by_first):
+        sub_args: list[Column] = []
+        for g, lps in by_first[c]:
+            sub_args.append(F.lit(g))
+            sub_args.append(F.array(*[F.lit(float(x)) for x in lps]))
+        outer_args.append(F.lit(c))
+        outer_args.append(F.create_map(*sub_args))
+    table = F.create_map(*outer_args)
     tris = _trigrams_expr(text_col, n)
     scored = df.select(
         F.col(id_col), tris.alias("__tris")
@@ -215,7 +226,12 @@ def lang_id_model(
             prior0,
             lambda acc, t: F.zip_with(
                 acc,
-                F.coalesce(F.try_element_at(table, t), floors),
+                F.coalesce(
+                    F.try_element_at(
+                        F.try_element_at(table, t.substr(1, 1)), t
+                    ),
+                    floors,
+                ),
                 lambda a, b: a + b,
             ),
         ),

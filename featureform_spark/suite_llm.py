@@ -107,9 +107,20 @@ def _lang_id_model_oracle() -> str:
 
     for g in m["logp"]:
         assert "'" not in g, f"trigram needs SQL escaping: {g!r}"
+    # two-level map (first char -> sub-map), mirroring the Spark side:
+    # map subscripts are linear key scans in both engines, so bucketing
+    # by first char turns ~1000 compares/lookup into ~30
+    by_first: dict[str, list] = {}
+    for g, lps in m["logp"].items():
+        by_first.setdefault(g[0], []).append((g, lps))
     maplit = (
         "MAP {"
-        + ",".join(f"'{g}': {arr(lps)}" for g, lps in m["logp"].items())
+        + ",".join(
+            f"'{c}': MAP {{"
+            + ",".join(f"'{g}': {arr(lps)}" for g, lps in by_first[c])
+            + "}"
+            for c in sorted(by_first)
+        )
         + "}"
     )
     priors = arr([m["prior"][lang] for lang in langs])
@@ -138,7 +149,7 @@ def _lang_id_model_oracle() -> str:
     sc AS (SELECT doc_id, len(tris) AS nt,
              list_reduce(list_prepend({priors},
                list_transform(tris,
-                 t -> coalesce((mdl.mp[t])[1], {floors}))),
+                 t -> coalesce(((mdl.mp[t[1:1]])[1][t])[1], {floors}))),
                (a, x) -> {addv}) AS scores
            FROM g, mdl)
     SELECT doc_id,
