@@ -192,6 +192,14 @@ def lang_id_model(
     bit-for-bit and the rounding is grid-exact).
     """
     model = model or train_char_ngram_nb()
+    # per-row scoring is CPU-bound (~3 ms/doc of map lookups): a small
+    # input that arrives as one scan partition (single parquet file
+    # under maxPartitionBytes) would run the whole corpus on one core.
+    # Fan out cheap raw text when under-parallel; at real scale the
+    # scan already has >= defaultParallelism partitions and this no-ops.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     langs = model["langs"]
     n = model["n"]
     prior0 = F.array(
