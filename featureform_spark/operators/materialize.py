@@ -118,7 +118,7 @@ def wide_materialize(
     aggregates — feature count changes the projection width, not the
     number of jobs. Output: (entity, <prefix><key>...).
     """
-    ord_expr = _ord_or_warn(order_col, ts_col, "materialize_wide")
+    ord_expr = _ord_or_warn(order_col, ts_col, "wide_materialize")
     packed = F.struct(
         _ts_or_epoch(df, ts_col).alias("ts"),
         ord_expr.alias("ord"),

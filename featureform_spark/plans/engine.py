@@ -94,9 +94,7 @@ class Engine:
             df,
             feat.entity_column,
             feat.value_column,
-            # the reference's no-ts configs say source_timestamp: ""
-            # (client/tests/serving_cases.py) — treat "" as absent
-            feat.timestamp_column or None,
+            feat.timestamp_column,  # "" normalized to None at register
         )
         # enforce the declared value type (reference casts via its
         # ValueConverter plane, fftypes/value_converter.go)

@@ -201,6 +201,14 @@ class FeatureVariant:
 
     rtype: str = "feature"
 
+    def __post_init__(self) -> None:
+        # the reference's no-ts configs say source_timestamp: ""
+        # (client/tests/serving_cases.py) — treat empty as absent ONCE
+        # here so every consumer (materialize, PIT, batch features)
+        # agrees instead of each call site special-casing
+        if not self.timestamp_column:
+            self.timestamp_column = None
+
 
 @dataclass
 class LabelVariant:
@@ -218,6 +226,10 @@ class LabelVariant:
     description: str = ""
 
     rtype: str = "label"
+
+    def __post_init__(self) -> None:
+        if not self.timestamp_column:  # "" == absent, as FeatureVariant
+            self.timestamp_column = None
 
 
 @dataclass

@@ -30,11 +30,17 @@ class InMemoryOnlineStore:
         self._tables: dict[str, dict[Any, Any]] = {}
         self._timestamps: dict[str, dict[Any, Any]] = {}
         self._vectors: dict[str, DataFrame] = {}
+        self._ann: dict[str, Any] = {}  # name -> IvfPqIndex
 
     # -- table plane ---------------------------------------------------------
 
     def set(self, table: str, entity: Any, value: Any) -> None:
         self._tables.setdefault(table, {})[entity] = value
+
+    def ensure_table(self, table: str) -> None:
+        """Create the table if absent (an empty deploy still serves
+        misses, not unknown-table errors)."""
+        self._tables.setdefault(table, {})
 
     def set_if_newer(self, table: str, entity: Any, value: Any, ts: Any) -> None:
         """Upsert that ignores stale writes (out-of-order stream batches)."""
@@ -63,8 +69,37 @@ class InMemoryOnlineStore:
             df[id_col].alias("vec_id"), df[vec_col].alias("embedding")
         )
 
-    def nearest(self, name: str, vector: list[float], k: int) -> list[tuple[Any, float]]:
-        """V4: exact top-k cosine (the reference's Nearest())."""
+    def build_ann_index(self, name: str, **kw) -> None:
+        """Build the in-RAM IVFADC index for a registered vector set —
+        the reference's embeddinghub shape (index built/held in the
+        serving process, queries never run a storage job)."""
+        from featureform_spark.serving.ann_index import IvfPqIndex
+
+        self._ann[name] = IvfPqIndex.build(self._vectors[name], **kw)
+
+    def add_vectors(self, name: str, ids: list, vectors: list) -> None:
+        """Incremental write path: new vectors become queryable
+        immediately (embeddinghub index add)."""
+        self._ann[name].add(ids, vectors)
+
+    def nearest(
+        self,
+        name: str,
+        vector: list[float],
+        k: int,
+        approximate: bool = False,
+        nprobe: int = 8,
+    ) -> list[tuple[Any, float]]:
+        """V4: top-k neighbors (the reference's Nearest()).
+
+        Exact mode runs the distributed cosine scan (one Spark job per
+        call); ``approximate=True`` answers from the in-RAM IVFADC
+        index in microseconds — build it first with
+        :meth:`build_ann_index`. Approximate results carry L2
+        distances (lower = closer), exact results cosine scores.
+        """
+        if approximate:
+            return self._ann[name].query(vector, k=k, nprobe=nprobe)
         out = cosine_topk(self._vectors[name], vector, k)
         return [(r["vec_id"], r["score"]) for r in out.collect()]
 
@@ -170,7 +205,7 @@ def materialize_to_online(
     chunks = max(1, math.ceil(n / rows_per_chunk))
     # an empty materialization still deploys an (empty) table — serving
     # it returns misses, not "unknown table" (serving_cases.py "Empty")
-    store._tables.setdefault(table, {})
+    store.ensure_table(table)
     for row in mat.select(entity_col, value_col).toLocalIterator():
         store.set(table, row[entity_col], row[value_col])
     return chunks

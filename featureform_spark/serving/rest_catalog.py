@@ -273,8 +273,19 @@ class IcebergRestCatalogServer:
                 )
 
                 t = IcebergProtocolTable(None, tdir)
-                cur_version = max(v for v, _ in t._metadata_files())
-                old_file = t._current_metadata_file()
+                files = sorted(t._metadata_files())
+                if not files:
+                    return self._error(
+                        404, f"table {ns}.{name} has no metadata versions"
+                    )
+                # base the commit on the HIGHEST version file, not the
+                # VERSION_HINT-preferred one: the hint is written after
+                # the O_EXCL link and may lag a version, and building on
+                # the lagging file would link v{max+1} from v{max-1} —
+                # silently dropping the concurrent commit the CAS exists
+                # to surface
+                cur_version, fname = files[-1]  # bare names, not paths
+                old_file = os.path.join(t.metadata_path, fname)
                 with open(old_file) as f:
                     md = json.load(f)
                 now_ms = int(time.time() * 1000)

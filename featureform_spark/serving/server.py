@@ -79,20 +79,20 @@ class OnDemandContext:
         entities: dict[str, Any] | None = None,
         params: dict[str, Any] | None = None,
     ) -> list[Any]:
-        if entities is not None and dict(entities) != self.entities:
-            # different entity set: a fresh sub-request (no memo share —
-            # values are entity-specific)
-            sub = OnDemandContext(
-                self._server, entities, params or self.params
-            )
-            sub._stack = self._stack  # cycles span sub-requests too
-            return [sub.resolve(r) for r in refs]
-        return [self.resolve(r) for r in refs]
+        ents = dict(entities) if entities is not None else self.entities
+        prms = dict(params) if params is not None else self.params
+        if ents == self.entities and prms == self.params:
+            return [self.resolve(r) for r in refs]
+        # different entity set or params: a fresh sub-request (no memo
+        # share — values are entity- and params-specific)
+        sub = OnDemandContext(
+            self._server, ents, prms, default_entity=self._default_entity
+        )
+        sub._stack = self._stack  # cycles span sub-requests too
+        return [sub.resolve(r) for r in refs]
 
     def resolve(self, ref: Any) -> Any:
         ref = _norm_ref(ref)
-        if ref in self._memo:
-            return self._memo[ref]
         srv = self._server
         reg = srv.engine.registry
         bare = ref.removeprefix("ondemand/")
@@ -103,6 +103,10 @@ class OnDemandContext:
                 is_od = True
             except KeyError:
                 pass
+        # canonical memo key: 'ondemand/x' and 'x' are the same feature
+        memo_key = f"ondemand/{bare}" if is_od else bare
+        if memo_key in self._memo:
+            return self._memo[memo_key]
         if is_od:
             if bare in self._stack:
                 cyc = " -> ".join([*self._stack, bare])
@@ -120,7 +124,7 @@ class OnDemandContext:
                 self._stack.pop()
         else:
             val = srv._point_lookup(ref, self._default_entity, self.entities)
-        self._memo[ref] = val
+        self._memo[memo_key] = val
         return val
 
 
@@ -134,6 +138,7 @@ class FeatureServer:
 
     def deploy_feature(self, feature_ref: str) -> int:
         """Materialize + copy to the online store; returns chunk count."""
+        feature_ref = _norm_ref(feature_ref)  # 'name' == 'name.default'
         mat = self.engine.materialize(feature_ref)
         chunks = materialize_to_online(mat, self.store, feature_ref)
         self._deployed.add(feature_ref)

@@ -288,12 +288,20 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
 
         order = [f.name for f in self.t.spark_schema(md).fields] + _CDF_COLS
         out: list[_IceSlice] = []
+        # carry each snapshot's live set into the next iteration as its
+        # parent — without it every snapshot's manifests were read up
+        # to 3x (self + next's parent_files + next's parent_dv),
+        # O(3N) manifest IO per micro-batch
+        prev_live: tuple[list, list] | None = None
         for ordinal, idx in enumerate(range(lo + 1, hi + 1)):
             s = snaps[idx]
             sid = int(s["snapshot-id"])
             op = (s.get("summary") or {}).get("operation", "append")
             if op == "replace":
-                continue  # compaction: no logical change
+                # compaction: no logical change to emit, but the NEXT
+                # snapshot's parent is this one — recompute lazily
+                prev_live = None
+                continue
             if op == "overwrite":
                 raise UnsupportedIcebergFeatureError(
                     f"snapshot {sid} is an overwrite — consume "
@@ -301,16 +309,17 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                     "overwrite change rows"
                 )
             data_entries, delete_entries = self.t._live_entries(s)
+            if idx > 0 and prev_live is None:
+                prev_live = self.t._live_entries(snaps[idx - 1])
+            parent_entries, parent_deletes = prev_live or ([], [])
+            prev_live = (data_entries, delete_entries)
             # added files = live set minus the lineage parent's live
             # set (cherry-picked WAP publishes keep the STAGED
             # snapshot's id on their entries, so a sid-stamp filter
             # would drop them)
-            parent_files: set = set()
-            if idx > 0:
-                _ppe, _ppd = self.t._live_entries(snaps[idx - 1])
-                parent_files = {
-                    pe["data_file"]["file_path"] for pe in _ppe
-                }
+            parent_files = {
+                pe["data_file"]["file_path"] for pe in parent_entries
+            }
             ins_lits = {
                 "_change_type": ("insert", "string"),
                 "_change_ordinal": (ordinal, "int"),
@@ -338,8 +347,7 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                 continue
             parent_dv: dict[str, np.ndarray] = {}
             if idx > 0:
-                _pe, pdel = self.t._live_entries(snaps[idx - 1])
-                for e in pdel:
+                for e in parent_deletes:
                     df_ = e["data_file"]
                     if int(df_.get("content", 0)) == 1 and _is_dv_file(
                         df_

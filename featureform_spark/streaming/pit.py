@@ -81,7 +81,9 @@ def streaming_point_in_time(
     (memory/parquet/foreachBatch).
     """
     retain_us = (
-        int(retain_seconds * 1_000_000) if retain_seconds else None
+        int(retain_seconds * 1_000_000)
+        if retain_seconds is not None  # 0 = maximal pruning, not "off"
+        else None
     )
 
     def _tag(df: DataFrame, kind: int, vcol: str) -> DataFrame:

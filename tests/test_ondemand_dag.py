@@ -117,6 +117,78 @@ def test_legacy_positional_ondemand_still_served(dag_server):
     assert vals == [10.0, 15.0]
 
 
+def test_bare_name_deploy_and_serve(spark):
+    """deploy_feature('name') and serve(['name']) must agree on the
+    normalized 'name.default' key (review r7)."""
+    df = spark.createDataFrame([("a", 1.0)], ["entity", "value"])
+    reg = Registry()
+    eng = Engine(spark, reg)
+    reg.register_dataframe("src", df)
+    reg.register(FeatureVariant(
+        name="price", source="src.default", entity="user",
+        entity_column="entity", value_column="value"))
+    srv = FeatureServer(eng)
+    srv.deploy_feature("price")  # bare name
+    assert srv.serve(["price"], entity="a") == [1.0]
+    assert srv.serve(["price.default"], entity="a") == [1.0]
+
+
+def test_ondemand_subrequest_params_and_mixed_prefix_memo(spark, dag_server):
+    """client.features(params=...) with unchanged entities must apply
+    the new params (review r7: they were silently dropped), and
+    'ondemand/x' vs 'x' refs must share one memo entry."""
+    reg = dag_server.engine.registry
+    calls = {"n": 0}
+
+    def shared(client, params, entities):
+        calls["n"] += 1
+        return params.get("k", 0) * 10
+
+    def outer(client, params, entities):
+        a = client.features(["ondemand/shared.default"])[0]
+        b = client.features(["shared.default"])[0]  # same feature, bare
+        c = client.features(
+            ["ondemand/shared.default"], params={"k": 7}
+        )[0]  # params override -> fresh sub-request
+        return (a, b, c)
+
+    reg.register_ondemand("shared", shared)
+    reg.register_ondemand("outer", outer)
+    (got,) = dag_server.serve(
+        ["ondemand/outer.default"], entities={"user": "a"},
+        params={"k": 2},
+    )
+    assert got == (20, 20, 70)
+    # shared ran once for the base params (memo across prefix forms)
+    # and once for the {'k': 7} sub-request
+    assert calls["n"] == 2
+
+
+def test_training_set_accepts_empty_ts_columns(spark):
+    """The reference's no-ts configs say timestamp_column '' — the
+    PIT path must treat it as absent like materialize does (review r7)."""
+    from featureform_spark.registry import LabelVariant, TrainingSetVariant
+
+    fdf = spark.createDataFrame([("a", 1.0, 0)], ["entity", "value", "ord"])
+    ldf = spark.createDataFrame([("a", 9.0)], ["entity", "label"])
+    reg = Registry()
+    eng = Engine(spark, reg)
+    reg.register_dataframe("fsrc", fdf)
+    reg.register_dataframe("lsrc", ldf)
+    reg.register(FeatureVariant(
+        name="f", source="fsrc.default", entity="user",
+        entity_column="entity", value_column="value",
+        timestamp_column=""))
+    reg.register(LabelVariant(
+        name="lbl", source="lsrc.default", entity="user",
+        entity_column="entity", value_column="label",
+        timestamp_column=""))
+    reg.register(TrainingSetVariant(
+        name="ts", label="lbl.default", features=["f.default"]))
+    rows = eng.training_set("ts.default").collect()
+    assert len(rows) == 1 and rows[0]["label"] == 9.0
+
+
 # ---------------------------------------------------------------------------
 # reference serving truth tables (client/tests/serving_cases.py)
 # ---------------------------------------------------------------------------

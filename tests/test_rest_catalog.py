@@ -284,3 +284,48 @@ def test_commit_bad_requests(catalog):
         server, "/v1/namespaces/analytics/tables/nope", {"updates": []}
     )
     assert code == 404
+
+
+def test_commit_ignores_lagging_version_hint(catalog):
+    """The hint is written AFTER the O_EXCL link and can lag a version;
+    a commit based on the hint-preferred file would build v(max+1)
+    from v(max-1), silently dropping the newest commit (review r7).
+    The endpoint must base requirements AND the new metadata on the
+    highest version file."""
+    server, t = catalog
+    files = sorted(t._metadata_files())
+    cur_version, fname = files[-1]
+    with open(os.path.join(t.metadata_path, fname)) as f:
+        latest_md = json.load(f)
+    hint = os.path.join(t.metadata_path, "version-hint.text")
+    with open(hint) as f:
+        orig_hint = f.read()
+    with open(hint, "w") as f:
+        f.write(str(max(1, cur_version - 1)))  # lagging hint
+    try:
+        code, res = _post(
+            server,
+            "/v1/namespaces/analytics/tables/orders",
+            {
+                "requirements": [
+                    # asserts against the LATEST metadata, which the
+                    # lagging hint does not point at
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": latest_md["current-snapshot-id"]},
+                ],
+                "updates": [
+                    {"action": "set-properties",
+                     "updates": {"hint_lag": "ok"}}],
+            },
+        )
+        assert code == 200, res
+        # committed version builds on max, not hint
+        assert res["metadata-location"].endswith(
+            f"v{cur_version + 1}.metadata.json"
+        )
+        assert res["metadata"]["current-snapshot-id"] == (
+            latest_md["current-snapshot-id"]
+        )
+    finally:
+        with open(hint, "w") as f:
+            f.write(orig_hint)
