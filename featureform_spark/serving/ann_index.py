@@ -1,0 +1,219 @@
+"""Serving-side IVF-PQ vector index: build distributed, query in RAM.
+
+The reference's embeddinghub answers ``Nearest()`` from an hnswlib
+``HierarchicalNSW`` index held in memory
+(embeddinghub/embeddingstore/index.h:19-33, add/rebuild on write) —
+queries never touch the storage engine. The repo's online store
+previously ran an exact Spark job per ``nearest()`` call; this module
+gives serving the same shape as the reference: the INDEX BUILD is a
+distributed Spark pipeline (the same residual-codebook IVFADC stages
+``functions.quantization.ivfpq_topk`` runs), but what reaches the
+serving process is compact numpy state — ids, one cell byte and ``m``
+code bytes per vector, plus (optionally, exactly like hnswlib) the raw
+float32 vectors for re-ranking — and each query is pure numpy: probe
+``nprobe`` cells by centroid dot products, ADC-scan only those cells'
+codes, exact re-rank the short list. Microseconds per query, no Spark
+job, no JVM.
+
+Incremental ``add()`` mirrors the reference's write path: new vectors
+are assigned to their coarse cell and residual-encoded against the
+FROZEN codebook (the standard production IVFADC practice — codebooks
+retrain offline, membership updates online).
+
+Scale: the per-vector index payload is ~(8 + 1 + m) bytes, so 100M
+vectors fit a serving pod at m=8; the optional rerank vectors dominate
+(dim x 4 B) exactly as they do for hnswlib. Build-side work is the
+bounded-shuffle training + zero-shuffle encode already audited in
+``quantization.py``; the only driver-side collect is the index payload
+itself — the same driver-side bound the reference accepts by holding
+its whole index in one process.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+class IvfPqIndex:
+    """In-memory IVFADC index over an embedding DataFrame."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,      # (C, dim) float64
+        codebook: np.ndarray,       # (m, ksub, sub_dim) float64
+        ids: np.ndarray,            # (n,) int64
+        cells: np.ndarray,          # (n,) int32
+        codes: np.ndarray,          # (n, m) uint8
+        vectors: np.ndarray | None,  # (n, dim) float32 for re-rank
+    ):
+        self.centroids = centroids
+        self.codebook = codebook
+        self.ids = ids
+        self.cells = cells
+        self.codes = codes
+        self.vectors = vectors
+        self.dim = centroids.shape[1]
+        self.m = codebook.shape[0]
+        self.sub_dim = self.dim // self.m
+        # inverted lists: cell -> row positions
+        order = np.argsort(cells, kind="stable")
+        self._order = order
+        self._cell_bounds = np.searchsorted(
+            cells[order], np.arange(len(centroids) + 1)
+        )
+
+    # -- build ---------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        num_cells: int = 16,
+        m: int = 8,
+        ksub: int = 16,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        keep_vectors: bool = True,
+    ) -> "IvfPqIndex":
+        """Distributed IVFADC build (same stages as
+        ``quantization.ivfpq_topk``): md5-sampled coarse cells, one
+        Lloyd round on residual subspaces, zero-shuffle encode; the
+        collect is the compact index payload only."""
+        from featureform_spark.functions.quantization import (
+            pq_encode,
+            pq_train,
+        )
+        from featureform_spark.functions.similarity import (
+            _as_double,
+            ivf_assign,
+            ivf_centroids,
+        )
+
+        cents = ivf_centroids(df, num_cells, id_col, vec_col)
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        cmap = cents.select(F.col("cid").alias("cell"), F.col("cv"))
+        res = assigned.join(F.broadcast(cmap), "cell").select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with("_v", "cv", lambda x, y: x - y).alias("_r"),
+        )
+        codebook_df = pq_train(
+            res, dim, m, ksub, id_col, "_r",
+            seed_exclude=cents.select(F.col("cid").alias(id_col)),
+        )
+        encoded = pq_encode(
+            res, codebook_df, dim, m, id_col, "_r", carry=("cell",)
+        )
+        cent_rows = cents.orderBy("cid").collect()
+        centroids = np.array(
+            [r["cv"] for r in cent_rows], dtype=np.float64
+        )
+        # ivf_centroids labels cells by the sampled vector's id —
+        # remap to dense 0..C-1 positions in centroid order
+        cell_of = {int(r["cid"]): i for i, r in enumerate(cent_rows)}
+        cb = np.zeros((m, ksub, dim // m), dtype=np.float64)
+        for r in codebook_df.collect():
+            cb[int(r["s"]), int(r["code"])] = r["cv"]
+        rows = encoded.orderBy(id_col).collect()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        cells = np.array(
+            [cell_of[int(r["cell"])] for r in rows], dtype=np.int32
+        )
+        codes = np.array([r["codes"] for r in rows], dtype=np.uint8)
+        vectors = None
+        if keep_vectors:
+            vrows = (
+                df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+                .orderBy(id_col)
+                .collect()
+            )
+            vectors = np.array([r["_v"] for r in vrows], dtype=np.float32)
+        return cls(centroids, cells=cells, codebook=cb, ids=ids,
+                   codes=codes, vectors=vectors)
+
+    # -- incremental write path ----------------------------------------------
+
+    def add(self, new_ids: list[int], new_vectors: list[list[float]]) -> None:
+        """Assign + residual-encode against the frozen codebook (the
+        reference's index ``add``; hnswlib also mutates in place)."""
+        v = np.asarray(new_vectors, dtype=np.float64)
+        if v.ndim == 1:
+            v = v[None, :]
+        # nearest cell by cosine (matching ivf_assign's rule)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        cn = self.centroids / np.maximum(
+            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
+        )
+        cells = np.argmax(vn @ cn.T, axis=1).astype(np.int32)
+        resid = v - self.centroids[cells]
+        sub = resid.reshape(len(v), self.m, self.sub_dim)
+        # (n, m, ksub) squared L2 to each code, argmin
+        d = ((sub[:, :, None, :] - self.codebook[None]) ** 2).sum(axis=3)
+        codes = d.argmin(axis=2).astype(np.uint8)
+        self.ids = np.concatenate([self.ids, np.asarray(new_ids, np.int64)])
+        self.cells = np.concatenate([self.cells, cells])
+        self.codes = np.concatenate([self.codes, codes])
+        if self.vectors is not None:
+            self.vectors = np.concatenate(
+                [self.vectors, v.astype(np.float32)]
+            )
+        order = np.argsort(self.cells, kind="stable")
+        self._order = order
+        self._cell_bounds = np.searchsorted(
+            self.cells[order], np.arange(len(self.centroids) + 1)
+        )
+
+    # -- query ---------------------------------------------------------------
+
+    def query(
+        self,
+        vector: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        rerank: int = 100,
+    ) -> list[tuple[int, float]]:
+        """Pure-numpy IVFADC query: returns [(id, l2_distance)] — exact
+        distances when re-ranking (needs ``keep_vectors``), ADC
+        estimates otherwise."""
+        q = np.asarray(vector, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        cn = self.centroids / np.maximum(
+            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
+        )
+        probe = np.argsort(-(cn @ qn))[:nprobe]
+        cand_pos: list[np.ndarray] = []
+        cand_dist: list[np.ndarray] = []
+        for c in probe:
+            lo, hi = self._cell_bounds[c], self._cell_bounds[c + 1]
+            pos = self._order[lo:hi]
+            if len(pos) == 0:
+                continue
+            qres = (q - self.centroids[c]).reshape(self.m, self.sub_dim)
+            # ADC table: (m, ksub) distances from query residual subvectors
+            table = ((self.codebook - qres[:, None, :]) ** 2).sum(axis=2)
+            dist = table[np.arange(self.m)[None, :], self.codes[pos]].sum(
+                axis=1
+            )
+            cand_pos.append(pos)
+            cand_dist.append(dist)
+        if not cand_pos:
+            return []
+        pos = np.concatenate(cand_pos)
+        dist = np.concatenate(cand_dist)
+        if self.vectors is not None and rerank > 0:
+            top = np.argsort(dist, kind="stable")[: max(rerank, k)]
+            pos = pos[top]
+            exact = ((self.vectors[pos].astype(np.float64) - q) ** 2).sum(
+                axis=1
+            )
+            order = np.lexsort((self.ids[pos], exact))[:k]
+            return [
+                (int(self.ids[pos[i]]), float(exact[i])) for i in order
+            ]
+        order = np.lexsort((self.ids[pos], dist))[:k]
+        return [(int(self.ids[pos[i]]), float(dist[i])) for i in order]
+
+    def __len__(self) -> int:
+        return len(self.ids)
