@@ -37,7 +37,12 @@ def main() -> None:
     n = emb.count()
     query_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
 
-    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": []}
+    from featureform_spark.serving.ann_index import IvfPqIndex
+
+    # serving-side in-RAM index: built ONCE (the reference's
+    # embeddinghub shape), queried per qid in numpy
+    serving_ix = IvfPqIndex.build(emb, num_cells=16, m=8, ksub=64)
+    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": []}
     for qid in query_ids:
         qvec = [
             float(x)
@@ -95,6 +100,8 @@ def main() -> None:
         recalls["ivf"].append(len(ivf & exact) / k)
         recalls["pq"].append(len(pq & exact_l2) / k)
         recalls["ivfpq"].append(len(ivfpq & exact_l2) / k)
+        srv = {i for i, _ in serving_ix.query(qvec, k=k, nprobe=8, rerank=200)}
+        recalls["ivfpq_serving"].append(len(srv & exact_l2) / k)
 
     out = {
         "metric": "ann_recall_at_k",
