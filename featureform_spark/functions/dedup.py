@@ -500,6 +500,7 @@ def dedup_substrings(
     min_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_shuffle: bool = False,
 ) -> DataFrame:
     """True ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better"): any ``min_tokens``-token span
@@ -521,11 +522,16 @@ def dedup_substrings(
     input document; ``n_kept`` counts surviving tokens.
 
     Scale shape: the shingle table is one row per token position (~same
-    cardinality as the token stream; at 100 TB swap the group key for
-    ``xxhash64(stext)`` + collision verify to keep shuffle rows ~16
-    bytes); the mark table is bounded by duplicate volume; the doc-side
-    reassembly is a single groupBy. No corpus self-join, no window over
-    the shingle table.
+    cardinality as the token stream); the mark table is bounded by
+    duplicate volume; the doc-side reassembly is a single groupBy. No
+    corpus self-join, no window over the shingle table.
+
+    ``hash_shuffle=True`` is the 100-TB form: the shingle shuffle
+    carries ``xxhash64(stext)`` (8 bytes) instead of the ~50-byte
+    shingle text — the dominant shuffle drops ~6x in bytes. Two
+    distinct shingles colliding on 64 bits (~n²/2⁶⁴ — vanishing until
+    corpora reach ~10¹⁰ distinct shingles) would be treated as
+    duplicates of each other; the exact form is the default.
     """
     from featureform_spark.functions.text import tokens_expr
 
@@ -535,6 +541,10 @@ def dedup_substrings(
     base = df.select(
         F.col(id_col), tokens_expr(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks").cast("long"))
+    stext = F.array_join(
+        F.slice(F.col("__toks"), F.col("pos").cast("int") + 1, L), " "
+    )
+    skey = F.xxhash64(stext) if hash_shuffle else stext
     sh = (
         base.filter(F.col("__n") >= L)
         .select(
@@ -547,9 +557,7 @@ def dedup_substrings(
         .select(
             F.col(id_col),
             F.col("pos"),
-            F.array_join(
-                F.slice(F.col("__toks"), F.col("pos").cast("int") + 1, L), " "
-            ).alias("stext"),
+            skey.alias("stext"),
         )
     )
     g = sh.groupBy("stext").agg(

@@ -306,6 +306,25 @@ def test_dedup_substrings_within_doc_and_edge_cases(spark):
         dedup_substrings(df, min_tokens=0)
 
 
+def test_dedup_substrings_hash_shuffle_equivalent(spark, sf_dir):
+    """The 100-TB hash-narrow shuffle variant (xxhash64 shingle keys)
+    must produce the exact result of the full-text form on real
+    document data."""
+    from featureform_spark.functions.dedup import dedup_substrings
+    from featureform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"])
+        for r in dedup_substrings(docs, min_tokens=8).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"])
+        for r in dedup_substrings(docs, min_tokens=8, hash_shuffle=True).collect()
+    }
+    assert hashed == exact
+
+
 def test_multiprobe_lsh_superset_of_single_probe(spark, sf_dir):
     from featureform_spark.functions.similarity import ann_topk_lsh
     from featureform_spark.sources.testdata import load_table
