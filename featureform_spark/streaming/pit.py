@@ -151,3 +151,139 @@ def streaming_point_in_time(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MULTI_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("label_ts", T.TimestampType()),
+        T.StructField("label", T.DoubleType()),
+        T.StructField(
+            "features", T.MapType(T.StringType(), T.DoubleType())
+        ),
+    ]
+)
+
+# per-entity histories for N features: parallel arrays + feature index
+MULTI_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("fid", T.ArrayType(T.IntegerType())),
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def streaming_point_in_time_multi(
+    labels: DataFrame,
+    features: dict[str, DataFrame],
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    label_value_col: str = "value",
+    feature_value_col: str = "value",
+    retain_seconds: float | None = None,
+):
+    """N-feature streaming PIT: every label row emits
+    ``(entity, label_ts, label, features)`` where ``features`` maps
+    each feature name to its at-or-before value (NULL-absent names
+    simply missing from the map when no value preceded the label).
+    Same at-or-before / last-arrival-wins semantics as the
+    single-feature form, one state store entry per entity covering all
+    features — the batch twin is ``point_in_time_join`` with one
+    ``FeatureInput`` per name.
+    """
+    names = sorted(features)
+    retain_us = (
+        int(retain_seconds * 1_000_000)
+        if retain_seconds is not None
+        else None
+    )
+
+    def _tag(df: DataFrame, fid: int, vcol: str) -> DataFrame:
+        return df.select(
+            F.col(entity_col).cast("string").alias("entity"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            F.lit(fid).alias("fid"),
+            F.col(vcol).cast("double").alias("val"),
+        )
+
+    unioned = _tag(labels, -1, label_value_col)
+    for i, name in enumerate(names):
+        unioned = unioned.unionByName(
+            _tag(features[name], i, feature_value_col)
+        )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (entity,) = key
+        hist: dict[int, tuple[list, list]] = {
+            i: ([], []) for i in range(len(names))
+        }
+        if state.exists:
+            fids, ts_us, vals = state.get
+            for f, t, v in zip(fids, ts_us, vals):
+                ts_l, v_l = hist[int(f)]
+                ts_l.append(t)
+                v_l.append(v)
+
+        events: list[tuple[int, int, int, int, float]] = []
+        seq = 0
+        for pdf in pdfs:
+            t_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            for t, fid, val in zip(
+                t_us, pdf["fid"].tolist(), pdf["val"].tolist()
+            ):
+                # features (fid >= 0) sort before labels (-1) at equal
+                # ts — encode the at-or-before rule in the sort key
+                events.append((t, 0 if fid >= 0 else 1, seq, int(fid), val))
+                seq += 1
+        events.sort(key=lambda e: (e[0], e[1], e[2]))
+
+        rows = []
+        for t, _k, _s, fid, val in events:
+            if fid >= 0:
+                ts_l, v_l = hist[fid]
+                i = bisect_right(ts_l, t)
+                ts_l.insert(i, t)
+                v_l.insert(i, val)
+            else:
+                fmap = {}
+                for j, name in enumerate(names):
+                    ts_l, v_l = hist[j]
+                    i = bisect_right(ts_l, t)
+                    if i > 0:
+                        fmap[name] = v_l[i - 1]
+                rows.append(
+                    (entity, pd.Timestamp(t * 1000), val, fmap)
+                )
+        if retain_us is not None:
+            hi = max(
+                (ts_l[-1] for ts_l, _ in hist.values() if ts_l),
+                default=None,
+            )
+            if hi is not None:
+                horizon = hi - retain_us
+                for j in hist:
+                    ts_l, v_l = hist[j]
+                    cut = bisect_right(ts_l, horizon)
+                    if cut > 1:
+                        hist[j] = (ts_l[cut - 1 :], v_l[cut - 1 :])
+        fids_out: list[int] = []
+        ts_out: list[int] = []
+        vals_out: list[float] = []
+        for j in sorted(hist):
+            ts_l, v_l = hist[j]
+            fids_out += [j] * len(ts_l)
+            ts_out += ts_l
+            vals_out += v_l
+        state.update((fids_out, ts_out, vals_out))
+        yield pd.DataFrame(
+            rows, columns=["entity", "label_ts", "label", "features"]
+        )
+
+    return unioned.groupBy("entity").applyInPandasWithState(
+        update,
+        outputStructType=MULTI_OUTPUT_SCHEMA,
+        stateStructType=MULTI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -116,6 +116,62 @@ def test_streaming_pit_parity_ordered_chunks(spark, tmp_path):
     assert got == _batch_expected(spark)
 
 
+def test_streaming_pit_multi_feature_parity(spark, tmp_path):
+    """Two feature streams: the map-valued multi output must equal the
+    batch point_in_time_join with two FeatureInputs."""
+    from featureform_spark.streaming.pit import streaming_point_in_time_multi
+
+    f2 = [
+        (1, _mins(2), 7.0, 10),
+        (1, _mins(30), 8.0, 11),
+        (2, _mins(40), 9.0, 12),
+    ]
+    fdf = spark.createDataFrame(FEATURES, SCHEMA_F)
+    f2df = spark.createDataFrame(f2, SCHEMA_F)
+    ldf = spark.createDataFrame(LABELS, SCHEMA_L)
+    batch = point_in_time_join(
+        ldf,
+        [
+            FeatureInput(name="fa", df=fdf, entity_col="user",
+                         value_col="value", ts_col="ts", order_col="ord"),
+            FeatureInput(name="fb", df=f2df, entity_col="user",
+                         value_col="value", ts_col="ts", order_col="ord"),
+        ],
+        label_entity_col="user", label_value_col="value",
+        label_ts_col="ts",
+    )
+    expected = sorted(
+        (r["entity"], r["label_ts"], r["label"], r["fa"], r["fb"])
+        for r in batch.collect()
+    )
+
+    for sub, rows in (("fa", FEATURES), ("fb", f2), ("l", LABELS)):
+        schema = SCHEMA_L if sub == "l" else SCHEMA_F
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / sub)
+        )
+    out = streaming_point_in_time_multi(
+        spark.readStream.schema(SCHEMA_L).parquet(str(tmp_path / "l")),
+        {
+            "fa": spark.readStream.schema(SCHEMA_F).parquet(str(tmp_path / "fa")),
+            "fb": spark.readStream.schema(SCHEMA_F).parquet(str(tmp_path / "fb")),
+        },
+        entity_col="user", ts_col="ts",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("pit_multi")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (int(r["entity"]), r["label_ts"], r["label"],
+         (r["features"] or {}).get("fa"), (r["features"] or {}).get("fb"))
+        for r in spark.sql("SELECT * FROM pit_multi").collect()
+    )
+    assert got == expected
+
+
 def test_streaming_pit_state_pruning(spark, tmp_path):
     """retain_seconds bounds state: old history is pruned but one
     at-or-before value is kept so in-horizon labels still resolve."""
