@@ -389,3 +389,53 @@ def test_dv_file_framing_rejects_corruption(tmp_path_factory, positions, flip):
     p.write_bytes(bytes(corrupt))
     with pytest.raises(DvFormatError):
         read_dv_from_file(str(p), 1, len(blob))
+
+
+# ---------------------------------------------------------------------------
+# dedup_substrings vs a naive Python reference
+# ---------------------------------------------------------------------------
+
+words = st.sampled_from(["x", "y", "z"])
+docs_strategy = st.lists(
+    st.lists(words, max_size=10).map(lambda ws: " ".join(ws)),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _py_dedup_substrings(texts, L):
+    """Naive reference: mark every non-first occurrence of each
+    duplicated L-token rolling shingle; remove covered tokens."""
+    toks = [[w for w in t.split(" ") if w] for t in texts]
+    occ = {}
+    for d, ts in enumerate(toks):
+        for p in range(len(ts) - L + 1):
+            occ.setdefault(" ".join(ts[p : p + L]), []).append((d, p))
+    removed = [set() for _ in toks]
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, p in positions[1:]:  # positions already (doc, pos) asc
+                removed[d].update(range(p, p + L))
+    out = []
+    for d, ts in enumerate(toks):
+        kept = [w for i, w in enumerate(ts) if i not in removed[d]]
+        out.append((" ".join(kept), len(kept), len(ts)))
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_strategy, L=st.integers(min_value=1, max_value=3))
+def test_dedup_substrings_matches_reference(spark, docs, L):
+    from featureform_spark.functions.dedup import dedup_substrings
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_tokens"])
+        for r in dedup_substrings(df, min_tokens=L).collect()
+    }
+    expect = _py_dedup_substrings(docs, L)
+    for d in range(len(docs)):
+        assert got[d] == expect[d], (d, docs, L)
