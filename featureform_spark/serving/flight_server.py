@@ -365,11 +365,17 @@ class DatasetStreamerServer:
         import pyarrow.flight as fl
 
         self.catalogs = dict(catalogs)
+        self.indexes: dict = {}  # name -> serving IvfPqIndex
         outer = self
 
         class _Server(fl.FlightServerBase):
             def do_get(self, context, ticket):
                 req = outer._parse(ticket.ticket)
+                if "nearest" in req:
+                    # embeddinghub parity: Nearest() served over the
+                    # wire from the in-RAM IVFADC index — no table
+                    # scan, no Spark, microseconds of numpy
+                    return fl.RecordBatchStream(outer._nearest(req))
                 limit = outer._limit(req)
                 reader = scan_table_arrow(
                     outer._resolve(req), limit,
@@ -424,6 +430,11 @@ class DatasetStreamerServer:
                 # {"app_id", "txn_version"} in the descriptor), a plain
                 # parquet dir gains one part file. No Spark on the pod.
                 req = outer._parse(descriptor.command)
+                if "index_add" in req:
+                    # embeddinghub write path: uploaded (vec_id,
+                    # embedding) batches become queryable immediately
+                    outer._index_add(req["index_add"], reader)
+                    return
                 path = outer._resolve(req)
                 fmt = _detect_format(path)
                 if fmt == "delta":
@@ -484,6 +495,57 @@ class DatasetStreamerServer:
         if not isinstance(req, dict):
             raise TicketError("ticket must be a JSON object")
         return req
+
+    # -- vector plane (embeddinghub parity) -----------------------------------
+
+    def register_index(self, name: str, index) -> None:
+        """Attach a built ``serving.ann_index.IvfPqIndex`` so
+        ``{"nearest": ...}`` tickets and ``{"index_add": ...}`` uploads
+        can serve it — the reference's embeddingstore gRPC surface."""
+        self.indexes[name] = index
+
+    def _nearest(self, req: dict):
+        import pyarrow as pa
+
+        spec = req["nearest"]
+        if not isinstance(spec, dict):
+            raise TicketError("'nearest' must be an object")
+        try:
+            ix = self.indexes[spec["index"]]
+        except KeyError as e:
+            raise TicketError(f"unknown index {spec.get('index')!r}") from e
+        vector = spec.get("vector")
+        if not isinstance(vector, list) or not vector:
+            raise TicketError("'nearest.vector' must be a non-empty list")
+        hits = ix.query(
+            [float(x) for x in vector],
+            k=int(spec.get("k", 10)),
+            nprobe=int(spec.get("nprobe", 8)),
+            rerank=int(spec.get("rerank", 100)),
+        )
+        table = pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in hits], pa.int64()),
+                "distance": pa.array([d for _, d in hits], pa.float64()),
+            }
+        )
+        return table.to_reader()
+
+    def _index_add(self, spec, reader) -> None:
+        if isinstance(spec, str):
+            spec = {"index": spec}
+        try:
+            ix = self.indexes[spec["index"]]
+        except (TypeError, KeyError) as e:
+            raise TicketError(f"unknown index in index_add: {spec!r}") from e
+        for chunk in reader:
+            batch = chunk.data
+            if batch is None:
+                continue
+            ids = batch.column("vec_id").to_pylist()
+            vecs = batch.column("embedding").to_pylist()
+            if ids:
+                ix.add(ids, vecs)
 
     @staticmethod
     def _limit(req: dict) -> int:

@@ -344,3 +344,60 @@ def test_namespace_traversal_escapes_refuse(served, tmp_path):
         server._resolve({"namespace": "a", "table": "../../b"})
     # legitimate lookups still resolve
     assert server._resolve({"namespace": "ns", "table": "orders_pq"})
+
+
+def test_nearest_over_flight(served, sf_dir):
+    """embeddinghub parity: Nearest() served over the wire from the
+    in-RAM IVFADC index (do_get {'nearest': ...}), with do_put
+    {'index_add': ...} making uploaded vectors queryable immediately —
+    the reference's embeddingstore gRPC surface
+    (embeddinghub/embeddingstore/index.h:19-33)."""
+    from featureform_spark.serving.ann_index import IvfPqIndex
+    from featureform_spark.sources.testdata import load_table
+
+    spark, server, _dt, _it, _orders = served
+    emb = load_table(spark, sf_dir, "embeddings")
+    server.register_index("emb", IvfPqIndex.build(emb, num_cells=16, m=8))
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 4).first()["embedding"]
+    ]
+    got = _client_read(
+        server,
+        {"nearest": {"index": "emb", "vector": qvec, "k": 5, "nprobe": 8}},
+    )
+    assert got.column("vec_id")[0].as_py() == 4  # self nearest
+    assert got.column("distance")[0].as_py() == 0.0
+    assert got.num_rows == 5
+
+    # upload a near-duplicate through do_put index_add
+    new_id = 10_000_000
+    upload = pa.table(
+        {
+            "vec_id": pa.array([new_id], pa.int64()),
+            "embedding": pa.array(
+                [[v + 1e-4 for v in qvec]], pa.list_(pa.float64())
+            ),
+        }
+    )
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        desc = fl.FlightDescriptor.for_command(
+            json.dumps({"index_add": {"index": "emb"}}).encode()
+        )
+        writer, _meta = client.do_put(desc, upload.schema)
+        writer.write_table(upload)
+        writer.close()
+    finally:
+        client.close()
+    got2 = _client_read(
+        server,
+        {"nearest": {"index": "emb", "vector": qvec, "k": 3, "nprobe": 8}},
+    )
+    ids = set(got2.column("vec_id").to_pylist())
+    assert {4, new_id} <= ids
+
+    # unknown index -> clean error surfaced to the client, not a dead
+    # connection (TicketError crosses the wire as ArrowInvalid)
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
+        _client_read(server, {"nearest": {"index": "nope", "vector": qvec}})
