@@ -62,6 +62,9 @@ class _IceSlice(InputPartition):
         field_order: list,
         positions_blob: bytes | None = None,
         literals: dict | None = None,
+        exclude_blob: bytes | None = None,
+        eq_filter: tuple | None = None,
+        exclude_eq: list | None = None,
     ):
         self.abs_path = abs_path
         self.field_order = field_order
@@ -70,6 +73,16 @@ class _IceSlice(InputPartition):
         self.positions_blob = positions_blob
         # constant CDF columns: {name: (python value, pyarrow type key)}
         self.literals = literals or {}
+        # equality-delete replay against a PARENT file: drop rows at
+        # these positions (parent positional deletes), drop rows
+        # matching any (cols, tuple-set) in exclude_eq (parent-live
+        # equality deletes newer than this file), then KEEP only rows
+        # matching eq_filter's (cols, tuple-set). All sets are
+        # cardinality-scale (distinct delete keys), pickled with the
+        # partition. Mutually exclusive with positions_blob.
+        self.exclude_blob = exclude_blob
+        self.eq_filter = eq_filter
+        self.exclude_eq = exclude_eq or []
 
 
 def _read_ice_slice(part: _IceSlice) -> Iterator:
@@ -78,10 +91,24 @@ def _read_ice_slice(part: _IceSlice) -> Iterator:
     import pyarrow.parquet as pq
 
     wanted = None
-    if part.positions_blob is not None:
+    excluded = None
+    if part.positions_blob is not None or part.exclude_blob is not None:
         from featureform_spark.sources.dv_bitmap import decode_rbm_array
 
-        wanted = decode_rbm_array(part.positions_blob)
+        if part.positions_blob is not None:
+            wanted = decode_rbm_array(part.positions_blob)
+        if part.exclude_blob is not None:
+            excluded = decode_rbm_array(part.exclude_blob)
+
+    def _eq_mask(batch, cols, tupset, keep_matching):
+        names = batch.schema.names
+        vals = [batch.column(names.index(c)).to_pylist() for c in cols]
+        return pa.array(
+            [
+                (tuple(row) in tupset) == keep_matching
+                for row in zip(*vals)
+            ]
+        )
 
     def _lit_array(val, key, n):
         typ = {
@@ -107,6 +134,29 @@ def _read_ice_slice(part: _IceSlice) -> Iterator:
                 )
             )
             n = batch.num_rows
+        elif excluded is not None or part.eq_filter or part.exclude_eq:
+            start = offset
+            offset += n
+            if excluded is not None:
+                lo = np.searchsorted(excluded, start)
+                hi = np.searchsorted(excluded, start + n)
+                if hi > lo:
+                    keep = np.ones(n, dtype=bool)
+                    keep[(excluded[lo:hi] - start).astype(np.int64)] = False
+                    batch = batch.filter(pa.array(keep))
+            for cols_, tupset in part.exclude_eq:
+                if batch.num_rows:
+                    batch = batch.filter(
+                        _eq_mask(batch, cols_, tupset, False)
+                    )
+            if part.eq_filter is not None and batch.num_rows:
+                cols_, tupset = part.eq_filter
+                batch = batch.filter(_eq_mask(batch, cols_, tupset, True))
+            n = batch.num_rows
+            if n == 0:
+                continue
+        else:
+            offset += n
         cols = {
             name: batch.column(i)
             for i, name in enumerate(batch.schema.names)
@@ -364,14 +414,13 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                             )
                         )
             fresh: dict[str, list[np.ndarray]] = {}
+            eq_entries: list[dict] = []
             for e in added_del:
                 df_ = e["data_file"]
                 content = int(df_.get("content", 0))
                 if content == 2:
-                    raise UnsupportedIcebergFeatureError(
-                        "equality deletes in a streamed CDF range — "
-                        "consume changelog_scan() instead"
-                    )
+                    eq_entries.append(e)
+                    continue
                 if _is_dv_file(df_):
                     ref = self.t._resolve_path(
                         df_["referenced_data_file"]
@@ -422,6 +471,96 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                             del_lits,
                         )
                     )
+            if eq_entries:
+                # equality-delete replay (the streaming-upsert shape):
+                # the deleted rows are PARENT-live rows matching the new
+                # delete tuples — per parent file, executors drop
+                # parent-applied positional deletes + parent-live
+                # equality deletes newer than the file, then keep rows
+                # matching the new tuples. Delete-key sets are
+                # cardinality-scale and ride the pickled partitions.
+                by_id = {
+                    f["id"]: f["name"]
+                    for f in self.t.schema(md)["fields"]
+                }
+
+                def _eq_tuples_pair(df_):
+                    eq_ids = df_.get("equality_ids") or []
+                    if not eq_ids:
+                        raise IcebergProtocolError(
+                            "equality delete file without equality_ids"
+                        )
+                    cols_ = [by_id[int(i)] for i in eq_ids]
+                    det = pq.read_table(
+                        self.t._resolve_path(df_["file_path"]),
+                        columns=cols_,
+                    )
+                    tupset = (
+                        set(zip(*[det.column(c).to_pylist() for c in cols_]))
+                        if det.num_rows
+                        else set()
+                    )
+                    return cols_, tupset
+
+                # parent-side state: positional excludes per file (DVs
+                # decoded above + position-delete parquets), and parent
+                # equality deletes with their sequence numbers
+                excl: dict[str, list] = {
+                    ref: [arr] for ref, arr in parent_dv.items()
+                }
+                parent_eq: list[tuple[int, list, set]] = []
+                for pe in parent_deletes:
+                    pdf_ = pe["data_file"]
+                    c = int(pdf_.get("content", 0))
+                    if c == 1 and not _is_dv_file(pdf_):
+                        dtbl = pq.read_table(
+                            self.t._resolve_path(pdf_["file_path"]),
+                            columns=["file_path", "pos"],
+                        )
+                        fps = dtbl.column("file_path").to_pylist()
+                        poss = dtbl.column("pos").to_pylist()
+                        for fp_, p_ in zip(fps, poss):
+                            excl.setdefault(
+                                self.t._resolve_path(fp_), []
+                            ).append(np.array([p_], dtype=np.uint64))
+                    elif c == 2:
+                        cols_, tupset = _eq_tuples_pair(pdf_)
+                        parent_eq.append(
+                            (
+                                int(pe.get("sequence_number") or 0),
+                                cols_,
+                                tupset,
+                            )
+                        )
+                excl_blobs = {
+                    ref: encode_rbm_array(np.unique(np.concatenate(a)))
+                    for ref, a in excl.items()
+                }
+                for e in eq_entries:
+                    cols_, tupset = _eq_tuples_pair(e["data_file"])
+                    if not tupset:
+                        continue
+                    for pe in parent_entries:
+                        ref = self.t._resolve_path(
+                            pe["data_file"]["file_path"]
+                        )
+                        dseq = int(pe.get("sequence_number") or 0)
+                        exeq = [
+                            (cc, ts)
+                            for (sq, cc, ts) in parent_eq
+                            if sq > dseq and ts
+                        ]
+                        out.append(
+                            _IceSlice(
+                                ref,
+                                order,
+                                None,
+                                del_lits,
+                                exclude_blob=excl_blobs.get(ref),
+                                eq_filter=(cols_, tupset),
+                                exclude_eq=exeq,
+                            )
+                        )
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:

@@ -231,3 +231,63 @@ def test_batch_read_change_feed(reg, spark, sf_dir, tmp_path):
         r["_change_type"]
         for r in rng.select("_change_type").distinct().collect()
     ) == {"delete"}
+
+
+def test_stream_read_change_feed_equality_deletes(reg, spark, sf_dir, tmp_path):
+    """Equality deletes (the Flink streaming-upsert shape) in a
+    streamed CDF range: delete rows are the PARENT-live rows matching
+    the new key tuples — parity with changelog_scan, including a
+    second equality delete whose replay must not re-emit rows already
+    equality-deleted by the first, and composition with positional
+    deletes in the parent."""
+    orders = _orders(spark, sf_dir)
+    tdir = str(tmp_path / "ieqcdf")
+    t = IcebergProtocolTable(spark, tdir)
+    t.create(orders.limit(120))
+    t.delete_rows(F.col("o_orderkey") % 7 == 0)  # parent positional
+    keys1 = orders.limit(120).filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey"
+    )
+    t.delete_by_keys(keys1, ["o_orderkey"])      # equality delete 1
+    keys2 = orders.limit(120).filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey"
+    )
+    t.delete_by_keys(keys2, ["o_orderkey"])      # overlaps 1 on %12
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("icebergprotocol")
+        .options(path=tdir, readChangeFeed="true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = t.changelog_scan().select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # sanity on the semantics themselves: the second delete must not
+    # re-emit %12 rows (already gone after delete 1), nor %28 rows
+    # (gone to the positional delete before either)
+    # ordinals: create=0, positional delete=1, eq delete 1=2, eq 2=3
+    dels2 = got.filter(
+        (F.col("_change_type") == "delete")
+        & (F.col("_change_ordinal") == 3)
+    )
+    assert dels2.filter(F.col("o_orderkey") % 12 == 0).count() == 0
+    # rows positionally deleted BEFORE either equality delete must not
+    # re-emit from the equality replays (they do emit at ordinal 1)
+    assert (
+        got.filter(
+            (F.col("_change_type") == "delete")
+            & (F.col("_change_ordinal") >= 2)
+            & (F.col("o_orderkey") % 28 == 0)
+        ).count()
+        == 0
+    )
+    assert dels2.count() > 0
