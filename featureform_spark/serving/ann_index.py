@@ -31,12 +31,19 @@ its whole index in one process.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
 class IvfPqIndex:
-    """In-memory IVFADC index over an embedding DataFrame."""
+    """In-memory IVFADC index over an embedding DataFrame.
+
+    Thread-safe: ``add`` and ``query`` share one lock — Flight serves
+    RPCs from multiple threads, and an unsynchronized ``add`` could
+    leave ids/cells/codes at different lengths mid-update.
+    """
 
     def __init__(
         self,
@@ -46,6 +53,7 @@ class IvfPqIndex:
         cells: np.ndarray,          # (n,) int32
         codes: np.ndarray,          # (n, m) uint8
         vectors: np.ndarray | None,  # (n, dim) float32 for re-rank
+        n_codes: np.ndarray | None = None,  # (m,) real codes per subspace
     ):
         self.centroids = centroids
         self.codebook = codebook
@@ -56,11 +64,23 @@ class IvfPqIndex:
         self.dim = centroids.shape[1]
         self.m = codebook.shape[0]
         self.sub_dim = self.dim // self.m
+        # the trained codebook can hold FEWER than ksub real codes
+        # (small build sets); the zero-filled tail must never win an
+        # encode argmin — track the real count per subspace
+        self.n_codes = (
+            n_codes
+            if n_codes is not None
+            else np.full(self.m, codebook.shape[1], dtype=np.int64)
+        )
+        self._lock = threading.Lock()
+        self._reindex()
+
+    def _reindex(self) -> None:
         # inverted lists: cell -> row positions
-        order = np.argsort(cells, kind="stable")
+        order = np.argsort(self.cells, kind="stable")
         self._order = order
         self._cell_bounds = np.searchsorted(
-            cells[order], np.arange(len(centroids) + 1)
+            self.cells[order], np.arange(len(self.centroids) + 1)
         )
 
     # -- build ---------------------------------------------------------------
@@ -114,8 +134,12 @@ class IvfPqIndex:
         # remap to dense 0..C-1 positions in centroid order
         cell_of = {int(r["cid"]): i for i, r in enumerate(cent_rows)}
         cb = np.zeros((m, ksub, dim // m), dtype=np.float64)
+        n_codes = np.zeros(m, dtype=np.int64)
         for r in codebook_df.collect():
             cb[int(r["s"]), int(r["code"])] = r["cv"]
+            n_codes[int(r["s"])] = max(
+                n_codes[int(r["s"])], int(r["code"]) + 1
+            )
         rows = encoded.orderBy(id_col).collect()
         ids = np.array([r[id_col] for r in rows], dtype=np.int64)
         cells = np.array(
@@ -131,7 +155,7 @@ class IvfPqIndex:
             )
             vectors = np.array([r["_v"] for r in vrows], dtype=np.float32)
         return cls(centroids, cells=cells, codebook=cb, ids=ids,
-                   codes=codes, vectors=vectors)
+                   codes=codes, vectors=vectors, n_codes=n_codes)
 
     # -- incremental write path ----------------------------------------------
 
@@ -149,21 +173,26 @@ class IvfPqIndex:
         cells = np.argmax(vn @ cn.T, axis=1).astype(np.int32)
         resid = v - self.centroids[cells]
         sub = resid.reshape(len(v), self.m, self.sub_dim)
-        # (n, m, ksub) squared L2 to each code, argmin
-        d = ((sub[:, :, None, :] - self.codebook[None]) ** 2).sum(axis=3)
-        codes = d.argmin(axis=2).astype(np.uint8)
-        self.ids = np.concatenate([self.ids, np.asarray(new_ids, np.int64)])
-        self.cells = np.concatenate([self.cells, cells])
-        self.codes = np.concatenate([self.codes, codes])
-        if self.vectors is not None:
-            self.vectors = np.concatenate(
-                [self.vectors, v.astype(np.float32)]
+        # per-subspace argmin over REAL codes only (the zero-filled
+        # tail of an underfilled codebook must never win)
+        codes = np.zeros((len(v), self.m), dtype=np.uint8)
+        for s in range(self.m):
+            nc = max(1, int(self.n_codes[s]))
+            d = ((sub[:, s, None, :] - self.codebook[s, :nc][None]) ** 2).sum(
+                axis=2
             )
-        order = np.argsort(self.cells, kind="stable")
-        self._order = order
-        self._cell_bounds = np.searchsorted(
-            self.cells[order], np.arange(len(self.centroids) + 1)
-        )
+            codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+        with self._lock:
+            self.ids = np.concatenate(
+                [self.ids, np.asarray(new_ids, np.int64)]
+            )
+            self.cells = np.concatenate([self.cells, cells])
+            self.codes = np.concatenate([self.codes, codes])
+            if self.vectors is not None:
+                self.vectors = np.concatenate(
+                    [self.vectors, v.astype(np.float32)]
+                )
+            self._reindex()
 
     # -- query ---------------------------------------------------------------
 
@@ -177,6 +206,16 @@ class IvfPqIndex:
         """Pure-numpy IVFADC query: returns [(id, l2_distance)] — exact
         distances when re-ranking (needs ``keep_vectors``), ADC
         estimates otherwise."""
+        with self._lock:
+            return self._query(vector, k, nprobe, rerank)
+
+    def _query(
+        self,
+        vector: list[float],
+        k: int,
+        nprobe: int,
+        rerank: int,
+    ) -> list[tuple[int, float]]:
         q = np.asarray(vector, dtype=np.float64)
         qn = q / max(float(np.linalg.norm(q)), 1e-30)
         cn = self.centroids / np.maximum(

@@ -74,14 +74,18 @@ class _IceSlice(InputPartition):
         # constant CDF columns: {name: (python value, pyarrow type key)}
         self.literals = literals or {}
         # equality-delete replay against a PARENT file: drop rows at
-        # these positions (parent positional deletes), drop rows
-        # matching any (cols, tuple-set) in exclude_eq (parent-live
-        # equality deletes newer than this file), then KEEP only rows
-        # matching eq_filter's (cols, tuple-set). All sets are
+        # these positions (parent positional deletes + this commit's own
+        # fresh positional deletes — those rows already emit from the
+        # positional replay), drop rows matching any (cols, tuple-set)
+        # in exclude_eq (parent-live equality deletes newer than this
+        # file), then KEEP rows matching ANY of eq_filter's
+        # (cols, tuple-set) entries — one slice per parent file covers
+        # every eq-delete file in the commit, so a row deleted by two
+        # of them emits ONCE and the file scans once. All sets are
         # cardinality-scale (distinct delete keys), pickled with the
         # partition. Mutually exclusive with positions_blob.
         self.exclude_blob = exclude_blob
-        self.eq_filter = eq_filter
+        self.eq_filter = eq_filter  # list[(cols, tupset)] — match ANY
         self.exclude_eq = exclude_eq or []
 
 
@@ -150,8 +154,19 @@ def _read_ice_slice(part: _IceSlice) -> Iterator:
                         _eq_mask(batch, cols_, tupset, False)
                     )
             if part.eq_filter is not None and batch.num_rows:
-                cols_, tupset = part.eq_filter
-                batch = batch.filter(_eq_mask(batch, cols_, tupset, True))
+                names = batch.schema.names
+                keep = np.zeros(batch.num_rows, dtype=bool)
+                for cols_, tupset in part.eq_filter:
+                    vals = [
+                        batch.column(names.index(c)).to_pylist()
+                        for c in cols_
+                    ]
+                    keep |= np.fromiter(
+                        (tuple(row) in tupset for row in zip(*vals)),
+                        dtype=bool,
+                        count=batch.num_rows,
+                    )
+                batch = batch.filter(pa.array(keep))
             n = batch.num_rows
             if n == 0:
                 continue
@@ -322,8 +337,11 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
         by SELECTING the freshly-deleted row positions from the
         referenced data files (parquet position-delete rows read
         sessionless; v3 DV diffs vs the parent vector; positions ship
-        roaring-encoded). Equality deletes and overwrites gate to
-        changelog_scan (they need joins)."""
+        roaring-encoded). Equality deletes replay sessionless too:
+        parent-live rows matching the commit's key tuples, one slice
+        per parent file carrying all key sets (match ANY, rows already
+        deleted never re-emit). Overwrites still gate to
+        changelog_scan (exceptAll needs a join)."""
         import numpy as np
         import pyarrow.parquet as pq
 
@@ -503,11 +521,15 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                     return cols_, tupset
 
                 # parent-side state: positional excludes per file (DVs
-                # decoded above + position-delete parquets), and parent
-                # equality deletes with their sequence numbers
+                # decoded above + position-delete parquets + THIS
+                # commit's own fresh positional deletes — those rows
+                # already emit from the positional replay above), and
+                # parent equality deletes with their sequence numbers
                 excl: dict[str, list] = {
                     ref: [arr] for ref, arr in parent_dv.items()
                 }
+                for ref, arrs in fresh.items():
+                    excl.setdefault(ref, []).extend(arrs)
                 parent_eq: list[tuple[int, list, set]] = []
                 for pe in parent_deletes:
                     pdf_ = pe["data_file"]
@@ -517,12 +539,18 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                             self.t._resolve_path(pdf_["file_path"]),
                             columns=["file_path", "pos"],
                         )
-                        fps = dtbl.column("file_path").to_pylist()
-                        poss = dtbl.column("pos").to_pylist()
-                        for fp_, p_ in zip(fps, poss):
+                        fp_arr = dtbl.column("file_path").to_numpy(
+                            zero_copy_only=False
+                        )
+                        pos_arr = dtbl.column("pos").to_numpy(
+                            zero_copy_only=False
+                        )
+                        for p in np.unique(fp_arr):
                             excl.setdefault(
-                                self.t._resolve_path(fp_), []
-                            ).append(np.array([p_], dtype=np.uint64))
+                                self.t._resolve_path(str(p)), []
+                            ).append(
+                                pos_arr[fp_arr == p].astype(np.uint64)
+                            )
                     elif c == 2:
                         cols_, tupset = _eq_tuples_pair(pdf_)
                         parent_eq.append(
@@ -536,10 +564,18 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                     ref: encode_rbm_array(np.unique(np.concatenate(a)))
                     for ref, a in excl.items()
                 }
-                for e in eq_entries:
-                    cols_, tupset = _eq_tuples_pair(e["data_file"])
-                    if not tupset:
-                        continue
+                # ONE slice per parent file carrying every eq-delete
+                # file's key set (match ANY): a row deleted by two
+                # sibling files emits once, each parent file scans once
+                eq_any = [
+                    (cols_, tupset)
+                    for cols_, tupset in (
+                        _eq_tuples_pair(e["data_file"])
+                        for e in eq_entries
+                    )
+                    if tupset
+                ]
+                if eq_any:
                     for pe in parent_entries:
                         ref = self.t._resolve_path(
                             pe["data_file"]["file_path"]
@@ -557,7 +593,7 @@ class IcebergProtocolStreamReader(DataSourceStreamReader):
                                 None,
                                 del_lits,
                                 exclude_blob=excl_blobs.get(ref),
-                                eq_filter=(cols_, tupset),
+                                eq_filter=eq_any,
                                 exclude_eq=exeq,
                             )
                         )

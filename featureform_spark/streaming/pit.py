@@ -164,10 +164,12 @@ MULTI_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# per-entity histories for N features: parallel arrays + feature index
+# per-entity histories for N features: parallel arrays keyed by the
+# feature NAME — a positional index would silently remap histories if
+# the feature set changes across a checkpointed restart
 MULTI_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("fid", T.ArrayType(T.IntegerType())),
+        T.StructField("fname", T.ArrayType(T.StringType())),
         T.StructField("ts_us", T.ArrayType(T.LongType())),
         T.StructField("vals", T.ArrayType(T.DoubleType())),
     ]
@@ -199,56 +201,63 @@ def streaming_point_in_time_multi(
         else None
     )
 
-    def _tag(df: DataFrame, fid: int, vcol: str) -> DataFrame:
+    _LABEL_TAG = ""  # feature names are non-empty by construction
+
+    def _tag(df: DataFrame, fname: str, vcol: str) -> DataFrame:
         return df.select(
             F.col(entity_col).cast("string").alias("entity"),
             F.col(ts_col).cast("timestamp").alias("ts"),
-            F.lit(fid).alias("fid"),
+            F.lit(fname).alias("fname"),
             F.col(vcol).cast("double").alias("val"),
         )
 
-    unioned = _tag(labels, -1, label_value_col)
-    for i, name in enumerate(names):
+    if any(not n for n in names):
+        raise ValueError("feature names must be non-empty strings")
+    unioned = _tag(labels, _LABEL_TAG, label_value_col)
+    for name in names:
         unioned = unioned.unionByName(
-            _tag(features[name], i, feature_value_col)
+            _tag(features[name], name, feature_value_col)
         )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (entity,) = key
-        hist: dict[int, tuple[list, list]] = {
-            i: ([], []) for i in range(len(names))
-        }
+        hist: dict[str, tuple[list, list]] = {n: ([], []) for n in names}
         if state.exists:
-            fids, ts_us, vals = state.get
-            for f, t, v in zip(fids, ts_us, vals):
-                ts_l, v_l = hist[int(f)]
-                ts_l.append(t)
-                v_l.append(v)
+            fnames, ts_us, vals = state.get
+            for f, t, v in zip(fnames, ts_us, vals):
+                # a feature removed across a checkpointed restart drops
+                # its history; names never misattribute
+                got = hist.get(f)
+                if got is not None:
+                    got[0].append(t)
+                    got[1].append(v)
 
-        events: list[tuple[int, int, int, int, float]] = []
+        events: list[tuple[int, int, int, str, float]] = []
         seq = 0
         for pdf in pdfs:
             t_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
-            for t, fid, val in zip(
-                t_us, pdf["fid"].tolist(), pdf["val"].tolist()
+            for t, fname, val in zip(
+                t_us, pdf["fname"].tolist(), pdf["val"].tolist()
             ):
-                # features (fid >= 0) sort before labels (-1) at equal
-                # ts — encode the at-or-before rule in the sort key
-                events.append((t, 0 if fid >= 0 else 1, seq, int(fid), val))
+                # features sort before labels at equal ts — encode the
+                # at-or-before rule in the sort key
+                events.append(
+                    (t, 0 if fname != _LABEL_TAG else 1, seq, fname, val)
+                )
                 seq += 1
         events.sort(key=lambda e: (e[0], e[1], e[2]))
 
         rows = []
-        for t, _k, _s, fid, val in events:
-            if fid >= 0:
-                ts_l, v_l = hist[fid]
+        for t, _k, _s, fname, val in events:
+            if fname != _LABEL_TAG:
+                ts_l, v_l = hist[fname]
                 i = bisect_right(ts_l, t)
                 ts_l.insert(i, t)
                 v_l.insert(i, val)
             else:
                 fmap = {}
-                for j, name in enumerate(names):
-                    ts_l, v_l = hist[j]
+                for name in names:
+                    ts_l, v_l = hist[name]
                     i = bisect_right(ts_l, t)
                     if i > 0:
                         fmap[name] = v_l[i - 1]
@@ -262,20 +271,20 @@ def streaming_point_in_time_multi(
             )
             if hi is not None:
                 horizon = hi - retain_us
-                for j in hist:
-                    ts_l, v_l = hist[j]
+                for name in hist:
+                    ts_l, v_l = hist[name]
                     cut = bisect_right(ts_l, horizon)
                     if cut > 1:
-                        hist[j] = (ts_l[cut - 1 :], v_l[cut - 1 :])
-        fids_out: list[int] = []
+                        hist[name] = (ts_l[cut - 1 :], v_l[cut - 1 :])
+        fnames_out: list[str] = []
         ts_out: list[int] = []
         vals_out: list[float] = []
-        for j in sorted(hist):
-            ts_l, v_l = hist[j]
-            fids_out += [j] * len(ts_l)
+        for name in sorted(hist):
+            ts_l, v_l = hist[name]
+            fnames_out += [name] * len(ts_l)
             ts_out += ts_l
             vals_out += v_l
-        state.update((fids_out, ts_out, vals_out))
+        state.update((fnames_out, ts_out, vals_out))
         yield pd.DataFrame(
             rows, columns=["entity", "label_ts", "label", "features"]
         )
