@@ -1218,7 +1218,10 @@ PRIORITY: tuple[str, ...] = (
     "quality_model",
     "minhash_lsh_dedup",
     "embedding_topk",
-    "corpus_clean",
+    # Round-7: the trained-model pipeline composition (quality_model
+    # keep -> lang_id_model 'en' -> dedup_substrings). corpus_clean v1
+    # (green r1-r6) rotates out, stays pytest-oracle-covered.
+    "corpus_clean_v2",
     "embedding_ann_topk",
     "media_decode_real",
     # round-6 flagship: Arrow Flight gRPC round-trip over a DV'd Delta

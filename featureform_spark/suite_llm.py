@@ -1436,10 +1436,11 @@ def dedup_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_L = 8
 
 
-@query(
-    "dedup_substr",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _dedup_substr_sql(src: str = "documents") -> str:
+    """ExactSubstr oracle body, parameterized over the source relation
+    (corpus_clean_v2 runs it over a filtered base)."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
          n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
          s AS (SELECT doc_id, toks,
                       unnest(range(n - {_SUBSTR_L} + 1)) AS pos
@@ -1471,11 +1472,13 @@ _SUBSTR_L = 8
            coalesce(a.text_clean, '') AS text_clean,
            coalesce(a.n_kept, 0)::BIGINT AS n_kept,
            coalesce(n.n, 0)::BIGINT AS n_tokens
-    FROM documents d
+    FROM {src} d
     LEFT JOIN agg a USING (doc_id)
     LEFT JOIN n USING (doc_id)
-    """,
-)
+    """
+
+
+@query("dedup_substr", _dedup_substr_sql())
 def dedup_substr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True ExactSubstr dedup (Lee et al. 2022): every 8-token ROLLING
     shingle occurring more than once corpus-wide is removed at all but
@@ -1489,6 +1492,48 @@ def dedup_substr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings(
         load_table(spark, sf_dir, "documents"), min_tokens=_SUBSTR_L
     )
+
+
+def _corpus_clean_v2_oracle() -> str:
+    q = _quality_model_oracle()
+    lng = _lang_id_model_oracle()
+    dedup = _dedup_substr_sql("base")
+    # each stage's full query (own WITH scope) nests as a CTE subquery;
+    # the dedup body's leading WITH merges into the outer chain
+    dedup_body = dedup.strip()
+    assert dedup_body.startswith("WITH")
+    dedup_body = dedup_body[len("WITH"):]
+    return f"""
+    WITH q AS ({q}),
+         lng AS ({lng}),
+         base AS (SELECT d.doc_id, d.text
+                  FROM documents d
+                  JOIN q ON d.doc_id = q.doc_id
+                  JOIN lng ON d.doc_id = lng.doc_id
+                  WHERE q.keep AND lng.lang_pred = 'en'),
+    {dedup_body}
+    """
+
+
+@query("corpus_clean_v2", _corpus_clean_v2_oracle())
+def corpus_clean_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-model pipeline end-to-end: logistic quality KEEP ->
+    NB language ID == 'en' -> true ExactSubstr dedup over the
+    survivors. Every stage is the round-7 oracle-paired operator; the
+    composition's oracle nests each stage's full query as a CTE
+    subquery and chains the dedup body over the filtered base. Scale
+    shape: two narrow model projections feed doc-id semi-joins; dedup
+    adds its two hash shuffles — no corpus self-join anywhere."""
+    from featureform_spark.functions.dedup import dedup_substrings
+    from featureform_spark.functions.langid_model import lang_id_model
+    from featureform_spark.functions.quality_model import quality_model_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = quality_model_score(docs).filter(F.col("keep")).select("doc_id")
+    en = lang_id_model(docs).filter(F.col("lang_pred") == "en").select("doc_id")
+    base = docs.join(keep, "doc_id").join(en, "doc_id").select("doc_id", "text")
+    return dedup_substrings(base, min_tokens=_SUBSTR_L)
+
 
 
 # ---------------------------------------------------------------------------
