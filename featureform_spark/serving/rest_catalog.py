@@ -258,6 +258,8 @@ class IcebergRestCatalogServer:
 
             def do_POST(self):
                 kind, ns, name = self._route()
+                if kind == "tables":
+                    return self._create_table(ns)
                 if kind != "table":
                     return self._error(400, f"unknown route {self.path}")
                 tdir = self._table_dir(ns, name)
@@ -334,6 +336,102 @@ class IcebergRestCatalogServer:
                     {
                         "metadata-location": t._current_metadata_file(),
                         "metadata": new_md,
+                    },
+                )
+
+            def _create_table(self, ns: str):
+                """Spec CreateTableRequest: stage an EMPTY table (v1
+                metadata, no snapshots) through the same O_EXCL log —
+                external engines create here, then append through
+                commit / append_arrow."""
+                import time as _time
+                import uuid as _uuid
+
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    name = req["name"]
+                    schema = req["schema"]
+                    fields = schema["fields"]
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError):
+                    return self._error(400, "invalid CreateTableRequest")
+                if req.get("partition-spec", {}).get("fields"):
+                    return self._error(
+                        400,
+                        "partitioned create not supported over REST — "
+                        "create unpartitioned, or create through the "
+                        "engine API",
+                    )
+                root = os.path.realpath(outer.root)
+                ns_dir = os.path.realpath(os.path.join(root, ns))
+                if not ns_dir.startswith(root + os.sep) or not os.path.isdir(
+                    ns_dir
+                ):
+                    return self._error(404, f"namespace {ns!r}")
+                tdir = os.path.realpath(os.path.join(ns_dir, name))
+                if not tdir.startswith(ns_dir + os.sep):
+                    return self._error(400, f"invalid table name {name!r}")
+                if _is_iceberg_table(tdir):
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": f"table {ns}.{name} exists",
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                now = int(_time.time() * 1000)
+                schema = dict(schema)
+                schema.setdefault("type", "struct")
+                schema.setdefault("schema-id", 0)
+                md = {
+                    "format-version": 2,
+                    "table-uuid": str(_uuid.uuid4()),
+                    "location": tdir,
+                    "last-sequence-number": 0,
+                    "last-updated-ms": now,
+                    "last-column-id": max(
+                        (int(f["id"]) for f in fields), default=0
+                    ),
+                    "current-schema-id": int(schema["schema-id"]),
+                    "schemas": [schema],
+                    "default-spec-id": 0,
+                    "partition-specs": [{"spec-id": 0, "fields": []}],
+                    "last-partition-id": 999,
+                    "default-sort-order-id": 0,
+                    "sort-orders": [{"order-id": 0, "fields": []}],
+                    "properties": dict(req.get("properties") or {}),
+                    "current-snapshot-id": -1,
+                    "snapshots": [],
+                    "snapshot-log": [],
+                    "metadata-log": [],
+                }
+                from featureform_spark.sources.iceberg_protocol import (
+                    IcebergProtocolTable,
+                )
+
+                t = IcebergProtocolTable(None, tdir)
+                try:
+                    t._commit_metadata(md, 1)
+                except FileExistsError:
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": f"table {ns}.{name} exists",
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                return self._json(
+                    200,
+                    {
+                        "metadata-location": t._current_metadata_file(),
+                        "metadata": md,
                     },
                 )
 

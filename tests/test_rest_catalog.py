@@ -329,3 +329,73 @@ def test_commit_ignores_lagging_version_hint(catalog):
     finally:
         with open(hint, "w") as f:
             f.write(orig_hint)
+
+
+def test_create_table_then_ingest_and_commit(catalog, spark):
+    """Spec CreateTableRequest: an external engine creates an empty
+    table through the catalog, appends through the sessionless arrow
+    writer, commits properties through the commit endpoint, and the
+    result scans from Spark."""
+    import pyarrow as pa
+
+    server, _t = catalog
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"},
+        ],
+    }
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables",
+        {"name": "created_via_rest", "schema": schema,
+         "properties": {"owner": "ext"}},
+    )
+    assert code == 200, res
+    md = res["metadata"]
+    assert md["current-snapshot-id"] == -1 and md["snapshots"] == []
+    # discoverable + loadable
+    idents = _get(server, "/v1/namespaces/analytics/tables")["identifiers"]
+    assert {"namespace": ["analytics"], "name": "created_via_rest"} in idents
+    # duplicate create -> 409 AlreadyExists
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables",
+        {"name": "created_via_rest", "schema": schema},
+    )
+    assert code == 409 and res["error"]["type"] == "AlreadyExistsException"
+    # sessionless ingest into the created table
+    t = IcebergProtocolTable(spark, md["location"])
+    data = pa.table({"k": [1, 2, 3], "v": [1.5, 2.5, 3.5]})
+    t.append_arrow(data.to_reader())
+    assert sorted(map(tuple, t.snapshot().collect())) == [
+        (1, 1.5), (2, 2.5), (3, 3.5)
+    ]
+    # commit endpoint works on the created table
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/created_via_rest",
+        {"updates": [{"action": "set-properties",
+                      "updates": {"stage": "live"}}]},
+    )
+    assert code == 200
+    assert res["metadata"]["properties"]["stage"] == "live"
+    # invalid requests
+    code, _ = _post(
+        server, "/v1/namespaces/analytics/tables", {"name": "x"}
+    )
+    assert code == 400  # no schema
+    code, _ = _post(
+        server, "/v1/namespaces/ghost/tables",
+        {"name": "x", "schema": schema},
+    )
+    assert code == 404  # unknown namespace
+    code, _ = _post(
+        server,
+        "/v1/namespaces/analytics/tables",
+        {"name": "p", "schema": schema,
+         "partition-spec": {"fields": [{"name": "k"}]}},
+    )
+    assert code == 400  # partitioned create gated
