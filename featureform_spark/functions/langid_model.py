@@ -225,33 +225,49 @@ def lang_id_model(
         outer_args.append(F.create_map(*sub_args))
     table = F.create_map(*outer_args)
     tris = _trigrams_expr(text_col, n)
-    scored = df.select(
-        F.col(id_col), tris.alias("__tris")
-    ).withColumn(
-        "__scores",
-        F.aggregate(
-            F.col("__tris"),
-            prior0,
-            lambda acc, t: F.zip_with(
-                acc,
-                F.coalesce(
-                    F.try_element_at(
-                        F.try_element_at(table, t.substr(1, 1)), t
-                    ),
-                    floors,
+    fold = F.aggregate(
+        F.col("__tris"),
+        prior0,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.coalesce(
+                F.try_element_at(
+                    F.try_element_at(table, t.substr(1, 1)), t
                 ),
-                lambda a, b: a + b,
+                floors,
             ),
+            lambda a, b: a + b,
         ),
     )
-    idx = F.array_position(F.col("__scores"), F.array_max(F.col("__scores")))
+    # Generate barrier: higher-order folds run INTERPRETED (no
+    # whole-stage codegen, no subexpression elimination), and predicate
+    # pushdown substitutes projection expressions into filters — a
+    # downstream filter on lang_pred would re-evaluate the entire fold
+    # per reference (measured 38 s vs 4 s at sf0.1 for
+    # filter(lang_pred == 'en')). explode(array(struct(...))) emits
+    # exactly one row per row but is a Generate node: the fold
+    # evaluates ONCE and filters/projections stay above it.
+    scored = df.select(F.col(id_col), tris.alias("__tris")).select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    fold.alias("s"),
+                    F.size("__tris").alias("nt"),
+                )
+            )
+        ).alias("__x"),
+    )
+    scores = F.col("__x.s")
+    nt = F.col("__x.nt")
+    idx = F.array_position(scores, F.array_max(scores))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
     return scored.select(
         F.col(id_col),
-        F.when(F.size("__tris") == 0, F.lit("und"))
+        F.when(nt == 0, F.lit("und"))
         .otherwise(F.element_at(lang_arr, idx.cast("int")))
         .alias("lang_pred"),
-        F.when(F.size("__tris") == 0, F.lit(0.0))
-        .otherwise(F.round(F.element_at(F.col("__scores"), idx.cast("int")), 6))
+        F.when(nt == 0, F.lit(0.0))
+        .otherwise(F.round(F.element_at(scores, idx.cast("int")), 6))
         .alias("nb_score"),
     )
