@@ -23,6 +23,39 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def compact_line(
+    out: dict,
+    timings: dict,
+    errors: dict,
+    artifact: str,
+    budget: int = 1900,
+) -> str:
+    """One JSON line guaranteed <= budget chars: the driver records
+    only the last 2000 chars of stdout, so a longer line loses its
+    head and parses as nothing (rounds 2-6 all did). Fastest queries
+    drop first; the full map always lives in the artifact file."""
+    compact = dict(out)
+    compact.pop("first_run", None)
+    compact.pop("retimed_vs_prior", None)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in errors.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        by_cost = sorted(timings, key=lambda k: (-timings[k], k))
+        compact["n_queries"] = len(timings)
+        compact["full_artifact"] = artifact
+        keep = len(by_cost)
+        while keep > 0 and len(line) > budget:
+            keep -= 1
+            compact["queries"] = {
+                k: round(timings[k], 2) for k in sorted(by_cost[:keep])
+            }
+            compact["queries_omitted"] = len(timings) - keep
+            line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -189,26 +222,7 @@ def main() -> None:
     # ("queries_omitted" says how many; BENCH_local*.json always holds
     # the complete per-query map).
     tail_budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
-    compact = dict(out)
-    compact.pop("first_run", None)
-    compact.pop("retimed_vs_prior", None)
-    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    if errors:
-        compact["errors"] = {k: v[:80] for k, v in errors.items()}
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > tail_budget:
-        by_cost = sorted(timings, key=lambda k: (-timings[k], k))
-        compact["n_queries"] = len(timings)
-        compact["full_artifact"] = artifact
-        keep = len(by_cost)
-        while keep > 0 and len(line) > tail_budget:
-            keep -= 1
-            compact["queries"] = {
-                k: round(timings[k], 2) for k in sorted(by_cost[:keep])
-            }
-            compact["queries_omitted"] = len(timings) - keep
-            line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(compact_line(out, timings, errors, artifact, tail_budget))
 
 
 if __name__ == "__main__":

@@ -174,6 +174,27 @@ def test_lang_id_model_beats_heuristic(spark):
     assert nb_acc > heur_acc
 
 
+def test_lang_id_model_fold_evaluates_once_under_filter(spark):
+    """Plan guard for the Generate barrier: a filter on lang_pred must
+    NOT re-inline the per-trigram fold into its predicate (predicate
+    pushdown substitution cost 38 s vs 4 s at sf0.1). The optimized
+    plan keeps one Generate and exactly one aggregate(...) fold."""
+    from featureform_spark.functions.langid_model import lang_id_model
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "the weather is good")], "doc_id long, text string"
+    )
+    filtered = (
+        lang_id_model(df)
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id")
+    )
+    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan
+    assert "Generate" in plan
+
+
 def test_lang_id_model_edge_cases(spark):
     from featureform_spark.functions.langid_model import lang_id_model
 
