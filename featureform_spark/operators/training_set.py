@@ -59,6 +59,44 @@ def _ts_expr(ts_col: str | None, default: str) -> Column:
     return F.coalesce(F.col(ts_col).cast("timestamp"), F.lit(default).cast("timestamp"))
 
 
+def resolve_labels(
+    df: DataFrame,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    ts_col: str | None = None,
+    order_col: str | None = None,
+    out_entity: str = "entity",
+    out_value: str = "value",
+    out_ts: str = "ts",
+) -> DataFrame:
+    """Reference label resolution (client/tests/serving_cases.py
+    ``labels``, "WithSameTimestamp"): duplicate (entity, ts) label rows
+    collapse LAST-WRITE-WINS — one label per (entity, timestamp), not
+    per entity (unlike materialize). No-ts labels collapse per entity.
+    One partial-aggregated groupBy; ``order_col`` is the ingestion
+    index (falls back to partition layout with the usual warning)."""
+    from featureform_spark.operators.materialize import _ord_or_warn
+
+    ord_expr = _ord_or_warn(order_col, ts_col, "resolve_labels")
+    keys = [F.col(entity_col).alias(out_entity)]
+    if ts_col is not None:
+        keys.append(F.col(ts_col).cast("timestamp").alias(out_ts))
+    packed = df.select(
+        *keys,
+        F.struct(
+            ord_expr.alias("ord"), F.col(value_col).alias("value")
+        ).alias("_m"),
+    )
+    latest = packed.groupBy(
+        *[out_entity] + ([out_ts] if ts_col is not None else [])
+    ).agg(F.max("_m").alias("_m"))
+    return latest.select(
+        out_entity,
+        *( [out_ts] if ts_col is not None else [] ),
+        F.col("_m.value").alias(out_value),
+    )
+
+
 def point_in_time_join(
     label: DataFrame,
     features: list[FeatureInput],

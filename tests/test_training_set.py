@@ -166,3 +166,48 @@ def test_null_entity_label_kept_with_null_features(spark):
     out = point_in_time_join(label, [feat], "entity", "value", "ts")
     rows = out_rows(out, ["entity", "f1", "label"])
     assert rows == {("a", "x", "La"), (None, None, "Lnull")}
+
+
+def test_resolve_labels_truth_table(spark):
+    """Reference serving_cases.py `labels` tables: labels pass through
+    one row per (entity, ts); duplicate (entity, ts) rows collapse
+    last-write-wins ("WithSameTimestamp": a -> 3); no-ts labels
+    collapse per entity."""
+    import datetime as dt
+
+    from featureform_spark.operators.training_set import resolve_labels
+
+    ts0 = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [("a", 1, ts0, 0), ("b", 2, ts0, 1), ("a", 3, ts0, 2)]
+    df = spark.createDataFrame(
+        rows, "entity string, value long, ts timestamp, ord long"
+    )
+    got = {
+        (r["entity"],): r["value"]
+        for r in resolve_labels(
+            df, "entity", "value", "ts", order_col="ord"
+        ).collect()
+    }
+    assert got == {("a",): 3, ("b",): 2}
+    # distinct timestamps both survive (per (entity, ts), not entity)
+    ts1 = ts0 + dt.timedelta(days=1)
+    df2 = spark.createDataFrame(
+        [("a", 1, ts0, 0), ("a", 9, ts1, 1)],
+        "entity string, value long, ts timestamp, ord long",
+    )
+    assert resolve_labels(df2, "entity", "value", "ts", order_col="ord").count() == 2
+    # no-ts: per entity, last write wins ("Simple" + dup)
+    df3 = spark.createDataFrame(
+        [("a", 1, 0), ("b", 2, 1), ("a", 4, 2)],
+        "entity string, value long, ord long",
+    )
+    got3 = {
+        r["entity"]: r["value"]
+        for r in resolve_labels(
+            df3, "entity", "value", None, order_col="ord"
+        ).collect()
+    }
+    assert got3 == {"a": 4, "b": 2}
+    # empty passes through empty
+    empty = spark.createDataFrame([], "entity string, value long, ord long")
+    assert resolve_labels(empty, "entity", "value", None, order_col="ord").count() == 0
