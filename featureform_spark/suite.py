@@ -69,6 +69,30 @@ def materialize_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_resolution",
+    """
+    SELECT entity, ts, value FROM (
+      SELECT user_id AS entity, ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def label_resolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference label resolution (serving_cases.py labels tables):
+    duplicate (entity, timestamp) label rows collapse last-write-wins
+    — one label per (entity, ts), unlike materialize's one-per-entity.
+    One partial-aggregated groupBy, no window."""
+    from featureform_spark.operators.training_set import resolve_labels
+
+    events = load_table(spark, sf_dir, "events")
+    return resolve_labels(
+        events, "user_id", "value", "ts", order_col="event_id"
+    )
+
+
+@query(
     "materialize_no_ts",
     """
     SELECT entity, value, TIMESTAMP '1970-01-01 00:00:00' AS ts FROM (
