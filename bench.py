@@ -53,6 +53,18 @@ def compact_line(
             }
             compact["queries_omitted"] = len(timings) - keep
             line = json.dumps(compact, separators=(",", ":"))
+        # a mass-error run can blow the budget through the errors block
+        # alone — trim error entries too (the full dict is in the
+        # artifact), keeping the count visible
+        err_names = sorted(errors)
+        keep_e = len(err_names)
+        while keep_e > 0 and len(line) > budget:
+            keep_e -= 1
+            compact["errors"] = {
+                k: errors[k][:80] for k in err_names[:keep_e]
+            }
+            compact["errors_omitted"] = len(errors) - keep_e
+            line = json.dumps(compact, separators=(",", ":"))
     return line
 
 

@@ -347,16 +347,42 @@ class IcebergRestCatalogServer:
                 import time as _time
                 import uuid as _uuid
 
+                def _exists_409():
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": f"table {ns}.{name} exists",
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+
+                # validate the ENTIRE request shape up front — any
+                # malformed body is a clean 400, never a dead connection
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     name = req["name"]
-                    schema = req["schema"]
+                    if not isinstance(name, str) or not name:
+                        raise ValueError("name must be a non-empty string")
+                    schema = dict(req["schema"])
+                    schema.setdefault("type", "struct")
+                    schema.setdefault("schema-id", 0)
+                    schema_id = int(schema["schema-id"])
                     fields = schema["fields"]
+                    last_col_id = max(
+                        (int(f["id"]) for f in fields), default=0
+                    )
+                    spec_fields = (req.get("partition-spec") or {}).get(
+                        "fields"
+                    )
+                    properties = dict(req.get("properties") or {})
                 except (ValueError, KeyError, TypeError,
-                        json.JSONDecodeError):
+                        AttributeError, json.JSONDecodeError):
                     return self._error(400, "invalid CreateTableRequest")
-                if req.get("partition-spec", {}).get("fields"):
+                if spec_fields:
                     return self._error(
                         400,
                         "partitioned create not supported over REST — "
@@ -370,63 +396,49 @@ class IcebergRestCatalogServer:
                 ):
                     return self._error(404, f"namespace {ns!r}")
                 tdir = os.path.realpath(os.path.join(ns_dir, name))
-                if not tdir.startswith(ns_dir + os.sep):
+                # confine AND flat: 'sub/t' would create a table no
+                # read/list/commit route can ever address
+                if (
+                    not tdir.startswith(ns_dir + os.sep)
+                    or os.path.dirname(tdir) != ns_dir
+                ):
                     return self._error(400, f"invalid table name {name!r}")
-                if _is_iceberg_table(tdir):
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": f"table {ns}.{name} exists",
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
-                    )
+                from featureform_spark.sources.iceberg_protocol import (
+                    IcebergProtocolTable,
+                )
+
+                t = IcebergProtocolTable(None, tdir)
+                # check for actual metadata VERSIONS, not a bare
+                # metadata/ dir — a crash between makedirs and the
+                # O_EXCL link must not brick the name; the link below
+                # stays the sole arbiter of the race
+                if t._metadata_files():
+                    return _exists_409()
                 now = int(_time.time() * 1000)
-                schema = dict(schema)
-                schema.setdefault("type", "struct")
-                schema.setdefault("schema-id", 0)
                 md = {
                     "format-version": 2,
                     "table-uuid": str(_uuid.uuid4()),
                     "location": tdir,
                     "last-sequence-number": 0,
                     "last-updated-ms": now,
-                    "last-column-id": max(
-                        (int(f["id"]) for f in fields), default=0
-                    ),
-                    "current-schema-id": int(schema["schema-id"]),
+                    "last-column-id": last_col_id,
+                    "current-schema-id": schema_id,
                     "schemas": [schema],
                     "default-spec-id": 0,
                     "partition-specs": [{"spec-id": 0, "fields": []}],
                     "last-partition-id": 999,
                     "default-sort-order-id": 0,
                     "sort-orders": [{"order-id": 0, "fields": []}],
-                    "properties": dict(req.get("properties") or {}),
+                    "properties": properties,
                     "current-snapshot-id": -1,
                     "snapshots": [],
                     "snapshot-log": [],
                     "metadata-log": [],
                 }
-                from featureform_spark.sources.iceberg_protocol import (
-                    IcebergProtocolTable,
-                )
-
-                t = IcebergProtocolTable(None, tdir)
                 try:
                     t._commit_metadata(md, 1)
                 except FileExistsError:
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": f"table {ns}.{name} exists",
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
-                    )
+                    return _exists_409()
                 return self._json(
                     200,
                     {

@@ -54,3 +54,13 @@ def test_errors_are_clipped_not_dropped():
     line = compact_line(out, timings, errors, "BENCH_local.json")
     doc = json.loads(line)
     assert len(doc["errors"]["q1"]) == 80
+
+
+def test_mass_errors_still_fit_budget():
+    out, timings = _mk(50)
+    errors = {f"errored_query_{i:03d}": "y" * 500 for i in range(40)}
+    out["errors"] = errors
+    line = compact_line(out, timings, errors, "BENCH_local.json")
+    assert len(line) <= 1900, len(line)
+    doc = json.loads(line)
+    assert doc.get("errors_omitted", 0) + len(doc.get("errors", {})) == 40

@@ -190,7 +190,15 @@ def test_lang_id_model_fold_evaluates_once_under_filter(spark):
         .filter(F.col("lang_pred") == "en")
         .select("doc_id")
     )
-    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    # raise the toString field cap: truncation ('... N more fields')
+    # could hide a duplicated fold and falsely pass the guard
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    assert "more fields" not in plan
     assert plan.count("aggregate(") == 1, plan
     assert "Generate" in plan
 

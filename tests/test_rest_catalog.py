@@ -399,3 +399,53 @@ def test_create_table_then_ingest_and_commit(catalog, spark):
          "partition-spec": {"fields": [{"name": "k"}]}},
     )
     assert code == 400  # partitioned create gated
+
+
+def test_create_table_malformed_and_nested_names(catalog):
+    """Review r7: malformed CreateTableRequests must 400 cleanly (they
+    previously killed the connection) and slash-names must be rejected
+    (they created tables no route could ever address)."""
+    server, _t = catalog
+    good_schema = {
+        "fields": [{"id": 1, "name": "k", "required": False,
+                    "type": "long"}]
+    }
+    bad = [
+        {"name": "m1", "schema": {"fields": [{"name": "k"}]}},  # no id
+        {"name": "m2", "schema": good_schema, "partition-spec": None},
+        {"name": 5, "schema": good_schema},                     # non-str
+        {"name": "m3", "schema": {"fields": "abc"}},
+        {"name": "m4", "schema": {"fields": [], "schema-id": "x"}},
+        {"name": "", "schema": good_schema},
+    ]
+    for payload in bad:
+        code, res = _post(
+            server, "/v1/namespaces/analytics/tables", payload
+        )
+        # partition-spec None is VALID (absent); everything else 400
+        if payload.get("name") == "m2":
+            assert code == 200, res
+        else:
+            assert code == 400, (payload, res)
+    code, _res = _post(
+        server,
+        "/v1/namespaces/analytics/tables",
+        {"name": "sub/nested", "schema": good_schema},
+    )
+    assert code == 400
+    # a crashed create (bare metadata dir, no versions) must not brick
+    # the name
+    import pathlib
+
+    ns_dir = pathlib.Path(
+        _get(server, "/v1/namespaces/analytics/tables/orders")[
+            "metadata"
+        ]["location"]
+    ).parent
+    (ns_dir / "half_created" / "metadata").mkdir(parents=True)
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables",
+        {"name": "half_created", "schema": good_schema},
+    )
+    assert code == 200, res
