@@ -149,6 +149,45 @@ def quality_signals(
     )
 
 
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-style reading-ease per document, fully in codegen.
+
+    Words = whitespace tokens; sentences = runs of [.!?] (floor 1);
+    syllables approximated by vowel-group count over the whole text —
+    the classic public heuristic, chosen because every term is a count
+    or a ratio of counts: pure IEEE double arithmetic both engines
+    execute identically, so the score hash-matches with no tolerance
+    (no logs, no libm). One narrow projection, no shuffle."""
+    from featureform_spark.functions.text import tokens_expr
+
+    n_words = F.size(tokens_expr(text_col)).cast("double")
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("double"),
+        F.lit(1.0),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0
+        )
+    ).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.when(n_words > 0, flesch).otherwise(F.lit(None)).alias(
+            "flesch"
+        ),
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -177,6 +177,34 @@ def lang_id_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_model(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "readability",
+    f"""
+    SELECT doc_id,
+           len({_TOKS})::BIGINT AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+'))::DOUBLE, 1.0)::BIGINT
+             AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+             AS n_syllables,
+           CASE WHEN len({_TOKS}) > 0 THEN
+             206.835
+             - 1.015 * (len({_TOKS})::DOUBLE
+                        / greatest(len(regexp_extract_all(text, '[.!?]+'))::DOUBLE, 1.0))
+             - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+                       / len({_TOKS})::DOUBLE)
+           END AS flesch
+    FROM documents
+    """,
+)
+def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading ease: counts and ratios of counts only —
+    pure IEEE arithmetic, bit-identical across engines (no libm). One
+    codegen projection."""
+    from featureform_spark.functions.quality import readability
+
+    return readability(load_table(spark, sf_dir, "documents"))
+
+
 def _quality_model_oracle() -> str:
     from featureform_spark.functions.quality_model import (
         STOPWORDS,

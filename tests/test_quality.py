@@ -170,3 +170,23 @@ def test_repetition_signals_exact_fractions(spark):
     # occ=2, ch=9 -> dup chars 18; total = 18 + 4*9 = 54
     assert abs(r["dup5_char_frac"] - 18 / 54) < 1e-12
     assert r["keep_repetition"] == 0  # dup5 0.33 >= 0.15
+
+
+def test_readability_hand_computed(spark):
+    from featureform_spark.functions.quality import readability
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat. it was flat! ok?"),
+         (1, "no punctuation here at all"),
+         (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    r0 = out[0]
+    # words=7, sentence runs=3 ('.','!','?'), vowel groups:
+    # e,a,a,i,a,a,o = 7
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (7, 3, 7)
+    expect = 206.835 - 1.015 * (7.0 / 3.0) - 84.6 * (7.0 / 7.0)
+    assert out[0]["flesch"] == expect
+    assert out[1]["n_sentences"] == 1  # floor
+    assert out[2]["flesch"] is None and out[2]["n_words"] == 0
