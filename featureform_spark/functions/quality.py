@@ -188,6 +188,58 @@ def readability(
     )
 
 
+def code_detect(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    symbol_threshold: float = 0.05,
+    brace_threshold: float = 0.01,
+) -> DataFrame:
+    """Code-vs-prose routing signals (the standard pipeline stage that
+    sends code-looking documents to a code-data path): symbol density
+    ({}();=[]<> per char), brace+semicolon density, digit ratio, and
+    an indented-line fraction — all counts and ratios of counts, so
+    the flag and every signal hash-match across engines exactly. One
+    codegen projection, no shuffle."""
+    n_chars = F.length(F.col(text_col)).cast("double")
+    def _density(pattern: str):
+        return (
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+            ).cast("double")
+            / n_chars
+        )
+
+    symbol_density = _density(r"[{}();=\[\]<>]")
+    brace_density = _density(r"[{};]")
+    digit_ratio = _density(r"[0-9]")
+    lines = F.split(F.col(text_col), "\n")
+    indent_frac = (
+        F.size(
+            F.filter(lines, lambda ln: ln.rlike(r"^(    |\t)"))
+        ).cast("double")
+        / F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    )
+    zero = F.lit(0.0)
+    guard = n_chars > 0
+    cols = {
+        "symbol_density": symbol_density,
+        "brace_density": brace_density,
+        "digit_ratio": digit_ratio,
+        "indent_frac": indent_frac,
+    }
+    sym = F.when(guard, symbol_density).otherwise(zero)
+    brc = F.when(guard, brace_density).otherwise(zero)
+    return df.select(
+        F.col(id_col),
+        *[F.when(guard, e).otherwise(zero).alias(n) for n, e in cols.items()],
+        (
+            (sym > F.lit(float(symbol_threshold)))
+            & (brc > F.lit(float(brace_threshold)))
+        ).alias("is_code"),
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -205,6 +205,46 @@ def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(load_table(spark, sf_dir, "documents"))
 
 
+_CODE_SYM = "[{}();=\\[\\]<>]"
+_CODE_BRC = "[{};]"
+
+
+@query(
+    "code_detect",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n,
+             len(regexp_extract_all(text, '{{_sym}}'))::DOUBLE AS sym,
+             len(regexp_extract_all(text, '{{_brc}}'))::DOUBLE AS brc,
+             len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dig,
+             string_split(text, chr(10)) AS lines
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN n > 0 THEN sym / n ELSE 0.0 END AS symbol_density,
+           CASE WHEN n > 0 THEN brc / n ELSE 0.0 END AS brace_density,
+           CASE WHEN n > 0 THEN dig / n ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN
+             len(list_filter(lines,
+                 x -> regexp_matches(x, '^(    |\t)')))::DOUBLE
+             / greatest(len(lines)::DOUBLE, 1.0)
+           ELSE 0.0 END AS indent_frac,
+           (CASE WHEN n > 0 THEN sym / n ELSE 0.0 END) > 0.05
+           AND (CASE WHEN n > 0 THEN brc / n ELSE 0.0 END) > 0.01
+             AS is_code
+    FROM b
+    """.replace("{{_sym}}", _CODE_SYM).replace("{{_brc}}", _CODE_BRC),
+)
+def code_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing (the stage that sends code-looking docs
+    to a code-data path): symbol/brace/digit densities + indented-line
+    fraction, all counts and ratios of counts — bit-exact across
+    engines. One codegen projection."""
+    from featureform_spark.functions.quality import code_detect
+
+    return code_detect(load_table(spark, sf_dir, "documents"))
+
+
 def _quality_model_oracle() -> str:
     from featureform_spark.functions.quality_model import (
         STOPWORDS,

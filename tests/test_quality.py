@@ -190,3 +190,24 @@ def test_readability_hand_computed(spark):
     assert out[0]["flesch"] == expect
     assert out[1]["n_sentences"] == 1  # floor
     assert out[2]["flesch"] is None and out[2]["n_words"] == 0
+
+
+def test_code_detect_routes_code_vs_prose(spark):
+    from featureform_spark.functions.quality import code_detect
+
+    code = (
+        "def f(x):\n    y = [i for i in range(x)];\n    return {z: y}\n"
+        "class A:\n    pass"
+    )
+    prose = (
+        "the committee reviewed the proposal in detail and concluded "
+        "that the budget was reasonable but the timeline needed more time"
+    )
+    df = spark.createDataFrame(
+        [(0, code), (1, prose), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert out[0]["is_code"] and not out[1]["is_code"]
+    assert out[0]["indent_frac"] > 0.3
+    assert out[1]["symbol_density"] == 0.0
+    assert not out[2]["is_code"] and out[2]["symbol_density"] == 0.0
