@@ -1231,7 +1231,11 @@ PRIORITY: tuple[str, ...] = (
     "delta_cdf_incremental",
     "iceberg_protocol_read",
     "iceberg_scan_planning",
-    "text_stats",
+    # Round-7 late rotation: reference label-resolution semantics
+    # (last-write-wins per (entity, ts)) — never driver-checked.
+    # text_stats (green r1-r6) rotates out, stays
+    # pytest-oracle-covered.
+    "label_resolution",
     # Round-7: trained char-trigram NB language ID (verdict r6 #4)
     # replaces the marker-heuristic row; lang_id (green r1-r6) stays
     # pytest-oracle-covered.
@@ -1241,7 +1245,10 @@ PRIORITY: tuple[str, ...] = (
     # out, stays pytest-oracle-covered.
     "quality_model",
     "minhash_lsh_dedup",
-    "embedding_topk",
+    # Round-7 late rotation: Flesch-style readability — never
+    # driver-checked. embedding_topk (green r1-r6) rotates out, stays
+    # pytest-oracle-covered.
+    "readability",
     # Round-7: the trained-model pipeline composition (quality_model
     # keep -> lang_id_model 'en' -> dedup_substrings). corpus_clean v1
     # (green r1-r6) rotates out, stays pytest-oracle-covered.
@@ -1254,7 +1261,10 @@ PRIORITY: tuple[str, ...] = (
     # round-6 flagship: iceberg v3 deletion vectors (decontaminate
     # r5-green, stays pytest-oracle-covered)
     "iceberg_v3_dv",
-    "sequence_packing",
+    # Round-7 late rotation: code-vs-prose routing signals — never
+    # driver-checked. sequence_packing (green r1-r6) rotates out,
+    # stays pytest-oracle-covered.
+    "code_detect",
     # Round-6 rotation (verdict r5 #3): slots 39-50 carry the LAST
     # eight never-driver-checked rotatable queries
     # (contamination_top_ngrams, corpus_mix_summary, packing_efficiency,
