@@ -202,10 +202,12 @@ class IvfPqIndex:
         k: int = 10,
         nprobe: int = 4,
         rerank: int = 100,
+        **_compat,
     ) -> list[tuple[int, float]]:
         """Pure-numpy IVFADC query: returns [(id, l2_distance)] — exact
         distances when re-ranking (needs ``keep_vectors``), ADC
-        estimates otherwise."""
+        estimates otherwise. ``**_compat`` swallows graph-index kwargs
+        (ef) so Flight treats every registered index uniformly."""
         with self._lock:
             return self._query(vector, k, nprobe, rerank)
 

@@ -517,11 +517,17 @@ class DatasetStreamerServer:
         vector = spec.get("vector")
         if not isinstance(vector, list) or not vector:
             raise TicketError("'nearest.vector' must be a non-empty list")
+        kwargs = {
+            key: int(spec[key])
+            for key in ("nprobe", "rerank", "ef")
+            if key in spec
+        }
+        kwargs.setdefault("nprobe", 8)
+        kwargs.setdefault("rerank", 100)
         hits = ix.query(
             [float(x) for x in vector],
             k=int(spec.get("k", 10)),
-            nprobe=int(spec.get("nprobe", 8)),
-            rerank=int(spec.get("rerank", 100)),
+            **kwargs,
         )
         table = pa.table(
             {

@@ -69,13 +69,27 @@ class InMemoryOnlineStore:
             df[id_col].alias("vec_id"), df[vec_col].alias("embedding")
         )
 
-    def build_ann_index(self, name: str, **kw) -> None:
-        """Build the in-RAM IVFADC index for a registered vector set —
-        the reference's embeddinghub shape (index built/held in the
-        serving process, queries never run a storage job)."""
-        from featureform_spark.serving.ann_index import IvfPqIndex
+    def build_ann_index(self, name: str, algo: str = "ivfpq", **kw) -> None:
+        """Build the in-RAM index for a registered vector set — the
+        reference's embeddinghub shape (index built/held in the serving
+        process, queries never run a storage job). ``algo``:
+        ``"ivfpq"`` (IVFADC cells+codes), ``"hnsw"`` (the reference's
+        actual hnswlib structure, numpy reimplementation), or
+        ``"hnsw_sharded"`` (per-partition graphs built executor-side)."""
+        if algo == "ivfpq":
+            from featureform_spark.serving.ann_index import IvfPqIndex
 
-        self._ann[name] = IvfPqIndex.build(self._vectors[name], **kw)
+            self._ann[name] = IvfPqIndex.build(self._vectors[name], **kw)
+        elif algo == "hnsw":
+            from featureform_spark.serving.hnsw_index import HnswIndex
+
+            self._ann[name] = HnswIndex.build(self._vectors[name], **kw)
+        elif algo == "hnsw_sharded":
+            from featureform_spark.serving.hnsw_index import ShardedHnsw
+
+            self._ann[name] = ShardedHnsw.build(self._vectors[name], **kw)
+        else:
+            raise ValueError(f"unknown ANN algo: {algo!r}")
 
     def add_vectors(self, name: str, ids: list, vectors: list) -> None:
         """Incremental write path: new vectors become queryable

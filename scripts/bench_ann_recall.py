@@ -39,10 +39,14 @@ def main() -> None:
 
     from featureform_spark.serving.ann_index import IvfPqIndex
 
-    # serving-side in-RAM index: built ONCE (the reference's
+    # serving-side in-RAM indexes: built ONCE (the reference's
     # embeddinghub shape), queried per qid in numpy
     serving_ix = IvfPqIndex.build(emb, num_cells=16, m=8, ksub=64)
-    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": []}
+    from featureform_spark.serving.hnsw_index import HnswIndex, ShardedHnsw
+
+    hnsw_ix = HnswIndex.build(emb, m=16, ef_construction=100)
+    hnsw_sh = ShardedHnsw.build(emb, shards=4, m=16, ef_construction=100)
+    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": [], "hnsw": [], "hnsw_sharded": []}
     for qid in query_ids:
         qvec = [
             float(x)
@@ -102,6 +106,10 @@ def main() -> None:
         recalls["ivfpq"].append(len(ivfpq & exact_l2) / k)
         srv = {i for i, _ in serving_ix.query(qvec, k=k, nprobe=8, rerank=200)}
         recalls["ivfpq_serving"].append(len(srv & exact_l2) / k)
+        hn = {i for i, _ in hnsw_ix.query(qvec, k=k, ef=64)}
+        recalls["hnsw"].append(len(hn & exact_l2) / k)
+        hs = {i for i, _ in hnsw_sh.query(qvec, k=k, ef=64)}
+        recalls["hnsw_sharded"].append(len(hs & exact_l2) / k)
 
     out = {
         "metric": "ann_recall_at_k",

@@ -401,3 +401,38 @@ def test_nearest_over_flight(served, sf_dir):
     # connection (TicketError crosses the wire as ArrowInvalid)
     with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
         _client_read(server, {"nearest": {"index": "nope", "vector": qvec}})
+
+
+def test_nearest_hnsw_over_flight(served, sf_dir):
+    """The graph index behind the same wire surface: register an
+    HnswIndex under a second name, query with an 'ef' ticket param
+    (IVF-style nprobe/rerank params are swallowed, so one client code
+    path serves both index kinds)."""
+    from featureform_spark.serving.hnsw_index import HnswIndex
+    from featureform_spark.sources.testdata import load_table
+
+    spark, server, _dt, _it, _orders = served
+    emb = load_table(spark, sf_dir, "embeddings")
+    server.register_index("emb_hnsw", HnswIndex.build(emb, m=8, ef_construction=50))
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 4).first()["embedding"]
+    ]
+    got = _client_read(
+        server,
+        {"nearest": {"index": "emb_hnsw", "vector": qvec, "k": 5, "ef": 64}},
+    )
+    assert got.column("vec_id")[0].as_py() == 4
+    assert got.column("distance")[0].as_py() == 0.0
+    assert got.num_rows == 5
+    # a ticket carrying IVF params against the graph index still works
+    got2 = _client_read(
+        server,
+        {
+            "nearest": {
+                "index": "emb_hnsw", "vector": qvec, "k": 3,
+                "nprobe": 8, "rerank": 100,
+            }
+        },
+    )
+    assert got2.column("vec_id")[0].as_py() == 4
