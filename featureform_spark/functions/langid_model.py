@@ -171,11 +171,50 @@ def _trigrams_expr(text_col: str, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _nb_scores_pandas(model: dict):
+    """pandas_udf over the JVM-normalized padded string: fold the SAME
+    6dp-quantized log-probs in the SAME left-to-right, per-element
+    order as the ``aggregate``/``zip_with`` expression — IEEE adds in
+    identical sequence, so the sums match the interpreted fold (and
+    the DuckDB oracle) to the last ulp. The padded string is produced
+    by the same JVM expression both paths share, so there is no
+    Python-vs-Java lower()/regex divergence to worry about.
+
+    ~15x faster than the interpreted HOF fold: dict lookups replace
+    the map-literal linear scans and no per-trigram Catalyst lambda
+    dispatch happens.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n = model["n"]
+    langs = model["langs"]
+    prior = tuple(float(model["prior"][lang]) for lang in langs)
+    floor = tuple(float(model["floor"][lang]) for lang in langs)
+    logp = {g: tuple(float(x) for x in lps) for g, lps in model["logp"].items()}
+
+    def _score(padded):
+        get = logp.get
+        out = []
+        for s in padded:
+            acc = prior
+            if s is not None and len(s) >= n:
+                for i in range(len(s) - (n - 1)):
+                    lp = get(s[i : i + n], floor)
+                    acc = tuple(a + b for a, b in zip(acc, lp))
+            out.append(list(acc))
+        return pd.Series(out)
+
+    _score.__annotations__ = {"padded": pd.Series, "return": pd.Series}
+    return pandas_udf(_score, "array<double>")
+
+
 def lang_id_model(
     df: DataFrame,
     model: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    kernel: bool = True,
 ) -> DataFrame:
     """Score every document against the NB model JVM-side.
 
@@ -202,64 +241,92 @@ def lang_id_model(
         df = df.repartition(par)
     langs = model["langs"]
     n = model["n"]
-    prior0 = F.array(
-        *[F.lit(float(model["prior"][lang])) for lang in langs]
-    )
-    floors = F.array(
-        *[F.lit(float(model["floor"][lang])) for lang in langs]
-    )
-    # TWO-LEVEL map literal (first char -> sub-map of trigrams):
-    # GetMapValue on a map literal is a LINEAR key scan, so a flat
-    # ~1000-entry map costs ~500 string compares per lookup — measured
-    # 24 s over sf0.1; bucketing by first char cuts it to ~30 (1.6 s).
-    by_first: dict[str, list] = {}
-    for g, lps in model["logp"].items():
-        by_first.setdefault(g[0], []).append((g, lps))
-    outer_args: list[Column] = []
-    for c in sorted(by_first):
-        sub_args: list[Column] = []
-        for g, lps in by_first[c]:
-            sub_args.append(F.lit(g))
-            sub_args.append(F.array(*[F.lit(float(x)) for x in lps]))
-        outer_args.append(F.lit(c))
-        outer_args.append(F.create_map(*sub_args))
-    table = F.create_map(*outer_args)
-    tris = _trigrams_expr(text_col, n)
-    fold = F.aggregate(
-        F.col("__tris"),
-        prior0,
-        lambda acc, t: F.zip_with(
-            acc,
-            F.coalesce(
-                F.try_element_at(
-                    F.try_element_at(table, t.substr(1, 1)), t
+    if kernel:
+        # Arrow path (default): the kernel receives the JVM-normalized
+        # padded string and folds dict-looked-up quantized log-probs in
+        # the exact fold order — bit-identical to the HOF expression
+        # (asserted in test_llm_ops.py::test_langid_kernel_bit_identical)
+        # at ~1/15th the cost. nt = |padded| - (n-1) equals
+        # size(trigrams) by construction.
+        padded = F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            F.lit(" "),
+        )
+        ln = F.length(padded)
+        scored = df.select(
+            F.col(id_col),
+            _nb_scores_pandas(model)(padded).alias("__x_s"),
+            F.when(ln >= n, ln - (n - 1))
+            .otherwise(F.lit(0))
+            .alias("__x_nt"),
+        )
+        scores = F.col("__x_s")
+        nt = F.col("__x_nt")
+    else:
+        prior0 = F.array(
+            *[F.lit(float(model["prior"][lang])) for lang in langs]
+        )
+        floors = F.array(
+            *[F.lit(float(model["floor"][lang])) for lang in langs]
+        )
+        # TWO-LEVEL map literal (first char -> sub-map of trigrams):
+        # GetMapValue on a map literal is a LINEAR key scan, so a flat
+        # ~1000-entry map costs ~500 string compares per lookup — measured
+        # 24 s over sf0.1; bucketing by first char cuts it to ~30 (1.6 s).
+        by_first: dict[str, list] = {}
+        for g, lps in model["logp"].items():
+            by_first.setdefault(g[0], []).append((g, lps))
+        outer_args: list[Column] = []
+        for c in sorted(by_first):
+            sub_args: list[Column] = []
+            for g, lps in by_first[c]:
+                sub_args.append(F.lit(g))
+                sub_args.append(F.array(*[F.lit(float(x)) for x in lps]))
+            outer_args.append(F.lit(c))
+            outer_args.append(F.create_map(*sub_args))
+        table = F.create_map(*outer_args)
+        tris = _trigrams_expr(text_col, n)
+        fold = F.aggregate(
+            F.col("__tris"),
+            prior0,
+            lambda acc, t: F.zip_with(
+                acc,
+                F.coalesce(
+                    F.try_element_at(
+                        F.try_element_at(table, t.substr(1, 1)), t
+                    ),
+                    floors,
                 ),
-                floors,
+                lambda a, b: a + b,
             ),
-            lambda a, b: a + b,
-        ),
-    )
-    # Generate barrier: higher-order folds run INTERPRETED (no
-    # whole-stage codegen, no subexpression elimination), and predicate
-    # pushdown substitutes projection expressions into filters — a
-    # downstream filter on lang_pred would re-evaluate the entire fold
-    # per reference (measured 38 s vs 4 s at sf0.1 for
-    # filter(lang_pred == 'en')). explode(array(struct(...))) emits
-    # exactly one row per row but is a Generate node: the fold
-    # evaluates ONCE and filters/projections stay above it.
-    scored = df.select(F.col(id_col), tris.alias("__tris")).select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                F.struct(
-                    fold.alias("s"),
-                    F.size("__tris").alias("nt"),
+        )
+        # Generate barrier: higher-order folds run INTERPRETED (no
+        # whole-stage codegen, no subexpression elimination), and predicate
+        # pushdown substitutes projection expressions into filters — a
+        # downstream filter on lang_pred would re-evaluate the entire fold
+        # per reference (measured 38 s vs 4 s at sf0.1 for
+        # filter(lang_pred == 'en')). explode(array(struct(...))) emits
+        # exactly one row per row but is a Generate node: the fold
+        # evaluates ONCE and filters/projections stay above it.
+        scored = df.select(F.col(id_col), tris.alias("__tris")).select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    F.struct(
+                        fold.alias("s"),
+                        F.size("__tris").alias("nt"),
+                    )
                 )
-            )
-        ).alias("__x"),
-    )
-    scores = F.col("__x.s")
-    nt = F.col("__x.nt")
+            ).alias("__x"),
+        )
+        scored = scored.select(
+            F.col(id_col),
+            F.col("__x.s").alias("__x_s"),
+            F.col("__x.nt").alias("__x_nt"),
+        )
+        scores = F.col("__x_s")
+        nt = F.col("__x_nt")
     idx = F.array_position(scores, F.array_max(scores))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
     return scored.select(

@@ -186,7 +186,7 @@ def test_lang_id_model_fold_evaluates_once_under_filter(spark):
         [(0, "the weather is good")], "doc_id long, text string"
     )
     filtered = (
-        lang_id_model(df)
+        lang_id_model(df, kernel=False)
         .filter(F.col("lang_pred") == "en")
         .select("doc_id")
     )
@@ -214,6 +214,52 @@ def test_lang_id_model_edge_cases(spark):
     assert out[0] == ("und", 0.0)  # no trigrams at all
     assert out[1][0] in {"und", "de", "en", "es", "fr", "it"}  # ' ab ' has trigrams
     assert out[2][0] == "en" and out[2][1] < 0.0
+
+
+def test_langid_kernel_bit_identical(spark, sf_dir):
+    """The Arrow scoring kernel (default path) must reproduce the
+    interpreted HOF fold to the last ulp on real corpus text — same
+    quantized weights folded in the same order, exact equality on both
+    lang_pred and the 6dp-rounded score."""
+    from featureform_spark.functions.langid_model import lang_id_model
+    from featureform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hof = {
+        r["doc_id"]: (r["lang_pred"], r["nb_score"])
+        for r in lang_id_model(docs, kernel=False).collect()
+    }
+    ker = {
+        r["doc_id"]: (r["lang_pred"], r["nb_score"])
+        for r in lang_id_model(docs, kernel=True).collect()
+    }
+    assert hof == ker
+
+
+def test_langid_kernel_udf_evaluates_once_under_filter(spark):
+    """The kernel-path analog of the Generate barrier guard: filtering
+    on lang_pred must leave exactly ONE Python UDF evaluation in the
+    optimized plan (the filter stays above the ArrowEvalPython node
+    rather than re-inlining the scorer into its predicate)."""
+    from featureform_spark.functions.langid_model import lang_id_model
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "the weather is good")], "doc_id long, text string"
+    )
+    filtered = (
+        lang_id_model(df, kernel=True)
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id")
+    )
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    assert "more fields" not in plan
+    assert plan.count("_score(") == 1, plan
 
 
 def test_quality_model_separates_heldout(spark):
