@@ -6,11 +6,13 @@ successors) use a trained character-n-gram classifier (fastText's
 langid is the public standard). This module trains a multinomial
 Naive Bayes over character trigrams on in-repo fixture paragraphs —
 public-knowledge sample sentences written for this repo — and scores
-documents entirely JVM-side: the log-probability table is a
-constant-folded map literal ``trigram -> array<double>`` (one slot per
-language), and the per-document score is a single codegen fold over
-the trigram sequence. No Python runs per row, no shuffle at all — the
-scoring stage is a narrow projection.
+documents two interchangeable ways (bit-identical results, asserted):
+the DEFAULT is an Arrow kernel that folds dict-looked-up quantized
+log-probs over the JVM-normalized text (~2x faster than the
+interpreted HOF evaluator); ``kernel=False`` keeps the all-JVM
+specification path — a constant-folded map literal ``trigram ->
+array<double>`` and one ``aggregate`` fold per document, no Python per
+row. Neither path shuffles — scoring is a narrow projection.
 
 Determinism / cross-engine parity: every model weight is rounded to 6
 decimals at train time, and both engines fold the SAME quantized
@@ -152,15 +154,23 @@ def train_char_ngram_nb(
     }
 
 
-def _trigrams_expr(text_col: str, n: int) -> Column:
-    """Codegen trigram sequence over the normalized, space-padded text;
-    empty array when the padded text is shorter than ``n`` (guards
-    Spark's descending ``sequence(1, 0)``)."""
-    padded = F.concat(
+def _padded_expr(text_col: str) -> Column:
+    """The ONE normalization expression both scoring paths (and nt
+    accounting) share — lowercase, whitespace-collapse, space-pad.
+    Bit-identity between the kernel, the HOF fold, and the oracle
+    depends on this being defined exactly once."""
+    return F.concat(
         F.lit(" "),
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
         F.lit(" "),
     )
+
+
+def _trigrams_expr(text_col: str, n: int) -> Column:
+    """Codegen trigram sequence over the normalized, space-padded text;
+    empty array when the padded text is shorter than ``n`` (guards
+    Spark's descending ``sequence(1, 0)``)."""
+    padded = _padded_expr(text_col)
     ln = F.length(padded)
     return F.when(
         ln >= n,
@@ -243,16 +253,12 @@ def lang_id_model(
     n = model["n"]
     if kernel:
         # Arrow path (default): the kernel receives the JVM-normalized
-        # padded string and folds dict-looked-up quantized log-probs in
-        # the exact fold order — bit-identical to the HOF expression
-        # (asserted in test_llm_ops.py::test_langid_kernel_bit_identical)
-        # at ~1/15th the cost. nt = |padded| - (n-1) equals
-        # size(trigrams) by construction.
-        padded = F.concat(
-            F.lit(" "),
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-            F.lit(" "),
-        )
+        # padded string (same _padded_expr the HOF path uses) and folds
+        # dict-looked-up quantized log-probs in the exact fold order —
+        # bit-identical to the HOF expression (asserted in
+        # test_llm_ops.py::test_langid_kernel_bit_identical).
+        # nt = |padded| - (n-1) equals size(trigrams) by construction.
+        padded = _padded_expr(text_col)
         ln = F.length(padded)
         scored = df.select(
             F.col(id_col),

@@ -22,8 +22,8 @@ Two build paths:
   driver-side bound the reference accepts by holding its whole hnswlib
   index in one process.
 - ``ShardedHnsw.build(df, shards=N)`` — the 100-TB path: vectors are
-  hash-sharded, each Spark partition builds an INDEPENDENT graph
-  executor-side (``mapInPandas``, one serialized blob per shard), and
+  hash-sharded, each shard builds an INDEPENDENT graph executor-side
+  (``groupBy().applyInPandas``, one serialized blob per shard), and
   the serving process fans each query out to every shard and merges
   top-k. Build is embarrassingly parallel (graph inserts never cross
   shards), shard blobs are the only thing collected, and per-shard
@@ -81,6 +81,10 @@ class HnswIndex:
         self.levels: list[int] = []
         # per node: list of per-layer neighbor lists (layer 0 first)
         self.links: list[list[list[int]]] = []
+        # soft-delete flags (hnswlib markDelete): superseded nodes stay
+        # in the graph as routing waypoints but never appear in results
+        self.alive: list[bool] = []
+        self._pos_of: dict[int, int] = {}  # id -> live node position
         self.entry: int = -1  # node position, not id
         self.top_level: int = -1
         self._lock = threading.Lock()
@@ -188,24 +192,41 @@ class HnswIndex:
     # -- public API ------------------------------------------------------------
 
     def add(self, new_ids, new_vectors) -> None:
-        """Incremental insert (the reference index's write path).
+        """Incremental UPSERT (the reference index's write path is a
+        key->vector Set): re-adding an existing id soft-deletes the old
+        node (it keeps routing, like hnswlib markDelete, but never
+        appears in results) and inserts the new vector.
 
-        Vectors are appended in ONE array concat per call (per-insert
-        vstack would be O(n²) copying), then each node is wired in
-        sequentially."""
+        All inputs are validated BEFORE any state mutates — a malformed
+        batch (dim mismatch, ragged lists, id/vector count skew) raises
+        and leaves the index exactly as it was. Vectors are appended in
+        ONE array concat per call (per-insert vstack would be O(n²)
+        copying), then each node is wired in sequentially."""
         v = np.asarray(new_vectors, dtype=np.float64)
         if v.ndim == 1:
             v = v[None, :]
         if v.shape[0] == 0:
             return
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise ValueError(
+                f"expected vectors of dim {self.dim}, got shape {v.shape}"
+            )
+        ids_arr = np.asarray([int(x) for x in new_ids], dtype=np.int64)
+        if len(ids_arr) != v.shape[0]:
+            raise ValueError(
+                f"{len(ids_arr)} ids for {v.shape[0]} vectors"
+            )
         with self._lock:
             start = len(self.levels)
-            self.ids = np.concatenate(
-                [self.ids, np.asarray(new_ids, dtype=np.int64)]
-            )
+            self.ids = np.concatenate([self.ids, ids_arr])
             self.vectors = np.vstack([self.vectors, v.astype(np.float32)])
-            for i, vid in enumerate(new_ids):
-                self._link(start + i, int(vid), v[i])
+            for i, vid in enumerate(ids_arr.tolist()):
+                old = self._pos_of.get(vid)
+                if old is not None:
+                    self.alive[old] = False
+                self.alive.append(True)
+                self._pos_of[vid] = start + i
+                self._link(start + i, vid, v[i])
 
     def query(
         self, vector, k: int = 10, ef: int = 64, **_compat
@@ -221,15 +242,19 @@ class HnswIndex:
             for layer in range(self.top_level, 0, -1):
                 ep = [min(self._search_layer(q, ep, 1, layer))[1]]
             w = self._search_layer(q, ep, max(int(ef), k), 0)
-            pos = np.asarray([p for _, p in w], dtype=np.int64)
-            dist = np.asarray([d for d, _ in w])
+            live = [(d, p) for d, p in w if self.alive[p]]
+            if not live:
+                return []
+            pos = np.asarray([p for _, p in live], dtype=np.int64)
+            dist = np.asarray([d for d, _ in live])
             order = np.lexsort((self.ids[pos], dist))[:k]
             return [
                 (int(self.ids[pos[i]]), float(dist[i])) for i in order
             ]
 
     def __len__(self) -> int:
-        return len(self.levels)
+        """Live element count (soft-deleted nodes excluded)."""
+        return len(self._pos_of)
 
     # -- (de)serialization for the sharded executor-side build ---------------
 
@@ -242,6 +267,7 @@ class HnswIndex:
             "vectors": self.vectors,
             "levels": self.levels,
             "links": self.links,
+            "alive": self.alive,
             "entry": self.entry,
             "top_level": self.top_level,
         }
@@ -253,6 +279,10 @@ class HnswIndex:
         ix.vectors = np.asarray(st["vectors"], dtype=np.float32)
         ix.levels = list(st["levels"])
         ix.links = st["links"]
+        ix.alive = list(st.get("alive", [True] * len(ix.levels)))
+        ix._pos_of = {
+            int(ix.ids[p]): p for p, a in enumerate(ix.alive) if a
+        }
         ix.entry = st["entry"]
         ix.top_level = st["top_level"]
         return ix
@@ -310,6 +340,8 @@ class ShardedHnsw:
         from pyspark.sql import functions as F
 
         dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_row is None:
+            raise ValueError("cannot build an HNSW index over 0 vectors")
         dim = int(dim_row["d"])
         n_shards = max(1, int(shards))
 
@@ -343,26 +375,52 @@ class ShardedHnsw:
             .applyInPandas(build_shard, schema="shard int, blob binary")
             .collect()
         )
+        # applyInPandas only emits groups that exist — pad hash buckets
+        # that happened to be empty with empty graphs so the caller
+        # always gets exactly the shard count it asked for
+        built = {
+            int(r["shard"]): HnswIndex.from_state(pickle.loads(r["blob"]))
+            for r in blobs
+        }
         return cls(
             [
-                HnswIndex.from_state(pickle.loads(r["blob"]))
-                for r in sorted(blobs, key=lambda r: r["shard"])
+                built.get(i, HnswIndex(dim, m=m, ef_construction=ef_construction))
+                for i in range(n_shards)
             ]
         )
 
     def add(self, new_ids, new_vectors) -> None:
-        """Route each new vector to its hash shard (same xxhash-free
-        routing on the serving side: md5 keeps it dependency-free and
-        deterministic, shard membership only affects which graph holds
-        the vector, not correctness)."""
+        """Batched upsert: an id that already lives in some shard is
+        updated IN that shard (no cross-shard duplicates); new ids
+        route by md5 (dependency-free, deterministic — shard membership
+        only affects which graph holds the vector, not correctness).
+        Vectors are bucketed per shard first so each shard sees ONE
+        batched ``add`` (per-vector calls would re-copy the shard's
+        arrays once per insert)."""
         with self._lock:
             n = len(self.shards)
+            buckets: dict[int, tuple[list, list]] = {}
             for vid, vec in zip(new_ids, new_vectors):
-                h = int.from_bytes(
-                    hashlib.md5(f"shard:{int(vid)}".encode()).digest()[:8],
-                    "big",
+                vid = int(vid)
+                owner = next(
+                    (
+                        i
+                        for i, s in enumerate(self.shards)
+                        if vid in s._pos_of
+                    ),
+                    None,
                 )
-                self.shards[h % n].add([int(vid)], [vec])
+                if owner is None:
+                    h = int.from_bytes(
+                        hashlib.md5(f"shard:{vid}".encode()).digest()[:8],
+                        "big",
+                    )
+                    owner = h % n
+                ids, vecs = buckets.setdefault(owner, ([], []))
+                ids.append(vid)
+                vecs.append(vec)
+            for owner, (ids, vecs) in buckets.items():
+                self.shards[owner].add(ids, vecs)
 
     def query(
         self, vector, k: int = 10, ef: int = 64, **_compat

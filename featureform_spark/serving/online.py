@@ -30,7 +30,7 @@ class InMemoryOnlineStore:
         self._tables: dict[str, dict[Any, Any]] = {}
         self._timestamps: dict[str, dict[Any, Any]] = {}
         self._vectors: dict[str, DataFrame] = {}
-        self._ann: dict[str, Any] = {}  # name -> IvfPqIndex
+        self._ann: dict[str, Any] = {}  # name -> IvfPqIndex | HnswIndex | ShardedHnsw
 
     # -- table plane ---------------------------------------------------------
 
@@ -103,17 +103,22 @@ class InMemoryOnlineStore:
         k: int,
         approximate: bool = False,
         nprobe: int = 8,
+        **index_kw,
     ) -> list[tuple[Any, float]]:
         """V4: top-k neighbors (the reference's Nearest()).
 
         Exact mode runs the distributed cosine scan (one Spark job per
-        call); ``approximate=True`` answers from the in-RAM IVFADC
-        index in microseconds — build it first with
-        :meth:`build_ann_index`. Approximate results carry L2
-        distances (lower = closer), exact results cosine scores.
+        call); ``approximate=True`` answers from the in-RAM index
+        (IVFADC or HNSW, whichever :meth:`build_ann_index` built) in
+        microseconds. Index-specific knobs pass through ``**index_kw``
+        (``rerank`` for IVFADC, ``ef`` for HNSW — each index swallows
+        the other's params). Approximate results carry L2 distances
+        (lower = closer), exact results cosine scores.
         """
         if approximate:
-            return self._ann[name].query(vector, k=k, nprobe=nprobe)
+            return self._ann[name].query(
+                vector, k=k, nprobe=nprobe, **index_kw
+            )
         out = cosine_topk(self._vectors[name], vector, k)
         return [(r["vec_id"], r["score"]) for r in out.collect()]
 

@@ -167,9 +167,12 @@ def _lang_id_model_oracle() -> str:
 def lang_id_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained char-trigram Naive Bayes language ID (the CCNet-style
     upgrade over lang_id's marker heuristic; fastText is the public
-    standard). The 6dp-quantized log-prob table rides the plan as a
-    constant-folded map literal; scoring is ONE codegen fold per doc —
-    no Python, no shuffle, a narrow projection. The oracle inlines the
+    standard). Scoring runs the Arrow kernel by default: the
+    JVM-normalized padded string ships to a pandas UDF that folds the
+    6dp-quantized log-probs via dict lookups in the exact fold order —
+    bit-identical to the kernel=False all-JVM map-literal fold (both
+    asserted) and ~2x faster than the interpreted HOF evaluator. No
+    shuffle either way — a narrow projection. The oracle inlines the
     same weights and folds them in the same left-to-right order
     (list_reduce), so sums are bit-identical IEEE doubles."""
     from featureform_spark.functions.langid_model import lang_id_model

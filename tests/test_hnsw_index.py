@@ -197,3 +197,59 @@ def test_store_rejects_unknown_algo(spark, emb):
 def test_empty_build_raises(spark, emb):
     with pytest.raises(ValueError, match="0 vectors"):
         HnswIndex.build(emb.filter(F.lit(False)))
+
+
+def test_empty_sharded_build_raises(spark, emb):
+    with pytest.raises(ValueError, match="0 vectors"):
+        ShardedHnsw.build(emb.filter(F.lit(False)), shards=2)
+
+
+def test_add_is_upsert_not_duplicate(emb):
+    ix = HnswIndex(2, m=4, ef_construction=20)
+    ix.add([1, 2], [[0.0, 0.0], [1.0, 0.0]])
+    ix.add([1], [[0.125, 0.0]])  # update id 1
+    assert len(ix) == 2
+    got = ix.query([0.125, 0.0], k=3, ef=16)
+    ids = [i for i, _ in got]
+    assert ids.count(1) == 1  # no duplicate slots
+    assert got[0] == (1, 0.0)  # the NEW vector answers, not the stale one
+
+
+def test_failed_add_leaves_index_intact(emb):
+    ix = HnswIndex(3, m=4, ef_construction=20)
+    ix.add([1, 2], [[0, 0, 1], [0, 1, 0]])
+    with pytest.raises(ValueError, match="dim 3"):
+        ix.add([3], [[1.0, 2.0]])  # wrong dimension
+    with pytest.raises(ValueError, match="ids for"):
+        ix.add([4, 5], [[0, 0, 1]])  # count skew
+    # index still consistent: same size, correct answers
+    assert len(ix) == 2
+    assert ix.query([0, 0, 1], k=1, ef=8)[0] == (1, 0.0)
+    ix.add([4], [[0.5, 0.5, 0.0]])  # and future adds land correctly
+    assert ix.query([0.5, 0.5, 0.0], k=1, ef=8)[0] == (4, 0.0)
+
+
+def test_sharded_upsert_no_cross_shard_duplicate(emb):
+    sh = ShardedHnsw.build(emb, shards=3, m=8, ef_construction=50)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 9).first()["embedding"]]
+    before = len(sh)
+    shifted = [v + 0.5 for v in qvec]
+    sh.add([9], [shifted])  # update an id that came from the build
+    assert len(sh) == before  # upsert, not grow
+    owners = [i for i, s in enumerate(sh.shards) if 9 in s._pos_of]
+    assert len(owners) == 1  # exactly one shard owns the id
+    got = sh.query(shifted, k=1, ef=32)
+    # float32 storage: distance to the updated vector is ~0 (not the
+    # old vector's 0.5-shift distance)
+    assert got[0][0] == 9 and got[0][1] < 1e-9  # the update took effect
+
+
+def test_sharded_build_pads_empty_buckets(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    sh = ShardedHnsw.build(df, shards=8, m=4, ef_construction=10)
+    assert len(sh.shards) == 8  # empty hash buckets padded
+    assert len(sh) == 3
+    assert sh.query([2.0, 0.0], k=1, ef=8)[0] == (2, 0.0)
