@@ -157,6 +157,37 @@ class IvfPqIndex:
         return cls(centroids, cells=cells, codebook=cb, ids=ids,
                    codes=codes, vectors=vectors, n_codes=n_codes)
 
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist to one ``.npz`` (pure arrays; the load path never
+        unpickles, so a tampered file can't execute code)."""
+        with self._lock:
+            kwargs = dict(
+                centroids=self.centroids,
+                codebook=self.codebook,
+                ids=self.ids,
+                cells=self.cells,
+                codes=self.codes,
+                n_codes=self.n_codes,
+            )
+            if self.vectors is not None:
+                kwargs["vectors"] = self.vectors
+            np.savez_compressed(path, **kwargs)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfPqIndex":
+        with np.load(path, allow_pickle=False) as z:
+            return cls(
+                centroids=z["centroids"],
+                codebook=z["codebook"],
+                ids=z["ids"],
+                cells=z["cells"],
+                codes=z["codes"],
+                vectors=z["vectors"] if "vectors" in z else None,
+                n_codes=z["n_codes"],
+            )
+
     # -- incremental write path ----------------------------------------------
 
     def add(self, new_ids: list[int], new_vectors: list[list[float]]) -> None:

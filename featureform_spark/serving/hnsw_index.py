@@ -287,6 +287,45 @@ class HnswIndex:
         ix.top_level = st["top_level"]
         return ix
 
+    def save(self, path: str) -> None:
+        """Persist to one ``.npz`` (hnswlib saveIndex parity). Arrays go
+        in natively; graph structure rides as JSON — the LOAD path never
+        unpickles, so a tampered file can't execute code."""
+        import json
+
+        import numpy as _np
+
+        meta = {
+            "dim": self.dim,
+            "m": self.m,
+            "ef_construction": self.ef_construction,
+            "levels": self.levels,
+            "links": self.links,
+            "alive": self.alive,
+            "entry": self.entry,
+            "top_level": self.top_level,
+        }
+        with self._lock:
+            _np.savez_compressed(
+                path,
+                ids=self.ids,
+                vectors=self.vectors,
+                meta=_np.frombuffer(
+                    json.dumps(meta).encode(), dtype=_np.uint8
+                ),
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "HnswIndex":
+        import json
+
+        import numpy as _np
+
+        with _np.load(path, allow_pickle=False) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            st = dict(meta, ids=z["ids"], vectors=z["vectors"])
+        return cls.from_state(st)
+
     @classmethod
     def build(
         cls,
@@ -430,6 +469,32 @@ class ShardedHnsw:
             hits.extend(sh.query(vector, k=k, ef=ef))
         hits.sort(key=lambda t: (t[1], t[0]))
         return hits[:k]
+
+    def save(self, dirpath: str) -> None:
+        """One ``shard_<i>.npz`` per shard under ``dirpath`` (same
+        pickle-free format as :meth:`HnswIndex.save`)."""
+        import os
+
+        os.makedirs(dirpath, exist_ok=True)
+        for i, sh in enumerate(self.shards):
+            sh.save(os.path.join(dirpath, f"shard_{i}.npz"))
+
+    @classmethod
+    def load(cls, dirpath: str) -> "ShardedHnsw":
+        import os
+        import re as _re
+
+        names = sorted(
+            (
+                n
+                for n in os.listdir(dirpath)
+                if _re.fullmatch(r"shard_\d+\.npz", n)
+            ),
+            key=lambda n: int(n[6:-4]),
+        )
+        return cls(
+            [HnswIndex.load(os.path.join(dirpath, n)) for n in names]
+        )
 
     def __len__(self) -> int:
         return sum(len(s) for s in self.shards)

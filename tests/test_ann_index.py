@@ -103,3 +103,16 @@ def test_store_integration(spark, emb):
     store.add_vectors("emb", [999999], [qvec])
     got = store.nearest("emb", qvec, k=3, approximate=True)
     assert {i for i, _ in got} >= {5, 999999}
+
+
+def test_save_load_roundtrip(index, tmp_path):
+    """Pickle-free npz persistence: identical query results after a
+    save/load cycle (np.load with allow_pickle=False)."""
+    p = str(tmp_path / "ivfpq.npz")
+    index.save(p)
+    loaded = IvfPqIndex.load(p)
+    assert len(loaded) == len(index)
+    qvec = index.vectors[3].astype("float64").tolist()
+    assert loaded.query(qvec, k=10, nprobe=8, rerank=100) == index.query(
+        qvec, k=10, nprobe=8, rerank=100
+    )

@@ -253,3 +253,25 @@ def test_sharded_build_pads_empty_buckets(spark):
     assert len(sh.shards) == 8  # empty hash buckets padded
     assert len(sh) == 3
     assert sh.query([2.0, 0.0], k=1, ef=8)[0] == (2, 0.0)
+
+
+def test_save_load_roundtrip(index, tmp_path):
+    """hnswlib saveIndex/loadIndex parity — pickle-free npz format
+    (np.load with allow_pickle=False), identical query results, upsert
+    state (alive flags, live count) preserved."""
+    p = str(tmp_path / "ix.npz")
+    index.save(p)
+    loaded = HnswIndex.load(p)
+    assert len(loaded) == len(index)
+    qvec = index.vectors[7].tolist()
+    assert loaded.query(qvec, k=10, ef=64) == index.query(qvec, k=10, ef=64)
+
+
+def test_sharded_save_load_roundtrip(emb, tmp_path):
+    sh = ShardedHnsw.build(emb, shards=3, m=8, ef_construction=50)
+    sh.save(str(tmp_path / "shards"))
+    loaded = ShardedHnsw.load(str(tmp_path / "shards"))
+    assert len(loaded) == len(sh)
+    assert len(loaded.shards) == 3
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
+    assert loaded.query(qvec, k=5, ef=32) == sh.query(qvec, k=5, ef=32)
