@@ -519,7 +519,7 @@ class DatasetStreamerServer:
             raise TicketError("'nearest.vector' must be a non-empty list")
         kwargs = {
             key: int(spec[key])
-            for key in ("nprobe", "rerank", "ef")
+            for key in ("nprobe", "rerank", "ef", "probe_shards")
             if key in spec
         }
         kwargs.setdefault("nprobe", 8)

@@ -256,6 +256,23 @@ class HnswIndex:
         """Live element count (soft-deleted nodes excluded)."""
         return len(self._pos_of)
 
+    def centroid(self) -> np.ndarray | None:
+        """Mean of the LIVE vectors (float64); None when empty. Cached
+        per node-count epoch — adds invalidate it."""
+        with self._lock:
+            epoch = len(self.levels)
+            cached = getattr(self, "_centroid_cache", None)
+            if cached is not None and cached[0] == epoch:
+                return cached[1]
+            if not self._pos_of:
+                return None
+            pos = np.fromiter(
+                self._pos_of.values(), dtype=np.int64, count=len(self._pos_of)
+            )
+            c = self.vectors[pos].astype(np.float64).mean(axis=0)
+            self._centroid_cache = (epoch, c)
+            return c
+
     # -- (de)serialization for the sharded executor-side build ---------------
 
     def to_state(self) -> dict:
@@ -462,10 +479,36 @@ class ShardedHnsw:
                 self.shards[owner].add(ids, vecs)
 
     def query(
-        self, vector, k: int = 10, ef: int = 64, **_compat
+        self,
+        vector,
+        k: int = 10,
+        ef: int = 64,
+        probe_shards: int | None = None,
+        **_compat,
     ) -> list[tuple[int, float]]:
+        """Fan out to every shard by default. ``probe_shards=p`` routes
+        to only the ``p`` shards whose LIVE-vector centroid is closest
+        to the query (squared L2 — the index metric): at fleet scale
+        (hundreds of shards) full fan-out is the query bottleneck, and
+        centroid routing is the IVF coarse-cell idea applied to graph
+        shards — recall degrades gracefully with p exactly as nprobe
+        does for IVF."""
+        targets = self.shards
+        if probe_shards is not None and probe_shards < len(self.shards):
+            q = np.asarray(vector, dtype=np.float64)
+            ranked = sorted(
+                (
+                    (float(((c - q) ** 2).sum()), i)
+                    for i, sh in enumerate(self.shards)
+                    if (c := sh.centroid()) is not None
+                ),
+            )
+            targets = [
+                self.shards[i]
+                for _, i in ranked[: max(1, int(probe_shards))]
+            ]
         hits: list[tuple[int, float]] = []
-        for sh in self.shards:
+        for sh in targets:
             hits.extend(sh.query(vector, k=k, ef=ef))
         hits.sort(key=lambda t: (t[1], t[0]))
         return hits[:k]

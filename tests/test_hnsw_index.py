@@ -275,3 +275,41 @@ def test_sharded_save_load_roundtrip(emb, tmp_path):
     assert len(loaded.shards) == 3
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
     assert loaded.query(qvec, k=5, ef=32) == sh.query(qvec, k=5, ef=32)
+
+
+def test_shard_routing_probe_subset(spark):
+    """Centroid routing: with well-separated clusters, probing ONE
+    shard answers from the right cluster; probing all shards equals the
+    default fan-out exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # 3 tight clusters far apart; ids chosen so xxhash64 spreads them
+    centers = np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 100.0]])
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, (c + rng.normal(0, 0.1, 2)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sh = ShardedHnsw.build(df, shards=3, m=8, ef_construction=40)
+    q = [100.0, 0.5]
+    full = sh.query(q, k=5, ef=32)
+    routed_all = sh.query(q, k=5, ef=32, probe_shards=3)
+    assert routed_all == full
+    got1 = sh.query(q, k=5, ef=32, probe_shards=1)
+    # hash sharding mixes clusters into every shard, so the probed
+    # shard still holds near-cluster points; everything returned must
+    # come from the query's cluster (ids = 1 mod 3)
+    assert got1 and all(i % 3 == 1 for i, _ in got1)
+    # routing knob rides the Flight-style kwargs path on other indexes
+    from featureform_spark.serving.ann_index import IvfPqIndex  # noqa: F401
+
+
+def test_centroid_tracks_upserts(spark):
+    ix = HnswIndex(2, m=4, ef_construction=10)
+    ix.add([1, 2], [[0.0, 0.0], [2.0, 0.0]])
+    c1 = ix.centroid()
+    assert c1 is not None and abs(c1[0] - 1.0) < 1e-9
+    ix.add([2], [[4.0, 0.0]])  # upsert moves the mean to (0+4)/2
+    c2 = ix.centroid()
+    assert abs(c2[0] - 2.0) < 1e-9
