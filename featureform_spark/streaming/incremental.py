@@ -344,6 +344,44 @@ class IncrementalSQLTransformation:
         return n
 
 
+def stream_to_ann_index(
+    stream_df: DataFrame,
+    index,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming vector-index maintenance: each micro-batch's
+    (id, vector) rows upsert into the in-RAM serving index (HNSW or
+    IVFADC — anything with ``add``), so ``Nearest()`` serves new
+    vectors as soon as their batch commits — the streaming twin of the
+    reference embeddinghub's per-write index add
+    (embeddinghub/embeddingstore/index.h:19-33).
+
+    The per-batch collect is the index payload itself — the same
+    single-process bound the reference accepts by holding its whole
+    index in one process (scale-out is ShardedHnsw behind the same
+    ``add``). Upsert semantics make at-least-once replays converge:
+    re-delivering a batch re-adds the same (id, vector) pairs, which
+    supersede rather than duplicate.
+    """
+
+    def upsert(batch: DataFrame, _bid: int) -> None:
+        rows = batch.select(id_col, vec_col).collect()
+        if rows:
+            index.add(
+                [int(r[id_col]) for r in rows],
+                [[float(x) for x in r[vec_col]] for r in rows],
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_to_online(
     stream_df: DataFrame,
     store,

@@ -363,3 +363,38 @@ def test_incremental_adds_survives_compact(spark, sf_dir, tmp_path):
     assert inc.select("o_orderkey").distinct().count() == inc.count()
     # cursor after the compact also works
     assert incremental_adds(t, 2).count() == c.count()
+
+
+def test_stream_to_ann_index_serves_and_resumes(spark, tmp_path):
+    """Streaming vector-index maintenance: a file stream of
+    (vec_id, embedding) rows lands in the in-RAM HNSW index batch by
+    batch; new files after a restart are picked up from the checkpoint,
+    and re-added ids upsert (replays converge, no duplicates)."""
+    from featureform_spark.serving.hnsw_index import HnswIndex
+    from featureform_spark.streaming.incremental import stream_to_ann_index
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema
+    ).write.mode("append").parquet(str(src))
+
+    ix = HnswIndex(2, m=4, ef_construction=20)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_to_ann_index(stream, ix, ckpt)
+    q.awaitTermination(60)
+    assert len(ix) == 2
+    assert ix.query([1.0, 0.0], k=1, ef=8)[0] == (1, 0.0)
+
+    # second run from the same checkpoint: one NEW id, one UPDATE
+    spark.createDataFrame(
+        [(3, [1.0, 1.0]), (1, [0.5, 0.0])], schema
+    ).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = stream_to_ann_index(stream2, ix, ckpt)
+    q2.awaitTermination(60)
+    assert len(ix) == 3  # id 1 upserted, not duplicated
+    assert ix.query([0.5, 0.0], k=1, ef=8)[0] == (1, 0.0)
+    assert ix.query([1.0, 1.0], k=1, ef=8)[0] == (3, 0.0)
