@@ -31,6 +31,7 @@ class InMemoryOnlineStore:
         self._timestamps: dict[str, dict[Any, Any]] = {}
         self._vectors: dict[str, DataFrame] = {}
         self._ann: dict[str, Any] = {}  # name -> IvfPqIndex | HnswIndex | ShardedHnsw
+        self._frozen: set[str] = set()  # immutable vector spaces
 
     # -- table plane ---------------------------------------------------------
 
@@ -93,8 +94,28 @@ class InMemoryOnlineStore:
 
     def add_vectors(self, name: str, ids: list, vectors: list) -> None:
         """Incremental write path: new vectors become queryable
-        immediately (embeddinghub index add)."""
+        immediately (embeddinghub index add). Raises on a frozen
+        space, like the reference's Set against an immutable version
+        (embeddinghub/embeddingstore/server.cc:113-127)."""
+        if name in self._frozen:
+            raise PermissionError(
+                f"Cannot write to immutable space: {name!r}"
+            )
         self._ann[name].add(ids, vectors)
+
+    def freeze_vectors(self, name: str) -> None:
+        """FreezeSpace parity (embeddingstore/server.cc:82-96): the
+        space becomes immutable — reads and Nearest() keep working,
+        writes fail until the space is deleted and recreated."""
+        if name not in self._vectors and name not in self._ann:
+            raise KeyError(name)
+        self._frozen.add(name)
+
+    def delete_vector_space(self, name: str) -> None:
+        """DeleteSpace parity (embeddingstore/server.cc:74-80)."""
+        self._vectors.pop(name, None)
+        self._ann.pop(name, None)
+        self._frozen.discard(name)
 
     def nearest(
         self,

@@ -313,3 +313,29 @@ def test_centroid_tracks_upserts(spark):
     ix.add([2], [[4.0, 0.0]])  # upsert moves the mean to (0+4)/2
     c2 = ix.centroid()
     assert abs(c2[0] - 2.0) < 1e-9
+
+
+def test_freeze_and_delete_space(spark, emb):
+    """embeddinghub space lifecycle parity: FreezeSpace makes writes
+    fail ('Cannot write to immutable space', server.cc:113-127) while
+    reads keep serving; DeleteSpace removes everything."""
+    from featureform_spark.serving.online import InMemoryOnlineStore
+
+    store = InMemoryOnlineStore()
+    store.register_vectors("emb", emb)
+    store.build_ann_index("emb", algo="hnsw", m=8, ef_construction=50)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 4).first()["embedding"]]
+    store.freeze_vectors("emb")
+    with pytest.raises(PermissionError, match="immutable space"):
+        store.add_vectors("emb", [777], [qvec])
+    # reads still serve after freeze
+    assert store.nearest("emb", qvec, k=1, approximate=True)[0][0] == 4
+    with pytest.raises(KeyError):
+        store.freeze_vectors("nope")
+    store.delete_vector_space("emb")
+    with pytest.raises(KeyError):
+        store.nearest("emb", qvec, k=1, approximate=True)
+    # a recreated space is writable again
+    store.register_vectors("emb", emb)
+    store.build_ann_index("emb", algo="hnsw", m=8, ef_construction=50)
+    store.add_vectors("emb", [777], [qvec])
