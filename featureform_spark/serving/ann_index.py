@@ -157,6 +157,17 @@ class IvfPqIndex:
         return cls(centroids, cells=cells, codebook=cb, ids=ids,
                    codes=codes, vectors=vectors, n_codes=n_codes)
 
+    def get(self, vid: int) -> list[float] | None:
+        """Point lookup of the stored vector (embeddinghub's Get RPC);
+        needs ``keep_vectors``. Latest add wins for re-added ids."""
+        if self.vectors is None:
+            return None
+        with self._lock:
+            hits = np.nonzero(self.ids == int(vid))[0]
+            if len(hits) == 0:
+                return None
+            return [float(x) for x in self.vectors[hits[-1]]]
+
     # -- persistence -----------------------------------------------------------
 
     def save(self, path: str) -> None:

@@ -256,6 +256,15 @@ class HnswIndex:
         """Live element count (soft-deleted nodes excluded)."""
         return len(self._pos_of)
 
+    def get(self, vid: int) -> list[float] | None:
+        """Point lookup of the LIVE vector for an id (embeddinghub's
+        Get RPC); None when absent or superseded-and-not-re-added."""
+        with self._lock:
+            pos = self._pos_of.get(int(vid))
+            if pos is None:
+                return None
+            return [float(x) for x in self.vectors[pos]]
+
     def centroid(self) -> np.ndarray | None:
         """Mean of the LIVE vectors (float64); None when empty. Cached
         per node-count epoch — adds invalidate it."""
@@ -512,6 +521,13 @@ class ShardedHnsw:
             hits.extend(sh.query(vector, k=k, ef=ef))
         hits.sort(key=lambda t: (t[1], t[0]))
         return hits[:k]
+
+    def get(self, vid: int) -> list[float] | None:
+        for sh in self.shards:
+            v = sh.get(vid)
+            if v is not None:
+                return v
+        return None
 
     def save(self, dirpath: str) -> None:
         """One ``shard_<i>.npz`` per shard under ``dirpath`` (same

@@ -103,6 +103,22 @@ class InMemoryOnlineStore:
             )
         self._ann[name].add(ids, vectors)
 
+    def get_vector(self, name: str, vec_id: int) -> list[float] | None:
+        """Point lookup of a stored embedding (embeddinghub Get,
+        server.cc:98-111): answered from the in-RAM index when one is
+        built, else a pruned filter on the registered DataFrame."""
+        ix = self._ann.get(name)
+        if ix is not None:
+            return ix.get(vec_id)
+        from pyspark.sql import functions as F
+
+        row = (
+            self._vectors[name]
+            .filter(F.col("vec_id") == int(vec_id))
+            .first()
+        )
+        return None if row is None else [float(x) for x in row["embedding"]]
+
     def freeze_vectors(self, name: str) -> None:
         """FreezeSpace parity (embeddingstore/server.cc:82-96): the
         space becomes immutable — reads and Nearest() keep working,

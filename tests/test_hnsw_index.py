@@ -339,3 +339,34 @@ def test_freeze_and_delete_space(spark, emb):
     store.register_vectors("emb", emb)
     store.build_ann_index("emb", algo="hnsw", m=8, ef_construction=50)
     store.add_vectors("emb", [777], [qvec])
+
+
+def test_get_vector_point_lookup(spark, emb):
+    """embeddinghub Get parity: the stored embedding comes back by id —
+    from the index when built (upsert-aware), from the DataFrame
+    otherwise, None when absent."""
+    from featureform_spark.serving.online import InMemoryOnlineStore
+
+    expected = [
+        float(x) for x in emb.filter(F.col("vec_id") == 8).first()["embedding"]
+    ]
+    store = InMemoryOnlineStore()
+    store.register_vectors("emb", emb)
+    got_df = store.get_vector("emb", 8)  # no index yet: DataFrame path
+    assert got_df == expected
+    store.build_ann_index("emb", algo="hnsw", m=8, ef_construction=50)
+    got_ix = np.asarray(store.get_vector("emb", 8))
+    assert np.allclose(got_ix, expected, atol=1e-6)  # float32 storage
+    assert store.get_vector("emb", 10**9) is None
+    # upsert visibility: the NEW vector answers
+    store.add_vectors("emb", [8], [[0.5] * len(expected)])
+    assert store.get_vector("emb", 8) == [0.5] * len(expected)
+    # IVFADC index get (latest add wins) and sharded get
+    from featureform_spark.serving.ann_index import IvfPqIndex
+
+    ivf = IvfPqIndex.build(emb, num_cells=8, m=8, ksub=16)
+    assert np.allclose(np.asarray(ivf.get(8)), expected, atol=1e-6)
+    assert ivf.get(10**9) is None
+    sh = ShardedHnsw.build(emb, shards=3, m=8, ef_construction=50)
+    assert np.allclose(np.asarray(sh.get(8)), expected, atol=1e-6)
+    assert sh.get(10**9) is None
