@@ -376,6 +376,10 @@ class DatasetStreamerServer:
                     # wire from the in-RAM IVFADC index — no table
                     # scan, no Spark, microseconds of numpy
                     return fl.RecordBatchStream(outer._nearest(req))
+                if "vector_get" in req:
+                    # embeddinghub Get RPC: the stored (live) vector
+                    # by id; zero rows when absent
+                    return fl.RecordBatchStream(outer._vector_get(req))
                 limit = outer._limit(req)
                 reader = scan_table_arrow(
                     outer._resolve(req), limit,
@@ -533,6 +537,31 @@ class DatasetStreamerServer:
             {
                 "vec_id": pa.array([i for i, _ in hits], pa.int64()),
                 "distance": pa.array([d for _, d in hits], pa.float64()),
+            }
+        )
+        return table.to_reader()
+
+    def _vector_get(self, req: dict):
+        import pyarrow as pa
+
+        spec = req["vector_get"]
+        if not isinstance(spec, dict):
+            raise TicketError("'vector_get' must be an object")
+        try:
+            ix = self.indexes[spec["index"]]
+        except KeyError as e:
+            raise TicketError(f"unknown index {spec.get('index')!r}") from e
+        if "vec_id" not in spec:
+            raise TicketError("'vector_get.vec_id' is required")
+        vid = int(spec["vec_id"])
+        vec = ix.get(vid)
+        hits = [] if vec is None else [(vid, vec)]
+        table = pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in hits], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in hits], pa.list_(pa.float64())
+                ),
             }
         )
         return table.to_reader()

@@ -436,3 +436,33 @@ def test_nearest_hnsw_over_flight(served, sf_dir):
         },
     )
     assert got2.column("vec_id")[0].as_py() == 4
+
+
+def test_vector_get_over_flight(served, sf_dir):
+    """embeddinghub Get over the wire: {'vector_get': ...} returns the
+    stored (live) vector, zero rows for an absent id, clean error for
+    an unknown index."""
+    from featureform_spark.serving.hnsw_index import HnswIndex
+    from featureform_spark.sources.testdata import load_table
+
+    spark, server, _dt, _it, _orders = served
+    emb = load_table(spark, sf_dir, "embeddings")
+    server.register_index("emb_get", HnswIndex.build(emb, m=8, ef_construction=50))
+    expected = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 6).first()["embedding"]
+    ]
+    got = _client_read(
+        server, {"vector_get": {"index": "emb_get", "vec_id": 6}}
+    )
+    assert got.num_rows == 1
+    assert got.column("vec_id")[0].as_py() == 6
+    import numpy as np
+
+    assert np.allclose(got.column("embedding")[0].as_py(), expected, atol=1e-6)
+    empty = _client_read(
+        server, {"vector_get": {"index": "emb_get", "vec_id": 10**9}}
+    )
+    assert empty.num_rows == 0
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
+        _client_read(server, {"vector_get": {"index": "nope", "vec_id": 1}})
