@@ -177,16 +177,11 @@ def frequent_ngrams(
         )
         return frequent_items(items, "ngram", min_frac, support)
 
-    # Plan-side split probe: count the scan's input files instead of
-    # touching df.rdd (which materializes the RDD lineage). At real
-    # scale inputFiles() >> cores and the repartition never happens.
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:
-        n_splits = 0
-    if n_splits < cores:
-        df = df.repartition(cores)
+    # Plan-side split probe (inputFiles, not df.rdd) shared with the
+    # other CPU-bound per-row kernels.
+    from featureform_spark.functions.parallel import fan_out_if_underparallel
+
+    df = fan_out_if_underparallel(df)
     grams = df.select(ngrams_expr(tokens_expr(text_col), n).alias("_g"))
     items = grams.select(F.explode(F.col("_g")).alias("ngram"))
     total = grams.agg(F.sum(F.size(F.col("_g"))).alias("_n"))

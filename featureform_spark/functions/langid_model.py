@@ -28,6 +28,8 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from featureform_spark.functions.parallel import fan_out_if_underparallel
+
 # Training fixtures: a short paragraph per language, written for this
 # repo (ordinary sample prose; no external corpus). Held-out evaluation
 # sentences live in tests/test_llm_ops.py.
@@ -241,14 +243,10 @@ def lang_id_model(
     bit-for-bit and the rounding is grid-exact).
     """
     model = model or train_char_ngram_nb()
-    # per-row scoring is CPU-bound (~3 ms/doc of map lookups): a small
-    # input that arrives as one scan partition (single parquet file
-    # under maxPartitionBytes) would run the whole corpus on one core.
-    # Fan out cheap raw text when under-parallel; at real scale the
-    # scan already has >= defaultParallelism partitions and this no-ops.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # per-row scoring is CPU-bound (~3 ms/doc of map lookups): fan out
+    # cheap raw text when the scan is under-parallel (plan-side
+    # inputFiles probe — no df.rdd conversion).
+    df = fan_out_if_underparallel(df)
     langs = model["langs"]
     n = model["n"]
     if kernel:
@@ -343,4 +341,33 @@ def lang_id_model(
         F.when(nt == 0, F.lit(0.0))
         .otherwise(F.round(F.element_at(scores, idx.cast("int")), 6))
         .alias("nb_score"),
+    )
+
+
+def lang_pred_expr(text_col: str, model: dict | None = None) -> Column:
+    """Expression-form predictor: the argmax language as a single
+    Column over ``text_col``, for single-pass composition
+    (``select(..., lang_pred_expr(...)).filter(...)``) — one corpus
+    scan, zero doc_id joins.
+
+    Uses the Arrow kernel over the JVM-normalized padded string (the
+    same ``_padded_expr`` every scoring path shares), so predictions
+    are bit-identical to :func:`lang_id_model`. The kernel appears
+    twice in the expression tree (``array_position`` + its
+    ``array_max`` probe) but Spark's Python-UDF extraction
+    deduplicates identical deterministic calls into ONE
+    ArrowEvalPython evaluation — asserted in the suite's plan test.
+    """
+    model = model or train_char_ngram_nb()
+    langs = model["langs"]
+    n = model["n"]
+    padded = _padded_expr(text_col)
+    ln = F.length(padded)
+    scores = _nb_scores_pandas(model)(padded)
+    nt = F.when(ln >= n, ln - (n - 1)).otherwise(F.lit(0))
+    idx = F.array_position(scores, F.array_max(scores))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return (
+        F.when(nt == 0, F.lit("und"))
+        .otherwise(F.element_at(lang_arr, idx.cast("int")))
     )

@@ -152,6 +152,26 @@ def _feature_exprs(text_col: str) -> list[Column]:
     ]
 
 
+def quality_logit_expr(text_col: str, model: dict | None = None) -> Column:
+    """Expression-form scorer: the raw ``w·x + b`` logit as a single
+    Column over ``text_col``. Lets pipelines compose quality scoring
+    into an existing projection — one corpus scan, zero joins — instead
+    of materializing a doc_id set and joining it back. Bit-exact across
+    engines (see module docstring)."""
+    model = model or train_quality_model()
+    feats = _feature_exprs(text_col)
+    logit: Column = F.lit(float(model["b"]))
+    for wi, fe in zip(model["w"], feats):
+        logit = logit + F.lit(float(wi)) * fe
+    return logit
+
+
+def quality_keep_expr(text_col: str, model: dict | None = None) -> Column:
+    """Expression-form decision: ``logit > 0`` as a Column, for
+    single-pass ``select(..., keep_expr).filter(...)`` composition."""
+    return quality_logit_expr(text_col, model) > 0
+
+
 def quality_model_score(
     df: DataFrame,
     model: dict | None = None,
@@ -166,10 +186,7 @@ def quality_model_score(
     Python, no shuffle, no join.
     """
     model = model or train_quality_model()
-    feats = _feature_exprs(text_col)
-    logit: Column = F.lit(float(model["b"]))
-    for wi, fe in zip(model["w"], feats):
-        logit = logit + F.lit(float(wi)) * fe
+    logit = quality_logit_expr(text_col, model)
     return df.select(
         F.col(id_col),
         logit.alias("quality_logit"),

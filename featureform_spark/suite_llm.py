@@ -1586,6 +1586,32 @@ def _corpus_clean_v2_oracle() -> str:
     """
 
 
+def _corpus_clean_base(docs: DataFrame) -> DataFrame:
+    """The single-pass filter stage of corpus_clean_v2: both trained
+    models enter as expression-form scorers in ONE projection over ONE
+    scan — zero doc_id joins, zero extra corpus scans (the r7 version
+    materialized each model as a doc_id set and joined twice; at 100 TB
+    those are two corpus-scale SortMergeJoin shuffles this shape
+    eliminates). The quality logit is pure codegen; the lang predictor
+    is one deduplicated ArrowEvalPython over the shared padded string.
+    ``tests/test_llm_ops.py`` asserts the optimized plan has no Join
+    and exactly one kernel evaluation."""
+    from featureform_spark.functions.langid_model import lang_pred_expr
+    from featureform_spark.functions.parallel import fan_out_if_underparallel
+    from featureform_spark.functions.quality_model import quality_keep_expr
+
+    docs = fan_out_if_underparallel(docs)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_keep_expr("text").alias("__keep"),
+        lang_pred_expr("text").alias("__lang"),
+    )
+    return scored.filter(
+        F.col("__keep") & (F.col("__lang") == "en")
+    ).select("doc_id", "text")
+
+
 @query("corpus_clean_v2", _corpus_clean_v2_oracle())
 def corpus_clean_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained-model pipeline end-to-end: logistic quality KEEP ->
@@ -1593,16 +1619,13 @@ def corpus_clean_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors. Every stage is the round-7 oracle-paired operator; the
     composition's oracle nests each stage's full query as a CTE
     subquery and chains the dedup body over the filtered base. Scale
-    shape: two narrow model projections feed doc-id semi-joins; dedup
-    adds its two hash shuffles — no corpus self-join anywhere."""
+    shape: both model scores are expression-form columns in a single
+    projection+filter over one scan (no doc_id joins — see
+    :func:`_corpus_clean_base`); dedup adds its two hash shuffles — no
+    corpus self-join anywhere."""
     from featureform_spark.functions.dedup import dedup_substrings
-    from featureform_spark.functions.langid_model import lang_id_model
-    from featureform_spark.functions.quality_model import quality_model_score
 
-    docs = load_table(spark, sf_dir, "documents")
-    keep = quality_model_score(docs).filter(F.col("keep")).select("doc_id")
-    en = lang_id_model(docs).filter(F.col("lang_pred") == "en").select("doc_id")
-    base = docs.join(keep, "doc_id").join(en, "doc_id").select("doc_id", "text")
+    base = _corpus_clean_base(load_table(spark, sf_dir, "documents"))
     return dedup_substrings(base, min_tokens=_SUBSTR_L)
 
 

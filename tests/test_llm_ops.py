@@ -563,3 +563,57 @@ def test_script_profile_exact(spark):
     assert a["keep_latin"] == 0
     assert got["b"]["cjk_ratio"] == 1.0
     assert got["c"]["n_chars"] == 0 and got["c"]["latin_ratio"] == 0.0
+
+
+def test_corpus_clean_base_single_scan_plan(spark):
+    """corpus_clean_v2's filter stage must be a single-pass
+    projection+filter: NO Join anywhere in the optimized plan (the
+    models compose as expression-form scorers, not doc_id semi-joins)
+    and exactly ONE Arrow kernel evaluation (the lang predictor's two
+    textual references deduplicate into one ArrowEvalPython)."""
+    from featureform_spark.suite_llm import _corpus_clean_base
+
+    df = spark.createDataFrame(
+        [(0, "the weather is good and the garden is quiet today"),
+         (1, "sale sale sale buy buy buy cheap cheap cheap now")],
+        "doc_id long, text string",
+    )
+    base = _corpus_clean_base(df)
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        plan = base._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    assert "more fields" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("_score(") == 1, plan
+
+
+def test_corpus_clean_base_matches_joined_composition(spark):
+    """The single-scan base must keep exactly the docs the r7
+    join-composition kept: quality keep AND lang_pred == 'en'."""
+    from pyspark.sql import functions as F
+
+    from featureform_spark.functions.langid_model import lang_id_model
+    from featureform_spark.functions.quality_model import quality_model_score
+    from featureform_spark.suite_llm import _corpus_clean_base
+
+    rows = [
+        (0, "the history of the old town is written in its streets and "
+            "the stories people tell about the market square"),
+        (1, "cheap cheap cheap deal deal deal sale sale sale now now"),
+        (2, "el rapido zorro marron salta sobre el perro perezoso y corre "
+            "hacia el bosque donde encuentra un rio tranquilo"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = quality_model_score(df).filter(F.col("keep")).select("doc_id")
+    en = lang_id_model(df).filter(F.col("lang_pred") == "en").select("doc_id")
+    joined = sorted(
+        r["doc_id"]
+        for r in df.join(keep, "doc_id").join(en, "doc_id").collect()
+    )
+    single = sorted(r["doc_id"] for r in _corpus_clean_base(df).collect())
+    assert single == joined
+    assert 0 in single and 1 not in single and 2 not in single
