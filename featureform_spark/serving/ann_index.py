@@ -203,7 +203,14 @@ class IvfPqIndex:
 
     def add(self, new_ids: list[int], new_vectors: list[list[float]]) -> None:
         """Assign + residual-encode against the frozen codebook (the
-        reference's index ``add``; hnswlib also mutates in place)."""
+        reference's index ``add``; hnswlib also mutates in place).
+
+        UPSERT semantics: a re-added id SUPERSEDES its old entry — old
+        positions are dropped before the append, so at-least-once
+        streaming replays (``stream_to_ann_index``) converge instead of
+        duplicating (id, vector) rows, and ``query`` can never return
+        the same id twice. A batch that repeats an id keeps the LAST
+        occurrence (matching ``get``'s latest-wins rule)."""
         v = np.asarray(new_vectors, dtype=np.float64)
         if v.ndim == 1:
             v = v[None, :]
@@ -224,10 +231,26 @@ class IvfPqIndex:
                 axis=2
             )
             codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+        new_id_arr = np.asarray(new_ids, np.int64)
+        # intra-batch dedup: keep the LAST occurrence of each id
+        _, last = np.unique(new_id_arr[::-1], return_index=True)
+        keep_new = np.sort(len(new_id_arr) - 1 - last)
+        if len(keep_new) < len(new_id_arr):
+            new_id_arr = new_id_arr[keep_new]
+            cells = cells[keep_new]
+            codes = codes[keep_new]
+            v = v[keep_new]
         with self._lock:
-            self.ids = np.concatenate(
-                [self.ids, np.asarray(new_ids, np.int64)]
-            )
+            # supersede: drop existing entries for re-added ids
+            stale = np.isin(self.ids, new_id_arr)
+            if stale.any():
+                live = ~stale
+                self.ids = self.ids[live]
+                self.cells = self.cells[live]
+                self.codes = self.codes[live]
+                if self.vectors is not None:
+                    self.vectors = self.vectors[live]
+            self.ids = np.concatenate([self.ids, new_id_arr])
             self.cells = np.concatenate([self.cells, cells])
             self.codes = np.concatenate([self.codes, codes])
             if self.vectors is not None:

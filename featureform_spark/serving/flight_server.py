@@ -366,6 +366,7 @@ class DatasetStreamerServer:
 
         self.catalogs = dict(catalogs)
         self.indexes: dict = {}  # name -> serving IvfPqIndex
+        self._index_frozen: dict = {}  # name -> bool | callable
         outer = self
 
         class _Server(fl.FlightServerBase):
@@ -502,11 +503,30 @@ class DatasetStreamerServer:
 
     # -- vector plane (embeddinghub parity) -----------------------------------
 
-    def register_index(self, name: str, index) -> None:
-        """Attach a built ``serving.ann_index.IvfPqIndex`` so
-        ``{"nearest": ...}`` tickets and ``{"index_add": ...}`` uploads
-        can serve it — the reference's embeddingstore gRPC surface."""
+    def register_index(self, name: str, index, frozen=False) -> None:
+        """Attach a built serving index (IvfPqIndex / HnswIndex /
+        ShardedHnsw) so ``{"nearest": ...}`` tickets and
+        ``{"index_add": ...}`` uploads can serve it — the reference's
+        embeddingstore gRPC surface.
+
+        ``frozen`` is a bool or a zero-arg callable consulted per
+        write; pass ``lambda: store.is_frozen(name)`` when the space's
+        lifecycle lives in an ``InMemoryOnlineStore`` so a
+        ``freeze_vectors()`` there also closes the Flight write path
+        (FreezeSpace parity — without this a DoPut could mutate a
+        frozen space the store layer refuses to write)."""
         self.indexes[name] = index
+        self._index_frozen[name] = frozen
+
+    def freeze_index(self, name: str) -> None:
+        """Mark a registered index immutable for Flight writes."""
+        if name not in self.indexes:
+            raise KeyError(name)
+        self._index_frozen[name] = True
+
+    def _is_index_frozen(self, name: str) -> bool:
+        flag = self._index_frozen.get(name, False)
+        return bool(flag() if callable(flag) else flag)
 
     def _nearest(self, req: dict):
         import pyarrow as pa
@@ -570,9 +590,14 @@ class DatasetStreamerServer:
         if isinstance(spec, str):
             spec = {"index": spec}
         try:
-            ix = self.indexes[spec["index"]]
+            name = spec["index"]
+            ix = self.indexes[name]
         except (TypeError, KeyError) as e:
             raise TicketError(f"unknown index in index_add: {spec!r}") from e
+        if self._is_index_frozen(name):
+            raise TicketError(
+                f"Cannot write to immutable space: {name!r}"
+            )
         for chunk in reader:
             batch = chunk.data
             if batch is None:

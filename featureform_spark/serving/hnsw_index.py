@@ -233,16 +233,34 @@ class HnswIndex:
     ) -> list[tuple[int, float]]:
         """Return [(id, squared_l2)] of the ~k nearest. ``**_compat``
         swallows IVF-style kwargs (nprobe/rerank) so Flight can treat
-        every registered index uniformly."""
+        every registered index uniformly.
+
+        Soft-deleted nodes are routing-only: they are filtered AFTER
+        the beam search, so the effective ``ef`` is scaled up by the
+        deleted fraction and doubled until k live results (or the
+        whole graph) — hnswlib's equivalent of continuing the search
+        past deleted elements. Without this, a heavily upserted index
+        could return fewer than k live results even when k exist."""
         with self._lock:
             if self.entry < 0:
+                return []
+            n_total = len(self.alive)
+            n_live = len(self._pos_of)
+            if n_live == 0:
                 return []
             q = np.asarray(vector, dtype=np.float64)
             ep = [self.entry]
             for layer in range(self.top_level, 0, -1):
                 ep = [min(self._search_layer(q, ep, 1, layer))[1]]
-            w = self._search_layer(q, ep, max(int(ef), k), 0)
-            live = [(d, p) for d, p in w if self.alive[p]]
+            eff = max(int(ef), k)
+            if n_live < n_total:
+                eff = min(n_total, -(-eff * n_total // n_live))
+            while True:
+                w = self._search_layer(q, ep, eff, 0)
+                live = [(d, p) for d, p in w if self.alive[p]]
+                if len(live) >= k or eff >= n_total:
+                    break
+                eff = min(n_total, eff * 2)
             if not live:
                 return []
             pos = np.asarray([p for _, p in live], dtype=np.int64)

@@ -119,6 +119,12 @@ class InMemoryOnlineStore:
         )
         return None if row is None else [float(x) for x in row["embedding"]]
 
+    def is_frozen(self, name: str) -> bool:
+        """Public frozen probe — Flight servers pass
+        ``frozen=lambda: store.is_frozen(name)`` to ``register_index``
+        so a store-side freeze also closes the wire write path."""
+        return name in self._frozen
+
     def freeze_vectors(self, name: str) -> None:
         """FreezeSpace parity (embeddingstore/server.cc:82-96): the
         space becomes immutable — reads and Nearest() keep working,

@@ -214,12 +214,17 @@ _CODE_BRC = "[{};]"
 
 @query(
     "code_detect",
-    f"""
+    # NOT an f-string: an f-prefix would render '{{_sym}}' down to
+    # '{_sym}' before the .replace ran, leaving the oracle matching the
+    # literal text '{_sym}' (i.e. verifying nothing on symbol-free
+    # corpora). tests/test_llm_ops.py exercises the oracle on docs that
+    # DO contain code symbols.
+    """
     WITH b AS (
       SELECT doc_id,
              length(text)::DOUBLE AS n,
-             len(regexp_extract_all(text, '{{_sym}}'))::DOUBLE AS sym,
-             len(regexp_extract_all(text, '{{_brc}}'))::DOUBLE AS brc,
+             len(regexp_extract_all(text, '{_sym}'))::DOUBLE AS sym,
+             len(regexp_extract_all(text, '{_brc}'))::DOUBLE AS brc,
              len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS dig,
              string_split(text, chr(10)) AS lines
       FROM documents)
@@ -236,7 +241,7 @@ _CODE_BRC = "[{};]"
            AND (CASE WHEN n > 0 THEN brc / n ELSE 0.0 END) > 0.01
              AS is_code
     FROM b
-    """.replace("{{_sym}}", _CODE_SYM).replace("{{_brc}}", _CODE_BRC),
+    """.replace("{_sym}", _CODE_SYM).replace("{_brc}", _CODE_BRC),
 )
 def code_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose routing (the stage that sends code-looking docs

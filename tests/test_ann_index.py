@@ -116,3 +116,63 @@ def test_save_load_roundtrip(index, tmp_path):
     assert loaded.query(qvec, k=10, nprobe=8, rerank=100) == index.query(
         qvec, k=10, nprobe=8, rerank=100
     )
+
+
+def _clone(index):
+    return IvfPqIndex(
+        index.centroids,
+        index.codebook,
+        index.ids.copy(),
+        index.cells.copy(),
+        index.codes.copy(),
+        None if index.vectors is None else index.vectors.copy(),
+        index.n_codes,
+    )
+
+
+def test_add_is_upsert_not_duplicate(index, emb):
+    """A re-added id SUPERSEDES its old entry (streaming replays must
+    converge): size is stable, query never returns the same id twice,
+    and get() serves the new vector."""
+    ix = _clone(index)
+    n0 = len(ix.ids)
+    old = ix.get(4)
+    newv = [v + 0.25 for v in old]
+    ix.add([4], [newv])
+    assert len(ix.ids) == n0
+    assert np.allclose(ix.get(4), newv, atol=1e-6)
+    got = ix.query(newv, k=10, nprobe=16)
+    ids = [i for i, _ in got]
+    assert len(ids) == len(set(ids))
+    assert got[0][0] == 4 and got[0][1] < 1e-6
+
+
+def test_replayed_batch_converges(index):
+    """At-least-once replay of the same micro-batch leaves the index
+    unchanged — no growth, no duplicate hits crowding out real
+    neighbors."""
+    ix = _clone(index)
+    base = ix.get(2)
+    batch_ids = [5_000_001, 5_000_002]
+    batch_vecs = [[v + 0.1 for v in base], [v - 0.1 for v in base]]
+    ix.add(batch_ids, batch_vecs)
+    n1 = len(ix.ids)
+    for _ in range(3):  # replays
+        ix.add(batch_ids, batch_vecs)
+    assert len(ix.ids) == n1
+    got = ix.query(base, k=10, nprobe=16)
+    ids = [i for i, _ in got]
+    assert len(ids) == len(set(ids))
+    assert {5_000_001, 5_000_002} <= set(ids)
+
+
+def test_intra_batch_duplicate_keeps_last(index):
+    """An id repeated WITHIN one batch keeps the last occurrence
+    (matching get()'s latest-wins rule)."""
+    ix = _clone(index)
+    n0 = len(ix.ids)
+    v1 = [0.1] * ix.dim
+    v2 = [0.9] * ix.dim
+    ix.add([6_000_000, 6_000_000], [v1, v2])
+    assert len(ix.ids) == n0 + 1
+    assert np.allclose(ix.get(6_000_000), v2, atol=1e-6)

@@ -466,3 +466,55 @@ def test_vector_get_over_flight(served, sf_dir):
     assert empty.num_rows == 0
     with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
         _client_read(server, {"vector_get": {"index": "nope", "vec_id": 1}})
+
+
+def test_frozen_space_rejects_index_add(served, sf_dir):
+    """FreezeSpace parity must hold on the WIRE path too: after a
+    store-side freeze, an index_add DoPut is rejected (previously the
+    shared live index object let Flight clients bypass the store's
+    immutability)."""
+    from featureform_spark.serving.hnsw_index import HnswIndex
+    from featureform_spark.serving.online import InMemoryOnlineStore
+    from featureform_spark.sources.testdata import load_table
+
+    spark, server, _dt, _it, _orders = served
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = InMemoryOnlineStore()
+    store.register_vectors("spc", emb)
+    store.build_ann_index("spc", algo="hnsw", m=8, ef_construction=50)
+    server.register_index(
+        "spc", store._ann["spc"], frozen=lambda: store.is_frozen("spc")
+    )
+
+    def _put(vid):
+        upload = pa.table(
+            {
+                "vec_id": pa.array([vid], pa.int64()),
+                "embedding": pa.array(
+                    [[0.5] * 64], pa.list_(pa.float64())
+                ),
+            }
+        )
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        try:
+            desc = fl.FlightDescriptor.for_command(
+                json.dumps({"index_add": {"index": "spc"}}).encode()
+            )
+            writer, _meta = client.do_put(desc, upload.schema)
+            writer.write_table(upload)
+            writer.close()
+        finally:
+            client.close()
+
+    _put(8_000_001)  # live space: write lands
+    assert store.get_vector("spc", 8_000_001) is not None
+
+    store.freeze_vectors("spc")
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
+        _put(8_000_002)
+    assert store.get_vector("spc", 8_000_002) is None
+
+    # an explicitly frozen registration (bool flag) behaves the same
+    server.freeze_index("spc")
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
+        _put(8_000_003)

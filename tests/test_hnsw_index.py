@@ -370,3 +370,29 @@ def test_get_vector_point_lookup(spark, emb):
     sh = ShardedHnsw.build(emb, shards=3, m=8, ef_construction=50)
     assert np.allclose(np.asarray(sh.get(8)), expected, atol=1e-6)
     assert sh.get(10**9) is None
+
+
+def test_query_returns_k_live_after_heavy_upsert():
+    """Soft-deleted nodes are filtered after the beam search; the
+    effective ef must stretch past them (hnswlib keeps searching past
+    deleted elements) so a heavily upserted index still returns k live
+    results when k exist."""
+    rng = np.random.default_rng(7)
+    dim = 8
+    ix = HnswIndex(dim, m=6, ef_construction=40)
+    ids = list(range(40))
+    vecs = rng.normal(size=(40, dim)).tolist()
+    ix.add(ids, vecs)
+    # upsert most ids several times -> the graph is mostly tombstones
+    for _ in range(4):
+        upd = rng.normal(size=(35, dim)).tolist()
+        ix.add(ids[:35], upd)
+    assert len(ix) == 40
+    q = rng.normal(size=dim).tolist()
+    got = ix.query(q, k=10, ef=10)  # ef == k: worst case pre-fix
+    assert len(got) == 10
+    live_ids = [i for i, _ in got]
+    assert len(live_ids) == len(set(live_ids))
+    # asking for more live results than exist returns all 40, once each
+    got_all = ix.query(q, k=64, ef=16)
+    assert len(got_all) == 40

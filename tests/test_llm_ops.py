@@ -617,3 +617,48 @@ def test_corpus_clean_base_matches_joined_composition(spark):
     single = sorted(r["doc_id"] for r in _corpus_clean_base(df).collect())
     assert single == joined
     assert 0 in single and 1 not in single and 2 not in single
+
+
+def test_code_detect_oracle_nontrivial_on_code_symbols(spark, tmp_path):
+    """The code_detect DuckDB oracle must agree with the Spark operator
+    on documents that actually CONTAIN code symbols (the sf corpora
+    happen to be symbol-free, which once masked a vacuous oracle whose
+    regex placeholders never substituted)."""
+    import duckdb
+    import pandas as pd
+
+    from featureform_spark.suite import all_oracles
+
+    ORACLES = all_oracles()
+
+    rows = [
+        (0, "def f(x):\n    return {x: [1, 2]};\n    y = x < 3;"),
+        (1, "plain prose with no code symbols at all just words"),
+        (2, "for (i = 0; i < 10; i++) { a[i] = b[i]; }\n\tdone();"),
+        (3, ""),
+        (4, "numbers 123 456 789 but prose"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sql = ORACLES["code_detect"]
+    assert "{_sym}" not in sql and "{_brc}" not in sql
+    assert "[{}();=" in sql  # the real character class substituted in
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = (
+        con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    from featureform_spark.functions.quality import code_detect
+
+    got = (
+        code_detect(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["is_code"].tolist() == oracle["is_code"].tolist()
+    assert bool(got["is_code"][0]) and bool(got["is_code"][2])
+    assert not bool(got["is_code"][1]) and not bool(got["is_code"][3])
+    for col in ("symbol_density", "brace_density", "digit_ratio",
+                "indent_frac"):
+        assert got[col].tolist() == oracle[col].tolist(), col
