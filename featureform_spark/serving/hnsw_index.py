@@ -394,19 +394,93 @@ class HnswIndex:
         return ix
 
 
+def _farthest_first_seeds(
+    df, k: int, id_col: str, vec_col: str, oversample: int = 8
+) -> list[dict]:
+    """Deterministic k-center seeding for the kmeans partitioner:
+    md5-sample a ``k * oversample`` candidate pool (one bounded
+    collect), then greedy farthest-first traversal by cosine distance.
+    Plain md5-smallest seeding (``clustering.kmeans_init``) can land
+    several seeds in one true cluster and Lloyd never escapes — with
+    cosine assignment the duplicate seeds split that cluster while the
+    rest of the space collapses into one mega-cell, which is exactly
+    the shape that ruins routed-probe recall. Farthest-first spreads
+    the seeds across the data's actual directions. Returns rows shaped
+    like ``kmeans_init`` output (``cid``/``cv``)."""
+    from pyspark.sql import functions as F
+
+    from featureform_spark.functions.similarity import _as_double
+
+    h = F.md5(F.col(id_col).cast("string"))
+    pool = (
+        df.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("_v"), h.alias("_h")
+        )
+        .orderBy("_h", id_col)
+        .limit(max(1, int(k)) * max(1, int(oversample)))
+        .collect()
+    )
+    ids = [int(r[id_col]) for r in pool]
+    V = np.asarray([r["_v"] for r in pool], dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    chosen = [0]  # the smallest-md5 row anchors the traversal
+    mind = 1.0 - Vn @ Vn[0]
+    while len(chosen) < min(k, len(pool)):
+        nxt = int(np.argmax(mind))  # ties -> lowest pool position
+        chosen.append(nxt)
+        mind = np.minimum(mind, 1.0 - Vn @ Vn[nxt])
+    return [{"cid": ids[i], "cv": [float(x) for x in V[i]]} for i in chosen]
+
+
 class ShardedHnsw:
     """N independent HNSW graphs built executor-side, merged at query.
 
-    The scale path: ``mapInPandas`` builds one graph per hash shard in
+    The scale path: ``applyInPandas`` builds one graph per shard in
     parallel (no cross-shard edges, so no shuffle beyond the initial
-    hash partitioning), the driver collects only the serialized shard
-    blobs, and queries fan out to every shard and merge by distance.
+    partitioning), the driver collects only the serialized shard
+    blobs, and queries fan out to shards and merge by distance.
+
+    Two partitioners:
+
+    - ``"hash"`` — shard by ``xxhash64(id)``. Perfectly balanced, but
+      a query's true neighbors scatter uniformly across shards, so
+      routed probing (``probe_shards < N``) caps recall at roughly
+      p/N: every shard must be probed for high recall.
+    - ``"kmeans"`` — SPANN-style cluster closure (Chen et al. 2021,
+      "SPANN: Highly-efficient Billion-scale Approximate Nearest
+      Neighbor Search"): shards are k-means cells, and each vector is
+      assigned to its best cell PLUS any cell whose cosine is within
+      ``closure_margin`` of the best (capped at ``max_assign``
+      replicas). Boundary vectors live in every shard they could be
+      recalled from, so probing the ``probe_shards`` cells nearest the
+      query keeps recall high — ~1x replication on clustered data
+      (the margin rarely triggers), a bounded ~2-3x on adversarially
+      unclustered data. Routing uses the stored build-time centroids
+      with the same cosine rule as assignment.
     """
 
-    def __init__(self, shards: list[HnswIndex]):
+    def __init__(
+        self,
+        shards: list[HnswIndex],
+        centroids: "np.ndarray | None" = None,
+        closure_margin: float = 0.25,
+        max_assign: int = 3,
+    ):
         if not shards:
             raise ValueError("ShardedHnsw needs at least one shard")
+        if centroids is not None and len(centroids) != len(shards):
+            raise ValueError(
+                f"{len(centroids)} routing centroids for "
+                f"{len(shards)} shards"
+            )
         self.shards = shards
+        self.centroids = (
+            None
+            if centroids is None
+            else np.asarray(centroids, dtype=np.float64)
+        )
+        self.closure_margin = float(closure_margin)
+        self.max_assign = max(1, int(max_assign))
         self._lock = threading.Lock()
 
     @classmethod
@@ -418,6 +492,10 @@ class ShardedHnsw:
         ef_construction: int = 100,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        partitioner: str = "hash",
+        closure_margin: float = 0.25,
+        max_assign: int = 3,
+        kmeans_iters: int = 2,
     ) -> "ShardedHnsw":
         import pandas as pd
         from pyspark.sql import functions as F
@@ -444,13 +522,95 @@ class ShardedHnsw:
                 }
             )
 
-        sharded = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))).alias(
-                "_shard"
-            ),
-        )
+        centroids = None
+        if partitioner == "kmeans":
+            # cluster-aware shards: Lloyd over the same distributed
+            # primitives semantic_dedup uses (broadcast centroids, one
+            # scan + one k-row groupBy per round), then SPANN closure
+            # assignment executor-side — one mapInPandas pass emitting
+            # (shard, id, vec) replicas, no self-join.
+            from featureform_spark.functions.clustering import (
+                _assign_vectorized,
+                refine_centroids,
+            )
+            from featureform_spark.functions.similarity import _as_double
+
+            cents_rows = _farthest_first_seeds(
+                df, n_shards, id_col, vec_col
+            )
+            assigned = _assign_vectorized(df, cents_rows, id_col, vec_col)
+            for _ in range(max(0, int(kmeans_iters))):
+                cents_rows = refine_centroids(assigned, dim).collect()
+                assigned = _assign_vectorized(df, cents_rows, id_col, vec_col)
+            if not cents_rows:
+                raise ValueError("cannot build an HNSW index over 0 vectors")
+            # dense shard ids in sorted-cid order (Lloyd can drop
+            # empty clusters: shard count = surviving centroids)
+            cents_sorted = sorted(
+                (int(r["cid"]), [float(x) for x in r["cv"]])
+                for r in cents_rows
+            )
+            centroids = np.asarray(
+                [cv for _, cv in cents_sorted], dtype=np.float64
+            )
+            n_shards = len(centroids)
+            margin = float(closure_margin)
+            cap = max(1, int(max_assign))
+            cn = centroids / np.maximum(
+                np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+            )
+
+            def closure_assign(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    V = np.vstack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                    )
+                    Vn = V / np.maximum(
+                        np.linalg.norm(V, axis=1, keepdims=True), 1e-30
+                    )
+                    S = Vn @ cn.T
+                    order = np.argsort(-S, axis=1, kind="stable")
+                    out_shard: list[int] = []
+                    out_pos: list[int] = []
+                    for i in range(len(V)):
+                        best = S[i, order[i, 0]]
+                        cells = [int(order[i, 0])] + [
+                            int(c)
+                            for c in order[i, 1:cap]
+                            if S[i, c] >= best - margin
+                        ]
+                        out_shard.extend(cells)
+                        out_pos.extend([i] * len(cells))
+                    yield pd.DataFrame(
+                        {
+                            "_shard": pd.array(out_shard, dtype="int32"),
+                            id_col: pdf[id_col].iloc[out_pos].to_numpy(),
+                            vec_col: pdf[vec_col].iloc[out_pos].to_numpy(),
+                        }
+                    )
+
+            id_type = df.schema[id_col].dataType.simpleString()
+            sharded = df.select(
+                F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+            ).mapInPandas(
+                closure_assign,
+                schema=(
+                    f"_shard int, {id_col} {id_type}, "
+                    f"{vec_col} array<double>"
+                ),
+            )
+        elif partitioner == "hash":
+            sharded = df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))).alias(
+                    "_shard"
+                ),
+            )
+        else:
+            raise ValueError(f"unknown partitioner: {partitioner!r}")
         # one group per shard key (a plain repartition could fold two
         # shard keys into one task and build a merged graph)
         blobs = (
@@ -458,7 +618,7 @@ class ShardedHnsw:
             .applyInPandas(build_shard, schema="shard int, blob binary")
             .collect()
         )
-        # applyInPandas only emits groups that exist — pad hash buckets
+        # applyInPandas only emits groups that exist — pad buckets
         # that happened to be empty with empty graphs so the caller
         # always gets exactly the shard count it asked for
         built = {
@@ -469,14 +629,37 @@ class ShardedHnsw:
             [
                 built.get(i, HnswIndex(dim, m=m, ef_construction=ef_construction))
                 for i in range(n_shards)
-            ]
+            ],
+            centroids=centroids,
+            closure_margin=closure_margin,
+            max_assign=max_assign,
         )
 
+    def _closure_cells(self, vec) -> list[int]:
+        """SPANN closure assignment for one vector against the stored
+        build-time centroids — same cosine rule and defaults as the
+        build kernel."""
+        q = np.asarray(vec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-30)
+        cn = self.centroids / np.maximum(
+            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
+        )
+        s = cn @ qn
+        order = np.argsort(-s, kind="stable")
+        best = float(s[order[0]])
+        return [int(order[0])] + [
+            int(c)
+            for c in order[1 : self.max_assign]
+            if float(s[c]) >= best - self.closure_margin
+        ]
+
     def add(self, new_ids, new_vectors) -> None:
-        """Batched upsert: an id that already lives in some shard is
-        updated IN that shard (no cross-shard duplicates); new ids
-        route by md5 (dependency-free, deterministic — shard membership
-        only affects which graph holds the vector, not correctness).
+        """Batched upsert: an id that already lives in shards is
+        updated in EVERY shard holding it (closure assignment can
+        replicate an id — all replicas must stay consistent); new ids
+        route by closure assignment when the index is kmeans-sharded,
+        else by md5 (dependency-free, deterministic — shard membership
+        only affects which graphs hold the vector, not correctness).
         Vectors are bucketed per shard first so each shard sees ONE
         batched ``add`` (per-vector calls would re-copy the shard's
         arrays once per insert)."""
@@ -485,23 +668,24 @@ class ShardedHnsw:
             buckets: dict[int, tuple[list, list]] = {}
             for vid, vec in zip(new_ids, new_vectors):
                 vid = int(vid)
-                owner = next(
-                    (
-                        i
-                        for i, s in enumerate(self.shards)
-                        if vid in s._pos_of
-                    ),
-                    None,
-                )
-                if owner is None:
-                    h = int.from_bytes(
-                        hashlib.md5(f"shard:{vid}".encode()).digest()[:8],
-                        "big",
-                    )
-                    owner = h % n
-                ids, vecs = buckets.setdefault(owner, ([], []))
-                ids.append(vid)
-                vecs.append(vec)
+                owners = [
+                    i
+                    for i, s in enumerate(self.shards)
+                    if vid in s._pos_of
+                ]
+                if not owners:
+                    if self.centroids is not None:
+                        owners = self._closure_cells(vec)
+                    else:
+                        h = int.from_bytes(
+                            hashlib.md5(f"shard:{vid}".encode()).digest()[:8],
+                            "big",
+                        )
+                        owners = [h % n]
+                for owner in owners:
+                    ids, vecs = buckets.setdefault(owner, ([], []))
+                    ids.append(vid)
+                    vecs.append(vec)
             for owner, (ids, vecs) in buckets.items():
                 self.shards[owner].add(ids, vecs)
 
@@ -514,30 +698,41 @@ class ShardedHnsw:
         **_compat,
     ) -> list[tuple[int, float]]:
         """Fan out to every shard by default. ``probe_shards=p`` routes
-        to only the ``p`` shards whose LIVE-vector centroid is closest
-        to the query (squared L2 — the index metric): at fleet scale
-        (hundreds of shards) full fan-out is the query bottleneck, and
-        centroid routing is the IVF coarse-cell idea applied to graph
-        shards — recall degrades gracefully with p exactly as nprobe
-        does for IVF."""
+        to only the ``p`` nearest shards: at fleet scale (hundreds of
+        shards) full fan-out is the query bottleneck, and centroid
+        routing is the IVF coarse-cell idea applied to graph shards.
+        kmeans-sharded indexes route by cosine against the stored
+        build-time centroids (the same rule closure assignment used,
+        so boundary replicas sit exactly where routed probes look);
+        hash-sharded indexes fall back to the live-vector centroid by
+        squared L2 — an honest approximation whose recall caps near
+        p/N on unclustered shards. Replicated ids are deduplicated at
+        merge (min distance; distances of replicas are equal)."""
         targets = self.shards
         if probe_shards is not None and probe_shards < len(self.shards):
+            p = max(1, int(probe_shards))
             q = np.asarray(vector, dtype=np.float64)
-            ranked = sorted(
-                (
+            if self.centroids is not None:
+                qn = q / max(float(np.linalg.norm(q)), 1e-30)
+                cn = self.centroids / np.maximum(
+                    np.linalg.norm(self.centroids, axis=1, keepdims=True),
+                    1e-30,
+                )
+                s = cn @ qn
+                ranked = sorted((-float(s[i]), i) for i in range(len(s)))
+            else:
+                ranked = sorted(
                     (float(((c - q) ** 2).sum()), i)
                     for i, sh in enumerate(self.shards)
                     if (c := sh.centroid()) is not None
-                ),
-            )
-            targets = [
-                self.shards[i]
-                for _, i in ranked[: max(1, int(probe_shards))]
-            ]
-        hits: list[tuple[int, float]] = []
+                )
+            targets = [self.shards[i] for _, i in ranked[:p]]
+        best: dict[int, float] = {}
         for sh in targets:
-            hits.extend(sh.query(vector, k=k, ef=ef))
-        hits.sort(key=lambda t: (t[1], t[0]))
+            for vid, d in sh.query(vector, k=k, ef=ef):
+                if vid not in best or d < best[vid]:
+                    best[vid] = d
+        hits = sorted(best.items(), key=lambda t: (t[1], t[0]))
         return hits[:k]
 
     def get(self, vid: int) -> list[float] | None:
@@ -549,12 +744,22 @@ class ShardedHnsw:
 
     def save(self, dirpath: str) -> None:
         """One ``shard_<i>.npz`` per shard under ``dirpath`` (same
-        pickle-free format as :meth:`HnswIndex.save`)."""
+        pickle-free format as :meth:`HnswIndex.save`), plus a
+        ``routing.npz`` with the kmeans centroids + closure params
+        when cluster-sharded."""
         import os
 
         os.makedirs(dirpath, exist_ok=True)
         for i, sh in enumerate(self.shards):
             sh.save(os.path.join(dirpath, f"shard_{i}.npz"))
+        if self.centroids is not None:
+            np.savez_compressed(
+                os.path.join(dirpath, "routing.npz"),
+                centroids=self.centroids,
+                closure=np.asarray(
+                    [self.closure_margin, float(self.max_assign)]
+                ),
+            )
 
     @classmethod
     def load(cls, dirpath: str) -> "ShardedHnsw":
@@ -569,9 +774,24 @@ class ShardedHnsw:
             ),
             key=lambda n: int(n[6:-4]),
         )
+        kwargs: dict = {}
+        routing = os.path.join(dirpath, "routing.npz")
+        if os.path.exists(routing):
+            with np.load(routing, allow_pickle=False) as z:
+                kwargs["centroids"] = z["centroids"]
+                if "closure" in z:
+                    kwargs["closure_margin"] = float(z["closure"][0])
+                    kwargs["max_assign"] = int(z["closure"][1])
         return cls(
-            [HnswIndex.load(os.path.join(dirpath, n)) for n in names]
+            [HnswIndex.load(os.path.join(dirpath, n)) for n in names],
+            **kwargs,
         )
 
     def __len__(self) -> int:
-        return sum(len(s) for s in self.shards)
+        """Unique live ids across shards (closure assignment can
+        replicate an id into several shards; hash shards are disjoint
+        so this equals the sum there)."""
+        seen: set[int] = set()
+        for s in self.shards:
+            seen.update(s._pos_of.keys())
+        return len(seen)

@@ -46,7 +46,10 @@ def main() -> None:
 
     hnsw_ix = HnswIndex.build(emb, m=16, ef_construction=100)
     hnsw_sh = ShardedHnsw.build(emb, shards=4, m=16, ef_construction=100)
-    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": [], "hnsw": [], "hnsw_sharded": [], "hnsw_sharded_p2of4": []}
+    hnsw_km = ShardedHnsw.build(
+        emb, shards=4, m=16, ef_construction=100, partitioner="kmeans"
+    )
+    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": [], "hnsw": [], "hnsw_sharded": [], "hnsw_sharded_p2of4": [], "hnsw_sharded_kmeans_p2of4": []}
     for qid in query_ids:
         qvec = [
             float(x)
@@ -112,6 +115,8 @@ def main() -> None:
         recalls["hnsw_sharded"].append(len(hs & exact_l2) / k)
         hp = {i for i, _ in hnsw_sh.query(qvec, k=k, ef=64, probe_shards=2)}
         recalls["hnsw_sharded_p2of4"].append(len(hp & exact_l2) / k)
+        hk = {i for i, _ in hnsw_km.query(qvec, k=k, ef=64, probe_shards=2)}
+        recalls["hnsw_sharded_kmeans_p2of4"].append(len(hk & exact_l2) / k)
 
     out = {
         "metric": "ann_recall_at_k",

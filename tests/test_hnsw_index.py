@@ -396,3 +396,117 @@ def test_query_returns_k_live_after_heavy_upsert():
     # asking for more live results than exist returns all 40, once each
     got_all = ix.query(q, k=64, ef=16)
     assert len(got_all) == 40
+
+
+def _exact_l2_ids_local(rows, q, k):
+    ids = np.array([i for i, _ in rows])
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    d = ((V - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d))[:k]
+    return [int(ids[i]) for i in order]
+
+
+def test_kmeans_sharding_clustered_low_replication(spark):
+    """On genuinely clustered data the kmeans partitioner puts each
+    cluster in its own shard with ~no boundary replication, and
+    probing ONE shard recalls the query's whole neighborhood."""
+    rng = np.random.default_rng(11)
+    centers = np.array(
+        [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0],
+         [-10.0, -10.0, -10.0]]
+    )
+    rows = [
+        (i, (centers[i % 4] + rng.normal(0, 0.2, 3)).tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sh = ShardedHnsw.build(
+        df, shards=4, m=8, ef_construction=40, partitioner="kmeans"
+    )
+    assert sh.centroids is not None
+    assert len(sh) == 120  # every vector covered (unique ids)
+    total = sum(len(s) for s in sh.shards)
+    assert total <= 130  # separated clusters: margin barely triggers
+    for qi in (0, 1, 2, 3):
+        q = rows[qi][1]
+        exact = _exact_l2_ids_local(rows, q, 10)
+        got = [i for i, _ in sh.query(q, k=10, ef=48, probe_shards=1)]
+        assert len(set(got) & set(exact)) >= 9, (qi, got, exact)
+
+
+def test_kmeans_sharding_unclustered_recall_via_closure(spark):
+    """On UNclustered data, hash shards cap routed recall near p/N;
+    the kmeans partitioner's SPANN closure (boundary vectors
+    replicated into near cells) keeps probe-2-of-4 recall >= 0.9."""
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = ShardedHnsw.build(
+        df, shards=4, m=12, ef_construction=80, partitioner="kmeans"
+    )
+    assert len(km) == 400
+    total = sum(len(s) for s in km.shards)
+    assert total <= 3 * 400  # replication bounded by max_assign
+    recalls = []
+    for qi in range(20):
+        q = rows[qi][1]
+        exact = set(_exact_l2_ids_local(rows, q, 10))
+        got = {i for i, _ in km.query(q, k=10, ef=64, probe_shards=2)}
+        assert len(got) == 10  # replicas deduplicated, still k results
+        recalls.append(len(got & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_kmeans_sharded_upsert_updates_all_replicas(spark):
+    """An id replicated into several shards by closure assignment must
+    be updated in EVERY replica on upsert — a stale replica would let
+    query() return the old vector from an unrouted shard."""
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = ShardedHnsw.build(
+        df, shards=4, m=8, ef_construction=40, partitioner="kmeans"
+    )
+    # find an id that closure-replicated into >= 2 shards
+    vid = next(
+        i for i, _ in rows
+        if sum(1 for s in km.shards if i in s._pos_of) >= 2
+    )
+    newv = rng.normal(0, 1, 8).tolist()
+    km.add([vid], [newv])
+    for s in km.shards:
+        if vid in s._pos_of:
+            assert np.allclose(s.get(vid), newv, atol=1e-9)
+    assert np.allclose(km.get(vid), newv, atol=1e-9)
+    # new ids route by closure assignment, not md5
+    km.add([9_000_001], [newv])
+    owners = [i for i, s in enumerate(km.shards) if 9_000_001 in s._pos_of]
+    assert owners == km._closure_cells(newv)
+
+
+def test_kmeans_sharded_save_load_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(21)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = ShardedHnsw.build(
+        df, shards=3, m=8, ef_construction=40, partitioner="kmeans"
+    )
+    d = str(tmp_path / "km_idx")
+    km.save(d)
+    back = ShardedHnsw.load(d)
+    assert back.centroids is not None
+    assert np.allclose(back.centroids, km.centroids)
+    assert back.closure_margin == km.closure_margin
+    assert back.max_assign == km.max_assign
+    q = rows[5][1]
+    assert back.query(q, k=5, ef=32, probe_shards=2) == km.query(
+        q, k=5, ef=32, probe_shards=2
+    )
+
+
+def test_unknown_partitioner_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="partitioner"):
+        ShardedHnsw.build(df, shards=2, partitioner="zorp")
