@@ -65,6 +65,7 @@ def streaming_point_in_time(
     label_value_col: str = "value",
     feature_value_col: str = "value",
     retain_seconds: float | None = None,
+    lag_seconds: float = 0.0,
 ):
     """As-of join a label STREAM to a feature STREAM.
 
@@ -77,6 +78,13 @@ def streaming_point_in_time(
     equal feature ts, matching the batch ``_ord`` tiebreak), or NULL if
     no feature preceded the label.
 
+    ``lag_seconds`` is the streaming twin of the batch
+    ``FeatureInput.lag_seconds`` (J6, provider/spark.go:152-207): the
+    feature's effective time shifts forward by the lag BEFORE entering
+    the state history, so a label only sees feature values with
+    ``feature_ts + lag <= label_ts`` — bound-shift in state lookup,
+    identical to the batch ``INTERVAL`` shift.
+
     Returns the unstarted output DataFrame — attach your own sink
     (memory/parquet/foreachBatch).
     """
@@ -86,17 +94,23 @@ def streaming_point_in_time(
         else None
     )
 
-    def _tag(df: DataFrame, kind: int, vcol: str) -> DataFrame:
+    def _tag(
+        df: DataFrame, kind: int, vcol: str, lag: float = 0.0
+    ) -> DataFrame:
+        ts = F.col(ts_col).cast("timestamp")
+        if lag:
+            # same expression as the batch join's lag shift
+            ts = ts + F.expr(f"INTERVAL {lag} SECONDS")
         return df.select(
             F.col(entity_col).cast("string").alias("entity"),
-            F.col(ts_col).cast("timestamp").alias("ts"),
+            ts.alias("ts"),
             F.lit(kind).alias("kind"),
             F.col(vcol).cast("double").alias("val"),
         )
 
-    unioned = _tag(features, _FEATURE, feature_value_col).unionByName(
-        _tag(labels, _LABEL, label_value_col)
-    )
+    unioned = _tag(
+        features, _FEATURE, feature_value_col, lag_seconds
+    ).unionByName(_tag(labels, _LABEL, label_value_col))
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (entity,) = key
@@ -184,6 +198,7 @@ def streaming_point_in_time_multi(
     label_value_col: str = "value",
     feature_value_col: str = "value",
     retain_seconds: float | None = None,
+    lags: dict[str, float] | None = None,
 ):
     """N-feature streaming PIT: every label row emits
     ``(entity, label_ts, label, features)`` where ``features`` maps
@@ -192,9 +207,15 @@ def streaming_point_in_time_multi(
     Same at-or-before / last-arrival-wins semantics as the
     single-feature form, one state store entry per entity covering all
     features — the batch twin is ``point_in_time_join`` with one
-    ``FeatureInput`` per name.
+    ``FeatureInput`` per name. ``lags`` maps feature names to their
+    ``lag_seconds`` (the batch J6 bound shift): those features'
+    effective times move forward by the lag before entering state.
     """
     names = sorted(features)
+    lags = lags or {}
+    unknown = set(lags) - set(names)
+    if unknown:
+        raise ValueError(f"lags for unregistered features: {sorted(unknown)}")
     retain_us = (
         int(retain_seconds * 1_000_000)
         if retain_seconds is not None
@@ -203,10 +224,15 @@ def streaming_point_in_time_multi(
 
     _LABEL_TAG = ""  # feature names are non-empty by construction
 
-    def _tag(df: DataFrame, fname: str, vcol: str) -> DataFrame:
+    def _tag(
+        df: DataFrame, fname: str, vcol: str, lag: float = 0.0
+    ) -> DataFrame:
+        ts = F.col(ts_col).cast("timestamp")
+        if lag:
+            ts = ts + F.expr(f"INTERVAL {lag} SECONDS")
         return df.select(
             F.col(entity_col).cast("string").alias("entity"),
-            F.col(ts_col).cast("timestamp").alias("ts"),
+            ts.alias("ts"),
             F.lit(fname).alias("fname"),
             F.col(vcol).cast("double").alias("val"),
         )
@@ -216,7 +242,12 @@ def streaming_point_in_time_multi(
     unioned = _tag(labels, _LABEL_TAG, label_value_col)
     for name in names:
         unioned = unioned.unionByName(
-            _tag(features[name], name, feature_value_col)
+            _tag(
+                features[name],
+                name,
+                feature_value_col,
+                float(lags.get(name, 0.0)),
+            )
         )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

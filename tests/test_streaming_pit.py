@@ -5,6 +5,8 @@ training-set generator)."""
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from featureform_spark.operators.training_set import (
@@ -201,3 +203,136 @@ def test_streaming_pit_state_pruning(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM pit_prune").collect()
     assert len(rows) == 1 and rows[0]["feature"] == 3.0
+
+
+def test_streaming_pit_lag_parity(spark, tmp_path):
+    """J6's streaming twin: lag_seconds shifts the as-of bound in the
+    state lookup (feature visible only once label_ts >= ts + lag), and
+    a checkpointed chunked replay stays row-equal to the batch
+    point_in_time_join with the same LagFeature."""
+    lag = 600.0  # 10 minutes
+
+    fdf = spark.createDataFrame(FEATURES, SCHEMA_F)
+    ldf = spark.createDataFrame(LABELS, SCHEMA_L)
+    batch = point_in_time_join(
+        ldf,
+        [FeatureInput(name="feature", df=fdf, entity_col="user",
+                      value_col="value", ts_col="ts", order_col="ord",
+                      lag_seconds=lag)],
+        label_entity_col="user", label_value_col="value",
+        label_ts_col="ts",
+    )
+    expected = sorted(
+        (r["entity"], r["label_ts"], r["label"], r["feature"])
+        for r in batch.collect()
+    )
+    # the lag must actually change the answer on this fixture (the
+    # label at minute 5 no longer sees the minute-0 feature, etc.)
+    assert expected != _batch_expected(spark)
+
+    fdir, ldir = tmp_path / "f", tmp_path / "l"
+    all_rows = []
+
+    def sink(batch_df, _bid):
+        all_rows.extend(batch_df.collect())
+
+    cut = _mins(25)
+    chunks = [
+        ([f for f in FEATURES if f[1] <= cut],
+         [l for l in LABELS if l[1] <= cut]),
+        ([f for f in FEATURES if f[1] > cut],
+         [l for l in LABELS if l[1] > cut]),
+    ]
+    for fc, lc in chunks:
+        spark.createDataFrame(fc, SCHEMA_F).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(fdir))
+        spark.createDataFrame(lc, SCHEMA_L).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(ldir))
+        out = streaming_point_in_time(
+            spark.readStream.schema(SCHEMA_L).parquet(str(ldir)),
+            spark.readStream.schema(SCHEMA_F).parquet(str(fdir)),
+            entity_col="user",
+            ts_col="ts",
+            lag_seconds=lag,
+        )
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = sorted(
+        (int(r["entity"]), r["label_ts"], r["label"], r["feature"])
+        for r in all_rows
+    )
+    assert got == expected
+
+
+def test_streaming_pit_multi_lag_parity(spark, tmp_path):
+    """Per-feature lags in the multi form: one lagged + one unlagged
+    stream equals batch with matching per-FeatureInput lag_seconds."""
+    from featureform_spark.streaming.pit import streaming_point_in_time_multi
+
+    lag = 900.0
+    f2 = [
+        (1, _mins(2), 7.0, 10),
+        (1, _mins(30), 8.0, 11),
+        (2, _mins(40), 9.0, 12),
+    ]
+    fdf = spark.createDataFrame(FEATURES, SCHEMA_F)
+    f2df = spark.createDataFrame(f2, SCHEMA_F)
+    ldf = spark.createDataFrame(LABELS, SCHEMA_L)
+    batch = point_in_time_join(
+        ldf,
+        [
+            FeatureInput(name="fa", df=fdf, entity_col="user",
+                         value_col="value", ts_col="ts", order_col="ord",
+                         lag_seconds=lag),
+            FeatureInput(name="fb", df=f2df, entity_col="user",
+                         value_col="value", ts_col="ts", order_col="ord"),
+        ],
+        label_entity_col="user", label_value_col="value",
+        label_ts_col="ts",
+    )
+    expected = sorted(
+        (r["entity"], r["label_ts"], r["label"], r["fa"], r["fb"])
+        for r in batch.collect()
+    )
+
+    for sub, rows in (("fa", FEATURES), ("fb", f2), ("l", LABELS)):
+        schema = SCHEMA_L if sub == "l" else SCHEMA_F
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / sub)
+        )
+    out = streaming_point_in_time_multi(
+        spark.readStream.schema(SCHEMA_L).parquet(str(tmp_path / "l")),
+        {
+            "fa": spark.readStream.schema(SCHEMA_F).parquet(str(tmp_path / "fa")),
+            "fb": spark.readStream.schema(SCHEMA_F).parquet(str(tmp_path / "fb")),
+        },
+        entity_col="user", ts_col="ts",
+        lags={"fa": lag},
+    )
+    q = (
+        out.writeStream.format("memory").queryName("pit_multi_lag")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (int(r["entity"]), r["label_ts"], r["label"],
+         (r["features"] or {}).get("fa"), (r["features"] or {}).get("fb"))
+        for r in spark.sql("SELECT * FROM pit_multi_lag").collect()
+    )
+    assert got == expected
+
+
+def test_streaming_pit_multi_rejects_unknown_lag(spark):
+    from featureform_spark.streaming.pit import streaming_point_in_time_multi
+
+    ldf = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="unregistered"):
+        streaming_point_in_time_multi(ldf, {"fa": ldf}, lags={"zz": 1.0})
