@@ -35,17 +35,46 @@ EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016)
 
 
 def word_histogram(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_words: int | None = 1_000_000,
 ) -> list[tuple[str, int]]:
-    """Distributed exact word counts, (count desc, word asc) order."""
+    """Distributed exact word counts, (count desc, word asc) order.
+
+    The merge loop needs the histogram on the driver, and web-scale
+    corpora have effectively UNBOUNDED distinct "words" (noise, URLs,
+    hashes) — an uncapped collect is a driver OOM at 100 TB. Two
+    standard BPE bounds run inside the groupBy before anything is
+    collected:
+
+    - ``min_count`` prunes hapax noise (Sennrich's ``--min-frequency``;
+      singleton words can never win a merge against repeated pairs,
+      though they do stop contributing their pair weights).
+    - ``top_words`` caps the table at the V most frequent words via a
+      distributed TakeOrdered (count desc, word asc — the same total
+      order the merge loop uses, so the cap is deterministic). At the
+      default 1M words the driver holds ~tens of MB regardless of
+      corpus size. ``None`` disables the cap for small-corpus exact
+      training.
+    """
     from featureform_spark.functions.text import tokens_expr
 
-    rows = (
+    counts = (
         df.select(F.explode(tokens_expr(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
     )
+    if min_count > 1:
+        counts = counts.filter(F.col("c") >= int(min_count))
+    if top_words is not None:
+        # orderBy + limit plans as TakeOrderedAndProject: each task
+        # keeps its top-V, the driver merges — never the full table
+        rows = counts.orderBy(
+            F.col("c").desc(), F.col("w").asc()
+        ).limit(int(top_words)).collect()
+        return [(r["w"], r["c"]) for r in rows]
+    rows = counts.collect()
     return sorted(((r["w"], r["c"]) for r in rows), key=lambda t: (-t[1], t[0]))
 
 

@@ -81,3 +81,36 @@ def test_trained_bpe_compresses_vs_chars(spark, sf_dir):
         F.sum(F.length(F.regexp_replace("text", r"\s+", ""))).alias("c")
     ).first()
     assert agg["bpe"] < 0.5 * chars["c"]
+
+
+def test_word_histogram_bounds(spark):
+    """The driver-side histogram is BOUNDED before collect: min_count
+    prunes hapax noise in-plan and top_words caps the table via a
+    distributed TakeOrdered in the merge loop's own total order — the
+    merge chain over the bounded histogram equals the exact one when
+    the bound doesn't bite, and drops only tail words when it does."""
+    from featureform_spark.functions.bpe import (
+        train_bpe_from_histogram,
+        word_histogram,
+    )
+
+    rows = [
+        (0, "low low low low lower lower newest newest newest widest"),
+        (1, "newest newest newest widest widest zzz_once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = word_histogram(df, top_words=None)
+    assert ("zzz_once", 1) in exact
+
+    pruned = word_histogram(df, min_count=2, top_words=None)
+    assert all(c >= 2 for _, c in pruned)
+    assert ("zzz_once", 1) not in pruned
+
+    capped = word_histogram(df, top_words=3)
+    assert capped == exact[:3]  # same (count desc, word asc) order
+
+    # a bound that doesn't bite leaves the merge chain unchanged
+    assert train_bpe_from_histogram(
+        word_histogram(df, top_words=100), num_merges=20
+    ) == train_bpe_from_histogram(exact, num_merges=20)
