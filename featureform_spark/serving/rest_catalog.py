@@ -184,6 +184,8 @@ class IcebergRestCatalogServer:
                 # /v1/config
                 if parts == ["v1", "config"]:
                     return ("config", None, None)
+                if parts == ["v1", "transactions", "commit"]:
+                    return ("transaction", None, None)
                 if len(parts) >= 2 and parts[:2] == ["v1", "namespaces"]:
                     if len(parts) == 2:
                         return ("namespaces", None, None)
@@ -256,20 +258,28 @@ class IcebergRestCatalogServer:
                     )
                 return self._error(400, f"unknown route {self.path}")
 
-            def do_POST(self):
-                kind, ns, name = self._route()
-                if kind == "tables":
-                    return self._create_table(ns)
-                if kind != "table":
-                    return self._error(400, f"unknown route {self.path}")
-                tdir = self._table_dir(ns, name)
-                if tdir is None:
-                    return self._error(404, f"table {ns}.{name} not found")
-                try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(n) or b"{}")
-                except (ValueError, json.JSONDecodeError):
-                    return self._error(400, "invalid CommitTableRequest")
+            def _409(self, msg: str):
+                return self._json(
+                    409,
+                    {
+                        "error": {
+                            "message": msg,
+                            "type": "CommitFailedException",
+                            "code": 409,
+                        }
+                    },
+                )
+
+            def _read_body(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _prepare_commit(self, tdir: str, req: dict, now_ms: int):
+                """Validate + apply one CommitTableRequest against the
+                table's terminal metadata WITHOUT writing anything.
+                Returns (table, new_md, cur_version); raises
+                LookupError (no versions), CommitConflict (failed
+                requirement), or ValueError-family (bad request)."""
                 from featureform_spark.sources.iceberg_protocol import (
                     IcebergProtocolTable,
                 )
@@ -277,9 +287,7 @@ class IcebergRestCatalogServer:
                 t = IcebergProtocolTable(None, tdir)
                 files = sorted(t._metadata_files())
                 if not files:
-                    return self._error(
-                        404, f"table {ns}.{name} has no metadata versions"
-                    )
+                    raise LookupError("table has no metadata versions")
                 # base the commit on the HIGHEST version file, not the
                 # VERSION_HINT-preferred one: the hint is written after
                 # the O_EXCL link and may lag a version, and building on
@@ -290,46 +298,50 @@ class IcebergRestCatalogServer:
                 old_file = os.path.join(t.metadata_path, fname)
                 with open(old_file) as f:
                     md = json.load(f)
-                now_ms = int(time.time() * 1000)
-                try:
-                    _check_requirements(md, req.get("requirements") or [])
-                    new_md = _apply_updates(
-                        md, req.get("updates") or [], now_ms
-                    )
-                except CommitConflict as exc:
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": str(exc),
-                                "type": "CommitFailedException",
-                                "code": 409,
-                            }
-                        },
-                    )
-                except (ValueError, KeyError, TypeError) as exc:
-                    return self._error(400, f"bad commit request: {exc}")
+                _check_requirements(md, req.get("requirements") or [])
+                new_md = _apply_updates(md, req.get("updates") or [], now_ms)
                 new_md["last-updated-ms"] = now_ms
                 new_md["metadata-log"] = list(
                     md.get("metadata-log") or []
                 ) + [{"timestamp-ms": now_ms, "metadata-file": old_file}]
+                return t, new_md, cur_version
+
+            def do_POST(self):
+                kind, ns, name = self._route()
+                if kind == "transaction":
+                    return self._commit_transaction()
+                if kind == "tables":
+                    return self._create_table(ns)
+                if kind != "table":
+                    return self._error(400, f"unknown route {self.path}")
+                tdir = self._table_dir(ns, name)
+                if tdir is None:
+                    return self._error(404, f"table {ns}.{name} not found")
+                try:
+                    req = self._read_body()
+                except (ValueError, json.JSONDecodeError):
+                    return self._error(400, "invalid CommitTableRequest")
+                now_ms = int(time.time() * 1000)
+                try:
+                    t, new_md, cur_version = self._prepare_commit(
+                        tdir, req, now_ms
+                    )
+                except LookupError:
+                    return self._error(
+                        404, f"table {ns}.{name} has no metadata versions"
+                    )
+                except CommitConflict as exc:
+                    return self._409(str(exc))
+                except (ValueError, KeyError, TypeError) as exc:
+                    return self._error(400, f"bad commit request: {exc}")
                 try:
                     t._commit_metadata(new_md, cur_version + 1)
                 except FileExistsError:
                     # lost the link(2) race to a concurrent committer —
                     # the spec's retryable commit conflict
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": (
-                                    f"metadata version {cur_version + 1} "
-                                    "was committed concurrently"
-                                ),
-                                "type": "CommitFailedException",
-                                "code": 409,
-                            }
-                        },
+                    return self._409(
+                        f"metadata version {cur_version + 1} "
+                        "was committed concurrently"
                     )
                 return self._json(
                     200,
@@ -338,6 +350,169 @@ class IcebergRestCatalogServer:
                         "metadata": new_md,
                     },
                 )
+
+            def _commit_transaction(self):
+                """Spec ``/v1/transactions/commit``: atomic multi-table
+                CAS (CommitTransactionRequest.table-changes). All
+                requirements are validated against every table's
+                terminal metadata first — any failure aborts with
+                nothing written; then the prepared versions are linked
+                through the same O_EXCL log, rolling back
+                already-linked versions if a concurrent single-table
+                committer wins a race mid-transaction (the rollback
+                only unlinks a version that is still terminal — a
+                version someone already built on stays, reported as a
+                500). Transactions serialize against each other via a
+                catalog-root lock file so two transactions can never
+                interleave their link phases."""
+                try:
+                    req = self._read_body()
+                    changes = req["table-changes"]
+                    assert isinstance(changes, list) and changes
+                except (
+                    ValueError,
+                    json.JSONDecodeError,
+                    KeyError,
+                    AssertionError,
+                    TypeError,
+                ):
+                    return self._error(
+                        400, "invalid CommitTransactionRequest"
+                    )
+                now_ms = int(time.time() * 1000)
+                lock = os.path.join(
+                    os.path.realpath(outer.root), ".txn.lock"
+                )
+                fd = None
+                deadline = time.time() + 10.0
+                while True:
+                    try:
+                        fd = os.open(
+                            lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                        break
+                    except FileExistsError:
+                        if time.time() > deadline:
+                            return self._409(
+                                "transaction lock busy (another "
+                                "transaction in flight)"
+                            )
+                        time.sleep(0.01)
+                try:
+                    prepared = []
+                    seen: set[str] = set()
+                    for ch in changes:
+                        ident = ch.get("identifier") or {}
+                        ns_parts = ident.get("namespace") or []
+                        name = ident.get("name")
+                        if not ns_parts or not name:
+                            return self._error(
+                                400,
+                                "table-change missing identifier",
+                            )
+                        ns = "/".join(str(p) for p in ns_parts)
+                        tdir = self._table_dir(ns, str(name))
+                        if tdir is None:
+                            return self._error(
+                                404, f"table {ns}.{name} not found"
+                            )
+                        if tdir in seen:
+                            return self._error(
+                                400,
+                                f"duplicate table in transaction: "
+                                f"{ns}.{name}",
+                            )
+                        seen.add(tdir)
+                        try:
+                            t, new_md, cur_version = self._prepare_commit(
+                                tdir, ch, now_ms
+                            )
+                        except LookupError:
+                            return self._error(
+                                404,
+                                f"table {ns}.{name} has no metadata "
+                                "versions",
+                            )
+                        except CommitConflict as exc:
+                            return self._409(
+                                f"{ns}.{name}: {exc} — transaction "
+                                "aborted, no tables changed"
+                            )
+                        except (ValueError, KeyError, TypeError) as exc:
+                            return self._error(
+                                400, f"bad commit for {ns}.{name}: {exc}"
+                            )
+                        prepared.append((ns, name, t, new_md, cur_version))
+                    committed: list[tuple] = []
+                    for ns, name, t, new_md, cur_version in prepared:
+                        try:
+                            t._commit_metadata(new_md, cur_version + 1)
+                        except FileExistsError:
+                            # a concurrent DIRECT committer (not a
+                            # transaction — we hold the lock) linked
+                            # this version first: roll back our links
+                            failed = self._rollback(committed)
+                            if failed:
+                                return self._json(
+                                    500,
+                                    {
+                                        "error": {
+                                            "message": (
+                                                "transaction partially "
+                                                "committed and not "
+                                                "rollback-able: "
+                                                f"{failed}"
+                                            ),
+                                            "type": "CommitStateUnknownException",
+                                            "code": 500,
+                                        }
+                                    },
+                                )
+                            return self._409(
+                                f"{ns}.{name}: metadata version "
+                                f"{cur_version + 1} was committed "
+                                "concurrently — transaction aborted, "
+                                "no tables changed"
+                            )
+                        committed.append((ns, name, t, cur_version + 1))
+                    return self._json(200, {})
+                finally:
+                    if fd is not None:
+                        os.close(fd)
+                        try:
+                            os.unlink(lock)
+                        except OSError:
+                            pass
+
+            def _rollback(self, committed: list[tuple]) -> list[str]:
+                """Unlink versions this transaction linked, newest
+                first, restoring each table's version hint. A version
+                a concurrent writer already built on (no longer
+                terminal) cannot be removed — returned as failures."""
+                failures: list[str] = []
+                for ns, name, t, version in reversed(committed):
+                    files = sorted(t._metadata_files())
+                    if not files or files[-1][0] != version:
+                        failures.append(f"{ns}.{name}@v{version}")
+                        continue
+                    target = os.path.join(
+                        t.metadata_path, f"v{version}.metadata.json"
+                    )
+                    try:
+                        os.unlink(target)
+                    except OSError:
+                        failures.append(f"{ns}.{name}@v{version}")
+                        continue
+                    remaining = sorted(t._metadata_files())
+                    if remaining:
+                        hint = os.path.join(
+                            t.metadata_path, "version-hint.text"
+                        )
+                        tmp = hint + ".rollback.tmp"
+                        with open(tmp, "w") as f:
+                            f.write(str(remaining[-1][0]))
+                        os.replace(tmp, hint)
+                return failures
 
             def _create_table(self, ns: str):
                 """Spec CreateTableRequest: stage an EMPTY table (v1

@@ -449,3 +449,163 @@ def test_create_table_malformed_and_nested_names(catalog):
         {"name": "half_created", "schema": good_schema},
     )
     assert code == 200, res
+
+
+@pytest.fixture()
+def two_table_catalog(spark, sf_dir, tmp_path):
+    root = tmp_path / "txn_catalog"
+    ns = root / "analytics"
+    ns.mkdir(parents=True)
+    orders = _orders(spark, sf_dir)
+    ta = IcebergProtocolTable(spark, str(ns / "ta"))
+    ta.create(orders.limit(50))
+    tb = IcebergProtocolTable(spark, str(ns / "tb"))
+    tb.create(orders.limit(50))
+    server = IcebergRestCatalogServer(str(root))
+    yield server, ta, tb
+    server.shutdown()
+
+
+def _txn(server, changes):
+    return _post(server, "/v1/transactions/commit",
+                 {"table-changes": changes})
+
+
+def _ident(name):
+    return {"identifier": {"namespace": ["analytics"], "name": name}}
+
+
+def test_transaction_two_table_atomic_commit(two_table_catalog):
+    """Spec /v1/transactions/commit: one request commits BOTH tables
+    (each through its own O_EXCL metadata version) and a fresh load of
+    either sees its update."""
+    server, ta, tb = two_table_catalog
+    uuid_a = _get(server, "/v1/namespaces/analytics/tables/ta")[
+        "metadata"]["table-uuid"]
+    uuid_b = _get(server, "/v1/namespaces/analytics/tables/tb")[
+        "metadata"]["table-uuid"]
+    code, res = _txn(server, [
+        dict(_ident("ta"),
+             requirements=[{"type": "assert-table-uuid", "uuid": uuid_a}],
+             updates=[{"action": "set-properties",
+                       "updates": {"stage": "gold"}}]),
+        dict(_ident("tb"),
+             requirements=[{"type": "assert-table-uuid", "uuid": uuid_b}],
+             updates=[{"action": "set-properties",
+                       "updates": {"stage": "silver"}}]),
+    ])
+    assert code == 200, res
+    md_a = _get(server, "/v1/namespaces/analytics/tables/ta")["metadata"]
+    md_b = _get(server, "/v1/namespaces/analytics/tables/tb")["metadata"]
+    assert md_a["properties"]["stage"] == "gold"
+    assert md_b["properties"]["stage"] == "silver"
+
+
+def test_transaction_stale_requirement_aborts_both(two_table_catalog):
+    """A failed requirement on EITHER table aborts the whole
+    transaction with 409 and neither table changes — even when the
+    failing table is listed second."""
+    server, ta, tb = two_table_catalog
+    uuid_a = _get(server, "/v1/namespaces/analytics/tables/ta")[
+        "metadata"]["table-uuid"]
+    v_a = ta._current_metadata_file()
+    v_b = tb._current_metadata_file()
+    code, res = _txn(server, [
+        dict(_ident("ta"),
+             requirements=[{"type": "assert-table-uuid", "uuid": uuid_a}],
+             updates=[{"action": "set-properties",
+                       "updates": {"stage": "gold"}}]),
+        dict(_ident("tb"),
+             requirements=[{"type": "assert-table-uuid",
+                            "uuid": "00000000-0000-0000-0000-000000000000"}],
+             updates=[{"action": "set-properties",
+                       "updates": {"stage": "silver"}}]),
+    ])
+    assert code == 409
+    assert "aborted" in res["error"]["message"]
+    assert res["error"]["type"] == "CommitFailedException"
+    # nothing moved: same terminal metadata files, no properties
+    assert ta._current_metadata_file() == v_a
+    assert tb._current_metadata_file() == v_b
+    md_a = _get(server, "/v1/namespaces/analytics/tables/ta")["metadata"]
+    assert "stage" not in (md_a.get("properties") or {})
+    # failing table FIRST aborts identically
+    code, _ = _txn(server, [
+        dict(_ident("tb"),
+             requirements=[{"type": "assert-table-uuid",
+                            "uuid": "00000000-0000-0000-0000-000000000000"}],
+             updates=[]),
+        dict(_ident("ta"), updates=[{"action": "set-properties",
+                                     "updates": {"stage": "gold"}}]),
+    ])
+    assert code == 409
+    assert ta._current_metadata_file() == v_a
+
+
+def test_transaction_mid_commit_race_rolls_back(two_table_catalog, monkeypatch):
+    """A direct committer winning the O_EXCL race on the SECOND table
+    mid-transaction rolls back the first table's already-linked
+    version: 409, no tables changed."""
+    server, ta, tb = two_table_catalog
+    v_a = ta._current_metadata_file()
+    v_b = tb._current_metadata_file()
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    real = IcebergProtocolTable._commit_metadata
+    calls = {"n": 0}
+
+    def racing(self, md, version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # simulate a concurrent direct commit landing v{n+1} on tb
+            # between prepare and link
+            import json as _json
+            import os as _os
+
+            target = _os.path.join(
+                self.metadata_path, f"v{version}.metadata.json"
+            )
+            with open(target, "x") as f:
+                _json.dump(md, f)
+        return real(self, md, version)
+
+    monkeypatch.setattr(
+        IcebergProtocolTable, "_commit_metadata", racing
+    )
+    code, res = _txn(server, [
+        dict(_ident("ta"), updates=[{"action": "set-properties",
+                                     "updates": {"stage": "gold"}}]),
+        dict(_ident("tb"), updates=[{"action": "set-properties",
+                                     "updates": {"stage": "silver"}}]),
+    ])
+    assert code == 409
+    assert "no tables changed" in res["error"]["message"]
+    # ta's linked version was rolled back; terminal files unchanged
+    assert ta._current_metadata_file() == v_a
+    md_a = _get(server, "/v1/namespaces/analytics/tables/ta")["metadata"]
+    assert "stage" not in (md_a.get("properties") or {})
+
+
+def test_transaction_bad_requests(two_table_catalog):
+    server, _ta, _tb = two_table_catalog
+    code, _ = _post(server, "/v1/transactions/commit", {})
+    assert code == 400
+    code, _ = _txn(server, [])
+    assert code == 400
+    code, _ = _txn(server, [{"updates": []}])  # missing identifier
+    assert code == 400
+    code, _ = _txn(server, [
+        dict(_ident("nope"), updates=[]),
+    ])
+    assert code == 404
+    # duplicate table in one transaction is refused (second CAS would
+    # race the first's own link)
+    code, res = _txn(server, [
+        dict(_ident("ta"), updates=[]),
+        dict(_ident("ta"), updates=[]),
+    ])
+    assert code == 400
+    assert "duplicate" in res["error"]["message"]
