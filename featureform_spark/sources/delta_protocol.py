@@ -701,13 +701,13 @@ class DeltaProtocolTable:
         # Generated columns are COMPUTED/validated on the Spark write
         # path (_apply_generated_columns, called by append/overwrite);
         # MERGE does not recompute them, so it refuses when one exists.
-        # Identity values are never allocated by this engine — any
-        # row-writing operation on a table with an identity column
-        # refuses rather than breaking the high-water-mark contract.
+        # Identity values are ALLOCATED on the append/create path
+        # (_apply_identity_columns: HWM-continuing generation, metaData
+        # HWM advance in the same commit); MERGE and overwrite do not
+        # run the allocator, so they refuse rather than breaking the
+        # high-water-mark contract (spec-legal: a writer may reject
+        # operations it cannot perform correctly).
         if 4 <= writer <= 6 or feats & {"generatedColumns", "identityColumns"}:
-            row_writing = operation in (
-                "WRITE", "WRITE-OVERWRITE", "CREATE", "MERGE"
-            )
             for f in st.schema.fields:
                 md = f.metadata or {}
                 if (
@@ -719,13 +719,13 @@ class DeltaProtocolTable:
                         f"({md['delta.generationExpression']!r}); MERGE "
                         "does not recompute generated values — refusing"
                     )
-                if row_writing and any(
+                if operation in ("WRITE-OVERWRITE", "MERGE") and any(
                     k.startswith("delta.identity.") for k in md
                 ):
                     raise UnsupportedTableFeatureError(
-                        f"column {f.name!r} is an identity column; this "
-                        "engine does not allocate identity values — "
-                        "refusing to write"
+                        f"column {f.name!r} is an identity column; "
+                        f"{operation} does not run the identity "
+                        "allocator — append instead"
                     )
         conf = st.metadata.get("configuration") or {}
         if conf.get("delta.appendOnly") == "true" and operation in (
@@ -1740,6 +1740,20 @@ class DeltaProtocolTable:
         probe = _State(
             version=0, metadata=meta_action["metaData"], protocol={}
         )
+        # identity columns: validate/record explicit initial values (a
+        # schema-only empty df is the usual CREATE shape; appends then
+        # generate from the recorded HWM)
+        df, ident_meta, _ig = self._apply_identity_columns(probe, df)
+        if ident_meta is not None:
+            meta_action = {"metaData": ident_meta}
+            probe = _State(
+                version=0, metadata=meta_action["metaData"], protocol={}
+            )
+        has_identity = any(
+            k.startswith("delta.identity.")
+            for f in probe.schema.fields
+            for k in (f.metadata or {})
+        )
         # constraints passed via properties bind from the first commit
         self._write_guard(probe, df, "CREATE")
         adds = self._write_files(df, partition_by, probe.column_mapping)
@@ -1761,6 +1775,9 @@ class DeltaProtocolTable:
             # rowTracking depends on domainMetadata (writer features
             # only — readers without the feature still read correctly)
             extra_writer |= {"rowTracking", "domainMetadata"}
+        if has_identity:
+            # writer-only feature (readers see plain long columns)
+            extra_writer |= {"identityColumns"}
         if extra_writer:
             new_proto = {
                 "minReaderVersion": (
@@ -1831,6 +1848,148 @@ class DeltaProtocolTable:
                     )
         return df.select(*[f.name for f in st.schema.fields])
 
+    def _apply_identity_columns(
+        self, st: _State, df: DataFrame
+    ) -> tuple[DataFrame, dict | None, bool]:
+        """Assign IDENTITY column values per PROTOCOL.md's Identity
+        Columns writer requirements: generated values continue the
+        ``start + k*step`` arithmetic from the column's
+        ``delta.identity.highWaterMark``, and the commit carries a
+        metaData action with the advanced high-water mark (the same
+        per-writer-HWM-in-metadata machinery row tracking uses with
+        domainMetadata). Explicit values are refused unless
+        ``delta.identity.allowExplicitInsert`` (GENERATED BY DEFAULT);
+        accepted explicit values advance the HWM past their extreme so
+        later generated values never collide.
+
+        Allocation is dense and distributed: one cheap per-partition
+        count pass, then ``value = base + step * (partition_offset +
+        row_in_partition)`` as a projection — no global window, no
+        single-partition sort. ``row_in_partition`` is the low 33 bits
+        of ``monotonically_increasing_id()`` (its documented layout).
+
+        Returns ``(df, new_metadata_or_None, generated)`` —
+        ``generated`` tells the caller whether data files embed
+        allocated values (a lost HWM race then requires re-allocating
+        AND rewriting files; explicit values survive a retry as-is).
+        """
+        schema_json = json.loads(st.metadata["schemaString"])
+        specs = [
+            f
+            for f in schema_json["fields"]
+            if any(
+                k.startswith("delta.identity.")
+                for k in (f.get("metadata") or {})
+            )
+        ]
+        if not specs:
+            return df, None, False
+        gen: list[tuple[dict, int, int]] = []  # (field, base, step)
+        new_hwm: dict[str, int] = {}
+        for f in specs:
+            name = f["name"]
+            md = f.get("metadata") or {}
+            step = int(md.get("delta.identity.step", 1))
+            if step == 0:
+                raise DeltaProtocolError(
+                    f"identity column {name!r} has step 0"
+                )
+            start = int(md.get("delta.identity.start", 1))
+            hwm = md.get("delta.identity.highWaterMark")
+            allow = bool(md.get("delta.identity.allowExplicitInsert", False))
+            if name in df.columns:
+                row = df.agg(
+                    F.count(F.lit(1)).alias("_cnt"),
+                    F.max(F.col(name)).alias("_mx"),
+                    F.min(F.col(name)).alias("_mn"),
+                    F.sum(
+                        F.when(F.col(name).isNull(), 1).otherwise(0)
+                    ).alias("_nulls"),
+                ).first()
+                if not row["_cnt"]:
+                    continue  # empty batch (CREATE with schema-only df)
+                if not allow:
+                    raise DeltaProtocolError(
+                        f"column {name!r} is GENERATED ALWAYS AS "
+                        "IDENTITY (allowExplicitInsert=false); explicit "
+                        "values are not allowed"
+                    )
+                if row["_nulls"]:
+                    raise DeltaProtocolError(
+                        f"identity column {name!r} received NULL "
+                        "explicit values"
+                    )
+                ext = int(row["_mx"] if step > 0 else row["_mn"])
+                if hwm is None:
+                    new_hwm[name] = ext
+                else:
+                    new_hwm[name] = (
+                        max(int(hwm), ext) if step > 0 else min(int(hwm), ext)
+                    )
+                    if new_hwm[name] == int(hwm):
+                        del new_hwm[name]  # no advance needed
+            else:
+                base = start if hwm is None else int(hwm) + step
+                gen.append((f, base, step))
+        if gen:
+            counts = {
+                int(r["_p"]): int(r["_c"])
+                for r in df.groupBy(
+                    F.spark_partition_id().alias("_p")
+                )
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .collect()
+            }
+            offsets: dict[int, int] = {}
+            acc = 0
+            for p in sorted(counts):
+                offsets[p] = acc
+                acc += counts[p]
+            if acc > 0:
+                off_map = F.create_map(
+                    *[
+                        F.lit(x)
+                        for kv in offsets.items()
+                        for x in kv
+                    ]
+                )
+                k = off_map[F.spark_partition_id()].cast("long") + (
+                    F.monotonically_increasing_id().bitwiseAND(
+                        F.lit((1 << 33) - 1)
+                    )
+                )
+                for f, base, step in gen:
+                    df = df.withColumn(
+                        f["name"],
+                        (F.lit(base) + F.lit(step) * k).cast("long"),
+                    )
+                    new_hwm[f["name"]] = base + step * (acc - 1)
+        if not new_hwm:
+            return df, None, bool(gen)
+        for f in schema_json["fields"]:
+            if f["name"] in new_hwm:
+                md = dict(f.get("metadata") or {})
+                md["delta.identity.highWaterMark"] = new_hwm[f["name"]]
+                f["metadata"] = md
+        new_meta = dict(st.metadata)
+        new_meta["schemaString"] = json.dumps(schema_json)
+        return df, new_meta, bool(gen)
+
+    @staticmethod
+    def _hwm_only_schema_change(old_schema: str, new_schema: str) -> bool:
+        """True when two schemaStrings differ ONLY in identity
+        high-water marks — the one concurrent metadata change a blind
+        identity append can survive by re-allocating."""
+        def _strip(s: str) -> str:
+            j = json.loads(s)
+            for f in j["fields"]:
+                md = dict(f.get("metadata") or {})
+                md.pop("delta.identity.highWaterMark", None)
+                f["metadata"] = md
+            return json.dumps(j, sort_keys=True)
+
+        return _strip(old_schema) == _strip(new_schema)
+
     def append(
         self, df: DataFrame, txn: tuple[str, int] | None = None
     ) -> int:
@@ -1846,7 +2005,15 @@ class DeltaProtocolTable:
         attempt so a concurrent replay of the same stream batch still
         no-ops. Data files are written once; only the commit retries."""
         st = self.state()
-        df = self._apply_generated_columns(st, df)
+        raw_df = self._apply_generated_columns(st, df)
+        df, ident_meta, ident_gen = self._apply_identity_columns(
+            st, raw_df
+        )
+        has_identity = any(
+            k.startswith("delta.identity.")
+            for f in st.schema.fields
+            for k in (f.metadata or {})
+        )
         self._write_guard(st, df, "WRITE")
         orig_proto = dict(st.protocol or {})
         orig_schema = st.metadata.get("schemaString")
@@ -1857,20 +2024,27 @@ class DeltaProtocolTable:
             if int(tv) <= int(st.txns.get(app_id, -1)):
                 return -1
         adds = self._write_files(df, st.partition_columns, st.column_mapping)
-        actions: list[dict] = [{"add": a} for a in adds]
-        dm = self._assign_row_ids(st, adds, st.version + 1)
-        if dm is not None:
-            actions.append(dm)
-        if txn is not None:
-            actions.append(
-                {
-                    "txn": {
-                        "appId": txn[0],
-                        "version": int(txn[1]),
-                        "lastUpdated": int(time.time() * 1000),
+
+        def _build_actions(at_version: int) -> list[dict]:
+            acts: list[dict] = [{"add": a} for a in adds]
+            dm = self._assign_row_ids(st, adds, at_version)
+            if dm is not None:
+                acts.append(dm)
+            if txn is not None:
+                acts.append(
+                    {
+                        "txn": {
+                            "appId": txn[0],
+                            "version": int(txn[1]),
+                            "lastUpdated": int(time.time() * 1000),
+                        }
                     }
-                }
-            )
+                )
+            if ident_meta is not None:
+                acts.append({"metaData": ident_meta})
+            return acts
+
+        actions = _build_actions(st.version + 1)
         for _attempt in range(20):
             v = st.version + 1
             try:
@@ -1893,8 +2067,31 @@ class DeltaProtocolTable:
                         "cannot be validated against the new protocol"
                     ) from None
                 meta = st.metadata
+                schema_changed = meta.get("schemaString") != orig_schema
                 if (
-                    meta.get("schemaString") != orig_schema
+                    schema_changed
+                    and has_identity
+                    and self._hwm_only_schema_change(
+                        orig_schema, meta["schemaString"]
+                    )
+                ):
+                    # the winner only advanced identity high-water
+                    # marks (a concurrent identity append): re-allocate
+                    # our values above the winner's HWM. Generated
+                    # values are embedded in the staged files, so those
+                    # rewrite; explicit values keep their files and
+                    # just recompute the HWM advance.
+                    df, ident_meta, ident_gen = (
+                        self._apply_identity_columns(st, raw_df)
+                    )
+                    if ident_gen:
+                        adds = self._write_files(
+                            df, st.partition_columns, st.column_mapping
+                        )
+                    orig_schema = meta.get("schemaString")
+                    schema_changed = False
+                if (
+                    schema_changed
                     or list(meta.get("partitionColumns") or [])
                     != orig_parts
                 ):
@@ -1910,13 +2107,10 @@ class DeltaProtocolTable:
                     st.txns.get(txn[0], -1)
                 ):
                     return -1  # the winner was our own replay
-                # restamp row ids against the winner's high-water mark
-                # and the new commit version (duplicate ids otherwise)
-                if dm is not None:
-                    actions.remove(dm)
-                dm = self._assign_row_ids(st, adds, st.version + 1)
-                if dm is not None:
-                    actions.append(dm)
+                # rebuild: restamps row ids against the winner's
+                # high-water mark and the new commit version, and
+                # carries any re-allocated identity metadata
+                actions = _build_actions(st.version + 1)
         raise DeltaProtocolError(
             "append lost the commit race 20 times; giving up"
         )

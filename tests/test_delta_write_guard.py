@@ -207,8 +207,15 @@ def test_legacy_writer_version_generated_column_gates(
             )
             + "\n"
         )
-    with pytest.raises(UnsupportedTableFeatureError, match="identity"):
+    # explicit values on GENERATED ALWAYS refuse; omitting the column
+    # lets the allocator generate (r8: identity writes implemented)
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
         t2.append(orders.limit(1))
+    t2.append(
+        orders.limit(12).subtract(orders.limit(10)).drop("o_orderkey")
+    )
+    got2 = t2.snapshot().count()
+    assert got2 == 12
 
     # a legacy v4 table WITHOUT generated columns still accepts writes
     t3 = DeltaProtocolTable(spark, str(tmp_path / "plain4"))
