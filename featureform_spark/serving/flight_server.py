@@ -381,6 +381,12 @@ class DatasetStreamerServer:
                     # embeddinghub Get RPC: the stored (live) vector
                     # by id; zero rows when absent
                     return fl.RecordBatchStream(outer._vector_get(req))
+                if "vector_multi_get" in req:
+                    # embeddinghub MultiGet: N lookups in ONE
+                    # round-trip, responses aligned to request order
+                    return fl.RecordBatchStream(
+                        outer._vector_multi_get(req)
+                    )
                 limit = outer._limit(req)
                 reader = scan_table_arrow(
                     outer._resolve(req), limit,
@@ -439,6 +445,11 @@ class DatasetStreamerServer:
                     # embeddinghub write path: uploaded (vec_id,
                     # embedding) batches become queryable immediately
                     outer._index_add(req["index_add"], reader)
+                    return
+                if "multi_set" in req:
+                    # embeddinghub MultiSet: one upload sets vectors
+                    # across MULTIPLE spaces (per-row space column)
+                    outer._multi_set(reader)
                     return
                 path = outer._resolve(req)
                 fmt = _detect_format(path)
@@ -585,6 +596,74 @@ class DatasetStreamerServer:
             }
         )
         return table.to_reader()
+
+    def _vector_multi_get(self, req: dict):
+        """MultiGet parity (embeddingstore/server.cc:151-171): one
+        do_get answers N point lookups. The reference's bidirectional
+        stream writes one response PER request in order — here one
+        Arrow table whose rows align 1:1 with ``vec_ids`` (missing ids
+        keep their row with ``found=false`` and a NULL embedding, the
+        stream analog of the reference's empty-values Embedding)."""
+        import pyarrow as pa
+
+        spec = req["vector_multi_get"]
+        if not isinstance(spec, dict):
+            raise TicketError("'vector_multi_get' must be an object")
+        try:
+            ix = self.indexes[spec["index"]]
+        except KeyError as e:
+            raise TicketError(f"unknown index {spec.get('index')!r}") from e
+        vec_ids = spec.get("vec_ids")
+        if not isinstance(vec_ids, list):
+            raise TicketError("'vector_multi_get.vec_ids' must be a list")
+        out_ids: list[int] = []
+        out_vecs: list[list[float] | None] = []
+        for vid in vec_ids:
+            vid = int(vid)
+            out_ids.append(vid)
+            out_vecs.append(ix.get(vid))
+        table = pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "found": pa.array(
+                    [v is not None for v in out_vecs], pa.bool_()
+                ),
+                "embedding": pa.array(out_vecs, pa.list_(pa.float64())),
+            }
+        )
+        return table.to_reader()
+
+    def _multi_set(self, reader) -> None:
+        """MultiSet parity (embeddingstore/server.cc:131-149): one
+        do_put streams (space, vec_id, embedding) rows into MULTIPLE
+        spaces. Like the reference's client-stream loop, batches apply
+        as they arrive — an unknown or frozen space aborts the stream
+        at that batch (FAILED_PRECONDITION analog) with earlier
+        batches already applied. Rows within a batch are grouped per
+        space so each index sees one batched add."""
+        for chunk in reader:
+            batch = chunk.data
+            if batch is None:
+                continue
+            spaces = batch.column("space").to_pylist()
+            ids = batch.column("vec_id").to_pylist()
+            vecs = batch.column("embedding").to_pylist()
+            groups: dict[str, tuple[list, list]] = {}
+            for s, i, v in zip(spaces, ids, vecs):
+                name = str(s)
+                if name not in self.indexes:
+                    raise TicketError(
+                        f"unknown index in multi_set: {name!r}"
+                    )
+                if self._is_index_frozen(name):
+                    raise TicketError(
+                        f"Cannot write to immutable space: {name!r}"
+                    )
+                g = groups.setdefault(name, ([], []))
+                g[0].append(i)
+                g[1].append(v)
+            for name, (gids, gvecs) in groups.items():
+                self.indexes[name].add(gids, gvecs)
 
     def _index_add(self, spec, reader) -> None:
         if isinstance(spec, str):

@@ -518,3 +518,99 @@ def test_frozen_space_rejects_index_add(served, sf_dir):
     server.freeze_index("spc")
     with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
         _put(8_000_003)
+
+
+def test_multi_get_over_flight(served, sf_dir):
+    """embeddinghub MultiGet parity: ONE do_get answers N point
+    lookups with rows aligned to request order — missing ids keep
+    their position with found=false and NULL embedding (the
+    reference's empty-values Embedding, server.cc:151-171)."""
+    import numpy as np
+
+    from featureform_spark.serving.hnsw_index import HnswIndex
+    from featureform_spark.sources.testdata import load_table
+
+    spark, server, _dt, _it, _orders = served
+    emb = load_table(spark, sf_dir, "embeddings")
+    server.register_index("mg", HnswIndex.build(emb, m=8, ef_construction=50))
+    want = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(3, 7, 1)).collect()
+    }
+    req_ids = [7, 10**9, 1, 3, 7]  # dup + missing, arbitrary order
+    got = _client_read(
+        server, {"vector_multi_get": {"index": "mg", "vec_ids": req_ids}}
+    )
+    assert got.num_rows == len(req_ids)  # row per request, in order
+    assert got.column("vec_id").to_pylist() == req_ids
+    assert got.column("found").to_pylist() == [True, False, True, True, True]
+    embs = got.column("embedding").to_pylist()
+    assert embs[1] is None
+    for pos, vid in ((0, 7), (2, 1), (3, 3), (4, 7)):
+        assert np.allclose(embs[pos], want[vid], atol=1e-6)
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
+        _client_read(
+            server, {"vector_multi_get": {"index": "nope", "vec_ids": [1]}}
+        )
+
+
+def test_multi_set_over_flight(served, sf_dir):
+    """embeddinghub MultiSet parity: ONE do_put sets vectors across
+    multiple spaces (per-row space column); a frozen space rejects the
+    write (FAILED_PRECONDITION analog, server.cc:131-149)."""
+    from featureform_spark.serving.hnsw_index import HnswIndex
+    from featureform_spark.sources.testdata import load_table
+
+    spark, server, _dt, _it, _orders = served
+    emb = load_table(spark, sf_dir, "embeddings")
+    server.register_index("ms_a", HnswIndex.build(emb, m=8, ef_construction=50))
+    server.register_index("ms_b", HnswIndex.build(emb, m=8, ef_construction=50))
+
+    def _put(rows):
+        upload = pa.table(
+            {
+                "space": pa.array([s for s, _, _ in rows], pa.string()),
+                "vec_id": pa.array([i for _, i, _ in rows], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, _, v in rows], pa.list_(pa.float64())
+                ),
+            }
+        )
+        client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+        try:
+            desc = fl.FlightDescriptor.for_command(
+                json.dumps({"multi_set": {}}).encode()
+            )
+            writer, _meta = client.do_put(desc, upload.schema)
+            writer.write_table(upload)
+            writer.close()
+        finally:
+            client.close()
+
+    va, vb = [0.25] * 64, [0.75] * 64
+    _put([("ms_a", 7_100_001, va), ("ms_b", 7_100_002, vb),
+          ("ms_a", 7_100_003, vb)])
+    got = _client_read(
+        server,
+        {"vector_multi_get": {
+            "index": "ms_a", "vec_ids": [7_100_001, 7_100_003]}},
+    )
+    assert got.column("found").to_pylist() == [True, True]
+    got_b = _client_read(
+        server,
+        {"vector_multi_get": {"index": "ms_b", "vec_ids": [7_100_002]}},
+    )
+    assert got_b.column("found").to_pylist() == [True]
+
+    # frozen space rejects the whole batch naming it
+    server.freeze_index("ms_b")
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
+        _put([("ms_b", 7_100_004, va)])
+    got2 = _client_read(
+        server,
+        {"vector_multi_get": {"index": "ms_b", "vec_ids": [7_100_004]}},
+    )
+    assert got2.column("found").to_pylist() == [False]
+    # unknown space errors cleanly
+    with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
+        _put([("nope", 1, va)])
