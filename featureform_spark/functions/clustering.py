@@ -329,3 +329,90 @@ def semantic_dedup(
     return assigned.join(dropped, id_col, "left_anti").select(
         F.col(id_col), F.col("cluster")
     )
+
+
+def closure_assign(
+    df: DataFrame,
+    cents_rows: list,
+    margin: float = 0.25,
+    max_assign: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SPANN-style cluster CLOSURE assignment (Chen et al. 2021):
+    every vector is assigned to its best centroid PLUS any centroid
+    whose cosine is within ``margin`` of the best, capped at
+    ``max_assign`` memberships — the boundary replication that lets
+    routed shard probes keep recall on unclustered data
+    (``serving.hnsw_index.ShardedHnsw`` builds with the same rule).
+
+    Returns one row per membership: ``(id_col, shard)`` where shard is
+    the centroid's cid. Embarrassingly parallel: centroids ride the
+    mapInPandas closure (k x dim doubles), one corpus scan, no
+    shuffle, output rows <= max_assign per input row.
+
+    Bit-exact to the DuckDB oracle: scores use the SAME sequential
+    per-dimension fold as :func:`_assign_vectorized`, ranked by
+    (score desc, cid asc) with Spark/DuckDB's NaN-above-everything
+    total order (NaN scores compare as +inf and NaN == NaN ties fall
+    to the cid order), so the margin test ``s >= best - margin``
+    agrees to the last ulp.
+    """
+    import numpy as np
+
+    cents = sorted(
+        (int(r["cid"]), np.asarray(r["cv"], dtype=np.float64))
+        for r in cents_rows
+    )
+    norms = []
+    for _cid, cv in cents:
+        acc = 0.0
+        for x in cv:  # sequential fold, matches norm_expr / _NORM
+            acc = acc + float(x) * float(x)
+        norms.append(float(np.sqrt(acc)))
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cap = max(1, int(max_assign))
+    mg = float(margin)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n, dim = V.shape
+            acc = np.zeros(n)
+            for d in range(dim):
+                acc = acc + V[:, d] * V[:, d]
+            nv = np.sqrt(acc)
+            S = np.empty((n, len(cents)))
+            for j, (cid, cv) in enumerate(cents):
+                dot = np.zeros(n)
+                for d in range(dim):
+                    dot = dot + V[:, d] * cv[d]
+                denom = nv * norms[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S[:, j] = np.where(denom == 0.0, 0.0, dot / denom)
+            S_cmp = np.where(np.isnan(S), np.inf, S)
+            # stable argsort on -score keeps ascending cid on ties
+            # (columns are built in sorted-cid order)
+            order = np.argsort(-S_cmp, axis=1, kind="stable")
+            best = S_cmp[np.arange(n), order[:, 0]]
+            out_ids, out_shards = [], []
+            ids = pdf[id_col].to_numpy()
+            for i in range(n):
+                for j in range(min(cap, len(cents))):
+                    col = order[i, j]
+                    if j > 0 and not (S_cmp[i, col] >= best[i] - mg):
+                        break  # scores only fall from here
+                    out_ids.append(ids[i])
+                    out_shards.append(int(cids[col]))
+            yield pd.DataFrame({id_col: out_ids, "shard": out_shards})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, shard bigint"
+    )

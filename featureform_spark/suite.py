@@ -1278,7 +1278,6 @@ PRIORITY: tuple[str, ...] = (
     "delta_dv_read",
     "delta_protocol_cdf",
     "iceberg_hidden_partitioning",
-    "iceberg_incremental_scan",
     "corpus_mix_summary",
     "packing_efficiency",
     "sample_k_per_source",
@@ -1297,6 +1296,11 @@ PRIORITY: tuple[str, ...] = (
     # #3). Displaced r6-green rows (contamination_top_ngrams,
     # delta_uniform_iceberg) remain pytest-oracle-covered.
     "dedup_substr",
+    # Round-8 rotation (verdict r7 #10): SPANN closure shard
+    # assignment — new this round, enters the driver top-50 the round
+    # it lands. Displaced r7-green row (iceberg_incremental_scan)
+    # remains pytest-oracle-covered.
+    "shard_closure",
 )
 
 

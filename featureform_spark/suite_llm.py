@@ -1803,6 +1803,56 @@ def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
 
 
+_CLOSURE_MARGIN = 0.25
+_CLOSURE_CAP = 3
+
+
+def _shard_closure_oracle(k: int = 4, iters: int = 2) -> str:
+    return f"""
+    {_kmeans_ctes(k, iters)},
+    scored AS (
+      SELECT e.vec_id, c.cid, {_KM_COS_VC} AS s,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_KM_COS_VC} DESC, c.cid) AS rn,
+             max({_KM_COS_VC}) OVER (PARTITION BY e.vec_id) AS best
+      FROM e, c{iters} c)
+    SELECT vec_id, cid AS shard
+    FROM scored
+    WHERE rn = 1
+       OR (rn <= {_CLOSURE_CAP} AND s >= best - {_CLOSURE_MARGIN})
+    """
+
+
+@query("shard_closure", _shard_closure_oracle())
+def shard_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN closure assignment over k-means cells: every vector maps
+    to its best cell plus any cell within 0.25 cosine of the best
+    (max 3 memberships) — the boundary replication that keeps routed
+    ANN shard probes (ShardedHnsw partitioner='kmeans') at 0.97@10
+    recall probing 2 of 4 shards on UNclustered embeddings. Scale
+    shape: Lloyd is one scan + one k-row groupBy per round; closure is
+    one mapInPandas projection with the k centroids riding the closure
+    — no shuffle, <= 3 output rows per vector. Scores fold
+    sequentially per dimension, bit-exact to the oracle's
+    list_reduce."""
+    from featureform_spark.functions.clustering import (
+        _assign_vectorized,
+        closure_assign,
+        kmeans_init,
+        refine_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_init(emb, 4).collect()
+    assigned = _assign_vectorized(emb, cents)
+    for _ in range(2):
+        cents = refine_centroids(assigned, _DIM).collect()
+        assigned = _assign_vectorized(emb, cents)
+    return closure_assign(
+        emb, cents, margin=_CLOSURE_MARGIN, max_assign=_CLOSURE_CAP
+    )
+
+
 def _semantic_dedup_oracle(
     k: int = 8, iters: int = 2, threshold: float = 0.4
 ) -> str:
