@@ -1280,7 +1280,11 @@ PRIORITY: tuple[str, ...] = (
     "iceberg_hidden_partitioning",
     "corpus_mix_summary",
     "packing_efficiency",
-    "sample_k_per_source",
+    # Round-8 rotation: Delta identity-column allocation end-to-end
+    # (HWM handoff across commits) — new this round.
+    # sample_k_per_source (green r6-r7) rotates out, stays
+    # pytest-oracle-covered.
+    "delta_identity_append",
     "deltaprotocol_source_read",
     "icebergprotocol_source_read",
     # Round-7 rotation (verdict r6 #1): the two late-r6 queries that

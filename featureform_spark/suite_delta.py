@@ -933,3 +933,61 @@ def iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         t._last_prune
     )
     return out
+
+
+@query(
+    "delta_identity_append",
+    oracle="""
+    SELECT o_orderkey,
+           (row_number() OVER (ORDER BY o_orderkey))::BIGINT AS id
+    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200)
+    """,
+)
+def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY columns end-to-end (PROTOCOL.md Identity
+    Columns): CREATE records the identityColumns feature with an
+    empty schema-carrying df, then two appends ALLOCATE dense values
+    continuing ``start + k*step`` from the high-water mark the
+    previous commit's metaData action advanced. Each batch arrives
+    sorted in ONE partition, so the per-partition-offset allocator's
+    row order (monotonically_increasing_id's in-partition counter)
+    equals the sort order and the id <-> o_orderkey mapping is the
+    oracle's row_number — what the oracle certifies is the allocator's
+    arithmetic AND the HWM handoff between commits (batch 2 starts at
+    101). At scale the same allocator runs over N partitions with one
+    extra count pass and no global window."""
+    from pyspark.sql import types as T
+
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "id",
+                T.LongType(),
+                True,
+                metadata={
+                    "delta.identity.start": 1,
+                    "delta.identity.step": 1,
+                    "delta.identity.allowExplicitInsert": False,
+                },
+            ),
+            T.StructField("o_orderkey", T.LongType(), True),
+        ]
+    )
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .collect()
+    )
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "identity_orders"))
+    t.create(spark.createDataFrame([], schema))
+    for lo, hi in ((0, 100), (100, 200)):
+        batch = spark.createDataFrame(
+            [(r["o_orderkey"],) for r in keys[lo:hi]],
+            "o_orderkey long",
+        ).coalesce(1)
+        t.append(batch)
+    return t.snapshot().select("o_orderkey", "id")
