@@ -7,24 +7,68 @@ in that case — a cheap shuffle of undeduplicated text — so downstream
 Arrow kernels / folds run map-side parallel. At real scale the scan
 already has >> cores splits and this no-ops.
 
-The probe counts ``df.inputFiles()`` instead of touching ``df.rdd``
-(which forces conversion of the whole DataFrame plan to an RDD plan
-just to ask a planning question). Non-file sources report zero input
-files and are conservatively fanned out — they are in-memory test
-inputs, so the shuffle is tiny.
+The probe estimates SCAN SPLITS, not just file count: a single 10 GB
+parquet file already splits into ~size/maxPartitionBytes tasks, so
+counting files alone would trigger a pointless full shuffle (and
+collapse the scan's natural parallelism down to ``cores``). Local
+``file:`` URIs are sized via the filesystem; files that cannot be
+sized conservatively count as one split. ``df.rdd`` is deliberately
+never touched (it forces conversion of the whole DataFrame plan to an
+RDD plan just to ask a planning question). Non-file sources report
+zero input files and are conservatively fanned out — they are
+in-memory test inputs, so the shuffle is tiny.
 """
 
 from __future__ import annotations
 
+import os
+import re
+import urllib.parse
+
 from pyspark.sql import DataFrame
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _max_partition_bytes(df: DataFrame) -> int:
+    try:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes",
+            str(_DEFAULT_MAX_PARTITION_BYTES),
+        )
+        m = re.match(r"\d+", str(raw))
+        if m:
+            return max(1, int(m.group()))
+    except Exception:
+        pass
+    return _DEFAULT_MAX_PARTITION_BYTES
+
+
+def _estimated_splits(df: DataFrame) -> int:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    mpb = _max_partition_bytes(df)
+    splits = 0
+    for uri in files:
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme in ("file", ""):
+            path = urllib.parse.unquote(parsed.path or uri)
+            try:
+                size = os.path.getsize(path)
+                splits += max(1, -(-size // mpb))
+                continue
+            except OSError:
+                pass
+        splits += 1  # unsized/remote file: at least one split
+    return splits
 
 
 def fan_out_if_underparallel(df: DataFrame) -> DataFrame:
     cores = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:
-        n_splits = 0
-    if n_splits < cores:
+    if _estimated_splits(df) < cores:
         return df.repartition(cores)
     return df

@@ -53,6 +53,18 @@ class FeatureInput:
     label_entity_col: str | None = None  # J10: which label column to join on
 
 
+def lag_interval(seconds: float) -> Column:
+    """``INTERVAL <seconds> SECONDS`` as an expression. Spark's
+    interval parser rejects exponent notation, so values whose repr
+    uses one (1e-05, 5e+16) are rendered in plain decimal; ordinary
+    values keep their exact repr. Shared by the batch join and the
+    streaming PIT twin so both shift bounds identically."""
+    s = repr(float(seconds))
+    if "e" in s or "E" in s:
+        s = format(float(seconds), ".9f")
+    return F.expr(f"INTERVAL {s} SECONDS")
+
+
 def _ts_expr(ts_col: str | None, default: str) -> Column:
     if ts_col is None:
         return F.lit(default).cast("timestamp")
@@ -227,7 +239,7 @@ def _asof_pass(
         if f.lag_seconds:
             # shift the feature's effective time forward: it becomes
             # visible to labels only once label_ts >= ts + lag
-            fts = fts + F.expr(f"INTERVAL {f.lag_seconds} SECONDS")
+            fts = fts + lag_interval(f.lag_seconds)
         fpart = f.df.filter(F.col(f.entity_col).isNotNull()).select(
             F.col(f.entity_col).alias(part_key),
             *[F.lit(None).cast(current.schema[c].dataType).alias(c) for c in carry if c != part_key],

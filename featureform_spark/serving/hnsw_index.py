@@ -394,6 +394,33 @@ class HnswIndex:
         return ix
 
 
+def _closure_members(
+    S: "np.ndarray", margin: float, cap: int
+) -> list[list[int]]:
+    """THE closure rule, defined once: given a (n, k) cosine score
+    matrix, each row's memberships are its best column plus any column
+    within ``margin`` of the best, capped at ``cap``, ranked
+    (score desc, column asc). NaN scores (zero-norm degenerates) sort
+    above everything, mirroring Spark/DuckDB's total order. Build-time
+    assignment (``ShardedHnsw.build``) and write-time routing
+    (``_closure_cells``) both call this so replication and routing can
+    never drift apart; ``functions.clustering.closure_assign`` encodes
+    the same rule with bit-exact sequential folds for its SQL oracle."""
+    S = np.where(np.isnan(S), np.inf, S)
+    order = np.argsort(-S, axis=1, kind="stable")
+    best = S[np.arange(len(S)), order[:, 0]]
+    out: list[list[int]] = []
+    for i in range(len(S)):
+        cells = [int(order[i, 0])]
+        for j in range(1, min(max(1, cap), S.shape[1])):
+            c = int(order[i, j])
+            if not (S[i, c] >= best[i] - margin):
+                break  # scores only fall from here
+            cells.append(c)
+        out.append(cells)
+    return out
+
+
 def _farthest_first_seeds(
     df, k: int, id_col: str, vec_col: str, oversample: int = 8
 ) -> list[dict]:
@@ -425,10 +452,13 @@ def _farthest_first_seeds(
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
     chosen = [0]  # the smallest-md5 row anchors the traversal
     mind = 1.0 - Vn @ Vn[0]
+    mind[0] = -np.inf  # chosen rows can never be re-picked (an
+    # all-duplicate pool would otherwise argmax back to index 0)
     while len(chosen) < min(k, len(pool)):
         nxt = int(np.argmax(mind))  # ties -> lowest pool position
         chosen.append(nxt)
         mind = np.minimum(mind, 1.0 - Vn @ Vn[nxt])
+        mind[nxt] = -np.inf
     return [{"cid": ids[i], "cv": [float(x) for x in V[i]]} for i in chosen]
 
 
@@ -571,16 +601,11 @@ class ShardedHnsw:
                         np.linalg.norm(V, axis=1, keepdims=True), 1e-30
                     )
                     S = Vn @ cn.T
-                    order = np.argsort(-S, axis=1, kind="stable")
                     out_shard: list[int] = []
                     out_pos: list[int] = []
-                    for i in range(len(V)):
-                        best = S[i, order[i, 0]]
-                        cells = [int(order[i, 0])] + [
-                            int(c)
-                            for c in order[i, 1:cap]
-                            if S[i, c] >= best - margin
-                        ]
+                    for i, cells in enumerate(
+                        _closure_members(S, margin, cap)
+                    ):
                         out_shard.extend(cells)
                         out_pos.extend([i] * len(cells))
                     yield pd.DataFrame(
@@ -644,14 +669,9 @@ class ShardedHnsw:
         cn = self.centroids / np.maximum(
             np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
         )
-        s = cn @ qn
-        order = np.argsort(-s, kind="stable")
-        best = float(s[order[0]])
-        return [int(order[0])] + [
-            int(c)
-            for c in order[1 : self.max_assign]
-            if float(s[c]) >= best - self.closure_margin
-        ]
+        return _closure_members(
+            (cn @ qn)[None, :], self.closure_margin, self.max_assign
+        )[0]
 
     def add(self, new_ids, new_vectors) -> None:
         """Batched upsert: an id that already lives in shards is

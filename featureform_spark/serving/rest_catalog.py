@@ -368,13 +368,15 @@ class IcebergRestCatalogServer:
                 try:
                     req = self._read_body()
                     changes = req["table-changes"]
-                    assert isinstance(changes, list) and changes
-                except (
-                    ValueError,
-                    json.JSONDecodeError,
-                    KeyError,
-                    AssertionError,
-                    TypeError,
+                except (ValueError, json.JSONDecodeError, KeyError, TypeError):
+                    return self._error(
+                        400, "invalid CommitTransactionRequest"
+                    )
+                # explicit check, not assert — asserts vanish under -O
+                # and a malformed body would then crash the handler
+                # instead of answering 400
+                if not isinstance(changes, list) or not changes or not all(
+                    isinstance(ch, dict) for ch in changes
                 ):
                     return self._error(
                         400, "invalid CommitTransactionRequest"

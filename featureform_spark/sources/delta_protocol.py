@@ -1846,7 +1846,12 @@ class DeltaProtocolTable:
                         f"{row[f'_g{i}']} value(s) inconsistent with "
                         f"its expression {g!r}; commit aborted"
                     )
-        return df.select(*[f.name for f in st.schema.fields])
+        # schema-order reselect of the columns PRESENT — an omitted
+        # identity column is legitimately absent here (the allocator
+        # adds it after this pass)
+        return df.select(
+            *[f.name for f in st.schema.fields if f.name in df.columns]
+        )
 
     def _apply_identity_columns(
         self, st: _State, df: DataFrame
@@ -1932,6 +1937,15 @@ class DeltaProtocolTable:
                 base = start if hwm is None else int(hwm) + step
                 gen.append((f, base, step))
         if gen:
+            # the allocator runs TWO jobs over df (per-partition count,
+            # then the projection the write evaluates); a lineage whose
+            # row->partition mapping is not re-execution-stable (round-
+            # robin repartition, sampling, task retries) could disagree
+            # between them, assigning duplicate values. localCheckpoint
+            # materializes the batch once so both jobs read the SAME
+            # frozen layout — batch-scale cost, identical to what any
+            # engine pays to make a nondeterministic input exactly-once.
+            df = df.localCheckpoint(eager=True)
             counts = {
                 int(r["_p"]): int(r["_c"])
                 for r in df.groupBy(
@@ -2672,6 +2686,19 @@ class DeltaProtocolTable:
             raise UnsupportedTableFeatureError(
                 "append_arrow: generated columns need the Spark write "
                 "path (expression evaluation)"
+            )
+        if any(
+            k.startswith("delta.identity.")
+            for f in st.schema.fields
+            for k in (f.metadata or {})
+        ):
+            # the sessionless path never runs the identity allocator,
+            # and accepting uploader-supplied values would both violate
+            # GENERATED ALWAYS and leave the high-water mark stale
+            # (later Spark appends would allocate colliding ids)
+            raise UnsupportedTableFeatureError(
+                "append_arrow: identity columns need the Spark write "
+                "path (value allocation + high-water-mark advance)"
             )
         if st.partition_columns:
             raise UnsupportedTableFeatureError(

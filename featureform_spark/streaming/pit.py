@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from featureform_spark.operators.training_set import lag_interval
+
 PIT_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("entity", T.StringType()),
@@ -100,7 +102,7 @@ def streaming_point_in_time(
         ts = F.col(ts_col).cast("timestamp")
         if lag:
             # same expression as the batch join's lag shift
-            ts = ts + F.expr(f"INTERVAL {lag} SECONDS")
+            ts = ts + lag_interval(lag)
         return df.select(
             F.col(entity_col).cast("string").alias("entity"),
             ts.alias("ts"),
@@ -229,7 +231,7 @@ def streaming_point_in_time_multi(
     ) -> DataFrame:
         ts = F.col(ts_col).cast("timestamp")
         if lag:
-            ts = ts + F.expr(f"INTERVAL {lag} SECONDS")
+            ts = ts + lag_interval(lag)
         return df.select(
             F.col(entity_col).cast("string").alias("entity"),
             ts.alias("ts"),

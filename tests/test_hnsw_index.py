@@ -510,3 +510,15 @@ def test_unknown_partitioner_raises(spark):
     )
     with pytest.raises(ValueError, match="partitioner"):
         ShardedHnsw.build(df, shards=2, partitioner="zorp")
+
+
+def test_farthest_first_seeds_unique_on_duplicate_pool(spark):
+    """An all-duplicate candidate pool must still yield k DISTINCT seed
+    rows (argmax over zero distances must not re-pick a chosen row)."""
+    from featureform_spark.serving.hnsw_index import _farthest_first_seeds
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = _farthest_first_seeds(df, 4, "vec_id", "embedding")
+    assert len(seeds) == 4
+    assert len({s["cid"] for s in seeds}) == 4

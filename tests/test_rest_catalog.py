@@ -609,3 +609,16 @@ def test_transaction_bad_requests(two_table_catalog):
     ])
     assert code == 400
     assert "duplicate" in res["error"]["message"]
+
+
+def test_transaction_non_list_changes_rejected(two_table_catalog):
+    """table-changes that is a dict / contains non-objects answers 400
+    (explicit validation — an assert would vanish under -O and crash
+    the handler instead)."""
+    server, _ta, _tb = two_table_catalog
+    code, _ = _post(server, "/v1/transactions/commit",
+                    {"table-changes": {"a": 1}})
+    assert code == 400
+    code, _ = _post(server, "/v1/transactions/commit",
+                    {"table-changes": ["not-an-object"]})
+    assert code == 400
