@@ -190,6 +190,8 @@ class IcebergRestCatalogServer:
                     if len(parts) == 2:
                         return ("namespaces", None, None)
                     ns = parts[2]
+                    if len(parts) == 3:
+                        return ("namespace", ns, None)
                     if len(parts) == 4 and parts[3] == "tables":
                         return ("tables", ns, None)
                     if len(parts) == 5 and parts[3] == "tables":
@@ -220,6 +222,16 @@ class IcebergRestCatalogServer:
                     )
                     return self._json(
                         200, {"namespaces": [[d] for d in out]}
+                    )
+                if kind == "namespace":
+                    root = os.path.realpath(outer.root)
+                    ns_dir = os.path.realpath(os.path.join(root, ns))
+                    if not ns_dir.startswith(
+                        root + os.sep
+                    ) or not os.path.isdir(ns_dir):
+                        return self._error(404, f"namespace {ns!r}")
+                    return self._json(
+                        200, {"namespace": [ns], "properties": {}}
                     )
                 if kind == "tables":
                     root = os.path.realpath(outer.root)
@@ -310,6 +322,8 @@ class IcebergRestCatalogServer:
                 kind, ns, name = self._route()
                 if kind == "transaction":
                     return self._commit_transaction()
+                if kind == "namespaces":
+                    return self._create_namespace()
                 if kind == "tables":
                     return self._create_table(ns)
                 if kind != "table":
@@ -515,6 +529,95 @@ class IcebergRestCatalogServer:
                             f.write(str(remaining[-1][0]))
                         os.replace(tmp, hint)
                 return failures
+
+            def _create_namespace(self):
+                """Spec CreateNamespaceRequest: one directory level (a
+                flat catalog — nested namespaces would create tables
+                the list/load routes can't address). 409 AlreadyExists
+                via mkdir's own atomicity."""
+                try:
+                    req = self._read_body()
+                    levels = req["namespace"]
+                    if (
+                        not isinstance(levels, list)
+                        or len(levels) != 1
+                        or not isinstance(levels[0], str)
+                        or not levels[0]
+                    ):
+                        raise ValueError(levels)
+                    ns = levels[0]
+                except (ValueError, json.JSONDecodeError, KeyError,
+                        TypeError):
+                    return self._error(
+                        400, "invalid CreateNamespaceRequest "
+                        "(single-level namespace required)"
+                    )
+                root = os.path.realpath(outer.root)
+                ns_dir = os.path.realpath(os.path.join(root, ns))
+                if (
+                    not ns_dir.startswith(root + os.sep)
+                    or os.path.dirname(ns_dir) != root
+                ):
+                    return self._error(400, f"invalid namespace {ns!r}")
+                try:
+                    os.mkdir(ns_dir)
+                except FileExistsError:
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": f"namespace {ns!r} exists",
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                return self._json(
+                    200, {"namespace": [ns], "properties": {}}
+                )
+
+            def do_DELETE(self):
+                """Spec DropTable / DropNamespace: 204 on success;
+                dropping a non-empty namespace is 409 (the spec's
+                NamespaceNotEmptyException)."""
+                kind, ns, name = self._route()
+                if kind == "table":
+                    tdir = self._table_dir(ns, name)
+                    if tdir is None:
+                        return self._error(
+                            404, f"table {ns}.{name} not found"
+                        )
+                    import shutil as _shutil
+
+                    _shutil.rmtree(tdir)
+                    self.send_response(204)
+                    self.end_headers()
+                    return
+                if kind == "namespace":
+                    root = os.path.realpath(outer.root)
+                    ns_dir = os.path.realpath(os.path.join(root, ns))
+                    if not ns_dir.startswith(
+                        root + os.sep
+                    ) or not os.path.isdir(ns_dir):
+                        return self._error(404, f"namespace {ns!r}")
+                    if os.listdir(ns_dir):
+                        return self._json(
+                            409,
+                            {
+                                "error": {
+                                    "message": (
+                                        f"namespace {ns!r} is not empty"
+                                    ),
+                                    "type": "NamespaceNotEmptyException",
+                                    "code": 409,
+                                }
+                            },
+                        )
+                    os.rmdir(ns_dir)
+                    self.send_response(204)
+                    self.end_headers()
+                    return
+                return self._error(400, f"unknown route {self.path}")
 
             def _create_table(self, ns: str):
                 """Spec CreateTableRequest: stage an EMPTY table (v1

@@ -1180,7 +1180,10 @@ class DeltaProtocolTable:
             domains=st.domains,
         )
         base = self._read_files(sub, paths, keep_pos=True)
-        info = self.spark.createDataFrame(
+        from featureform_spark.sources.local_df import local_df
+
+        info = local_df(
+            self.spark,
             [
                 (
                     os.path.join(self.path, urllib.parse.unquote(rel)),

@@ -59,6 +59,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from featureform_spark.sources.local_df import local_df
 from pyspark.sql import types as T
 
 from featureform_spark.sources.avro_codec import read_container, write_container
@@ -1026,7 +1028,7 @@ class IcebergProtocolTable:
         attach_schema = "__pf string" + "".join(
             f", __pv_{i} string" for i in range(len(cols))
         )
-        adf = self.spark.createDataFrame(rows, attach_schema)
+        adf = local_df(self.spark, rows, attach_schema)
         types = {f.name: f.dataType for f in schema.fields}
         df = df.join(
             F.broadcast(adf), df["__fp"] == adf["__pf"], "left"
@@ -1191,8 +1193,8 @@ class IcebergProtocolTable:
             )
             for e in data_entries
         ]
-        seq_df = self.spark.createDataFrame(
-            seq_rows, "path string, data_seq long"
+        seq_df = local_df(
+            self.spark, seq_rows, "path string, data_seq long"
         )
         pos_entries = [
             e for e in delete_entries
@@ -1492,7 +1494,8 @@ class IcebergProtocolTable:
                 )
                 for s in self.snapshots(md)
             ]
-            return self.spark.createDataFrame(
+            return local_df(
+                self.spark,
                 rows,
                 "snapshot_id long, parent_id long, sequence_number long,"
                 " committed_at_ms long, operation string,"
@@ -1503,16 +1506,18 @@ class IcebergProtocolTable:
                 (int(h["timestamp-ms"]), int(h["snapshot-id"]))
                 for h in (md.get("snapshot-log") or [])
             ]
-            return self.spark.createDataFrame(
-                rows, "made_current_at_ms long, snapshot_id long"
+            return local_df(
+                self.spark, rows,
+                "made_current_at_ms long, snapshot_id long"
             )
         if kind == "refs":
             rows = [
                 (name_, r.get("type", "branch"), int(r["snapshot-id"]))
                 for name_, r in sorted((md.get("refs") or {}).items())
             ]
-            return self.spark.createDataFrame(
-                rows, "name string, type string, snapshot_id long"
+            return local_df(
+                self.spark, rows,
+                "name string, type string, snapshot_id long"
             )
         snap = self._snapshot_by(None, md=md)
         if kind == "manifests":
@@ -1529,7 +1534,8 @@ class IcebergProtocolTable:
                 )
                 for m in manifests
             ]
-            return self.spark.createDataFrame(
+            return local_df(
+                self.spark,
                 rows,
                 "path string, length long, partition_spec_id int,"
                 " content int, added_data_files_count int,"
@@ -1558,7 +1564,8 @@ class IcebergProtocolTable:
                 )
                 for e in entries
             ]
-            return self.spark.createDataFrame(
+            return local_df(
+                self.spark,
                 rows,
                 "content int, file_path string, file_format string,"
                 " record_count long, file_size_in_bytes long,"
@@ -1649,7 +1656,8 @@ class IcebergProtocolTable:
             ext, data_entries, deletes, keep_pos=True
         )
         inh = self._inherited_first_row_ids(snap)
-        info = self.spark.createDataFrame(
+        info = local_df(
+            self.spark,
             [
                 (
                     self._resolve_path(e["data_file"]["file_path"]),

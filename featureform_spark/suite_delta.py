@@ -975,19 +975,28 @@ def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_orderkey", T.LongType(), True),
         ]
     )
+    import pandas as pd
+
     keys = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey")
         .orderBy("o_orderkey")
         .limit(200)
-        .collect()
+        .toPandas()["o_orderkey"]
+        .tolist()
     )
     t = DeltaProtocolTable(spark, _scratch(sf_dir, "identity_orders"))
-    t.create(spark.createDataFrame([], schema))
+    # pandas-backed frames plan as Arrow LocalRelations — the
+    # list-of-tuples createDataFrame is python-RDD-backed and pays a
+    # python-worker spin-up PER JOB (~4.5 s each on local[32])
+    t.create(
+        spark.createDataFrame(
+            pd.DataFrame({"id": [], "o_orderkey": []}), schema
+        )
+    )
     for lo, hi in ((0, 100), (100, 200)):
         batch = spark.createDataFrame(
-            [(r["o_orderkey"],) for r in keys[lo:hi]],
-            "o_orderkey long",
+            pd.DataFrame({"o_orderkey": keys[lo:hi]})
         ).coalesce(1)
         t.append(batch)
     return t.snapshot().select("o_orderkey", "id")

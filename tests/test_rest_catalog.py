@@ -622,3 +622,55 @@ def test_transaction_non_list_changes_rejected(two_table_catalog):
     code, _ = _post(server, "/v1/transactions/commit",
                     {"table-changes": ["not-an-object"]})
     assert code == 400
+
+
+def _delete(server, path):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", method="DELETE"
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_namespace_lifecycle_and_drop_table(spark, sf_dir, tmp_path):
+    """Spec CreateNamespace / GetNamespace / DropTable / DropNamespace:
+    create ns -> create table -> ingest -> drop table -> drop ns; a
+    non-empty namespace refuses the drop (409 NamespaceNotEmpty)."""
+    root = tmp_path / "lifecycle_catalog"
+    root.mkdir()
+    server = IcebergRestCatalogServer(str(root))
+    try:
+        code, res = _post(server, "/v1/namespaces",
+                          {"namespace": ["stage"]})
+        assert code == 200 and res["namespace"] == ["stage"]
+        # idempotent create refused with 409 AlreadyExists
+        code, res = _post(server, "/v1/namespaces",
+                          {"namespace": ["stage"]})
+        assert code == 409 and res["error"]["type"] == "AlreadyExistsException"
+        # nested / traversal names are 400
+        for bad in (["a", "b"], ["../evil"], [""], "notalist"):
+            code, _ = _post(server, "/v1/namespaces", {"namespace": bad})
+            assert code == 400, bad
+        # load
+        assert _get(server, "/v1/namespaces/stage")["namespace"] == ["stage"]
+        assert _delete(server, "/v1/namespaces/nope") == 404
+
+        # create a table inside, then the namespace refuses to drop
+        code, _ = _post(server, "/v1/namespaces/stage/tables", {
+            "name": "t1",
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 200
+        code = _delete(server, "/v1/namespaces/stage")
+        assert code == 409
+        # drop the table (204), then the namespace drops clean
+        assert _delete(server, "/v1/namespaces/stage/tables/t1") == 204
+        assert _delete(server, "/v1/namespaces/stage/tables/t1") == 404
+        assert _delete(server, "/v1/namespaces/stage") == 204
+        assert _delete(server, "/v1/namespaces/stage") == 404
+    finally:
+        server.shutdown()
