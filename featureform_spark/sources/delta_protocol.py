@@ -719,7 +719,7 @@ class DeltaProtocolTable:
                         f"({md['delta.generationExpression']!r}); MERGE "
                         "does not recompute generated values — refusing"
                     )
-                if operation in ("WRITE-OVERWRITE", "MERGE") and any(
+                if operation == "WRITE-OVERWRITE" and any(
                     k.startswith("delta.identity.") for k in md
                 ):
                     raise UnsupportedTableFeatureError(
@@ -2154,6 +2154,53 @@ class DeltaProtocolTable:
         self._write_guard(st, None, "MERGE")  # fail fast pre-join
         schema = st.schema
         mapping = st.column_mapping
+        # identity columns: MERGE allocates values for INSERTED rows
+        # (matched/carried rows keep theirs); the identity column must
+        # stay out of the update set and out of the source — the one
+        # legal source-carried case is key == identity with
+        # insert=False (update-only merge on the surrogate key)
+        ident_names = [
+            f.name
+            for f in schema.fields
+            if any(
+                k.startswith("delta.identity.")
+                for k in (f.metadata or {})
+            )
+        ]
+        eff_update = update_cols or [c for c in source.columns if c != key]
+        for n in ident_names:
+            if n in eff_update:
+                raise UnsupportedTableFeatureError(
+                    f"identity column {n!r} cannot be MERGE-updated — "
+                    "exclude it from update_cols / the source"
+                )
+            if n in source.columns and n != key:
+                raise UnsupportedTableFeatureError(
+                    f"identity column {n!r} in the MERGE source would "
+                    "set explicit values — drop it (values are "
+                    "allocated for inserts)"
+                )
+            if n == key and insert:
+                raise UnsupportedTableFeatureError(
+                    f"MERGE keyed on identity column {n!r} with "
+                    "insert=True would take source-supplied identity "
+                    "values; merge on a business key or pass "
+                    "insert=False"
+                )
+        ident_alloc = [
+            n for n in ident_names if n not in source.columns
+        ] if insert else []
+        if ident_alloc and (
+            (st.metadata.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed"
+            )
+            == "true"
+        ):
+            raise UnsupportedTableFeatureError(
+                "CDF MERGE with inserts on an identity table is not "
+                "supported: cdc insert rows are written before value "
+                "allocation — run with insert=False or disable CDF"
+            )
         have = set(schema.fieldNames())
         extra = [f for f in source.schema.fields if f.name not in have]
         new_meta: dict | None = None
@@ -2319,11 +2366,49 @@ class DeltaProtocolTable:
             else joined.filter(~is_insert).select(*out_cols)
         )
 
+        ident_meta: dict | None = None
+        if ident_alloc:
+            # allocate identity values for inserted rows: freeze the
+            # join output once (split/union below must see one layout,
+            # same determinism argument as the append allocator), send
+            # the all-null-identity rows through the standard allocator
+            # (drop + regenerate against the CURRENT high-water mark),
+            # and union the carried rows back
+            merged = merged.localCheckpoint(eager=True)
+            null_cond = F.lit(True)
+            for n in ident_alloc:
+                null_cond = null_cond & F.col(n).isNull()
+            meta_for_ident = st.metadata
+            if new_meta is not None:
+                meta_for_ident = new_meta
+            elif extra:
+                meta_for_ident = dict(st.metadata)
+                meta_for_ident["schemaString"] = json.dumps(
+                    evolved.jsonValue()
+                )
+            ident_state = _State(
+                version=st.version,
+                metadata=meta_for_ident,
+                protocol=st.protocol,
+            )
+            to_fill = merged.filter(null_cond).drop(*ident_alloc)
+            filled, ident_meta, _ig = self._apply_identity_columns(
+                ident_state, to_fill
+            )
+            carried = merged.filter(~null_cond)
+            merged = carried.unionByName(
+                filled.select(*carried.columns)
+            )
+
         self._write_guard(st, merged, "MERGE")  # CHECK constraints
         adds = self._write_files(merged, st.partition_columns, mapping)
         now = int(time.time() * 1000)
         actions: list[dict] = []
-        if extra:
+        if ident_meta is not None:
+            # carries BOTH the evolved schema (ident_state was built
+            # from it) and the advanced identity high-water mark
+            actions.append({"metaData": ident_meta})
+        elif extra:
             meta = new_meta or dict(st.metadata)
             if new_meta is None:
                 meta["schemaString"] = json.dumps(evolved.jsonValue())
