@@ -36,9 +36,11 @@ def _max_partition_bytes(df: DataFrame) -> int:
             "spark.sql.files.maxPartitionBytes",
             str(_DEFAULT_MAX_PARTITION_BYTES),
         )
-        m = re.match(r"\d+", str(raw))
+        m = re.match(r"(\d+)\s*([kmgt]?)b?", str(raw).strip().lower())
         if m:
-            return max(1, int(m.group()))
+            mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                    "t": 1 << 40}[m.group(2)]
+            return max(1, int(m.group(1)) * mult)
     except Exception:
         pass
     return _DEFAULT_MAX_PARTITION_BYTES

@@ -589,7 +589,16 @@ class IcebergRestCatalogServer:
                         )
                     import shutil as _shutil
 
-                    _shutil.rmtree(tdir)
+                    try:
+                        _shutil.rmtree(tdir)
+                    except FileNotFoundError:
+                        # lost the race to a concurrent DELETE: answer
+                        # 404, never a dropped connection
+                        return self._error(
+                            404, f"table {ns}.{name} not found"
+                        )
+                    except OSError as exc:
+                        return self._409(f"drop failed: {exc}")
                     self.send_response(204)
                     self.end_headers()
                     return
@@ -600,7 +609,14 @@ class IcebergRestCatalogServer:
                         root + os.sep
                     ) or not os.path.isdir(ns_dir):
                         return self._error(404, f"namespace {ns!r}")
-                    if os.listdir(ns_dir):
+                    try:
+                        # rmdir is the atomic emptiness check — a table
+                        # created between a listdir and the rmdir would
+                        # otherwise drop the connection (TOCTOU)
+                        os.rmdir(ns_dir)
+                    except FileNotFoundError:
+                        return self._error(404, f"namespace {ns!r}")
+                    except OSError:
                         return self._json(
                             409,
                             {
@@ -613,7 +629,6 @@ class IcebergRestCatalogServer:
                                 }
                             },
                         )
-                    os.rmdir(ns_dir)
                     self.send_response(204)
                     self.end_headers()
                     return

@@ -1849,11 +1849,24 @@ class DeltaProtocolTable:
                         f"{row[f'_g{i}']} value(s) inconsistent with "
                         f"its expression {g!r}; commit aborted"
                     )
-        # schema-order reselect of the columns PRESENT — an omitted
-        # identity column is legitimately absent here (the allocator
-        # adds it after this pass)
+        # schema-order reselect. ONLY an omitted identity column is
+        # legitimately absent here (the allocator adds it after this
+        # pass); any other missing column keeps raising — silently
+        # dropping a typo'd column would commit files missing it
+        ident = {
+            f.name
+            for f in st.schema.fields
+            if any(
+                k.startswith("delta.identity.")
+                for k in (f.metadata or {})
+            )
+        }
         return df.select(
-            *[f.name for f in st.schema.fields if f.name in df.columns]
+            *[
+                f.name
+                for f in st.schema.fields
+                if f.name in df.columns or f.name not in ident
+            ]
         )
 
     def _apply_identity_columns(
@@ -1981,6 +1994,14 @@ class DeltaProtocolTable:
                         (F.lit(base) + F.lit(step) * k).cast("long"),
                     )
                     new_hwm[f["name"]] = base + step * (acc - 1)
+            else:
+                # zero-row batch: no values, no HWM advance — but the
+                # schema columns must still exist (MERGE unions this
+                # back against carried rows)
+                for f, _base, _step in gen:
+                    df = df.withColumn(
+                        f["name"], F.lit(None).cast("long")
+                    )
         if not new_hwm:
             return df, None, bool(gen)
         for f in schema_json["fields"]:
@@ -2242,7 +2263,7 @@ class DeltaProtocolTable:
                 list(schema.fields)
                 + [T.StructField(f.name, f.dataType, True) for f in extra]
             )
-        update_cols = update_cols or [c for c in source.columns if c != key]
+        update_cols = eff_update  # derived once, above the identity guard
 
         rel_by_abs = {
             os.path.join(self.path, urllib.parse.unquote(p)): p

@@ -34,6 +34,9 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """
     import pandas as pd
 
+    rows = list(rows)  # a generator must survive the Arrow attempt
+    # failing over to the plain path (re-iterating an exhausted one
+    # would silently yield an empty frame)
     try:
         if isinstance(schema, T.StructType):
             names = [f.name for f in schema.fields]
@@ -42,7 +45,7 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             parts = [p.strip() for p in str(schema).split(",")]
             names = [p.split()[0] for p in parts]
             kinds = [p.split(None, 1)[1].strip().lower() for p in parts]
-        pdf = pd.DataFrame(list(rows), columns=names)
+        pdf = pd.DataFrame(rows, columns=names)
         for n, k in zip(names, kinds):
             if k in _INTISH:
                 pdf[n] = pdf[n].astype("Int64")
@@ -56,4 +59,4 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
                 raise ValueError(k)
         return spark.createDataFrame(pdf, schema)
     except Exception:
-        return spark.createDataFrame(list(rows), schema)
+        return spark.createDataFrame(rows, schema)

@@ -975,7 +975,7 @@ def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_orderkey", T.LongType(), True),
         ]
     )
-    import pandas as pd
+    from featureform_spark.sources.local_df import local_df
 
     keys = (
         load_table(spark, sf_dir, "orders")
@@ -986,17 +986,12 @@ def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .tolist()
     )
     t = DeltaProtocolTable(spark, _scratch(sf_dir, "identity_orders"))
-    # pandas-backed frames plan as Arrow LocalRelations — the
-    # list-of-tuples createDataFrame is python-RDD-backed and pays a
-    # python-worker spin-up PER JOB (~4.5 s each on local[32])
-    t.create(
-        spark.createDataFrame(
-            pd.DataFrame({"id": [], "o_orderkey": []}), schema
-        )
-    )
+    # local_df routes through Arrow (a list-of-tuples createDataFrame
+    # is python-RDD-backed and pays a python-worker spin-up PER JOB)
+    t.create(local_df(spark, [], schema))
     for lo, hi in ((0, 100), (100, 200)):
-        batch = spark.createDataFrame(
-            pd.DataFrame({"o_orderkey": keys[lo:hi]})
+        batch = local_df(
+            spark, [(int(k),) for k in keys[lo:hi]], "o_orderkey long"
         ).coalesce(1)
         t.append(batch)
     return t.snapshot().select("o_orderkey", "id")
