@@ -47,6 +47,7 @@ parquet scan.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -70,7 +71,46 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "deletionVectors",
     "v2Checkpoint",  # _read_checkpoint resolves manifests + sidecars
+    "typeWidening",  # logical schema drives the scan; parquet upcasts
 }
+
+
+def _decimal_ps(t: str) -> tuple[int, int] | None:
+    """(precision, scale) of a ``decimal(p,s)`` type string."""
+    if not t.startswith("decimal(") or not t.endswith(")"):
+        return None
+    p, s = t[len("decimal(") : -1].split(",")
+    return int(p), int(s)
+
+
+def _widening_allowed(old: str, new: str) -> bool:
+    """PROTOCOL.md §Type Widening allowed-transition table (stable
+    set). Decimal rules: scale never shrinks and integral digits
+    (p - s) never shrink; integral→decimal needs enough integral
+    digits for the source range (int: 10, long: 20)."""
+    if old == new:
+        return False
+    simple = {
+        "byte": {"short", "integer", "long", "double"},
+        "short": {"integer", "long", "double"},
+        "integer": {"long", "double"},
+        "float": {"double"},
+        "date": {"timestamp_ntz"},
+    }
+    if new in simple.get(old, set()):
+        return True
+    nps = _decimal_ps(new)
+    if nps is None:
+        return False
+    p, s = nps
+    if old == "integer":
+        return p - s >= 10
+    if old == "long":
+        return p - s >= 20
+    ops = _decimal_ps(old)
+    if ops is None:
+        return False
+    return s >= ops[1] and p - s >= ops[0] - ops[1]
 
 # Writer table features (protocol v7) this implementation actually
 # ENFORCES on write (_write_guard). generatedColumns: append/overwrite
@@ -94,6 +134,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint",  # checkpoint() honors delta.checkpointPolicy=v2
     "rowTracking",  # baseRowId/defaultRowCommitVersion + materialization
     "domainMetadata",  # folded into state, carried through checkpoints
+    "typeWidening",  # widen_column validates transitions + history
 }
 
 
@@ -947,6 +988,99 @@ class DeltaProtocolTable:
         self._commit(v, [{"metaData": meta}], "DROP COLUMN")
         return v
 
+    def widen_column(self, name: str, new_type: str) -> int:
+        """ALTER TABLE ... TYPE — the ``typeWidening`` table feature
+        (PROTOCOL.md §Type Widening): a metadata-only type change to a
+        strictly wider type. Existing data files keep their narrow
+        physical type; readers upcast per file against the logical
+        schema (Spark's parquet reader does this natively — verified
+        for every transition below), so at 100 TB a widen is one
+        metadata commit, never a rewrite.
+
+        Allowed transitions (the spec's stable set, minus the two this
+        engine's reader cannot honor — see the gate below):
+        byte→short→int→long, byte/short/int→double, float→double,
+        date→timestamp_ntz, int→decimal(p-s>=10),
+        long→decimal(p-s>=20), decimal(p,s)→decimal(p',s') with
+        s'>=s and p'-s'>=p-s.
+
+        Gate: parquet's int32 physical type only promotes to decimal
+        when it is NOT annotated int8/int16, so a column that was EVER
+        byte or short (current type or any recorded
+        ``delta.typeChanges`` fromType) refuses →decimal — files
+        written at the narrow type would fail to read.
+
+        Each widen appends a ``delta.typeChanges`` entry to the field
+        metadata and upgrades the protocol to (3, 7) with
+        ``typeWidening`` in BOTH feature lists (it is a reader-writer
+        feature: readers that ignore it would read the narrow type)."""
+        st = self.state()
+        self._write_guard(st, None, "WRITE")
+        sj = json.loads(st.metadata["schemaString"])
+        field = next((f for f in sj["fields"] if f["name"] == name), None)
+        if field is None:
+            raise DeltaProtocolError(f"no column {name!r}")
+        old_type = field["type"]
+        if not isinstance(old_type, str):
+            raise UnsupportedTableFeatureError(
+                f"type widening inside nested type {name!r} is not "
+                "supported by this writer"
+            )
+        if not _widening_allowed(old_type, new_type):
+            raise DeltaProtocolError(
+                f"cannot widen {name!r}: {old_type} -> {new_type} is "
+                "not an allowed type-widening transition"
+            )
+        md = dict(field.get("metadata") or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        if new_type.startswith("decimal"):
+            ever = {old_type} | {c["fromType"] for c in changes}
+            if ever & {"byte", "short"}:
+                raise UnsupportedTableFeatureError(
+                    f"cannot widen {name!r} to {new_type}: the column "
+                    "was previously byte/short and parquet int8/int16 "
+                    "pages do not promote to decimal in this engine's "
+                    "reader"
+                )
+        changes.append({"fromType": old_type, "toType": new_type})
+        md["delta.typeChanges"] = changes
+        field["metadata"] = md
+        field["type"] = new_type
+        meta = dict(st.metadata)
+        meta["schemaString"] = json.dumps(sj)
+        actions: list[dict] = []
+        proto = st.protocol or {}
+        feats = set(proto.get("readerFeatures") or [])
+        # a widen to timestamp_ntz also introduces the NTZ type itself
+        need = {"typeWidening"} | (
+            {"timestampNtz"} if new_type == "timestamp_ntz" else set()
+        )
+        if need - feats:
+            old_reader = int(proto.get("minReaderVersion", 1))
+            old_writer = int(proto.get("minWriterVersion", 1))
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            feats
+                            | _legacy_reader_features(old_reader)
+                            | need
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | _legacy_writer_features(old_writer)
+                            | need
+                        ),
+                    }
+                }
+            )
+        actions.append({"metaData": meta})
+        v = st.version + 1
+        self._commit(v, actions, "CHANGE COLUMN")
+        return v
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: commitInfo per version, newest first."""
         out = []
@@ -990,11 +1124,21 @@ class DeltaProtocolTable:
 
     # ------------------------------------------------------------ read
 
+    def _abs_data_path(self, p: str) -> str:
+        """Resolve an add/remove ``path`` field to an absolute
+        filesystem path. PROTOCOL.md §Add File and Remove File: the
+        field is a RELATIVE path within the table directory
+        (percent-encoded) or an ABSOLUTE URI — absolute entries are
+        how SHALLOW CLONE tables reference the source table's data
+        files without copying bytes. Handles ``file:`` URIs and plain
+        absolute paths; everything else joins under the table root."""
+        raw = urllib.parse.unquote(p)
+        if raw.startswith("file:"):
+            raw = "/" + raw.split(":", 1)[1].lstrip("/")
+        return raw if os.path.isabs(raw) else os.path.join(self.path, raw)
+
     def _data_paths(self, st: _State) -> list[str]:
-        return [
-            os.path.join(self.path, urllib.parse.unquote(p))
-            for p in sorted(st.adds)
-        ]
+        return [self._abs_data_path(p) for p in sorted(st.adds)]
 
     def _dv_blob(self, dv: dict) -> bytes:
         """Resolve a deletionVector descriptor to its raw bitmap blob
@@ -1076,7 +1220,7 @@ class DeltaProtocolTable:
         for p, a in st.adds.items():
             dv = a.get("deletionVector")
             if dv:
-                abs_p = os.path.join(self.path, urllib.parse.unquote(p))
+                abs_p = self._abs_data_path(p)
                 if abs_p in path_set:
                     dv_files[abs_p] = dv
         if not dv_files:
@@ -1169,8 +1313,7 @@ class DeltaProtocolTable:
         sub_adds = {
             rel: a
             for rel, a in st.adds.items()
-            if os.path.join(self.path, urllib.parse.unquote(rel))
-            in path_set
+            if self._abs_data_path(rel) in path_set
         }
         sub = _State(
             version=st.version,
@@ -1186,7 +1329,7 @@ class DeltaProtocolTable:
             self.spark,
             [
                 (
-                    os.path.join(self.path, urllib.parse.unquote(rel)),
+                    self._abs_data_path(rel),
                     a.get("baseRowId"),
                     a.get("defaultRowCommitVersion"),
                 )
@@ -1320,7 +1463,7 @@ class DeltaProtocolTable:
         for p in sorted(st.adds):
             pv = st.adds[p].get("partitionValues") or {}
             key = tuple(pv.get(c) for c in parts)
-            full = os.path.join(self.path, urllib.parse.unquote(p))
+            full = self._abs_data_path(p)
             if full in paths:
                 by_pv.setdefault(key, []).append(full)
         data_schema = T.StructType(
@@ -1368,7 +1511,7 @@ class DeltaProtocolTable:
         for p in sorted(st.adds):
             pv = st.adds[p].get("partitionValues") or {}
             if all(pv.get(k) == v for k, v in want.items()):
-                keep.append(os.path.join(self.path, urllib.parse.unquote(p)))
+                keep.append(self._abs_data_path(p))
         self._last_prune = {"files_total": len(st.adds), "files_read": len(keep)}
         return self._read_files(st, keep)
 
@@ -1390,7 +1533,7 @@ class DeltaProtocolTable:
                 if mn is not None and mx is not None:
                     rng = (mn, mx)
             if rng is None or not (rng[1] < lo or rng[0] > hi):
-                keep.append(os.path.join(self.path, urllib.parse.unquote(p)))
+                keep.append(self._abs_data_path(p))
         self._last_prune = {"files_total": len(st.adds), "files_read": len(keep)}
         df = self._read_files(st, keep)
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
@@ -1413,11 +1556,18 @@ class DeltaProtocolTable:
                 name = col.path_in_schema
                 if "." in name or schema.field(name.split(".")[0]).type is None:
                     continue
-                stats = col.statistics
-                if stats is None or not stats.has_min_max:
+                try:
+                    stats = col.statistics
+                    if stats is None or not stats.has_min_max:
+                        covered[name] = False
+                        continue
+                    lo, hi = stats.min, stats.max
+                except NotImplementedError:
+                    # pyarrow can't cast stats for some physical/
+                    # logical combinations (e.g. INT32-backed small
+                    # decimals) — skip the column, never the write
                     covered[name] = False
                     continue
-                lo, hi = stats.min, stats.max
                 if isinstance(lo, bytes):
                     try:
                         lo, hi = lo.decode(), hi.decode()
@@ -1437,8 +1587,10 @@ class DeltaProtocolTable:
         for name, ok in covered.items():
             if ok and name in mins:
                 lo, hi = mins[name], maxs[name]
-                if hasattr(lo, "isoformat"):
+                if isinstance(lo, datetime.datetime):
                     lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
+                elif isinstance(lo, datetime.date):
+                    lo, hi = lo.isoformat(), hi.isoformat()
                 from decimal import Decimal
 
                 if isinstance(lo, Decimal):
@@ -2266,8 +2418,7 @@ class DeltaProtocolTable:
         update_cols = eff_update  # derived once, above the identity guard
 
         rel_by_abs = {
-            os.path.join(self.path, urllib.parse.unquote(p)): p
-            for p in st.adds
+            self._abs_data_path(p): p for p in st.adds
         }
         read_schema = st.physical_schema if mapping else schema
         reader = self.spark.read.schema(read_schema)
@@ -2564,8 +2715,7 @@ class DeltaProtocolTable:
             key=lambda r: r["file"],
         )
         rel_by_abs = {
-            os.path.join(self.path, urllib.parse.unquote(p)): p
-            for p in st.adds
+            self._abs_data_path(p): p for p in st.adds
         }
         now = int(time.time() * 1000)
         actions: list[dict] = []
@@ -3145,7 +3295,7 @@ class DeltaProtocolTable:
             cur_adds = {}
 
         def _check_exists(rel: str, v: int) -> str:
-            full = os.path.join(self.path, urllib.parse.unquote(rel))
+            full = self._abs_data_path(rel)
             if not os.path.exists(full):
                 raise DeltaProtocolError(
                     f"file {rel!r} of version {v} was vacuumed; "
@@ -3218,7 +3368,7 @@ class DeltaProtocolTable:
             }
             if cdc:
                 paths = [
-                    os.path.join(self.path, urllib.parse.unquote(c["path"]))
+                    self._abs_data_path(c["path"])
                     for c in cdc
                 ]
                 cdf_schema = T.StructType(
@@ -3325,7 +3475,7 @@ class DeltaProtocolTable:
                 }
             )
         for p in sorted(set(target.adds) - set(cur.adds)):
-            full = os.path.join(self.path, urllib.parse.unquote(p))
+            full = self._abs_data_path(p)
             if not os.path.exists(full):
                 raise DeltaProtocolError(
                     f"cannot RESTORE to version {version}: data file "
@@ -3335,6 +3485,79 @@ class DeltaProtocolTable:
         v = cur.version + 1
         self._commit(v, actions, "RESTORE")
         return v
+
+    def shallow_clone(
+        self, target_path: str, version: int | None = None
+    ) -> "DeltaProtocolTable":
+        """CREATE TABLE <target> SHALLOW CLONE <this> [VERSION AS OF
+        v] — a zero-copy fork (delta-spark's CLONE command; the
+        protocol carrier is PROTOCOL.md's rule that ``add.path`` may
+        be "a path ... or an absolute path"): the target gets its own
+        log whose version-0 add actions reference THIS table's data
+        files by absolute ``file:`` URI. No data bytes move — at 100
+        TB a clone is a metadata-sized commit, which is the whole
+        point (dev/test forks, schema experiments, snapshot pinning).
+
+        Carried verbatim: schema (incl. identity high-water marks in
+        field metadata), partition columns, configuration, protocol,
+        domainMetadata (row-tracking HWM), setTransactions (so an
+        idempotent streaming writer doesn't double-apply to the
+        clone), per-file stats/partitionValues/baseRowId. The metaData
+        ``id`` is fresh — a clone is a new table. UUID-relative ('u')
+        deletion vectors are re-anchored as absolute-path ('p')
+        descriptors, since 'u' resolves against the TARGET root where
+        the blob does not live.
+
+        Writes to the clone land under the clone's directory; CoW
+        rewrites remove the absolute-path references without touching
+        the source's files; the clone's VACUUM only walks its own
+        directory, so source files are never deleted by it. The
+        source table is never modified (reads only)."""
+        st = self.state(version)
+        if os.path.realpath(target_path) == os.path.realpath(self.path):
+            raise DeltaProtocolError("cannot clone a table onto itself")
+        target = DeltaProtocolTable(self.spark, target_path)
+        if target.exists():
+            raise DeltaProtocolError(
+                f"clone target already exists: {target_path}"
+            )
+        md = json.loads(json.dumps(st.metadata))
+        md["id"] = str(uuid.uuid4())
+        md["createdTime"] = int(time.time() * 1000)
+        actions: list[dict] = [
+            {"protocol": json.loads(json.dumps(st.protocol or {
+                "minReaderVersion": 1, "minWriterVersion": 2,
+            }))},
+            {"metaData": md},
+        ]
+        for domain, conf in sorted(st.domains.items()):
+            actions.append(
+                {"domainMetadata": {"domain": domain,
+                                    "configuration": conf}}
+            )
+        for app_id, ver in sorted(st.txns.items()):
+            actions.append(
+                {"txn": {"appId": app_id, "version": int(ver)}}
+            )
+        for rel in sorted(st.adds):
+            a = json.loads(json.dumps(st.adds[rel]))
+            abs_p = self._abs_data_path(rel)
+            a["path"] = "file://" + urllib.parse.quote(abs_p)
+            a["dataChange"] = True
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                loc = self._dv_file_location(dv)
+                a["deletionVector"] = {
+                    "storageType": "p",
+                    "pathOrInlineDv": loc[0],
+                    "offset": loc[1],
+                    "sizeInBytes": loc[2],
+                    "cardinality": int(dv.get("cardinality") or 0),
+                }
+            actions.append({"add": a})
+        os.makedirs(target_path, exist_ok=True)
+        target._commit(0, actions, "CLONE")
+        return target
 
     def vacuum(self, retain_versions: int = 0) -> dict:
         """Delete data files no longer referenced by any retained

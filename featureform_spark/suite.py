@@ -1226,7 +1226,12 @@ PRIORITY: tuple[str, ...] = (
     "script_profile",
     "range_join_orders",
     "wide_merge_upsert",
-    "delta_time_travel",
+    # Round-8 rotation: SHALLOW CLONE lifecycle (zero-copy fork via
+    # absolute add paths, post-clone divergence verified on both
+    # sides) — new this round, enters the driver top-50 the round it
+    # lands. delta_time_travel (green r1-r7) rotates out, stays
+    # pytest-oracle-covered.
+    "delta_shallow_clone",
     "delta_protocol_read",
     "delta_cdf_incremental",
     "iceberg_protocol_read",

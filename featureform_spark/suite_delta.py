@@ -106,6 +106,46 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_shallow_clone",
+    oracle="""
+    SELECT 'clone' AS side, o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 4 < 3 AND o_custkey % 3 <> 0
+    UNION ALL
+    SELECT 'source' AS side, o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    """,
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE lifecycle (delta-spark CLONE; PROTOCOL.md absolute
+    add paths): source is built in two commits, cloned (zero-copy —
+    the clone's adds reference the source's files by absolute URI),
+    then BOTH tables diverge: the source appends a fourth slice the
+    clone must not see, and the clone CoW-DELETEs a customer stripe
+    without touching the source's files. Returning both sides tagged
+    in one frame makes the oracle verify isolation in both directions:
+    clone = first three slices minus the deleted stripe, source = all
+    four slices intact."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = DeltaProtocolTable(spark, _scratch(sf_dir, "clone_src"))
+    src.create(orders.filter(F.col("o_orderkey") % 4 < 2))         # v0
+    src.append(orders.filter(F.col("o_orderkey") % 4 == 2))        # v1
+    clone = src.shallow_clone(_scratch(sf_dir, "clone_dst"))
+    src.append(orders.filter(F.col("o_orderkey") % 4 == 3))        # v2
+    clone.delete_where(F.col("o_custkey") % 3 == 0)
+    return clone.snapshot().withColumn("side", F.lit("clone")).select(
+        "side", "o_orderkey", "o_custkey", "o_totalprice"
+    ).unionAll(
+        src.snapshot().withColumn("side", F.lit("source")).select(
+            "side", "o_orderkey", "o_custkey", "o_totalprice"
+        )
+    )
+
+
+@query(
     "delta_zone_prune",
     """
     SELECT o_orderkey, o_totalprice

@@ -200,10 +200,11 @@ def test_feature_gates(spark, sf_dir, tmp_path):
     os.remove(log / ("%020d.json" % 1))
 
     # unknown reader feature gate (protocol v3) — v2Checkpoint became
-    # supported in round 6, so probe with a feature we genuinely lack
+    # supported in round 6 and typeWidening in round 8, so probe with
+    # a feature we genuinely lack
     (log / ("%020d.json" % 1)).write_text(
         json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                                 "readerFeatures": ["typeWidening"]}}) + "\n"
+                                 "readerFeatures": ["collations"]}}) + "\n"
     )
     with pytest.raises(UnsupportedTableFeatureError):
         t.snapshot()
