@@ -135,6 +135,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "rowTracking",  # baseRowId/defaultRowCommitVersion + materialization
     "domainMetadata",  # folded into state, carried through checkpoints
     "typeWidening",  # widen_column validates transitions + history
+    "clustering",  # cluster_by create + OPTIMIZE recluster + ALTER
 }
 
 
@@ -212,6 +213,20 @@ class _State:
             return -1
 
     @property
+    def clustering_columns(self) -> list[str]:
+        """Liquid-clustering column list (domainMetadata
+        ``delta.clustering``); [] on unclustered tables. Top-level
+        columns only (each spec entry is a field path)."""
+        cfg = self.domains.get("delta.clustering")
+        if not cfg:
+            return []
+        try:
+            cols = json.loads(cfg).get("clusteringColumns") or []
+        except (ValueError, TypeError):
+            return []
+        return [c[0] if isinstance(c, list) else c for c in cols]
+
+    @property
     def materialized_row_id_cols(self) -> tuple[str, str] | None:
         """(row-id column, row-commit-version column) physical names
         used to materialize row ids into REWRITTEN files (rows a
@@ -265,6 +280,10 @@ class _State:
         for f, (phys, _logical) in zip(sj["fields"], mapping):
             f["name"] = phys
         return T.StructType.fromJson(sj)
+
+
+def _crc_name(version: int) -> str:
+    return f"{version:020d}.crc"
 
 
 def _commit_name(version: int) -> str:
@@ -432,6 +451,9 @@ class DeltaProtocolTable:
         self.spark = spark
         self.path = path
         self.log_path = os.path.join(path, LOG_DIR)
+        # when True, checkpoint folds read via pyarrow even with a
+        # session attached (commit-path folds must not cost Spark jobs)
+        self._fold_with_arrow = False
 
     # ------------------------------------------------------------- log
 
@@ -552,9 +574,11 @@ class DeltaProtocolTable:
                         out.extend(
                             json.loads(line) for line in f if line.strip()
                         )
-                elif self.spark is None:
-                    # sessionless fold (Python Data Source drivers):
-                    # checkpoints are metadata-scale, pyarrow suffices
+                elif self.spark is None or self._fold_with_arrow:
+                    # sessionless fold (Python Data Source drivers) or
+                    # a commit-path fold (_write_crc) that must not
+                    # launch a Spark job: checkpoints are
+                    # metadata-scale, pyarrow suffices
                     import pyarrow.parquet as pq
 
                     out.extend(
@@ -1798,6 +1822,13 @@ class DeltaProtocolTable:
                 "state (blind appends retry automatically)"
             ) from None
         os.unlink(tmp)
+        # version-checksum sidecar: best-effort (the commit is already
+        # durable; a missing .crc just means validate_checksum()
+        # returns False for this version)
+        try:
+            self._write_crc(version)
+        except OSError:
+            pass
 
     def _maybe_auto_checkpoint(self, version: int, st: _State) -> None:
         """Honor ``delta.checkpointInterval``: after committing
@@ -1857,15 +1888,48 @@ class DeltaProtocolTable:
             }
         }
 
+    _ZORDERABLE = {"byte", "short", "integer", "long", "float", "double",
+                   "date", "timestamp"}
+
+    def _check_cluster_cols(
+        self, schema: T.StructType, cols: list[str]
+    ) -> None:
+        for c in cols:
+            f_ = next((f for f in schema.fields if f.name == c), None)
+            if f_ is None:
+                raise DeltaProtocolError(f"unknown column {c!r}")
+            if f_.dataType.typeName() not in self._ZORDERABLE:
+                raise DeltaProtocolError(
+                    f"clustering supports numeric/temporal columns, "
+                    f"{c!r} is {f_.dataType.simpleString()}"
+                )
+
     def create(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        cluster_by: list[str] | None = None,
+        target_rows_per_file: int = 1_000_000,
     ) -> int:
+        """``cluster_by`` = CREATE TABLE ... CLUSTER BY (Delta's
+        clustered-table / liquid-clustering writer feature): the
+        clustering columns live in the ``delta.clustering``
+        domainMetadata, the initial data is written Morton-clustered
+        on them, and every OPTIMIZE re-clusters on the CURRENT
+        columns (changeable via :meth:`alter_cluster_by` — the
+        flexibility partitioning and static ZORDER lack). Mutually
+        exclusive with ``partition_by`` per the spec."""
         if self.exists():
             raise DeltaProtocolError(f"table already exists: {self.path}")
         partition_by = list(partition_by or [])
+        if cluster_by:
+            if partition_by:
+                raise DeltaProtocolError(
+                    "CLUSTER BY and PARTITIONED BY are mutually "
+                    "exclusive (spec: clustered tables are unpartitioned)"
+                )
+            self._check_cluster_cols(df.schema, list(cluster_by))
         os.makedirs(self.path, exist_ok=True)
         row_tracked = (properties or {}).get(
             "delta.enableRowTracking"
@@ -1911,7 +1975,19 @@ class DeltaProtocolTable:
         )
         # constraints passed via properties bind from the first commit
         self._write_guard(probe, df, "CREATE")
+        if cluster_by:
+            from featureform_spark.sources.deltalite import zorder_cluster
+
+            n_rows = df.count()
+            n_files = max(1, -(-n_rows // target_rows_per_file))
+            if n_rows:
+                df = zorder_cluster(
+                    df, list(cluster_by), n_files
+                ).select(*[f.name for f in df.schema.fields])
         adds = self._write_files(df, partition_by, probe.column_mapping)
+        if cluster_by:
+            for a in adds:
+                a["clusteringProvider"] = "liquid"
         mapped = probe.column_mapping is not None
         protocol = (
             # column mapping requires reader v2 / writer v5 per PROTOCOL.md
@@ -1933,6 +2009,10 @@ class DeltaProtocolTable:
         if has_identity:
             # writer-only feature (readers see plain long columns)
             extra_writer |= {"identityColumns"}
+        if cluster_by:
+            # writer-only: readers see ordinary files; the domain
+            # carries the column list for future OPTIMIZEs
+            extra_writer |= {"clustering", "domainMetadata"}
         if extra_writer:
             new_proto = {
                 "minReaderVersion": (
@@ -1960,7 +2040,23 @@ class DeltaProtocolTable:
         actions = [
             {"protocol": protocol},
             meta_action,
-        ] + [{"add": a} for a in adds]
+        ]
+        if cluster_by:
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {
+                                "clusteringColumns": [
+                                    [c] for c in cluster_by
+                                ]
+                            }
+                        ),
+                    }
+                }
+            )
+        actions += [{"add": a} for a in adds]
         probe.protocol = protocol
         dm = self._assign_row_ids(probe, adds, 0)
         if dm is not None:
@@ -3086,6 +3182,17 @@ class DeltaProtocolTable:
         un-clustering)."""
         st = self.state()
         self._write_guard(st, None, "OPTIMIZE")  # legal under appendOnly
+        liquid = st.clustering_columns
+        if liquid:
+            if zorder_by:
+                raise DeltaProtocolError(
+                    "ZORDER BY is not allowed on a clustered table — "
+                    "OPTIMIZE re-clusters on the table's own "
+                    f"clustering columns {liquid}"
+                )
+            # OPTIMIZE on a clustered table = recluster on the CURRENT
+            # column list (which alter_cluster_by may have changed)
+            zorder_by = liquid
         n_rows = 0
         for add in st.adds.values():
             stats = add.get("stats")
@@ -3144,11 +3251,55 @@ class DeltaProtocolTable:
                 }
             }
             for p in sorted(st.adds)
-        ] + [{"add": {**a, "dataChange": False}} for a in adds]
+        ] + [
+            {
+                "add": {
+                    **a,
+                    "dataChange": False,
+                    **(
+                        {"clusteringProvider": "liquid"} if liquid else {}
+                    ),
+                }
+            }
+            for a in adds
+        ]
         if dm is not None:
             actions.append(dm)
         self._commit(v, actions, "OPTIMIZE")
         self._maybe_auto_checkpoint(v, st)
+        return v
+
+    def alter_cluster_by(self, cluster_by: list[str]) -> int:
+        """ALTER TABLE ... CLUSTER BY — swap the clustering column
+        list (the liquid-clustering capability static partitioning
+        lacks): metadata-only; existing files keep their old layout
+        and the next OPTIMIZE re-clusters on the new columns."""
+        st = self.state()
+        self._write_guard(st, None, "WRITE")
+        if not st.clustering_columns:
+            raise DeltaProtocolError(
+                "not a clustered table (create with cluster_by=...)"
+            )
+        self._check_cluster_cols(st.schema, list(cluster_by))
+        v = st.version + 1
+        self._commit(
+            v,
+            [
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {
+                                "clusteringColumns": [
+                                    [c] for c in cluster_by
+                                ]
+                            }
+                        ),
+                    }
+                }
+            ],
+            "CLUSTER BY",
+        )
         return v
 
     def checkpoint(self) -> int:
@@ -3686,7 +3837,8 @@ class DeltaProtocolTable:
 
     def clean_log(self) -> int:
         """Delete JSON commits at or below the newest checkpoint (Delta
-        log retention); state reads fold checkpoint + tail only."""
+        log retention); state reads fold checkpoint + tail only.
+        Matching ``.crc`` sidecars leave with their commits."""
         cps = self._checkpoint_versions()
         if not cps:
             return 0
@@ -3695,8 +3847,91 @@ class DeltaProtocolTable:
         for v in self._commit_versions():
             if v <= horizon:
                 os.remove(os.path.join(self.log_path, _commit_name(v)))
+                crc = os.path.join(self.log_path, _crc_name(v))
+                if os.path.exists(crc):
+                    os.remove(crc)
                 n += 1
         return n
+
+    # ------------------------------------------------- version checksum
+
+    def _crc_content(self, st: _State) -> dict:
+        """The VERSION CHECKSUM summary of a folded state — the
+        delta-spark ``<version>.crc`` sidecar (public delta-io/delta
+        behavior; spec'd as the optional Version Checksum File): a
+        snapshot-level digest other writers use to validate their
+        incremental state fold without re-reading the whole log."""
+        dvs = [
+            a["deletionVector"]
+            for a in st.adds.values()
+            if a.get("deletionVector")
+        ]
+        return {
+            "tableSizeBytes": sum(
+                int(a.get("size") or 0) for a in st.adds.values()
+            ),
+            "numFiles": len(st.adds),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "metadata": st.metadata,
+            "protocol": st.protocol or {},
+            "setTransactions": [
+                {"appId": k, "version": int(v)}
+                for k, v in sorted(st.txns.items())
+            ],
+            "domainMetadata": [
+                {"domain": d, "configuration": c, "removed": False}
+                for d, c in sorted(st.domains.items())
+            ],
+            "numDeletedRecordsOpt": sum(
+                int(dv.get("cardinality") or 0) for dv in dvs
+            ),
+            "numDeletionVectorsOpt": len(dvs),
+        }
+
+    def _write_crc(self, version: int) -> None:
+        """Write ``<version>.crc`` next to the commit. Atomic replace
+        (identical content regardless of writer, so last-wins is
+        fine); never raced through O_EXCL like commits are."""
+        prev = self._fold_with_arrow
+        self._fold_with_arrow = True
+        try:
+            st = self.state(version)
+        finally:
+            self._fold_with_arrow = prev
+        tmp = os.path.join(
+            self.log_path, f".{_crc_name(version)}.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as f:
+            f.write(json.dumps(self._crc_content(st)) + "\n")
+        os.replace(tmp, os.path.join(self.log_path, _crc_name(version)))
+
+    def validate_checksum(self, version: int | None = None) -> bool:
+        """Validate the folded state against the stored ``.crc``
+        sidecar — catches log tampering/corruption between write and
+        read (a torn commit file, a hand-edited add, a lost domain).
+        Returns False when no sidecar exists for the version; raises
+        ``DeltaProtocolError`` naming every diverging field."""
+        st = self.state(version)
+        path = os.path.join(self.log_path, _crc_name(st.version))
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            stored = json.loads(f.read())
+        actual = self._crc_content(st)
+        bad = [
+            k
+            for k in actual
+            if json.dumps(actual[k], sort_keys=True)
+            != json.dumps(stored.get(k), sort_keys=True)
+        ]
+        if bad:
+            raise DeltaProtocolError(
+                f"version checksum mismatch at v{st.version}: "
+                f"fields {bad} diverge from {_crc_name(st.version)} — "
+                "the log was modified after the commit"
+            )
+        return True
 
 
 def read_delta_path(

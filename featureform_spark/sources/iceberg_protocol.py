@@ -1576,6 +1576,176 @@ class IcebergProtocolTable:
             "delete_files, manifests, history, refs)"
         )
 
+    # ------------------------------------------------ partition stats
+
+    def _unified_partition_fields(self, md: dict) -> list[str]:
+        """Spec §Partition Statistics: the stats file's ``partition``
+        struct is the UNIFIED partition tuple — the union of every
+        spec's fields in field-id order, so rows written under any
+        historical spec fit one schema (absent fields are null)."""
+        seen: dict[int, str] = {}
+        specs = md.get("partition-specs") or [
+            {"spec-id": 0, "fields": md.get("partition-spec", [])}
+        ]
+        for s in specs:
+            for f in s.get("fields", []):
+                seen.setdefault(int(f["field-id"]), f["name"])
+        return [seen[i] for i in sorted(seen)]
+
+    def compute_partition_statistics(
+        self, snapshot_id: int | None = None
+    ) -> str:
+        """Write the spec's Partition Statistics file for a snapshot
+        (one row per (unified partition tuple, spec_id): data record/
+        file counts, total bytes, position/equality delete record/file
+        counts, last_updated snapshot) and register it under the table
+        metadata's ``partition-statistics`` list — the planning input
+        engines use to size partition-grained work without opening
+        manifests. Metadata-scale: folds the snapshot's manifest
+        entries on the driver, no data-file reads. Returns the stats
+        file path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        snap = self._snapshot_by(snapshot_id, md=md)
+        if snap is None:
+            raise IcebergProtocolError("table has no snapshot")
+        fields = self._unified_partition_fields(md)
+        if not fields:
+            raise IcebergProtocolError(
+                "unpartitioned table has no partition statistics — "
+                "use metadata_table('files') / detail-level counts"
+            )
+        data_entries, delete_entries = self._live_entries(snap)
+        agg: dict[tuple, dict] = {}
+
+        def _slot(e: dict) -> dict:
+            df_ = e["data_file"]
+            part = df_.get("partition") or {}
+            key = (
+                int(df_.get("spec_id") or e.get("spec_id") or 0),
+                tuple(part.get(n) for n in fields),
+            )
+            s = agg.setdefault(
+                key,
+                {
+                    "data_record_count": 0,
+                    "data_file_count": 0,
+                    "total_data_file_size_in_bytes": 0,
+                    "position_delete_record_count": 0,
+                    "position_delete_file_count": 0,
+                    "equality_delete_record_count": 0,
+                    "equality_delete_file_count": 0,
+                    "last_updated_snapshot_id": None,
+                },
+            )
+            sid = e.get("snapshot_id")
+            if sid is not None and (
+                s["last_updated_snapshot_id"] is None
+                or int(sid) > s["last_updated_snapshot_id"]
+            ):
+                s["last_updated_snapshot_id"] = int(sid)
+            return s
+
+        for e in data_entries:
+            df_ = e["data_file"]
+            s = _slot(e)
+            s["data_record_count"] += int(df_.get("record_count") or 0)
+            s["data_file_count"] += 1
+            s["total_data_file_size_in_bytes"] += int(
+                df_.get("file_size_in_bytes") or 0
+            )
+        for e in delete_entries:
+            df_ = e["data_file"]
+            s = _slot(e)
+            kind = (
+                "position" if int(df_.get("content", 1)) == 1
+                else "equality"
+            )
+            s[f"{kind}_delete_record_count"] += int(
+                df_.get("record_count") or 0
+            )
+            s[f"{kind}_delete_file_count"] += 1
+        keys = sorted(agg, key=lambda k: (k[0], str(k[1])))
+        part_arr = pa.StructArray.from_arrays(
+            [pa.array([k[1][i] for k in keys]) for i in range(len(fields))],
+            names=fields,
+        )
+        cols: dict[str, Any] = {"partition": part_arr}
+        cols["spec_id"] = pa.array(
+            [k[0] for k in keys], type=pa.int32()
+        )
+        for name, typ in (
+            ("data_record_count", pa.int64()),
+            ("data_file_count", pa.int32()),
+            ("total_data_file_size_in_bytes", pa.int64()),
+            ("position_delete_record_count", pa.int64()),
+            ("position_delete_file_count", pa.int32()),
+            ("equality_delete_record_count", pa.int64()),
+            ("equality_delete_file_count", pa.int32()),
+        ):
+            cols[name] = pa.array([agg[k][name] for k in keys], type=typ)
+        cols["last_updated_at"] = pa.array(
+            [int(snap.get("timestamp-ms") or 0)] * len(keys),
+            type=pa.int64(),
+        )
+        cols["last_updated_snapshot_id"] = pa.array(
+            [agg[k]["last_updated_snapshot_id"] for k in keys],
+            type=pa.int64(),
+        )
+        sid = int(snap["snapshot-id"])
+        rel = os.path.join(
+            "metadata", f"partition-stats-{sid}-{uuid.uuid4().hex}.parquet"
+        )
+        target = os.path.join(self.path, rel)
+        pq.write_table(pa.table(cols), target)
+        version = max(v for v, _ in self._metadata_files()) + 1
+        md = dict(md)
+        md["partition-statistics"] = [
+            e
+            for e in (md.get("partition-statistics") or [])
+            if int(e["snapshot-id"]) != sid
+        ] + [
+            {
+                "snapshot-id": sid,
+                "statistics-path": target,
+                "file-size-in-bytes": os.path.getsize(target),
+            }
+        ]
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md, version)
+        return target
+
+    def partition_statistics(
+        self, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read the registered Partition Statistics file for a
+        snapshot (current if None) as a DataFrame — raises when none
+        was computed (spec: the files are optional, produced on
+        demand)."""
+        md = self.metadata()
+        snap = self._snapshot_by(snapshot_id, md=md)
+        if snap is None:
+            raise IcebergProtocolError("table has no snapshot")
+        sid = int(snap["snapshot-id"])
+        entry = next(
+            (
+                e
+                for e in (md.get("partition-statistics") or [])
+                if int(e["snapshot-id"]) == sid
+            ),
+            None,
+        )
+        if entry is None:
+            raise IcebergProtocolError(
+                f"no partition statistics for snapshot {sid} — run "
+                "compute_partition_statistics() first"
+            )
+        return self.spark.read.parquet(
+            self._resolve_path(entry["statistics-path"])
+        )
+
     def create_ref(
         self, name: str, kind: str = "tag", snapshot_id: int | None = None
     ) -> int:

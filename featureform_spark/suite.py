@@ -1283,7 +1283,12 @@ PRIORITY: tuple[str, ...] = (
     "delta_dv_read",
     "delta_protocol_cdf",
     "iceberg_hidden_partitioning",
-    "corpus_mix_summary",
+    # Round-8 rotation: type-widening lifecycle (metadata-only widen,
+    # narrow files upcast per file, beyond-int append) — new this
+    # round, enters the driver top-50 the round it lands.
+    # corpus_mix_summary (green r6-r7) rotates out, stays
+    # pytest-oracle-covered.
+    "delta_type_widening",
     "packing_efficiency",
     # Round-8 rotation: Delta identity-column allocation end-to-end
     # (HWM handoff across commits) — new this round.

@@ -146,6 +146,48 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_type_widening",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(CAST(o_custkey AS REAL) AS DOUBLE) AS c
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 1099511627776 AS k,
+           CAST(o_custkey AS DOUBLE) AS c
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening lifecycle (PROTOCOL.md §Type Widening): the table
+    is created narrow (int key, float value), widened int→long and
+    float→double as metadata-only commits, then appended with values
+    only the wide types can hold (keys past 2^40). The final scan
+    upcasts the ORIGINAL narrow files per file — the oracle's first
+    branch is the narrow data upcast (float(c) is exact for these
+    magnitudes, so the double round-trip is bit-identical), the second
+    is the wide append. No file was rewritten at any point."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "widen"))
+    t.create(
+        orders.select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.col("o_custkey").cast("float").alias("c"),
+        )
+    )
+    t.widen_column("k", "long")
+    t.widen_column("c", "double")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            (F.col("o_orderkey") + F.lit(2**40)).alias("k"),
+            F.col("o_custkey").cast("double").alias("c"),
+        )
+    )
+    return t.snapshot()
+
+
+@query(
     "delta_zone_prune",
     """
     SELECT o_orderkey, o_totalprice

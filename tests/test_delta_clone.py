@@ -184,3 +184,41 @@ def test_clone_guards(spark, sf_dir, tmp_path):
         src.shallow_clone(str(tmp_path / "c"))
     with pytest.raises(DeltaProtocolError, match="onto itself"):
         src.shallow_clone(str(tmp_path / "src"))
+
+
+def test_clone_of_widened_table_and_widen_of_clone(spark, sf_dir, tmp_path):
+    """Feature interplay: a clone carries typeWidening (protocol +
+    delta.typeChanges history, incl. the byte/short→decimal gate), and
+    widening a CLONE is metadata-only on the clone's log — absolute-
+    path source files upcast per file like any narrow file."""
+    from pyspark.sql import types as T
+
+    src = DeltaProtocolTable(spark, str(tmp_path / "src"))
+    src.create(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.col("id").cast("byte").alias("v")
+        )
+    )
+    src.widen_column("v", "integer")
+    clone = src.shallow_clone(str(tmp_path / "c1"))
+    st = clone.state()
+    assert "typeWidening" in st.protocol["readerFeatures"]
+    assert dict(st.schema["v"].metadata)["delta.typeChanges"] == [
+        {"fromType": "byte", "toType": "integer"}
+    ]
+    # the byte-history decimal gate travels with the clone
+    from featureform_spark.sources.delta_protocol import (
+        UnsupportedTableFeatureError,
+    )
+
+    with pytest.raises(UnsupportedTableFeatureError, match="byte/short"):
+        clone.widen_column("v", "decimal(12,0)")
+
+    # widening the clone itself: source files (written byte) upcast
+    clone.widen_column("v", "long")
+    assert clone.snapshot().schema["v"].dataType == T.LongType()
+    assert sorted(r["v"] for r in clone.snapshot().collect()) == list(
+        range(10)
+    )
+    # source untouched: still integer
+    assert src.state().schema["v"].dataType == T.IntegerType()

@@ -1,0 +1,102 @@
+"""Version checksum sidecars (delta_protocol `<version>.crc`): every
+commit writes a snapshot-level digest (delta-spark's state-validation
+artifact) and `validate_checksum` catches post-commit log tampering.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.delta_protocol import (
+    DeltaProtocolError,
+    DeltaProtocolTable,
+    _crc_name,
+)
+
+
+def _mk(spark, path):
+    t = DeltaProtocolTable(spark, path)
+    t.create(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    return t
+
+
+def test_crc_written_per_commit_and_validates(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(spark.range(5).select(F.col("id").alias("k"),
+                                   F.col("id").alias("v")))
+    t.delete_where(F.col("k") % 7 == 0)
+    for v in (0, 1, 2):
+        assert os.path.exists(os.path.join(t.log_path, _crc_name(v)))
+        assert t.validate_checksum(v) is True
+    crc = json.loads(
+        open(os.path.join(t.log_path, _crc_name(0))).read()
+    )
+    st0 = t.state(0)
+    assert crc["numFiles"] == len(st0.adds)
+    assert crc["tableSizeBytes"] == sum(
+        int(a["size"]) for a in st0.adds.values()
+    )
+    assert crc["metadata"]["schemaString"] == st0.metadata["schemaString"]
+
+
+def test_crc_catches_log_tampering(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(spark.range(3).select(F.col("id").alias("k"),
+                                   F.col("id").alias("v")))
+    # hand-edit the v1 commit: drop one add action (simulated
+    # corruption / tampering after the checksum was written)
+    p = os.path.join(t.log_path, "%020d.json" % 1)
+    lines = [json.loads(x) for x in open(p) if x.strip()]
+    kept, dropped = [], False
+    for a in lines:
+        if "add" in a and not dropped:
+            dropped = True
+            continue
+        kept.append(a)
+    assert dropped
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in kept) + "\n")
+    with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
+        t.validate_checksum()
+
+
+def test_crc_missing_returns_false_and_clean_log_removes(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    os.remove(os.path.join(t.log_path, _crc_name(0)))
+    assert t.validate_checksum(0) is False
+    t.append(spark.range(2).select(F.col("id").alias("k"),
+                                   F.col("id").alias("v")))
+    t.checkpoint()
+    t.clean_log()
+    # pre-checkpoint sidecars left with their commits
+    assert not os.path.exists(os.path.join(t.log_path, _crc_name(1)))
+    names = os.listdir(t.log_path)
+    assert not any(n == _crc_name(0) or n == _crc_name(1) for n in names)
+
+
+def test_crc_covers_txns_domains_dvs(spark, tmp_path):
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.range(30).select(F.col("id").alias("k"),
+                               F.col("id").alias("v")),
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t.append(
+        spark.range(3).select((F.col("id") + 50).alias("k"),
+                              F.col("id").alias("v")),
+        txn=("appZ", 3),
+    )
+    t.delete_where(F.col("k") % 4 == 0)
+    assert t.validate_checksum() is True
+    crc = json.loads(
+        open(os.path.join(t.log_path, _crc_name(t.version()))).read()
+    )
+    assert {"appId": "appZ", "version": 3} in crc["setTransactions"]
+    assert crc["numDeletionVectorsOpt"] >= 1
+    assert crc["numDeletedRecordsOpt"] >= 1
