@@ -100,3 +100,50 @@ def test_crc_covers_txns_domains_dvs(spark, tmp_path):
     assert {"appId": "appZ", "version": 3} in crc["setTransactions"]
     assert crc["numDeletionVectorsOpt"] >= 1
     assert crc["numDeletedRecordsOpt"] >= 1
+
+
+def test_crc_valid_across_randomized_lifecycle(spark, tmp_path):
+    """Hardening: an arbitrary interleaving of table operations keeps
+    every version's checksum self-consistent — the crc fold and the
+    state fold can never drift. Deterministic op sequence derived from
+    a fixed seed (each op is Spark work; hypothesis would be slow)."""
+    import random
+
+    rng = random.Random(8)
+    t = _mk(spark, str(tmp_path / "t"))
+    t2 = None
+    for i in range(10):
+        op = rng.choice(
+            ["append", "append", "delete", "optimize", "widen",
+             "constraint", "checkpoint", "clone"]
+        )
+        if op == "append":
+            t.append(
+                spark.range(rng.randint(1, 8)).select(
+                    (F.col("id") + 100 * i).alias("k"),
+                    F.col("id").alias("v"),
+                )
+            )
+        elif op == "delete":
+            t.delete_where(F.col("k") % rng.randint(2, 5) == 0)
+        elif op == "optimize":
+            t.compact(target_rows_per_file=50)
+        elif op == "widen":
+            try:
+                t.widen_column("v", "long")
+            except DeltaProtocolError:
+                pass  # already long
+        elif op == "constraint":
+            try:
+                t.add_constraint(f"c{i}", "k >= 0")
+            except DeltaProtocolError:
+                pass
+        elif op == "checkpoint":
+            t.checkpoint()
+        elif op == "clone" and t2 is None:
+            t2 = t.shallow_clone(str(tmp_path / "c"))
+            assert t2.validate_checksum() is True
+        assert t.validate_checksum() is True, f"op {i}: {op}"
+    # every retained version's sidecar validates, not just the head
+    for v in t._commit_versions():
+        assert t.validate_checksum(v) is True
