@@ -1289,7 +1289,11 @@ PRIORITY: tuple[str, ...] = (
     # corpus_mix_summary (green r6-r7) rotates out, stays
     # pytest-oracle-covered.
     "delta_type_widening",
-    "packing_efficiency",
+    # Round-8 rotation: clustered-table lifecycle (CLUSTER BY create,
+    # unclustered append, OPTIMIZE recluster, two-dimension zone-map
+    # pruned range read) — new this round. packing_efficiency (green
+    # r6-r7) rotates out, stays pytest-oracle-covered.
+    "delta_liquid_cluster",
     # Round-8 rotation: Delta identity-column allocation end-to-end
     # (HWM handoff across commits) — new this round.
     # sample_k_per_source (green r6-r7) rotates out, stays

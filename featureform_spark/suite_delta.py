@@ -146,6 +146,46 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_liquid_cluster",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 3000
+      AND l_partkey BETWEEN 50 AND 1500
+    """,
+)
+def delta_liquid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-table lifecycle: CREATE ... CLUSTER BY (l_orderkey,
+    l_partkey), append an UNclustered slice, OPTIMIZE (re-clusters
+    everything on the Morton curve, stamps clusteringProvider), then
+    answer a two-dimensional range query through zone-map pruning on
+    BOTH clustering columns — the scan asserts it read a strict
+    subset of files, and the oracle verifies the pruned read returns
+    exactly the right rows."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    target = max(500, li.count() // 12)  # >=12 files at any sf
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "liquid"))
+    t.create(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        cluster_by=["l_orderkey", "l_partkey"],
+        target_rows_per_file=target,
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))  # unclustered
+    t.compact(target_rows_per_file=target)
+    df = t.snapshot_pruned("l_orderkey", 1000, 3000)
+    prune = t._last_prune
+    if prune["files_read"] >= prune["files_total"]:
+        raise AssertionError(
+            f"zone maps failed to prune: {prune}"
+        )
+    return df.filter(F.col("l_partkey").between(50, 1500))
+
+
+@query(
     "delta_type_widening",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS k,
