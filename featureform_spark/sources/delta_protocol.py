@@ -72,7 +72,21 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "v2Checkpoint",  # _read_checkpoint resolves manifests + sidecars
     "typeWidening",  # logical schema drives the scan; parquet upcasts
+    "variantType",  # Spark-native VARIANT scan/write (no shredding)
 }
+
+
+def _has_variant(schema: T.DataType) -> bool:
+    """True when any (possibly nested) field is Spark's VariantType."""
+    if isinstance(schema, T.StructType):
+        return any(_has_variant(f.dataType) for f in schema.fields)
+    if isinstance(schema, T.ArrayType):
+        return _has_variant(schema.elementType)
+    if isinstance(schema, T.MapType):
+        return _has_variant(schema.keyType) or _has_variant(
+            schema.valueType
+        )
+    return isinstance(schema, getattr(T, "VariantType", ()))
 
 
 def _decimal_ps(t: str) -> tuple[int, int] | None:
@@ -136,6 +150,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "domainMetadata",  # folded into state, carried through checkpoints
     "typeWidening",  # widen_column validates transitions + history
     "clustering",  # cluster_by create + OPTIMIZE recluster + ALTER
+    "variantType",  # VARIANT columns written via the Spark scan path
 }
 
 
@@ -1682,15 +1697,32 @@ class DeltaProtocolTable:
             conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
         actions = []
+        fallback_counts: dict[str, int] | None = None
         for dirpath, _dirs, files in sorted(os.walk(staging)):
             for name in sorted(files):
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(dirpath, name)
-                pf = pq.ParquetFile(src)
-                if pf.metadata.num_rows == 0:
+                try:
+                    pf = pq.ParquetFile(src)
+                    n_rows = pf.metadata.num_rows
+                    stats = self._file_stats(pf) if n_rows else None
+                except OSError:
+                    # pyarrow cannot parse footers carrying logical
+                    # types it predates (Spark's VARIANT) — fall back
+                    # to one Spark pass over the staging dir for row
+                    # counts; numRecords-only stats (min/max are
+                    # undefined for variant anyway)
+                    if fallback_counts is None:
+                        fallback_counts = self._staging_row_counts(
+                            staging
+                        )
+                    n_rows = fallback_counts.get(
+                        os.path.realpath(src), 0
+                    )
+                    stats = json.dumps({"numRecords": n_rows})
+                if n_rows == 0:
                     continue
-                stats = self._file_stats(pf)
                 rel_dir = os.path.relpath(dirpath, staging)
                 pv: dict[str, str | None] = {}
                 if rel_dir != ".":
@@ -1726,6 +1758,25 @@ class DeltaProtocolTable:
                 os.remove(os.path.join(dirpath, name))
             os.rmdir(dirpath)
         return actions
+
+    def _staging_row_counts(self, staging: str) -> dict[str, int]:
+        """Per-file row counts of a staged write via one Spark job —
+        the footer-parse fallback for files pyarrow cannot open."""
+        rows = (
+            self.spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("_f"))
+            .count()
+            .collect()
+        )
+        out: dict[str, int] = {}
+        for r in rows:
+            p = r["_f"]
+            if p.startswith("file:"):
+                p = "/" + p.split(":", 1)[1].lstrip("/")
+            out[os.path.realpath(urllib.parse.unquote(p))] = int(
+                r["count"]
+            )
+        return out
 
     def _write_cdc_files(self, changes: DataFrame) -> list[dict]:
         """Write a change-data file set under ``_change_data/`` and
@@ -2013,6 +2064,11 @@ class DeltaProtocolTable:
             # writer-only: readers see ordinary files; the domain
             # carries the column list for future OPTIMIZEs
             extra_writer |= {"clustering", "domainMetadata"}
+        if _has_variant(df.schema):
+            # reader-writer feature: files carry the VARIANT logical
+            # type, unreadable to engines without it
+            extra_writer |= {"variantType"}
+            extra_reader |= {"variantType"}
         if extra_writer:
             new_proto = {
                 "minReaderVersion": (

@@ -1281,7 +1281,13 @@ PRIORITY: tuple[str, ...] = (
     # feature_scaling, stratified_sample, token_diversity, skew_report,
     # doc_chunks, kmeans_clusters) remain pytest-oracle-covered.
     "delta_dv_read",
-    "delta_protocol_cdf",
+    # Round-8 rotation: VARIANT round-trip through the protocol
+    # (variantType feature; in-codegen variant_get extraction vs the
+    # oracle's json_extract over the raw strings) — new this round.
+    # delta_protocol_cdf (green r6-r7) rotates out, stays
+    # pytest-oracle-covered (delta_cdf_incremental keeps CDF in the
+    # top-50).
+    "delta_variant_extract",
     "iceberg_hidden_partitioning",
     # Round-8 rotation: type-widening lifecycle (metadata-only widen,
     # narrow files upcast per file, beyond-int append) — new this

@@ -146,6 +146,49 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_variant_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def delta_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT round-trip through the Delta protocol (the variantType
+    reader-writer feature): events' JSON props are parsed into a
+    native VARIANT column, committed to a Delta table (pyarrow can't
+    read such footers — the writer's numRecords fallback covers
+    stats), scanned back, and `variant_get` extracts + filters +
+    aggregates entirely in codegen. The oracle runs the same pipeline
+    over the raw JSON strings with DuckDB's json_extract — variant is
+    a storage/throughput choice, never a semantics change."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    events = load_table(spark, sf_dir, "events")
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "variant"))
+    t.create(
+        events.select(
+            "event_type", F.parse_json(F.col("props")).alias("props_v")
+        )
+    )
+    k = F.variant_get(F.col("props_v"), "$.k", "long")
+    return (
+        t.snapshot()
+        .select("event_type", k.alias("k"))
+        .filter(F.col("k") % 7 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@query(
     "delta_liquid_cluster",
     oracle="""
     SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
