@@ -95,6 +95,12 @@ _ICE_TO_SPARK = {
     "string": T.StringType(),
     "uuid": T.StringType(),
     "binary": T.BinaryType(),
+    # Iceberg v3 variant <-> Spark's native VariantType
+    **(
+        {"variant": T.VariantType()}
+        if hasattr(T, "VariantType")
+        else {}
+    ),
 }
 
 
@@ -148,6 +154,8 @@ class _IdGen:
 
 
 def spark_type_to_iceberg(dt: T.DataType, ids: _IdGen) -> Any:
+    if hasattr(T, "VariantType") and isinstance(dt, T.VariantType):
+        return "variant"  # format-version 3 only (callers gate)
     if isinstance(dt, T.BooleanType):
         return "boolean"
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
@@ -200,6 +208,20 @@ def spark_type_to_iceberg(dt: T.DataType, ids: _IdGen) -> Any:
             )
         return {"type": "struct", "fields": fields}
     raise IcebergProtocolError(f"cannot map spark type {dt} to iceberg")
+
+
+def _ice_has_variant(t: Any) -> bool:
+    """True when an Iceberg type tree contains ``variant`` (v3-only)."""
+    if isinstance(t, str):
+        return t == "variant"
+    kind = t.get("type")
+    if kind == "struct":
+        return any(_ice_has_variant(f["type"]) for f in t["fields"])
+    if kind == "list":
+        return _ice_has_variant(t["element"])
+    if kind == "map":
+        return _ice_has_variant(t["key"]) or _ice_has_variant(t["value"])
+    return False
 
 
 def spark_schema_to_iceberg(schema: T.StructType, schema_id: int = 0) -> dict:
@@ -2886,6 +2908,28 @@ class IcebergProtocolTable:
             )
         return out
 
+    def _staging_row_counts(self, staging: str) -> dict[str, int]:
+        """Per-file row counts of a staged write via one Spark job —
+        the footer-parse fallback for files pyarrow cannot open
+        (mirrors delta_protocol._staging_row_counts)."""
+        rows = (
+            self.spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("_f"))
+            .count()
+            .collect()
+        )
+        import urllib.parse
+
+        out: dict[str, int] = {}
+        for r in rows:
+            pth = r["_f"]
+            if pth.startswith("file:"):
+                pth = "/" + pth.split(":", 1)[1].lstrip("/")
+            out[os.path.realpath(urllib.parse.unquote(pth))] = int(
+                r["count"]
+            )
+        return out
+
     def _write_data_files(
         self, df: DataFrame, ice_schema: dict, spec_fields: list[dict]
     ) -> list[dict]:
@@ -2935,17 +2979,33 @@ class IcebergProtocolTable:
         name_to_field = {f["name"]: f for f in ice_schema["fields"]}
         result_types = {i["name"]: i["result_type"] for i in infos}
         records: list[dict] = []
+        fallback_counts: dict[str, int] | None = None
         for dirpath, _dirs, files in sorted(os.walk(staging)):
             for name in sorted(files):
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(dirpath, name)
-                pf = pq.ParquetFile(src)
-                if pf.metadata.num_rows == 0:
-                    continue
-                nrec, vcounts, ncounts, lower, upper = self._footer_stats(
-                    pf, name_to_field
-                )
+                try:
+                    pf = pq.ParquetFile(src)
+                    if pf.metadata.num_rows == 0:
+                        continue
+                    nrec, vcounts, ncounts, lower, upper = (
+                        self._footer_stats(pf, name_to_field)
+                    )
+                except OSError:
+                    # pyarrow cannot parse footers carrying logical
+                    # types it predates (VARIANT) — one Spark pass for
+                    # row counts; bounds stay empty (undefined for
+                    # variant; sibling-column pruning forfeited on
+                    # these files, stats being optional per spec)
+                    if fallback_counts is None:
+                        fallback_counts = self._staging_row_counts(
+                            staging
+                        )
+                    nrec = fallback_counts.get(os.path.realpath(src), 0)
+                    if nrec == 0:
+                        continue
+                    vcounts, ncounts, lower, upper = {}, {}, {}, {}
                 # partition tuple from the shadow-column directory names
                 pv: dict[str, Any] = {}
                 rel_dir = os.path.relpath(dirpath, staging)
@@ -3276,6 +3336,11 @@ class IcebergProtocolTable:
         partition_by = list(partition_by or [])
         ice_schema = spark_schema_to_iceberg(df.schema)
         last_col_id = ice_schema.pop("_last_column_id")
+        # the variant type exists only at format-version 3 (spec §v3),
+        # and v3 tables carry row lineage from birth
+        v3 = _ice_has_variant(
+            {"type": "struct", "fields": ice_schema["fields"]}
+        )
         spec_fields, _last_pid = self._build_spec_fields(
             ice_schema, partition_by, next_field_id=1000
         )
@@ -3293,6 +3358,11 @@ class IcebergProtocolTable:
             }
             for r in files
         ]
+        if v3:
+            nxt = 0
+            for e in entries:
+                e["data_file"]["first_row_id"] = nxt
+                nxt += int(e["data_file"]["record_count"])
         manifest = self._write_manifest(
             entries, ice_schema, spec_fields, 0, snapshot_id, 1
         )
@@ -3315,8 +3385,10 @@ class IcebergProtocolTable:
         props = {"write.format.default": "parquet"}
         props["schema.name-mapping.default"] = self._name_mapping(ice_schema)
         props.update(properties or {})
+        if v3:
+            snap["first-row-id"] = 0
         md = {
-            "format-version": 2,
+            "format-version": 3 if v3 else 2,
             "table-uuid": str(uuid.uuid4()),
             "location": self.path,
             "last-sequence-number": 1,
@@ -3337,6 +3409,10 @@ class IcebergProtocolTable:
             ],
             "metadata-log": [],
         }
+        if v3:
+            md["next-row-id"] = sum(
+                int(e["data_file"]["record_count"]) for e in entries
+            )
         self._commit_metadata(md, 1)
         return snapshot_id
 
@@ -3483,6 +3559,13 @@ class IcebergProtocolTable:
                     old["type"] = ice_t  # promoted, same field id
                 fields.append(old)
             else:
+                if _ice_has_variant(ice_t) and int(
+                    md.get("format-version", 1)
+                ) < 3:
+                    raise UnsupportedIcebergFeatureError(
+                        f"column {f.name!r} is variant — a v3-only "
+                        "type; upgrade_format_version(3) first"
+                    )
                 fields.append(
                     {
                         "id": ids.next(),
