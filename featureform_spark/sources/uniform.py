@@ -156,10 +156,25 @@ def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
             )
             for c in st.partition_columns
         }
-        pf = pq.ParquetFile(abs_p)
-        nrec, vcounts, ncounts, lower, upper = ice._footer_stats(
-            pf, name_to_field
-        )
+        try:
+            pf = pq.ParquetFile(abs_p)
+            nrec, vcounts, ncounts, lower, upper = ice._footer_stats(
+                pf, name_to_field
+            )
+        except OSError:
+            # footers pyarrow cannot parse (VARIANT): take numRecords
+            # from the Delta add's own stats; bounds stay empty
+            import json as _json
+
+            raw = st.adds[rel].get("stats")
+            n = (_json.loads(raw) or {}).get("numRecords") if raw else None
+            if n is None:
+                raise UnsupportedTableFeatureError(
+                    f"cannot mirror {rel!r}: unparseable footer and no "
+                    "numRecords in the add's stats"
+                ) from None
+            nrec = int(n)
+            vcounts, ncounts, lower, upper = {}, {}, {}, {}
         records.append(
             {
                 "content": 0,
@@ -317,6 +332,15 @@ def sync_uniform(
     st = delta.state()
     ice = IcebergProtocolTable(spark, path)
     ice_schema = spark_schema_to_iceberg(st.schema)
+    from featureform_spark.sources.iceberg_protocol import _ice_has_variant
+
+    if _ice_has_variant(
+        {"type": "struct", "fields": ice_schema["fields"]}
+    ) and iceberg_format_version < 3:
+        raise UnsupportedTableFeatureError(
+            "variant columns exist only at Iceberg format-version 3 — "
+            "sync_uniform(..., iceberg_format_version=3)"
+        )
     last_col_id = ice_schema.pop("_last_column_id")
     # Hive-partitioned Delta: partition values live only in directory
     # names, so the mirror carries an IDENTITY partition spec and

@@ -92,3 +92,29 @@ def test_variant_evolve_gate_on_v2(spark, tmp_path):
     assert got == [(i, None) for i in range(5)] + [
         (i, i) for i in range(50, 53)
     ]
+
+
+def test_uniform_variant_requires_v3_mirror(spark, tmp_path):
+    """UniForm of a variant Delta table: refuse a v2 mirror (variant
+    is v3-only), succeed at 3 — the mirror scan reads the SAME files
+    back as VariantType."""
+    from featureform_spark.sources.delta_protocol import (
+        DeltaProtocolTable,
+        UnsupportedTableFeatureError,
+    )
+    from featureform_spark.sources.uniform import sync_uniform
+
+    d = str(tmp_path / "t")
+    t = DeltaProtocolTable(spark, d)
+    t.create(_vdata(spark, 8))
+    with pytest.raises(UnsupportedTableFeatureError, match="format-version 3"):
+        sync_uniform(spark, d)  # default v2 mirror
+    sync_uniform(spark, d, iceberg_format_version=3)
+    ice = IcebergProtocolTable(spark, d)
+    got = sorted(
+        (r["k"], r["a"])
+        for r in ice.snapshot()
+        .select("k", F.variant_get("v", "$.a", "long").alias("a"))
+        .collect()
+    )
+    assert got == [(i, i) for i in range(8)]
