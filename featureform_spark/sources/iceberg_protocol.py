@@ -1593,9 +1593,62 @@ class IcebergProtocolTable:
                 " record_count long, file_size_in_bytes long,"
                 " sequence_number long, partition string",
             )
+        if kind == "partitions":
+            # Iceberg's `SELECT * FROM t.partitions` — the same fold
+            # compute_partition_statistics persists, served live (one
+            # JSON row per unified partition tuple, no files written)
+            fields = self._unified_partition_fields(md)
+            if snap is None or not fields:
+                return local_df(
+                    self.spark,
+                    [],
+                    "partition string, spec_id int, record_count long,"
+                    " file_count int, total_size_bytes long,"
+                    " position_delete_record_count long,"
+                    " equality_delete_record_count long",
+                )
+            data_entries, delete_entries = self._live_entries(snap)
+            agg: dict[tuple, list] = {}
+
+            def _slot(e):
+                df_ = e["data_file"]
+                part = df_.get("partition") or {}
+                key = (
+                    int(df_.get("spec_id") or e.get("spec_id") or 0),
+                    json.dumps(
+                        {n: part.get(n) for n in fields}, sort_keys=True
+                    ),
+                )
+                return agg.setdefault(key, [0, 0, 0, 0, 0])
+
+            for e in data_entries:
+                df_ = e["data_file"]
+                s = _slot(e)
+                s[0] += int(df_.get("record_count") or 0)
+                s[1] += 1
+                s[2] += int(df_.get("file_size_in_bytes") or 0)
+            for e in delete_entries:
+                df_ = e["data_file"]
+                s = _slot(e)
+                idx = 3 if int(df_.get("content", 1)) == 1 else 4
+                s[idx] += int(df_.get("record_count") or 0)
+            rows = [
+                (pj, sid, s[0], s[1], s[2], s[3], s[4])
+                for (sid, pj), s in sorted(
+                    agg.items(), key=lambda kv: (kv[0][0], kv[0][1])
+                )
+            ]
+            return local_df(
+                self.spark,
+                rows,
+                "partition string, spec_id int, record_count long,"
+                " file_count int, total_size_bytes long,"
+                " position_delete_record_count long,"
+                " equality_delete_record_count long",
+            )
         raise IcebergProtocolError(
             f"unknown metadata table {kind!r} (snapshots, files, "
-            "delete_files, manifests, history, refs)"
+            "delete_files, manifests, history, refs, partitions)"
         )
 
     # ------------------------------------------------ partition stats

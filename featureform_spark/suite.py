@@ -1288,7 +1288,12 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (delta_cdf_incremental keeps CDF in the
     # top-50).
     "delta_variant_extract",
-    "iceberg_hidden_partitioning",
+    # Round-8 rotation: the `partitions` inspection table (driver-side
+    # manifest fold vs a plain groupBy oracle) — new this round.
+    # iceberg_hidden_partitioning (green r6-r7) rotates out, stays
+    # pytest-oracle-covered (iceberg_partition_evolution keeps spec
+    # coverage in the top-50).
+    "iceberg_partitions_meta",
     # Round-8 rotation: type-widening lifecycle (metadata-only widen,
     # narrow files upcast per file, beyond-int append) — new this
     # round, enters the driver top-50 the round it lands.

@@ -146,6 +146,40 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_partitions_meta",
+    oracle="""
+    SELECT '{"o_orderstatus": "' || o_orderstatus || '"}' AS partition,
+           CAST(0 AS INTEGER) AS spec_id,
+           count(*) AS record_count
+    FROM (
+      SELECT o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+    ) GROUP BY o_orderstatus
+    """,
+)
+def iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `partitions` inspection table (Iceberg's `SELECT * FROM
+    t.partitions`): a driver-side manifest fold — zero data-file
+    reads — whose per-partition record counts the oracle reproduces
+    with a plain groupBy over the same rows. Two commits ensure the
+    fold spans multiple manifests."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "parts_meta"))
+    t.create(orders, partition_by=["o_orderstatus"])
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    return t.metadata_table("partitions").select(
+        "partition", "spec_id", "record_count"
+    )
+
+
+@query(
     "delta_variant_extract",
     oracle="""
     SELECT event_type,

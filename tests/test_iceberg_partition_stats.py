@@ -96,3 +96,37 @@ def test_partition_stats_per_snapshot_and_refusals(spark, sf_dir, tmp_path):
     u.create(orders.limit(10))
     with pytest.raises(IcebergProtocolError, match="unpartitioned"):
         u.compute_partition_statistics()
+
+
+def test_partitions_metadata_table(spark, sf_dir, tmp_path):
+    """metadata_table('partitions') serves the same fold live: counts
+    equal the persisted stats file and a plain groupBy of the data."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders, partition_by=["o_orderstatus"])
+    t.delete_rows(F.col("o_orderkey") % 4 == 0)
+    live = {
+        r["partition"]: (
+            r["record_count"],
+            r["position_delete_record_count"],
+        )
+        for r in t.metadata_table("partitions").collect()
+    }
+    import json as _j
+
+    want = {
+        _j.dumps({"o_orderstatus": r["o_orderstatus"]}, sort_keys=True): r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # global (partition-unscoped) delete files aggregate under the
+    # all-null tuple with zero data records — compare data rows only
+    assert {k: v[0] for k, v in live.items() if v[0] > 0} == want
+    assert sum(v[1] for v in live.values()) == orders.filter(
+        F.col("o_orderkey") % 4 == 0
+    ).count()
+    # unpartitioned → empty relation, stable schema
+    u = IcebergProtocolTable(spark, str(tmp_path / "u"))
+    u.create(orders.limit(5))
+    assert u.metadata_table("partitions").count() == 0
