@@ -1554,16 +1554,86 @@ class DeltaProtocolTable:
         self._last_prune = {"files_total": len(st.adds), "files_read": len(keep)}
         return self._read_files(st, keep)
 
+    @staticmethod
+    def _generated_partition_bounds(
+        st: _State, col: str, lo: Any, hi: Any
+    ) -> list[tuple[str, Any, Any]]:
+        """Partition filters DERIVED from generated columns — the
+        delta-spark optimization that makes `WHERE ts BETWEEN ..`
+        prune a table partitioned by `date GENERATED ALWAYS AS
+        (CAST(ts AS DATE))` without the user naming the partition
+        column. Returns [(partition_col, lo', hi')] for every
+        partition column whose generation expression is a RECOGNIZED
+        MONOTONIC shape over ``col``:
+
+        - ``CAST(col AS DATE)``            → ISO date-prefix bounds
+        - ``DATE_FORMAT(col, 'yyyy-MM-dd')`` → same (lexicographic ==
+          chronological for this format)
+        - ``YEAR(col)``                    → integer year bounds
+
+        Non-monotonic shapes (bare month/day/hour) are never used —
+        deriving bounds from them would skip matching files."""
+        import re as _re
+
+        def _iso(v: Any) -> str | None:
+            if isinstance(v, str):
+                return v[:10] if len(v) >= 10 else None
+            if isinstance(v, datetime.datetime):
+                return v.date().isoformat()
+            if isinstance(v, datetime.date):
+                return v.isoformat()
+            return None
+
+        out: list[tuple[str, Any, Any]] = []
+        parts = set(st.partition_columns)
+        for f in st.schema.fields:
+            if f.name not in parts:
+                continue
+            gen = (f.metadata or {}).get("delta.generationExpression")
+            if not gen:
+                continue
+            e = _re.sub(r"\s+", " ", gen.strip()).lower()
+            cl = col.lower()
+            ilo, ihi = _iso(lo), _iso(hi)
+            if e in (
+                f"cast({cl} as date)",
+                f"date_format({cl}, 'yyyy-mm-dd')",
+            ):
+                if ilo is not None and ihi is not None:
+                    out.append((f.name, ilo, ihi))
+            elif e == f"year({cl})":
+                if ilo is not None and ihi is not None:
+                    out.append((f.name, int(ilo[:4]), int(ihi[:4])))
+        return out
+
     def snapshot_pruned(
         self, col: str, lo: Any, hi: Any, version: int | None = None
     ) -> DataFrame:
         """Stats-based data skipping: drop files whose log-carried
         [minValues, maxValues] range for ``col`` is disjoint from
-        [lo, hi], then apply the exact filter. Zero footer reads."""
+        [lo, hi], then apply the exact filter. Zero footer reads.
+        When a PARTITION column is generated from ``col`` in a
+        recognized monotonic shape, files are additionally pruned by
+        the derived partition bounds (see
+        :meth:`_generated_partition_bounds`) — so the common
+        "timestamp filter over a date-partitioned table" shape skips
+        whole partitions even for files with no stats."""
         st = self.state(version)
+        derived = self._generated_partition_bounds(st, col, lo, hi)
+        # stats values for temporal columns are the ISO strings
+        # _file_stats wrote — compare in that domain
+        def _stats_key(v: Any) -> Any:
+            if isinstance(v, datetime.datetime):
+                return v.isoformat(sep=" ")
+            if isinstance(v, datetime.date):
+                return v.isoformat()
+            return v
+
+        slo, shi = _stats_key(lo), _stats_key(hi)
         keep = []
         for p in sorted(st.adds):
-            stats = st.adds[p].get("stats")
+            a = st.adds[p]
+            stats = a.get("stats")
             rng = None
             if stats:
                 s = json.loads(stats)
@@ -1571,8 +1641,26 @@ class DeltaProtocolTable:
                 mx = (s.get("maxValues") or {}).get(col)
                 if mn is not None and mx is not None:
                     rng = (mn, mx)
-            if rng is None or not (rng[1] < lo or rng[0] > hi):
-                keep.append(self._abs_data_path(p))
+            if rng is not None and (rng[1] < slo or rng[0] > shi):
+                continue
+            pv = a.get("partitionValues") or {}
+            pruned = False
+            for pcol, plo, phi in derived:
+                raw = pv.get(pcol)
+                if raw is None:
+                    continue  # null partition: never prune on it
+                v: Any = raw
+                if isinstance(plo, int):
+                    try:
+                        v = int(raw)
+                    except ValueError:
+                        continue
+                if v < plo or v > phi:
+                    pruned = True
+                    break
+            if pruned:
+                continue
+            keep.append(self._abs_data_path(p))
         self._last_prune = {"files_total": len(st.adds), "files_read": len(keep)}
         df = self._read_files(st, keep)
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))

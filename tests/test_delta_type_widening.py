@@ -162,3 +162,82 @@ def test_widening_allowed_matrix():
     assert not _widening_allowed("long", "long")
     assert not _widening_allowed("double", "float")
     assert not _widening_allowed("string", "long")
+
+
+def test_generated_partition_pruning(spark, tmp_path):
+    """delta-spark's generated-column partition filters: a range
+    filter on ts prunes partitions generated as CAST(ts AS DATE) /
+    YEAR(ts) — even for files carrying no ts stats."""
+    from pyspark.sql import functions as F
+    import datetime as dtm
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("v", T.LongType(), True),
+            T.StructField(
+                "d", T.DateType(), True,
+                metadata={
+                    "delta.generationExpression": "CAST(ts AS DATE)"
+                },
+            ),
+        ]
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], schema), partition_by=["d"])
+    # 10 days x 10 rows; the generated column is computed on append
+    t.append(
+        spark.range(100).select(
+            (
+                F.lit("2024-03-01 00:00:00").cast("timestamp")
+                + F.make_interval(days=(F.col("id") % 10).cast("int"))
+            ).alias("ts"),
+            F.col("id").alias("v"),
+        )
+    )
+    df = t.snapshot_pruned(
+        "ts",
+        dtm.datetime(2024, 3, 2, 0, 0),
+        dtm.datetime(2024, 3, 4, 23, 59),
+    )
+    prune = t._last_prune
+    assert prune["files_read"] < prune["files_total"]
+    assert prune["files_read"] <= 3  # exactly the 3 matching days
+    assert df.count() == 30
+    # non-monotonic generation shapes must NOT derive bounds
+    st = t.state()
+    assert DeltaProtocolTable._generated_partition_bounds(
+        st, "v", 0, 1
+    ) == []
+
+
+def test_generated_partition_pruning_year(spark, tmp_path):
+    from pyspark.sql import functions as F
+    import datetime as dtm
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField(
+                "y", T.IntegerType(), True,
+                metadata={"delta.generationExpression": "year(ts)"},
+            ),
+        ]
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], schema), partition_by=["y"])
+    t.append(
+        spark.range(30).select(
+            F.concat(
+                (F.lit(2020) + F.col("id") % 3).cast("string"),
+                F.lit("-06-15 12:00:00"),
+            )
+            .cast("timestamp")
+            .alias("ts"),
+        )
+    )
+    df = t.snapshot_pruned(
+        "ts", dtm.datetime(2021, 1, 1), dtm.datetime(2021, 12, 31)
+    )
+    assert t._last_prune["files_read"] < t._last_prune["files_total"]
+    assert df.count() == 10
