@@ -1667,10 +1667,11 @@ class DeltaProtocolTable:
 
     # ----------------------------------------------------------- write
 
-    def _file_stats(self, pf) -> str:
+    def _file_stats(self, pf, allow: set[str] | None = None) -> str:
         """Per-file stats JSON per PROTOCOL.md: numRecords, minValues,
         maxValues, nullCount over atomic top-level columns (parquet
-        footer only — no data read)."""
+        footer only — no data read). ``allow`` restricts covered
+        columns (the dataSkipping properties); None = all."""
         md = pf.metadata
         schema = pf.schema_arrow
         mins: dict[str, Any] = {}
@@ -1682,6 +1683,8 @@ class DeltaProtocolTable:
                 col = md.row_group(rg).column(ci)
                 name = col.path_in_schema
                 if "." in name or schema.field(name.split(".")[0]).type is None:
+                    continue
+                if allow is not None and name not in allow:
                     continue
                 try:
                     stats = col.statistics
@@ -1731,6 +1734,7 @@ class DeltaProtocolTable:
         df: DataFrame,
         partition_by: list[str],
         mapping: list[tuple[str, str]] | None = None,
+        table_conf: dict[str, str] | None = None,
     ) -> list[dict]:
         """Write immutable part files (Hive layout when partitioned);
         return protocol add-actions with footer-derived stats.
@@ -1759,6 +1763,28 @@ class DeltaProtocolTable:
                 ]
             )
             partition_by = [phys_by_logical[c] for c in partition_by]
+
+        # delta.dataSkippingStatsColumns / dataSkippingNumIndexedCols
+        # (delta-spark's stats-bloat lever — at wide-table scale,
+        # minValues/maxValues for hundreds of columns dominate the
+        # log): an explicit column list wins; else stats cover the
+        # FIRST N schema columns (default 32, -1 = all). Names are in
+        # the written (physical under mapping) namespace.
+        allow: set[str] | None = None
+        raw_cols = (table_conf or {}).get("delta.dataSkippingStatsColumns")
+        if raw_cols is not None:
+            names = [c.strip() for c in raw_cols.split(",") if c.strip()]
+            if mapping:
+                names = [phys_by_logical.get(c, c) for c in names]
+            allow = set(names)
+        else:
+            raw_n = (table_conf or {}).get(
+                "delta.dataSkippingNumIndexedCols"
+            )
+            if raw_n is not None:
+                n = int(raw_n)
+                if n >= 0:
+                    allow = set(df.columns[:n])
 
         staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
         if partition_by:
@@ -1794,7 +1820,9 @@ class DeltaProtocolTable:
                 try:
                     pf = pq.ParquetFile(src)
                     n_rows = pf.metadata.num_rows
-                    stats = self._file_stats(pf) if n_rows else None
+                    stats = (
+                        self._file_stats(pf, allow) if n_rows else None
+                    )
                 except OSError:
                     # pyarrow cannot parse footers carrying logical
                     # types it predates (Spark's VARIANT) — fall back
@@ -2123,7 +2151,12 @@ class DeltaProtocolTable:
                 df = zorder_cluster(
                     df, list(cluster_by), n_files
                 ).select(*[f.name for f in df.schema.fields])
-        adds = self._write_files(df, partition_by, probe.column_mapping)
+        adds = self._write_files(
+            df,
+            partition_by,
+            probe.column_mapping,
+            probe.metadata.get("configuration"),
+        )
         if cluster_by:
             for a in adds:
                 a["clusteringProvider"] = "liquid"
@@ -2453,7 +2486,12 @@ class DeltaProtocolTable:
             app_id, tv = txn
             if int(tv) <= int(st.txns.get(app_id, -1)):
                 return -1
-        adds = self._write_files(df, st.partition_columns, st.column_mapping)
+        adds = self._write_files(
+            df,
+            st.partition_columns,
+            st.column_mapping,
+            st.metadata.get("configuration"),
+        )
 
         def _build_actions(at_version: int) -> list[dict]:
             acts: list[dict] = [{"add": a} for a in adds]
@@ -2516,7 +2554,10 @@ class DeltaProtocolTable:
                     )
                     if ident_gen:
                         adds = self._write_files(
-                            df, st.partition_columns, st.column_mapping
+                            df,
+                            st.partition_columns,
+                            st.column_mapping,
+                            st.metadata.get("configuration"),
                         )
                     orig_schema = meta.get("schemaString")
                     schema_changed = False
@@ -2813,7 +2854,12 @@ class DeltaProtocolTable:
             )
 
         self._write_guard(st, merged, "MERGE")  # CHECK constraints
-        adds = self._write_files(merged, st.partition_columns, mapping)
+        adds = self._write_files(
+            merged,
+            st.partition_columns,
+            mapping,
+            st.metadata.get("configuration"),
+        )
         now = int(time.time() * 1000)
         actions: list[dict] = []
         if ident_meta is not None:
@@ -3103,7 +3149,12 @@ class DeltaProtocolTable:
         st = self.state()
         df = self._apply_generated_columns(st, df)
         self._write_guard(st, df, "WRITE-OVERWRITE")
-        adds = self._write_files(df, st.partition_columns, st.column_mapping)
+        adds = self._write_files(
+            df,
+            st.partition_columns,
+            st.column_mapping,
+            st.metadata.get("configuration"),
+        )
         now = int(time.time() * 1000)
         actions = [
             {
@@ -3382,7 +3433,12 @@ class DeltaProtocolTable:
             )
         elif not st.partition_columns:
             df = df.coalesce(n_files)
-        adds = self._write_files(df, st.partition_columns, st.column_mapping)
+        adds = self._write_files(
+            df,
+            st.partition_columns,
+            st.column_mapping,
+            st.metadata.get("configuration"),
+        )
         v = st.version + 1
         dm = self._assign_row_ids(st, adds, v)
         now = int(time.time() * 1000)

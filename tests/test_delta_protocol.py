@@ -1038,3 +1038,39 @@ def test_rename_refuses_own_invariant(spark, sf_dir, tmp_path):
         f.write(json.dumps({"metaData": meta}) + "\n")
     with pytest.raises(DeltaProtocolError, match="own invariant"):
         t.rename_column("a", "b")
+
+
+def test_data_skipping_stats_properties(spark, sf_dir, tmp_path):
+    """delta.dataSkippingStatsColumns / dataSkippingNumIndexedCols:
+    stats cover only the configured columns (the wide-table log-bloat
+    lever); numRecords/nullCount stay complete for covered columns
+    and pruning on an uncovered column degrades to scan-all, never
+    wrong results."""
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "cols"))
+    t.create(
+        orders,
+        properties={"delta.dataSkippingStatsColumns": "o_orderkey"},
+    )
+    st = t.state()
+    for a in st.adds.values():
+        s = json.loads(a["stats"])
+        assert set(s["minValues"]) <= {"o_orderkey"}
+        assert set(s["maxValues"]) <= {"o_orderkey"}
+        assert s["numRecords"] > 0
+    # uncovered column: no file can be skipped, results still exact
+    df = t.snapshot_pruned("o_custkey", 1, 50)
+    assert t._last_prune["files_read"] == t._last_prune["files_total"]
+    assert df.count() == orders.filter(
+        (F.col("o_custkey") >= 1) & (F.col("o_custkey") <= 50)
+    ).count()
+
+    u = DeltaProtocolTable(spark, str(tmp_path / "ncols"))
+    u.create(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        properties={"delta.dataSkippingNumIndexedCols": "2"},
+    )
+    for a in u.state().adds.values():
+        s = json.loads(a["stats"])
+        assert "o_totalprice" not in s["minValues"]
+        assert {"o_orderkey", "o_custkey"} <= set(s["minValues"])
