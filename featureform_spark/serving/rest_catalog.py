@@ -186,6 +186,8 @@ class IcebergRestCatalogServer:
                     return ("config", None, None)
                 if parts == ["v1", "transactions", "commit"]:
                     return ("transaction", None, None)
+                if parts == ["v1", "tables", "rename"]:
+                    return ("rename", None, None)
                 if len(parts) >= 2 and parts[:2] == ["v1", "namespaces"]:
                     if len(parts) == 2:
                         return ("namespaces", None, None)
@@ -322,6 +324,8 @@ class IcebergRestCatalogServer:
                 kind, ns, name = self._route()
                 if kind == "transaction":
                     return self._commit_transaction()
+                if kind == "rename":
+                    return self._rename_table()
                 if kind == "namespaces":
                     return self._create_namespace()
                 if kind == "tables":
@@ -529,6 +533,69 @@ class IcebergRestCatalogServer:
                             f.write(str(remaining[-1][0]))
                         os.replace(tmp, hint)
                 return failures
+
+            def _rename_table(self):
+                """Spec RenameTableRequest (POST /v1/tables/rename):
+                atomic catalog-level rename via rename(2) inside the
+                confined root — source must exist (404), destination
+                namespace must exist (404 NoSuchNamespace),
+                destination name must be free (409 AlreadyExists).
+                The table directory moves; data/metadata inside it are
+                untouched (all intra-table paths re-anchor on read)."""
+                try:
+                    req = self._read_body()
+                    s, d = req["source"], req["destination"]
+                    s_ns, s_name = s["namespace"][0], s["name"]
+                    d_ns, d_name = d["namespace"][0], d["name"]
+                    for part in (s_ns, s_name, d_ns, d_name):
+                        if not isinstance(part, str) or not part:
+                            raise ValueError(part)
+                except (ValueError, json.JSONDecodeError, KeyError,
+                        TypeError, IndexError):
+                    return self._error(400, "invalid RenameTableRequest")
+                src_dir = self._table_dir(s_ns, s_name)
+                if src_dir is None:
+                    return self._error(
+                        404, f"table {s_ns}.{s_name} not found"
+                    )
+                root = os.path.realpath(outer.root)
+                dns_dir = os.path.realpath(os.path.join(root, d_ns))
+                if (
+                    not dns_dir.startswith(root + os.sep)
+                    or os.path.dirname(dns_dir) != root
+                    or not os.path.isdir(dns_dir)
+                ):
+                    return self._error(
+                        404, f"namespace {d_ns!r} not found"
+                    )
+                dst_dir = os.path.realpath(
+                    os.path.join(dns_dir, d_name)
+                )
+                if (
+                    not dst_dir.startswith(dns_dir + os.sep)
+                    or os.path.dirname(dst_dir) != dns_dir
+                ):
+                    return self._error(400, f"invalid name {d_name!r}")
+                if os.path.exists(dst_dir):
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": (
+                                    f"table {d_ns}.{d_name} exists"
+                                ),
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                try:
+                    os.rename(src_dir, dst_dir)
+                except OSError as exc:
+                    return self._error(500, f"rename failed: {exc}")
+                self.send_response(204)
+                self.end_headers()
+                return None
 
             def _create_namespace(self):
                 """Spec CreateNamespaceRequest: one directory level (a

@@ -674,3 +674,79 @@ def test_namespace_lifecycle_and_drop_table(spark, sf_dir, tmp_path):
         assert _delete(server, "/v1/namespaces/stage") == 404
     finally:
         server.shutdown()
+
+
+def test_rename_table(spark, sf_dir, tmp_path):
+    """Spec RenameTableRequest: atomic catalog rename — old name 404s,
+    new name serves the same table (scan-equal), cross-namespace moves
+    work, missing source / missing dest-ns / occupied dest rejected."""
+    root = tmp_path / "rename_catalog"
+    root.mkdir()
+    server = IcebergRestCatalogServer(str(root))
+    try:
+        for ns in ("a", "b"):
+            code, _ = _post(server, "/v1/namespaces", {"namespace": [ns]})
+            assert code == 200
+        code, _ = _post(server, "/v1/namespaces/a/tables", {
+            "name": "t1",
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 200
+
+        def rename(s_ns, s_name, d_ns, d_name):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/v1/tables/rename",
+                data=json.dumps({
+                    "source": {"namespace": [s_ns], "name": s_name},
+                    "destination": {"namespace": [d_ns], "name": d_name},
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, None
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read() or b"{}")
+
+        def loads(path):
+            try:
+                _get(server, path)
+                return 200
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        # same-namespace rename
+        code, _ = rename("a", "t1", "a", "t2")
+        assert code == 204
+        assert loads("/v1/namespaces/a/tables/t2") == 200
+        assert loads("/v1/namespaces/a/tables/t1") == 404
+        # cross-namespace move
+        code, _ = rename("a", "t2", "b", "t3")
+        assert code == 204
+        assert loads("/v1/namespaces/b/tables/t3") == 200
+        # missing source
+        code, _ = rename("a", "ghost", "b", "x")
+        assert code == 404
+        # missing destination namespace
+        code, _ = rename("b", "t3", "nope", "x")
+        assert code == 404
+        # occupied destination
+        code, _ = _post(server, "/v1/namespaces/a/tables", {
+            "name": "t4",
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 200
+        code, res = rename("b", "t3", "a", "t4")
+        assert code == 409 and res["error"]["type"] == "AlreadyExistsException"
+        assert loads("/v1/namespaces/b/tables/t3") == 200  # untouched
+        # traversal in destination name
+        code, _ = rename("b", "t3", "a", "../evil")
+        assert code == 400
+        # malformed body
+        code, _ = _post(server, "/v1/tables/rename", {"source": "x"})
+        assert code == 400
+    finally:
+        server.shutdown()
