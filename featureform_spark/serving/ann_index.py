@@ -267,14 +267,18 @@ class IvfPqIndex:
         k: int = 10,
         nprobe: int = 4,
         rerank: int = 100,
+        allow=None,
         **_compat,
     ) -> list[tuple[int, float]]:
         """Pure-numpy IVFADC query: returns [(id, l2_distance)] — exact
         distances when re-ranking (needs ``keep_vectors``), ADC
         estimates otherwise. ``**_compat`` swallows graph-index kwargs
-        (ef) so Flight treats every registered index uniformly."""
+        (ef) so Flight treats every registered index uniformly.
+        ``allow`` (set of ids or callable id->bool) masks candidates
+        BEFORE top-k, so k passing results return whenever the probed
+        cells hold them — filtered vector search."""
         with self._lock:
-            return self._query(vector, k, nprobe, rerank)
+            return self._query(vector, k, nprobe, rerank, allow)
 
     def _query(
         self,
@@ -282,6 +286,7 @@ class IvfPqIndex:
         k: int,
         nprobe: int,
         rerank: int,
+        allow=None,
     ) -> list[tuple[int, float]]:
         q = np.asarray(vector, dtype=np.float64)
         qn = q / max(float(np.linalg.norm(q)), 1e-30)
@@ -308,6 +313,21 @@ class IvfPqIndex:
             return []
         pos = np.concatenate(cand_pos)
         dist = np.concatenate(cand_dist)
+        if allow is not None:
+            ok = (
+                allow.__contains__
+                if isinstance(allow, (set, frozenset, dict))
+                else allow
+            )
+            mask = np.fromiter(
+                (bool(ok(int(self.ids[p]))) for p in pos),
+                dtype=bool,
+                count=len(pos),
+            )
+            pos = pos[mask]
+            dist = dist[mask]
+            if len(pos) == 0:
+                return []
         if self.vectors is not None and rerank > 0:
             top = np.argsort(dist, kind="stable")[: max(rerank, k)]
             pos = pos[top]

@@ -559,6 +559,15 @@ class DatasetStreamerServer:
         }
         kwargs.setdefault("nprobe", 8)
         kwargs.setdefault("rerank", 100)
+        if "allow" in spec:
+            allow = spec["allow"]
+            if not isinstance(allow, list) or not all(
+                isinstance(i, int) for i in allow
+            ):
+                raise TicketError(
+                    "'nearest.allow' must be a list of int ids"
+                )
+            kwargs["allow"] = frozenset(allow)
         hits = ix.query(
             [float(x) for x in vector],
             k=int(spec.get("k", 10)),

@@ -229,7 +229,7 @@ class HnswIndex:
                 self._link(start + i, vid, v[i])
 
     def query(
-        self, vector, k: int = 10, ef: int = 64, **_compat
+        self, vector, k: int = 10, ef: int = 64, allow=None, **_compat
     ) -> list[tuple[int, float]]:
         """Return [(id, squared_l2)] of the ~k nearest. ``**_compat``
         swallows IVF-style kwargs (nprobe/rerank) so Flight can treat
@@ -240,7 +240,21 @@ class HnswIndex:
         deleted fraction and doubled until k live results (or the
         whole graph) — hnswlib's equivalent of continuing the search
         past deleted elements. Without this, a heavily upserted index
-        could return fewer than k live results even when k exist."""
+        could return fewer than k live results even when k exist.
+
+        ``allow`` is the FILTERED-SEARCH hook (a set/frozenset of ids
+        or a callable id->bool): disallowed nodes stay routing-only,
+        exactly like soft-deleted ones, and the same ef-doubling loop
+        guarantees k passing results whenever k exist — the
+        metadata-filtered vector search every production store needs
+        (same-domain dedup, per-tenant retrieval)."""
+        ok = None
+        if allow is not None:
+            ok = (
+                allow.__contains__
+                if isinstance(allow, (set, frozenset, dict))
+                else allow
+            )
         with self._lock:
             if self.entry < 0:
                 return []
@@ -257,7 +271,12 @@ class HnswIndex:
                 eff = min(n_total, -(-eff * n_total // n_live))
             while True:
                 w = self._search_layer(q, ep, eff, 0)
-                live = [(d, p) for d, p in w if self.alive[p]]
+                live = [
+                    (d, p)
+                    for d, p in w
+                    if self.alive[p]
+                    and (ok is None or ok(int(self.ids[p])))
+                ]
                 if len(live) >= k or eff >= n_total:
                     break
                 eff = min(n_total, eff * 2)
@@ -715,6 +734,7 @@ class ShardedHnsw:
         k: int = 10,
         ef: int = 64,
         probe_shards: int | None = None,
+        allow=None,
         **_compat,
     ) -> list[tuple[int, float]]:
         """Fan out to every shard by default. ``probe_shards=p`` routes
@@ -749,7 +769,7 @@ class ShardedHnsw:
             targets = [self.shards[i] for _, i in ranked[:p]]
         best: dict[int, float] = {}
         for sh in targets:
-            for vid, d in sh.query(vector, k=k, ef=ef):
+            for vid, d in sh.query(vector, k=k, ef=ef, allow=allow):
                 if vid not in best or d < best[vid]:
                     best[vid] = d
         hits = sorted(best.items(), key=lambda t: (t[1], t[0]))

@@ -158,11 +158,18 @@ class InMemoryOnlineStore:
         the other's params). Approximate results carry L2 distances
         (lower = closer), exact results cosine scores.
         """
+        allow = index_kw.pop("allow", None)
         if approximate:
             return self._ann[name].query(
-                vector, k=k, nprobe=nprobe, **index_kw
+                vector, k=k, nprobe=nprobe, allow=allow, **index_kw
             )
-        out = cosine_topk(self._vectors[name], vector, k)
+        src_df = self._vectors[name]
+        if allow is not None:
+            # exact mode: the predicate pushes into the scan
+            from pyspark.sql import functions as F
+
+            src_df = src_df.filter(F.col("vec_id").isin(list(allow)))
+        out = cosine_topk(src_df, vector, k)
         return [(r["vec_id"], r["score"]) for r in out.collect()]
 
 

@@ -176,3 +176,25 @@ def test_intra_batch_duplicate_keeps_last(index):
     ix.add([6_000_000, 6_000_000], [v1, v2])
     assert len(ix.ids) == n0 + 1
     assert np.allclose(ix.get(6_000_000), v2, atol=1e-6)
+
+
+def test_filtered_query_ivfpq(index):
+    """allow= masks ADC candidates before top-k: every hit passes the
+    filter and matches exact search over the allowed subset when
+    re-ranking with full probes."""
+    allowed = frozenset(int(i) for i in index.ids[::3])
+    qvec = index.vectors[5].astype(np.float64).tolist()
+    got = index.query(
+        qvec, k=5, nprobe=len(index.centroids), rerank=10_000,
+        allow=allowed,
+    )
+    assert got and all(i in allowed for i, _ in got)
+    d = ((index.vectors.astype(np.float64) - np.asarray(qvec)) ** 2).sum(
+        axis=1
+    )
+    mask = np.fromiter(
+        (int(i) in allowed for i in index.ids), dtype=bool
+    )
+    order = np.lexsort((index.ids[mask], d[mask]))
+    want = [int(i) for i in index.ids[mask][order][:5]]
+    assert [i for i, _ in got] == want

@@ -614,3 +614,35 @@ def test_multi_set_over_flight(served, sf_dir):
     # unknown space errors cleanly
     with pytest.raises((fl.FlightError, pa.lib.ArrowInvalid)):
         _put([("nope", 1, va)])
+
+
+def test_nearest_filtered_over_flight(served, sf_dir):
+    """Filtered vector search over the wire: {'nearest': {...,
+    'allow': [ids]}} returns only allowed ids; malformed filters 400."""
+    from featureform_spark.serving.ann_index import IvfPqIndex
+    from featureform_spark.sources.testdata import load_table
+
+    spark, server, _dt, _it, _orders = served
+    emb = load_table(spark, sf_dir, "embeddings")
+    server.register_index(
+        "embf", IvfPqIndex.build(emb, num_cells=16, m=8)
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 4).first()["embedding"]
+    ]
+    allow = [1, 2, 3, 5, 8, 13, 21]
+    got = _client_read(
+        server,
+        {"nearest": {"index": "embf", "vector": qvec, "k": 5,
+                     "nprobe": 16, "allow": allow}},
+    )
+    ids = got.column("vec_id").to_pylist()
+    assert ids and set(ids) <= set(allow)
+    assert 4 not in ids  # the otherwise-nearest id is filtered out
+    with pytest.raises(Exception, match="allow"):
+        _client_read(
+            server,
+            {"nearest": {"index": "embf", "vector": qvec,
+                         "allow": "not-a-list"}},
+        )

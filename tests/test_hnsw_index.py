@@ -522,3 +522,48 @@ def test_farthest_first_seeds_unique_on_duplicate_pool(spark):
     seeds = _farthest_first_seeds(df, 4, "vec_id", "embedding")
     assert len(seeds) == 4
     assert len({s["cid"] for s in seeds}) == 4
+
+
+def test_filtered_query_hnsw():
+    """allow= is the metadata-filter hook: disallowed nodes stay
+    routing-only and ef stretches until k passing results — exact
+    agreement with brute force OVER THE ALLOWED SUBSET."""
+    import numpy as np
+    from featureform_spark.serving.hnsw_index import HnswIndex
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(400, 16))
+    ix = HnswIndex(dim=16, m=8, ef_construction=64)
+    ix.add(list(range(400)), vecs)
+    q = rng.normal(size=16)
+    allowed = frozenset(range(0, 400, 5))  # 20% selectivity
+    got = ix.query(q, k=10, ef=32, allow=allowed)
+    assert len(got) == 10
+    assert all(i in allowed for i, _ in got)
+    # brute-force over the allowed subset
+    ids = np.asarray(sorted(allowed))
+    d = ((vecs[ids] - q) ** 2).sum(axis=1)
+    want = set(ids[np.argsort(d)[:10]].tolist())
+    assert len(set(i for i, _ in got) & want) >= 9  # ANN: allow 1 miss
+    # callable predicate form
+    got2 = ix.query(q, k=10, ef=32, allow=lambda i: i % 5 == 0)
+    assert [i for i, _ in got2] == [i for i, _ in got]
+
+
+def test_filtered_query_sharded_and_tiny_allow():
+    import numpy as np
+    from featureform_spark.serving.hnsw_index import HnswIndex, ShardedHnsw
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(300, 8))
+    shards = []
+    for s in range(3):
+        ix = HnswIndex(dim=8, m=8, ef_construction=32)
+        ids = list(range(s * 100, (s + 1) * 100))
+        ix.add(ids, vecs[s * 100 : (s + 1) * 100])
+        shards.append(ix)
+    sh = ShardedHnsw(shards)
+    q = rng.normal(size=8)
+    allowed = frozenset([7, 142, 256])  # fewer than k
+    got = sh.query(q, k=10, allow=allowed)
+    assert sorted(i for i, _ in got) == [7, 142, 256]
