@@ -49,7 +49,10 @@ def main() -> None:
     hnsw_km = ShardedHnsw.build(
         emb, shards=4, m=16, ef_construction=100, partitioner="kmeans"
     )
-    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": [], "hnsw": [], "hnsw_sharded": [], "hnsw_sharded_p2of4": [], "hnsw_sharded_kmeans_p2of4": []}
+    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": [], "hnsw": [], "hnsw_sharded": [], "hnsw_sharded_p2of4": [], "hnsw_sharded_kmeans_p2of4": [], "hnsw_filtered_20pct": [], "ivfpq_filtered_20pct": []}
+    # filtered search: 20%-selectivity id filter, graded against exact
+    # L2 over the SAME allowed subset
+    allow = frozenset(range(0, n, 5))
     for qid in query_ids:
         qvec = [
             float(x)
@@ -117,6 +120,27 @@ def main() -> None:
         recalls["hnsw_sharded_p2of4"].append(len(hp & exact_l2) / k)
         hk = {i for i, _ in hnsw_km.query(qvec, k=k, ef=64, probe_shards=2)}
         recalls["hnsw_sharded_kmeans_p2of4"].append(len(hk & exact_l2) / k)
+        exact_allowed = {
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") % 5 == 0)
+            .select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+            .crossJoin(F.broadcast(q1))
+            .select(
+                "vec_id", l2sq_expr(F.col("_v"), F.col("_q")).alias("d")
+            )
+            .orderBy(F.col("d").asc(), "vec_id")
+            .limit(k)
+            .collect()
+        }
+        hf = {i for i, _ in hnsw_ix.query(qvec, k=k, ef=64, allow=allow)}
+        recalls["hnsw_filtered_20pct"].append(len(hf & exact_allowed) / k)
+        sf = {
+            i
+            for i, _ in serving_ix.query(
+                qvec, k=k, nprobe=8, rerank=200, allow=allow
+            )
+        }
+        recalls["ivfpq_filtered_20pct"].append(len(sf & exact_allowed) / k)
 
     out = {
         "metric": "ann_recall_at_k",
