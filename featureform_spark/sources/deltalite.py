@@ -75,6 +75,11 @@ def zorder_cluster(
     DeltaliteTable.optimize_zorder and delta_protocol OPTIMIZE ZORDER.
     Output keeps df's columns (callers drop the helper columns via
     their own select)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
     ncols = len(cols)
     nb = 1 << bits_per_col
     casted = df.select(
@@ -85,28 +90,39 @@ def zorder_cluster(
     quantiles = casted.stat.approxQuantile(
         [f"__q{i}" for i in range(ncols)], probs, 1.0 / (4 * nb)
     )
+    bnds = [
+        np.asarray(sorted(set(qs)), dtype=np.float64) for qs in quantiles
+    ]
+    # one Arrow kernel for the whole z-value: per-column quantile rank
+    # via searchsorted (== #boundaries <= value; NULL/NaN ranks 0),
+    # then bit interleave — all vectorized numpy. An expression-tree
+    # form (255 boundary literals per column through a higher-order
+    # array filter) costs ~25x more here because the range shuffle's
+    # SAMPLING pass evaluates the child projection a second time.
+    shifts = [
+        [(bit, bit * ncols + i) for bit in range(bits_per_col)]
+        for i in range(ncols)
+    ]
 
-    def _bucket_rank(bnds: list[float], qcol: str):
-        # bucket = #boundaries <= value; NULL compares to nothing -> 0
-        arr = F.array(*[F.lit(float(b)) for b in bnds])
-        return F.size(F.filter(arr, lambda b: b <= F.col(qcol))).cast("int")
-
-    ranked = casted
-    for i, qs in enumerate(quantiles):
-        ranked = ranked.withColumn(
-            f"__b{i}", _bucket_rank(sorted(set(qs)), f"__q{i}")
-        )
-    z = F.lit(0).cast("long")
-    for bit in range(bits_per_col):
-        for i in range(ncols):
-            z = z + F.shiftleft(
-                F.shiftright(F.col(f"__b{i}"), bit)
-                .bitwiseAND(F.lit(1))
-                .cast("long"),
-                bit * ncols + i,
+    def _zval_fn(*qcols):
+        n = len(qcols[0])
+        z = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(qcols):
+            v = s.to_numpy(dtype=np.float64, na_value=np.nan)
+            b = np.searchsorted(bnds[i], v, side="right").astype(
+                np.int64
             )
+            b[np.isnan(v)] = 0
+            for bit, outpos in shifts[i]:
+                z |= ((b >> bit) & 1) << outpos
+        return pd.Series(z)
+
+    _zval = pandas_udf(_zval_fn, T.LongType())
+
     return (
-        ranked.withColumn("__z", z)
+        casted.withColumn(
+            "__z", _zval(*[F.col(f"__q{i}") for i in range(ncols)])
+        )
         .repartitionByRange(n_out, F.col("__z"))
         .sortWithinPartitions("__z")
     )

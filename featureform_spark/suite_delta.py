@@ -246,12 +246,14 @@ def delta_liquid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = max(500, li.count() // 12)  # >=12 files at any sf
     t = DeltaProtocolTable(spark, _scratch(sf_dir, "liquid"))
+    # a small clustered seed at CREATE (the expensive full recluster
+    # belongs to OPTIMIZE, which handles 100% of the rows anyway)
     t.create(
-        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 10 == 0),
         cluster_by=["l_orderkey", "l_partkey"],
         target_rows_per_file=target,
     )
-    t.append(li.filter(F.col("l_orderkey") % 2 == 1))  # unclustered
+    t.append(li.filter(F.col("l_orderkey") % 10 != 0))  # unclustered
     t.compact(target_rows_per_file=target)
     df = t.snapshot_pruned("l_orderkey", 1000, 3000)
     prune = t._last_prune
