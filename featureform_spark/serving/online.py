@@ -165,10 +165,25 @@ class InMemoryOnlineStore:
             )
         src_df = self._vectors[name]
         if allow is not None:
-            # exact mode: the predicate pushes into the scan
             from pyspark.sql import functions as F
 
-            src_df = src_df.filter(F.col("vec_id").isin(list(allow)))
+            if isinstance(allow, (set, frozenset, list, tuple, dict)):
+                # id collection: the isin predicate pushes into the scan
+                src_df = src_df.filter(
+                    F.col("vec_id").isin(list(allow))
+                )
+            else:
+                # callable predicate (the form the indexes accept):
+                # Arrow-batched, applied before the distributed top-k
+                import pandas as pd
+                from pyspark.sql.functions import pandas_udf
+
+                fn = allow
+                ok = pandas_udf(
+                    lambda s: s.map(lambda i: bool(fn(int(i)))),
+                    "boolean",
+                )
+                src_df = src_df.filter(ok(F.col("vec_id")))
         out = cosine_topk(src_df, vector, k)
         return [(r["vec_id"], r["score"]) for r in out.collect()]
 

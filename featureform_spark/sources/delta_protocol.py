@@ -93,8 +93,11 @@ def _decimal_ps(t: str) -> tuple[int, int] | None:
     """(precision, scale) of a ``decimal(p,s)`` type string."""
     if not t.startswith("decimal(") or not t.endswith(")"):
         return None
-    p, s = t[len("decimal(") : -1].split(",")
-    return int(p), int(s)
+    try:
+        p, s = t[len("decimal(") : -1].split(",")
+        return int(p), int(s)
+    except ValueError:
+        return None
 
 
 def _widening_allowed(old: str, new: str) -> bool:
@@ -299,6 +302,77 @@ class _State:
 
 def _crc_name(version: int) -> str:
     return f"{version:020d}.crc"
+
+
+def _fold_actions(st: "_State", actions: list[dict]) -> None:
+    """Apply commit/checkpoint actions to ``st`` in place — Delta's
+    snapshot-construction fold, shared by the full fold (state) and
+    the incremental one (version-checksum extension)."""
+    for a in actions:
+        if "protocol" in a:
+            st.protocol = a["protocol"]
+        elif "metaData" in a:
+            st.metadata = a["metaData"]
+        elif "add" in a:
+            add = a["add"]
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") not in ("u", "i", "p"):
+                raise UnsupportedTableFeatureError(
+                    "deletion vector with unknown storageType "
+                    f"{dv.get('storageType')!r} — refusing rather "
+                    "than returning deleted rows"
+                )
+            st.adds[add["path"]] = add
+        elif "remove" in a:
+            st.adds.pop(a["remove"]["path"], None)
+        elif "txn" in a:
+            t = a["txn"]
+            st.txns[t["appId"]] = max(
+                int(t["version"]), int(st.txns.get(t["appId"], -1))
+            )
+        elif "domainMetadata" in a:
+            dm = a["domainMetadata"]
+            if dm.get("removed"):
+                st.domains.pop(dm["domain"], None)
+            else:
+                st.domains[dm["domain"]] = dm.get("configuration", "")
+        # commitInfo / cdc do not affect state
+
+
+def strip_file_scheme(p: str) -> str:
+    """'file:...' URI -> plain absolute path (no-op otherwise)."""
+    if p.startswith("file:"):
+        return "/" + p.split(":", 1)[1].lstrip("/")
+    return p
+
+
+def abs_data_path(root: str, p: str) -> str:
+    """Resolve an add/remove ``path`` field to an absolute filesystem
+    path against ``root``. PROTOCOL.md §Add File and Remove File: the
+    field is a RELATIVE percent-encoded path within the table
+    directory or an ABSOLUTE URI — the absolute form is how SHALLOW
+    CLONE tables reference the source's files. Shared by every
+    consumer of Delta add paths (the table class, UniForm, CDF)."""
+    raw = strip_file_scheme(urllib.parse.unquote(p))
+    return raw if os.path.isabs(raw) else os.path.join(root, raw)
+
+
+def staging_row_counts(spark, staging: str) -> dict[str, int]:
+    """Per-file row counts of a staged write via one Spark job — the
+    footer-parse fallback for files pyarrow cannot open (VARIANT).
+    Shared by the Delta and Iceberg writers."""
+    rows = (
+        spark.read.parquet(staging)
+        .groupBy(F.input_file_name().alias("_f"))
+        .count()
+        .collect()
+    )
+    return {
+        os.path.realpath(
+            urllib.parse.unquote(strip_file_scheme(r["_f"]))
+        ): int(r["count"])
+        for r in rows
+    }
 
 
 def _commit_name(version: int) -> str:
@@ -704,35 +778,7 @@ class DeltaProtocolTable:
             actions.extend(self._read_commit(v))
 
         st = _State(version=version, metadata={}, protocol={})
-        for a in actions:
-            if "protocol" in a:
-                st.protocol = a["protocol"]
-            elif "metaData" in a:
-                st.metadata = a["metaData"]
-            elif "add" in a:
-                add = a["add"]
-                dv = add.get("deletionVector")
-                if dv and dv.get("storageType") not in ("u", "i", "p"):
-                    raise UnsupportedTableFeatureError(
-                        "deletion vector with unknown storageType "
-                        f"{dv.get('storageType')!r} — refusing rather "
-                        "than returning deleted rows"
-                    )
-                st.adds[add["path"]] = add
-            elif "remove" in a:
-                st.adds.pop(a["remove"]["path"], None)
-            elif "txn" in a:
-                t = a["txn"]
-                st.txns[t["appId"]] = max(
-                    int(t["version"]), int(st.txns.get(t["appId"], -1))
-                )
-            elif "domainMetadata" in a:
-                dm = a["domainMetadata"]
-                if dm.get("removed"):
-                    st.domains.pop(dm["domain"], None)
-                else:
-                    st.domains[dm["domain"]] = dm.get("configuration", "")
-            # commitInfo / cdc do not affect state
+        _fold_actions(st, actions)
         if not st.metadata:
             raise DeltaProtocolError("log has no metaData action")
         self._check_protocol(st.protocol, st.metadata)
@@ -1171,10 +1217,7 @@ class DeltaProtocolTable:
         how SHALLOW CLONE tables reference the source table's data
         files without copying bytes. Handles ``file:`` URIs and plain
         absolute paths; everything else joins under the table root."""
-        raw = urllib.parse.unquote(p)
-        if raw.startswith("file:"):
-            raw = "/" + raw.split(":", 1)[1].lstrip("/")
-        return raw if os.path.isabs(raw) else os.path.join(self.path, raw)
+        return abs_data_path(self.path, p)
 
     def _data_paths(self, st: _State) -> list[str]:
         return [self._abs_data_path(p) for p in sorted(st.adds)]
@@ -1210,9 +1253,7 @@ class DeltaProtocolTable:
         if stype == "i":
             return None
         if stype == "p":
-            path = dv["pathOrInlineDv"]
-            if path.startswith("file:"):
-                path = "/" + path.split(":", 1)[1].lstrip("/")
+            path = strip_file_scheme(dv["pathOrInlineDv"])
         elif stype == "u":
             enc = dv["pathOrInlineDv"]
             prefix, uuid_enc = enc[:-20], enc[-20:]
@@ -1592,16 +1633,22 @@ class DeltaProtocolTable:
             gen = (f.metadata or {}).get("delta.generationExpression")
             if not gen:
                 continue
-            e = _re.sub(r"\s+", " ", gen.strip()).lower()
-            cl = col.lower()
+            e = _re.sub(r"\s+", " ", gen.strip())
+            c_re = _re.escape(col)
             ilo, ihi = _iso(lo), _iso(hi)
-            if e in (
-                f"cast({cl} as date)",
-                f"date_format({cl}, 'yyyy-mm-dd')",
+            # function/keyword names match case-insensitively, but the
+            # FORMAT PATTERN is case-sensitive: 'yyyy-MM-dd' is a date
+            # prefix while 'yyyy-mm-dd' means MINUTES — lowercasing
+            # both would derive date bounds from a non-monotonic
+            # expression and silently prune matching files
+            if _re.fullmatch(
+                rf"(?i:cast)\( ?(?i:{c_re}) (?i:as) (?i:date) ?\)", e
+            ) or _re.fullmatch(
+                rf"(?i:date_format)\( ?(?i:{c_re}), ?'yyyy-MM-dd' ?\)", e
             ):
                 if ilo is not None and ihi is not None:
                     out.append((f.name, ilo, ihi))
-            elif e == f"year({cl})":
+            elif _re.fullmatch(rf"(?i:year)\( ?(?i:{c_re}) ?\)", e):
                 if ilo is not None and ihi is not None:
                     out.append((f.name, int(ilo[:4]), int(ihi[:4])))
         return out
@@ -1876,23 +1923,7 @@ class DeltaProtocolTable:
         return actions
 
     def _staging_row_counts(self, staging: str) -> dict[str, int]:
-        """Per-file row counts of a staged write via one Spark job —
-        the footer-parse fallback for files pyarrow cannot open."""
-        rows = (
-            self.spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("_f"))
-            .count()
-            .collect()
-        )
-        out: dict[str, int] = {}
-        for r in rows:
-            p = r["_f"]
-            if p.startswith("file:"):
-                p = "/" + p.split(":", 1)[1].lstrip("/")
-            out[os.path.realpath(urllib.parse.unquote(p))] = int(
-                r["count"]
-            )
-        return out
+        return staging_row_counts(self.spark, staging)
 
     def _write_cdc_files(self, changes: DataFrame) -> list[dict]:
         """Write a change-data file set under ``_change_data/`` and
@@ -3109,9 +3140,7 @@ class DeltaProtocolTable:
             prior_frames = [
                 pd.DataFrame(
                     {
-                        "__dv_file": os.path.join(
-                            self.path, urllib.parse.unquote(rel)
-                        ),
+                        "__dv_file": self._abs_data_path(rel),
                         "__dv_pos": self._dv_positions(
                             a["deletionVector"]
                         ).astype("int64"),
@@ -3412,19 +3441,7 @@ class DeltaProtocolTable:
                     "ZORDER BY on a partitioned table is not supported "
                     "(the partition re-clustering would undo the curve)"
                 )
-            ok = {"byte", "short", "integer", "long", "float", "double",
-                  "date", "timestamp"}
-            for c in zorder_by:
-                f_ = next(
-                    (f for f in st.schema.fields if f.name == c), None
-                )
-                if f_ is None:
-                    raise DeltaProtocolError(f"unknown column {c!r}")
-                if f_.dataType.typeName() not in ok:
-                    raise DeltaProtocolError(
-                        f"zorder supports numeric/temporal columns, "
-                        f"{c!r} is {f_.dataType.simpleString()}"
-                    )
+            self._check_cluster_cols(st.schema, list(zorder_by))
             from featureform_spark.sources.deltalite import zorder_cluster
 
             df = zorder_cluster(df, zorder_by, n_files).select(
@@ -4092,13 +4109,35 @@ class DeltaProtocolTable:
     def _write_crc(self, version: int) -> None:
         """Write ``<version>.crc`` next to the commit. Atomic replace
         (identical content regardless of writer, so last-wins is
-        fine); never raced through O_EXCL like commits are."""
-        prev = self._fold_with_arrow
-        self._fold_with_arrow = True
-        try:
-            st = self.state(version)
-        finally:
-            self._fold_with_arrow = prev
+        fine); never raced through O_EXCL like commits are.
+
+        Fold cost: the state at ``version - 1`` is memoized per
+        instance and EXTENDED by the just-committed actions (one
+        commit parse), so a run of N commits folds each commit once —
+        not the O(N^2) tail re-parse a from-scratch fold per commit
+        would cost. Immutable history makes the memo safe under
+        concurrent writers: state at a committed version never
+        changes. Falls back to a full fold (pyarrow checkpoint path,
+        never a Spark job) on a memo miss."""
+        memo = getattr(self, "_crc_memo", None)
+        if memo is not None and memo.version == version - 1:
+            st = _State(
+                version=version,
+                metadata=memo.metadata,
+                protocol=memo.protocol,
+                adds=dict(memo.adds),
+                txns=dict(memo.txns),
+                domains=dict(memo.domains),
+            )
+            _fold_actions(st, self._read_commit(version))
+        else:
+            prev = self._fold_with_arrow
+            self._fold_with_arrow = True
+            try:
+                st = self.state(version)
+            finally:
+                self._fold_with_arrow = prev
+        self._crc_memo = st
         tmp = os.path.join(
             self.log_path, f".{_crc_name(version)}.{uuid.uuid4().hex}.tmp"
         )

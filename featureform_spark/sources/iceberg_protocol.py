@@ -1743,8 +1743,21 @@ class IcebergProtocolTable:
             )
             s[f"{kind}_delete_file_count"] += 1
         keys = sorted(agg, key=lambda k: (k[0], str(k[1])))
+
+        def _typed(values: list) -> "pa.Array":
+            arr = pa.array(values)
+            if pa.types.is_null(arr.type):
+                # a unified field no live file carries (old-spec files
+                # after partition evolution): parquet can't store a
+                # null-typed column Spark reads back — anchor as string
+                arr = arr.cast(pa.string())
+            return arr
+
         part_arr = pa.StructArray.from_arrays(
-            [pa.array([k[1][i] for k in keys]) for i in range(len(fields))],
+            [
+                _typed([k[1][i] for k in keys])
+                for i in range(len(fields))
+            ],
             names=fields,
         )
         cols: dict[str, Any] = {"partition": part_arr}
@@ -2962,26 +2975,13 @@ class IcebergProtocolTable:
         return out
 
     def _staging_row_counts(self, staging: str) -> dict[str, int]:
-        """Per-file row counts of a staged write via one Spark job —
-        the footer-parse fallback for files pyarrow cannot open
-        (mirrors delta_protocol._staging_row_counts)."""
-        rows = (
-            self.spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("_f"))
-            .count()
-            .collect()
+        """Per-file row counts via one Spark job (shared with the
+        Delta writer — the footer-parse fallback for VARIANT files)."""
+        from featureform_spark.sources.delta_protocol import (
+            staging_row_counts,
         )
-        import urllib.parse
 
-        out: dict[str, int] = {}
-        for r in rows:
-            pth = r["_f"]
-            if pth.startswith("file:"):
-                pth = "/" + pth.split(":", 1)[1].lstrip("/")
-            out[os.path.realpath(urllib.parse.unquote(pth))] = int(
-                r["count"]
-            )
-        return out
+        return staging_row_counts(self.spark, staging)
 
     def _write_data_files(
         self, df: DataFrame, ice_schema: dict, spec_fields: list[dict]

@@ -48,6 +48,7 @@ import urllib.parse
 import uuid
 
 from featureform_spark.sources.delta_protocol import (
+    abs_data_path,
     DeltaProtocolTable,
     UnsupportedTableFeatureError,
 )
@@ -146,7 +147,7 @@ def _data_records(ice: IcebergProtocolTable, ice_schema: dict, st) -> list:
     }
     records = []
     for rel in sorted(st.adds):
-        abs_p = os.path.join(ice.path, urllib.parse.unquote(rel))
+        abs_p = abs_data_path(ice.path, rel)
         part = {
             c: _typed_partition_value(
                 (st.adds[rel].get("partitionValues") or {}).get(
@@ -229,9 +230,7 @@ def _dv_v3_records(delta: DeltaProtocolTable, st) -> list[dict] | None:
                 "null_value_counts": [],
                 "lower_bounds": [],
                 "upper_bounds": [],
-                "referenced_data_file": os.path.join(
-                    delta.path, urllib.parse.unquote(rel)
-                ),
+                "referenced_data_file": abs_data_path(delta.path, rel),
                 "content_offset": off,
                 "content_size_in_bytes": size,
             }
@@ -282,7 +281,7 @@ def _dv_delete_record(delta: DeltaProtocolTable, st) -> dict | None:
             dv = st.adds[rel].get("deletionVector")
             if not dv:
                 continue
-            abs_p = os.path.join(delta.path, urllib.parse.unquote(rel))
+            abs_p = abs_data_path(delta.path, rel)
             pos = delta._dv_positions(dv).astype("int64")
             batch = pa.record_batch(
                 [

@@ -222,3 +222,52 @@ def test_clone_of_widened_table_and_widen_of_clone(spark, sf_dir, tmp_path):
     )
     # source untouched: still integer
     assert src.state().schema["v"].dataType == T.IntegerType()
+
+
+def test_clone_uniform_mirror(spark, sf_dir, tmp_path):
+    """Review regression: UniForm of a CLONE must resolve the clone's
+    absolute file: add paths (shared abs_data_path), not join them
+    under the table root — the mirror scans the SOURCE's files."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+    from featureform_spark.sources.uniform import sync_uniform
+
+    orders = _orders(spark, sf_dir)
+    src = DeltaProtocolTable(spark, str(tmp_path / "src"))
+    src.create(orders.limit(400))
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    sync_uniform(spark, str(tmp_path / "clone"))
+    ice = IcebergProtocolTable(spark, str(tmp_path / "clone"))
+    assert _rows(ice.snapshot()) == _rows(clone.snapshot())
+
+
+def test_clone_cdf_dv_delete_no_reemission(spark, sf_dir, tmp_path):
+    """Review regression: a second DV delete on a CDF+DV clone must
+    anti-join the PRIOR deletes through the absolute-path resolver —
+    previously-deleted rows must not re-emit as CDC."""
+    orders = _orders(spark, sf_dir)
+    src = DeltaProtocolTable(spark, str(tmp_path / "src"))
+    src.create(
+        orders.limit(300),
+        properties={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    clone.delete_where(F.col("o_orderkey") % 2 == 0)      # v1
+    clone.delete_where(F.col("o_orderkey") % 3 == 0)      # v2
+    changes = clone.table_changes(1, 2)  # from-exclusive: v2 only
+    emitted = {r["o_orderkey"] for r in changes.collect()}
+    # v2 must emit only odd multiples of 3 (evens died in v1)
+    expect = {
+        r["o_orderkey"]
+        for r in src.snapshot()
+        .filter(
+            (F.col("o_orderkey") % 3 == 0)
+            & (F.col("o_orderkey") % 2 != 0)
+        )
+        .collect()
+    }
+    assert emitted == expect

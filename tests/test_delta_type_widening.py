@@ -241,3 +241,46 @@ def test_generated_partition_pruning_year(spark, tmp_path):
     )
     assert t._last_prune["files_read"] < t._last_prune["files_total"]
     assert df.count() == 10
+
+
+def test_generated_bounds_pattern_case_sensitivity(spark, tmp_path):
+    """Review regression: 'yyyy-MM-dd' (date) derives bounds; the
+    case-folded near-miss 'yyyy-mm-dd' (MINUTES — non-monotonic) and
+    month()/day() must not."""
+    cases = {
+        "DATE_FORMAT(ts, 'yyyy-MM-dd')": True,
+        "date_format(ts, 'yyyy-MM-dd')": True,
+        "date_format(ts, 'yyyy-mm-dd')": False,  # minutes!
+        "CAST(ts AS DATE)": True,
+        "cast(ts as date)": True,
+        "month(ts)": False,
+        "day(ts)": False,
+        "YEAR(ts)": True,
+    }
+    for expr, expect in cases.items():
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType(), True),
+                T.StructField(
+                    "p", T.StringType(), True,
+                    metadata={"delta.generationExpression": expr},
+                ),
+            ]
+        )
+        t = DeltaProtocolTable(
+            spark, str(tmp_path / expr.replace("'", "").replace("(", "_")
+                       .replace(")", "_").replace(",", "_").replace(" ", ""))
+        )
+        t.create(spark.createDataFrame([], schema), partition_by=["p"])
+        st = t.state()
+        got = DeltaProtocolTable._generated_partition_bounds(
+            st, "ts", "2024-03-01 00:00:00", "2024-03-31 23:59:59"
+        )
+        assert bool(got) == expect, expr
+
+
+def test_widen_malformed_decimal_strings(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    for bad in ("decimal(10)", "decimal(1,2,3)", "decimal(x,y)"):
+        with pytest.raises(DeltaProtocolError, match="not an allowed"):
+            t.widen_column("v", bad)

@@ -130,3 +130,22 @@ def test_partitions_metadata_table(spark, sf_dir, tmp_path):
     u = IcebergProtocolTable(spark, str(tmp_path / "u"))
     u.create(orders.limit(5))
     assert u.metadata_table("partitions").count() == 0
+
+
+def test_partition_stats_after_spec_evolution(spark, sf_dir, tmp_path):
+    """Review regression: the unified tuple has a field no live file
+    carries (all-None) after spec evolution — the stats file must
+    still write and read back (null-typed arrow columns anchor as
+    string)."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(200), partition_by=["o_orderstatus"])
+    t.update_spec(["o_orderstatus", "o_custkey"])  # new field, no data yet
+    t.compute_partition_statistics()
+    stats = t.partition_statistics()
+    rows = stats.select(
+        "partition.o_orderstatus", "partition.o_custkey",
+        "data_record_count",
+    ).collect()
+    assert sum(r["data_record_count"] for r in rows) == 200
+    assert all(r["o_custkey"] is None for r in rows)
