@@ -47,17 +47,19 @@ def test_batch_read_matches_filetopic(spark, tmp_path, topic):
         (f.name, f.dataType) for f in topic.batch(spark).schema.fields
     ]
     def rows(df):
-        # timestamps spool as float seconds; Python fromtimestamp and
-        # Spark timestamp_seconds round the last microsecond apart —
-        # compare at ms precision (the wire contract's useful grain)
-        return sorted(
-            (*t[:5], t[5].replace(microsecond=t[5].microsecond // 1000), t[6])
-            for t in map(tuple, df.collect())
-        )
+        return sorted(map(tuple, df.collect()))
 
     a = rows(via_ds)
     b = rows(topic.batch(spark))
-    assert a == b and len(a) == 40
+    assert len(a) == len(b) == 40
+    for ra, rb in zip(a, b):
+        # timestamps spool as float seconds; Python fromtimestamp and
+        # Spark timestamp_seconds can round the LAST microsecond apart
+        # — truncating to a fixed grain still flakes when the stray
+        # microsecond crosses the grain boundary, so compare the pair
+        # with a 1ms tolerance instead
+        assert ra[:5] == rb[:5] and ra[6] == rb[6]
+        assert abs((ra[5] - rb[5]).total_seconds()) <= 0.001
     # one input partition per topic partition (kafka's split shape)
     assert via_ds.rdd.getNumPartitions() == 3
     # the parse pipeline is source-agnostic
