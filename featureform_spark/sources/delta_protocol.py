@@ -3854,6 +3854,13 @@ class DeltaProtocolTable:
         self._commit(v, actions, "RESTORE")
         return v
 
+    def restore_to_timestamp(self, ts_millis: int) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP AS OF: restore to the last
+        version committed at or before ``ts_millis`` (same resolution
+        rule as time-travel reads — in-commit timestamps when the
+        table runs them, commitInfo timestamps otherwise)."""
+        return self.restore(self.version_at_timestamp(ts_millis))
+
     def shallow_clone(
         self, target_path: str, version: int | None = None
     ) -> "DeltaProtocolTable":

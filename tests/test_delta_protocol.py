@@ -1074,3 +1074,21 @@ def test_data_skipping_stats_properties(spark, sf_dir, tmp_path):
         s = json.loads(a["stats"])
         assert "o_totalprice" not in s["minValues"]
         assert {"o_orderkey", "o_custkey"} <= set(s["minValues"])
+
+
+def test_restore_to_timestamp(spark, sf_dir, tmp_path):
+    """RESTORE ... TIMESTAMP AS OF: resolves through the same
+    version_at_timestamp rule as reads, then restores by reference."""
+    import time as _time
+
+    orders = _orders(spark, sf_dir)
+    t = DeltaProtocolTable(spark, str(tmp_path / "rt"))
+    t.create(orders.limit(100))                       # v0
+    ts_after_v0 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.overwrite(orders.limit(10))                     # v1
+    t.append(orders.limit(5))                         # v2
+    v = t.restore_to_timestamp(ts_after_v0)
+    assert v == 3
+    assert t.snapshot().count() == 100
+    assert _sorted_rows(t.snapshot()) == _sorted_rows(orders.limit(100))
