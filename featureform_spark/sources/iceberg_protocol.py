@@ -3895,6 +3895,42 @@ class IcebergProtocolTable:
             cur = int(cur) if cur is not None else None
         return False
 
+    def rollback_to_snapshot(self, snapshot_id: int) -> int:
+        """Iceberg's rollback_to_snapshot procedure: set main's
+        current snapshot back to an ANCESTOR snapshot — metadata-only
+        (no files move; the abandoned snapshots stay time-travelable
+        until expire_snapshots). The Delta mirror is RESTORE, which
+        must re-commit add/remove actions; Iceberg's snapshot pointer
+        makes rollback one metadata CAS."""
+        md = self.metadata()
+        target = self._snapshot_by(snapshot_id, md=md)
+        if target is None:
+            raise IcebergProtocolError(
+                f"unknown snapshot {snapshot_id}"
+            )
+        cur = md.get("current-snapshot-id")
+        if cur is not None and not self._is_ancestor(
+            md, snapshot_id, int(cur)
+        ):
+            raise IcebergProtocolError(
+                f"snapshot {snapshot_id} is not an ancestor of the "
+                f"current snapshot {cur} — use set_ref/cherry-pick "
+                "for non-linear moves"
+            )
+        now = int(time.time() * 1000)
+        version = max(v for v, _ in self._metadata_files()) + 1
+        md = dict(md)
+        refs = dict(md.get("refs") or {})
+        refs["main"] = {"snapshot-id": int(snapshot_id), "type": "branch"}
+        md["refs"] = refs
+        md["current-snapshot-id"] = int(snapshot_id)
+        md["snapshot-log"] = (md.get("snapshot-log") or []) + [
+            {"timestamp-ms": now, "snapshot-id": int(snapshot_id)}
+        ]
+        md["last-updated-ms"] = now
+        self._commit_metadata(md, version)
+        return int(snapshot_id)
+
     def fast_forward(self, name: str, to_ref: str) -> int:
         """Fast-forward ref ``name`` (e.g. 'main') to the head of
         branch ``to_ref`` — publish step of branch-WAP. Requires

@@ -1673,3 +1673,30 @@ def test_changelog_and_streams_ignore_staged_wap(spark, sf_dir, tmp_path):
         r["o_orderkey"]
         for r in orders.limit(40).subtract(orders.limit(30)).collect()
     }
+
+
+def test_rollback_to_snapshot(spark, sf_dir, tmp_path):
+    """rollback_to_snapshot: main's pointer moves back to an ancestor
+    (metadata-only); the rolled-past snapshot stays time-travelable;
+    non-ancestors refuse."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "rb"))
+    t.create(orders.limit(100))
+    md = t.metadata()
+    first = t.current_snapshot(md)["snapshot-id"]
+    t.append(orders.limit(40))
+    md = t.metadata()
+    second = t.current_snapshot(md)["snapshot-id"]
+    assert t.snapshot().count() == 140
+    t.rollback_to_snapshot(first)
+    assert t.snapshot().count() == 100
+    # the abandoned snapshot is still readable by id
+    assert t.snapshot(snapshot_id=second).count() == 140
+    # a new append builds on the rolled-back state
+    t.append(orders.limit(7))
+    assert t.snapshot().count() == 107
+    # rolling back to the (now non-ancestor) abandoned head refuses
+    with pytest.raises(IcebergProtocolError, match="not an ancestor"):
+        t.rollback_to_snapshot(second)
+    with pytest.raises(IcebergProtocolError, match="no snapshot"):
+        t.rollback_to_snapshot(12345)
