@@ -1311,7 +1311,13 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered.
     "delta_identity_append",
     "deltaprotocol_source_read",
-    "icebergprotocol_source_read",
+    # Round-8 rotation: rollback_to_snapshot lifecycle (one metadata
+    # CAS drops the bad append; the oracle proves the abandoned slice
+    # never reappears) — new this round. icebergprotocol_source_read
+    # (green r6-r7) rotates out, stays pytest-oracle-covered
+    # (deltaprotocol_source_read keeps the Python Data Source surface
+    # in the top-50).
+    "iceberg_rollback",
     # Round-7 rotation (verdict r6 #1): the two late-r6 queries that
     # had never had a CORRECTNESS row, plus the round-7 flagship
     # IVFADC composition (verdict r6 #2). Displaced r6-green rows

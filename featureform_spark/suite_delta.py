@@ -146,6 +146,39 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_rollback",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 4 = 2
+    """,
+)
+def iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot lifecycle: v1 (keys %4=0), v2 appends
+    %4=1, rollback to v1 (one metadata CAS — the bad append vanishes
+    without moving a file), then a new append (%4=2) builds on the
+    rolled-back state. Final = first + third slices; the abandoned
+    second slice must NOT appear — which is exactly what the oracle
+    checks."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "rollback"))
+    t.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+    first = t.current_snapshot(t.metadata())["snapshot-id"]
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 1))  # bad data
+    t.rollback_to_snapshot(first)
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+    return t.snapshot()
+
+
+@query(
     "iceberg_partitions_meta",
     oracle="""
     SELECT '{"o_orderstatus": "' || o_orderstatus || '"}' AS partition,
