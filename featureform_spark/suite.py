@@ -1203,7 +1203,13 @@ PRIORITY: tuple[str, ...] = (
     # train_test_split (green r1-r5) rotates out, stays
     # pytest-oracle-covered.
     "repetition_signals",
-    "transformation_chained",
+    # Round-8 rotation: Unicode NFC normalization (the preprocessing
+    # stage before hash dedup; Arrow kernel bit-identical to DuckDB's
+    # nfc_normalize) — new this round. transformation_chained (green
+    # r1-r7) rotates out, stays pytest-oracle-covered
+    # (transformation_daily_agg/avg_order keep P2/P4 surface via
+    # pytest; PIT rows keep the template engine driver-checked).
+    "text_normalize",
     # round-6 late addition: Iceberg v3 row lineage (mirror of
     # delta_row_tracking). transformation_df_fn (green r1-r5) rotates
     # out, stays pytest-oracle-covered.

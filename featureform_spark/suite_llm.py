@@ -45,6 +45,55 @@ def _sql_in(words) -> str:
 
 
 @query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(t) AS n_norm,
+           md5(t) AS h
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+               AS t
+      FROM documents
+    )
+    """,
+)
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC text normalization — the canonical preprocessing
+    stage before any hash-based dedup (decomposed accents, fullwidth
+    forms, and mixed whitespace must hash identically or near-dup
+    clusters silently fragment). One Arrow kernel per batch
+    (unicodedata.normalize is the same Unicode algorithm DuckDB's
+    nfc_normalize implements, so md5s are bit-identical
+    cross-engine); whitespace runs collapse + trim inside the same
+    kernel so both engines use the identical ASCII \s class."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        import re
+        import unicodedata
+
+        ws = re.compile(r"\s+")
+        return s.map(
+            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t)).strip()
+            if t is not None
+            else None
+        )
+
+    _norm = pandas_udf(_norm_fn, T.StringType())
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _norm(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        F.length("t").alias("n_norm"),
+        F.md5(F.col("t").cast("binary")).alias("h"),
+    )
+
+
+@query(
     "text_stats",
     f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
