@@ -159,6 +159,10 @@ class InMemoryOnlineStore:
         (lower = closer), exact results cosine scores.
         """
         allow = index_kw.pop("allow", None)
+        if isinstance(allow, (list, tuple)):
+            # the indexes dispatch on set/frozenset/dict vs callable, so a
+            # bare id sequence must become a collection before forwarding
+            allow = frozenset(allow)
         if approximate:
             return self._ann[name].query(
                 vector, k=k, nprobe=nprobe, allow=allow, **index_kw

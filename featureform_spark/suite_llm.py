@@ -52,7 +52,8 @@ def _sql_in(words) -> str:
            md5(t) AS h
     FROM (
       SELECT doc_id,
-             trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+             trim(regexp_replace(nfc_normalize(text),
+                                 '[ \t\n\r\f\v]+', ' ', 'g'), ' ')
                AS t
       FROM documents
     )
@@ -66,7 +67,12 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unicodedata.normalize is the same Unicode algorithm DuckDB's
     nfc_normalize implements, so md5s are bit-identical
     cross-engine); whitespace runs collapse + trim inside the same
-    kernel so both engines use the identical ASCII \s class."""
+    kernel. Both engines spell the whitespace class as the explicit
+    ASCII set [ \\t\\n\\r\\f\\v] — Python's \\s is Unicode-aware and
+    RE2's \\s omits \\v, so a shared literal class is the only
+    spelling with identical semantics — and both trim ONLY the
+    ASCII space left by the collapse (Python .strip() would also
+    eat NBSP/U+2028 that neither regex touches)."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -75,9 +81,9 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         import re
         import unicodedata
 
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"[ \t\n\r\f\v]+")
         return s.map(
-            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t)).strip()
+            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t)).strip(" ")
             if t is not None
             else None
         )

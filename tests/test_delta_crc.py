@@ -147,3 +147,25 @@ def test_crc_valid_across_randomized_lifecycle(spark, tmp_path):
     # every retained version's sidecar validates, not just the head
     for v in t._commit_versions():
         assert t.validate_checksum(v) is True
+
+
+def test_crc_tolerates_omitted_optional_fields(spark, tmp_path):
+    """A conformant .crc from another writer (delta-spark) may omit
+    optional fields (setTransactions, domainMetadata,
+    numDeletedRecordsOpt, ...). Absence is not divergence — only
+    fields the sidecar stores participate in the comparison."""
+    t = _mk(spark, str(tmp_path / "t"))
+    p = os.path.join(t.log_path, _crc_name(0))
+    stored = json.loads(open(p).read())
+    for k in ("setTransactions", "domainMetadata",
+              "numDeletedRecordsOpt", "histogramOpt"):
+        stored.pop(k, None)
+    with open(p, "w") as f:
+        f.write(json.dumps(stored) + "\n")
+    assert t.validate_checksum(0) is True
+    # ...but a PRESENT field that diverges still raises
+    stored["numFiles"] = 999
+    with open(p, "w") as f:
+        f.write(json.dumps(stored) + "\n")
+    with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
+        t.validate_checksum(0)

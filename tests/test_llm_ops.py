@@ -662,3 +662,53 @@ def test_code_detect_oracle_nontrivial_on_code_symbols(spark, tmp_path):
     for col in ("symbol_density", "brace_density", "digit_ratio",
                 "indent_frac"):
         assert got[col].tolist() == oracle[col].tolist(), col
+
+
+def test_text_normalize_unicode_whitespace_parity(spark, tmp_path):
+    """Regression for the \\s semantics gap: Python's \\s is
+    Unicode-aware (NBSP, U+2028, ...) while DuckDB's RE2 \\s is
+    ASCII-only and omits \\v. Both engines now spell the whitespace
+    class as the explicit ASCII set and trim only ' ', so documents
+    containing Unicode whitespace hash identically cross-engine."""
+    import duckdb
+    import pandas as pd
+
+    from featureform_spark.suite_llm import text_normalize_q
+    from featureform_spark.suite import all_oracles
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "plain  ascii\t\n collapse",
+                "nbsp stays  one word",      # U+00A0 untouched
+                " line sep  and 　ideo", # U+2028/U+3000
+                "vertical\x0btab\x0bruns",             # \v in the class
+                "  lead trail  ",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [1] * 5,
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    got = (
+        text_normalize_q(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = (
+        con.execute(all_oracles()["text_normalize"] + " ORDER BY doc_id")
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got["h"].tolist() == want["h"].tolist()
+    assert got["n_norm"].tolist() == want["n_norm"].tolist()
+    # NBSP preserved (neither engine's class touches it)
+    assert " " not in "".join(got["h"])  # sanity: hashes are hex
