@@ -449,6 +449,14 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
                     T.StructField("stats", T.StringType()),
+                    # liquid clustering: per-file clustered-ness (the
+                    # ZCUBE_ZORDER_BY fingerprint tag) must survive
+                    # checkpointing or incremental OPTIMIZE would
+                    # re-cluster the whole table after every checkpoint
+                    T.StructField(
+                        "tags", T.MapType(T.StringType(), T.StringType())
+                    ),
+                    T.StructField("clusteringProvider", T.StringType()),
                     # row tracking: identity survives checkpointing
                     T.StructField("baseRowId", T.LongType()),
                     T.StructField(
@@ -1667,16 +1675,43 @@ class DeltaProtocolTable:
         whole partitions even for files with no stats."""
         st = self.state(version)
         derived = self._generated_partition_bounds(st, col, lo, hi)
-        # stats values for temporal columns are the ISO strings
-        # _file_stats wrote — compare in that domain
-        def _stats_key(v: Any) -> Any:
+        # Temporal stats are ISO strings, but the SEPARATOR is
+        # writer-specific: this writer emits 'YYYY-MM-DD hh:mm:ss',
+        # delta-spark emits 'YYYY-MM-DDThh:mm:ss.mmmZ'. Since
+        # 'T' > ' ' lexicographically, comparing raw strings against a
+        # space-separated bound wrongly prunes same-day files from
+        # externally-written tables — so temporal bounds compare as
+        # parsed datetimes, and any stats value that fails to parse
+        # keeps its file (skipping is an optimization, never a filter).
+        temporal = isinstance(lo, (datetime.datetime, datetime.date))
+
+        def _as_naive_utc(v: Any) -> Any:
             if isinstance(v, datetime.datetime):
-                return v.isoformat(sep=" ")
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                return v
             if isinstance(v, datetime.date):
-                return v.isoformat()
+                return datetime.datetime(v.year, v.month, v.day)
             return v
 
-        slo, shi = _stats_key(lo), _stats_key(hi)
+        def _parse_stat(v: Any) -> Any:
+            """ISO string → naive-UTC datetime; None on any ambiguity."""
+            if not isinstance(v, str):
+                return None
+            s = v.strip().replace("T", " ")
+            if s.endswith("Z"):
+                s = s[:-1] + "+00:00"
+            try:
+                return _as_naive_utc(datetime.datetime.fromisoformat(s))
+            except ValueError:
+                return None
+
+        if temporal:
+            slo, shi = _as_naive_utc(lo), _as_naive_utc(hi)
+        else:
+            slo, shi = lo, hi
         keep = []
         for p in sorted(st.adds):
             a = st.adds[p]
@@ -1686,6 +1721,8 @@ class DeltaProtocolTable:
                 s = json.loads(stats)
                 mn = (s.get("minValues") or {}).get(col)
                 mx = (s.get("maxValues") or {}).get(col)
+                if temporal:
+                    mn, mx = _parse_stat(mn), _parse_stat(mx)
                 if mn is not None and mx is not None:
                     rng = (mn, mx)
             if rng is not None and (rng[1] < slo or rng[0] > shi):
@@ -2191,6 +2228,14 @@ class DeltaProtocolTable:
         if cluster_by:
             for a in adds:
                 a["clusteringProvider"] = "liquid"
+                # fingerprint of the columns this file is clustered on
+                # (delta-spark's ZCube tag): incremental OPTIMIZE
+                # rewrites only files whose fingerprint mismatches the
+                # CURRENT clustering columns
+                a["tags"] = {
+                    **(a.get("tags") or {}),
+                    "ZCUBE_ZORDER_BY": json.dumps(list(cluster_by)),
+                }
         mapped = probe.column_mapping is not None
         protocol = (
             # column mapping requires reader v2 / writer v5 per PROTOCOL.md
@@ -3389,6 +3434,7 @@ class DeltaProtocolTable:
         self,
         target_rows_per_file: int = 1_000_000,
         zorder_by: list[str] | None = None,
+        full: bool = False,
     ) -> int:
         """OPTIMIZE bin-packing: rewrite the current file set into
         fewer, larger files and commit remove+add with
@@ -3403,7 +3449,23 @@ class DeltaProtocolTable:
         on ANY listed dimension, not just a lexicographic leading
         column. Unpartitioned tables only (real Delta z-orders within
         partitions; this writer raises rather than silently
-        un-clustering)."""
+        un-clustering).
+
+        On a liquid-clustered table OPTIMIZE is **incremental** by
+        default, like real Delta's (ZCube-tracked) clustering: each
+        clustered write tags its adds with a ``ZCUBE_ZORDER_BY``
+        fingerprint of the columns it was clustered on, and OPTIMIZE
+        rewrites ONLY files that (a) lack the current fingerprint —
+        plain appends, or every file after ``alter_cluster_by``
+        changed the columns — (b) carry a deletion vector (the
+        rewrite purges it), or (c) are undersized (< 1/4 of
+        ``target_rows_per_file``, and only when at least two such
+        files exist so repeated OPTIMIZE converges instead of
+        rewriting a lone small table forever). Already-clustered
+        files are untouched — at 100 TB the maintenance cost is
+        O(new data), not O(table). ``full=True`` is OPTIMIZE FULL:
+        today's whole-table recluster. With no candidates the call is
+        a no-op returning the current version (no empty commit)."""
         st = self.state()
         self._write_guard(st, None, "OPTIMIZE")  # legal under appendOnly
         liquid = st.clustering_columns
@@ -3417,9 +3479,36 @@ class DeltaProtocolTable:
             # OPTIMIZE on a clustered table = recluster on the CURRENT
             # column list (which alter_cluster_by may have changed)
             zorder_by = liquid
+        if liquid and not full:
+            fingerprint = json.dumps(list(liquid))
+            stale, small = [], []
+            for rel in sorted(st.adds):
+                a = st.adds[rel]
+                is_clustered = (
+                    a.get("clusteringProvider") == "liquid"
+                    and (a.get("tags") or {}).get("ZCUBE_ZORDER_BY")
+                    == fingerprint
+                )
+                if not is_clustered or a.get("deletionVector"):
+                    stale.append(rel)
+                    continue
+                stats = a.get("stats")
+                nr = (
+                    int(json.loads(stats).get("numRecords", 0))
+                    if stats
+                    else None
+                )
+                if nr is not None and nr * 4 < target_rows_per_file:
+                    small.append(rel)
+            rewrite = stale + (small if len(small) >= 2 else [])
+            if not rewrite:
+                return st.version
+        else:
+            rewrite = sorted(st.adds)
+        paths = [self._abs_data_path(p) for p in rewrite]
         n_rows = 0
-        for add in st.adds.values():
-            stats = add.get("stats")
+        for rel in rewrite:
+            stats = st.adds[rel].get("stats")
             if stats:
                 n_rows += int(json.loads(stats).get("numRecords", 0))
         mat = st.materialized_row_id_cols if st.row_tracking else None
@@ -3427,13 +3516,11 @@ class DeltaProtocolTable:
             # OPTIMIZE carries every row: materialize each row's id and
             # commit version into the rewritten files so identity
             # survives the rewrite (spec §Row Tracking)
-            df = self._scan_with_row_ids(
-                st, self._data_paths(st)
-            ).withColumnsRenamed(
+            df = self._scan_with_row_ids(st, paths).withColumnsRenamed(
                 {"_row_id": mat[0], "_row_commit_version": mat[1]}
             )
         else:
-            df = self.snapshot()
+            df = self._read_files(st, paths)
         n_files = max(1, -(-n_rows // target_rows_per_file))
         if zorder_by:
             if st.partition_columns:
@@ -3467,14 +3554,24 @@ class DeltaProtocolTable:
                     "dataChange": False,
                 }
             }
-            for p in sorted(st.adds)
+            for p in rewrite
         ] + [
             {
                 "add": {
                     **a,
                     "dataChange": False,
                     **(
-                        {"clusteringProvider": "liquid"} if liquid else {}
+                        {
+                            "clusteringProvider": "liquid",
+                            "tags": {
+                                **(a.get("tags") or {}),
+                                "ZCUBE_ZORDER_BY": json.dumps(
+                                    list(liquid)
+                                ),
+                            },
+                        }
+                        if liquid
+                        else {}
                     ),
                 }
             }
@@ -4165,11 +4262,16 @@ class DeltaProtocolTable:
         with open(path) as f:
             stored = json.loads(f.read())
         actual = self._crc_content(st)
+        # Optional fields (setTransactions, domainMetadata,
+        # numDeletedRecordsOpt, ...) may legitimately be omitted by
+        # other conformant writers — absence is not divergence, so only
+        # fields the sidecar actually stored participate in the check.
         bad = [
             k
             for k in actual
-            if json.dumps(actual[k], sort_keys=True)
-            != json.dumps(stored.get(k), sort_keys=True)
+            if k in stored
+            and json.dumps(actual[k], sort_keys=True)
+            != json.dumps(stored[k], sort_keys=True)
         ]
         if bad:
             raise DeltaProtocolError(

@@ -266,8 +266,9 @@ def delta_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def delta_liquid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustered-table lifecycle: CREATE ... CLUSTER BY (l_orderkey,
-    l_partkey), append an UNclustered slice, OPTIMIZE (re-clusters
-    everything on the Morton curve, stamps clusteringProvider), then
+    l_partkey), append an UNclustered slice, OPTIMIZE (incremental:
+    re-clusters ONLY the untagged appended files on the Morton curve,
+    stamps clusteringProvider + the ZCube fingerprint), then
     answer a two-dimensional range query through zone-map pruning on
     BOTH clustering columns — the scan asserts it read a strict
     subset of files, and the oracle verifies the pruned read returns
