@@ -281,6 +281,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    where=None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011, §V): the production composition of
     the two halves this module and ``similarity`` already ship —
@@ -309,12 +310,37 @@ def ivfpq_topk(
     the cell key ending in TakeOrderedAndProject — no corpus shuffle,
     no global sort. The scan reads (id, cell, codes): ~12 bytes per
     vector instead of dim×8.
+
+    ``where`` (a Column predicate over ``df``) is filtered vector
+    search: candidates are masked BEFORE top-k via a broadcast
+    semi-join on the allowed ids, and — ACORN-style — the probe and
+    rerank budgets scale by the observed 1/selectivity (one cheap
+    aggregate measures the allow fraction), because filtered top-k
+    over an s-fraction of the corpus has the breadth of unfiltered
+    top-(k/s). A fully-unselective predicate degrades to an
+    exhaustive ADC scan, which is the honest cost ceiling.
     """
     from featureform_spark.functions.similarity import (
         cosine_expr,
         ivf_assign,
         ivf_centroids,
     )
+
+    allowed = None
+    if where is not None:
+        tot, n_ok = df.agg(
+            F.count(F.lit(1)), F.count(F.when(where, F.lit(1)))
+        ).first()
+        sel = (n_ok / tot) if tot else 0.0
+        if sel <= 0.0:
+            nprobe = num_cells  # vacuous filter: result is empty anyway
+        else:
+            nprobe = min(
+                num_cells, max(nprobe, int(-(-nprobe // sel)))
+            )
+            if rerank > 0:
+                rerank = max(rerank, int(-(-rerank // sel)))
+        allowed = df.filter(where).select(id_col)
 
     sub_dim = dim // m
     cents = ivf_centroids(df, num_cells, id_col, vec_col)
@@ -387,6 +413,10 @@ def ivfpq_topk(
     scored = encoded.join(F.broadcast(dtab), "cell").select(
         F.col(id_col), score.alias("adc_dist")
     )
+    if allowed is not None:
+        # mask BEFORE top-k so k passing results return whenever the
+        # probed cells hold them
+        scored = scored.join(F.broadcast(allowed), id_col, "left_semi")
     if rerank <= 0:
         return scored.orderBy(
             F.col("adc_dist").asc(), F.col(id_col)

@@ -276,7 +276,14 @@ class IvfPqIndex:
         (ef) so Flight treats every registered index uniformly.
         ``allow`` (set of ids or callable id->bool) masks candidates
         BEFORE top-k, so k passing results return whenever the probed
-        cells hold them — filtered vector search."""
+        cells hold them — filtered vector search. Under a selective
+        filter the probe and rerank budgets scale by 1/selectivity
+        (ACORN-style): a 20%-selective filter probes 5x the cells and
+        reranks a 5x pool, because filtered top-k over an s-fraction
+        of the data has the breadth of unfiltered top-(k/s). The
+        selectivity is exact for collection filters (|allow|/n) and
+        estimated from the first ``nprobe`` cells' pass rate for
+        callables; unfiltered queries are untouched."""
         with self._lock:
             return self._query(vector, k, nprobe, rerank, allow)
 
@@ -293,14 +300,58 @@ class IvfPqIndex:
         cn = self.centroids / np.maximum(
             np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
         )
-        probe = np.argsort(-(cn @ qn))[:nprobe]
+        n_cells_total = len(self.centroids)
+        probe_order = np.argsort(-(cn @ qn))
+        ok = None
+        sel = None  # estimated allow fraction
+        if allow is not None:
+            if isinstance(allow, (set, frozenset, dict)):
+                ok = allow.__contains__
+                sel = len(allow) / max(len(self.ids), 1)
+            else:
+                ok = allow  # callable: estimate after the first probes
+
+        def _scaled(budget: int, s: float | None) -> int:
+            # 1/selectivity scaling with a hard floor so a degenerate
+            # estimate (0 allowed seen) falls back to exhaustive
+            if s is None:
+                return budget
+            if s <= 0.0:
+                return n_cells_total * max(budget, 1)
+            return int(np.ceil(budget / s))
+
+        base_probe = min(nprobe, n_cells_total)
+        n_probe_eff = (
+            min(n_cells_total, max(base_probe, _scaled(nprobe, sel)))
+            if ok is not None
+            else base_probe
+        )
         cand_pos: list[np.ndarray] = []
         cand_dist: list[np.ndarray] = []
-        for c in probe:
+        raw_seen = kept = 0
+        i = 0
+        while i < n_cells_total and i < n_probe_eff:
+            c = probe_order[i]
+            i += 1
             lo, hi = self._cell_bounds[c], self._cell_bounds[c + 1]
             pos = self._order[lo:hi]
+            raw_seen += len(pos)
+            if ok is not None and len(pos):
+                mask = np.fromiter(
+                    (bool(ok(int(self.ids[p]))) for p in pos),
+                    dtype=bool,
+                    count=len(pos),
+                )
+                pos = pos[mask]
             if len(pos) == 0:
+                if ok is not None and sel is None and i >= base_probe:
+                    sel = kept / raw_seen if raw_seen else 0.0
+                    n_probe_eff = min(
+                        n_cells_total,
+                        max(base_probe, _scaled(nprobe, sel)),
+                    )
                 continue
+            kept += len(pos)
             qres = (q - self.centroids[c]).reshape(self.m, self.sub_dim)
             # ADC table: (m, ksub) distances from query residual subvectors
             table = ((self.codebook - qres[:, None, :]) ** 2).sum(axis=2)
@@ -309,27 +360,21 @@ class IvfPqIndex:
             )
             cand_pos.append(pos)
             cand_dist.append(dist)
+            if ok is not None and sel is None and i >= base_probe:
+                # callable filter: first-probe pass rate is the estimate
+                sel = kept / raw_seen if raw_seen else 0.0
+                n_probe_eff = min(
+                    n_cells_total, max(base_probe, _scaled(nprobe, sel))
+                )
         if not cand_pos:
             return []
         pos = np.concatenate(cand_pos)
         dist = np.concatenate(cand_dist)
-        if allow is not None:
-            ok = (
-                allow.__contains__
-                if isinstance(allow, (set, frozenset, dict))
-                else allow
-            )
-            mask = np.fromiter(
-                (bool(ok(int(self.ids[p]))) for p in pos),
-                dtype=bool,
-                count=len(pos),
-            )
-            pos = pos[mask]
-            dist = dist[mask]
-            if len(pos) == 0:
-                return []
         if self.vectors is not None and rerank > 0:
-            top = np.argsort(dist, kind="stable")[: max(rerank, k)]
+            r = max(rerank, k)
+            if ok is not None:
+                r = max(r, _scaled(rerank, sel if sel else None))
+            top = np.argsort(dist, kind="stable")[:r]
             pos = pos[top]
             exact = ((self.vectors[pos].astype(np.float64) - q) ** 2).sum(
                 axis=1

@@ -1264,7 +1264,13 @@ PRIORITY: tuple[str, ...] = (
     # keep -> lang_id_model 'en' -> dedup_substrings). corpus_clean v1
     # (green r1-r6) rotates out, stays pytest-oracle-covered.
     "corpus_clean_v2",
-    "embedding_ann_topk",
+    # Round-9 rotation (verdict r8 #2): filtered vector search with
+    # ACORN-style 1/selectivity probe+rerank scaling, bit-exact vs the
+    # oracle's true L2 top-k over the allowed subset — new this round.
+    # embedding_ann_topk (green r1-r8) rotates out, stays
+    # pytest-oracle-covered (embedding_ivfpq_topk keeps the ANN
+    # surface in the top-50).
+    "embedding_ivfpq_filtered",
     "media_decode_real",
     # round-6 flagship: Arrow Flight gRPC round-trip over a DV'd Delta
     # table (tfidf_top_terms r5-green, stays pytest-oracle-covered)

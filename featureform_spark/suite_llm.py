@@ -2119,6 +2119,39 @@ def embedding_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_filtered_oracle(k: int = 10) -> str:
+    l2 = _L2.format(n=_DIM + 1, a="e.v", b="q.qv")
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT vec_id, {l2} AS dist FROM e, q
+    ORDER BY dist ASC, vec_id LIMIT {k}
+    """
+
+
+@query("embedding_ivfpq_filtered", _ivfpq_filtered_oracle())
+def embedding_ivfpq_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search through IVFADC: a 20%-selective id
+    predicate masks candidates BEFORE top-k (broadcast semi-join), and
+    the probe/rerank budgets scale by 1/selectivity (ACORN-style —
+    filtered top-k over an s-fraction of the corpus has the breadth of
+    unfiltered top-(k/s)). At this selectivity the scaled probe covers
+    every cell and the exact re-rank pool covers the full allowed set,
+    so the answer is bit-exact against the SQL oracle's true L2 top-k
+    over the filtered subset — the deterministic end of the recall
+    ladder ANN_RECALL.json measures (the reference serves the same
+    filtered-nearest shape from embeddinghub)."""
+    from featureform_spark.functions.quantization import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, dim=_DIM, num_cells=16, nprobe=4, m=8,
+        ksub=16, rerank=200, where=F.col("vec_id") % 5 == 0,
+    )
+
+
 def _ann_multiprobe_oracle(num_planes: int = 8, k: int = 10, radius: int = 1) -> str:
     dot = _DOT.format(n=_DIM + 1, a="v", b="qv")
     nv = _NORM.format(a="v")

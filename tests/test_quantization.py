@@ -170,3 +170,79 @@ def test_ivfpq_topk_deterministic(emb):
     assert [(r.vec_id, r.adc_dist) for r in a] == [
         (r.vec_id, r.adc_dist) for r in b
     ]
+
+
+def test_ivfpq_topk_filtered_scales_probes(emb):
+    """Filtered vector search (where=...): results come only from the
+    allowed subset, and the ACORN-style 1/selectivity probe+rerank
+    scaling makes the answer exact vs brute force over that subset —
+    at 20% selectivity the 4-of-16 probe expands to cover every cell,
+    which is what recovers the recall a fixed budget loses (0.68 ->
+    1.0 in ANN_RECALL.json)."""
+    from featureform_spark.functions.quantization import (
+        ivfpq_topk,
+        l2sq_expr,
+    )
+    from featureform_spark.functions.similarity import _as_double
+
+    where = F.col("vec_id") % 5 == 0
+    got = ivfpq_topk(
+        emb, query_id=0, k=5, dim=64, num_cells=16, nprobe=4, m=8,
+        ksub=16, rerank=100, where=where,
+    ).collect()
+    assert len(got) == 5
+    assert all(r.vec_id % 5 == 0 for r in got)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("_q")
+    )
+    exact = (
+        emb.filter(where)
+        .select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", l2sq_expr(F.col("_v"), F.col("_q")).alias("d"))
+        .orderBy(F.col("d").asc(), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [r.vec_id for r in exact]
+
+
+def test_ivfpq_topk_filtered_empty_allow(emb):
+    from featureform_spark.functions.quantization import ivfpq_topk
+
+    got = ivfpq_topk(
+        emb, query_id=0, k=5, dim=64, num_cells=16, nprobe=4, m=8,
+        ksub=16, rerank=50, where=F.col("vec_id") < 0,
+    ).collect()
+    assert got == []
+
+
+def test_serving_index_filtered_query_scales_probes(emb):
+    """IvfPqIndex.query under a selective collection filter probes
+    beyond nprobe (exact selectivity from |allow|/n) and matches
+    brute force over the allowed vectors; a callable filter estimates
+    selectivity from the first probes and gets the same answer."""
+    import numpy as np
+
+    from featureform_spark.serving.ann_index import IvfPqIndex
+
+    ix = IvfPqIndex.build(emb, num_cells=16, m=8, ksub=16)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    allow = frozenset(i for i in vecs if i % 5 == 0)
+    exact = sorted(
+        ((float(((vecs[i] - q) ** 2).sum()), i) for i in allow),
+    )[:5]
+    want = [i for _, i in exact]
+    got = [i for i, _ in ix.query(list(q), k=5, nprobe=4, rerank=100,
+                                  allow=allow)]
+    assert got == want
+    got_fn = [
+        i
+        for i, _ in ix.query(
+            list(q), k=5, nprobe=4, rerank=100,
+            allow=lambda i: i % 5 == 0,
+        )
+    ]
+    assert got_fn == want
