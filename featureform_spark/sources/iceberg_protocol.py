@@ -141,7 +141,112 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
 
 
 def iceberg_schema_to_spark(schema: dict) -> T.StructType:
-    return iceberg_type_to_spark({"type": "struct", "fields": schema["fields"]})
+    out = iceberg_type_to_spark(
+        {"type": "struct", "fields": schema["fields"]}
+    )
+    # v3 default values ride the Spark schema as field metadata so the
+    # read paths can serve them without re-deriving the Iceberg schema
+    # (stamped ONLY on defaulted fields — undecorated tables produce
+    # bit-identical StructTypes to before)
+    fields = []
+    for sf, f in zip(out.fields, schema["fields"]):
+        md = {}
+        if "initial-default" in f:
+            md["iceberg.initial-default"] = f["initial-default"]
+        if "write-default" in f:
+            md["iceberg.write-default"] = f["write-default"]
+        if md:
+            md["iceberg.field-id"] = f["id"]
+            sf = T.StructField(sf.name, sf.dataType, sf.nullable, md)
+        fields.append(sf)
+    return T.StructType(fields)
+
+
+def default_value_to_json(ice_t: Any, v: Any) -> Any:
+    """Spec §JSON single-value serialization: the representation of a
+    field's ``initial-default`` / ``write-default`` in the schema JSON.
+    Primitive types only — nested/binary defaults are not supported by
+    this writer."""
+    import datetime
+    import decimal
+
+    if v is None:
+        raise IcebergProtocolError("a column default cannot be null")
+    if ice_t == "boolean":
+        if not isinstance(v, bool):
+            raise IcebergProtocolError(f"boolean default, got {v!r}")
+        return v
+    if ice_t in ("int", "long"):
+        if not isinstance(v, int) or isinstance(v, bool):
+            raise IcebergProtocolError(f"{ice_t} default, got {v!r}")
+        return v
+    if ice_t in ("float", "double"):
+        return float(v)
+    if ice_t == "string":
+        if not isinstance(v, str):
+            raise IcebergProtocolError(f"string default, got {v!r}")
+        return v
+    if ice_t == "date":
+        if isinstance(v, str):
+            v = datetime.date.fromisoformat(v)
+        if not isinstance(v, datetime.date):
+            raise IcebergProtocolError(f"date default, got {v!r}")
+        return v.isoformat()
+    if isinstance(ice_t, str) and ice_t.startswith("timestamp"):
+        if isinstance(v, str):
+            v = datetime.datetime.fromisoformat(v)
+        if not isinstance(v, datetime.datetime):
+            raise IcebergProtocolError(f"timestamp default, got {v!r}")
+        if ice_t == "timestamptz":
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            v = v.astimezone(datetime.timezone.utc)
+            return v.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(ice_t, str) and ice_t.startswith("decimal("):
+        return str(decimal.Decimal(str(v)))
+    raise UnsupportedIcebergFeatureError(
+        f"column defaults for type {ice_t!r} are not supported"
+    )
+
+
+def default_value_from_json(ice_t: Any, jv: Any) -> Any:
+    """Inverse of :func:`default_value_to_json`: the JSON single-value
+    back to a Python value (what an Arrow writer materializes)."""
+    import datetime
+    import decimal
+
+    if ice_t == "date":
+        return datetime.date.fromisoformat(jv)
+    if isinstance(ice_t, str) and ice_t.startswith("timestamp"):
+        return datetime.datetime.fromisoformat(jv)
+    if isinstance(ice_t, str) and ice_t.startswith("decimal("):
+        return decimal.Decimal(jv)
+    return jv
+
+
+def _ice_primitive_to_arrow(t: str):
+    import pyarrow as pa
+
+    m = {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamptz": pa.timestamp("us", tz="UTC"),
+    }
+    if t in m:
+        return m[t]
+    if t.startswith("decimal("):
+        p, s = t[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    raise UnsupportedIcebergFeatureError(
+        f"no arrow mapping for default of type {t!r}"
+    )
 
 
 class _IdGen:
@@ -1062,6 +1167,97 @@ class IcebergProtocolTable:
             ).drop(f"__pv_{i}")
         return df
 
+    @staticmethod
+    def _footer_column_names(path: str) -> set[str] | None:
+        """Top-level column names in a parquet footer; None when the
+        footer is unparseable (e.g. VARIANT logical types crash
+        pyarrow) — callers must then treat every column as present,
+        degrading a default to NULL rather than corrupting data."""
+        try:
+            import pyarrow.parquet as pq
+
+            return {n.split(".")[0] for n in pq.read_schema(path).names}
+        except Exception:
+            return None
+
+    def _defaults_patch(
+        self, schema: T.StructType, data_entries: list[dict]
+    ) -> tuple[list[tuple], list[tuple]] | None:
+        """Per-file ``initial-default`` resolution (v3 spec §Default
+        values): a defaulted field reads its default from every data
+        file that does NOT contain the field, and the file's actual
+        values (including real NULLs) everywhere else. Presence is
+        decided from the manifest's field-id-keyed ``value_counts``
+        (zero I/O) with a parquet-footer probe as the fallback for
+        stats-less external files. None when no field carries a
+        default or every file contains every defaulted field — the
+        overwhelmingly common case pays nothing."""
+        dcols = [
+            (
+                f.name,
+                f.dataType,
+                (f.metadata or {}).get("iceberg.initial-default"),
+                (f.metadata or {}).get("iceberg.field-id"),
+            )
+            for f in schema.fields
+            if "iceberg.initial-default" in (f.metadata or {})
+        ]
+        if not dcols:
+            return None
+        rows: list[tuple] = []
+        any_missing = False
+        for e in data_entries:
+            dfile = e["data_file"]
+            path = self._resolve_path(dfile["file_path"])
+            vcs = dfile.get("value_counts")
+            if isinstance(vcs, dict):
+                present_ids: set[int] | None = {int(k) for k in vcs}
+            elif vcs:
+                present_ids = {int(kv["key"]) for kv in vcs}
+            else:
+                present_ids = None
+            footer_names: set[str] | None = None
+            probed = False
+            flags = []
+            for name, _dt, _jv, fid in dcols:
+                if present_ids is not None:
+                    has = int(fid) in present_ids
+                else:
+                    if not probed:
+                        footer_names = self._footer_column_names(path)
+                        probed = True
+                    has = footer_names is None or name in footer_names
+                flags.append(has)
+                any_missing = any_missing or not has
+            rows.append((path, *flags))
+        if not any_missing:
+            return None
+        return rows, dcols
+
+    def _apply_defaults_patch(
+        self, df: DataFrame, dflt: tuple[list[tuple], list[tuple]]
+    ) -> DataFrame:
+        """Serve initial-defaults: one broadcast (file-count scale)
+        join on the scan's ``__fp`` file path flips each defaulted
+        column to its literal for exactly the files that lack it."""
+        rows, dcols = dflt
+        attach_schema = "__dfp string" + "".join(
+            f", __dhas_{i} boolean" for i in range(len(dcols))
+        )
+        adf = local_df(self.spark, rows, attach_schema)
+        df = df.join(
+            F.broadcast(adf), df["__fp"] == adf["__dfp"], "left"
+        ).drop("__dfp")
+        for i, (name, dt, jv, _fid) in enumerate(dcols):
+            df = df.withColumn(
+                name,
+                F.when(
+                    F.coalesce(F.col(f"__dhas_{i}"), F.lit(True)),
+                    F.col(name),
+                ).otherwise(F.lit(jv).cast(dt)),
+            ).drop(f"__dhas_{i}")
+        return df
+
     def _nm_resolution(
         self, md: dict, data_entries: list[dict]
     ) -> list[tuple[str, str]] | None:
@@ -1142,7 +1338,8 @@ class IcebergProtocolTable:
             self._resolve_path(e["data_file"]["file_path"])
             for e in data_entries
         )
-        if patch is None and nm is None:
+        dflt = self._defaults_patch(schema, data_entries)
+        if patch is None and nm is None and dflt is None:
             return self._read_files(schema, paths)
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -1160,6 +1357,8 @@ class IcebergProtocolTable:
         )
         if patch is not None:
             df = self._apply_identity_patch(df, patch, schema)
+        if dflt is not None:
+            df = self._apply_defaults_patch(df, dflt)
         return df.select(*cols)
 
     @staticmethod
@@ -1208,6 +1407,11 @@ class IcebergProtocolTable:
             # reattach BEFORE equality-delete matching: a delete keyed
             # on a partition column must see the manifest value
             df = self._apply_identity_patch(df, patch, schema)
+        dflt = self._defaults_patch(schema, data_entries)
+        if dflt is not None:
+            # defaults resolve BEFORE equality-delete matching too: a
+            # delete keyed on a defaulted column must see the default
+            df = self._apply_defaults_patch(df, dflt)
         seq_rows = [
             (
                 self._resolve_path(e["data_file"]["file_path"]),
@@ -1391,7 +1595,14 @@ class IcebergProtocolTable:
         ice_schema = self.schema(md)
         want = [f["name"] for f in ice_schema["fields"]]
         in_names = list(data.schema.names)
-        if in_names != want and set(in_names) != set(want):
+        # columns with a write-default may be omitted by the uploader —
+        # the writer duty is to materialize them (spec §Default values)
+        fill = {
+            f["name"]: f
+            for f in ice_schema["fields"]
+            if f["name"] not in in_names and "write-default" in f
+        }
+        if set(in_names) | set(fill) != set(want):
             raise IcebergProtocolError(
                 f"append_arrow schema mismatch: got {in_names}, "
                 f"expected {want}"
@@ -1406,6 +1617,15 @@ class IcebergProtocolTable:
         writer = None
         try:
             for batch in batches:
+                for fname, f in fill.items():
+                    at = _ice_primitive_to_arrow(f["type"])
+                    pv = default_value_from_json(
+                        f["type"], f["write-default"]
+                    )
+                    batch = batch.append_column(
+                        fname,
+                        pa.array([pv] * batch.num_rows, type=at),
+                    )
                 if list(batch.schema.names) != want:
                     batch = batch.select(want)
                 if writer is None:
@@ -2983,6 +3203,23 @@ class IcebergProtocolTable:
 
         return staging_row_counts(self.spark, staging)
 
+    @staticmethod
+    def _fill_write_defaults(df: DataFrame, ice_schema: dict) -> DataFrame:
+        """Writer duty for v3 default values: when an append omits a
+        column that carries ``write-default``, materialize the default
+        into the written data (spec: "fields with a write-default
+        ... must be written with the default if the field is not
+        supplied"). Columns present in the input — even all-NULL —
+        are written as given."""
+        have = set(df.columns)
+        for f in ice_schema["fields"]:
+            if f["name"] not in have and "write-default" in f:
+                dt = iceberg_type_to_spark(f["type"])
+                df = df.withColumn(
+                    f["name"], F.lit(f["write-default"]).cast(dt)
+                )
+        return df
+
     def _write_data_files(
         self, df: DataFrame, ice_schema: dict, spec_fields: list[dict]
     ) -> list[dict]:
@@ -3568,15 +3805,34 @@ class IcebergProtocolTable:
         self._commit_metadata(md, version)
         return snapshot_id
 
-    def evolve_schema(self, new_schema: T.StructType) -> int:
+    def evolve_schema(
+        self,
+        new_schema: T.StructType,
+        defaults: dict[str, Any] | None = None,
+    ) -> int:
         """Spec-conformant additive schema evolution: existing columns
         keep their field-ids (matched by name, type must be unchanged —
         this writer does not do type promotion), new columns get fresh
         ids past last-column-id; a new schema entry is appended and
         current-schema-id advances. Old data files simply lack the new
         columns and read as NULL (per spec). Returns the new schema-id.
+
+        ``defaults`` (v3 tables only, spec §Default values) maps NEW
+        column names to a default: the field entry gets
+        ``initial-default`` — served for every pre-existing data file
+        that does not contain the field, with zero rewrite — and
+        ``write-default`` — stamped by writers when an append omits
+        the column. Values serialize per §JSON single-value
+        serialization; only new columns may receive one
+        (initial-default is immutable after the field exists).
         """
         md = self.metadata()
+        defaults = dict(defaults or {})
+        if defaults and int(md.get("format-version", 1)) < 3:
+            raise UnsupportedIcebergFeatureError(
+                "column default values are a format-version 3 feature; "
+                "upgrade_format_version(3) first"
+            )
         cur = self.schema(md)
         by_name = {f["name"]: f for f in cur["fields"]}
         ids = _IdGen(int(md.get("last-column-id", 0)))
@@ -3600,6 +3856,12 @@ class IcebergProtocolTable:
             old = by_name.get(f.name)
             ice_t = spark_type_to_iceberg(f.dataType, ids)
             if old is not None:
+                if f.name in defaults:
+                    raise IcebergProtocolError(
+                        f"column {f.name!r} already exists — "
+                        "initial-default can only be set when a field "
+                        "is added"
+                    )
                 if old["type"] != ice_t and not _promotable(
                     old["type"], ice_t
                 ):
@@ -3619,14 +3881,23 @@ class IcebergProtocolTable:
                         f"column {f.name!r} is variant — a v3-only "
                         "type; upgrade_format_version(3) first"
                     )
-                fields.append(
-                    {
-                        "id": ids.next(),
-                        "name": f.name,
-                        "required": False,  # new columns must be optional
-                        "type": ice_t,
-                    }
-                )
+                entry_f = {
+                    "id": ids.next(),
+                    "name": f.name,
+                    "required": False,  # new columns must be optional
+                    "type": ice_t,
+                }
+                if f.name in defaults:
+                    jv = default_value_to_json(
+                        ice_t, defaults.pop(f.name)
+                    )
+                    entry_f["initial-default"] = jv
+                    entry_f["write-default"] = jv
+                fields.append(entry_f)
+        if defaults:
+            raise IcebergProtocolError(
+                f"defaults given for unknown columns: {sorted(defaults)}"
+            )
         missing = set(by_name) - {f.name for f in new_schema.fields}
         if missing:
             raise UnsupportedIcebergFeatureError(
@@ -3754,6 +4025,7 @@ class IcebergProtocolTable:
                 self._resolve_path(snap_prev["manifest-list"])
             )
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        df = self._fill_write_defaults(df, ice_schema)
         files = self._write_data_files(df, ice_schema, spec_fields)
         entries = [
             {
@@ -4531,6 +4803,7 @@ class IcebergProtocolTable:
         spec_fields = self.partition_spec(md)
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        df = self._fill_write_defaults(df, ice_schema)
         files = self._write_data_files(df, ice_schema, spec_fields)
         entries = [
             {

@@ -1241,7 +1241,13 @@ PRIORITY: tuple[str, ...] = (
     "delta_protocol_read",
     "delta_cdf_incremental",
     "iceberg_protocol_read",
-    "iceberg_scan_planning",
+    # Round-9 rotation (verdict r8 #3): v3 default values lifecycle
+    # (metadata-only add-with-default, write-default materialization,
+    # explicit values incl. NULLs win) — new this round.
+    # iceberg_scan_planning (green r5-r8) rotates out, stays
+    # pytest-oracle-covered (iceberg_partition_evolution +
+    # iceberg_partitions_meta keep scan planning in the top-50).
+    "iceberg_default_values",
     # Round-7 late rotation: reference label-resolution semantics
     # (last-write-wins per (entity, ts)) — never driver-checked.
     # text_stats (green r1-r6) rotates out, stays

@@ -1230,3 +1230,51 @@ def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1)
         t.append(batch)
     return t.snapshot().select("o_orderkey", "id")
+
+
+@query(
+    "iceberg_default_values",
+    oracle="""
+    SELECT o_orderkey, 'web' AS channel FROM orders
+    WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, 'web' AS channel FROM orders
+    WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 2 = 0 THEN 'app' END AS channel
+    FROM orders WHERE o_orderkey % 4 = 2
+    """,
+)
+def iceberg_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 default values lifecycle (spec §Default values): a v3 table
+    is created WITHOUT the column, `evolve_schema(defaults=...)` adds
+    `channel` with initial-default/write-default 'web' as a
+    metadata-only commit (zero rewrite), then one append OMITS the
+    column (the writer materializes the write-default into the data)
+    and one append carries explicit values including real NULLs. The
+    final scan must serve: the default for every pre-evolution file
+    (read-time patch keyed on the manifests' field-id value_counts),
+    the default for the omitted-column append (physically written),
+    and the explicit values — NULLs included — untouched. The oracle
+    spells those three regimes out branch by branch."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "defaults"))
+    t.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+    t.upgrade_format_version(3)
+    evolved = orders.limit(1).withColumn("channel", F.lit("x")).schema
+    t.evolve_schema(evolved, defaults={"channel": "web"})
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 1))  # omitted col
+    t.append(
+        orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
+            "channel",
+            F.when(F.col("o_custkey") % 2 == 0, F.lit("app")),
+        )
+    )
+    return t.snapshot().select("o_orderkey", "channel")
