@@ -3958,6 +3958,123 @@ class DeltaProtocolTable:
         table runs them, commitInfo timestamps otherwise)."""
         return self.restore(self.version_at_timestamp(ts_millis))
 
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_schema: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "DeltaProtocolTable":
+        """CONVERT TO DELTA (delta-spark's ``CONVERT TO DELTA
+        parquet.`/dir/` [PARTITIONED BY ...]``): in-place, metadata-only
+        import of an existing parquet directory — the migration front
+        door. The existing files become version-0 add actions (with
+        footer-derived stats, so data skipping works from commit 0)
+        and ``_delta_log`` is created inside the directory; zero data
+        bytes move or rewrite — the whole conversion is O(files)
+        footer reads. Afterwards the table is an ordinary Delta table:
+        appends, DELETEs, OPTIMIZE, time travel all compose.
+
+        ``partition_schema`` maps partition column name -> Spark type
+        string for hive-layout directories (``col=value`` components;
+        delta-spark likewise requires PARTITIONED BY — partition types
+        are not reliably inferrable from path strings). Directories
+        with hive components but no ``partition_schema`` are rejected
+        rather than silently flattened."""
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        t = cls(spark, path)
+        if t.exists():
+            raise DeltaProtocolError(
+                f"already a Delta table: {path} (CONVERT is only for "
+                "plain parquet directories)"
+            )
+        root = os.path.abspath(path)
+        if not os.path.isdir(root):
+            raise DeltaProtocolError(f"not a directory: {path}")
+        part_cols = list((partition_schema or {}).keys())
+        files: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = sorted(
+                d for d in dirnames if not d.startswith(("_", "."))
+            )
+            files.extend(
+                os.path.join(dirpath, fn)
+                for fn in sorted(filenames)
+                if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+            )
+        if not files:
+            raise DeltaProtocolError(f"no parquet files under {path}")
+        adds: list[dict] = []
+        for fpath in files:
+            rel = os.path.relpath(fpath, root)
+            comps = rel.split(os.sep)[:-1]
+            pv: dict[str, str | None] = {}
+            for comp in comps:
+                if "=" not in comp:
+                    raise DeltaProtocolError(
+                        f"non-hive directory component {comp!r} in "
+                        f"{rel!r} — CONVERT expects flat or "
+                        "col=value layouts"
+                    )
+                k, _, v = comp.partition("=")
+                v = urllib.parse.unquote(v)
+                pv[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+            if sorted(pv) != sorted(part_cols):
+                raise DeltaProtocolError(
+                    f"partition columns in path {rel!r} are "
+                    f"{sorted(pv)} but partition_schema declares "
+                    f"{sorted(part_cols)} — pass the full PARTITIONED "
+                    "BY schema"
+                )
+            try:
+                stats = t._file_stats(pq.ParquetFile(fpath))
+            except Exception:
+                stats = None  # unparseable footer: convert without stats
+            adds.append(
+                {
+                    "path": "/".join(rel.split(os.sep)),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": int(
+                        os.path.getmtime(fpath) * 1000
+                    ),
+                    "dataChange": True,
+                    **({"stats": stats} if stats else {}),
+                }
+            )
+        # data schema from one footer via Spark (CONVERT assumes a
+        # consistent schema across files, like delta-spark); partition
+        # columns append with their declared types
+        schema = spark.read.parquet(files[0]).schema
+        for f in schema.fields:
+            if f.name in part_cols:
+                raise DeltaProtocolError(
+                    f"partition column {f.name!r} also exists in the "
+                    "data files — hive layouts keep it only in the path"
+                )
+        full = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField(
+                    c, T._parse_datatype_string(ts), True
+                )
+                for c, ts in (partition_schema or {}).items()
+            ]
+        )
+        meta_action = t._metadata_action(full, part_cols, properties)
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta_action,
+        ] + [{"add": a} for a in adds]
+        t._commit(0, actions, "CONVERT")
+        return t
+
     def shallow_clone(
         self, target_path: str, version: int | None = None
     ) -> "DeltaProtocolTable":

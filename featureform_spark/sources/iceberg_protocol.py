@@ -1717,6 +1717,133 @@ class IcebergProtocolTable:
             "append_arrow lost the commit race 20 times; giving up"
         )
 
+    def add_files(self, source_dir: str) -> int:
+        """Iceberg's ``add_files`` procedure: metadata-only import of
+        an existing parquet directory into THIS table — each file
+        becomes a manifest entry with footer-derived stats (record
+        count, value/null counts, bounds keyed by field-id) in one new
+        'append' snapshot. Zero data bytes move or rewrite: the
+        manifest references the files in place by absolute path, so
+        the conversion is O(files) footer reads — the migration front
+        door for warehouses with existing parquet data.
+
+        Unpartitioned identity import only (hive-partitioned imports
+        need partition-tuple synthesis AND the
+        ``featureform.partition-values-from-metadata`` read property —
+        create the table partitioned and import per-partition
+        directories if needed). Re-importing a file already referenced
+        by the current snapshot raises, like the reference procedure's
+        duplicate check."""
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        if self.partition_spec(md):
+            raise UnsupportedIcebergFeatureError(
+                "add_files into a partitioned table is not supported "
+                "(partition tuples cannot be derived from flat files)"
+            )
+        root = os.path.abspath(source_dir)
+        if not os.path.isdir(root):
+            raise IcebergProtocolError(f"not a directory: {source_dir}")
+        files: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = sorted(
+                d for d in dirnames if not d.startswith(("_", "."))
+            )
+            files.extend(
+                os.path.join(dirpath, fn)
+                for fn in sorted(filenames)
+                if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+            )
+        if not files:
+            raise IcebergProtocolError(
+                f"no parquet files under {source_dir}"
+            )
+        ice_schema = self.schema(md)
+        name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+        snap = self.current_snapshot(md)
+        already = set()
+        if snap is not None:
+            data_entries, _ = self._live_entries(snap)
+            already = {
+                self._resolve_path(e["data_file"]["file_path"])
+                for e in data_entries
+            }
+        dup = sorted(set(files) & already)
+        if dup:
+            raise IcebergProtocolError(
+                f"add_files: {len(dup)} file(s) already referenced by "
+                f"the current snapshot (first: {dup[0]})"
+            )
+        records: list[dict] = []
+        for fpath in files:
+            nrec, vcounts, ncounts, lower, upper = self._footer_stats(
+                pq.ParquetFile(fpath), name_to_field
+            )
+            records.append(
+                {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrec,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "value_counts": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(vcounts.items())
+                    ],
+                    "null_value_counts": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(ncounts.items())
+                    ],
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(lower.items())
+                    ],
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(upper.items())
+                    ],
+                }
+            )
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": r,
+            }
+            for r in records
+        ]
+        lineage = self._assign_first_row_ids(md, entries)
+        manifest = self._write_manifest(
+            entries,
+            ice_schema,
+            [],
+            md.get("default-spec-id", 0),
+            snapshot_id,
+            seq,
+        )
+        if lineage is not None:
+            manifest["first_row_id"] = lineage[0]
+        prev = (
+            read_container(self._resolve_path(snap["manifest-list"]))[1]
+            if snap
+            else []
+        )
+        return self._advance(
+            md,
+            prev + [manifest],
+            "append",
+            len(records),
+            sum(r["record_count"] for r in records),
+            snapshot_id=snapshot_id,
+            lineage=lineage,
+        )
+
     def metadata_table(self, kind: str) -> DataFrame:
         """Inspection tables (Iceberg's ``SELECT * FROM tbl.<kind>``
         SQL surface): ``snapshots``, ``files``, ``delete_files``,

@@ -1238,9 +1238,19 @@ PRIORITY: tuple[str, ...] = (
     # lands. delta_time_travel (green r1-r7) rotates out, stays
     # pytest-oracle-covered.
     "delta_shallow_clone",
-    "delta_protocol_read",
+    # Round-9 rotation (verdict r8 #4): CONVERT TO DELTA — metadata-
+    # only in-place import of a plain parquet dir, then a CoW DELETE
+    # proves it's a first-class table. delta_protocol_read (green
+    # r6-r8) rotates out, stays pytest-oracle-covered (the convert
+    # query itself round-trips a full protocol read).
+    "convert_to_delta",
     "delta_cdf_incremental",
-    "iceberg_protocol_read",
+    # Round-9 rotation (verdict r8 #4): Iceberg add_files — one
+    # metadata commit references existing parquet in place with
+    # field-id footer stats, then a normal append builds on it.
+    # iceberg_protocol_read (green r6-r8) rotates out, stays
+    # pytest-oracle-covered (the import query round-trips the reader).
+    "iceberg_add_files",
     # Round-9 rotation (verdict r8 #3): v3 default values lifecycle
     # (metadata-only add-with-default, write-default materialization,
     # explicit values incl. NULLs win) — new this round.

@@ -1278,3 +1278,63 @@ def iceberg_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t.snapshot().select("o_orderkey", "channel")
+
+
+@query(
+    "convert_to_delta",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 < 2 AND o_custkey % 5 <> 0
+    """,
+)
+def convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA lifecycle (delta-spark's migration front door):
+    an existing plain-parquet directory (keys %3 in {0,1}) becomes a
+    Delta table METADATA-ONLY — version 0 references the original
+    files in place with footer-derived stats, zero bytes rewritten —
+    then an ordinary CoW DELETE drops a customer stripe, proving the
+    converted table is a first-class Delta table. The oracle
+    reproduces convert+delete straight from the source rows."""
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    raw = _scratch(sf_dir, "convert_raw")
+    orders.filter(F.col("o_orderkey") % 3 < 2).repartition(4).write.parquet(raw)
+    t = DeltaProtocolTable.convert_from_parquet(spark, raw)
+    t.delete_where(F.col("o_custkey") % 5 == 0)
+    return t.snapshot()
+
+
+@query(
+    "iceberg_add_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 = 1
+    """,
+)
+def iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg `add_files` procedure: an existing parquet directory
+    (keys %3=0) imports into a (schema-only) Iceberg table as ONE
+    metadata commit — manifest entries reference the files in place
+    with field-id-keyed footer stats, zero rewrite — and a normal
+    append (%3=1) then builds on the imported snapshot. The oracle is
+    the union of both slices."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    raw = _scratch(sf_dir, "addfiles_raw")
+    orders.filter(F.col("o_orderkey") % 3 == 0).repartition(3).write.parquet(raw)
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "addfiles_tbl"))
+    t.create(orders.limit(0))
+    t.add_files(raw)
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    return t.snapshot()
