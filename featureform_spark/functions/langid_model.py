@@ -87,6 +87,110 @@ LANG_FIXTURES: dict[str, str] = {
         "se qualcuno e disposto a lavorare sodo e a condividere cio che "
         "ha imparato"
     ),
+    "pt": (
+        "a rapida raposa marrom salta sobre o cao preguicoso e corre "
+        "para a floresta onde encontra um rio tranquilo com agua clara "
+        "cada manha as criancas caminham para a escola pelo velho "
+        "caminho e falam dos livros que estao lendo esta semana "
+        "quando o tempo esta bom as pessoas gostam de sentar do lado de "
+        "fora no jardim e tomar cha enquanto o sol se poe atras das colinas "
+        "a historia mostra que pequenas ideias podem mudar o mundo se "
+        "alguem estiver disposto a trabalhar duro e compartilhar o que "
+        "aprendeu"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en rent het bos "
+        "in waar hij een rustige rivier met helder water vindt "
+        "elke ochtend lopen de kinderen langs de oude weg naar school "
+        "en ze praten over de boeken die ze deze week lezen "
+        "als het weer goed is zitten de mensen graag buiten in de tuin "
+        "en drinken thee terwijl de zon achter de heuvels ondergaat "
+        "de geschiedenis laat zien dat kleine ideeen de wereld kunnen "
+        "veranderen als iemand bereid is hard te werken en te delen wat "
+        "hij heeft geleerd"
+    ),
+    "sv": (
+        "den snabba bruna raven hoppar over den lata hunden och springer "
+        "in i skogen dar den hittar en lugn flod med klart vatten "
+        "varje morgon gar barnen langs den gamla vagen till skolan och "
+        "de pratar om bockerna som de laser den har veckan "
+        "nar vadret ar bra tycker folk om att sitta ute i tradgarden "
+        "och dricka te medan solen gar ner bakom kullarna "
+        "historien visar att sma ideer kan forandra varlden om nagon ar "
+        "villig att arbeta hart och dela med sig av det han har lart sig"
+    ),
+    "da": (
+        "den hurtige brune raev springer over den dovne hund og lober "
+        "ind i skoven hvor den finder en rolig flod med klart vand "
+        "hver morgen gaar bornene langs den gamle vej til skolen og de "
+        "taler om de boger som de laeser i denne uge "
+        "naar vejret er godt kan folk lide at sidde udenfor i haven og "
+        "drikke te mens solen gaar ned bag bakkerne "
+        "historien viser at smaa ideer kan aendre verden hvis nogen er "
+        "villig til at arbejde haardt og dele hvad de har laert"
+    ),
+    "fi": (
+        "nopea ruskea kettu hyppaa laiskan koiran yli ja juoksee "
+        "metsaan josta se loytaa rauhallisen joen jossa on kirkasta vetta "
+        "joka aamu lapset kavelevat vanhaa tieta pitkin kouluun ja he "
+        "puhuvat kirjoista joita he lukevat talla viikolla "
+        "kun saa on hyva ihmiset istuvat mielellaan ulkona puutarhassa "
+        "ja juovat teeta kun aurinko laskee kukkuloiden taakse "
+        "historia osoittaa etta pienet ajatukset voivat muuttaa maailmaa "
+        "jos joku on valmis tekemaan kovasti toita ja jakamaan sen minka "
+        "on oppinut"
+    ),
+    "pl": (
+        "szybki brazowy lis skacze nad leniwym psem i biegnie do lasu "
+        "gdzie znajduje spokojna rzeke z czysta woda "
+        "kazdego ranka dzieci ida stara droga do szkoly i rozmawiaja o "
+        "ksiazkach ktore czytaja w tym tygodniu "
+        "kiedy pogoda jest dobra ludzie lubia siedziec na zewnatrz w "
+        "ogrodzie i pic herbate podczas gdy slonce zachodzi za wzgorzami "
+        "historia pokazuje ze male pomysly moga zmienic swiat jesli ktos "
+        "jest gotow ciezko pracowac i dzielic sie tym czego sie nauczyl"
+    ),
+    "tr": (
+        "hizli kahverengi tilki tembel kopegin uzerinden atlar ve ormana "
+        "kosar orada temiz sulu sakin bir nehir bulur "
+        "her sabah cocuklar eski yol boyunca okula yurur ve bu hafta "
+        "okuduklari kitaplar hakkinda konusurlar "
+        "hava guzel oldugunda insanlar bahcede disarida oturmayi ve "
+        "gunes tepelerin arkasinda batarken cay icmeyi severler "
+        "tarih gosterir ki kucuk fikirler dunyayi degistirebilir eger "
+        "birisi cok calismaya ve ogrendiklerini paylasmaya istekliyse"
+    ),
+    "ro": (
+        "vulpea maro rapida sare peste cainele lenes si alearga in "
+        "padure unde gaseste un rau linistit cu apa limpede "
+        "in fiecare dimineata copiii merg la scoala pe drumul vechi si "
+        "vorbesc despre cartile pe care le citesc saptamana aceasta "
+        "cand vremea este buna oamenilor le place sa stea afara in "
+        "gradina si sa bea ceai in timp ce soarele apune in spatele dealurilor "
+        "istoria arata ca ideile mici pot schimba lumea daca cineva este "
+        "dispus sa munceasca din greu si sa imparta ceea ce a invatat"
+    ),
+    "ca": (
+        "la rapida guineu marro salta sobre el gos mandros i corre cap "
+        "al bosc on troba un riu tranquil amb aigua clara "
+        "cada mati els nens caminen cap a l escola pel vell cami i "
+        "parlen dels llibres que estan llegint aquesta setmana "
+        "quan fa bon temps a la gent li agrada seure fora al jardi i "
+        "prendre te mentre el sol es pon darrere els turons "
+        "la historia mostra que les petites idees poden canviar el mon "
+        "si algu esta disposat a treballar dur i compartir el que ha apres"
+    ),
+    "id": (
+        "rubah coklat yang cepat melompati anjing malas dan berlari ke "
+        "hutan di mana ia menemukan sungai yang tenang dengan air jernih "
+        "setiap pagi anak anak berjalan ke sekolah di sepanjang jalan "
+        "tua dan mereka berbicara tentang buku yang sedang mereka baca "
+        "minggu ini ketika cuaca bagus orang orang suka duduk di luar di "
+        "kebun dan minum teh sementara matahari terbenam di balik bukit "
+        "sejarah menunjukkan bahwa gagasan kecil dapat mengubah dunia "
+        "jika seseorang bersedia bekerja keras dan berbagi apa yang "
+        "telah dipelajari"
+    ),
 }
 
 
@@ -227,6 +331,7 @@ def lang_id_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     kernel: bool = True,
+    unknown_margin: float = 0.0,
 ) -> DataFrame:
     """Score every document against the NB model JVM-side.
 
@@ -241,6 +346,14 @@ def lang_id_model(
     Returns ``[id_col, lang_pred, nb_score]`` (score rounded to 6dp —
     weights are 6dp-quantized, so both engines' left folds agree
     bit-for-bit and the rounding is grid-exact).
+
+    ``unknown_margin`` is the explicit unknown class real routers
+    carry: when the PER-TRIGRAM log-odds between the best and
+    runner-up language falls below it — ``best - second <
+    margin * nt`` — the document predicts 'und' instead of a coin-flip
+    winner (token salad, code, unmodeled languages). 0.0 (default)
+    disables the rule; ``nb_score`` stays the best-language score
+    either way, so the margin is auditable downstream.
     """
     model = model or train_char_ngram_nb()
     # per-row scoring is CPU-bound (~3 ms/doc of map lookups): fan out
@@ -333,18 +446,31 @@ def lang_id_model(
         nt = F.col("__x_nt")
     idx = F.array_position(scores, F.array_max(scores))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    pred = F.element_at(lang_arr, idx.cast("int"))
+    if unknown_margin > 0.0 and len(langs) >= 2:
+        # sorted fold-sums are bit-identical cross-engine, so the
+        # best-minus-second subtraction and the margin*nt product
+        # compare identically in both engines — the rule is oracle-safe
+        srt = F.array_sort(scores)
+        pred = F.when(
+            F.element_at(srt, -1) - F.element_at(srt, -2)
+            < F.lit(float(unknown_margin)) * nt,
+            F.lit("und"),
+        ).otherwise(pred)
     return scored.select(
         F.col(id_col),
-        F.when(nt == 0, F.lit("und"))
-        .otherwise(F.element_at(lang_arr, idx.cast("int")))
-        .alias("lang_pred"),
+        F.when(nt == 0, F.lit("und")).otherwise(pred).alias("lang_pred"),
         F.when(nt == 0, F.lit(0.0))
         .otherwise(F.round(F.element_at(scores, idx.cast("int")), 6))
         .alias("nb_score"),
     )
 
 
-def lang_pred_expr(text_col: str, model: dict | None = None) -> Column:
+def lang_pred_expr(
+    text_col: str,
+    model: dict | None = None,
+    unknown_margin: float = 0.0,
+) -> Column:
     """Expression-form predictor: the argmax language as a single
     Column over ``text_col``, for single-pass composition
     (``select(..., lang_pred_expr(...)).filter(...)``) — one corpus
@@ -367,7 +493,12 @@ def lang_pred_expr(text_col: str, model: dict | None = None) -> Column:
     nt = F.when(ln >= n, ln - (n - 1)).otherwise(F.lit(0))
     idx = F.array_position(scores, F.array_max(scores))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    return (
-        F.when(nt == 0, F.lit("und"))
-        .otherwise(F.element_at(lang_arr, idx.cast("int")))
-    )
+    pred = F.element_at(lang_arr, idx.cast("int"))
+    if unknown_margin > 0.0 and len(langs) >= 2:
+        srt = F.array_sort(scores)
+        pred = F.when(
+            F.element_at(srt, -1) - F.element_at(srt, -2)
+            < F.lit(float(unknown_margin)) * nt,
+            F.lit("und"),
+        ).otherwise(pred)
+    return F.when(nt == 0, F.lit("und")).otherwise(pred)

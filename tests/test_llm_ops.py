@@ -144,8 +144,8 @@ def test_language_id_markers(spark):
 
 
 def test_lang_id_model_beats_heuristic(spark):
-    """Held-out sentences (not in the training fixtures) across the five
-    model languages: the trained char-trigram NB must classify all of
+    """Held-out sentences (not in the training fixtures) across five of
+    the model languages: the trained char-trigram NB must classify all of
     them; the marker heuristic has no Italian markers and misses
     marker-free phrasing, so NB accuracy is strictly higher."""
     from featureform_spark.functions.langid_model import lang_id_model
@@ -172,6 +172,97 @@ def test_lang_id_model_beats_heuristic(spark):
     heur_acc = sum(heur[i] == truth[i] for i in truth) / len(truth)
     assert nb_acc == 1.0
     assert nb_acc > heur_acc
+
+
+def test_lang_id_model_multilingual_held_out(spark):
+    """Held-out accuracy over the FULL 15-language model (round-9
+    widening: +pt nl sv da fi pl tr ro ca id): two unseen sentences per
+    language, all 30 must classify correctly — including the
+    notoriously-confusable pairs (sv/da, es/pt/ca)."""
+    from featureform_spark.functions.langid_model import (
+        LANG_FIXTURES,
+        lang_id_model,
+    )
+
+    held = {
+        "en": ["the old man closed the door and walked slowly toward the market",
+               "nobody remembered where that narrow path finally ended"],
+        "es": ["el hombre viejo cerro la puerta y camino despacio hacia el mercado",
+               "nadie recordaba donde terminaba finalmente aquel camino estrecho"],
+        "fr": ["le vieil homme a ferme la porte et marche lentement vers le marche",
+               "personne ne savait ou ce chemin etroit finissait vraiment"],
+        "de": ["der alte mann schloss die tuer und ging langsam zum markt",
+               "niemand wusste wo dieser schmale weg wirklich endete"],
+        "it": ["il vecchio chiuse la porta e cammino lentamente verso il mercato",
+               "nessuno ricordava dove finiva davvero quel sentiero stretto"],
+        "pt": ["o velho fechou a porta e caminhou devagar em direcao ao mercado",
+               "ninguem lembrava onde aquele caminho estreito finalmente terminava"],
+        "nl": ["de oude man sloot de deur en liep langzaam naar de markt",
+               "niemand wist waar dat smalle pad eigenlijk eindigde"],
+        "sv": ["den gamle mannen stangde dorren och gick langsamt mot marknaden",
+               "ingen visste var den smala stigen egentligen slutade"],
+        "da": ["den gamle mand lukkede doren og gik langsomt mod markedet",
+               "ingen vidste hvor den smalle sti egentlig endte"],
+        "fi": ["vanha mies sulki oven ja kaveli hitaasti kohti toria",
+               "kukaan ei tiennyt missa kapea polku oikeastaan paattyi"],
+        "pl": ["stary czlowiek zamknal drzwi i poszedl powoli w strone rynku",
+               "nikt nie wiedzial gdzie ta waska sciezka naprawde sie konczyla"],
+        "tr": ["cocuklar sabahlari okula giderken kitaplar hakkinda konusuyorlar",
+               "kimse o dar yolun gercekte nerede bittigini bilmiyordu"],
+        "ro": ["batranul a inchis usa si a mers incet spre piata",
+               "nimeni nu stia unde se termina cu adevarat acea poteca ingusta"],
+        "ca": ["el vell va tancar la porta i va caminar a poc a poc cap al mercat",
+               "ningu no sabia on acabava realment aquell cami estret"],
+        "id": ["orang tua itu menutup pintu dan berjalan perlahan menuju pasar",
+               "tidak ada yang tahu di mana jalan sempit itu sebenarnya berakhir"],
+    }
+    assert set(held) == set(LANG_FIXTURES)
+    for lang, sents in held.items():
+        for s in sents:
+            assert s not in LANG_FIXTURES[lang]
+    rows = [
+        (i, lang, s)
+        for i, (lang, s) in enumerate(
+            (lang, s) for lang in sorted(held) for s in held[lang]
+        )
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], ["doc_id", "text"]
+    )
+    pred = {r["doc_id"]: r["lang_pred"] for r in lang_id_model(df).collect()}
+    wrong = [(i, lang, pred[i]) for i, lang, _ in rows if pred[i] != lang]
+    assert not wrong, wrong
+
+
+def test_lang_id_model_unknown_margin(spark):
+    """The explicit unknown class: with a per-trigram log-odds margin,
+    out-of-model text (gibberish, source code) whose best-vs-runner-up
+    gap is a coin flip routes to 'und', while confidently-classified
+    prose keeps its label. margin=0 (default) disables the rule, and
+    nb_score stays the best-language score either way (auditable)."""
+    from featureform_spark.functions.langid_model import lang_id_model
+
+    rows = [
+        (0, "the old man closed the door and walked slowly toward the market"),
+        (1, "vanha mies sulki oven ja kaveli hitaasti kohti toria"),
+        (2, "xq zvb kkj qqw pzx vxk jjq wxz qkp zzv"),
+        (3, "def frobnicate(x): return x * 42 + offset[3]"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["lang_pred"], r["nb_score"])
+        for r in lang_id_model(df, unknown_margin=0.02).collect()
+    }
+    assert out[0][0] == "en"
+    assert out[1][0] == "fi"
+    assert out[2][0] == "und" and out[2][1] < 0.0  # score stays auditable
+    assert out[3][0] == "und"
+    # default margin=0: the coin-flip winner comes back (not 'und')
+    base = {
+        r["doc_id"]: r["lang_pred"] for r in lang_id_model(df).collect()
+    }
+    assert base[2] != "und" and base[3] != "und"
+    assert base[0] == "en" and base[1] == "fi"
 
 
 def test_lang_id_model_fold_evaluates_once_under_filter(spark):
@@ -210,9 +301,11 @@ def test_lang_id_model_edge_cases(spark):
         [(0, ""), (1, "ab"), (2, "the weather is good and the garden is quiet")],
         "doc_id long, text string",
     )
+    from featureform_spark.functions.langid_model import train_char_ngram_nb
+
     out = {r["doc_id"]: (r["lang_pred"], r["nb_score"]) for r in lang_id_model(df).collect()}
     assert out[0] == ("und", 0.0)  # no trigrams at all
-    assert out[1][0] in {"und", "de", "en", "es", "fr", "it"}  # ' ab ' has trigrams
+    assert out[1][0] in {"und", *train_char_ngram_nb()["langs"]}  # ' ab ' has trigrams
     assert out[2][0] == "en" and out[2][1] < 0.0
 
 
