@@ -6,7 +6,9 @@ count-style action so timing covers the full plan execution, not
 driver-side collection of large results.
 
 Truncation-proofing (round-3 verdict #3): the full 3-decimal result is
-ALSO written to BENCH_local.json next to this script, and the printed
+ALSO written to a BENCH_local*.json artifact next to this script
+(BENCH_local.json itself only when SPARK_GRAFT_BENCH_SETTLED=1 — it is
+the retime baseline and must hold a settled run), and the printed
 line uses compact separators + 2-decimal timings so it stays well under
 output-tail caps. SPARK_GRAFT_BENCH_DEBUG=1 logs per-query process RSS
 to stderr for regression hunting.
@@ -213,14 +215,22 @@ def main() -> None:
     if retimed_vs_prior:
         out["retimed_vs_prior"] = sorted(retimed_vs_prior)
     # full-precision artifact that survives any stdout truncation.
-    # BENCH_local.json is reserved for the canonical sf0.1 run (it is
-    # also next round's retime baseline); other scale factors write a
-    # suffixed file so a local sf0.001 iteration can't clobber it.
-    artifact = (
-        "BENCH_local.json"
-        if out["sf"] == 0.1
-        else "BENCH_local_sf%s.json" % str(sf).replace(os.sep, "_")
-    )
+    # BENCH_local.json is reserved for the canonical SETTLED sf0.1 run
+    # (it is also next round's retime baseline), written only when
+    # SPARK_GRAFT_BENCH_SETTLED=1 — the r8 verdict caught the driver's
+    # hot re-run (uniform ~1.21x box load) clobbering the committed
+    # settled artifact and poisoning the next round's retime baseline.
+    # Unsettled sf0.1 runs (driver per-round runs included) write
+    # BENCH_local_latest.json; other scale factors write a suffixed
+    # file so a local sf0.001 iteration can't clobber it either.
+    if out["sf"] == 0.1:
+        artifact = (
+            "BENCH_local.json"
+            if os.environ.get("SPARK_GRAFT_BENCH_SETTLED")
+            else "BENCH_local_latest.json"
+        )
+    else:
+        artifact = "BENCH_local_sf%s.json" % str(sf).replace(os.sep, "_")
     try:
         with open(Path(__file__).resolve().parent / artifact, "w") as f:
             json.dump(out, f, indent=1)

@@ -16,6 +16,19 @@ discover and load tables this engine wrote:
   (``metadata-location`` + the full current metadata JSON)
 - ``HEAD /v1/namespaces/{ns}/tables/{name}`` -> 200 / 404
 
+Views (the spec's ``/v1/namespaces/{ns}/views`` family) get the same
+lifecycle: list, ``CreateViewRequest`` (schema + sql representations,
+committed as view-metadata v1), ``LoadViewResult``,
+``CommitViewRequest`` (assert-view-uuid requirement; add-schema /
+add-view-version / set-current-view-version updates with the spec's
+``-1`` last-added sentinels), HEAD, DELETE, and
+``POST /v1/views/rename``. View metadata versions live in the same
+``metadata/`` layout as tables under a ``v<N>.view-metadata.json``
+suffix and commit through the identical link(2) CAS, so concurrent
+view committers get the spec's retryable 409. Tables and views share
+one identifier space — creating either over the other is 409
+AlreadyExists, per spec.
+
 Like the Flight streamer (serving/flight_server.py), the serving path
 holds no Spark session: table metadata is read with plain file IO, so
 catalog pods are JVM-free.
@@ -38,11 +51,85 @@ import json
 import os
 import threading
 import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_VIEW_SUFFIX = ".view-metadata.json"
+_VIEW_HINT = "view-version-hint.text"
+
+
+def _view_metadata_files(path: str) -> list[tuple[int, str]]:
+    """``v<N>.view-metadata.json`` versions under ``<path>/metadata``.
+    The suffix disambiguates views from tables sharing the same catalog
+    layout (the table reader's ``v<N>.metadata.json`` parse skips the
+    compound ``v1.view`` stem, so neither surface lists the other)."""
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if not (name.startswith("v") and name.endswith(_VIEW_SUFFIX)):
+            continue
+        try:
+            out.append((int(name[1 : -len(_VIEW_SUFFIX)]), name))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _is_iceberg_view(path: str) -> bool:
+    return bool(_view_metadata_files(path))
 
 
 def _is_iceberg_table(path: str) -> bool:
-    return os.path.isdir(os.path.join(path, "metadata"))
+    return os.path.isdir(
+        os.path.join(path, "metadata")
+    ) and not _is_iceberg_view(path)
+
+
+def _current_view_metadata_file(path: str) -> str | None:
+    mdir = os.path.join(path, "metadata")
+    hint = os.path.join(mdir, _VIEW_HINT)
+    if os.path.exists(hint):
+        try:
+            with open(hint) as f:
+                v = int(f.read().strip())
+            cand = os.path.join(mdir, f"v{v}{_VIEW_SUFFIX}")
+            if os.path.exists(cand):
+                return cand
+        except (OSError, ValueError):
+            pass
+    files = _view_metadata_files(path)
+    return os.path.join(mdir, files[-1][1]) if files else None
+
+
+def _commit_view_metadata(path: str, md: dict, version: int) -> None:
+    """Same put-if-absent CAS as the table log: stage to a hidden temp
+    file, hard-link into place (concurrent committers lose the link(2)
+    race with FileExistsError), then advance the hint monotonically."""
+    mdir = os.path.join(path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    target = os.path.join(mdir, f"v{version}{_VIEW_SUFFIX}")
+    tmp = os.path.join(mdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(md, f, indent=2)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise
+    os.unlink(tmp)
+    hint_path = os.path.join(mdir, _VIEW_HINT)
+    try:
+        with open(hint_path) as f:
+            cur = int(f.read().strip())
+    except (OSError, ValueError):
+        cur = -1
+    if version > cur:
+        tmp = os.path.join(mdir, f".{_VIEW_HINT}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint_path)
 
 
 class CommitConflict(Exception):
@@ -144,6 +231,124 @@ def _apply_updates(md: dict, updates: list[dict], now_ms: int) -> dict:
     return md
 
 
+def _check_view_requirements(md: dict, reqs: list[dict]) -> None:
+    """Spec CommitViewRequest requirements: views carry exactly one
+    (assert-view-uuid) — the metadata pointer CAS is the concurrency
+    control, same as the table side's link(2) race."""
+    for r in reqs:
+        t = r.get("type")
+        if t == "assert-view-uuid":
+            if md.get("view-uuid") != r.get("uuid"):
+                raise CommitConflict(
+                    f"view uuid changed: {md.get('view-uuid')}"
+                )
+        else:
+            raise ValueError(f"unsupported view requirement type {t!r}")
+
+
+def _validate_view_version(vv: dict, schema_ids: set[int]) -> None:
+    reps = vv.get("representations")
+    if not isinstance(reps, list) or not reps:
+        raise ValueError("view-version needs a representations list")
+    for rep in reps:
+        if (
+            not isinstance(rep, dict)
+            or rep.get("type") != "sql"
+            or not isinstance(rep.get("sql"), str)
+            or not rep.get("sql")
+            or not isinstance(rep.get("dialect"), str)
+            or not rep.get("dialect")
+        ):
+            raise ValueError(f"bad sql representation: {rep!r}")
+    if int(vv["schema-id"]) not in schema_ids:
+        raise ValueError(f"view-version schema-id {vv['schema-id']} unknown")
+
+
+def _apply_view_updates(md: dict, updates: list[dict], now_ms: int) -> dict:
+    """Spec view update actions: assign-uuid, set-properties,
+    remove-properties, add-schema, add-view-version,
+    set-current-view-version (view-version-id -1 = the version added
+    in THIS commit, the spec's last-added sentinel; same for a
+    view-version's schema-id -1)."""
+    md = copy.deepcopy(md)
+    last_added_schema: int | None = None
+    last_added_version: int | None = None
+    for u in updates:
+        a = u.get("action")
+        if a == "assign-uuid":
+            md["view-uuid"] = u["uuid"]
+        elif a == "set-properties":
+            props = dict(md.get("properties") or {})
+            props.update(u["updates"])
+            md["properties"] = props
+        elif a == "remove-properties":
+            props = dict(md.get("properties") or {})
+            for k in u.get("removals", []):
+                props.pop(k, None)
+            md["properties"] = props
+        elif a == "add-schema":
+            schema = dict(u["schema"])
+            schema.setdefault("type", "struct")
+            sid = int(schema.get("schema-id", -1))
+            if sid == -1:
+                sid = 1 + max(
+                    (int(s["schema-id"]) for s in md.get("schemas") or []),
+                    default=-1,
+                )
+                schema["schema-id"] = sid
+            if sid in {
+                int(s["schema-id"]) for s in md.get("schemas") or []
+            }:
+                raise ValueError(f"schema-id {sid} already present")
+            md["schemas"] = list(md.get("schemas") or []) + [schema]
+            last_added_schema = sid
+        elif a == "add-view-version":
+            vv = dict(u["view-version"])
+            if int(vv.get("schema-id", 0)) == -1:
+                if last_added_schema is None:
+                    raise ValueError(
+                        "schema-id -1 without an add-schema in this commit"
+                    )
+                vv["schema-id"] = last_added_schema
+            schema_ids = {
+                int(s["schema-id"]) for s in md.get("schemas") or []
+            }
+            _validate_view_version(vv, schema_ids)
+            vid = int(vv.get("version-id", -1))
+            existing = {
+                int(v["version-id"]) for v in md.get("versions") or []
+            }
+            if vid == -1:
+                vid = 1 + max(existing, default=0)
+                vv["version-id"] = vid
+            elif vid in existing:
+                raise ValueError(f"version-id {vid} already present")
+            vv.setdefault("timestamp-ms", now_ms)
+            vv.setdefault("summary", {})
+            md["versions"] = list(md.get("versions") or []) + [vv]
+            last_added_version = vid
+        elif a == "set-current-view-version":
+            vid = int(u["view-version-id"])
+            if vid == -1:
+                if last_added_version is None:
+                    raise ValueError(
+                        "view-version-id -1 without an add-view-version "
+                        "in this commit"
+                    )
+                vid = last_added_version
+            if vid not in {
+                int(v["version-id"]) for v in md.get("versions") or []
+            }:
+                raise ValueError(f"unknown view version {vid}")
+            md["current-version-id"] = vid
+            md["version-log"] = list(md.get("version-log") or []) + [
+                {"timestamp-ms": now_ms, "version-id": vid}
+            ]
+        else:
+            raise ValueError(f"unsupported view update action {a!r}")
+    return md
+
+
 class IcebergRestCatalogServer:
     """Serve ``<root>/<namespace>/<table>`` directories as an Iceberg
     REST catalog. Bind port 0 for ephemeral (read ``.port`` back)."""
@@ -188,6 +393,8 @@ class IcebergRestCatalogServer:
                     return ("transaction", None, None)
                 if parts == ["v1", "tables", "rename"]:
                     return ("rename", None, None)
+                if parts == ["v1", "views", "rename"]:
+                    return ("view-rename", None, None)
                 if len(parts) >= 2 and parts[:2] == ["v1", "namespaces"]:
                     if len(parts) == 2:
                         return ("namespaces", None, None)
@@ -198,6 +405,10 @@ class IcebergRestCatalogServer:
                         return ("tables", ns, None)
                     if len(parts) == 5 and parts[3] == "tables":
                         return ("table", ns, parts[4])
+                    if len(parts) == 4 and parts[3] == "views":
+                        return ("views", ns, None)
+                    if len(parts) == 5 and parts[3] == "views":
+                        return ("view", ns, parts[4])
                 return (None, None, None)
 
             def _table_dir(self, ns: str, name: str) -> str | None:
@@ -209,6 +420,13 @@ class IcebergRestCatalogServer:
                 if not p.startswith(root + os.sep):
                     return None
                 return p if _is_iceberg_table(p) else None
+
+            def _view_dir(self, ns: str, name: str) -> str | None:
+                root = os.path.realpath(outer.root)
+                p = os.path.realpath(os.path.join(root, ns, name))
+                if not p.startswith(root + os.sep):
+                    return None
+                return p if _is_iceberg_view(p) else None
 
             def do_GET(self):
                 kind, ns, name = self._route()
@@ -248,6 +466,37 @@ class IcebergRestCatalogServer:
                         if _is_iceberg_table(os.path.join(ns_dir, t))
                     ]
                     return self._json(200, {"identifiers": idents})
+                if kind == "views":
+                    root = os.path.realpath(outer.root)
+                    ns_dir = os.path.realpath(os.path.join(root, ns))
+                    if not ns_dir.startswith(
+                        root + os.sep
+                    ) or not os.path.isdir(ns_dir):
+                        return self._error(404, f"namespace {ns!r}")
+                    idents = [
+                        {"namespace": [ns], "name": v}
+                        for v in sorted(os.listdir(ns_dir))
+                        if _is_iceberg_view(os.path.join(ns_dir, v))
+                    ]
+                    return self._json(200, {"identifiers": idents})
+                if kind == "view":
+                    vdir = self._view_dir(ns, name)
+                    if vdir is None:
+                        return self._error(
+                            404, f"view {ns}.{name} not found"
+                        )
+                    loc = _current_view_metadata_file(vdir)
+                    with open(loc) as f:
+                        md = json.load(f)
+                    # spec LoadViewResult
+                    return self._json(
+                        200,
+                        {
+                            "metadata-location": loc,
+                            "metadata": md,
+                            "config": {},
+                        },
+                    )
                 if kind == "table":
                     tdir = self._table_dir(ns, name)
                     if tdir is None:
@@ -326,10 +575,16 @@ class IcebergRestCatalogServer:
                     return self._commit_transaction()
                 if kind == "rename":
                     return self._rename_table()
+                if kind == "view-rename":
+                    return self._rename_view()
                 if kind == "namespaces":
                     return self._create_namespace()
                 if kind == "tables":
                     return self._create_table(ns)
+                if kind == "views":
+                    return self._create_view(ns)
+                if kind == "view":
+                    return self._commit_view(ns, name)
                 if kind != "table":
                     return self._error(400, f"unknown route {self.path}")
                 tdir = self._table_dir(ns, name)
@@ -597,6 +852,209 @@ class IcebergRestCatalogServer:
                 self.end_headers()
                 return None
 
+            def _create_view(self, ns: str):
+                """Spec CreateViewRequest: name + schema + view-version
+                (sql representations) + properties. The server assigns
+                version-id 1 / schema-id, stamps timestamp-ms, and
+                commits v1 through the same O_EXCL log as tables — a
+                concurrent creator loses the link(2) race with the
+                spec's 409 AlreadyExists."""
+                try:
+                    req = self._read_body()
+                    name = req["name"]
+                    if not isinstance(name, str) or not name:
+                        raise ValueError("name must be a non-empty string")
+                    schema = dict(req["schema"])
+                    schema.setdefault("type", "struct")
+                    schema.setdefault("schema-id", 0)
+                    if not isinstance(schema["fields"], list):
+                        raise ValueError("schema.fields must be a list")
+                    vv = dict(req["view-version"])
+                    vv["schema-id"] = int(schema["schema-id"])
+                    _validate_view_version(
+                        vv, {int(schema["schema-id"])}
+                    )
+                    properties = dict(req.get("properties") or {})
+                except (ValueError, KeyError, TypeError,
+                        AttributeError, json.JSONDecodeError):
+                    return self._error(400, "invalid CreateViewRequest")
+                root = os.path.realpath(outer.root)
+                ns_dir = os.path.realpath(os.path.join(root, ns))
+                if not ns_dir.startswith(
+                    root + os.sep
+                ) or not os.path.isdir(ns_dir):
+                    return self._error(404, f"namespace {ns!r}")
+                vdir = os.path.realpath(os.path.join(ns_dir, name))
+                if (
+                    not vdir.startswith(ns_dir + os.sep)
+                    or os.path.dirname(vdir) != ns_dir
+                ):
+                    return self._error(400, f"invalid view name {name!r}")
+                # tables and views share one identifier space (spec:
+                # a view must not shadow a table and vice versa)
+                if _is_iceberg_view(vdir) or _is_iceberg_table(vdir):
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": f"{ns}.{name} exists",
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                now = int(time.time() * 1000)
+                vv["version-id"] = 1
+                vv.setdefault("timestamp-ms", now)
+                vv.setdefault("summary", {})
+                vv.setdefault("default-namespace", [ns])
+                md = {
+                    "view-uuid": str(uuid.uuid4()),
+                    "format-version": 1,
+                    "location": vdir,
+                    "schemas": [schema],
+                    "current-version-id": 1,
+                    "versions": [vv],
+                    "version-log": [
+                        {"timestamp-ms": now, "version-id": 1}
+                    ],
+                    "properties": properties,
+                }
+                try:
+                    _commit_view_metadata(vdir, md, 1)
+                except FileExistsError:
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": f"view {ns}.{name} exists",
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                return self._json(
+                    200,
+                    {
+                        "metadata-location": _current_view_metadata_file(
+                            vdir
+                        ),
+                        "metadata": md,
+                        "config": {},
+                    },
+                )
+
+            def _commit_view(self, ns: str, name: str):
+                """Spec CommitViewRequest (POST the view route):
+                assert-view-uuid requirement + update actions applied
+                to a copy of the TERMINAL metadata version, then CAS'd
+                in — concurrent committers get the retryable 409."""
+                vdir = self._view_dir(ns, name)
+                if vdir is None:
+                    return self._error(404, f"view {ns}.{name} not found")
+                try:
+                    req = self._read_body()
+                except (ValueError, json.JSONDecodeError):
+                    return self._error(400, "invalid CommitViewRequest")
+                files = _view_metadata_files(vdir)
+                cur_version, fname = files[-1]
+                old_file = os.path.join(vdir, "metadata", fname)
+                with open(old_file) as f:
+                    md = json.load(f)
+                now_ms = int(time.time() * 1000)
+                try:
+                    _check_view_requirements(
+                        md, req.get("requirements") or []
+                    )
+                    new_md = _apply_view_updates(
+                        md, req.get("updates") or [], now_ms
+                    )
+                except CommitConflict as exc:
+                    return self._409(str(exc))
+                except (ValueError, KeyError, TypeError) as exc:
+                    return self._error(
+                        400, f"bad view commit request: {exc}"
+                    )
+                try:
+                    _commit_view_metadata(vdir, new_md, cur_version + 1)
+                except FileExistsError:
+                    return self._409(
+                        f"view metadata version {cur_version + 1} "
+                        "was committed concurrently"
+                    )
+                return self._json(
+                    200,
+                    {
+                        "metadata-location": _current_view_metadata_file(
+                            vdir
+                        ),
+                        "metadata": new_md,
+                        "config": {},
+                    },
+                )
+
+            def _rename_view(self):
+                """Spec RenameViewRequest (POST /v1/views/rename):
+                same contract as table rename — source view must exist
+                (404), destination namespace must exist (404),
+                destination name must be free of BOTH views and tables
+                (409 AlreadyExists); rename(2) inside the confined
+                root is the atomic move."""
+                try:
+                    req = self._read_body()
+                    s, d = req["source"], req["destination"]
+                    s_ns, s_name = s["namespace"][0], s["name"]
+                    d_ns, d_name = d["namespace"][0], d["name"]
+                    for part in (s_ns, s_name, d_ns, d_name):
+                        if not isinstance(part, str) or not part:
+                            raise ValueError(part)
+                except (ValueError, json.JSONDecodeError, KeyError,
+                        TypeError, IndexError):
+                    return self._error(400, "invalid RenameViewRequest")
+                src_dir = self._view_dir(s_ns, s_name)
+                if src_dir is None:
+                    return self._error(
+                        404, f"view {s_ns}.{s_name} not found"
+                    )
+                root = os.path.realpath(outer.root)
+                dns_dir = os.path.realpath(os.path.join(root, d_ns))
+                if (
+                    not dns_dir.startswith(root + os.sep)
+                    or os.path.dirname(dns_dir) != root
+                    or not os.path.isdir(dns_dir)
+                ):
+                    return self._error(
+                        404, f"namespace {d_ns!r} not found"
+                    )
+                dst_dir = os.path.realpath(
+                    os.path.join(dns_dir, d_name)
+                )
+                if (
+                    not dst_dir.startswith(dns_dir + os.sep)
+                    or os.path.dirname(dst_dir) != dns_dir
+                ):
+                    return self._error(400, f"invalid name {d_name!r}")
+                if os.path.exists(dst_dir):
+                    return self._json(
+                        409,
+                        {
+                            "error": {
+                                "message": (
+                                    f"{d_ns}.{d_name} exists"
+                                ),
+                                "type": "AlreadyExistsException",
+                                "code": 409,
+                            }
+                        },
+                    )
+                try:
+                    os.rename(src_dir, dst_dir)
+                except OSError as exc:
+                    return self._error(500, f"rename failed: {exc}")
+                self.send_response(204)
+                self.end_headers()
+                return None
+
             def _create_namespace(self):
                 """Spec CreateNamespaceRequest: one directory level (a
                 flat catalog — nested namespaces would create tables
@@ -663,6 +1121,25 @@ class IcebergRestCatalogServer:
                         # 404, never a dropped connection
                         return self._error(
                             404, f"table {ns}.{name} not found"
+                        )
+                    except OSError as exc:
+                        return self._409(f"drop failed: {exc}")
+                    self.send_response(204)
+                    self.end_headers()
+                    return
+                if kind == "view":
+                    vdir = self._view_dir(ns, name)
+                    if vdir is None:
+                        return self._error(
+                            404, f"view {ns}.{name} not found"
+                        )
+                    import shutil as _shutil
+
+                    try:
+                        _shutil.rmtree(vdir)
+                    except FileNotFoundError:
+                        return self._error(
+                            404, f"view {ns}.{name} not found"
                         )
                     except OSError as exc:
                         return self._409(f"drop failed: {exc}")
@@ -773,8 +1250,9 @@ class IcebergRestCatalogServer:
                 # check for actual metadata VERSIONS, not a bare
                 # metadata/ dir — a crash between makedirs and the
                 # O_EXCL link must not brick the name; the link below
-                # stays the sole arbiter of the race
-                if t._metadata_files():
+                # stays the sole arbiter of the race. Views share the
+                # identifier space: a view at this name is a 409 too.
+                if t._metadata_files() or _is_iceberg_view(tdir):
                     return _exists_409()
                 now = int(_time.time() * 1000)
                 md = {
@@ -813,6 +1291,11 @@ class IcebergRestCatalogServer:
                 kind, ns, name = self._route()
                 if kind == "table":
                     code = 200 if self._table_dir(ns, name) else 404
+                    self.send_response(code)
+                    self.end_headers()
+                    return
+                if kind == "view":
+                    code = 200 if self._view_dir(ns, name) else 404
                     self.send_response(code)
                     self.end_headers()
                     return

@@ -1298,17 +1298,14 @@ PRIORITY: tuple[str, ...] = (
     # driver-checked. sequence_packing (green r1-r6) rotates out,
     # stays pytest-oracle-covered.
     "code_detect",
-    # Round-6 rotation (verdict r5 #3): slots 39-50 carry the LAST
-    # eight never-driver-checked rotatable queries
-    # (contamination_top_ngrams, corpus_mix_summary, packing_efficiency,
-    # sample_k_per_source, upsample_epochs, deltaprotocol_source_read,
-    # icebergprotocol_source_read, iceberg_bucket_pruning) — after this
-    # round every oracle-paired suite query has had >=1 green driver
-    # row (sketch_profile exempt, rows-only by design). Displaced
-    # r5-green rows (dedup_sentences, embedding_batch_ann,
-    # feature_scaling, stratified_sample, token_diversity, skew_report,
-    # doc_chunks, kmeans_clusters) remain pytest-oracle-covered.
-    "delta_dv_read",
+    # Round-9 rotation (verdict r8 #6): Iceberg REST catalog VIEWS —
+    # wire lifecycle (create -> CAS'd redefinition commit -> load) and
+    # the loaded representation executes on the engine; the oracle is
+    # the very SQL served over the wire. delta_dv_read (green r6-r8)
+    # rotates out, stays pytest-oracle-covered (flight_stream_read
+    # keeps DV'd-Delta reads and iceberg_v3_dv the DV codec in the
+    # top-50).
+    "rest_view_roundtrip",
     # Round-8 rotation: VARIANT round-trip through the protocol
     # (variantType feature; in-codegen variant_get extraction vs the
     # oracle's json_extract over the raw strings) — new this round.

@@ -862,6 +862,127 @@ def flight_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rest_view_roundtrip",
+    """
+    SELECT o_custkey AS cust,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def rest_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg REST catalog VIEWS end-to-end (round 9): the spec's
+    ``/v1/namespaces/{ns}/views`` lifecycle over a localhost catalog
+    server — CreateViewRequest (v1 with a draft SQL), then a
+    CommitViewRequest replacing the definition (add-view-version +
+    set-current-view-version -1, the spec's last-added sentinel,
+    CAS-guarded by assert-view-uuid), then LoadViewResult — and the
+    loaded current representation EXECUTES on the engine. The stored
+    SQL is dialect-portable ANSI (decimal-exact sum), so the oracle is
+    the very string served over the wire: what the catalog returns is
+    what both engines compute."""
+    import json as _json
+    import urllib.request as _rq
+
+    from featureform_spark.serving.rest_catalog import (
+        IcebergRestCatalogServer,
+    )
+
+    view_sql = (
+        "SELECT o_custkey AS cust,\n"
+        "       count(*) AS n_orders,\n"
+        "       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+        " AS total_spend\n"
+        "FROM orders\n"
+        "GROUP BY o_custkey"
+    )
+    root = _scratch(sf_dir, "rest_views_root")
+    Path(root, "analytics").mkdir(parents=True, exist_ok=True)
+    server = IcebergRestCatalogServer(root)
+
+    def _post(path: str, payload: dict) -> dict:
+        req = _rq.Request(
+            f"http://127.0.0.1:{server.port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with _rq.urlopen(req) as r:
+            return _json.loads(r.read())
+
+    try:
+        created = _post(
+            "/v1/namespaces/analytics/views",
+            {
+                "name": "cust_totals",
+                "schema": {
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "cust", "required": False,
+                         "type": "long"},
+                        {"id": 2, "name": "n_orders", "required": False,
+                         "type": "long"},
+                        {"id": 3, "name": "total_spend",
+                         "required": False, "type": "double"},
+                    ],
+                },
+                "view-version": {
+                    "representations": [
+                        {"type": "sql",
+                         "sql": "SELECT 1 AS draft",
+                         "dialect": "spark"}
+                    ],
+                },
+                "properties": {"comment": "per-customer order totals"},
+            },
+        )
+        _post(
+            "/v1/namespaces/analytics/views/cust_totals",
+            {
+                "requirements": [
+                    {"type": "assert-view-uuid",
+                     "uuid": created["metadata"]["view-uuid"]}
+                ],
+                "updates": [
+                    {"action": "add-view-version", "view-version": {
+                        "schema-id": 0,
+                        "representations": [
+                            {"type": "sql", "sql": view_sql,
+                             "dialect": "spark"}
+                        ]}},
+                    {"action": "set-current-view-version",
+                     "view-version-id": -1},
+                ],
+            },
+        )
+        with _rq.urlopen(
+            f"http://127.0.0.1:{server.port}"
+            "/v1/namespaces/analytics/views/cust_totals"
+        ) as r:
+            md = _json.loads(r.read())["metadata"]
+    finally:
+        server.shutdown()
+    cur = next(
+        v for v in md["versions"]
+        if v["version-id"] == md["current-version-id"]
+    )
+    sql = next(
+        r["sql"] for r in cur["representations"]
+        if r["type"] == "sql" and r["dialect"] == "spark"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    try:
+        # spark.sql analyzes eagerly: the temp view's plan is inlined
+        # into the analyzed plan, so dropping the name afterwards
+        # leaves the returned DataFrame executable
+        return spark.sql(sql)
+    finally:
+        spark.catalog.dropTempView("orders")
+
+
+@query(
     "iceberg_v3_dv",
     """
     SELECT event_id, user_id, event_type, value

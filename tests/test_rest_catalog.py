@@ -750,3 +750,347 @@ def test_rename_table(spark, sf_dir, tmp_path):
         assert code == 400
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# views (spec /v1/namespaces/{ns}/views family): create / list / load /
+# commit (CAS) / rename / drop — the table endpoints' mirror matrix
+# ---------------------------------------------------------------------------
+
+
+def _mkview(server, ns, name, sql="SELECT 1 AS x", dialect="spark"):
+    return _post(server, f"/v1/namespaces/{ns}/views", {
+        "name": name,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "x", "required": False, "type": "long"}]},
+        "view-version": {
+            "representations": [
+                {"type": "sql", "sql": sql, "dialect": dialect}],
+        },
+        "properties": {"comment": "test view"},
+    })
+
+
+def test_view_lifecycle(tmp_path):
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        code, _ = _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        assert code == 200
+        # create
+        code, res = _mkview(server, "a", "v1",
+                            "SELECT o_orderkey FROM orders")
+        assert code == 200
+        md = res["metadata"]
+        assert md["format-version"] == 1
+        assert md["current-version-id"] == 1
+        assert len(md["versions"]) == 1
+        rep = md["versions"][0]["representations"][0]
+        assert rep == {"type": "sql",
+                       "sql": "SELECT o_orderkey FROM orders",
+                       "dialect": "spark"}
+        assert os.path.isfile(res["metadata-location"])
+        # duplicate create -> 409
+        code, res = _mkview(server, "a", "v1")
+        assert code == 409
+        assert res["error"]["type"] == "AlreadyExistsException"
+        # list: views route sees it, tables route does NOT
+        assert _get(server, "/v1/namespaces/a/views")["identifiers"] == [
+            {"namespace": ["a"], "name": "v1"}]
+        assert _get(server, "/v1/namespaces/a/tables")["identifiers"] == []
+        # load + HEAD
+        loaded = _get(server, "/v1/namespaces/a/views/v1")
+        assert loaded["metadata"]["view-uuid"] == md["view-uuid"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/namespaces/a/views/v1",
+            method="HEAD")
+        assert urllib.request.urlopen(req).status == 200
+        # commit: replace the SQL (add-view-version + set-current -1)
+        code, res = _post(server, "/v1/namespaces/a/views/v1", {
+            "requirements": [
+                {"type": "assert-view-uuid", "uuid": md["view-uuid"]}],
+            "updates": [
+                {"action": "set-properties",
+                 "updates": {"owner": "etl"}},
+                {"action": "add-view-version", "view-version": {
+                    "schema-id": 0,
+                    "representations": [{
+                        "type": "sql",
+                        "sql": "SELECT o_orderkey FROM orders WHERE "
+                               "o_totalprice > 0",
+                        "dialect": "spark"}]}},
+                {"action": "set-current-view-version",
+                 "view-version-id": -1},
+            ],
+        })
+        assert code == 200, res
+        md2 = res["metadata"]
+        assert md2["current-version-id"] == 2
+        assert len(md2["versions"]) == 2
+        assert md2["properties"]["owner"] == "etl"
+        assert [e["version-id"] for e in md2["version-log"]] == [1, 2]
+        # reload reflects the commit
+        again = _get(server, "/v1/namespaces/a/views/v1")["metadata"]
+        assert again["current-version-id"] == 2
+        # drop
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/namespaces/a/views/v1",
+            method="DELETE")
+        assert urllib.request.urlopen(req).status == 204
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, "/v1/namespaces/a/views/v1")
+        assert ei.value.code == 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/namespaces/a/views/v1",
+            method="HEAD")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_view_commit_cas_and_bad_requests(tmp_path):
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        code, res = _mkview(server, "a", "v")
+        assert code == 200
+        uuid_ok = res["metadata"]["view-uuid"]
+        # stale uuid -> spec 409 CommitFailedException
+        code, res = _post(server, "/v1/namespaces/a/views/v", {
+            "requirements": [
+                {"type": "assert-view-uuid", "uuid": "not-the-uuid"}],
+            "updates": [{"action": "set-properties", "updates": {"k": "1"}}],
+        })
+        assert code == 409
+        assert res["error"]["type"] == "CommitFailedException"
+        # unknown requirement / update action -> 400
+        code, _ = _post(server, "/v1/namespaces/a/views/v", {
+            "requirements": [{"type": "assert-ref-snapshot-id",
+                              "ref": "main", "snapshot-id": 1}],
+        })
+        assert code == 400
+        code, _ = _post(server, "/v1/namespaces/a/views/v", {
+            "updates": [{"action": "add-snapshot", "snapshot": {}}],
+        })
+        assert code == 400
+        # add-view-version against an unknown schema -> 400
+        code, _ = _post(server, "/v1/namespaces/a/views/v", {
+            "updates": [{"action": "add-view-version", "view-version": {
+                "schema-id": 99,
+                "representations": [{"type": "sql", "sql": "SELECT 1",
+                                     "dialect": "spark"}]}}],
+        })
+        assert code == 400
+        # set-current to an unknown version -> 400
+        code, _ = _post(server, "/v1/namespaces/a/views/v", {
+            "updates": [{"action": "set-current-view-version",
+                         "view-version-id": 42}],
+        })
+        assert code == 400
+        # -1 sentinels without the matching add in the same commit -> 400
+        code, _ = _post(server, "/v1/namespaces/a/views/v", {
+            "updates": [{"action": "set-current-view-version",
+                         "view-version-id": -1}],
+        })
+        assert code == 400
+        # malformed create bodies -> 400 (missing representations /
+        # non-sql representation / missing schema)
+        code, _ = _post(server, "/v1/namespaces/a/views", {
+            "name": "bad1",
+            "schema": {"fields": []},
+            "view-version": {"representations": []},
+        })
+        assert code == 400
+        code, _ = _post(server, "/v1/namespaces/a/views", {
+            "name": "bad2",
+            "schema": {"fields": []},
+            "view-version": {"representations": [
+                {"type": "python", "code": "x"}]},
+        })
+        assert code == 400
+        code, _ = _post(server, "/v1/namespaces/a/views", {
+            "name": "bad3",
+            "view-version": {"representations": [
+                {"type": "sql", "sql": "SELECT 1", "dialect": "spark"}]},
+        })
+        assert code == 400
+        # create into a missing namespace -> 404
+        code, _ = _mkview(server, "ghost", "v")
+        assert code == 404
+        # a valid commit with the right uuid still lands (CAS advanced
+        # only by the successful path)
+        code, res = _post(server, "/v1/namespaces/a/views/v", {
+            "requirements": [
+                {"type": "assert-view-uuid", "uuid": uuid_ok}],
+            "updates": [{"action": "set-properties", "updates": {"k": "1"}}],
+        })
+        assert code == 200 and res["metadata"]["properties"]["k"] == "1"
+    finally:
+        server.shutdown()
+
+
+def test_view_concurrent_commit_conflict(tmp_path, monkeypatch):
+    """A committer that lands between the server's metadata fold and
+    its link(2) wins the O_EXCL race: the view commit must observe
+    FileExistsError and answer the spec's retryable 409, not
+    overwrite — the table-side race test's mirror. (A version linked
+    BEFORE the fold is simply the new base: the server builds v+1 on
+    the terminal file, so only the in-window race can conflict.)"""
+    import featureform_spark.serving.rest_catalog as rc
+
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        code, res = _mkview(server, "a", "v")
+        assert code == 200
+        orig = rc._commit_view_metadata
+
+        def racing(path, md, version):
+            target = os.path.join(
+                path, "metadata", f"v{version}.view-metadata.json"
+            )
+            if not os.path.exists(target):  # the concurrent winner
+                with open(target, "w") as f:
+                    json.dump(md, f)
+            return orig(path, md, version)
+
+        monkeypatch.setattr(rc, "_commit_view_metadata", racing)
+        code, res = _post(server, "/v1/namespaces/a/views/v", {
+            "updates": [{"action": "set-properties", "updates": {"k": "1"}}],
+        })
+        assert code == 409
+        assert "concurrently" in res["error"]["message"]
+    finally:
+        server.shutdown()
+
+
+def test_view_table_shared_identifier_space(tmp_path):
+    """Spec: tables and views share one identifier space — creating
+    either over the other is 409 AlreadyExists, and renames refuse an
+    occupied destination regardless of its kind."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        code, _ = _post(server, "/v1/namespaces/a/tables", {
+            "name": "t",
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 200
+        code, res = _mkview(server, "a", "t")  # view over table
+        assert code == 409
+        assert res["error"]["type"] == "AlreadyExistsException"
+        code, _ = _mkview(server, "a", "v")
+        assert code == 200
+        code, res = _post(server, "/v1/namespaces/a/tables", {
+            "name": "v",  # table over view
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 409
+        assert res["error"]["type"] == "AlreadyExistsException"
+        # table list shows only t; view list only v
+        assert _get(server, "/v1/namespaces/a/tables")["identifiers"] == [
+            {"namespace": ["a"], "name": "t"}]
+        assert _get(server, "/v1/namespaces/a/views")["identifiers"] == [
+            {"namespace": ["a"], "name": "v"}]
+        # view rename onto the table name -> 409
+        code, res = _post(server, "/v1/views/rename", {
+            "source": {"namespace": ["a"], "name": "v"},
+            "destination": {"namespace": ["a"], "name": "t"},
+        })
+        assert code == 409
+        # table rename onto the view name -> 409
+        code, res = _post(server, "/v1/tables/rename", {
+            "source": {"namespace": ["a"], "name": "t"},
+            "destination": {"namespace": ["a"], "name": "v"},
+        })
+        assert code == 409
+    finally:
+        server.shutdown()
+
+
+def test_view_rename(tmp_path):
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        _post(server, "/v1/namespaces", {"namespace": ["b"]})
+        code, _ = _mkview(server, "a", "v1")
+        assert code == 200
+
+        def rename(s_ns, s_name, d_ns, d_name):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/v1/views/rename",
+                data=json.dumps({
+                    "source": {"namespace": [s_ns], "name": s_name},
+                    "destination": {"namespace": [d_ns], "name": d_name},
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, None
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read() or b"{}")
+
+        def loads(path):
+            try:
+                _get(server, path)
+                return 200
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        code, _ = rename("a", "v1", "a", "v2")
+        assert code == 204
+        assert loads("/v1/namespaces/a/views/v2") == 200
+        assert loads("/v1/namespaces/a/views/v1") == 404
+        code, _ = rename("a", "v2", "b", "v3")
+        assert code == 204
+        assert loads("/v1/namespaces/b/views/v3") == 200
+        code, _ = rename("a", "ghost", "b", "x")
+        assert code == 404
+        code, _ = rename("b", "v3", "nope", "x")
+        assert code == 404
+        code, _ = _mkview(server, "a", "occupied")
+        assert code == 200
+        code, res = rename("b", "v3", "a", "occupied")
+        assert code == 409 and res["error"]["type"] == "AlreadyExistsException"
+        assert loads("/v1/namespaces/b/views/v3") == 200  # untouched
+        code, _ = rename("b", "v3", "a", "../evil")
+        assert code == 400
+        code, _ = _post(server, "/v1/views/rename", {"source": "x"})
+        assert code == 400
+    finally:
+        server.shutdown()
+
+
+def test_view_sql_executes_on_engine(spark, sf_dir, tmp_path):
+    """The P2-style payoff: a client loads the view over the wire and
+    runs its current sql representation on the engine — results match
+    running the SQL directly."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        sql = ("SELECT o_custkey, sum(o_totalprice) AS total FROM orders "
+               "GROUP BY o_custkey")
+        code, _ = _mkview(server, "a", "cust_totals", sql)
+        assert code == 200
+        loaded = _get(server, "/v1/namespaces/a/views/cust_totals")
+        md = loaded["metadata"]
+        cur = next(v for v in md["versions"]
+                   if v["version-id"] == md["current-version-id"])
+        rep = next(r for r in cur["representations"]
+                   if r["type"] == "sql" and r["dialect"] == "spark")
+        _orders(spark, sf_dir).selectExpr(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).createOrReplaceTempView("orders")
+        try:
+            got = sorted(map(tuple, spark.sql(rep["sql"]).collect()))
+            want = sorted(map(tuple, spark.sql(sql).collect()))
+        finally:
+            spark.catalog.dropTempView("orders")
+        assert got == want and len(got) > 0
+    finally:
+        server.shutdown()
