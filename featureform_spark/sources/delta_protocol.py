@@ -154,6 +154,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "typeWidening",  # widen_column validates transitions + history
     "clustering",  # cluster_by create + OPTIMIZE recluster + ALTER
     "variantType",  # VARIANT columns written via the Spark scan path
+    "allowColumnDefaults",  # omitted columns filled from CURRENT_DEFAULT
 }
 
 
@@ -996,6 +997,14 @@ class DeltaProtocolTable:
             if f_.name in have:
                 raise DeltaProtocolError(
                     f"column {f_.name!r} already exists"
+                )
+            if (f_.metadata or {}).get("CURRENT_DEFAULT"):
+                # spec: defaults may only be SET on existing columns —
+                # a new column's default could not be served for
+                # pre-existing files (Delta has no initial-default)
+                raise DeltaProtocolError(
+                    f"cannot add column {f_.name!r} with a default "
+                    "value; add it first, then set_column_default"
                 )
             fj = T.StructField(f_.name, f_.dataType, True).jsonValue()
             if mapped:
@@ -2317,6 +2326,130 @@ class DeltaProtocolTable:
         self._commit(0, actions, "CREATE TABLE AS SELECT")
         return 0
 
+    def _apply_column_defaults(self, st: _State, df: DataFrame) -> DataFrame:
+        """The ``allowColumnDefaults`` writer requirement (PROTOCOL.md
+        §Column Default Values, delta-spark's ALTER COLUMN SET
+        DEFAULT): a write that OMITS a column carrying a
+        ``CURRENT_DEFAULT`` expression writes the default value for
+        every row instead of refusing. Provided columns always win —
+        defaults never overwrite explicit values (including explicit
+        NULLs). Runs BEFORE generated columns so generation
+        expressions can reference defaulted columns."""
+        defaults = [
+            (f, (f.metadata or {}).get("CURRENT_DEFAULT"))
+            for f in st.schema.fields
+        ]
+        defaults = [
+            (f, d) for f, d in defaults if d and f.name not in df.columns
+        ]
+        for f, d in defaults:
+            df = df.withColumn(f.name, F.expr(d).cast(f.dataType))
+        return df
+
+    def set_column_default(self, name: str, expr: str) -> int:
+        """ALTER TABLE ALTER COLUMN ... SET DEFAULT: stamps the SQL
+        expression into the field's ``CURRENT_DEFAULT`` metadata and
+        enables the ``allowColumnDefaults`` writer feature (writer-only
+        — readers are unaffected, existing files simply lack the
+        column and read NULL). Delta defaults are WRITE-time only:
+        changing the default affects future omitted-column writes, and
+        values already materialized in files never change.
+
+        The expression must be self-contained (no column references)
+        and cast-compatible with the column type — both validated here
+        by analyzing ``SELECT (expr)`` with the cast, so a typo fails
+        the ALTER, not some later append. Spec restriction: defaults
+        may only be ADDED to existing columns; ``add_columns`` refuses
+        fields that arrive with one (existing files could not serve
+        it — that is Iceberg ``initial-default`` territory, which
+        Delta does not have)."""
+        if self.spark is None:
+            raise DeltaProtocolError(
+                "set_column_default needs a Spark session to validate "
+                "the default expression"
+            )
+        st = self.state()
+        self._write_guard(st, None, "WRITE")
+        sj = json.loads(st.metadata["schemaString"])
+        field = next((f for f in sj["fields"] if f["name"] == name), None)
+        if field is None:
+            raise DeltaProtocolError(f"no column {name!r}")
+        md = dict(field.get("metadata") or {})
+        if any(k.startswith("delta.identity.") for k in md):
+            raise DeltaProtocolError(
+                f"column {name!r} is an identity column; the allocator "
+                "supplies its values — a default cannot apply"
+            )
+        if md.get("delta.generationExpression"):
+            raise DeltaProtocolError(
+                f"column {name!r} is a generated column; its expression "
+                "supplies omitted values — a default cannot apply"
+            )
+        spark_field = next(
+            f for f in st.schema.fields if f.name == name
+        )
+        try:
+            # standalone analysis proves the expression references no
+            # columns (the probe row has ZERO columns — range(1) would
+            # let a stray `id` reference slip through); the cast proves
+            # type compatibility
+            self.spark.range(1).select().select(
+                F.expr(expr).cast(spark_field.dataType)
+            ).first()
+        except Exception as exc:  # noqa: BLE001 — surface analysis errors
+            raise DeltaProtocolError(
+                f"invalid default for {name!r}: {expr!r} must be a "
+                f"self-contained expression castable to "
+                f"{spark_field.dataType.simpleString()} ({exc})"
+            ) from None
+        md["CURRENT_DEFAULT"] = expr
+        field["metadata"] = md
+        meta = dict(st.metadata)
+        meta["schemaString"] = json.dumps(sj)
+        actions: list[dict] = []
+        proto = st.protocol or {}
+        wfeats = set(proto.get("writerFeatures") or [])
+        if "allowColumnDefaults" not in wfeats:
+            old_writer = int(proto.get("minWriterVersion", 1))
+            new_proto = {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    wfeats
+                    | _legacy_writer_features(old_writer)
+                    | {"allowColumnDefaults"}
+                ),
+            }
+            if proto.get("readerFeatures") is not None:
+                new_proto["readerFeatures"] = proto["readerFeatures"]
+            actions.append({"protocol": new_proto})
+        actions.append({"metaData": meta})
+        v = st.version + 1
+        self._commit(v, actions, "CHANGE COLUMN")
+        return v
+
+    def drop_column_default(self, name: str) -> int:
+        """ALTER COLUMN ... DROP DEFAULT: after this, a write that
+        omits the column goes back to materializing nothing (rows read
+        NULL); the feature flag stays in the protocol — features are
+        never removed."""
+        st = self.state()
+        self._write_guard(st, None, "WRITE")
+        sj = json.loads(st.metadata["schemaString"])
+        field = next((f for f in sj["fields"] if f["name"] == name), None)
+        if field is None:
+            raise DeltaProtocolError(f"no column {name!r}")
+        md = dict(field.get("metadata") or {})
+        if "CURRENT_DEFAULT" not in md:
+            raise DeltaProtocolError(f"column {name!r} has no default")
+        md.pop("CURRENT_DEFAULT")
+        field["metadata"] = md
+        meta = dict(st.metadata)
+        meta["schemaString"] = json.dumps(sj)
+        v = st.version + 1
+        self._commit(v, [{"metaData": meta}], "CHANGE COLUMN")
+        return v
+
     def _apply_generated_columns(self, st: _State, df: DataFrame) -> DataFrame:
         """Compute ``delta.generationExpression`` columns the writer
         omitted and VALIDATE the ones it provided (one aggregate pass,
@@ -2544,7 +2677,9 @@ class DeltaProtocolTable:
         attempt so a concurrent replay of the same stream batch still
         no-ops. Data files are written once; only the commit retries."""
         st = self.state()
-        raw_df = self._apply_generated_columns(st, df)
+        raw_df = self._apply_generated_columns(
+            st, self._apply_column_defaults(st, df)
+        )
         df, ident_meta, ident_gen = self._apply_identity_columns(
             st, raw_df
         )
@@ -2716,6 +2851,24 @@ class DeltaProtocolTable:
                     "insert=True would take source-supplied identity "
                     "values; merge on a business key or pass "
                     "insert=False"
+                )
+        if insert:
+            omitted_defaults = [
+                f.name
+                for f in schema.fields
+                if (f.metadata or {}).get("CURRENT_DEFAULT")
+                and f.name not in source.columns
+            ]
+            if omitted_defaults:
+                # inserted rows would silently take NULL where the
+                # allowColumnDefaults contract promises the default —
+                # refuse with the fix spelled out (the append path
+                # fills defaults; MERGE sources must carry the column)
+                raise UnsupportedTableFeatureError(
+                    f"MERGE source omits column(s) {omitted_defaults} "
+                    "which carry a CURRENT_DEFAULT; add them to the "
+                    "source (e.g. selectExpr with the default) or run "
+                    "with insert=False"
                 )
         ident_alloc = [
             n for n in ident_names if n not in source.columns
@@ -3221,7 +3374,9 @@ class DeltaProtocolTable:
 
     def overwrite(self, df: DataFrame) -> int:
         st = self.state()
-        df = self._apply_generated_columns(st, df)
+        df = self._apply_generated_columns(
+            st, self._apply_column_defaults(st, df)
+        )
         self._write_guard(st, df, "WRITE-OVERWRITE")
         adds = self._write_files(
             df,

@@ -1335,7 +1335,13 @@ PRIORITY: tuple[str, ...] = (
     # sample_k_per_source (green r6-r7) rotates out, stays
     # pytest-oracle-covered.
     "delta_identity_append",
-    "deltaprotocol_source_read",
+    # Round-9 rotation: Delta column DEFAULT values (allowColumnDefaults
+    # writer feature — write-time materialization of omitted columns,
+    # CURRENT_DEFAULT re-set mid-stream, explicit values win) — new
+    # this round. deltaprotocol_source_read (green r6-r8) rotates out,
+    # stays pytest-oracle-covered (test_deltaprotocol_datasource.py
+    # keeps the Python Data Source surface).
+    "delta_column_defaults",
     # Round-8 rotation: rollback_to_snapshot lifecycle (one metadata
     # CAS drops the bad append; the oracle proves the abandoned slice
     # never reappears) — new this round. icebergprotocol_source_read

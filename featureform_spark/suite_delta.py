@@ -862,6 +862,56 @@ def flight_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_column_defaults",
+    """
+    SELECT event_id, user_id, value
+    FROM events WHERE event_id % 4 IN (0, 3)
+    UNION ALL
+    SELECT event_id, user_id, CAST(-1.0 AS DOUBLE) AS value
+    FROM events WHERE event_id % 4 = 1
+    UNION ALL
+    SELECT event_id, user_id, CAST(99.5 AS DOUBLE) AS value
+    FROM events WHERE event_id % 4 = 2
+    """,
+)
+def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column DEFAULT values (PROTOCOL.md §Column Default
+    Values, the ``allowColumnDefaults`` writer feature; delta-spark's
+    ALTER COLUMN SET DEFAULT): writes that omit a defaulted column
+    materialize the CURRENT_DEFAULT expression at write time —
+    defaults are write-time only, so re-setting the default changes
+    FUTURE omitted writes while already-materialized values stay; the
+    final append carries the column explicitly and wins over the
+    default. Lifecycle: explicit create → SET DEFAULT -1.0 → omitted
+    append → SET DEFAULT 99.5 → omitted append → DROP DEFAULT →
+    explicit append."""
+    from featureform_spark.sources.delta_protocol import (
+        DeltaProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    t = DeltaProtocolTable(spark, _scratch(sf_dir, "column_defaults"))
+    t.create(events.filter(F.col("event_id") % 4 == 0))     # v0 explicit
+    t.set_column_default("value", "CAST(-1.0 AS DOUBLE)")
+    t.append(                                               # -1.0 fills
+        events.filter(F.col("event_id") % 4 == 1).select(
+            "event_id", "user_id"
+        )
+    )
+    t.set_column_default("value", "CAST(99.5 AS DOUBLE)")
+    t.append(                                               # 99.5 fills
+        events.filter(F.col("event_id") % 4 == 2).select(
+            "event_id", "user_id"
+        )
+    )
+    t.drop_column_default("value")
+    t.append(events.filter(F.col("event_id") % 4 == 3))     # explicit
+    return t.snapshot()
+
+
+@query(
     "rest_view_roundtrip",
     """
     SELECT o_custkey AS cust,
