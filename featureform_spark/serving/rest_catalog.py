@@ -58,6 +58,56 @@ _VIEW_SUFFIX = ".view-metadata.json"
 _VIEW_HINT = "view-version-hint.text"
 
 
+class _BadPageRequest(Exception):
+    """Malformed pageToken / pageSize on a list endpoint."""
+
+
+def _paginate(names: list[str], query: str) -> tuple[list[str], str | None]:
+    """Spec list-endpoint pagination: ``pageSize`` caps the page,
+    ``pageToken`` is an opaque cursor. The token encodes the last
+    name already returned (exclusive lower bound, base64), so pages
+    stay consistent under concurrent creates/drops — a name added
+    behind the cursor is simply absent from this walk, never a
+    duplicate or a skip of unrelated entries. Returns
+    ``(page, next_token_or_None)``; ``names`` must be sorted."""
+    import base64
+    import binascii
+    from urllib.parse import parse_qs
+
+    q = parse_qs(query, keep_blank_values=True)
+    size_raw = q.get("pageSize", [None])[0]
+    token_raw = q.get("pageToken", [None])[0]
+    size: int | None = None
+    if size_raw not in (None, ""):
+        try:
+            size = int(size_raw)
+        except ValueError:
+            raise _BadPageRequest(f"invalid pageSize {size_raw!r}") from None
+        if size <= 0:
+            raise _BadPageRequest(f"invalid pageSize {size_raw!r}")
+    start = 0
+    if token_raw:  # empty string = first page, per spec
+        try:
+            after = base64.urlsafe_b64decode(
+                token_raw.encode()
+            ).decode()
+        except (binascii.Error, UnicodeDecodeError):
+            raise _BadPageRequest(
+                f"invalid pageToken {token_raw!r}"
+            ) from None
+        import bisect
+
+        start = bisect.bisect_right(names, after)
+    if size is None and not token_raw:
+        return names, None  # unpaginated client: whole listing
+    size = size or len(names) or 1
+    page = names[start : start + size]
+    nxt = None
+    if start + size < len(names) and page:
+        nxt = base64.urlsafe_b64encode(page[-1].encode()).decode()
+    return page, nxt
+
+
 def _view_metadata_files(path: str) -> list[tuple[int, str]]:
     """``v<N>.view-metadata.json`` versions under ``<path>/metadata``.
     The suffix disambiguates views from tables sharing the same catalog
@@ -349,6 +399,87 @@ def _apply_view_updates(md: dict, updates: list[dict], now_ms: int) -> dict:
     return md
 
 
+def register_views(
+    spark,
+    base_url: str,
+    namespace: str,
+    dialect: str = "spark",
+    page_size: int = 100,
+) -> list[str]:
+    """Client-side consumption glue: walk a REST catalog's (paginated)
+    view listing and register each view's CURRENT ``dialect``
+    representation as a Spark temp view, so ``spark.sql`` resolves the
+    catalog's views by name. Table names inside the view SQL resolve
+    against the session as usual — register the base tables first.
+    Returns the view names registered; views with no representation in
+    ``dialect`` are skipped (vendor-neutral catalogs may carry several
+    dialects). Views referencing OTHER catalog views register in
+    dependency order regardless of listing order (spark.sql analyzes
+    at register time, so a fixpoint pass retries names whose
+    dependencies had not landed yet; a view that still fails once
+    every resolvable one is in re-raises its analysis error)."""
+    import urllib.parse
+    import urllib.request
+
+    base = base_url.rstrip("/")
+    pending: list[tuple[str, str]] = []
+    token = ""
+    while True:
+        url = (
+            f"{base}/v1/namespaces/{namespace}/views"
+            f"?pageSize={int(page_size)}"
+        )
+        if token:
+            url += f"&pageToken={urllib.parse.quote(token)}"
+        with urllib.request.urlopen(url) as r:
+            listing = json.loads(r.read())
+        for ident in listing.get("identifiers") or []:
+            name = ident["name"]
+            with urllib.request.urlopen(
+                f"{base}/v1/namespaces/{namespace}/views/"
+                f"{urllib.parse.quote(name)}"
+            ) as r:
+                md = json.loads(r.read())["metadata"]
+            cur = next(
+                v
+                for v in md["versions"]
+                if v["version-id"] == md["current-version-id"]
+            )
+            sql = next(
+                (
+                    rep["sql"]
+                    for rep in cur["representations"]
+                    if rep.get("type") == "sql"
+                    and rep.get("dialect") == dialect
+                ),
+                None,
+            )
+            if sql is not None:
+                pending.append((name, sql))
+        token = listing.get("next-page-token")
+        if not token:
+            break
+    registered: list[str] = []
+    while pending:
+        progressed = False
+        failures: list[tuple[str, str, Exception]] = []
+        for name, sql in pending:
+            try:
+                spark.sql(sql).createOrReplaceTempView(name)
+            except Exception as exc:  # noqa: BLE001 — retried at fixpoint
+                failures.append((name, sql, exc))
+                continue
+            registered.append(name)
+            progressed = True
+        if not failures:
+            break
+        if not progressed:
+            name, _sql, exc = failures[0]
+            raise exc  # unresolvable (missing base table / cycle)
+        pending = [(n, s) for n, s, _e in failures]
+    return registered
+
+
 class IcebergRestCatalogServer:
     """Serve ``<root>/<namespace>/<table>`` directories as an Iceberg
     REST catalog. Bind port 0 for ephemeral (read ``.port`` back)."""
@@ -428,6 +559,16 @@ class IcebergRestCatalogServer:
                     return None
                 return p if _is_iceberg_view(p) else None
 
+            def _page(self, names: list[str]):
+                """Apply spec pagination from this request's query
+                string; raises _BadPageRequest on malformed params."""
+                qs = (
+                    self.path.split("?", 1)[1]
+                    if "?" in self.path
+                    else ""
+                )
+                return _paginate(names, qs)
+
             def do_GET(self):
                 kind, ns, name = self._route()
                 if kind == "config":
@@ -440,9 +581,14 @@ class IcebergRestCatalogServer:
                         for d in os.listdir(outer.root)
                         if os.path.isdir(os.path.join(outer.root, d))
                     )
-                    return self._json(
-                        200, {"namespaces": [[d] for d in out]}
-                    )
+                    try:
+                        page, nxt = self._page(out)
+                    except _BadPageRequest as exc:
+                        return self._error(400, str(exc))
+                    body: dict = {"namespaces": [[d] for d in page]}
+                    if nxt:
+                        body["next-page-token"] = nxt
+                    return self._json(200, body)
                 if kind == "namespace":
                     root = os.path.realpath(outer.root)
                     ns_dir = os.path.realpath(os.path.join(root, ns))
@@ -460,12 +606,23 @@ class IcebergRestCatalogServer:
                         return self._error(404, f"namespace {ns!r}")
                     if not os.path.isdir(ns_dir):
                         return self._error(404, f"namespace {ns!r}")
-                    idents = [
-                        {"namespace": [ns], "name": t}
+                    names = [
+                        t
                         for t in sorted(os.listdir(ns_dir))
                         if _is_iceberg_table(os.path.join(ns_dir, t))
                     ]
-                    return self._json(200, {"identifiers": idents})
+                    try:
+                        page, nxt = self._page(names)
+                    except _BadPageRequest as exc:
+                        return self._error(400, str(exc))
+                    body = {
+                        "identifiers": [
+                            {"namespace": [ns], "name": t} for t in page
+                        ]
+                    }
+                    if nxt:
+                        body["next-page-token"] = nxt
+                    return self._json(200, body)
                 if kind == "views":
                     root = os.path.realpath(outer.root)
                     ns_dir = os.path.realpath(os.path.join(root, ns))
@@ -473,12 +630,23 @@ class IcebergRestCatalogServer:
                         root + os.sep
                     ) or not os.path.isdir(ns_dir):
                         return self._error(404, f"namespace {ns!r}")
-                    idents = [
-                        {"namespace": [ns], "name": v}
+                    names = [
+                        v
                         for v in sorted(os.listdir(ns_dir))
                         if _is_iceberg_view(os.path.join(ns_dir, v))
                     ]
-                    return self._json(200, {"identifiers": idents})
+                    try:
+                        page, nxt = self._page(names)
+                    except _BadPageRequest as exc:
+                        return self._error(400, str(exc))
+                    body = {
+                        "identifiers": [
+                            {"namespace": [ns], "name": v} for v in page
+                        ]
+                    }
+                    if nxt:
+                        body["next-page-token"] = nxt
+                    return self._json(200, body)
                 if kind == "view":
                     vdir = self._view_dir(ns, name)
                     if vdir is None:

@@ -1094,3 +1094,136 @@ def test_view_sql_executes_on_engine(spark, sf_dir, tmp_path):
         assert got == want and len(got) > 0
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# list pagination (spec pageToken/pageSize on the three list endpoints)
+# ---------------------------------------------------------------------------
+
+
+def _walk_pages(server, base, key):
+    """Follow next-page-token until exhaustion; return every item and
+    the page shapes."""
+    items, pages, token = [], [], ""
+    while True:
+        sep = "&" if "?" in base else "?"
+        url = base + (f"{sep}pageToken={token}" if token else "")
+        got = _get(server, url)
+        page = got[key]
+        pages.append(len(page))
+        items.extend(page)
+        token = got.get("next-page-token")
+        if not token:
+            return items, pages
+
+
+def test_list_pagination(tmp_path):
+    """pageSize caps every page; the opaque token walks the full
+    listing exactly once (no duplicates, no gaps) across namespaces,
+    tables, and views; a final short page carries no token."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        for i in range(5):
+            _post(server, "/v1/namespaces", {"namespace": [f"ns{i}"]})
+        for i in range(7):
+            code, _ = _post(server, "/v1/namespaces/ns0/tables", {
+                "name": f"t{i:02d}",
+                "schema": {"type": "struct", "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"}]},
+            })
+            assert code == 200
+        for i in range(7):
+            code, _ = _mkview(server, "ns0", f"v{i:02d}")
+            assert code == 200
+        # namespaces: 5 items, pages of 2 -> 2/2/1
+        items, pages = _walk_pages(
+            server, "/v1/namespaces?pageSize=2", "namespaces")
+        assert items == [[f"ns{i}"] for i in range(5)]
+        assert pages == [2, 2, 1]
+        # tables: 7 items, pages of 3 -> 3/3/1, views untouched
+        items, pages = _walk_pages(
+            server, "/v1/namespaces/ns0/tables?pageSize=3", "identifiers")
+        assert [x["name"] for x in items] == [f"t{i:02d}" for i in range(7)]
+        assert pages == [3, 3, 1]
+        # views: same walk on the views route
+        items, pages = _walk_pages(
+            server, "/v1/namespaces/ns0/views?pageSize=3", "identifiers")
+        assert [x["name"] for x in items] == [f"v{i:02d}" for i in range(7)]
+        assert pages == [3, 3, 1]
+        # no pagination params: the whole listing, no token
+        got = _get(server, "/v1/namespaces/ns0/tables")
+        assert len(got["identifiers"]) == 7
+        assert "next-page-token" not in got
+        # exact-multiple boundary: 7 items, size 7 -> one page, no token
+        got = _get(server, "/v1/namespaces/ns0/tables?pageSize=7")
+        assert len(got["identifiers"]) == 7
+        assert "next-page-token" not in got
+        # a drop BEHIND the cursor never duplicates or skips ahead
+        got = _get(server, "/v1/namespaces/ns0/views?pageSize=3")
+        token = got["next-page-token"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/namespaces/ns0/views/v00",
+            method="DELETE")
+        assert urllib.request.urlopen(req).status == 204
+        got2 = _get(
+            server,
+            f"/v1/namespaces/ns0/views?pageSize=10&pageToken={token}")
+        assert [x["name"] for x in got2["identifiers"]] == [
+            f"v{i:02d}" for i in range(3, 7)]
+        # malformed params -> 400
+        for bad in ("pageSize=0", "pageSize=-1", "pageSize=abc",
+                    "pageToken=%21%21notb64%21%21"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _get(server, f"/v1/namespaces/ns0/tables?{bad}")
+            assert ei.value.code == 400, bad
+    finally:
+        server.shutdown()
+
+
+def test_register_views_into_session(spark, sf_dir, tmp_path):
+    """Client glue: register_views walks the paginated listing and
+    makes every catalog view a session temp view spark.sql can
+    resolve — views over views work, non-spark dialects are skipped."""
+    from featureform_spark.serving.rest_catalog import register_views
+
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        _orders(spark, sf_dir).createOrReplaceTempView("orders")
+        code, _ = _mkview(
+            server, "a", "big_orders",
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 1000")
+        assert code == 200
+        code, _ = _mkview(
+            server, "a", "big_count",
+            "SELECT count(*) AS n FROM big_orders")
+        assert code == 200
+        code, _ = _mkview(server, "a", "duck_only", "SELECT 1", "duckdb")
+        assert code == 200
+        try:
+            got = register_views(
+                spark, f"http://127.0.0.1:{server.port}", "a",
+                page_size=1)  # force the token walk
+            # big_count sorts BEFORE its dependency big_orders in the
+            # listing — the fixpoint pass must still land both
+            assert set(got) == {"big_orders", "big_count"}
+            n = spark.sql("SELECT * FROM big_count").first()["n"]
+            want = spark.sql(
+                "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1000"
+            ).first()["n"]
+            assert n == want and want > 0
+            # an unresolvable view (missing base table) raises instead
+            # of spinning or silently dropping
+            code, _ = _mkview(
+                server, "a", "broken", "SELECT * FROM no_such_table")
+            assert code == 200
+            with pytest.raises(Exception, match="no_such_table"):
+                register_views(
+                    spark, f"http://127.0.0.1:{server.port}", "a")
+        finally:
+            for v in ("big_count", "big_orders", "orders"):
+                spark.catalog.dropTempView(v)
+    finally:
+        server.shutdown()
