@@ -298,8 +298,16 @@ def _nb_scores_pandas(model: dict):
 
     ~15x faster than the interpreted HOF fold: dict lookups replace
     the map-literal linear scans and no per-trigram Catalyst lambda
-    dispatch happens.
+    dispatch happens. The per-document fold is ONE ``np.cumsum`` over
+    the looked-up rows (prefix sums are inherently sequential —
+    element k is element k-1 plus row k — so the final row is the
+    exact left-to-right IEEE fold the HOF expression and the DuckDB
+    ``list_reduce`` compute, to the last ulp; asserted in
+    test_langid_kernel_bit_identical), which matters at 15 languages:
+    the per-trigram Python tuple-add was 15 float adds + a tuple
+    allocation per trigram, the cumsum is one C pass per document.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -313,16 +321,46 @@ def _nb_scores_pandas(model: dict):
         get = logp.get
         out = []
         for s in padded:
-            acc = prior
-            if s is not None and len(s) >= n:
-                for i in range(len(s) - (n - 1)):
-                    lp = get(s[i : i + n], floor)
-                    acc = tuple(a + b for a, b in zip(acc, lp))
-            out.append(list(acc))
+            if s is None or len(s) < n:
+                out.append(list(prior))
+                continue
+            rows = [prior]
+            append = rows.append
+            for i in range(len(s) - (n - 1)):
+                append(get(s[i : i + n], floor))
+            out.append(
+                np.cumsum(
+                    np.array(rows, dtype=np.float64), axis=0
+                )[-1].tolist()
+            )
         return pd.Series(out)
 
     _score.__annotations__ = {"padded": pd.Series, "return": pd.Series}
     return pandas_udf(_score, "array<double>")
+
+
+def _margin_pred(
+    scores: Column,
+    nt: Column,
+    pred: Column,
+    unknown_margin: float,
+    n_langs: int,
+) -> Column:
+    """The ONE unknown-margin rule both predictors share (same
+    single-definition discipline as ``_padded_expr``): when the
+    best-vs-runner-up per-trigram log-odds gap falls below the margin,
+    predict 'und' instead of a coin-flip winner. Sorted fold-sums are
+    bit-identical cross-engine, so the best-minus-second subtraction
+    and the margin*nt product compare identically in both engines —
+    the rule is oracle-safe."""
+    if unknown_margin <= 0.0 or n_langs < 2:
+        return pred
+    srt = F.array_sort(scores)
+    return F.when(
+        F.element_at(srt, -1) - F.element_at(srt, -2)
+        < F.lit(float(unknown_margin)) * nt,
+        F.lit("und"),
+    ).otherwise(pred)
 
 
 def lang_id_model(
@@ -446,17 +484,13 @@ def lang_id_model(
         nt = F.col("__x_nt")
     idx = F.array_position(scores, F.array_max(scores))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    pred = F.element_at(lang_arr, idx.cast("int"))
-    if unknown_margin > 0.0 and len(langs) >= 2:
-        # sorted fold-sums are bit-identical cross-engine, so the
-        # best-minus-second subtraction and the margin*nt product
-        # compare identically in both engines — the rule is oracle-safe
-        srt = F.array_sort(scores)
-        pred = F.when(
-            F.element_at(srt, -1) - F.element_at(srt, -2)
-            < F.lit(float(unknown_margin)) * nt,
-            F.lit("und"),
-        ).otherwise(pred)
+    pred = _margin_pred(
+        scores,
+        nt,
+        F.element_at(lang_arr, idx.cast("int")),
+        unknown_margin,
+        len(langs),
+    )
     return scored.select(
         F.col(id_col),
         F.when(nt == 0, F.lit("und")).otherwise(pred).alias("lang_pred"),
@@ -493,12 +527,11 @@ def lang_pred_expr(
     nt = F.when(ln >= n, ln - (n - 1)).otherwise(F.lit(0))
     idx = F.array_position(scores, F.array_max(scores))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    pred = F.element_at(lang_arr, idx.cast("int"))
-    if unknown_margin > 0.0 and len(langs) >= 2:
-        srt = F.array_sort(scores)
-        pred = F.when(
-            F.element_at(srt, -1) - F.element_at(srt, -2)
-            < F.lit(float(unknown_margin)) * nt,
-            F.lit("und"),
-        ).otherwise(pred)
+    pred = _margin_pred(
+        scores,
+        nt,
+        F.element_at(lang_arr, idx.cast("int")),
+        unknown_margin,
+        len(langs),
+    )
     return F.when(nt == 0, F.lit("und")).otherwise(pred)

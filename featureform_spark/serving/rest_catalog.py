@@ -62,18 +62,30 @@ class _BadPageRequest(Exception):
     """Malformed pageToken / pageSize on a list endpoint."""
 
 
-def _paginate(names: list[str], query: str) -> tuple[list[str], str | None]:
+def _paginate(
+    names: list[str],
+    query: str,
+    pred=None,
+) -> tuple[list[str], str | None]:
     """Spec list-endpoint pagination: ``pageSize`` caps the page,
     ``pageToken`` is an opaque cursor. The token encodes the last
     name already returned (exclusive lower bound, base64), so pages
     stay consistent under concurrent creates/drops — a name added
     behind the cursor is simply absent from this walk, never a
-    duplicate or a skip of unrelated entries. Returns
+    duplicate or a skip of unrelated entries.
+
+    ``pred`` is the kind filter (is-table / is-view), applied LAZILY
+    from the cursor so a page request inspects ~pageSize entries, not
+    the whole namespace — at the 100k-table scale the listing story
+    targets, filtering everything per page would be O(catalog) stat
+    calls per request. A paginated walk may end with one short or
+    empty final page when the tail holds no matches. Returns
     ``(page, next_token_or_None)``; ``names`` must be sorted."""
     import base64
     import binascii
     from urllib.parse import parse_qs
 
+    pred = pred or (lambda _n: True)
     q = parse_qs(query, keep_blank_values=True)
     size_raw = q.get("pageSize", [None])[0]
     token_raw = q.get("pageToken", [None])[0]
@@ -99,11 +111,17 @@ def _paginate(names: list[str], query: str) -> tuple[list[str], str | None]:
 
         start = bisect.bisect_right(names, after)
     if size is None and not token_raw:
-        return names, None  # unpaginated client: whole listing
+        # unpaginated client: the whole (filtered) listing
+        return [n for n in names if pred(n)], None
     size = size or len(names) or 1
-    page = names[start : start + size]
+    page: list[str] = []
+    i = start
+    while i < len(names) and len(page) < size:
+        if pred(names[i]):
+            page.append(names[i])
+        i += 1
     nxt = None
-    if start + size < len(names) and page:
+    if i < len(names) and page:
         nxt = base64.urlsafe_b64encode(page[-1].encode()).decode()
     return page, nxt
 
@@ -128,6 +146,17 @@ def _view_metadata_files(path: str) -> list[tuple[int, str]]:
 
 
 def _is_iceberg_view(path: str) -> bool:
+    """O(1) on anything this server wrote: the kind hints
+    (``view-version-hint.text`` / ``version-hint.text``) are stamped on
+    every commit, so the per-entry listing predicate is two stats, not
+    a listdir of a metadata dir that grows by one file per commit.
+    Externally-built dirs without either hint fall back to the full
+    scan once per call."""
+    mdir = os.path.join(path, "metadata")
+    if os.path.exists(os.path.join(mdir, _VIEW_HINT)):
+        return True
+    if os.path.exists(os.path.join(mdir, "version-hint.text")):
+        return False
     return bool(_view_metadata_files(path))
 
 
@@ -516,7 +545,19 @@ class IcebergRestCatalogServer:
                 )
 
             def _route(self):
-                parts = [p for p in self.path.split("?")[0].split("/") if p]
+                from urllib.parse import unquote
+
+                # split FIRST, then percent-decode each segment: a
+                # correctly-encoding client sends 'my%20view' for a
+                # view named 'my view', and an encoded %2F decodes
+                # into a slash INSIDE one segment where the realpath
+                # confinement in _child_dir rejects it (never a new
+                # path level)
+                parts = [
+                    unquote(p)
+                    for p in self.path.split("?")[0].split("/")
+                    if p
+                ]
                 # /v1/config
                 if parts == ["v1", "config"]:
                     return ("config", None, None)
@@ -542,24 +583,65 @@ class IcebergRestCatalogServer:
                         return ("view", ns, parts[4])
                 return (None, None, None)
 
-            def _table_dir(self, ns: str, name: str) -> str | None:
+            def _child_dir(self, ns: str, name: str, pred) -> str | None:
                 # ns/name come straight off the URL — realpath-confine
                 # the join so "..", absolute components, or symlink
-                # hops cannot address tables outside the catalog root
+                # hops cannot address entries outside the catalog root
                 root = os.path.realpath(outer.root)
                 p = os.path.realpath(os.path.join(root, ns, name))
                 if not p.startswith(root + os.sep):
                     return None
-                return p if _is_iceberg_table(p) else None
+                return p if pred(p) else None
+
+            def _table_dir(self, ns: str, name: str) -> str | None:
+                return self._child_dir(ns, name, _is_iceberg_table)
 
             def _view_dir(self, ns: str, name: str) -> str | None:
-                root = os.path.realpath(outer.root)
-                p = os.path.realpath(os.path.join(root, ns, name))
-                if not p.startswith(root + os.sep):
-                    return None
-                return p if _is_iceberg_view(p) else None
+                return self._child_dir(ns, name, _is_iceberg_view)
 
-            def _page(self, names: list[str]):
+            def _ns_dir(self, ns: str) -> str | None:
+                root = os.path.realpath(outer.root)
+                p = os.path.realpath(os.path.join(root, ns))
+                if not p.startswith(root + os.sep) or not os.path.isdir(p):
+                    return None
+                return p
+
+            def _already_exists(self, msg: str):
+                return self._json(
+                    409,
+                    {
+                        "error": {
+                            "message": msg,
+                            "type": "AlreadyExistsException",
+                            "code": 409,
+                        }
+                    },
+                )
+
+            def _list_kind(self, ns: str, pred):
+                """Shared tables/views listing: resolve the namespace,
+                paginate with the kind predicate applied lazily."""
+                ns_dir = self._ns_dir(ns)
+                if ns_dir is None:
+                    return self._error(404, f"namespace {ns!r}")
+                names = sorted(os.listdir(ns_dir))
+                try:
+                    page, nxt = self._page(
+                        names,
+                        lambda n: pred(os.path.join(ns_dir, n)),
+                    )
+                except _BadPageRequest as exc:
+                    return self._error(400, str(exc))
+                body = {
+                    "identifiers": [
+                        {"namespace": [ns], "name": n} for n in page
+                    ]
+                }
+                if nxt:
+                    body["next-page-token"] = nxt
+                return self._json(200, body)
+
+            def _page(self, names: list[str], pred=None):
                 """Apply spec pagination from this request's query
                 string; raises _BadPageRequest on malformed params."""
                 qs = (
@@ -567,7 +649,7 @@ class IcebergRestCatalogServer:
                     if "?" in self.path
                     else ""
                 )
-                return _paginate(names, qs)
+                return _paginate(names, qs, pred)
 
             def do_GET(self):
                 kind, ns, name = self._route()
@@ -590,63 +672,15 @@ class IcebergRestCatalogServer:
                         body["next-page-token"] = nxt
                     return self._json(200, body)
                 if kind == "namespace":
-                    root = os.path.realpath(outer.root)
-                    ns_dir = os.path.realpath(os.path.join(root, ns))
-                    if not ns_dir.startswith(
-                        root + os.sep
-                    ) or not os.path.isdir(ns_dir):
+                    if self._ns_dir(ns) is None:
                         return self._error(404, f"namespace {ns!r}")
                     return self._json(
                         200, {"namespace": [ns], "properties": {}}
                     )
                 if kind == "tables":
-                    root = os.path.realpath(outer.root)
-                    ns_dir = os.path.realpath(os.path.join(root, ns))
-                    if not ns_dir.startswith(root + os.sep):
-                        return self._error(404, f"namespace {ns!r}")
-                    if not os.path.isdir(ns_dir):
-                        return self._error(404, f"namespace {ns!r}")
-                    names = [
-                        t
-                        for t in sorted(os.listdir(ns_dir))
-                        if _is_iceberg_table(os.path.join(ns_dir, t))
-                    ]
-                    try:
-                        page, nxt = self._page(names)
-                    except _BadPageRequest as exc:
-                        return self._error(400, str(exc))
-                    body = {
-                        "identifiers": [
-                            {"namespace": [ns], "name": t} for t in page
-                        ]
-                    }
-                    if nxt:
-                        body["next-page-token"] = nxt
-                    return self._json(200, body)
+                    return self._list_kind(ns, _is_iceberg_table)
                 if kind == "views":
-                    root = os.path.realpath(outer.root)
-                    ns_dir = os.path.realpath(os.path.join(root, ns))
-                    if not ns_dir.startswith(
-                        root + os.sep
-                    ) or not os.path.isdir(ns_dir):
-                        return self._error(404, f"namespace {ns!r}")
-                    names = [
-                        v
-                        for v in sorted(os.listdir(ns_dir))
-                        if _is_iceberg_view(os.path.join(ns_dir, v))
-                    ]
-                    try:
-                        page, nxt = self._page(names)
-                    except _BadPageRequest as exc:
-                        return self._error(400, str(exc))
-                    body = {
-                        "identifiers": [
-                            {"namespace": [ns], "name": v} for v in page
-                        ]
-                    }
-                    if nxt:
-                        body["next-page-token"] = nxt
-                    return self._json(200, body)
+                    return self._list_kind(ns, _is_iceberg_view)
                 if kind == "view":
                     vdir = self._view_dir(ns, name)
                     if vdir is None:
@@ -703,7 +737,17 @@ class IcebergRestCatalogServer:
 
             def _read_body(self):
                 n = int(self.headers.get("Content-Length", "0"))
-                return json.loads(self.rfile.read(n) or b"{}")
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(body, dict):
+                    # '[1,2]' / '"x"' are valid JSON but no request
+                    # shape — without this every handler's req.get(...)
+                    # would AttributeError into a dropped connection
+                    # instead of the 400 other malformed bodies get
+                    raise ValueError(
+                        f"request body must be a JSON object, "
+                        f"got {type(body).__name__}"
+                    )
+                return body
 
             def _prepare_commit(self, tdir: str, req: dict, now_ms: int):
                 """Validate + apply one CommitTableRequest against the
@@ -1000,17 +1044,8 @@ class IcebergRestCatalogServer:
                 ):
                     return self._error(400, f"invalid name {d_name!r}")
                 if os.path.exists(dst_dir):
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": (
-                                    f"table {d_ns}.{d_name} exists"
-                                ),
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
+                    return self._already_exists(
+                        f"table {d_ns}.{d_name} exists"
                     )
                 try:
                     os.rename(src_dir, dst_dir)
@@ -1061,16 +1096,7 @@ class IcebergRestCatalogServer:
                 # tables and views share one identifier space (spec:
                 # a view must not shadow a table and vice versa)
                 if _is_iceberg_view(vdir) or _is_iceberg_table(vdir):
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": f"{ns}.{name} exists",
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
-                    )
+                    return self._already_exists(f"{ns}.{name} exists")
                 now = int(time.time() * 1000)
                 vv["version-id"] = 1
                 vv.setdefault("timestamp-ms", now)
@@ -1091,15 +1117,34 @@ class IcebergRestCatalogServer:
                 try:
                     _commit_view_metadata(vdir, md, 1)
                 except FileExistsError:
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": f"view {ns}.{name} exists",
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
+                    return self._already_exists(
+                        f"view {ns}.{name} exists"
+                    )
+                # cross-kind race arbiter: the link(2) CAS only
+                # serializes same-kind creates (table and view metadata
+                # are different filenames). If a concurrent CREATE TABLE
+                # linked into this directory, the later of the two
+                # observes the other's files here and rolls back its
+                # own — at most one kind survives, never a silently
+                # orphaned sibling. Direct FILE scan, not the hint fast
+                # path (the racer's hint write may lag its link).
+                from featureform_spark.sources.iceberg_protocol import (
+                    IcebergProtocolTable,
+                )
+
+                if IcebergProtocolTable(None, vdir)._metadata_files():
+                    mdir = os.path.join(vdir, "metadata")
+                    for leftover in (
+                        f"v1{_VIEW_SUFFIX}",
+                        _VIEW_HINT,
+                    ):
+                        try:
+                            os.unlink(os.path.join(mdir, leftover))
+                        except OSError:
+                            pass
+                    return self._already_exists(
+                        f"{ns}.{name} exists (created concurrently as "
+                        "a table)"
                     )
                 return self._json(
                     200,
@@ -1203,17 +1248,8 @@ class IcebergRestCatalogServer:
                 ):
                     return self._error(400, f"invalid name {d_name!r}")
                 if os.path.exists(dst_dir):
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": (
-                                    f"{d_ns}.{d_name} exists"
-                                ),
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
+                    return self._already_exists(
+                        f"{d_ns}.{d_name} exists"
                     )
                 try:
                     os.rename(src_dir, dst_dir)
@@ -1255,15 +1291,8 @@ class IcebergRestCatalogServer:
                 try:
                     os.mkdir(ns_dir)
                 except FileExistsError:
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": f"namespace {ns!r} exists",
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
+                    return self._already_exists(
+                        f"namespace {ns!r} exists"
                     )
                 return self._json(
                     200, {"namespace": [ns], "properties": {}}
@@ -1355,15 +1384,8 @@ class IcebergRestCatalogServer:
                 import uuid as _uuid
 
                 def _exists_409():
-                    return self._json(
-                        409,
-                        {
-                            "error": {
-                                "message": f"table {ns}.{name} exists",
-                                "type": "AlreadyExistsException",
-                                "code": 409,
-                            }
-                        },
+                    return self._already_exists(
+                        f"table {ns}.{name} exists"
                     )
 
                 # validate the ENTIRE request shape up front — any
@@ -1447,6 +1469,25 @@ class IcebergRestCatalogServer:
                     t._commit_metadata(md, 1)
                 except FileExistsError:
                     return _exists_409()
+                # cross-kind race arbiter (see _create_view): a
+                # concurrent CREATE VIEW's link is a different filename,
+                # so the CAS alone cannot surface it — the later
+                # creator rolls its own link back and answers 409
+                if _view_metadata_files(tdir):
+                    for leftover in (
+                        "v1.metadata.json",
+                        "version-hint.text",
+                    ):
+                        try:
+                            os.unlink(
+                                os.path.join(t.metadata_path, leftover)
+                            )
+                        except OSError:
+                            pass
+                    return self._already_exists(
+                        f"{ns}.{name} exists (created concurrently as "
+                        "a view)"
+                    )
                 return self._json(
                     200,
                     {

@@ -2166,6 +2166,19 @@ class DeltaProtocolTable:
         exclusive with ``partition_by`` per the spec."""
         if self.exists():
             raise DeltaProtocolError(f"table already exists: {self.path}")
+        for f_ in df.schema.fields:
+            if (f_.metadata or {}).get("CURRENT_DEFAULT"):
+                # the same smuggling gate add_columns has: a default
+                # entering through create would stamp CURRENT_DEFAULT
+                # into the schema WITHOUT the allowColumnDefaults
+                # feature — this engine would then fill it while
+                # conformant external writers (seeing no flag) write
+                # NULLs. Create plain, then set_column_default.
+                raise DeltaProtocolError(
+                    f"cannot create with a default on column "
+                    f"{f_.name!r}; create without it, then "
+                    "set_column_default"
+                )
         partition_by = list(partition_by or [])
         if cluster_by:
             if partition_by:
@@ -2334,7 +2347,16 @@ class DeltaProtocolTable:
         every row instead of refusing. Provided columns always win —
         defaults never overwrite explicit values (including explicit
         NULLs). Runs BEFORE generated columns so generation
-        expressions can reference defaulted columns."""
+        expressions can reference defaulted columns.
+
+        Gated on ``allowColumnDefaults`` actually being in the
+        protocol: a schema carrying CURRENT_DEFAULT metadata WITHOUT
+        the feature flag is one no conformant writer would honor —
+        materializing it here while external writers write NULLs would
+        put writer-divergent data in the same table."""
+        feats = set((st.protocol or {}).get("writerFeatures") or [])
+        if "allowColumnDefaults" not in feats:
+            return df
         defaults = [
             (f, (f.metadata or {}).get("CURRENT_DEFAULT"))
             for f in st.schema.fields

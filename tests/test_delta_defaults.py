@@ -187,3 +187,49 @@ def test_default_survives_time_travel_and_clone(spark, tmp_path):
     c.append(_rows(spark, [7], with_value=False))
     got = {r["event_id"]: r["value"] for r in c.snapshot().collect()}
     assert got[7] == 3.25
+
+
+def test_create_with_default_refused(spark, tmp_path):
+    """The create-time smuggling gate (mirror of add_columns'): a
+    CURRENT_DEFAULT arriving through create would stamp the schema
+    without the allowColumnDefaults feature flag — refused with the
+    fix spelled out."""
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [],
+        T.StructType([
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField(
+                "value", T.DoubleType(), True,
+                metadata={"CURRENT_DEFAULT": "5.0"},
+            ),
+        ]),
+    )
+    with pytest.raises(DeltaProtocolError, match="set_column_default"):
+        t.create(df)
+
+
+def test_defaults_ignored_without_feature_flag(spark, tmp_path):
+    """A schema carrying CURRENT_DEFAULT while the protocol lacks
+    allowColumnDefaults (a malformed table some other writer produced)
+    must NOT be honored: a conformant external writer would write
+    NULLs, and materializing the default here would put
+    writer-divergent data in the same table."""
+    t = DeltaProtocolTable(spark, str(tmp_path / "t"))
+    t.create(_rows(spark, [0]))
+    # stamp the default into the schema WITHOUT the protocol feature
+    # (raw metaData commit — simulating the malformed external table)
+    st = t.state()
+    sj = json.loads(st.metadata["schemaString"])
+    for f in sj["fields"]:
+        if f["name"] == "value":
+            f["metadata"] = {"CURRENT_DEFAULT": "5.0"}
+    meta = dict(st.metadata)
+    meta["schemaString"] = json.dumps(sj)
+    t._commit(st.version + 1, [{"metaData": meta}], "CHANGE COLUMN")
+    assert "allowColumnDefaults" not in (
+        (t.state().protocol or {}).get("writerFeatures") or []
+    )
+    t.append(_rows(spark, [1], with_value=False))
+    got = {r["event_id"]: r["value"] for r in t.snapshot().collect()}
+    assert got == {0: 0.0, 1: None}  # NULL, not 5.0

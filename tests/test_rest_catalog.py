@@ -1155,10 +1155,14 @@ def test_list_pagination(tmp_path):
         got = _get(server, "/v1/namespaces/ns0/tables")
         assert len(got["identifiers"]) == 7
         assert "next-page-token" not in got
-        # exact-multiple boundary: 7 items, size 7 -> one page, no token
-        got = _get(server, "/v1/namespaces/ns0/tables?pageSize=7")
-        assert len(got["identifiers"]) == 7
-        assert "next-page-token" not in got
+        # exact-multiple boundary: 7 items, size 7 -> one full page;
+        # the lazy kind-filter cannot know the remaining names hold no
+        # tables, so a token MAY follow — walking it must end cleanly
+        # on an empty tokenless page, never duplicate
+        items, pages = _walk_pages(
+            server, "/v1/namespaces/ns0/tables?pageSize=7", "identifiers")
+        assert [x["name"] for x in items] == [f"t{i:02d}" for i in range(7)]
+        assert pages[0] == 7 and sum(pages) == 7
         # a drop BEHIND the cursor never duplicates or skips ahead
         got = _get(server, "/v1/namespaces/ns0/views?pageSize=3")
         token = got["next-page-token"]
@@ -1225,5 +1229,150 @@ def test_register_views_into_session(spark, sf_dir, tmp_path):
         finally:
             for v in ("big_count", "big_orders", "orders"):
                 spark.catalog.dropTempView(v)
+    finally:
+        server.shutdown()
+
+
+def test_cross_kind_create_race_rolls_back(tmp_path, monkeypatch):
+    """The link(2) CAS only serializes same-kind creates (table and
+    view metadata are different filenames): a CREATE VIEW racing a
+    CREATE TABLE on one identifier must not leave both 200'd with the
+    table silently orphaned. The later linker observes the other
+    kind's files post-commit, rolls back its own link, and answers
+    409."""
+    import featureform_spark.serving.rest_catalog as rc
+    import featureform_spark.sources.iceberg_protocol as ip
+
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        # view loses to a table that links mid-commit
+        orig_v = rc._commit_view_metadata
+
+        def racing_view(path, md, version):
+            tfile = os.path.join(path, "metadata", "v1.metadata.json")
+            os.makedirs(os.path.dirname(tfile), exist_ok=True)
+            if not os.path.exists(tfile):
+                with open(tfile, "w") as f:
+                    f.write("{}")
+            return orig_v(path, md, version)
+
+        monkeypatch.setattr(rc, "_commit_view_metadata", racing_view)
+        code, res = _mkview(server, "a", "x")
+        assert code == 409
+        assert res["error"]["type"] == "AlreadyExistsException"
+        # the view's own files are rolled back — only the table's remain
+        mdir = tmp_path / "a" / "x" / "metadata"
+        assert sorted(p.name for p in mdir.iterdir()) == [
+            "v1.metadata.json"
+        ]
+        monkeypatch.setattr(rc, "_commit_view_metadata", orig_v)
+        # table loses to a view that links mid-commit
+        orig_t = ip.IcebergProtocolTable._commit_metadata
+
+        def racing_table(self, md, version):
+            vfile = os.path.join(
+                self.metadata_path, "v1.view-metadata.json"
+            )
+            os.makedirs(self.metadata_path, exist_ok=True)
+            if not os.path.exists(vfile):
+                with open(vfile, "w") as f:
+                    f.write("{}")
+            return orig_t(self, md, version)
+
+        monkeypatch.setattr(
+            ip.IcebergProtocolTable, "_commit_metadata", racing_table
+        )
+        code, res = _post(server, "/v1/namespaces/a/tables", {
+            "name": "y",
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 409
+        assert res["error"]["type"] == "AlreadyExistsException"
+        mdir = tmp_path / "a" / "y" / "metadata"
+        assert sorted(p.name for p in mdir.iterdir()) == [
+            "v1.view-metadata.json"
+        ]
+    finally:
+        server.shutdown()
+
+
+def test_url_encoded_names_resolve(tmp_path):
+    """Names land in the catalog via JSON bodies, so they can contain
+    characters a conformant HTTP client percent-encodes on the path —
+    the server must decode segments or its own listing returns
+    unreachable entries."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        code, _ = _mkview(server, "a", "my view")
+        assert code == 200
+        got = _get(server, "/v1/namespaces/a/views")["identifiers"]
+        assert got == [{"namespace": ["a"], "name": "my view"}]
+        loaded = _get(server, "/v1/namespaces/a/views/my%20view")
+        assert loaded["metadata"]["versions"]
+        # encoded slash decodes INSIDE one segment -> confinement 404,
+        # never a new path level
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, "/v1/namespaces/a/views/..%2Fescape")
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_non_object_json_bodies_answer_400(tmp_path):
+    """'[1,2]' is valid JSON but no request shape — every POST surface
+    must answer 400, never drop the connection with a handler
+    traceback."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        code, _ = _mkview(server, "a", "v")
+        assert code == 200
+        code, _ = _post(server, "/v1/namespaces/a/tables", {
+            "name": "t",
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 200
+        for path in (
+            "/v1/namespaces/a/views/v",       # view commit
+            "/v1/namespaces/a/tables/t",      # table commit
+            "/v1/views/rename",
+            "/v1/tables/rename",
+            "/v1/namespaces",
+            "/v1/transactions/commit",
+        ):
+            for body in ([1, 2], "x", 7):
+                code, res = _post(server, path, body)
+                assert code == 400, (path, body, res)
+    finally:
+        server.shutdown()
+
+
+def test_pagination_mixed_kinds_and_empty_final_page(tmp_path):
+    """The kind filter applies lazily from the cursor: a views walk
+    whose tail is all tables may end with one empty final page (no
+    token) — never a duplicate, never a 500."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        for i in range(3):
+            _mkview(server, "a", f"a{i}")
+            _post(server, "/v1/namespaces/a/tables", {
+                "name": f"t{i}",
+                "schema": {"type": "struct", "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"}]},
+            })
+        items, pages = _walk_pages(
+            server, "/v1/namespaces/a/views?pageSize=1", "identifiers")
+        assert [x["name"] for x in items] == ["a0", "a1", "a2"]
+        # the walk after a2 scans only tables -> one trailing empty page
+        assert pages[-1] == 0 and pages[:-1] == [1, 1, 1]
+        items, _pages = _walk_pages(
+            server, "/v1/namespaces/a/tables?pageSize=2", "identifiers")
+        assert [x["name"] for x in items] == ["t0", "t1", "t2"]
     finally:
         server.shutdown()
