@@ -4549,6 +4549,186 @@ class IcebergProtocolTable:
             snapshot_id=snapshot_id,
         )
 
+    def _eq_delete_entries(
+        self,
+        keys: DataFrame,
+        equality_fields: list[str],
+        md: dict,
+        snapshot_id: int,
+        seq: int,
+    ) -> list[dict]:
+        """Write DISTINCT key tuples as equality-delete parquet
+        (content=2) and return the manifest entries. The delete file
+        carries ONLY the equality columns plus ``equality_ids`` (their
+        field ids) in the manifest — the spec's content-2 shape any v2
+        reader (including this repo's ``_read_with_deletes``) applies
+        with null-safe matching to data files with strictly older
+        sequence numbers."""
+        import pyarrow.parquet as pq
+
+        fields = self.schema(md)["fields"]
+        by_name = {f["name"]: f for f in fields}
+        eq_ids: list[int] = []
+        for c in equality_fields:
+            f = by_name.get(c)
+            if f is None:
+                raise IcebergProtocolError(
+                    f"equality delete on unknown column {c!r}"
+                )
+            if f["type"] in ("float", "double"):
+                # spec: identifier fields must not be float/double
+                # (NaN breaks equality semantics)
+                raise IcebergProtocolError(
+                    f"equality delete on {c!r}: float/double columns "
+                    "cannot be identifier fields"
+                )
+            if not isinstance(f["type"], str):
+                raise UnsupportedIcebergFeatureError(
+                    f"equality delete on nested column {c!r} is not "
+                    "supported by this writer"
+                )
+            eq_ids.append(int(f["id"]))
+        staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
+        # one delete file per commit (Flink's per-checkpoint shape):
+        # the reader broadcasts delete sets, so fewer/larger beats many
+        # tiny ones; distinct() both dedupes and bounds the file to the
+        # key-tuple cardinality
+        keys.select(*equality_fields).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        entries: list[dict] = []
+        for dirpath, _dirs, files in sorted(os.walk(staging)):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                pf = pq.ParquetFile(src)
+                if pf.metadata.num_rows == 0:
+                    continue
+                fname = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+                final_abs = os.path.join(self.path, DATA_DIR, fname)
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.replace(src, final_abs)
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 2,
+                            "file_path": final_abs,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": pf.metadata.num_rows,
+                            "file_size_in_bytes": os.path.getsize(
+                                final_abs
+                            ),
+                            "equality_ids": eq_ids,
+                        },
+                    }
+                )
+        for dirpath, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(dirpath, name))
+            os.rmdir(dirpath)
+        return entries
+
+    def upsert(self, df: DataFrame, key_fields: list[str]) -> int:
+        """Flink-style streaming UPSERT in ONE snapshot: new data
+        files AND an equality delete on the batch's keys commit at the
+        SAME sequence number — the delete applies only to STRICTLY
+        older data files (spec scan-planning rule), so the new rows
+        survive their own delete while every older row with a matching
+        key disappears. The writer never scans the table: cost is
+        O(batch), which is what makes CDC ingestion into a 100 TB
+        table feasible where copy-on-write MERGE would rewrite files
+        per batch.
+
+        The batch must be key-unique (two versions of one key in a
+        single batch share a sequence number, so neither could win) —
+        enforced with one aggregate; dedupe upstream, as streaming
+        writers do."""
+        md = self.metadata()
+        snap = self.current_snapshot(md)
+        if snap is None:
+            raise IcebergProtocolError(
+                "upsert needs an existing table; use create/append"
+            )
+        data_entries, _old = self._live_entries(snap)
+        if self._nm_resolution(md, data_entries) or self._identity_patch(
+            md, data_entries
+        ):
+            raise UnsupportedIcebergFeatureError(
+                "upsert on a metadata-mirror table (UniForm) — write "
+                "through the owning Delta side instead"
+            )
+        dup = df.agg(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(c) for c in key_fields])
+            ).alias("_d")
+        ).first()["_d"]
+        if dup:
+            raise IcebergProtocolError(
+                f"upsert batch has {dup} duplicate key tuple(s) on "
+                f"{key_fields}; dedupe the batch first (both versions "
+                "would share one sequence number)"
+            )
+        ice_schema = self.schema(md)
+        spec_fields = self.partition_spec(md)
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        df = self._fill_write_defaults(df, ice_schema)
+        files = self._write_data_files(df, ice_schema, spec_fields)
+        data_manifest_entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": r,
+            }
+            for r in files
+        ]
+        lineage = self._assign_first_row_ids(md, data_manifest_entries)
+        data_manifest = self._write_manifest(
+            data_manifest_entries, ice_schema, spec_fields,
+            md.get("default-spec-id", 0), snapshot_id, seq,
+        )
+        if lineage is not None:
+            data_manifest["first_row_id"] = lineage[0]
+        del_entries = self._eq_delete_entries(
+            df, key_fields, md, snapshot_id, seq
+        )
+        manifests = [data_manifest]
+        if del_entries:
+            manifests.append(
+                self._write_manifest(
+                    del_entries, ice_schema, spec_fields,
+                    md.get("default-spec-id", 0), snapshot_id, seq,
+                    content=1,
+                )
+            )
+        _, prev_manifests = read_container(
+            self._resolve_path(snap["manifest-list"])
+        )
+        return self._advance(
+            md, prev_manifests + manifests, "overwrite", len(files),
+            sum(f["record_count"] for f in files),
+            snapshot_id=snapshot_id, lineage=lineage,
+            extra_summary={
+                "added-delete-files": str(len(del_entries)),
+                "added-equality-delete-files": str(len(del_entries)),
+                "added-equality-deletes": str(
+                    sum(
+                        e["data_file"]["record_count"]
+                        for e in del_entries
+                    )
+                ),
+            },
+        )
+
     def _delete_rows_v3(
         self, md: dict, snap: dict, matched: DataFrame,
         prev: DataFrame | None,
@@ -4716,79 +4896,59 @@ class IcebergProtocolTable:
         self._commit_metadata(md2, v)
 
     def delete_by_keys(self, keys_df: DataFrame, key_cols: list[str]) -> int:
-        """Row-level DELETE via v2 EQUALITY deletes: every current row
-        whose ``key_cols`` tuple appears in ``keys_df`` is deleted —
-        without scanning the data at all (the streaming-upsert shape;
-        Flink's Iceberg sink emits exactly these). The delete file
-        carries just the distinct key tuples + ``equality_ids``;
-        application happens at read time, scoped to files with
-        data_seq < delete_seq. Returns the new snapshot id."""
+        """Row-level DELETE via v2 EQUALITY deletes (spec content=2):
+        every current row whose ``key_cols`` tuple appears in
+        ``keys_df`` is deleted — without scanning the data at all (the
+        streaming-engine delete shape; Flink's Iceberg sink emits
+        exactly these). The delete file carries just the distinct key
+        tuples + ``equality_ids``; application happens at read time,
+        null-safe, scoped to files with data_seq < delete_seq, so a
+        later re-append of the same keys survives. Returns the new
+        snapshot id (-1 on an empty table or empty key set).
+
+        Position deletes (:meth:`delete_rows`) need a table scan to
+        find (file, pos) but make reads cheap; equality deletes are
+        O(keys) to write but each read matches keys against the scan —
+        fold them away periodically with :meth:`rewrite_data_files`,
+        exactly as streaming Iceberg deployments do. Float/double key
+        columns are refused (spec: identifier fields must not be
+        float/double — NaN breaks equality)."""
         md = self.metadata()
-        ice_schema = self.schema(md)
-        by_name = {f["name"]: f for f in ice_schema["fields"]}
-        missing = [c for c in key_cols if c not in by_name]
-        if missing:
-            raise IcebergProtocolError(f"unknown key columns {missing}")
-        eq_ids = [int(by_name[c]["id"]) for c in key_cols]
         snap = self.current_snapshot(md)
         if snap is None:
             return -1
-
-        import pyarrow.parquet as pq
-
+        data_entries, _old = self._live_entries(snap)
+        if self._nm_resolution(md, data_entries) or self._identity_patch(
+            md, data_entries
+        ):
+            raise UnsupportedIcebergFeatureError(
+                "delete_by_keys on a metadata-mirror table (UniForm) — "
+                "write through the owning Delta side instead"
+            )
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
-        keys_df.select(*key_cols).distinct().write.mode(
-            "overwrite"
-        ).parquet(staging)
-        entries = []
-        for dirpath, _dirs, files in sorted(os.walk(staging)):
-            for name in sorted(files):
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, name)
-                pf = pq.ParquetFile(src)
-                if pf.metadata.num_rows == 0:
-                    continue
-                fname = f"{uuid.uuid4().hex}-eqdeletes.parquet"
-                final_abs = os.path.join(self.path, DATA_DIR, fname)
-                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-                os.replace(src, final_abs)
-                entries.append(
-                    {
-                        "status": 1,
-                        "snapshot_id": snapshot_id,
-                        "sequence_number": seq,
-                        "file_sequence_number": seq,
-                        "data_file": {
-                            "content": 2,
-                            "file_path": final_abs,
-                            "file_format": "PARQUET",
-                            "partition": {},
-                            "record_count": pf.metadata.num_rows,
-                            "file_size_in_bytes": os.path.getsize(final_abs),
-                            "equality_ids": eq_ids,
-                        },
-                    }
-                )
-        for dirpath, dirs, files in os.walk(staging, topdown=False):
-            for name in files:
-                os.remove(os.path.join(dirpath, name))
-            os.rmdir(dirpath)
+        entries = self._eq_delete_entries(
+            keys_df, key_cols, md, snapshot_id, seq
+        )
         if not entries:
             return -1
         manifest = self._write_manifest(
-            entries, ice_schema, self.partition_spec(md),
+            entries, self.schema(md), self.partition_spec(md),
             md.get("default-spec-id", 0), snapshot_id, seq, content=1,
         )
         _, prev_manifests = read_container(
             self._resolve_path(snap["manifest-list"])
         )
         return self._advance(
-            md, prev_manifests + [manifest], "delete", len(entries),
-            -sum(e["data_file"]["record_count"] for e in entries),
+            md, prev_manifests + [manifest], "delete", 0, 0,
             snapshot_id=snapshot_id,
+            extra_summary={
+                "added-delete-files": str(len(entries)),
+                "added-equality-delete-files": str(len(entries)),
+                "added-equality-deletes": str(
+                    sum(e["data_file"]["record_count"] for e in entries)
+                ),
+            },
         )
 
     def rewrite_data_files(

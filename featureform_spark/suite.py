@@ -1215,7 +1215,13 @@ PRIORITY: tuple[str, ...] = (
     # out, stays pytest-oracle-covered.
     "iceberg_row_lineage",
     "pricing_summary",
-    "iceberg_position_delete",
+    # Round-9 rotation: equality-delete WRITES + streaming upsert
+    # (content=2, the Flink upsert-sink shape — new data files and the
+    # batch-key delete at one sequence number) — new this round.
+    # iceberg_position_delete (green r2-r8) rotates out, stays
+    # pytest-oracle-covered (iceberg_v3_dv keeps the delete-file read
+    # family in the top-50).
+    "iceberg_upsert",
     "incremental_dedup",
     # round-6 late addition: partition spec evolution (mixed-spec
     # planning). rolling_user_spend (green r1-r5) rotates out, stays

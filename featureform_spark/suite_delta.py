@@ -507,6 +507,44 @@ def iceberg_scan_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_upsert",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 6 = 0 OR event_id % 3 = 2
+                THEN value + 1000.0 ELSE value END AS value
+    FROM events
+    """,
+)
+def iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY-delete writes + streaming upsert (round 9;
+    spec content=2, the Flink upsert-sink commit shape): one snapshot
+    carries the batch's new data files AND an equality delete on its
+    keys at the SAME sequence number, so the delete applies only to
+    strictly older files (spec scan-planning rule) — old versions of
+    the keys disappear, the batch survives its own delete, and the
+    writer never scans the table (O(batch) CDC ingestion, the property
+    that makes 100 TB upsert feasible where CoW MERGE rewrites files
+    per batch). Lifecycle: create one third, append another, then
+    upsert a batch that UPDATES half the first slice and INSERTS the
+    missing third."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "iceberg_upsert"))
+    t.create(events.filter(F.col("event_id") % 3 == 0))
+    t.append(events.filter(F.col("event_id") % 3 == 1))
+    batch = events.filter(
+        (F.col("event_id") % 6 == 0) | (F.col("event_id") % 3 == 2)
+    ).withColumn("value", F.col("value") + 1000.0)
+    t.upsert(batch, ["event_id"])
+    return t.snapshot().select("event_id", "user_id", "value")
+
+
+@query(
     "iceberg_position_delete",
     """
     SELECT event_id, user_id, event_type, value

@@ -1,0 +1,153 @@
+"""Iceberg v2 EQUALITY-delete WRITES + streaming upsert (spec
+content=2; the Flink upsert-sink commit shape): the delete file stores
+key values, not positions, so the writer never scans the table —
+O(batch) CDC ingestion. `upsert` commits new data files and the
+batch-key equality delete at the SAME sequence number, so the delete
+applies only to strictly older files (spec scan-planning rule) and the
+new rows survive their own delete. The read side existed since r6
+(`_read_with_deletes` applies content=2 null-safe with seq scoping);
+this closes the loop so both directions are in-repo."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.sources.iceberg_protocol import (
+    IcebergProtocolError,
+    IcebergProtocolTable,
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+
+
+def test_equality_delete_lifecycle(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir).limit(300)
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(e)
+    keys = e.filter(F.col("event_id") % 5 == 0).select("event_id")
+    sid = t.delete_by_keys(keys, ["event_id"])
+    assert sid > 0
+    got = t.snapshot()
+    assert got.filter(F.col("event_id") % 5 == 0).count() == 0
+    want = e.filter(F.col("event_id") % 5 != 0)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the delete is sequence-scoped: re-appending the SAME keys later
+    # survives (data_seq > delete_seq)
+    back = e.filter(F.col("event_id") % 5 == 0).limit(10)
+    t.append(back)
+    assert t.snapshot().filter(
+        F.col("event_id") % 5 == 0
+    ).count() == back.count()
+    # summary records the equality-delete file
+    snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+    assert snaps[sid]["summary"]["added-equality-delete-files"] == "1"
+
+
+def test_equality_delete_null_matching_and_refusals(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", 3.0)],
+        "event_id long, user_id string, value double",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    # spec: null values MATCH in equality deletes
+    keys = spark.createDataFrame([(None,)], "user_id string")
+    t.delete_by_keys(keys, ["user_id"])
+    assert sorted(
+        r["event_id"] for r in t.snapshot().collect()
+    ) == [1, 3]
+    with pytest.raises(IcebergProtocolError, match="unknown column"):
+        t.delete_by_keys(keys, ["ghost"])
+    with pytest.raises(IcebergProtocolError, match="float/double"):
+        t.delete_by_keys(
+            spark.createDataFrame([(1.0,)], "value double"), ["value"]
+        )
+    # empty key set: no commit
+    assert t.delete_by_keys(
+        spark.createDataFrame([], "user_id string"), ["user_id"]
+    ) == -1
+
+
+def test_upsert_updates_and_inserts(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir).limit(400)
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(e.filter(F.col("event_id") % 3 == 0))
+    t.append(e.filter(F.col("event_id") % 3 == 1))
+    v_pre = t.metadata()["current-snapshot-id"]
+    batch = e.filter(
+        (F.col("event_id") % 6 == 0) | (F.col("event_id") % 3 == 2)
+    ).withColumn("value", F.col("value") + 1000.0)
+    t.upsert(batch, ["event_id"])
+    got = {
+        r["event_id"]: r["value"] for r in t.snapshot().collect()
+    }
+    want = {
+        r["event_id"]: (
+            r["value"] + 1000.0
+            if r["event_id"] % 6 == 0 or r["event_id"] % 3 == 2
+            else r["value"]
+        )
+        for r in e.collect()
+    }
+    assert got == want
+    # a second upsert stacks (two equality deletes at rising seqs)
+    again = e.filter(F.col("event_id") % 6 == 0).withColumn(
+        "value", F.lit(-5.0)
+    )
+    t.upsert(again, ["event_id"])
+    got2 = {
+        r["event_id"]: r["value"] for r in t.snapshot().collect()
+    }
+    for k, v in got2.items():
+        assert v == (-5.0 if k % 6 == 0 else want[k])
+    # time travel to the pre-upsert snapshot is untouched
+    pre = t.snapshot(snapshot_id=v_pre)
+    assert pre.count() == e.filter(F.col("event_id") % 3 != 2).count()
+    assert pre.filter(F.col("value") > 999.0).count() == 0
+
+
+def test_upsert_refuses_duplicate_keys_and_empty_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0)],
+        "event_id long, user_id string, value double",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    with pytest.raises(IcebergProtocolError, match="iceberg table"):
+        t.upsert(df, ["event_id"])  # no table yet
+    t.create(df.limit(1))
+    with pytest.raises(IcebergProtocolError, match="duplicate key"):
+        t.upsert(df, ["event_id"])
+
+
+def test_upsert_v3_row_lineage(spark, tmp_path):
+    """Equality deletes remain legal at format-version 3 (only new
+    POSITION deletes are forbidden — DVs replace those); upserted data
+    files get row lineage like any append."""
+    df = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(10)],
+        "event_id long, user_id string, value double",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    t.upgrade_format_version(3)
+    batch = spark.createDataFrame(
+        [(5, "u5", 500.0), (99, "u99", 99.0)],
+        "event_id long, user_id string, value double",
+    )
+    t.upsert(batch, ["event_id"])
+    got = {r["event_id"]: r["value"] for r in t.snapshot().collect()}
+    assert got[5] == 500.0 and got[99] == 99.0 and len(got) == 11
+    rid = t.snapshot_with_row_ids()
+    ids = {r["event_id"]: r["_row_id"] for r in rid.collect()}
+    # pre-upgrade files read NULL row ids (assigned on rewrite, per
+    # spec); the upserted data files carry fresh unique lineage
+    assert ids[5] is not None and ids[99] is not None
+    assert ids[5] != ids[99]
+    assert all(v is None for k, v in ids.items() if k not in (5, 99))
