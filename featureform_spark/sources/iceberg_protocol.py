@@ -4634,7 +4634,26 @@ class IcebergProtocolTable:
             os.rmdir(dirpath)
         return entries
 
-    def upsert(self, df: DataFrame, key_fields: list[str]) -> int:
+    def txn_watermark(self, app_id: str, md: dict | None = None) -> int:
+        """Highest committed transaction version for ``app_id``, read
+        from snapshot summaries (``ffspark.txn.<app>`` keys — the same
+        mechanism Flink uses for its max-committed-checkpoint-id;
+        Iceberg has no SetTransaction action, so exactly-once
+        watermarks ride the summary). -1 when none."""
+        key = f"ffspark.txn.{app_id}"
+        best = -1
+        for s in self.snapshots(md or self.metadata()):
+            v = (s.get("summary") or {}).get(key)
+            if v is not None:
+                best = max(best, int(v))
+        return best
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_fields: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Flink-style streaming UPSERT in ONE snapshot: new data
         files AND an equality delete on the batch's keys commit at the
         SAME sequence number — the delete applies only to STRICTLY
@@ -4648,13 +4667,24 @@ class IcebergProtocolTable:
         The batch must be key-unique (two versions of one key in a
         single batch share a sequence number, so neither could win) —
         enforced with one aggregate; dedupe upstream, as streaming
-        writers do."""
+        writers do.
+
+        ``txn=(app_id, version)`` gives exactly-once replay semantics
+        (the foreachBatch sink's contract): a version at or below the
+        app's committed watermark no-ops returning -1. The watermark
+        rides snapshot summaries (``ffspark.txn.<app>``) — Flink's
+        max-committed-checkpoint-id mechanism, since Iceberg has no
+        Delta-style SetTransaction action."""
         md = self.metadata()
         snap = self.current_snapshot(md)
         if snap is None:
             raise IcebergProtocolError(
                 "upsert needs an existing table; use create/append"
             )
+        if txn is not None and int(txn[1]) <= self.txn_watermark(
+            txn[0], md
+        ):
+            return -1
         data_entries, _old = self._live_entries(snap)
         if self._nm_resolution(md, data_entries) or self._identity_patch(
             md, data_entries
@@ -4713,20 +4743,23 @@ class IcebergProtocolTable:
         _, prev_manifests = read_container(
             self._resolve_path(snap["manifest-list"])
         )
+        summary = {
+            "added-delete-files": str(len(del_entries)),
+            "added-equality-delete-files": str(len(del_entries)),
+            "added-equality-deletes": str(
+                sum(
+                    e["data_file"]["record_count"]
+                    for e in del_entries
+                )
+            ),
+        }
+        if txn is not None:
+            summary[f"ffspark.txn.{txn[0]}"] = str(int(txn[1]))
         return self._advance(
             md, prev_manifests + manifests, "overwrite", len(files),
             sum(f["record_count"] for f in files),
             snapshot_id=snapshot_id, lineage=lineage,
-            extra_summary={
-                "added-delete-files": str(len(del_entries)),
-                "added-equality-delete-files": str(len(del_entries)),
-                "added-equality-deletes": str(
-                    sum(
-                        e["data_file"]["record_count"]
-                        for e in del_entries
-                    )
-                ),
-            },
+            extra_summary=summary,
         )
 
     def _delete_rows_v3(

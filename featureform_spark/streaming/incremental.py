@@ -562,3 +562,44 @@ def stream_to_delta_protocol(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_iceberg(
+    stream_df: DataFrame,
+    table_path: str,
+    key_fields: list[str],
+    app_id: str,
+    checkpoint: str,
+    transform=None,
+):
+    """Exactly-once streaming UPSERT sink into an Iceberg-protocol
+    table — the Flink upsert-sink shape end-to-end: each micro-batch
+    commits its new data files AND an equality delete on its keys at
+    one sequence number (``IcebergProtocolTable.upsert``), so CDC
+    streams keep exactly one live row per key with O(batch) writes.
+    foreachBatch delivers at-least-once after failures; the
+    ``txn=(app_id, batchId)`` watermark (snapshot-summary
+    ``ffspark.txn.<app>``, Flink's max-committed-checkpoint-id
+    mechanism) makes replays recorded no-ops. ``transform`` optionally
+    maps each batch before the write; batches must be key-unique
+    (dedupe in ``transform`` when the channel can repeat keys within
+    one batch)."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform is not None else batch
+        table = IcebergProtocolTable(batch.sparkSession, table_path)
+        if not table.exists():
+            # first batch creates the table; the upsert below then
+            # carries the data AND the watermark atomically
+            table.create(out.limit(0))
+        table.upsert(out, key_fields, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -398,3 +398,76 @@ def test_stream_to_ann_index_serves_and_resumes(spark, tmp_path):
     assert len(ix) == 3  # id 1 upserted, not duplicated
     assert ix.query([0.5, 0.0], k=1, ef=8)[0] == (1, 0.0)
     assert ix.query([1.0, 1.0], k=1, ef=8)[0] == (3, 0.0)
+
+
+def test_stream_upsert_iceberg_exactly_once(spark, sf_dir, tmp_path):
+    """File-source CDC stream → foreachBatch → Iceberg-protocol table
+    via same-sequence equality-delete upserts: after two chunks with
+    overlapping keys, exactly one live row per key survives with the
+    LATEST value; a replayed batch id is a recorded no-op through the
+    snapshot-summary txn watermark (Iceberg has no SetTransaction)."""
+    import pyspark.sql.functions as F
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+    from featureform_spark.sources.testdata import load_table
+    from featureform_spark.streaming.incremental import (
+        stream_upsert_iceberg,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    # chunk 1: keys 0..199 original values
+    events.limit(200).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    q = stream_upsert_iceberg(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir)),
+        str(tmp_path / "tbl"),
+        key_fields=["event_id"],
+        app_id="cdc-x",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    t = IcebergProtocolTable(spark, str(tmp_path / "tbl"))
+    assert t.snapshot().count() == 200
+    # chunk 2: re-key half of them with bumped values + 50 new keys
+    upd = events.limit(100).withColumn("value", F.col("value") + 7.5)
+    new = (
+        events.orderBy("event_id").limit(250)
+        .orderBy(F.col("event_id").desc()).limit(50)
+    )
+    upd.unionByName(new).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    q = stream_upsert_iceberg(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir)),
+        str(tmp_path / "tbl"),
+        key_fields=["event_id"],
+        app_id="cdc-x",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["value"] for r in t.snapshot().collect()
+    }
+    assert len(got) == 250  # one live row per key
+    base = {r["event_id"]: r["value"] for r in events.limit(250).collect()}
+    updated = {r["event_id"] for r in upd.collect()}
+    for k, v in got.items():
+        assert v == (base[k] + 7.5 if k in updated else base[k])
+    # manual replay of batch id 0: watermarked no-op
+    assert t.upsert(
+        events.limit(10), ["event_id"], txn=("cdc-x", 0)
+    ) == -1
+    assert t.snapshot().count() == 250
+    # a NEW txn version still lands
+    assert t.txn_watermark("cdc-x") >= 1
