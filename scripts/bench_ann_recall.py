@@ -42,6 +42,9 @@ def main() -> None:
     # serving-side in-RAM indexes: built ONCE (the reference's
     # embeddinghub shape), queried per qid in numpy
     serving_ix = IvfPqIndex.build(emb, num_cells=16, m=8, ksub=64)
+    serving_lloyd = IvfPqIndex.build(
+        emb, num_cells=16, m=8, ksub=64, train_iters=3
+    )
     from featureform_spark.serving.hnsw_index import HnswIndex, ShardedHnsw
 
     hnsw_ix = HnswIndex.build(emb, m=16, ef_construction=100)
@@ -49,7 +52,7 @@ def main() -> None:
     hnsw_km = ShardedHnsw.build(
         emb, shards=4, m=16, ef_construction=100, partitioner="kmeans"
     )
-    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": [], "hnsw": [], "hnsw_sharded": [], "hnsw_sharded_p2of4": [], "hnsw_sharded_kmeans_p2of4": [], "hnsw_filtered_20pct": [], "ivfpq_filtered_20pct": []}
+    recalls = {"lsh": [], "lsh_mp1": [], "ivf": [], "pq": [], "ivfpq": [], "ivfpq_serving": [], "ivfpq_serving_lloyd": [], "hnsw": [], "hnsw_sharded": [], "hnsw_sharded_p2of4": [], "hnsw_sharded_kmeans_p2of4": [], "hnsw_filtered_20pct": [], "ivfpq_filtered_20pct": []}
     # filtered search: 20%-selectivity id filter, graded against exact
     # L2 over the SAME allowed subset
     allow = frozenset(range(0, n, 5))
@@ -112,6 +115,10 @@ def main() -> None:
         recalls["ivfpq"].append(len(ivfpq & exact_l2) / k)
         srv = {i for i, _ in serving_ix.query(qvec, k=k, nprobe=8, rerank=200)}
         recalls["ivfpq_serving"].append(len(srv & exact_l2) / k)
+        srl = {
+            i for i, _ in serving_lloyd.query(qvec, k=k, nprobe=8, rerank=200)
+        }
+        recalls["ivfpq_serving_lloyd"].append(len(srl & exact_l2) / k)
         hn = {i for i, _ in hnsw_ix.query(qvec, k=k, ef=64)}
         recalls["hnsw"].append(len(hn & exact_l2) / k)
         hs = {i for i, _ in hnsw_sh.query(qvec, k=k, ef=64)}

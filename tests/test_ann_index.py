@@ -198,3 +198,36 @@ def test_filtered_query_ivfpq(index):
     order = np.lexsort((index.ids[mask], d[mask]))
     want = [int(i) for i in index.ids[mask][order][:5]]
     assert [i for i, _ in got] == want
+
+
+def test_lloyd_trained_build_and_l2_routing(emb):
+    """train_iters Lloyd-refines the coarse cells (broadcast
+    assignment + k-row groupBy per round, corpus never shuffles).
+    Everything is md5-deterministic so the numbers are stable, but
+    Lloyd is a statistical improvement, not a pointwise guarantee —
+    at this tiny scale assert it stays within noise of the sampled
+    build while the structural contracts hold exactly: same shapes,
+    same id set, and full-probe + big-rerank queries are EXACT
+    regardless of how the centroids were trained (the training only
+    moves cell boundaries, never the reranked distances)."""
+    base = IvfPqIndex.build(emb, num_cells=8, m=8, ksub=16)
+    lloyd = IvfPqIndex.build(
+        emb, num_cells=8, m=8, ksub=16, train_iters=3
+    )
+    assert lloyd.centroids.shape == base.centroids.shape
+    assert sorted(lloyd.ids) == sorted(base.ids)
+    # Lloyd must actually have moved the centroids off the seeds
+    assert not np.allclose(lloyd.centroids, base.centroids)
+
+    def recall(ix, q, k=10, nprobe=4):
+        got = {i for i, _ in ix.query(q, k=k, nprobe=nprobe, rerank=200)}
+        return len(got & set(_exact_l2_ids(emb, q, k))) / k
+
+    rows = emb.orderBy("vec_id").limit(10).collect()
+    qs = [list(map(float, r["embedding"])) for r in rows]
+    r_base = sum(recall(base, q) for q in qs) / len(qs)
+    r_lloyd = sum(recall(lloyd, q) for q in qs) / len(qs)
+    assert r_lloyd >= r_base - 0.1  # within noise at 1k vectors
+    for q in qs[:3]:
+        got = [i for i, _ in lloyd.query(q, k=5, nprobe=8, rerank=10_000)]
+        assert got == _exact_l2_ids(emb, q, 5)
