@@ -151,3 +151,34 @@ def test_upsert_v3_row_lineage(spark, tmp_path):
     assert ids[5] is not None and ids[99] is not None
     assert ids[5] != ids[99]
     assert all(v is None for k, v in ids.items() if k not in (5, 99))
+
+
+def test_rewrite_folds_upsert_state(spark, sf_dir, tmp_path):
+    """Maintenance interplay: equality deletes accumulate per upsert
+    batch and tax every read — rewrite_data_files materializes the
+    merge-on-read state into fresh files and the delete files age out
+    of scope, so reads go back to one plain scan while values stay
+    row-identical."""
+    e = _events(spark, sf_dir).limit(200)
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(e)
+    for mod, bump in ((2, 10.0), (3, 100.0)):
+        batch = e.filter(F.col("event_id") % mod == 0).withColumn(
+            "value", F.col("value") + bump
+        )
+        t.upsert(batch, ["event_id"])
+    before = sorted(map(tuple, t.snapshot().collect()))
+    t.rewrite_data_files()
+    after = sorted(map(tuple, t.snapshot().collect()))
+    assert before == after
+    # post-compaction state carries no live delete files
+    snap = t.current_snapshot(t.metadata())
+    _data, deletes = t._live_entries(snap)
+    assert deletes == []
+    # and upserts keep working on the compacted table
+    t.upsert(
+        e.limit(5).withColumn("value", F.lit(0.5)), ["event_id"]
+    )
+    got = {r["event_id"]: r["value"] for r in t.snapshot().collect()}
+    for r in e.limit(5).collect():
+        assert got[r["event_id"]] == 0.5
