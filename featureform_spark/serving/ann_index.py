@@ -37,6 +37,55 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
+def _l2_assign(
+    df: DataFrame,
+    cents_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Euclidean cell assignment against COLLECTED centroids via one
+    Arrow-batched mapInPandas pass: ``cluster = argmin ||v - c||^2 =
+    argmin(c.c - 2 v.c)``, ties to the smallest cid. Centroids ride
+    the closure (k x dim doubles); the corpus never shuffles. Output
+    ``(id, _v, cluster)`` — the shape ``refine_centroids`` folds."""
+    cents = sorted(
+        (int(r["cid"]), np.asarray(r["cv"], dtype=np.float64))
+        for r in cents_rows
+    )
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.stack([v for _, v in cents])
+    cc = np.einsum("ij,ij->i", C, C)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["_v"]]
+            ) if len(pdf) else np.zeros((0, C.shape[1]))
+            if len(pdf):
+                d = cc[None, :] - 2.0 * (V @ C.T)
+                best = cids[np.argmin(d, axis=1)]
+            else:
+                best = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_v": pdf["_v"],
+                    "cluster": best,
+                }
+            )
+
+    from featureform_spark.functions.similarity import _as_double
+
+    base = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    return base.mapInPandas(
+        gen, f"{id_col} long, _v array<double>, cluster long"
+    )
+
+
 class IvfPqIndex:
     """In-memory IVFADC index over an embedding DataFrame.
 
@@ -54,13 +103,21 @@ class IvfPqIndex:
         codes: np.ndarray,          # (n, m) uint8
         vectors: np.ndarray | None,  # (n, dim) float32 for re-rank
         n_codes: np.ndarray | None = None,  # (m,) real codes per subspace
+        metric: str = "cosine",
     ):
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"unknown metric {metric!r}")
         self.centroids = centroids
         self.codebook = codebook
         self.ids = ids
         self.cells = cells
         self.codes = codes
         self.vectors = vectors
+        # cell-ASSIGNMENT metric, used for routing too: probing must
+        # rank cells with the same rule that placed vectors in them, or
+        # the probe order systematically misses the assigned cell on
+        # corpora with varying centroid norms
+        self.metric = metric
         self.dim = centroids.shape[1]
         self.m = codebook.shape[0]
         self.sub_dim = self.dim // self.m
@@ -126,19 +183,22 @@ class IvfPqIndex:
 
         if train_iters > 0:
             from featureform_spark.functions.clustering import (
-                _assign_vectorized,
                 kmeans_init,
                 refine_centroids,
             )
             from featureform_spark.sources.local_df import local_df
 
+            # EUCLIDEAN Lloyd (not clustering.kmeans_fit, which is
+            # spherical/cosine for semantic dedup): the index reranks
+            # by L2, so cells must be carved by L2 too — assignment,
+            # routing, and rerank all share one metric. Assignment is
+            # a broadcast numpy argmin per round; refinement is the
+            # k-row mean groupBy. The corpus never shuffles.
             cents_rows = kmeans_init(df, num_cells, id_col, vec_col).collect()
-            assigned_k = _assign_vectorized(df, cents_rows, id_col, vec_col)
+            assigned_k = _l2_assign(df, cents_rows, id_col, vec_col)
             for _ in range(train_iters):
                 cents_rows = refine_centroids(assigned_k, dim).collect()
-                assigned_k = _assign_vectorized(
-                    df, cents_rows, id_col, vec_col
-                )
+                assigned_k = _l2_assign(df, cents_rows, id_col, vec_col)
             assigned = assigned_k.select(
                 F.col(id_col), F.col("cluster").alias("cell"), F.col("_v")
             )
@@ -150,9 +210,11 @@ class IvfPqIndex:
                 ],
                 "cid long, cv array<double>",
             )
+            metric = "l2"
         else:
             cents = ivf_centroids(df, num_cells, id_col, vec_col)
             assigned = ivf_assign(df, cents, id_col, vec_col)
+            metric = "cosine"
         cmap = cents.select(F.col("cid").alias("cell"), F.col("cv"))
         res = assigned.join(F.broadcast(cmap), "cell").select(
             F.col(id_col),
@@ -195,7 +257,8 @@ class IvfPqIndex:
             )
             vectors = np.array([r["_v"] for r in vrows], dtype=np.float32)
         return cls(centroids, cells=cells, codebook=cb, ids=ids,
-                   codes=codes, vectors=vectors, n_codes=n_codes)
+                   codes=codes, vectors=vectors, n_codes=n_codes,
+                   metric=metric)
 
     def get(self, vid: int) -> list[float] | None:
         """Point lookup of the stored vector (embeddinghub's Get RPC);
@@ -222,6 +285,7 @@ class IvfPqIndex:
                 codes=self.codes,
                 n_codes=self.n_codes,
             )
+            kwargs["metric"] = np.array(self.metric)
             if self.vectors is not None:
                 kwargs["vectors"] = self.vectors
             np.savez_compressed(path, **kwargs)
@@ -237,6 +301,8 @@ class IvfPqIndex:
                 codes=z["codes"],
                 vectors=z["vectors"] if "vectors" in z else None,
                 n_codes=z["n_codes"],
+                # pre-metric snapshots were cosine-assigned
+                metric=str(z["metric"]) if "metric" in z else "cosine",
             )
 
     # -- incremental write path ----------------------------------------------
@@ -254,12 +320,27 @@ class IvfPqIndex:
         v = np.asarray(new_vectors, dtype=np.float64)
         if v.ndim == 1:
             v = v[None, :]
-        # nearest cell by cosine (matching ivf_assign's rule)
-        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-        cn = self.centroids / np.maximum(
-            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
-        )
-        cells = np.argmax(vn @ cn.T, axis=1).astype(np.int32)
+        # nearest cell by the INDEX's assignment metric (cosine matches
+        # ivf_assign's rule on the default build; l2 matches the
+        # Lloyd-trained build) — an add that assigned differently from
+        # the build would scatter a key's entries across rules
+        if self.metric == "l2":
+            cells = np.argmin(
+                np.einsum("ij,ij->i", self.centroids, self.centroids)[
+                    None, :
+                ]
+                - 2.0 * (v @ self.centroids.T),
+                axis=1,
+            ).astype(np.int32)
+        else:
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-30
+            )
+            cn = self.centroids / np.maximum(
+                np.linalg.norm(self.centroids, axis=1, keepdims=True),
+                1e-30,
+            )
+            cells = np.argmax(vn @ cn.T, axis=1).astype(np.int32)
         resid = v - self.centroids[cells]
         sub = resid.reshape(len(v), self.m, self.sub_dim)
         # per-subspace argmin over REAL codes only (the zero-filled
@@ -337,17 +418,23 @@ class IvfPqIndex:
     ) -> list[tuple[int, float]]:
         q = np.asarray(vector, dtype=np.float64)
         n_cells_total = len(self.centroids)
-        # rank cells by TRUE L2 distance to the query: ||q - c||^2 =
-        # ||q||^2 - 2 q.c + ||c||^2, and the ||q||^2 term is constant
-        # across cells. The previous cosine ranking ignored ||c||^2,
-        # over-probing large-norm cells on unnormalized embeddings —
-        # the correct ranking for an L2 index regardless of data shape
-        # (worth ~2pts recall@10 on the near-uniform test embeddings,
-        # more on clustered corpora where centroid norms vary).
-        probe_order = np.argsort(
-            np.einsum("ij,ij->i", self.centroids, self.centroids)
-            - 2.0 * (self.centroids @ q)
-        )
+        # route with the SAME metric that assigned vectors to cells —
+        # mixing (e.g. cosine assignment + L2 routing) systematically
+        # skips the assigned cell whenever centroid norms vary. l2:
+        # ||q - c||^2 = ||q||^2 - 2 q.c + ||c||^2 with the constant
+        # ||q||^2 dropped.
+        if self.metric == "l2":
+            probe_order = np.argsort(
+                np.einsum("ij,ij->i", self.centroids, self.centroids)
+                - 2.0 * (self.centroids @ q)
+            )
+        else:
+            qn = q / max(float(np.linalg.norm(q)), 1e-30)
+            cn = self.centroids / np.maximum(
+                np.linalg.norm(self.centroids, axis=1, keepdims=True),
+                1e-30,
+            )
+            probe_order = np.argsort(-(cn @ qn))
         ok = None
         sel = None  # estimated allow fraction
         if allow is not None:

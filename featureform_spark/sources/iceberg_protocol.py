@@ -2388,6 +2388,21 @@ class IcebergProtocolTable:
         version = max(v for v, _ in self._metadata_files()) + 1
         keep_ids = {s["snapshot-id"] for s in keep_snaps}
         md = dict(md)
+        # exactly-once txn watermarks ride snapshot summaries
+        # (ffspark.txn.<app>); expiring the carrying snapshot must not
+        # lower an app's watermark (a replayed foreachBatch would then
+        # re-commit) — fold expired maxima into table properties, which
+        # txn_watermark consults alongside the summaries
+        folded: dict[str, int] = {}
+        for s in expired:
+            for k, v in (s.get("summary") or {}).items():
+                if k.startswith("ffspark.txn."):
+                    folded[k] = max(folded.get(k, -1), int(v))
+        if folded:
+            props = dict(md.get("properties") or {})
+            for k, v in folded.items():
+                props[k] = str(max(int(props.get(k, -1)), v))
+            md["properties"] = props
         md["snapshots"] = keep_snaps
         md["snapshot-log"] = [
             e for e in (md.get("snapshot-log") or [])
@@ -4549,6 +4564,83 @@ class IcebergProtocolTable:
             snapshot_id=snapshot_id,
         )
 
+    def _validate_eq_fields(
+        self, md: dict, equality_fields: list[str]
+    ) -> list[int]:
+        """Resolve equality-delete identifier fields to their ids,
+        refusing non-identifier types up front (spec: identifier
+        fields must be primitives, never float/double — NaN breaks
+        equality; variant/nested have no equality semantics and their
+        parquet footers would crash the stats pass mid-write)."""
+        by_name = {f["name"]: f for f in self.schema(md)["fields"]}
+        eq_ids: list[int] = []
+        for c in equality_fields:
+            f = by_name.get(c)
+            if f is None:
+                raise IcebergProtocolError(
+                    f"equality delete on unknown column {c!r}"
+                )
+            t = f["type"]
+            if not isinstance(t, str):
+                raise UnsupportedIcebergFeatureError(
+                    f"equality delete on nested column {c!r} is not "
+                    "supported by this writer"
+                )
+            if t in ("float", "double"):
+                raise IcebergProtocolError(
+                    f"equality delete on {c!r}: float/double columns "
+                    "cannot be identifier fields"
+                )
+            ok = t in (
+                "boolean", "int", "long", "string", "date", "time",
+                "timestamp", "timestamptz", "timestamp_ntz", "uuid",
+                "binary",
+            ) or t.startswith(("decimal(", "fixed["))
+            if not ok:
+                raise IcebergProtocolError(
+                    f"equality delete on {c!r}: type {t!r} is not a "
+                    "valid identifier field (spec: primitives only)"
+                )
+            eq_ids.append(int(f["id"]))
+        return eq_ids
+
+    def _mirror_guard(self, md: dict, snap: dict, op: str) -> None:
+        """Refuse equality-delete/upsert writes into metadata-mirror
+        tables (UniForm / name-mapped imports) — property checks FIRST
+        so native tables pay ZERO manifest reads per commit (both
+        underlying guards short-circuit on properties; reading every
+        manifest per streaming micro-batch would otherwise grow with
+        table history and break the documented O(batch) cost)."""
+        props = md.get("properties") or {}
+        nm_alternates = False
+        nm = props.get("schema.name-mapping.default")
+        if nm:
+            # this engine's own create stamps an IDENTITY mapping
+            # (names == [own name]); only a mapping with ALTERNATE
+            # names marks a mirror — a pure JSON check, still zero
+            # manifest reads (same rule _nm_resolution applies)
+            try:
+                nm_alternates = any(
+                    len(e.get("names") or []) > 1 for e in json.loads(nm)
+                )
+            except ValueError:
+                nm_alternates = True  # unparseable: let the guard look
+        if (
+            not nm_alternates
+            and "delta.uniform.delta-version" not in props
+            and props.get("featureform.partition-values-from-metadata")
+            != "true"
+        ):
+            return
+        data_entries, _old = self._live_entries(snap)
+        if self._nm_resolution(md, data_entries) or self._identity_patch(
+            md, data_entries
+        ):
+            raise UnsupportedIcebergFeatureError(
+                f"{op} on a metadata-mirror table (UniForm) — write "
+                "through the owning Delta side instead"
+            )
+
     def _eq_delete_entries(
         self,
         keys: DataFrame,
@@ -4556,6 +4648,7 @@ class IcebergProtocolTable:
         md: dict,
         snapshot_id: int,
         seq: int,
+        eq_ids: list[int] | None = None,
     ) -> list[dict]:
         """Write DISTINCT key tuples as equality-delete parquet
         (content=2) and return the manifest entries. The delete file
@@ -4566,28 +4659,8 @@ class IcebergProtocolTable:
         sequence numbers."""
         import pyarrow.parquet as pq
 
-        fields = self.schema(md)["fields"]
-        by_name = {f["name"]: f for f in fields}
-        eq_ids: list[int] = []
-        for c in equality_fields:
-            f = by_name.get(c)
-            if f is None:
-                raise IcebergProtocolError(
-                    f"equality delete on unknown column {c!r}"
-                )
-            if f["type"] in ("float", "double"):
-                # spec: identifier fields must not be float/double
-                # (NaN breaks equality semantics)
-                raise IcebergProtocolError(
-                    f"equality delete on {c!r}: float/double columns "
-                    "cannot be identifier fields"
-                )
-            if not isinstance(f["type"], str):
-                raise UnsupportedIcebergFeatureError(
-                    f"equality delete on nested column {c!r} is not "
-                    "supported by this writer"
-                )
-            eq_ids.append(int(f["id"]))
+        if eq_ids is None:
+            eq_ids = self._validate_eq_fields(md, equality_fields)
         staging = os.path.join(self.path, STAGING_DIR, uuid.uuid4().hex)
         # one delete file per commit (Flink's per-checkpoint shape):
         # the reader broadcasts delete sets, so fewer/larger beats many
@@ -4641,8 +4714,11 @@ class IcebergProtocolTable:
         Iceberg has no SetTransaction action, so exactly-once
         watermarks ride the summary). -1 when none."""
         key = f"ffspark.txn.{app_id}"
-        best = -1
-        for s in self.snapshots(md or self.metadata()):
+        md = md or self.metadata()
+        # expire_snapshots folds expired snapshots' watermarks into
+        # properties so the guarantee survives maintenance
+        best = int((md.get("properties") or {}).get(key, -1))
+        for s in self.snapshots(md):
             v = (s.get("summary") or {}).get(key)
             if v is not None:
                 best = max(best, int(v))
@@ -4685,18 +4761,23 @@ class IcebergProtocolTable:
             txn[0], md
         ):
             return -1
-        data_entries, _old = self._live_entries(snap)
-        if self._nm_resolution(md, data_entries) or self._identity_patch(
-            md, data_entries
-        ):
-            raise UnsupportedIcebergFeatureError(
-                "upsert on a metadata-mirror table (UniForm) — write "
-                "through the owning Delta side instead"
-            )
+        eq_ids = self._validate_eq_fields(md, key_fields)
+        self._mirror_guard(md, snap, "upsert")
+        # three actions read this batch (dup check, data-file write,
+        # key delete-file write); foreachBatch batches are uncached, so
+        # pin the lineage once — an expensive upstream transform must
+        # not run three times per micro-batch
+        df = df.localCheckpoint(eager=True)
+        # struct() so NULL keys count: count_distinct over bare columns
+        # skips any-NULL rows, spuriously flagging a valid batch with
+        # one NULL key as duplicate (null-keyed rows are first-class
+        # equality-delete citizens — nulls match null-safe)
         dup = df.agg(
             (
                 F.count(F.lit(1))
-                - F.count_distinct(*[F.col(c) for c in key_fields])
+                - F.count_distinct(
+                    F.struct(*[F.col(c) for c in key_fields])
+                )
             ).alias("_d")
         ).first()["_d"]
         if dup:
@@ -4729,7 +4810,7 @@ class IcebergProtocolTable:
         if lineage is not None:
             data_manifest["first_row_id"] = lineage[0]
         del_entries = self._eq_delete_entries(
-            df, key_fields, md, snapshot_id, seq
+            df, key_fields, md, snapshot_id, seq, eq_ids=eq_ids
         )
         manifests = [data_manifest]
         if del_entries:
@@ -4947,21 +5028,17 @@ class IcebergProtocolTable:
         columns are refused (spec: identifier fields must not be
         float/double — NaN breaks equality)."""
         md = self.metadata()
+        # validate BEFORE the empty-table early return: a typo'd key
+        # column must raise even when there is nothing to delete yet
+        eq_ids = self._validate_eq_fields(md, key_cols)
         snap = self.current_snapshot(md)
         if snap is None:
             return -1
-        data_entries, _old = self._live_entries(snap)
-        if self._nm_resolution(md, data_entries) or self._identity_patch(
-            md, data_entries
-        ):
-            raise UnsupportedIcebergFeatureError(
-                "delete_by_keys on a metadata-mirror table (UniForm) — "
-                "write through the owning Delta side instead"
-            )
+        self._mirror_guard(md, snap, "delete_by_keys")
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         entries = self._eq_delete_entries(
-            keys_df, key_cols, md, snapshot_id, seq
+            keys_df, key_cols, md, snapshot_id, seq, eq_ids=eq_ids
         )
         if not entries:
             return -1

@@ -231,3 +231,28 @@ def test_lloyd_trained_build_and_l2_routing(emb):
     for q in qs[:3]:
         got = [i for i, _ in lloyd.query(q, k=5, nprobe=8, rerank=10_000)]
         assert got == _exact_l2_ids(emb, q, 5)
+
+
+def test_metric_coherence_persists(emb, tmp_path):
+    """Assignment, routing, and add() share ONE metric: the Lloyd
+    build is euclidean end-to-end (cells carved by L2, probes ranked
+    by L2), the default build stays cosine end-to-end, and the metric
+    survives the npz round-trip so a loaded snapshot keeps probing the
+    way its cells were carved."""
+    base = IvfPqIndex.build(emb, num_cells=8, m=8, ksub=16)
+    lloyd = IvfPqIndex.build(emb, num_cells=8, m=8, ksub=16, train_iters=2)
+    assert base.metric == "cosine" and lloyd.metric == "l2"
+    p = str(tmp_path / "ix.npz")
+    lloyd.save(p)
+    loaded = IvfPqIndex.load(p)
+    assert loaded.metric == "l2"
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    assert [i for i, _ in loaded.query(q, k=5, nprobe=8, rerank=1000)] == [
+        i for i, _ in lloyd.query(q, k=5, nprobe=8, rerank=1000)
+    ]
+    # add() assigns by the stored metric: the added vector lands in
+    # its true L2-nearest cell and is findable at nprobe=1
+    v = list(np.asarray(q, dtype=np.float64) + 0.001)
+    loaded.add([999_999], [v])
+    got = [i for i, _ in loaded.query(v, k=1, nprobe=1, rerank=10)]
+    assert got == [999_999]

@@ -182,3 +182,113 @@ def test_rewrite_folds_upsert_state(spark, sf_dir, tmp_path):
     got = {r["event_id"]: r["value"] for r in t.snapshot().collect()}
     for r in e.limit(5).collect():
         assert got[r["event_id"]] == 0.5
+
+
+def test_upsert_null_key_batch_is_not_duplicate(spark, tmp_path):
+    """count_distinct over bare columns skips any-NULL rows; the dup
+    check must count struct-wrapped keys so a key-unique batch with a
+    NULL key passes (null-keyed rows are first-class equality-delete
+    citizens — nulls match null-safe)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (None, "n", 2.0)],
+        "event_id long, user_id string, value double",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    batch = spark.createDataFrame(
+        [(1, "a2", 10.0), (None, "n2", 20.0)],
+        "event_id long, user_id string, value double",
+    )
+    t.upsert(batch, ["event_id"])  # must NOT raise 'duplicate'
+    got = {r["user_id"] for r in t.snapshot().collect()}
+    assert got == {"a2", "n2"}
+    # two NULL-keyed rows in one batch ARE duplicates (same key tuple)
+    dup = spark.createDataFrame(
+        [(None, "x", 1.0), (None, "y", 2.0)],
+        "event_id long, user_id string, value double",
+    )
+    with pytest.raises(IcebergProtocolError, match="duplicate"):
+        t.upsert(dup, ["event_id"])
+
+
+def test_txn_watermark_survives_expire_snapshots(spark, tmp_path):
+    """The exactly-once watermark rides the committing snapshot's
+    summary; expiring that snapshot must fold the maximum into table
+    properties, or a replayed foreachBatch would re-commit."""
+    df = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(10)],
+        "event_id long, user_id string, value double",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    t.upsert(df.limit(3), ["event_id"], txn=("app-x", 4))
+    t.append(df.limit(1).withColumn("event_id", F.lit(999)))
+    assert t.txn_watermark("app-x") == 4
+    out = t.expire_snapshots(retain_last=1)
+    assert out["expired"] >= 1
+    # watermark survived the expiry via properties
+    assert t.txn_watermark("app-x") == 4
+    assert t.upsert(df.limit(2), ["event_id"], txn=("app-x", 3)) == -1
+    assert t.upsert(df.limit(2), ["event_id"], txn=("app-x", 5)) > 0
+
+
+def test_delete_by_keys_validates_before_empty_return(spark, tmp_path):
+    """A typo'd key column must raise even on a snapshot-less table —
+    returning -1 there would hide the typo until data exists."""
+    df = spark.createDataFrame([], "event_id long, value double")
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    with pytest.raises(IcebergProtocolError, match="unknown column"):
+        t.delete_by_keys(
+            spark.createDataFrame([(1,)], "event_iid long"),
+            ["event_iid"],
+        )
+
+
+def test_eq_delete_identifier_type_allowlist(tmp_path):
+    """Spec: identifier fields are primitives only — variant (and any
+    other non-identifier type) refuses up front with a clean error,
+    never an opaque mid-write parquet crash."""
+    t = IcebergProtocolTable(None, str(tmp_path / "t"))
+    md = {
+        "format-version": 3,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "type": "long", "required": False},
+                {"id": 2, "name": "v", "type": "variant",
+                 "required": False},
+            ],
+        }],
+    }
+    assert t._validate_eq_fields(md, ["k"]) == [1]
+    with pytest.raises(IcebergProtocolError, match="identifier"):
+        t._validate_eq_fields(md, ["v"])
+
+
+def test_upsert_native_table_reads_no_manifests(spark, tmp_path, monkeypatch):
+    """The mirror guard short-circuits on table properties: a native
+    table's upsert must never pay an O(#manifests) _live_entries read
+    per micro-batch (that cost grows with history and would break the
+    documented O(batch) contract)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, user_id string, value double"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+
+    def boom(self, snap):
+        raise AssertionError("_live_entries called on the native path")
+
+    monkeypatch.setattr(IcebergProtocolTable, "_live_entries", boom)
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "b", 2.0)],
+            "event_id long, user_id string, value double",
+        ),
+        ["event_id"],
+    )
+    monkeypatch.undo()
+    assert t.snapshot().count() == 2
