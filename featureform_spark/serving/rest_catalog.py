@@ -515,6 +515,9 @@ class IcebergRestCatalogServer:
 
     def __init__(self, root: str, host: str = "127.0.0.1", port: int = 0):
         self.root = root
+        # last <=100 ReportMetricsRequest payloads (spec metrics
+        # endpoint) — operators read these off the server object
+        self.metrics: list[dict] = []
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -581,6 +584,14 @@ class IcebergRestCatalogServer:
                         return ("views", ns, None)
                     if len(parts) == 5 and parts[3] == "views":
                         return ("view", ns, parts[4])
+                    if len(parts) == 4 and parts[3] == "properties":
+                        return ("ns-properties", ns, None)
+                    if (
+                        len(parts) == 6
+                        and parts[3] == "tables"
+                        and parts[5] == "metrics"
+                    ):
+                        return ("table-metrics", ns, parts[4])
                 return (None, None, None)
 
             def _child_dir(self, ns: str, name: str, pred) -> str | None:
@@ -605,6 +616,97 @@ class IcebergRestCatalogServer:
                 if not p.startswith(root + os.sep) or not os.path.isdir(p):
                     return None
                 return p
+
+            def _ns_props(self, ns_dir: str) -> dict:
+                """Namespace properties live in a dot-prefixed sidecar
+                (a FILE, so table/view listings — which isdir() their
+                entries — never see it)."""
+                try:
+                    with open(
+                        os.path.join(ns_dir, ".ns-properties.json")
+                    ) as f:
+                        return json.load(f)
+                except (OSError, ValueError):
+                    return {}
+
+            def _write_ns_props(self, ns_dir: str, props: dict) -> None:
+                tmp = os.path.join(
+                    ns_dir, f".ns-properties.{uuid.uuid4().hex}.tmp"
+                )
+                with open(tmp, "w") as f:
+                    json.dump(props, f, indent=1)
+                os.replace(
+                    tmp, os.path.join(ns_dir, ".ns-properties.json")
+                )
+
+            def _update_ns_properties(self, ns: str):
+                """Spec UpdateNamespacePropertiesRequest: apply
+                ``removals`` then ``updates``; answer with the spec's
+                {updated, removed, missing} triple (missing = removals
+                that were not set). A key in BOTH lists is a 400 per
+                spec."""
+                ns_dir = self._ns_dir(ns)
+                if ns_dir is None:
+                    return self._error(404, f"namespace {ns!r}")
+                try:
+                    req = self._read_body()
+                    removals = list(req.get("removals") or [])
+                    updates = dict(req.get("updates") or {})
+                    if not all(isinstance(r, str) for r in removals):
+                        raise ValueError(removals)
+                    if not all(
+                        isinstance(k, str) and isinstance(v, str)
+                        for k, v in updates.items()
+                    ):
+                        raise ValueError(updates)
+                except (ValueError, json.JSONDecodeError, TypeError,
+                        AttributeError):
+                    return self._error(
+                        400, "invalid UpdateNamespacePropertiesRequest"
+                    )
+                both = set(removals) & set(updates)
+                if both:
+                    return self._error(
+                        400,
+                        f"keys in both updates and removals: "
+                        f"{sorted(both)}",
+                    )
+                props = self._ns_props(ns_dir)
+                removed = [k for k in removals if k in props]
+                missing = [k for k in removals if k not in props]
+                for k in removed:
+                    props.pop(k)
+                props.update(updates)
+                self._write_ns_props(ns_dir, props)
+                return self._json(
+                    200,
+                    {
+                        "updated": sorted(updates),
+                        "removed": sorted(removed),
+                        "missing": sorted(missing),
+                    },
+                )
+
+            def _report_metrics(self, ns: str, name: str):
+                """Spec ReportMetricsRequest: accept scan/commit
+                reports (clients like Spark's RESTCatalog POST these
+                after every scan and treat failures as errors). The
+                last reports are retained in memory for operators to
+                read off ``server.metrics``; the endpoint never 5xxs
+                on report content."""
+                if self._table_dir(ns, name) is None:
+                    return self._error(404, f"table {ns}.{name} not found")
+                try:
+                    report = self._read_body()
+                except (ValueError, json.JSONDecodeError):
+                    return self._error(400, "invalid ReportMetricsRequest")
+                outer.metrics.append(
+                    {"namespace": ns, "table": name, "report": report}
+                )
+                del outer.metrics[:-100]  # bounded retention
+                self.send_response(204)
+                self.end_headers()
+                return None
 
             def _already_exists(self, msg: str):
                 return self._json(
@@ -672,10 +774,15 @@ class IcebergRestCatalogServer:
                         body["next-page-token"] = nxt
                     return self._json(200, body)
                 if kind == "namespace":
-                    if self._ns_dir(ns) is None:
+                    ns_dir = self._ns_dir(ns)
+                    if ns_dir is None:
                         return self._error(404, f"namespace {ns!r}")
                     return self._json(
-                        200, {"namespace": [ns], "properties": {}}
+                        200,
+                        {
+                            "namespace": [ns],
+                            "properties": self._ns_props(ns_dir),
+                        },
                     )
                 if kind == "tables":
                     return self._list_kind(ns, _is_iceberg_table)
@@ -797,6 +904,10 @@ class IcebergRestCatalogServer:
                     return self._create_view(ns)
                 if kind == "view":
                     return self._commit_view(ns, name)
+                if kind == "ns-properties":
+                    return self._update_ns_properties(ns)
+                if kind == "table-metrics":
+                    return self._report_metrics(ns, name)
                 if kind != "table":
                     return self._error(400, f"unknown route {self.path}")
                 tdir = self._table_dir(ns, name)
@@ -1275,8 +1386,14 @@ class IcebergRestCatalogServer:
                     ):
                         raise ValueError(levels)
                     ns = levels[0]
+                    properties = dict(req.get("properties") or {})
+                    if not all(
+                        isinstance(k, str) and isinstance(v, str)
+                        for k, v in properties.items()
+                    ):
+                        raise ValueError(properties)
                 except (ValueError, json.JSONDecodeError, KeyError,
-                        TypeError):
+                        TypeError, AttributeError):
                     return self._error(
                         400, "invalid CreateNamespaceRequest "
                         "(single-level namespace required)"
@@ -1294,8 +1411,10 @@ class IcebergRestCatalogServer:
                     return self._already_exists(
                         f"namespace {ns!r} exists"
                     )
+                if properties:
+                    self._write_ns_props(ns_dir, properties)
                 return self._json(
-                    200, {"namespace": [ns], "properties": {}}
+                    200, {"namespace": [ns], "properties": properties}
                 )
 
             def do_DELETE(self):
@@ -1350,11 +1469,32 @@ class IcebergRestCatalogServer:
                         root + os.sep
                     ) or not os.path.isdir(ns_dir):
                         return self._error(404, f"namespace {ns!r}")
-                    try:
+                    def _rmdir():
                         # rmdir is the atomic emptiness check — a table
                         # created between a listdir and the rmdir would
                         # otherwise drop the connection (TOCTOU)
                         os.rmdir(ns_dir)
+
+                    try:
+                        try:
+                            _rmdir()
+                        except OSError as exc:
+                            if isinstance(exc, FileNotFoundError):
+                                raise
+                            # the properties sidecar doesn't count as
+                            # content — but only clear it when it is
+                            # the SOLE entry, so dropping a genuinely
+                            # non-empty namespace never loses its
+                            # properties on the way to the 409
+                            if os.listdir(ns_dir) == [
+                                ".ns-properties.json"
+                            ]:
+                                os.unlink(
+                                    os.path.join(
+                                        ns_dir, ".ns-properties.json"
+                                    )
+                                )
+                            _rmdir()
                     except FileNotFoundError:
                         return self._error(404, f"namespace {ns!r}")
                     except OSError:

@@ -1376,3 +1376,106 @@ def test_pagination_mixed_kinds_and_empty_final_page(tmp_path):
         assert [x["name"] for x in items] == ["t0", "t1", "t2"]
     finally:
         server.shutdown()
+
+
+def test_namespace_properties_lifecycle(tmp_path):
+    """Spec UpdateNamespacePropertiesRequest: create-with-properties,
+    load reflects them, updates+removals answer the {updated, removed,
+    missing} triple, a key in both lists is 400, and dropping an
+    otherwise-empty namespace ignores the properties sidecar while a
+    non-empty drop keeps its properties intact."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        code, res = _post(server, "/v1/namespaces", {
+            "namespace": ["a"], "properties": {"owner": "etl"}})
+        assert code == 200 and res["properties"] == {"owner": "etl"}
+        got = _get(server, "/v1/namespaces/a")
+        assert got["properties"] == {"owner": "etl"}
+        code, res = _post(server, "/v1/namespaces/a/properties", {
+            "updates": {"comment": "c1", "owner": "ml"},
+            "removals": ["ghost"],
+        })
+        assert code == 200
+        assert res == {"updated": ["comment", "owner"],
+                       "removed": [], "missing": ["ghost"]}
+        code, res = _post(server, "/v1/namespaces/a/properties", {
+            "removals": ["comment"]})
+        assert code == 200 and res["removed"] == ["comment"]
+        assert _get(server, "/v1/namespaces/a")["properties"] == {
+            "owner": "ml"}
+        # key in both lists -> 400 per spec
+        code, _ = _post(server, "/v1/namespaces/a/properties", {
+            "updates": {"k": "1"}, "removals": ["k"]})
+        assert code == 400
+        # unknown namespace -> 404; malformed -> 400
+        code, _ = _post(server, "/v1/namespaces/ghost/properties", {
+            "updates": {"k": "1"}})
+        assert code == 404
+        code, _ = _post(server, "/v1/namespaces/a/properties", {
+            "updates": {"k": 7}})
+        assert code == 400
+        # non-empty namespace: drop 409s and properties SURVIVE
+        code, _ = _mkview(server, "a", "v")
+        assert code == 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/namespaces/a",
+            method="DELETE")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 409
+        assert _get(server, "/v1/namespaces/a")["properties"] == {
+            "owner": "ml"}
+        # empty it: the sidecar alone must not block the drop
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/namespaces/a/views/v",
+            method="DELETE")
+        assert urllib.request.urlopen(req).status == 204
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/namespaces/a",
+            method="DELETE")
+        assert urllib.request.urlopen(req).status == 204
+    finally:
+        server.shutdown()
+
+
+def test_metrics_endpoint(tmp_path):
+    """Spec ReportMetricsRequest: clients (Spark's RESTCatalog) POST
+    scan reports after every scan and treat failures as errors — the
+    endpoint answers 204 and retains the last reports for operators."""
+    server = IcebergRestCatalogServer(str(tmp_path))
+    try:
+        _post(server, "/v1/namespaces", {"namespace": ["a"]})
+        code, _ = _post(server, "/v1/namespaces/a/tables", {
+            "name": "t",
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+        })
+        assert code == 200
+        report = {
+            "report-type": "scan-report",
+            "table-name": "a.t",
+            "snapshot-id": 1,
+            "filter": {"type": "true"},
+            "metrics": {"total-planning-duration":
+                        {"count": 1, "time-unit": "nanoseconds",
+                         "total-duration": 12345}},
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}"
+            "/v1/namespaces/a/tables/t/metrics",
+            data=json.dumps(report).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        assert urllib.request.urlopen(req).status == 204
+        assert server.metrics[-1]["table"] == "t"
+        assert server.metrics[-1]["report"]["report-type"] == "scan-report"
+        # unknown table -> 404; non-object body -> 400
+        code, _ = _post(
+            server, "/v1/namespaces/a/tables/ghost/metrics", report)
+        assert code == 404
+        code, _ = _post(
+            server, "/v1/namespaces/a/tables/t/metrics", [1, 2])
+        assert code == 400
+    finally:
+        server.shutdown()
