@@ -292,3 +292,29 @@ def test_upsert_native_table_reads_no_manifests(spark, tmp_path, monkeypatch):
     )
     monkeypatch.undo()
     assert t.snapshot().count() == 2
+
+
+def test_upsert_on_partitioned_table(spark, tmp_path):
+    """Global equality deletes (partition: {}) must apply across a
+    PARTITIONED table's files — the delete is keyed on values, not
+    partitions, so one delete file covers every partition."""
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(30)],
+        "event_id long, bucket string, value double",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df, partition_by=["bucket"])
+    batch = df.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.col("value") + 100.0
+    )
+    t.upsert(batch, ["event_id"])
+    got = {r["event_id"]: r["value"] for r in t.snapshot().collect()}
+    assert len(got) == 30
+    for k, v in got.items():
+        assert v == (k + 100.0 if k % 2 == 0 else float(k))
+    # keyed delete across partitions too
+    t.delete_by_keys(
+        spark.createDataFrame([(0,), (1,), (2,)], "event_id long"),
+        ["event_id"],
+    )
+    assert t.snapshot().count() == 27
