@@ -318,3 +318,30 @@ def test_upsert_on_partitioned_table(spark, tmp_path):
         ["event_id"],
     )
     assert t.snapshot().count() == 27
+
+
+def test_changelog_over_upsert(spark, tmp_path):
+    """The changelog's 'overwrite' path (exceptAll of adjacent
+    snapshots) renders an upsert as delete-of-old + insert-of-new per
+    updated key, plus plain inserts for new keys — downstream CDC
+    consumers see row-level semantics even though the commit is an
+    equality delete."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "event_id long, value double"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    batch = spark.createDataFrame(
+        [(0, 99.0), (1, 99.0), (77, 7.0)], "event_id long, value double"
+    )
+    t.upsert(batch, ["event_id"])
+    got = sorted(
+        (r["event_id"], r["value"], r["_change_type"], r["_change_ordinal"])
+        for r in t.changelog_scan().collect()
+        if r["_change_ordinal"] == 1
+    )
+    assert got == [
+        (0, 0.0, "delete", 1), (0, 99.0, "insert", 1),
+        (1, 1.0, "delete", 1), (1, 99.0, "insert", 1),
+        (77, 7.0, "insert", 1),
+    ]
