@@ -474,9 +474,33 @@ class DatasetStreamerServer:
                         IcebergProtocolTable,
                     )
 
-                    IcebergProtocolTable(None, path).append_arrow(
-                        reader.to_reader()
-                    )
+                    t = IcebergProtocolTable(None, path)
+                    if req.get("mode") == "upsert":
+                        # CDC ingest: data files + a key equality
+                        # delete at one sequence number (the Flink
+                        # upsert-sink shape) — still zero Spark on the
+                        # pod; optional {"app_id", "txn_version"} gives
+                        # exactly-once replays via snapshot-summary
+                        # watermarks
+                        keys = req.get("keys")
+                        if not isinstance(keys, list) or not keys:
+                            raise ValueError(
+                                "upsert mode needs a non-empty 'keys' "
+                                "list in the descriptor"
+                            )
+                        txn = None
+                        if req.get("app_id") is not None:
+                            txn = (
+                                str(req["app_id"]),
+                                int(req.get("txn_version", 0)),
+                            )
+                        t.upsert_arrow(
+                            reader.to_reader(),
+                            [str(k) for k in keys],
+                            txn=txn,
+                        )
+                    else:
+                        t.append_arrow(reader.to_reader())
                 else:
                     import uuid as _uuid
 

@@ -4843,6 +4843,231 @@ class IcebergProtocolTable:
             extra_summary=summary,
         )
 
+    def upsert_arrow(
+        self,
+        data,
+        key_fields: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Sessionless streaming UPSERT — :meth:`upsert`'s twin for
+        JVM-free ingest pods (the Flight ``do_put`` shape, mirroring
+        ``append_arrow``): batches stream through one ParquetWriter
+        while the key tuples accumulate for the duplicate check and
+        the equality-delete file; data file and key delete commit at
+        ONE sequence number, so the delete applies only to strictly
+        older files and the batch survives its own delete. Pod memory
+        holds the key-tuple set — the same order of bytes as the
+        delete file that must be written anyway, NOT the data batch.
+
+        Same exactly-once ``txn`` watermark as :meth:`upsert`; the
+        watermark re-checks on every commit-race refold, so two pods
+        replaying one batch id cannot both land it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        if self.partition_spec(md):
+            raise UnsupportedIcebergFeatureError(
+                "upsert_arrow: partitioned tables need the Spark "
+                "write path (partition routing)"
+            )
+        snap = self.current_snapshot(md)
+        if snap is None:
+            raise IcebergProtocolError(
+                "upsert needs an existing table; use create/append"
+            )
+        self._mirror_guard(md, snap, "upsert_arrow")
+        eq_ids = self._validate_eq_fields(md, key_fields)
+        if txn is not None and int(txn[1]) <= self.txn_watermark(
+            txn[0], md
+        ):
+            return -1
+        ice_schema = self.schema(md)
+        want = [f["name"] for f in ice_schema["fields"]]
+        name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+        missing = [k for k in key_fields if k not in want]
+        if missing:
+            raise IcebergProtocolError(
+                f"upsert_arrow: key columns {missing} not in schema"
+            )
+        os.makedirs(os.path.join(self.path, DATA_DIR), exist_ok=True)
+        target = os.path.join(
+            self.path, DATA_DIR, f"{uuid.uuid4().hex}-arrow.parquet"
+        )
+        batches = (
+            data.to_batches() if isinstance(data, pa.Table) else data
+        )
+        writer = None
+        seen: set[tuple] = set()
+        key_schema = None
+        try:
+            for batch in batches:
+                if set(batch.schema.names) != set(want):
+                    raise IcebergProtocolError(
+                        f"upsert_arrow schema mismatch: got "
+                        f"{list(batch.schema.names)}, expected {want}"
+                    )
+                if list(batch.schema.names) != want:
+                    batch = batch.select(want)
+                kb = batch.select(key_fields)
+                key_schema = kb.schema
+                for tup in zip(
+                    *[kb.column(i).to_pylist() for i in range(kb.num_columns)]
+                ):
+                    if tup in seen:
+                        raise IcebergProtocolError(
+                            f"upsert batch has duplicate key tuple "
+                            f"{tup!r} on {key_fields}; dedupe the "
+                            "batch first (both versions would share "
+                            "one sequence number)"
+                        )
+                    seen.add(tup)
+                if writer is None:
+                    writer = pq.ParquetWriter(target, batch.schema)
+                writer.write_batch(batch)
+        except Exception:
+            if writer is not None:
+                writer.close()
+                writer = None
+            try:
+                os.unlink(target)
+            except OSError:
+                pass
+            raise
+        finally:
+            if writer is not None:
+                writer.close()
+        if not seen:
+            try:
+                os.unlink(target)
+            except OSError:
+                pass
+            return -1  # empty upload
+        # distinct key tuples -> the equality-delete parquet
+        del_target = os.path.join(
+            self.path, DATA_DIR, f"{uuid.uuid4().hex}-eq-deletes.parquet"
+        )
+        ordered = sorted(
+            seen, key=lambda t: tuple((v is None, v) for v in t)
+        )
+        del_table = pa.table(
+            {
+                key_fields[i]: pa.array(
+                    [t[i] for t in ordered], type=key_schema.types[i]
+                )
+                for i in range(len(key_fields))
+            }
+        )
+        pq.write_table(del_table, del_target)
+        nrec, vcounts, ncounts, lower, upper = self._footer_stats(
+            pq.ParquetFile(target), name_to_field
+        )
+        data_record = {
+            "content": 0,
+            "file_path": target,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": nrec,
+            "file_size_in_bytes": os.path.getsize(target),
+            "value_counts": [
+                {"key": k, "value": v} for k, v in sorted(vcounts.items())
+            ],
+            "null_value_counts": [
+                {"key": k, "value": v} for k, v in sorted(ncounts.items())
+            ],
+            "lower_bounds": [
+                {"key": k, "value": v} for k, v in sorted(lower.items())
+            ],
+            "upper_bounds": [
+                {"key": k, "value": v} for k, v in sorted(upper.items())
+            ],
+        }
+        del_record = {
+            "content": 2,
+            "file_path": del_target,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(ordered),
+            "file_size_in_bytes": os.path.getsize(del_target),
+            "equality_ids": eq_ids,
+        }
+        for _attempt in range(20):
+            files = self._metadata_files()
+            base_version, fname = files[-1]
+            md = self.metadata(
+                os.path.join(self.metadata_path, fname)
+            )
+            # the race winner may have been a replay of THIS txn
+            if txn is not None and int(txn[1]) <= self.txn_watermark(
+                txn[0], md
+            ):
+                for p in (target, del_target):
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+                return -1
+            snap = self.current_snapshot(md)
+            seq = int(md.get("last-sequence-number", 0)) + 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            data_entry = {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": data_record,
+            }
+            del_entry = {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": del_record,
+            }
+            lineage = self._assign_first_row_ids(md, [data_entry])
+            data_manifest = self._write_manifest(
+                [data_entry], self.schema(md), self.partition_spec(md),
+                md.get("default-spec-id", 0), snapshot_id, seq,
+            )
+            if lineage is not None:
+                data_manifest["first_row_id"] = lineage[0]
+            del_manifest = self._write_manifest(
+                [del_entry], self.schema(md), self.partition_spec(md),
+                md.get("default-spec-id", 0), snapshot_id, seq,
+                content=1,
+            )
+            prev = (
+                read_container(
+                    self._resolve_path(snap["manifest-list"])
+                )[1]
+                if snap
+                else []
+            )
+            summary = {
+                "added-delete-files": "1",
+                "added-equality-delete-files": "1",
+                "added-equality-deletes": str(len(ordered)),
+            }
+            if txn is not None:
+                summary[f"ffspark.txn.{txn[0]}"] = str(int(txn[1]))
+            try:
+                return self._advance(
+                    md,
+                    prev + [data_manifest, del_manifest],
+                    "overwrite",
+                    1,
+                    nrec,
+                    snapshot_id=snapshot_id,
+                    expect_version=base_version,
+                    lineage=lineage,
+                    extra_summary=summary,
+                )
+            except FileExistsError:
+                continue  # lost the metadata O_EXCL race: refold, retry
+        raise IcebergProtocolError(
+            "upsert_arrow lost the commit race 20 times; giving up"
+        )
+
     def _delete_rows_v3(
         self, md: dict, snap: dict, matched: DataFrame,
         prev: DataFrame | None,

@@ -646,3 +646,79 @@ def test_nearest_filtered_over_flight(served, sf_dir):
             {"nearest": {"index": "embf", "vector": qvec,
                          "allow": "not-a-list"}},
         )
+
+
+def test_do_put_upsert_mode_iceberg(served, spark, tmp_path):
+    """Flight CDC ingest: mode=upsert commits the uploaded batch's
+    data file AND a key equality delete at one sequence number —
+    JVM-free on the pod; old key versions disappear, new keys insert,
+    replays with the same txn no-op."""
+    _spark, server, _dt, _it, orders = served
+    # a fresh unpartitioned iceberg table inside the served namespace
+    t = IcebergProtocolTable(
+        spark, str(_served_root(server) / "ns" / "orders_ups")
+    )
+    t.create(orders.limit(50))
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        rows = orders.limit(3).collect()
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(
+                    [int(rows[0][0]), int(rows[1][0]), 9_999_999],
+                    type=pa.int64(),
+                ),
+                "o_custkey": pa.array(
+                    [int(rows[0][1]), int(rows[1][1]), 7],
+                    type=pa.int64(),
+                ),
+                "o_totalprice": pa.array([1.5, 2.5, 3.5]),
+            }
+        )
+        desc = fl.FlightDescriptor.for_command(
+            json.dumps(
+                {
+                    "namespace": "ns",
+                    "table": "orders_ups",
+                    "mode": "upsert",
+                    "keys": ["o_orderkey"],
+                    "app_id": "cdc-pod",
+                    "txn_version": 1,
+                }
+            ).encode()
+        )
+        writer, _meta = client.do_put(desc, tbl.schema)
+        writer.write_table(tbl)
+        writer.close()
+        got = {
+            r["o_orderkey"]: r["o_totalprice"]
+            for r in t.snapshot().collect()
+        }
+        assert len(got) == 51
+        assert got[int(rows[0][0])] == 1.5
+        assert got[9_999_999] == 3.5
+        # replay: same txn no-ops
+        writer, _meta = client.do_put(desc, tbl.schema)
+        writer.write_table(tbl)
+        writer.close()
+        assert t.snapshot().count() == 51
+        # malformed: upsert without keys errors at the wire
+        bad = fl.FlightDescriptor.for_command(
+            json.dumps(
+                {"namespace": "ns", "table": "orders_ups",
+                 "mode": "upsert"}
+            ).encode()
+        )
+        with pytest.raises(Exception, match="keys"):
+            w, _m = client.do_put(bad, tbl.schema)
+            w.write_table(tbl)
+            w.close()
+    finally:
+        client.close()
+
+
+def _served_root(server):
+    """The catalog root the module fixture handed the server."""
+    from pathlib import Path
+
+    return Path(server.catalogs["default"])

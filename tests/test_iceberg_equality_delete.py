@@ -345,3 +345,65 @@ def test_changelog_over_upsert(spark, tmp_path):
         (1, 1.0, "delete", 1), (1, 99.0, "insert", 1),
         (77, 7.0, "insert", 1),
     ]
+
+
+def test_upsert_arrow_sessionless(spark, tmp_path):
+    """upsert's JVM-free twin: a pyarrow batch commits data + key
+    delete at one sequence number with zero Spark involvement on the
+    write path — reads (through Spark) see one live row per key;
+    replays no-op through the same txn watermark, which re-checks on
+    commit-race refolds; duplicates and empty uploads behave like the
+    Spark path."""
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(8)],
+        "event_id long, user_id string, value double",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    batch = pa.table(
+        {
+            "event_id": pa.array([0, 1, 99], type=pa.int64()),
+            "user_id": pa.array(["x0", "x1", "x99"]),
+            "value": pa.array([100.0, 101.0, 199.0]),
+        }
+    )
+    sid = t.upsert_arrow(batch, ["event_id"], txn=("pod-1", 0))
+    assert sid > 0
+    got = {r["event_id"]: (r["user_id"], r["value"])
+           for r in t.snapshot().collect()}
+    assert len(got) == 9
+    assert got[0] == ("x0", 100.0) and got[99] == ("x99", 199.0)
+    assert got[2] == ("u2", 2.0)  # untouched key
+    # replay no-ops
+    assert t.upsert_arrow(batch, ["event_id"], txn=("pod-1", 0)) == -1
+    assert t.snapshot().count() == 9
+    # duplicate key tuple in one upload refuses
+    dup = pa.table(
+        {
+            "event_id": pa.array([5, 5], type=pa.int64()),
+            "user_id": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+        }
+    )
+    with pytest.raises(IcebergProtocolError, match="duplicate"):
+        t.upsert_arrow(dup, ["event_id"])
+    # empty upload -> -1, nothing committed
+    empty = batch.slice(0, 0)
+    assert t.upsert_arrow(empty, ["event_id"]) == -1
+    assert t.snapshot().count() == 9
+    # no orphan staging files from the refused/empty paths: every
+    # parquet under data/ is referenced by the live state
+    snap = t.current_snapshot(t.metadata())
+    data_entries, deletes = t._live_entries(snap)
+    referenced = {
+        os.path.basename(e["data_file"]["file_path"])
+        for e in data_entries + deletes
+    }
+    import glob
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(str(tmp_path / "t" / "data" / "*.parquet"))
+    }
+    assert on_disk == referenced
