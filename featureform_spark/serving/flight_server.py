@@ -475,7 +475,16 @@ class DatasetStreamerServer:
                     )
 
                     t = IcebergProtocolTable(None, path)
-                    if req.get("mode") == "upsert":
+                    mode = req.get("mode", "append")
+                    if mode not in ("append", "upsert"):
+                        # an unrecognized/misspelled mode must never
+                        # degrade to a blind append — for a CDC client
+                        # that silently duplicates every key version
+                        raise ValueError(
+                            f"unknown do_put mode {mode!r}: expected "
+                            "'append' or 'upsert'"
+                        )
+                    if mode == "upsert":
                         # CDC ingest: data files + a key equality
                         # delete at one sequence number (the Flink
                         # upsert-sink shape) — still zero Spark on the
@@ -500,7 +509,13 @@ class DatasetStreamerServer:
                             txn=txn,
                         )
                     else:
-                        t.append_arrow(reader.to_reader())
+                        txn = None
+                        if req.get("app_id") is not None:
+                            txn = (
+                                str(req["app_id"]),
+                                int(req.get("txn_version", 0)),
+                            )
+                        t.append_arrow(reader.to_reader(), txn=txn)
                 else:
                     import uuid as _uuid
 

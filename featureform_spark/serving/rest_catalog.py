@@ -518,6 +518,9 @@ class IcebergRestCatalogServer:
         # last <=100 ReportMetricsRequest payloads (spec metrics
         # endpoint) — operators read these off the server object
         self.metrics: list[dict] = []
+        # serializes namespace-property read-modify-writes (handlers
+        # run on ThreadingHTTPServer threads)
+        self._ns_props_lock = threading.Lock()
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -650,7 +653,11 @@ class IcebergRestCatalogServer:
                     return self._error(404, f"namespace {ns!r}")
                 try:
                     req = self._read_body()
-                    removals = list(req.get("removals") or [])
+                    removals = req.get("removals") or []
+                    # a STRING would iterate per character and "pass"
+                    # validation — require a real list
+                    if not isinstance(removals, list):
+                        raise ValueError(removals)
                     updates = dict(req.get("updates") or {})
                     if not all(isinstance(r, str) for r in removals):
                         raise ValueError(removals)
@@ -671,13 +678,17 @@ class IcebergRestCatalogServer:
                         f"keys in both updates and removals: "
                         f"{sorted(both)}",
                     )
-                props = self._ns_props(ns_dir)
-                removed = [k for k in removals if k in props]
-                missing = [k for k in removals if k not in props]
-                for k in removed:
-                    props.pop(k)
-                props.update(updates)
-                self._write_ns_props(ns_dir, props)
+                with outer._ns_props_lock:
+                    # read-modify-write on a shared file under a
+                    # threaded server: without the lock two concurrent
+                    # 200-acknowledged updates could clobber each other
+                    props = self._ns_props(ns_dir)
+                    removed = [k for k in removals if k in props]
+                    missing = [k for k in removals if k not in props]
+                    for k in removed:
+                        props.pop(k)
+                    props.update(updates)
+                    self._write_ns_props(ns_dir, props)
                 return self._json(
                     200,
                     {
@@ -1469,6 +1480,8 @@ class IcebergRestCatalogServer:
                         root + os.sep
                     ) or not os.path.isdir(ns_dir):
                         return self._error(404, f"namespace {ns!r}")
+                    import errno as _errno
+
                     def _rmdir():
                         # rmdir is the atomic emptiness check — a table
                         # created between a listdir and the rmdir would
@@ -1481,20 +1494,35 @@ class IcebergRestCatalogServer:
                         except OSError as exc:
                             if isinstance(exc, FileNotFoundError):
                                 raise
+                            if exc.errno not in (
+                                _errno.ENOTEMPTY, _errno.EEXIST
+                            ):
+                                raise  # EACCES/EBUSY etc: not ours
                             # the properties sidecar doesn't count as
                             # content — but only clear it when it is
-                            # the SOLE entry, so dropping a genuinely
-                            # non-empty namespace never loses its
-                            # properties on the way to the 409
-                            if os.listdir(ns_dir) == [
+                            # the SOLE entry, and RESTORE it if the
+                            # retry still fails (a table created in the
+                            # race window must not cost the namespace
+                            # its properties on the way to the 409)
+                            if os.listdir(ns_dir) != [
                                 ".ns-properties.json"
                             ]:
+                                raise
+                            with outer._ns_props_lock:
+                                saved = self._ns_props(ns_dir)
                                 os.unlink(
                                     os.path.join(
                                         ns_dir, ".ns-properties.json"
                                     )
                                 )
-                            _rmdir()
+                                try:
+                                    _rmdir()
+                                except OSError:
+                                    if saved:
+                                        self._write_ns_props(
+                                            ns_dir, saved
+                                        )
+                                    raise
                     except FileNotFoundError:
                         return self._error(404, f"namespace {ns!r}")
                     except OSError:

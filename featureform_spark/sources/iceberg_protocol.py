@@ -1575,18 +1575,30 @@ class IcebergProtocolTable:
             )
         return self._read_files_patched(schema, data_entries, patch, nm)
 
-    def append_arrow(self, data) -> int:
+    def append_arrow(
+        self, data, txn: tuple[str, int] | None = None
+    ) -> int:
         """Blind append of a pyarrow Table or RecordBatchReader WITHOUT
         a Spark session — the Flight ``do_put`` ingest primitive
         (mirrors delta_protocol.append_arrow): batches stream through a
         ParquetWriter into one data file, footer stats derive from the
         written file, and the commit retries through the metadata
         O_EXCL race. Partitioned tables gate (row routing needs the
-        engine)."""
+        engine).
+
+        ``txn=(app_id, version)`` gives exactly-once replay semantics
+        through the same snapshot-summary watermark
+        (``ffspark.txn.<app>``) the upsert paths use — re-checked on
+        every commit-race refold, so a replayed Flight upload cannot
+        double-commit even against a concurrent replica."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         md = self.metadata()
+        if txn is not None and int(txn[1]) <= self.txn_watermark(
+            txn[0], md
+        ):
+            return -1
         if self.partition_spec(md):
             raise UnsupportedIcebergFeatureError(
                 "append_arrow: partitioned tables need the Spark "
@@ -1670,6 +1682,15 @@ class IcebergProtocolTable:
             md = self.metadata(
                 os.path.join(self.metadata_path, fname)
             )
+            # the race winner may have been a replay of THIS txn
+            if txn is not None and int(txn[1]) <= self.txn_watermark(
+                txn[0], md
+            ):
+                try:
+                    os.unlink(target)
+                except OSError:
+                    pass
+                return -1
             snap = self.current_snapshot(md)
             seq = int(md.get("last-sequence-number", 0)) + 1
             snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -1710,6 +1731,11 @@ class IcebergProtocolTable:
                     snapshot_id=snapshot_id,
                     expect_version=base_version,
                     lineage=lineage,
+                    extra_summary=(
+                        {f"ffspark.txn.{txn[0]}": str(int(txn[1]))}
+                        if txn is not None
+                        else None
+                    ),
                 )
             except FileExistsError:
                 continue  # lost the metadata O_EXCL race: refold, retry
@@ -4885,11 +4911,6 @@ class IcebergProtocolTable:
         ice_schema = self.schema(md)
         want = [f["name"] for f in ice_schema["fields"]]
         name_to_field = {f["name"]: f for f in ice_schema["fields"]}
-        missing = [k for k in key_fields if k not in want]
-        if missing:
-            raise IcebergProtocolError(
-                f"upsert_arrow: key columns {missing} not in schema"
-            )
         os.makedirs(os.path.join(self.path, DATA_DIR), exist_ok=True)
         target = os.path.join(
             self.path, DATA_DIR, f"{uuid.uuid4().hex}-arrow.parquet"
@@ -4900,12 +4921,33 @@ class IcebergProtocolTable:
         writer = None
         seen: set[tuple] = set()
         key_schema = None
+        fill: dict | None = None
         try:
             for batch in batches:
-                if set(batch.schema.names) != set(want):
+                if fill is None:
+                    # same writer duty as append_arrow (spec §Default
+                    # values): columns with a write-default may be
+                    # omitted by the uploader
+                    in_names = set(batch.schema.names)
+                    fill = {
+                        f["name"]: f
+                        for f in ice_schema["fields"]
+                        if f["name"] not in in_names
+                        and "write-default" in f
+                    }
+                if set(batch.schema.names) | set(fill) != set(want):
                     raise IcebergProtocolError(
                         f"upsert_arrow schema mismatch: got "
                         f"{list(batch.schema.names)}, expected {want}"
+                    )
+                for fname_, f in fill.items():
+                    at = _ice_primitive_to_arrow(f["type"])
+                    pv = default_value_from_json(
+                        f["type"], f["write-default"]
+                    )
+                    batch = batch.append_column(
+                        fname_,
+                        pa.array([pv] * batch.num_rows, type=at),
                     )
                 if list(batch.schema.names) != want:
                     batch = batch.select(want)
@@ -4943,6 +4985,16 @@ class IcebergProtocolTable:
             except OSError:
                 pass
             return -1  # empty upload
+
+        def _cleanup_staged() -> None:
+            # nothing committed references these yet — a failure after
+            # this point must not leave orphan parquet in data/
+            for p in (target, del_target):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
         # distinct key tuples -> the equality-delete parquet
         del_target = os.path.join(
             self.path, DATA_DIR, f"{uuid.uuid4().hex}-eq-deletes.parquet"
@@ -4950,18 +5002,22 @@ class IcebergProtocolTable:
         ordered = sorted(
             seen, key=lambda t: tuple((v is None, v) for v in t)
         )
-        del_table = pa.table(
-            {
-                key_fields[i]: pa.array(
-                    [t[i] for t in ordered], type=key_schema.types[i]
-                )
-                for i in range(len(key_fields))
-            }
-        )
-        pq.write_table(del_table, del_target)
-        nrec, vcounts, ncounts, lower, upper = self._footer_stats(
-            pq.ParquetFile(target), name_to_field
-        )
+        try:
+            del_table = pa.table(
+                {
+                    key_fields[i]: pa.array(
+                        [t[i] for t in ordered], type=key_schema.types[i]
+                    )
+                    for i in range(len(key_fields))
+                }
+            )
+            pq.write_table(del_table, del_target)
+            nrec, vcounts, ncounts, lower, upper = self._footer_stats(
+                pq.ParquetFile(target), name_to_field
+            )
+        except Exception:
+            _cleanup_staged()
+            raise
         data_record = {
             "content": 0,
             "file_path": target,
@@ -5001,11 +5057,7 @@ class IcebergProtocolTable:
             if txn is not None and int(txn[1]) <= self.txn_watermark(
                 txn[0], md
             ):
-                for p in (target, del_target):
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
+                _cleanup_staged()
                 return -1
             snap = self.current_snapshot(md)
             seq = int(md.get("last-sequence-number", 0)) + 1
@@ -5064,6 +5116,7 @@ class IcebergProtocolTable:
                 )
             except FileExistsError:
                 continue  # lost the metadata O_EXCL race: refold, retry
+        _cleanup_staged()
         raise IcebergProtocolError(
             "upsert_arrow lost the commit race 20 times; giving up"
         )

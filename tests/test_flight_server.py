@@ -722,3 +722,43 @@ def _served_root(server):
     from pathlib import Path
 
     return Path(server.catalogs["default"])
+
+
+def test_do_put_unknown_mode_and_iceberg_append_txn(served, spark, tmp_path):
+    """An unrecognized mode must error at the wire, never degrade to a
+    blind append; and the Iceberg APPEND path honors app_id/txn_version
+    exactly like Delta's (a replayed upload is a recorded no-op)."""
+    _spark, server, _dt, _it, orders = served
+    t = IcebergProtocolTable(
+        spark, str(_served_root(server) / "ns" / "orders_appx")
+    )
+    t.create(orders.limit(20))
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([8_888_888], type=pa.int64()),
+                "o_custkey": pa.array([1], type=pa.int64()),
+                "o_totalprice": pa.array([1.0]),
+            }
+        )
+        bad = fl.FlightDescriptor.for_command(
+            json.dumps({"namespace": "ns", "table": "orders_appx",
+                        "mode": "Upsert"}).encode()
+        )
+        with pytest.raises(Exception, match="unknown do_put mode"):
+            w, _m = client.do_put(bad, tbl.schema)
+            w.write_table(tbl)
+            w.close()
+        assert t.snapshot().count() == 20  # nothing appended
+        desc = fl.FlightDescriptor.for_command(
+            json.dumps({"namespace": "ns", "table": "orders_appx",
+                        "app_id": "app-pod", "txn_version": 3}).encode()
+        )
+        for _ in range(2):  # second upload is the replay
+            w, _m = client.do_put(desc, tbl.schema)
+            w.write_table(tbl)
+            w.close()
+        assert t.snapshot().count() == 21  # landed exactly once
+    finally:
+        client.close()

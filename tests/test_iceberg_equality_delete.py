@@ -407,3 +407,34 @@ def test_upsert_arrow_sessionless(spark, tmp_path):
         for p in glob.glob(str(tmp_path / "t" / "data" / "*.parquet"))
     }
     assert on_disk == referenced
+
+
+def test_upsert_arrow_fills_write_defaults(spark, tmp_path):
+    """upsert_arrow honors the same write-default writer duty as
+    append_arrow: a batch omitting a defaulted column materializes the
+    default instead of hard-failing the CDC pipeline."""
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "event_id long, value double"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    t.upgrade_format_version(3)  # defaults are a v3 feature
+    new = df.withColumn("region", F.lit("emea")).schema
+    t.evolve_schema(new, defaults={"region": "emea"})
+    batch = pa.table(
+        {
+            "event_id": pa.array([0, 99], type=pa.int64()),
+            "value": pa.array([100.0, 99.0]),
+        }
+    )  # omits 'region' — the write-default must materialize
+    t.upsert_arrow(batch, ["event_id"])
+    got = {
+        r["event_id"]: (r["value"], r["region"])
+        for r in t.snapshot().collect()
+    }
+    assert got[0] == (100.0, "emea") and got[99] == (99.0, "emea")
+    assert len(got) == 6
+    # pre-existing rows read the initial-default too
+    assert got[2] == (2.0, "emea")

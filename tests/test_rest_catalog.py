@@ -1414,6 +1414,10 @@ def test_namespace_properties_lifecycle(tmp_path):
         code, _ = _post(server, "/v1/namespaces/a/properties", {
             "updates": {"k": 7}})
         assert code == 400
+        # a STRING removals would iterate per character — must be 400
+        code, _ = _post(server, "/v1/namespaces/a/properties", {
+            "removals": "owner"})
+        assert code == 400
         # non-empty namespace: drop 409s and properties SURVIVE
         code, _ = _mkview(server, "a", "v")
         assert code == 200
