@@ -4630,6 +4630,28 @@ class IcebergProtocolTable:
             eq_ids.append(int(f["id"]))
         return eq_ids
 
+    def _ensure_unpartitioned_spec(self, md: dict) -> int:
+        """Spec id of an UNPARTITIONED partition spec, registering one
+        in ``md['partition-specs']`` when absent (the mutation rides
+        the metadata the SAME commit writes). Global equality deletes
+        must be written under an unpartitioned spec: spec-conforming
+        external readers scope a delete file by its manifest's spec —
+        under the partitioned spec an empty partition tuple means 'the
+        null partition', and every other partition's old key versions
+        would resurrect outside this repo's reader."""
+        specs = md.get("partition-specs")
+        if not specs:
+            # unpartitioned table: its default spec IS unpartitioned
+            return int(md.get("default-spec-id", 0))
+        for s in specs:
+            if not s.get("fields"):
+                return int(s["spec-id"])
+        new_id = 1 + max(int(s["spec-id"]) for s in specs)
+        md["partition-specs"] = list(specs) + [
+            {"spec-id": new_id, "fields": []}
+        ]
+        return new_id
+
     def _mirror_guard(self, md: dict, snap: dict, op: str) -> None:
         """Refuse equality-delete/upsert writes into metadata-mirror
         tables (UniForm / name-mapped imports) — property checks FIRST
@@ -4840,10 +4862,14 @@ class IcebergProtocolTable:
         )
         manifests = [data_manifest]
         if del_entries:
+            # global equality deletes ride an UNPARTITIONED spec so
+            # spec-conforming external readers apply them to every
+            # partition (registered in this commit's own metadata)
+            del_spec_id = self._ensure_unpartitioned_spec(md)
             manifests.append(
                 self._write_manifest(
-                    del_entries, ice_schema, spec_fields,
-                    md.get("default-spec-id", 0), snapshot_id, seq,
+                    del_entries, ice_schema, [],
+                    del_spec_id, snapshot_id, seq,
                     content=1,
                 )
             )
@@ -5083,9 +5109,10 @@ class IcebergProtocolTable:
             )
             if lineage is not None:
                 data_manifest["first_row_id"] = lineage[0]
+            del_spec_id = self._ensure_unpartitioned_spec(md)
             del_manifest = self._write_manifest(
-                [del_entry], self.schema(md), self.partition_spec(md),
-                md.get("default-spec-id", 0), snapshot_id, seq,
+                [del_entry], self.schema(md), [],
+                del_spec_id, snapshot_id, seq,
                 content=1,
             )
             prev = (
@@ -5320,9 +5347,10 @@ class IcebergProtocolTable:
         )
         if not entries:
             return -1
+        del_spec_id = self._ensure_unpartitioned_spec(md)
         manifest = self._write_manifest(
-            entries, self.schema(md), self.partition_spec(md),
-            md.get("default-spec-id", 0), snapshot_id, seq, content=1,
+            entries, self.schema(md), [],
+            del_spec_id, snapshot_id, seq, content=1,
         )
         _, prev_manifests = read_container(
             self._resolve_path(snap["manifest-list"])

@@ -318,6 +318,25 @@ def test_upsert_on_partitioned_table(spark, tmp_path):
         ["event_id"],
     )
     assert t.snapshot().count() == 27
+    # SPEC CONFORMANCE: the delete manifests ride a registered
+    # UNPARTITIONED spec — external readers scope delete files by
+    # their manifest's spec, and under the partitioned spec an empty
+    # tuple would mean 'the null partition only'
+    md = t.metadata()
+    unpart = [
+        s for s in md["partition-specs"] if not s.get("fields")
+    ]
+    assert len(unpart) == 1
+    from featureform_spark.sources.iceberg_protocol import read_container
+
+    snap = t.current_snapshot(md)
+    _, manifests = read_container(t._resolve_path(snap["manifest-list"]))
+    del_specs = {
+        int(m["partition_spec_id"])
+        for m in manifests
+        if int(m.get("content", 0)) == 1
+    }
+    assert del_specs == {int(unpart[0]["spec-id"])}
 
 
 def test_changelog_over_upsert(spark, tmp_path):
