@@ -457,3 +457,48 @@ def test_upsert_arrow_fills_write_defaults(spark, tmp_path):
     assert len(got) == 6
     # pre-existing rows read the initial-default too
     assert got[2] == (2.0, "emea")
+
+
+def test_concurrent_upserts_converge(spark, tmp_path):
+    """The commit CAS under real contention: N threads upsert DISJOINT
+    key batches concurrently — every batch must land exactly once
+    (losers refold and retry through the O_EXCL race), the final state
+    carries every update, and sequence numbers stay strictly
+    increasing so each batch's delete scopes correctly."""
+    import threading
+
+    df = spark.createDataFrame(
+        [(i, 0.0) for i in range(40)], "event_id long, value double"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    errors: list[Exception] = []
+
+    def worker(w: int) -> None:
+        try:
+            batch = spark.createDataFrame(
+                [(i, float(w + 1)) for i in range(w * 10, w * 10 + 10)],
+                "event_id long, value double",
+            )
+            t.upsert_arrow(batch.toArrow(), ["event_id"])
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    got = {r["event_id"]: r["value"] for r in t.snapshot().collect()}
+    assert len(got) == 40
+    for k, v in got.items():
+        assert v == float(k // 10 + 1), (k, v)
+    # every upsert made its own snapshot at a distinct sequence number
+    md = t.metadata()
+    seqs = sorted(
+        int(s.get("sequence-number") or 0) for s in t.snapshots(md)
+    )
+    assert len(seqs) == len(set(seqs)) == 5  # create + 4 upserts
