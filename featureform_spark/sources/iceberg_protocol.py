@@ -2019,9 +2019,40 @@ class IcebergProtocolTable:
                 " position_delete_record_count long,"
                 " equality_delete_record_count long",
             )
+        if kind == "statistics":
+            names = {
+                int(f["id"]): f["name"]
+                for f in self.schema(md)["fields"]
+            }
+            rows = []
+            for e in md.get("statistics") or []:
+                for b in e.get("blob-metadata") or []:
+                    fids = b.get("fields") or []
+                    props = b.get("properties") or {}
+                    rows.append(
+                        (
+                            int(e["snapshot-id"]),
+                            e["statistics-path"],
+                            int(e.get("file-size-in-bytes") or 0),
+                            b.get("type"),
+                            names.get(int(fids[0]))
+                            if len(fids) == 1
+                            else None,
+                            int(props["ndv"]) if "ndv" in props else None,
+                        )
+                    )
+            rows.sort(key=lambda r: (r[0], r[4] or ""))
+            return local_df(
+                self.spark,
+                rows,
+                "snapshot_id long, statistics_path string,"
+                " file_size_in_bytes long, blob_type string,"
+                " column_name string, ndv long",
+            )
         raise IcebergProtocolError(
             f"unknown metadata table {kind!r} (snapshots, files, "
-            "delete_files, manifests, history, refs, partitions)"
+            "delete_files, manifests, history, refs, partitions, "
+            "statistics)"
         )
 
     # ------------------------------------------------ partition stats
@@ -2206,6 +2237,227 @@ class IcebergProtocolTable:
         return self.spark.read.parquet(
             self._resolve_path(entry["statistics-path"])
         )
+
+    # ------------------------------------------------ table statistics
+
+    def analyze_table(
+        self,
+        columns: list[str] | None = None,
+        lg_k: int = 12,
+        snapshot_id: int | None = None,
+    ) -> str:
+        """ANALYZE TABLE: compute per-column NDV theta sketches for a
+        snapshot (current if None), write them to a Puffin statistics
+        file (blob type ``apache-datasketches-theta-v1``), and register
+        it under the table metadata's ``statistics`` field — the
+        spec surface engines (Trino ANALYZE, Spark's Iceberg CBO
+        support) read for cardinality estimates. Replaces any prior
+        statistics entry for the same snapshot, per the spec's
+        one-file-per-snapshot rule.
+
+        Distributed shape: ONE pass over the delete-applied snapshot;
+        each partition emits a fixed-size serialized sketch per column
+        (≤ 8·2^lg_k + 24 bytes) via ``mapInPandas`` — values dedupe
+        partition-side (pandas ``unique``) before hashing, so hot
+        low-cardinality columns hash each distinct once per partition,
+        and only sketch bytes reach the driver fold. At 100 TB the
+        driver collects (partitions × columns) sketches, never rows.
+        Sketches are exact below 2^lg_k distinct values (theta 1.0);
+        beyond that the blob property ``ndv`` carries the standard
+        theta estimate. Returns the statistics file path."""
+        from featureform_spark.sources.puffin_stats import (
+            THETA_BLOB_TYPE,
+            ThetaSketch,
+            write_puffin,
+        )
+
+        md = self.metadata()
+        snap = self._snapshot_by(snapshot_id, md=md)
+        if snap is None:
+            raise IcebergProtocolError("table has no snapshot to analyze")
+        ice_schema = self.schema(md)
+        field_ids = {
+            f["name"]: int(f["id"])
+            for f in ice_schema["fields"]
+            if isinstance(f.get("type"), str)  # atomic top-level only
+        }
+        df = self.snapshot(snapshot_id=snapshot_id)
+        cols = list(columns) if columns else [
+            c for c in df.columns if c in field_ids
+        ]
+        bad = [c for c in cols if c not in field_ids]
+        if bad:
+            raise IcebergProtocolError(
+                f"analyze_table: {bad} are not atomic top-level columns"
+            )
+        if not cols:
+            raise IcebergProtocolError("analyze_table: no columns")
+        _lg_k = int(lg_k)
+        _cols = list(cols)
+
+        def _partials(batches):
+            import pandas as _pd
+
+            from featureform_spark.sources.puffin_stats import (
+                ThetaSketch as _TS,
+            )
+
+            sketches = {c: _TS(_lg_k) for c in _cols}
+            for pdf in batches:
+                for c in _cols:
+                    sk = sketches[c]
+                    # partition-side dedup: hash each distinct value
+                    # once per batch, not once per row
+                    for v in pdf[c].dropna().unique():
+                        sk.update(v)
+            yield _pd.DataFrame(
+                {
+                    "col": _cols,
+                    "sk": [sketches[c].serialize() for c in _cols],
+                }
+            )
+
+        partials = df.select(*_cols).mapInPandas(
+            _partials, "col string, sk binary"
+        ).collect()
+        merged = {c: ThetaSketch(_lg_k) for c in _cols}
+        for r in partials:
+            merged[r["col"]].union(
+                ThetaSketch.deserialize(bytes(r["sk"]), lg_k=_lg_k)
+            )
+        sid = int(snap["snapshot-id"])
+        seq = int(snap.get("sequence-number") or 0)
+        blobs = []
+        for c in _cols:
+            sk = merged[c]
+            blobs.append(
+                {
+                    "type": THETA_BLOB_TYPE,
+                    "fields": [field_ids[c]],
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "properties": {
+                        "ndv": str(int(round(sk.estimate()))),
+                        "value-encoding": (
+                            "utf8-strings;int64-le;double-bits-le;"
+                            "str-temporal-decimal"
+                        ),
+                    },
+                    "data": sk.serialize(),
+                }
+            )
+        rel = os.path.join(
+            "metadata", f"{sid}-{uuid.uuid4().hex}.stats"
+        )
+        target = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        blob_meta, footer_size = write_puffin(
+            target,
+            blobs,
+            properties={"created-by": "featureform-spark analyze_table"},
+        )
+        version = max(v for v, _ in self._metadata_files()) + 1
+        md = dict(md)
+        md["statistics"] = [
+            e
+            for e in (md.get("statistics") or [])
+            if int(e["snapshot-id"]) != sid
+        ] + [
+            {
+                "snapshot-id": sid,
+                "statistics-path": target,
+                "file-size-in-bytes": os.path.getsize(target),
+                "file-footer-size-in-bytes": footer_size,
+                "blob-metadata": blob_meta,
+            }
+        ]
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md, version)
+        return target
+
+    def _statistics_entry(
+        self, snapshot_id: int | None = None, md: dict | None = None
+    ) -> dict:
+        md = md or self.metadata()
+        snap = self._snapshot_by(snapshot_id, md=md)
+        if snap is None:
+            raise IcebergProtocolError("table has no snapshot")
+        sid = int(snap["snapshot-id"])
+        entry = next(
+            (
+                e
+                for e in (md.get("statistics") or [])
+                if int(e["snapshot-id"]) == sid
+            ),
+            None,
+        )
+        if entry is None:
+            raise IcebergProtocolError(
+                f"no table statistics for snapshot {sid} — run "
+                "analyze_table() first"
+            )
+        return entry
+
+    def ndv_estimates(
+        self, snapshot_id: int | None = None
+    ) -> dict[str, int]:
+        """Per-column NDV from the registered statistics file's blob
+        metadata — zero file reads (the ``ndv`` property rides in the
+        table metadata itself, exactly so planners can cost joins
+        without touching storage)."""
+        md = self.metadata()
+        entry = self._statistics_entry(snapshot_id, md=md)
+        names = {
+            int(f["id"]): f["name"]
+            for f in self.schema(md)["fields"]
+        }
+        out: dict[str, int] = {}
+        for b in entry.get("blob-metadata") or []:
+            props = b.get("properties") or {}
+            if "ndv" in props and len(b.get("fields") or []) == 1:
+                name = names.get(int(b["fields"][0]))
+                if name is not None:
+                    out[name] = int(props["ndv"])
+        return out
+
+    def ndv(self, column: str, snapshot_id: int | None = None) -> int:
+        est = self.ndv_estimates(snapshot_id)
+        if column not in est:
+            raise IcebergProtocolError(
+                f"no NDV sketch for column {column!r} — re-run "
+                "analyze_table() including it"
+            )
+        return est[column]
+
+    def read_statistics_sketches(
+        self, snapshot_id: int | None = None
+    ) -> dict[str, "Any"]:
+        """Deserialize the statistics file's theta sketches (column →
+        ThetaSketch) — the loss-free form, unionable across tables for
+        cross-table NDV (e.g. join-output cardinality upper bounds)."""
+        from featureform_spark.sources.puffin_stats import (
+            THETA_BLOB_TYPE,
+            ThetaSketch,
+            read_puffin,
+        )
+
+        md = self.metadata()
+        entry = self._statistics_entry(snapshot_id, md=md)
+        names = {
+            int(f["id"]): f["name"]
+            for f in self.schema(md)["fields"]
+        }
+        _, blobs = read_puffin(
+            self._resolve_path(entry["statistics-path"])
+        )
+        out: dict[str, ThetaSketch] = {}
+        for m, data in blobs:
+            if m.get("type") != THETA_BLOB_TYPE:
+                continue
+            fields = m.get("fields") or []
+            if len(fields) == 1 and int(fields[0]) in names:
+                out[names[int(fields[0])]] = ThetaSketch.deserialize(data)
+        return out
 
     def create_ref(
         self, name: str, kind: str = "tag", snapshot_id: int | None = None
@@ -2434,6 +2686,24 @@ class IcebergProtocolTable:
             e for e in (md.get("snapshot-log") or [])
             if e["snapshot-id"] in keep_ids
         ]
+        # statistics files (table-level puffin NDV sketches + partition
+        # statistics parquets) belong to their snapshot: per spec they
+        # may be removed once the snapshot expires, and keeping the
+        # metadata entry would dangle
+        for key in ("statistics", "partition-statistics"):
+            entries = md.get(key) or []
+            if not entries:
+                continue
+            kept_entries = []
+            for e in entries:
+                if int(e["snapshot-id"]) in keep_ids:
+                    kept_entries.append(e)
+                    continue
+                sp = self._resolve_path(e["statistics-path"])
+                if os.path.exists(sp):
+                    os.remove(sp)
+                    deleted += 1
+            md[key] = kept_entries
         md["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(md, version)
         return {"expired": len(expired), "files_deleted": deleted}

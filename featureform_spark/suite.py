@@ -1231,7 +1231,15 @@ PRIORITY: tuple[str, ...] = (
     # removal. quality_sample (green r1-r5) rotates out, stays
     # pytest-oracle-covered.
     "cross_doc_line_dedup",
-    "asof_tolerance",
+    # Round-9 late rotation: ANALYZE TABLE → Puffin statistics file
+    # (apache-datasketches-theta-v1 NDV blobs in the spec's
+    # `statistics` metadata field, read back through
+    # metadata_table('statistics') with zero stats-file reads) — new
+    # this round, enters the driver top-50 the round it lands.
+    # asof_tolerance (green r5-r8) rotates out, stays
+    # pytest-oracle-covered (training_set_pit keeps the as-of join
+    # family in the top-50).
+    "iceberg_ndv_stats",
     # round-6 late addition: unicode script composition (cross-engine
     # regex-range agreement). sessionize (green r1-r5) rotates out,
     # stays pytest-oracle-covered.

@@ -1547,3 +1547,46 @@ def iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.add_files(raw)
     t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
     return t.snapshot()
+
+
+@query(
+    "iceberg_ndv_stats",
+    oracle="""
+    SELECT col_name, ndv FROM (
+        SELECT 'c_custkey' AS col_name,
+               COUNT(DISTINCT c_custkey) AS ndv FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', COUNT(DISTINCT c_mktsegment) FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', COUNT(DISTINCT c_nationkey) FROM customer
+    ) t ORDER BY col_name
+    """,
+)
+def iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE → Puffin statistics file → NDV readback: the
+    spec's table-level ``statistics`` field with
+    apache-datasketches-theta-v1 blobs (the CBO input engines use for
+    join ordering / broadcast-side picks). One distributed pass emits
+    fixed-size per-partition sketches (mapInPandas, values dedupe
+    partition-side) folded on the driver; the NDVs then come back
+    through metadata_table('statistics') — i.e. out of blob metadata
+    in the table metadata itself, ZERO stats-file reads on the query
+    path. lg_k=14 keeps every sketch exact below 16,384 distinct
+    values, so the oracle's COUNT(DISTINCT) matches bit-for-bit at
+    driver scale (at 100 TB the same code degrades gracefully to the
+    standard theta estimate)."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    t = IcebergProtocolTable(spark, _scratch(sf_dir, "ndv_stats"))
+    t.create(cust)
+    t.analyze_table(lg_k=14)
+    return (
+        t.metadata_table("statistics")
+        .select(F.col("column_name").alias("col_name"), "ndv")
+        .orderBy("col_name")
+    )
