@@ -305,6 +305,46 @@ def _apply_updates(md: dict, updates: list[dict], now_ms: int) -> dict:
             refs = dict(md.get("refs") or {})
             refs.pop(u["ref-name"], None)
             md["refs"] = refs
+        elif a == "set-statistics":
+            # spec SetStatisticsUpdate: replace the statistics file
+            # entry for its snapshot (one file per snapshot)
+            stats = u["statistics"]
+            sid = int(stats["snapshot-id"])
+            ids = {
+                int(s["snapshot-id"])
+                for s in (md.get("snapshots") or [])
+            }
+            if sid not in ids:
+                raise ValueError(
+                    f"set-statistics: unknown snapshot {sid}"
+                )
+            md["statistics"] = [
+                e
+                for e in (md.get("statistics") or [])
+                if int(e["snapshot-id"]) != sid
+            ] + [stats]
+        elif a == "remove-statistics":
+            sid = int(u["snapshot-id"])
+            md["statistics"] = [
+                e
+                for e in (md.get("statistics") or [])
+                if int(e["snapshot-id"]) != sid
+            ]
+        elif a == "set-partition-statistics":
+            stats = u["partition-statistics"]
+            sid = int(stats["snapshot-id"])
+            md["partition-statistics"] = [
+                e
+                for e in (md.get("partition-statistics") or [])
+                if int(e["snapshot-id"]) != sid
+            ] + [stats]
+        elif a == "remove-partition-statistics":
+            sid = int(u["snapshot-id"])
+            md["partition-statistics"] = [
+                e
+                for e in (md.get("partition-statistics") or [])
+                if int(e["snapshot-id"]) != sid
+            ]
         else:
             raise ValueError(f"unsupported update action {a!r}")
     return md

@@ -1483,3 +1483,81 @@ def test_metrics_endpoint(tmp_path):
         assert code == 400
     finally:
         server.shutdown()
+
+
+def test_commit_set_and_remove_statistics(catalog):
+    """Spec SetStatisticsUpdate / RemoveStatisticsUpdate (and the
+    partition-statistics twins): entries replace per-snapshot, removals
+    drop them, and an unknown snapshot id is a 400-class rejection."""
+    server, t = catalog
+    md0 = _get(server, "/v1/namespaces/analytics/tables/orders")["metadata"]
+    sid = md0["current-snapshot-id"]
+    entry = {
+        "snapshot-id": sid,
+        "statistics-path": "/tmp/nowhere.stats",
+        "file-size-in-bytes": 100,
+        "file-footer-size-in-bytes": 40,
+        "blob-metadata": [
+            {
+                "type": "apache-datasketches-theta-v1",
+                "fields": [1],
+                "snapshot-id": sid,
+                "sequence-number": 1,
+                "properties": {"ndv": "42"},
+            }
+        ],
+    }
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [{"action": "set-statistics", "statistics": entry}]},
+    )
+    assert code == 200, res
+    assert res["metadata"]["statistics"][0]["blob-metadata"][0][
+        "properties"
+    ]["ndv"] == "42"
+    # replace (same snapshot): still exactly one entry
+    entry2 = dict(entry, **{"file-size-in-bytes": 200})
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [{"action": "set-statistics", "statistics": entry2}]},
+    )
+    assert code == 200
+    stats = res["metadata"]["statistics"]
+    assert len(stats) == 1 and stats[0]["file-size-in-bytes"] == 200
+    # partition-statistics twin
+    pentry = {
+        "snapshot-id": sid,
+        "statistics-path": "/tmp/nowhere-part.parquet",
+        "file-size-in-bytes": 10,
+    }
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [
+            {"action": "set-partition-statistics",
+             "partition-statistics": pentry}]},
+    )
+    assert code == 200
+    assert len(res["metadata"]["partition-statistics"]) == 1
+    # removals
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [
+            {"action": "remove-statistics", "snapshot-id": sid},
+            {"action": "remove-partition-statistics", "snapshot-id": sid},
+        ]},
+    )
+    assert code == 200
+    assert res["metadata"].get("statistics", []) == []
+    assert res["metadata"].get("partition-statistics", []) == []
+    # unknown snapshot id rejected
+    bad = dict(entry, **{"snapshot-id": 999999999})
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [{"action": "set-statistics", "statistics": bad}]},
+    )
+    assert code == 400, res
