@@ -1244,7 +1244,13 @@ PRIORITY: tuple[str, ...] = (
     # regex-range agreement). sessionize (green r1-r5) rotates out,
     # stays pytest-oracle-covered.
     "script_profile",
-    "range_join_orders",
+    # Round-9 late rotation: DSIR-style hashed-ngram importance
+    # weights (fixed-point likelihood ratios, zero-shuffle codegen
+    # scoring; the data-selection pass between quality filtering and
+    # mixing) — new this round. range_join_orders (green r1-r8)
+    # rotates out, stays pytest-oracle-covered (training_set_pit and
+    # asof_forward keep interval-join semantics in the top-50).
+    "dsir_selection",
     "wide_merge_upsert",
     # Round-8 rotation: SHALLOW CLONE lifecycle (zero-copy fork via
     # absolute add paths, post-clone divergence verified on both

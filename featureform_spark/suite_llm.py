@@ -2651,3 +2651,78 @@ def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return script_profile(docs)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-ngram importance weights (data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_SCALE = 1_000_000
+
+
+def _dsir_hex4(col: str) -> str:
+    """BIGINT from the first 4 hex chars of md5(col) — the bucket
+    hash's portable SQL spelling (16-bit space, unbiased % 256)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({col}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dsir_oracle() -> str:
+    hx = _dsir_hex4("t")
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    bk AS (SELECT doc_id, {hx} % {_DSIR_B} AS bucket FROM tok),
+    ttok AS (SELECT unnest({_TOKS}) AS t FROM documents
+             WHERE doc_id % 20 = 0),
+    tbk AS (SELECT {hx} % {_DSIR_B} AS bucket FROM ttok),
+    th AS (SELECT bucket, count(*)::BIGINT AS cnt FROM tbk GROUP BY bucket),
+    rh AS (SELECT bucket, count(*)::BIGINT AS cnt FROM bk GROUP BY bucket),
+    tot AS (SELECT (SELECT COALESCE(SUM(cnt), 0) FROM th) AS t_total,
+                   (SELECT COALESCE(SUM(cnt), 0) FROM rh) AS r_total),
+    w AS (SELECT g.bucket,
+                 CAST(({_DSIR_SCALE}::HUGEINT
+                        * (COALESCE(th.cnt, 0) + 1)
+                        * (tot.r_total + {_DSIR_B}))
+                      // ((COALESCE(rh.cnt, 0) + 1)
+                          * (tot.t_total + {_DSIR_B})) AS BIGINT) AS w
+          FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS bucket) g
+          LEFT JOIN th ON th.bucket = g.bucket
+          LEFT JOIN rh ON rh.bucket = g.bucket
+          CROSS JOIN tot),
+    ds AS (SELECT bk.doc_id, SUM(w.w)::BIGINT AS score_fp
+           FROM bk JOIN w ON w.bucket = bk.bucket GROUP BY bk.doc_id),
+    ntk AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents)
+    SELECT n.doc_id, n.n_tokens,
+           COALESCE(ds.score_fp, 0)::BIGINT AS score_fp,
+           CASE WHEN n.n_tokens > 0
+                THEN ds.score_fp::DOUBLE / n.n_tokens END AS dsir_weight
+    FROM ntk n LEFT JOIN ds ON ds.doc_id = n.doc_id
+    ORDER BY n.doc_id
+    """
+
+
+@query("dsir_selection", _dsir_oracle())
+def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
+    bucket distributions of a target slice (docs with doc_id % 20 = 0
+    stand in for the domain sample) vs the whole raw corpus, folded
+    into per-bucket FIXED-POINT likelihood ratios — integer end-to-end
+    (python bigints / HUGEINT in the oracle), so per-doc sums are
+    associative and hash-match bit-for-bit. Scoring is ONE zero-shuffle
+    codegen projection: the 256-entry weight array rides as a literal
+    and every token folds w[bucket(md5(token))] into a long — no join,
+    no Python, no shuffle; the only shuffles are the two B-bounded
+    histogram aggs. dsir_weight = score/tokens (one final division).
+    The paper's Gumbel-top-k resample over these scores is
+    functions/dsir.py:dsir_resample (pytest-covered; transcendental,
+    so not oracle-paired)."""
+    from featureform_spark.functions.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 20 == 0)
+    return dsir_select(target, docs).orderBy("doc_id")
