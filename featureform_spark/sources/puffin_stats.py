@@ -311,6 +311,17 @@ class ThetaSketch:
 # ----------------------------------------------------------- puffin file
 
 
+def estimate_intersection(a: ThetaSketch, b: ThetaSketch) -> float:
+    """Inclusion-exclusion over theta sketches: |A∩B| ≈ |A| + |B| −
+    |A∪B|. Exact when both sketches are exact; otherwise inherits the
+    union's error (clamped at 0). The planner input for "how many join
+    keys actually match" across two analyzed tables."""
+    u = ThetaSketch(lg_k=min(a.lg_k, b.lg_k), seed=a.seed)
+    u.union(a)
+    u.union(b)
+    return max(0.0, a.estimate() + b.estimate() - u.estimate())
+
+
 def write_puffin(
     path: str,
     blobs: list[dict],
