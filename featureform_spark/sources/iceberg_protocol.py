@@ -1873,9 +1873,10 @@ class IcebergProtocolTable:
     def metadata_table(self, kind: str) -> DataFrame:
         """Inspection tables (Iceberg's ``SELECT * FROM tbl.<kind>``
         SQL surface): ``snapshots``, ``files``, ``delete_files``,
-        ``manifests``, ``history``, ``refs`` — metadata-scale local
-        relations built from the table's own metadata/manifests, no
-        data-file reads."""
+        ``manifests``, ``history``, ``refs``, ``partitions``,
+        ``entries``, ``all_data_files``, ``all_manifests``,
+        ``statistics`` — metadata-scale local relations built from the
+        table's own metadata/manifests, no data-file reads."""
         md = self.metadata()
         if kind == "snapshots":
             rows = [
@@ -2019,6 +2020,87 @@ class IcebergProtocolTable:
                 " position_delete_record_count long,"
                 " equality_delete_record_count long",
             )
+        if kind == "entries":
+            # manifest-entry level (Iceberg's `t.entries`): one row per
+            # live-or-deleted entry with its status — the audit view
+            # compactions and debuggers read
+            rows = []
+            if snap is not None:
+                for m in self._manifest_files(snap):
+                    man_path = self._resolve_path(m["manifest_path"])
+                    _, recs = read_container(man_path)
+                    man_seq = m.get("sequence_number")
+                    for e in recs:
+                        df_ = e["data_file"]
+                        seq = e.get("sequence_number")
+                        if seq is None and man_seq is not None:
+                            seq = man_seq
+                        rows.append(
+                            (
+                                int(e.get("status", 1)),
+                                int(e.get("snapshot_id") or 0),
+                                int(seq or 0),
+                                int(df_.get("content") or 0),
+                                self._resolve_path(df_["file_path"]),
+                                int(df_.get("record_count") or 0),
+                                int(df_.get("file_size_in_bytes") or 0),
+                            )
+                        )
+            rows.sort(key=lambda r: (r[4], r[1]))
+            return local_df(
+                self.spark,
+                rows,
+                "status int, snapshot_id long, sequence_number long,"
+                " content int, file_path string, record_count long,"
+                " file_size_in_bytes long",
+            )
+        if kind in ("all_data_files", "all_manifests"):
+            # across ALL reachable snapshots (Iceberg's `t.all_*`
+            # tables), deduped by path — what maintenance jobs
+            # (orphan-file sweeps, compaction planning) enumerate
+            seen: dict[str, tuple] = {}
+            for s in self.snapshots(md):
+                if kind == "all_manifests":
+                    for m in self._manifest_files(s):
+                        p = self._resolve_path(m["manifest_path"])
+                        seen.setdefault(
+                            p,
+                            (
+                                p,
+                                int(m.get("manifest_length") or 0),
+                                int(m.get("partition_spec_id") or 0),
+                                int(m.get("content") or 0),
+                                int(s["snapshot-id"]),
+                            ),
+                        )
+                else:
+                    data_entries, _ = self._live_entries(s)
+                    for e in data_entries:
+                        df_ = e["data_file"]
+                        p = self._resolve_path(df_["file_path"])
+                        seen.setdefault(
+                            p,
+                            (
+                                p,
+                                int(df_.get("record_count") or 0),
+                                int(df_.get("file_size_in_bytes") or 0),
+                                int(e.get("snapshot_id") or 0),
+                            ),
+                        )
+            rows = sorted(seen.values())
+            if kind == "all_manifests":
+                return local_df(
+                    self.spark,
+                    rows,
+                    "path string, length long, partition_spec_id int,"
+                    " content int, reference_snapshot_id long",
+                )
+            return local_df(
+                self.spark,
+                rows,
+                "file_path string, record_count long,"
+                " file_size_in_bytes long, snapshot_id long",
+            )
         if kind == "statistics":
             names = {
                 int(f["id"]): f["name"]
@@ -2052,7 +2134,7 @@ class IcebergProtocolTable:
         raise IcebergProtocolError(
             f"unknown metadata table {kind!r} (snapshots, files, "
             "delete_files, manifests, history, refs, partitions, "
-            "statistics)"
+            "entries, all_data_files, all_manifests, statistics)"
         )
 
     # ------------------------------------------------ partition stats

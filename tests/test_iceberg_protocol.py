@@ -1700,3 +1700,35 @@ def test_rollback_to_snapshot(spark, sf_dir, tmp_path):
         t.rollback_to_snapshot(second)
     with pytest.raises(IcebergProtocolError, match="no snapshot"):
         t.rollback_to_snapshot(12345)
+
+
+def test_metadata_tables_entries_and_all(spark, sf_dir, tmp_path):
+    """The entry-level and cross-snapshot inspection tables: `entries`
+    exposes per-manifest-entry status (incl. DELETED rows a live-files
+    view hides), `all_data_files` enumerates files across every
+    reachable snapshot (overwritten files included — the orphan-sweep
+    input), `all_manifests` dedupes manifests across snapshots."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "allmeta"))
+    t.create(orders.limit(80).repartition(2))
+    t.overwrite(orders.limit(120).subtract(orders.limit(80)))
+    cur = t.metadata_table("files")
+    allf = t.metadata_table("all_data_files")
+    # the overwritten v0 files are gone from `files` but reachable
+    # through the v0 snapshot, so all_data_files keeps them
+    assert allf.count() > cur.count()
+    cur_paths = {r["file_path"] for r in cur.collect()}
+    all_paths = {r["file_path"] for r in allf.collect()}
+    assert cur_paths < all_paths
+    entries = t.metadata_table("entries").collect()
+    # this writer drops superseded manifests rather than tombstoning
+    # (both are spec-valid), so a current snapshot carries only
+    # ADDED(1)/EXISTING(0) entries — and entry count equals the
+    # current live file count
+    assert {e["status"] for e in entries} <= {0, 1}
+    assert len(entries) == cur.count()
+    assert all(e["record_count"] > 0 for e in entries)
+    assert all(e["sequence_number"] >= 1 for e in entries)
+    mans = t.metadata_table("all_manifests")
+    assert mans.count() >= t.metadata_table("manifests").count()
+    assert mans.count() == mans.select("path").distinct().count()
