@@ -205,12 +205,16 @@ def dsir_resample(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic importance resampling (the paper's final step):
-    Gumbel-top-k — key each doc with ``dsir_weight·scale + gumbel(u)``
+    Gumbel-top-k — key each doc with ``log(dsir_weight) + gumbel(u)``
     where u derives from md5(id, seed), take the global top ``n``.
-    Equivalent to sampling n docs without replacement with probability
-    ∝ exp(dsir_weight) (Gumbel-max trick), but reruns and retries pick
-    the SAME docs — the property a resumable 100 TB pipeline needs.
-    One TakeOrderedAndProject, no full sort."""
+    The Gumbel-max trick on LOG weights samples n docs without
+    replacement with probability ∝ dsir_weight (keying on the raw
+    fixed-point weight instead would let a ~1e6-scale weight gap
+    swamp the O(1) Gumbel noise and collapse into a plain top-n);
+    reruns and retries pick the SAME docs — the property a resumable
+    100 TB pipeline needs. Zero-weight docs are never selected (their
+    sampling probability is zero). One TakeOrderedAndProject, no full
+    sort."""
     u = (
         F.conv(
             F.substring(
@@ -225,9 +229,11 @@ def dsir_resample(
     )
     # clamp away u=0 (log(0)) — md5 can land exactly on zero
     gumbel = -F.log(-F.log((u + F.lit(1e-12)) / (1.0 + 2e-12)))
-    key = F.col("dsir_weight") + gumbel
+    key = F.log(F.col("dsir_weight")) + gumbel
     return (
-        scored.where(F.col("dsir_weight").isNotNull())
+        scored.where(
+            F.col("dsir_weight").isNotNull() & (F.col("dsir_weight") > 0)
+        )
         .withColumn("_k", key)
         .orderBy(F.col("_k").desc(), F.col(id_col))
         .limit(n)

@@ -333,6 +333,14 @@ def _apply_updates(md: dict, updates: list[dict], now_ms: int) -> dict:
         elif a == "set-partition-statistics":
             stats = u["partition-statistics"]
             sid = int(stats["snapshot-id"])
+            ids = {
+                int(s["snapshot-id"])
+                for s in (md.get("snapshots") or [])
+            }
+            if sid not in ids:
+                raise ValueError(
+                    f"set-partition-statistics: unknown snapshot {sid}"
+                )
             md["partition-statistics"] = [
                 e
                 for e in (md.get("partition-statistics") or [])

@@ -2376,6 +2376,23 @@ class IcebergProtocolTable:
             raise IcebergProtocolError("analyze_table: no columns")
         _lg_k = int(lg_k)
         _cols = list(cols)
+        # Integral columns hash as decimal strings: Arrow→pandas turns
+        # an int64 batch CONTAINING a null into float64 while null-free
+        # batches stay int64, so the same value would hash under two
+        # encodings (NDV inflation) and bigints beyond 2^53 would
+        # collapse. A string cast in the projection is null-safe,
+        # lossless, and identical across partitions.
+        integral = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in
+            ("tinyint", "smallint", "int", "bigint")
+        }
+        proj = [
+            F.col(c).cast("string").alias(c) if c in integral
+            else F.col(c)
+            for c in _cols
+        ]
 
         def _partials(batches):
             import pandas as _pd
@@ -2399,7 +2416,7 @@ class IcebergProtocolTable:
                 }
             )
 
-        partials = df.select(*_cols).mapInPandas(
+        partials = df.select(*proj).mapInPandas(
             _partials, "col string, sk binary"
         ).collect()
         merged = {c: ThetaSketch(_lg_k) for c in _cols}
@@ -2421,8 +2438,8 @@ class IcebergProtocolTable:
                     "properties": {
                         "ndv": str(int(round(sk.estimate()))),
                         "value-encoding": (
-                            "utf8-strings;int64-le;double-bits-le;"
-                            "str-temporal-decimal"
+                            "utf8-strings;int-decimal-string;"
+                            "double-bits-le;str-temporal-decimal"
                         ),
                     },
                     "data": sk.serialize(),
@@ -2438,24 +2455,59 @@ class IcebergProtocolTable:
             blobs,
             properties={"created-by": "featureform-spark analyze_table"},
         )
-        version = max(v for v, _ in self._metadata_files()) + 1
-        md = dict(md)
-        md["statistics"] = [
-            e
-            for e in (md.get("statistics") or [])
-            if int(e["snapshot-id"]) != sid
-        ] + [
-            {
-                "snapshot-id": sid,
-                "statistics-path": target,
-                "file-size-in-bytes": os.path.getsize(target),
-                "file-footer-size-in-bytes": footer_size,
-                "blob-metadata": blob_meta,
-            }
-        ]
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md, version)
-        return target
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": target,
+            "file-size-in-bytes": os.path.getsize(target),
+            "file-footer-size-in-bytes": footer_size,
+            "blob-metadata": blob_meta,
+        }
+        # Commit against FRESH metadata in a CAS retry loop: the sketch
+        # job above can run long, and committing the stale md read
+        # before it would silently drop any snapshot a concurrent
+        # writer appended meanwhile (the hazard every other commit path
+        # here guards with expect_version).
+        for _ in range(20):
+            cur = self.metadata()
+            if not any(
+                int(s["snapshot-id"]) == sid
+                for s in (cur.get("snapshots") or [])
+            ):
+                os.remove(target)
+                raise IcebergProtocolError(
+                    f"snapshot {sid} expired while analyze_table ran — "
+                    "statistics not committed"
+                )
+            new_md = dict(cur)
+            replaced = [
+                e
+                for e in (cur.get("statistics") or [])
+                if int(e["snapshot-id"]) == sid
+            ]
+            new_md["statistics"] = [
+                e
+                for e in (cur.get("statistics") or [])
+                if int(e["snapshot-id"]) != sid
+            ] + [entry]
+            new_md["last-updated-ms"] = int(time.time() * 1000)
+            version = max(v for v, _ in self._metadata_files()) + 1
+            try:
+                self._commit_metadata(new_md, version)
+            except FileExistsError:
+                continue  # lost the race: refold onto the winner's md
+            # the replaced entry's puffin file is unreachable once the
+            # commit lands — remove it (best-effort: a lagging reader
+            # of the OLD metadata version may still hold the path)
+            for e in replaced:
+                try:
+                    os.remove(self._resolve_path(e["statistics-path"]))
+                except OSError:
+                    pass
+            return target
+        os.remove(target)
+        raise IcebergProtocolError(
+            "analyze_table lost the metadata commit race 20 times"
+        )
 
     def _statistics_entry(
         self, snapshot_id: int | None = None, md: dict | None = None

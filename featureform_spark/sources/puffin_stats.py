@@ -260,29 +260,38 @@ class ThetaSketch:
     def serialize(self) -> bytes:
         seed_hash = compute_seed_hash(self.seed)
         base = self._FLAG_READONLY | self._FLAG_COMPACT | self._FLAG_ORDERED
+        # byte 3 carries lgNomLongs so deserialize/union recover the
+        # build-time k (a fresh reader must not silently degrade an
+        # exact lg_k=14 sketch down to a smaller default)
         if not self._set:
             return struct.pack(
-                "<BBBBBBH", 1, 3, 3, 0, 0, base | self._FLAG_EMPTY, seed_hash
+                "<BBBBBBH",
+                1, 3, 3, self.lg_k, 0, base | self._FLAG_EMPTY, seed_hash,
             )
         entries = sorted(self._set)
         if self.is_exact():
             head = struct.pack(
-                "<BBBBBBHIi", 2, 3, 3, 0, 0, base, seed_hash, len(entries), 0
+                "<BBBBBBHIi",
+                2, 3, 3, self.lg_k, 0, base, seed_hash, len(entries), 0,
             )
         else:
             head = struct.pack(
                 "<BBBBBBHIiq",
-                3, 3, 3, 0, 0, base, seed_hash, len(entries), 0, self.theta,
+                3, 3, 3, self.lg_k, 0, base, seed_hash,
+                len(entries), 0, self.theta,
             )
         return head + struct.pack(f"<{len(entries)}q", *entries)
 
     @classmethod
     def deserialize(
-        cls, data: bytes, lg_k: int = 12, seed: int = DEFAULT_SEED
+        cls, data: bytes, lg_k: int | None = None, seed: int = DEFAULT_SEED
     ) -> "ThetaSketch":
+        """``lg_k`` overrides the blob's recorded lgNomLongs; when the
+        blob carries 0 there (compact sketches from writers that drop
+        it) the fallback is 12."""
         if len(data) < 8:
             raise ValueError("theta sketch blob shorter than the preamble")
-        pre, ser, family, _, _, flags, seed_hash = struct.unpack(
+        pre, ser, family, lg_nom, _, flags, seed_hash = struct.unpack(
             "<BBBBBBH", data[:8]
         )
         if ser != 3:
@@ -293,8 +302,20 @@ class ThetaSketch:
             raise ValueError(
                 "seed hash mismatch: sketch was built under a different seed"
             )
-        sk = cls(lg_k=lg_k, seed=seed)
-        if pre == 1 or (flags & cls._FLAG_EMPTY):
+        eff_lg_k = lg_k if lg_k is not None else (
+            lg_nom if 4 <= lg_nom <= 26 else 12
+        )
+        sk = cls(lg_k=eff_lg_k, seed=seed)
+        if flags & cls._FLAG_EMPTY:
+            return sk
+        if pre == 1:
+            # DataSketches single-item compact form: preLongs=1, EMPTY
+            # clear, one retained hash at bytes 8-16
+            if len(data) < 16:
+                return sk
+            (h,) = struct.unpack("<q", data[8:16])
+            sk._set = {h}
+            sk._neg = [-h]
             return sk
         (count,) = struct.unpack("<I", data[8:12])
         off = 16

@@ -1571,10 +1571,13 @@ def iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-side) folded on the driver; the NDVs then come back
     through metadata_table('statistics') — i.e. out of blob metadata
     in the table metadata itself, ZERO stats-file reads on the query
-    path. lg_k=14 keeps every sketch exact below 16,384 distinct
-    values, so the oracle's COUNT(DISTINCT) matches bit-for-bit at
-    driver scale (at 100 TB the same code degrades gracefully to the
-    standard theta estimate)."""
+    path. The oracle pairing requires EXACT NDVs, so lg_k is sized
+    above the table's row count (c_custkey is unique per row — a fixed
+    lg_k would flip to estimation mode at a large enough sf and break
+    the bit-for-bit compare); production callers pick a fixed lg_k and
+    take the standard theta estimate instead."""
+    import math
+
     from featureform_spark.sources.iceberg_protocol import (
         IcebergProtocolTable,
     )
@@ -1584,7 +1587,10 @@ def iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = IcebergProtocolTable(spark, _scratch(sf_dir, "ndv_stats"))
     t.create(cust)
-    t.analyze_table(lg_k=14)
+    rows = cust.count()
+    t.analyze_table(
+        lg_k=min(26, max(14, math.ceil(math.log2(rows + 1)) + 1))
+    )
     return (
         t.metadata_table("statistics")
         .select(F.col("column_name").alias("col_name"), "ndv")

@@ -104,7 +104,8 @@ def test_resample_deterministic_and_weight_driven(spark):
     a = sorted(r["doc_id"] for r in dsir_resample(scored, 10).collect())
     b = sorted(r["doc_id"] for r in dsir_resample(scored, 10).collect())
     assert a == b  # md5-derived Gumbel keys: reruns pick the same docs
-    # weight gap of 10 dominates Gumbel noise: the heavy docs win
+    # zero-weight docs have sampling probability 0 — only the 10
+    # positive-weight docs are eligible, so exactly they are selected
     assert set(a) == set(range(10))
     # different seed reorders ties but stays deterministic
     c = dsir_resample(scored, 10, seed=99).collect()

@@ -304,3 +304,72 @@ def test_analyze_rejects_unknown_column(stats_table):
 
     with pytest.raises(IcebergProtocolError, match="atomic"):
         stats_table.analyze_table(columns=["nope"])
+
+
+def test_deserialize_recovers_lg_k():
+    sk = ThetaSketch(lg_k=14)
+    for i in range(10_000):
+        sk.update(i)
+    back = ThetaSketch.deserialize(sk.serialize())  # no lg_k passed
+    assert back.lg_k == 14 and back.k == 1 << 14
+    assert back.is_exact() and back.estimate() == 10_000.0
+    # and a union of two recovered exact sketches STAYS exact (the
+    # join advisor's intersection path)
+    other = ThetaSketch(lg_k=14)
+    for i in range(5_000, 15_000):
+        other.update(i)
+    from featureform_spark.sources.puffin_stats import (
+        estimate_intersection,
+    )
+
+    assert estimate_intersection(back, ThetaSketch.deserialize(
+        other.serialize()
+    )) == 5_000.0
+
+
+def test_deserialize_single_item_compact():
+    # DataSketches single-item compact form: preLongs=1, EMPTY clear,
+    # one retained hash long — must read as NDV 1, not empty
+    one = ThetaSketch()
+    one.update("only")
+    (h,) = one._set
+    blob = struct.pack(
+        "<BBBBBBH",
+        1, 3, 3, 0, 0,
+        (1 << 1) | (1 << 3) | (1 << 4),  # readonly|compact|ordered
+        __import__(
+            "featureform_spark.sources.puffin_stats",
+            fromlist=["compute_seed_hash"],
+        ).compute_seed_hash(9001),
+    ) + struct.pack("<q", h)
+    back = ThetaSketch.deserialize(blob)
+    assert back.estimate() == 1.0
+    assert back._set == {h}
+
+
+def test_reanalyze_removes_orphaned_stats_file(spark, stats_table):
+    t = stats_table
+    first = t.analyze_table(columns=["seg"])
+    second = t.analyze_table(columns=["seg", "id"])
+    # the replaced entry's puffin file is unreachable — removed
+    assert not os.path.exists(first)
+    assert os.path.exists(second)
+    assert len(t.metadata()["statistics"]) == 1
+
+
+def test_analyze_nullable_int_column_ndv_exact(spark, tmp_path):
+    """Arrow→pandas turns int64-with-null batches into float64 while
+    null-free batches stay int64 — without the string-cast projection
+    the same value hashes under two encodings and NDV inflates."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    rows = [(i, i % 50 if i % 7 else None) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, k long").repartition(8)
+    t = IcebergProtocolTable(spark, str(tmp_path / "nullable"))
+    t.create(df)
+    t.analyze_table(columns=["k"])
+    # values 0..49 appear with nulls scattered across partitions;
+    # NDV must be exactly 50, not inflated by dtype-split hashing
+    assert t.ndv("k") == 50

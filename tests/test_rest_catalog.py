@@ -1561,3 +1561,12 @@ def test_commit_set_and_remove_statistics(catalog):
         {"updates": [{"action": "set-statistics", "statistics": bad}]},
     )
     assert code == 400, res
+    badp = dict(pentry, **{"snapshot-id": 999999999})
+    code, res = _post(
+        server,
+        "/v1/namespaces/analytics/tables/orders",
+        {"updates": [
+            {"action": "set-partition-statistics",
+             "partition-statistics": badp}]},
+    )
+    assert code == 400, res
