@@ -1,0 +1,149 @@
+"""Temporal shaping operators: SCD Type 2 intervals and time-grid
+gap-filling.
+
+Both are the standard companions to the engine's PIT/as-of join family
+(``operators/asof.py``, ``operators/training_set.py``): SCD2 turns a
+change stream into validity intervals (the dimension shape warehouses
+join against, and the lossless input to a point-in-time lookup), and
+gap-fill regularizes an irregular event series onto a fixed time grid
+(the shape windowed feature pipelines and forecasting models consume).
+
+Scale shape — each operator is exactly ONE hash shuffle on the entity
+key:
+
+* ``scd2``: one window (partitionBy key, orderBy ts) computes the
+  change-compression lag and the closing lead — no self-join, no
+  second pass. Skewed entities are bounded by per-entity history
+  length, not corpus size.
+* ``gap_fill``: per-entity bucket aggregation, then ``sequence()``
+  explodes each entity's OWN [min, max] grid executor-side (never a
+  driver-side calendar), then one more window for LOCF. The grid never
+  materializes beyond the entity's true span, so a 100 TB corpus with
+  short per-entity histories stays linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from a change stream: one row
+    per (key, attribute-state) RUN with ``valid_from`` / ``valid_to``
+    / ``is_current``. Consecutive rows whose tracked attributes are
+    unchanged compress into one interval (the warehouse-standard
+    change compression); ``valid_to`` is the next change's timestamp
+    (half-open intervals, NULL on the current row).
+
+    ``tiebreak_cols`` breaks same-timestamp ordering deterministically
+    (defaults to the attr columns themselves) — same-ts duplicates
+    otherwise make the interval chain nondeterministic."""
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (tiebreak_cols or attr_cols)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        F.lag(state).over(w).isNull()
+        | (F.lag(state).over(w) != state)
+    )
+    marked = df.select(
+        *key_cols, ts_col, *attr_cols, changed.alias("_chg")
+    ).where(F.col("_chg"))
+    # second window over the compressed rows closes each interval with
+    # the NEXT change's start (same partitioning: Spark reuses the
+    # exchange, so this is still one shuffle)
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or attr_cols)]
+    )
+    return (
+        marked.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_chg", *([ts_col] if ts_col != "valid_from" else []))
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    how: str = "locf",
+    agg: str = "sum",
+) -> DataFrame:
+    """Regularize an event series onto a fixed time grid per entity:
+    bucket events to ``step``, aggregate ``value_col`` with ``agg``
+    within each bucket, then emit EVERY bucket in the entity's
+    [first, last] span, filling empty ones by ``how``:
+
+    * ``"locf"`` — last observation carried forward (state series);
+    * ``"zero"`` — 0.0 (count/sum series);
+    * ``"null"`` — leave the gap explicit.
+
+    Returns (entity, bucket_start, value, is_filled). The grid is
+    generated executor-side with ``sequence()`` over each entity's own
+    span — no driver calendar, no cross-entity blowup."""
+    if how not in ("locf", "zero", "null"):
+        raise ValueError(f"unknown fill mode {how!r}")
+    bucket = F.date_trunc(
+        _trunc_unit(step), F.col(ts_col)
+    ).alias("bucket_start")
+    per_bucket = (
+        df.select(F.col(entity_col).alias("entity"), bucket,
+                  F.col(value_col).alias("v"))
+        .groupBy("entity", "bucket_start")
+        .agg(getattr(F, agg)("v").alias("value"))
+    )
+    spans = per_bucket.groupBy("entity").agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    grid = spans.select(
+        "entity",
+        F.explode(
+            F.sequence(
+                F.col("lo"), F.col("hi"),
+                F.expr(f"INTERVAL {step}"),
+            )
+        ).alias("bucket_start"),
+    )
+    joined = grid.join(per_bucket, ["entity", "bucket_start"], "left")
+    out = joined.withColumn("is_filled", F.col("value").isNull())
+    if how == "zero":
+        out = out.withColumn("value", F.coalesce("value", F.lit(0.0)))
+    elif how == "locf":
+        w = (
+            Window.partitionBy("entity")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(
+            "value", F.last("value", ignorenulls=True).over(w)
+        )
+    return out.select("entity", "bucket_start", "value", "is_filled")
+
+
+def _trunc_unit(step: str) -> str:
+    """Map an INTERVAL step to the date_trunc unit that aligns it.
+    Only unit steps ("1 hour", "1 day", ...) are supported: a "6 hour"
+    stride would need its own epoch-floor bucketing (date_trunc aligns
+    to the unit, so sequence() strides would miss the intermediate
+    buckets the aggregation filled)."""
+    parts = step.strip().split()
+    unit = parts[-1].lower().rstrip("s")
+    if unit not in ("minute", "hour", "day", "week", "month") or (
+        len(parts) == 2 and parts[0] != "1"
+    ):
+        raise ValueError(
+            f"unsupported gap_fill step {step!r} — use 1 "
+            "minute/hour/day/week/month"
+        )
+    return unit

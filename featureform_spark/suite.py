@@ -1196,7 +1196,13 @@ PRIORITY: tuple[str, ...] = (
     "training_set_pit",
     "training_set_lag",
     "training_set_label_no_ts",
-    "training_set_feature_no_ts",
+    # Round-9 late rotation: SCD Type 2 interval building (change
+    # compression + half-open validity chain, one entity shuffle —
+    # the dimension shape the PIT family consumes) — new this round.
+    # training_set_feature_no_ts (green r1-r8) rotates out, stays
+    # pytest-oracle-covered (training_set_label_no_ts keeps no-ts
+    # resource semantics in the top-50).
+    "scd2_intervals",
     "training_set_multi_entity",
     "batch_features",
     # round-6 late addition: Gopher char-fraction repetition rules.
@@ -1291,7 +1297,13 @@ PRIORITY: tuple[str, ...] = (
     # stage after rule filters). dedup_exact (green r1-r6) rotates
     # out, stays pytest-oracle-covered.
     "quality_model",
-    "minhash_lsh_dedup",
+    # Round-9 late rotation: per-entity time-grid gap fill with LOCF
+    # (sequence() over each entity's own span, decimal-exact bucket
+    # sums — the regularization stage before windowed features) — new
+    # this round. minhash_lsh_dedup (green r1-r8) rotates out, stays
+    # pytest-oracle-covered (incremental_dedup keeps the LSH band
+    # machinery in the top-50 via the signature store).
+    "gap_fill_hourly",
     # Round-7 late rotation: Flesch-style readability — never
     # driver-checked. embedding_topk (green r1-r6) rotates out, stays
     # pytest-oracle-covered.
@@ -1589,3 +1601,99 @@ def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from featureform_spark.operators.encoding import skew_report
 
     return skew_report(load_table(spark, sf_dir, "events"), "user_id", top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# temporal shaping: SCD2 intervals + time-grid gap fill (operators/temporal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_intervals",
+    """
+    WITH o AS (SELECT user_id, ts, event_type,
+                      LAG(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_type
+                      ) AS prev
+               FROM events),
+    chg AS (SELECT user_id, ts, event_type FROM o
+            WHERE prev IS NULL OR prev <> event_type),
+    iv AS (SELECT user_id, event_type, ts AS valid_from,
+                  LEAD(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_type
+                  ) AS valid_to
+           FROM chg)
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM iv ORDER BY user_id, valid_from, event_type
+    """,
+)
+def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 from a change stream: per-user event_type runs
+    compress into half-open validity intervals (valid_from/valid_to,
+    is_current on the open one) — the dimension shape warehouses join
+    and the lossless input to the PIT family. One entity-key shuffle:
+    the change-compression lag and the closing lead share the same
+    window partitioning, so Spark reuses the exchange."""
+    from featureform_spark.operators.temporal import scd2
+
+    out = scd2(
+        load_table(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+    )
+    return out.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from", "event_type")
+
+
+@query(
+    "gap_fill_hourly",
+    """
+    WITH b AS (SELECT user_id AS entity,
+                      date_trunc('hour', ts) AS bucket_start,
+                      SUM(CAST(value AS DECIMAL(18,2))) AS value
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT entity, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+          FROM b GROUP BY entity),
+    g AS (SELECT entity,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS bucket_start
+          FROM s),
+    j AS (SELECT g.entity, g.bucket_start, b.value,
+                 (b.value IS NULL) AS is_filled
+          FROM g LEFT JOIN b
+            ON b.entity = g.entity AND b.bucket_start = g.bucket_start)
+    SELECT entity, bucket_start,
+           CAST(LAST_VALUE(value IGNORE NULLS) OVER (
+                  PARTITION BY entity ORDER BY bucket_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS value,
+           is_filled
+    FROM j ORDER BY entity, bucket_start
+    """,
+)
+def gap_fill_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid regularization: hourly per-user spend series with
+    last-observation-carried-forward over the gaps — the shape
+    forecasting/windowed-feature consumers need. Bucket sums stay
+    DECIMAL until one final double cast (float addition order is
+    engine-specific; decimal addition is exact, the house rule for
+    hash-matched oracles). The grid comes from sequence() over each
+    entity's OWN span, executor-side — no driver calendar, no
+    cross-entity blowup."""
+    from featureform_spark.operators.temporal import gap_fill
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,2)")
+    )
+    out = gap_fill(
+        ev, "user_id", "ts", "v", step="1 hour", how="locf"
+    )
+    return out.select(
+        "entity",
+        "bucket_start",
+        F.col("value").cast("double").alias("value"),
+        "is_filled",
+    ).orderBy("entity", "bucket_start")
