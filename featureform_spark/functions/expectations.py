@@ -1,0 +1,165 @@
+"""Data-quality expectations: declarative rules validated in ONE scan.
+
+The validation pass every production pipeline runs between ingest and
+publish (dbt tests / Great Expectations semantics), shaped for 100 TB:
+all rules — however many — compile into a SINGLE aggregation over ONE
+scan of the table. Each rule becomes a conditional-count expression
+(``sum(case when violated then 1 end)``); uniqueness rules add
+``count(distinct col)`` terms that Spark's multi-distinct Expand
+handles inside the same shuffle. The per-rule report then explodes
+from the one aggregated row — no second scan, no per-rule jobs.
+
+Row-level triage (``quarantine``) is likewise one projection: each row
+gets the array of rule names it violates and splits into (clean,
+quarantined) DataFrames off the same cached plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ExpectationError(Exception):
+    """Raised by ``enforce`` when any rule has violations."""
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named expectation. ``condition`` is the PASS predicate (a
+    Column); rows where it is false or NULL count as violations.
+    ``distinct_on`` marks uniqueness rules (handled with a
+    count-distinct term instead of a row predicate)."""
+
+    name: str
+    condition: Column | None = None
+    distinct_on: str | None = None
+    meta: dict = field(default_factory=dict)
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", F.col(col).isNotNull())
+
+
+def unique(col: str) -> Rule:
+    return Rule(f"unique({col})", distinct_on=col)
+
+
+def accepted_values(col: str, values: list[Any]) -> Rule:
+    return Rule(
+        f"accepted_values({col})",
+        F.col(col).isin(list(values)),
+    )
+
+
+def in_range(col: str, lo: Any, hi: Any) -> Rule:
+    return Rule(
+        f"in_range({col})",
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)),
+    )
+
+
+def matches_regex(col: str, pattern: str) -> Rule:
+    return Rule(
+        f"matches_regex({col})",
+        F.col(col).rlike(pattern),
+    )
+
+
+def custom(name: str, condition: Column) -> Rule:
+    return Rule(name, condition)
+
+
+def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Validate all rules in one scan. Returns one row per rule:
+    (rule, total_rows, violations, passed). A NULL evaluation of a
+    pass-predicate counts as a violation (NULL o_custkey fails
+    ``in_range`` just like an out-of-range one — the dbt convention).
+    Uniqueness violations are ``count(rows with non-null col) −
+    count(distinct col)`` (NULLs don't collide, matching SQL UNIQUE)."""
+    if not rules:
+        raise ValueError("expect: no rules")
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, r in enumerate(rules):
+        if r.distinct_on is not None:
+            aggs.append(
+                (
+                    F.count(F.col(r.distinct_on))
+                    - F.countDistinct(F.col(r.distinct_on))
+                ).alias(f"_v{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(
+                    F.when(r.condition, F.lit(0)).otherwise(F.lit(1))
+                ).alias(f"_v{i}")
+            )
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(f"_v{i}").cast("long").alias("violations"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    return (
+        one.select(
+            F.col("_total").cast("long").alias("total_rows"),
+            F.explode(pairs).alias("p"),
+        )
+        .select(
+            F.col("p.rule").alias("rule"),
+            "total_rows",
+            F.col("p.violations").alias("violations"),
+            (F.col("p.violations") == 0).alias("passed"),
+        )
+    )
+
+
+def enforce(df: DataFrame, rules: list[Rule]) -> None:
+    """Run ``expect`` and raise ``ExpectationError`` naming every
+    failed rule with its violation count — the gate a publish step
+    calls before committing a snapshot."""
+    failed = [
+        (r["rule"], r["violations"])
+        for r in expect(df, rules).collect()
+        if not r["passed"]
+    ]
+    if failed:
+        detail = ", ".join(f"{n}: {v} violations" for n, v in failed)
+        raise ExpectationError(f"expectations failed — {detail}")
+
+
+def quarantine(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level triage in one projection: returns (clean, quarantined)
+    where quarantined rows carry ``_violations`` (the array of rule
+    names the row fails). Uniqueness rules are aggregate-level and
+    cannot mark individual rows — passing one here raises."""
+    for r in rules:
+        if r.distinct_on is not None:
+            raise ValueError(
+                f"quarantine: {r.name} is aggregate-level (uniqueness) "
+                "— row triage cannot attribute it; use expect()"
+            )
+    viols = F.filter(
+        F.array(
+            *[
+                F.when(r.condition, F.lit(None).cast("string")).otherwise(
+                    F.lit(r.name)
+                )
+                for r in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    marked = df.withColumn("_violations", viols)
+    clean = marked.where(F.size("_violations") == 0).drop("_violations")
+    bad = marked.where(F.size("_violations") > 0)
+    return clean, bad

@@ -1246,10 +1246,13 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (training_set_pit keeps the as-of join
     # family in the top-50).
     "iceberg_ndv_stats",
-    # round-6 late addition: unicode script composition (cross-engine
-    # regex-range agreement). sessionize (green r1-r5) rotates out,
-    # stays pytest-oracle-covered.
-    "script_profile",
+    # Round-9 late rotation: one-scan data-quality expectations (the
+    # dbt-test/publish-gate pass: five rule kinds in ONE aggregation,
+    # multi-distinct uniqueness included) — new this round.
+    # script_profile (green r6-r8) rotates out, stays
+    # pytest-oracle-covered (text_normalize + repetition_signals keep
+    # the text-profile family in the top-50).
+    "expectations_report",
     # Round-9 late rotation: DSIR-style hashed-ngram importance
     # weights (fixed-point likelihood ratios, zero-shuffle codegen
     # scoring; the data-selection pass between quality filtering and
@@ -1697,3 +1700,64 @@ def gap_fill_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         "is_filled",
     ).orderBy("entity", "bucket_start")
+
+
+@query(
+    "expectations_report",
+    """
+    WITH a AS (SELECT count(*) AS total,
+        count(*) - count(o_custkey) AS v0,
+        count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+        SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 600000
+                 THEN 0 ELSE 1 END) AS v2,
+        SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                 THEN 0 ELSE 1 END) AS v3,
+        SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 0 ELSE 1 END) AS v4
+    FROM orders)
+    SELECT * FROM (
+        SELECT 'not_null(o_custkey)' AS rule, total AS total_rows,
+               v0::BIGINT AS violations, v0 = 0 AS passed FROM a
+        UNION ALL
+        SELECT 'unique(o_orderkey)', total, v1::BIGINT, v1 = 0 FROM a
+        UNION ALL
+        SELECT 'in_range(o_totalprice)', total, v2::BIGINT, v2 = 0 FROM a
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)', total, v3::BIGINT,
+               v3 = 0 FROM a
+        UNION ALL
+        SELECT 'matches_regex(o_orderpriority)', total, v4::BIGINT,
+               v4 = 0 FROM a
+    ) r ORDER BY rule
+    """,
+)
+def expectations_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations validated in ONE scan
+    (the dbt-test / publish-gate pass): five rules — null checks,
+    uniqueness, range, accepted values, regex — compile into a single
+    aggregation (conditional counts + one multi-distinct term), and
+    the per-rule report explodes from the one aggregated row. However
+    many rules, the table is read once; NULL predicate evaluations
+    count as violations (the dbt convention), and uniqueness ignores
+    NULL keys like SQL UNIQUE."""
+    from featureform_spark.functions.expectations import (
+        accepted_values,
+        expect,
+        in_range,
+        matches_regex,
+        not_null,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    report = expect(
+        orders,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 600000),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            matches_regex("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    return report.orderBy("rule")

@@ -1,0 +1,117 @@
+"""One-scan data-quality expectations: rule semantics, NULL
+conventions, the single-aggregation plan, and row-level quarantine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureform_spark.functions.expectations import (
+    ExpectationError,
+    accepted_values,
+    custom,
+    enforce,
+    expect,
+    in_range,
+    matches_regex,
+    not_null,
+    quarantine,
+    unique,
+)
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "a@x.com", 10, "OK"),
+        (2, None, 200, "OK"),        # null email, out-of-range n
+        (2, "c@x.com", 30, "BAD"),   # duplicate id, bad status
+        (3, "not-an-email", 40, "OK"),
+        (None, "e@x.com", None, "OK"),  # null id, null n
+    ]
+    return spark.createDataFrame(
+        rows, "id long, email string, n long, status string"
+    )
+
+
+def _rules():
+    # built lazily: Column construction needs an active SparkSession
+    return [
+        not_null("email"),
+        unique("id"),
+        in_range("n", 0, 100),
+        accepted_values("status", ["OK"]),
+        matches_regex("email", r"^[^@]+@[^@]+\.[^@]+$"),
+    ]
+
+
+def test_expect_counts_each_rule(messy):
+    rep = {r["rule"]: r for r in expect(messy, _rules()).collect()}
+    assert rep["not_null(email)"]["violations"] == 1
+    # two rows share id=2 → one colliding extra; NULL ids don't collide
+    assert rep["unique(id)"]["violations"] == 1
+    # n=200 out of range, n=NULL counts as a violation (dbt convention)
+    assert rep["in_range(n)"]["violations"] == 2
+    assert rep["accepted_values(status)"]["violations"] == 1
+    # NULL email and 'not-an-email' both fail the regex
+    assert rep["matches_regex(email)"]["violations"] == 2
+    assert all(r["total_rows"] == 5 for r in rep.values())
+    assert not any(r["passed"] for r in rep.values())
+
+
+def test_expect_passes_on_clean_data(spark):
+    clean = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, s string"
+    )
+    rep = expect(clean, [not_null("s"), unique("id")]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rep)
+
+
+def test_expect_is_one_scan(messy):
+    rep = expect(messy, _rules())
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # one scan feeds everything — rules never trigger per-rule jobs
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+
+
+def test_enforce_raises_with_detail(messy):
+    with pytest.raises(ExpectationError, match=r"unique\(id\): 1"):
+        enforce(messy, _rules())
+    # a green rule set returns silently; note NULL predicate results
+    # count as violations, so NULL-tolerant rules must say so
+    enforce(
+        messy,
+        [custom("n small or absent",
+                F.col("n").isNull() | (F.col("n") < 1000))],
+    )
+    with pytest.raises(ExpectationError, match="n under 1000"):
+        enforce(messy, [custom("n under 1000", F.col("n") < 1000)])
+
+
+def test_quarantine_splits_rows(messy):
+    row_rules = [
+        not_null("email"),
+        in_range("n", 0, 100),
+        accepted_values("status", ["OK"]),
+    ]
+    clean, bad = quarantine(messy, row_rules)
+    assert clean.count() == 2  # ids 1 and 3
+    got = {
+        (r["id"], tuple(sorted(r["_violations"])))
+        for r in bad.collect()
+    }
+    assert got == {
+        (2, ("in_range(n)", "not_null(email)")),
+        (2, ("accepted_values(status)",)),
+        (None, ("in_range(n)",)),  # NULL n violates the range rule
+    }
+    # schema is preserved plus the violations column
+    assert set(bad.columns) == set(messy.columns) | {"_violations"}
+
+
+def test_quarantine_rejects_aggregate_rules(messy):
+    with pytest.raises(ValueError, match="aggregate-level"):
+        quarantine(messy, [unique("id")])
+
+
+def test_expect_requires_rules(messy):
+    with pytest.raises(ValueError, match="no rules"):
+        expect(messy, [])
