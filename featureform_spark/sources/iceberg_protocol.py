@@ -4241,6 +4241,12 @@ class IcebergProtocolTable:
                 "operation": "append",
                 "added-data-files": str(len(files)),
                 "added-records": str(sum(f["record_count"] for f in files)),
+                # spec totals: at CREATE the table IS this write
+                "total-records": str(
+                    sum(f["record_count"] for f in files)
+                ),
+                "total-data-files": str(len(files)),
+                "total-delete-files": "0",
             },
             "schema-id": 0,
         }
@@ -4321,6 +4327,31 @@ class IcebergProtocolTable:
             "added-data-files": str(nfiles),
             "added-records": str(nrecords),
         }
+        # spec summary totals, derived from the manifest-list entries
+        # alone (O(#manifests), no manifest opens): planners read these
+        # for O(1) table sizing without a manifest fold. total-records
+        # counts live data-manifest rows; applied deletes are tracked
+        # by the delete manifests, not subtracted here (Iceberg's own
+        # convention — total-position/equality-deletes live separately
+        # and need manifest opens to split, so they are omitted).
+        tot_records = 0
+        tot_data_files = 0
+        tot_delete_files = 0
+        for m in new_manifests:
+            live_rows = int(m.get("added_rows_count") or 0) + int(
+                m.get("existing_rows_count") or 0
+            )
+            live_files = int(m.get("added_files_count") or 0) + int(
+                m.get("existing_files_count") or 0
+            )
+            if int(m.get("content", 0)) == 0:
+                tot_records += live_rows
+                tot_data_files += live_files
+            else:
+                tot_delete_files += live_files
+        summary["total-records"] = str(tot_records)
+        summary["total-data-files"] = str(tot_data_files)
+        summary["total-delete-files"] = str(tot_delete_files)
         summary.update(extra_summary or {})
         snap = {
             "snapshot-id": snapshot_id,

@@ -1732,3 +1732,25 @@ def test_metadata_tables_entries_and_all(spark, sf_dir, tmp_path):
     mans = t.metadata_table("all_manifests")
     assert mans.count() >= t.metadata_table("manifests").count()
     assert mans.count() == mans.select("path").distinct().count()
+
+
+def test_snapshot_summary_totals(spark, sf_dir, tmp_path):
+    """Spec summary totals (total-records / total-data-files /
+    total-delete-files) derived from manifest-list entries at commit —
+    the O(1) table-sizing input planners read without a manifest
+    fold."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "totals"))
+    t.create(orders.limit(60).repartition(2))
+    t.append(orders.limit(100).subtract(orders.limit(60)))
+    s = t.current_snapshot(t.metadata())["summary"]
+    assert int(s["total-records"]) == 100
+    files = t.metadata_table("files").count()
+    assert int(s["total-data-files"]) == files
+    assert int(s["total-delete-files"]) == 0
+    t.delete_rows(F.col("o_orderkey") % 5 == 0)
+    s2 = t.current_snapshot(t.metadata())["summary"]
+    # data-file records are NOT delete-adjusted (Iceberg convention);
+    # the delete shows up as delete files
+    assert int(s2["total-records"]) == 100
+    assert int(s2["total-delete-files"]) >= 1
