@@ -58,6 +58,28 @@ class Engine:
         self._cache[ref] = df
         return df
 
+    def expectations_report(self, ref: str) -> DataFrame:
+        """Run the rules registered against a source
+        (Registry.register_expectations) — one scan, per-rule report
+        (see functions/expectations.expect)."""
+        from featureform_spark.functions.expectations import expect
+
+        rules = self.registry.expectations(ref)
+        if not rules:
+            raise ValueError(f"no expectations registered for {ref!r}")
+        return expect(self.source_df(ref), rules)
+
+    def enforce_expectations(self, ref: str) -> None:
+        """The publish gate: raises ExpectationError naming every
+        failed rule before a materialize/training-set write proceeds.
+        Sources with no registered rules pass silently (validation is
+        opt-in, matching the reference's P3 shape-only default)."""
+        from featureform_spark.functions.expectations import enforce
+
+        rules = self.registry.expectations(ref)
+        if rules:
+            enforce(self.source_df(ref), rules)
+
     def invalidate_plans(self) -> None:
         """Drop cached source plans so the next resolution re-lists files
         and re-builds transformations — required by DYNAMIC refresh

@@ -323,6 +323,10 @@ class Registry:
         self._resources: dict[str, Resource] = {}
         self._functions: dict[str, Callable] = {}
         self._dataframes: dict[str, DataFrame] = {}
+        # data-quality rules keyed by "source_name.variant" — session
+        # state like _functions/_dataframes (Rule conditions are live
+        # Column expressions, deliberately not persisted)
+        self._expectations: dict[str, list] = {}
         self._path = Path(path) if path else None
         if self._path and self._path.exists():
             self._load()
@@ -415,6 +419,22 @@ class Registry:
         fn_name = f"ondemand/{name}.{variant}"
         self._functions[fn_name] = fn
         return self.register(OnDemandFeature(name=name, variant=variant, fn_name=fn_name))
+
+    def register_expectations(self, source_ref: str, rules: list) -> None:
+        """Attach data-quality rules (functions/expectations.Rule) to a
+        registered source — enforced by Engine.enforce_expectations /
+        reported by Engine.expectations_report before a materialize or
+        training-set publish. Session-scoped like registered functions
+        (rule conditions are live Column expressions)."""
+        self.get("source", source_ref)  # must exist — fail fast
+        name, _, variant = source_ref.partition(".")
+        self._expectations[f"{name}.{variant or 'default'}"] = list(rules)
+
+    def expectations(self, source_ref: str) -> list:
+        name, _, variant = source_ref.partition(".")
+        return self._expectations.get(
+            f"{name}.{variant or 'default'}", []
+        )
 
     # -- lookup --------------------------------------------------------------
 

@@ -180,3 +180,34 @@ def test_multi_entity_training_set_via_engine(spark, sf_dir):
     row = out.filter(F.col("supp_bal_default").isNotNull()
                      & F.col("part_price_default").isNotNull()).first()
     assert row is not None
+
+
+def test_expectations_gate_on_registered_source(engine):
+    """Registry-attached data-quality rules: report + enforce through
+    the engine (the opt-in publish gate ahead of materialize)."""
+    from featureform_spark.functions.expectations import (
+        ExpectationError,
+        accepted_values,
+        not_null,
+    )
+
+    eng = engine
+    eng.registry.register_expectations(
+        "events", [not_null("user_id"), not_null("ts")]
+    )
+    rep = {r["rule"]: r for r in eng.expectations_report("events").collect()}
+    assert rep["not_null(user_id)"]["passed"]
+    eng.enforce_expectations("events")  # green rules: silent
+    # a failing rule gates the publish with per-rule detail
+    eng.registry.register_expectations(
+        "events", [accepted_values("event_type", ["purchase"])]
+    )
+    with pytest.raises(ExpectationError, match="accepted_values"):
+        eng.enforce_expectations("events")
+    # sources without rules pass silently (validation is opt-in)
+    eng.enforce_expectations("avg_purchase")
+    with pytest.raises(ValueError, match="no expectations"):
+        eng.expectations_report("avg_purchase")
+    # rules attach only to existing sources
+    with pytest.raises(KeyError):
+        eng.registry.register_expectations("nope", [not_null("x")])
