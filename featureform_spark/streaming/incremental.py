@@ -603,3 +603,43 @@ def stream_upsert_iceberg(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quarantine(
+    stream_df: DataFrame,
+    rules: list,
+    clean_path: str,
+    quarantine_path: str,
+    app_id: str,
+    checkpoint: str,
+):
+    """Streaming data-quality triage: every micro-batch splits through
+    ``functions/expectations.quarantine`` (row-level rule attribution,
+    one projection) — clean rows append to ``clean_path``, violating
+    rows (carrying ``_violations`` and the batch id) to
+    ``quarantine_path``. Each side is exactly-once independently: the
+    two sinks record separate txn app-ids (``<app>.clean`` /
+    ``<app>.bad``), so a replayed batch that already landed one side
+    no-ops there and still lands the other — no double-counting, no
+    lost quarantine rows, on an at-least-once channel."""
+    from featureform_spark.functions.expectations import quarantine
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        good, bad = quarantine(batch, rules)
+        bad = bad.withColumn("_batch_id", F.lit(batch_id))
+        for df_, path, suffix in (
+            (good, clean_path, "clean"),
+            (bad, quarantine_path, "bad"),
+        ):
+            table = DeltaliteTable(batch.sparkSession, path)
+            if not table.exists():
+                table.create(df_.limit(0))
+            table.append_idempotent(df_, f"{app_id}.{suffix}", batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -471,3 +471,52 @@ def test_stream_upsert_iceberg_exactly_once(spark, sf_dir, tmp_path):
     assert t.snapshot().count() == 250
     # a NEW txn version still lands
     assert t.txn_watermark("cdc-x") >= 1
+
+
+def test_stream_quarantine_splits_and_replays_exactly_once(
+    spark, tmp_path
+):
+    """Streaming data-quality triage: each micro-batch splits into
+    clean/quarantined deltalite sinks with per-row rule attribution;
+    both sides are independently exactly-once (separate txn app-ids),
+    so a replayed batch no-ops on each."""
+    from featureform_spark.functions.expectations import (
+        in_range,
+        not_null,
+    )
+    from featureform_spark.sources.deltalite import DeltaliteTable
+    from featureform_spark.streaming.incremental import stream_quarantine
+
+    src_dir = tmp_path / "src"
+    rows = [(i, float(i), "u" if i % 10 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double, tag string")
+    df.write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    q = stream_quarantine(
+        stream,
+        [not_null("tag"), in_range("v", 0.0, 49.0)],
+        clean_path=str(tmp_path / "clean"),
+        quarantine_path=str(tmp_path / "bad"),
+        app_id="dq-x",
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    clean = DeltaliteTable(spark, str(tmp_path / "clean")).snapshot()
+    bad = DeltaliteTable(spark, str(tmp_path / "bad")).snapshot()
+    # ids 1..49 except multiples of 10 (null tag) are clean
+    assert clean.count() == sum(
+        1 for i in range(100) if i % 10 and i <= 49
+    )
+    assert bad.count() == 100 - clean.count()
+    viol = {
+        r["id"]: set(r["_violations"]) for r in bad.collect()
+    }
+    assert viol[0] == {"not_null(tag)"}  # v=0.0 is in range
+    assert viol[50] == {"not_null(tag)", "in_range(v)"}
+    assert viol[51] == {"in_range(v)"}
+    assert all(r["_batch_id"] == 0 for r in bad.collect())
+    # replay batch 0 manually: both sides no-op
+    ct = DeltaliteTable(spark, str(tmp_path / "clean"))
+    assert ct.append_idempotent(clean.limit(5), "dq-x.clean", 0) is None
+    assert ct.snapshot().count() == clean.count()  # replay: no new rows
