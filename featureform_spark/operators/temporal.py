@@ -147,3 +147,91 @@ def _trunc_unit(step: str) -> str:
             "minute/hour/day/week/month"
         )
     return unit
+
+
+def funnel(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: for each entity, the first time it
+    completed step 1, then the first step-2 event STRICTLY AFTER that,
+    and so on — the product-analytics staple (signup → activate →
+    purchase). Returns one row per entity with ``step_<i>_ts`` for
+    every step (NULL once the chain breaks), ``steps_completed``, and
+    ``converted`` (made it through all steps).
+
+    ONE shuffle: events group per entity with their (ts, type) structs
+    sorted in-array, and a single ``aggregate`` fold walks them in
+    time order filling the step-timestamp vector — no per-step
+    self-joins, so a 10-step funnel costs the same shuffle as a
+    2-step one. Per-entity history must fit an array (true for
+    user-event workloads; pre-filter to the funnel's event types —
+    done here — to keep it small)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    k = len(steps)
+    tb = tiebreak_col or ts_col
+    evs = (
+        df.where(F.col(type_col).isin(steps))
+        .groupBy(F.col(entity_col).alias("entity"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(tb).alias("tb"),
+                        F.col(type_col).alias("tp"),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.array(
+        *[F.lit(None).cast("timestamp") for _ in range(k)]
+    )
+
+    def _fold(acc, ev):
+        # fill the FIRST unset step whose type matches and whose
+        # predecessor is already set strictly earlier
+        return F.transform(
+            acc,
+            lambda t, i: F.when(t.isNotNull(), t).when(
+                (ev["tp"] == F.element_at(steps_arr, i + 1))
+                & (
+                    (i == 0)
+                    | (
+                        F.element_at(acc, i).isNotNull()
+                        & (ev["ts"] > F.element_at(acc, i))
+                    )
+                )
+                # only the first unset slot may fill on this event:
+                # a type can appear once in `steps`, so i is unique
+                ,
+                ev["ts"],
+            ),
+        )
+
+    folded = evs.select(
+        "entity", F.aggregate(F.col("evs"), init, _fold).alias("t")
+    )
+    cols = [
+        F.element_at("t", i + 1).alias(f"step_{i + 1}_ts")
+        for i in range(k)
+    ]
+    out = folded.select("entity", *cols)
+    completed = F.size(
+        F.filter(
+            F.array(*[F.col(f"step_{i + 1}_ts") for i in range(k)]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return out.withColumn(
+        "steps_completed", completed.cast("int")
+    ).withColumn("converted", F.col(f"step_{k}_ts").isNotNull())

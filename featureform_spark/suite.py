@@ -1307,10 +1307,13 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (incremental_dedup keeps the LSH band
     # machinery in the top-50 via the signature store).
     "gap_fill_hourly",
-    # Round-7 late rotation: Flesch-style readability — never
-    # driver-checked. embedding_topk (green r1-r6) rotates out, stays
-    # pytest-oracle-covered.
-    "readability",
+    # Round-9 late rotation: ordered funnel analysis (one shuffle
+    # regardless of depth: per-entity sorted structs + one aggregate
+    # fold; the oracle's iterative MIN-join form is the semantics
+    # spec) — new this round. readability (green r7-r8) rotates out,
+    # stays pytest-oracle-covered (quality_model keeps trained
+    # text scoring in the top-50).
+    "funnel_conversion",
     # Round-7: the trained-model pipeline composition (quality_model
     # keep -> lang_id_model 'en' -> dedup_substrings). corpus_clean v1
     # (green r1-r6) rotates out, stays pytest-oracle-covered.
@@ -1761,3 +1764,50 @@ def expectations_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report.orderBy("rule")
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    t1 AS (SELECT user_id, MIN(ts) AS s1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS s2 FROM events e
+           JOIN t1 ON t1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.s1
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS s3 FROM events e
+           JOIN t2 ON t2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.s2
+           GROUP BY e.user_id)
+    SELECT u.user_id AS entity,
+           t1.s1 AS step_1_ts, t2.s2 AS step_2_ts, t3.s3 AS step_3_ts,
+           (CASE WHEN t1.s1 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t2.s2 IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN t3.s3 IS NULL THEN 0 ELSE 1 END)::INT
+             AS steps_completed,
+           (t3.s3 IS NOT NULL) AS converted
+    FROM u
+    LEFT JOIN t1 ON t1.user_id = u.user_id
+    LEFT JOIN t2 ON t2.user_id = u.user_id
+    LEFT JOIN t3 ON t3.user_id = u.user_id
+    ORDER BY entity
+    """,
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): first step-1 time,
+    first step-2 STRICTLY after it, first step-3 after that — the
+    product-analytics conversion staple. ONE shuffle regardless of
+    funnel depth: per-entity (ts, type) structs sort in-array and a
+    single aggregate fold fills the step vector (no per-step
+    self-joins — the oracle's iterative MIN-join formulation is the
+    semantics spec, not the plan). Chain breaks leave NULLs;
+    steps_completed is prefix-contiguous by construction."""
+    from featureform_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    ).orderBy("entity")

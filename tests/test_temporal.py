@@ -118,3 +118,47 @@ def test_scd2_single_shuffle_plan(changes):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # both windows share the (uid) partitioning: exactly one exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_ordering_and_chain_breaks(spark):
+    from featureform_spark.operators.temporal import funnel
+
+    rows = [
+        (1, _ts(1), "A"), (1, _ts(2), "B"), (1, _ts(3), "C"),
+        # user 2: B before A — doesn't count; B after A does
+        (2, _ts(1), "B"), (2, _ts(2), "A"), (2, _ts(3), "B"),
+        # user 3: A only
+        (3, _ts(1), "A"),
+        # user 4: same-ts A and B — strict ordering rejects the B
+        (4, _ts(1), "A"), (4, _ts(1), "B"),
+        # user 5: only non-step events — excluded entirely
+        (5, _ts(1), "Z"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, et string")
+    out = {
+        r["entity"]: r
+        for r in funnel(df, "uid", "ts", "et", ["A", "B", "C"]).collect()
+    }
+    assert out[1]["converted"] and out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 2
+    assert out[2]["step_2_ts"].hour == 3  # the pre-A 'B' didn't count
+    assert out[3]["steps_completed"] == 1
+    assert out[4]["steps_completed"] == 1  # same-ts B rejected (strict)
+    assert 5 not in out
+    assert not out[2]["converted"]
+
+
+def test_funnel_single_shuffle_and_validation(spark):
+    from featureform_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [(1, _ts(1), "A"), (1, _ts(2), "B")],
+        "uid long, ts timestamp, et string",
+    )
+    out = funnel(df, "uid", "ts", "et", ["A", "B"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    with pytest.raises(ValueError, match="at least two"):
+        funnel(df, "uid", "ts", "et", ["A"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(df, "uid", "ts", "et", ["A", "A"])
