@@ -87,12 +87,18 @@ def gap_fill(
 
     * ``"locf"`` — last observation carried forward (state series);
     * ``"zero"`` — 0.0 (count/sum series);
-    * ``"null"`` — leave the gap explicit.
+    * ``"null"`` — leave the gap explicit;
+    * ``"linear"`` — interpolate between the surrounding observations
+      (sensor series); edge gaps (before the first / after the last
+      observation) have only one neighbor and stay NULL.
 
     Returns (entity, bucket_start, value, is_filled). The grid is
     generated executor-side with ``sequence()`` over each entity's own
-    span — no driver calendar, no cross-entity blowup."""
-    if how not in ("locf", "zero", "null"):
+    span — no driver calendar, no cross-entity blowup. ``linear``'s
+    forward and backward neighbor scans are two windows over the SAME
+    entity partitioning, sharing one exchange — it costs no more
+    shuffles than single-window ``locf``."""
+    if how not in ("locf", "zero", "null", "linear"):
         raise ValueError(f"unknown fill mode {how!r}")
     bucket = F.date_trunc(
         _trunc_unit(step), F.col(ts_col)
@@ -127,6 +133,35 @@ def gap_fill(
         )
         out = out.withColumn(
             "value", F.last("value", ignorenulls=True).over(w)
+        )
+    elif how == "linear":
+        obs = F.when(
+            F.col("value").isNotNull(),
+            F.struct(
+                F.col("bucket_start").cast("double").alias("t"),
+                F.col("value").cast("double").alias("v"),
+            ),
+        )
+        wb = (
+            Window.partitionBy("entity")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy("entity")
+            .orderBy("bucket_start")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        prev = F.last(obs, ignorenulls=True).over(wb)
+        nxt = F.first(obs, ignorenulls=True).over(wf)
+        t = F.col("bucket_start").cast("double")
+        interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+            (t - prev["t"]) / (nxt["t"] - prev["t"])
+        )
+        out = out.withColumn(
+            "value",
+            F.when(F.col("value").isNotNull(), F.col("value").cast("double"))
+            .when(prev.isNotNull() & nxt.isNotNull(), interp),
         )
     return out.select("entity", "bucket_start", "value", "is_filled")
 

@@ -110,7 +110,32 @@ def test_gap_fill_rejects_multi_unit_steps(spark):
     with pytest.raises(ValueError, match="unsupported gap_fill step"):
         gap_fill(df, "uid", "ts", "v", "6 hours")
     with pytest.raises(ValueError, match="unknown fill"):
-        gap_fill(df, "uid", "ts", "v", "1 hour", how="linear")
+        gap_fill(df, "uid", "ts", "v", "1 hour", how="spline")
+
+
+def test_gap_fill_linear_interpolation(spark):
+    from featureform_spark.operators.temporal import gap_fill
+
+    rows = [(1, _ts(1), 2.0), (1, _ts(4), 8.0), (1, _ts(6), 8.0)]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    out = gap_fill(df, "uid", "ts", "v", "1 hour", how="linear").orderBy(
+        "bucket_start"
+    ).collect()
+    # hours 1..6: observed 2, interp 4, interp 6, observed 8, interp 8, observed 8
+    assert [r["value"] for r in out] == [2.0, 4.0, 6.0, 8.0, 8.0, 8.0]
+    assert [r["is_filled"] for r in out] == [
+        False, True, True, False, True, False
+    ]
+    # the forward and backward neighbor windows share one exchange:
+    # linear costs no more shuffles than the single-window locf
+    def _n_exchanges(how):
+        return (
+            gap_fill(df, "uid", "ts", "v", "1 hour", how=how)
+            ._jdf.queryExecution().executedPlan().toString()
+            .count("Exchange hashpartitioning")
+        )
+
+    assert _n_exchanges("linear") == _n_exchanges("locf")
 
 
 def test_scd2_single_shuffle_plan(changes):
