@@ -4325,6 +4325,48 @@ class DeltaProtocolTable:
         target._commit(0, actions, "CLONE")
         return target
 
+    def fsck_repair(self, dry_run: bool = False) -> dict:
+        """delta-spark's ``FSCK REPAIR TABLE``: drop log entries whose
+        underlying files no longer exist on storage (out-of-band
+        deletion, botched restore) so scans stop failing on missing
+        files. An add is dropped when its DATA file is gone, or when
+        its on-disk deletion-vector blob is gone (keeping the add
+        without its DV would resurrect deleted rows — removing the
+        whole entry is the conservative repair delta-spark performs;
+        inline DVs can't go missing). ``dry_run`` lists without
+        committing. Returns {"missing": [paths], "repaired": bool}.
+
+        O(live files) existence checks, zero data reads; the repair is
+        ONE commit of remove actions."""
+        st = self.state()
+        now = int(time.time() * 1000)
+        missing: list[str] = []
+        for rel, a in sorted(st.adds.items()):
+            abs_p = self._abs_data_path(rel)
+            gone = not os.path.exists(abs_p)
+            if not gone:
+                dv = a.get("deletionVector")
+                if dv and dv.get("storageType") != "i":
+                    loc = self._dv_file_location(dv)
+                    if loc is not None and not os.path.exists(loc[0]):
+                        gone = True
+            if gone:
+                missing.append(rel)
+        if dry_run or not missing:
+            return {"missing": missing, "repaired": False}
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p in missing
+        ]
+        self._commit(st.version + 1, actions, "FSCK")
+        return {"missing": missing, "repaired": True}
+
     def vacuum(self, retain_versions: int = 0) -> dict:
         """Delete data files no longer referenced by any retained
         version: files referenced by the versions within

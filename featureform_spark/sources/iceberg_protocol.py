@@ -2101,6 +2101,8 @@ class IcebergProtocolTable:
                 "file_path string, record_count long,"
                 " file_size_in_bytes long, snapshot_id long",
             )
+        if kind == "position_deletes":
+            return self.position_deletes()
         if kind == "statistics":
             names = {
                 int(f["id"]): f["name"]
@@ -2134,8 +2136,80 @@ class IcebergProtocolTable:
         raise IcebergProtocolError(
             f"unknown metadata table {kind!r} (snapshots, files, "
             "delete_files, manifests, history, refs, partitions, "
-            "entries, all_data_files, all_manifests, statistics)"
+            "entries, all_data_files, all_manifests, statistics, "
+            "position_deletes)"
         )
+
+    def position_deletes(
+        self, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Iceberg's ``t.position_deletes`` table: one row per deleted
+        (data file, position) pair across the snapshot's live position
+        deletes — parquet delete files AND v3 deletion vectors —
+        with the delete file that carries each. Unlike the other
+        inspection tables this one is DATA-scale: parquet deletes read
+        through an ordinary distributed scan (with ``_metadata`` for
+        the carrying path); DV blobs are cardinality-scale and decode
+        on the driver like the scan path does."""
+        md = self.metadata()
+        snap = self._snapshot_by(snapshot_id, md=md)
+        schema = (
+            "file_path string, pos long, delete_file_path string"
+        )
+        if snap is None:
+            return local_df(self.spark, [], schema)
+        _, delete_entries = self._live_entries(snap)
+        pos_entries = [
+            e
+            for e in delete_entries
+            if int(e["data_file"].get("content", 1)) == 1
+        ]
+        parquet_paths = sorted(
+            {
+                self._resolve_path(e["data_file"]["file_path"])
+                for e in pos_entries
+                if not _is_dv_file(e["data_file"])
+            }
+        )
+        parts = []
+        if parquet_paths:
+            parts.append(
+                self.spark.read.parquet(*parquet_paths).select(
+                    F.col("file_path"),
+                    F.col("pos").cast("long").alias("pos"),
+                    F.col("_metadata.file_path").alias(
+                        "delete_file_path"
+                    ),
+                )
+            )
+        dv_rows = []
+        for e in pos_entries:
+            df_ = e["data_file"]
+            if not _is_dv_file(df_):
+                continue
+            from featureform_spark.sources.dv_bitmap import (
+                decode_rbm_array,
+                read_dv_from_file,
+            )
+
+            blob = read_dv_from_file(
+                self._resolve_path(df_["file_path"]),
+                int(df_["content_offset"]),
+                int(df_["content_size_in_bytes"]),
+            )
+            ref = self._resolve_path(df_["referenced_data_file"])
+            own = self._resolve_path(df_["file_path"])
+            dv_rows.extend(
+                (ref, int(p), own) for p in decode_rbm_array(blob)
+            )
+        if dv_rows:
+            parts.append(local_df(self.spark, dv_rows, schema))
+        if not parts:
+            return local_df(self.spark, [], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------ partition stats
 

@@ -1092,3 +1092,47 @@ def test_restore_to_timestamp(spark, sf_dir, tmp_path):
     assert v == 3
     assert t.snapshot().count() == 100
     assert _sorted_rows(t.snapshot()) == _sorted_rows(orders.limit(100))
+
+
+def test_fsck_repair_drops_missing_files(spark, tmp_path):
+    """FSCK REPAIR TABLE: adds whose data file (or on-disk DV blob)
+    vanished out-of-band are dropped from the log in one commit, so
+    scans stop failing; dry_run only reports."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(100)], "id long, s string"
+    )
+    t = DeltaProtocolTable(spark, str(tmp_path / "fsck"))
+    t.create(df.repartition(4))
+    healthy = t.fsck_repair(dry_run=True)
+    assert healthy == {"missing": [], "repaired": False}
+    # delete one data file out-of-band
+    st = t.state()
+    victim = sorted(st.adds)[0]
+    os.remove(t._abs_data_path(victim))
+    rep = t.fsck_repair(dry_run=True)
+    assert rep["missing"] == [victim] and not rep["repaired"]
+    with pytest.raises(Exception):
+        t.snapshot().count()  # scan still broken before repair
+    rep = t.fsck_repair()
+    assert rep["repaired"] and rep["missing"] == [victim]
+    n = t.snapshot().count()
+    assert 0 < n < 100  # survivors still read
+    # DV-blob loss: delete some rows (writes a DV), then remove the blob
+    t2 = DeltaProtocolTable(spark, str(tmp_path / "fsck_dv"))
+    t2.create(df.repartition(2))
+    t2.delete_where(F.col("id") < 5)
+    st2 = t2.state()
+    dv_add = next(
+        (p, a) for p, a in st2.adds.items() if a.get("deletionVector")
+    )
+    loc = t2._dv_file_location(dv_add[1]["deletionVector"])
+    os.remove(loc[0])
+    rep2 = t2.fsck_repair()
+    assert dv_add[0] in rep2["missing"]
+    # dropping the whole entry is conservative: deleted rows must NOT
+    # resurrect
+    assert t2.snapshot().filter(F.col("id") < 5).count() == 0

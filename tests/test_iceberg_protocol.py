@@ -1754,3 +1754,45 @@ def test_snapshot_summary_totals(spark, sf_dir, tmp_path):
     # the delete shows up as delete files
     assert int(s2["total-records"]) == 100
     assert int(s2["total-delete-files"]) >= 1
+
+
+def test_position_deletes_table(spark, sf_dir, tmp_path):
+    """`t.position_deletes`: every (data file, pos) pair a live
+    position delete covers — parquet delete files on a v2 table, DV
+    blobs on a v3 table — each row naming its carrying delete file."""
+    orders = _orders(spark, sf_dir)
+    t = IcebergProtocolTable(spark, str(tmp_path / "pd"))
+    t.create(orders.limit(100).repartition(2))
+    empty = t.position_deletes()
+    assert empty.count() == 0
+    n_del = t.delete_rows(F.col("o_orderkey") % 4 == 0)
+    pd_tbl = t.metadata_table("position_deletes")
+    rows = pd_tbl.collect()
+    deleted = orders.limit(100).filter(
+        F.col("o_orderkey") % 4 == 0
+    ).count()
+    assert len(rows) == deleted
+    assert all(r["pos"] >= 0 for r in rows)
+    assert all(r["delete_file_path"] for r in rows)
+    # the referenced data files are the table's own live files
+    live = {
+        r["file_path"] for r in t.metadata_table("files").collect()
+    }
+    assert {r["file_path"] for r in rows} <= live
+
+
+def test_position_deletes_v3_dv(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(50)], "id long, s string"
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "pdv3"))
+    t.create(df)
+    t.upgrade_format_version(3)
+    t.delete_rows(F.col("id") < 10)
+    rows = t.position_deletes().collect()
+    assert len(rows) == 10
+    assert all(
+        r["delete_file_path"].endswith(".puffin") for r in rows
+    )
