@@ -69,6 +69,18 @@ def matches_regex(col: str, pattern: str) -> Rule:
     )
 
 
+def freshness(col: str, max_age: str) -> Rule:
+    """Recency gate: every row's ``col`` must be within ``max_age``
+    (an INTERVAL string, e.g. "2 days") of now — the most common
+    pipeline check after not_null. Time-dependent by nature: the same
+    table can pass today and fail tomorrow."""
+    return Rule(
+        f"freshness({col})",
+        F.col(col)
+        >= F.current_timestamp() - F.expr(f"INTERVAL {max_age}"),
+    )
+
+
 def custom(name: str, condition: Column) -> Rule:
     return Rule(name, condition)
 

@@ -191,6 +191,7 @@ def funnel(
     type_col: str,
     steps: list[str],
     tiebreak_col: str | None = None,
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered funnel analysis: for each entity, the first time it
     completed step 1, then the first step-2 event STRICTLY AFTER that,
@@ -205,7 +206,14 @@ def funnel(
     self-joins, so a 10-step funnel costs the same shuffle as a
     2-step one. Per-entity history must fit an array (true for
     user-event workloads; pre-filter to the funnel's event types —
-    done here — to keep it small)."""
+    done here — to keep it small).
+
+    ``within`` (an INTERVAL string, e.g. ``"7 days"``) bounds the
+    whole chain: steps past the first only count inside
+    ``step_1_ts + within`` — the standard conversion-window variant.
+    NOTE: with a window, an entity's EARLIEST step-1 event anchors the
+    chain (no backtracking to a later, better-positioned step-1 —
+    same greedy semantics most funnel engines ship)."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
     if len(set(steps)) != len(steps):
@@ -235,6 +243,12 @@ def funnel(
     def _fold(acc, ev):
         # fill the FIRST unset step whose type matches and whose
         # predecessor is already set strictly earlier
+        in_window = (
+            F.lit(True)
+            if within is None
+            else ev["ts"]
+            <= F.element_at(acc, 1) + F.expr(f"INTERVAL {within}")
+        )
         return F.transform(
             acc,
             lambda t, i: F.when(t.isNotNull(), t).when(
@@ -244,6 +258,7 @@ def funnel(
                     | (
                         F.element_at(acc, i).isNotNull()
                         & (ev["ts"] > F.element_at(acc, i))
+                        & in_window
                     )
                 )
                 # only the first unset slot may fill on this event:

@@ -115,3 +115,17 @@ def test_quarantine_rejects_aggregate_rules(messy):
 def test_expect_requires_rules(messy):
     with pytest.raises(ValueError, match="no rules"):
         expect(messy, [])
+
+
+def test_freshness_rule(spark):
+    import datetime
+
+    now = datetime.datetime.now()
+    df = spark.createDataFrame(
+        [(1, now), (2, now - datetime.timedelta(days=30))],
+        "id long, ts timestamp",
+    )
+    from featureform_spark.functions.expectations import expect, freshness
+
+    rep = expect(df, [freshness("ts", "2 days")]).collect()[0]
+    assert rep["violations"] == 1 and not rep["passed"]

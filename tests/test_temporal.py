@@ -187,3 +187,29 @@ def test_funnel_single_shuffle_and_validation(spark):
         funnel(df, "uid", "ts", "et", ["A"])
     with pytest.raises(ValueError, match="distinct"):
         funnel(df, "uid", "ts", "et", ["A", "A"])
+
+
+def test_funnel_conversion_window(spark):
+    from featureform_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1 converts inside 2 hours
+        (1, _ts(1), "A"), (1, _ts(2), "B"),
+        # user 2's B lands 5h after its A: outside the window
+        (2, _ts(1), "A"), (2, _ts(6), "B"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, et string")
+    out = {
+        r["entity"]: r
+        for r in funnel(
+            df, "uid", "ts", "et", ["A", "B"], within="2 hours"
+        ).collect()
+    }
+    assert out[1]["converted"]
+    assert not out[2]["converted"] and out[2]["steps_completed"] == 1
+    # without the window user 2 converts
+    free = {
+        r["entity"]: r
+        for r in funnel(df, "uid", "ts", "et", ["A", "B"]).collect()
+    }
+    assert free[2]["converted"]
