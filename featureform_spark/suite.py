@@ -1332,10 +1332,13 @@ PRIORITY: tuple[str, ...] = (
     # round-6 flagship: iceberg v3 deletion vectors (decontaminate
     # r5-green, stays pytest-oracle-covered)
     "iceberg_v3_dv",
-    # Round-7 late rotation: code-vs-prose routing signals — never
-    # driver-checked. sequence_packing (green r1-r6) rotates out,
-    # stays pytest-oracle-covered.
-    "code_detect",
+    # Round-9 late rotation: statistics-driven join end-to-end (both
+    # sides ANALYZEd Iceberg tables; zero-scan advice must pick
+    # broadcast and the plan must carry BroadcastHashJoin, asserted
+    # in-query) — new this round. code_detect (green r7-r8) rotates
+    # out, stays pytest-oracle-covered (quality_model + lang_id_model
+    # keep trained text scoring in the top-50).
+    "advised_join_revenue",
     # Round-9 rotation (verdict r8 #6): Iceberg REST catalog VIEWS —
     # wire lifecycle (create -> CAS'd redefinition commit -> load) and
     # the loaded representation executes on the engine; the oracle is

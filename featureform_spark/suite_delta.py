@@ -1596,3 +1596,57 @@ def iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("column_name").alias("col_name"), "ndv")
         .orderBy("col_name")
     )
+
+
+@query(
+    "advised_join_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def advised_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-driven join end-to-end: both sides land as Iceberg
+    tables, ANALYZE TABLE writes their NDV sketches, and
+    join_with_stats picks the physical strategy from metadata alone —
+    zero-scan manifest byte profiles choose the broadcast side
+    (customer ≪ orders), per-key NDVs bound the output cardinality,
+    and the executed plan must carry the hint as a BroadcastHashJoin
+    (asserted in-query: a silent fallback to sort-merge would pass the
+    value check while defeating the point). The oracle is the plain
+    join the advice must not change."""
+    from featureform_spark.plans.join_advisor import join_with_stats
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ot = IcebergProtocolTable(spark, _scratch(sf_dir, "adv_orders"))
+    ot.create(orders)
+    ct = IcebergProtocolTable(spark, _scratch(sf_dir, "adv_cust"))
+    ct.create(cust)
+    ot.analyze_table(columns=["o_custkey"])
+    ct.analyze_table(columns=["c_custkey"])
+    joined, advice = join_with_stats(ot, ct, "o_custkey", "c_custkey")
+    assert advice["strategy"] == "broadcast_right", advice
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )
