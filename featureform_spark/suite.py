@@ -1205,10 +1205,12 @@ PRIORITY: tuple[str, ...] = (
     "scd2_intervals",
     "training_set_multi_entity",
     "batch_features",
-    # round-6 late addition: Gopher char-fraction repetition rules.
-    # train_test_split (green r1-r5) rotates out, stays
-    # pytest-oracle-covered.
-    "repetition_signals",
+    # Round-9 late rotation: TPC-H Q3 (3-way dim→fact→fact join with
+    # deterministic top-k; broadcast dim, DECIMAL-exact revenue) — new
+    # this round. repetition_signals (green r6-r8) rotates out, stays
+    # pytest-oracle-covered (text_normalize keeps the text-profile
+    # family in the top-50).
+    "q3_shipping_priority",
     # Round-8 rotation: Unicode NFC normalization (the preprocessing
     # stage before hash dedup; Arrow kernel bit-identical to DuckDB's
     # nfc_normalize) — new this round. transformation_chained (green
@@ -1233,10 +1235,12 @@ PRIORITY: tuple[str, ...] = (
     # planning). rolling_user_spend (green r1-r5) rotates out, stays
     # pytest-oracle-covered.
     "iceberg_partition_evolution",
-    # round-6 late addition: C4-style cross-document boilerplate
-    # removal. quality_sample (green r1-r5) rotates out, stays
-    # pytest-oracle-covered.
-    "cross_doc_line_dedup",
+    # Round-9 late rotation: TPC-H Q18 (HAVING-filtered aggregate
+    # semi-joins back on the fact side — aggregate-before-join with a
+    # broadcast key set) — new this round. cross_doc_line_dedup (green
+    # r6-r8) rotates out, stays pytest-oracle-covered (dedup_substr +
+    # incremental_dedup keep the dedup family in the top-50).
+    "q18_large_orders",
     # Round-9 late rotation: ANALYZE TABLE → Puffin statistics file
     # (apache-datasketches-theta-v1 NDV blobs in the spec's
     # `statistics` metadata field, read back through
@@ -1814,3 +1818,118 @@ def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type",
         ["view", "click", "purchase"],
     ).orderBy("entity")
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the canonical 3-way
+    dim→fact→fact join with a top-k. Catalyst broadcast-joins the
+    filtered customer side and AQE handles the rest; revenue stays
+    DECIMAL until the final cast (exact cross-engine), and the sort
+    carries orderkey as the last tiebreak so the LIMIT boundary is
+    deterministic. TakeOrderedAndProject bounds the result — no global
+    sort materializes."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    SELECT c.c_name AS cname, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY totalprice DESC, orderdate, orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): a HAVING-filtered aggregate
+    feeds back as a semi-join on the fact table — the shape that
+    rewards pushing the GROUP BY before the joins (aggregate once,
+    then join only qualifying orders; never join-then-filter the full
+    fact-fact product). The `big` key set is aggregation-output-sized,
+    so it broadcasts. Deterministic LIMIT via the orderkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_name").alias("cname"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("totalprice"), "orderdate", "orderkey")
+        .limit(100)
+    )
