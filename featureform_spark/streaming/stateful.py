@@ -107,3 +107,98 @@ def streaming_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SCD2_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("state_value", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+)
+
+SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_value", T.StringType()),
+        T.StructField("from_us", T.LongType()),
+    ]
+)
+
+
+def streaming_scd2(
+    stream_df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    attr_col: str,
+    queryName: str = "scd2",
+):
+    """Streaming twin of operators/temporal.scd2 for a single tracked
+    attribute: per-entity state = (current value, valid_from), carried
+    across micro-batches. Each change emits the CLOSED prior interval
+    (valid_to = the change's timestamp, the same half-open chain as
+    batch) plus the new open one, so a downstream MERGE keeps a live
+    SCD2 dimension current as CDC arrives. Within a batch events
+    process in (ts, value) order — the batch operator's tiebreak — so
+    replaying the stream equals the batch computation
+    (test_streaming_scd2_matches_batch pins the parity).
+
+    Scale: applyInPandasWithState keeps one tiny tuple per entity in
+    the state store; emitted rows are change-count-sized, never
+    event-count-sized."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (entity,) = key
+        if state.exists:
+            cur_value, from_us = state.get
+        else:
+            cur_value, from_us = None, None
+
+        rows = []
+        events = []
+        for pdf in pdfs:
+            for t, v in zip(pd.to_datetime(pdf[ts_col]), pdf[attr_col]):
+                events.append((t.value // 1000, v))
+        events.sort(key=lambda e: (e[0], str(e[1])))
+        for t_us, v in events:
+            if v is None or v == cur_value:
+                continue
+            if cur_value is not None:
+                rows.append(
+                    (entity, cur_value,
+                     pd.Timestamp(from_us * 1000),
+                     pd.Timestamp(t_us * 1000), False)
+                )
+            cur_value, from_us = v, t_us
+        state.update((cur_value, from_us))
+        if cur_value is not None:
+            rows.append(
+                (entity, cur_value, pd.Timestamp(from_us * 1000),
+                 None, True)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["entity", "state_value", "valid_from",
+                     "valid_to", "is_current"],
+        )
+
+    grouped = stream_df.select(
+        F.col(entity_col).cast("string").alias("entity"),
+        F.col(ts_col),
+        F.col(attr_col).cast("string").alias(attr_col),
+    ).groupBy("entity")
+    out = grouped.applyInPandasWithState(
+        update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

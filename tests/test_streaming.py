@@ -520,3 +520,57 @@ def test_stream_quarantine_splits_and_replays_exactly_once(
     ct = DeltaliteTable(spark, str(tmp_path / "clean"))
     assert ct.append_idempotent(clean.limit(5), "dq-x.clean", 0) is None
     assert ct.snapshot().count() == clean.count()  # replay: no new rows
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """Streaming SCD2 parity: replaying the stream (two micro-batches,
+    state carried across) produces the same closed intervals as the
+    batch operator over all the data; the open interval stays current."""
+    from datetime import datetime as dt
+
+    from featureform_spark.operators.temporal import scd2
+    from featureform_spark.streaming.stateful import streaming_scd2
+
+    schema = "uid string, ts timestamp, st string"
+    b1 = [("1", dt(2024, 1, 1, 1), "A"), ("1", dt(2024, 1, 1, 2), "A"),
+          ("1", dt(2024, 1, 1, 3), "B"), ("2", dt(2024, 1, 1, 1), "X")]
+    b2 = [("1", dt(2024, 1, 1, 4), "A"), ("2", dt(2024, 1, 1, 5), "X")]
+    src = tmp_path / "scd2src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_scd2(stream, "uid", "ts", "st", queryName=name)
+        q.awaitTermination(120)
+
+    run("scd2_a")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("scd2_b")
+    # fold update-mode emissions: later batch wins per (entity, from)
+    rows = spark.sql(
+        "SELECT * FROM scd2_a UNION ALL SELECT * FROM scd2_b"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest[(r["entity"], r["valid_from"])] = r
+    stream_iv = {
+        (r["entity"], r["state_value"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in latest.values()
+    }
+    batch = scd2(
+        spark.createDataFrame(b1 + b2, schema), ["uid"], "ts", ["st"]
+    ).collect()
+    batch_iv = {
+        (r["uid"], r["st"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in batch
+    }
+    assert stream_iv == batch_iv
+    # user 1: A(1→3), B(3→4), A(4, open); user 2: X(1, open)
+    assert sum(1 for x in stream_iv if x[4]) == 2  # two open intervals
