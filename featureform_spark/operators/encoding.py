@@ -150,6 +150,88 @@ def target_encode(
     )
 
 
+def target_encode_oof(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    id_col: str,
+    n_folds: int = 4,
+    alpha: float = 10.0,
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-protected form ML
+    pipelines must use at training time (a row's own label leaking
+    into its encoding overfits high-cardinality categoricals; the
+    plain :func:`target_encode` is only safe for inference-time
+    encoding of NEW data). Rows hash into ``n_folds`` folds
+    (md5-deterministic, reproducible across runs/engines), and each
+    row's encoding is the smoothed category mean computed from the
+    OTHER folds only:
+
+        enc = (S_cat − s_cat,fold + prior_oof · α)
+              / (N_cat − n_cat,fold + α)
+
+    with ``prior_oof`` the out-of-fold global mean.
+
+    Scale shape: ONE pass aggregates (category, fold) partial sums
+    (map-side combine; output is aggregation-scale, never row-scale),
+    a category-total rollup and the fold-complement arithmetic happen
+    on that tiny frame, and the per-fold encodings broadcast back onto
+    the rows — the fact table shuffles zero times. Label sums stay
+    DECIMAL until one final double expression (+round 6), so the
+    encoding is bit-identical across engines and partitionings.
+
+    Output: (id_col, category_col, fold, target_enc_oof)."""
+    if n_folds < 2:
+        raise ValueError("n_folds must be ≥ 2")
+    dec = F.col(label_col).cast("decimal(38,6)")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % n_folds
+    ).alias("fold")
+    rows = df.select(F.col(id_col), F.col(category_col), dec.alias("_l"), fold)
+    cf = rows.groupBy(category_col, "fold").agg(
+        F.sum("_l").alias("_fs"), F.count(F.lit(1)).alias("_fn")
+    )
+    cat_tot = cf.groupBy(category_col).agg(
+        F.sum("_fs").alias("_cs"), F.sum("_fn").alias("_cn")
+    )
+    g = cf.groupBy("fold").agg(
+        F.sum("_fs").alias("_gs"), F.sum("_fn").alias("_gn")
+    )
+    g_tot = cf.agg(F.sum("_fs").alias("_ts"), F.sum("_fn").alias("_tn"))
+    enc = (
+        cf.join(cat_tot, category_col)
+        .join(g, "fold")
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            category_col,
+            "fold",
+            F.round(
+                (
+                    (F.col("_cs") - F.col("_fs")).cast("double")
+                    + (
+                        (F.col("_ts") - F.col("_gs")).cast("double")
+                        / (F.col("_tn") - F.col("_gn")).cast("double")
+                    )
+                    * F.lit(float(alpha))
+                )
+                / (
+                    (F.col("_cn") - F.col("_fn")).cast("double")
+                    + F.lit(float(alpha))
+                ),
+                6,
+            ).alias("target_enc_oof"),
+        )
+    )
+    return rows.join(
+        F.broadcast(enc), [category_col, "fold"]
+    ).select(id_col, category_col, "fold", "target_enc_oof")
+
+
 def skew_report(
     df: DataFrame, key_col: str, top_k: int = 10
 ) -> DataFrame:

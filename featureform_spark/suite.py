@@ -1291,11 +1291,13 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (iceberg_partition_evolution +
     # iceberg_partitions_meta keep scan planning in the top-50).
     "iceberg_default_values",
-    # Round-7 late rotation: reference label-resolution semantics
-    # (last-write-wins per (entity, ts)) — never driver-checked.
-    # text_stats (green r1-r6) rotates out, stays
-    # pytest-oracle-covered.
-    "label_resolution",
+    # Round-9 late rotation: out-of-fold target encoding (the
+    # leakage-protected training-time encoder; fold-complement
+    # arithmetic on aggregation-scale frames, fact table never
+    # shuffles) — new this round. label_resolution (green r7-r8)
+    # rotates out, stays pytest-oracle-covered
+    # (training_set_label_no_ts keeps label semantics in the top-50).
+    "target_encoding_oof",
     # Round-7: trained char-trigram NB language ID (verdict r6 #4)
     # replaces the marker-heuristic row; lang_id (green r1-r6) stays
     # pytest-oracle-covered.
@@ -1933,3 +1935,55 @@ def q18_large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "orderdate", "orderkey")
         .limit(100)
     )
+
+
+def _md5_hex2_sql(col: str) -> str:
+    d1 = f"(strpos('0123456789abcdef', substr(md5({col}), 1, 1)) - 1)"
+    d2 = f"(strpos('0123456789abcdef', substr(md5({col}), 2, 1)) - 1)"
+    return f"(({d1}) * 16 + ({d2}))"
+
+
+@query(
+    "target_encoding_oof",
+    f"""
+    WITH r AS (SELECT c_custkey, c_mktsegment,
+                      CAST(c_acctbal AS DECIMAL(38,6)) AS l,
+                      {_md5_hex2_sql("CAST(c_custkey AS VARCHAR)")} % 4
+                        AS fold
+               FROM customer),
+    cf AS (SELECT c_mktsegment, fold, SUM(l) AS s, COUNT(*) AS n
+           FROM r GROUP BY c_mktsegment, fold),
+    ct AS (SELECT c_mktsegment, SUM(s) AS cs, SUM(n) AS cn
+           FROM cf GROUP BY c_mktsegment),
+    g AS (SELECT fold, SUM(s) AS gs, SUM(n) AS gn FROM cf GROUP BY fold),
+    gt AS (SELECT SUM(s) AS ts, SUM(n) AS tn FROM cf),
+    enc AS (SELECT cf.c_mktsegment, cf.fold,
+              ROUND(((ct.cs - cf.s)::DOUBLE
+                     + ((gt.ts - g.gs)::DOUBLE
+                        / (gt.tn - g.gn)::DOUBLE) * 10.0)
+                    / ((ct.cn - cf.n)::DOUBLE + 10.0), 6)
+                AS target_enc_oof
+            FROM cf
+            JOIN ct ON ct.c_mktsegment = cf.c_mktsegment
+            JOIN g ON g.fold = cf.fold
+            CROSS JOIN gt)
+    SELECT r.c_custkey, r.c_mktsegment, r.fold, enc.target_enc_oof
+    FROM r JOIN enc ON enc.c_mktsegment = r.c_mktsegment
+                   AND enc.fold = r.fold
+    ORDER BY r.c_custkey
+    """,
+)
+def target_encoding_oof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (the leakage-protected training-time
+    form): each customer's segment encoding is the smoothed mean
+    account balance computed from the OTHER md5-assigned folds only.
+    One aggregation pass at (category, fold) scale; the per-fold
+    encodings broadcast back onto the rows, so the fact table never
+    shuffles. Decimal sums until one final double expression — the
+    oracle reproduces the encoding bit-for-bit."""
+    from featureform_spark.operators.encoding import target_encode_oof
+
+    cust = load_table(spark, sf_dir, "customer")
+    return target_encode_oof(
+        cust, "c_mktsegment", "c_acctbal", "c_custkey", n_folds=4
+    ).orderBy("c_custkey")

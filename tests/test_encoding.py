@@ -1,4 +1,5 @@
 """Feature encoders: binning, target encoding, skew report."""
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -67,3 +68,49 @@ def test_skew_report_flags_hot_key(spark):
     assert abs(out[0]["share"] - 0.9) < 1e-6
     # 11 distinct keys, uniform would be 100/11 rows: ratio = 90/(100/11)
     assert abs(out[0]["hot_ratio"] - 90 / (100 / 11)) < 1e-4
+
+
+def test_target_encode_oof_no_leakage(spark):
+    """Out-of-fold encoding: a row's own label must not influence its
+    encoding. With one extreme-label row, that row's OWN encoding
+    stays at the other-folds mean, while same-category rows in OTHER
+    folds absorb the spike."""
+    from featureform_spark.operators.encoding import target_encode_oof
+
+    rows = [(i, "seg", 10.0) for i in range(40)]
+    rows.append((999, "seg", 100000.0))  # the outlier
+    df = spark.createDataFrame(rows, "id long, cat string, label double")
+    out = {
+        r["id"]: r["target_enc_oof"]
+        for r in target_encode_oof(
+            df, "cat", "label", "id", n_folds=4, alpha=0.0001
+        ).collect()
+    }
+    # rows sharing the outlier's fold exclude it like the outlier does;
+    # rows in OTHER folds include it — their encodings must exceed the
+    # outlier's own (which is ~10, the clean mean)
+    assert out[999] < 15.0
+    assert max(out.values()) > 1000.0
+    # determinism: md5 folds are stable across runs
+    again = {
+        r["id"]: r["target_enc_oof"]
+        for r in target_encode_oof(
+            df, "cat", "label", "id", n_folds=4, alpha=0.0001
+        ).collect()
+    }
+    assert out == again
+
+
+def test_target_encode_oof_fact_never_shuffles(spark):
+    from featureform_spark.operators.encoding import target_encode_oof
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(100)],
+        "id long, cat string, label double",
+    )
+    out = target_encode_oof(df, "cat", "label", "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the row-side join is broadcast: no exchange keyed on the fact rows
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="n_folds"):
+        target_encode_oof(df, "cat", "label", "id", n_folds=1)
