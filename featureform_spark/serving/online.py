@@ -26,17 +26,39 @@ DEFAULT_ROWS_PER_CHUNK = 100_000  # reference provider/offline.go:46
 class InMemoryOnlineStore:
     """V1: entity → value tables, with V3 batched multi-feature serve."""
 
-    def __init__(self):
+    def __init__(self, clock=None):
         self._tables: dict[str, dict[Any, Any]] = {}
         self._timestamps: dict[str, dict[Any, Any]] = {}
+        self._expiry: dict[str, dict[Any, float]] = {}
         self._vectors: dict[str, DataFrame] = {}
         self._ann: dict[str, Any] = {}  # name -> IvfPqIndex | HnswIndex | ShardedHnsw
         self._frozen: set[str] = set()  # immutable vector spaces
+        # injectable clock so TTL tests don't sleep; real KV stores
+        # (Redis EXPIRE, Dynamo TTL) own this server-side
+        import time as _time
+
+        self._clock = clock or _time.monotonic
 
     # -- table plane ---------------------------------------------------------
 
-    def set(self, table: str, entity: Any, value: Any) -> None:
+    def set(
+        self,
+        table: str,
+        entity: Any,
+        value: Any,
+        ttl_seconds: float | None = None,
+    ) -> None:
+        """``ttl_seconds`` mirrors Redis EXPIRE / DynamoDB TTL: the
+        value reads as a miss once the deadline passes (lazy expiry —
+        the entry reaps on its next read, the standard KV semantics; a
+        background sweeper is the store's concern, not the client's).
+        A re-set without a TTL clears any prior deadline."""
         self._tables.setdefault(table, {})[entity] = value
+        exp = self._expiry.setdefault(table, {})
+        if ttl_seconds is not None:
+            exp[entity] = self._clock() + float(ttl_seconds)
+        else:
+            exp.pop(entity, None)
 
     def ensure_table(self, table: str) -> None:
         """Create the table if absent (an empty deploy still serves
@@ -53,6 +75,12 @@ class InMemoryOnlineStore:
             ts_table[entity] = ts
 
     def get(self, table: str, entity: Any) -> Any:
+        deadline = self._expiry.get(table, {}).get(entity)
+        if deadline is not None and self._clock() >= deadline:
+            self._tables[table].pop(entity, None)
+            self._expiry[table].pop(entity, None)
+            self._timestamps.get(table, {}).pop(entity, None)
+            return None
         return self._tables[table].get(entity)
 
     def serve_features(self, tables: list[str], entity: Any) -> list[Any]:

@@ -1402,7 +1402,13 @@ PRIORITY: tuple[str, ...] = (
     # (iceberg_bucket_pruning, upsample_epochs) remain
     # pytest-oracle-covered.
     "delta_uniform_v3",
-    "iceberg_changelog",
+    # Round-9 late rotation: half-life-decayed engagement features
+    # (fixed-point binary weights — integer/decimal sums end-to-end,
+    # one groupBy; the recsys/fraud freshness signal) — new this
+    # round. iceberg_changelog (green r7-r8) rotates out, stays
+    # pytest-oracle-covered (delta_cdf_incremental keeps the CDC-read
+    # family in the top-50).
+    "decayed_engagement",
     "embedding_ivfpq_topk",
     # Round-7: true ExactSubstr dedup (rolling shingles catch
     # boundary-straddling duplicates dedup_blocks misses; verdict r6
@@ -1987,3 +1993,38 @@ def target_encoding_oof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encode_oof(
         cust, "c_mktsegment", "c_acctbal", "c_custkey", n_folds=4
     ).orderBy("c_custkey")
+
+
+@query(
+    "decayed_engagement",
+    """
+    WITH a AS (SELECT user_id AS entity,
+                      CAST(value AS DECIMAL(18,6)) AS v,
+                      (date_diff('day', CAST(ts AS DATE),
+                                 DATE '2024-02-01') // 2) AS k
+               FROM events
+               WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'),
+    f AS (SELECT entity, v, (1099511627776 >> k) AS w FROM a
+          WHERE k <= 39)
+    SELECT entity,
+           CAST(SUM(w) AS DOUBLE) / 1099511627776.0 AS decayed_count,
+           CAST(SUM(v * w) AS DOUBLE) / 1099511627776.0 AS decayed_sum
+    FROM f GROUP BY entity ORDER BY entity
+    """,
+)
+def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement features (recent activity counts
+    more — the recsys/fraud freshness signal): weight = 2^(-age/2d),
+    age quantized to whole half-lives so the weight is the exact
+    binary fraction SCALE >> k in FIXED POINT — integer/decimal sums
+    end-to-end (associative, order-free) with ONE double division per
+    output, so the oracle hash-matches bit-for-bit. One partial-agg
+    groupBy on the entity key; the weight is a per-row codegen
+    expression, no window, no sort."""
+    from featureform_spark.operators.decay import decayed_features
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_features(
+        ev, "user_id", "ts", "value",
+        as_of="2024-02-01", half_life_days=2,
+    ).orderBy("entity")
