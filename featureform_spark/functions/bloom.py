@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _KEY2 = "ffsparkbloomhsh2"  # exactly 16 bytes: pandas hash_key requirement
+_MAGIC = b"FBL1"
+_HEADER = 16  # magic(4) + k(uint32 LE) + m_bits(uint64 LE)
 
 
 def optimal_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
@@ -90,8 +92,12 @@ def build_ngram_bloom(
     m_bits: int = 1 << 23,
     k: int = 7,
 ) -> bytes:
-    """One distributed pass → packed Bloom bytes (m_bits/8 long).
-    Per-partition bit arrays OR-fold on the driver; union is exact."""
+    """One distributed pass → header + packed Bloom bytes. The 16-byte
+    header carries (k, m_bits) so probes can NEVER run with mismatched
+    parameters — a probe k larger than the build k would test bits
+    that were never set and fabricate false negatives, breaking the
+    filter's one guarantee. Per-partition bit arrays OR-fold on the
+    driver; union is exact."""
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
     _n, _m, _k, _t = n, m_bits, k, text_col
@@ -115,13 +121,34 @@ def build_ngram_bloom(
     acc = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in parts:
         acc |= np.frombuffer(bytes(r["b"]), dtype=np.uint8)
-    return acc.tobytes()
+    import struct
+
+    return (
+        _MAGIC
+        + struct.pack("<IQ", k, m_bits)
+        + acc.tobytes()
+    )
 
 
-def may_contain(bloom: bytes, values: list[str], k: int = 7) -> list[bool]:
-    """Driver-side membership probes (no false negatives)."""
-    bits = np.frombuffer(bloom, dtype=np.uint8)
-    m_bits = len(bits) * 8
+def _parse_bloom(bloom: bytes) -> tuple[np.ndarray, int, int]:
+    import struct
+
+    if len(bloom) < _HEADER or bloom[:4] != _MAGIC:
+        raise ValueError(
+            "not a bloom filter blob (missing FBL1 header) — filters "
+            "built before the header was added must be rebuilt"
+        )
+    k, m_bits = struct.unpack("<IQ", bloom[4:_HEADER])
+    bits = np.frombuffer(bloom, dtype=np.uint8, offset=_HEADER)
+    if len(bits) * 8 != m_bits:
+        raise ValueError("bloom filter header/body length mismatch")
+    return bits, int(m_bits), int(k)
+
+
+def may_contain(bloom: bytes, values: list[str]) -> list[bool]:
+    """Driver-side membership probes (no false negatives). (k, m_bits)
+    come from the blob's own header — they cannot be mis-specified."""
+    bits, m_bits, k = _parse_bloom(bloom)
     out = []
     for v in values:
         pos = _bit_positions([v], m_bits, k)
@@ -135,23 +162,22 @@ def score_membership(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
-    k: int = 7,
 ) -> DataFrame:
     """Per document: distinct n-gram count, how many the filter may
     contain, and the hit fraction — ONE projection, the filter
     broadcast once per executor. ``hit_frac == 0`` is a PROOF of
     novelty (no false negatives); high fractions flag memorization /
     contamination candidates for exact re-checking."""
+    _parse_bloom(bloom)  # validate header before shipping it out
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bloom)
-    _n, _k, _t, _i = n, k, text_col, id_col
+    _n, _t, _i = n, text_col, id_col
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _score(batches):
         import pandas as pd
 
-        bits = np.frombuffer(bc.value, dtype=np.uint8)
-        m_bits = len(bits) * 8
+        bits, m_bits, _k = _parse_bloom(bc.value)
         for pdf in batches:
             rows = []
             for did, lst in zip(

@@ -104,9 +104,15 @@ def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 ).alias(f"_v{i}")
             )
         else:
+            # coalesce: sum() over ZERO rows is NULL, and a NULL
+            # violation count reads as a failure in enforce() — an
+            # empty table passes every predicate rule vacuously
             aggs.append(
-                F.sum(
-                    F.when(r.condition, F.lit(0)).otherwise(F.lit(1))
+                F.coalesce(
+                    F.sum(
+                        F.when(r.condition, F.lit(0)).otherwise(F.lit(1))
+                    ),
+                    F.lit(0),
                 ).alias(f"_v{i}")
             )
     one = df.agg(*aggs)
@@ -152,8 +158,12 @@ def quarantine(
 ) -> tuple[DataFrame, DataFrame]:
     """Row-level triage in one projection: returns (clean, quarantined)
     where quarantined rows carry ``_violations`` (the array of rule
-    names the row fails). Uniqueness rules are aggregate-level and
-    cannot mark individual rows — passing one here raises."""
+    names the row fails). Both sides share one (uncached) plan —
+    materializing both re-reads the input; callers that consume both
+    (e.g. the streaming quarantine sink) should pin the input first
+    (``localCheckpoint``), which ``stream_quarantine`` does.
+    Uniqueness rules are aggregate-level and cannot mark individual
+    rows — passing one here raises."""
     for r in rules:
         if r.distinct_on is not None:
             raise ValueError(

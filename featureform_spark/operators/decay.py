@@ -57,6 +57,27 @@ def decayed_features(
             f"max_age_halflives must be in [1, {DECAY_SCALE_BITS - 1}]"
         )
     anchor = F.lit(as_of).cast("timestamp")
+    if smooth:
+        # exact exponential decay on the true age — float path,
+        # computed from the raw timestamps; the SAME age cutoff
+        # applies (both modes must agree on which events are in scope)
+        age_hl = (
+            F.unix_timestamp(anchor) - F.unix_timestamp(F.col(ts_col))
+        ).cast("double") / F.lit(float(half_life_days * 86400))
+        aged_s = (
+            df.where(F.col(ts_col) <= anchor)
+            .select(
+                F.col(entity_col).alias("entity"),
+                F.col(value_col).cast("double").alias("_v"),
+                F.pow(F.lit(2.0), -age_hl).alias("_w"),
+                age_hl.alias("_a"),
+            )
+            .where(F.col("_a") <= float(max_age_halflives))
+        )
+        return aged_s.groupBy("entity").agg(
+            F.sum("_w").alias("decayed_count"),
+            F.sum(F.col("_v") * F.col("_w")).alias("decayed_sum"),
+        )
     # decimal(18,6) values x decimal(18,0) weights -> decimal(37,6)
     # products: inside Spark's 38-digit cap, so the multiply is EXACT
     # (a 38,6x38,6 product would trigger precision-loss rounding)
@@ -70,27 +91,6 @@ def decayed_features(
         .cast("long")
         .alias("_k"),
     ).where(F.col("_k") <= max_age_halflives)
-    if smooth:
-        # exact exponential decay on the true age — float path,
-        # computed from the raw timestamps
-        aged_s = df.where(F.col(ts_col) <= anchor).select(
-            F.col(entity_col).alias("entity"),
-            F.col(value_col).cast("double").alias("_v"),
-            F.pow(
-                F.lit(2.0),
-                -(
-                    (
-                        F.unix_timestamp(anchor)
-                        - F.unix_timestamp(F.col(ts_col))
-                    ).cast("double")
-                    / F.lit(float(half_life_days * 86400))
-                ),
-            ).alias("_w"),
-        )
-        return aged_s.groupBy("entity").agg(
-            F.sum("_w").alias("decayed_count"),
-            F.sum(F.col("_v") * F.col("_w")).alias("decayed_sum"),
-        )
     # weight = SCALE >> k: an exact long; sums accumulate as DECIMAL so
     # a hot entity (billions of events x 2^40) can't wrap a long.
     # (expr form: the pyspark shiftright wrapper takes only a literal

@@ -203,9 +203,18 @@ def target_encode_oof(
         F.sum("_fs").alias("_gs"), F.sum("_fn").alias("_gn")
     )
     g_tot = cf.agg(F.sum("_fs").alias("_ts"), F.sum("_fn").alias("_tn"))
+    # null-safe intermediate joins: groupBy made NULL categories (and
+    # the NULL fold of NULL ids) their own groups, so equi-joins here
+    # would drop exactly those groups before the row join ever runs
+    ct2 = cat_tot.select(
+        F.col(category_col).alias("_tcat"), "_cs", "_cn"
+    )
+    g2 = g.select(F.col("fold").alias("_tfold"), "_gs", "_gn")
     enc = (
-        cf.join(cat_tot, category_col)
-        .join(g, "fold")
+        cf.join(
+            ct2, F.col(category_col).eqNullSafe(F.col("_tcat"))
+        )
+        .join(g2, F.col("fold").eqNullSafe(F.col("_tfold")))
         .crossJoin(F.broadcast(g_tot))
         .select(
             category_col,
@@ -227,8 +236,22 @@ def target_encode_oof(
             ).alias("target_enc_oof"),
         )
     )
+    # null-safe join: groupBy made NULL categories (and the NULL fold
+    # of NULL ids) their own aggregation groups, so an equi-join here
+    # would silently DROP those rows from the training output; <=>
+    # keeps every input row and gives NULL keys their own encoding
+    # level, matching the aggregation's semantics
+    renc = F.broadcast(
+        enc.select(
+            F.col(category_col).alias("_ecat"),
+            F.col("fold").alias("_efold"),
+            "target_enc_oof",
+        )
+    )
     return rows.join(
-        F.broadcast(enc), [category_col, "fold"]
+        renc,
+        rows[category_col].eqNullSafe(renc["_ecat"])
+        & rows["fold"].eqNullSafe(renc["_efold"]),
     ).select(id_col, category_col, "fold", "target_enc_oof")
 
 

@@ -174,12 +174,19 @@ def _trunc_unit(step: str) -> str:
     buckets the aggregation filled)."""
     parts = step.strip().split()
     unit = parts[-1].lower().rstrip("s")
-    if unit not in ("minute", "hour", "day", "week", "month") or (
-        len(parts) == 2 and parts[0] != "1"
+    # exactly "1 <unit>" (or a bare "<unit>" is rejected too — the
+    # INTERVAL literal below would not parse it): anything looser,
+    # e.g. "1 hour 30 minutes", would truncate buckets to the unit but
+    # stride the grid differently, silently DROPPING observed buckets
+    # that miss the stride
+    if (
+        len(parts) != 2
+        or parts[0] != "1"
+        or unit not in ("minute", "hour", "day", "week", "month")
     ):
         raise ValueError(
-            f"unsupported gap_fill step {step!r} — use 1 "
-            "minute/hour/day/week/month"
+            f"unsupported gap_fill step {step!r} — use '1 "
+            "minute/hour/day/week/month'"
         )
     return unit
 

@@ -65,14 +65,30 @@ class InMemoryOnlineStore:
         misses, not unknown-table errors)."""
         self._tables.setdefault(table, {})
 
-    def set_if_newer(self, table: str, entity: Any, value: Any, ts: Any) -> None:
-        """Upsert that ignores stale writes (out-of-order stream batches)."""
+    def set_if_newer(
+        self,
+        table: str,
+        entity: Any,
+        value: Any,
+        ts: Any,
+        ttl_seconds: float | None = None,
+    ) -> None:
+        """Upsert that ignores stale writes (out-of-order stream
+        batches). A winning write refreshes the TTL deadline — or
+        clears it when no ``ttl_seconds`` is given — exactly like
+        ``set``; leaving a stale deadline in place would reap the
+        FRESH value and serve live data as a miss."""
         t = self._tables.setdefault(table, {})
         ts_table = self._timestamps.setdefault(table, {})
         prev = ts_table.get(entity)
         if prev is None or (ts is not None and ts >= prev):
             t[entity] = value
             ts_table[entity] = ts
+            exp = self._expiry.setdefault(table, {})
+            if ttl_seconds is not None:
+                exp[entity] = self._clock() + float(ttl_seconds)
+            else:
+                exp.pop(entity, None)
 
     def get(self, table: str, entity: Any) -> Any:
         deadline = self._expiry.get(table, {}).get(entity)

@@ -626,6 +626,10 @@ def stream_quarantine(
     from featureform_spark.sources.deltalite import DeltaliteTable
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        # pin the micro-batch: clean and quarantined sides both
+        # materialize, and an unpinned plan would re-read the source
+        # twice per trigger
+        batch = batch.localCheckpoint(eager=True)
         good, bad = quarantine(batch, rules)
         bad = bad.withColumn("_batch_id", F.lit(batch_id))
         for df_, path, suffix in (

@@ -94,16 +94,42 @@ def test_may_contain_driver_probes(spark, corpora):
     ref, _ = corpora
     bloom = build_ngram_bloom(ref, n=4, m_bits=1 << 18, k=7)
     # "ref tokens number 5" is the first 4-gram of ref doc 5
-    assert may_contain(bloom, ["ref tokens number 5"], k=7) == [True]
+    assert may_contain(bloom, ["ref tokens number 5"]) == [True]
     # a miss is near-certain at this sizing (fp ~1e-9); if this ever
     # flakes the hashing is broken, not unlucky
     assert may_contain(
-        bloom, ["definitely not in the reference corpus"], k=7
+        bloom, ["definitely not in the reference corpus"]
     ) == [False]
-    assert np.frombuffer(bloom, dtype=np.uint8).any()
+    assert np.frombuffer(bloom, dtype=np.uint8, offset=16).any()
 
 
 def test_build_rejects_unaligned_bits(spark, corpora):
     ref, _ = corpora
     with pytest.raises(ValueError, match="multiple of 8"):
         build_ngram_bloom(ref, m_bits=1001)
+
+
+def test_bloom_header_prevents_param_mismatch(spark, corpora):
+    """(k, m_bits) ride the blob header: probes can't run with
+    mismatched parameters (a larger probe k would fabricate false
+    negatives), and headerless/corrupt blobs are rejected."""
+    import struct
+
+    from featureform_spark.functions.bloom import _parse_bloom
+
+    ref, tgt = corpora
+    bloom = build_ngram_bloom(ref, n=4, m_bits=1 << 16, k=5)
+    _, m_bits, k = _parse_bloom(bloom)
+    assert (m_bits, k) == (1 << 16, 5)
+    # scoring uses the header k (5), not any default — the verbatim
+    # copy still hits 100%
+    scored = {
+        r["doc_id"]: r
+        for r in score_membership(tgt, bloom, n=4).collect()
+    }
+    assert scored[0]["hit_frac"] == 1.0
+    with pytest.raises(ValueError, match="header"):
+        may_contain(b"rawbitsnoheader" * 4, ["x"])
+    bad = bloom[:4] + struct.pack("<IQ", 5, 8)  # header/body mismatch
+    with pytest.raises(ValueError, match="mismatch"):
+        may_contain(bad + bloom[16:], ["x"])

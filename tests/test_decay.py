@@ -102,3 +102,16 @@ def test_online_store_ttl():
     store.set("f", "a", 4.0)
     clock[0] = 1000.0
     assert store.get("f", "a") == 4.0
+
+
+def test_decay_smooth_honors_cutoff(spark):
+    d = datetime.datetime
+    rows = [(1, d(2024, 1, 9), 4.0),   # 1 day old: in scope
+            (1, d(2020, 1, 1), 9.0)]   # years old: past the cutoff
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    out = decayed_features(
+        df, "uid", "ts", "v", "2024-01-10", 2,
+        smooth=True, max_age_halflives=5,
+    ).collect()[0]
+    # only the fresh event contributes: 2^-0.5 weight
+    assert out["decayed_count"] == pytest.approx(2 ** -0.5)

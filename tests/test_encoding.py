@@ -114,3 +114,19 @@ def test_target_encode_oof_fact_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="n_folds"):
         target_encode_oof(df, "cat", "label", "id", n_folds=1)
+
+
+def test_target_encode_oof_keeps_null_keys(spark):
+    """NULL categories / NULL ids are their own aggregation groups —
+    the null-safe join must keep every input row instead of silently
+    shrinking the training set."""
+    from featureform_spark.operators.encoding import target_encode_oof
+
+    rows = [(1, "a", 1.0), (2, None, 2.0), (None, "a", 3.0),
+            (4, None, 4.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, label double")
+    out = target_encode_oof(df, "cat", "label", "id", n_folds=2)
+    assert out.count() == 4  # zero rows dropped
+    nulls = out.where(out["cat"].isNull()).collect()
+    assert len(nulls) == 2
+    assert all(r["target_enc_oof"] is not None for r in nulls)

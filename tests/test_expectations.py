@@ -129,3 +129,22 @@ def test_freshness_rule(spark):
 
     rep = expect(df, [freshness("ts", "2 days")]).collect()[0]
     assert rep["violations"] == 1 and not rep["passed"]
+
+
+def test_expect_passes_vacuously_on_empty_table(spark):
+    """Zero rows: every predicate rule passes with 0 violations (a
+    NULL sum must not read as a failure in the publish gate)."""
+    from featureform_spark.functions.expectations import (
+        enforce,
+        expect,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    empty = spark.createDataFrame([], "id long, s string")
+    rep = expect(
+        empty, [not_null("s"), unique("id"), in_range("id", 0, 9)]
+    ).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rep)
+    enforce(empty, [not_null("s")])  # silent

@@ -78,3 +78,29 @@ def test_conf_for_scale_sizing():
     # test scale: collapses to the core floor, never the 200 default
     small = conf_for_scale(10 * 1024**2, executor_cores=4, num_executors=1)
     assert int(small["spark.sql.shuffle.partitions"]) == 8
+
+
+def test_set_if_newer_refreshes_ttl():
+    """A winning streaming upsert must refresh/clear the TTL deadline;
+    a stale deadline would reap the FRESH value."""
+    from featureform_spark.serving.online import InMemoryOnlineStore
+
+    clock = [0.0]
+    store = InMemoryOnlineStore(clock=lambda: clock[0])
+    store.set("f", "a", 1.0, ttl_seconds=5)
+    store.set_if_newer("f", "a", 2.0, ts=10)  # newer write, no TTL
+    clock[0] = 100.0
+    assert store.get("f", "a") == 2.0  # old deadline cleared
+    store.set_if_newer("f", "a", 3.0, ts=20, ttl_seconds=5)
+    clock[0] = 104.0
+    assert store.get("f", "a") == 3.0
+    clock[0] = 105.0
+    assert store.get("f", "a") is None  # refreshed deadline honored
+    # a STALE write must not touch value or deadline (the baseline
+    # must carry a timestamp — plain set() records none, and a
+    # ts-less entry accepts any writer, the documented upsert rule)
+    store.set_if_newer("f", "b", 1.0, ts=10, ttl_seconds=50)
+    store.set_if_newer("f", "b", 0.5, ts=5)  # stale: ignored
+    store.set_if_newer("f", "b", 9.9, ts=None)  # no ts: stale too
+    clock[0] = 140.0
+    assert store.get("f", "b") == 1.0
