@@ -2542,7 +2542,14 @@ class IcebergProtocolTable:
         # writer appended meanwhile (the hazard every other commit path
         # here guards with expect_version).
         for _ in range(20):
-            cur = self.metadata()
+            # read + pin in one step: computing the commit version any
+            # later than the fold would let a concurrent commit slip
+            # through the CAS (TOCTOU)
+            mfiles = self._metadata_files()
+            cur_version, mname = mfiles[-1]
+            cur = self.metadata(
+                os.path.join(self.metadata_path, mname)
+            )
             if not any(
                 int(s["snapshot-id"]) == sid
                 for s in (cur.get("snapshots") or [])
@@ -2564,9 +2571,8 @@ class IcebergProtocolTable:
                 if int(e["snapshot-id"]) != sid
             ] + [entry]
             new_md["last-updated-ms"] = int(time.time() * 1000)
-            version = max(v for v, _ in self._metadata_files()) + 1
             try:
-                self._commit_metadata(new_md, version)
+                self._commit_metadata(new_md, cur_version + 1)
             except FileExistsError:
                 continue  # lost the race: refold onto the winner's md
             # the replaced entry's puffin file is unreachable once the
@@ -4691,47 +4697,85 @@ class IcebergProtocolTable:
                     )
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
-        seq = int(md.get("last-sequence-number", 0)) + 1
-        snap_prev = self._branch_head(md, branch)
-        if snap_prev is None and branch != "main":
-            # new branch forks from main's head
-            snap_prev = self.current_snapshot(md)
-        prev_manifests = []
-        if snap_prev is not None:
-            _, prev_manifests = read_container(
-                self._resolve_path(snap_prev["manifest-list"])
-            )
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        # data files are metadata-independent: write them ONCE, then
+        # commit through a CAS retry loop that refolds FRESH metadata.
+        # Without the pin, an append that read metadata at version N
+        # and committed at N+2 would silently clobber whatever landed
+        # at N+1 (a concurrent append's data, an analyze_table's
+        # statistics entry, a ref move) — the stale-fold hazard every
+        # other multi-writer path here already guards.
         df = self._fill_write_defaults(df, ice_schema)
         files = self._write_data_files(df, ice_schema, spec_fields)
-        entries = [
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": r,
-            }
-            for r in files
-        ]
-        lineage = self._assign_first_row_ids(md, entries)
-        manifest = self._write_manifest(
-            entries, ice_schema, spec_fields, md.get("default-spec-id", 0),
-            snapshot_id, seq,
-        )
-        if lineage is not None:
-            manifest["first_row_id"] = lineage[0]
-        sid = self._advance(
-            md, prev_manifests + [manifest], "append", len(files),
-            sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
-            branch=branch,
-            lineage=lineage,
-            stage_only=wap_id is not None,
-            parent_snapshot_id=(
-                snap_prev["snapshot-id"] if snap_prev is not None else None
-            ),
-            extra_summary={"wap.id": wap_id} if wap_id is not None else None,
-        )
+        sid = None
+        for attempt in range(20):
+            # read the metadata AND pin its version in one step: an
+            # expect recomputed later than the fold would let a commit
+            # landing in between slip through the CAS (TOCTOU)
+            mfiles = self._metadata_files()
+            expect, mname = mfiles[-1]
+            md = self.metadata(
+                os.path.join(self.metadata_path, mname)
+            )
+            if attempt and self.schema(md) != ice_schema:
+                raise IcebergProtocolError(
+                    "append lost a commit race to a concurrent "
+                    "schema change — staged files were written "
+                    "under the old schema; retry the append"
+                )
+            seq = int(md.get("last-sequence-number", 0)) + 1
+            snap_prev = self._branch_head(md, branch)
+            if snap_prev is None and branch != "main":
+                # new branch forks from main's head
+                snap_prev = self.current_snapshot(md)
+            prev_manifests = []
+            if snap_prev is not None:
+                _, prev_manifests = read_container(
+                    self._resolve_path(snap_prev["manifest-list"])
+                )
+            entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": r,
+                }
+                for r in files
+            ]
+            lineage = self._assign_first_row_ids(md, entries)
+            manifest = self._write_manifest(
+                entries, ice_schema, spec_fields,
+                md.get("default-spec-id", 0),
+                snapshot_id, seq,
+            )
+            if lineage is not None:
+                manifest["first_row_id"] = lineage[0]
+            try:
+                sid = self._advance(
+                    md, prev_manifests + [manifest], "append", len(files),
+                    sum(f["record_count"] for f in files),
+                    snapshot_id=snapshot_id,
+                    expect_version=expect,
+                    branch=branch,
+                    lineage=lineage,
+                    stage_only=wap_id is not None,
+                    parent_snapshot_id=(
+                        snap_prev["snapshot-id"]
+                        if snap_prev is not None
+                        else None
+                    ),
+                    extra_summary=(
+                        {"wap.id": wap_id} if wap_id is not None else None
+                    ),
+                )
+                break
+            except FileExistsError:
+                continue  # lost the CAS: refold on the winner's metadata
+        if sid is None:
+            raise IcebergProtocolError(
+                "append lost the metadata commit race 20 times"
+            )
         # commit.manifest-merge.enabled + min-count-to-merge: when a
         # long append chain has accumulated enough manifests, fold them
         # as a follow-on 'replace' commit (real Iceberg merges during

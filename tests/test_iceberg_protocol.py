@@ -1796,3 +1796,41 @@ def test_position_deletes_v3_dv(spark, tmp_path):
     assert all(
         r["delete_file_path"].endswith(".puffin") for r in rows
     )
+
+
+def test_concurrent_plain_appends_both_survive(spark, tmp_path):
+    """Two plain append() calls racing through the metadata CAS: the
+    loser refolds on the winner's metadata, so BOTH snapshots land and
+    no rows vanish (the stale-fold hazard: an append that read v N and
+    committed at N+2 used to clobber whatever landed at N+1)."""
+    import threading
+
+    t = IcebergProtocolTable(spark, str(tmp_path / "cas"))
+    t.create(
+        spark.createDataFrame([(0, "base")], "id long, s string")
+    )
+    errs = []
+
+    def appender(lo):
+        try:
+            df = spark.createDataFrame(
+                [(i, f"w{lo}") for i in range(lo, lo + 50)],
+                "id long, s string",
+            )
+            for chunk in range(2):
+                t.append(df.filter(F.col("id") % 2 == chunk))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(lo,))
+        for lo in (100, 200, 300)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+    assert t.snapshot().count() == 1 + 3 * 50
+    # every appended snapshot is in the log: 1 create + 6 appends
+    assert len(t.metadata()["snapshots"]) == 7
