@@ -2242,7 +2242,7 @@ class IcebergProtocolTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         snap = self._snapshot_by(snapshot_id, md=md)
         if snap is None:
             raise IcebergProtocolError("table has no snapshot")
@@ -2348,7 +2348,6 @@ class IcebergProtocolTable:
         )
         target = os.path.join(self.path, rel)
         pq.write_table(pa.table(cols), target)
-        version = max(v for v, _ in self._metadata_files()) + 1
         md = dict(md)
         md["partition-statistics"] = [
             e
@@ -2362,7 +2361,9 @@ class IcebergProtocolTable:
             }
         ]
         md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md, version)
+        self._commit_metadata_cas(
+            md, pinned, "compute_partition_statistics"
+        )
         return target
 
     def partition_statistics(
@@ -2681,11 +2682,10 @@ class IcebergProtocolTable:
         'branch'. Defaults to the current snapshot."""
         if kind not in ("tag", "branch"):
             raise IcebergProtocolError(f"ref kind {kind!r} invalid")
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         snap = self._snapshot_by(snapshot_id, md=md)
         if snap is None:
             raise IcebergProtocolError("no snapshot to reference")
-        version = max(v for v, _ in self._metadata_files()) + 1
         md = dict(md)
         refs = dict(md.get("refs") or {})
         refs[name] = {
@@ -2694,7 +2694,7 @@ class IcebergProtocolTable:
         }
         md["refs"] = refs
         md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md, version)
+        self._commit_metadata_cas(md, pinned, "create_ref")
         return snap["snapshot-id"]
 
     def snapshot_ref(self, name: str) -> DataFrame:
@@ -2786,7 +2786,7 @@ class IcebergProtocolTable:
         millis, Iceberg's expireOlderThan): snapshots at or after the
         cutoff ALSO survive — only history older than the cutoff is
         eligible. Returns {"expired", "files_deleted"}."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         snaps = self.snapshots(md)
         if len(snaps) <= retain_last:
             return {"expired": 0, "files_deleted": 0}
@@ -2877,7 +2877,6 @@ class IcebergProtocolTable:
             if os.path.exists(p):
                 os.remove(p)
                 deleted += 1
-        version = max(v for v, _ in self._metadata_files()) + 1
         keep_ids = {s["snapshot-id"] for s in keep_snaps}
         md = dict(md)
         # exactly-once txn watermarks ride snapshot summaries
@@ -2919,7 +2918,7 @@ class IcebergProtocolTable:
                     deleted += 1
             md[key] = kept_entries
         md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md, version)
+        self._commit_metadata_cas(md, pinned, "expire_snapshots")
         return {"expired": len(expired), "files_deleted": deleted}
 
     def rewrite_manifests(self) -> int:
@@ -4214,6 +4213,35 @@ class IcebergProtocolTable:
         self._commit_metadata(md2, v)
         return new_id
 
+    def _pinned_metadata(self) -> tuple[dict, int]:
+        """(metadata dict, its version) read in ONE step — the fold
+        input for CAS commits at version+1. Computing the commit
+        version any later than the metadata read lets a concurrent
+        commit slip between them and be silently clobbered (TOCTOU);
+        with the pin, the loser's O_EXCL commit fails loudly instead
+        and the caller can refold or re-run."""
+        files = self._metadata_files()
+        if not files:
+            raise IcebergProtocolError(f"not an iceberg table: {self.path}")
+        version, name = files[-1]
+        return (
+            self.metadata(os.path.join(self.metadata_path, name)),
+            version,
+        )
+
+    def _commit_metadata_cas(
+        self, md: dict, pinned_version: int, op: str
+    ) -> None:
+        """Commit at pinned_version+1, translating a lost race into a
+        clear retryable error instead of a raw FileExistsError."""
+        try:
+            self._commit_metadata(md, pinned_version + 1)
+        except FileExistsError:
+            raise IcebergProtocolError(
+                f"{op} lost a concurrent commit race — re-run it "
+                "on fresh metadata"
+            ) from None
+
     def _commit_metadata(self, md: dict, version: int) -> None:
         target = os.path.join(
             self.metadata_path, f"v{version}.metadata.json"
@@ -4509,7 +4537,7 @@ class IcebergProtocolTable:
         serialization; only new columns may receive one
         (initial-default is immutable after the field exists).
         """
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         defaults = dict(defaults or {})
         if defaults and int(md.get("format-version", 1)) < 3:
             raise UnsupportedIcebergFeatureError(
@@ -4588,7 +4616,6 @@ class IcebergProtocolTable:
             )
         new_id = max(s.get("schema-id", 0) for s in md["schemas"]) + 1
         entry = {"type": "struct", "schema-id": new_id, "fields": fields}
-        version = max(v for v, _ in self._metadata_files()) + 1
         md = dict(md)
         md["schemas"] = md["schemas"] + [entry]
         md["current-schema-id"] = new_id
@@ -4599,7 +4626,7 @@ class IcebergProtocolTable:
         props = dict(md.get("properties") or {})
         props["schema.name-mapping.default"] = self._name_mapping(entry)
         md["properties"] = props
-        self._commit_metadata(md, version)
+        self._commit_metadata_cas(md, pinned, "evolve_schema")
         return new_id
 
     def _assign_first_row_ids(
@@ -4895,7 +4922,7 @@ class IcebergProtocolTable:
         until expire_snapshots). The Delta mirror is RESTORE, which
         must re-commit add/remove actions; Iceberg's snapshot pointer
         makes rollback one metadata CAS."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         target = self._snapshot_by(snapshot_id, md=md)
         if target is None:
             raise IcebergProtocolError(
@@ -4911,7 +4938,6 @@ class IcebergProtocolTable:
                 "for non-linear moves"
             )
         now = int(time.time() * 1000)
-        version = max(v for v, _ in self._metadata_files()) + 1
         md = dict(md)
         refs = dict(md.get("refs") or {})
         refs["main"] = {"snapshot-id": int(snapshot_id), "type": "branch"}
@@ -4921,7 +4947,7 @@ class IcebergProtocolTable:
             {"timestamp-ms": now, "snapshot-id": int(snapshot_id)}
         ]
         md["last-updated-ms"] = now
-        self._commit_metadata(md, version)
+        self._commit_metadata_cas(md, pinned, "rollback_to_snapshot")
         return int(snapshot_id)
 
     def fast_forward(self, name: str, to_ref: str) -> int:
@@ -4929,7 +4955,7 @@ class IcebergProtocolTable:
         branch ``to_ref`` — publish step of branch-WAP. Requires
         ``name``'s head to be an ancestor of ``to_ref``'s head (true
         fast-forward; diverged branches raise)."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         target = self._branch_head(md, to_ref)
         if target is None:
             raise IcebergProtocolError(f"unknown ref {to_ref!r}")
@@ -4944,7 +4970,6 @@ class IcebergProtocolTable:
                 f"{to_ref!r}'s head {target_id}"
             )
         now = int(time.time() * 1000)
-        version = max(v for v, _ in self._metadata_files()) + 1
         md = dict(md)
         refs = dict(md.get("refs") or {})
         refs[name] = {"snapshot-id": target_id, "type": "branch"}
@@ -4955,7 +4980,7 @@ class IcebergProtocolTable:
                 {"timestamp-ms": now, "snapshot-id": target_id}
             ]
         md["last-updated-ms"] = now
-        self._commit_metadata(md, version)
+        self._commit_metadata_cas(md, pinned, "fast_forward")
         return target_id
 
     def delete_rows(self, condition) -> int:
