@@ -2113,15 +2113,20 @@ class IcebergProtocolTable:
                 for b in e.get("blob-metadata") or []:
                     fids = b.get("fields") or []
                     props = b.get("properties") or {}
+                    resolved = [names.get(int(i)) for i in fids]
+                    if len(resolved) == 1:
+                        cname = resolved[0]
+                    elif resolved and all(resolved):
+                        cname = "(" + ",".join(resolved) + ")"
+                    else:
+                        cname = None
                     rows.append(
                         (
                             int(e["snapshot-id"]),
                             e["statistics-path"],
                             int(e.get("file-size-in-bytes") or 0),
                             b.get("type"),
-                            names.get(int(fids[0]))
-                            if len(fids) == 1
-                            else None,
+                            cname,
                             int(props["ndv"]) if "ndv" in props else None,
                         )
                     )
@@ -2439,18 +2444,32 @@ class IcebergProtocolTable:
             if isinstance(f.get("type"), str)  # atomic top-level only
         }
         df = self.snapshot(snapshot_id=snapshot_id)
-        cols = list(columns) if columns else [
+        # each entry is a column name OR a tuple of names (composite
+        # key: one sketch over the value tuple — the multi-column join
+        # cardinality planners need; spec blob metadata carries the
+        # full field-id list)
+        raw = list(columns) if columns else [
             c for c in df.columns if c in field_ids
         ]
-        bad = [c for c in cols if c not in field_ids]
+        specs = [
+            (c,) if isinstance(c, str) else tuple(c) for c in raw
+        ]
+        bad = sorted(
+            {c for sp in specs for c in sp if c not in field_ids}
+        )
         if bad:
             raise IcebergProtocolError(
                 f"analyze_table: {bad} are not atomic top-level columns"
             )
-        if not cols:
+        if not specs:
             raise IcebergProtocolError("analyze_table: no columns")
         _lg_k = int(lg_k)
-        _cols = list(cols)
+        _cols = sorted({c for sp in specs for c in sp})
+        _specs = [tuple(sp) for sp in specs]
+        _keys = [
+            sp[0] if len(sp) == 1 else "(" + ",".join(sp) + ")"
+            for sp in _specs
+        ]
         # Integral columns hash as decimal strings: Arrow→pandas turns
         # an int64 batch CONTAINING a null into float64 while null-free
         # batches stay int64, so the same value would hash under two
@@ -2474,27 +2493,35 @@ class IcebergProtocolTable:
 
             from featureform_spark.sources.puffin_stats import (
                 ThetaSketch as _TS,
+                composite_bytes as _cb,
             )
 
-            sketches = {c: _TS(_lg_k) for c in _cols}
+            sketches = {k: _TS(_lg_k) for k in _keys}
             for pdf in batches:
-                for c in _cols:
-                    sk = sketches[c]
-                    # partition-side dedup: hash each distinct value
-                    # once per batch, not once per row
-                    for v in pdf[c].dropna().unique():
-                        sk.update(v)
+                for key, sp in zip(_keys, _specs):
+                    sk = sketches[key]
+                    if len(sp) == 1:
+                        # partition-side dedup: hash each distinct
+                        # value once per batch, not once per row
+                        for v in pdf[sp[0]].dropna().unique():
+                            sk.update(v)
+                    else:
+                        sub = pdf[list(sp)].dropna().drop_duplicates()
+                        for tup in sub.itertuples(index=False):
+                            b = _cb(tuple(tup))
+                            if b is not None:
+                                sk.update(b)
             yield _pd.DataFrame(
                 {
-                    "col": _cols,
-                    "sk": [sketches[c].serialize() for c in _cols],
+                    "col": _keys,
+                    "sk": [sketches[k].serialize() for k in _keys],
                 }
             )
 
         partials = df.select(*proj).mapInPandas(
             _partials, "col string, sk binary"
         ).collect()
-        merged = {c: ThetaSketch(_lg_k) for c in _cols}
+        merged = {k: ThetaSketch(_lg_k) for k in _keys}
         for r in partials:
             merged[r["col"]].union(
                 ThetaSketch.deserialize(bytes(r["sk"]), lg_k=_lg_k)
@@ -2502,12 +2529,12 @@ class IcebergProtocolTable:
         sid = int(snap["snapshot-id"])
         seq = int(snap.get("sequence-number") or 0)
         blobs = []
-        for c in _cols:
-            sk = merged[c]
+        for key, sp in zip(_keys, _specs):
+            sk = merged[key]
             blobs.append(
                 {
                     "type": THETA_BLOB_TYPE,
-                    "fields": [field_ids[c]],
+                    "fields": [field_ids[c] for c in sp],
                     "snapshot-id": sid,
                     "sequence-number": seq,
                     "properties": {
@@ -2626,23 +2653,30 @@ class IcebergProtocolTable:
             int(f["id"]): f["name"]
             for f in self.schema(md)["fields"]
         }
-        out: dict[str, int] = {}
+        out: dict = {}
         for b in entry.get("blob-metadata") or []:
             props = b.get("properties") or {}
-            if "ndv" in props and len(b.get("fields") or []) == 1:
-                name = names.get(int(b["fields"][0]))
-                if name is not None:
-                    out[name] = int(props["ndv"])
+            fids = b.get("fields") or []
+            if "ndv" not in props or not fids:
+                continue
+            resolved = [names.get(int(i)) for i in fids]
+            if any(n is None for n in resolved):
+                continue
+            key = resolved[0] if len(resolved) == 1 else tuple(resolved)
+            out[key] = int(props["ndv"])
         return out
 
-    def ndv(self, column: str, snapshot_id: int | None = None) -> int:
+    def ndv(self, column, snapshot_id: int | None = None) -> int:
+        """``column``: a name, or a tuple of names for a composite-key
+        sketch written by ``analyze_table(columns=[(a, b)])``."""
+        key = tuple(column) if isinstance(column, (list, tuple)) else column
         est = self.ndv_estimates(snapshot_id)
-        if column not in est:
+        if key not in est:
             raise IcebergProtocolError(
-                f"no NDV sketch for column {column!r} — re-run "
+                f"no NDV sketch for {key!r} — re-run "
                 "analyze_table() including it"
             )
-        return est[column]
+        return est[key]
 
     def read_statistics_sketches(
         self, snapshot_id: int | None = None

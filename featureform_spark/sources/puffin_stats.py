@@ -332,6 +332,21 @@ class ThetaSketch:
 # ----------------------------------------------------------- puffin file
 
 
+def composite_bytes(values: tuple) -> bytes | None:
+    """Injective encoding of a VALUE TUPLE for composite-key NDV
+    sketches: each component's canonical bytes, length-prefixed (a
+    plain join would make ("ab","c") collide with ("a","bc")).
+    Returns None when any component is NULL — matching SQL's
+    multi-argument COUNT(DISTINCT a, b), which skips such rows."""
+    parts = []
+    for v in values:
+        b = _canonical_bytes(v)
+        if b is None:
+            return None
+        parts.append(len(b).to_bytes(4, "little") + b)
+    return b"".join(parts)
+
+
 def estimate_intersection(a: ThetaSketch, b: ThetaSketch) -> float:
     """Inclusion-exclusion over theta sketches: |A∩B| ≈ |A| + |B| −
     |A∪B|. Exact when both sketches are exact; otherwise inherits the

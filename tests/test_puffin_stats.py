@@ -425,3 +425,44 @@ def test_analyze_races_concurrent_append(spark, tmp_path):
     # the table still reads consistently (appends all present)
     n = t.snapshot().count()
     assert n >= 91 and (n - 90) == len(snaps) - 1
+
+
+def test_composite_key_ndv(spark, tmp_path):
+    """Composite-key sketches: one blob over a value TUPLE (spec blob
+    metadata carries the full field-id list) — the multi-column join
+    cardinality input. NULL-containing tuples are skipped, matching
+    SQL's multi-argument COUNT(DISTINCT a, b); length-prefixed
+    encoding keeps ("ab","c") and ("a","bc") distinct."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    rows = [(i % 10, f"s{i % 7}", i) for i in range(300)]
+    rows.append((None, "sX", 999))  # NULL component: tuple skipped
+    rows.extend([("collide", None, 1000), (None, None, 1001)])
+    df = spark.createDataFrame(
+        [(str(a) if a is not None else None, b, c) for a, b, c in rows],
+        "a string, b string, id long",
+    )
+    t = IcebergProtocolTable(spark, str(tmp_path / "comp"))
+    t.create(df)
+    t.analyze_table(columns=["a", ("a", "b"), ("a", "b", "id")])
+    est = t.ndv_estimates()
+    # 10 distinct a (+1 'collide'); 70 distinct (a,b) pairs — nulls out
+    assert est["a"] == 11
+    assert est[("a", "b")] == 70
+    assert t.ndv(("a", "b", "id")) == 300
+    # metadata table renders the composite name
+    names = {
+        r["column_name"]: r["ndv"]
+        for r in t.metadata_table("statistics").collect()
+    }
+    assert names["(a,b)"] == 70 and names["(a,b,id)"] == 300
+
+
+def test_composite_bytes_injective():
+    from featureform_spark.sources.puffin_stats import composite_bytes
+
+    assert composite_bytes(("ab", "c")) != composite_bytes(("a", "bc"))
+    assert composite_bytes(("a", None)) is None
+    assert composite_bytes((1, "x")) == composite_bytes((1, "x"))
