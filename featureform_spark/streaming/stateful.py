@@ -202,3 +202,101 @@ def streaming_scd2(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_funnel(
+    stream_df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    queryName: str = "funnel",
+):
+    """Streaming twin of operators/temporal.funnel: per-entity state is
+    the step-timestamp vector (one long per step, micros), carried
+    across micro-batches; each batch emits the entity's updated row —
+    a downstream MERGE keeps a live conversion table current as events
+    arrive. Within a batch events process in (ts, type) order and steps
+    fill with the same strictly-after rule as batch, so replaying the
+    stream equals the batch computation
+    (test_streaming_funnel_matches_batch pins the parity).
+
+    State is k longs per entity — change-bounded, never
+    event-count-bounded."""
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError("funnel needs >=2 distinct steps")
+    k = len(steps)
+    out_schema = T.StructType(
+        [T.StructField("entity", T.StringType())]
+        + [
+            T.StructField(f"step_{i + 1}_ts", T.TimestampType())
+            for i in range(k)
+        ]
+        + [
+            T.StructField("steps_completed", T.IntegerType()),
+            T.StructField("converted", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.LongType()) for i in range(k)]
+    )
+    step_idx = {sname: i for i, sname in enumerate(steps)}
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (entity,) = key
+        ts_us = list(state.get) if state.exists else [None] * k
+
+        events = []
+        for pdf in pdfs:
+            for t, tp in zip(pd.to_datetime(pdf[ts_col]), pdf[type_col]):
+                if tp in step_idx:
+                    events.append((t.value // 1000, str(tp)))
+        events.sort()
+        for t_us, tp in events:
+            i = step_idx[tp]
+            if ts_us[i] is not None:
+                continue
+            if i == 0:
+                ts_us[0] = t_us
+            elif ts_us[i - 1] is not None and t_us > ts_us[i - 1]:
+                ts_us[i] = t_us
+        state.update(tuple(ts_us))
+        done = sum(1 for t in ts_us if t is not None)
+        yield pd.DataFrame(
+            [
+                (entity,
+                 *[
+                     pd.Timestamp(t * 1000) if t is not None else None
+                     for t in ts_us
+                 ],
+                 done, ts_us[k - 1] is not None)
+            ],
+            columns=["entity"]
+            + [f"step_{i + 1}_ts" for i in range(k)]
+            + ["steps_completed", "converted"],
+        )
+
+    grouped = (
+        stream_df.where(F.col(type_col).isin(steps))  # batch parity:
+        # entities with only non-step events never appear
+        .select(
+            F.col(entity_col).cast("string").alias("entity"),
+            F.col(ts_col),
+            F.col(type_col).cast("string").alias(type_col),
+        )
+        .groupBy("entity")
+    )
+    out = grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -574,3 +574,65 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
     assert stream_iv == batch_iv
     # user 1: A(1→3), B(3→4), A(4, open); user 2: X(1, open)
     assert sum(1 for x in stream_iv if x[4]) == 2  # two open intervals
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel parity: replaying two micro-batches (state
+    carried) equals the batch operator over all events; converted
+    entities flip as later batches complete their chains."""
+    from datetime import datetime as dt
+
+    from featureform_spark.operators.temporal import funnel
+    from featureform_spark.streaming.stateful import streaming_funnel
+
+    schema = "uid string, ts timestamp, et string"
+    b1 = [("1", dt(2024, 1, 1, 1), "view"),
+          ("1", dt(2024, 1, 1, 2), "click"),
+          ("2", dt(2024, 1, 1, 1), "click"),   # pre-view click: no-op
+          ("2", dt(2024, 1, 1, 2), "view"),
+          ("3", dt(2024, 1, 1, 1), "error")]   # non-step only: absent
+    b2 = [("1", dt(2024, 1, 1, 3), "purchase"),
+          ("2", dt(2024, 1, 1, 3), "click")]
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_funnel(
+            stream, "uid", "ts", "et",
+            ["view", "click", "purchase"], queryName=name,
+        )
+        q.awaitTermination(120)
+
+    run("fun_a")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("fun_b")
+    rows = spark.sql(
+        "SELECT * FROM fun_a UNION ALL SELECT * FROM fun_b"
+    ).collect()
+    latest = {}
+    for i, r in enumerate(rows):  # update-mode: later emission wins
+        latest[r["entity"]] = (i, r)
+    stream_rows = {
+        e: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"],
+            r["steps_completed"], r["converted"])
+        for e, (_, r) in latest.items()
+    }
+    batch = funnel(
+        spark.createDataFrame(b1 + b2, schema),
+        "uid", "ts", "et", ["view", "click", "purchase"],
+    ).collect()
+    batch_rows = {
+        r["entity"]: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"],
+                      r["steps_completed"], r["converted"])
+        for r in batch
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows["1"][4] is True     # converted in batch 2
+    assert stream_rows["2"][3] == 2        # view -> later click
+    assert "3" not in stream_rows          # non-step-only entity absent
