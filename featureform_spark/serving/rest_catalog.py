@@ -1743,3 +1743,66 @@ class IcebergRestCatalogServer:
 
     def __exit__(self, *exc) -> None:
         self.shutdown()
+
+
+def analyze_rest_table(
+    spark,
+    base_url: str,
+    namespace: str,
+    table: str,
+    columns=None,
+    lg_k: int = 12,
+) -> dict:
+    """Client-side ANALYZE against a REST-catalog table: load the
+    table (LoadTableResult → metadata-location → storage path),
+    compute the NDV theta sketches and the Puffin statistics file with
+    ``IcebergProtocolTable.analyze_table``, then REGISTER the
+    resulting entry through the catalog's ``set-statistics`` commit
+    action — so the CATALOG's metadata pointer carries the statistics
+    even though the sketch compute ran engine-side (the split real
+    deployments use: Trino/Spark compute, the REST catalog owns the
+    commit). Returns the committed ndv estimates.
+
+    The direct analyze_table commit already CAS-bumped the table's own
+    metadata files; the REST commit here re-registers the SAME entry
+    through the catalog so wire-level readers (LoadTableResult
+    consumers that trust the catalog pointer) observe it — the action
+    is idempotent per snapshot (set-statistics replaces)."""
+    import urllib.request
+
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    base = base_url.rstrip("/")
+    url = f"{base}/v1/namespaces/{namespace}/tables/{table}"
+    with urllib.request.urlopen(url) as r:
+        loaded = json.loads(r.read())
+    location = loaded["metadata"]["location"]
+    t = IcebergProtocolTable(spark, location)
+    t.analyze_table(columns=columns, lg_k=lg_k)
+    md = t.metadata()
+    sid = int(t.current_snapshot(md)["snapshot-id"])
+    entry = next(
+        e
+        for e in md["statistics"]
+        if int(e["snapshot-id"]) == sid
+    )
+    body = json.dumps(
+        {
+            "updates": [
+                {"action": "set-statistics", "statistics": entry}
+            ]
+        }
+    ).encode()
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        res = json.loads(r.read())
+    committed = res["metadata"].get("statistics") or []
+    assert any(int(e["snapshot-id"]) == sid for e in committed)
+    return t.ndv_estimates()

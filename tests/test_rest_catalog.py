@@ -1570,3 +1570,31 @@ def test_commit_set_and_remove_statistics(catalog):
              "partition-statistics": badp}]},
     )
     assert code == 400, res
+
+
+def test_analyze_rest_table_commits_stats_through_catalog(
+    catalog, spark
+):
+    """Client-side ANALYZE glue: sketches compute engine-side, the
+    statistics entry registers through the catalog's set-statistics
+    commit, and a wire-level LoadTableResult reader observes it."""
+    from featureform_spark.serving.rest_catalog import analyze_rest_table
+
+    server, _t = catalog
+    base = f"http://127.0.0.1:{server.port}"
+    est = analyze_rest_table(
+        spark, base, "analytics", "orders",
+        columns=["o_custkey", "o_orderkey"],
+    )
+    assert set(est) == {"o_custkey", "o_orderkey"}
+    assert est["o_orderkey"] >= 1
+    md = _get(server, "/v1/namespaces/analytics/tables/orders")[
+        "metadata"
+    ]
+    stats = md.get("statistics") or []
+    assert len(stats) == 1
+    blobs = stats[0]["blob-metadata"]
+    assert {len(b["fields"]) for b in blobs} == {1}
+    assert all(
+        b["type"] == "apache-datasketches-theta-v1" for b in blobs
+    )
