@@ -1409,7 +1409,13 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (delta_cdf_incremental keeps the CDC-read
     # family in the top-50).
     "decayed_engagement",
-    "embedding_ivfpq_topk",
+    # Round-9 late rotation: row-level quarantine attribution (the
+    # triage side of the expectations framework, comma-stable rule
+    # lists per violating row) — new this round. embedding_ivfpq_topk
+    # (green r7-r8) rotates out, stays pytest-oracle-covered
+    # (embedding_ivfpq_filtered keeps the IVFPQ probe machinery in the
+    # top-50, plus the filter path).
+    "quarantine_rows",
     # Round-7: true ExactSubstr dedup (rolling shingles catch
     # boundary-straddling duplicates dedup_blocks misses; verdict r6
     # #3). Displaced r6-green rows (contamination_top_ngrams,
@@ -2028,3 +2034,55 @@ def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "value",
         as_of="2024-02-01", half_life_days=2,
     ).orderBy("entity")
+
+
+@query(
+    "quarantine_rows",
+    """
+    SELECT o_orderkey,
+           concat_ws(',',
+             CASE WHEN o_custkey IS NULL
+                  THEN 'not_null(o_custkey)' END,
+             CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 200000)
+                       OR o_totalprice IS NULL
+                  THEN 'in_range(o_totalprice)' END,
+             CASE WHEN NOT (o_orderstatus IN ('O', 'F'))
+                       OR o_orderstatus IS NULL
+                  THEN 'accepted_values(o_orderstatus)' END
+           ) AS violations
+    FROM orders
+    WHERE o_custkey IS NULL
+       OR NOT (o_totalprice >= 0 AND o_totalprice <= 200000)
+       OR o_totalprice IS NULL
+       OR NOT (o_orderstatus IN ('O', 'F'))
+       OR o_orderstatus IS NULL
+    ORDER BY o_orderkey
+    """,
+)
+def quarantine_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality triage (the quarantine side of the
+    expectations framework): every violating order with the ordered
+    list of rules it fails — one projection, rule attribution in-row
+    (the array renders as a comma string so the hash compare is
+    text-stable cross-engine). The clean/quarantined split is the same
+    plan filtered two ways; this query checks the attribution itself."""
+    from featureform_spark.functions.expectations import (
+        accepted_values,
+        in_range,
+        not_null,
+        quarantine,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    _, bad = quarantine(
+        orders,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 200000),
+            accepted_values("o_orderstatus", ["O", "F"]),
+        ],
+    )
+    return bad.select(
+        "o_orderkey",
+        F.concat_ws(",", F.col("_violations")).alias("violations"),
+    ).orderBy("o_orderkey")
