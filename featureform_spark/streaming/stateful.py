@@ -300,3 +300,105 @@ def streaming_funnel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DECAY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("decayed_count", T.DoubleType()),
+        T.StructField("decayed_sum", T.DoubleType()),
+        T.StructField("as_of", T.TimestampType()),
+    ]
+)
+
+DECAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("count", T.DoubleType()),
+        T.StructField("vsum", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def streaming_decayed_counts(
+    stream_df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float = 3600.0,
+    queryName: str = "decay",
+):
+    """Real-time half-life-decayed counters (the fraud/recsys velocity
+    feature): per-entity state is (decayed_count, decayed_sum, last
+    event time); each event first decays the carried state by
+    ``2^(-Δt/half_life)`` then adds itself — the O(1)-state streaming
+    form of operators/decay.decayed_features(smooth=True), exact for
+    any event spacing because exponential decay composes
+    multiplicatively (``2^-(a+b) = 2^-a · 2^-b``; the batch-parity
+    test pins stream == batch at the last event time). Emitted rows
+    carry ``as_of`` (the state's timestamp) so consumers can decay
+    forward to serve time themselves — the store holds the anchor, not
+    a staleness lie."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (entity,) = key
+        if state.exists:
+            count, vsum, last_us = state.get
+        else:
+            count, vsum, last_us = 0.0, 0.0, None
+        events = []
+        for pdf in pdfs:
+            for t, v in zip(
+                pd.to_datetime(pdf[ts_col]), pdf[value_col]
+            ):
+                events.append((t.value // 1000, float(v)))
+        events.sort()
+        for t_us, v in events:
+            if last_us is not None:
+                if t_us < last_us:
+                    # late event: fold it decayed TO the carried
+                    # anchor instead of rewinding state (the standard
+                    # approximation for out-of-order velocity counters)
+                    w = 2.0 ** (
+                        -(last_us - t_us) / (half_life_seconds * 1e6)
+                    )
+                    count += w
+                    vsum += v * w
+                    continue
+                decay = 2.0 ** (
+                    -(t_us - last_us) / (half_life_seconds * 1e6)
+                )
+                count *= decay
+                vsum *= decay
+            count += 1.0
+            vsum += v
+            last_us = t_us
+        state.update((count, vsum, last_us))
+        yield pd.DataFrame(
+            [
+                (entity, count, vsum,
+                 pd.Timestamp(last_us * 1000)
+                 if last_us is not None else None)
+            ],
+            columns=["entity", "decayed_count", "decayed_sum", "as_of"],
+        )
+
+    grouped = stream_df.select(
+        F.col(entity_col).cast("string").alias("entity"),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias(value_col),
+    ).groupBy("entity")
+    out = grouped.applyInPandasWithState(
+        update,
+        outputStructType=DECAY_OUTPUT_SCHEMA,
+        stateStructType=DECAY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -636,3 +636,61 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert stream_rows["1"][4] is True     # converted in batch 2
     assert stream_rows["2"][3] == 2        # view -> later click
     assert "3" not in stream_rows          # non-step-only entity absent
+
+
+def test_streaming_decayed_counts_matches_batch(spark, tmp_path):
+    """Streaming decayed counters: O(1) state per entity (count, sum,
+    last ts), decayed multiplicatively between events — equals the
+    batch smooth-decay computation anchored at the entity's last event
+    time, across a two-batch replay."""
+    from datetime import datetime as dt
+
+    from featureform_spark.operators.decay import decayed_features
+    from featureform_spark.streaming.stateful import (
+        streaming_decayed_counts,
+    )
+
+    schema = "uid string, ts timestamp, v double"
+    HL_DAYS = 2
+    b1 = [("1", dt(2024, 1, 6), 8.0), ("1", dt(2024, 1, 8), 8.0)]
+    b2 = [("1", dt(2024, 1, 10), 8.0), ("2", dt(2024, 1, 10), 3.0)]
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_decayed_counts(
+            stream, "uid", "ts", "v",
+            half_life_seconds=HL_DAYS * 86400, queryName=name,
+        )
+        q.awaitTermination(120)
+
+    run("dec_a")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run("dec_b")
+    rows = spark.sql("SELECT * FROM dec_b").collect()
+    stream_vals = {
+        r["entity"]: (r["decayed_count"], r["decayed_sum"], r["as_of"])
+        for r in rows
+    }
+    # batch smooth decay anchored at each entity's last event
+    batch1 = decayed_features(
+        spark.createDataFrame(b1 + b2, schema).where("uid = '1'"),
+        "uid", "ts", "v", as_of="2024-01-10",
+        half_life_days=HL_DAYS, smooth=True,
+    ).collect()[0]
+    import pytest as _pytest
+
+    assert stream_vals["1"][0] == _pytest.approx(
+        batch1["decayed_count"], rel=1e-9
+    )
+    assert stream_vals["1"][1] == _pytest.approx(
+        batch1["decayed_sum"], rel=1e-9
+    )
+    assert stream_vals["1"][2] == dt(2024, 1, 10)
+    assert stream_vals["2"] == (1.0, 3.0, dt(2024, 1, 10))
