@@ -74,8 +74,10 @@ def table_profile(table: Any, snapshot_id: int | None = None) -> dict:
 
 def _ndv_or_none(table: Any, column: str) -> int | None:
     try:
-        return table.ndv(column)
-    except Exception:  # no stats / column not analyzed — advise without
+        # stale fallback: stats from an analyzed ancestor snapshot
+        # still bound the key cardinality usefully after appends
+        return table.ndv_estimates(allow_stale=True).get(column)
+    except Exception:  # no stats at all — advise without
         return None
 
 

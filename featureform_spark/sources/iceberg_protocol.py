@@ -2618,7 +2618,10 @@ class IcebergProtocolTable:
         )
 
     def _statistics_entry(
-        self, snapshot_id: int | None = None, md: dict | None = None
+        self,
+        snapshot_id: int | None = None,
+        md: dict | None = None,
+        allow_stale: bool = False,
     ) -> dict:
         md = md or self.metadata()
         snap = self._snapshot_by(snapshot_id, md=md)
@@ -2633,6 +2636,26 @@ class IcebergProtocolTable:
             ),
             None,
         )
+        if entry is None and allow_stale and snapshot_id is None:
+            # fall back to the most recently analyzed MAIN-ANCESTOR
+            # snapshot: approximate NDVs beat no NDVs for planning, and
+            # an ancestor's stats describe a strict prefix of today's
+            # data (a rolled-back or branch snapshot's stats would not)
+            by_sid = {
+                int(e["snapshot-id"]): e
+                for e in (md.get("statistics") or [])
+            }
+            cur = snap
+            snaps_by_id = {
+                int(s["snapshot-id"]): s for s in self.snapshots(md)
+            }
+            while cur is not None:
+                psid = cur.get("parent-snapshot-id")
+                if psid is None or int(psid) not in snaps_by_id:
+                    break
+                cur = snaps_by_id[int(psid)]
+                if int(cur["snapshot-id"]) in by_sid:
+                    return by_sid[int(cur["snapshot-id"])]
         if entry is None:
             raise IcebergProtocolError(
                 f"no table statistics for snapshot {sid} — run "
@@ -2641,14 +2664,21 @@ class IcebergProtocolTable:
         return entry
 
     def ndv_estimates(
-        self, snapshot_id: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        allow_stale: bool = False,
     ) -> dict[str, int]:
         """Per-column NDV from the registered statistics file's blob
         metadata — zero file reads (the ``ndv`` property rides in the
         table metadata itself, exactly so planners can cost joins
-        without touching storage)."""
+        without touching storage). ``allow_stale`` falls back to the
+        most recently analyzed main-ancestor snapshot when the current
+        one has no stats (post-append planning: approximate NDVs beat
+        none)."""
         md = self.metadata()
-        entry = self._statistics_entry(snapshot_id, md=md)
+        entry = self._statistics_entry(
+            snapshot_id, md=md, allow_stale=allow_stale
+        )
         names = {
             int(f["id"]): f["name"]
             for f in self.schema(md)["fields"]

@@ -133,3 +133,34 @@ def test_sketch_intersection_estimate():
     c = ThetaSketch()
     c.update("disjoint")
     assert estimate_intersection(a, c) == 0.0
+
+
+def test_advice_survives_appends_with_stale_stats(spark, tmp_path):
+    """After an append the current snapshot has no stats; the advisor
+    falls back to the analyzed main-ancestor's NDVs (approximate NDVs
+    beat none for planning), while strict ndv() still raises."""
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolError,
+        IcebergProtocolTable,
+    )
+
+    a = IcebergProtocolTable(spark, str(tmp_path / "sa"))
+    a.create(spark.createDataFrame(
+        [(i, i % 20) for i in range(200)], "id long, k long"
+    ))
+    a.analyze_table(columns=["k"])
+    b = IcebergProtocolTable(spark, str(tmp_path / "sb"))
+    b.create(spark.createDataFrame(
+        [(i,) for i in range(20)], "k long"
+    ))
+    b.analyze_table(columns=["k"])
+    a.append(spark.createDataFrame([(999, 99)], "id long, k long"))
+    # strict: current snapshot has no stats
+    import pytest as _pt
+
+    with _pt.raises(IcebergProtocolError, match="no table statistics"):
+        a.ndv("k")
+    # stale fallback: the ancestor's stats serve
+    assert a.ndv_estimates(allow_stale=True)["k"] == 20
+    adv = advise_join(a, b, "k")
+    assert adv["ndv_left"] == 20 and adv["est_output_rows"] is not None
