@@ -1762,7 +1762,7 @@ class IcebergProtocolTable:
         duplicate check."""
         import pyarrow.parquet as pq
 
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         if self.partition_spec(md):
             raise UnsupportedIcebergFeatureError(
                 "add_files into a partitioned table is not supported "
@@ -1860,7 +1860,8 @@ class IcebergProtocolTable:
             if snap
             else []
         )
-        return self._advance(
+        return self._advance_pinned(
+            "add_files",
             md,
             prev + [manifest],
             "append",
@@ -1868,6 +1869,7 @@ class IcebergProtocolTable:
             sum(r["record_count"] for r in records),
             snapshot_id=snapshot_id,
             lineage=lineage,
+            expect_version=pinned,
         )
 
     def metadata_table(self, kind: str) -> DataFrame:
@@ -2997,7 +2999,7 @@ class IcebergProtocolTable:
         'replace' snapshot whose list carries the combined manifest +
         the delete manifests verbatim. Returns the new snapshot id, or
         -1 when there is nothing to combine."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         snap = self.current_snapshot(md)
         if snap is None:
             return -1
@@ -3061,9 +3063,11 @@ class IcebergProtocolTable:
             combined["first_row_id"] = min(
                 int(m["first_row_id"]) for m in combinable
             )
-        return self._advance(
+        return self._advance_pinned(
+            "rewrite_manifests",
             md, [combined] + passthrough, "replace", 0, 0,
             snapshot_id=snapshot_id,
+            expect_version=pinned,
         )
 
     def remove_orphan_files(self, older_than_ms: int | None = None) -> dict:
@@ -4277,6 +4281,20 @@ class IcebergProtocolTable:
         self._commit_metadata(md2, v)
         return new_id
 
+    def _advance_pinned(self, op: str, *args, **kw) -> int:
+        """_advance with the caller's pinned metadata version: a lost
+        CAS race surfaces as a clear retryable error instead of
+        silently clobbering the concurrent commit (data paths like
+        delete/upsert fold the CURRENT file set — committing a stale
+        fold would vanish whatever landed in between)."""
+        try:
+            return self._advance(*args, **kw)
+        except FileExistsError:
+            raise IcebergProtocolError(
+                f"{op} lost a concurrent commit race — re-run it on "
+                "fresh metadata"
+            ) from None
+
     def _pinned_metadata(self) -> tuple[dict, int]:
         """(metadata dict, its version) read in ONE step — the fold
         input for CAS commits at version+1. Computing the commit
@@ -4895,7 +4913,7 @@ class IcebergProtocolTable:
         cannot publish twice. Only 'append' snapshots cherry-pick;
         anything else raises (same restriction as Iceberg's
         CherryPickOperation for non-fast-forward picks)."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         staged = self._snapshot_by(snapshot_id, md=md)
         if staged is None:
             raise IcebergProtocolError(f"unknown snapshot {snapshot_id}")
@@ -4937,11 +4955,13 @@ class IcebergProtocolTable:
         extra = {"source-snapshot-id": str(staged["snapshot-id"])}
         if wap_id is not None:
             extra["published-wap-id"] = wap_id
-        return self._advance(
+        return self._advance_pinned(
+            "cherrypick_snapshot",
             md, head_manifests + added, "append",
             sum(int(m.get("added_files_count") or 0) for m in added),
             sum(int(m.get("added_rows_count") or 0) for m in added),
             extra_summary=extra,
+            expect_version=pinned,
         )
 
     def main_lineage(self, md: dict | None = None) -> list[dict]:
@@ -5060,7 +5080,7 @@ class IcebergProtocolTable:
         (2147483546/2147483545); Spark parquet writes no field-ids, so
         cross-engine readers resolve them by name — both columns use
         the spec names ``file_path``/``pos``."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         schema = self.spark_schema(md)
         snap = self.current_snapshot(md)
         if snap is None:
@@ -5173,7 +5193,7 @@ class IcebergProtocolTable:
                 F.broadcast(prev), ["file_path", "pos"], "left_anti"
             )
         if int(md.get("format-version", 2)) >= 3:
-            return self._delete_rows_v3(md, snap, matched, prev)
+            return self._delete_rows_v3(md, snap, matched, prev, pinned)
         matched = matched.orderBy("file_path", "pos")
 
         import pyarrow.parquet as pq
@@ -5227,9 +5247,11 @@ class IcebergProtocolTable:
             self._resolve_path(snap["manifest-list"])
         )
         n_del = sum(e["data_file"]["record_count"] for e in entries)
-        return self._advance(
+        return self._advance_pinned(
+            "delete_rows",
             md, prev_manifests + [manifest], "delete", len(entries), -n_del,
             snapshot_id=snapshot_id,
+            expect_version=pinned,
         )
 
     def _validate_eq_fields(
@@ -5441,7 +5463,7 @@ class IcebergProtocolTable:
         rides snapshot summaries (``ffspark.txn.<app>``) — Flink's
         max-committed-checkpoint-id mechanism, since Iceberg has no
         Delta-style SetTransaction action."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         snap = self.current_snapshot(md)
         if snap is None:
             raise IcebergProtocolError(
@@ -5530,11 +5552,13 @@ class IcebergProtocolTable:
         }
         if txn is not None:
             summary[f"ffspark.txn.{txn[0]}"] = str(int(txn[1]))
-        return self._advance(
+        return self._advance_pinned(
+            "upsert",
             md, prev_manifests + manifests, "overwrite", len(files),
             sum(f["record_count"] for f in files),
             snapshot_id=snapshot_id, lineage=lineage,
             extra_summary=summary,
+            expect_version=pinned,
         )
 
     def upsert_arrow(
@@ -5792,7 +5816,7 @@ class IcebergProtocolTable:
 
     def _delete_rows_v3(
         self, md: dict, snap: dict, matched: DataFrame,
-        prev: DataFrame | None,
+        prev: DataFrame | None, pinned: int,
     ) -> int:
         """format-version 3 DELETE: per-file deletion vectors in ONE
         puffin file instead of position-delete parquet (v3 forbids
@@ -5924,13 +5948,15 @@ class IcebergProtocolTable:
             entries, ice_schema, spec_fields, spec_id, snapshot_id, seq,
             content=1,
         )
-        return self._advance(
+        return self._advance_pinned(
+            "delete_rows",
             md,
             carried + [delete_manifest],
             "delete",
             len(entries),
             -fresh,
             snapshot_id=snapshot_id,
+            expect_version=pinned,
         )
 
     def upgrade_format_version(self, version: int) -> None:
@@ -5974,7 +6000,7 @@ class IcebergProtocolTable:
         exactly as streaming Iceberg deployments do. Float/double key
         columns are refused (spec: identifier fields must not be
         float/double — NaN breaks equality)."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         # validate BEFORE the empty-table early return: a typo'd key
         # column must raise even when there is nothing to delete yet
         eq_ids = self._validate_eq_fields(md, key_cols)
@@ -5997,9 +6023,11 @@ class IcebergProtocolTable:
         _, prev_manifests = read_container(
             self._resolve_path(snap["manifest-list"])
         )
-        return self._advance(
+        return self._advance_pinned(
+            "delete_by_keys",
             md, prev_manifests + [manifest], "delete", 0, 0,
             snapshot_id=snapshot_id,
+            expect_version=pinned,
             extra_summary={
                 "added-delete-files": str(len(entries)),
                 "added-equality-delete-files": str(len(entries)),
@@ -6041,7 +6069,7 @@ class IcebergProtocolTable:
                 "rewrite_data_files: sort_by and zorder_by are "
                 "mutually exclusive"
             )
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         snap = self.current_snapshot(md)
         if snap is None:
             return -1
@@ -6134,16 +6162,18 @@ class IcebergProtocolTable:
         )
         if lineage is not None:
             manifest["first_row_id"] = lineage[0]
-        return self._advance(
+        return self._advance_pinned(
+            "rewrite_data_files",
             md, [manifest], "replace", len(files),
             sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
             lineage=lineage,
+            expect_version=pinned,
         )
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-table overwrite: the new snapshot's manifest list
         carries only the new manifest (old files age out of scope)."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         ice_schema = self.schema(md)
         spec_fields = self.partition_spec(md)
         seq = int(md.get("last-sequence-number", 0)) + 1
@@ -6167,10 +6197,12 @@ class IcebergProtocolTable:
         )
         if lineage is not None:
             manifest["first_row_id"] = lineage[0]
-        return self._advance(
+        return self._advance_pinned(
+            "overwrite",
             md, [manifest], "overwrite", len(files),
             sum(f["record_count"] for f in files), snapshot_id=snapshot_id,
             lineage=lineage,
+            expect_version=pinned,
         )
 
 
