@@ -1834,3 +1834,45 @@ def test_concurrent_plain_appends_both_survive(spark, tmp_path):
     assert t.snapshot().count() == 1 + 3 * 50
     # every appended snapshot is in the log: 1 create + 6 appends
     assert len(t.metadata()["snapshots"]) == 7
+
+
+def test_delete_append_race_is_loud_not_lossy(spark, tmp_path):
+    """The pinned-CAS contract on read-modify-write paths: when a
+    delete folds the file set and an append lands before the delete
+    commits, the delete LOUD-FAILS retryably — and a retry on fresh
+    metadata succeeds with nothing lost. (Silent clobbering would have
+    vanished the appended rows.)"""
+    t = IcebergProtocolTable(spark, str(tmp_path / "dr_race"))
+    t.create(
+        spark.createDataFrame(
+            [(i, "x") for i in range(60)], "id long, s string"
+        )
+    )
+    extra = spark.createDataFrame([(100, "y")], "id long, s string")
+
+    # simulate the race: capture the delete's fold, commit an append
+    # in the window, then let the delete commit
+    orig = IcebergProtocolTable._advance_pinned
+    raced = {"done": False}
+
+    def advancing(self, op, *a, **kw):
+        if op == "delete_rows" and not raced["done"]:
+            raced["done"] = True
+            t.append(extra)  # lands first: the delete's pin is stale
+        return orig(self, op, *a, **kw)
+
+    import pytest as _pt
+
+    IcebergProtocolTable._advance_pinned = advancing
+    try:
+        with _pt.raises(
+            IcebergProtocolError, match="concurrent commit race"
+        ):
+            t.delete_rows(F.col("id") < 10)
+    finally:
+        IcebergProtocolTable._advance_pinned = orig
+    # nothing was lost; a retry on fresh metadata succeeds
+    assert t.snapshot().count() == 61
+    t.delete_rows(F.col("id") < 10)
+    assert t.snapshot().count() == 51
+    assert t.snapshot().filter(F.col("id") == 100).count() == 1
