@@ -2184,9 +2184,16 @@ class IcebergProtocolTable:
                 self.spark.read.parquet(*parquet_paths).select(
                     F.col("file_path"),
                     F.col("pos").cast("long").alias("pos"),
-                    F.col("_metadata.file_path").alias(
-                        "delete_file_path"
-                    ),
+                    # _metadata.file_path is a file: URI while the DV
+                    # branch emits resolved OS paths — normalize so one
+                    # column holds ONE format and joins against
+                    # metadata_table('delete_files') paths match both
+                    # branches
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"),
+                        "^file:(//)?",
+                        "",
+                    ).alias("delete_file_path"),
                 )
             )
         dv_rows = []
@@ -2936,13 +2943,17 @@ class IcebergProtocolTable:
             md.get("properties") or {}
         )
         meta_prefix = self.metadata_path.rstrip(os.sep) + os.sep
-        deleted = 0
-        for p in sorted(dead_refs):
-            if uniform and not p.startswith(meta_prefix):
-                continue
-            if os.path.exists(p):
-                os.remove(p)
-                deleted += 1
+        # Deletion happens AFTER the metadata commit (post-commit
+        # cleanup, same pattern as analyze_table's puffin replacement):
+        # deleting first would leave current metadata referencing
+        # already-deleted files if the CAS loses the race or the
+        # process dies — time travel and statistics reads would break
+        # until a retried expire commits. Collect now, delete last.
+        to_delete = [
+            p
+            for p in sorted(dead_refs)
+            if not (uniform and not p.startswith(meta_prefix))
+        ]
         keep_ids = {s["snapshot-id"] for s in keep_snaps}
         md = dict(md)
         # exactly-once txn watermarks ride snapshot summaries
@@ -2978,13 +2989,19 @@ class IcebergProtocolTable:
                 if int(e["snapshot-id"]) in keep_ids:
                     kept_entries.append(e)
                     continue
-                sp = self._resolve_path(e["statistics-path"])
-                if os.path.exists(sp):
-                    os.remove(sp)
-                    deleted += 1
+                to_delete.append(self._resolve_path(e["statistics-path"]))
             md[key] = kept_entries
         md["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata_cas(md, pinned, "expire_snapshots")
+        # Post-commit cleanup: the trimmed metadata no longer reaches
+        # these files, so deleting them cannot break any reader of the
+        # committed state; a crash mid-loop only leaks orphans (which
+        # remove_orphan_files collects), never dangles references.
+        deleted = 0
+        for p in to_delete:
+            if os.path.exists(p):
+                os.remove(p)
+                deleted += 1
         return {"expired": len(expired), "files_deleted": deleted}
 
     def rewrite_manifests(self) -> int:
@@ -4248,7 +4265,7 @@ class IcebergProtocolTable:
         writes partition under the new spec; rewrite_data_files
         migrates old files when wanted. (source-id, transform) pairs
         that existed in ANY prior spec keep their field id + name."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         ice_schema = self.schema(md)
         specs = md.get("partition-specs") or [
             {"spec-id": 0, "fields": md.get("partition-spec", [])}
@@ -4277,8 +4294,7 @@ class IcebergProtocolTable:
             int(md.get("last-partition-id", 999)), last
         )
         md2["last-updated-ms"] = int(time.time() * 1000)
-        v = max(ver for ver, _ in self._metadata_files()) + 1
-        self._commit_metadata(md2, v)
+        self._commit_metadata_cas(md2, pinned, "update_spec")
         return new_id
 
     def _advance_pinned(self, op: str, *args, **kw) -> int:
@@ -4902,7 +4918,18 @@ class IcebergProtocolTable:
                 except ValueError:
                     min_count = 100
                 if len(prev_manifests) + 1 >= min_count:
-                    self.rewrite_manifests()
+                    # The merge is an optimization, not part of the
+                    # append's atomicity: the append's snapshot has
+                    # already committed above. A lost commit race here
+                    # (pinned-CAS loud-fail) must not propagate — a
+                    # caller retrying the "failed" append would
+                    # double-append the same rows. Swallow and let the
+                    # next append (or an explicit rewrite_manifests)
+                    # fold on fresh metadata.
+                    try:
+                        self.rewrite_manifests()
+                    except IcebergProtocolError:
+                        pass
         return sid
 
     def cherrypick_snapshot(self, snapshot_id: int) -> int:
@@ -5964,7 +5991,7 @@ class IcebergProtocolTable:
         delete_rows writes puffin deletion vectors instead of
         position-delete parquet (v3 forbids new position deletes);
         existing v2 delete files keep applying on read."""
-        md = self.metadata()
+        md, pinned = self._pinned_metadata()
         cur = int(md.get("format-version", 1))
         if version == cur:
             return
@@ -5979,8 +6006,7 @@ class IcebergProtocolTable:
         # ids until rewritten (the spec's upgrade semantics)
         md2.setdefault("next-row-id", 0)
         md2["last-updated-ms"] = int(time.time() * 1000)
-        v = max(ver for ver, _ in self._metadata_files()) + 1
-        self._commit_metadata(md2, v)
+        self._commit_metadata_cas(md2, pinned, "upgrade_format_version")
 
     def delete_by_keys(self, keys_df: DataFrame, key_cols: list[str]) -> int:
         """Row-level DELETE via v2 EQUALITY deletes (spec content=2):
