@@ -42,10 +42,17 @@ in-repo Avro container codec (sources/avro_codec.py):
 - **Honest gates**: format-version 3 and unknown data_file content
   raise instead of returning wrong rows.
 
-Scale note: metadata handling is driver-side over KB–MB Avro/JSON
-(file-count scale — the same O(#manifests) planning real Iceberg does);
-the data path stays a single distributed parquet scan with Spark's own
-pushdown on top of the log-level skipping.
+Scale note: metadata decisions (manifest-list pruning, snapshot
+folds) are driver-side over KB–MB Avro/JSON, but the O(#data files)
+manifest-ENTRY decode distributes: above
+``DISTRIBUTED_PLAN_MIN_ENTRIES`` estimated live entries (from the
+manifest list's counts — no manifest is opened to decide), scan
+planning fans the Avro decode + per-entry pruning across executors
+(the same distributed planning real Iceberg does for large tables)
+and only survivors return to the driver; below it, the sequential
+driver fold avoids a job launch. The data path stays a single
+distributed parquet scan with Spark's own pushdown on top of the
+log-level skipping.
 """
 
 from __future__ import annotations
@@ -69,6 +76,101 @@ METADATA_DIR = "metadata"
 DATA_DIR = "data"
 VERSION_HINT = "version-hint.text"
 STAGING_DIR = ".staging"
+
+# Above this many live manifest entries (summed from the manifest
+# list's added/existing counts — no manifest is opened to decide),
+# scan planning decodes manifests EXECUTOR-side instead of folding
+# them one-by-one in driver Python. At 100 TB (~10^6 data files) the
+# sequential driver fold is minutes per query; distributed decode is
+# one narrow job over the manifest paths. Env-tunable for tests.
+DISTRIBUTED_PLAN_MIN_ENTRIES = int(
+    os.environ.get("FFSPARK_DISTRIBUTED_PLAN_ENTRIES", "20000")
+)
+
+
+def _decode_manifest_partition(rows: list[tuple]) -> list[tuple]:
+    """Executor-side manifest decode (module-level so Spark pickles a
+    reference, not the table object): each input row is
+    ``(manifest_idx, resolved_path, inherited_seq_or_None)``; output is
+    ``(manifest_idx, entry_idx, pickled_entry)`` for every LIVE
+    (status != DELETED) entry, with v2 sequence-number inheritance
+    already applied. Entries ride back pickled — manifest entry
+    structs mix nested dicts, bytes bounds, and per-spec optional
+    fields that have no stable Arrow shape."""
+    import pickle
+
+    from featureform_spark.sources.avro_codec import read_container
+
+    out: list[tuple] = []
+    for mi, path, man_seq in rows:
+        _, recs = read_container(path)
+        for ei, e in enumerate(recs):
+            if int(e.get("status", 1)) == 2:  # DELETED
+                continue
+            if e.get("sequence_number") is None and man_seq is not None:
+                e["sequence_number"] = man_seq
+            out.append((int(mi), int(ei), pickle.dumps(e)))
+    return out
+
+
+def _scan_prune_partition(
+    rows: list[tuple], fid: int, ice_type: str, lo: Any, hi: Any
+) -> list[tuple]:
+    """Executor-side scan fold shared by scan_planned (range) and
+    scan_planned_eq (``lo == hi``): decode each manifest with the
+    in-repo codec, apply status + v2 sequence inheritance, then prune
+    per entry on the partition tuple and the log-carried column
+    bounds — survivors ship back, pruned entries never leave the
+    executor. Input row: ``(mi, resolved_path, man_seq, probe,
+    is_delete)``; probe is ``None`` (no partition pruning on this
+    manifest) | ``("range", part_name, lo_raw, hi_raw)`` | ``("eq",
+    ((part_name, transformed_raw), ...))``. Output: one row per
+    manifest — ``(mi, is_delete, live_data_count, pickle([kept
+    entries]))``; delete manifests keep every live entry and count 0
+    toward the pruning accounting."""
+    import pickle
+
+    out: list[tuple] = []
+    for mi, path, man_seq, probe, is_delete in rows:
+        _, recs = read_container(path)
+        kept: list[dict] = []
+        live = 0
+        for e in recs:
+            if int(e.get("status", 1)) == 2:  # DELETED
+                continue
+            if e.get("sequence_number") is None and man_seq is not None:
+                e["sequence_number"] = man_seq
+            if is_delete:
+                kept.append(e)
+                continue
+            df_ = e["data_file"]
+            live += 1
+            part = df_.get("partition") or {}
+            if probe is not None and probe[0] == "range":
+                _, pname, plo_raw, phi_raw = probe
+                pv = part.get(pname)
+                try:
+                    if pv is not None and (pv < plo_raw or pv > phi_raw):
+                        continue
+                except TypeError:
+                    pass  # mixed tuple domains: bounds still apply
+            elif probe is not None and probe[0] == "eq":
+                if any(
+                    name in part
+                    and part[name] is not None
+                    and part[name] != tv_raw
+                    for name, tv_raw in probe[1]
+                ):
+                    continue
+            lbs = _as_int_map(df_.get("lower_bounds"))
+            ubs = _as_int_map(df_.get("upper_bounds"))
+            fmn = decode_bound(ice_type, lbs.get(fid))
+            fmx = decode_bound(ice_type, ubs.get(fid))
+            if fmn is not None and fmx is not None and (fmx < lo or fmn > hi):
+                continue
+            kept.append(e)
+        out.append((int(mi), bool(is_delete), live, pickle.dumps(kept)))
+    return out
 
 
 class IcebergProtocolError(Exception):
@@ -1018,30 +1120,144 @@ class IcebergProtocolTable:
         """Manifest list → manifests → live (non-deleted) entries,
         split into (data_entries, delete_entries). Both position
         (content=1) and equality (content=2) deletes are APPLIED in the
-        scan (merge-on-read, see ``_read_with_deletes``)."""
+        scan (merge-on-read, see ``_read_with_deletes``).
+
+        Scale: the manifest list's added/existing counts estimate the
+        live entry volume WITHOUT opening a manifest; above
+        ``DISTRIBUTED_PLAN_MIN_ENTRIES`` the Avro decode runs
+        executor-side (real Iceberg distributes planning the same way)
+        so driver time stays O(#manifests), not O(#data files). Below
+        it, the sequential driver fold is cheaper than a job launch.
+        ``last_plan_mode`` records which path ran."""
         manifests = self._manifest_files(snap)
+        est = 0
+        have_counts = bool(manifests)
+        for m in manifests:
+            a = m.get("added_files_count", m.get("added_data_files_count"))
+            x = m.get("existing_files_count")
+            if a is None and x is None:
+                have_counts = False  # legacy v1 inline list: no counts
+                break
+            est += int(a or 0) + int(x or 0)
+        tasks = []
+        for mi, m in enumerate(manifests):
+            man_seq = m.get("sequence_number")
+            tasks.append(
+                (
+                    mi,
+                    self._resolve_path(m["manifest_path"]),
+                    int(man_seq) if man_seq is not None else None,
+                )
+            )
+        if (
+            have_counts
+            and est >= DISTRIBUTED_PLAN_MIN_ENTRIES
+            and len(manifests) > 1
+        ):
+            self.last_plan_mode = "distributed"
+            entries = self._decode_manifests_distributed(tasks)
+        else:
+            self.last_plan_mode = "driver"
+
+            def _driver_decode():
+                for _mi, path, man_seq in tasks:
+                    _, recs = read_container(path)
+                    for e in recs:
+                        if int(e.get("status", 1)) == 2:  # DELETED
+                            continue
+                        if (
+                            e.get("sequence_number") is None
+                            and man_seq is not None
+                        ):
+                            e["sequence_number"] = man_seq
+                        yield e
+
+            entries = _driver_decode()
         data_entries: list[dict] = []
         delete_entries: list[dict] = []
-        for m in manifests:
-            man_path = self._resolve_path(m["manifest_path"])
-            _, recs = read_container(man_path)
-            man_seq = m.get("sequence_number")
-            for e in recs:
-                if int(e.get("status", 1)) == 2:  # DELETED
-                    continue
-                df_ = e["data_file"]
-                content = int(df_.get("content", 0))
-                if e.get("sequence_number") is None and man_seq is not None:
-                    e["sequence_number"] = man_seq  # v2 inheritance
-                if content == 0:
-                    data_entries.append(e)
-                elif content in (1, 2):
-                    delete_entries.append(e)
-                else:
-                    raise UnsupportedIcebergFeatureError(
-                        f"unknown data_file content {content} — refusing"
-                    )
+        for e in entries:
+            content = int(e["data_file"].get("content", 0))
+            if content == 0:
+                data_entries.append(e)
+            elif content in (1, 2):
+                delete_entries.append(e)
+            else:
+                raise UnsupportedIcebergFeatureError(
+                    f"unknown data_file content {content} — refusing"
+                )
         return data_entries, delete_entries
+
+    def _decode_manifests_distributed(
+        self, tasks: list[tuple]
+    ) -> list[tuple]:
+        """Fan the manifest Avro decode across executors: one narrow
+        job over resolved manifest paths, entries shipped back pickled
+        and re-sorted to the sequential fold's (manifest, entry) order
+        so every consumer sees identical ordering on either path. The
+        per-partition worker is module-level — Spark serializes a
+        function reference plus the path list, never the table."""
+        import pickle
+
+        sc = self.spark.sparkContext
+        slices = max(1, min(len(tasks), sc.defaultParallelism * 2))
+        raw = (
+            sc.parallelize(tasks, slices)
+            .mapPartitions(
+                lambda it: _decode_manifest_partition(list(it))
+            )
+            .collect()
+        )
+        raw.sort(key=lambda r: (r[0], r[1]))
+        return [pickle.loads(b) for _, _, b in raw]
+
+    def _fold_scan_entries(
+        self,
+        tasks: list[tuple],
+        fid: int,
+        ice_type: str,
+        lo: Any,
+        hi: Any,
+        est: int,
+    ) -> tuple[list[dict], list[dict], int]:
+        """Run the shared scan fold (:func:`_scan_prune_partition`)
+        over the post-manifest-prune task list — executor-side above
+        ``DISTRIBUTED_PLAN_MIN_ENTRIES`` estimated entries, driver-side
+        below (same worker either way, so the paths cannot diverge).
+        Returns (keep_entries, delete_entries, live_data_files) in the
+        sequential manifest order."""
+        import pickle
+
+        if (
+            est >= DISTRIBUTED_PLAN_MIN_ENTRIES
+            and len(tasks) > 1
+        ):
+            self.last_plan_mode = "distributed"
+            sc = self.spark.sparkContext
+            slices = max(1, min(len(tasks), sc.defaultParallelism * 2))
+            raw = (
+                sc.parallelize(tasks, slices)
+                .mapPartitions(
+                    lambda it: _scan_prune_partition(
+                        list(it), fid, ice_type, lo, hi
+                    )
+                )
+                .collect()
+            )
+        else:
+            self.last_plan_mode = "driver"
+            raw = _scan_prune_partition(tasks, fid, ice_type, lo, hi)
+        raw.sort(key=lambda r: r[0])
+        keep: list[dict] = []
+        deletes: list[dict] = []
+        live = 0
+        for _mi, is_delete, live_n, blob in raw:
+            ents = pickle.loads(blob)
+            if is_delete:
+                deletes.extend(ents)
+            else:
+                live += live_n
+                keep.extend(ents)
+        return keep, deletes, live
 
     def _manifest_files(self, snap: dict) -> list[dict]:
         """The snapshot's manifest_file records — from the Avro
@@ -3632,19 +3848,18 @@ class IcebergProtocolTable:
             )
         manifests = self._manifest_files(snap)
         total_files = 0
-        keep_entries: list[dict] = []
-        delete_entries: list[dict] = []
-        for m in manifests:
+        tasks: list[tuple] = []
+        est = 0
+        for mi, m in enumerate(manifests):
+            man_seq = m.get("sequence_number")
+            man_seq = int(man_seq) if man_seq is not None else None
+            cnt = int(
+                m.get("added_files_count", m.get("added_data_files_count", 0)) or 0
+            ) + int(m.get("existing_files_count", 0) or 0)
+            man_path = self._resolve_path(m["manifest_path"])
             if int(m.get("content", 0)) != 0:
-                man_path = self._resolve_path(m["manifest_path"])
-                _, recs = read_container(man_path)
-                man_seq = m.get("sequence_number")
-                for e in recs:
-                    if int(e.get("status", 1)) == 2:
-                        continue
-                    if e.get("sequence_number") is None and man_seq is not None:
-                        e["sequence_number"] = man_seq
-                    delete_entries.append(e)
+                tasks.append((mi, man_path, man_seq, None, True))
+                est += cnt
                 continue
             sp = per_spec.get(int(m.get("partition_spec_id") or 0))
             if sp is not None and m.get("partitions"):
@@ -3662,41 +3877,20 @@ class IcebergProtocolTable:
                     ):
                         # judge-visible pruning accounting still needs
                         # the file count of skipped manifests
-                        total_files += int(
-                            m.get("added_files_count", m.get("added_data_files_count", 0)) or 0
-                        ) + int(m.get("existing_files_count", 0) or 0)
+                        total_files += cnt
                         continue
-            man_path = self._resolve_path(m["manifest_path"])
-            _, recs = read_container(man_path)
-            man_seq = m.get("sequence_number")
-            for e in recs:
-                if int(e.get("status", 1)) == 2:
-                    continue
-                df_ = e["data_file"]
-                total_files += 1
-                if e.get("sequence_number") is None and man_seq is not None:
-                    e["sequence_number"] = man_seq
-                # partition-tuple range pruning (raw storage domain):
-                # a month(ts) file whose tuple is outside the probed
-                # month range skips without any column stats — the
-                # pruning real Iceberg plans partitioned scans with
-                if sp is not None:
-                    pname, plo_raw, phi_raw = sp[4], sp[5], sp[6]
-                    pv = (df_.get("partition") or {}).get(pname)
-                    try:
-                        if pv is not None and (
-                            pv < plo_raw or pv > phi_raw
-                        ):
-                            continue
-                    except TypeError:
-                        pass  # mixed tuple domains: bounds still apply
-                lbs = _as_int_map(df_.get("lower_bounds"))
-                ubs = _as_int_map(df_.get("upper_bounds"))
-                fmn = decode_bound(ice_type, lbs.get(fid))
-                fmx = decode_bound(ice_type, ubs.get(fid))
-                if fmn is not None and fmx is not None and (fmx < lo or fmn > hi):
-                    continue
-                keep_entries.append(e)
+            # partition-tuple range pruning (raw storage domain)
+            # happens per entry inside the worker: a month(ts) file
+            # whose tuple is outside the probed month range skips
+            # without any column stats — the pruning real Iceberg
+            # plans partitioned scans with
+            probe = ("range", sp[4], sp[5], sp[6]) if sp is not None else None
+            tasks.append((mi, man_path, man_seq, probe, False))
+            est += cnt
+        keep_entries, delete_entries, live_n = self._fold_scan_entries(
+            tasks, fid, ice_type, lo, hi, est
+        )
+        total_files += live_n
         self._last_prune = {
             "files_total": total_files,
             "files_read": len(keep_entries),
@@ -3779,19 +3973,18 @@ class IcebergProtocolTable:
             probes_by_spec[sid] = probes
 
         total_files = 0
-        keep_entries: list[dict] = []
-        delete_entries: list[dict] = []
-        for m in self._manifest_files(snap):
+        tasks: list[tuple] = []
+        est = 0
+        for mi, m in enumerate(self._manifest_files(snap)):
+            man_seq = m.get("sequence_number")
+            man_seq = int(man_seq) if man_seq is not None else None
+            cnt = int(
+                m.get("added_files_count", m.get("added_data_files_count", 0)) or 0
+            ) + int(m.get("existing_files_count", 0) or 0)
+            man_path = self._resolve_path(m["manifest_path"])
             if int(m.get("content", 0)) != 0:
-                man_path = self._resolve_path(m["manifest_path"])
-                _, recs = read_container(man_path)
-                man_seq = m.get("sequence_number")
-                for e in recs:
-                    if int(e.get("status", 1)) == 2:
-                        continue
-                    if e.get("sequence_number") is None and man_seq is not None:
-                        e["sequence_number"] = man_seq
-                    delete_entries.append(e)
+                tasks.append((mi, man_path, man_seq, None, True))
+                est += cnt
                 continue
             probes = probes_by_spec.get(
                 int(m.get("partition_spec_id") or 0), []
@@ -3810,39 +4003,23 @@ class IcebergProtocolTable:
                     skip = True
                     break
             if skip:
-                total_files += int(
-                    m.get("added_files_count", m.get("added_data_files_count", 0)) or 0
-                ) + int(m.get("existing_files_count", 0) or 0)
+                total_files += cnt
                 continue
-            man_path = self._resolve_path(m["manifest_path"])
-            _, recs = read_container(man_path)
-            man_seq = m.get("sequence_number")
-            for e in recs:
-                if int(e.get("status", 1)) == 2:
-                    continue
-                df_ = e["data_file"]
-                total_files += 1
-                if e.get("sequence_number") is None and man_seq is not None:
-                    e["sequence_number"] = man_seq
-                part = df_.get("partition") or {}
-                if any(
-                    name in part
-                    and part[name] is not None
-                    and part[name] != tv_raw
+            probe = (
+                "eq",
+                tuple(
+                    (name, tv_raw)
                     for _pos, name, _rtype, _tv, tv_raw in probes
-                ):
-                    continue
-                lbs = _as_int_map(df_.get("lower_bounds"))
-                ubs = _as_int_map(df_.get("upper_bounds"))
-                fmn = decode_bound(ice_type, lbs.get(fid))
-                fmx = decode_bound(ice_type, ubs.get(fid))
-                if (
-                    fmn is not None
-                    and fmx is not None
-                    and (value < fmn or value > fmx)
-                ):
-                    continue
-                keep_entries.append(e)
+                ),
+            ) if probes else None
+            tasks.append((mi, man_path, man_seq, probe, False))
+            est += cnt
+        # bounds pruning with lo == hi == value is exactly the
+        # equality skip (value < fmn or value > fmx)
+        keep_entries, delete_entries, live_n = self._fold_scan_entries(
+            tasks, fid, ice_type, value, value, est
+        )
+        total_files += live_n
         self._last_prune = {
             "files_total": total_files,
             "files_read": len(keep_entries),
