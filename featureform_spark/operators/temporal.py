@@ -100,9 +100,7 @@ def gap_fill(
     shuffles than single-window ``locf``."""
     if how not in ("locf", "zero", "null", "linear"):
         raise ValueError(f"unknown fill mode {how!r}")
-    bucket = F.date_trunc(
-        _trunc_unit(step), F.col(ts_col)
-    ).alias("bucket_start")
+    bucket = _step_bucket(step, F.col(ts_col)).alias("bucket_start")
     per_bucket = (
         df.select(F.col(entity_col).alias("entity"), bucket,
                   F.col(value_col).alias("v"))
@@ -166,29 +164,45 @@ def gap_fill(
     return out.select("entity", "bucket_start", "value", "is_filled")
 
 
-def _trunc_unit(step: str) -> str:
-    """Map an INTERVAL step to the date_trunc unit that aligns it.
-    Only unit steps ("1 hour", "1 day", ...) are supported: a "6 hour"
-    stride would need its own epoch-floor bucketing (date_trunc aligns
-    to the unit, so sequence() strides would miss the intermediate
-    buckets the aggregation filled)."""
+_STEP_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _step_bucket(step: str, col):
+    """Bucket expression for a gap_fill stride.
+
+    Unit strides ("1 hour", "1 week", "1 month") keep their original
+    calendar alignment via ``date_trunc`` (weeks start Monday, months
+    on the 1st — and month lengths vary, so no fixed-second floor can
+    express them). Any other fixed-length stride ("15 minute",
+    "6 hour", "90 second", "2 day") buckets by epoch floor:
+    ``floor(unix_ts / stride_s) * stride_s`` — every bucket start is
+    an exact multiple of the stride from 1970-01-01 UTC, so the
+    sequence() grid hits exactly the buckets the aggregation filled.
+    Multi-unit strides ("1 hour 30 minutes") and "N month"/"N week"
+    for N > 1 (calendar-variable) are refused loudly."""
     parts = step.strip().split()
-    unit = parts[-1].lower().rstrip("s")
-    # exactly "1 <unit>" (or a bare "<unit>" is rejected too — the
-    # INTERVAL literal below would not parse it): anything looser,
-    # e.g. "1 hour 30 minutes", would truncate buckets to the unit but
-    # stride the grid differently, silently DROPPING observed buckets
-    # that miss the stride
-    if (
-        len(parts) != 2
-        or parts[0] != "1"
-        or unit not in ("minute", "hour", "day", "week", "month")
-    ):
-        raise ValueError(
-            f"unsupported gap_fill step {step!r} — use '1 "
-            "minute/hour/day/week/month'"
-        )
-    return unit
+    if len(parts) == 2:
+        n_str, unit = parts
+        unit = unit.lower().rstrip("s")
+        n = int(n_str) if n_str.isdigit() else 0
+        if n == 1 and unit in ("minute", "hour", "day", "week", "month"):
+            return F.date_trunc(unit, col)
+        if n >= 1 and unit in ("second", "minute", "hour", "day"):
+            s = n * _STEP_SECONDS[unit]
+            return F.timestamp_seconds(
+                F.floor(F.unix_timestamp(col) / F.lit(s)).cast("long")
+                * F.lit(s)
+            )
+    raise ValueError(
+        f"unsupported gap_fill step {step!r} — use '1 "
+        "minute/hour/day/week/month' or 'N second/minute/hour/day'"
+    )
 
 
 def funnel(

@@ -103,14 +103,87 @@ def test_gap_fill_grid_is_per_entity(spark):
     assert sum(1 for r in out if r["entity"] == 2) == 1
 
 
-def test_gap_fill_rejects_multi_unit_steps(spark):
+def test_gap_fill_rejects_unbucketable_steps(spark):
+    """Calendar-variable multiples and compound intervals still refuse
+    loudly (no fixed-second floor exists for them); fixed-length
+    multi-unit strides like '6 hours' are now a supported epoch-floor
+    path (r9 verdict #3)."""
     df = spark.createDataFrame(
         [(1, _ts(1), 1.0)], "uid long, ts timestamp, v double"
     )
-    with pytest.raises(ValueError, match="unsupported gap_fill step"):
-        gap_fill(df, "uid", "ts", "v", "6 hours")
+    for bad in ("2 months", "3 weeks", "1 hour 30 minutes", "hour",
+                "0 minute", "-2 hour"):
+        with pytest.raises(ValueError, match="unsupported gap_fill step"):
+            gap_fill(df, "uid", "ts", "v", bad)
     with pytest.raises(ValueError, match="unknown fill"):
         gap_fill(df, "uid", "ts", "v", "1 hour", how="spline")
+
+
+def test_gap_fill_15min_stride_grid(spark):
+    """15-minute epoch-floor buckets: starts are exact multiples of
+    900s from epoch, every intermediate bucket appears exactly once,
+    and observed buckets are never dropped (the hazard date_trunc
+    striding had)."""
+    import datetime as dt
+
+    def ts(m, s=0):
+        return dt.datetime(2024, 1, 1, 10, m, s)
+
+    rows = [
+        (1, ts(7, 30), 2.0),    # -> 10:00
+        (1, ts(14, 59), 3.0),   # -> 10:00 (same bucket, sums)
+        (1, ts(16), 4.0),       # -> 10:15 boundary-exact
+        (1, ts(59, 59), 1.0),   # -> 10:45
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    out = gap_fill(df, "uid", "ts", "v", "15 minute", how="zero").orderBy(
+        "bucket_start"
+    ).collect()
+    starts = [r["bucket_start"] for r in out]
+    assert starts == [ts(0), ts(15), ts(30), ts(45)]
+    assert [r["value"] for r in out] == [5.0, 4.0, 0.0, 1.0]
+    assert [r["is_filled"] for r in out] == [False, False, True, False]
+
+
+def test_gap_fill_6hour_and_90s_strides(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 10)
+    rows = [
+        (1, base + dt.timedelta(hours=2), 1.0),   # 00:00 bucket
+        (1, base + dt.timedelta(hours=13), 2.0),  # 12:00 bucket
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    out = gap_fill(df, "uid", "ts", "v", "6 hour", how="locf").orderBy(
+        "bucket_start"
+    ).collect()
+    assert [r["bucket_start"].hour for r in out] == [0, 6, 12]
+    assert [r["value"] for r in out] == [1.0, 1.0, 2.0]
+
+    rows = [(1, base + dt.timedelta(seconds=s), 1.0) for s in (10, 305)]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    out = gap_fill(df, "uid", "ts", "v", "90 second", how="null").orderBy(
+        "bucket_start"
+    ).collect()
+    secs = [
+        (r["bucket_start"] - base).total_seconds() for r in out
+    ]
+    assert secs == [0.0, 90.0, 180.0, 270.0]  # 305 -> 270 bucket
+    assert [r["value"] for r in out] == [1.0, None, None, 1.0]
+
+
+def test_gap_fill_unit_strides_keep_calendar_alignment(spark):
+    """'1 week' must still date_trunc to Monday (epoch-floor of 604800s
+    would align to Thursday) — the existing unit semantics are pinned."""
+    import datetime as dt
+
+    # 2024-01-10 is a Wednesday; its ISO week starts Monday 2024-01-08
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 5), 1.0)],
+        "uid long, ts timestamp, v double",
+    )
+    out = gap_fill(df, "uid", "ts", "v", "1 week", how="zero").collect()
+    assert out[0]["bucket_start"] == dt.datetime(2024, 1, 8)
 
 
 def test_gap_fill_linear_interpolation(spark):
