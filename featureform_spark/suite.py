@@ -1185,10 +1185,14 @@ def sketch_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their pipelines) sit past the cap — still pytest-oracle-covered.
 PRIORITY: tuple[str, ...] = (
     "materialize_latest",
-    # round-6 late addition: write-audit-publish (branch writes,
-    # wap.id staging, cherry-pick publish). materialize_no_ts (green
-    # r1-r5) rotates out, stays pytest-oracle-covered.
-    "iceberg_wap_publish",
+    # Round-10 rotation (verdict r9 #5): the production composition —
+    # Iceberg-protocol feature table fed by equality-delete upsert +
+    # Delta-protocol label table, registered as SourceVariants and
+    # resolved registry -> protocol scan -> J1 PIT join (plus A1
+    # materialize) in one plan. iceberg_wap_publish (green r6-r9)
+    # rotates out, stays pytest-oracle-covered (iceberg_rollback keeps
+    # snapshot-ref machinery in the top-50).
+    "training_set_on_iceberg",
     # round-6 late addition: stable row identity across rewrites.
     # segment_iteration (green r1-r5) rotates out, stays
     # pytest-oracle-covered.
@@ -1222,7 +1226,14 @@ PRIORITY: tuple[str, ...] = (
     # delta_row_tracking). transformation_df_fn (green r1-r5) rotates
     # out, stays pytest-oracle-covered.
     "iceberg_row_lineage",
-    "pricing_summary",
+    # Round-10 rotation (verdict r9 #7): deterministic violation
+    # samples — ≤n md5-ranked offending rows per rule off the
+    # one-projection quarantine marking (one scan + one
+    # violation-scale window however many rules). pricing_summary
+    # (green r1-r9) rotates out, stays pytest-oracle-covered
+    # (q3_shipping_priority + q18_large_orders keep TPC-H aggregation
+    # in the top-50).
+    "expectation_violation_samples",
     # Round-9 rotation: equality-delete WRITES + streaming upsert
     # (content=2, the Flink upsert-sink shape — new data files and the
     # batch-key delete at one sequence number) — new this round.
@@ -1306,13 +1317,15 @@ PRIORITY: tuple[str, ...] = (
     # stage after rule filters). dedup_exact (green r1-r6) rotates
     # out, stays pytest-oracle-covered.
     "quality_model",
-    # Round-9 late rotation: per-entity time-grid gap fill with LOCF
-    # (sequence() over each entity's own span, decimal-exact bucket
-    # sums — the regularization stage before windowed features) — new
-    # this round. minhash_lsh_dedup (green r1-r8) rotates out, stays
-    # pytest-oracle-covered (incremental_dedup keeps the LSH band
-    # machinery in the top-50 via the signature store).
-    "gap_fill_hourly",
+    # Round-10 rotation (verdict r9 #3): arbitrary-stride gap fill —
+    # a 15-minute grid via epoch-floor bucketing
+    # (floor(unix_ts/900)*900), the sub-unit stride date_trunc can't
+    # align; oracle is DuckDB time_bucket with an epoch origin.
+    # gap_fill_hourly (green r9) rotates out, stays
+    # pytest-oracle-covered — the 15-min variant exercises strictly
+    # more of the same operator (grid, fill modes, decimal-exact
+    # bucket sums) plus the new stride path.
+    "gap_fill_15min",
     # Round-9 late rotation: ordered funnel analysis (one shuffle
     # regardless of depth: per-entity sorted structs + one aggregate
     # fold; the oracle's iterative MIN-join form is the semantics
@@ -1727,6 +1740,56 @@ def gap_fill_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gap_fill_15min",
+    """
+    WITH b AS (SELECT user_id AS entity,
+                      time_bucket(INTERVAL '15 minutes', ts,
+                                  TIMESTAMP '1970-01-01') AS bucket_start,
+                      SUM(CAST(value AS DECIMAL(18,2))) AS value
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT entity, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+          FROM b GROUP BY entity),
+    g AS (SELECT entity,
+                 unnest(generate_series(lo, hi, INTERVAL 15 MINUTE))
+                   AS bucket_start
+          FROM s),
+    j AS (SELECT g.entity, g.bucket_start, b.value,
+                 (b.value IS NULL) AS is_filled
+          FROM g LEFT JOIN b
+            ON b.entity = g.entity AND b.bucket_start = g.bucket_start)
+    SELECT entity, bucket_start,
+           CAST(COALESCE(value, 0) AS DOUBLE) AS value,
+           is_filled
+    FROM j ORDER BY entity, bucket_start
+    """,
+)
+def gap_fill_15min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stride time-grid regularization (r9 verdict #3): a
+    15-minute grid — the day-one sub-unit ask date_trunc can't align.
+    Buckets come from EPOCH-FLOOR bucketing (floor(unix_ts/900)*900,
+    operators/temporal.py:_step_bucket), so every bucket start is an
+    exact stride multiple from 1970-01-01 UTC and the sequence() grid
+    hits exactly the buckets the aggregation filled; the oracle's
+    time_bucket(..., origin 1970-01-01) is the same alignment. Fill
+    mode "zero" (count/sum series): decimal-exact bucket sums, one
+    final double cast."""
+    from featureform_spark.operators.temporal import gap_fill
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,2)")
+    )
+    out = gap_fill(
+        ev, "user_id", "ts", "v", step="15 minute", how="zero"
+    )
+    return out.select(
+        "entity",
+        "bucket_start",
+        F.col("value").cast("double").alias("value"),
+        "is_filled",
+    ).orderBy("entity", "bucket_start")
+
+
+@query(
     "expectations_report",
     """
     WITH a AS (SELECT count(*) AS total,
@@ -1785,6 +1848,71 @@ def expectations_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report.orderBy("rule")
+
+
+@query(
+    "expectation_violation_samples",
+    """
+    WITH marked AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority,
+               'in_range(o_totalprice)' AS rule
+        FROM orders
+        WHERE (o_totalprice >= 0 AND o_totalprice <= 300000) IS NOT TRUE
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority,
+               'accepted_values(o_orderstatus)'
+        FROM orders WHERE (o_orderstatus IN ('O', 'F')) IS NOT TRUE
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority,
+               'matches_regex(o_orderpriority)'
+        FROM orders
+        WHERE regexp_matches(o_orderpriority, '^[1-3]-') IS NOT TRUE
+    ), r AS (
+        SELECT rule, o_orderkey, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY rule
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)
+                                || chr(31) || rule)
+               ) AS sample_rank
+        FROM marked
+    )
+    SELECT rule, sample_rank, o_orderkey, o_orderstatus
+    FROM r WHERE sample_rank <= 10
+    ORDER BY rule, sample_rank
+    """,
+)
+def expectation_violation_samples_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic violation EXAMPLES per rule (r9 verdict #7) —
+    the triage step after expectations_report's counts: ≤10 md5-ranked
+    offending rows per rule off the one-projection quarantine marking
+    (functions/expectations.py:sample_violations). One scan + one
+    violation-scale window shuffle however many rules; the md5 rank
+    (over a unique key ⊕ rule name) makes the picks stable across
+    runs, partitionings, and engines — LIMIT sampling is none of
+    those."""
+    from featureform_spark.functions.expectations import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        sample_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = sample_violations(
+        orders,
+        [
+            in_range("o_totalprice", 0, 300000),
+            accepted_values("o_orderstatus", ["O", "F"]),
+            matches_regex("o_orderpriority", "^[1-3]-"),
+        ],
+        n=10,
+        key_cols=["o_orderkey"],
+    )
+    return out.select(
+        "rule", "sample_rank", "o_orderkey", "o_orderstatus"
+    ).orderBy("rule", "sample_rank")
 
 
 @query(

@@ -1650,3 +1650,125 @@ def advised_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "training_set_on_iceberg",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1),
+    click AS (
+      SELECT user_id AS e, ts,
+             CASE WHEN event_id % 4 = 0 THEN value + 500.0
+                  ELSE value END AS v
+      FROM dedup),
+    latest AS (
+      SELECT e, v FROM (
+        SELECT e, v, row_number() OVER (PARTITION BY e
+                                        ORDER BY ts DESC) AS rn
+        FROM click) t WHERE rn = 1)
+    SELECT DISTINCT l.user_id AS entity,
+           c.v AS click_feat_default,
+           l.value AS label,
+           l.ts AS label_ts,
+           m.v AS click_latest
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts
+    LEFT JOIN latest m ON m.e = l.user_id
+    """,
+)
+def training_set_on_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition end-to-end (r9 verdict #5): catalog
+    tables as feature-store sources (SURVEY §1.1 CatalogTable). An
+    Iceberg-protocol feature table is fed by equality-delete UPSERT
+    (the streaming-CDC write shape), a Delta-protocol table carries
+    the labels, both register as SourceVariants, and the Engine
+    resolves registry → protocol scan → J1 PIT join in ONE plan —
+    plus A1 materialize off the same registered feature. The oracle
+    recomputes the upserted table contents from raw parquet, so this
+    row certifies the whole chain: protocol write → protocol read →
+    registry resolution → as-of join."""
+    from dataclasses import asdict
+
+    from pyspark.sql import Window
+
+    from featureform_spark.plans.engine import Engine
+    from featureform_spark.registry import (
+        FeatureVariant,
+        IcebergPathLocation,
+        DeltaPathLocation,
+        LabelVariant,
+        Registry,
+        SourceVariant,
+        TrainingSetVariant,
+    )
+    from featureform_spark.sources.delta_protocol import DeltaProtocolTable
+    from featureform_spark.sources.iceberg_protocol import (
+        IcebergProtocolTable,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # feature table contents: clicks deduped to one row per (user, ts)
+    # (event_id tiebreak) so engine-side dedup has nothing ambiguous,
+    # then an UPSERT bumps every event_id % 4 == 0 row by +500
+    w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    ice_path = _scratch(sf_dir, "ts_on_ice_feat")
+    ft = IcebergProtocolTable(spark, ice_path)
+    ft.create(clicks)
+    ft.upsert(
+        clicks.filter(F.col("event_id") % 4 == 0).withColumn(
+            "value", F.col("value") + 500.0
+        ),
+        ["event_id"],
+    )
+    delta_path = _scratch(sf_dir, "ts_on_ice_label")
+    lt = DeltaProtocolTable(spark, delta_path)
+    lt.create(
+        events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+    )
+
+    reg = Registry()
+    eng = Engine(spark, reg)
+    reg.register(SourceVariant(
+        name="click_table",
+        location=asdict(IcebergPathLocation(path=ice_path)),
+    ))
+    reg.register(SourceVariant(
+        name="purchase_table",
+        location=asdict(DeltaPathLocation(path=delta_path)),
+    ))
+    reg.register(FeatureVariant(
+        name="click_feat", source="click_table.default", entity="user",
+        entity_column="user_id", value_column="value",
+        timestamp_column="ts",
+    ))
+    reg.register(LabelVariant(
+        name="purchase", source="purchase_table.default", entity="user",
+        entity_column="user_id", value_column="value",
+        timestamp_column="ts",
+    ))
+    reg.register(TrainingSetVariant(
+        name="ts_ice", label="purchase.default",
+        features=["click_feat.default"],
+    ))
+    tset = eng.training_set("ts_ice.default")
+    mat = eng.materialize("click_feat.default").select(
+        "entity", F.col("value").alias("click_latest")
+    )
+    return tset.join(mat, "entity", "left").select(
+        "entity", "click_feat_default", "label", "label_ts",
+        "click_latest",
+    )
