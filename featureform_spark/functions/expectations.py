@@ -185,3 +185,54 @@ def quarantine(
     clean = marked.where(F.size("_violations") == 0).drop("_violations")
     bad = marked.where(F.size("_violations") > 0)
     return clean, bad
+
+
+def sample_violations(
+    df: DataFrame,
+    rules: list[Rule],
+    n: int = 5,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """≤``n`` DETERMINISTIC example rows per failed rule — the
+    debugging companion to :func:`expect`'s counts (production triage
+    needs to see offending rows, not just that 2,311 exist).
+
+    One extra scan, never per-rule jobs: the same one-projection
+    violation marking ``quarantine`` uses, exploded to (rule, row)
+    pairs (violation-scale, not table-scale), then ranked per rule by
+    ``md5(key_cols ⊕ rule)`` with a single window — stable across
+    runs, partitionings, and engines, unlike LIMIT's
+    first-partition-wins sample. ``key_cols`` (default: all columns)
+    feed the hash; pass a unique key for fully deterministic picks
+    when rows can collide on the hashed columns. Output:
+    (rule, sample_rank, *original columns). Uniqueness rules are
+    aggregate-level and refuse, same as ``quarantine``."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("sample_violations: n must be >= 1")
+    for r in rules:
+        if r.distinct_on is not None:
+            raise ValueError(
+                f"sample_violations: {r.name} is aggregate-level "
+                "(uniqueness) — row sampling cannot attribute it; "
+                "use expect()"
+            )
+    _, bad = quarantine(df, rules)
+    exploded = bad.select(
+        F.explode("_violations").alias("rule"), "*"
+    ).drop("_violations")
+    keys = key_cols or df.columns
+    rank_key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.col(c).cast("string") for c in keys],
+            F.col("rule"),
+        )
+    )
+    w = Window.partitionBy("rule").orderBy(rank_key)
+    return (
+        exploded.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+        .select("rule", "sample_rank", *df.columns)
+    )

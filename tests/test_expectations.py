@@ -148,3 +148,75 @@ def test_expect_passes_vacuously_on_empty_table(spark):
     ).collect()
     assert all(r["passed"] and r["violations"] == 0 for r in rep)
     enforce(empty, [not_null("s")])  # silent
+
+
+# ----------------------------------------------- sample_violations
+
+
+def test_sample_violations_deterministic_and_capped(messy):
+    from featureform_spark.functions.expectations import (
+        sample_violations,
+    )
+
+    rules = [not_null("email"), in_range("n", 0, 100)]
+    out = sample_violations(messy, rules, n=1, key_cols=["id"])
+    rows = {(r["rule"], r["sample_rank"]) for r in out.collect()}
+    # one sample per failed rule, rank always 1 at n=1
+    assert rows == {
+        ("not_null(email)", 1),
+        ("in_range(n)", 1),
+    }
+    # deterministic: same picks on a re-run and under a different
+    # partitioning (md5 ranking, not first-partition-wins)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            sample_violations(
+                messy.repartition(7), rules, n=1, key_cols=["id"]
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_sample_violations_rows_actually_violate(messy):
+    from featureform_spark.functions.expectations import (
+        sample_violations,
+    )
+
+    out = sample_violations(
+        messy, [in_range("n", 0, 100)], n=10, key_cols=["id"]
+    ).collect()
+    # n=200 (out of range) and n=NULL both violate (dbt convention)
+    assert sorted(
+        (r["n"] is None or r["n"] > 100) for r in out
+    ) == [True, True]
+    assert [r["sample_rank"] for r in sorted(out, key=lambda r: r["sample_rank"])] == [1, 2]
+
+
+def test_sample_violations_refuses_uniqueness(messy):
+    from featureform_spark.functions.expectations import (
+        sample_violations,
+    )
+
+    with pytest.raises(ValueError, match="aggregate-level"):
+        sample_violations(messy, [unique("id")], n=3)
+    with pytest.raises(ValueError, match="n must be"):
+        sample_violations(messy, [not_null("email")], n=0)
+
+
+def test_sample_violations_single_scan_plan(messy):
+    """One scan + one window shuffle — never per-rule jobs."""
+    from featureform_spark.functions.expectations import (
+        sample_violations,
+    )
+
+    out = sample_violations(
+        messy,
+        [not_null("email"), in_range("n", 0, 100), matches_regex("email", "@")],
+        n=2,
+        key_cols=["id"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
