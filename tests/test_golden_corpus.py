@@ -494,3 +494,338 @@ def test_golden_delta_deletion_vectors_foreign_layout(spark, tmp_path):
     t = DeltaProtocolTable(spark, root)
     rows = sorted(tuple(r) for r in t.snapshot().collect())
     assert rows == [(10, "a"), (12, "c"), (21, "f")]
+
+
+# --------------------------------------------------------- iceberg
+
+
+def _avro_f(name, typ, default_marker=False):
+    f = {"name": name, "type": typ}
+    if default_marker:
+        f["default"] = None
+    return f
+
+
+def _opt(t):
+    return ["null", t]
+
+
+# a FOREIGN v2 manifest-list schema: field order permuted vs the
+# in-repo writer, optional fields omitted entirely (partitions,
+# key_metadata, first_row_id), own record name
+GOLDEN_ML_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file_ext",
+    "fields": [
+        _avro_f("content", "int"),
+        _avro_f("manifest_path", "string"),
+        _avro_f("manifest_length", "long"),
+        _avro_f("partition_spec_id", "int"),
+        _avro_f("added_snapshot_id", "long"),
+        _avro_f("sequence_number", "long"),
+        _avro_f("min_sequence_number", "long"),
+        _avro_f("added_files_count", "int"),
+        _avro_f("existing_files_count", "int"),
+        _avro_f("deleted_files_count", "int"),
+        _avro_f("added_rows_count", "long"),
+        _avro_f("existing_rows_count", "long"),
+        _avro_f("deleted_rows_count", "long"),
+    ],
+}
+
+# FOREIGN v2 manifest-entry schema: data_file first (permuted), no
+# stats maps at all, nullable seq fields for inheritance
+GOLDEN_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry_ext",
+    "fields": [
+        _avro_f(
+            "data_file",
+            {
+                "type": "record",
+                "name": "data_file_ext",
+                "fields": [
+                    _avro_f("file_path", "string"),
+                    _avro_f("file_format", "string"),
+                    _avro_f("content", "int"),
+                    _avro_f(
+                        "partition",
+                        {"type": "record", "name": "part_ext", "fields": []},
+                    ),
+                    _avro_f("record_count", "long"),
+                    _avro_f("file_size_in_bytes", "long"),
+                ],
+            },
+        ),
+        _avro_f("status", "int"),
+        _avro_f("snapshot_id", _opt("long"), default_marker=True),
+        _avro_f("sequence_number", _opt("long"), default_marker=True),
+    ],
+}
+
+
+def test_golden_iceberg_v2_foreign_layout(spark, tmp_path):
+    """A v2 table laid out the rest-catalog way: 00000-<uuid> metadata
+    names, NO version-hint, schemas/current-schema-id (not inline
+    'schema'), file:// URI manifest paths, permuted Avro field order,
+    entries with NULL sequence_number (manifest-list inheritance) and
+    a DELETED entry that must be skipped."""
+    from featureform_spark.sources.avro_codec import write_container
+
+    root = str(tmp_path / "golden_ice")
+    meta_dir = os.path.join(root, "metadata")
+    data_dir = os.path.join(root, "data")
+    s0 = _pq_write(
+        os.path.join(data_dir, "00000-0-data.parquet"),
+        {"id": [1, 2, 3], "s": ["a", "b", "c"]},
+    )
+    s1 = _pq_write(
+        os.path.join(data_dir, "00001-0-data.parquet"),
+        {"id": [4], "s": ["d"]},
+    )
+    snapshot_id = 3051729675574597004  # the spec's own example id
+    man_path = os.path.join(meta_dir, "golden-m0.avro")
+    entries = [
+        {
+            "status": 1,  # ADDED, seq inherited from the manifest list
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "data_file": {
+                "file_path": "file://" + os.path.join(data_dir, "00000-0-data.parquet"),
+                "file_format": "PARQUET",
+                "content": 0,
+                "partition": {},
+                "record_count": 3,
+                "file_size_in_bytes": s0,
+            },
+        },
+        {
+            "status": 0,  # EXISTING with explicit seq
+            "snapshot_id": snapshot_id,
+            "sequence_number": 1,
+            "data_file": {
+                "file_path": "file://" + os.path.join(data_dir, "00001-0-data.parquet"),
+                "file_format": "PARQUET",
+                "content": 0,
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": s1,
+            },
+        },
+        {
+            "status": 2,  # DELETED — a live scan must skip it
+            "snapshot_id": snapshot_id,
+            "sequence_number": 1,
+            "data_file": {
+                "file_path": "file://" + os.path.join(data_dir, "ghost.parquet"),
+                "file_format": "PARQUET",
+                "content": 0,
+                "partition": {},
+                "record_count": 99,
+                "file_size_in_bytes": 1,
+            },
+        },
+    ]
+    write_container(
+        man_path,
+        GOLDEN_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "schema": json.dumps(
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": [
+                        {"id": 1, "name": "id", "required": False, "type": "long"},
+                        {"id": 2, "name": "s", "required": False, "type": "string"},
+                    ],
+                }
+            ),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    ml_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    )
+    write_container(
+        ml_path,
+        GOLDEN_ML_SCHEMA,
+        [
+            {
+                "manifest_path": "file://" + man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 2,  # inherited by the NULL-seq entry
+                "min_sequence_number": 1,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 1,
+                "deleted_files_count": 1,
+                "added_rows_count": 3,
+                "existing_rows_count": 1,
+                "deleted_rows_count": 99,
+            }
+        ],
+    )
+    md = {
+        # foreign key order + keys this reader must ignore
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "s", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "refs": {
+            "main": {"snapshot-id": snapshot_id, "type": "branch"}
+        },
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": 2,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "file://" + ml_path,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": 1700000000000}
+        ],
+        "metadata-log": [],
+    }
+    os.makedirs(meta_dir, exist_ok=True)
+    # rest/glue convention: 00000-<uuid>.metadata.json, NO version-hint
+    with open(
+        os.path.join(meta_dir, f"00000-{uuid.uuid4()}.metadata.json"), "w"
+    ) as f:
+        json.dump(md, f)
+
+    t = IcebergProtocolTable(spark, root)
+    rows = sorted(tuple(r) for r in t.snapshot().collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # v2 inheritance: the NULL-seq ADDED entry reads back at seq 2
+    data_entries, _ = t._live_entries(t.current_snapshot())
+    by_path = {
+        os.path.basename(e["data_file"]["file_path"]): e
+        for e in data_entries
+    }
+    assert int(by_path["00000-0-data.parquet"]["sequence_number"]) == 2
+    assert int(by_path["00001-0-data.parquet"]["sequence_number"]) == 1
+    files = t.metadata_table("files")
+    assert files.count() == 2  # DELETED entry skipped
+
+
+def test_golden_iceberg_v1_legacy_layout(spark, tmp_path):
+    """Legacy v1: inline 'schema' + 'partition-spec', a snapshot with
+    the pre-manifest-list inline 'manifests' path array, v1 manifest
+    entries with NO sequence-number fields and a data_file without
+    'content'. Readers that assume v2 shapes die here."""
+    from featureform_spark.sources.avro_codec import write_container
+
+    root = str(tmp_path / "golden_ice_v1")
+    meta_dir = os.path.join(root, "metadata")
+    data_dir = os.path.join(root, "data")
+    s0 = _pq_write(
+        os.path.join(data_dir, "v1-data.parquet"),
+        {"id": [7, 8], "s": ["x", "y"]},
+    )
+    v1_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _avro_f("status", "int"),
+            _avro_f("snapshot_id", "long"),
+            _avro_f(
+                "data_file",
+                {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        _avro_f("file_path", "string"),
+                        _avro_f("file_format", "string"),
+                        _avro_f(
+                            "partition",
+                            {"type": "record", "name": "r102", "fields": []},
+                        ),
+                        _avro_f("record_count", "long"),
+                        _avro_f("file_size_in_bytes", "long"),
+                    ],
+                },
+            ),
+        ],
+    }
+    man_path = os.path.join(meta_dir, "v1-m0.avro")
+    write_container(
+        man_path,
+        v1_entry_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 42,
+                "data_file": {
+                    "file_path": os.path.join(data_dir, "v1-data.parquet"),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": s0,
+                },
+            }
+        ],
+        codec="null",  # some v1 writers used uncompressed containers
+        metadata={"format-version": "1"},
+    )
+    md = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": root,
+        "last-updated-ms": 1600000000000,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "s", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 42,
+        "snapshots": [
+            {
+                "snapshot-id": 42,
+                "timestamp-ms": 1600000000000,
+                "manifests": [man_path],  # pre-manifest-list layout
+            }
+        ],
+    }
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    t = IcebergProtocolTable(spark, root)
+    rows = sorted(tuple(r) for r in t.snapshot().collect())
+    assert rows == [(7, "x"), (8, "y")]
