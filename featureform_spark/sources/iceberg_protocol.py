@@ -113,6 +113,27 @@ def _decode_manifest_partition(rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _manifest_paths_partition(rows: list[tuple]) -> list[tuple]:
+    """Executor-side path-only manifest decode for maintenance keep
+    sets (expire_snapshots, remove_orphan_files): each input row is
+    ``(mi, resolved_manifest_path)``; output ``(mi, [raw file_path
+    strings])`` over EVERY entry (including DELETED — a keep set must
+    reference what historic snapshots still reach). Unreadable
+    manifests yield an empty list, matching the driver folds'
+    tolerant try/except."""
+    out: list[tuple] = []
+    for mi, path in rows:
+        try:
+            _, recs = read_container(path)
+        except Exception:
+            out.append((int(mi), []))
+            continue
+        out.append(
+            (int(mi), [e["data_file"]["file_path"] for e in recs])
+        )
+    return out
+
+
 def _scan_prune_partition(
     rows: list[tuple], fid: int, ice_type: str, lo: Any, hi: Any
 ) -> list[tuple]:
@@ -1258,6 +1279,32 @@ class IcebergProtocolTable:
                 live += live_n
                 keep.extend(ents)
         return keep, deletes, live
+
+    def _manifest_data_paths(
+        self, man_paths: list[str], est: int
+    ) -> set[str]:
+        """Every data_file.file_path referenced by the given manifest
+        files (RESOLVED, all statuses) — the entry-volume half of the
+        maintenance keep sets. Executor-side above the distributed-
+        planning threshold, tolerant driver fold below."""
+        tasks = [(i, p) for i, p in enumerate(man_paths)]
+        if est >= DISTRIBUTED_PLAN_MIN_ENTRIES and len(tasks) > 1:
+            self.last_plan_mode = "distributed"
+            sc = self.spark.sparkContext
+            slices = max(1, min(len(tasks), sc.defaultParallelism * 2))
+            raw = (
+                sc.parallelize(tasks, slices)
+                .mapPartitions(
+                    lambda it: _manifest_paths_partition(list(it))
+                )
+                .collect()
+            )
+        else:
+            self.last_plan_mode = "driver"
+            raw = _manifest_paths_partition(tasks)
+        return {
+            self._resolve_path(p) for _mi, paths in raw for p in paths
+        }
 
     def _manifest_files(self, snap: dict) -> list[dict]:
         """The snapshot's manifest_file records — from the Avro
@@ -2964,13 +3011,31 @@ class IcebergProtocolTable:
         return out
 
     def create_ref(
-        self, name: str, kind: str = "tag", snapshot_id: int | None = None
+        self,
+        name: str,
+        kind: str = "tag",
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
     ) -> int:
         """Branching/tagging (spec §refs): record a named snapshot
         reference in metadata. ``kind``: 'tag' (immutable pointer) or
-        'branch'. Defaults to the current snapshot."""
+        'branch'. Defaults to the current snapshot. The optional spec
+        retention fields drive :meth:`expire_snapshots`:
+        ``max_ref_age_ms`` ages the REF itself out; the other two
+        bound how much of a branch's ancestry expiration retains
+        (tags pin only their head, so they take just the ref age)."""
         if kind not in ("tag", "branch"):
             raise IcebergProtocolError(f"ref kind {kind!r} invalid")
+        if kind == "tag" and (
+            min_snapshots_to_keep is not None
+            or max_snapshot_age_ms is not None
+        ):
+            raise IcebergProtocolError(
+                "snapshot retention fields apply to branches only "
+                "(spec §refs)"
+            )
         md, pinned = self._pinned_metadata()
         snap = self._snapshot_by(snapshot_id, md=md)
         if snap is None:
@@ -2981,6 +3046,12 @@ class IcebergProtocolTable:
             "snapshot-id": snap["snapshot-id"],
             "type": kind,
         }
+        if max_ref_age_ms is not None:
+            refs[name]["max-ref-age-ms"] = int(max_ref_age_ms)
+        if min_snapshots_to_keep is not None:
+            refs[name]["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+        if max_snapshot_age_ms is not None:
+            refs[name]["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
         md["refs"] = refs
         md["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata_cas(md, pinned, "create_ref")
@@ -3074,17 +3145,42 @@ class IcebergProtocolTable:
         horizon stops working. ``older_than_ms`` (absolute epoch
         millis, Iceberg's expireOlderThan): snapshots at or after the
         cutoff ALSO survive — only history older than the cutoff is
-        eligible. Returns {"expired", "files_deleted"}."""
+        eligible. Returns {"expired", "files_deleted", "removed_refs"}.
+
+        Ref-level retention (spec §Refs): a non-main ref carrying
+        ``max-ref-age-ms`` is REMOVED first when its snapshot is older
+        than that age — expired tags stop pinning history, exactly
+        Iceberg's expire-refs-then-snapshots order. A kept branch
+        carrying ``min-snapshots-to-keep`` / ``max-snapshot-age-ms``
+        retains only that many / that young of its ancestors instead
+        of its whole ancestry chain (refs without the fields keep the
+        conservative full-chain behavior — nothing a ref can still
+        reach is ever deleted). ``main`` never ref-expires."""
         md, pinned = self._pinned_metadata()
         snaps = self.snapshots(md)
         if len(snaps) <= retain_last:
-            return {"expired": 0, "files_deleted": 0}
-        # Snapshots pinned by tags/branches survive expiration (real
+            return {"expired": 0, "files_deleted": 0, "removed_refs": []}
+        now_ms = int(time.time() * 1000)
+        by_ref_id = {int(s["snapshot-id"]): s for s in snaps}
+        refs = dict(md.get("refs") or {})
+        removed_refs: list[str] = []
+        for name, r in list(refs.items()):
+            if name == "main":
+                continue
+            max_age = r.get("max-ref-age-ms")
+            head = by_ref_id.get(int(r["snapshot-id"]))
+            if (
+                max_age is not None
+                and head is not None
+                and now_ms - int(head.get("timestamp-ms") or 0)
+                > int(max_age)
+            ):
+                removed_refs.append(name)
+                del refs[name]
+        # Snapshots pinned by SURVIVING tags/branches stay (real
         # Iceberg's ref retention): expiring them would leave dangling
         # refs whose snapshot_ref() reads fail on deleted files.
-        ref_ids = {
-            r["snapshot-id"] for r in (md.get("refs") or {}).values()
-        }
+        ref_ids = {r["snapshot-id"] for r in refs.values()}
         # ``retain_last`` counts along the MAIN ancestry chain, not the
         # raw snapshots list: staged (WAP) snapshots are appended to the
         # list unreferenced, and counting them as "last" would expire
@@ -3105,14 +3201,37 @@ class IcebergProtocolTable:
         # a BRANCH ref needs its ancestry back to a retained snapshot:
         # fast_forward's is-ancestor walk (and branch time travel)
         # breaks if an intermediate branch commit is expired out of
-        # md['snapshots']. Tags pin their head only.
-        for r in (md.get("refs") or {}).values():
+        # md['snapshots']. Tags pin their head only. A branch carrying
+        # spec retention fields keeps only min-snapshots-to-keep /
+        # max-snapshot-age-ms of its ancestors (head always kept);
+        # without them, the whole chain back to a retained snapshot
+        # (the conservative default this engine has always used).
+        for r in refs.values():
             if r.get("type") == "tag":
                 continue
+            min_keep = r.get("min-snapshots-to-keep")
+            max_snap_age = r.get("max-snapshot-age-ms")
+            bounded = min_keep is not None or max_snap_age is not None
             cur_id = int(r["snapshot-id"])
-            while cur_id in by_id and cur_id not in retained:
+            n_kept = 0
+            while cur_id in by_id:
+                if not bounded and cur_id in retained:
+                    break
+                s = by_id[cur_id]
+                if bounded and n_kept >= 1:
+                    young = (
+                        max_snap_age is not None
+                        and now_ms - int(s.get("timestamp-ms") or 0)
+                        <= int(max_snap_age)
+                    )
+                    under_min = (
+                        min_keep is not None and n_kept < int(min_keep)
+                    )
+                    if not (young or under_min):
+                        break
                 retained.add(cur_id)
-                parent = by_id[cur_id].get("parent-snapshot-id")
+                n_kept += 1
+                parent = s.get("parent-snapshot-id")
                 if parent is None:
                     break
                 cur_id = int(parent)
@@ -3126,7 +3245,13 @@ class IcebergProtocolTable:
         expired = [s for s in snaps if s["snapshot-id"] not in keep_ids_set]
 
         def _referenced(snapshots: list[dict]) -> set[str]:
+            # manifest-list level stays driver-side (O(#manifests),
+            # KBs); the O(#data files) entry decode goes through
+            # _manifest_data_paths, which fans out executor-side above
+            # the distributed-planning threshold
             refs: set[str] = set()
+            man_paths: list[str] = []
+            est = 0
             for s in snapshots:
                 ml = self._resolve_path(s["manifest-list"])
                 refs.add(ml)
@@ -3136,15 +3261,16 @@ class IcebergProtocolTable:
                     continue
                 for m in manifests:
                     mp = self._resolve_path(m["manifest_path"])
+                    if mp in refs:
+                        continue  # shared across snapshots: decode once
                     refs.add(mp)
-                    try:
-                        _, recs = read_container(mp)
-                    except Exception:
-                        continue
-                    for e in recs:
-                        refs.add(
-                            self._resolve_path(e["data_file"]["file_path"])
-                        )
+                    man_paths.append(mp)
+                    est += (
+                        int(m.get("added_files_count", m.get("added_data_files_count", 0)) or 0)
+                        + int(m.get("existing_files_count", 0) or 0)
+                        + int(m.get("deleted_files_count", 0) or 0)
+                    )
+            refs |= self._manifest_data_paths(man_paths, est)
             return refs
 
         keep_refs = _referenced(keep_snaps)
@@ -3192,6 +3318,8 @@ class IcebergProtocolTable:
             e for e in (md.get("snapshot-log") or [])
             if e["snapshot-id"] in keep_ids
         ]
+        if removed_refs:
+            md["refs"] = refs  # age-expired refs leave metadata
         # statistics files (table-level puffin NDV sketches + partition
         # statistics parquets) belong to their snapshot: per spec they
         # may be removed once the snapshot expires, and keeping the
@@ -3218,7 +3346,11 @@ class IcebergProtocolTable:
             if os.path.exists(p):
                 os.remove(p)
                 deleted += 1
-        return {"expired": len(expired), "files_deleted": deleted}
+        return {
+            "expired": len(expired),
+            "files_deleted": deleted,
+            "removed_refs": removed_refs,
+        }
 
     def rewrite_manifests(self) -> int:
         """Manifest compaction (Iceberg's rewriteManifests maintenance
@@ -3336,6 +3468,9 @@ class IcebergProtocolTable:
         }
         keep.add(os.path.join(self.metadata_path, VERSION_HINT))
         seen_md: set[str] = set()
+        seen_ml: set[str] = set()
+        man_paths: list[str] = []
+        est = 0
         for _v, name in self._metadata_files():
             f = os.path.join(self.metadata_path, name)
             if f in seen_md:
@@ -3351,23 +3486,28 @@ class IcebergProtocolTable:
                     continue
                 ml = self._resolve_path(ml)
                 keep.add(ml)
+                if ml in seen_ml:
+                    continue  # snapshots repeat across versions
+                seen_ml.add(ml)
                 try:
                     _, manifests = read_container(ml)
                 except Exception:
                     continue
                 for m in manifests:
                     mp = self._resolve_path(m["manifest_path"])
-                    keep.add(mp)
-                    try:
-                        _, recs = read_container(mp)
-                    except Exception:
+                    if mp in keep:
                         continue
-                    for e in recs:
-                        keep.add(
-                            self._resolve_path(
-                                e["data_file"]["file_path"]
-                            )
-                        )
+                    keep.add(mp)
+                    man_paths.append(mp)
+                    est += (
+                        int(m.get("added_files_count", m.get("added_data_files_count", 0)) or 0)
+                        + int(m.get("existing_files_count", 0) or 0)
+                        + int(m.get("deleted_files_count", 0) or 0)
+                    )
+        # O(#data files) entry decode: executor-side above the
+        # distributed-planning threshold (a 10^6-file table's orphan
+        # sweep must not serialize its keep set on the driver)
+        keep |= self._manifest_data_paths(man_paths, est)
         try:
             props = self.metadata().get("properties") or {}
         except Exception:

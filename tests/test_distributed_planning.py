@@ -220,3 +220,53 @@ def test_big_table_distributed_not_slower_than_driver(big_table):
     finally:
         ip.DISTRIBUTED_PLAN_MIN_ENTRIES = old
     assert dist < seq * 1.0, f"distributed {dist:.2f}s vs driver {seq:.2f}s"
+
+
+# --------------------------------- maintenance keep sets distribute
+
+
+def test_forced_distributed_expire_keeps_live_files(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """expire_snapshots' keep-set fold through _manifest_data_paths:
+    with the threshold forced to 0, the entry decode runs executor-
+    side and the expire still deletes exactly the dead files (the
+    current snapshot stays fully readable)."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "exp"))
+    t.create(orders.limit(30).repartition(2))
+    t.append(orders.limit(50).subtract(orders.limit(30)).repartition(2))
+    t.rewrite_data_files()  # old files become expirable
+    want = _sorted_rows(t.snapshot())
+
+    monkeypatch.setattr(IP, "DISTRIBUTED_PLAN_MIN_ENTRIES", 0)
+    out = t.expire_snapshots(retain_last=1)
+    assert t.last_plan_mode == "distributed"
+    assert out["expired"] == 2  # create + append both age out
+    assert out["files_deleted"] > 0
+    monkeypatch.setattr(IP, "DISTRIBUTED_PLAN_MIN_ENTRIES", 10**9)
+    assert _sorted_rows(t.snapshot()) == want
+
+
+def test_forced_distributed_orphan_sweep(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    import os
+
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "orph"))
+    t.create(orders.limit(30).repartition(2))
+    t.append(orders.limit(50).subtract(orders.limit(30)).repartition(2))
+    want = _sorted_rows(t.snapshot())
+    orphan = os.path.join(str(tmp_path / "orph"), "data", "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    os.utime(orphan, (1, 1))  # ancient mtime: past the 3-day guard
+
+    monkeypatch.setattr(IP, "DISTRIBUTED_PLAN_MIN_ENTRIES", 0)
+    out = t.remove_orphan_files()
+    assert t.last_plan_mode == "distributed"
+    assert out["deleted"] == 1
+    assert not os.path.exists(orphan)
+    monkeypatch.setattr(IP, "DISTRIBUTED_PLAN_MIN_ENTRIES", 10**9)
+    assert _sorted_rows(t.snapshot()) == want
