@@ -172,3 +172,87 @@ def test_position_deletes_path_format_consistent(spark, tmp_path):
         for r in t3.metadata_table("delete_files").collect()
     }
     assert {r["delete_file_path"] for r in pd3} <= dv_files
+
+
+# ------------------------------------- spec §refs retention fields
+
+
+def test_expired_tag_stops_pinning_history(spark, tmp_path):
+    """A tag with max-ref-age-ms in the past is removed FIRST, so the
+    snapshot it pinned can expire (Iceberg's expire-refs-then-
+    snapshots order); a fresh tag still pins."""
+    t = _mk(spark, tmp_path / "refs")
+    old_sid = t.current_snapshot()["snapshot-id"]
+    t.create_ref("stale-tag", "tag", max_ref_age_ms=1)  # expires now
+    t.append(spark.createDataFrame([(99, "z")], "id long, s string"))
+    t.create_ref("fresh-tag", "tag", max_ref_age_ms=10**12)
+
+    out = t.expire_snapshots(retain_last=1)
+    assert out["removed_refs"] == ["stale-tag"]
+    assert out["expired"] == 1
+    refs = t.metadata().get("refs") or {}
+    assert "stale-tag" not in refs and "fresh-tag" in refs
+    # the expired snapshot is gone from metadata
+    assert old_sid not in {
+        s["snapshot-id"] for s in t.snapshots()
+    }
+    # the fresh tag still reads
+    assert t.snapshot_ref("fresh-tag").count() == 41
+
+
+def test_branch_min_snapshots_to_keep_bounds_ancestry(spark, tmp_path):
+    """A branch with min-snapshots-to-keep=2 (and no snapshot age)
+    retains exactly its 2 newest ancestors; older branch commits
+    expire instead of the full-chain default."""
+    t = _mk(spark, tmp_path / "br")
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(100 + i, "b")], "id long, s string"),
+            branch="audit",
+        )
+    audit_head = (t.metadata()["refs"])["audit"]["snapshot-id"]
+    # re-register the branch with retention fields at its head
+    md = t.metadata()
+    t.create_ref(
+        "audit2", "branch", snapshot_id=audit_head,
+        min_snapshots_to_keep=2,
+    )
+    # drop the unbounded original so only the bounded branch pins
+    import json as _json
+    import os as _os
+
+    md, pinned = t._pinned_metadata()
+    md = dict(md)
+    refs = dict(md["refs"])
+    del refs["audit"]
+    md["refs"] = refs
+    t._commit_metadata_cas(md, pinned, "test-drop-ref")
+
+    before = {s["snapshot-id"] for s in t.snapshots()}
+    assert len(before) == 4  # create + 3 branch appends
+    out = t.expire_snapshots(retain_last=1)
+    after = {s["snapshot-id"] for s in t.snapshots()}
+    # kept: main head (create) + 2 newest audit ancestors
+    assert len(after) == 3, (before, after, out)
+    assert audit_head in after
+    assert t.snapshot_ref("audit2").count() == 43  # 40 + 3 appends
+
+
+def test_branch_without_retention_keeps_full_chain(spark, tmp_path):
+    """No retention fields -> the conservative full-ancestry keep this
+    engine has always done (nothing a ref reaches is deleted)."""
+    t = _mk(spark, tmp_path / "br2")
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(100 + i, "b")], "id long, s string"),
+            branch="audit",
+        )
+    out = t.expire_snapshots(retain_last=1)
+    assert out["expired"] == 0
+    assert len(t.snapshots()) == 4
+
+
+def test_tag_refuses_branch_retention_fields(spark, tmp_path):
+    t = _mk(spark, tmp_path / "tagf")
+    with pytest.raises(Exception, match="branches only"):
+        t.create_ref("x", "tag", min_snapshots_to_keep=2)
