@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,3 +100,168 @@ def retrieval_metrics(
         ).alias("ndcg"),
     )
     return per_q
+
+
+def tokenize_terms(col: Column) -> Column:
+    """Lowercased alphanumeric terms of a text column (the same split
+    both the Spark side and the DuckDB differential use:
+    ``[^a-z0-9]+`` on the lowercased string, empties dropped).
+    Explicit ASCII classes — Python/Java ``\\w`` is Unicode-aware and
+    RE2's is not, the cross-engine regex trap."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` documents for a bag of query
+    terms — the sparse half of hybrid retrieval (the dense half is the
+    ANN plane). Robertson/Lucene scoring::
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Spark-first at 100 TB: ONE tokenize projection; ``avgdl`` from an
+    integer dl sum + one division (exact, aggregation-scale); per-term
+    ``df`` from a partial-agg groupBy over MATCHED docs only (the
+    terms array is pre-filtered to the query set before the explode,
+    so the shuffle is hit-scale, not corpus-scale); idf folds to
+    per-term literals; scoring is a single codegen projection over
+    docs passing a cheap ``arrays_overlap`` pre-filter (non-matching
+    docs never evaluate the tf expressions); top-k is Spark's
+    TakeOrderedAndProject with ``id_col`` tiebreak. No Python in the
+    hot path, no corpus-scale shuffle.
+
+    Scores are IEEE doubles built from +,*,/ over exact inputs — every
+    op but the driver-side ``ln`` is bit-deterministic cross-engine
+    (libm ln differs in the last ulp between engines, so differential
+    tests compare scores with tolerance and ranks exactly; same
+    convention as quality_model's logit note).
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk: no query terms")
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    toks = df.select(
+        F.col(id_col),
+        tokenize_terms(F.col(text_col)).alias("_terms"),
+    )
+    # aggregation-scale driver folds (centroid precedent): N, Σdl, and
+    # one df count per query term — never a row collect
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("_terms")).alias("dl_sum"),
+    ).collect()[0]
+    n_docs, dl_sum = int(stats["n"]), int(stats["dl_sum"] or 0)
+    if n_docs == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(0.0).alias("bm25"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    avgdl = dl_sum / n_docs  # exact: int/int, one division
+    matched = toks.where(F.arrays_overlap("_terms", lit_terms))
+    df_rows = (
+        matched.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.array_intersect("_terms", lit_terms)
+                )
+            ).alias("_t"),
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .collect()
+    )
+    dfs = {r["_t"]: int(r["_df"]) for r in df_rows}
+    score = F.lit(0.0)
+    dl = F.size("_terms").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl))
+    )
+    def _tf(term: str) -> Column:
+        # a closure, NOT a default-arg lambda: pyspark reads a
+        # 2-parameter lambda as (element, index) and would bind the
+        # array INDEX over the default
+        return F.size(
+            F.filter("_terms", lambda x: x == F.lit(term))
+        ).cast("double")
+
+    for t in terms:
+        dft = dfs.get(t, 0)
+        if dft == 0:
+            continue  # absent terms contribute nothing
+        idf = math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+        tf = _tf(t)
+        score = score + F.lit(idf) * (
+            tf * F.lit(k1 + 1.0) / (tf + norm)
+        )
+    topk = (
+        matched.select(F.col(id_col), score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+    # rank window runs over at most k rows (post-limit), one partition
+    return topk.select(
+        id_col,
+        "bm25",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col)))
+        .alias("rank"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers (the standard hybrid
+    lexical+dense combiner): ``rrf(d) = Σ_r 1/(c + rank_r(d))`` over
+    the rankers that returned d. Pure rank arithmetic — no score
+    calibration across rankers needed, and (unlike raw-score mixing)
+    deterministic regardless of each ranker's score scale.
+
+    Scale: each input is already top-k-bounded (k·N rows total), so
+    the union + groupBy is ranker-output-scale, never corpus-scale."""
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    parts = [
+        r.select(
+            F.col(item_col),
+            (F.lit(1.0) / (F.lit(c) + F.col(rank_col).cast("double"))).alias(
+                "_rr"
+            ),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = (
+        allr.groupBy(item_col)
+        .agg(F.sum("_rr").alias("rrf"), F.count(F.lit(1)).alias("n_rankers"))
+        .orderBy(F.col("rrf").desc(), F.col(item_col))
+        .limit(k)
+    )
+    return fused.select(
+        item_col,
+        "rrf",
+        "n_rankers",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf").desc(), F.col(item_col)))
+        .alias("rank"),
+    )

@@ -2726,3 +2726,38 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 20 == 0)
     return dsir_select(target, docs).orderBy("doc_id")
+
+
+@query("bm25_hybrid_topk")  # rows-only: BM25 idf is ln-based and libm
+# ln differs across engines in the last ulp (measured 6/171 idf inputs
+# on this box), so scores can't hash-match; the rigorous differential
+# is tests/test_bm25.py (DuckDB re-derivation: ranks exact, scores to
+# 1e-9) — the sketch_profile convention for transcendental outputs.
+def bm25_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 10): BM25 lexical top-k (Robertson
+    scoring, one tokenize projection + hit-scale df agg + codegen
+    score + TakeOrderedAndProject — functions/retrieval.py:bm25_topk)
+    fused with dense cosine top-k by reciprocal-rank fusion
+    (rank-arithmetic only, ranker-output-scale). The sparse+dense
+    retrieval stage every RAG/training-data pipeline runs."""
+    from pyspark.sql import Window
+
+    from featureform_spark.functions.retrieval import bm25_topk, rrf_fuse
+    from featureform_spark.functions.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_topk(docs, ["data", "model", "system"], k=20)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    dense = cosine_topk(emb, qvec, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, dense], k=10).select(
+        "doc_id", "n_rankers", "rank"
+    )
