@@ -230,9 +230,27 @@ def sample_violations(
             F.col("rule"),
         )
     )
-    w = Window.partitionBy("rule").orderBy(rank_key)
+    # Two-phase top-n: a single window partitioned by rule alone would
+    # run ONE task per rule (3 rules = 3-way parallelism over every
+    # violation — 8.9x at x100 in the round-10 scale stress). Phase 1
+    # ranks within (rule, salt) — salt derived from the rank key
+    # itself, so it is deterministic — and keeps n per salt; the
+    # global top-n by md5 is necessarily a subset of the per-salt
+    # top-ns. Phase 2 re-ranks the <= n*S survivors per rule. Same
+    # output, violation-scale work fans across S*rules tasks.
+    n_salts = 32
+    salted = exploded.withColumn("_rk", rank_key).withColumn(
+        "_salt",
+        F.conv(F.substring("_rk", 1, 4), 16, 10).cast("long")
+        % n_salts,
+    )
+    w1 = Window.partitionBy("rule", "_salt").orderBy("_rk")
+    survivors = salted.withColumn(
+        "_r1", F.row_number().over(w1)
+    ).where(F.col("_r1") <= n)
+    w2 = Window.partitionBy("rule").orderBy("_rk")
     return (
-        exploded.withColumn("sample_rank", F.row_number().over(w))
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
         .where(F.col("sample_rank") <= n)
         .select("rule", "sample_rank", *df.columns)
     )

@@ -220,3 +220,29 @@ def test_sample_violations_single_scan_plan(messy):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_sample_violations_two_phase_equals_single_window(spark):
+    """The salted two-phase top-n must pick EXACTLY the rows a single
+    global md5 window would (the per-rule global top-n is a subset of
+    the per-salt top-ns) — checked against an independent pandas
+    re-derivation on a frame large enough that every salt is hit."""
+    import hashlib
+
+    from featureform_spark.functions.expectations import (
+        sample_violations,
+    )
+
+    rows = [(i, i % 97) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    rules = [in_range("n", 0, 50)]
+    got = sample_violations(df, rules, n=7, key_cols=["id"]).collect()
+
+    viol = [i for i, v in rows if v > 50]
+    ranked = sorted(
+        viol,
+        key=lambda i: hashlib.md5(
+            f"{i}\x1fin_range(n)".encode()
+        ).hexdigest(),
+    )[:7]
+    assert [r["id"] for r in sorted(got, key=lambda r: r["sample_rank"])] == ranked
