@@ -217,3 +217,71 @@ def sample_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# weight scale for temperature mixing: floor(n^alpha * 2^20) — large
+# enough that the integer truncation shifts proportions by < 1e-6
+TEMP_W_SCALE = 1 << 20
+
+
+def temperature_weights(
+    counts: dict[str, int], alpha: float
+) -> dict[str, int]:
+    """Integer mixture parts ∝ ``n_s^alpha`` — the multilingual /
+    multi-domain "temperature" reweighting (alpha < 1 upsamples small
+    domains relative to their raw share; alpha=1 is the natural mix).
+
+    ``alpha`` is restricted to {0.25, 0.5, 0.75}: those powers compose
+    from IEEE sqrt and multiply, both CORRECTLY ROUNDED per IEEE-754,
+    so Python, the JVM, and DuckDB produce bit-identical doubles and
+    ``floor(x * 2^20)`` lands on the same integer everywhere. General
+    ``pow`` is a libm transcendental (last-ulp divergence across
+    engines — same reason BM25 scores aren't hash-compared) and is
+    refused rather than silently nondeterministic."""
+    import math
+
+    def f(n: float) -> float:
+        if alpha == 0.5:
+            return math.sqrt(n)
+        if alpha == 0.25:
+            return math.sqrt(math.sqrt(n))
+        if alpha == 0.75:
+            return math.sqrt(n) * math.sqrt(math.sqrt(n))
+        raise ValueError(
+            "temperature alpha must be one of 0.25/0.5/0.75 "
+            "(sqrt-composable — exact cross-engine); got "
+            f"{alpha!r}"
+        )
+
+    if not counts:
+        raise ValueError("temperature_weights: no sources")
+    return {
+        s: int(math.floor(f(float(n)) * TEMP_W_SCALE))
+        for s, n in counts.items()
+        if n > 0
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample a multi-source corpus to ``n_s^alpha`` proportions —
+    the data-mixing temperature knob (alpha=0.5 is the common
+    multilingual setting). One tiny per-source count (aggregation-
+    scale), integer weights via :func:`temperature_weights`, then the
+    same exact-integer threshold selection as :func:`mix_corpus`:
+    deterministic per (key, seed) and bit-reproducible by a SQL
+    oracle that re-derives the weights with its own sqrt."""
+    obs = {
+        r[source_col]: int(r["__n"])
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    return mix_corpus(
+        df, source_col, temperature_weights(obs, alpha), key_cols, seed
+    )

@@ -1215,13 +1215,13 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (text_normalize keeps the text-profile
     # family in the top-50).
     "q3_shipping_priority",
-    # Round-8 rotation: Unicode NFC normalization (the preprocessing
-    # stage before hash dedup; Arrow kernel bit-identical to DuckDB's
-    # nfc_normalize) — new this round. transformation_chained (green
-    # r1-r7) rotates out, stays pytest-oracle-covered
-    # (transformation_daily_agg/avg_order keep P2/P4 surface via
-    # pytest; PIT rows keep the template engine driver-checked).
-    "text_normalize",
+    # Round-10 rotation: temperature-based mixture downsampling
+    # (shares ∝ n^0.5 via IEEE-exact sqrt-derived integer weights +
+    # the exact-integer threshold machinery — the multilingual data-
+    # mixing knob). text_normalize (green r8-r9) rotates out, stays
+    # pytest-oracle-covered (corpus_clean_v2 + quality_model +
+    # lang_id_model keep the text-preprocessing family in the top-50).
+    "temperature_mix_half",
     # round-6 late addition: Iceberg v3 row lineage (mirror of
     # delta_row_tracking). transformation_df_fn (green r1-r5) rotates
     # out, stays pytest-oracle-covered.

@@ -2761,3 +2761,44 @@ def bm25_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], k=10).select(
         "doc_id", "n_rankers", "rank"
     )
+
+
+@query(
+    "temperature_mix_half",
+    """
+    WITH c AS (SELECT source, count(*)::HUGEINT AS n
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 FLOOR(sqrt(n::DOUBLE) * 1048576)::HUGEINT AS w
+          FROM c WHERE n > 0),
+    tw AS (SELECT SUM(w)::HUGEINT AS wt FROM w),
+    k AS (SELECT MIN(n * tw.wt // w.w) AS k FROM w, tw),
+    thr AS (SELECT source,
+                   4294967296::HUGEINT * w * k.k // (tw.wt * n) AS t
+            FROM w, k, tw)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 8))
+               AS BIGINT) < thr.t
+    """,
+)
+def temperature_mix_half_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture downsampling (round 10): target
+    shares ∝ n_s^0.5 — the multilingual/multi-domain temperature knob
+    (alpha < 1 upsamples small domains relative to raw share). Integer
+    weights are floor(sqrt(n) * 2^20): sqrt and multiply are CORRECTLY
+    ROUNDED per IEEE-754, so Python/JVM/DuckDB derive bit-identical
+    weights from the same counts (general pow is libm — refused, same
+    policy as BM25's ln note); from there the exact-integer threshold
+    machinery of corpus_mix makes the selected set a pure function of
+    (key, seed, counts) any engine reproduces. One tiny per-source
+    count + two broadcast joins; the corpus-scale path is one
+    scan + filter."""
+    from featureform_spark.operators.mixing import temperature_mix
+
+    return temperature_mix(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        ["doc_id"],
+        alpha=0.5,
+    ).select("doc_id", "source")

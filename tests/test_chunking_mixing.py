@@ -215,3 +215,58 @@ def test_sample_k_per_group_exact_counts(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sample_k_per_group(df, "grp", 0, ["id"])
+
+
+# ------------------------------------------------ temperature mixing
+
+
+def test_temperature_weights_exact_and_refusals():
+    import math
+
+    from featureform_spark.operators.mixing import (
+        TEMP_W_SCALE,
+        temperature_weights,
+    )
+
+    counts = {"a": 10000, "b": 100, "c": 1}
+    w = temperature_weights(counts, 0.5)
+    assert w == {
+        s: int(math.floor(math.sqrt(n) * TEMP_W_SCALE))
+        for s, n in counts.items()
+    }
+    # alpha < 1 compresses the spread: a/c raw ratio 10000x, weight
+    # ratio 100x at alpha=0.5, ~10x at 0.25
+    assert w["a"] / w["c"] == pytest.approx(100.0, rel=1e-9)
+    w25 = temperature_weights(counts, 0.25)
+    assert w25["a"] / w25["c"] == pytest.approx(10.0, rel=1e-6)
+    with pytest.raises(ValueError, match="0.25/0.5/0.75"):
+        temperature_weights(counts, 0.3)
+    with pytest.raises(ValueError, match="no sources"):
+        temperature_weights({}, 0.5)
+    # zero-count sources drop rather than divide-by-zero later
+    assert "z" not in temperature_weights({"a": 5, "z": 0}, 0.5)
+
+
+def test_temperature_mix_shifts_toward_uniform(spark):
+    from featureform_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = temperature_mix(df, "source", ["doc_id"], alpha=0.5)
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # raw share big:small = 9:1; alpha=0.5 target = sqrt(9000):sqrt(1000)
+    # = 3:1. The small source is fully kept (K anchors on it).
+    assert got["small"] == pytest.approx(1000, abs=60)
+    assert got["big"] / got["small"] == pytest.approx(3.0, rel=0.1)
+    # deterministic under repartitioning
+    again = temperature_mix(
+        df.repartition(13), "source", ["doc_id"], alpha=0.5
+    )
+    assert sorted(r["doc_id"] for r in mixed.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
