@@ -1209,14 +1209,17 @@ class IcebergProtocolTable:
         return data_entries, delete_entries
 
     def _decode_manifests_distributed(
-        self, tasks: list[tuple]
-    ) -> list[tuple]:
+        self, tasks: list[tuple], with_index: bool = False
+    ) -> list:
         """Fan the manifest Avro decode across executors: one narrow
         job over resolved manifest paths, entries shipped back pickled
         and re-sorted to the sequential fold's (manifest, entry) order
         so every consumer sees identical ordering on either path. The
         per-partition worker is module-level — Spark serializes a
-        function reference plus the path list, never the table."""
+        function reference plus the path list, never the table.
+        ``with_index`` returns ``(manifest_idx, entry)`` pairs for
+        consumers that need the carrying manifest (rewrite_manifests'
+        per-manifest sequence fallbacks)."""
         import pickle
 
         sc = self.spark.sparkContext
@@ -1229,6 +1232,8 @@ class IcebergProtocolTable:
             .collect()
         )
         raw.sort(key=lambda r: (r[0], r[1]))
+        if with_index:
+            return [(mi, pickle.loads(b)) for mi, _, b in raw]
         return [pickle.loads(b) for _, _, b in raw]
 
     def _fold_scan_entries(
@@ -3380,42 +3385,76 @@ class IcebergProtocolTable:
             return -1
         # the rewrite breaks manifest-level first_row_id inheritance
         # (spec §Row Lineage), so inherited values must materialize
-        # into the carried entries
-        inh = self._inherited_first_row_ids(snap)
-        entries: list[dict] = []
-        for m in combinable:
-            _, recs = read_container(
-                self._resolve_path(m["manifest_path"])
+        # into the carried entries — a concept v3 tables alone have:
+        # v2 tables skip this whole second decode pass
+        v3_lineage = (
+            int(md.get("format-version", 1)) >= 3
+            and "next-row-id" in md
+        )
+        inh = self._inherited_first_row_ids(snap) if v3_lineage else {}
+        est = sum(
+            int(m.get("added_files_count", m.get("added_data_files_count", 0)) or 0)
+            + int(m.get("existing_files_count", 0) or 0)
+            for m in combinable
+        )
+        tasks = [
+            (
+                mi,
+                self._resolve_path(m["manifest_path"]),
+                int(m.get("sequence_number") or 0),
             )
-            for e in recs:
-                if int(e.get("status", 1)) == 2:
-                    continue  # deleted entries drop out of the rewrite
-                if e["data_file"].get("first_row_id") is None:
-                    v = inh.get(e["data_file"]["file_path"])
-                    if v is not None:
-                        e["data_file"] = dict(
-                            e["data_file"], first_row_id=v
-                        )
-                entries.append(
-                    {
-                        "status": 0,  # existing: lineage/seq preserved
-                        "snapshot_id": e.get("snapshot_id"),
-                        # inherited sequence numbers resolve from the
-                        # carrying manifest before the rewrite breaks
-                        # the inheritance chain
-                        "sequence_number": (
-                            e.get("sequence_number")
-                            if e.get("sequence_number") is not None
-                            else int(m.get("sequence_number") or 0)
-                        ),
-                        "file_sequence_number": (
-                            e.get("file_sequence_number")
-                            if e.get("file_sequence_number") is not None
-                            else int(m.get("sequence_number") or 0)
-                        ),
-                        "data_file": e["data_file"],
-                    }
-                )
+            for mi, m in enumerate(combinable)
+        ]
+        if est >= DISTRIBUTED_PLAN_MIN_ENTRIES and len(tasks) > 1:
+            # entry decode fans out executor-side (auto manifest-merge
+            # runs this on long append chains — at 10^6 files the
+            # sequential fold was minutes of driver time); the worker
+            # already applies the status filter and fills null
+            # sequence_number from the carrying manifest's
+            self.last_plan_mode = "distributed"
+            decoded = self._decode_manifests_distributed(
+                tasks, with_index=True
+            )
+        else:
+            self.last_plan_mode = "driver"
+
+            def _driver_pairs():
+                for mi, path, man_seq in tasks:
+                    _, recs = read_container(path)
+                    for e in recs:
+                        if int(e.get("status", 1)) == 2:
+                            continue  # deleted entries drop out
+                        if e.get("sequence_number") is None:
+                            e["sequence_number"] = man_seq
+                        yield mi, e
+
+            decoded = _driver_pairs()
+        entries: list[dict] = []
+        for mi, e in decoded:
+            m = combinable[mi]
+            if e["data_file"].get("first_row_id") is None:
+                v = inh.get(e["data_file"]["file_path"])
+                if v is not None:
+                    e["data_file"] = dict(
+                        e["data_file"], first_row_id=v
+                    )
+            entries.append(
+                {
+                    "status": 0,  # existing: lineage/seq preserved
+                    "snapshot_id": e.get("snapshot_id"),
+                    # inherited sequence numbers resolve from the
+                    # carrying manifest before the rewrite breaks
+                    # the inheritance chain (the decode already
+                    # filled nulls from the carrying manifest)
+                    "sequence_number": int(e["sequence_number"]),
+                    "file_sequence_number": (
+                        e.get("file_sequence_number")
+                        if e.get("file_sequence_number") is not None
+                        else int(m.get("sequence_number") or 0)
+                    ),
+                    "data_file": e["data_file"],
+                }
+            )
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         combined = self._write_manifest(

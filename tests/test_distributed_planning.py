@@ -15,6 +15,7 @@ the decode now fans out executor-side. These tests pin:
   path, plans correctly, and decodes faster than the sequential fold.
 """
 
+import os
 import time
 
 import pytest
@@ -270,3 +271,68 @@ def test_forced_distributed_orphan_sweep(
     assert not os.path.exists(orphan)
     monkeypatch.setattr(IP, "DISTRIBUTED_PLAN_MIN_ENTRIES", 10**9)
     assert _sorted_rows(t.snapshot()) == want
+
+
+def test_forced_distributed_rewrite_manifests(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """rewrite_manifests' combinable-entry decode through the
+    distributed worker: the combined manifest must carry the same
+    entries (snapshot ids, resolved sequence numbers, paths) as the
+    driver fold produces, and the table reads identically."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    paths = {}
+    for mode, thresh in (("driver", 10**9), ("distributed", 0)):
+        t = IcebergProtocolTable(spark, str(tmp_path / mode))
+        t.create(orders.limit(20).repartition(2))
+        t.append(orders.limit(40).subtract(orders.limit(20)))
+        t.append(orders.limit(60).subtract(orders.limit(40)))
+        monkeypatch.setattr(IP, "DISTRIBUTED_PLAN_MIN_ENTRIES", thresh)
+        sid = t.rewrite_manifests()
+        assert sid != -1
+        assert t.last_plan_mode == mode
+        monkeypatch.setattr(IP, "DISTRIBUTED_PLAN_MIN_ENTRIES", 10**9)
+        ents, _ = t._live_entries(t.current_snapshot())
+        paths[mode] = sorted(
+            (int(e["sequence_number"]), int(e["status"]))
+            for e in ents
+        )
+        assert t.snapshot().count() == 60
+    # same multiset of (resolved sequence number, status) either path
+    # (file names are per-table UUIDs; row equality is the snapshot
+    # count check above)
+    assert paths["driver"] == paths["distributed"]
+    assert all(s == 0 for _, s in paths["driver"])  # existing entries
+
+
+def test_rewrite_manifests_skips_lineage_pass_on_v2(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """v2 tables have no row lineage: the inheritance pre-pass (a full
+    second entry decode) must not run at all."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = IcebergProtocolTable(spark, str(tmp_path / "v2skip"))
+    t.create(orders.limit(20).repartition(2))
+    t.append(orders.limit(40).subtract(orders.limit(20)))
+
+    called = []
+    orig = IcebergProtocolTable._inherited_first_row_ids
+
+    def spy(self, snap):
+        called.append(1)
+        return orig(self, snap)
+
+    monkeypatch.setattr(
+        IcebergProtocolTable, "_inherited_first_row_ids", spy
+    )
+    assert t.rewrite_manifests() != -1
+    assert not called
+    assert t.snapshot().count() == 40
+
+    # v3 table still runs it
+    t3 = IcebergProtocolTable(spark, str(tmp_path / "v3run"))
+    t3.create(orders.limit(20).repartition(2))
+    t3.upgrade_format_version(3)
+    t3.append(orders.limit(40).subtract(orders.limit(20)))
+    assert t3.rewrite_manifests() != -1
+    assert called
