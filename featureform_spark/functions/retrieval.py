@@ -129,16 +129,16 @@ def bm25_topk(
         score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
         idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
 
-    Spark-first at 100 TB: ONE tokenize projection; ``avgdl`` from an
-    integer dl sum + one division (exact, aggregation-scale); per-term
-    ``df`` from a partial-agg groupBy over MATCHED docs only (the
-    terms array is pre-filtered to the query set before the explode,
-    so the shuffle is hit-scale, not corpus-scale); idf folds to
-    per-term literals; scoring is a single codegen projection over
-    docs passing a cheap ``arrays_overlap`` pre-filter (non-matching
-    docs never evaluate the tf expressions); top-k is Spark's
-    TakeOrderedAndProject with ``id_col`` tiebreak. No Python in the
-    hot path, no corpus-scale shuffle.
+    Spark-first at 100 TB: ONE tokenize projection; ``avgdl``, ``N``
+    and every per-term ``df`` come from a SINGLE partial-aggregated
+    corpus pass (conditional ``array_contains`` counts — one agg job,
+    #terms+2 output numbers); ``avgdl`` is an integer dl sum + one
+    division (exact); idf folds to per-term literals; scoring is a
+    single codegen projection over docs passing a cheap
+    ``arrays_overlap`` pre-filter (non-matching docs never evaluate
+    the tf expressions); top-k is Spark's TakeOrderedAndProject with
+    ``id_col`` tiebreak. Two corpus passes total (stats, score), no
+    Python in the hot path, no corpus-scale shuffle.
 
     Scores are IEEE doubles built from +,*,/ over exact inputs — every
     op but the driver-side ``ln`` is bit-deterministic cross-engine
@@ -156,12 +156,19 @@ def bm25_topk(
         F.col(id_col),
         tokenize_terms(F.col(text_col)).alias("_terms"),
     )
-    # aggregation-scale driver folds (centroid precedent): N, Σdl, and
-    # one df count per query term — never a row collect
-    stats = toks.agg(
+    # aggregation-scale driver fold (centroid precedent): N, Σdl, and
+    # one df count per query term — ALL from one partial-agg corpus
+    # pass (#terms+2 output numbers), never a row collect
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("_terms")).alias("dl_sum"),
-    ).collect()[0]
+    ] + [
+        F.sum(
+            F.when(F.array_contains("_terms", t), 1).otherwise(0)
+        ).alias(f"_df{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = toks.agg(*aggs).collect()[0]
     n_docs, dl_sum = int(stats["n"]), int(stats["dl_sum"] or 0)
     if n_docs == 0:
         return df.select(
@@ -171,20 +178,9 @@ def bm25_topk(
         ).limit(0)
     avgdl = dl_sum / n_docs  # exact: int/int, one division
     matched = toks.where(F.arrays_overlap("_terms", lit_terms))
-    df_rows = (
-        matched.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    F.array_intersect("_terms", lit_terms)
-                )
-            ).alias("_t"),
-        )
-        .groupBy("_t")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .collect()
-    )
-    dfs = {r["_t"]: int(r["_df"]) for r in df_rows}
+    dfs = {
+        t: int(stats[f"_df{i}"] or 0) for i, t in enumerate(terms)
+    }
     score = F.lit(0.0)
     dl = F.size("_terms").cast("double")
     norm = F.lit(k1) * (

@@ -63,7 +63,13 @@ class SqliteOnlineStore:
             "CREATE TABLE IF NOT EXISTS tables (tbl TEXT PRIMARY KEY)"
         )
         self._db.commit()
-        self._clock = clock or time.monotonic
+        # WALL clock, not monotonic: deadlines PERSIST across process
+        # restarts here, and a monotonic epoch resets with the process
+        # — a reopened store would compare stored deadlines against a
+        # fresh zero and serve expired values (or reap fresh ones).
+        # The in-memory store can use monotonic because its state
+        # dies with the process.
+        self._clock = clock or time.time
 
     # -- table plane (the InMemoryOnlineStore contract) -----------------
 

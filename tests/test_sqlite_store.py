@@ -119,3 +119,29 @@ def test_sqlite_materialize_copy_durable(spark, sf_dir, tmp_path):
     s2 = SqliteOnlineStore(path)
     assert s2.table_size("user_value") == n
     assert s2.get("user_value", one["entity"]) == one["value"]
+
+
+def test_sqlite_ttl_survives_reopen(tmp_path):
+    """Deadlines are wall-clock and persist: a reopened store honors a
+    TTL set by the previous process (a monotonic clock would reset
+    with the process and corrupt every stored deadline)."""
+    path = str(tmp_path / "ttl.db")
+    clock = [1000.0]
+    s = SqliteOnlineStore(path, clock=lambda: clock[0])
+    s.set("t", 1, "short", ttl_seconds=10)   # deadline 1010
+    s.set("t", 2, "long", ttl_seconds=10**6)
+    s.close()
+
+    # "restart": same wall clock domain, a bit later
+    clock[0] = 1500.0
+    s2 = SqliteOnlineStore(path, clock=lambda: clock[0])
+    assert s2.get("t", 1) is None      # expired across the restart
+    assert s2.get("t", 2) == "long"    # still live
+    # default clock is wall time (time.time), never monotonic
+    import time as _time
+
+    s3 = SqliteOnlineStore(str(tmp_path / "w.db"))
+    before = _time.time()
+    s3.set("t", 1, "v", ttl_seconds=3600)
+    row = s3._db.execute("SELECT deadline FROM kv").fetchone()
+    assert row[0] >= before + 3599
