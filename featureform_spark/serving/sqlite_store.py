@@ -45,7 +45,15 @@ class SqliteOnlineStore:
     def __init__(self, path: str, clock=None):
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._db = sqlite3.connect(path)
+        import threading
+
+        # check_same_thread=False + a process-level lock: Structured
+        # Streaming's foreachBatch upserts run on stream-execution
+        # threads, not the thread that opened the store; all access
+        # serializes through self._lock so the read-compare-write in
+        # set_if_newer stays atomic across threads too
+        self._db = sqlite3.connect(path, check_same_thread=False)
+        self._lock = threading.RLock()
         # true autocommit: single statements commit themselves; the
         # one read-compare-write (set_if_newer) opens its own
         # BEGIN IMMEDIATE — no interference from the sqlite3 module's
@@ -74,15 +82,18 @@ class SqliteOnlineStore:
     # -- table plane (the InMemoryOnlineStore contract) -----------------
 
     def ensure_table(self, table: str) -> None:
-        self._db.execute(
-            "INSERT OR IGNORE INTO tables (tbl) VALUES (?)", (table,)
-        )
-        self._db.commit()
+        with self._lock:
+            self._db.execute(
+                "INSERT OR IGNORE INTO tables (tbl) VALUES (?)",
+                (table,),
+            )
+            self._db.commit()
 
     def _known(self, table: str) -> bool:
-        row = self._db.execute(
-            "SELECT 1 FROM tables WHERE tbl = ?", (table,)
-        ).fetchone()
+        with self._lock:
+            row = self._db.execute(
+                "SELECT 1 FROM tables WHERE tbl = ?", (table,)
+            ).fetchone()
         return row is not None
 
     def set(
@@ -97,17 +108,19 @@ class SqliteOnlineStore:
             if ttl_seconds is not None
             else None
         )
-        self._db.execute(
-            "INSERT OR IGNORE INTO tables (tbl) VALUES (?)", (table,)
-        )
-        self._db.execute(
-            "INSERT INTO kv (tbl, k, v, ts, deadline)"
-            " VALUES (?, ?, ?, NULL, ?)"
-            " ON CONFLICT (tbl, k) DO UPDATE SET"
-            " v = excluded.v, deadline = excluded.deadline",
-            (table, _k(entity), pickle.dumps(value), deadline),
-        )
-        self._db.commit()
+        with self._lock:
+            self._db.execute(
+                "INSERT OR IGNORE INTO tables (tbl) VALUES (?)",
+                (table,),
+            )
+            self._db.execute(
+                "INSERT INTO kv (tbl, k, v, ts, deadline)"
+                " VALUES (?, ?, ?, NULL, ?)"
+                " ON CONFLICT (tbl, k) DO UPDATE SET"
+                " v = excluded.v, deadline = excluded.deadline",
+                (table, _k(entity), pickle.dumps(value), deadline),
+            )
+            self._db.commit()
 
     def set_if_newer(
         self,
@@ -122,6 +135,7 @@ class SqliteOnlineStore:
         a winning write refreshes (or clears) the TTL deadline. The
         read-compare-write runs inside one IMMEDIATE transaction."""
         key = _k(entity)
+        self._lock.acquire()
         self._db.execute("BEGIN IMMEDIATE")
         try:
             row = self._db.execute(
@@ -157,34 +171,38 @@ class SqliteOnlineStore:
         except Exception:
             self._db.rollback()
             raise
+        finally:
+            self._lock.release()
 
     def get(self, table: str, entity: Any) -> Any:
         if not self._known(table):
             raise KeyError(table)  # same contract as the dict store
-        row = self._db.execute(
-            "SELECT v, deadline FROM kv WHERE tbl = ? AND k = ?",
-            (table, _k(entity)),
-        ).fetchone()
-        if row is None:
-            return None
-        v, deadline = row
-        if deadline is not None and self._clock() >= deadline:
-            # lazy expiry, Redis-style: reap on read
-            self._db.execute(
-                "DELETE FROM kv WHERE tbl = ? AND k = ?",
+        with self._lock:
+            row = self._db.execute(
+                "SELECT v, deadline FROM kv WHERE tbl = ? AND k = ?",
                 (table, _k(entity)),
-            )
-            self._db.commit()
-            return None
+            ).fetchone()
+            if row is None:
+                return None
+            v, deadline = row
+            if deadline is not None and self._clock() >= deadline:
+                # lazy expiry, Redis-style: reap on read
+                self._db.execute(
+                    "DELETE FROM kv WHERE tbl = ? AND k = ?",
+                    (table, _k(entity)),
+                )
+                self._db.commit()
+                return None
         return pickle.loads(v)
 
     def serve_features(self, tables: list[str], entity: Any) -> list[Any]:
         return [self.get(t, entity) for t in tables]
 
     def table_size(self, table: str) -> int:
-        row = self._db.execute(
-            "SELECT count(*) FROM kv WHERE tbl = ?", (table,)
-        ).fetchone()
+        with self._lock:
+            row = self._db.execute(
+                "SELECT count(*) FROM kv WHERE tbl = ?", (table,)
+            ).fetchone()
         return int(row[0])
 
     def close(self) -> None:

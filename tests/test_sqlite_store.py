@@ -145,3 +145,45 @@ def test_sqlite_ttl_survives_reopen(tmp_path):
     s3.set("t", 1, "v", ttl_seconds=3600)
     row = s3._db.execute("SELECT deadline FROM kv").fetchone()
     assert row[0] >= before + 3599
+
+
+def test_sqlite_streaming_upsert_durable(spark, tmp_path):
+    """ST1 into the durable store: stream -> per-batch latest-per-
+    entity -> set_if_newer lands in sqlite; a late out-of-order batch
+    can't clobber the newer value, and a RESTARTED serving process
+    reads the converged state from disk."""
+    import datetime
+
+    from featureform_spark.streaming.incremental import stream_to_online
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    SCHEMA = "entity string, value double, ts timestamp, event_id long"
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    path = str(tmp_path / "stream.db")
+    store = SqliteOnlineStore(path)
+    spark.createDataFrame(
+        [("a", 1.0, t(5), 0), ("b", 2.0, t(1), 1)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        q = stream_to_online(
+            stream, store, "feat", "entity", "value", "ts",
+            str(tmp_path / "sckpt"))
+        q.awaitTermination(60)
+
+    run()
+    assert store.get("feat", "a") == 1.0
+    spark.createDataFrame(
+        [("a", 0.5, t(2), 2), ("c", 3.0, t(1), 3)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+    run()
+    assert store.get("feat", "a") == 1.0  # stale write ignored
+    assert store.get("feat", "c") == 3.0
+    store.close()
+    reopened = SqliteOnlineStore(path)
+    assert reopened.get("feat", "a") == 1.0
+    assert reopened.table_size("feat") == 3
