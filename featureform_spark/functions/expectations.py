@@ -218,6 +218,16 @@ def sample_violations(
                 "(uniqueness) — row sampling cannot attribute it; "
                 "use expect()"
             )
+    reserved = {"rule", "sample_rank", "_rk", "_salt", "_r1", "_violations"}
+    clash = reserved & {c.lower() for c in df.columns}
+    if clash:
+        # Spark resolves columns case-insensitively, so explode(...)
+        # .alias('rule') next to an input 'rule'/'RULE' column makes
+        # F.col('rule') ambiguous (or silently binds the wrong one).
+        raise ValueError(
+            "sample_violations: input columns collide with internal "
+            f"names {sorted(clash)}; rename them first"
+        )
     _, bad = quarantine(df, rules)
     exploded = bad.select(
         F.explode("_violations").alias("rule"), "*"

@@ -155,7 +155,11 @@ def bm25_topk(
     toks = df.select(
         F.col(id_col),
         tokenize_terms(F.col(text_col)).alias("_terms"),
-    )
+    ).where(F.col("_terms").isNotNull())
+    # NULL-text rows tokenize to NULL and can never match a term;
+    # dropping them BEFORE the stats pass keeps N, avgdl, and df
+    # computed over the same document set (counting them in N alone
+    # would silently deflate avgdl and inflate idf)
     # aggregation-scale driver fold (centroid precedent): N, Σdl, and
     # one df count per query term — ALL from one partial-agg corpus
     # pass (#terms+2 output numbers), never a row collect

@@ -110,15 +110,37 @@ def gap_fill(
     spans = per_bucket.groupBy("entity").agg(
         F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
     )
-    grid = spans.select(
-        "entity",
-        F.explode(
-            F.sequence(
-                F.col("lo"), F.col("hi"),
-                F.expr(f"INTERVAL {step}"),
-            )
-        ).alias("bucket_start"),
-    )
+    stride_s = _step_seconds(step)
+    if stride_s is not None:
+        # fixed-length strides walk the grid in EPOCH-LONG space:
+        # Spark's sequence() over timestamps steps in session-local
+        # wall-clock (a "+86400 SECOND" step becomes 23 physical hours
+        # across a DST spring-forward), which would walk off the
+        # epoch-floor buckets in any DST session timezone. A long
+        # sequence has no timezone to consult — and is cheaper.
+        grid = spans.select(
+            "entity",
+            F.explode(
+                F.sequence(
+                    F.col("lo").cast("long"),
+                    F.col("hi").cast("long"),
+                    F.lit(stride_s),
+                )
+            ).alias("_b"),
+        ).select(
+            "entity", F.timestamp_seconds("_b").alias("bucket_start")
+        )
+    else:
+        # calendar strides (1 week / 1 month) keep the calendar walk —
+        # variable-length by definition, matching date_trunc buckets
+        grid = spans.select(
+            "entity",
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step}")
+                )
+            ).alias("bucket_start"),
+        )
     joined = grid.join(per_bucket, ["entity", "bucket_start"], "left")
     out = joined.withColumn("is_filled", F.col("value").isNull())
     if how == "zero":
@@ -176,22 +198,29 @@ _STEP_SECONDS = {
 def _step_bucket(step: str, col):
     """Bucket expression for a gap_fill stride.
 
-    Unit strides ("1 hour", "1 week", "1 month") keep their original
-    calendar alignment via ``date_trunc`` (weeks start Monday, months
-    on the 1st — and month lengths vary, so no fixed-second floor can
-    express them). Any other fixed-length stride ("15 minute",
-    "6 hour", "90 second", "2 day") buckets by epoch floor:
+    EVERY fixed-length stride ("1 hour", "24 hour", "15 minute",
+    "2 day", "90 second") buckets by the same UTC epoch floor:
     ``floor(unix_ts / stride_s) * stride_s`` — every bucket start is
     an exact multiple of the stride from 1970-01-01 UTC, so the
-    sequence() grid hits exactly the buckets the aggregation filled.
-    Multi-unit strides ("1 hour 30 minutes") and "N month"/"N week"
-    for N > 1 (calendar-variable) are refused loudly."""
+    sequence() grid hits exactly the buckets the aggregation filled,
+    and nominally-equal strides ("1 day" vs "24 hour") always produce
+    the SAME grid regardless of the session timezone. (date_trunc
+    would align "1 day" to session-timezone calendar midnight and
+    even "1 hour" to :30-UTC boundaries in half-hour zones — a grid
+    that silently shifts with ``spark.sql.session.timeZone``.)
+
+    Only the calendar-variable strides "1 week" / "1 month" keep
+    ``date_trunc`` (weeks start Monday, months on the 1st, month
+    lengths vary — no fixed-second floor expresses them); these two
+    ARE session-timezone-aligned by definition. Multi-unit strides
+    ("1 hour 30 minutes") and "N month"/"N week" for N > 1 are
+    refused loudly."""
     parts = step.strip().split()
     if len(parts) == 2:
         n_str, unit = parts
         unit = unit.lower().rstrip("s")
         n = int(n_str) if n_str.isdigit() else 0
-        if n == 1 and unit in ("minute", "hour", "day", "week", "month"):
+        if n == 1 and unit in ("week", "month"):
             return F.date_trunc(unit, col)
         if n >= 1 and unit in ("second", "minute", "hour", "day"):
             s = n * _STEP_SECONDS[unit]
@@ -200,9 +229,20 @@ def _step_bucket(step: str, col):
                 * F.lit(s)
             )
     raise ValueError(
-        f"unsupported gap_fill step {step!r} — use '1 "
-        "minute/hour/day/week/month' or 'N second/minute/hour/day'"
+        f"unsupported gap_fill step {step!r} — use '1 week', "
+        "'1 month', or 'N second/minute/hour/day'"
     )
+
+
+def _step_seconds(step: str) -> int | None:
+    """Stride length in exact seconds, or None for the two
+    calendar-variable strides (1 week / 1 month) that have no fixed
+    length. Matches :func:`_step_bucket`'s validation."""
+    n_str, unit = step.strip().split()
+    unit = unit.lower().rstrip("s")
+    if unit in ("week", "month"):
+        return None
+    return int(n_str) * _STEP_SECONDS[unit]
 
 
 def funnel(

@@ -204,6 +204,14 @@ class UnsupportedIcebergFeatureError(IcebergProtocolError):
     returning silently-wrong rows."""
 
 
+class CommitConflictError(IcebergProtocolError):
+    """A pinned-CAS commit lost the race to a concurrent writer.
+    Retryable by design: refold on fresh metadata and re-run. Kept as
+    a distinct subclass so best-effort follow-ons (append's auto
+    manifest-merge) can swallow ONLY the lost race, never a real
+    failure like a corrupt manifest or an unsupported feature."""
+
+
 # ------------------------------------------------------------ type mapping
 
 _ICE_TO_SPARK = {
@@ -4662,7 +4670,7 @@ class IcebergProtocolTable:
         try:
             return self._advance(*args, **kw)
         except FileExistsError:
-            raise IcebergProtocolError(
+            raise CommitConflictError(
                 f"{op} lost a concurrent commit race — re-run it on "
                 "fresh metadata"
             ) from None
@@ -4691,7 +4699,7 @@ class IcebergProtocolTable:
         try:
             self._commit_metadata(md, pinned_version + 1)
         except FileExistsError:
-            raise IcebergProtocolError(
+            raise CommitConflictError(
                 f"{op} lost a concurrent commit race — re-run it "
                 "on fresh metadata"
             ) from None
@@ -5279,12 +5287,15 @@ class IcebergProtocolTable:
                     # already committed above. A lost commit race here
                     # (pinned-CAS loud-fail) must not propagate — a
                     # caller retrying the "failed" append would
-                    # double-append the same rows. Swallow and let the
-                    # next append (or an explicit rewrite_manifests)
-                    # fold on fresh metadata.
+                    # double-append the same rows. Swallow ONLY the
+                    # lost race and let the next append (or an
+                    # explicit rewrite_manifests) fold on fresh
+                    # metadata; anything else (corrupt manifest,
+                    # unsupported feature) is real table damage and
+                    # must propagate.
                     try:
                         self.rewrite_manifests()
-                    except IcebergProtocolError:
+                    except CommitConflictError:
                         pass
         return sid
 

@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from featureform_spark.sources.iceberg_protocol import (
+    CommitConflictError,
     IcebergProtocolError,
     IcebergProtocolTable,
 )
@@ -50,7 +51,7 @@ def test_append_survives_followon_merge_race(spark, tmp_path, monkeypatch):
     extra = spark.createDataFrame([(1000, "x")], "id long, s string")
 
     def boom():
-        raise IcebergProtocolError(
+        raise CommitConflictError(
             "rewrite_manifests lost a concurrent commit race — "
             "re-run it on fresh metadata"
         )
@@ -59,6 +60,27 @@ def test_append_survives_followon_merge_race(spark, tmp_path, monkeypatch):
     sid = t.append(extra)  # must NOT raise
     assert sid is not None
     assert t.snapshot().count() == before + 1
+
+
+def test_append_followon_merge_real_failure_propagates(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: only the lost CAS race may be swallowed — a real
+    failure inside the follow-on merge (corrupt manifest, unsupported
+    feature) is table damage and must surface, not hide until a later
+    operation."""
+    t = _mk(spark, tmp_path / "m3", properties=MERGE_PROPS)
+    extra = spark.createDataFrame([(1000, "x")], "id long, s string")
+
+    def boom():
+        raise IcebergProtocolError("corrupt manifest during rewrite")
+
+    monkeypatch.setattr(t, "rewrite_manifests", boom)
+    with pytest.raises(IcebergProtocolError, match="corrupt manifest"):
+        t.append(extra)
+    # the append's OWN snapshot committed before the merge attempt —
+    # the data is durable even though the follow-on surfaced its error
+    assert t.snapshot().count() == 41
 
 
 def test_append_followon_merge_still_runs(spark, tmp_path):
