@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from featureform_spark.functions.lsh_autosize import auto_minhash_params
 from featureform_spark.functions.text import tokens_expr
 
 
@@ -166,16 +167,27 @@ def lsh_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 24,
-    bands: int = 8,
+    num_hashes: int | None = 24,
+    bands: int | None = 8,
     shingle_n: int = 3,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(id, bucket) — one row per document per LSH band; ``bucket`` is
     ``"<band>:" || md5(band signature slice)``. Two docs are near-dup
     *candidates* iff they share ≥1 bucket. This is the persistable half
     of the LSH pipeline: a signature store keeps exactly these rows
     (bands, not raw shingles), so incremental dedup of a new batch is a
-    bucket equi-join against the store."""
+    bucket equi-join against the store.
+
+    ``num_hashes=None`` / ``bands=None`` auto-sizes both from the
+    corpus row count (see :mod:`lsh_autosize` — the 100-TB knob; pass
+    ``n_rows`` to skip the count job). NOTE: persisted signature
+    stores must pin explicit values — a store written at one banding
+    cannot be joined against buckets computed at another."""
+    if num_hashes is None or bands is None:
+        num_hashes, bands = auto_minhash_params(
+            n_rows if n_rows is not None else df.count()
+        )
     rows_per_band = num_hashes // bands
     sig = (
         _with_hash_halves(_exploded_shingles(df, id_col, text_col, shingle_n))
@@ -247,10 +259,11 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 24,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -262,13 +275,25 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
-    Banding defaults (24 hashes, 8 bands × 3 rows → s-curve threshold
-    ≈ 0.5): corpora with a shared small vocabulary have baseline pair
-    similarity ~0.04, and r=2 bands would admit ~j² · pairs false
-    candidates — the verify join, not the signatures, is what explodes.
-    r=3 keeps the candidate rate at j=0.04 near 8·6e-5 while missing
-    <1% of true 0.77-Jaccard near-dups.
+    Banding AUTO-SIZES from the corpus row count by default
+    (``num_hashes=None, bands=None`` — pass ``n_rows`` to skip the
+    count job): rows-per-band grows logarithmically so the per-doc
+    false-candidate rate stays flat as the corpus grows, and bands
+    track the s-curve at design threshold 0.5 (see
+    :mod:`lsh_autosize`). Under ~64k docs the derivation reproduces
+    the long-pinned (24 hashes, 8 bands × 3 rows) exactly: corpora
+    with a shared small vocabulary have baseline pair similarity
+    ~0.04, and r=2 bands would admit ~j² · pairs false candidates —
+    the verify join, not the signatures, is what explodes. r=3 keeps
+    the candidate rate at j=0.04 near 8·6e-5 while missing <1% of
+    true 0.77-Jaccard near-dups; at 500k docs the same budget needs
+    r=4 (b=16, k=64), which the auto path picks.
     """
+    if num_hashes is None or bands is None:
+        num_hashes, bands = auto_minhash_params(
+            n_rows if n_rows is not None else df.count(),
+            design_threshold=0.5,
+        )
     buckets = lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     left = buckets.alias("l")
     right = buckets.alias("r")

@@ -1,0 +1,108 @@
+"""Corpus-size-aware LSH parameter derivation (round-11 scale knob).
+
+The LSH family (MinHash banding, hyperplane bucketing) was shipped with
+fixed defaults (24 hashes / 8 bands, 8 planes) tuned for the test
+corpora. Fixed bucket/band counts are a 100-TB trap: expected bucket
+occupancy grows linearly with corpus size, so the in-bucket candidate
+join — the only super-linear step in any of these pipelines — grows
+quadratically in occupancy. The x100 scale stress measured the shape:
+37-75x wall at 100x data, all from candidate-list growth, and proved
+the knob (num_planes 8 -> 14 at x100: 41.9s -> 6.9s, recall 1.0).
+
+These derivations size the knob from ONE cheap number — the corpus row
+count — using the standard occupancy models:
+
+* **Hyperplane LSH** (``auto_num_planes``): ``2^planes`` buckets over
+  ``n`` vectors gives expected occupancy ``n / 2^planes``; hold it at
+  ``target_bucket_rows`` => ``planes = ceil(log2(n / target))``.
+* **MinHash banding** (``auto_minhash_params``): for an unrelated doc
+  pair with baseline Jaccard ``j``, a band of ``r`` rows collides with
+  probability ``j^r``, so each doc draws ``n * j^r`` false candidates
+  per band; hold that at ``target_candidates_per_band`` =>
+  ``r = ceil(ln(n / target) / ln(1 / j))``. Bands then come from the
+  s-curve threshold ``t ~ (1/b)^(1/r)`` at the DESIGN similarity =>
+  ``b = round(t^-r)`` (capped by ``max_hashes``), preserving the
+  detection threshold while the false-candidate rate stays flat.
+
+Floors reproduce the long-pinned defaults on every test corpus
+(n <= 16k docs => 24 hashes / 8 bands; n <= 4k vectors => 8 planes), so
+auto-sized callers are bit-identical to the pinned suite queries at
+driver scale and only re-size where it matters. The oracle-paired
+suite rows stay EXPLICITLY pinned regardless (sf-independence of the
+oracle SQL); library callers get auto by default.
+
+Cost model for the count itself: one ``count()`` over the input — for
+a parquet-backed corpus that is a metadata fold, and every caller
+accepts ``n_rows=`` to skip it when the size is already known (e.g. a
+catalog row count or an upstream ``.count()``).
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["auto_num_planes", "auto_minhash_params"]
+
+
+def auto_num_planes(
+    n_rows: int,
+    target_bucket_rows: int = 16,
+    min_planes: int = 8,
+    max_planes: int = 20,
+) -> int:
+    """Hyperplane count holding expected bucket occupancy at
+    ``target_bucket_rows``: ``ceil(log2(n / target))``, clamped.
+
+    min_planes=8 reproduces the pinned default for every corpus under
+    ``target * 2^8`` = 4,096 vectors; max_planes=20 caps the bucket
+    space at ~1M (beyond that the bucket key itself stops paying for
+    its shuffle width, and 2^20 buckets holds a trillion rows at the
+    default target occupancy of 16... per shard — shard first)."""
+    if n_rows <= 0:
+        return min_planes
+    if target_bucket_rows < 1:
+        raise ValueError("target_bucket_rows must be >= 1")
+    planes = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
+    return max(min_planes, min(max_planes, planes))
+
+
+def auto_minhash_params(
+    n_rows: int,
+    design_threshold: float = 0.5,
+    target_candidates_per_band: int = 8,
+    baseline_jaccard: float = 0.05,
+    min_rows_per_band: int = 3,
+    max_hashes: int = 96,
+) -> tuple[int, int]:
+    """(num_hashes, bands) holding the per-doc false-candidate rate
+    flat while keeping the s-curve threshold at ``design_threshold``.
+
+    Rows per band: ``r = ceil(ln(n / target) / ln(1 / j_baseline))``
+    — the smallest r where an unrelated pair (baseline similarity j)
+    draws at most ``target`` collisions per doc per band. Bands:
+    ``b = round(design_threshold ** -r)`` so ``(1/b)^(1/r)`` stays at
+    the design threshold, capped at ``max_hashes // r`` (a capped b
+    raises the effective threshold slightly — stricter, never looser
+    on false candidates).
+
+    min_rows_per_band=3 with threshold 0.5 reproduces the pinned
+    default (r=3, b=8, k=24) for every corpus under
+    ``target / j^3`` = 64k docs; growth beyond is logarithmic
+    (500k docs -> r=4, b=16, k=64)."""
+    if not 0.0 < design_threshold < 1.0:
+        raise ValueError("design_threshold must be in (0, 1)")
+    if not 0.0 < baseline_jaccard < design_threshold:
+        raise ValueError(
+            "baseline_jaccard must be in (0, design_threshold)"
+        )
+    if n_rows <= 0:
+        r = min_rows_per_band
+    else:
+        need = math.log(
+            max(n_rows / target_candidates_per_band, 1.0)
+        ) / math.log(1.0 / baseline_jaccard)
+        r = max(min_rows_per_band, math.ceil(need))
+    r = min(r, max_hashes // 2)  # keep at least 2 bands possible
+    bands = round(design_threshold ** -r)
+    bands = max(1, min(bands, max_hashes // r))
+    return bands * r, bands

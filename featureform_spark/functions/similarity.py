@@ -33,6 +33,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from featureform_spark.functions.lsh_autosize import auto_num_planes
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -248,10 +250,11 @@ def bucket_expr(vec: Column, dim: int, num_planes: int) -> Column:
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     cosine_threshold: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
@@ -260,6 +263,13 @@ def embedding_near_dup_pairs(
     exact cosine computed on candidates only. Output (id_a, id_b, cosine)
     with id_a < id_b.
 
+    ``num_planes=None`` (default) auto-sizes the bucket space from the
+    corpus row count so expected occupancy stays flat as the corpus
+    grows (``ceil(log2(n/16))``, floor 8 — identical to the old pinned
+    default under 4k vectors; 14 planes at the 200k-vector x100 run
+    that measured 41.9s -> 6.9s from this one knob). Pass ``n_rows``
+    to skip the count job when the size is already known.
+
     Single-scan design: bucket and vector norm are inline expressions on
     the one projection (no join to attach the bucket, which would be a
     whole-corpus shuffle), so the per-candidate-pair work after the
@@ -267,6 +277,10 @@ def embedding_near_dup_pairs(
     precomputed. ``dot/(na*nb)`` preserves the exact fp operation order
     of ``cosine_expr``, so results are bit-identical to the oracle.
     """
+    if num_planes is None:
+        num_planes = auto_num_planes(
+            n_rows if n_rows is not None else df.count()
+        )
     v = _as_double(F.col(vec_col))
     base = df.select(
         F.col(id_col),
@@ -544,10 +558,11 @@ def hard_negatives(
     df: DataFrame,
     dim: int,
     k: int = 3,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor, the
     ``k`` most-similar vectors with a DIFFERENT label — the pairs a
@@ -557,9 +572,21 @@ def hard_negatives(
     equi-join as ``embedding_near_dup_pairs`` — never corpus²); ranking
     is a per-anchor window over that bounded candidate set. Output:
     ``(anchor_id, negative_id, cosine, rank)``.
+
+    ``num_planes=None`` auto-sizes the bucket space from the corpus
+    row count (same derivation and floor-8 pinned-compatibility as
+    ``embedding_near_dup_pairs``); pass ``n_rows`` to skip the count.
+    NOTE: fewer candidates per anchor is the POINT at scale, but an
+    anchor's bucket must still hold enough different-label vectors to
+    fill k ranks — the default occupancy target of 16 leaves headroom
+    for k <= ~8.
     """
     from pyspark.sql import Window
 
+    if num_planes is None:
+        num_planes = auto_num_planes(
+            n_rows if n_rows is not None else df.count()
+        )
     base = df.select(
         F.col(id_col),
         F.col(label_col),

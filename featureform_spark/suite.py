@@ -1326,13 +1326,6 @@ PRIORITY: tuple[str, ...] = (
     # more of the same operator (grid, fill modes, decimal-exact
     # bucket sums) plus the new stride path.
     "gap_fill_15min",
-    # Round-9 late rotation: ordered funnel analysis (one shuffle
-    # regardless of depth: per-entity sorted structs + one aggregate
-    # fold; the oracle's iterative MIN-join form is the semantics
-    # spec) — new this round. readability (green r7-r8) rotates out,
-    # stays pytest-oracle-covered (quality_model keeps trained
-    # text scoring in the top-50).
-    "funnel_conversion",
     # Round-7: the trained-model pipeline composition (quality_model
     # keep -> lang_id_model 'en' -> dedup_substrings). corpus_clean v1
     # (green r1-r6) rotates out, stays pytest-oracle-covered.
@@ -1373,12 +1366,6 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (delta_cdf_incremental keeps CDF in the
     # top-50).
     "delta_variant_extract",
-    # Round-8 rotation: the `partitions` inspection table (driver-side
-    # manifest fold vs a plain groupBy oracle) — new this round.
-    # iceberg_hidden_partitioning (green r6-r7) rotates out, stays
-    # pytest-oracle-covered (iceberg_partition_evolution keeps spec
-    # coverage in the top-50).
-    "iceberg_partitions_meta",
     # Round-8 rotation: type-widening lifecycle (metadata-only widen,
     # narrow files upcast per file, beyond-int append) — new this
     # round, enters the driver top-50 the round it lands.
@@ -1390,11 +1377,30 @@ PRIORITY: tuple[str, ...] = (
     # pruned range read) — new this round. packing_efficiency (green
     # r6-r7) rotates out, stays pytest-oracle-covered.
     "delta_liquid_cluster",
-    # Round-8 rotation: Delta identity-column allocation end-to-end
-    # (HWM handoff across commits) — new this round.
-    # sample_k_per_source (green r6-r7) rotates out, stays
-    # pytest-oracle-covered.
-    "delta_identity_append",
+    # Round-11 rotation (verdict r10 #1): the auto-sized LSH family —
+    # bucket/band parameters derived from the corpus row count
+    # (lsh_autosize), the fix for the r10 `weak` (fixed defaults were
+    # the 100-TB tail: 37-75x at x100). Floors reproduce the pinned
+    # params at driver sf, so each row is hash-exact against the same
+    # oracle as its pinned twin while exercising the auto path the
+    # x100 bench re-sizes. Four displaced long-green rows below, each
+    # family still top-50-covered.
+    # delta_identity_append (green r8-r10) rotates out, stays
+    # pytest-oracle-covered (delta_column_defaults + delta_type_widening
+    # keep Delta writer features in the top-50).
+    "minhash_lsh_dedup_auto",
+    # delta_uniform_v3 (green r7-r10) rotates out, stays
+    # pytest-oracle-covered (delta_liquid_cluster + convert_to_delta
+    # keep the Delta lifecycle surface in the top-50).
+    "embedding_near_dup_auto",
+    # iceberg_partitions_meta (green r8-r10) rotates out, stays
+    # pytest-oracle-covered (iceberg_partition_evolution +
+    # iceberg_ndv_stats keep metadata inspection in the top-50).
+    "hard_negatives_auto",
+    # funnel_conversion (green r9-r10) rotates out, stays
+    # pytest-oracle-covered (scd2_intervals + gap_fill_15min +
+    # decayed_engagement keep the temporal family in the top-50).
+    "dedup_keep_canonical_auto",
     # Round-9 rotation: Delta column DEFAULT values (allowColumnDefaults
     # writer feature — write-time materialization of omitted columns,
     # CURRENT_DEFAULT re-set mid-stream, explicit values win) — new
@@ -1409,12 +1415,6 @@ PRIORITY: tuple[str, ...] = (
     # (deltaprotocol_source_read keeps the Python Data Source surface
     # in the top-50).
     "iceberg_rollback",
-    # Round-7 rotation (verdict r6 #1): the two late-r6 queries that
-    # had never had a CORRECTNESS row, plus the round-7 flagship
-    # IVFADC composition (verdict r6 #2). Displaced r6-green rows
-    # (iceberg_bucket_pruning, upsample_epochs) remain
-    # pytest-oracle-covered.
-    "delta_uniform_v3",
     # Round-9 late rotation: half-life-decayed engagement features
     # (fixed-point binary weights — integer/decimal sums end-to-end,
     # one groupBy; the recsys/fraud freshness signal) — new this

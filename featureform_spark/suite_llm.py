@@ -485,7 +485,27 @@ def _minhash_pairs_oracle(threshold: float) -> str:
 def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.01 ⇒ output = every LSH candidate pair with its exact
     # Jaccard (this corpus has no true near-dups — max pair j ≈ 0.04 —
-    # so a dedup-level threshold would make the oracle compare vacuous)
+    # so a dedup-level threshold would make the oracle compare vacuous).
+    # Banding pinned explicitly (r11): the oracle SQL bakes in 24/8, so
+    # this row must stay sf-independent; the auto-sized twin is
+    # minhash_lsh_dedup_auto.
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=24,
+        bands=8,
+        jaccard_threshold=0.01,
+    )
+
+
+@query("minhash_lsh_dedup_auto", _minhash_pairs_oracle(0.01))
+def minhash_lsh_dedup_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized banding (lsh_autosize): num_hashes/bands derived from
+    the corpus row count. At every driver/parity sf the derivation's
+    floors reproduce the pinned (24, 8) — so the SAME oracle applies
+    exactly — while at bench scale (x100: 500k docs) it re-sizes to
+    (64, 16) to hold the false-candidate rate flat. The point of the
+    row: the auto path is continuously correctness-checked at the scale
+    where it coincides with the pinned design point."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), jaccard_threshold=0.01
     )
@@ -654,6 +674,22 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), dim=_DIM,
         num_planes=8, cosine_threshold=0.2,
+    )
+
+
+@query("embedding_near_dup_auto", _near_dup_oracle())
+def embedding_near_dup_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized bucket space (lsh_autosize.auto_num_planes): planes
+    derived from the vector count. Floor-8 reproduces the pinned
+    design point at every driver/parity sf (<= 4k vectors), so the
+    pinned oracle applies exactly; at x100 scale (200k vectors) the
+    same call picks 14 planes — the knob the r10 verdict measured at
+    41.9s -> 6.9s with recall 1.0."""
+    from featureform_spark.functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), dim=_DIM,
+        cosine_threshold=0.2,
     )
 
 
@@ -1449,9 +1485,7 @@ def corpus_mix_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_keep_canonical",
-    f"""
+_KEEP_CANONICAL_ORACLE = f"""
     WITH RECURSIVE {_minhash_pairs_cte(0.01)},
     sym AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
             UNION ALL SELECT id_b, id_a FROM lsh_pairs),
@@ -1464,13 +1498,31 @@ def corpus_mix_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.source
     FROM documents d LEFT JOIN losers ON d.doc_id = losers.id
     WHERE losers.id IS NULL
-    """,
-)
+    """
+
+
+@query("dedup_keep_canonical", _KEEP_CANONICAL_ORACLE)
 def dedup_keep_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: LSH candidate pairs -> transitive
     clusters -> keep each cluster's min-id member; untouched docs pass
     through. The oracle replays the full pipeline (same md5 minhash
     lockstep) plus a recursive-CTE closure."""
+    from featureform_spark.functions.dedup import keep_canonical, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # banding pinned (r11): the recursive-CTE oracle bakes in 24/8;
+    # dedup_keep_canonical_auto is the auto-sized twin
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=24, bands=8, jaccard_threshold=0.01
+    )
+    return keep_canonical(docs, pairs).select("doc_id", "source")
+
+
+@query("dedup_keep_canonical_auto", _KEEP_CANONICAL_ORACLE)
+def dedup_keep_canonical_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized twin of dedup_keep_canonical (floors reproduce 24/8
+    at every driver/parity sf so the same recursive-CTE oracle applies;
+    re-sizes at bench scale — see lsh_autosize)."""
     from featureform_spark.functions.dedup import keep_canonical, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2221,6 +2273,17 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hard_negatives(
         load_table(spark, sf_dir, "embeddings"), dim=_DIM, k=3, num_planes=8
+    )
+
+
+@query("hard_negatives_auto", _hard_negatives_oracle())
+def hard_negatives_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized twin of hard_negatives (floor-8 => pinned-identical
+    at driver/parity sf, re-sizes at bench scale; see lsh_autosize)."""
+    from featureform_spark.functions.similarity import hard_negatives
+
+    return hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), dim=_DIM, k=3
     )
 
 
