@@ -575,17 +575,18 @@ def hard_negatives(
 
     ``num_planes=None`` auto-sizes the bucket space from the corpus
     row count (same derivation and floor-8 pinned-compatibility as
-    ``embedding_near_dup_pairs``); pass ``n_rows`` to skip the count.
-    NOTE: fewer candidates per anchor is the POINT at scale, but an
-    anchor's bucket must still hold enough different-label vectors to
-    fill k ranks — the default occupancy target of 16 leaves headroom
-    for k <= ~8.
+    ``embedding_near_dup_pairs``), but at occupancy target 64 rather
+    than near-dup's 16: mining needs each anchor's bucket to keep
+    holding enough DIFFERENT-label vectors to fill k ranks, so the
+    bucket space grows 4x slower than the dedup path's. Pass
+    ``n_rows`` to skip the count.
     """
     from pyspark.sql import Window
 
     if num_planes is None:
         num_planes = auto_num_planes(
-            n_rows if n_rows is not None else df.count()
+            n_rows if n_rows is not None else df.count(),
+            target_bucket_rows=64,
         )
     base = df.select(
         F.col(id_col),
