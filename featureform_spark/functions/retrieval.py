@@ -121,6 +121,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    term_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """BM25 lexical retrieval: top-``k`` documents for a bag of query
     terms — the sparse half of hybrid retrieval (the dense half is the
@@ -145,6 +146,15 @@ def bm25_topk(
     (libm ln differs in the last ulp between engines, so differential
     tests compare scores with tolerance and ranks exactly; same
     convention as quality_model's logit note).
+
+    ``term_weights`` replaces corpus idf with caller-supplied weights
+    — the production precomputed-idf mode (a global idf snapshot from
+    a background corpus, refreshed offline, is standard in search
+    stacks so per-shard scoring doesn't depend on shard-local df).
+    With weights the score contains NO transcendental at all (tf, dl,
+    avgdl are exact integers + one division), so results are
+    bit-deterministic cross-engine end to end — this is the mode the
+    hash-compared oracle row uses. Terms absent from the dict weigh 0.
     """
     terms = sorted(set(query_terms))
     if not terms:
@@ -162,16 +172,22 @@ def bm25_topk(
     # would silently deflate avgdl and inflate idf)
     # aggregation-scale driver fold (centroid precedent): N, Σdl, and
     # one df count per query term — ALL from one partial-agg corpus
-    # pass (#terms+2 output numbers), never a row collect
+    # pass (#terms+2 output numbers), never a row collect. In
+    # term_weights mode df is unused (weights come from the caller),
+    # so the pass shrinks to the two corpus numbers.
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("_terms")).alias("dl_sum"),
-    ] + [
-        F.sum(
-            F.when(F.array_contains("_terms", t), 1).otherwise(0)
-        ).alias(f"_df{i}")
-        for i, t in enumerate(terms)
-    ]
+    ] + (
+        []
+        if term_weights is not None
+        else [
+            F.sum(
+                F.when(F.array_contains("_terms", t), 1).otherwise(0)
+            ).alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
     stats = toks.agg(*aggs).collect()[0]
     n_docs, dl_sum = int(stats["n"]), int(stats["dl_sum"] or 0)
     if n_docs == 0:
@@ -182,9 +198,11 @@ def bm25_topk(
         ).limit(0)
     avgdl = dl_sum / n_docs  # exact: int/int, one division
     matched = toks.where(F.arrays_overlap("_terms", lit_terms))
-    dfs = {
-        t: int(stats[f"_df{i}"] or 0) for i, t in enumerate(terms)
-    }
+    dfs = (
+        {}
+        if term_weights is not None
+        else {t: int(stats[f"_df{i}"] or 0) for i, t in enumerate(terms)}
+    )
     score = F.lit(0.0)
     dl = F.size("_terms").cast("double")
     norm = F.lit(k1) * (
@@ -199,10 +217,15 @@ def bm25_topk(
         ).cast("double")
 
     for t in terms:
-        dft = dfs.get(t, 0)
-        if dft == 0:
-            continue  # absent terms contribute nothing
-        idf = math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+        if term_weights is not None:
+            idf = float(term_weights.get(t, 0.0))
+            if idf == 0.0:
+                continue  # unweighted terms contribute nothing
+        else:
+            dft = dfs.get(t, 0)
+            if dft == 0:
+                continue  # absent terms contribute nothing
+            idf = math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
         tf = _tf(t)
         score = score + F.lit(idf) * (
             tf * F.lit(k1 + 1.0) / (tf + norm)

@@ -1276,12 +1276,16 @@ PRIORITY: tuple[str, ...] = (
     # asof_forward keep interval-join semantics in the top-50).
     "dsir_selection",
     "wide_merge_upsert",
-    # Round-8 rotation: SHALLOW CLONE lifecycle (zero-copy fork via
-    # absolute add paths, post-clone divergence verified on both
-    # sides) — new this round, enters the driver top-50 the round it
-    # lands. delta_time_travel (green r1-r7) rotates out, stays
-    # pytest-oracle-covered.
-    "delta_shallow_clone",
+    # Round-11 rotation (verdict r10 #3): hash-exact hybrid retrieval
+    # — BM25 in precomputed-term-weights mode (the quality_model
+    # convention: no transcendental in the scored plan, so scores, RRF
+    # values AND ranks hash-compare) fused with exact dense cosine
+    # top-k. The live-idf variant keeps its 1e-9 ln differential in
+    # tests/test_bm25.py. delta_shallow_clone (green r8-r10) rotates
+    # out, stays pytest-oracle-covered (convert_to_delta +
+    # delta_liquid_cluster + delta_type_widening keep the Delta
+    # lifecycle surface in the top-50).
+    "bm25_hybrid_exact",
     # Round-9 rotation (verdict r8 #4): CONVERT TO DELTA — metadata-
     # only in-place import of a plain parquet dir, then a CoW DELETE
     # proves it's a first-class table. delta_protocol_read (green

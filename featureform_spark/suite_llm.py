@@ -2826,6 +2826,113 @@ def bm25_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hybrid retrieval, hash-exact (r11 verdict #3) -------------------------
+# The quality_model convention applied to BM25: the ONLY transcendental
+# in the pipeline is idf's ln, so the oracle-paired row runs bm25_topk
+# in precomputed-term-weights mode (the production global-idf-snapshot
+# pattern) — every remaining op is +,*,/ over exact ints (tf, dl,
+# dl_sum/n) and dyadic-rational weight literals shared by both engines,
+# making scores, RRF values, and ranks bit-identical. The live-idf
+# variant above keeps its 1e-9 differential in tests/test_bm25.py.
+
+_HYBRID_TERMS = ("data", "model", "system")
+_HYBRID_W = {"data": 0.8125, "model": 1.25, "system": 1.5}
+_HYBRID_K1, _HYBRID_B = 1.2, 0.75
+
+
+def _hybrid_exact_oracle(k_each: int = 20, k: int = 10, c: int = 60) -> str:
+    # literals via repr() so both engines parse the exact same doubles
+    # the Spark expressions fold (k1+1.0 and 1.0-b are computed in
+    # Python on the Spark side too)
+    k1 = repr(_HYBRID_K1)
+    k1p1 = repr(_HYBRID_K1 + 1.0)
+    one_m_b = repr(1.0 - _HYBRID_B)
+    b = repr(_HYBRID_B)
+    tfs = {
+        t: f"len(list_filter(terms, x -> x = '{t}'))::DOUBLE"
+        for t in _HYBRID_TERMS
+    }
+    # same fold order as the Spark loop: 0.0 + w_t1*(...) + w_t2*(...)
+    contribs = " + ".join(
+        f"{repr(_HYBRID_W[t])} * (({tfs[t]} * {k1p1}) / ({tfs[t]} + "
+        f"{k1} * ({one_m_b} + ({b} * len(terms)::DOUBLE) / avgdl)))"
+        for t in sorted(_HYBRID_TERMS)
+    )
+    term_list = ", ".join(f"'{t}'" for t in _HYBRID_TERMS)
+    dot = _DOT.format(n=_DIM + 1, a="v", b="qv")
+    nv = _NORM.format(a="v")
+    nq = _NORM.format(a="qv")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS terms
+      FROM documents),
+    tk AS (SELECT doc_id, terms FROM toks WHERE terms IS NOT NULL),
+    stats AS (SELECT sum(len(terms))::DOUBLE / count(*)::DOUBLE AS avgdl
+              FROM tk),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY 0.0 + {contribs} DESC, doc_id)
+               AS rank
+      FROM tk, stats
+      WHERE len(list_intersect(terms, [{term_list}])) > 0
+      QUALIFY rank <= {k_each}),
+    q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    den AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY {dot} / ({nv} * {nq}) DESC,
+                                vec_id) AS rank
+      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings) e, q
+      QUALIFY rank <= {k_each}),
+    u AS (SELECT doc_id, 1.0 / ({c} + rank::DOUBLE) AS rr FROM lex
+          UNION ALL
+          SELECT doc_id, 1.0 / ({c} + rank::DOUBLE) AS rr FROM den),
+    f AS (SELECT doc_id, sum(rr) AS rrf, count(*)::BIGINT AS n_rankers
+          FROM u GROUP BY doc_id)
+    SELECT doc_id, rrf, n_rankers,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {k}
+    """
+
+
+@query("bm25_hybrid_exact", _hybrid_exact_oracle())
+def bm25_hybrid_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact hybrid retrieval: BM25 in precomputed-term-weights
+    mode (no transcendental anywhere — tf/dl exact ints, avgdl one
+    int/int division, dyadic weight literals) fused with exact dense
+    cosine top-k by reciprocal-rank fusion. Scores AND rrf values
+    hash-compare against the DuckDB oracle; the live-idf variant
+    (bm25_hybrid_topk) keeps its 1e-9 ln differential in pytest."""
+    from pyspark.sql import Window
+
+    from featureform_spark.functions.retrieval import bm25_topk, rrf_fuse
+    from featureform_spark.functions.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_topk(
+        docs,
+        list(_HYBRID_TERMS),
+        k=20,
+        k1=_HYBRID_K1,
+        b=_HYBRID_B,
+        term_weights=_HYBRID_W,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select("embedding")
+    dense = cosine_topk(emb, qdf, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, dense], k=10).select(
+        "doc_id", "rrf", "n_rankers", "rank"
+    )
+
+
 @query(
     "temperature_mix_half",
     """

@@ -187,3 +187,42 @@ def test_bm25_rrf_hybrid_end_to_end(spark, sf_dir):
     assert len(fused) == 10
     assert [r["rank"] for r in fused] != []
     assert all(1 <= r["n_rankers"] <= 2 for r in fused)
+
+
+def test_bm25_term_weights_mode_matches_manual(spark):
+    """Precomputed-weights mode: score = sum_t w_t * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl)) with NO ln anywhere — hand-computed on
+    a 3-doc corpus."""
+    docs = [
+        (1, "data data model"),
+        (2, "model system tools"),
+        (3, "plain text here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = {"data": 2.0, "model": 0.5}
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(df, ["data", "model"], k=3, term_weights=w).collect()
+    }
+    k1, b = 1.2, 0.75
+    avgdl = 9 / 3  # 3 tokens per doc
+    def score(tfs, dl):
+        norm = k1 * (1 - b + b * dl / avgdl)
+        return sum(
+            w[t] * (tf * (k1 + 1.0) / (tf + norm)) for t, tf in tfs.items()
+        )
+    assert got[1] == pytest.approx(score({"data": 2, "model": 1}, 3), abs=0)
+    assert got[2] == pytest.approx(score({"data": 0, "model": 1}, 3), abs=0)
+    assert 3 not in got  # no query term -> filtered by the prefilter
+
+
+def test_bm25_term_weights_skips_df_aggs(spark):
+    """Weights mode must not compute per-term df aggregates (the
+    stats pass shrinks to N + dl_sum)."""
+    docs = spark.createDataFrame(
+        [(1, "data model")], "doc_id long, text string"
+    )
+    out = bm25_topk(
+        docs, ["data"], k=1, term_weights={"data": 1.0}
+    )
+    assert out.count() == 1
