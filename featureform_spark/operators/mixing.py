@@ -231,14 +231,20 @@ def temperature_weights(
     multi-domain "temperature" reweighting (alpha < 1 upsamples small
     domains relative to their raw share; alpha=1 is the natural mix).
 
-    ``alpha`` is restricted to {0.25, 0.5, 0.75}: those powers compose
-    from IEEE sqrt and multiply, both CORRECTLY ROUNDED per IEEE-754,
-    so Python, the JVM, and DuckDB produce bit-identical doubles and
-    ``floor(x * 2^20)`` lands on the same integer everywhere. General
-    ``pow`` is a libm transcendental (last-ulp divergence across
-    engines — same reason BM25 scores aren't hash-compared) and is
-    refused rather than silently nondeterministic."""
+    FLOAT ``alpha`` is restricted to {0.25, 0.5, 0.75}: those powers
+    compose from IEEE sqrt and multiply, both CORRECTLY ROUNDED per
+    IEEE-754, so Python, the JVM, and DuckDB produce bit-identical
+    doubles and ``floor(x * 2^20)`` lands on the same integer
+    everywhere. General float ``pow`` is a libm transcendental
+    (last-ulp divergence across engines — same reason BM25 scores
+    aren't hash-compared) and is refused rather than silently
+    nondeterministic. ANY other temperature is available as an exact
+    rational ``(num, den)`` tuple — e.g. ``alpha=(7, 10)`` — routed
+    to :func:`temperature_weights_exact` (pure integer roots)."""
     import math
+
+    if isinstance(alpha, tuple):
+        return temperature_weights_exact(counts, alpha)
 
     def f(n: float) -> float:
         if alpha == 0.5:
@@ -248,9 +254,11 @@ def temperature_weights(
         if alpha == 0.75:
             return math.sqrt(n) * math.sqrt(math.sqrt(n))
         raise ValueError(
-            "temperature alpha must be one of 0.25/0.5/0.75 "
-            "(sqrt-composable — exact cross-engine); got "
-            f"{alpha!r}"
+            "float temperature alpha must be one of 0.25/0.5/0.75 "
+            "(sqrt-composable — exact cross-engine); for any other "
+            "value pass an exact rational as a (num, den) tuple, "
+            "e.g. alpha=(7, 10) — integer root arithmetic, no "
+            f"floats at all; got {alpha!r}"
         )
 
     if not counts:
@@ -262,11 +270,71 @@ def temperature_weights(
     }
 
 
+def _iroot(n: int, k: int) -> int:
+    """floor(n ** (1/k)) for non-negative int ``n`` — exact integer
+    Newton iteration (arbitrary precision, no floats anywhere)."""
+    if n < 0 or k < 1:
+        raise ValueError("_iroot: need n >= 0, k >= 1")
+    if n == 0:
+        return 0
+    if k == 1:
+        return n
+    # start at 2^ceil(bits/k) >= true root, descend monotonically
+    x = 1 << -(-n.bit_length() // k)
+    while True:
+        y = ((k - 1) * x + n // x ** (k - 1)) // k
+        if y >= x:
+            break
+        x = y
+    # Newton over ints can land one off either side of the floor
+    while x ** k > n:
+        x -= 1
+    while (x + 1) ** k <= n:
+        x += 1
+    return x
+
+
+def temperature_weights_exact(
+    counts: dict[str, int], alpha: tuple[int, int]
+) -> dict[str, int]:
+    """Integer mixture parts ``floor(n^(p/q) * 2^20)`` for ANY
+    rational temperature ``alpha = (p, q)`` — the escape hatch past
+    the sqrt-composable float set (r10 verdict task #7).
+
+    Pure integer arithmetic: ``n^(p/q) * 2^20 = (n^p * 2^(20q))^(1/q)``,
+    so the weight is the exact q-th integer root of an exact integer —
+    no libm, no rounding mode, nothing engine-dependent. (The float
+    path floors a CORRECTLY ROUNDED double, which can round up across
+    an integer boundary, so the two paths are distinct APIs rather
+    than one silently switching representations: ``alpha=0.5`` and
+    ``alpha=(1, 2)`` may differ by 1 part in 2^20 on adversarial n.)
+
+    Driver-side over the per-source count dict (thousands of entries
+    at most); Python big ints carry n^p for any real corpus size."""
+    p, q = alpha
+    if p < 1 or q < 1:
+        raise ValueError(
+            f"temperature alpha must be a positive rational, got {alpha!r}"
+        )
+    if p > 8 * q:
+        raise ValueError(
+            "temperature alpha > 8 amplifies large sources beyond any "
+            f"mixing use; got {alpha!r}"
+        )
+    if not counts:
+        raise ValueError("temperature_weights_exact: no sources")
+    return {
+        s: _iroot(int(n) ** p << (20 * q), q)
+        for s, n in counts.items()
+        if n > 0
+    }
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str,
     key_cols: list[str],
-    alpha: float = 0.5,
+    alpha: float | tuple[int, int] = 0.5,
     seed: int = 42,
 ) -> DataFrame:
     """Downsample a multi-source corpus to ``n_s^alpha`` proportions —

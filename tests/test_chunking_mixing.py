@@ -270,3 +270,99 @@ def test_temperature_mix_shifts_toward_uniform(spark):
     assert sorted(r["doc_id"] for r in mixed.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_iroot_matches_definition():
+    from featureform_spark.operators.mixing import _iroot
+
+    import random
+
+    rng = random.Random(7)
+    cases = [0, 1, 2, 63, 64, 65, 10**6, 2**64, 2**200 + 12345]
+    cases += [rng.getrandbits(180) for _ in range(50)]
+    for n in cases:
+        for k in (1, 2, 3, 7, 10):
+            r = _iroot(n, k)
+            assert r**k <= n < (r + 1) ** k, (n, k, r)
+
+
+def test_temperature_weights_exact_is_floor_by_definition():
+    """w = floor(n^(7/10) * 2^20)  <=>  w^10 <= n^7 * 2^200 < (w+1)^10
+    — checked straight from the definition, independent of _iroot's
+    implementation."""
+    from featureform_spark.operators.mixing import (
+        temperature_weights_exact,
+    )
+
+    counts = {"a": 9000, "b": 1000, "c": 1, "d": 7_777_777_777}
+    w = temperature_weights_exact(counts, (7, 10))
+    for s, n in counts.items():
+        target = n**7 << 200
+        assert w[s] ** 10 <= target < (w[s] + 1) ** 10, s
+
+    with pytest.raises(ValueError, match="positive rational"):
+        temperature_weights_exact(counts, (0, 10))
+    with pytest.raises(ValueError, match="> 8"):
+        temperature_weights_exact(counts, (90, 10))
+
+
+def test_temperature_mix_alpha_07_duckdb_oracle(spark):
+    """Verdict r10 task #7 done-criterion: the full alpha=0.7 pipeline
+    against a DuckDB oracle. Weight literals are recomputed here from
+    the floor definition (not by calling the library), then the oracle
+    replays the exact-integer threshold selection of mix_corpus."""
+    import duckdb
+
+    from featureform_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "big" if i < 9000 else ("mid" if i < 9800 else "small"))
+            for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in temperature_mix(
+            df, "source", ["doc_id"], alpha=(7, 10)
+        ).collect()
+    )
+
+    # independent weight derivation: binary search the floor
+    def floor_pow(n, p=7, q=10, scale=20):
+        target = n**p << (scale * q)
+        lo, hi = 0, 1 << ((n.bit_length() * p) // q + scale + 2)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if mid**q <= target:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    counts = {"big": 9000, "mid": 800, "small": 200}
+    w = {s: floor_pow(n) for s, n in counts.items()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}')" for i, s in rows)
+        + ") t(doc_id, source)"
+    )
+    wvals = ", ".join(
+        f"('{s}', {n}::HUGEINT, {w[s]}::HUGEINT)"
+        for s, n in counts.items()
+    )
+    oracle = con.execute(
+        f"""
+        WITH w(source, n, w) AS (VALUES {wvals}),
+        tw AS (SELECT SUM(w)::HUGEINT AS wt FROM w),
+        k AS (SELECT MIN(n * tw.wt // w.w) AS k FROM w, tw),
+        thr AS (SELECT source,
+                       4294967296::HUGEINT * w * k.k // (tw.wt * n) AS t
+                FROM w, k, tw)
+        SELECT d.doc_id, d.source
+        FROM docs d JOIN thr ON d.source = thr.source
+        WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 8))
+                   AS UBIGINT) < thr.t
+        ORDER BY d.doc_id
+        """
+    ).fetchall()
+    assert got == [(r[0], r[1]) for r in oracle]
+    assert len(got) > 0
