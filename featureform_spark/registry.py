@@ -272,12 +272,19 @@ class Entity:
 
 @dataclass
 class OnDemandFeature:
-    """Client-computed feature: a Python fn run at serve time (U2)."""
+    """Client-computed feature: a Python fn run at serve time (U2).
+
+    ``vectorized`` declares whether the fn is written with
+    broadcasting-safe operators (works on pandas Series exactly as on
+    scalars — the default, and true of arithmetic-style fns); the
+    batch scorer (serving/ondemand_batch.py) applies
+    ``vectorized=False`` fns row-wise inside each Arrow batch."""
 
     name: str
     variant: str = "default"
     fn_name: str = ""
     description: str = ""
+    vectorized: bool = True
 
     rtype: str = "ondemand"
 
@@ -414,11 +421,22 @@ class Registry:
         )
 
     def register_ondemand(
-        self, name: str, fn: Callable, variant: str = "default"
+        self,
+        name: str,
+        fn: Callable,
+        variant: str = "default",
+        vectorized: bool = True,
     ) -> OnDemandFeature:
         fn_name = f"ondemand/{name}.{variant}"
         self._functions[fn_name] = fn
-        return self.register(OnDemandFeature(name=name, variant=variant, fn_name=fn_name))
+        return self.register(
+            OnDemandFeature(
+                name=name,
+                variant=variant,
+                fn_name=fn_name,
+                vectorized=vectorized,
+            )
+        )
 
     def register_expectations(self, source_ref: str, rules: list) -> None:
         """Attach data-quality rules (functions/expectations.Rule) to a
@@ -448,6 +466,16 @@ class Registry:
 
     def function(self, fn_name: str) -> Callable:
         return self._functions[fn_name]
+
+    def functions_by_prefix(self, prefix: str) -> dict[str, Callable]:
+        """Registered functions whose key starts with ``prefix`` —
+        e.g. ``'ondemand/'`` for the batch scorer, which must capture
+        the full on-demand set (dependencies resolve dynamically
+        inside the functions)."""
+        return {
+            k: f for k, f in self._functions.items()
+            if k.startswith(prefix)
+        }
 
     def dataframe(self, view: str) -> DataFrame:
         return self._dataframes[view]

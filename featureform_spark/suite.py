@@ -782,6 +782,59 @@ def transformation_chained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ondemand_batch",
+    """
+    WITH f AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, n_orders, total_spend,
+           total_spend / n_orders AS avg_order,
+           (total_spend / n_orders) * 0.5 + n_orders * 2.0 AS spend_score
+    FROM f
+    """,
+)
+def ondemand_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-demand features at BATCH scale (U2 upgrade, r11 verdict #5):
+    the reference runs on-demand fns client-side per row
+    (register.py:4292-4360); here the SAME registered functions score a
+    whole materialization via mapInPandas — Arrow batches, zero
+    shuffles, DAG-resolved with per-batch memoization (spend_score ->
+    {avg_order, n_orders}, avg_order -> {total_spend, n_orders} — a
+    diamond). Exact: integer counts, one DECIMAL->DOUBLE cast, then
+    +,*,/ only. Per-row serving parity pinned in
+    tests/test_ondemand_batch.py."""
+    from featureform_spark.registry import Registry
+    from featureform_spark.serving.ondemand_batch import ondemand_batch
+
+    reg = Registry()
+
+    def avg_order(client, params, entities):
+        t, n = client.features(["total_spend", "n_orders"])
+        return t / n
+
+    def spend_score(client, params, entities):
+        r, n = client.features(["ondemand/avg_order", "n_orders"])
+        return r * 0.5 + n * 2.0
+
+    reg.register_ondemand("avg_order", avg_order)
+    reg.register_ondemand("spend_score", spend_score)
+    feats = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_spend"),
+        )
+    )
+    return ondemand_batch(reg, feats, ["avg_order", "spend_score"])
+
+
+@query(
     "asof_tolerance",
     """
     WITH click AS (
@@ -1363,13 +1416,15 @@ PRIORITY: tuple[str, ...] = (
     # keeps DV'd-Delta reads and iceberg_v3_dv the DV codec in the
     # top-50).
     "rest_view_roundtrip",
-    # Round-8 rotation: VARIANT round-trip through the protocol
-    # (variantType feature; in-codegen variant_get extraction vs the
-    # oracle's json_extract over the raw strings) — new this round.
-    # delta_protocol_cdf (green r6-r7) rotates out, stays
-    # pytest-oracle-covered (delta_cdf_incremental keeps CDF in the
+    # Round-11 rotation (verdict r10 #5): on-demand features at batch
+    # scale — the same registered client-style fns scoring a whole
+    # materialization via mapInPandas, DAG-resolved with per-batch
+    # memoization; per-row serving parity pinned in pytest.
+    # delta_variant_extract (green r8-r10) rotates out, stays
+    # pytest-oracle-covered (test_delta_variant.py + iceberg VARIANT
+    # keep the variant surface; delta_cdf_incremental keeps CDF in the
     # top-50).
-    "delta_variant_extract",
+    "ondemand_batch",
     # Round-8 rotation: type-widening lifecycle (metadata-only widen,
     # narrow files upcast per file, beyond-int append) — new this
     # round, enters the driver top-50 the round it lands.
