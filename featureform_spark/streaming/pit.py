@@ -68,6 +68,7 @@ def streaming_point_in_time(
     feature_value_col: str = "value",
     retain_seconds: float | None = None,
     lag_seconds: float = 0.0,
+    n_salts: int = 1,
 ):
     """As-of join a label STREAM to a feature STREAM.
 
@@ -87,9 +88,28 @@ def streaming_point_in_time(
     ``feature_ts + lag <= label_ts`` — bound-shift in state lookup,
     identical to the batch ``INTERVAL`` shift.
 
+    ``n_salts`` is the streaming twin of the batch join's
+    ``time_bucket`` skew variant (r10 verdict #6). The batch fix —
+    partition a hot entity's history by (entity, time bucket) with a
+    carry-in join — has no streaming analogue: state keys cannot read
+    each other, so a bucket key could never see earlier buckets'
+    finals. The streaming-native fix is salt-and-replicate: the
+    feature stream REPLICATES into every (entity, salt) state history
+    while each label routes to exactly one salt (md5 of its ts+value
+    — deterministic under replay), so a hot entity's label traffic
+    fans across ``n_salts`` state-store tasks and every salt still
+    answers from the full history — results are bit-identical to
+    ``n_salts=1`` (parity-pinned under a hot-entity fixture). Cost:
+    feature-history state and feature ingest work scale x n_salts for
+    every entity, so size it to the hot-label rate (labels/sec per
+    entity / per-task budget), not "just in case". Changing n_salts
+    changes the state key space — restart from a fresh checkpoint.
+
     Returns the unstarted output DataFrame — attach your own sink
     (memory/parquet/foreachBatch).
     """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     retain_us = (
         int(retain_seconds * 1_000_000)
         if retain_seconds is not None  # 0 = maximal pruning, not "off"
@@ -110,12 +130,17 @@ def streaming_point_in_time(
             F.col(vcol).cast("double").alias("val"),
         )
 
-    unioned = _tag(
-        features, _FEATURE, feature_value_col, lag_seconds
-    ).unionByName(_tag(labels, _LABEL, label_value_col))
+    f_tagged = _tag(features, _FEATURE, feature_value_col, lag_seconds)
+    l_tagged = _tag(labels, _LABEL, label_value_col)
+    if n_salts > 1:
+        f_tagged, l_tagged = _salt_streams(f_tagged, l_tagged, n_salts)
+        group_cols = ["entity", "_salt"]
+    else:
+        group_cols = ["entity"]
+    unioned = f_tagged.unionByName(l_tagged)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        (entity,) = key
+        entity = key[0]
         if state.exists:
             ts_us, vals = state.get
             ts_us, vals = list(ts_us), list(vals)
@@ -160,13 +185,35 @@ def streaming_point_in_time(
             rows, columns=["entity", "label_ts", "label", "feature"]
         )
 
-    return unioned.groupBy("entity").applyInPandasWithState(
+    return unioned.groupBy(*group_cols).applyInPandasWithState(
         update,
         outputStructType=PIT_OUTPUT_SCHEMA,
         stateStructType=PIT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _salt_streams(
+    f_tagged: DataFrame, l_tagged: DataFrame, n_salts: int
+) -> tuple[DataFrame, DataFrame]:
+    """Skew salting for streaming PIT: features replicate into every
+    salt (each (entity, salt) state keeps the FULL history), labels
+    route to one deterministic salt — md5 of (ts, val), stable under
+    replay and engine-independent, so checkpointed restarts re-route
+    identically."""
+    from featureform_spark.operators.mixing import md5_u32
+
+    f = f_tagged.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    lbl_key = F.concat_ws(
+        "|", F.col("ts").cast("string"), F.col("val").cast("string")
+    )
+    lbl = l_tagged.withColumn(
+        "_salt", F.pmod(md5_u32(lbl_key), F.lit(n_salts)).cast("int")
+    )
+    return f, lbl
 
 
 MULTI_OUTPUT_SCHEMA = T.StructType(
@@ -201,6 +248,7 @@ def streaming_point_in_time_multi(
     feature_value_col: str = "value",
     retain_seconds: float | None = None,
     lags: dict[str, float] | None = None,
+    n_salts: int = 1,
 ):
     """N-feature streaming PIT: every label row emits
     ``(entity, label_ts, label, features)`` where ``features`` maps
@@ -212,7 +260,12 @@ def streaming_point_in_time_multi(
     ``FeatureInput`` per name. ``lags`` maps feature names to their
     ``lag_seconds`` (the batch J6 bound shift): those features'
     effective times move forward by the lag before entering state.
+    ``n_salts`` is the hot-entity skew knob — same salt-and-replicate
+    semantics and cost trade as the single-feature form (see
+    :func:`streaming_point_in_time`).
     """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     names = sorted(features)
     lags = lags or {}
     unknown = set(lags) - set(names)
@@ -241,19 +294,27 @@ def streaming_point_in_time_multi(
 
     if any(not n for n in names):
         raise ValueError("feature names must be non-empty strings")
-    unioned = _tag(labels, _LABEL_TAG, label_value_col)
+    l_tagged = _tag(labels, _LABEL_TAG, label_value_col)
+    f_tagged = None
     for name in names:
-        unioned = unioned.unionByName(
-            _tag(
-                features[name],
-                name,
-                feature_value_col,
-                float(lags.get(name, 0.0)),
-            )
+        part = _tag(
+            features[name],
+            name,
+            feature_value_col,
+            float(lags.get(name, 0.0)),
         )
+        f_tagged = part if f_tagged is None else f_tagged.unionByName(part)
+    if n_salts > 1 and f_tagged is not None:
+        f_tagged, l_tagged = _salt_streams(f_tagged, l_tagged, n_salts)
+        group_cols = ["entity", "_salt"]
+    else:
+        group_cols = ["entity"]
+    unioned = (
+        l_tagged if f_tagged is None else f_tagged.unionByName(l_tagged)
+    )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        (entity,) = key
+        entity = key[0]
         hist: dict[str, tuple[list, list]] = {n: ([], []) for n in names}
         if state.exists:
             fnames, ts_us, vals = state.get
@@ -322,7 +383,7 @@ def streaming_point_in_time_multi(
             rows, columns=["entity", "label_ts", "label", "features"]
         )
 
-    return unioned.groupBy("entity").applyInPandasWithState(
+    return unioned.groupBy(*group_cols).applyInPandasWithState(
         update,
         outputStructType=MULTI_OUTPUT_SCHEMA,
         stateStructType=MULTI_STATE_SCHEMA,
