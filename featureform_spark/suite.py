@@ -1246,10 +1246,14 @@ PRIORITY: tuple[str, ...] = (
     # rotates out, stays pytest-oracle-covered (iceberg_rollback keeps
     # snapshot-ref machinery in the top-50).
     "training_set_on_iceberg",
-    # round-6 late addition: stable row identity across rewrites.
-    # segment_iteration (green r1-r5) rotates out, stays
-    # pytest-oracle-covered.
-    "delta_row_tracking",
+    # Round-11 rotation: PII scrub — per-doc type counts + redacted
+    # text in one codegen projection, hash-compared INCLUDING the
+    # redacted strings (Java-regex/RE2-identical ASCII patterns; the
+    # corpus is deterministically augmented so every pattern fires).
+    # delta_row_tracking (green r6-r10) rotates out, stays
+    # pytest-oracle-covered (iceberg_row_lineage keeps the row-identity
+    # family in the top-50).
+    "pii_redaction",
     "training_set_pit",
     "training_set_lag",
     "training_set_label_no_ts",

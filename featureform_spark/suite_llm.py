@@ -2835,6 +2835,61 @@ def bm25_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # making scores, RRF values, and ranks bit-identical. The live-idf
 # variant above keeps its 1e-9 differential in tests/test_bm25.py.
 
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@ex.example.com "
+    "from 10.1.2.' || (doc_id % 200)::VARCHAR || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from featureform_spark.functions.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(aug, '{PII_PATTERNS[t]}'))::BIGINT "
+        f"AS n_{t}"
+        for t in sorted(PII_PATTERNS)
+    )
+    red = "aug"
+    for t in sorted(PII_PATTERNS):
+        red = (
+            f"regexp_replace({red}, '{PII_PATTERNS[t]}', "
+            f"'[{t.upper()}]', 'g')"
+        )
+    return f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id, {counts}, {red} AS redacted FROM a
+    """
+
+
+@query("pii_redaction", _pii_oracle())
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (r11, beyond-reference hygiene family): per-doc type
+    counts + redacted text in ONE codegen projection (regexp over
+    ASCII-explicit patterns that mean the same thing in Java regex and
+    RE2 — hash-compared against DuckDB including the redacted strings).
+    The corpus text is deterministically augmented with synthetic PII
+    (same expression both engines) so every pattern fires at suite
+    scale. Scan-bound at 100 TB — zero shuffles."""
+    from featureform_spark.functions.pii import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "text || ' contact user' || CAST(doc_id AS STRING) || "
+            "'@ex.example.com from 10.1.2.' || "
+            "CAST(doc_id % 200 AS STRING) || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' "
+            "ELSE '' END"
+        ).alias("text"),
+    )
+    return pii_scan(docs).select(
+        "doc_id",
+        *[f"n_{t}" for t in ("card", "email", "ipv4", "phone", "ssn")],
+        "redacted",
+    )
+
+
 _HYBRID_TERMS = ("data", "model", "system")
 _HYBRID_W = {"data": 0.8125, "model": 1.25, "system": 1.5}
 _HYBRID_K1, _HYBRID_B = 1.2, 0.75
