@@ -270,25 +270,33 @@ def kmeans_fit(
 
 def semantic_dedup(
     df: DataFrame,
-    k: int,
+    k: int | None,
     dim: int,
     threshold: float,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup: k-means the embeddings, then inside each cluster drop
     every vector that has a higher-priority (smaller-id) near-duplicate
     at cosine ≥ ``threshold``. Survivors keep their cluster label.
 
     The pairwise stage joins the corpus to itself ONLY on the cluster
-    key — candidate volume is Σ|cluster|², bounded by the caller's
-    choice of ``k``, never |corpus|². The keep rule is the greedy
+    key — candidate volume is Σ|cluster|², bounded by ``k``, never
+    |corpus|². ``k=None`` auto-sizes from the corpus row count
+    (``lsh_autosize.auto_kmeans_k`` holds expected cluster size at 64,
+    so the pairwise volume stays ~64·n at any scale; pass ``n_rows``
+    to skip the count job). The keep rule is the greedy
     min-id rule (drop b iff ∃ a<b in the same cluster with cos≥τ):
     single anti-join, no iteration — the transitive-closure variant
     lives in ``dedup.dedup_keep_canonical`` for when cluster-chains
     matter. Output: ``(id, cluster)`` of survivors.
     """
+    if k is None:
+        from featureform_spark.functions.lsh_autosize import auto_kmeans_k
+
+        k = auto_kmeans_k(n_rows if n_rows is not None else df.count())
     # materialize the assignment once: the pairwise stage reads it twice
     # (both join sides) and the final anti-join a third time — lazy
     # checkpoint turns three recomputes of the Lloyd chain into one

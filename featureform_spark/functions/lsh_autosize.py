@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import math
 
-__all__ = ["auto_num_planes", "auto_minhash_params"]
+__all__ = ["auto_num_planes", "auto_minhash_params", "auto_kmeans_k"]
 
 
 def auto_num_planes(
@@ -64,6 +64,25 @@ def auto_num_planes(
         raise ValueError("target_bucket_rows must be >= 1")
     planes = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
     return max(min_planes, min(max_planes, planes))
+
+
+def auto_kmeans_k(
+    n_rows: int,
+    target_cluster_rows: int = 64,
+    min_k: int = 4,
+    max_k: int = 65536,
+) -> int:
+    """Cluster count holding expected cluster size at
+    ``target_cluster_rows`` — the SemDeDup knob: its pairwise stage
+    costs Σ|cluster|² ≈ n · target, so a fixed k turns quadratic as
+    the corpus grows (same failure mode as fixed LSH buckets).
+    max_k=65536 bounds the broadcast centroid table (k × dim doubles
+    — 33 MB at dim 64); past that, shard the corpus first."""
+    if n_rows <= 0:
+        return min_k
+    if target_cluster_rows < 1:
+        raise ValueError("target_cluster_rows must be >= 1")
+    return max(min_k, min(max_k, -(-n_rows // target_cluster_rows)))
 
 
 def auto_minhash_params(

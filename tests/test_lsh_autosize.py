@@ -182,3 +182,29 @@ def test_hard_negatives_auto_equals_pinned_at_small_n(spark):
     assert sorted(map(key, auto.collect())) == sorted(
         map(key, pinned.collect())
     )
+
+
+def test_auto_kmeans_k_bounds():
+    from featureform_spark.functions.lsh_autosize import auto_kmeans_k
+
+    assert auto_kmeans_k(0) == 4
+    assert auto_kmeans_k(100) == 4       # floor
+    assert auto_kmeans_k(6400) == 100
+    assert auto_kmeans_k(6401) == 101    # ceil division
+    assert auto_kmeans_k(10**10) == 65536  # cap
+    with pytest.raises(ValueError, match="target_cluster_rows"):
+        auto_kmeans_k(100, target_cluster_rows=0)
+
+
+def test_semantic_dedup_auto_k(spark):
+    from featureform_spark.functions.clustering import semantic_dedup
+
+    rows = [
+        (i, [float((i * 3 + j) % 7 - 3) for j in range(8)])
+        for i in range(40)
+    ]
+    rows += [(100, rows[0][1])]  # exact dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k=None, dim=8, threshold=0.999)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 0 in ids and 100 not in ids  # min-id survivor rule held
