@@ -65,6 +65,48 @@ class SignatureStore:
                         f"got {k}={v} — banding schemes cannot be mixed"
                     )
 
+    @classmethod
+    def auto(
+        cls,
+        spark: SparkSession,
+        path: str,
+        expected_corpus_rows: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_n: int = 3,
+    ) -> "SignatureStore":
+        """Open/create a store with auto-sized banding — the
+        ingestion-side twin of ``minhash_lsh_pairs``' auto default.
+
+        A NEW store derives (num_hashes, bands) from the corpus size
+        the deployment EXPECTS to accumulate (not the first batch —
+        banding is pinned for the store's lifetime, so it must be
+        sized for the destination, not the starting point). An
+        EXISTING store ignores the expectation and loads its pinned
+        properties: banding schemes cannot be mixed, and re-opening
+        with a different expectation must not fork the scheme."""
+        probe = DeltaliteTable(spark, path)
+        if probe.exists():
+            props = probe.properties()
+            num_hashes = int(props["lsh.num_hashes"])
+            bands = int(props["lsh.bands"])
+            shingle_n = int(props.get("lsh.shingle_n", shingle_n))
+        else:
+            from featureform_spark.functions.lsh_autosize import (
+                auto_minhash_params,
+            )
+
+            num_hashes, bands = auto_minhash_params(expected_corpus_rows)
+        return cls(
+            spark,
+            path,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+
     def _buckets(self, docs: DataFrame) -> DataFrame:
         return lsh_band_buckets(
             docs, self.id_col, self.text_col, **self.params

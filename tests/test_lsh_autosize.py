@@ -208,3 +208,20 @@ def test_semantic_dedup_auto_k(spark):
     out = semantic_dedup(emb, k=None, dim=8, threshold=0.999)
     ids = {r["vec_id"] for r in out.collect()}
     assert 0 in ids and 100 not in ids  # min-id survivor rule held
+
+
+def test_signature_store_auto_bootstrap(spark, tmp_path):
+    """New store: banding sized for the EXPECTED corpus; existing
+    store: pinned properties win over a different expectation."""
+    from featureform_spark.streaming.signature_store import SignatureStore
+
+    path = str(tmp_path / "sigstore")
+    docs = _docs(spark)
+    st = SignatureStore.auto(spark, path, expected_corpus_rows=500_000)
+    assert st.params["num_hashes"] == 64 and st.params["bands"] == 16
+    st.ingest(docs)
+    # reopen with a WILDLY different expectation: pinned scheme wins
+    st2 = SignatureStore.auto(spark, path, expected_corpus_rows=10)
+    assert st2.params == st.params
+    flags = {r["doc_id"]: r["is_dup"] for r in st2.flag(docs).collect()}
+    assert flags[100] == 1  # identical text flags at any banding
