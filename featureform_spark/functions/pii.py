@@ -3,9 +3,12 @@
 The hygiene pass every pretraining corpus runs before packing: find
 and strip emails, phone numbers, IP addresses, SSNs, and long card-like
 digit runs. Reference parity note: the reference has no PII pass (its
-transformations are user-supplied SQL/DF fns); this is a beyond-
-reference first-class operator in the same family as dedup/quality
-(SURVEY §8).
+transformations are user-supplied SQL/DF fns); this extends the
+beyond-reference family started by ``functions/quality.redact_pii``
+(r7: email/ipv4/phone redaction only, pinned by the ``pii_redact``
+suite row) with per-type COUNTS, ssn/card patterns, type selection,
+a corpus-level report, and sorted-order chaining — quality.redact_pii
+stays as-is for its pinned row; new callers use this module.
 
 Spark-first shape: everything is ONE codegen projection per document —
 ``regexp_extract_all`` for counts, chained ``regexp_replace`` for

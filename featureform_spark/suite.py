@@ -1246,14 +1246,16 @@ PRIORITY: tuple[str, ...] = (
     # rotates out, stays pytest-oracle-covered (iceberg_rollback keeps
     # snapshot-ref machinery in the top-50).
     "training_set_on_iceberg",
-    # Round-11 rotation: PII scrub — per-doc type counts + redacted
+    # Round-11 rotation: PII scan — per-doc type counts + redacted
     # text in one codegen projection, hash-compared INCLUDING the
     # redacted strings (Java-regex/RE2-identical ASCII patterns; the
     # corpus is deterministically augmented so every pattern fires).
+    # Extends the r7 pii_redact row (quality.redact_pii, redaction
+    # only) with counts, ssn/card types, and the report aggregate.
     # delta_row_tracking (green r6-r10) rotates out, stays
     # pytest-oracle-covered (iceberg_row_lineage keeps the row-identity
     # family in the top-50).
-    "pii_redaction",
+    "pii_scan",
     "training_set_pit",
     "training_set_lag",
     "training_set_label_no_ts",

@@ -2842,7 +2842,7 @@ _PII_AUG_SQL = (
 )
 
 
-def _pii_oracle() -> str:
+def _pii_scan_oracle() -> str:
     from featureform_spark.functions.pii import PII_PATTERNS
 
     counts = ", ".join(
@@ -2862,9 +2862,9 @@ def _pii_oracle() -> str:
     """
 
 
-@query("pii_redaction", _pii_oracle())
-def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub (r11, beyond-reference hygiene family): per-doc type
+@query("pii_scan", _pii_scan_oracle())
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan (r11): extends the r7 `pii_redact` row (functions/quality.redact_pii, 3 patterns, redaction only) with the full functions/pii.py family — per-doc type
     counts + redacted text in ONE codegen projection (regexp over
     ASCII-explicit patterns that mean the same thing in Java regex and
     RE2 — hash-compared against DuckDB including the redacted strings).
