@@ -24,6 +24,21 @@ from featureform_spark.functions.lsh_autosize import auto_minhash_params
 from featureform_spark.functions.text import tokens_expr
 
 
+def _resolve_banding(num_hashes, bands, count_fn) -> tuple[int, int]:
+    """Both explicit -> use them; both None -> auto-size from the
+    corpus count; HALF-specified -> refuse loudly (silently replacing
+    the one the caller did pass with an auto value would change
+    results without a trace — banding is one scheme, not two knobs)."""
+    if num_hashes is not None and bands is not None:
+        return num_hashes, bands
+    if num_hashes is None and bands is None:
+        return auto_minhash_params(count_fn())
+    raise ValueError(
+        "specify BOTH num_hashes and bands or NEITHER (auto); got "
+        f"num_hashes={num_hashes!r}, bands={bands!r}"
+    )
+
+
 def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles, space-joined (same as DuckDB
     list_transform(range(0, len-n+1), i -> array_to_string(list_slice(w,
@@ -184,10 +199,9 @@ def lsh_band_buckets(
     ``n_rows`` to skip the count job). NOTE: persisted signature
     stores must pin explicit values — a store written at one banding
     cannot be joined against buckets computed at another."""
-    if num_hashes is None or bands is None:
-        num_hashes, bands = auto_minhash_params(
-            n_rows if n_rows is not None else df.count()
-        )
+    num_hashes, bands = _resolve_banding(
+        num_hashes, bands, lambda: n_rows if n_rows is not None else df.count()
+    )
     rows_per_band = num_hashes // bands
     sig = (
         _with_hash_halves(_exploded_shingles(df, id_col, text_col, shingle_n))
@@ -289,11 +303,9 @@ def minhash_lsh_pairs(
     true 0.77-Jaccard near-dups; at 500k docs the same budget needs
     r=4 (b=16, k=64), which the auto path picks.
     """
-    if num_hashes is None or bands is None:
-        num_hashes, bands = auto_minhash_params(
-            n_rows if n_rows is not None else df.count(),
-            design_threshold=0.5,
-        )
+    num_hashes, bands = _resolve_banding(
+        num_hashes, bands, lambda: n_rows if n_rows is not None else df.count()
+    )
     buckets = lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     left = buckets.alias("l")
     right = buckets.alias("r")

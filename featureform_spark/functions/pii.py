@@ -90,10 +90,20 @@ def pii_scan(
 ) -> DataFrame:
     """Per-document PII scan: input columns + ``n_<type>`` counts and
     (with ``redact``) a ``redacted`` text column. One projection."""
+    ts = _types(types)
+    new_names = {f"n_{t}" for t in ts} | ({"redacted"} if redact else set())
+    clash = {c for c in df.columns if c.lower() in new_names}
+    if clash:
+        # Spark resolves case-insensitively — re-running the scan on
+        # its own output would otherwise produce ambiguous duplicates
+        raise ValueError(
+            f"pii_scan output columns collide with input columns "
+            f"{sorted(clash)}; rename or drop them first"
+        )
     text = F.col(text_col)
-    cols = [F.col(c) for c in df.columns] + pii_count_cols(text, types)
+    cols = [F.col(c) for c in df.columns] + pii_count_cols(text, ts)
     if redact:
-        cols.append(redact_expr(text, types).alias("redacted"))
+        cols.append(redact_expr(text, ts).alias("redacted"))
     return df.select(*cols)
 
 

@@ -316,6 +316,12 @@ def temperature_weights_exact(
         raise ValueError(
             f"temperature alpha must be a positive rational, got {alpha!r}"
         )
+    if q > 64:
+        raise ValueError(
+            "temperature alpha denominator > 64 makes the integer-root "
+            f"work pathological (n^p << 20q bits); reduce the fraction "
+            f"— got {alpha!r}"
+        )
     if p > 8 * q:
         raise ValueError(
             "temperature alpha > 8 amplifies large sources beyond any "

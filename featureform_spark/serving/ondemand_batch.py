@@ -47,7 +47,9 @@ def _norm_ref(ref: Any) -> str:
     return ref
 
 
-def _bare(ref: str) -> str:
+def _bare(ref: Any) -> str:
+    if isinstance(ref, tuple):  # ('name', 'variant') — serving accepts it
+        ref = f"{ref[0]}.{ref[1]}"
     return _norm_ref(str(ref).removeprefix("ondemand/"))
 
 
@@ -67,8 +69,10 @@ class BatchOnDemandContext:
         params: dict[str, Any],
         entities: dict[str, str],
         feature_cols: dict[str, str],
+        unpicklable: frozenset[str] = frozenset(),
     ):
         self._fns = fns
+        self._unpicklable = unpicklable
         self._pdf = pdf
         self.params = dict(params)
         # entity name -> Series of per-row entity values
@@ -97,6 +101,13 @@ class BatchOnDemandContext:
         bare = _bare(ref)
         if bare in self._memo:
             return self._memo[bare]
+        if bare in self._unpicklable:
+            raise RuntimeError(
+                f"on-demand feature {bare!r} is registered but its "
+                "function could not be serialized to executors (it "
+                "closes over a SparkSession/DataFrame/lock?); rewrite "
+                "it over client.features() inputs"
+            )
         if bare in self._fns:
             if bare in self._stack:
                 cyc = " -> ".join([*self._stack, bare])
@@ -109,10 +120,24 @@ class BatchOnDemandContext:
                 if vectorized:
                     val = fn(self, self.params, self.entities)
                     if not isinstance(val, pd.Series):
-                        # a constant-valued fn broadcasts to the batch
-                        val = pd.Series(
-                            [val] * len(self._pdf), index=self._pdf.index
-                        )
+                        n = len(self._pdf)
+                        if (
+                            not isinstance(val, (str, bytes, dict))
+                            and hasattr(val, "__len__")
+                            and len(val) == n
+                        ):
+                            # batch-length array/list: per-row values
+                            # (a fn returning `a.values - b.values`
+                            # must not broadcast the whole array into
+                            # every row)
+                            val = pd.Series(
+                                list(val), index=self._pdf.index
+                            )
+                        else:
+                            # constant-valued fn broadcasts
+                            val = pd.Series(
+                                [val] * n, index=self._pdf.index
+                            )
                 else:
                     val = self._apply_rowwise(fn)
             finally:
@@ -146,13 +171,11 @@ class BatchOnDemandContext:
             def features(self, refs, entities=None, params=None):
                 return [outer.resolve(r).iloc[self._i] for r in refs]
 
-        return pd.Series(
-            [
-                fn(_RowClient(i), outer.params, _RowClient(i).entities)
-                for i in range(len(outer._pdf))
-            ],
-            index=outer._pdf.index,
-        )
+        out = []
+        for i in range(len(outer._pdf)):
+            rc = _RowClient(i)
+            out.append(fn(rc, outer.params, rc.entities))
+        return pd.Series(out, index=outer._pdf.index)
 
 
 def ondemand_batch(
@@ -184,14 +207,35 @@ def ondemand_batch(
     # capture EVERY registered on-demand fn: dependencies are resolved
     # dynamically inside the functions, so the reachable set is not
     # known statically. (fn, vectorized) pairs; cloudpickle ships them.
+    # One unpicklable registered fn must not break unrelated features:
+    # test-pickle each, exclude failures, and carry their NAMES so a
+    # dependency hitting one raises a clear error executor-side (the
+    # requested refs themselves fail fast here).
+    import cloudpickle
+
     fns: dict[str, tuple[Callable, bool]] = {}
+    unpicklable: set[str] = set()
     for key, fn in registry.functions_by_prefix("ondemand/").items():
         bare = key.removeprefix("ondemand/")
         res = registry.get("ondemand", bare)
+        try:
+            cloudpickle.dumps(fn)
+        except Exception:
+            unpicklable.add(bare)
+            continue
         fns[bare] = (fn, getattr(res, "vectorized", True))
+    bad = [r for r in refs if r in unpicklable]
+    if bad:
+        raise ValueError(
+            f"on-demand features {bad} cannot be shipped to executors "
+            "(their functions failed cloudpickle — closing over a "
+            "SparkSession/DataFrame/lock?); rewrite them over "
+            "client.features() inputs"
+        )
     missing = [r for r in refs if r not in fns]
     if missing:
         raise KeyError(f"on-demand features not registered: {missing}")
+    unpicklable_f = frozenset(unpicklable)
 
     fcols = {_bare(k): v for k, v in (feature_cols or {}).items()}
     ents = dict(entities or {})
@@ -213,7 +257,9 @@ def ondemand_batch(
 
     def score(batches):
         for pdf in batches:
-            ctx = BatchOnDemandContext(fns, pdf, prms, ents, fcols)
+            ctx = BatchOnDemandContext(
+                fns, pdf, prms, ents, fcols, unpicklable_f
+            )
             out = pdf.copy(deep=False)
             for r in refs:
                 out[out_names[r]] = ctx.resolve(r)

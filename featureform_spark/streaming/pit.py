@@ -207,8 +207,14 @@ def _salt_streams(
     f = f_tagged.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
+    # epoch micros, NOT a string cast: rendering a timestamp as a
+    # string goes through spark.sql.session.timeZone, which would
+    # re-route replayed labels after a timezone change — the epoch is
+    # the instant itself
     lbl_key = F.concat_ws(
-        "|", F.col("ts").cast("string"), F.col("val").cast("string")
+        "|",
+        F.unix_micros(F.col("ts")).cast("string"),
+        F.col("val").cast("string"),
     )
     lbl = l_tagged.withColumn(
         "_salt", F.pmod(md5_u32(lbl_key), F.lit(n_salts)).cast("int")

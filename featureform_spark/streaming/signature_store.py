@@ -88,8 +88,11 @@ class SignatureStore:
         probe = DeltaliteTable(spark, path)
         if probe.exists():
             props = probe.properties()
-            num_hashes = int(props["lsh.num_hashes"])
-            bands = int(props["lsh.bands"])
+            # a store missing lsh.* properties (legacy writer) opens
+            # fine via plain construction, which defaults to (24, 8);
+            # mirror that tolerance here rather than KeyError
+            num_hashes = int(props.get("lsh.num_hashes", 24))
+            bands = int(props.get("lsh.bands", 8))
             shingle_n = int(props.get("lsh.shingle_n", shingle_n))
         else:
             from featureform_spark.functions.lsh_autosize import (

@@ -366,3 +366,10 @@ def test_temperature_mix_alpha_07_duckdb_oracle(spark):
     ).fetchall()
     assert got == [(r[0], r[1]) for r in oracle]
     assert len(got) > 0
+
+
+def test_temperature_exact_refuses_huge_denominator():
+    from featureform_spark.operators.mixing import temperature_weights_exact
+
+    with pytest.raises(ValueError, match="denominator"):
+        temperature_weights_exact({"a": 10}, (1, 500_000))

@@ -225,3 +225,13 @@ def test_signature_store_auto_bootstrap(spark, tmp_path):
     assert st2.params == st.params
     flags = {r["doc_id"]: r["is_dup"] for r in st2.flag(docs).collect()}
     assert flags[100] == 1  # identical text flags at any banding
+
+
+def test_half_specified_banding_refused(spark):
+    from featureform_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="BOTH num_hashes and bands"):
+        minhash_lsh_pairs(docs, bands=16)
+    with pytest.raises(ValueError, match="BOTH num_hashes and bands"):
+        minhash_lsh_pairs(docs, num_hashes=48)

@@ -207,3 +207,60 @@ def test_batch_matches_perrow_serving_path(spark):
         ).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------- r11 self-review fixes
+
+
+def test_tuple_refs_work_like_serving(spark):
+    reg = Registry()
+
+    def ratio(client, params, entities):
+        a, b = client.features([("total_spend", "default"), "n_orders"])
+        return a / b
+
+    reg.register_ondemand("ratio", ratio)
+    df = spark.createDataFrame(
+        [(1, 100.0, 4)], "custkey long, total_spend double, n_orders long"
+    )
+    out = ondemand_batch(reg, df, [("ratio", "default")])
+    assert [r["ratio"] for r in out.collect()] == [25.0]
+
+
+def test_batch_length_array_return_is_per_row(spark):
+    reg = Registry()
+
+    def diff(client, params, entities):
+        a, b = client.features(["total_spend", "n_orders"])
+        return (a.values - b.values)  # ndarray, not Series
+
+    reg.register_ondemand("diff", diff)
+    df = spark.createDataFrame(
+        [(1, 100.0, 4), (2, 90.0, 3)],
+        "custkey long, total_spend double, n_orders long",
+    )
+    out = ondemand_batch(reg, df, ["diff"]).orderBy("custkey")
+    assert [r["diff"] for r in out.collect()] == [96.0, 87.0]
+
+
+def test_unpicklable_unrelated_fn_does_not_break_scoring(spark):
+    import threading
+
+    reg = Registry()
+    ratio, _, _ = _fns()
+    reg.register_ondemand("ratio", ratio)
+    lock = threading.Lock()
+
+    def poisoned(client, params, entities):
+        return lock  # closes over an unpicklable lock
+
+    reg.register_ondemand("poisoned", poisoned)
+    df = spark.createDataFrame(
+        [(1, 100.0, 4)], "custkey long, total_spend double, n_orders long"
+    )
+    # unrelated feature still scores
+    out = ondemand_batch(reg, df, ["ratio"])
+    assert [r["ratio"] for r in out.collect()] == [25.0]
+    # requesting the poisoned one fails FAST with a clear error
+    with pytest.raises(ValueError, match="cloudpickle"):
+        ondemand_batch(reg, df, ["poisoned"])

@@ -90,3 +90,15 @@ def test_pii_validation_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "Exchange" not in plan  # pure projection
+
+
+def test_pii_scan_refuses_colliding_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, n_email long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        pii_scan(df)
+    # rerunning on own output collides on 'redacted'
+    clean = pii_scan(df.drop("n_email"))
+    with pytest.raises(ValueError, match="collide"):
+        pii_scan(clean)
