@@ -1487,13 +1487,15 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (delta_cdf_incremental keeps the CDC-read
     # family in the top-50).
     "decayed_engagement",
-    # Round-9 late rotation: row-level quarantine attribution (the
-    # triage side of the expectations framework, comma-stable rule
-    # lists per violating row) — new this round. embedding_ivfpq_topk
-    # (green r7-r8) rotates out, stays pytest-oracle-covered
-    # (embedding_ivfpq_filtered keeps the IVFPQ probe machinery in the
-    # top-50, plus the filter path).
-    "quarantine_rows",
+    # Round-11 rotation: continuous-ingestion EMBEDDING near-dup — the
+    # vector twin of incremental_dedup: batch flagged against the
+    # persisted EmbeddingStore (bucket semi-prune + exact cosine
+    # verify; flags exact at the threshold, not candidate semantics).
+    # quarantine_rows (green r9-r10) rotates out, stays
+    # pytest-oracle-covered (expectations_report +
+    # expectation_violation_samples keep the expectations framework in
+    # the top-50).
+    "incremental_embedding_dedup",
     # Round-7: true ExactSubstr dedup (rolling shingles catch
     # boundary-straddling duplicates dedup_blocks misses; verdict r6
     # #3). Displaced r6-green rows (contamination_top_ngrams,

@@ -1788,6 +1788,56 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_flags(batch, lsh_band_buckets(accepted))
 
 
+def _inc_emb_oracle(num_planes: int = 8, threshold: float = 0.2) -> str:
+    dot = _DOT.format(n=_DIM + 1, a="acc.v", b="bat.v")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    b0 AS (SELECT vec_id, v,
+                  {_bucket_case_sql('v', num_planes)} AS bucket,
+                  {_NORM.format(a='v')} AS n
+           FROM e),
+    acc AS (SELECT * FROM b0 WHERE vec_id % 5 <> 0),
+    bat AS (SELECT * FROM b0 WHERE vec_id % 5 = 0),
+    hits AS (
+      SELECT bat.vec_id AS vec_id, MIN(acc.vec_id) AS dup_of
+      FROM bat JOIN acc ON acc.bucket = bat.bucket
+       AND {dot} / (bat.n * acc.n) >= {threshold}
+      GROUP BY bat.vec_id)
+    SELECT bat.vec_id,
+           CAST(CASE WHEN h.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_dup,
+           h.dup_of
+    FROM bat LEFT JOIN hits h ON bat.vec_id = h.vec_id
+    """
+
+
+@query("incremental_embedding_dedup", _inc_emb_oracle())
+def incremental_embedding_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion EMBEDDING near-dup (r11 — the vector twin
+    of incremental_dedup): vectors with vec_id % 5 == 0 arrive as a
+    batch and are flagged against the persisted EmbeddingStore of the
+    accepted rest — store side semi-pruned to the batch's buckets,
+    exact cosine verify per candidate (flags are exact at the
+    threshold, not candidate semantics). The corpus is never
+    rescanned; state is one row per accepted vector."""
+    from featureform_spark.streaming.vector_store import EmbeddingStore
+    from featureform_spark.suite_delta import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    accepted = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    st = EmbeddingStore(
+        spark,
+        _scratch(sf_dir, "emb_store"),
+        dim=_DIM,
+        num_planes=8,
+        cosine_threshold=0.2,
+    )
+    st.ingest(accepted)
+    return st.flag(batch)
+
+
 # ---------------------------------------------------------------------------
 # quality-weighted sampling
 # ---------------------------------------------------------------------------
