@@ -782,6 +782,49 @@ def transformation_chained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_drift_bins",
+    """
+    WITH r AS (SELECT value AS x FROM events WHERE event_type = 'click'),
+    c AS (SELECT value AS x FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM r),
+    rb AS (SELECT CASE WHEN x IS NULL THEN -1 ELSE
+                  CAST(LEAST(GREATEST(FLOOR((x - s.mn) / ((s.mx - s.mn) / 10)),
+                             0), 9) AS BIGINT) END AS bin,
+                  count(*) AS n
+           FROM r, s GROUP BY 1),
+    cb AS (SELECT CASE WHEN x IS NULL THEN -1 ELSE
+                  CAST(LEAST(GREATEST(FLOOR((x - s.mn) / ((s.mx - s.mn) / 10)),
+                             0), 9) AS BIGINT) END AS bin,
+                  count(*) AS n
+           FROM c, s GROUP BY 1)
+    SELECT 'value' AS feature,
+           COALESCE(rb.bin, cb.bin) AS bin,
+           COALESCE(rb.n, 0) AS ref_count,
+           COALESCE(cb.n, 0) AS cur_count
+    FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+    """,
+)
+def feature_drift_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training/serving drift monitor (r11, beyond-reference §2.9
+    adjacent): integer bin counts of a feature's reference vs current
+    distribution — fixed-width bins over the reference's exact
+    [min, max] (one agg for edges, one unpivoted groupBy per frame,
+    NULL bin -1, out-of-range clamps to the edge bins). Counts are
+    exact integers, hash-compared; the PSI fold (libm ln) stays
+    driver-side and pytest-pinned per the transcendental convention."""
+    from featureform_spark.functions.drift import histogram_compare
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "click").select(
+        F.col("value").alias("value")
+    )
+    cur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("value").alias("value")
+    )
+    return histogram_compare(ref, cur, ["value"], bins=10)
+
+
+@query(
     "ondemand_batch",
     """
     WITH f AS (
@@ -1480,13 +1523,14 @@ PRIORITY: tuple[str, ...] = (
     # (deltaprotocol_source_read keeps the Python Data Source surface
     # in the top-50).
     "iceberg_rollback",
-    # Round-9 late rotation: half-life-decayed engagement features
-    # (fixed-point binary weights — integer/decimal sums end-to-end,
-    # one groupBy; the recsys/fraud freshness signal) — new this
-    # round. iceberg_changelog (green r7-r8) rotates out, stays
-    # pytest-oracle-covered (delta_cdf_incremental keeps the CDC-read
-    # family in the top-50).
-    "decayed_engagement",
+    # Round-11 rotation: training/serving drift monitor — exact
+    # integer bin counts (fixed-width over the reference's [min, max],
+    # NULL bin, edge clamping) hash-compared; PSI stays driver-side
+    # pytest-pinned (transcendental convention).
+    # decayed_engagement (green r9-r10) rotates out, stays
+    # pytest-oracle-covered (scd2_intervals + gap_fill_15min keep the
+    # temporal family in the top-50).
+    "feature_drift_bins",
     # Round-11 rotation: continuous-ingestion EMBEDDING near-dup — the
     # vector twin of incremental_dedup: batch flagged against the
     # persisted EmbeddingStore (bucket semi-prune + exact cosine
