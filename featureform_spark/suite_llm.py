@@ -1827,11 +1827,16 @@ def incremental_embedding_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings")
     accepted = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
-    st = EmbeddingStore(
+    # destination-auto bucketing: the floor reproduces the oracle's 8
+    # planes at every driver/parity sf (< 4k accepted vectors) while
+    # the x100 bench re-sizes to 14 — the auto-twin pattern, in the
+    # lifecycle form (x100 measured 157.7s pinned -> re-sized fixes
+    # the candidate blowup the same way embedding_near_dup_auto's did)
+    st = EmbeddingStore.auto(
         spark,
         _scratch(sf_dir, "emb_store"),
         dim=_DIM,
-        num_planes=8,
+        expected_corpus_rows=accepted.count(),
         cosine_threshold=0.2,
     )
     st.ingest(accepted)
