@@ -38,15 +38,26 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["histogram_compare", "psi", "drift_report"]
+__all__ = [
+    "histogram_compare",
+    "categorical_compare",
+    "psi",
+    "chi_square",
+    "drift_report",
+    "drift_report_categorical",
+]
 
 
 def _bin_expr(col, mn: float, width: float, bins: int):
-    idx = F.floor((col.cast("double") - F.lit(mn)) / F.lit(width))
+    d = col.cast("double")
+    idx = F.floor((d - F.lit(mn)) / F.lit(width))
     bounded = F.least(
         F.greatest(idx, F.lit(0)), F.lit(bins - 1)
     ).cast("long")
-    return F.when(col.isNull(), F.lit(-1)).otherwise(bounded)
+    # NaN joins NULL in the -1 bin: floor(NaN) would otherwise cast to
+    # a garbage index, and a feature going NaN IS drift exactly like a
+    # feature going NULL (broken upstream arithmetic vs broken join)
+    return F.when(col.isNull() | F.isnan(d), F.lit(-1)).otherwise(bounded)
 
 
 def histogram_compare(
@@ -68,16 +79,26 @@ def histogram_compare(
         raise ValueError("histogram_compare: no feature columns")
     if bins < 2:
         raise ValueError("histogram_compare: bins must be >= 2")
+    # NaN-excluding edges: Spark's min/max order NaN as the LARGEST
+    # double, so one NaN in the reference would make mx (and hence
+    # width) NaN and collapse every value into bin 0 with no error —
+    # exactly the broken-upstream case the monitor exists to catch.
+    # NaN rows still count, in the -1 bin (see _bin_expr).
+    def _finite(c):
+        d = F.col(c).cast("double")
+        return F.when(~F.isnan(d), d)
+
     stats = ref.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(_finite(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(_finite(c)).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     edges: dict[str, tuple[float, float]] = {}
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
         if mn is None:
             raise ValueError(
-                f"histogram_compare: reference column {c!r} is all-NULL"
+                f"histogram_compare: reference column {c!r} has no "
+                "non-NULL, non-NaN values to derive bin edges from"
             )
         width = (mx - mn) / bins if mx > mn else 1.0
         edges[c] = (float(mn), float(width))
@@ -111,6 +132,91 @@ def histogram_compare(
     )
 
 
+def categorical_compare(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """(feature, category, ref_count, cur_count) for string/categorical
+    feature columns — the categorical twin of :func:`histogram_compare`
+    (r12; numeric-only monitoring misses exactly the schema-change
+    drift a string feature shows first).
+
+    Binning is hash-stable top-K: the K categories ranked by
+    (ref_count DESC, category ASC) keep their own rows — a
+    deterministic total order, so the same K on every engine — and
+    everything else folds into ``__other__``. NULL becomes the
+    ``__null__`` category (a feature going NULL is drift, and it can
+    legitimately BE a top-K category). Categories never seen in the
+    reference rank after all reference-backed ones (ref_count 0) and
+    typically fold into ``__other__`` — where a brand-new category's
+    mass belongs. Counts are exact integers, hash-reproducible
+    cross-engine; PSI/chi-square fold driver-side
+    (:func:`drift_report_categorical`).
+
+    Scale shape: one unpivoted partial-agg groupBy per frame (adding
+    features adds no jobs), then the rank + fold run at CATEGORY
+    cardinality — post-aggregation, thousands of rows at most, never
+    the corpus. Reserved names: a real category spelled exactly
+    ``__null__``/``__other__`` merges with the sentinel row
+    (documented, not scanned for — a guard pass over 100 TB to catch
+    a pathological label is the wrong trade)."""
+    from pyspark.sql import Window
+
+    if not cols:
+        raise ValueError("categorical_compare: no feature columns")
+    if top_k < 1:
+        raise ValueError("categorical_compare: top_k must be >= 1")
+
+    def _counts(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            df.select(
+                F.lit(c).alias("feature"),
+                F.coalesce(
+                    F.col(c).cast("string"), F.lit("__null__")
+                ).alias("category"),
+            )
+            for c in cols
+        ]
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        return un.groupBy("feature", "category").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    joined = (
+        _counts(ref, "ref_count")
+        .join(_counts(cur, "cur_count"), ["feature", "category"], "full_outer")
+        .select(
+            "feature",
+            "category",
+            F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+        )
+    )
+    w = Window.partitionBy("feature").orderBy(
+        F.desc("ref_count"), F.asc("category")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "feature",
+            F.when(F.col("_rn") <= top_k, F.col("category"))
+            .otherwise(F.lit("__other__"))
+            .alias("category"),
+            "ref_count",
+            "cur_count",
+        )
+        .groupBy("feature", "category")
+        .agg(
+            F.sum("ref_count").alias("ref_count"),
+            F.sum("cur_count").alias("cur_count"),
+        )
+    )
+
+
 def psi(
     counts: list[tuple[int, int]], epsilon: float = 1e-4
 ) -> float:
@@ -132,6 +238,25 @@ def psi(
     return score
 
 
+def chi_square(counts: list[tuple[int, int]]) -> float:
+    """Pearson chi-square statistic comparing the current distribution
+    to reference proportions: ``Σ (o_i - e_i)² / e_i`` where
+    ``e_i = ref_share_i × cur_total``. Zero-reference bins are skipped
+    (their mass is tested by the PSI epsilon path instead — chi-square
+    is undefined at e=0). Driver-side fold like :func:`psi`."""
+    ref_total = sum(r for r, _ in counts)
+    cur_total = sum(c for _, c in counts)
+    if ref_total == 0 or cur_total == 0:
+        raise ValueError("chi_square: empty frame")
+    stat = 0.0
+    for r, c in counts:
+        if r == 0:
+            continue
+        e = (r / ref_total) * cur_total
+        stat += (c - e) * (c - e) / e
+    return stat
+
+
 def drift_report(
     ref: DataFrame,
     cur: DataFrame,
@@ -147,3 +272,26 @@ def drift_report(
             (int(r["ref_count"]), int(r["cur_count"]))
         )
     return {f: psi(c) for f, c in sorted(by_feature.items())}
+
+
+def drift_report_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    top_k: int = 20,
+    stat: str = "psi",
+) -> dict[str, float]:
+    """Per-feature PSI (default) or chi-square over top-K + __other__
+    category counts — one aggregation-scale collect, driver-side
+    folds (the transcendental/float division stays out of any
+    hash-compared plan, same convention as :func:`drift_report`)."""
+    if stat not in ("psi", "chi_square"):
+        raise ValueError(f"stat={stat!r}; use 'psi' or 'chi_square'")
+    rows = categorical_compare(ref, cur, cols, top_k).collect()
+    by_feature: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_feature.setdefault(r["feature"], []).append(
+            (int(r["ref_count"]), int(r["cur_count"]))
+        )
+    fold = psi if stat == "psi" else chi_square
+    return {f: fold(c) for f, c in sorted(by_feature.items())}

@@ -62,9 +62,13 @@ def pii_count_cols(
     text: Column, types: list[str] | None = None
 ) -> list[Column]:
     """One ``n_<type>`` count column per PII type — a codegen
-    ``size(regexp_extract_all(...))`` each."""
+    ``size(regexp_extract_all(...))`` each. NULL text counts as 0
+    matches (``size(NULL)`` is -1 under Spark's default
+    ``spark.sql.legacy.sizeOfNull`` — a NULL document has no PII, not
+    negative PII, and a -1 would silently deflate ``pii_report`` sums)."""
+    safe = F.coalesce(text, F.lit(""))
     return [
-        F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[t]), F.lit(0)))
+        F.size(F.regexp_extract_all(safe, F.lit(PII_PATTERNS[t]), F.lit(0)))
         .cast("long")
         .alias(f"n_{t}")
         for t in _types(types)
@@ -89,7 +93,9 @@ def pii_scan(
     redact: bool = True,
 ) -> DataFrame:
     """Per-document PII scan: input columns + ``n_<type>`` counts and
-    (with ``redact``) a ``redacted`` text column. One projection."""
+    (with ``redact``) a ``redacted`` text column. One projection.
+    NULL text rows get zero counts and a NULL ``redacted`` (faithful
+    passthrough — redaction never invents an empty document)."""
     ts = _types(types)
     new_names = {f"n_{t}" for t in ts} | ({"redacted"} if redact else set())
     clash = {c for c in df.columns if c.lower() in new_names}
@@ -115,7 +121,8 @@ def pii_report(
     types (unpivoted from a single-row aggregate, never one job per
     type)."""
     ts = _types(types)
-    text = F.col(text_col)
+    # same NULL-text convention as pii_count_cols: 0 matches, never -1
+    text = F.coalesce(F.col(text_col), F.lit(""))
     aggs = []
     for t in ts:
         n = F.size(

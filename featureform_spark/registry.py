@@ -254,6 +254,13 @@ class TrainingSetVariant:
     label: str = ""                   # "name.variant"
     features: list[str] = field(default_factory=list)
     lag_features: list[dict] = field(default_factory=list)
+    # r12: on-demand feature refs resolved at BUILD time — the batch
+    # mapInPandas scorer runs over the PIT output, so a training set
+    # can carry client-computed features as real columns (the
+    # reference only executes these at serve time,
+    # client/src/featureform/register.py:4292-4360; batch-scoring the
+    # training set is the Spark-native upgrade)
+    ondemand_features: list[str] = field(default_factory=list)
     ts_type: str = "static"           # dynamic | static | view
     owner: str = ""
     description: str = ""

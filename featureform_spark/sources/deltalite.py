@@ -695,7 +695,13 @@ class DeltaliteTable:
                 v = self._next_version()
         raise AssertionError("unreachable")
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, properties: dict[str, str] | None = None
+    ) -> int:
+        """Atomic replace. ``properties`` updates ride the same commit
+        (folded via props.update like every commit), so a caller that
+        rewrites data under a NEW scheme (e.g. an LSH store re-bucket)
+        can never land rows and scheme descriptor separately."""
         v = self._next_version()
         removed = self._active_files()
         adds = self._write_files(df, v)
@@ -707,6 +713,7 @@ class DeltaliteTable:
                 add=adds,
                 remove=removed,
                 schema_json=json.dumps(df.schema.jsonValue()),
+                properties=properties or {},
                 timestamp=time.time(),
             )
         )
@@ -852,6 +859,73 @@ class DeltaliteTable:
             "files_total": len(active),
             "rows_updated": n_upd,
             "rows_inserted": n_ins,
+        }
+
+    def delete_where(self, predicate) -> dict:
+        """``DELETE FROM t WHERE <predicate>`` with copy-on-write of
+        matched files only (Delta's DELETE shape): files with no
+        matching row are carried by reference, matched files are
+        rewritten without their matching rows. ``predicate`` is a
+        Column or SQL string.
+
+        Returns {"version", "rows_deleted", "files_rewritten",
+        "files_total"}; a predicate matching nothing is a no-op
+        (no commit)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        active = self._active_files()
+        if not active:
+            return {
+                "version": self.latest_version(),
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_total": 0,
+            }
+        paths = [os.path.join(self.path, f) for f in active]
+        tagged = self.spark.read.schema(self.schema()).parquet(*paths)
+        matched_uris = [
+            r["__file"]
+            for r in tagged.filter(pred)
+            .select(F.input_file_name().alias("__file"))
+            .distinct()
+            .collect()
+        ]
+        matched = sorted(
+            {os.path.basename(u.removeprefix("file:")) for u in matched_uris}
+        )
+        if not matched:
+            return {
+                "version": self.latest_version(),
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_total": len(active),
+            }
+        v = self._next_version()
+        mpaths = [os.path.join(self.path, f) for f in matched]
+        target = self.spark.read.schema(self.schema()).parquet(*mpaths)
+        survivors = target.filter(~F.coalesce(pred, F.lit(False)))
+        n_del = target.filter(pred).count()
+        adds = self._write_files(survivors, v)
+        if self.properties().get("enableChangeDataFeed") == "true":
+            cdf_path = os.path.join(self.path, CDF_DIR, f"v{v:05d}")
+            target.filter(pred).withColumn(
+                "_change_type", F.lit("delete")
+            ).write.mode("overwrite").parquet(cdf_path)
+        self._commit(
+            Commit(
+                version=v,
+                operation="delete",
+                is_blind_append=False,
+                add=adds,
+                remove=matched,
+                schema_json=json.dumps(self.schema().jsonValue()),
+                timestamp=time.time(),
+            )
+        )
+        return {
+            "version": v,
+            "rows_deleted": n_del,
+            "files_rewritten": len(matched),
+            "files_total": len(active),
         }
 
     # ------------------------------------------------- maintenance ops
@@ -1007,8 +1081,8 @@ class DeltaliteTable:
         tagged `_change_type` + `_commit_version`.
 
         append/create commits contribute their added files as inserts
-        (derived, no extra storage); merge commits contribute their
-        recorded change files; overwrite raises (handled by
+        (derived, no extra storage); merge/delete commits contribute
+        their recorded change files; overwrite raises (handled by
         ``incremental_records`` below — direct callers see changes only
         for append/merge)."""
         horizon = self._log_horizon()
@@ -1039,7 +1113,7 @@ class DeltaliteTable:
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(c.version).cast("long"))
                 )
-            elif c.operation == "merge":
+            elif c.operation in ("merge", "delete"):
                 cdf_path = os.path.join(self.path, CDF_DIR, f"v{c.version:05d}")
                 if os.path.isdir(cdf_path):
                     parts.append(

@@ -212,6 +212,21 @@ class CommitConflictError(IcebergProtocolError):
     failure like a corrupt manifest or an unsupported feature."""
 
 
+class AppendCommittedMaintenanceError(IcebergProtocolError):
+    """An append's snapshot COMMITTED durably, but the follow-on
+    auto manifest-merge failed with a non-conflict error. Distinct
+    type because the failure mode is the opposite of a failed append:
+    retrying the append would double-append the committed rows.
+    ``snapshot_id`` is the durably-committed append snapshot; callers
+    should treat the append as succeeded and surface the maintenance
+    failure (``__cause__``) separately — e.g. run
+    ``rewrite_manifests()`` out of band once the cause is fixed."""
+
+    def __init__(self, message: str, snapshot_id: int):
+        super().__init__(message)
+        self.snapshot_id = snapshot_id
+
+
 # ------------------------------------------------------------ type mapping
 
 _ICE_TO_SPARK = {
@@ -5290,13 +5305,25 @@ class IcebergProtocolTable:
                     # double-append the same rows. Swallow ONLY the
                     # lost race and let the next append (or an
                     # explicit rewrite_manifests) fold on fresh
-                    # metadata; anything else (corrupt manifest,
-                    # unsupported feature) is real table damage and
-                    # must propagate.
+                    # metadata. Anything else is real table damage —
+                    # but it must surface as a DISTINCT type carrying
+                    # the committed snapshot id: a plain propagate
+                    # would hit retry-on-error append loops and
+                    # double-append the rows the snapshot already
+                    # holds.
                     try:
                         self.rewrite_manifests()
                     except CommitConflictError:
                         pass
+                    except Exception as e:
+                        raise AppendCommittedMaintenanceError(
+                            f"append committed snapshot {sid} durably, "
+                            "but the follow-on manifest merge failed: "
+                            f"{e} — do NOT retry the append; run "
+                            "rewrite_manifests() once the cause is "
+                            "fixed",
+                            snapshot_id=sid,
+                        ) from e
         return sid
 
     def cherrypick_snapshot(self, snapshot_id: int) -> int:

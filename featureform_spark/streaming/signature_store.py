@@ -115,8 +115,15 @@ class SignatureStore:
             docs, self.id_col, self.text_col, **self.params
         )
 
-    def stored_buckets(self) -> DataFrame:
+    def stored_buckets(self, like: DataFrame | None = None) -> DataFrame:
+        """Accepted (id, bucket) rows; a fresh store derives the empty
+        frame's id type from ``like`` (a batch) when given — the
+        persisted type is whatever the first ingest wrote, so the
+        pre-first-ingest flag() must present the batch's own id type
+        (same fix as EmbeddingStore.stored_rows)."""
         if not self.table.exists():
+            if like is not None:
+                return self._buckets(like.limit(0))
             return self.spark.createDataFrame(
                 [], f"{self.id_col} long, bucket string"
             )
@@ -127,17 +134,46 @@ class SignatureStore:
         (batch-internal dups are the caller's in-batch dedup problem)."""
         return incremental_lsh_flags(
             batch,
-            self.stored_buckets(),
+            self.stored_buckets(like=batch),
             self.id_col,
             self.text_col,
             **self.params,
         )
 
-    def ingest(self, batch: DataFrame) -> DataFrame:
+    def ingest(
+        self, batch: DataFrame, on_overflow: str = "warn"
+    ) -> DataFrame:
         """Flag the batch, admit the clean docs' buckets, return flags.
 
         The returned flags frame is materialized (the flag join must see
-        the store BEFORE this batch's buckets land)."""
+        the store BEFORE this batch's buckets land).
+
+        ``on_overflow``: ``"warn"`` (default) raises a UserWarning when
+        the accepted-doc count has outgrown the pinned banding (see
+        :meth:`occupancy_report` — a metadata row-count fold, no scan);
+        ``"ignore"`` skips the check. Unlike the vector store there is
+        no ``"migrate"``: re-banding needs the original texts (buckets
+        are one-way hashes), so migration is the explicit
+        :meth:`reband` call with the doc source."""
+        if on_overflow not in ("warn", "ignore"):
+            raise ValueError(f"on_overflow={on_overflow!r}")
+        if on_overflow == "warn" and self.table.exists():
+            rep = self.occupancy_report()
+            if rep["needs_reband"]:
+                import warnings
+
+                warnings.warn(
+                    f"SignatureStore at {self.table.path} holds "
+                    f"{rep['n_docs']} docs banded "
+                    f"({self.params['num_hashes']}, "
+                    f"{self.params['bands']}); the false-candidate "
+                    "model recommends "
+                    f"{rep['recommended']} — run reband(docs, "
+                    f"num_hashes={rep['recommended'][0]}, "
+                    f"bands={rep['recommended'][1]}) with the corpus "
+                    "source",
+                    stacklevel=2,
+                )
         flags = self.flag(batch).localCheckpoint()
         clean = batch.join(
             flags.filter("is_dup = 0").select(self.id_col), self.id_col
@@ -153,6 +189,95 @@ class SignatureStore:
                 },
             )
         return flags
+
+    # ------------------------------------------------ lifecycle (r12)
+
+    def accepted_count(self) -> int:
+        """Accepted-doc count — every accepted doc contributes exactly
+        ``bands`` rows, so this is the metadata row count divided by
+        the pinned band count (a commit-log fold, no data scan)."""
+        if not self.table.exists():
+            return 0
+        return self.table.row_count() // self.params["bands"]
+
+    def occupancy_report(self, trigger_factor: int = 4) -> dict:
+        """Banding health: ``needs_reband`` trips when the accepted
+        count exceeds ``trigger_factor``× the largest corpus the
+        pinned rows-per-band was sized for (the inverse of
+        ``auto_minhash_params``' occupancy model: r rows per band hold
+        the false-candidate rate flat up to
+        ``n = target × (1/j)^r``)."""
+        from featureform_spark.functions.lsh_autosize import (
+            auto_minhash_params,
+        )
+
+        n = self.accepted_count()
+        r = self.params["num_hashes"] // self.params["bands"]
+        # capacity of the pinned scheme under the same defaults the
+        # auto sizing uses: target 8 false candidates/band at j=0.05
+        capacity = 8 * (1.0 / 0.05) ** r
+        return {
+            "n_docs": n,
+            "rows_per_band": r,
+            "capacity_docs": capacity,
+            "trigger_factor": trigger_factor,
+            "recommended": auto_minhash_params(n),
+            "needs_reband": n > capacity * trigger_factor,
+        }
+
+    def reband(
+        self,
+        docs: DataFrame,
+        num_hashes: int | None = None,
+        bands: int | None = None,
+    ) -> int:
+        """Migrate the store to a new banding scheme. Band buckets are
+        one-way md5 hashes and the store deliberately keeps ~320 B/doc
+        of buckets instead of texts, so re-banding re-projects from the
+        DOC SOURCE: one O(n) pass over ``docs`` semi-joined to the
+        accepted ids, committed with the new scheme descriptor as one
+        atomic versioned replace (time travel serves the old banding
+        at pre-migration versions).
+
+        ``docs`` must cover every accepted id (a partial source would
+        silently evict the missing docs from dedup — refused loudly).
+        Omitted num_hashes/bands default to the auto sizing for the
+        CURRENT accepted count."""
+        if not self.table.exists():
+            raise ValueError("reband: store has no accepted docs yet")
+        if (num_hashes is None) != (bands is None):
+            raise ValueError(
+                "reband: pass both num_hashes and bands, or neither "
+                "(half-specified banding is ambiguous)"
+            )
+        if num_hashes is None:
+            from featureform_spark.functions.lsh_autosize import (
+                auto_minhash_params,
+            )
+
+            num_hashes, bands = auto_minhash_params(self.accepted_count())
+        new_params = dict(self.params, num_hashes=num_hashes, bands=bands)
+        if new_params == self.params:
+            return self.table.latest_version()
+        accepted = self.stored_buckets().select(self.id_col).distinct()
+        src = docs.join(accepted, self.id_col, "left_semi")
+        n_acc, n_src = accepted.count(), src.select(
+            self.id_col
+        ).distinct().count()
+        if n_src < n_acc:
+            raise ValueError(
+                f"reband: doc source covers {n_src} of {n_acc} accepted "
+                "ids — migrating would silently drop the rest from dedup"
+            )
+        new_buckets = lsh_band_buckets(
+            src, self.id_col, self.text_col, **new_params
+        )
+        v = self.table.overwrite(
+            new_buckets,
+            properties={f"lsh.{k}": str(v) for k, v in new_params.items()},
+        )
+        self.params = new_params
+        return v
 
 
 class ContinuousDedup:

@@ -24,10 +24,26 @@ flag. The price is state size: dim doubles + 8 bytes per vector
 (~520 B/vector at dim 64) vs the text store's ~320 B/doc; both
 bucket-partition cleanly.
 
-Bucketing is pinned at construction and persisted as table properties
-(like banding, bucket schemes cannot mix); ``.auto`` sizes a NEW
-store's plane count for the corpus the deployment expects to
-accumulate via :func:`lsh_autosize.auto_num_planes`.
+Bucketing is pinned per STORE VERSION and persisted as table
+properties (like banding, bucket schemes cannot mix within one
+snapshot); ``.auto`` sizes a NEW store's plane count for the corpus
+the deployment expects to accumulate via
+:func:`lsh_autosize.auto_num_planes`.
+
+Lifecycle at scale (round-12): a store that OUTGROWS the corpus it
+was sized for reverts to the fixed-bucket candidate blowup —
+occupancy n/2^planes grows linearly, the in-bucket verify join
+quadratically. Because the store keeps the vectors, migration is one
+O(n) re-projection: :meth:`rebucket` recomputes every stored bucket
+under the new plane count and commits rows + scheme descriptor as ONE
+atomic versioned replace (time travel still serves the old scheme at
+old versions). :meth:`ingest` checks occupancy from the table's
+metadata row count (a log fold, no data scan) and warns — or
+auto-migrates with ``on_overflow="migrate"`` — when the store runs
+``trigger_factor``× past its target occupancy. The md5 hyperplane
+family is count-independent (plane ``p`` is the same at any
+``num_planes``), so raising the plane count strictly REFINES buckets:
+a 14-plane bucket is its 8-plane bucket plus six more sign bits.
 
 No reference counterpart (featureform has no corpus ops); this backs
 the beyond-reference dedup layer (SURVEY.md §8.10).
@@ -125,8 +141,16 @@ class EmbeddingStore:
             bucket_pandas(self.dim, self.num_planes)(v).alias("bucket"),
         )
 
-    def stored_rows(self) -> DataFrame:
+    def stored_rows(self, like: DataFrame | None = None) -> DataFrame:
+        """Accepted rows; empty-store schema comes from ``like`` (a
+        batch) when given — the persisted schema is whatever the first
+        ingested batch carried, so a fresh store must present the SAME
+        id type the batch has (a hardcoded ``long`` would implicitly
+        cast — or fail to join — a string-id batch on the very first
+        ``flag()``, diverging from every later call)."""
         if not self.table.exists():
+            if like is not None:
+                return self._rows(like).limit(0)
             return self.spark.createDataFrame(
                 [],
                 f"{self.id_col} long, _v array<double>, _n double, "
@@ -148,7 +172,7 @@ class EmbeddingStore:
 
         b = self._rows(batch)
         touched = b.select("bucket").distinct()
-        stored = self.stored_rows().join(
+        stored = self.stored_rows(like=batch).join(
             F.broadcast(touched), "bucket", "left_semi"
         )
         cand = b.alias("n").join(
@@ -179,11 +203,41 @@ class EmbeddingStore:
             )
         )
 
-    def ingest(self, batch: DataFrame) -> DataFrame:
+    def ingest(
+        self, batch: DataFrame, on_overflow: str = "warn"
+    ) -> DataFrame:
         """Flag, admit clean vectors' rows, return flags (materialized
         so the flag join saw the store BEFORE this batch landed).
         Batch-internal duplicates are the caller's in-batch problem,
-        same contract as the text store."""
+        same contract as the text store.
+
+        ``on_overflow``: what to do when the store has outgrown its
+        bucket scheme (see :meth:`occupancy_report`) — ``"warn"``
+        (default; a UserWarning naming the fix), ``"migrate"``
+        (run :meth:`rebucket` to the recommended plane count BEFORE
+        flagging this batch), or ``"ignore"``. The check is a metadata
+        row-count fold, not a data scan."""
+        if on_overflow not in ("warn", "migrate", "ignore"):
+            raise ValueError(f"on_overflow={on_overflow!r}")
+        if on_overflow != "ignore" and self.table.exists():
+            rep = self.occupancy_report()
+            if rep["needs_rebucket"]:
+                if on_overflow == "migrate":
+                    self.rebucket(rep["recommended_planes"])
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"EmbeddingStore at {self.table.path} holds "
+                        f"{rep['n_rows']} vectors at {self.num_planes} "
+                        f"planes (occupancy {rep['expected_occupancy']:.0f}"
+                        f" > target {rep['target_bucket_rows']} × "
+                        f"{rep['trigger_factor']}); candidate joins are "
+                        "degrading — run rebucket("
+                        f"{rep['recommended_planes']}) or ingest with "
+                        "on_overflow='migrate'",
+                        stacklevel=2,
+                    )
         flags = self.flag(batch).localCheckpoint()
         clean = batch.join(
             flags.filter("is_dup = 0").select(self.id_col), self.id_col
@@ -200,3 +254,96 @@ class EmbeddingStore:
                 },
             )
         return flags
+
+    # ------------------------------------------------ lifecycle (r12)
+
+    def accepted_count(self) -> int:
+        """Stored vector count — a commit-log metadata fold (file
+        stats), no data scan."""
+        return self.table.row_count() if self.table.exists() else 0
+
+    def occupancy_report(
+        self, target_bucket_rows: int = 16, trigger_factor: int = 4
+    ) -> dict:
+        """Occupancy health: ``needs_rebucket`` trips when the stored
+        count exceeds ``target_bucket_rows × 2^planes ×
+        trigger_factor`` — i.e. expected bucket occupancy is
+        ``trigger_factor``× past the sizing target that
+        ``auto_num_planes`` holds for a new store."""
+        from featureform_spark.functions.lsh_autosize import auto_num_planes
+
+        n = self.accepted_count()
+        return {
+            "n_rows": n,
+            "num_planes": self.num_planes,
+            "expected_occupancy": n / (1 << self.num_planes),
+            "target_bucket_rows": target_bucket_rows,
+            "trigger_factor": trigger_factor,
+            "recommended_planes": auto_num_planes(n, target_bucket_rows),
+            "needs_rebucket": n
+            > target_bucket_rows * (1 << self.num_planes) * trigger_factor,
+        }
+
+    def rebucket(self, new_planes: int) -> int | None:
+        """Migrate the store to ``new_planes`` hyperplanes: ONE O(n)
+        re-projection of the stored rows (the store keeps vectors, so
+        no source rescan) committed with the updated scheme descriptor
+        as a single atomic versioned replace — a reader never sees
+        rows under one scheme and properties under another, and time
+        travel serves the old scheme at pre-migration versions.
+
+        Flag semantics are preserved for any pair whose vectors share
+        buckets under both schemes (exact duplicates always do — the
+        projection is deterministic); refinement can only DROP
+        below-threshold candidates from the verify join, never add
+        false flags (flags stay exact-at-threshold by construction).
+        Returns the new table version, or None if already at
+        ``new_planes``."""
+        new_planes = int(new_planes)
+        if new_planes == self.num_planes:
+            return None
+        if not self.table.exists():
+            self.num_planes = new_planes
+            return None
+        rows = self.table.snapshot().select(
+            F.col(self.id_col),
+            F.col("_v"),
+            F.col("_n"),
+            bucket_pandas(self.dim, new_planes)(F.col("_v")).alias("bucket"),
+        )
+        v = self.table.overwrite(
+            rows, properties={"emb.num_planes": str(new_planes)}
+        )
+        self.num_planes = new_planes
+        return v
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> dict:
+        """Fold small per-batch append files (the text store's
+        OPTIMIZE parity) — physical only, flags and time travel are
+        unaffected."""
+        return self.table.optimize(target_rows_per_file)
+
+    def evict(self, predicate) -> dict:
+        """Retention hook: DELETE stored vectors matching ``predicate``
+        (Column or SQL string over the store schema — id, _v, _n,
+        bucket) with copy-on-write of matched files only. Evicted ids
+        stop flagging future batches; a re-ingest of the same content
+        re-admits it. Time travel still serves pre-eviction flags."""
+        return self.table.delete_where(predicate)
+
+    def reingest(self, batch: DataFrame) -> dict:
+        """Supersede: replace stored rows for ids present in ``batch``
+        (new vector, new bucket) and insert ids the store has never
+        seen — one MERGE, matched files only. Unlike :meth:`ingest`
+        this does NOT near-dup-gate the batch; it is the maintenance
+        path for refreshed embeddings of already-accepted content."""
+        if not self.table.exists():
+            self.table.create(
+                self._rows(batch),
+                properties={
+                    "emb.dim": str(self.dim),
+                    "emb.num_planes": str(self.num_planes),
+                },
+            )
+            return {"version": 0, "files_rewritten": 0}
+        return self.table.merge(self._rows(batch), key=self.id_col)

@@ -486,3 +486,57 @@ def test_zorder_validation_and_nulls(spark, tmp_path):
         ((r["x"], r["s"], r["y"]) for r in t.snapshot().collect()), key=str
     )
     assert len(got) == 3  # nulls survive re-clustering
+
+
+# ------------------------------------------------ r12: DELETE + replace
+
+
+def test_delete_where_cow_matched_files_only(spark, tmp_path):
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "dw"))
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id long, g long"
+        ).repartition(3, "g"),
+        properties={"enableChangeDataFeed": "true"},
+    )
+    files_before = len(t._active_files())
+    out = t.delete_where("id >= 20 AND g = 0")
+    assert out["rows_deleted"] == sum(
+        1 for i in range(20, 30) if i % 3 == 0
+    )
+    # CoW: only files holding matching rows were rewritten
+    assert 0 < out["files_rewritten"] < out["files_total"] == files_before
+    assert t.snapshot().count() == 30 - out["rows_deleted"]
+    # survivors colocated in rewritten files are intact
+    assert t.snapshot().filter("id < 20 AND g = 0").count() == 7
+    # CDF carries the deleted rows
+    feed = t.change_feed(out["version"]).collect()
+    assert {r["_change_type"] for r in feed} == {"delete"}
+    assert {r["id"] for r in feed} == {21, 24, 27}
+    # time travel still serves the pre-delete rows
+    assert t.snapshot(version=out["version"] - 1).count() == 30
+
+    # no-match predicate is a no-op: no commit
+    v = t.latest_version()
+    noop = t.delete_where("id = 99999")
+    assert noop["rows_deleted"] == 0 and t.latest_version() == v
+
+
+def test_overwrite_properties_ride_the_commit(spark, tmp_path):
+    from featureform_spark.sources.deltalite import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "op"))
+    t.create(
+        spark.createDataFrame([(1,)], "x long"),
+        properties={"scheme": "a", "keep": "yes"},
+    )
+    t.overwrite(
+        spark.createDataFrame([(2,)], "x long"),
+        properties={"scheme": "b"},
+    )
+    props = t.properties()
+    assert props["scheme"] == "b"  # updated atomically with the rows
+    assert props["keep"] == "yes"  # untouched keys fold through
+    assert [r["x"] for r in t.snapshot().collect()] == [2]

@@ -115,5 +115,5 @@ def test_validation(spark):
     with pytest.raises(ValueError, match="bins"):
         histogram_compare(ref, cur, ["x"], bins=1)
     allnull = spark.createDataFrame([(None,)], "x double")
-    with pytest.raises(ValueError, match="all-NULL"):
+    with pytest.raises(ValueError, match="no \\(non-NULL, non-NaN\\)|non-NaN"):
         histogram_compare(allnull, cur, ["x"])
