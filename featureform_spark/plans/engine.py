@@ -175,7 +175,7 @@ class Engine:
             inputs.append(
                 self._feature_input(lag.feature, lag, entity_to_label_col)
             )
-        return point_in_time_join(
+        out = point_in_time_join(
             self.source_df(label.source),
             inputs,
             label_entity_col=label_entity_col,
@@ -184,6 +184,29 @@ class Engine:
             dedup=dedup,
             sort_by_ts=sort_by_ts,
         )
+        if ts.ondemand_features:
+            # r12: resolve declared on-demand features at BUILD time —
+            # the batch mapInPandas scorer over the PIT output (zero
+            # added shuffle; the reference runs these only at serve
+            # time, register.py:4292-4360). Precomputed refs resolve
+            # to their PIT output columns (ref -> name_variant), plus
+            # the label/label_ts columns for fns scoring against the
+            # target.
+            from featureform_spark.serving.ondemand_batch import (
+                ondemand_batch,
+            )
+
+            feature_cols = {ref: ref.replace(".", "_") for ref in ts.features}
+            for lag_dict in ts.lag_features:
+                lag = LagFeature(**lag_dict)
+                feature_cols[lag.column_name()] = lag.column_name()
+            out = ondemand_batch(
+                self.registry,
+                out,
+                ts.ondemand_features,
+                feature_cols=feature_cols,
+            )
+        return out
 
     def batch_features(self, feature_refs: Iterable[str]) -> DataFrame:
         """Align latest values of N features on entity.

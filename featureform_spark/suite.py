@@ -825,6 +825,61 @@ def feature_drift_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_drift_categorical",
+    """
+    WITH r AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    c AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+    ru AS (SELECT 'o_orderpriority' AS feature,
+                  COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__')
+                    AS category FROM r
+           UNION ALL
+           SELECT 'o_orderstatus',
+                  COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__')
+           FROM r),
+    cu AS (SELECT 'o_orderpriority' AS feature,
+                  COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__')
+                    AS category FROM c
+           UNION ALL
+           SELECT 'o_orderstatus',
+                  COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__')
+           FROM c),
+    rc AS (SELECT feature, category, count(*) AS n FROM ru GROUP BY 1, 2),
+    cc AS (SELECT feature, category, count(*) AS n FROM cu GROUP BY 1, 2),
+    j AS (SELECT COALESCE(rc.feature, cc.feature) AS feature,
+                 COALESCE(rc.category, cc.category) AS category,
+                 COALESCE(rc.n, 0) AS ref_count,
+                 COALESCE(cc.n, 0) AS cur_count
+          FROM rc FULL OUTER JOIN cc
+            ON rc.feature = cc.feature AND rc.category = cc.category),
+    k AS (SELECT *, row_number() OVER (PARTITION BY feature
+                    ORDER BY ref_count DESC, category ASC) AS rn FROM j)
+    SELECT feature,
+           CASE WHEN rn <= 3 THEN category ELSE '__other__' END AS category,
+           CAST(SUM(ref_count) AS BIGINT) AS ref_count,
+           CAST(SUM(cur_count) AS BIGINT) AS cur_count
+    FROM k GROUP BY 1, 2
+    """,
+)
+def feature_drift_categorical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor (r12, VERDICT r11 #4): exact
+    per-category counts with hash-stable top-K — K categories ranked
+    by (ref_count DESC, category ASC), a deterministic total order —
+    and ``__other__`` fold, NULL as the ``__null__`` category. top_k=3
+    exercises the fold on o_orderpriority (5 values) while
+    o_orderstatus (3 values) keeps all its categories. Counts are
+    exact integers; PSI/chi-square fold driver-side
+    (drift_report_categorical, pytest-pinned)."""
+    from featureform_spark.functions.drift import categorical_compare
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0)
+    cur = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return categorical_compare(
+        ref, cur, ["o_orderpriority", "o_orderstatus"], top_k=3
+    )
+
+
+@query(
     "ondemand_batch",
     """
     WITH f AS (
@@ -875,6 +930,122 @@ def ondemand_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ondemand_batch(reg, feats, ["avg_order", "spend_score"])
+
+
+@query(
+    "training_set_ondemand",
+    """
+    WITH click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1),
+    err AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error') t WHERE rn = 1),
+    pit AS (
+      SELECT l.user_id AS entity,
+             c.v AS f_click_default,
+             er.v AS f_error_default,
+             l.value AS label,
+             l.ts AS label_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts
+      ASOF LEFT JOIN err er ON l.user_id = er.e AND l.ts >= er.ts)
+    SELECT entity, f_click_default, f_error_default, label, label_ts,
+           f_click_default - f_error_default AS gap,
+           (f_click_default - f_error_default) * 0.5 + label * 2.0 AS score
+    FROM pit
+    """,
+)
+def training_set_ondemand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-demand features AS training-set columns (r12, VERDICT r11
+    #6): a TrainingSetVariant declares ``ondemand_features`` and the
+    engine resolves them at BUILD time — the batch mapInPandas scorer
+    runs over the PIT output (zero added shuffle; the reference only
+    executes on-demand fns at serve time,
+    /root/reference/client/src/featureform/register.py:4292-4360).
+    The fns form a diamond (score -> gap -> {f_click, f_error};
+    score -> label) resolved with per-batch memoization. Exactness:
+    -, * only (IEEE bit-identical); a NULL feature propagates NaN
+    through pandas and lands back as SQL NULL via Arrow (nan-as-null),
+    matching the oracle's NULL arithmetic. Per-row serving parity in
+    tests/test_ondemand_batch.py."""
+    from pyspark.sql import Window
+
+    from featureform_spark.plans.engine import Engine
+    from featureform_spark.registry import (
+        FeatureVariant,
+        LabelVariant,
+        Registry,
+        TrainingSetVariant,
+    )
+
+    reg = Registry()
+    eng = Engine(spark, reg)
+    reg.register_dataframe("events", load_table(spark, sf_dir, "events"))
+
+    def _latest(event_type):
+        # deterministic (user_id, ts) dedup so PIT resolution is
+        # tie-free without an order column on the FeatureVariant
+        def fn(ev):
+            w = Window.partitionBy("user_id", "ts").orderBy(
+                F.desc("event_id")
+            )
+            return (
+                ev.filter(F.col("event_type") == event_type)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .drop("_rn")
+            )
+
+        return fn
+
+    reg.register_df_transformation(
+        "clicks", _latest("click"), inputs=["events.default"]
+    )
+    reg.register_df_transformation(
+        "errors", _latest("error"), inputs=["events.default"]
+    )
+    reg.register(FeatureVariant(
+        name="f_click", source="clicks.default", entity="user",
+        entity_column="user_id", value_column="value",
+        timestamp_column="ts",
+    ))
+    reg.register(FeatureVariant(
+        name="f_error", source="errors.default", entity="user",
+        entity_column="user_id", value_column="value",
+        timestamp_column="ts",
+    ))
+    reg.register_df_transformation(
+        "purchases",
+        lambda ev: ev.filter(F.col("event_type") == "purchase"),
+        inputs=["events.default"],
+    )
+    reg.register(LabelVariant(
+        name="purchase_label", source="purchases.default", entity="user",
+        entity_column="user_id", value_column="value",
+        timestamp_column="ts",
+    ))
+
+    def gap(client, params, entities):
+        c, e = client.features(["f_click.default", "f_error.default"])
+        return c - e
+
+    def score(client, params, entities):
+        g, lbl = client.features(["ondemand/gap", "label"])
+        return g * 0.5 + lbl * 2.0
+
+    reg.register_ondemand("gap", gap)
+    reg.register_ondemand("score", score)
+    reg.register(TrainingSetVariant(
+        name="ts_od", label="purchase_label.default",
+        features=["f_click.default", "f_error.default"],
+        ondemand_features=["gap", "score"],
+    ))
+    return eng.training_set("ts_od.default", dedup=False)
 
 
 @query(
@@ -1354,15 +1525,16 @@ PRIORITY: tuple[str, ...] = (
     # r6-r8) rotates out, stays pytest-oracle-covered (dedup_substr +
     # incremental_dedup keep the dedup family in the top-50).
     "q18_large_orders",
-    # Round-9 late rotation: ANALYZE TABLE → Puffin statistics file
-    # (apache-datasketches-theta-v1 NDV blobs in the spec's
-    # `statistics` metadata field, read back through
-    # metadata_table('statistics') with zero stats-file reads) — new
-    # this round, enters the driver top-50 the round it lands.
-    # asof_tolerance (green r5-r8) rotates out, stays
-    # pytest-oracle-covered (training_set_pit keeps the as-of join
-    # family in the top-50).
-    "iceberg_ndv_stats",
+    # Round-12 rotation (verdict r11 #4): categorical drift — exact
+    # per-category counts with hash-stable top-K (ref_count DESC,
+    # category ASC — a deterministic total order both engines share)
+    # + __other__ fold and the __null__ category; PSI/chi-square fold
+    # driver-side per the transcendental convention.
+    # iceberg_ndv_stats (green r9-r11) rotates out, stays
+    # pytest-oracle-covered (advised_join_revenue keeps the
+    # ANALYZE/Puffin stats surface in the top-50; iceberg metadata
+    # inspection stays via iceberg_partition_evolution).
+    "feature_drift_categorical",
     # Round-9 late rotation: one-scan data-quality expectations (the
     # dbt-test/publish-gate pass: five rule kinds in ONE aggregation,
     # multi-distinct uniqueness included) — new this round.
@@ -1415,10 +1587,16 @@ PRIORITY: tuple[str, ...] = (
     # rotates out, stays pytest-oracle-covered
     # (training_set_label_no_ts keeps label semantics in the top-50).
     "target_encoding_oof",
-    # Round-7: trained char-trigram NB language ID (verdict r6 #4)
-    # replaces the marker-heuristic row; lang_id (green r1-r6) stays
-    # pytest-oracle-covered.
-    "lang_id_model",
+    # Round-12 rotation (verdict r11 #6): on-demand features AS
+    # training-set columns — a TrainingSetVariant declares
+    # ondemand_features and the engine batch-scores the PIT output
+    # (mapInPandas, zero added shuffle, plan-pinned); NULL features
+    # propagate as SQL NULL through the Arrow nan-as-null round trip,
+    # matching the oracle's NULL arithmetic. lang_id_model (green
+    # r7-r11) rotates out, stays pytest-oracle-covered
+    # (corpus_clean_v2 composes the same trained lang-ID scorer in
+    # the top-50; quality_model keeps trained text scoring).
+    "training_set_ondemand",
     # Round-7: trained quality classifier scored in-plan (the model
     # stage after rule filters). dedup_exact (green r1-r6) rotates
     # out, stays pytest-oracle-covered.
