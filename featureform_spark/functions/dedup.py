@@ -20,18 +20,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from featureform_spark.functions.lsh_autosize import auto_minhash_params
+from featureform_spark.functions.lsh_autosize import (
+    auto_minhash_params,
+    estimate_baseline_jaccard,
+)
 from featureform_spark.functions.text import tokens_expr
 
 
-def _resolve_banding(num_hashes, bands, count_fn) -> tuple[int, int]:
+def _resolve_banding(
+    num_hashes, bands, count_fn, j_fn=None
+) -> tuple[int, int]:
     """Both explicit -> use them; both None -> auto-size from the
-    corpus count; HALF-specified -> refuse loudly (silently replacing
-    the one the caller did pass with an auto value would change
-    results without a trace — banding is one scheme, not two knobs)."""
+    corpus count (and, r12, the SAMPLE-ESTIMATED baseline Jaccard via
+    ``j_fn`` — the 0.05 design constant was the last heuristic in the
+    occupancy model; see lsh_autosize.estimate_baseline_jaccard);
+    HALF-specified -> refuse loudly (silently replacing the one the
+    caller did pass with an auto value would change results without a
+    trace — banding is one scheme, not two knobs)."""
     if num_hashes is not None and bands is not None:
         return num_hashes, bands
     if num_hashes is None and bands is None:
+        if j_fn is not None:
+            return auto_minhash_params(
+                count_fn(), baseline_jaccard=j_fn()
+            )
         return auto_minhash_params(count_fn())
     raise ValueError(
         "specify BOTH num_hashes and bands or NEITHER (auto); got "
@@ -186,6 +198,7 @@ def lsh_band_buckets(
     bands: int | None = 8,
     shingle_n: int = 3,
     n_rows: int | None = None,
+    baseline_jaccard: float | None = None,
 ) -> DataFrame:
     """(id, bucket) — one row per document per LSH band; ``bucket`` is
     ``"<band>:" || md5(band signature slice)``. Two docs are near-dup
@@ -196,11 +209,24 @@ def lsh_band_buckets(
 
     ``num_hashes=None`` / ``bands=None`` auto-sizes both from the
     corpus row count (see :mod:`lsh_autosize` — the 100-TB knob; pass
-    ``n_rows`` to skip the count job). NOTE: persisted signature
-    stores must pin explicit values — a store written at one banding
-    cannot be joined against buckets computed at another."""
+    ``n_rows`` to skip the count job) and the sample-estimated
+    background Jaccard (``baseline_jaccard=None`` -> measured from a
+    deterministic md5 sample; pass a float to pin it). NOTE: persisted
+    signature stores must pin explicit values — a store written at one
+    banding cannot be joined against buckets computed at another."""
     num_hashes, bands = _resolve_banding(
-        num_hashes, bands, lambda: n_rows if n_rows is not None else df.count()
+        num_hashes,
+        bands,
+        lambda: n_rows if n_rows is not None else df.count(),
+        j_fn=(
+            (lambda: baseline_jaccard)
+            if baseline_jaccard is not None
+            else (
+                lambda: estimate_baseline_jaccard(
+                    df, id_col, text_col, shingle_n
+                )
+            )
+        ),
     )
     rows_per_band = num_hashes // bands
     sig = (
@@ -278,6 +304,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     n_rows: int | None = None,
+    baseline_jaccard: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -302,9 +329,27 @@ def minhash_lsh_pairs(
     the candidate rate at j=0.04 near 8·6e-5 while missing <1% of
     true 0.77-Jaccard near-dups; at 500k docs the same budget needs
     r=4 (b=16, k=64), which the auto path picks.
+
+    r12: the background Jaccard the occupancy model divides by is no
+    longer the pinned 0.05 constant — ``baseline_jaccard=None``
+    measures it from a deterministic md5 sample of THIS corpus
+    (lsh_autosize.estimate_baseline_jaccard; median exact pairwise
+    word-shingle Jaccard). Pass a float to pin it (suite rows pin
+    explicit banding anyway and never reach the estimator).
     """
     num_hashes, bands = _resolve_banding(
-        num_hashes, bands, lambda: n_rows if n_rows is not None else df.count()
+        num_hashes,
+        bands,
+        lambda: n_rows if n_rows is not None else df.count(),
+        j_fn=(
+            (lambda: baseline_jaccard)
+            if baseline_jaccard is not None
+            else (
+                lambda: estimate_baseline_jaccard(
+                    df, id_col, text_col, shingle_n
+                )
+            )
+        ),
     )
     buckets = lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     left = buckets.alias("l")

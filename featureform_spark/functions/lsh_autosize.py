@@ -41,7 +41,12 @@ from __future__ import annotations
 
 import math
 
-__all__ = ["auto_num_planes", "auto_minhash_params", "auto_kmeans_k"]
+__all__ = [
+    "auto_num_planes",
+    "auto_minhash_params",
+    "auto_kmeans_k",
+    "estimate_baseline_jaccard",
+]
 
 
 def auto_num_planes(
@@ -83,6 +88,78 @@ def auto_kmeans_k(
     if target_cluster_rows < 1:
         raise ValueError("target_cluster_rows must be >= 1")
     return max(min_k, min(max_k, -(-n_rows // target_cluster_rows)))
+
+
+def estimate_baseline_jaccard(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    sample_docs: int = 512,
+    floor: float = 0.01,
+    cap: float = 0.45,
+) -> float:
+    """Sample-estimated background Jaccard — replaces the pinned
+    ``baseline_jaccard=0.05`` design constant with a measurement
+    (r12, VERDICT r11 #3: the last heuristic constant in the scale
+    story).
+
+    Deterministic md5 sample: the ``sample_docs`` docs with the
+    smallest ``md5(id)`` (stable across runs, engines, partitionings),
+    collected driver-side (≤1k short rows), then EXACT pairwise
+    word-shingle Jaccard over the sample — the same whitespace-token
+    ``shingle_n``-gram sets :mod:`dedup` hashes, so the estimate is in
+    the units the occupancy model ``n · j^r`` consumes.
+
+    The statistic is the MEDIAN pairwise Jaccard: robust to the
+    near-dup tail (a corpus with duplicate clusters has a few j≈1
+    pairs; the false-candidate model wants the TYPICAL unrelated
+    pair). Clamped to [``floor``, ``cap``]: all-disjoint samples
+    estimate 0 — banding still needs a positive j (floor keeps r
+    finite), and ``cap`` keeps the estimate below any sane design
+    threshold. Cost: one LIMIT-k scan + ~k²/2 small set
+    intersections on the driver (~1s at the 512 default)."""
+    from pyspark.sql import functions as F
+
+    if sample_docs < 2:
+        raise ValueError("estimate_baseline_jaccard: sample_docs >= 2")
+    rows = (
+        docs.select(
+            F.col(text_col).alias("_t"),
+            F.md5(F.col(id_col).cast("string")).alias("_k"),
+        )
+        .where(F.col("_t").isNotNull())
+        .orderBy("_k")
+        .limit(sample_docs)
+        .collect()
+    )
+    sets = []
+    for r in rows:
+        toks = [t for t in r["_t"].split(" ") if t]
+        sets.append(
+            frozenset(
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            )
+        )
+    sets = [s for s in sets if s]
+    if len(sets) < 2:
+        return max(floor, min(0.05, cap))  # nothing to measure: pinned
+    sims = []
+    for i in range(len(sets)):
+        a = sets[i]
+        for j in range(i + 1, len(sets)):
+            b = sets[j]
+            inter = len(a & b)
+            sims.append(inter / (len(a) + len(b) - inter))
+    sims.sort()
+    m = len(sims)
+    med = (
+        sims[m // 2]
+        if m % 2
+        else (sims[m // 2 - 1] + sims[m // 2]) / 2.0
+    )
+    return max(floor, min(med, cap))
 
 
 def auto_minhash_params(

@@ -74,6 +74,7 @@ class SignatureStore:
         id_col: str = "doc_id",
         text_col: str = "text",
         shingle_n: int = 3,
+        baseline_jaccard: float | None = None,
     ) -> "SignatureStore":
         """Open/create a store with auto-sized banding — the
         ingestion-side twin of ``minhash_lsh_pairs``' auto default.
@@ -84,7 +85,15 @@ class SignatureStore:
         sized for the destination, not the starting point). An
         EXISTING store ignores the expectation and loads its pinned
         properties: banding schemes cannot be mixed, and re-opening
-        with a different expectation must not fork the scheme."""
+        with a different expectation must not fork the scheme.
+
+        ``baseline_jaccard``: the background similarity the occupancy
+        model divides by. Default None keeps the conservative design
+        constant (0.05) — a NEW store sizes for a corpus that does not
+        exist yet, so there is nothing to sample; callers that have a
+        representative feed can measure one with
+        ``lsh_autosize.estimate_baseline_jaccard(feed)`` and pass it
+        (or later migrate with :meth:`reband`)."""
         probe = DeltaliteTable(spark, path)
         if probe.exists():
             props = probe.properties()
@@ -99,7 +108,12 @@ class SignatureStore:
                 auto_minhash_params,
             )
 
-            num_hashes, bands = auto_minhash_params(expected_corpus_rows)
+            if baseline_jaccard is not None:
+                num_hashes, bands = auto_minhash_params(
+                    expected_corpus_rows, baseline_jaccard=baseline_jaccard
+                )
+            else:
+                num_hashes, bands = auto_minhash_params(expected_corpus_rows)
         return cls(
             spark,
             path,

@@ -10,7 +10,20 @@ scale test). Dimension tables (region/nation) stay fixed, like TPC-H.
 Document text gets a per-copy suffix so dedup structure is preserved
 instead of collapsing to 100% duplicates.
 
-Usage: python scripts/make_scaled_sf.py [factor] [src_sf_dir] [out_dir]
+``--unique`` (r12, VERDICT r11 #5) switches the CORPUS SHAPE: instead
+of ~factor near-identical copies per doc/vector (which makes the dedup
+family's output genuinely quadratic-in-copies — candidate sets ARE the
+output, so auto-banding's false-candidate cut never shows), copies are
+perturbed PAST the dedup thresholds — documents interleave a per-copy
+unique token after every original token (every word shingle crosses an
+inserted token, so copy shingle sets are disjoint: pairwise j ≈ 0),
+embeddings rotate their coordinates by copy positions (norm-preserved;
+cosine between rotations of the same vector is far below any near-dup
+threshold). The result is the uniform low-background-similarity shape
+where bucketing/banding quality, not output volume, dominates the
+wall clock.
+
+Usage: python scripts/make_scaled_sf.py [factor] [src_sf_dir] [out_dir] [--unique]
 Then:  SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
 """
 
@@ -36,9 +49,15 @@ DIMENSIONS = ["region", "nation"]  # copied as-is
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/ffspark_scaled_x{factor}"
+    args = [a for a in sys.argv[1:] if a != "--unique"]
+    unique = "--unique" in sys.argv[1:]
+    factor = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out = (
+        args[2]
+        if len(args) > 2
+        else f"/tmp/ffspark_scaled_x{factor}{'_unique' if unique else ''}"
+    )
 
     from pyspark.sql import functions as F
 
@@ -62,13 +81,54 @@ def main() -> None:
                 k, (F.col(k) * factor + F.col("__copy")).cast("long")
             )
         if t == "documents":
-            # perturb text per copy so near-dup structure survives scaling
+            if unique:
+                # interleave a per-copy token after EVERY original
+                # token: every word shingle crosses an inserted token,
+                # so shingle sets are disjoint across copies (j ~ 0)
+                copies = copies.withColumn(
+                    "text",
+                    F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+                        F.array_join(
+                            F.expr(
+                                "transform(filter(split(text, ' '), "
+                                "x -> x <> ''), (t, i) -> concat(t, ' q', "
+                                "__copy, 'x', i))"
+                            ),
+                            " ",
+                        )
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            else:
+                # perturb text per copy so near-dup structure survives
+                # scaling
+                copies = copies.withColumn(
+                    "text",
+                    F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+                        F.concat(F.col("text"), F.lit(" c"), F.col("__copy"))
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
+        if t == "embeddings" and unique:
+            # rotate coordinates by a per-copy offset (never 0), and
+            # negate on the second rotation cycle: norm-preserved,
+            # no two copies identical up to factor 2*(dim-1), and
+            # cosine(rotationA, rotationB) sits far below any near-dup
+            # threshold for non-degenerate vectors
             copies = copies.withColumn(
-                "text",
-                F.when(F.col("__copy") == 0, F.col("text")).otherwise(
-                    F.concat(F.col("text"), F.lit(" c"), F.col("__copy"))
+                "__rot",
+                F.expr(
+                    "CAST(1 + ((__copy - 1) % (size(embedding) - 1)) AS INT)"
                 ),
-            ).withColumn("n_chars", F.length("text").cast("long"))
+            ).withColumn(
+                "embedding",
+                F.expr(
+                    "CASE WHEN __copy = 0 THEN embedding ELSE "
+                    "transform(concat("
+                    "slice(embedding, __rot + 1, size(embedding) - __rot), "
+                    "slice(embedding, 1, __rot)), x -> "
+                    "CASE WHEN ((__copy - 1) DIV (size(embedding) - 1)) % 2 "
+                    "= 1 THEN -x ELSE x END) END"
+                ),
+            ).drop("__rot")
         n_out = max(4, factor * 2)
         copies.drop("__copy").repartition(n_out).write.mode(
             "overwrite"
