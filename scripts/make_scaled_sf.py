@@ -83,18 +83,28 @@ def main() -> None:
         if t == "documents":
             if unique:
                 # interleave a per-copy token after EVERY original
-                # token: every word shingle crosses an inserted token,
-                # so shingle sets are disjoint across copies (j ~ 0)
+                # token (every word shingle crosses an inserted token,
+                # so copy shingle sets are disjoint from the original
+                # and from each other), then prepend an 11-token GLOBAL
+                # preamble: 9 shared shingles over ~117 per median doc
+                # sets the pairwise background Jaccard at ~0.04 — the
+                # uniform moderate-similarity shape where r=3 banding
+                # drowns in false candidates at 500k docs and the
+                # measured-j auto path re-bands to r=4
+                preamble = " ".join(f"bg{k}" for k in range(11))
                 copies = copies.withColumn(
                     "text",
                     F.when(F.col("__copy") == 0, F.col("text")).otherwise(
-                        F.array_join(
-                            F.expr(
-                                "transform(filter(split(text, ' '), "
-                                "x -> x <> ''), (t, i) -> concat(t, ' q', "
-                                "__copy, 'x', i))"
+                        F.concat(
+                            F.lit(preamble + " "),
+                            F.array_join(
+                                F.expr(
+                                    "transform(filter(split(text, ' '), "
+                                    "x -> x <> ''), (t, i) -> concat(t, ' q', "
+                                    "__copy, 'x', i))"
+                                ),
+                                " ",
                             ),
-                            " ",
                         )
                     ),
                 ).withColumn("n_chars", F.length("text").cast("long"))
