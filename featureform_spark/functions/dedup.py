@@ -815,3 +815,75 @@ def cross_doc_line_dedup(
             "n_removed"
         ),
     ).select(id_col, "clean_text", "n_lines", "n_removed")
+
+
+def dedup_report_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication/contamination rollup — the hygiene
+    scorecard a corpus-curation pass reads BEFORE deciding which
+    sources to dedup, down-weight, or drop:
+
+    (source, n_docs, n_unique_texts, n_dup_docs, n_cross_source_dup,
+    dup_rate) where ``n_dup_docs`` counts docs whose exact
+    fingerprint (md5 of lower/trimmed text — same normalization as
+    :func:`dedup_exact`) appears on MORE THAN ONE doc corpus-wide,
+    and ``n_cross_source_dup`` counts docs whose fingerprint also
+    appears under a DIFFERENT source — the cross-source contamination
+    that silently double-weights content when sources are mixed with
+    per-source temperatures. NULL-text docs form their own
+    ``__null__`` class. ``dup_rate`` is the one final double division
+    (IEEE / is bit-exact cross-engine).
+
+    Scale shape — partial aggregations only, never a corpus-wide
+    window: groupBy(fingerprint, source) with map-side combine, a
+    second groupBy at FINGERPRINT cardinality for corpus totals, an
+    equi-join back at that same cardinality, then the per-source fold
+    at source cardinality. No self-join on docs, no window over the
+    corpus."""
+    fp = F.when(F.col(text_col).isNull(), F.lit("__null__")).otherwise(
+        F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+    per_src = (
+        df.select(
+            fp.alias("fingerprint"), F.col(group_col).alias("source")
+        )
+        .groupBy("fingerprint", "source")
+        .agg(F.count(F.lit(1)).alias("n_here"))
+    )
+    totals = per_src.groupBy("fingerprint").agg(
+        F.sum("n_here").alias("n_total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = per_src.join(totals, ["fingerprint"])
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n_here").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique_texts"),
+            F.sum(
+                F.when(F.col("n_total") > 1, F.col("n_here")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col("n_sources") > 1, F.col("n_here")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_cross_source_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            "n_dup_docs",
+            "n_cross_source_dup",
+            (
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )

@@ -39,12 +39,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "binned_counts",
+    "reference_edges",
     "histogram_compare",
     "categorical_compare",
+    "embedding_compare",
     "psi",
     "chi_square",
     "drift_report",
     "drift_report_categorical",
+    "drift_report_embedding",
 ]
 
 
@@ -58,6 +62,58 @@ def _bin_expr(col, mn: float, width: float, bins: int):
     # a garbage index, and a feature going NaN IS drift exactly like a
     # feature going NULL (broken upstream arithmetic vs broken join)
     return F.when(col.isNull() | F.isnan(d), F.lit(-1)).otherwise(bounded)
+
+
+def binned_counts(
+    df: DataFrame,
+    edges: dict[str, tuple[float, float]],
+    bins: int,
+    alias: str,
+) -> DataFrame:
+    """(feature, bin, <alias>) histogram of ``df`` under FIXED edges
+    ``{col: (min, width)}`` — the shared binning pass of
+    :func:`histogram_compare` and the persistent
+    ``streaming.drift_monitor.DriftMonitor`` (which pins its reference
+    edges once and bins every later batch with them). Unpivot to
+    (feature, bin) then ONE partial-agg groupBy for all features."""
+    parts = [
+        df.select(
+            F.lit(c).alias("feature"),
+            _bin_expr(F.col(c), mn, width, bins).alias("bin"),
+        )
+        for c, (mn, width) in edges.items()
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("feature", "bin").agg(F.count(F.lit(1)).alias(alias))
+
+
+def reference_edges(
+    ref: DataFrame, cols: list[str], bins: int
+) -> dict[str, tuple[float, float]]:
+    """NaN-excluding fixed-width bin edges ``{col: (min, width)}``
+    from one agg over the reference frame (see
+    :func:`histogram_compare` for the NaN rationale)."""
+    def _finite(c):
+        d = F.col(c).cast("double")
+        return F.when(~F.isnan(d), d)
+
+    stats = ref.agg(
+        *[F.min(_finite(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(_finite(c)).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    edges: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None:
+            raise ValueError(
+                f"reference column {c!r} has no non-NULL, non-NaN "
+                "values to derive bin edges from"
+            )
+        width = (mx - mn) / bins if mx > mn else 1.0
+        edges[c] = (float(mn), float(width))
+    return edges
 
 
 def histogram_compare(
@@ -84,45 +140,12 @@ def histogram_compare(
     # width) NaN and collapse every value into bin 0 with no error —
     # exactly the broken-upstream case the monitor exists to catch.
     # NaN rows still count, in the -1 bin (see _bin_expr).
-    def _finite(c):
-        d = F.col(c).cast("double")
-        return F.when(~F.isnan(d), d)
+    edges = reference_edges(ref, cols, bins)
 
-    stats = ref.agg(
-        *[F.min(_finite(c)).alias(f"mn_{c}") for c in cols],
-        *[F.max(_finite(c)).alias(f"mx_{c}") for c in cols],
-    ).collect()[0]
-    edges: dict[str, tuple[float, float]] = {}
-    for c in cols:
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        if mn is None:
-            raise ValueError(
-                f"histogram_compare: reference column {c!r} has no "
-                "non-NULL, non-NaN values to derive bin edges from"
-            )
-        width = (mx - mn) / bins if mx > mn else 1.0
-        edges[c] = (float(mn), float(width))
-
-    def _hist(df: DataFrame, alias: str) -> DataFrame:
-        # unpivot to (feature, bin) then ONE groupBy for all features
-        parts = [
-            df.select(
-                F.lit(c).alias("feature"),
-                _bin_expr(F.col(c), edges[c][0], edges[c][1], bins).alias(
-                    "bin"
-                ),
-            )
-            for c in cols
-        ]
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        return un.groupBy("feature", "bin").agg(
-            F.count(F.lit(1)).alias(alias)
-        )
-
-    out = _hist(ref, "ref_count").join(
-        _hist(cur, "cur_count"), ["feature", "bin"], "full_outer"
+    out = binned_counts(ref, edges, bins, "ref_count").join(
+        binned_counts(cur, edges, bins, "cur_count"),
+        ["feature", "bin"],
+        "full_outer",
     )
     return out.select(
         "feature",
@@ -217,6 +240,105 @@ def categorical_compare(
     )
 
 
+def _bucket_or_null_pandas(dim: int, num_planes: int):
+    """pandas_udf: hyperplane-sign bucket string with NULL embeddings
+    mapped to ``__null__`` — same md5 hyperplanes, fold order and
+    accumulation sequence as ``similarity.bucket_pandas`` (bit-identical
+    to the HOF expression and hence the DuckDB oracle), plus the NULL
+    row routing the drift monitor needs (an embedding going NULL IS
+    drift, like a scalar feature going NULL)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from featureform_spark.functions.similarity import (
+        _rows_matrix,
+        hyperplane_signs,
+    )
+
+    signs = hyperplane_signs(num_planes, dim)
+
+    def _bucket(a):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        null_mask = a.isna().to_numpy()
+        out = np.full(len(a), "__null__", dtype=object)
+        live = a[~null_mask]
+        if len(live):
+            A = _rows_matrix(live)
+            if A.shape[1] != dim:
+                raise ValueError(
+                    f"embedding_compare: vector dim {A.shape[1]} != "
+                    f"declared dim {dim}"
+                )
+            n = len(live)
+            bits = []
+            for plane in signs:
+                acc = np.zeros(n)
+                for d in range(A.shape[1]):
+                    acc = acc + A[:, d] * plane[d]
+                bits.append(np.where(acc >= 0, "1", "0"))
+            bk = bits[0]
+            for b in bits[1:]:
+                bk = np.char.add(bk, b)
+            out[~null_mask] = bk
+        return pd.Series(out)
+
+    _bucket.__annotations__ = {"a": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "string")
+
+
+def embedding_compare(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+) -> DataFrame:
+    """(bucket, ref_count, cur_count) — embedding-space drift monitor
+    (r12): the distribution of an ``array<float>`` feature column is
+    summarized per frame as a histogram over md5-seeded hyperplane
+    SIGN buckets (the LSH bucket machinery from
+    ``functions.similarity``), then compared reference vs current
+    exactly like the scalar monitors. A broken encoder, a domain
+    shift, or a renormalization upstream all move mass between sign
+    buckets; PSI over the bucket histogram scores it
+    (:func:`drift_report_embedding`).
+
+    Exactness: hyperplanes are deterministic ±1 from md5, projections
+    are fixed-order IEEE folds (bit-identical cross-engine — the ANN
+    oracle convention), counts are exact integers. NULL embeddings
+    get the ``__null__`` bucket.
+
+    Scale shape: scan + Arrow bucket kernel + ONE partial-agg groupBy
+    per frame; 2^num_planes buckets (256 at the default) — the
+    compare join runs at bucket cardinality, never corpus scale."""
+    if num_planes < 1 or num_planes > 20:
+        raise ValueError(
+            "embedding_compare: num_planes must be in [1, 20] "
+            "(2^planes buckets must stay aggregation-scale)"
+        )
+    kernel = _bucket_or_null_pandas(dim, num_planes)
+
+    def _hist(df: DataFrame, alias: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return (
+            df.select(kernel(v).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    out = _hist(ref, "ref_count").join(
+        _hist(cur, "cur_count"), ["bucket"], "full_outer"
+    )
+    return out.select(
+        "bucket",
+        F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+        F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+    )
+
+
 def psi(
     counts: list[tuple[int, int]], epsilon: float = 1e-4
 ) -> float:
@@ -272,6 +394,20 @@ def drift_report(
             (int(r["ref_count"]), int(r["cur_count"]))
         )
     return {f: psi(c) for f, c in sorted(by_feature.items())}
+
+
+def drift_report_embedding(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+) -> float:
+    """PSI over the hyperplane sign-bucket histogram of an embedding
+    column — one aggregation-scale collect (≤ 2^num_planes + 1 rows),
+    driver-side fold per the transcendental convention."""
+    rows = embedding_compare(ref, cur, vec_col, dim, num_planes).collect()
+    return psi([(int(r["ref_count"]), int(r["cur_count"])) for r in rows])
 
 
 def drift_report_categorical(

@@ -288,3 +288,85 @@ def skew_report(
             F.col("cnt") / (F.col("_total") / F.col("_nkeys")), 6
         ).alias("hot_ratio"),
     )
+
+
+def contingency_counts(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """(feature, bin, label, count) — exact integer contingency table
+    of equi-width-binned numeric features against a categorical
+    label, the hash-comparable surface under mutual-information
+    feature relevance (:func:`mi_report`). Bin edges come from the
+    frame's own NaN-excluding [min, max] (the drift-module
+    convention); NULL/NaN feature values take bin -1, NULL labels the
+    ``__null__`` category — a feature that goes null exactly when the
+    label is positive is maximally informative, so null cells must
+    be IN the table, not dropped.
+
+    Scale shape: one driver-side edges agg, then unpivot + ONE
+    partial-agg groupBy for all features — (features × bins ×
+    labels) output rows, never corpus-scale."""
+    from featureform_spark.functions.drift import (
+        _bin_expr,
+        reference_edges,
+    )
+
+    if not feature_cols:
+        raise ValueError("contingency_counts: no feature columns")
+    edges = reference_edges(df, feature_cols, bins)
+    lab = F.coalesce(F.col(label_col).cast("string"), F.lit("__null__"))
+    parts = [
+        df.select(
+            F.lit(c).alias("feature"),
+            _bin_expr(F.col(c), mn, width, bins).alias("bin"),
+            lab.alias("label"),
+        )
+        for c, (mn, width) in edges.items()
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("feature", "bin", "label").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def mi_report(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    bins: int = 10,
+) -> dict[str, float]:
+    """Mutual information I(binned feature; label) in nats, per
+    feature — the model-free relevance scorecard a feature platform
+    runs before training (near-zero MI features are candidates to
+    drop; the binned estimator is the standard plug-in MI over the
+    exact contingency table). One aggregation-scale collect of
+    :func:`contingency_counts`, then a driver-side libm fold (the
+    standing transcendental convention — ln never enters a
+    hash-compared plan)."""
+    import math
+
+    rows = contingency_counts(df, feature_cols, label_col, bins).collect()
+    by_feature: dict[str, dict[tuple, int]] = {}
+    for r in rows:
+        by_feature.setdefault(r["feature"], {})[
+            (int(r["bin"]), r["label"])
+        ] = int(r["count"])
+    out: dict[str, float] = {}
+    for feature, cells in sorted(by_feature.items()):
+        n = sum(cells.values())
+        nx: dict[int, int] = {}
+        ny: dict[str, int] = {}
+        for (b, lab), c in cells.items():
+            nx[b] = nx.get(b, 0) + c
+            ny[lab] = ny.get(lab, 0) + c
+        mi = 0.0
+        for (b, lab), c in cells.items():
+            if c:
+                mi += (c / n) * math.log(c * n / (nx[b] * ny[lab]))
+        out[feature] = mi
+    return out

@@ -880,6 +880,104 @@ def feature_drift_categorical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pit_leakage_audit",
+    """
+    WITH f0 AS (SELECT user_id AS entity, ts, value AS fval
+                FROM events WHERE event_type = 'click'),
+    l AS (SELECT user_id AS entity, ts
+          FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT entity, ts, fval, 0 AS is_label,
+                 NULL::TIMESTAMP AS lts FROM f0
+          UNION ALL
+          SELECT entity, ts, NULL::DOUBLE, 1, ts FROM l),
+    w AS (SELECT entity, lts AS label_ts, is_label,
+                 last_value(fval IGNORE NULLS) OVER
+                   (PARTITION BY entity
+                    ORDER BY ts, is_label, fval NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pit_value,
+                 last_value(fval IGNORE NULLS) OVER
+                   (PARTITION BY entity
+                    ORDER BY ts, is_label, fval NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS naive_value,
+                 SUM(1 - is_label) OVER
+                   (PARTITION BY entity
+                    ORDER BY ts, is_label, fval NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+                 - SUM(1 - is_label) OVER
+                   (PARTITION BY entity
+                    ORDER BY ts, is_label, fval NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_future
+          FROM u)
+    SELECT entity, label_ts, pit_value, naive_value,
+           CAST(naive_value IS DISTINCT FROM pit_value AS INT) AS leaked,
+           CAST(n_future AS BIGINT) AS n_future
+    FROM w WHERE is_label = 1
+    """,
+)
+def pit_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-leakage audit of the PIT join (r12, trust tooling):
+    per label row, the correct as-of feature value, the value a
+    time-unaware latest-per-entity join would have served, whether
+    they differ (leaked — the row a naive pipeline trains on the
+    future), and how many feature rows exist after the label
+    (exposure even where the latest value coincides). Same
+    single-shuffle union+window formulation as the PIT join itself —
+    one partition spec serves all four outputs; values are carried,
+    never computed on, so the row hash-compares whatever the value
+    type. Duplicate (entity, ts) features resolve max-value-wins
+    folded into the window sort (value NULLS FIRST — zero extra
+    shuffles, deterministic and order-free cross-engine)."""
+    from featureform_spark.operators.audit import pit_leakage_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    return pit_leakage_audit(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        label_entity_col="user_id",
+        label_ts_col="ts",
+        feature_entity_col="user_id",
+        feature_value_col="value",
+        feature_ts_col="ts",
+    )
+
+
+@query(
+    "feature_mi_contingency",
+    """
+    WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    b AS (SELECT CASE WHEN value IS NULL THEN -1 ELSE
+                 CAST(LEAST(GREATEST(FLOOR((value - s.mn) /
+                      ((s.mx - s.mn) / 10)), 0), 9) AS BIGINT) END AS bin,
+                 COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                   AS label
+          FROM events, s)
+    SELECT 'value' AS feature, bin, label, count(*) AS n
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def feature_mi_contingency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relevance contingency table (r12): equi-width-binned
+    feature vs categorical label, exact integer cell counts — the
+    hash-compared surface under mutual-information feature selection
+    (mi_report folds I(bin; label) driver-side per the transcendental
+    convention, pytest-pinned). NULL/NaN features take bin -1, NULL
+    labels '__null__' — a feature that goes null exactly when the
+    label fires is maximally informative, so null cells belong IN
+    the table. One edges agg + unpivot + ONE partial-agg groupBy;
+    output at (features × bins × labels) cardinality."""
+    from featureform_spark.operators.encoding import contingency_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return contingency_counts(
+        ev, ["value"], "event_type", bins=10
+    ).withColumnRenamed("count", "n")
+
+
+@query(
     "ondemand_batch",
     """
     WITH f AS (
@@ -1542,13 +1640,13 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (text_normalize + repetition_signals keep
     # the text-profile family in the top-50).
     "expectations_report",
-    # Round-9 late rotation: DSIR-style hashed-ngram importance
-    # weights (fixed-point likelihood ratios, zero-shuffle codegen
-    # scoring; the data-selection pass between quality filtering and
-    # mixing) — new this round. range_join_orders (green r1-r8)
-    # rotates out, stays pytest-oracle-covered (training_set_pit and
-    # asof_forward keep interval-join semantics in the top-50).
-    "dsir_selection",
+    # Round-12 rotation: mutual-information feature relevance — the
+    # exact binned-feature × label contingency table (NULL bin and
+    # __null__ label cells included; MI folds driver-side,
+    # pytest-pinned). dsir_selection (green r9-r11) rotates out,
+    # stays pytest-oracle-covered (temperature_mix_half keeps the
+    # data-selection family in the top-50).
+    "feature_mi_contingency",
     "wide_merge_upsert",
     # Round-11 rotation (verdict r10 #3): hash-exact hybrid retrieval
     # — BM25 in precomputed-term-weights mode (the quality_model
@@ -1597,10 +1695,14 @@ PRIORITY: tuple[str, ...] = (
     # (corpus_clean_v2 composes the same trained lang-ID scorer in
     # the top-50; quality_model keeps trained text scoring).
     "training_set_ondemand",
-    # Round-7: trained quality classifier scored in-plan (the model
-    # stage after rule filters). dedup_exact (green r1-r6) rotates
-    # out, stays pytest-oracle-covered.
-    "quality_model",
+    # Round-12 rotation: temporal-leakage audit of the PIT join —
+    # per label row the as-of value, the naive latest-overall value a
+    # time-unaware join would serve, the null-safe leak flag and the
+    # future-row exposure count; same single-shuffle union+window
+    # shape as the PIT join itself. quality_model (green r7-r11)
+    # rotates out, stays pytest-oracle-covered (corpus_clean_v2
+    # composes the same trained quality scorer in the top-50).
+    "pit_leakage_audit",
     # Round-10 rotation (verdict r9 #3): arbitrary-stride gap fill —
     # a 15-minute grid via epoch-floor bucketing
     # (floor(unix_ts/900)*900), the sub-unit stride date_trunc can't
@@ -1687,20 +1789,25 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-covered (scd2_intervals + gap_fill_15min +
     # decayed_engagement keep the temporal family in the top-50).
     "dedup_keep_canonical_auto",
-    # Round-9 rotation: Delta column DEFAULT values (allowColumnDefaults
-    # writer feature — write-time materialization of omitted columns,
-    # CURRENT_DEFAULT re-set mid-stream, explicit values win) — new
-    # this round. deltaprotocol_source_read (green r6-r8) rotates out,
-    # stays pytest-oracle-covered (test_deltaprotocol_datasource.py
-    # keeps the Python Data Source surface).
-    "delta_column_defaults",
-    # Round-8 rotation: rollback_to_snapshot lifecycle (one metadata
-    # CAS drops the bad append; the oracle proves the abandoned slice
-    # never reappears) — new this round. icebergprotocol_source_read
-    # (green r6-r7) rotates out, stays pytest-oracle-covered
-    # (deltaprotocol_source_read keeps the Python Data Source surface
-    # in the top-50).
-    "iceberg_rollback",
+    # Round-12 rotation: per-source duplication/contamination
+    # scorecard — corpus-wide exact-fingerprint dup counts and
+    # cross-source overlap rolled up per source (partial-agg groupBys
+    # + one fingerprint-cardinality join, no corpus window).
+    # delta_column_defaults (green r9-r11) rotates out, stays
+    # pytest-oracle-covered (convert_to_delta, delta_cdf_incremental,
+    # delta_type_widening and delta_liquid_cluster keep the Delta
+    # lifecycle surface in the top-50).
+    "dedup_report_by_source",
+    # Round-12 rotation: embedding-space drift — reference vs current
+    # histogram over md5-seeded hyperplane sign buckets (the vector
+    # twin of feature_drift_bins; Arrow bucket kernel bit-identical
+    # to the DuckDB fold, exact integer counts, PSI driver-side).
+    # iceberg_rollback (green r8-r11) rotates out, stays
+    # pytest-oracle-covered (training_set_on_iceberg, iceberg_upsert,
+    # iceberg_partition_evolution, iceberg_add_files,
+    # iceberg_default_values, iceberg_v3_dv and iceberg_row_lineage
+    # keep the Iceberg lifecycle surface in the top-50).
+    "embedding_drift_buckets",
     # Round-11 rotation: training/serving drift monitor — exact
     # integer bin counts (fixed-width over the reference's [min, max],
     # NULL bin, edge clamping) hash-compared; PSI stays driver-side

@@ -3082,3 +3082,108 @@ def temperature_mix_half_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         alpha=0.5,
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# round 12: embedding-space drift + per-source dedup scorecard
+# ---------------------------------------------------------------------------
+
+
+def _embedding_drift_oracle(num_planes: int = 8) -> str:
+    signs = hyperplane_signs(num_planes, _DIM)
+    bits = []
+    for p in range(num_planes):
+        arr = "[" + ", ".join(f"{s:.1f}" for s in signs[p]) + "]"
+        proj = _DOT.format(n=_DIM + 1, a="v", b=f"{arr}")
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    concat = " || ".join(bits)
+    return f"""
+    WITH b AS (
+      SELECT vec_id % 2 AS side, {concat} AS bucket
+      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings) e),
+    r AS (SELECT bucket, count(*) AS n FROM b WHERE side = 0 GROUP BY 1),
+    c AS (SELECT bucket, count(*) AS n FROM b WHERE side = 1 GROUP BY 1)
+    SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+           COALESCE(r.n, 0) AS ref_count,
+           COALESCE(c.n, 0) AS cur_count
+    FROM r FULL OUTER JOIN c ON r.bucket = c.bucket
+    """
+
+
+@query("embedding_drift_buckets", _embedding_drift_oracle())
+def embedding_drift_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (r12): reference vs current
+    histogram over md5-seeded hyperplane SIGN buckets — the vector
+    twin of feature_drift_bins (a broken encoder / domain shift /
+    renormalization upstream moves mass between sign buckets where a
+    scalar monitor sees nothing). Projections are fixed-order IEEE
+    folds via the Arrow bucket kernel (bit-identical to the DuckDB
+    fold — the ANN oracle convention), counts exact integers; the PSI
+    fold stays driver-side (drift_report_embedding, pytest-pinned).
+    Scale: scan + Arrow kernel + ONE partial-agg groupBy per frame;
+    the compare join runs at 2^8 = 256-bucket cardinality."""
+    from featureform_spark.functions.drift import embedding_compare
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_compare(ref, cur, "embedding", dim=_DIM, num_planes=8)
+
+
+@query(
+    "dedup_report_by_source",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id, text, 'resampled' FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 11 = 0),
+    d AS (SELECT CASE WHEN text IS NULL THEN '__null__'
+                      ELSE md5(lower(trim(text))) END AS fingerprint,
+                 source
+          FROM corpus),
+    ps AS (SELECT fingerprint, source, count(*) AS n_here
+           FROM d GROUP BY 1, 2),
+    t AS (SELECT fingerprint, SUM(n_here) AS n_total,
+                 count(*) AS n_sources
+          FROM ps GROUP BY 1),
+    j AS (SELECT ps.source, ps.n_here, t.n_total, t.n_sources
+          FROM ps JOIN t USING (fingerprint))
+    SELECT source,
+           CAST(SUM(n_here) AS BIGINT) AS n_docs,
+           count(*) AS n_unique_texts,
+           CAST(SUM(CASE WHEN n_total > 1 THEN n_here ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN n_sources > 1 THEN n_here ELSE 0 END)
+                AS BIGINT) AS n_cross_source_dup,
+           CAST(SUM(CASE WHEN n_total > 1 THEN n_here ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(n_here) AS DOUBLE) AS dup_rate
+    FROM j GROUP BY source
+    """,
+)
+def dedup_report_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication/contamination scorecard (r12): the
+    rollup a curation pass reads before deciding which sources to
+    dedup, down-weight, or drop — n_dup_docs counts docs whose exact
+    fingerprint repeats corpus-WIDE, n_cross_source_dup those whose
+    fingerprint also appears under a DIFFERENT source (content that
+    double-weights when sources are mixed with per-source
+    temperatures). The testdata corpus is dup-free, so the row
+    synthesizes a deterministic overlap both engines mirror: every
+    7th doc re-appears under source 'resampled' (cross-source dup),
+    every 11th repeats within its own source. Scale: partial-agg
+    groupBys + one join at fingerprint cardinality — no corpus
+    window, no self-join on docs."""
+    from featureform_spark.functions.dedup import dedup_report_by_source
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "source", F.lit("resampled")
+        )
+    ).unionByName(docs.filter(F.col("doc_id") % 11 == 0))
+    return dedup_report_by_source(corpus)
