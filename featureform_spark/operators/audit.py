@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pit_leakage_audit"]
+__all__ = ["pit_leakage_audit", "freshness_report"]
 
 
 def pit_leakage_audit(
@@ -128,4 +128,48 @@ def pit_leakage_audit(
         .cast("int")
         .alias("leaked"),
         "n_future",
+    )
+
+
+def freshness_report(
+    training_set: DataFrame,
+    feature_names: list[str],
+    label_ts_col: str = "label_ts",
+) -> DataFrame:
+    """(feature, n_rows, n_missing, min/max/sum_staleness_us) — how
+    STALE each feature was at every label event in a
+    provenance-enabled training set (``point_in_time_join(...,
+    provenance=True)`` emits the ``<name>__ts`` source-timestamp
+    columns this reads).
+
+    Staleness is ``label_ts - <name>__ts`` in exact integer
+    MICROSECONDS (no float division — min/max/sum hash-compare
+    cross-engine); ``n_missing`` counts label rows the feature had
+    never matched (its provenance NULL). A feature whose p99
+    staleness exceeds its upstream refresh cadence is being served
+    stale; one whose staleness is NEGATIVE would be a leak (the PIT
+    join makes that impossible by construction — asserting
+    min >= 0 here is the cheap regression guard).
+
+    Scale: one unpivot + ONE partial-agg groupBy at feature
+    cardinality, same shape as the drift monitors."""
+    if not feature_names:
+        raise ValueError("freshness_report: no feature names")
+    lab_us = F.unix_micros(F.col(label_ts_col).cast("timestamp"))
+    parts = [
+        training_set.select(
+            F.lit(n).alias("feature"),
+            (lab_us - F.unix_micros(F.col(f"{n}__ts"))).alias("_stale"),
+        )
+        for n in feature_names
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_stale").isNull().cast("long")).alias("n_missing"),
+        F.min("_stale").alias("min_staleness_us"),
+        F.max("_stale").alias("max_staleness_us"),
+        F.sum("_stale").alias("sum_staleness_us"),
     )

@@ -122,12 +122,24 @@ def point_in_time_join(
     dedup: bool = False,
     sort_by_ts: bool = False,
     time_bucket: str | None = None,
+    provenance: bool = False,
 ) -> DataFrame:
     """As-of join N feature tables against a label table.
 
     Returns (entity, <feature_1..N>, label[, label_ts][, extra label_cols]).
     ``dedup`` collapses duplicate (entity, label, label_ts) output rows like
     the reference's training-set window (provider/spark.go:233-246).
+
+    ``provenance=True`` additionally emits one ``<name>__ts`` column
+    per feature: the source timestamp of the feature row each value
+    came from (the feature's OWN ts, not the lag-shifted effective
+    time — provenance records where the value originated; the shift
+    only moves visibility). NULL where no feature row had matched
+    yet; epoch-0 for no-ts features (their sentinel). The columns
+    ride the SAME window pass — zero extra shuffles — and feed
+    ``operators.audit.freshness_report``. The reference keeps no
+    row-level provenance (training sets are opaque DataFrames);
+    beyond-reference trust tooling.
 
     ``time_bucket`` (e.g. ``"30 days"``, any ``date_trunc``-compatible
     unit via ``"unit:N"`` is not needed — pass a Spark interval string
@@ -175,7 +187,7 @@ def point_in_time_join(
         )
         current = _asof_pass(
             current, group, part_key, out_entity, out_label, out_ts, extra,
-            done_cols, time_bucket,
+            done_cols, time_bucket, provenance,
         )
         done_cols.extend(f.name for f in group)
 
@@ -183,6 +195,7 @@ def point_in_time_join(
         out_entity,
         *extra,
         *[f.name for f in features],
+        *([f"{f.name}__ts" for f in features] if provenance else []),
         out_label,
         *([out_ts] if label_ts_col else []),
     )
@@ -203,10 +216,12 @@ def _asof_pass(
     extra: list[str],
     done_cols: list[str],
     time_bucket: str | None = None,
+    provenance: bool = False,
 ) -> DataFrame:
     """One union+window pass computing the columns for ``group``."""
     carry = [c for c in current.columns if c not in {"_ts", "_is_label", "_ord"}]
     new_names = [f.name for f in group]
+    prov_names = [f"{n}__ts" for n in new_names] if provenance else []
 
     label_part = current.select(
         *[F.col(c) for c in carry],
@@ -214,6 +229,7 @@ def _asof_pass(
         F.col("_is_label"),
         F.col("_ord"),
         *[F.lit(None).alias(n) for n in new_names],
+        *[F.lit(None).cast("timestamp").alias(p) for p in prov_names],
     )
 
     parts = [label_part]
@@ -240,6 +256,9 @@ def _asof_pass(
             # shift the feature's effective time forward: it becomes
             # visible to labels only once label_ts >= ts + lag
             fts = fts + lag_interval(f.lag_seconds)
+        # provenance records the feature's OWN timestamp (pre-lag):
+        # the shift only moves visibility, not where the value came from
+        raw_ts = _ts_expr(f.ts_col, EPOCH0)
         fpart = f.df.filter(F.col(f.entity_col).isNotNull()).select(
             F.col(f.entity_col).alias(part_key),
             *[F.lit(None).cast(current.schema[c].dataType).alias(c) for c in carry if c != part_key],
@@ -249,6 +268,18 @@ def _asof_pass(
             *[
                 (F.col(f.value_col) if g is f else F.lit(None)).alias(g.name)
                 for g in group
+            ],
+            *[
+                (
+                    # NULL-value feature rows are no-writes to last(...,
+                    # ignorenulls) — their provenance must be NULL too,
+                    # or the __ts column would resolve to a row the
+                    # value column skipped
+                    F.when(F.col(f.value_col).isNotNull(), raw_ts)
+                    if g is f
+                    else F.lit(None).cast("timestamp")
+                ).alias(f"{g.name}__ts")
+                for g in (group if provenance else [])
             ],
         )
         parts.append(fpart)
@@ -273,6 +304,7 @@ def _asof_pass(
             "_is_label",
             "_ord",
             *[F.last(n, ignorenulls=True).over(w).alias(n) for n in new_names],
+            *[F.last(p, ignorenulls=True).over(w).alias(p) for p in prov_names],
         )
         return filled.filter(F.col("_is_label") == 1)
 
@@ -292,15 +324,27 @@ def _asof_pass(
         "_is_label",
         "_bkt",
         *[F.last(n, ignorenulls=True).over(w_in).alias(n) for n in new_names],
+        *[F.last(p, ignorenulls=True).over(w_in).alias(p) for p in prov_names],
     ).filter(F.col("_is_label") == 1)
 
     # per-bucket final feature values: max(ts, ord) feature row per bucket
+    # (struct also carries the provenance ts so carry-in resolves both
+    # value and source timestamp from the SAME winning row)
     finals = b.groupBy(part_key, "_bkt").agg(
         *[
             F.max(
                 F.when(
                     F.col(n).isNotNull(),
-                    F.struct(F.col("_ts").alias("t"), F.col("_ord").alias("o"), F.col(n).alias("v")),
+                    F.struct(
+                        F.col("_ts").alias("t"),
+                        F.col("_ord").alias("o"),
+                        F.col(n).alias("v"),
+                        *(
+                            [F.col(f"{n}__ts").alias("pt")]
+                            if provenance
+                            else []
+                        ),
+                    ),
                 )
             ).alias(f"_fin_{n}")
             for n in new_names
@@ -318,6 +362,13 @@ def _asof_pass(
             F.last(f"_fin_{n}", ignorenulls=True).over(w_carry).getField("v").alias(f"_carry_{n}")
             for n in new_names
         ],
+        *[
+            F.last(f"_fin_{n}", ignorenulls=True)
+            .over(w_carry)
+            .getField("pt")
+            .alias(f"_carry_{n}__ts")
+            for n in (new_names if provenance else [])
+        ],
     )
     joined = within.join(carry_in, [part_key, "_bkt"], "left")
     return joined.select(
@@ -326,4 +377,8 @@ def _asof_pass(
         "_is_label",
         F.lit(None).cast("long").alias("_ord"),
         *[F.coalesce(F.col(n), F.col(f"_carry_{n}")).alias(n) for n in new_names],
+        *[
+            F.coalesce(F.col(p), F.col(f"_carry_{p}")).alias(p)
+            for p in prov_names
+        ],
     )

@@ -175,6 +175,62 @@ def training_set_pit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "training_set_freshness",
+    """
+    WITH click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1),
+    j AS (
+      SELECT l.ts AS lts, c.ts AS fts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts)
+    SELECT 'click_value' AS feature,
+           count(*) AS n_rows,
+           CAST(SUM(CASE WHEN fts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           MIN(epoch_us(lts) - epoch_us(fts)) AS min_staleness_us,
+           MAX(epoch_us(lts) - epoch_us(fts)) AS max_staleness_us,
+           CAST(SUM(epoch_us(lts) - epoch_us(fts)) AS BIGINT)
+             AS sum_staleness_us
+    FROM j
+    """,
+)
+def training_set_freshness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-freshness audit of a provenance-enabled training set
+    (r12): point_in_time_join(..., provenance=True) emits each
+    feature's SOURCE timestamp alongside its value (same window pass,
+    zero extra shuffles), and freshness_report rolls label_ts -
+    source_ts into exact integer-microsecond min/max/sum staleness
+    plus never-matched counts — the 'is this feature being served
+    stale?' scorecard, and (min >= 0) a standing no-leakage
+    regression guard. Oracle: DuckDB's native ASOF join carrying the
+    matched row's ts."""
+    from featureform_spark.operators.audit import freshness_report
+
+    events = load_table(spark, sf_dir, "events")
+    label = events.filter(F.col("event_type") == "purchase")
+    feat = FeatureInput(
+        name="click_value",
+        df=events.filter(F.col("event_type") == "click"),
+        entity_col="user_id",
+        value_col="value",
+        ts_col="ts",
+        order_col="event_id",
+    )
+    ts_out = point_in_time_join(
+        label,
+        [feat],
+        label_entity_col="user_id",
+        label_value_col="value",
+        label_ts_col="ts",
+        provenance=True,
+    )
+    return freshness_report(ts_out, ["click_value"])
+
+
 _PIT_SKEW_ORACLE = """
     WITH ev AS (
       SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
@@ -1570,7 +1626,15 @@ PRIORITY: tuple[str, ...] = (
     "pii_scan",
     "training_set_pit",
     "training_set_lag",
-    "training_set_label_no_ts",
+    # Round-12 rotation: feature-freshness audit — provenance-enabled
+    # PIT join (per-feature source timestamps riding the same window
+    # pass) rolled into exact integer-microsecond staleness stats;
+    # min >= 0 doubles as a standing no-leakage guard.
+    # training_set_label_no_ts (green r1-r11) rotates out, stays
+    # pytest-oracle-covered (training_set_pit/lag/multi_entity/
+    # on_iceberg/ondemand keep the training-set family in the
+    # top-50).
+    "training_set_freshness",
     # Round-9 late rotation: SCD Type 2 interval building (change
     # compression + half-open validity chain, one entity shuffle —
     # the dimension shape the PIT family consumes) — new this round.

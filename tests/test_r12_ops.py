@@ -301,3 +301,134 @@ def test_mi_report_properties(spark):
     mi = mi_report(df, ["x", "z"], "y", bins=2)
     assert mi["x"] == pytest.approx(math.log(2), rel=1e-9)
     assert mi["z"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# training-set provenance + freshness (point_in_time_join(provenance=True))
+# ---------------------------------------------------------------------------
+
+
+def _pit_fixture(spark):
+    from featureform_spark.operators.training_set import FeatureInput
+
+    feats = spark.createDataFrame(
+        [
+            (1, "e1", "2024-01-01 00:00:01", 10.0),
+            (2, "e1", "2024-01-01 00:00:05", 20.0),
+            (3, "e2", "2024-01-01 00:00:04", None),  # null value: no-write
+        ],
+        "event_id long, entity string, ts string, value double",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("e1", "2024-01-01 00:00:03", 1.0),
+            ("e1", "2024-01-01 00:00:05", 2.0),
+            ("e2", "2024-01-01 00:00:09", 3.0),
+        ],
+        "entity string, ts string, value double",
+    )
+    f = FeatureInput(
+        name="f1", df=feats, entity_col="entity", value_col="value",
+        ts_col="ts", order_col="event_id",
+    )
+    return labels, f
+
+
+def test_pit_provenance_semantics(spark):
+    from featureform_spark.operators.training_set import point_in_time_join
+
+    labels, f = _pit_fixture(spark)
+    out = {
+        (r["entity"], str(r["label_ts"])): (r["f1"], str(r["f1__ts"]))
+        for r in point_in_time_join(
+            labels, [f], label_ts_col="ts", provenance=True
+        ).collect()
+    }
+    assert out[("e1", "2024-01-01 00:00:03")] == (10.0, "2024-01-01 00:00:01")
+    assert out[("e1", "2024-01-01 00:00:05")] == (20.0, "2024-01-01 00:00:05")
+    # e2's only feature row has a NULL value -> no-write for BOTH the
+    # value and its provenance
+    assert out[("e2", "2024-01-01 00:00:09")] == (None, "None")
+
+
+def test_pit_provenance_does_not_change_values(spark):
+    from featureform_spark.operators.training_set import point_in_time_join
+
+    labels, f = _pit_fixture(spark)
+    plain = sorted(
+        map(tuple, point_in_time_join(labels, [f], label_ts_col="ts").collect())
+    )
+    prov = sorted(
+        map(
+            tuple,
+            point_in_time_join(labels, [f], label_ts_col="ts", provenance=True)
+            .drop("f1__ts")
+            .collect(),
+        )
+    )
+    assert prov == plain
+
+
+def test_pit_provenance_lag_reports_raw_ts(spark):
+    from featureform_spark.operators.training_set import (
+        FeatureInput,
+        point_in_time_join,
+    )
+
+    labels, f = _pit_fixture(spark)
+    lagged = FeatureInput(
+        name="f1", df=f.df, entity_col="entity", value_col="value",
+        ts_col="ts", order_col="event_id", lag_seconds=3.0,
+    )
+    out = {
+        (r["entity"], str(r["label_ts"])): (r["f1"], str(r["f1__ts"]))
+        for r in point_in_time_join(
+            labels, [lagged], label_ts_col="ts", provenance=True
+        ).collect()
+    }
+    # t=1 feature becomes visible at t>=4; provenance still says t=1
+    assert out[("e1", "2024-01-01 00:00:03")] == (None, "None")
+    assert out[("e1", "2024-01-01 00:00:05")] == (10.0, "2024-01-01 00:00:01")
+
+
+def test_pit_provenance_segmented_matches_standard(spark):
+    from featureform_spark.operators.training_set import point_in_time_join
+
+    labels, f = _pit_fixture(spark)
+    std = sorted(
+        map(
+            tuple,
+            point_in_time_join(
+                labels, [f], label_ts_col="ts", provenance=True
+            ).collect(),
+        )
+    )
+    seg = sorted(
+        map(
+            tuple,
+            point_in_time_join(
+                labels, [f], label_ts_col="ts", provenance=True,
+                time_bucket="2 seconds",
+            ).collect(),
+        )
+    )
+    assert seg == std
+
+
+def test_freshness_report(spark):
+    from featureform_spark.operators.audit import freshness_report
+    from featureform_spark.operators.training_set import point_in_time_join
+
+    labels, f = _pit_fixture(spark)
+    ts_out = point_in_time_join(
+        labels, [f], label_ts_col="ts", provenance=True
+    )
+    row = freshness_report(ts_out, ["f1"]).collect()[0]
+    # staleness: e1@3 -> 2s, e1@5 -> 0s; e2 never matched
+    assert row["feature"] == "f1"
+    assert row["n_rows"] == 3 and row["n_missing"] == 1
+    assert row["min_staleness_us"] == 0
+    assert row["max_staleness_us"] == 2_000_000
+    assert row["sum_staleness_us"] == 2_000_000
+    with pytest.raises(ValueError, match="no feature names"):
+        freshness_report(ts_out, [])
