@@ -346,3 +346,73 @@ def funnel(
     return out.withColumn(
         "steps_completed", completed.cast("int")
     ).withColumn("converted", F.col(f"step_{k}_ts").isNotNull())
+
+
+def horizon_label(
+    anchors: DataFrame,
+    outcomes: DataFrame,
+    horizon_seconds: int,
+    anchor_entity_col: str = "entity",
+    anchor_ts_col: str = "ts",
+    outcome_entity_col: str = "entity",
+    outcome_ts_col: str = "ts",
+    out_count: str = "n_outcomes",
+    out_label: str = "label",
+) -> DataFrame:
+    """Label maturation: for every anchor row, did (and how often did)
+    an outcome event occur within ``(t, t + horizon]``? The standard
+    churn/conversion label builder — "purchased within the hour after
+    the click", "churned within 30 days of signup" — i.e. the LABEL
+    side of the training sets the PIT join assembles (the reference
+    leaves label construction to user SQL; this is the missing
+    first-class builder).
+
+    Returns every anchor row plus ``n_outcomes`` (exact count in the
+    window) and ``label`` (1 iff any). The window is half-open
+    ``(t, t+H]``: an outcome AT the anchor instant is not caused by
+    it, one exactly at the horizon still counts.
+
+    Spark-first shape: anchors and outcomes union on the entity key
+    and ONE window with a VALUE-based frame does everything —
+    ``partitionBy(entity).orderBy(unix_micros(ts)).rangeBetween(1,
+    H·10⁶)`` counting outcome rows. One shuffle + one sort however
+    many anchors and outcomes; no inequality join, no per-anchor
+    probe, and range frames are tie-exact (rows at equal timestamps
+    are in or out by VALUE, never by sort position — the formulation
+    is deterministic cross-engine with no tiebreak column at all)."""
+    if horizon_seconds <= 0:
+        raise ValueError("horizon_label: horizon_seconds must be > 0")
+    carry = [c for c in anchors.columns]
+    anc = anchors.select(
+        *carry,
+        F.col(anchor_entity_col).alias("_ent"),
+        F.unix_micros(F.col(anchor_ts_col).cast("timestamp")).alias("_us"),
+        F.lit(0).alias("_is_outcome"),
+    )
+    out = outcomes.select(
+        *[
+            F.lit(None).cast(anchors.schema[c].dataType).alias(c)
+            for c in carry
+        ],
+        F.col(outcome_entity_col).alias("_ent"),
+        F.unix_micros(F.col(outcome_ts_col).cast("timestamp")).alias("_us"),
+        F.lit(1).alias("_is_outcome"),
+    )
+    un = anc.unionByName(out)
+    w = (
+        Window.partitionBy("_ent")
+        .orderBy(F.col("_us").asc())
+        .rangeBetween(1, int(horizon_seconds) * 1_000_000)
+    )
+    counted = un.select(
+        *carry,
+        "_is_outcome",
+        F.coalesce(F.sum("_is_outcome").over(w), F.lit(0))
+        .cast("long")
+        .alias(out_count),
+    )
+    return counted.filter(F.col("_is_outcome") == 0).select(
+        *carry,
+        out_count,
+        (F.col(out_count) > 0).cast("int").alias(out_label),
+    )

@@ -231,6 +231,113 @@ def training_set_freshness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freshness_report(ts_out, ["click_value"])
 
 
+@query(
+    "horizon_labels",
+    """
+    WITH a AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                      0 AS is_outcome
+               FROM events WHERE event_type = 'click'),
+    o AS (SELECT NULL::BIGINT AS event_id, user_id,
+                 NULL::TIMESTAMP AS ts, epoch_us(ts) AS us, 1 AS is_outcome
+          FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM o),
+    w AS (SELECT event_id, user_id, ts, is_outcome,
+                 COALESCE(SUM(is_outcome) OVER
+                   (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 1 FOLLOWING
+                    AND 3600000000 FOLLOWING), 0) AS n_outcomes
+          FROM u)
+    SELECT event_id, user_id, ts,
+           CAST(n_outcomes AS BIGINT) AS n_outcomes,
+           CAST(n_outcomes > 0 AS INT) AS label
+    FROM w WHERE is_outcome = 0
+    """,
+)
+def horizon_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label maturation (r12): for every click, did the user purchase
+    within the following hour — the churn/conversion label builder
+    (the reference leaves label construction to user SQL). ONE window
+    with a VALUE-based range frame ((t, t+H] half-open: an outcome AT
+    the anchor isn't caused by it, one exactly at the horizon
+    counts) does anchors + outcomes together — one shuffle, no
+    inequality join, and range frames are tie-exact by value, so the
+    row needs no tiebreak column at all."""
+    from featureform_spark.operators.temporal import horizon_label
+
+    ev = load_table(spark, sf_dir, "events")
+    return horizon_label(
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_seconds=3600,
+        anchor_entity_col="user_id",
+        anchor_ts_col="ts",
+        outcome_entity_col="user_id",
+        outcome_ts_col="ts",
+    )
+
+
+@query(
+    "training_set_backfill",
+    """
+    WITH click AS (
+      SELECT user_id AS e, value AS v, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') t WHERE rn = 1)
+    SELECT l.user_id AS entity,
+           c.v AS f_click,
+           l.value AS label,
+           l.ts AS label_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN click c ON l.user_id = c.e AND l.ts >= c.ts
+    """,
+)
+def training_set_backfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental training-set backfill (r12): every 13th click
+    arrives LATE; the prior training set (built without them) is
+    patched by recomputing ONLY the label rows the late rows can
+    influence — labels of affected entities at/after the entity's
+    min late-visible ts (a per-entity aggregate over just the late
+    batch, broadcast; feature history semi-joined to affected
+    entities, so rebuild cost tracks the straggler set, not the
+    corpus). The oracle is the FULL REBUILD on all clicks — the
+    operator's contract is exact equality with it, which is what
+    makes this row hash-comparable."""
+    from featureform_spark.operators.backfill import backfill_training_set
+
+    events = load_table(spark, sf_dir, "events")
+    labels = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    base = clicks.filter(F.col("event_id") % 13 != 0)
+    late = clicks.filter(F.col("event_id") % 13 == 0)
+    f = FeatureInput(
+        name="f_click",
+        df=base,
+        entity_col="user_id",
+        value_col="value",
+        ts_col="ts",
+        order_col="event_id",
+    )
+    prior = point_in_time_join(
+        labels,
+        [f],
+        label_entity_col="user_id",
+        label_value_col="value",
+        label_ts_col="ts",
+    )
+    return backfill_training_set(
+        prior,
+        labels,
+        [f],
+        {"f_click": late},
+        label_entity_col="user_id",
+        label_ts_col="ts",
+        label_value_col="value",
+    )
+
+
 _PIT_SKEW_ORACLE = """
     WITH ev AS (
       SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
@@ -1661,14 +1768,13 @@ PRIORITY: tuple[str, ...] = (
     # delta_row_tracking). transformation_df_fn (green r1-r5) rotates
     # out, stays pytest-oracle-covered.
     "iceberg_row_lineage",
-    # Round-10 rotation (verdict r9 #7): deterministic violation
-    # samples — ≤n md5-ranked offending rows per rule off the
-    # one-projection quarantine marking (one scan + one
-    # violation-scale window however many rules). pricing_summary
-    # (green r1-r9) rotates out, stays pytest-oracle-covered
-    # (q3_shipping_priority + q18_large_orders keep TPC-H aggregation
-    # in the top-50).
-    "expectation_violation_samples",
+    # Round-12 rotation: horizon labels — the churn/conversion label
+    # builder (outcome count in (t, t+H] via ONE value-based range
+    # frame — tie-exact with no tiebreak column, one shuffle).
+    # expectation_violation_samples (green r10-r11) rotates out,
+    # stays pytest-oracle-covered (expectations_report keeps the
+    # data-quality framework in the top-50).
+    "horizon_labels",
     # Round-9 rotation: equality-delete WRITES + streaming upsert
     # (content=2, the Flink upsert-sink shape — new data files and the
     # batch-key delete at one sequence number) — new this round.
@@ -1677,10 +1783,16 @@ PRIORITY: tuple[str, ...] = (
     # family in the top-50).
     "iceberg_upsert",
     "incremental_dedup",
-    # round-6 late addition: partition spec evolution (mixed-spec
-    # planning). rolling_user_spend (green r1-r5) rotates out, stays
-    # pytest-oracle-covered.
-    "iceberg_partition_evolution",
+    # Round-12 rotation: incremental training-set backfill — late
+    # feature rows patch ONLY the label rows they can influence
+    # (per-entity min-visible-ts bounds broadcast, history semi-joined
+    # to affected entities); the oracle is the full rebuild, i.e. the
+    # row hash-checks the operator's exact-equivalence contract.
+    # iceberg_partition_evolution (green r6-r11) rotates out, stays
+    # pytest-oracle-covered (training_set_on_iceberg, iceberg_upsert,
+    # iceberg_add_files, iceberg_default_values, iceberg_v3_dv and
+    # iceberg_row_lineage keep the Iceberg surface in the top-50).
+    "training_set_backfill",
     # Round-9 late rotation: TPC-H Q18 (HAVING-filtered aggregate
     # semi-joins back on the fact side — aggregate-before-join with a
     # broadcast key set) — new this round. cross_doc_line_dedup (green

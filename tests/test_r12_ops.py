@@ -432,3 +432,49 @@ def test_freshness_report(spark):
     assert row["sum_staleness_us"] == 2_000_000
     with pytest.raises(ValueError, match="no feature names"):
         freshness_report(ts_out, [])
+
+
+def test_horizon_label_semantics(spark):
+    from featureform_spark.operators.temporal import horizon_label
+
+    anchors = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 00:00:00"),
+         (2, "u1", "2024-01-01 02:00:00"),
+         (3, "u2", "2024-01-01 00:00:00")],
+        "id long, entity string, ts string",
+    )
+    outcomes = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00"),   # AT the anchor: excluded
+         ("u1", "2024-01-01 00:00:01"),   # inside
+         ("u1", "2024-01-01 01:00:00"),   # exactly at horizon: counts
+         ("u1", "2024-01-01 01:00:01")],  # past horizon for anchor 1
+        "entity string, ts string",
+    )
+    rows = {
+        r["id"]: (r["n_outcomes"], r["label"])
+        for r in horizon_label(
+            anchors, outcomes, 3600
+        ).collect()
+    }
+    assert rows[1] == (2, 1)
+    assert rows[2] == (0, 0)   # outcomes all before this anchor
+    assert rows[3] == (0, 0)   # no outcomes for u2
+    with pytest.raises(ValueError, match="horizon_seconds"):
+        horizon_label(anchors, outcomes, 0)
+
+
+def test_horizon_label_single_shuffle(spark):
+    from featureform_spark.operators.temporal import horizon_label
+
+    anchors = spark.createDataFrame(
+        [(i, f"u{i % 3}", f"2024-01-01 00:00:{i % 60:02d}")
+         for i in range(30)],
+        "id long, entity string, ts string",
+    )
+    plan = (
+        horizon_label(anchors, anchors.select("entity", "ts"), 60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
