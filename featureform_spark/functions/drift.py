@@ -44,6 +44,7 @@ __all__ = [
     "histogram_compare",
     "categorical_compare",
     "embedding_compare",
+    "schema_compare",
     "psi",
     "chi_square",
     "drift_report",
@@ -337,6 +338,44 @@ def embedding_compare(
         F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
         F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
     )
+
+
+def schema_compare(ref: DataFrame, cur: DataFrame) -> list[dict]:
+    """Schema drift — the monitor that fires FIRST when an upstream
+    contract breaks: columns added, removed, or type-changed between
+    the reference frame and the current one (nullability changes are
+    reported as ``nullability_changed`` — they matter to writers even
+    when values still flow). Pure metadata — no job runs; returns a
+    driver-side list of ``{column, status, ref_type, cur_type}``
+    sorted by column name, ``status`` ∈ {unchanged, added, removed,
+    type_changed, nullability_changed}. Pair with the value monitors
+    (:func:`histogram_compare` / :func:`categorical_compare` /
+    :func:`embedding_compare`) which assume the schema already
+    lines up."""
+    ref_fields = {f.name: f for f in ref.schema.fields}
+    cur_fields = {f.name: f for f in cur.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(ref_fields) | set(cur_fields)):
+        r, c = ref_fields.get(name), cur_fields.get(name)
+        if r is None:
+            status = "added"
+        elif c is None:
+            status = "removed"
+        elif r.dataType != c.dataType:
+            status = "type_changed"
+        elif r.nullable != c.nullable:
+            status = "nullability_changed"
+        else:
+            status = "unchanged"
+        out.append(
+            {
+                "column": name,
+                "status": status,
+                "ref_type": r.dataType.simpleString() if r else None,
+                "cur_type": c.dataType.simpleString() if c else None,
+            }
+        )
+    return out
 
 
 def psi(

@@ -478,3 +478,20 @@ def test_horizon_label_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_schema_compare(spark):
+    from featureform_spark.functions.drift import schema_compare
+
+    ref = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double")
+    cur = spark.createDataFrame(
+        [(1, 2, 1.0, "x")], "id long, s int, v double, extra string"
+    )
+    rows = {r["column"]: r for r in schema_compare(ref, cur)}
+    assert rows["id"]["status"] == "unchanged"
+    assert rows["s"]["status"] == "type_changed"
+    assert (rows["s"]["ref_type"], rows["s"]["cur_type"]) == ("string", "int")
+    assert rows["extra"]["status"] == "added"
+    assert rows["extra"]["ref_type"] is None
+    dropped = schema_compare(ref, cur.drop("v"))
+    assert {r["column"]: r["status"] for r in dropped}["v"] == "removed"
