@@ -334,8 +334,13 @@ def minhash_lsh_pairs(
     longer the pinned 0.05 constant — ``baseline_jaccard=None``
     measures it from a deterministic md5 sample of THIS corpus
     (lsh_autosize.estimate_baseline_jaccard; median exact pairwise
-    word-shingle Jaccard). Pass a float to pin it (suite rows pin
-    explicit banding anyway and never reach the estimator).
+    word-shingle Jaccard; bounded cost — a 512-doc LIMIT scan plus
+    ~131k small set intersections driver-side, ~1s). Pass a float to
+    pin it. The PINNED suite rows pass explicit banding and never
+    reach the estimator; the ``*_auto`` rows deliberately DO run it
+    every invocation — that is the path they exist to exercise, and
+    its floors reproduce the pinned params at driver/parity sf so the
+    same oracles apply exactly.
     """
     num_hashes, bands = _resolve_banding(
         num_hashes,

@@ -241,55 +241,6 @@ def categorical_compare(
     )
 
 
-def _bucket_or_null_pandas(dim: int, num_planes: int):
-    """pandas_udf: hyperplane-sign bucket string with NULL embeddings
-    mapped to ``__null__`` — same md5 hyperplanes, fold order and
-    accumulation sequence as ``similarity.bucket_pandas`` (bit-identical
-    to the HOF expression and hence the DuckDB oracle), plus the NULL
-    row routing the drift monitor needs (an embedding going NULL IS
-    drift, like a scalar feature going NULL)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    from featureform_spark.functions.similarity import (
-        _rows_matrix,
-        hyperplane_signs,
-    )
-
-    signs = hyperplane_signs(num_planes, dim)
-
-    def _bucket(a):
-        import numpy as np
-
-        if len(a) == 0:
-            return pd.Series([], dtype="object")
-        null_mask = a.isna().to_numpy()
-        out = np.full(len(a), "__null__", dtype=object)
-        live = a[~null_mask]
-        if len(live):
-            A = _rows_matrix(live)
-            if A.shape[1] != dim:
-                raise ValueError(
-                    f"embedding_compare: vector dim {A.shape[1]} != "
-                    f"declared dim {dim}"
-                )
-            n = len(live)
-            bits = []
-            for plane in signs:
-                acc = np.zeros(n)
-                for d in range(A.shape[1]):
-                    acc = acc + A[:, d] * plane[d]
-                bits.append(np.where(acc >= 0, "1", "0"))
-            bk = bits[0]
-            for b in bits[1:]:
-                bk = np.char.add(bk, b)
-            out[~null_mask] = bk
-        return pd.Series(out)
-
-    _bucket.__annotations__ = {"a": pd.Series, "return": pd.Series}
-    return pandas_udf(_bucket, "string")
-
-
 def embedding_compare(
     ref: DataFrame,
     cur: DataFrame,
@@ -320,7 +271,12 @@ def embedding_compare(
             "embedding_compare: num_planes must be in [1, 20] "
             "(2^planes buckets must stay aggregation-scale)"
         )
-    kernel = _bucket_or_null_pandas(dim, num_planes)
+    # the ONE shared Arrow kernel (functions.similarity) with NULL
+    # routing — a single implementation carries the bit-exactness
+    # contract with the DuckDB oracle
+    from featureform_spark.functions.similarity import bucket_pandas
+
+    kernel = bucket_pandas(dim, num_planes, null_bucket="__null__")
 
     def _hist(df: DataFrame, alias: str) -> DataFrame:
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))

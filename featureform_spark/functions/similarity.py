@@ -142,21 +142,32 @@ def norm_pandas() -> "Column":
     return pandas_udf(_norm, "double")
 
 
-def bucket_pandas(dim: int, num_planes: int) -> "Column":
+def bucket_pandas(
+    dim: int, num_planes: int, null_bucket: str | None = None
+) -> "Column":
     """pandas_udf: hyperplane-sign bucket string, fold-exact per plane
-    (same md5 hyperplanes and projection order as bucket_expr)."""
+    (same md5 hyperplanes and projection order as bucket_expr).
+
+    ``null_bucket`` (e.g. ``"__null__"``): route NULL vectors to that
+    bucket instead of failing — the drift monitor's semantics
+    (``functions.drift.embedding_compare``); the ONE kernel serves
+    both so the bit-exactness contract with the DuckDB oracle has a
+    single implementation to audit."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     signs = hyperplane_signs(num_planes, dim)
 
-    def _bucket(a):
+    def _project(live):
         import numpy as np
 
-        if len(a) == 0:
-            return pd.Series([], dtype="object")
-        A = _rows_matrix(a)
-        n = len(a)
+        A = _rows_matrix(live)
+        if A.shape[1] != dim:
+            raise ValueError(
+                f"bucket_pandas: vector dim {A.shape[1]} != declared "
+                f"dim {dim}"
+            )
+        n = len(live)
         bits = []
         for plane in signs:
             acc = np.zeros(n)
@@ -166,6 +177,20 @@ def bucket_pandas(dim: int, num_planes: int) -> "Column":
         out = bits[0]
         for b in bits[1:]:
             out = np.char.add(out, b)
+        return out
+
+    def _bucket(a):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        if null_bucket is None:
+            return pd.Series(_project(a))
+        null_mask = a.isna().to_numpy()
+        out = np.full(len(a), null_bucket, dtype=object)
+        live = a[~null_mask]
+        if len(live):
+            out[~null_mask] = _project(live)
         return pd.Series(out)
 
     _bucket.__annotations__ = {"a": pd.Series, "return": pd.Series}

@@ -159,6 +159,11 @@ def freshness_report(
     parts = [
         training_set.select(
             F.lit(n).alias("feature"),
+            # never-matched = provenance NULL specifically; a NULL
+            # label_ts (no-ts label) with a matched feature is NOT
+            # missing — its staleness is merely undefined and stays
+            # out of min/max/sum
+            F.col(f"{n}__ts").isNull().cast("long").alias("_miss"),
             (lab_us - F.unix_micros(F.col(f"{n}__ts"))).alias("_stale"),
         )
         for n in feature_names
@@ -168,7 +173,7 @@ def freshness_report(
         un = un.unionByName(p)
     return un.groupBy("feature").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("_stale").isNull().cast("long")).alias("n_missing"),
+        F.sum("_miss").alias("n_missing"),
         F.min("_stale").alias("min_staleness_us"),
         F.max("_stale").alias("max_staleness_us"),
         F.sum("_stale").alias("sum_staleness_us"),

@@ -66,7 +66,15 @@ def affected_label_bounds(
                 "label row of that entity is affected; rebuild that "
                 "feature's materialization instead of backfilling"
             )
-        vis = F.col(f.ts_col).cast("timestamp")
+        # NULL-ts late rows map to EPOCH0 in the PIT join (_ts_expr) —
+        # visible to EVERY label of the entity, so the bound must be
+        # EPOCH0, not a silently-dropped NULL
+        from featureform_spark.operators.training_set import EPOCH0
+
+        vis = F.coalesce(
+            F.col(f.ts_col).cast("timestamp"),
+            F.lit(EPOCH0).cast("timestamp"),
+        )
         if f.lag_seconds:
             vis = vis + lag_interval(f.lag_seconds)
         parts.append(
@@ -127,12 +135,16 @@ def backfill_training_set(
         df = f.df
         if f.name in late:
             df = df.unionByName(late[f.name])
-        # rebuild only needs the affected entities' history
-        df = df.join(
-            entity_set.withColumnRenamed("entity", f.entity_col),
-            [f.entity_col],
-            "left_semi",
-        )
+        # rebuild only needs the affected entities' history — but the
+        # pruning key is the PRIMARY entity, so only prune features
+        # that join on it; a secondary-entity (J10) feature's ids live
+        # in a different key domain and its full history must survive
+        if f.label_entity_col in (None, label_entity_col):
+            df = df.join(
+                entity_set.withColumnRenamed("entity", f.entity_col),
+                [f.entity_col],
+                "left_semi",
+            )
         merged.append(
             FeatureInput(
                 name=f.name,
@@ -181,9 +193,15 @@ def backfill_training_set(
     # untouched prior rows: entity not in bounds, or label_ts before
     # the entity's earliest affected instant (NULL out_ts = +inf
     # labels are always rebuilt for affected entities)
+    if label_ts_col is not None and out_ts not in prior.columns:
+        raise ValueError(
+            f"backfill: prior is missing the {out_ts!r} column the "
+            "keep/rebuild split keys on — pass the training set as "
+            "point_in_time_join produced it (or name out_ts)"
+        )
     prior_ts = (
         F.coalesce(F.col(out_ts).cast("timestamp"), inf)
-        if label_ts_col is not None and out_ts in prior.columns
+        if label_ts_col is not None
         else inf
     )
     keep = (

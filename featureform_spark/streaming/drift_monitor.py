@@ -66,11 +66,14 @@ class DriftMonitor:
         spark: SparkSession,
         path: str,
         cols: list[str] | None = None,
-        bins: int = 10,
+        bins: int | None = None,
     ):
         self.spark = spark
         self.table = DeltaliteTable(spark, path)
         self.cols = list(cols) if cols else None
+        # None = "whatever the store pins / the default at reference
+        # time" — an EXPLICIT bins always conflicts loudly against an
+        # existing monitor, whether or not cols was also passed
         self.bins = bins
         self.edges: dict[str, tuple[float, float]] | None = None
         if self.table.exists():
@@ -82,7 +85,7 @@ class DriftMonitor:
                     f"monitor at {path} tracks columns {stored_cols}, "
                     f"got {self.cols} — edge schemes cannot be mixed"
                 )
-            if cols is not None and bins != stored_bins:
+            if bins is not None and bins != stored_bins:
                 raise ValueError(
                     f"monitor at {path} was built with bins="
                     f"{stored_bins}, got bins={bins}"
@@ -109,6 +112,8 @@ class DriftMonitor:
             )
         if not self.cols:
             raise ValueError("set_reference: no feature columns declared")
+        if self.bins is None:
+            self.bins = 10
         self.edges = reference_edges(ref, self.cols, self.bins)
         rows = binned_counts(ref, self.edges, self.bins, "count").select(
             F.lit(REFERENCE_BATCH_ID).cast("long").alias("batch_id"),
@@ -151,14 +156,10 @@ class DriftMonitor:
             "bin",
             "count",
         )
-        if any(
-            r["batch_id"] == batch_id
-            for r in self.table.snapshot()
-            .select("batch_id")
-            .distinct()
-            .collect()
-        ):
-            self.table.delete_where(F.col("batch_id") == int(batch_id))
+        # unconditional: delete_where no-ops (no commit) when nothing
+        # matches, so replays replace their rows without a dedicated
+        # full-history distinct scan per batch
+        self.table.delete_where(F.col("batch_id") == int(batch_id))
         self.table.append(hist)
         return self.scores(batch_id)
 

@@ -47,6 +47,7 @@ class SignatureStore:
         num_hashes: int = 24,
         bands: int = 8,
         shingle_n: int = 3,
+        baseline_jaccard: float = 0.05,
     ):
         self.spark = spark
         self.table = DeltaliteTable(spark, path)
@@ -55,11 +56,34 @@ class SignatureStore:
         self.params = dict(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
         )
+        # the background similarity this store's banding was sized
+        # against — persisted so occupancy_report / reband reason with
+        # the SAME j the capacity model used (a store sized at j=0.2
+        # has (1/0.2)^r capacity, not the design default's (1/0.05)^r)
+        self.baseline_jaccard = float(baseline_jaccard)
         if self.table.exists():
             props = self.table.properties()
+            stored_j = props.get("lsh.baseline_jaccard")
+            if stored_j is not None:
+                self.baseline_jaccard = float(stored_j)
+            migrated = props.get("lsh.migrated") == "true"
             for k, v in self.params.items():
                 stored = props.get(f"lsh.{k}")
                 if stored is not None and int(stored) != v:
+                    if migrated and k in ("num_hashes", "bands"):
+                        # post-reband: the persisted scheme is the
+                        # truth — adopt it instead of breaking every
+                        # fixed-config re-open after a migration
+                        import warnings
+
+                        warnings.warn(
+                            f"store at {path} was migrated to "
+                            f"{k}={stored} (constructor asked for {v}); "
+                            "using the migrated scheme",
+                            stacklevel=2,
+                        )
+                        self.params[k] = int(stored)
+                        continue
                     raise ValueError(
                         f"store at {path} was built with {k}={stored}, "
                         f"got {k}={v} — banding schemes cannot be mixed"
@@ -122,7 +146,16 @@ class SignatureStore:
             num_hashes=num_hashes,
             bands=bands,
             shingle_n=shingle_n,
+            baseline_jaccard=(
+                baseline_jaccard if baseline_jaccard is not None else 0.05
+            ),
         )
+
+    def _props(self) -> dict[str, str]:
+        return {
+            **{f"lsh.{k}": str(v) for k, v in self.params.items()},
+            "lsh.baseline_jaccard": repr(self.baseline_jaccard),
+        }
 
     def _buckets(self, docs: DataFrame) -> DataFrame:
         return lsh_band_buckets(
@@ -196,12 +229,7 @@ class SignatureStore:
         if self.table.exists():
             self.table.append(new_buckets)
         else:
-            self.table.create(
-                new_buckets,
-                properties={
-                    f"lsh.{k}": str(v) for k, v in self.params.items()
-                },
-            )
+            self.table.create(new_buckets, properties=self._props())
         return flags
 
     # ------------------------------------------------ lifecycle (r12)
@@ -227,15 +255,18 @@ class SignatureStore:
 
         n = self.accepted_count()
         r = self.params["num_hashes"] // self.params["bands"]
-        # capacity of the pinned scheme under the same defaults the
-        # auto sizing uses: target 8 false candidates/band at j=0.05
-        capacity = 8 * (1.0 / 0.05) ** r
+        # capacity of the pinned scheme under the SAME baseline j the
+        # store was sized with (persisted as lsh.baseline_jaccard —
+        # a store sized at j=0.2 has 8·5^r capacity, not 8·20^r)
+        j = self.baseline_jaccard
+        capacity = 8 * (1.0 / j) ** r
         return {
             "n_docs": n,
             "rows_per_band": r,
+            "baseline_jaccard": j,
             "capacity_docs": capacity,
             "trigger_factor": trigger_factor,
-            "recommended": auto_minhash_params(n),
+            "recommended": auto_minhash_params(n, baseline_jaccard=j),
             "needs_reband": n > capacity * trigger_factor,
         }
 
@@ -269,7 +300,10 @@ class SignatureStore:
                 auto_minhash_params,
             )
 
-            num_hashes, bands = auto_minhash_params(self.accepted_count())
+            num_hashes, bands = auto_minhash_params(
+                self.accepted_count(),
+                baseline_jaccard=self.baseline_jaccard,
+            )
         new_params = dict(self.params, num_hashes=num_hashes, bands=bands)
         if new_params == self.params:
             return self.table.latest_version()
@@ -286,12 +320,18 @@ class SignatureStore:
         new_buckets = lsh_band_buckets(
             src, self.id_col, self.text_col, **new_params
         )
-        v = self.table.overwrite(
+        ver = self.table.overwrite(
             new_buckets,
-            properties={f"lsh.{k}": str(v) for k, v in new_params.items()},
+            properties={
+                **{f"lsh.{k}": str(p) for k, p in new_params.items()},
+                "lsh.baseline_jaccard": repr(self.baseline_jaccard),
+                # lets a later fixed-config constructor adopt the
+                # migrated scheme instead of refusing
+                "lsh.migrated": "true",
+            },
         )
         self.params = new_params
-        return v
+        return ver
 
 
 class ContinuousDedup:

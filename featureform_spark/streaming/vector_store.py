@@ -84,15 +84,33 @@ class EmbeddingStore:
         self.vec_col = vec_col
         if self.table.exists():
             props = self.table.properties()
-            for k, v in (
-                ("dim", self.dim),
-                ("num_planes", self.num_planes),
-            ):
-                stored = props.get(f"emb.{k}")
-                if stored is not None and int(stored) != v:
+            stored_dim = props.get("emb.dim")
+            if stored_dim is not None and int(stored_dim) != self.dim:
+                raise ValueError(
+                    f"store at {path} was built with dim={stored_dim}, "
+                    f"got dim={self.dim} — bucket schemes cannot be mixed"
+                )
+            stored_np = props.get("emb.num_planes")
+            if stored_np is not None and int(stored_np) != self.num_planes:
+                if props.get("emb.migrated") == "true":
+                    # the store was re-bucketed after construction-time
+                    # sizing: the persisted scheme is the truth (buckets
+                    # were computed under it) — adopt it instead of
+                    # breaking every fixed-config re-open post-migration
+                    import warnings
+
+                    warnings.warn(
+                        f"store at {path} was migrated to num_planes="
+                        f"{stored_np} (constructor asked for "
+                        f"{self.num_planes}); using the migrated scheme",
+                        stacklevel=2,
+                    )
+                    self.num_planes = int(stored_np)
+                else:
                     raise ValueError(
-                        f"store at {path} was built with {k}={stored}, "
-                        f"got {k}={v} — bucket schemes cannot be mixed"
+                        f"store at {path} was built with num_planes="
+                        f"{stored_np}, got num_planes={self.num_planes} "
+                        "— bucket schemes cannot be mixed"
                     )
 
     @classmethod
@@ -312,7 +330,14 @@ class EmbeddingStore:
             bucket_pandas(self.dim, new_planes)(F.col("_v")).alias("bucket"),
         )
         v = self.table.overwrite(
-            rows, properties={"emb.num_planes": str(new_planes)}
+            rows,
+            properties={
+                "emb.num_planes": str(new_planes),
+                # lets a later fixed-config constructor adopt the
+                # migrated scheme instead of refusing (the persisted
+                # scheme is the truth once buckets were rewritten)
+                "emb.migrated": "true",
+            },
         )
         self.num_planes = new_planes
         return v
