@@ -338,6 +338,71 @@ def training_set_backfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "negative_samples",
+    """
+    WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id,
+                        l.l_partkey AS item_id
+                 FROM orders o JOIN lineitem l
+                   ON o.o_orderkey = l.l_orderkey),
+    n AS (SELECT COUNT(DISTINCT p_partkey) AS n FROM part),
+    idx AS (SELECT item_id, row_number() OVER (ORDER BY item_id) - 1
+                     AS _idx
+            FROM (SELECT DISTINCT p_partkey AS item_id FROM part)),
+    users AS (SELECT DISTINCT user_id FROM pos),
+    slots AS (SELECT user_id, s AS _slot
+              FROM users, generate_series(0, 9) t(s)),
+    cand AS (SELECT u.user_id, i.item_id, u._slot
+             FROM (SELECT user_id, _slot,
+                          CAST(('0x' || substr(md5(
+                              CAST(user_id AS VARCHAR) || '#neg42#'
+                              || CAST(_slot AS VARCHAR)), 1, 12))
+                            AS BIGINT) % n.n AS _idx
+                   FROM slots, n) u
+             JOIN idx i ON u._idx = i._idx),
+    np AS (SELECT c.user_id, c.item_id, c._slot
+           FROM cand c ANTI JOIN pos p
+             ON c.user_id = p.user_id AND c.item_id = p.item_id),
+    dd AS (SELECT user_id, item_id, MIN(_slot) AS _slot
+           FROM np GROUP BY 1, 2)
+    SELECT user_id, item_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY _slot, item_id) AS INT)
+             AS neg_rank
+    FROM dd
+    QUALIFY neg_rank <= 5
+    """,
+)
+def negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (r12): 5 non-purchased parts
+    per customer from the (customer, part) interactions implied by
+    orders x lineitem — hash-slot sampling (slot j of a user maps to
+    item index md5(user#seed#j) mod n over a densely-indexed
+    catalog), so the training pairs are a pure function of (user,
+    seed, catalog order): stable under retries/repartitioning and
+    reproduced exactly by the oracle. Bounded equi-joins + a
+    per-user window over <= k x oversample rows; no rand(), no
+    cross join."""
+    from featureform_spark.operators.negatives import sample_negatives
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    return sample_negatives(
+        pos,
+        part.select(F.col("p_partkey").alias("item_id")),
+        k=5,
+        seed=42,
+        oversample=2,
+    )
+
+
 _PIT_SKEW_ORACLE = """
     WITH ev AS (
       SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
@@ -1879,15 +1944,13 @@ PRIORITY: tuple[str, ...] = (
     # rotates out, stays pytest-oracle-covered (corpus_clean_v2
     # composes the same trained quality scorer in the top-50).
     "pit_leakage_audit",
-    # Round-10 rotation (verdict r9 #3): arbitrary-stride gap fill —
-    # a 15-minute grid via epoch-floor bucketing
-    # (floor(unix_ts/900)*900), the sub-unit stride date_trunc can't
-    # align; oracle is DuckDB time_bucket with an epoch origin.
-    # gap_fill_hourly (green r9) rotates out, stays
-    # pytest-oracle-covered — the 15-min variant exercises strictly
-    # more of the same operator (grid, fill modes, decimal-exact
-    # bucket sums) plus the new stride path.
-    "gap_fill_15min",
+    # Round-12 rotation: deterministic negative sampling — hash-slot
+    # training pairs (md5 slot -> dense catalog index, anti-join
+    # positives, first-k by slot), a pure function of (user, seed,
+    # catalog order). gap_fill_15min (green r10-r11) rotates out,
+    # stays pytest-oracle-covered (scd2_intervals, horizon_labels and
+    # training_set_freshness keep the temporal family in the top-50).
+    "negative_samples",
     # Round-7: the trained-model pipeline composition (quality_model
     # keep -> lang_id_model 'en' -> dedup_substrings). corpus_clean v1
     # (green r1-r6) rotates out, stays pytest-oracle-covered.

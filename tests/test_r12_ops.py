@@ -495,3 +495,46 @@ def test_schema_compare(spark):
     assert rows["extra"]["ref_type"] is None
     dropped = schema_compare(ref, cur.drop("v"))
     assert {r["column"]: r["status"] for r in dropped}["v"] == "removed"
+
+
+def test_sample_negatives(spark):
+    from featureform_spark.operators.negatives import sample_negatives
+
+    pos = spark.createDataFrame(
+        [(u, it) for u in range(6) for it in range(u)],  # user u owns 0..u-1
+        "user_id long, item_id long",
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(20)], "item_id long"
+    )
+    out = sample_negatives(pos.filter("user_id > 0"), items, k=3)
+    rows = out.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["neg_rank"], r["item_id"])
+        )
+    pos_set = {(u, it) for u in range(6) for it in range(u)}
+    for u, lst in by_user.items():
+        assert len(lst) <= 3
+        assert sorted(r for r, _ in lst) == list(range(1, len(lst) + 1))
+        for _, it in lst:
+            assert (u, it) not in pos_set
+    # deterministic across invocations
+    again = sample_negatives(pos.filter("user_id > 0"), items, k=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="k must"):
+        sample_negatives(pos, items, k=0)
+
+
+def test_sample_negatives_saturated_user(spark):
+    from featureform_spark.operators.negatives import sample_negatives
+
+    items = spark.createDataFrame([(i,) for i in range(4)], "item_id long")
+    # the user owns 3 of 4 items: at most one distinct negative exists
+    pos = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2)], "user_id long, item_id long"
+    )
+    out = sample_negatives(pos, items, k=5, oversample=4).collect()
+    assert all(r["item_id"] == 3 for r in out)
+    assert len(out) <= 1 or all(r["neg_rank"] == 1 for r in out)
