@@ -37,7 +37,7 @@ def test_observe_matches_histogram_compare(spark, tmp_path):
         if r["cur_count"]
     }
     got = {
-        (r["feature"], r["bin"]): r["count"]
+        (r["feature"], int(r["bin"])): r["count"]
         for r in mon.history().filter(F.col("batch_id") == 0).collect()
     }
     assert got == want
@@ -121,3 +121,80 @@ def test_stream_drift_microbatches(spark, tmp_path):
     assert len(hist) == 1
     (scores,) = hist.values()
     assert scores["x"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_monitor_categorical_pinned_set(spark, tmp_path):
+    """The category set is pinned at reference time: a later batch's
+    new category folds into __other__, NULL is always its own
+    bucket, and a reopened monitor bins identically."""
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5,
+        "s string",
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 10 + [("zzz",)] * 40 + [(None,)] * 10,
+        "s string",
+    )
+    path = str(tmp_path / "m")
+    mon = DriftMonitor(
+        spark, path, categorical_cols=["s"], cat_top_k=2
+    )
+    mon.set_reference(ref)
+    assert mon.cat_sets == {"s": ["a", "b"]}
+    scores = mon.observe(cur, 0)
+    assert scores["s"] > 0.25
+    rows = {
+        r["bin"]: r["count"]
+        for r in mon.history().filter(F.col("batch_id") == 0).collect()
+    }
+    # c was not pinned (top_k=2): the new zzz AND c-like strays fold
+    assert rows == {"a": 10, "__other__": 40, "__null__": 10}
+    mon2 = DriftMonitor(spark, path)
+    assert mon2.cat_sets == {"s": ["a", "b"]}
+    assert mon2.scores(0) == scores
+    with pytest.raises(ValueError, match="cat_top_k"):
+        DriftMonitor(spark, path, categorical_cols=["s"], cat_top_k=9)
+
+
+def test_monitor_embedding_and_mixed(spark, tmp_path):
+    """Numeric + categorical + embedding features in ONE monitor, one
+    commit, one history table."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # mean-shifted vectors: sign buckets are concentrated, so the
+    # negation below moves real mass (uniform gaussians would land
+    # near-uniformly over 2^3 buckets and negation would barely move
+    # the histogram)
+    ref = spark.createDataFrame(
+        [(float(i % 10), "a" if i % 2 else "b",
+          [float(x) for x in rng.normal(loc=1.0, scale=0.3, size=4)])
+         for i in range(80)],
+        "x double, s string, e array<double>",
+    )
+    path = str(tmp_path / "m")
+    mon = DriftMonitor(
+        spark, path, cols=["x"], bins=4, categorical_cols=["s"],
+        embedding_col="e", embedding_dim=4, embedding_planes=3,
+    )
+    mon.set_reference(ref)
+    same = mon.observe(ref, 0)
+    assert set(same) == {"x", "s", "e"}
+    assert all(v == pytest.approx(0.0, abs=1e-12) for v in same.values())
+    # negated embeddings drift only the embedding feature
+    neg = ref.withColumn("e", F.transform("e", lambda v: -v))
+    drifted = mon.observe(neg, 1)
+    assert drifted["e"] > 0.25
+    assert drifted["x"] == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError, match="embedding_planes"):
+        DriftMonitor(spark, path, embedding_col="e", embedding_dim=4,
+                     embedding_planes=5)
+
+
+def test_monitor_embedding_requires_dim(spark, tmp_path):
+    mon = DriftMonitor(
+        spark, str(tmp_path / "m"), embedding_col="e"
+    )
+    ref = spark.createDataFrame([([1.0, 2.0],)], "e array<double>")
+    with pytest.raises(ValueError, match="embedding_dim"):
+        mon.set_reference(ref)
