@@ -162,3 +162,71 @@ def test_backfill_untouched_rows_carried_broadcast(spark):
     keep_prior = _rows(prior.filter(~F.col("entity").isin("e1", "e3")))
     keep_patched = _rows(patched.filter(~F.col("entity").isin("e1", "e3")))
     assert keep_prior == keep_patched
+
+
+# ---------------------------------------------------------------------------
+# property-based equivalence (hypothesis): arbitrary small worlds of
+# features/labels/late rows — backfill must EQUAL the full rebuild on
+# the merged inputs across the edge-case lattice (duplicate ts, NULL
+# label ts, entities with only late data, lag shifts)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+BASE = datetime(2021, 1, 1)
+
+_ents = st.sampled_from(["a", "b", "c"])
+_days = st.integers(min_value=0, max_value=5)
+_vals = st.integers(min_value=-3, max_value=3)
+_feat_rows = st.lists(st.tuples(_ents, _days, _vals), max_size=7)
+_late_rows = st.lists(st.tuples(_ents, _days, _vals), max_size=4)
+_label_rows = st.lists(
+    st.tuples(_ents, st.one_of(st.none(), _days), _vals), max_size=6
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=_feat_rows, late=_late_rows, labels=_label_rows,
+       lag=st.sampled_from([0.0, 86400.0]))
+def test_backfill_equivalence_property(spark, base, late, labels, lag):
+    if not labels or not late:
+        return
+    fschema = "event_id long, entity string, ts timestamp, value double"
+    fdf = spark.createDataFrame(
+        [(i, e, BASE + timedelta(days=d), float(v))
+         for i, (e, d, v) in enumerate(base)] or [],
+        fschema,
+    )
+    ldf_rows = [
+        (e, None if d is None else BASE + timedelta(days=d), float(v))
+        for e, d, v in labels
+    ]
+    ldf = spark.createDataFrame(
+        ldf_rows, "entity string, ts timestamp, value double"
+    )
+    late_df = spark.createDataFrame(
+        [(100 + i, e, BASE + timedelta(days=d), float(v))
+         for i, (e, d, v) in enumerate(late)],
+        fschema,
+    )
+
+    def feat(df):
+        return FeatureInput(
+            name="f1", df=df, entity_col="entity", value_col="value",
+            ts_col="ts", order_col="event_id", lag_seconds=lag,
+        )
+
+    prior = point_in_time_join(ldf, [feat(fdf)], label_ts_col="ts")
+    patched = backfill_training_set(
+        prior, ldf, [feat(fdf)], {"f1": late_df}, label_ts_col="ts"
+    )
+    full = point_in_time_join(
+        ldf, [feat(fdf.unionByName(late_df))], label_ts_col="ts"
+    )
+    assert _rows(patched) == _rows(full)

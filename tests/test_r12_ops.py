@@ -538,3 +538,49 @@ def test_sample_negatives_saturated_user(spark):
     out = sample_negatives(pos, items, k=5, oversample=4).collect()
     assert all(r["item_id"] == 3 for r in out)
     assert len(out) <= 1 or all(r["neg_rank"] == 1 for r in out)
+
+
+def test_horizon_label_matches_interval_join_formulation(spark):
+    """Differential: the single-window horizon_label equals the naive
+    inequality-join formulation (anchors x outcomes with the time
+    bound) on a randomized fixture — the same contract the streaming
+    interval join pins against its batch twin."""
+    import numpy as np
+
+    from featureform_spark.operators.temporal import horizon_label
+
+    rng = np.random.default_rng(5)
+    anchors = spark.createDataFrame(
+        [(int(i), f"u{int(rng.integers(0, 6))}",
+          f"2024-01-01 00:{int(t) // 60:02d}:{int(t) % 60:02d}")
+         for i, t in enumerate(rng.integers(0, 900, size=40))],
+        "id long, entity string, ts string",
+    )
+    outcomes = spark.createDataFrame(
+        [(f"u{int(rng.integers(0, 7))}",
+          f"2024-01-01 00:{int(t) // 60:02d}:{int(t) % 60:02d}")
+         for t in rng.integers(0, 1000, size=60)],
+        "entity string, ts string",
+    )
+    got = sorted(
+        (r["id"], r["n_outcomes"], r["label"])
+        for r in horizon_label(anchors, outcomes, 120).collect()
+    )
+    a = anchors.withColumn("_ats", F.col("ts").cast("timestamp"))
+    o = outcomes.select(
+        F.col("entity").alias("_e"), F.col("ts").cast("timestamp").alias("_ots")
+    )
+    joined = a.join(
+        o,
+        (a["entity"] == o["_e"])
+        & (o["_ots"] > a["_ats"])
+        & (o["_ots"] <= a["_ats"] + F.expr("INTERVAL 120 SECONDS")),
+        "left",
+    )
+    want = sorted(
+        (r["id"], r["n"], int(r["n"] > 0))
+        for r in joined.groupBy("id")
+        .agg(F.sum(F.col("_ots").isNotNull().cast("long")).alias("n"))
+        .collect()
+    )
+    assert got == want
