@@ -60,16 +60,30 @@ def sample_negatives(
         raise ValueError("sample_negatives: k must be >= 1")
     if oversample < 1:
         raise ValueError("sample_negatives: oversample must be >= 1")
-    n_items = items.select(item_col).distinct().count()
+    # NULL ids are excluded on BOTH sides: a NULL item would take
+    # dense index 0 (Spark sorts nulls first) and — surviving every
+    # anti-join, since NULL equals nothing — be emitted as a
+    # "negative"; a NULL user cannot form a slot key (md5 of NULL
+    # concat is NULL) and would silently get no negatives. Neither is
+    # a meaningful training pair.
+    catalog = (
+        items.select(item_col)
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    # one distinct feeds both the index and the count (persist, or
+    # the count action and the candidate join would each re-run it)
+    idx = with_row_index(
+        catalog, order_cols=[item_col], index_col="_idx", start=0
+    ).persist()
+    n_items = idx.count()
     if n_items == 0:
         raise ValueError("sample_negatives: empty item catalog")
-    idx = with_row_index(
-        items.select(item_col).distinct(),
-        order_cols=[item_col],
-        index_col="_idx",
-        start=0,
+    users = (
+        positives.select(user_col)
+        .where(F.col(user_col).isNotNull())
+        .distinct()
     )
-    users = positives.select(user_col).distinct()
     n_slots = k * oversample
     slots = users.select(
         user_col,

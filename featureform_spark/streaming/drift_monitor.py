@@ -120,20 +120,20 @@ class DriftMonitor:
                 )
 
         _conflict(self.cols, stored_cols or None, "cols")
-        _conflict(
-            self.bins, stored_bins if stored_cols else self.bins, "bins"
-        )
+        _conflict(self.bins, stored_bins, "bins")
         _conflict(self.cat_cols, stored_cat or None, "categorical_cols")
-        _conflict(
-            self.cat_top_k,
-            stored_topk if stored_cat else self.cat_top_k,
-            "cat_top_k",
-        )
+        _conflict(self.cat_top_k, stored_topk, "cat_top_k")
         if stored_emb:
             _conflict(self.emb_col, stored_emb.get("col"), "embedding_col")
             _conflict(self.emb_dim, stored_emb.get("dim"), "embedding_dim")
             _conflict(
                 self.emb_planes, stored_emb.get("planes"), "embedding_planes"
+            )
+        elif self.emb_col is not None:
+            raise ValueError(
+                f"monitor at {path} has no embedding feature, got "
+                f"embedding_col={self.emb_col!r} — schemes cannot be "
+                "mixed (open a new path to monitor embeddings)"
             )
         self.cols = stored_cols or None
         self.bins = stored_bins
@@ -254,6 +254,26 @@ class DriftMonitor:
             self.cat_top_k = 20
         if self.emb_col is not None and self.emb_planes is None:
             self.emb_planes = 8
+        if self.emb_col is not None and not (1 <= self.emb_planes <= 20):
+            raise ValueError(
+                "set_reference: embedding_planes must be in [1, 20] "
+                "(2^planes buckets must stay aggregation-scale — the "
+                "per-batch write is O(features × buckets))"
+            )
+        # feature names are the score/history key: one name in two
+        # kinds would merge two unrelated histograms into one PSI
+        names = (
+            list(self.cols or [])
+            + list(self.cat_cols or [])
+            + ([self.emb_col] if self.emb_col else [])
+        )
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"set_reference: feature name(s) {dupes} appear in more "
+                "than one kind — names must be disjoint across "
+                "cols/categorical_cols/embedding_col"
+            )
         if self.cols:
             self.edges = reference_edges(ref, self.cols, self.bins)
         if self.cat_cols:
@@ -295,10 +315,12 @@ class DriftMonitor:
                 else {}
             ),
         }
-        self._has_reference = True
         self.table.create(
             self._histogram(ref, REFERENCE_BATCH_ID), properties=props
         )
+        # only after the commit: a failed create must leave the
+        # monitor saying "no reference yet", not half-initialized
+        self._has_reference = True
 
     def _require_reference(self) -> None:
         if not self._has_reference:

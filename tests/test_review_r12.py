@@ -263,3 +263,54 @@ def test_freshness_n_missing_counts_provenance_only(spark):
     assert row["n_missing"] == 1          # only the e2 row
     assert row["min_staleness_us"] == 4_000_000
     assert row["sum_staleness_us"] == 4_000_000
+
+
+def test_sample_negatives_null_ids_excluded(spark):
+    """NULL item ids never appear as negatives; NULL users are
+    dropped rather than silently zero-sampled (review round 2)."""
+    from featureform_spark.operators.negatives import sample_negatives
+
+    items = spark.createDataFrame(
+        [(None,), (0,), (1,), (2,), (3,)], "item_id long"
+    )
+    pos = spark.createDataFrame(
+        [(1, 0), (None, 1)], "user_id long, item_id long"
+    )
+    rows = sample_negatives(pos, items, k=3).collect()
+    assert all(r["item_id"] is not None for r in rows)
+    assert all(r["user_id"] == 1 for r in rows)
+
+
+def test_monitor_second_review_guards(spark, tmp_path):
+    from featureform_spark.streaming.drift_monitor import DriftMonitor
+
+    ref = spark.createDataFrame(
+        [(float(i), "a") for i in range(10)], "x double, s string"
+    )
+    path = str(tmp_path / "m")
+    mon = DriftMonitor(spark, path, cols=["x"])
+    mon.set_reference(ref)
+    # embedding params on a non-embedding monitor refuse (was silent)
+    with pytest.raises(ValueError, match="no embedding feature"):
+        DriftMonitor(spark, path, embedding_col="e", embedding_dim=4,
+                     embedding_planes=3)
+    # explicit bins conflicts even though... this monitor IS numeric;
+    # also cover the cat-only store case
+    cat_path = str(tmp_path / "c")
+    cmon = DriftMonitor(spark, cat_path, categorical_cols=["s"])
+    cmon.set_reference(ref)
+    with pytest.raises(ValueError, match="bins"):
+        DriftMonitor(spark, cat_path, bins=7)
+    # planes range + overlapping names refuse at reference time
+    with pytest.raises(ValueError, match="embedding_planes"):
+        DriftMonitor(
+            spark, str(tmp_path / "p"), embedding_col="e",
+            embedding_dim=4, embedding_planes=30,
+        ).set_reference(
+            spark.createDataFrame([([1.0] * 4,)], "e array<double>")
+        )
+    with pytest.raises(ValueError, match="disjoint"):
+        DriftMonitor(
+            spark, str(tmp_path / "d"), cols=["x"],
+            categorical_cols=["x"],
+        ).set_reference(ref)
