@@ -202,11 +202,20 @@ def test_big_table_scan_planned_prunes_distributed(big_table):
 def test_big_table_distributed_not_slower_than_driver(big_table):
     """The point of the fan-out: executor-side decode of 48k entries
     must beat the sequential driver fold (generous 1.0x bar — the
-    real win is larger, but CI timing is noisy)."""
+    real win is larger, but CI timing is noisy). Both sides are
+    measured as a min-of-two so the comparison is steady-state: in a
+    full-suite run the distributed side goes first and pays the
+    cold-task/JIT cost of thousands of accumulated stages, which once
+    flaked this as 7.7s distributed vs 4.7s driver while the isolated
+    run passes comfortably."""
     t, k = big_table
-    t0 = time.monotonic()
-    t.metadata_table("files").count()
-    dist = time.monotonic() - t0
+
+    def _timed() -> float:
+        t0 = time.monotonic()
+        t.metadata_table("files").count()
+        return time.monotonic() - t0
+
+    dist = min(_timed(), _timed())
     assert t.last_plan_mode == "distributed"
 
     import featureform_spark.sources.iceberg_protocol as ip
@@ -214,9 +223,7 @@ def test_big_table_distributed_not_slower_than_driver(big_table):
     old = ip.DISTRIBUTED_PLAN_MIN_ENTRIES
     ip.DISTRIBUTED_PLAN_MIN_ENTRIES = 10**9
     try:
-        t0 = time.monotonic()
-        t.metadata_table("files").count()
-        seq = time.monotonic() - t0
+        seq = min(_timed(), _timed())
         assert t.last_plan_mode == "driver"
     finally:
         ip.DISTRIBUTED_PLAN_MIN_ENTRIES = old
