@@ -69,9 +69,27 @@ def doc_bigram_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, w1, w2, n_occ): per-document bigram multiplicities — the
-    compact working set every later stage aggregates or joins on."""
+    compact working set every later stage aggregates or joins on.
+
+    The explicit non-null filter is an optimization contract, not a
+    semantic quirk: ``ngram_lm_score`` consumes this subtree four ways
+    (docbg / cbg / cw / docw), and without it the optimizer infers a
+    DIFFERENT ``isnotnull`` set per branch from each join's keys, so
+    the four subtrees stop being canonically equal and Spark's
+    exchange reuse never fires — the corpus is tokenized, exploded and
+    partially aggregated four times. With the filter stated once here,
+    every branch is identical and the three duplicate exchanges become
+    ``ReusedExchange`` (plan-pinned in tests/test_plan_shapes_r12.py).
+    Row semantics: w1/w2 are explode outputs and can never be null; a
+    null ``id`` row would be dropped by every downstream join anyway
+    (same null-drop convention as bm25's corpus stats)."""
     return (
         bigrams_exploded(df, id_col, text_col)
+        .filter(
+            F.col(id_col).isNotNull()
+            & F.col("w1").isNotNull()
+            & F.col("w2").isNotNull()
+        )
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )

@@ -1,0 +1,37 @@
+"""Round-12 optimization plan pins.
+
+Each test asserts the executed (AQE-final) physical plan shape that a
+round-12 optimization claims, so a regression that silently reverts the
+plan fails loudly. The executed plan is inspected on the SAME DataFrame
+that ran (``df.collect()`` executes ``df``'s own QueryExecution;
+``df.count()`` would plan a different query and leave the original
+unexecuted)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from featureform_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_ngram_lm_score_reuses_bigram_exchange(docs):
+    """ngram_lm_score consumes the (doc, w1, w2, n_occ) subtree four
+    ways; the explicit non-null filter in doc_bigram_counts makes the
+    branches canonically identical so the duplicate exchanges become
+    ReusedExchange — the corpus is tokenized/exploded once, not four
+    times."""
+    from featureform_spark.functions.lm import ngram_lm_score
+
+    plan = _executed_plan(ngram_lm_score(docs))
+    assert plan.count("ReusedExchange") >= 3, plan
