@@ -62,21 +62,37 @@ def retrieval_metrics(
     gains = F.array(*[F.lit(g) for g in dcg_gain_table(k)])
     idcg = F.array(*[F.lit(v) for v in idcg_prefix_table(k)])
 
-    truth_per_q = truth.groupBy(query_col).agg(
-        F.count(F.lit(1)).alias("n_truth")
+    # ONE left join + ONE aggregation consumes each input exactly once.
+    # The obvious two-branch formulation (count truth per query, then
+    # inner-join hits and aggregate those separately) evaluates the
+    # ``truth`` subtree twice — and in retrieval_eval that subtree is
+    # the exact Q x N cosine ground-truth pass, the most expensive
+    # thing in the query. Every truth row survives the left join
+    # exactly once (``retrieved`` is a ranked top-k list, unique per
+    # (query, item)), so n_truth = count(*), hits are the rows whose
+    # rank is non-null, and the rank-sorted DCG fold sees the same
+    # sorted hit-rank list as before (collect_list drops nulls):
+    # bit-identical doubles, half the corpus-scale work. ``retrieved``
+    # is a ranked top-k list (Q x k rows — eval-set-sized at any corpus
+    # scale), so it broadcasts: the left join adds no exchange, and the
+    # following groupBy reuses the query_id hash partitioning ``truth``
+    # already has from its ranking window — zero added shuffles.
+    joined = truth.join(
+        F.broadcast(retrieved), [query_col, item_col], "left"
     )
-    hits = retrieved.join(truth, [query_col, item_col])
-    # rank-sorted fold: deterministic double addition order cross-engine
-    hits_per_q = hits.groupBy(query_col).agg(
-        F.count(F.lit(1)).alias("n_hits"),
+    per_q = joined.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count(rank_col).alias("n_hits"),
         F.min(rank_col).alias("_first_rank"),
+        # rank-sorted fold: deterministic double addition order
+        # cross-engine
         F.aggregate(
             F.sort_array(F.collect_list(rank_col)),
             F.lit(0.0),
             lambda acc, r: acc + F.element_at(gains, r.cast("int")),
         ).alias("_dcg"),
     )
-    per_q = truth_per_q.join(hits_per_q, query_col, "left").select(
+    per_q = per_q.select(
         F.col(query_col),
         F.col("n_truth"),
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),

@@ -96,7 +96,7 @@ def dot_pandas() -> "Column":
     # real annotation objects: the module-wide `from __future__ import
     # annotations` would otherwise hand pyspark unresolvable strings
     _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    return pandas_udf(_dot, "double")
+    return pandas_udf(_dot, "double").asNondeterministic()
 
 
 def cosine_pandas() -> "Column":
@@ -120,7 +120,7 @@ def cosine_pandas() -> "Column":
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
     _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    return pandas_udf(_cos, "double")
+    return pandas_udf(_cos, "double").asNondeterministic()
 
 
 def norm_pandas() -> "Column":
@@ -139,7 +139,7 @@ def norm_pandas() -> "Column":
         return pd.Series(np.sqrt(acc))
 
     _norm.__annotations__ = {"a": pd.Series, "return": pd.Series}
-    return pandas_udf(_norm, "double")
+    return pandas_udf(_norm, "double").asNondeterministic()
 
 
 def bucket_pandas(
@@ -194,7 +194,14 @@ def bucket_pandas(
         return pd.Series(out)
 
     _bucket.__annotations__ = {"a": pd.Series, "return": pd.Series}
-    return pandas_udf(_bucket, "string")
+    # asNondeterministic: joins/filters on the bucket column otherwise
+    # push their inferred isnotnull(_bucket(...)) predicate BELOW the
+    # projection and the kernel runs twice over the corpus (one
+    # ArrowEvalPython feeding the Filter, a second feeding the Project
+    # — the classic duplicated-UDF pushdown). The kernel IS pure; the
+    # marker only forbids the optimizer from duplicating/reordering
+    # it, yielding a single corpus pass per bucket column.
+    return pandas_udf(_bucket, "string").asNondeterministic()
 
 
 def cosine_topk(
