@@ -68,6 +68,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_exclude: DataFrame | None = None,
+    seed_pool: DataFrame | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks: md5-seeded init + one Lloyd round.
 
@@ -82,13 +83,21 @@ def pq_train(
     seed would be a cell centroid whose residual is the zero vector —
     ksub identical seeds, and the one Lloyd round collapses the
     codebook to a single code.
+
+    ``seed_pool`` (single ``id_col`` column) substitutes a cheap id
+    source for seed *selection* only — seed selection touches nothing
+    but ``md5(id_col)``, so when ``df`` is itself an expensive derived
+    frame (IVFADC residuals: scan + assignment kernel + centroid join)
+    the caller passes the raw table's id column and the seed subquery
+    becomes a single-column scan instead of a full kernel pass. Must
+    contain exactly the ids of ``df``.
     """
     sub_dim = dim // m
     sub = _subvectors(df, m, sub_dim, id_col, vec_col)
     h = F.md5(F.col(id_col).cast("string"))
-    pool = df
+    pool = seed_pool if seed_pool is not None else df
     if seed_exclude is not None:
-        pool = df.join(
+        pool = pool.join(
             F.broadcast(seed_exclude.select(id_col)), id_col, "left_anti"
         )
     seeds = (
@@ -226,9 +235,12 @@ def pq_topk(
     sub_dim = dim // m
     codebook = pq_train(df, dim, m, ksub, id_col, vec_col)
     encoded = pq_encode(df, codebook, dim, m, id_col, vec_col)
-    q = df.filter(F.col(id_col) == query_id).select(
+    # one-row query vector, collected once (see ivfpq_topk): the ADC
+    # table crossJoin otherwise re-scans the corpus for a single row
+    q_rows = df.filter(F.col(id_col) == query_id).select(
         _as_double(F.col(vec_col)).alias("_q")
     )
+    q = df.sparkSession.createDataFrame(q_rows.collect(), q_rows.schema)
     # per-subspace distance lists ordered by code, then a list of lists
     # ordered by s — ragged-safe positional lookup dtab[s][code]
     dt = codebook.crossJoin(F.broadcast(q)).select(
@@ -320,9 +332,9 @@ def ivfpq_topk(
     top-(k/s). A fully-unselective predicate degrades to an
     exhaustive ADC scan, which is the honest cost ceiling.
     """
+    from featureform_spark.functions.clustering import _assign_vectorized
     from featureform_spark.functions.similarity import (
         cosine_expr,
-        ivf_assign,
         ivf_centroids,
     )
 
@@ -343,9 +355,21 @@ def ivfpq_topk(
         allowed = df.filter(where).select(id_col)
 
     sub_dim = dim // m
+    # The coarse quantizer is ≤num_cells rows but its DataFrame is a
+    # corpus-scan subtree (md5-sample + join-back); every downstream
+    # consumer (assignment kernel, residual cmap join, seed exclusion,
+    # probe ranking) would re-evaluate that subtree — the _before_ plan
+    # carried 14 parquet scans for a 16-row table. Collect it ONCE
+    # (the assignment kernel needs driver-side rows anyway) and serve
+    # every other consumer from a 16-row local relation.
     cents = ivf_centroids(df, num_cells, id_col, vec_col)
-    assigned = ivf_assign(df, cents, id_col, vec_col)  # (id, _v, cell)
-    cmap = cents.select(F.col("cid").alias("cell"), F.col("cv"))
+    cent_rows = cents.select("cid", "cv").collect()
+    spark = df.sparkSession
+    cents_local = spark.createDataFrame(cent_rows, cents.schema)
+    assigned = _assign_vectorized(df, cent_rows, id_col, vec_col).select(
+        F.col(id_col), F.col("_v"), F.col("cluster").alias("cell")
+    )  # (id, _v, cell) — same contract as similarity.ivf_assign
+    cmap = cents_local.select(F.col("cid").alias("cell"), F.col("cv"))
     res = assigned.join(F.broadcast(cmap), "cell").select(
         F.col(id_col),
         F.col("cell"),
@@ -353,16 +377,22 @@ def ivfpq_topk(
     )
     codebook = pq_train(
         res, dim, m, ksub, id_col, "_r",
-        seed_exclude=cents.select(F.col("cid").alias(id_col)),
+        seed_exclude=cents_local.select(F.col("cid").alias(id_col)),
+        # seed selection needs only md5(id) over res's ids == df's ids:
+        # a single-column scan instead of scan + kernel + residual join
+        seed_pool=df.select(id_col),
     )
     encoded = pq_encode(
         res, codebook, dim, m, id_col, "_r", carry=("cell",)
     )
-    q = df.filter(F.col(id_col) == query_id).select(
+    # one-row query vector: collected once so the three broadcast
+    # consumers (probe / qres / rerank) don't each re-scan the corpus
+    q_rows = df.filter(F.col(id_col) == query_id).select(
         _as_double(F.col(vec_col)).alias("_q")
     )
+    q = spark.createDataFrame(q_rows.collect(), q_rows.schema)
     probe = (
-        cents.crossJoin(F.broadcast(q))
+        cents_local.crossJoin(F.broadcast(q))
         .select(
             "cid", "cv",
             cosine_expr(F.col("cv"), F.col("_q")).alias("_cs"),
