@@ -40,6 +40,17 @@ from pyspark.sql import functions as F
 from featureform_spark.functions.similarity import _as_double
 
 
+def _local_relation(spark, rows: list, schema) -> DataFrame:
+    """Collected rows -> a true LocalRelation (Arrow pandas path via
+    ``sources.local_df``). ``createDataFrame(list_of_rows)`` builds a
+    pickled-Python LogicalRDD instead — every plan evaluation of such
+    a node launches a Python worker task to re-deserialize 16 rows,
+    and the node carries no statistics."""
+    from featureform_spark.sources.local_df import local_df
+
+    return local_df(spark, rows, schema)
+
+
 def l2sq_expr(a: Column, b: Column) -> Column:
     """Squared L2 distance as a sequential left-fold (deterministic
     summation order, mirrored by the DuckDB oracle's list_reduce)."""
@@ -69,6 +80,7 @@ def pq_train(
     vec_col: str = "embedding",
     seed_exclude: DataFrame | None = None,
     seed_pool: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Train per-subspace codebooks: md5-seeded init + one Lloyd round.
 
@@ -123,9 +135,11 @@ def pq_train(
     )
     # dense renumber (a seed centroid can lose every member); 128-row table
     w = Window.partitionBy("s").orderBy("cid")
-    return c1.select(
-        "s", (F.row_number().over(w) - 1).alias("code"), "cv"
-    ).localCheckpoint(eager=False)
+    out = c1.select("s", (F.row_number().over(w) - 1).alias("code"), "cv")
+    # checkpoint=False for callers that collect the codebook right away
+    # (ivfpq_topk/pq_topk turn it into a LocalRelation): materializing
+    # checkpoint blocks for a single consumer is pure overhead
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def _assign_sub(sub: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -233,6 +247,12 @@ def pq_topk(
     plan shape that survives a 100 TB corpus.
     """
     sub_dim = dim // m
+    # NOTE: pq_topk keeps the lazy-localCheckpoint codebook (pq_encode's
+    # collect materializes it once; the ADC table reads the checkpoint).
+    # The eager collect + LocalRelation variant used by ivfpq_topk was
+    # A/B-probed here and consistently LOST (~2.5s -> ~2.8s min-of-5 at
+    # sf0.1) — the checkpoint already dedups the train subtree and the
+    # extra eager job only adds latency in this single-level path.
     codebook = pq_train(df, dim, m, ksub, id_col, vec_col)
     encoded = pq_encode(df, codebook, dim, m, id_col, vec_col)
     # one-row query vector, collected once (see ivfpq_topk): the ADC
@@ -365,7 +385,7 @@ def ivfpq_topk(
     cents = ivf_centroids(df, num_cells, id_col, vec_col)
     cent_rows = cents.select("cid", "cv").collect()
     spark = df.sparkSession
-    cents_local = spark.createDataFrame(cent_rows, cents.schema)
+    cents_local = _local_relation(spark, cent_rows, cents.schema)
     assigned = _assign_vectorized(df, cent_rows, id_col, vec_col).select(
         F.col(id_col), F.col("_v"), F.col("cluster").alias("cell")
     )  # (id, _v, cell) — same contract as similarity.ivf_assign
@@ -381,6 +401,13 @@ def ivfpq_topk(
         # seed selection needs only md5(id) over res's ids == df's ids:
         # a single-column scan instead of scan + kernel + residual join
         seed_pool=df.select(id_col),
+        checkpoint=False,
+    )
+    # m×ksub rows; pq_encode collects them anyway — do it once and let
+    # the ADC-table consumers read a LocalRelation instead of the
+    # checkpointed-RDD scan (which pays a task launch per evaluation)
+    codebook = _local_relation(
+        spark, codebook.collect(), codebook.schema
     )
     encoded = pq_encode(
         res, codebook, dim, m, id_col, "_r", carry=("cell",)
@@ -390,7 +417,7 @@ def ivfpq_topk(
     q_rows = df.filter(F.col(id_col) == query_id).select(
         _as_double(F.col(vec_col)).alias("_q")
     )
-    q = spark.createDataFrame(q_rows.collect(), q_rows.schema)
+    q = _local_relation(spark, q_rows.collect(), q_rows.schema)
     probe = (
         cents_local.crossJoin(F.broadcast(q))
         .select(

@@ -55,6 +55,11 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
                 pdf[n] = pdf[n].astype("object")
             elif k == "boolean":
                 pdf[n] = pdf[n].astype("boolean")
+            elif k.startswith("array<"):
+                # lists of scalars convert cleanly through Arrow as
+                # object cells (verified: LocalRelation, exact float
+                # bits); deeper nesting still exits via the fallback
+                pdf[n] = pdf[n].astype("object")
             else:  # nested/exotic type: let the fallback handle it
                 raise ValueError(k)
         return spark.createDataFrame(pdf, schema)
