@@ -55,13 +55,18 @@ def kmeans_init(
     ``md5(id)`` (uniform, engine-reproducible). Output ``(cid, cv)``
     where ``cid`` is the seed row's numeric id."""
     h = F.md5(F.col(id_col).cast("string"))
-    ids = (
-        df.select(F.col(id_col), h.alias("_h"))
-        .orderBy("_h", id_col)
+    # one scan: the vector rides the top-k heap — the former id-sample +
+    # join-back shape scanned the corpus twice and paid a broadcast
+    # build job per call (see similarity.ivf_centroids, same change)
+    return (
+        df.select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "cid")
         .limit(k)
-    )
-    return df.join(F.broadcast(ids.select(id_col)), id_col).select(
-        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        .select("cid", "cv")
     )
 
 

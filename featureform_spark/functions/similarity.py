@@ -356,14 +356,19 @@ def ivf_centroids(
     a valid coarse quantizer. Output: (cid, cv).
     """
     h = F.md5(F.col(id_col).cast("string"))
-    ids = df.select(F.col(id_col), h.alias("_h")).orderBy("_h", id_col).limit(
-        num_centroids
-    )
+    # one scan: the vector rides the top-k heap (TakeOrderedAndProject
+    # keeps num_centroids rows per partition) — the former id-sample +
+    # join-back shape scanned the corpus twice and paid a broadcast
+    # build job per call
     return (
-        df.join(F.broadcast(ids.select(id_col)), id_col)
-        .select(
-            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        df.select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            h.alias("_h"),
         )
+        .orderBy("_h", "cid")
+        .limit(num_centroids)
+        .select("cid", "cv")
     )
 
 
