@@ -57,9 +57,13 @@ def connected_components(
     from pyspark.sql import types as T
 
     base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    base = base.localCheckpoint(eager=materialize_edges)
 
     if small_graph_threshold > 0:
+        # probe BEFORE materializing: the limit-collect evaluates the
+        # edge lineage once, and on the (common) small-graph path the
+        # checkpoint job would be pure overhead — the collected rows ARE
+        # the materialization. Only the big-graph path below, whose loop
+        # re-reads the edges O(log d) times, pays for a checkpoint.
         probe = base.limit(small_graph_threshold + 1).collect()
         if len(probe) <= small_graph_threshold:
             parent: dict = {}
@@ -86,9 +90,18 @@ def connected_components(
                     T.StructField("cluster_id", dtype),
                 ]
             )
-            return edges.sparkSession.createDataFrame(
-                [(n, find(n)) for n in sorted(nodes)], out_schema
+            from featureform_spark.sources.local_df import local_df
+
+            # LocalRelation, not a pickled-python LogicalRDD: the
+            # result feeds a (broadcast) anti join, and every
+            # evaluation of an RDD-backed frame launches a python
+            # worker task just to re-deserialize these rows
+            return local_df(
+                edges.sparkSession,
+                [(n, find(n)) for n in sorted(nodes)],
+                out_schema,
             )
+    base = base.localCheckpoint(eager=materialize_edges)
     sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=False)
 
