@@ -352,17 +352,60 @@ def ivfpq_topk(
     top-(k/s). A fully-unselective predicate degrades to an
     exhaustive ADC scan, which is the honest cost ceiling.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from featureform_spark.functions.clustering import _assign_vectorized
     from featureform_spark.functions.similarity import (
         cosine_expr,
         ivf_centroids,
     )
 
+    spark = df.sparkSession
+    sub_dim = dim // m
+    # The coarse quantizer is ≤num_cells rows but its DataFrame is a
+    # corpus-scan subtree; every downstream consumer (assignment
+    # kernel, residual cmap join, seed exclusion, probe ranking) would
+    # re-evaluate that subtree — the _before_ plan carried 14 parquet
+    # scans for a 16-row table. Collect it ONCE (the assignment kernel
+    # needs driver-side rows anyway) and serve every other consumer
+    # from a 16-row local relation.
+    cents = ivf_centroids(df, num_cells, id_col, vec_col)
+    # one-row query vector, needed driver-side for the probe/ADC
+    # broadcasts. When a filter predicate is present it RIDES the
+    # selectivity aggregate's corpus scan (first(when(id = query)) —
+    # exactly one row can match); otherwise it is its own pruned scan.
+    # Either way the independent driver actions here (centroid top-k,
+    # selectivity/query aggregate) overlap in a 2-thread pool — the
+    # actions are sequential only because driver code calls them
+    # sequentially (guide §2.6), and each is a sub-second job whose
+    # latency would otherwise add up.
+    q_sel_df = (
+        df.agg(
+            F.count(F.lit(1)).alias("_tot"),
+            F.count(F.when(where, F.lit(1))).alias("_ok"),
+            F.first(
+                F.when(
+                    F.col(id_col) == query_id, _as_double(F.col(vec_col))
+                ),
+                ignorenulls=True,
+            ).alias("_q"),
+        )
+        if where is not None
+        else df.filter(F.col(id_col) == query_id).select(
+            _as_double(F.col(vec_col)).alias("_q")
+        )
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(cents.select("cid", "cv").collect)
+        f_q = pool.submit(q_sel_df.collect)
+        cent_rows = f_cents.result()
+        q_sel_rows = f_q.result()
+
     allowed = None
     if where is not None:
-        tot, n_ok = df.agg(
-            F.count(F.lit(1)), F.count(F.when(where, F.lit(1)))
-        ).first()
+        row = q_sel_rows[0]
+        tot, n_ok = row["_tot"], row["_ok"]
+        q_vals = [] if row["_q"] is None else [(row["_q"],)]
         sel = (n_ok / tot) if tot else 0.0
         if sel <= 0.0:
             nprobe = num_cells  # vacuous filter: result is empty anyway
@@ -373,19 +416,11 @@ def ivfpq_topk(
             if rerank > 0:
                 rerank = max(rerank, int(-(-rerank // sel)))
         allowed = df.filter(where).select(id_col)
+    else:
+        q_vals = [(r["_q"],) for r in q_sel_rows]
 
-    sub_dim = dim // m
-    # The coarse quantizer is ≤num_cells rows but its DataFrame is a
-    # corpus-scan subtree (md5-sample + join-back); every downstream
-    # consumer (assignment kernel, residual cmap join, seed exclusion,
-    # probe ranking) would re-evaluate that subtree — the _before_ plan
-    # carried 14 parquet scans for a 16-row table. Collect it ONCE
-    # (the assignment kernel needs driver-side rows anyway) and serve
-    # every other consumer from a 16-row local relation.
-    cents = ivf_centroids(df, num_cells, id_col, vec_col)
-    cent_rows = cents.select("cid", "cv").collect()
-    spark = df.sparkSession
     cents_local = _local_relation(spark, cent_rows, cents.schema)
+    q = _local_relation(spark, q_vals, "_q array<double>")
     assigned = _assign_vectorized(df, cent_rows, id_col, vec_col).select(
         F.col(id_col), F.col("_v"), F.col("cluster").alias("cell")
     )  # (id, _v, cell) — same contract as similarity.ivf_assign
@@ -412,12 +447,6 @@ def ivfpq_topk(
     encoded = pq_encode(
         res, codebook, dim, m, id_col, "_r", carry=("cell",)
     )
-    # one-row query vector: collected once so the three broadcast
-    # consumers (probe / qres / rerank) don't each re-scan the corpus
-    q_rows = df.filter(F.col(id_col) == query_id).select(
-        _as_double(F.col(vec_col)).alias("_q")
-    )
-    q = _local_relation(spark, q_rows.collect(), q_rows.schema)
     probe = (
         cents_local.crossJoin(F.broadcast(q))
         .select(
