@@ -357,14 +357,34 @@ def minhash_lsh_pairs(
         ),
     )
     buckets = lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    candidates = (
-        left.join(right, "bucket")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    # candidate pairs by grouping each bucket's member list instead of a
+    # bucket self-join: the join formulation evaluated the ENTIRE
+    # signature pipeline (text shuffle + shingle kernel + k-min
+    # aggregation + banding) once per side — exchange reuse does not
+    # fire across the join's python-kernel subtrees. One groupBy over
+    # the (id, bucket) rows (8 rows/doc) computes the same id<id pairs
+    # from each bucket's sorted member list; per-bucket pair volume is
+    # exactly the join's candidate volume, so nothing new explodes.
+    ids_sorted = F.sort_array(F.collect_list(F.col(id_col)))
+    grouped = (
+        buckets.groupBy("bucket")
+        .agg(ids_sorted.alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
         )
+    )
+    candidates = (
+        grouped.select(pair.alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
 
