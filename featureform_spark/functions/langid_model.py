@@ -317,22 +317,55 @@ def _nb_scores_pandas(model: dict):
     floor = tuple(float(model["floor"][lang]) for lang in langs)
     logp = {g: tuple(float(x) for x in lps) for g, lps in model["logp"].items()}
 
+    # numeric trigram codes for vectorized lookup: ord() < 0x110000 <
+    # 2^21, so a*2^42 + b*2^21 + c is a unique int64 per n-gram. The
+    # model's rows sit in a table indexed by searchsorted over the
+    # sorted code array; unknown n-grams hit the floor row (last).
+    # The per-document fold stays the SAME np.cumsum over the SAME
+    # rows in the same order — only the per-trigram python slicing +
+    # dict get is replaced by C-speed array ops (bit-identical,
+    # asserted in test_langid_kernel_bit_identical).
+    assert n == 3, "vectorized scorer assumes trigrams"
+    _codes = np.array(
+        sorted(
+            (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2])
+            for g in logp
+        ),
+        dtype=np.int64,
+    )
+    _by_code = {
+        (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2]): lps
+        for g, lps in logp.items()
+    }
+    _table = np.array(
+        [_by_code[c] for c in _codes.tolist()] + [floor],
+        dtype=np.float64,
+    )
+    _prior_row = np.array([prior], dtype=np.float64)
+    _floor_idx = len(_codes)
+
     def _score(padded):
-        get = logp.get
         out = []
         for s in padded:
             if s is None or len(s) < n:
                 out.append(list(prior))
                 continue
-            rows = [prior]
-            append = rows.append
-            for i in range(len(s) - (n - 1)):
-                append(get(s[i : i + n], floor))
-            out.append(
-                np.cumsum(
-                    np.array(rows, dtype=np.float64), axis=0
-                )[-1].tolist()
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
             )
+            tri = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+            if _floor_idx == 0:  # empty model vocab: every n-gram floors
+                idx = np.zeros(len(tri), dtype=np.int64)
+            else:
+                pos = np.searchsorted(_codes, tri)
+                pos_c = np.minimum(pos, _floor_idx - 1)
+                idx = np.where(
+                    (pos < _floor_idx) & (_codes[pos_c] == tri),
+                    pos_c,
+                    _floor_idx,
+                )
+            rows = np.concatenate([_prior_row, _table[idx]], axis=0)
+            out.append(np.cumsum(rows, axis=0)[-1].tolist())
         return pd.Series(out)
 
     _score.__annotations__ = {"padded": pd.Series, "return": pd.Series}
