@@ -71,14 +71,17 @@ def sample_negatives(
         .where(F.col(item_col).isNotNull())
         .distinct()
     )
-    # one distinct feeds both the index and the count (persist, or
-    # the count action and the candidate join would each re-run it)
+    # the persist (lazy — materialized inside the one final job) pins
+    # a single evaluation of the index, so the per-partition offsets
+    # and the candidate join can never disagree on range boundaries
     idx = with_row_index(
         catalog, order_cols=[item_col], index_col="_idx", start=0
     ).persist()
-    n_items = idx.count()
-    if n_items == 0:
-        raise ValueError("sample_negatives: empty item catalog")
+    # the catalog size rides in as a broadcast one-row frame (exactly
+    # the oracle's `FROM slots, n` shape) instead of an eager
+    # idx.count(): no blocking driver action before the main plan, and
+    # the count's distinct subtree shares its exchange with the index
+    n_row = catalog.agg(F.count(F.lit(1)).alias("_n"))
     users = (
         positives.select(user_col)
         .where(F.col(user_col).isNotNull())
@@ -91,7 +94,7 @@ def sample_negatives(
             "_slot"
         ),
     )
-    slot_idx = F.conv(
+    slot_hash = F.conv(
         F.substring(
             F.md5(
                 F.concat(
@@ -105,9 +108,21 @@ def sample_negatives(
         ),
         16,
         10,
-    ).cast("long") % F.lit(n_items)
-    cand = slots.withColumn("_idx", slot_idx).join(idx, ["_idx"]).select(
-        user_col, item_col, "_slot"
+    ).cast("long")
+    # % 0 would yield NULL slots and a silently-empty result; keep the
+    # empty-catalog failure loud (now raised from the executor)
+    slot_idx = F.when(
+        F.col("_n") > 0, slot_hash % F.col("_n")
+    ).otherwise(
+        F.raise_error(
+            F.lit("sample_negatives: empty item catalog")
+        ).cast("long")
+    )
+    cand = (
+        slots.crossJoin(F.broadcast(n_row))
+        .withColumn("_idx", slot_idx)
+        .join(idx, ["_idx"])
+        .select(user_col, item_col, "_slot")
     )
     non_pos = cand.join(
         positives.select(user_col, item_col).distinct(),

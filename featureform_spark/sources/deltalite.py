@@ -62,16 +62,76 @@ CDF_DIR = "_cdf"
 STAGING_DIR = "_staging"
 
 
+def _murmur3_hash_long(value: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of a LongType column (Murmur3_x86_32.hashLong,
+    seed 42) reproduced driver-side, so partition keys can be chosen
+    without launching a job. Pinned against Spark's own ``F.hash`` in
+    tests/test_deltalite.py."""
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & M
+        k1 = rotl(k1, 15)
+        return (k1 * 0x1B873593) & M
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & M
+
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = mix_h1(seed & M, mix_k1(v & M))
+    h1 = mix_h1(h1, mix_k1((v >> 32) & M))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_bijection_keys(n: int) -> list[int]:
+    """Long keys k_0..k_{n-1} with ``pmod(hash(k_j), n) == j`` under
+    Spark's HashPartitioning, so ``repartition(n, key)`` places each
+    key's rows in exactly one partition with no collisions (a plain
+    hash of a 0..n-1 slot id would leave some partitions holding two
+    slots and others empty — guide §2.5)."""
+    keys: list[int | None] = [None] * n
+    filled = 0
+    k = 0
+    while filled < n:
+        slot = _murmur3_hash_long(k) % n
+        if keys[slot] is None:
+            keys[slot] = k
+            filled += 1
+        k += 1
+    return keys  # type: ignore[return-value]
+
+
 def zorder_cluster(
     df, cols: list[str], n_out: int, bits_per_col: int = 8
 ):
     """Cluster ``df`` on a Z-order (Morton) curve over ``cols``: each
     column ranks into a 2^bits quantile bucket (one sampled
     approxQuantile pass — the driver gets boundary literals, not data),
-    bucket ids bit-interleave into one z-value, and the frame is
-    range-repartitioned + sorted on it — the cost of a plain
-    repartitionByRange write, producing files that cover tight
-    hyper-rectangles in ALL listed dimensions. Shared by
+    bucket ids bit-interleave into one z-value, and rows route to
+    ``n_out`` ANALYTIC equal-width z-slices (quantile ranks are
+    near-equi-depth by construction, so the slices are too), each
+    slice hash-mapped to its own partition via a collision-free key.
+    A ``repartitionByRange(__z)`` would need a SAMPLING pass that
+    re-executes the whole scan + z-kernel a second time before the
+    shuffle (and a localCheckpoint to stop that costs more than it
+    saves — measured both ways in r12); the analytic slicing keeps
+    the clustering to ONE pass over the data. Slice occupancy is
+    equi-depth only as far as the listed columns are independent —
+    perfectly correlated columns concentrate z on the curve diagonal
+    (~3x file-size skew at n_out=12 in the worst synthetic case),
+    which zone maps tolerate (row set and prune behaviour are
+    unchanged; files just vary in size). Shared by
     DeltaliteTable.optimize_zorder and delta_protocol OPTIMIZE ZORDER.
     Output keeps df's columns (callers drop the helper columns via
     their own select)."""
@@ -113,18 +173,61 @@ def zorder_cluster(
                 np.int64
             )
             b[np.isnan(v)] = 0
+            # low-cardinality columns collapse duplicate quantile
+            # boundaries (set() above), leaving bucket ids in
+            # [0, len(bnds)] << nb; spread them back over the full
+            # bit range so the analytic z-slices below see an
+            # equi-depth z distribution, not a prefix of it
+            n_buckets = len(bnds[i]) + 1
+            if n_buckets < nb:
+                b = (b * nb) // n_buckets
             for bit, outpos in shifts[i]:
                 z |= ((b >> bit) & 1) << outpos
         return pd.Series(z)
 
     _zval = pandas_udf(_zval_fn, T.LongType())
 
-    return (
-        casted.withColumn(
-            "__z", _zval(*[F.col(f"__q{i}") for i in range(ncols)])
+    zvalued = casted.withColumn(
+        "__z", _zval(*[F.col(f"__q{i}") for i in range(ncols)])
+    )
+    zbits = bits_per_col * ncols
+    if n_out <= 1 or zbits > 52:
+        # one file needs no slicing; past 52 bits the double slice
+        # arithmetic loses exactness — fall back to range sampling
+        return zvalued.repartitionByRange(
+            max(1, n_out), F.col("__z")
+        ).sortWithinPartitions("__z")
+    # slice id = floor(z * n_out / 2^zbits); z < 2^52 so the double
+    # product is exact
+    keys = _partition_bijection_keys(n_out)
+    sid = F.floor(
+        F.col("__z").cast("double")
+        * F.lit(float(n_out))
+        / F.lit(float(1 << zbits))
+    ).cast("int")
+    if n_out <= 256:
+        # slice -> bijective partition key via an array literal
+        # (1-indexed element_at; no extra job)
+        key = F.element_at(
+            F.array(*[F.lit(k).cast("long") for k in keys]), sid + 1
         )
-        .repartitionByRange(n_out, F.col("__z"))
-        .sortWithinPartitions("__z")
+        zvalued = zvalued.withColumn("__zpart", key)
+    else:
+        # a 100k-file rewrite would put a 100k-element literal in the
+        # plan; ship the mapping as an Arrow LocalRelation broadcast
+        # join instead
+        from featureform_spark.sources.local_df import local_df
+
+        mapping = local_df(
+            zvalued.sparkSession,
+            [(i, int(k)) for i, k in enumerate(keys)],
+            "__zsid int, __zpart long",
+        )
+        zvalued = zvalued.withColumn("__zsid", sid).join(
+            F.broadcast(mapping), "__zsid"
+        )
+    return zvalued.repartition(n_out, F.col("__zpart")).sortWithinPartitions(
+        "__z"
     )
 
 

@@ -466,6 +466,66 @@ def test_zorder_reclusters_for_multi_column_pruning(spark, tmp_path):
     assert both["files_read"] <= min(x_prune["files_read"], y_prune["files_read"])
 
 
+def test_zorder_partition_keys_match_spark_hash(spark):
+    """The analytic z-slice router picks partition keys driver-side
+    with a reimplementation of Spark's Murmur3 long hash; pin both the
+    hash values and the bijection (slot j's key must land in physical
+    partition j under repartition(n, key)) against Spark itself."""
+    from featureform_spark.sources.deltalite import (
+        _murmur3_hash_long,
+        _partition_bijection_keys,
+    )
+
+    vals = [0, 1, 7, 42, 2**31, 2**33 + 5, 999999999999]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert _murmur3_hash_long(r["v"]) == r["h"]
+    for n in (1, 2, 5, 12, 31):
+        keys = _partition_bijection_keys(n)
+        slots = (
+            spark.createDataFrame([(k,) for k in keys], "k long")
+            .select(F.pmod(F.hash("k"), F.lit(n)).alias("s"))
+            .collect()
+        )
+        assert [r["s"] for r in slots] == list(range(n))
+        # end-to-end: each key owns exactly one partition
+        df = spark.createDataFrame(
+            [(k, i) for k in keys for i in range(3)], "k long, i int"
+        ).repartition(n, "k")
+        per = (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.countDistinct("k").alias("nk"))
+            .collect()
+        )
+        assert len(per) == n and all(r["nk"] == 1 for r in per)
+
+
+def test_zorder_large_nout_broadcast_mapping(spark):
+    """n_out > 256 routes the slice->key mapping through a broadcast
+    LocalRelation join instead of a giant array literal; rows are
+    preserved and each partition holds at most one z-slice."""
+    from featureform_spark.sources.deltalite import zorder_cluster
+
+    df = spark.range(2000).selectExpr(
+        "id as x", "(id * 37) % 2000 as y"
+    )
+    out = zorder_cluster(df, ["x", "y"], 300)
+    assert sorted(
+        (r["x"], r["y"]) for r in out.select("x", "y").collect()
+    ) == sorted((i, (i * 37) % 2000) for i in range(2000))
+    assert out.rdd.getNumPartitions() == 300
+    per = (
+        out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.countDistinct("__zsid").alias("ns"))
+        .collect()
+    )
+    assert all(r["ns"] == 1 for r in per)
+
+
 def test_zorder_validation_and_nulls(spark, tmp_path):
     from featureform_spark.sources.deltalite import DeltaliteTable
 
