@@ -544,8 +544,13 @@ def dedup_blocks(
     base = df.select(
         F.col(id_col), tokens_expr(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
+    # the explicit isnotnull matches the filter the final left join
+    # infers on the probe side — without it the two consumers of the
+    # btext shuffle canonicalize differently and ReusedExchange cannot
+    # fire. Null-id rows never produce blocks (they could never win a
+    # first-occurrence contest the reassembly join can see anyway).
     blocks = (
-        base.filter(F.col("__n") > 0)
+        base.filter((F.col("__n") > 0) & F.col(id_col).isNotNull())
         .select(
             F.col(id_col),
             F.col("__toks"),
@@ -563,13 +568,32 @@ def dedup_blocks(
             ).alias("btext"),
         )
     )
-    winners = blocks.groupBy("btext").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("bid").alias("b"))).alias(
-            "__w"
+    # one explicit hash shuffle on btext feeds BOTH the winner aggregate
+    # chain and the join probe side (ReusedExchange) — the block
+    # pipeline (tokenize + explode + slice) runs once, not once per
+    # consumer. HashPartitioning(btext) satisfies the (btext, doc)
+    # grouping too, so the two-level aggregate adds no second exchange.
+    blocksp = blocks.repartition(F.col("btext"))
+    # min(struct(d, b)) compiles to SortAggregate (struct buffers are
+    # not hash-aggregable); split into per-(btext, doc) min(bid) then
+    # per-btext (min(doc), min_by) — all-long buffers, HashAggregate
+    # at every level. Equivalence with the lexicographic struct min:
+    # level-1 keys are unique, so min_by has no ties, min(doc) is the
+    # struct's first field winner, and min_by(min bid, doc) is the
+    # minimum bid within that doc — exactly min(struct(d, b)).
+    winners = (
+        blocksp.groupBy("btext", id_col)
+        .agg(F.min("bid").alias("__b"))
+        .groupBy("btext")
+        .agg(
+            F.struct(
+                F.min(F.col(id_col)).alias("d"),
+                F.min_by(F.col("__b"), F.col(id_col)).alias("b"),
+            ).alias("__w")
         )
     )
     kept_flag = (F.col(id_col) == F.col("__w.d")) & (F.col("bid") == F.col("__w.b"))
-    marked = blocks.join(winners, "btext").select(
+    marked = blocksp.join(winners, "btext").select(
         F.col(id_col), "bid", "btext", kept_flag.alias("__keep")
     )
     agg = marked.groupBy(id_col).agg(
@@ -652,8 +676,11 @@ def dedup_substrings(
         F.slice(F.col("__toks"), F.col("pos").cast("int") + 1, L), " "
     )
     skey = F.xxhash64(stext) if hash_shuffle else stext
+    # explicit isnotnull aligns the shuffle subtree's canonical form
+    # with the probe side (the final left join infers it there) so the
+    # stext exchange is reused instead of recomputed — see dedup_blocks
     sh = (
-        base.filter(F.col("__n") >= L)
+        base.filter((F.col("__n") >= L) & F.col(id_col).isNotNull())
         .select(
             F.col(id_col),
             F.col("__toks"),
@@ -667,14 +694,28 @@ def dedup_substrings(
             skey.alias("stext"),
         )
     )
-    g = sh.groupBy("stext").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
-            "__w"
-        ),
+    # same shape as dedup_blocks above: one explicit btext-keyed
+    # shuffle shared by the winner chain and the join probe
+    # (ReusedExchange — the shingle pipeline runs once), and the
+    # SortAggregate-inducing min(struct) split into two all-long
+    # HashAggregate levels (level-1 keys unique → min_by tie-free,
+    # (min doc, min pos within it) ≡ lexicographic struct min;
+    # count(1) becomes the sum of per-doc counts)
+    shp = sh.repartition(F.col("stext"))
+    g = (
+        shp.groupBy("stext", id_col)
+        .agg(F.min("pos").alias("__p"), F.count(F.lit(1)).alias("__c"))
+        .groupBy("stext")
+        .agg(
+            F.sum("__c").alias("__cnt"),
+            F.struct(
+                F.min(F.col(id_col)).alias("d"),
+                F.min_by(F.col("__p"), F.col(id_col)).alias("p"),
+            ).alias("__w"),
+        )
     )
     dup = (
-        sh.join(g, "stext")
+        shp.join(g, "stext")
         .filter(
             (F.col("__cnt") > 1)
             & ~(

@@ -25,6 +25,34 @@ def docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def test_dedup_substrings_hash_agg_and_shared_shuffle(docs):
+    """dedup_substrings' winner aggregate is two all-long HashAggregate
+    levels (the old ``min(struct(doc, pos))`` buffered a struct and
+    compiled to SortAggregate), and the shingle pipeline's stext shuffle
+    is consumed by BOTH the winner chain and the join probe via
+    ReusedExchange — the tokenize+explode+slice subtree runs once."""
+    from featureform_spark.functions.dedup import dedup_substrings
+
+    plan = _executed_plan(
+        dedup_substrings(docs, id_col="doc_id", text_col="text", min_tokens=8)
+    )
+    assert "SortAggregate" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_dedup_blocks_hash_agg_and_shared_shuffle(docs):
+    """Same two claims for the fixed-width block variant: no
+    struct-buffer SortAggregate in the winner chain, and one btext
+    exchange shared between the aggregate and the mark join."""
+    from featureform_spark.functions.dedup import dedup_blocks
+
+    plan = _executed_plan(
+        dedup_blocks(docs, id_col="doc_id", text_col="text", block_tokens=8)
+    )
+    assert "SortAggregate" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_ngram_lm_score_reuses_bigram_exchange(docs):
     """ngram_lm_score consumes the (doc, w1, w2, n_occ) subtree four
     ways; the explicit non-null filter in doc_bigram_counts makes the
