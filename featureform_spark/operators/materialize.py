@@ -139,6 +139,33 @@ def wide_materialize(
     return projected.groupBy(out_entity).agg(*aggs)
 
 
+def _range_partition_count(df: DataFrame) -> int:
+    """Partition count for an explicit (non-AQE-coalescible) range
+    shuffle: the optimizer's plan-time size estimate divided by the
+    AQE advisory partition size, clamped to [1, shuffle.partitions].
+    Plan-time and deterministic, so every consumer of the exchange
+    computes the same number; falls back to the session conf when the
+    estimate is unavailable or the default 8-EiB unknown-stats value."""
+    spark = df.sparkSession
+    try:
+        n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_conf = spark.sparkContext.defaultParallelism
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(raw.toString())
+        advisory = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+            )
+        )
+        if 0 <= size < (1 << 50) and advisory > 0:
+            return max(1, min(n_conf, -(-size // advisory)))
+    except Exception:
+        pass
+    return n_conf
+
+
 def with_row_index(
     df: DataFrame,
     order_cols: list[str] | None = None,
@@ -153,26 +180,52 @@ def with_row_index(
     window). Without ``order_cols`` the index follows current partition
     order (cheapest; suitable for chunk addressing where any stable order
     works).
+
+    The local position comes from ``monotonically_increasing_id`` —
+    consecutive within a partition by construction — relative to the
+    partition's min id, so no ``Window.partitionBy(partition_id)`` is
+    needed: that window forced a SECOND full-data hash exchange + sort
+    right after the range shuffle. The per-partition (count, min_id)
+    aggregate is the only extra consumer, and its exchange subtree is
+    identical to the main branch's, so the range shuffle executes once
+    (ReusedExchange) instead of twice.
     """
     if order_cols:
-        df = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(
-            *order_cols
-        )
-    pid = F.spark_partition_id()
-    w_in = Window.partitionBy(pid).orderBy(F.monotonically_increasing_id())
-    with_local = df.withColumn("_pid", pid).withColumn(
-        "_local", F.row_number().over(w_in)
+        # the partition count is passed EXPLICITLY: a REPARTITION_BY_NUM
+        # shuffle is exempt from AQE partition coalescing, so the main
+        # branch and the stats branch below are guaranteed to read the
+        # (reused) range exchange with IDENTICAL partition ids. With the
+        # implicit count, AQE may coalesce one consumer's read and not
+        # the other's (the broadcast subtree is re-optimized separately),
+        # and the _pid equi-join then silently drops rows. Since the
+        # explicit count disables coalescing, size it like AQE would:
+        # plan-time size estimate / advisory partition size, capped by
+        # the session shuffle-partition count (scale-adaptive, not a
+        # constant — at 100 TB the cap is the six-figure conf value).
+        df = df.repartitionByRange(
+            _range_partition_count(df), *[F.col(c) for c in order_cols]
+        ).sortWithinPartitions(*order_cols)
+    # _mono is projected ABOVE the within-partition sort (nondeterministic
+    # expressions are not reordered across sorts), so ids follow the
+    # sorted order; _mono - min(_mono) is the 0-based local position.
+    with_local = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mono", F.monotonically_increasing_id()
     )
-    # per-partition counts are tiny (one row per partition) → broadcast join
-    counts = with_local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # per-partition stats are tiny (one row per partition) → broadcast join
+    counts = with_local.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"), F.min("_mono").alias("_mlo")
+    )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_offset", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).select("_pid", "_offset")
+    ).select("_pid", "_mlo", "_offset")
     return (
         with_local.join(F.broadcast(offsets), "_pid")
-        .withColumn(index_col, F.col("_local") + F.col("_offset") + F.lit(start - 1))
-        .drop("_pid", "_local", "_offset")
+        .withColumn(
+            index_col,
+            F.col("_mono") - F.col("_mlo") + F.col("_offset") + F.lit(start),
+        )
+        .drop("_pid", "_mono", "_mlo", "_offset")
     )
 
 

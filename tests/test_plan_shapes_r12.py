@@ -53,6 +53,30 @@ def test_dedup_blocks_hash_agg_and_shared_shuffle(docs):
     assert "ReusedExchange" in plan, plan
 
 
+def test_with_row_index_single_full_data_shuffle(spark):
+    """with_row_index(order_cols) ships the data through exactly ONE
+    full-data shuffle: the explicit range repartition. The old
+    Window.partitionBy(spark_partition_id()) local index forced a second
+    hash exchange + sort of every row. The range exchange must be
+    REPARTITION_BY_NUM — a user-specified count is exempt from AQE
+    coalescing, which keeps partition ids identical across the main
+    branch and the per-partition stats branch (with the implicit count
+    AQE may coalesce one consumer's read and not the other's, and the
+    _pid equi-join then silently drops rows)."""
+    from featureform_spark.operators.materialize import with_row_index
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select((F.col("id") * 7 % 5000).alias("k"))
+    idx = with_row_index(df, order_cols=["k"], index_col="_idx", start=0)
+    plan = _executed_plan(idx)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "hashpartitioning(_pid" not in plan, plan
+    # index must be a dense 0..n-1 permutation following k order
+    rows = idx.orderBy("k").collect()
+    assert [r._idx for r in rows] == list(range(5000))
+
+
 def test_ngram_lm_score_reuses_bigram_exchange(docs):
     """ngram_lm_score consumes the (doc, w1, w2, n_occ) subtree four
     ways; the explicit non-null filter in doc_bigram_counts makes the
