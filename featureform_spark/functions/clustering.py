@@ -145,6 +145,70 @@ def refine_centroids(
     )
 
 
+def _cents_with_norms(cents_rows: list) -> list:
+    """(cid, cv float64, norm) triples with the norm computed by the
+    SAME sequential scalar fold as ``norm_expr`` — shared by the
+    distributed assignment kernel and driver-side callers so both
+    reproduce the HOF expression to the last ulp."""
+    import numpy as np
+
+    out = []
+    for r in cents_rows:
+        cid = int(r["cid"])
+        cv = np.asarray(r["cv"], dtype=np.float64)
+        acc = 0.0
+        for x in cv:  # sequential fold, matches norm_expr
+            acc = acc + float(x) * float(x)
+        out.append((cid, cv, float(np.sqrt(acc))))
+    return out
+
+
+def _cosine_argmax_batch(V, cents):
+    """The scoring core of ``_assign_vectorized``: per-row argmax-cosine
+    centroid over ``cents`` (triples from ``_cents_with_norms``).
+    Returns ``(best_cid int64[n], row_norms float64[n])``. Kept as a
+    standalone function so driver-side consumers (IVFADC seed-residual
+    construction) run literally the same scalar sequence as the
+    distributed kernel."""
+    import numpy as np
+
+    n, dim = V.shape
+    acc = np.zeros(n)
+    for d in range(dim):
+        acc = acc + V[:, d] * V[:, d]
+    nv = np.sqrt(acc)
+    best_s = np.full(n, -np.inf)
+    best_nan = np.zeros(n, dtype=bool)
+    best_neg = np.full(n, -np.inf)
+    best_cid = np.zeros(n, dtype=np.int64)
+    for cid, cv, ncid in cents:
+        dot = np.zeros(n)
+        for d in range(dim):
+            dot = dot + V[:, d] * cv[d]
+        denom = nv * ncid
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom == 0.0, 0.0, dot / denom)
+        # Spark's total ordering puts NaN ABOVE every double
+        # (array_max picks a NaN score over any real one, and
+        # NaN == NaN falls through to the cid tie-break). numpy
+        # NaN comparisons are all False, which would silently
+        # keep the initialized cid 0 for zero-norm vectors —
+        # compare (is_nan, score, -cid) lexicographically
+        # instead so degenerate vectors match the HOF result.
+        isn = np.isnan(s)
+        s_cmp = np.where(isn, np.inf, s)
+        neg = -np.float64(cid)
+        take = (isn & ~best_nan) | (
+            (isn == best_nan)
+            & ((s_cmp > best_s) | ((s_cmp == best_s) & (neg > best_neg)))
+        )
+        best_s = np.where(take, s_cmp, best_s)
+        best_nan = np.where(take, isn, best_nan)
+        best_neg = np.where(take, neg, best_neg)
+        best_cid = np.where(take, cid, best_cid)
+    return best_cid, nv
+
+
 def _assign_vectorized(
     df: DataFrame,
     cents_rows: list,
@@ -169,16 +233,7 @@ def _assign_vectorized(
     """
     import numpy as np
 
-    cents = [
-        (int(r["cid"]), np.asarray(r["cv"], dtype=np.float64))
-        for r in cents_rows
-    ]
-    nc = {}
-    for cid, cv in cents:
-        acc = 0.0
-        for x in cv:  # sequential fold, matches norm_expr
-            acc = acc + float(x) * float(x)
-        nc[cid] = float(np.sqrt(acc))
+    cents = _cents_with_norms(cents_rows)
 
     def gen(batches):
         import pandas as pd
@@ -189,43 +244,7 @@ def _assign_vectorized(
             V = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            n, dim = V.shape
-            acc = np.zeros(n)
-            for d in range(dim):
-                acc = acc + V[:, d] * V[:, d]
-            nv = np.sqrt(acc)
-            best_s = np.full(n, -np.inf)
-            best_nan = np.zeros(n, dtype=bool)
-            best_neg = np.full(n, -np.inf)
-            best_cid = np.zeros(n, dtype=np.int64)
-            for cid, cv in cents:
-                dot = np.zeros(n)
-                for d in range(dim):
-                    dot = dot + V[:, d] * cv[d]
-                denom = nv * nc[cid]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    s = np.where(denom == 0.0, 0.0, dot / denom)
-                # Spark's total ordering puts NaN ABOVE every double
-                # (array_max picks a NaN score over any real one, and
-                # NaN == NaN falls through to the cid tie-break). numpy
-                # NaN comparisons are all False, which would silently
-                # keep the initialized cid 0 for zero-norm vectors —
-                # compare (is_nan, score, -cid) lexicographically
-                # instead so degenerate vectors match the HOF result.
-                isn = np.isnan(s)
-                s_cmp = np.where(isn, np.inf, s)
-                neg = -np.float64(cid)
-                take = (isn & ~best_nan) | (
-                    (isn == best_nan)
-                    & (
-                        (s_cmp > best_s)
-                        | ((s_cmp == best_s) & (neg > best_neg))
-                    )
-                )
-                best_s = np.where(take, s_cmp, best_s)
-                best_nan = np.where(take, isn, best_nan)
-                best_neg = np.where(take, neg, best_neg)
-                best_cid = np.where(take, cid, best_cid)
+            best_cid, nv = _cosine_argmax_batch(V, cents)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

@@ -61,16 +61,6 @@ def l2sq_expr(a: Column, b: Column) -> Column:
     )
 
 
-def _subvectors(df: DataFrame, m: int, sub_dim: int, id_col: str, vec_col: str) -> DataFrame:
-    """Explode each vector into its m subvectors: (id, s, sv)."""
-    slices = F.array(
-        *[F.slice(_as_double(F.col(vec_col)), s * sub_dim + 1, sub_dim) for s in range(m)]
-    )
-    return df.select(
-        F.col(id_col), F.posexplode(slices).alias("s", "sv")
-    )
-
-
 def pq_train(
     df: DataFrame,
     dim: int,
@@ -81,6 +71,7 @@ def pq_train(
     seed_exclude: DataFrame | None = None,
     seed_pool: DataFrame | None = None,
     checkpoint: bool = True,
+    seed_vectors: list | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks: md5-seeded init + one Lloyd round.
 
@@ -103,26 +94,128 @@ def pq_train(
     the caller passes the raw table's id column and the seed subquery
     becomes a single-column scan instead of a full kernel pass. Must
     contain exactly the ids of ``df``.
+
+    ``seed_vectors`` (list of ``(cid, vector)``) bypasses seed
+    selection entirely for callers that already hold the seed vectors
+    driver-side (``ivfpq_topk`` derives residual seeds from the same
+    top-k collect that fetches the coarse centroids — zero extra
+    corpus passes).
+
+    One Lloyd round costs ONE corpus pass: the per-subspace argmin
+    runs in the same Arrow numpy kernel family as ``pq_encode``
+    (bit-identical to the former ``array_min(struct(l2sq, cid))`` HOF
+    join — strict ``<`` over ascending cids reproduces the struct
+    comparison, the per-dimension ``acc += diff*diff`` loop reproduces
+    ``l2sq_expr``'s fold order), and the refine aggregation reads each
+    subvector element straight from the full vector. The former
+    formulation exploded the corpus 8× BEFORE assignment and evaluated
+    that subtree twice more (seed-subvector fetch join + argmin join).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     sub_dim = dim // m
-    sub = _subvectors(df, m, sub_dim, id_col, vec_col)
-    h = F.md5(F.col(id_col).cast("string"))
-    pool = seed_pool if seed_pool is not None else df
-    if seed_exclude is not None:
-        pool = pool.join(
-            F.broadcast(seed_exclude.select(id_col)), id_col, "left_anti"
+    spark = df.sparkSession
+    if seed_vectors is None:
+        h = F.md5(F.col(id_col).cast("string"))
+        if seed_exclude is None and seed_pool is None:
+            # the seed VECTORS ride the md5 top-k heap — one scan, no
+            # join-back (same trick as similarity.ivf_centroids)
+            rows = (
+                df.select(
+                    F.col(id_col).alias("_sid"),
+                    _as_double(F.col(vec_col)).alias("_sv"),
+                    h.alias("_h"),
+                )
+                .orderBy("_h", "_sid")
+                .limit(ksub)
+                .select("_sid", "_sv")
+                .collect()
+            )
+        else:
+            pool = seed_pool if seed_pool is not None else df
+            if seed_exclude is not None:
+                pool = pool.join(
+                    F.broadcast(seed_exclude.select(id_col)),
+                    id_col,
+                    "left_anti",
+                )
+            sids = (
+                pool.select(F.col(id_col), h.alias("_h"))
+                .orderBy("_h", id_col)
+                .limit(ksub)
+                .select(id_col)
+            )
+            rows = (
+                df.join(F.broadcast(sids), id_col)
+                .select(
+                    F.col(id_col).alias("_sid"),
+                    _as_double(F.col(vec_col)).alias("_sv"),
+                )
+                .collect()
+            )
+        seed_vectors = [(r["_sid"], r["_sv"]) for r in rows]
+    seeds = sorted(
+        (int(cid), np.asarray(v, dtype=np.float64))
+        for cid, v in seed_vectors
+    )
+    if not seeds:
+        return _local_relation(
+            spark, [], "s int, code int, cv array<double>"
         )
-    seeds = (
-        pool.select(F.col(id_col), h.alias("_h"))
-        .orderBy("_h", id_col)
-        .limit(ksub)
+    seed_cids = [cid for cid, _ in seeds]
+    seed_subs = [
+        [v[s * sub_dim : (s + 1) * sub_dim] for _, v in seeds]
+        for s in range(m)
+    ]
+
+    def _asg(a):
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        vals = a.values
+        ok = [v is not None for v in vals]
+        out_list: list = [None] * len(vals)
+        if any(ok):
+            V = np.vstack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v, keep in zip(vals, ok)
+                    if keep
+                ]
+            )
+            n = V.shape[0]
+            codes = np.zeros((n, m), dtype=np.int64)
+            for s in range(m):
+                Vs = V[:, s * sub_dim : (s + 1) * sub_dim]
+                best_d = np.full(n, np.inf)
+                best_c = np.full(n, seed_cids[0], dtype=np.int64)
+                for cid, cv in zip(seed_cids, seed_subs[s]):
+                    acc = np.zeros(n)
+                    for d in range(sub_dim):
+                        diff = Vs[:, d] - cv[d]
+                        acc = acc + diff * diff
+                    take = acc < best_d  # strict: ties keep smaller cid
+                    best_d = np.where(take, acc, best_d)
+                    best_c = np.where(take, cid, best_c)
+                codes[:, s] = best_c
+            it = iter(codes)
+            out_list = [next(it) if keep else None for keep in ok]
+        return pd.Series(out_list)
+
+    _asg.__annotations__ = {"a": pd.Series, "return": pd.Series}
+    asg = pandas_udf(_asg, "array<long>")
+
+    a0 = (
+        df.select(_as_double(F.col(vec_col)).alias("_v"))
+        .select(F.col("_v"), asg(F.col("_v")).alias("_cids"))
+        .select(F.col("_v"), F.posexplode(F.col("_cids")).alias("s", "cid"))
     )
-    c0 = sub.join(F.broadcast(seeds.select(id_col)), id_col).select(
-        F.col("s"), F.col(id_col).alias("cid"), F.col("sv").alias("cv")
+    sv = lambda i: F.element_at(  # noqa: E731
+        F.col("_v"), F.col("s") * sub_dim + i + 1
     )
-    a0 = _assign_sub(sub, c0)
     avgs = [
-        F.round(F.avg(F.col("sv")[i]), 6).alias(f"_d{i}") for i in range(sub_dim)
+        F.round(F.avg(sv(i)), 6).alias(f"_d{i}") for i in range(sub_dim)
     ]
     c1 = (
         a0.groupBy("s", "cid")
@@ -140,26 +233,6 @@ def pq_train(
     # (ivfpq_topk/pq_topk turn it into a LocalRelation): materializing
     # checkpoint blocks for a single consumer is pure overhead
     return out.localCheckpoint(eager=False) if checkpoint else out
-
-
-def _assign_sub(sub: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Assign each (id, s, sv) row to its min-L2 centroid of subspace s.
-    Per-subspace packed rows (m rows total) broadcast-joined on s —
-    the exploded corpus never shuffles."""
-    packed = codebook.groupBy("s").agg(
-        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents")
-    )
-    best = F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                l2sq_expr(F.col("sv"), c["cv"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
-    )
-    return sub.join(F.broadcast(packed), "s").select(
-        sub["*"], best["cid"].alias("cid")
-    )
 
 
 def pq_encode(
@@ -368,8 +441,13 @@ def ivfpq_topk(
     # re-evaluate that subtree — the _before_ plan carried 14 parquet
     # scans for a 16-row table. Collect it ONCE (the assignment kernel
     # needs driver-side rows anyway) and serve every other consumer
-    # from a 16-row local relation.
-    cents = ivf_centroids(df, num_cells, id_col, vec_col)
+    # from a 16-row local relation. The SAME top-k is extended by ksub
+    # rows to yield the PQ seed vectors: the residual codebook's seeds
+    # are the ksub smallest-md5 ids NOT among the centroids, which is
+    # exactly positions num_cells..num_cells+ksub-1 of this ordering —
+    # the former seed-exclusion anti-join and its full residual-frame
+    # fetch pass disappear.
+    cents = ivf_centroids(df, num_cells + ksub, id_col, vec_col)
     # one-row query vector, needed driver-side for the probe/ADC
     # broadcasts. When a filter predicate is present it RIDES the
     # selectivity aggregate's corpus scan (first(when(id = query)) —
@@ -398,8 +476,25 @@ def ivfpq_topk(
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_cents = pool.submit(cents.select("cid", "cv").collect)
         f_q = pool.submit(q_sel_df.collect)
-        cent_rows = f_cents.result()
+        top_rows = f_cents.result()
         q_sel_rows = f_q.result()
+    # split centroids from PQ seeds by the same (md5, id) order the
+    # top-k used — hashlib.md5(str(id)) is Spark's md5(cast(id as
+    # string)) for integral ids, so the driver-side re-sort is exact
+    # (belt-and-braces: TakeOrderedAndProject already returns sorted)
+    import hashlib
+
+    import numpy as np
+
+    top_rows = sorted(
+        top_rows,
+        key=lambda r: (
+            hashlib.md5(str(int(r["cid"])).encode()).hexdigest(),
+            int(r["cid"]),
+        ),
+    )
+    cent_rows = top_rows[:num_cells]
+    seed_raw = top_rows[num_cells:]
 
     allowed = None
     if where is not None:
@@ -430,12 +525,32 @@ def ivfpq_topk(
         F.col("cell"),
         F.zip_with("_v", "cv", lambda x, y: x - y).alias("_r"),
     )
+    # seed residuals computed DRIVER-side from the rows already
+    # collected: assignment via the very scalar sequence the
+    # distributed kernel runs (_cosine_argmax_batch), subtraction is
+    # the same elementwise float64 op as the zip_with — bit-identical
+    # to evaluating `res` for the seed ids, without the full
+    # scan + assignment-kernel + residual-join pass that fetch cost
+    from featureform_spark.functions.clustering import (
+        _cents_with_norms,
+        _cosine_argmax_batch,
+    )
+
+    seed_vectors: list = []
+    if seed_raw:
+        cents_trip = _cents_with_norms(cent_rows)
+        sv_mat = np.vstack(
+            [np.asarray(r["cv"], dtype=np.float64) for r in seed_raw]
+        )
+        best, _nv = _cosine_argmax_batch(sv_mat, cents_trip)
+        cvec = {cid: cv for cid, cv, _n in cents_trip}
+        seed_vectors = [
+            (int(r["cid"]), sv_mat[i] - cvec[int(best[i])])
+            for i, r in enumerate(seed_raw)
+        ]
     codebook = pq_train(
         res, dim, m, ksub, id_col, "_r",
-        seed_exclude=cents_local.select(F.col("cid").alias(id_col)),
-        # seed selection needs only md5(id) over res's ids == df's ids:
-        # a single-column scan instead of scan + kernel + residual join
-        seed_pool=df.select(id_col),
+        seed_vectors=seed_vectors,
         checkpoint=False,
     )
     # m×ksub rows; pq_encode collects them anyway — do it once and let
