@@ -51,6 +51,16 @@ def quality_signals(
       bullet mark / ending with '...'
     - keep: Gopher-style verdict combining the above
     """
+    from featureform_spark.functions.parallel import (
+        fan_out_if_underparallel,
+    )
+
+    # The whole computation is one per-row projection of HOF/regex
+    # expressions (no codegen — lambda trees evaluate interpreted), so
+    # a single-split scan would run it on one core; fan out the raw
+    # rows first (no-op at real scale where the scan has >> cores
+    # splits).
+    df = fan_out_if_underparallel(df)
     # Project tokens/lines/bigrams as real columns first: expression
     # trees referencing tokens_expr() inline it at every use site, and
     # inside a higher-order-function lambda that re-evaluates the
@@ -124,27 +134,46 @@ def quality_signals(
         .cast("double") / n_tokens.cast("double")
     ).otherwise(F.lit(0.0))
 
+    # Stage every signal as a real column before the keep verdict:
+    # the signal expressions are interpreted (HOF lambdas block
+    # codegen and its subexpression elimination), so referencing the
+    # expression TREES in `keep` re-evaluates each one per row —
+    # mean_word_len's O(tokens) fold ran 3x, every dup fraction 2x.
+    # Attribute references evaluate once; values are the identical
+    # doubles, just not recomputed.
+    signals = df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "dup_line_frac": dup_line_frac,
+            "dup_bigram_frac": dup_bigram_frac,
+            "symbol_ratio": symbol_ratio,
+            "alpha_word_ratio": alpha_word_ratio,
+            "bullet_line_frac": bullet_line_frac,
+            "ellipsis_line_frac": ellipsis_line_frac,
+            "mean_word_len": mean_word_len,
+        }
+    )
     keep = (
-        (n_tokens >= 10)
-        & (n_tokens <= 100000)
-        & (mean_word_len >= 2.0)
-        & (mean_word_len <= 12.0)
-        & (symbol_ratio < 0.2)
-        & (alpha_word_ratio > 0.6)
-        & (dup_line_frac < 0.5)
-        & (dup_bigram_frac < 0.5)
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("symbol_ratio") < 0.2)
+        & (F.col("alpha_word_ratio") > 0.6)
+        & (F.col("dup_line_frac") < 0.5)
+        & (F.col("dup_bigram_frac") < 0.5)
     )
 
-    return df.select(
+    return signals.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        dup_line_frac.alias("dup_line_frac"),
-        dup_bigram_frac.alias("dup_bigram_frac"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_word_ratio.alias("alpha_word_ratio"),
-        bullet_line_frac.alias("bullet_line_frac"),
-        ellipsis_line_frac.alias("ellipsis_line_frac"),
-        mean_word_len.alias("mean_word_len"),
+        "n_tokens",
+        "dup_line_frac",
+        "dup_bigram_frac",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "mean_word_len",
         keep.cast("long").alias("keep"),
     )
 
@@ -201,12 +230,17 @@ def code_detect(
     an indented-line fraction — all counts and ratios of counts, so
     the flag and every signal hash-match across engines exactly. One
     codegen projection, no shuffle."""
+    # NOTE: no fan_out_if_underparallel here — A/B-probed a consistent
+    # loss (0.35-0.37 -> 0.36-0.45 s at sf0.1): the per-row regex work
+    # is too cheap to pay for the repartition exchange.
     n_chars = F.length(F.col(text_col)).cast("double")
+
     def _density(pattern: str):
+        # regexp_count: same integer as size(regexp_extract_all(...))
+        # — the number of non-overlapping matches — without
+        # materializing the array of matched substrings per row
         return (
-            F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
-            ).cast("double")
+            F.regexp_count(F.col(text_col), F.lit(pattern)).cast("double")
             / n_chars
         )
 
@@ -228,14 +262,19 @@ def code_detect(
         "digit_ratio": digit_ratio,
         "indent_frac": indent_frac,
     }
-    sym = F.when(guard, symbol_density).otherwise(zero)
-    brc = F.when(guard, brace_density).otherwise(zero)
-    return df.select(
+    # stage the guarded densities as real columns so is_code reuses
+    # them instead of re-running both regex scans per row (these
+    # projections are interpreted — HOF lambdas in indent_frac block
+    # codegen CSE)
+    staged = df.withColumns(
+        {n: F.when(guard, e).otherwise(zero) for n, e in cols.items()}
+    )
+    return staged.select(
         F.col(id_col),
-        *[F.when(guard, e).otherwise(zero).alias(n) for n, e in cols.items()],
+        *cols.keys(),
         (
-            (sym > F.lit(float(symbol_threshold)))
-            & (brc > F.lit(float(brace_threshold)))
+            (F.col("symbol_density") > F.lit(float(symbol_threshold)))
+            & (F.col("brace_density") > F.lit(float(brace_threshold)))
         ).alias("is_code"),
     )
 

@@ -353,18 +353,29 @@ def script_profile(
     corpus gate for a Latin-script pipeline). Pure codegen: one
     ``length - length(regexp_replace(class, ''))`` count per class,
     no explode, no Python; scale cost is a single projection."""
+    from featureform_spark.functions.parallel import (
+        fan_out_if_underparallel,
+    )
+
+    df = fan_out_if_underparallel(df)
     n = F.length(F.col(text_col))
 
     def ratio(rng: str) -> Column:
-        cnt = n - F.length(
-            F.regexp_replace(F.col(text_col), f"[{rng}]", "")
-        )
+        # regexp_count over a single-char class equals the former
+        # length(text) - length(regexp_replace(class, '')) to the
+        # integer: every match is exactly one character — but it
+        # counts without building the stripped copy of the string.
+        cnt = F.regexp_count(F.col(text_col), F.lit(f"[{rng}]"))
         return F.when(n > 0, cnt.cast("double") / n.cast("double")).otherwise(
             F.lit(0.0)
         )
 
-    latin = ratio("A-Za-z")
-    return df.select(
+    # stage latin_ratio as a real column: the keep gate would
+    # otherwise re-run the full regex scan per row (no codegen CSE
+    # fires across the projection + the comparison)
+    staged = df.withColumn("__latin", ratio("A-Za-z"))
+    latin = F.col("__latin")
+    return staged.select(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
         latin.alias("latin_ratio"),

@@ -18,6 +18,12 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """Final-plan section only: the AQE toString repeats every operator
+    under '== Initial Plan ==', which double-counts expression pins."""
+    return _executed_plan(df).split("== Initial Plan ==")[0]
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     from featureform_spark.sources.testdata import load_table
@@ -87,3 +93,47 @@ def test_ngram_lm_score_reuses_bigram_exchange(docs):
 
     plan = _executed_plan(ngram_lm_score(docs))
     assert plan.count("ReusedExchange") >= 3, plan
+
+
+def test_quality_signals_single_evaluation_and_fanout(docs):
+    """quality_signals stages each signal as a real column before the
+    keep verdict — the signal projections are interpreted (HOF lambdas
+    block codegen CSE), so referencing the expression trees in `keep`
+    re-ran mean_word_len's O(tokens) fold 3x and every dup fraction
+    2x. The staged plan evaluates each exactly once; the raw rows fan
+    out first (single-split local scan would run one core)."""
+    from featureform_spark.functions.quality import quality_signals
+
+    plan = _final_plan(quality_signals(docs))
+    # one aggregate(...) fold for mean_word_len in the whole plan
+    # (the keep gate reuses the attribute, never the tree)
+    assert plan.count("aggregate(__toks") == 1, plan
+    assert plan.count("array_distinct") == 2, plan  # lines + bigrams
+    assert "RoundRobinPartitioning" in plan, plan  # fan-out fired
+
+
+def test_script_profile_counts_without_stripped_copies(docs):
+    """script_profile counts class characters with regexp_count (same
+    integer as length - length(regexp_replace(class, '')), no stripped
+    string copy) and stages latin_ratio so keep_latin reuses it — six
+    full-string rewrites and a duplicate regex scan removed."""
+    from featureform_spark.functions.text import script_profile
+
+    plan = _final_plan(script_profile(docs))
+    assert "regexp_replace" not in plan, plan
+    assert plan.count("[A-Za-z]") == 1, plan
+
+
+def test_code_detect_counts_without_match_arrays(docs):
+    """code_detect counts matches with regexp_count instead of
+    size(regexp_extract_all(...)) (no per-row match-array
+    materialization) and stages the densities so is_code reuses them."""
+    from featureform_spark.functions.quality import code_detect
+
+    plan = _final_plan(code_detect(docs))
+    # regexp_count is RuntimeReplaceable sugar for
+    # size(regexp_extract_all(...)), so the node still names it; the
+    # real claims are single evaluation of each density (is_code
+    # references the staged attributes) and no duplicate regex scans.
+    assert plan.count("[{};]") == 1, plan
+    assert plan.count("[{}();=") == 1, plan
