@@ -13,12 +13,22 @@ materialize_no_ts.sql:1-33, offline_test.go:281-410 truth tables):
 
 Spark-first design: the reference computes this with
 ``ROW_NUMBER() OVER (PARTITION BY entity ORDER BY ts DESC)`` — a full
-shuffle *and sort* of every row. We instead aggregate
-``max(struct(ts, ord, value))`` per entity: lexicographic struct max is
-exactly "latest ts, then latest write", and Catalyst executes it as a
-hash aggregate with map-side partial aggregation — one shuffle, no sort,
-and the shuffled data is one pre-combined row per (partition, entity)
-rather than every input row. At 100 TB that difference is the job.
+shuffle of every row plus a reduce-side sort that keeps every input
+row alive until the rank filter. We instead aggregate
+``max(struct(ts, ord, value))`` per entity: lexicographic struct max
+is exactly "latest ts, then latest write". The struct agg buffer is
+not UnsafeRow-mutable, so Catalyst compiles this to SortAggregate
+(map-side sort by entity + partial aggregate, then an exchange of one
+pre-combined row per (task, entity), then a small reduce-side sort) —
+but unlike the window it still COMBINES map-side, so only combined
+rows cross the wire, and the reduce side aggregates instead of
+materializing every row. A flat-buffer rewrite (one raw hash
+repartition + three chained HashAggregates over (e,ts,ord)→(e,ts)→(e))
+was implemented and A/B-measured in round 12 at sf0.1 AND at 100×
+volume (10M events): the sort-based shape won both (x100 min-of-3:
+0.98-1.12 s vs 1.58-1.73 s) — Spark's radix sort over narrow
+UnsafeRows beats three extra hash passes and a raw-row shuffle. Keep
+the struct form.
 
 The reference's global ``row_number() OVER (ORDER BY entity)`` chunk
 addressing (provider/sql.go:1832) is a single-partition window — a

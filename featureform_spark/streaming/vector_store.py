@@ -211,9 +211,14 @@ class EmbeddingStore:
             .groupBy(self.id_col)
             .agg(F.min("_sid").alias("dup_of"))
         )
+        # hits has at most one row per BATCH id (groupBy over the
+        # batch side), so it is bounded by the ingest batch size —
+        # broadcast it explicitly: the post-aggregation size estimate
+        # is too conservative for the planner, which otherwise
+        # shuffles AND sorts both sides into a SortMergeJoin.
         return (
             batch.select(self.id_col)
-            .join(hits, self.id_col, "left")
+            .join(F.broadcast(hits), self.id_col, "left")
             .select(
                 F.col(self.id_col),
                 F.col("dup_of").isNotNull().cast("long").alias("is_dup"),
