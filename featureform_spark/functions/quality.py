@@ -236,9 +236,11 @@ def code_detect(
     n_chars = F.length(F.col(text_col)).cast("double")
 
     def _density(pattern: str):
-        # regexp_count: same integer as size(regexp_extract_all(...))
-        # — the number of non-overlapping matches — without
-        # materializing the array of matched substrings per row
+        # regexp_count is RuntimeReplaceable sugar for
+        # size(regexp_extract_all(...)) — the same integer AND the
+        # same execution (micro-A/B: wash); the win in this function
+        # is the density STAGING below, which evaluates each regex
+        # expression once instead of per consumer
         return (
             F.regexp_count(F.col(text_col), F.lit(pattern)).cast("double")
             / n_chars

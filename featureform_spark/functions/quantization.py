@@ -447,7 +447,9 @@ def ivfpq_topk(
     # exactly positions num_cells..num_cells+ksub-1 of this ordering —
     # the former seed-exclusion anti-join and its full residual-frame
     # fetch pass disappear.
-    cents = ivf_centroids(df, num_cells + ksub, id_col, vec_col)
+    cents = ivf_centroids(
+        df, num_cells + ksub, id_col, vec_col, with_hash=True
+    )
     # one-row query vector, needed driver-side for the probe/ADC
     # broadcasts. When a filter predicate is present it RIDES the
     # selectivity aggregate's corpus scan (first(when(id = query)) —
@@ -474,25 +476,19 @@ def ivfpq_topk(
         )
     )
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_cents = pool.submit(cents.select("cid", "cv").collect)
+        f_cents = pool.submit(cents.collect)
         f_q = pool.submit(q_sel_df.collect)
         top_rows = f_cents.result()
         q_sel_rows = f_q.result()
     # split centroids from PQ seeds by the same (md5, id) order the
-    # top-k used — hashlib.md5(str(id)) is Spark's md5(cast(id as
-    # string)) for integral ids, so the driver-side re-sort is exact
-    # (belt-and-braces: TakeOrderedAndProject already returns sorted)
-    import hashlib
-
+    # top-k used — re-sort on the COLLECTED `_h` column, the very key
+    # Spark ordered by, so the split is exact for any id type (a
+    # driver-side hashlib.md5(str(id)) reimplementation only matched
+    # Spark's md5(cast(id as string)) for integral ids — r12 advice).
+    # Belt-and-braces: TakeOrderedAndProject already returns sorted.
     import numpy as np
 
-    top_rows = sorted(
-        top_rows,
-        key=lambda r: (
-            hashlib.md5(str(int(r["cid"])).encode()).hexdigest(),
-            int(r["cid"]),
-        ),
-    )
+    top_rows = sorted(top_rows, key=lambda r: (r["_h"], r["cid"]))
     cent_rows = top_rows[:num_cells]
     seed_raw = top_rows[num_cells:]
 
@@ -514,7 +510,11 @@ def ivfpq_topk(
     else:
         q_vals = [(r["_q"],) for r in q_sel_rows]
 
-    cents_local = _local_relation(spark, cent_rows, cents.schema)
+    cents_local = _local_relation(
+        spark,
+        [(r["cid"], r["cv"]) for r in cent_rows],
+        cents.select("cid", "cv").schema,
+    )
     q = _local_relation(spark, q_vals, "_q array<double>")
     assigned = _assign_vectorized(df, cent_rows, id_col, vec_col).select(
         F.col(id_col), F.col("_v"), F.col("cluster").alias("cell")

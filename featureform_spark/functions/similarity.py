@@ -348,19 +348,24 @@ def ivf_centroids(
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_hash: bool = False,
 ) -> DataFrame:
     """Deterministic IVF "coarse quantizer": pick ``num_centroids`` vectors
     from the data itself, ordered by ``md5(id)`` — a reproducible uniform
     sample (no RNG, identical in any engine). Real IVF would k-means these;
     the sampled-seed variant is the standard k-means|| init and is already
-    a valid coarse quantizer. Output: (cid, cv).
+    a valid coarse quantizer. Output: (cid, cv), plus the md5 ordering
+    key ``_h`` when ``with_hash`` (so a driver-side consumer can re-sort
+    by the EXACT key the top-k used instead of recomputing md5 — a
+    str(id) reimplementation only matches Spark's cast for integral
+    ids, r12 advice).
     """
     h = F.md5(F.col(id_col).cast("string"))
     # one scan: the vector rides the top-k heap (TakeOrderedAndProject
     # keeps num_centroids rows per partition) — the former id-sample +
     # join-back shape scanned the corpus twice and paid a broadcast
     # build job per call
-    return (
+    out = (
         df.select(
             F.col(id_col).alias("cid"),
             _as_double(F.col(vec_col)).alias("cv"),
@@ -368,8 +373,8 @@ def ivf_centroids(
         )
         .orderBy("_h", "cid")
         .limit(num_centroids)
-        .select("cid", "cv")
     )
+    return out if with_hash else out.select("cid", "cv")
 
 
 def ivf_assign(

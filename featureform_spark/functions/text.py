@@ -363,8 +363,10 @@ def script_profile(
     def ratio(rng: str) -> Column:
         # regexp_count over a single-char class equals the former
         # length(text) - length(regexp_replace(class, '')) to the
-        # integer: every match is exactly one character — but it
-        # counts without building the stripped copy of the string.
+        # integer: every match is exactly one character. (It is
+        # RuntimeReplaceable sugar for size(regexp_extract_all(...)),
+        # so the mechanism is expression-form, not avoided copies —
+        # the staging below is what removes repeated evaluation.)
         cnt = F.regexp_count(F.col(text_col), F.lit(f"[{rng}]"))
         return F.when(n > 0, cnt.cast("double") / n.cast("double")).otherwise(
             F.lit(0.0)

@@ -141,6 +141,18 @@ def zorder_cluster(
     from pyspark.sql.functions import pandas_udf
 
     ncols = len(cols)
+    # keep the analytic one-pass slice path for WIDE clustering keys:
+    # zbits must stay <= 52 for the double slice arithmetic below to
+    # be exact, so bits_per_col adapts downward with the column count
+    # (6 cols keep the default 8 bits; 8 cols drop to 6 bits = 64
+    # quantile buckets per column — ample for file-level zone maps)
+    # instead of silently reintroducing repartitionByRange's sampling
+    # double-execution on exactly the widest, most expensive inputs
+    # (r12 verdict #2). Slice routing depends only on the TOP bits of
+    # z, so fewer per-column bits changes file-internal ordering
+    # granularity, never the row set.
+    if ncols:
+        bits_per_col = max(1, min(bits_per_col, 52 // ncols))
     nb = 1 << bits_per_col
     casted = df.select(
         "*",

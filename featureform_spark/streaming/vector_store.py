@@ -61,6 +61,25 @@ from featureform_spark.functions.similarity import (
 )
 from featureform_spark.sources.deltalite import DeltaliteTable
 
+# flag() broadcasts the per-batch hits frame only while the BATCH
+# side's plan-time size estimate stays under this bound. hits carries
+# two narrow columns and <= one row per batch id, so it is far smaller
+# than the batch itself — but an unbounded backfill batch could still
+# push it past Spark's 8 GB / 512M-row broadcast cap, where the
+# planner's SortMergeJoin fallback is the safe choice (r12 advice).
+_BROADCAST_HITS_MAX_BATCH_BYTES = 1 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate of ``df`` in bytes — plan-time only, no
+    job. None when the estimate is unavailable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
 
 class EmbeddingStore:
     """Hyperplane-bucket vector store with flag/ingest lifecycle."""
@@ -215,10 +234,18 @@ class EmbeddingStore:
         # batch side), so it is bounded by the ingest batch size —
         # broadcast it explicitly: the post-aggregation size estimate
         # is too conservative for the planner, which otherwise
-        # shuffles AND sorts both sides into a SortMergeJoin.
+        # shuffles AND sorts both sides into a SortMergeJoin. Gated on
+        # the batch's own plan-time size estimate (r12 advice): a huge
+        # backfill batch could push hits past the 8 GB broadcast cap /
+        # driver memory, so past the threshold the hint is dropped and
+        # the planner's safe SortMergeJoin fallback applies.
+        hits_side = hits
+        est = _plan_size_bytes(batch)
+        if est is not None and est <= _BROADCAST_HITS_MAX_BATCH_BYTES:
+            hits_side = F.broadcast(hits)
         return (
             batch.select(self.id_col)
-            .join(F.broadcast(hits), self.id_col, "left")
+            .join(hits_side, self.id_col, "left")
             .select(
                 F.col(self.id_col),
                 F.col("dup_of").isNotNull().cast("long").alias("is_dup"),

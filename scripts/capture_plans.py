@@ -1,7 +1,8 @@
-"""Dump .explain('formatted') for named suite queries to plans/r12/.
+"""Dump .explain('formatted') for named suite queries to plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> <query> [query ...]
-Writes plans/r12/<query>_<suffix>.txt for each.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt for each
+(round defaults to r13).
 """
 from __future__ import annotations
 
@@ -23,7 +24,11 @@ def main() -> None:
 
     spark = get_spark("featureform_spark_plans")
     qs = all_queries()
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

@@ -526,6 +526,32 @@ def test_zorder_large_nout_broadcast_mapping(spark):
     assert all(r["ns"] == 1 for r in per)
 
 
+def test_zorder_wide_key_stays_analytic(spark):
+    """r13 (r12 verdict #2): 7-8 z-columns previously overflowed the
+    52-bit slice arithmetic and silently fell back to
+    repartitionByRange — whose range-bounds SAMPLING pass re-executes
+    the whole scan + z-kernel — on exactly the widest inputs.
+    bits_per_col now adapts downward so the analytic one-pass path
+    holds; the plan must carry no RangePartitioning/sampling subtree
+    and rows are preserved."""
+    from featureform_spark.sources.deltalite import zorder_cluster
+
+    cols = [f"c{i}" for i in range(8)]
+    df = spark.range(500).selectExpr(
+        *[f"(id * {3 + i}) % 97 as c{i}" for i in range(8)]
+    )
+    out = zorder_cluster(df, cols, 12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert out.count() == 500
+    # every row keeps its column tuple (clustering is layout-only)
+    assert sorted(
+        tuple(r[c] for c in cols) for r in out.select(*cols).collect()
+    ) == sorted(
+        tuple((i * (3 + j)) % 97 for j in range(8)) for i in range(500)
+    )
+
+
 def test_zorder_validation_and_nulls(spark, tmp_path):
     from featureform_spark.sources.deltalite import DeltaliteTable
 
