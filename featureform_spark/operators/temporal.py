@@ -93,11 +93,24 @@ def gap_fill(
       observation) have only one neighbor and stay NULL.
 
     Returns (entity, bucket_start, value, is_filled). The grid is
-    generated executor-side with ``sequence()`` over each entity's own
-    span — no driver calendar, no cross-entity blowup. ``linear``'s
-    forward and backward neighbor scans are two windows over the SAME
-    entity partitioning, sharing one exchange — it costs no more
-    shuffles than single-window ``locf``."""
+    generated executor-side with ``sequence()`` — no driver calendar,
+    no cross-entity blowup. Fill modes that need a per-entity window
+    anyway (``locf``/``linear``) generate it (r13) MAP-SIDE from each
+    observed bucket to its successor (``lead``), so grid rows never
+    cross an exchange: the r12 shape joined a separately-aggregated
+    span grid back to the buckets ((entity,bucket) exchange on the
+    grid side — an SMJ at scale — plus a fourth exchange for the fill
+    window). Now ONE bucket-level aggregation and ONE entity window
+    carry everything; fill state (LOCF carry, linear neighbors) is
+    computed on the bucket rows BEFORE the explode, and every
+    per-grid-point value is a pure projection of it — two data
+    exchanges total at any scale, no join, one scan (interleaved
+    min-of-5 ×3 at sf0.1: 1.15/1.15/1.21 → 0.76/0.80/0.90 s).
+    ``zero``/``null`` modes keep the span-grid + left-join shape: they
+    need no fill window, and the window+sort the map-side grid would
+    add costs more than the (broadcast at bench scale) join it saves —
+    measured 0.35-0.38 → 0.65-0.70 s; kept per the benched-scale
+    rule."""
     if how not in ("locf", "zero", "null", "linear"):
         raise ValueError(f"unknown fill mode {how!r}")
     bucket = _step_bucket(step, F.col(ts_col)).alias("bucket_start")
@@ -107,8 +120,49 @@ def gap_fill(
         .groupBy("entity", "bucket_start")
         .agg(getattr(F, agg)("v").alias("value"))
     )
-    spans = per_bucket.groupBy("entity").agg(
-        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    if how in ("zero", "null"):
+        return _gap_fill_join_grid(per_bucket, step, how)
+    w = Window.partitionBy("entity").orderBy("bucket_start")
+    wcur = w.rowsBetween(Window.unboundedPreceding, 0)
+    nxt_bucket = F.lead("bucket_start").over(w)
+    state_cols: list = []
+    if how == "locf":
+        # last non-null observation at-or-before this bucket; every
+        # grid point emitted from this bucket (up to the next observed
+        # one) carries exactly that value — identical to LOCF over the
+        # joined grid, where non-null values exist only at observed
+        # buckets
+        state_cols.append(
+            F.last("value", ignorenulls=True).over(wcur).alias("_locf")
+        )
+    elif how == "linear":
+        obs = F.when(
+            F.col("value").isNotNull(),
+            F.struct(
+                F.col("bucket_start").cast("double").alias("t"),
+                F.col("value").cast("double").alias("v"),
+            ),
+        )
+        # neighbors on the OBSERVED rows: prev includes this bucket
+        # (its own null value is ignored), next strictly follows it —
+        # the same pairs the per-grid-point windows resolved, since
+        # observations exist only at bucket rows
+        state_cols.append(
+            F.last(obs, ignorenulls=True).over(wcur).alias("_prev")
+        )
+        state_cols.append(
+            F.first(obs, ignorenulls=True)
+            .over(w.rowsBetween(1, Window.unboundedFollowing))
+            .alias("_nxt")
+        )
+    # window expressions cannot live inside the Generate — stage them
+    # (one Window node, one exchange), then explode in a second select
+    marked = per_bucket.select(
+        "entity",
+        "bucket_start",
+        "value",
+        *state_cols,
+        nxt_bucket.alias("_nxt_b"),
     )
     stride_s = _step_seconds(step)
     if stride_s is not None:
@@ -118,6 +172,71 @@ def gap_fill(
         # across a DST spring-forward), which would walk off the
         # epoch-floor buckets in any DST session timezone. A long
         # sequence has no timezone to consult — and is cheaper.
+        staged = marked.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.col("bucket_start").cast("long"),
+                    F.coalesce(
+                        F.col("_nxt_b").cast("long") - F.lit(stride_s),
+                        F.col("bucket_start").cast("long"),
+                    ),
+                    F.lit(stride_s),
+                )
+            ).alias("_b"),
+        ).withColumn("_g", F.timestamp_seconds("_b"))
+    else:
+        # calendar strides (1 week / 1 month) keep the calendar walk —
+        # variable-length by definition, matching date_trunc buckets;
+        # stepping back one stride from the next observed bucket stays
+        # on the truncation lattice, so the per-row sequences tile the
+        # entity's span exactly once
+        staged = marked.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.col("bucket_start"),
+                    F.coalesce(
+                        F.col("_nxt_b") - F.expr(f"INTERVAL {step}"),
+                        F.col("bucket_start"),
+                    ),
+                    F.expr(f"INTERVAL {step}"),
+                )
+            ).alias("_g"),
+        )
+    raw = F.when(F.col("_g") == F.col("bucket_start"), F.col("value"))
+    is_filled = raw.isNull()
+    if how == "locf":
+        val = F.col("_locf")
+    else:  # "linear"
+        t = F.col("_g").cast("double")
+        prev, nxt = F.col("_prev"), F.col("_nxt")
+        interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+            (t - prev["t"]) / (nxt["t"] - prev["t"])
+        )
+        val = F.when(raw.isNotNull(), raw.cast("double")).when(
+            prev.isNotNull() & nxt.isNotNull(), interp
+        )
+    return staged.select(
+        "entity",
+        F.col("_g").alias("bucket_start"),
+        val.alias("value"),
+        is_filled.alias("is_filled"),
+    )
+
+
+def _gap_fill_join_grid(per_bucket: DataFrame, step: str, how: str) -> DataFrame:
+    """Span-grid + left-join gap fill for the window-free modes
+    (``zero``/``null``): grid = sequence over each entity's [min, max]
+    bucket span, left-joined back to the observed buckets. See
+    :func:`gap_fill` for why the map-side-grid formulation is not used
+    here."""
+    spans = per_bucket.groupBy("entity").agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    stride_s = _step_seconds(step)
+    if stride_s is not None:
+        # epoch-long walk: DST-proof and cheaper (see gap_fill)
         grid = spans.select(
             "entity",
             F.explode(
@@ -131,8 +250,6 @@ def gap_fill(
             "entity", F.timestamp_seconds("_b").alias("bucket_start")
         )
     else:
-        # calendar strides (1 week / 1 month) keep the calendar walk —
-        # variable-length by definition, matching date_trunc buckets
         grid = spans.select(
             "entity",
             F.explode(
@@ -145,44 +262,6 @@ def gap_fill(
     out = joined.withColumn("is_filled", F.col("value").isNull())
     if how == "zero":
         out = out.withColumn("value", F.coalesce("value", F.lit(0.0)))
-    elif how == "locf":
-        w = (
-            Window.partitionBy("entity")
-            .orderBy("bucket_start")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        out = out.withColumn(
-            "value", F.last("value", ignorenulls=True).over(w)
-        )
-    elif how == "linear":
-        obs = F.when(
-            F.col("value").isNotNull(),
-            F.struct(
-                F.col("bucket_start").cast("double").alias("t"),
-                F.col("value").cast("double").alias("v"),
-            ),
-        )
-        wb = (
-            Window.partitionBy("entity")
-            .orderBy("bucket_start")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        wf = (
-            Window.partitionBy("entity")
-            .orderBy("bucket_start")
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        prev = F.last(obs, ignorenulls=True).over(wb)
-        nxt = F.first(obs, ignorenulls=True).over(wf)
-        t = F.col("bucket_start").cast("double")
-        interp = prev["v"] + (nxt["v"] - prev["v"]) * (
-            (t - prev["t"]) / (nxt["t"] - prev["t"])
-        )
-        out = out.withColumn(
-            "value",
-            F.when(F.col("value").isNotNull(), F.col("value").cast("double"))
-            .when(prev.isNotNull() & nxt.isNotNull(), interp),
-        )
     return out.select("entity", "bucket_start", "value", "is_filled")
 
 
