@@ -262,6 +262,78 @@ def _assign_vectorized(
     )
 
 
+def _refine_vectorized(
+    df: DataFrame,
+    cents_rows: list,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list:
+    """One FUSED Lloyd round (r13, guide §4.1/§1.2): assignment and the
+    per-cluster partial sums run in a single Arrow kernel pass, so only
+    ``<= k`` rows per batch cross the Python→JVM boundary — the
+    unfused shape (``_assign_vectorized`` + ``refine_centroids``)
+    Arrow-serialized the ENTIRE corpus (id, dim-array, norm, cluster)
+    back to the JVM every refinement pass just so a JVM partial-AVG
+    could immediately collapse it to k×dim doubles. Returns the
+    refined centroid rows, same contract as
+    ``refine_centroids(...).collect()``.
+
+    Equivalence to ``round(avg(_v[i]), 6)``: assignment is the
+    bit-identical ``_cosine_argmax_batch`` sequence; the mean is the
+    same Σvalues/count in float64 — numpy's column sum associates
+    additions differently than Spark's per-row fold, but Spark's own
+    AVG already merges map-side partials in nondeterministic fetch
+    order, so the 6-dp round is what pins the value in BOTH shapes
+    (hash-verified against the DuckDB oracle at sf0.001/0.01/0.1)."""
+    import numpy as np
+
+    cents = _cents_with_norms(cents_rows)
+    scols = [f"_s{i}" for i in range(dim)]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            best_cid, _nv = _cosine_argmax_batch(V, cents)
+            cids = np.unique(best_cid)
+            counts = np.empty(len(cids), dtype=np.int64)
+            sums = np.empty((len(cids), dim), dtype=np.float64)
+            for j, cid in enumerate(cids):
+                mask = best_cid == cid
+                counts[j] = int(mask.sum())
+                sums[j] = V[mask].sum(axis=0)
+            out = {"cluster": cids, "_n": counts}
+            for i in range(dim):
+                out[scols[i]] = sums[:, i]
+            yield pd.DataFrame(out)
+
+    partials = df.select(vec_col).mapInPandas(
+        gen,
+        schema="cluster bigint, _n bigint, "
+        + ", ".join(f"{c} double" for c in scols),
+    )
+    refined = partials.groupBy(F.col("cluster").alias("cid")).agg(
+        F.sum("_n").alias("_nt"),
+        *[F.sum(c).alias(c) for c in scols],
+    )
+    return refined.select(
+        "cid",
+        F.array(
+            *[
+                F.round(F.col(c) / F.col("_nt"), round_digits)
+                for c in scols
+            ]
+        ).alias("cv"),
+    ).collect()
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -273,23 +345,24 @@ def kmeans_fit(
     """Lloyd's algorithm: md5-seeded init + ``iters`` refinement rounds.
 
     Returns the final assignment ``(id, _v, _nv, cluster)``. Cost per
-    round: one scan + one k-row groupBy. The k-row centroid table is
-    COLLECTED between rounds (k×dim doubles — metadata scale,
-    independent of corpus size) and rides the next round's assignment
-    closure, so every round plans a flat scan → mapInPandas →
-    partial-agg tree instead of the previous rounds' nested HOF
-    lineage, and the per-element HOF interpreter is replaced by the
-    bit-identical numpy kernel (``_assign_vectorized``). Values are
-    identical: collected centroids are the 6-dp-rounded means, and the
-    kernel reproduces the fold arithmetic to the last ulp.
+    round: one scan + one k-row groupBy over FUSED per-batch partials
+    (``_refine_vectorized`` — assignment and partial sums in one Arrow
+    kernel pass; the corpus never re-crosses the Python boundary). The
+    k-row centroid table is COLLECTED between rounds (k×dim doubles —
+    metadata scale, independent of corpus size) and rides the next
+    round's closure, so every round plans a flat scan → mapInPandas →
+    tiny-agg tree instead of nested lineage. Values are identical to
+    the unfused rounds: collected centroids are the 6-dp-rounded
+    means, and the kernel reproduces the fold arithmetic to the last
+    ulp (see ``_refine_vectorized`` for the AVG-order argument).
     """
     cents_rows = kmeans_init(df, k, id_col, vec_col).collect()
-    assigned = _assign_vectorized(df, cents_rows, id_col, vec_col)
     for _ in range(iters):
         # k rows — same scale as a top-k fetch
-        cents_rows = refine_centroids(assigned, dim).collect()
-        assigned = _assign_vectorized(df, cents_rows, id_col, vec_col)
-    return assigned
+        cents_rows = _refine_vectorized(
+            df, cents_rows, dim, id_col, vec_col
+        )
+    return _assign_vectorized(df, cents_rows, id_col, vec_col)
 
 
 def semantic_dedup(

@@ -1998,18 +1998,17 @@ def shard_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequentially per dimension, bit-exact to the oracle's
     list_reduce."""
     from featureform_spark.functions.clustering import (
-        _assign_vectorized,
+        _refine_vectorized,
         closure_assign,
         kmeans_init,
-        refine_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_init(emb, 4).collect()
-    assigned = _assign_vectorized(emb, cents)
     for _ in range(2):
-        cents = refine_centroids(assigned, _DIM).collect()
-        assigned = _assign_vectorized(emb, cents)
+        # fused assignment + partial-sum round (r13): only k rows per
+        # batch cross the Python boundary, same 6-dp-rounded means
+        cents = _refine_vectorized(emb, cents, _DIM)
     return closure_assign(
         emb, cents, margin=_CLOSURE_MARGIN, max_assign=_CLOSURE_CAP
     )
