@@ -2233,13 +2233,23 @@ class DeltaProtocolTable:
         # constraints passed via properties bind from the first commit
         self._write_guard(probe, df, "CREATE")
         if cluster_by:
+            from concurrent.futures import ThreadPoolExecutor
+
             from featureform_spark.sources.deltalite import zorder_cluster
 
-            n_rows = df.count()
-            n_files = max(1, -(-n_rows // target_rows_per_file))
-            if n_rows:
+            # the row count (file-count sizing) and the z-order
+            # quantile pass are independent full reads of the input —
+            # run them concurrently (guide §2.6); zorder_cluster
+            # resolves the callable n_out only after its quantile job
+            with ThreadPoolExecutor(max_workers=1) as _pool:
+                _f_rows = _pool.submit(df.count)
                 df = zorder_cluster(
-                    df, list(cluster_by), n_files
+                    df,
+                    list(cluster_by),
+                    lambda: max(
+                        1,
+                        -(-_f_rows.result() // target_rows_per_file),
+                    ),
                 ).select(*[f.name for f in df.schema.fields])
         adds = self._write_files(
             df,
@@ -2959,7 +2969,12 @@ class DeltaProtocolTable:
         phys_key = (
             {lo: ph for ph, lo in mapping}[key] if mapping else key
         )
-        src_keys = source.select(key).distinct()
+        # no distinct(): the broadcast left_semi build dedups keys in
+        # its hash relation anyway, and the distinct costs an extra
+        # exchange + two aggregate stages inside the broadcast build
+        # (merge sources are key-unique by the MERGE contract, so the
+        # shipped row count is the same)
+        src_keys = source.select(key)
         matched_abs: list[str] = []
         if rel_by_abs:
             tagged = reader.parquet(*sorted(rel_by_abs)).select(
@@ -3105,23 +3120,6 @@ class DeltaProtocolTable:
             )
 
         self._write_guard(st, merged, "MERGE")  # CHECK constraints
-        adds = self._write_files(
-            merged,
-            st.partition_columns,
-            mapping,
-            st.metadata.get("configuration"),
-        )
-        now = int(time.time() * 1000)
-        actions: list[dict] = []
-        if ident_meta is not None:
-            # carries BOTH the evolved schema (ident_state was built
-            # from it) and the advanced identity high-water mark
-            actions.append({"metaData": ident_meta})
-        elif extra:
-            meta = new_meta or dict(st.metadata)
-            if new_meta is None:
-                meta["schemaString"] = json.dumps(evolved.jsonValue())
-            actions.append({"metaData": meta})
 
         # CDF: when delta.enableChangeDataFeed is set, emit a cdc
         # action carrying update_preimage / update_postimage / insert
@@ -3138,6 +3136,7 @@ class DeltaProtocolTable:
             == "true"
             and not mapping
         )
+        changes: DataFrame | None = None
         if cdf_on:
             pre = joined.filter(is_matched).select(
                 *[
@@ -3165,7 +3164,61 @@ class DeltaProtocolTable:
                     )
                 )
                 changes = changes.unionByName(ins)
-            actions += self._write_cdc_files(changes)
+
+        cdc_actions: list[dict] = []
+        if changes is not None:
+            # overlap the two independent writes (guide §2.6): the cdc
+            # rows and the data rewrite both derive from `joined` but
+            # neither depends on the other's output — sequential calls
+            # just serialized two sub-second jobs. The timestamp-type
+            # conf is pinned around BOTH writes so _write_files's own
+            # set/restore (to the same value) cannot race the
+            # concurrent cdc write into a different parquet encoding.
+            from concurrent.futures import ThreadPoolExecutor
+
+            conf = self.spark.conf
+            prev_ts = conf.get(
+                "spark.sql.parquet.outputTimestampType", "INT96"
+            )
+            conf.set(
+                "spark.sql.parquet.outputTimestampType",
+                "TIMESTAMP_MICROS",
+            )
+            try:
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_data = pool.submit(
+                        self._write_files,
+                        merged,
+                        st.partition_columns,
+                        mapping,
+                        st.metadata.get("configuration"),
+                    )
+                    f_cdc = pool.submit(self._write_cdc_files, changes)
+                    adds = f_data.result()
+                    cdc_actions = f_cdc.result()
+            finally:
+                conf.set(
+                    "spark.sql.parquet.outputTimestampType", prev_ts
+                )
+        else:
+            adds = self._write_files(
+                merged,
+                st.partition_columns,
+                mapping,
+                st.metadata.get("configuration"),
+            )
+        now = int(time.time() * 1000)
+        actions: list[dict] = []
+        if ident_meta is not None:
+            # carries BOTH the evolved schema (ident_state was built
+            # from it) and the advanced identity high-water mark
+            actions.append({"metaData": ident_meta})
+        elif extra:
+            meta = new_meta or dict(st.metadata)
+            if new_meta is None:
+                meta["schemaString"] = json.dumps(evolved.jsonValue())
+            actions.append({"metaData": meta})
+        actions += cdc_actions
 
         actions += [
             {

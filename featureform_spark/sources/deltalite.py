@@ -113,7 +113,7 @@ def _partition_bijection_keys(n: int) -> list[int]:
 
 
 def zorder_cluster(
-    df, cols: list[str], n_out: int, bits_per_col: int = 8
+    df, cols: list[str], n_out, bits_per_col: int = 8
 ):
     """Cluster ``df`` on a Z-order (Morton) curve over ``cols``: each
     column ranks into a 2^bits quantile bucket (one sampled
@@ -134,7 +134,13 @@ def zorder_cluster(
     unchanged; files just vary in size). Shared by
     DeltaliteTable.optimize_zorder and delta_protocol OPTIMIZE ZORDER.
     Output keeps df's columns (callers drop the helper columns via
-    their own select)."""
+    their own select).
+
+    ``n_out`` may be a zero-arg callable, resolved only AFTER the
+    quantile pass — this lets a caller whose file-count sizing needs a
+    row COUNT (delta_protocol.create cluster_by) run that count job
+    CONCURRENTLY with the quantile job instead of serializing two full
+    passes over the input (guide §2.6)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -162,6 +168,8 @@ def zorder_cluster(
     quantiles = casted.stat.approxQuantile(
         [f"__q{i}" for i in range(ncols)], probs, 1.0 / (4 * nb)
     )
+    if callable(n_out):
+        n_out = int(n_out())
     bnds = [
         np.asarray(sorted(set(qs)), dtype=np.float64) for qs in quantiles
     ]
@@ -865,7 +873,10 @@ class DeltaliteTable:
         # 1. plan: which files hold keys present in the source? One
         # semi-join over (key, file) — Spark prunes the scan to the key
         # column; this is Delta's touched-file discovery.
-        src_keys = src.select(key).distinct()
+        # no distinct(): the semi-join build side dedups keys itself;
+        # the distinct only added an exchange + aggregate pair to the
+        # discovery job (merge sources are key-unique by contract)
+        src_keys = src.select(key)
         if active:
             paths = [os.path.join(self.path, f) for f in active]
             tagged = (

@@ -5924,7 +5924,23 @@ class IcebergProtocolTable:
         seq = int(md.get("last-sequence-number", 0)) + 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         df = self._fill_write_defaults(df, ice_schema)
-        files = self._write_data_files(df, ice_schema, spec_fields)
+        # the data-file write and the equality-delete-file write both
+        # read the checkpointed batch and are independent of each
+        # other's output — overlap them (guide §2.6) instead of
+        # serializing two sub-second jobs; both must succeed before
+        # anything commits, exactly as before
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_data = _pool.submit(
+                self._write_data_files, df, ice_schema, spec_fields
+            )
+            _f_del = _pool.submit(
+                self._eq_delete_entries,
+                df, key_fields, md, snapshot_id, seq, eq_ids,
+            )
+            files = _f_data.result()
+            del_entries = _f_del.result()
         data_manifest_entries = [
             {
                 "status": 1,
@@ -5942,9 +5958,6 @@ class IcebergProtocolTable:
         )
         if lineage is not None:
             data_manifest["first_row_id"] = lineage[0]
-        del_entries = self._eq_delete_entries(
-            df, key_fields, md, snapshot_id, seq, eq_ids=eq_ids
-        )
         manifests = [data_manifest]
         if del_entries:
             # global equality deletes ride an UNPARTITIONED spec so
