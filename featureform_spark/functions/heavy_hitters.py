@@ -101,6 +101,23 @@ def local_candidates(
     retraction per overflowing insert and merges all task maps ON THE
     DRIVER — O(tasks / support^2) serial work that dominated the query.
     """
+    return (
+        _local_candidates_with_total(items, item_col, min_frac)
+        .filter(F.col(item_col).isNotNull())
+        .select(item_col)
+        .distinct()
+    )
+
+
+def _local_candidates_with_total(
+    items: DataFrame, item_col: str, min_frac: float
+) -> DataFrame:
+    """``local_candidates``'s kernel, additionally emitting ONE sentinel
+    row per partition (NULL item, ``_ln`` = that partition's item
+    count) so a single pass yields both the candidate superset and the
+    exact global total (sum of sentinels) — the third corpus pass the
+    r12 shape spent on ``sum(size(grams))`` disappears. Output:
+    ``(item, _ln)`` with ``_ln`` NULL on candidate rows."""
     import pandas as pd
 
     def gen(batches):
@@ -114,12 +131,16 @@ def local_candidates(
             for k, v in vc.items():
                 counts[k] += int(v)
         keep = [k for k, v in counts.items() if v >= min_frac * n_local]
-        yield pd.DataFrame({item_col: pd.Series(keep, dtype="object")})
+        yield pd.DataFrame(
+            {
+                item_col: pd.Series(keep + [None], dtype="object"),
+                "_ln": pd.Series(
+                    [None] * len(keep) + [n_local], dtype="Int64"
+                ),
+            }
+        )
 
-    return (
-        items.mapInPandas(gen, schema=f"{item_col} string")
-        .distinct()
-    )
+    return items.mapInPandas(gen, schema=f"{item_col} string, _ln long")
 
 
 def ngrams_expr(toks: Column, n: int, sep: str = " ") -> Column:
@@ -167,8 +188,22 @@ def frequent_ngrams(
     thousands of splits) the raw documents are repartitioned FIRST —
     a doc-sized shuffle — so the n-gram stream and freqItems' counter
     maps run map-side parallel instead of serializing one giant
-    retraction loop on a single core. The total n-gram count comes from
-    sum(size(grams)) rather than a third explode pass.
+    retraction loop on a single core.
+
+    r13 (two corpus passes, down from three): the candidate kernel
+    emits a per-partition sentinel row carrying its exact item count;
+    ONE single-row aggregate folds sentinels into the global total and
+    candidates into a set, which explodes back into (candidate, total)
+    rows for a broadcast HASH join — each verified occurrence gets the
+    candidate check AND the total in one O(1) probe. The r12 shape
+    evaluated the tokenize+ngram pipeline a third time for
+    ``sum(size(grams))``; the r12-rejected one-pass attempt needed a
+    localCheckpoint (whose materialization cost sank it) because total
+    and candidates were separate consumers of the kernel — the
+    single-row fold has exactly one consumer, so nothing needs
+    pinning. (A broadcast map-in-a-row probe was measured and
+    rejected: Spark's GetMapValue is a linear scan, not a hash
+    lookup.)
     """
     if support is not None:
         # explicit-support callers keep the freqItems sketch path
@@ -184,15 +219,21 @@ def frequent_ngrams(
     df = fan_out_if_underparallel(df)
     grams = df.select(ngrams_expr(tokens_expr(text_col), n).alias("_g"))
     items = grams.select(F.explode(F.col("_g")).alias("ngram"))
-    total = grams.agg(F.sum(F.size(F.col("_g"))).alias("_n"))
-    candidates = local_candidates(items, "ngram", min_frac)
+    cand_plus = _local_candidates_with_total(items, "ngram", min_frac)
+    cands = (
+        cand_plus.agg(
+            F.sum("_ln").alias("_n"),
+            F.collect_set("ngram").alias("_ca"),  # skips sentinel NULLs
+        ).select(F.explode("_ca").alias("ngram"), "_n")
+    )
     counts = (
-        items.join(F.broadcast(candidates), "ngram", "left_semi")
+        items.join(F.broadcast(cands), "ngram")
         .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("_n").alias("_n"))
     )
     return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.ceil(F.lit(float(min_frac)) * F.col("_n")))
+        counts.filter(
+            F.col("cnt") >= F.ceil(F.lit(float(min_frac)) * F.col("_n"))
+        )
         .select("ngram", "cnt")
     )

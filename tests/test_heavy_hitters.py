@@ -61,10 +61,15 @@ def test_plan_broadcasts_candidates(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    # candidate semi-join and the total-count row are broadcast; the
-    # only shuffle left is the partial-aggregated candidate count
+    # r13: candidates + exact total ride one broadcast HASH join (the
+    # single-row aggregate explodes back into (candidate, total) rows),
+    # and the only shuffle left is the partial-aggregated candidate
+    # count. The tokenize+ngram kernel (MapInPandas) must appear
+    # exactly ONCE beyond the verify scan — the r12 shape evaluated it
+    # a second time for the sum(size(grams)) total.
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("MapInPandas") == 1
 
 
 def test_null_text_rows_do_not_corrupt_totals(spark):
