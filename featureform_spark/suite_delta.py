@@ -1631,11 +1631,22 @@ def advised_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     ot = IcebergProtocolTable(spark, _scratch(sf_dir, "adv_orders"))
-    ot.create(orders)
     ct = IcebergProtocolTable(spark, _scratch(sf_dir, "adv_cust"))
-    ct.create(cust)
-    ot.analyze_table(columns=["o_custkey"])
-    ct.analyze_table(columns=["c_custkey"])
+
+    # the two fixture tables are independent: build each side's
+    # create + ANALYZE chain in its own thread so the four formerly
+    # sequential driver actions overlap (guide §2.6)
+    def _build(t, df, cols):
+        t.create(df)
+        t.analyze_table(columns=cols)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_o = pool.submit(_build, ot, orders, ["o_custkey"])
+        f_c = pool.submit(_build, ct, cust, ["c_custkey"])
+        f_o.result()
+        f_c.result()
     joined, advice = join_with_stats(ot, ct, "o_custkey", "c_custkey")
     assert advice["strategy"] == "broadcast_right", advice
     plan = joined._jdf.queryExecution().executedPlan().toString()
